@@ -1,13 +1,394 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.dedup.Dedup
+import graft.embed.Embed
+import graft.functions.VectorF
+import graft.ingest.Ingest
+import graft.lexical.BM25
+import graft.metrics.RankMetrics
+import graft.search.Search
+import graft.sources.Tables
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one named query per implemented operator from
+  * SURVEY.md §2, each with an equivalent DuckDB oracle SQL over the
+  * same parquet tables (TESTDATA.md layout).
+  *
+  * Determinism rules (SURVEY §7.4): explicit ids, total-order
+  * tiebreaks on every top-k, double-precision accumulation, scores
+  * rounded before output, exact-integer "cents" arithmetic for money
+  * sums so Spark and DuckDB hash-match bit-for-bit.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q10_knn_exact")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
+  def oracleSql: Map[String, String] = Queries.oracle
+}
+
+/** The query catalog. Kept separate so SparkEntry stays the thin
+  * driver contract. */
+object Queries {
+  import VectorF._
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------- relational ----------
+
+  /** TPC-H Q1-style pricing summary over lineitem (scan + single
+    * hash aggregate; filter pushed to parquet). Exact cents sums. */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1997-06-30 00:00:00")))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity") * 100).cast("long").as("qc"),
+        round(col("l_extendedprice") * 100).cast("long").as("epc"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long").as("dpc"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("qc")).as("sum_qty_c"),
+        sum(col("epc")).as("sum_price_c"),
+        sum(col("dpc")).as("sum_disc_price_c4"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_c4,
+       COUNT(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-06-30 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  /** Revenue by part brand: lineitem JOIN part. `part` is the small
+    * dimension — broadcast, so the fact table never shuffles. */
+  def q02RevenueByBrand(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long").as("rc"))
+      .groupBy("p_brand")
+      .agg(sum(col("rc")).as("revenue_c4"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_c4").desc, col("p_brand").asc)
+      .limit(10)
+
+  val q02Sql: String =
+    """SELECT p_brand,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_c4,
+       COUNT(*) AS n_items
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY p_brand ORDER BY revenue_c4 DESC, p_brand LIMIT 10"""
+
+  /** Orders by nation: two broadcast joins up the star schema. */
+  def q03OrdersByNation(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        round(col("o_totalprice") * 100).cast("long").as("tc"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"), sum(col("tc")).as("total_c"))
+      .orderBy("n_name")
+
+  val q03Sql: String =
+    """SELECT n_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name"""
+
+  /** Top-3 orders per customer by totalprice — window function over
+    * the orders table, partitioned by customer (parallel by key). */
+  def q04TopOrdersPerCust(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3 && col("o_custkey") < 100)
+      .select(col("o_custkey"), col("rank"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .orderBy("o_custkey", "rank")
+  }
+
+  val q04Sql: String =
+    """SELECT o_custkey, rank, o_orderkey, price_c FROM (
+         SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c
+         FROM orders WHERE o_custkey < 100)
+       WHERE rank <= 3 ORDER BY o_custkey, rank"""
+
+  /** events.ts is TIMESTAMP(NANOS) in parquet; with
+    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as a raw nanos
+    * long — convert to a real timestamp with exact integer division. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else e
+  }
+
+  /** JSON scalar extraction over events (`props` is a JSON string) +
+    * grouped aggregate. Regexp-based so no JSON extension needed. */
+  def q05EventsJson(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), sum(col("vc")).as("sum_value_c"))
+      .orderBy("event_type")
+
+  val q05Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** Hourly event rollup — date_trunc + grouped agg; the timestamp is
+    * emitted as a formatted string so both engines hash identically. */
+  def q06EventsHourly(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_value_c"))
+      .orderBy("hour", "event_type")
+
+  val q06Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+       FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
+
+  // ---------- vector / search ----------
+
+  private def embDouble(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+
+  /** R1: exact kNN, query = vec_id 0, top-10 by dot product. */
+  def q10KnnExact(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir)
+    Search.topK(e, "vec_id", "v",
+      e.filter(col("vec_id") === 0).select(col("v").as("qv")), "qv", 10)
+      .orderBy("rank")
+  }
+
+  val q10Sql: String =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       s AS (SELECT vec_id, list_dot_product(CAST(embedding AS DOUBLE[]), qv) AS sc
+             FROM embeddings, q),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM s)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
+  /** R1 multi-query: 5 query vectors broadcast against the corpus,
+    * one scan for all queries, window top-5 per query. */
+  def q11KnnMulti(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir)
+    Search.multiTopK(e, "vec_id", "v",
+      e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv")),
+      "qid", "qv", 5)
+      .orderBy("qid", "rank")
+  }
+
+  val q11Sql: String =
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 5),
+       s AS (SELECT qid, vec_id, list_dot_product(CAST(embedding AS DOUBLE[]), qv) AS sc
+             FROM embeddings, q),
+       r AS (SELECT qid, vec_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+               ROUND(sc, 6) AS score FROM s)
+       SELECT qid, vec_id, rank, score FROM r WHERE rank <= 5 ORDER BY qid, rank"""
+
+  /** V1/V2: scale + shift then L2-normalize; emit components + norm. */
+  def q12Normalize(s: SparkSession, dir: String): DataFrame = {
+    val v2 = l2normalize(transform(col("v"), x => x * 2.0 + 0.1))
+    embDouble(s, dir)
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"),
+        round(element_at(v2, 1), 6).as("e0"),
+        round(element_at(v2, 2), 6).as("e1"),
+        round(norm2(v2), 6).as("norm"))
+      .orderBy("vec_id")
+  }
+
+  val q12Sql: String =
+    """WITH e AS (SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x*2.0 + 0.1) AS w
+         FROM embeddings WHERE vec_id < 100),
+       n AS (SELECT vec_id, w,
+           sqrt(list_sum(list_transform(w, x -> x*x))) + 1e-9 AS nrm FROM e),
+       v AS (SELECT vec_id, list_transform(w, x -> x/nrm) AS v2 FROM n)
+       SELECT vec_id, ROUND(v2[1], 6) AS e0, ROUND(v2[2], 6) AS e1,
+         ROUND(sqrt(list_sum(list_transform(v2, x -> x*x))), 6) AS norm
+       FROM v ORDER BY vec_id"""
+
+  /** V8: deterministic random projection 64 → 8 dims, exploded. */
+  def q13RandomProjection(s: SparkSession, dir: String): DataFrame =
+    embDouble(s, dir)
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), posexplode(randomProjection(col("v"), 8)))
+      .select(col("vec_id"), col("pos").cast("long").as("j"),
+        round(col("col"), 6).as("val"))
+      .orderBy("vec_id", "j")
+
+  val q13Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE vec_id < 200),
+       x AS (SELECT vec_id, i.i AS i, v[i.i + 1] AS x
+             FROM e, (SELECT UNNEST(generate_series(0, 63)) AS i) i)
+       SELECT vec_id, j.j AS j,
+         ROUND(SUM(x * ((((i*31 + j.j*17) % 7) - 3) / 3.0)), 6) AS val
+       FROM x, (SELECT UNNEST(generate_series(0, 7)) AS j) j
+       GROUP BY vec_id, j.j ORDER BY vec_id, j"""
+
+  /** V7/M7: deterministic noise perturbation + renormalize; emit
+    * cosine(original, noisy) and first noisy component. */
+  def q14NoisePerturb(s: SparkSession, dir: String): DataFrame = {
+    val noisy = addNoise(col("v"), col("vec_id"), 0.15)
+    embDouble(s, dir)
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"),
+        round(dot(col("v"), noisy), 6).as("cos_orig"),
+        round(element_at(noisy, 1), 6).as("e0"))
+      .orderBy("vec_id")
+  }
+
+  val q14Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE vec_id < 200),
+       nv AS (SELECT vec_id, i.i AS i, v[i.i + 1] AS x,
+                v[i.i + 1] + (((vec_id*1103515245 + i.i*12345) % 1000003) / 1000003.0 - 0.5) * 0.15 AS y
+              FROM e, (SELECT UNNEST(generate_series(0, 63)) AS i) i),
+       agg AS (SELECT vec_id, SUM(x*y) AS xy, SUM(y*y) AS yy FROM nv GROUP BY vec_id),
+       e0 AS (SELECT vec_id, y AS y0 FROM nv WHERE i = 0)
+       SELECT agg.vec_id,
+         ROUND(xy / (sqrt(yy) + 1e-9), 6) AS cos_orig,
+         ROUND(y0 / (sqrt(yy) + 1e-9), 6) AS e0
+       FROM agg JOIN e0 ON agg.vec_id = e0.vec_id ORDER BY agg.vec_id"""
+
+  /** V5/V6/R8: DP-style search — docs = normalize(0.7·text ⊕ 0.3·attr),
+    * query = normalize(0.7·qv ⊕ zeros). attr vector is a deterministic
+    * 16-dim pattern from `label` (stands in for the reference's
+    * attribute embedding). */
+  private val attrDim = 16
+  private def attrVec: Column =
+    transform(sequence(lit(0L), lit(attrDim - 1L)),
+      j => ((col("label").cast("long") * 31L + j * 7L) % 11L - 5L).cast("double") / 5.0)
+
+  def q15DpSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir)
+    val docs = e.select(col("vec_id"),
+      l2normalize(weightedConcat(col("v"), 0.7, attrVec, 0.3)).as("dpv"))
+    val query = e.filter(col("vec_id") === 0)
+      .select(Search.dpQueryVec(col("v"), attrDim, 0.7).as("qv"))
+    Search.topK(docs, "vec_id", "dpv", query, "qv", 10).orderBy("rank")
+  }
+
+  val q15Sql: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       tp AS (SELECT vec_id, i.i AS i, 0.7 * v[i.i + 1] AS a
+              FROM e, (SELECT UNNEST(generate_series(0, 63)) AS i) i),
+       ap AS (SELECT vec_id, j.j AS j,
+                0.3 * (((label*31 + j.j*7) % 11 - 5) / 5.0) AS b
+              FROM e, (SELECT UNNEST(generate_series(0, ${attrDim - 1})) AS j) j),
+       dn AS (SELECT tp.vec_id,
+                sqrt(SUM(a*a) + (SELECT SUM(b*b) FROM ap WHERE ap.vec_id = tp.vec_id)) + 1e-9 AS nrm
+              FROM tp GROUP BY tp.vec_id),
+       q AS (SELECT i.i AS i, 0.7 * v[i.i + 1] AS qa
+             FROM e, (SELECT UNNEST(generate_series(0, 63)) AS i) i WHERE vec_id = 0),
+       qn AS (SELECT sqrt(SUM(qa*qa)) + 1e-9 AS qnrm FROM q),
+       sc AS (SELECT tp.vec_id, SUM(tp.a * q.qa) / MIN(dn.nrm) / MIN(qn.qnrm) AS sc
+              FROM tp JOIN q ON tp.i = q.i JOIN dn ON dn.vec_id = tp.vec_id, qn
+              GROUP BY tp.vec_id),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
+  // ---------- lexical ----------
+
+  /** R3: BM25 top-20 for a fixed term query. */
+  val bm25Terms = Seq("spark", "hash", "join")
+  def q20Bm25(s: SparkSession, dir: String): DataFrame =
+    BM25.search(t(s, dir, "documents"), "doc_id", "text", bm25Terms, 20)
+      .orderBy("rank")
+
+  val q20Sql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+       corpus AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d),
+       post AS (SELECT doc_id, len(toks) AS len, UNNEST(toks) AS term FROM d),
+       tf AS (SELECT doc_id, len, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM post
+              WHERE term IN ('spark', 'hash', 'join') GROUP BY doc_id, len, term),
+       stats AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+       idf AS (SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf FROM stats, corpus),
+       sc AS (SELECT doc_id, SUM(idf * tf * 2.5 / (tf + 1.5 * (1.0 - 0.75 + 0.75 * len / avgdl))) AS score
+              FROM tf JOIN idf USING (term), corpus GROUP BY doc_id),
+       r AS (SELECT doc_id AS doc, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+                    ROUND(score, 4) AS score FROM sc)
+       SELECT doc, rank, score FROM r WHERE rank <= 20 ORDER BY rank"""
+
+  /** Corpus-wide term frequencies, top 20 — explode + aggregate. */
+  def q21TopTerms(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(BM25.tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(20)
+
+  val q21Sql: String =
+    """SELECT term, COUNT(*) AS n
+       FROM (SELECT UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents)
+       GROUP BY term ORDER BY n DESC, term LIMIT 20"""
+
+  // ---------- catalog ----------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_revenue_by_brand" -> (q02RevenueByBrand _),
+    "q03_orders_by_nation" -> (q03OrdersByNation _),
+    "q04_top_orders_per_cust" -> (q04TopOrdersPerCust _),
+    "q05_events_json" -> (q05EventsJson _),
+    "q06_events_hourly" -> (q06EventsHourly _),
+    "q10_knn_exact" -> (q10KnnExact _),
+    "q11_knn_multi" -> (q11KnnMulti _),
+    "q12_normalize" -> (q12Normalize _),
+    "q13_random_projection" -> (q13RandomProjection _),
+    "q14_noise_perturb" -> (q14NoisePerturb _),
+    "q15_dp_search" -> (q15DpSearch _),
+    "q20_bm25" -> (q20Bm25 _),
+    "q21_top_terms" -> (q21TopTerms _))
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_revenue_by_brand" -> q02Sql,
+    "q03_orders_by_nation" -> q03Sql,
+    "q04_top_orders_per_cust" -> q04Sql,
+    "q05_events_json" -> q05Sql,
+    "q06_events_hourly" -> q06Sql,
+    "q10_knn_exact" -> q10Sql,
+    "q11_knn_multi" -> q11Sql,
+    "q12_normalize" -> q12Sql,
+    "q13_random_projection" -> q13Sql,
+    "q14_noise_perturb" -> q14Sql,
+    "q15_dp_search" -> q15Sql,
+    "q20_bm25" -> q20Sql,
+    "q21_top_terms" -> q21Sql)
 }

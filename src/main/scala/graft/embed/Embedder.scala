@@ -1,0 +1,69 @@
+package graft.embed
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document embedding (SURVEY §2.4, E1–E3).
+  *
+  * The reference embeds with SentenceTransformer batches ON THE
+  * DRIVER (`src/pipeline/pipeline.py:80-104`) and ships a dead-code
+  * distributed variant (`src/pipeline/embedding.py:31-41`). The
+  * distributed variant is the right shape, so that is what this is:
+  * `mapPartitions` over the corpus, one model instantiation per
+  * partition, executor-side batching — swap `HashEmbedder` for a real
+  * ONNX/JNI encoder without touching the dataflow.
+  *
+  * Contract (all the downstream math relies on): fixed dimension,
+  * L2-normalized float vectors, deterministic for a given text.
+  */
+trait Embedder extends Serializable {
+  def dim: Int
+  def embed(text: String): Array[Float]
+}
+
+/** Deterministic hashed token-projection embedder: each token is
+  * hashed (MurmurHash3, seeded) to `dim` buckets with a sign bit —
+  * the classic feature-hashing trick — then the doc vector is
+  * L2-normalized. No network, no weights, reproducible in-JVM.
+  */
+final class HashEmbedder(val dim: Int = 64, seed: Int = 42) extends Embedder {
+  def embed(text: String): Array[Float] = {
+    val v = new Array[Float](dim)
+    val toks = text.toLowerCase.trim.split("\\s+")
+    var i = 0
+    while (i < toks.length) {
+      val h = scala.util.hashing.MurmurHash3.stringHash(toks(i), seed)
+      val idx = math.floorMod(h, dim)
+      val sgn = if (((h >>> 16) & 1) == 1) 1.0f else -1.0f
+      v(idx) += sgn
+      i += 1
+    }
+    var norm = 0.0
+    var j = 0
+    while (j < dim) { norm += v(j).toDouble * v(j); j += 1 }
+    val inv = (1.0 / (math.sqrt(norm) + 1e-9)).toFloat
+    j = 0
+    while (j < dim) { v(j) *= inv; j += 1 }
+    v
+  }
+}
+
+object Embed {
+  /** E1/E3: distributed embedding — one Embedder per partition,
+    * vectors never pass through the driver. */
+  def embedDocs(docs: DataFrame, idCol: String, textCol: String,
+                embedder: Embedder): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs: Dataset[(Long, String)] =
+      docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    pairs.mapPartitions { it =>
+      it.map { case (id, text) => (id, embedder.embed(text)) }
+    }.toDF(idCol, "vec")
+  }
+
+  /** E2: attribute text build `"{name} {gender} {age} {city}"`
+    * (reference `src/pipeline/pipeline_mode.py:68-75`). */
+  def attrText(cols: Seq[String]): org.apache.spark.sql.Column =
+    concat_ws(" ", cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+}

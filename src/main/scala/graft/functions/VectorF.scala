@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector scalar functions over `array<float|double>` columns.
+  *
+  * Re-expresses the reference's NumPy row-wise vector math
+  * (reference `src/pipeline/utils.py:9-34`,
+  * `src/pipeline/pipeline_mode.py:77-101,139-148`) as Catalyst
+  * higher-order functions (`transform`/`zip_with`/`aggregate`), so
+  * every operation stays inside whole-stage codegen, is column-pruned
+  * and never leaves the executors. All accumulation is double
+  * precision with left-to-right element order, which makes results
+  * reproducible across engines (the DuckDB oracle folds lists in the
+  * same order).
+  */
+object VectorF {
+
+  /** Cast an array column to array<double> elementwise. */
+  def toDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Dot product a·b in double precision, sequential fold.
+    * Reference `src/pipeline/utils.py:24` (`float(np.dot(a, b))`). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Squared L2 norm. */
+  def norm2Sq(v: Column): Column =
+    aggregate(toDouble(v), lit(0.0), (acc, x) => acc + x * x)
+
+  /** L2 norm. */
+  def norm2(v: Column): Column = sqrt(norm2Sq(v))
+
+  /** L2 normalize with the reference's 1e-9 epsilon guard
+    * (`src/pipeline/utils.py:9-15`: v / (||v|| + 1e-9)). */
+  def l2normalize(v: Column): Column = {
+    val d = toDouble(v)
+    val n = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x)) + lit(1e-9)
+    transform(d, x => x / n)
+  }
+
+  /** Elementwise scale. */
+  def scale(v: Column, w: Column): Column = transform(toDouble(v), x => x * w)
+
+  /** Weighted concat: hstack(a*wa, b*wb) — the reference's DP index
+    * construction (`src/pipeline/pipeline_mode.py:83-86`, weights
+    * 0.7/0.3 from `src/main.py:16-17`). */
+  def weightedConcat(a: Column, wa: Double, b: Column, wb: Double): Column =
+    concat(scale(a, lit(wa)), scale(b, lit(wb)))
+
+  /** Zero vector of dimension `dim` — DP query attribute pad
+    * (`src/pipeline/pipeline_mode.py:98-101`). */
+  def zeros(dim: Int): Column = array_repeat(lit(0.0), dim)
+
+  /** Cosine similarity (inputs need not be pre-normalized). Equals
+    * `dot` when both sides are unit vectors, which is how the
+    * reference uses it (`src/pipeline/utils.py:34`). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b) + lit(1e-9))
+
+  /** Deterministic pseudo-random value in [-0.5, 0.5) derived from
+    * integer arithmetic on (id, dim) — replaces the reference's
+    * unseeded `np.random.normal` (`src/pipeline/pipeline_mode.py:79`)
+    * with a reproducible, oracle-checkable perturbation (SURVEY §7.4).
+    * Pure int64 arithmetic → bit-identical in any engine. */
+  def pseudoUniform(id: Column, dim: Column): Column =
+    ((id * lit(1103515245L) + dim * lit(12345L)) % lit(1000003L))
+      .cast("double") / lit(1000003.0) - lit(0.5)
+
+  /** Add deterministic noise of scale sigma to vector `v` keyed by
+    * row `id`, then re-normalize — the reference's DP attribute
+    * perturbation (`src/pipeline/pipeline_mode.py:77-80`) with
+    * hash-derived (reproducible) noise per SURVEY §2 V7. */
+  def addNoise(v: Column, id: Column, sigma: Double): Column = {
+    val noisy = zip_with(
+      toDouble(v),
+      sequence(lit(0), size(v) - 1),
+      (x, i) => x + pseudoUniform(id, i.cast("long")) * lit(sigma))
+    l2normalize(noisy)
+  }
+
+  /** Deterministic random-projection matrix entry R(i, j): small
+    * integer lattice in [-1, 1], expressible in ANSI SQL so the
+    * DuckDB oracle can replay it (replaces the reference's seeded
+    * `np.random.randn(d, dt)`, `src/pipeline/pipeline_mode.py:141-144`). */
+  def projEntry(i: Column, j: Column): Column =
+    (((i * lit(31L) + j * lit(17L)) % lit(7L)) - lit(3L)).cast("double") / lit(3.0)
+
+  /** Random projection of `v` (dim d) to `dt` dims:
+    * out[j] = sum_i v[i] * R(i, j). Array-local (no shuffle): the
+    * whole projection happens inside one codegen'd expression.
+    * Reference `src/pipeline/pipeline_mode.py:139-148`. */
+  def randomProjection(v: Column, dt: Int): Column =
+    transform(
+      sequence(lit(0L), lit(dt - 1L)),
+      j =>
+        aggregate(
+          zip_with(toDouble(v), sequence(lit(0L), size(v).cast("long") - 1L),
+            (x, i) => x * projEntry(i, j)),
+          lit(0.0),
+          (acc, x) => acc + x))
+}

@@ -1,0 +1,74 @@
+package graft.hybrid
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: candidate union (R4) + MMR re-rank (R5).
+  *
+  * Reference: `src/pipeline/pipeline_mode.py:244-258` unions FAISS
+  * candidates with BM25 candidates then greedily re-ranks with
+  * Maximal Marginal Relevance (`src/pipeline/utils.py:17-41`).
+  */
+object Hybrid {
+
+  /** R4: order-free distinct union of two candidate id sets — the
+    * honest semantic of the reference's `list(set(a)|set(b))`. */
+  def unionCandidates(a: DataFrame, b: DataFrame, idCol: String): DataFrame =
+    a.select(col(idCol)).union(b.select(col(idCol))).distinct()
+
+  /** R5: MMR greedy re-rank. Inherently sequential (each pick
+    * conditions on all previous picks) over a candidate set the
+    * reference caps at ~250 rows — so the candidates (id, vec, sim)
+    * are collected to the driver and the O(k·|C|) greedy loop runs in
+    * Scala; the big work (scoring/candidate generation) stayed
+    * distributed. Ties broken by id ascending for determinism.
+    *
+    * mmr(d) = lambda*sim(q,d) - (1-lambda)*max_{s in S} sim(d,s);
+    * vectors must be L2-normalized (sim = dot). */
+  def mmrRerank(candidates: DataFrame, idCol: String, vecCol: String,
+                simCol: String, k: Int, lambda: Double)
+               (implicit spark: SparkSession): DataFrame = {
+    val rows = candidates.select(col(idCol), col(vecCol), col(simCol)).collect()
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(r => r.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+    val sims = rows.map(r => r.get(2) match {
+      case f: Float => f.toDouble
+      case d: Double => d
+    })
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val n = rows.length
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val picked = new Array[Boolean](n)
+    while (chosen.size < math.min(k, n)) {
+      var bestIdx = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val maxSimChosen =
+            if (chosen.isEmpty) 0.0
+            else chosen.map(j => dot(vecs(i), vecs(j))).max
+          val score = lambda * sims(i) - (1 - lambda) * maxSimChosen
+          if (score > bestScore ||
+              (score == bestScore && bestIdx >= 0 && ids(i) < ids(bestIdx))) {
+            bestScore = score; bestIdx = i
+          }
+        }
+        i += 1
+      }
+      picked(bestIdx) = true
+      chosen += bestIdx
+    }
+    import spark.implicits._
+    chosen.toSeq.zipWithIndex
+      .map { case (i, r) => (ids(i), (r + 1).toLong) }
+      .toDF(idCol, "rank")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.lexical
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical (BM25) retrieval as pure relational algebra (SURVEY §2 R3).
+  *
+  * The reference builds a `BM25Okapi` index over the whole corpus on
+  * the driver — and rebuilds it on EVERY query
+  * (`src/pipeline/pipeline.py:166-176`). Here the corpus statistics
+  * (term frequencies, document frequencies, document lengths, average
+  * length) are DataFrames built once and reusable/cacheable across
+  * queries; scoring one query is a broadcast semi-join against the
+  * query's terms plus one aggregation — O(matching postings), not
+  * O(corpus).
+  *
+  * Scoring formula (Robertson/Okapi, k1=1.5 b=0.75):
+  *   idf(t)  = ln(1 + (N - df + 0.5)/(df + 0.5))
+  *   s(d, t) = idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*len/avgdl))
+  */
+object BM25 {
+  val K1 = 1.5
+  val B = 0.75
+
+  /** Whitespace-lowercase tokenizer (reference `src/pipeline/pipeline.py:169`). */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Posting list: (id, term, tf) + doc length. One explode + one
+    * aggregation; partitioned by (id, term) hash. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .withColumn("len", size(col("toks")).cast("double"))
+      .select(col("doc"), col("len"), explode(col("toks")).as("term"))
+      .groupBy("doc", "len", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+  /** Per-term document frequency + corpus stats. Small output
+    * (vocabulary-sized) — broadcastable to the scoring join. */
+  def termStats(post: DataFrame, nDocs: Long): DataFrame =
+    post.groupBy("term")
+      .agg(countDistinct(col("doc")).cast("double").as("df"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+
+  /** Score `queryTerms` against the corpus; returns (doc, rank, score)
+    * top-k. The postings side is filtered to the query's terms BEFORE
+    * any join (predicate pushdown into the postings scan), the
+    * term-stats side is broadcast, and top-k is TakeOrderedAndProject. */
+  def search(docs: DataFrame, idCol: String, textCol: String,
+             queryTerms: Seq[String], k: Int): DataFrame = {
+    // one action for both corpus scalars (N, avgdl)
+    val row = docs.select(
+      count(lit(1)).as("n"), avg(size(tokens(col(textCol)))).as("avgdl")).head()
+    val (nDocs, avgdl) = (row.getLong(0), row.getDouble(1))
+    // df(t) only needs postings OF t — filter before the df aggregation,
+    // so the whole stats pipeline is pushdown-pruned to the query terms
+    val post = postings(docs, idCol, textCol)
+      .filter(col("term").isin(queryTerms.map(_.toLowerCase): _*))
+    val stats = termStats(post, nDocs)
+    val scored = post
+      .join(broadcast(stats), "term")
+      .withColumn("s",
+        col("idf") * col("tf") * (K1 + 1.0) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("len") / avgdl)))
+      .groupBy("doc")
+      .agg(sum(col("s")).as("score"))
+      .orderBy(col("score").desc, col("doc").asc)
+      .limit(k)
+    scored
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc").asc)).cast("long"))
+      .select(col("doc"), col("rank"), round(col("score"), 4).as("score"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.search
+
+import graft.functions.VectorF._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval operators (SURVEY §2.5).
+  *
+  * The reference's exact kNN is FAISS `IndexFlatIP` brute force over
+  * an in-memory matrix (`src/pipeline/pipeline.py:126-136,143-159`).
+  * Here the "index" is just the embeddings DataFrame: scoring is a
+  * codegen'd dot product over a partitioned scan, and top-k is
+  * `ORDER BY score DESC LIMIT k`, which Catalyst plans as
+  * `TakeOrderedAndProject` — a per-partition bounded heap + driver
+  * merge, i.e. exactly FlatIP's heap-select but distributed. No
+  * global sort, no shuffle of the corpus.
+  */
+object Search {
+
+  /** R1 single query: exact top-k by dot product against one query
+    * vector (as a one-row DataFrame, broadcast). Deterministic
+    * tiebreak on id (SURVEY §7.4). Output: id, rank, score. */
+  def topK(docs: DataFrame, idCol: String, vecCol: String,
+           query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+    val scored = docs
+      .crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
+      .select(col(idCol), dot(col(vecCol), col("__qv")).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+    // rank assignment over the k surviving rows only (tiny, single task)
+    scored
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)).cast("long"))
+      .select(col(idCol), col("rank"), round(col("score"), 6).as("score"))
+  }
+
+  /** R1 multi-query: broadcast the (small) query set against the
+    * corpus, window top-k per query. The corpus is scanned ONCE for
+    * all queries; the only shuffle is the per-query top-k window,
+    * bounded by rank<=k partial aggregation under AQE. */
+  def multiTopK(docs: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col(idCol).asc)
+    docs
+      .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))))
+      .select(col("qid"), col(idCol), dot(col(vecCol), col("__qv")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol), col("rank"), round(col("score"), 6).as("score"))
+  }
+
+  /** R8: DP query construction — weighted text part, zero attribute
+    * pad, renormalize (reference `src/pipeline/pipeline_mode.py:92-104`). */
+  def dpQueryVec(qvec: Column, attrDim: Int, wText: Double): Column =
+    l2normalize(concat(scale(qvec, lit(wText)), zeros(attrDim)))
+
+  /** Sign-bit LSH bucket id from `nBits` fixed hyperplanes (random
+    * projection entries from VectorF.projEntry, offset by plane id).
+    * This is the scale path for ANN / near-dup: at 100 TB the
+    * bucket id becomes the shuffle/partition key, so candidate
+    * generation touches only same-bucket rows instead of the cross
+    * product. Deterministic → oracle-replayable. */
+  def lshBucket(v: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { b =>
+      val proj = aggregate(
+        zip_with(toDouble(v), sequence(lit(0L), size(v).cast("long") - 1L),
+          (x, i) => x * projEntry(i + lit(1000L * b.toLong), lit(0L))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** R2 (approximate kNN, scale path): restrict the scan to the
+    * query's LSH bucket, then exact re-score inside it. Trades recall
+    * for a corpus-partition-pruned scan — the Spark-native analog of
+    * the reference's HNSW approximation (`src/pipeline/pipeline_mode.py:217-240`). */
+  def lshTopK(docs: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, queryVecCol: String, k: Int, nBits: Int): DataFrame = {
+    val q = broadcast(query.select(
+      col(queryVecCol).as("__qv"), lshBucket(col(queryVecCol), nBits).as("__qb")))
+    val scored = docs
+      .withColumn("__db", lshBucket(col(vecCol), nBits))
+      .join(q, col("__db") === col("__qb")) // bucket-pruned
+      .select(col(idCol), dot(col(vecCol), col("__qv")).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+    scored.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)).cast("long"))
+      .select(col(idCol), col("rank"), round(col("score"), 6).as("score"))
+  }
+}
