@@ -154,7 +154,7 @@ object Queries {
 
   val q05Sql: String =
     """SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
        FROM events GROUP BY event_type ORDER BY event_type"""
 

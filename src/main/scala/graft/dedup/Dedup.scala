@@ -54,8 +54,14 @@ object Dedup {
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
                     shingleN: Int, nPerm: Int, rowsPerBand: Int): DataFrame = {
     val nBands = nPerm / rowsPerBand
+    // Docs with fewer than shingleN tokens have NO shingles: their
+    // minhash would be all-NULL and every such doc would share the
+    // same empty bandsig — a quadratic all-pairs blowup of contentless
+    // candidates. They carry no n-gram signal, so drop them here.
     val sig = df.select(col(idCol).as("id"),
-      minhashSig(shingles(col(textCol), shingleN), nPerm).as("sig"))
+        shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSig(col("sh"), nPerm).as("sig"))
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         b => concat_ws("|", (0 until rowsPerBand).map(r =>
@@ -79,8 +85,11 @@ object Dedup {
     val b = sh.select(col("id").as("id2"), col("sh").as("sh2"), col("nsh").as("n2"))
     pairs.join(a, "id1").join(b, "id2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      // two empty shingle sets would divide 0/0 = NaN; define J = 0
+      .withColumn("union", col("n1") + col("n2") - col("inter"))
       .withColumn("jaccard",
-        round(col("inter") / (col("n1") + col("n2") - col("inter")), 4))
+        when(col("union") > 0, round(col("inter") / col("union"), 4))
+          .otherwise(lit(0.0)))
       .select("id1", "id2", "jaccard")
   }
 

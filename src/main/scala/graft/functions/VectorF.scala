@@ -90,6 +90,20 @@ object VectorF {
   def projEntry(i: Column, j: Column): Column =
     (((i * lit(31L) + j * lit(17L)) % lit(7L)) - lit(3L)).cast("double") / lit(3.0)
 
+  /** Deterministic hyperplane coefficient for sign-bit LSH: plane `b`,
+    * component `i`. Unlike [[projEntry]]'s tiny mod-7 lattice, each
+    * plane gets its OWN multiplier ((b+1)·2654435761 mod 1000003), so
+    * no two planes are scalar multiples or shifts of each other — the
+    * bits of an nBits-bucket id are independent for any practical
+    * nBits (the round-1 advisor found the projEntry-offset scheme
+    * collapsed to 2^7 effective buckets). Pure int64 arithmetic in
+    * [-0.5, 0.5) → replayable in ANSI SQL. */
+  def planeCoef(i: Column, b: Column): Column = {
+    val m = (b + lit(1L)) * lit(2654435761L) % lit(1000003L)
+    (((i + lit(1L)) * m + (b + lit(1L)) * lit(7919L)) % lit(1000003L))
+      .cast("double") / lit(1000003.0) - lit(0.5)
+  }
+
   /** Random projection of `v` (dim d) to `dt` dims:
     * out[j] = sum_i v[i] * R(i, j). Array-local (no shuffle): the
     * whole projection happens inside one codegen'd expression.

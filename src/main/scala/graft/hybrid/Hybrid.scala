@@ -29,7 +29,7 @@ object Hybrid {
                 simCol: String, k: Int, lambda: Double)
                (implicit spark: SparkSession): DataFrame = {
     val rows = candidates.select(col(idCol), col(vecCol), col(simCol)).collect()
-    val ids = rows.map(_.getLong(0))
+    val ids = rows.map(_.getAs[Number](0).longValue())
     val vecs = rows.map(r => r.getSeq[Any](1).map {
       case f: Float => f.toDouble
       case d: Double => d
@@ -56,12 +56,25 @@ object Hybrid {
             if (chosen.isEmpty) 0.0
             else chosen.map(j => dot(vecs(i), vecs(j))).max
           val score = lambda * sims(i) - (1 - lambda) * maxSimChosen
-          if (score > bestScore ||
-              (score == bestScore && bestIdx >= 0 && ids(i) < ids(bestIdx))) {
+          // NaN scores (NaN sim or NaN vector element) never win; if
+          // every candidate is NaN we fall back to lowest-id below
+          // rather than indexing with -1.
+          if (!score.isNaN &&
+              (score > bestScore ||
+               (score == bestScore && bestIdx >= 0 && ids(i) < ids(bestIdx)))) {
             bestScore = score; bestIdx = i
           }
         }
         i += 1
+      }
+      if (bestIdx < 0) {
+        // all remaining scores NaN: pick the unpicked candidate with
+        // the lowest id so the loop always terminates deterministically
+        var j = 0
+        while (j < n) {
+          if (!picked(j) && (bestIdx < 0 || ids(j) < ids(bestIdx))) bestIdx = j
+          j += 1
+        }
       }
       picked(bestIdx) = true
       chosen += bestIdx

@@ -56,17 +56,19 @@ object Search {
   def dpQueryVec(qvec: Column, attrDim: Int, wText: Double): Column =
     l2normalize(concat(scale(qvec, lit(wText)), zeros(attrDim)))
 
-  /** Sign-bit LSH bucket id from `nBits` fixed hyperplanes (random
-    * projection entries from VectorF.projEntry, offset by plane id).
-    * This is the scale path for ANN / near-dup: at 100 TB the
-    * bucket id becomes the shuffle/partition key, so candidate
-    * generation touches only same-bucket rows instead of the cross
-    * product. Deterministic → oracle-replayable. */
+  /** Sign-bit LSH bucket id from `nBits` fixed hyperplanes
+    * (VectorF.planeCoef: an independent multiplier per plane, so all
+    * nBits bits carry signal — see the round-1 advisory on the old
+    * projEntry-offset scheme degenerating past 7 bits). This is the
+    * scale path for ANN / near-dup: at 100 TB the bucket id becomes
+    * the shuffle/partition key, so candidate generation touches only
+    * same-bucket rows instead of the cross product. Deterministic →
+    * oracle-replayable. */
   def lshBucket(v: Column, nBits: Int): Column = {
     val bits = (0 until nBits).map { b =>
       val proj = aggregate(
         zip_with(toDouble(v), sequence(lit(0L), size(v).cast("long") - 1L),
-          (x, i) => x * projEntry(i + lit(1000L * b.toLong), lit(0L))),
+          (x, i) => x * planeCoef(i, lit(b.toLong))),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
