@@ -1,0 +1,42 @@
+package graft
+
+import graft.lexical.BM25
+import org.apache.spark.sql.functions._
+
+/** R3 BM25 relational scoring. */
+class BM25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark engine spark"),      // tf(spark)=2, len 3
+    (2L, "spark joins data"),        // tf(spark)=1, len 3
+    (3L, "python pandas numpy"),     // no hit
+    (4L, "engine room")              // tf(engine)=1, len 2
+  ).toDF("doc_id", "text")
+
+  test("matches hand-computed Okapi scores, ranked desc") {
+    val got = BM25.search(docs, "doc_id", "text", Seq("spark"), 10)
+      .orderBy("rank").select("doc", "score").as[(Long, Double)].collect().toSeq
+
+    val n = 4.0; val dfT = 2.0; val avgdl = 11.0 / 4
+    val idf = math.log(1 + (n - dfT + 0.5) / (dfT + 0.5))
+    def s(tf: Double, len: Double) =
+      idf * tf * 2.5 / (tf + 1.5 * (1 - 0.75 + 0.75 * len / avgdl))
+    val w1 = BigDecimal(s(2, 3)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w2 = BigDecimal(s(1, 3)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._1) == Seq(1L, 2L))
+    assert(math.abs(got(0)._2 - w1) < 1e-9)
+    assert(math.abs(got(1)._2 - w2) < 1e-9)
+  }
+
+  test("multi-term query sums per-term scores; k truncates") {
+    val got = BM25.search(docs, "doc_id", "text", Seq("spark", "engine"), 2)
+      .orderBy("rank").select("doc").as[Long].collect().toSeq
+    assert(got.size == 2)
+    assert(got.head == 1L) // doc 1 matches both terms
+  }
+
+  test("no matching docs gives empty result") {
+    assert(BM25.search(docs, "doc_id", "text", Seq("zzz"), 5).count() == 0)
+  }
+}

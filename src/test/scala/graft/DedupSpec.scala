@@ -1,0 +1,61 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup family: exact, shingles, MinHash-LSH, Jaccard, SimHash. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),      // near dup of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "THE  QUICK   brown fox jumps over the lazy dog"),   // ws/case dup of 1
+    (6L, "tiny")                                              // < shingle length
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps first occurrence per normalized key") {
+    val kept = Dedup.exact(docs, "text", "doc_id").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 6L)) // 2 and 5 collapse into 1
+  }
+
+  test("shingles: distinct n-grams; short docs get empty array") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(6L).isEmpty)
+    assert(sh(1L).contains("the quick brown"))
+    assert(sh(1L).size == sh(1L).distinct.size)
+  }
+
+  test("LSH candidates find exact and near dups, not unrelated docs") {
+    val pairs = Dedup.lshCandidates(docs, "doc_id", "text",
+      shingleN = 2, nPerm = 16, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical docs always collide
+    assert(pairs.contains((1L, 5L))) // whitespace/case-normalized dup
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }) // unrelated
+  }
+
+  test("jaccardVerify: identical docs 1.0, near dups high, bounds [0,1]") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id1", "id2")
+    val j = Dedup.jaccardVerify(docs, "doc_id", "text", pairs, 2)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.5 && j((1L, 3L)) < 1.0)
+    assert(j((1L, 4L)) == 0.0)
+  }
+
+  test("simhash: identical docs same hash, near dups few differing bits") {
+    val sh = Dedup.simhash16(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) <= 6)                 // one word changed
+    assert(hamming(sh(1L), sh(4L)) > hamming(sh(1L), sh(3L))) // unrelated farther
+    sh.values.foreach(v => assert(v >= 0 && v < (1L << 16)))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.functions.VectorF
+import graft.hybrid.Hybrid
+import graft.search.Search
+import org.apache.spark.sql.functions._
+
+/** R1/R2/R4/R5/R8 retrieval operators. */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  test("topK matches driver-side brute force on real embeddings") {
+    val q = emb.filter(col("vec_id") === 7).select(col("v").as("qv"))
+    val got = Search.topK(emb, "vec_id", "v", q, "qv", 10)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+
+    val all = emb.as[(Long, Seq[Double])].collect()
+    val qv = all.find(_._1 == 7L).get._2
+    val want = all.map { case (id, v) =>
+      (id, v.zip(qv).map { case (a, b) => a * b }.sum)
+    }.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSeq
+    assert(got == want)
+  }
+
+  test("multiTopK returns k rows per query, rank 1..k, same as single topK") {
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val multi = Search.multiTopK(emb, "vec_id", "v", qs, "qid", "qv", 5)
+      .select("qid", "vec_id", "rank").as[(Long, Long, Long)].collect()
+    assert(multi.length == 15)
+    (0L until 3L).foreach { q =>
+      val ranks = multi.filter(_._1 == q).map(_._3).sorted.toSeq
+      assert(ranks == Seq(1L, 2L, 3L, 4L, 5L))
+      val single = Search.topK(emb, "vec_id", "v",
+        emb.filter(col("vec_id") === q).select(col("v").as("qv")), "qv", 5)
+        .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+      assert(multi.filter(_._1 == q).sortBy(_._3).map(_._2).toSeq == single)
+    }
+  }
+
+  test("lshTopK: bucket-pruned results are a subset ranked consistently, query itself found") {
+    val q = emb.filter(col("vec_id") === 7).select(col("v").as("qv"))
+    val approx = Search.lshTopK(emb, "vec_id", "v", q, "qv", 10, nBits = 4)
+      .select("vec_id").as[Long].collect().toSet
+    // the query vector shares its own bucket, so it must be retrieved
+    assert(approx.contains(7L))
+    assert(approx.size <= 10)
+  }
+
+  test("dpQueryVec: unit norm, zero attr part") {
+    val q = emb.filter(col("vec_id") === 0)
+      .select(Search.dpQueryVec(col("v"), 16, 0.7).as("dq"))
+      .as[Seq[Double]].head()
+    assert(q.size == 64 + 16)
+    assert(q.takeRight(16).forall(_ == 0.0))
+    assert(math.abs(math.sqrt(q.map(x => x * x).sum) - 1.0) < 1e-6)
+  }
+
+  test("MMR: first pick is argmax sim; lambda=1 gives pure relevance order") {
+    implicit val s = spark
+    val cands = Seq(
+      (10L, Seq(1.0, 0.0), 0.9),
+      (11L, Seq(0.99, 0.14), 0.85), // redundant with 10
+      (12L, Seq(0.0, 1.0), 0.5),    // diverse
+      (13L, Seq(0.1, 0.99), 0.4)
+    ).toDF("id", "v", "sim")
+    val pure = Hybrid.mmrRerank(cands, "id", "v", "sim", 3, 1.0)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(pure == Seq(10L, 11L, 12L))
+    val diverse = Hybrid.mmrRerank(cands, "id", "v", "sim", 3, 0.5)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(diverse.head == 10L)   // first pick = argmax sim always
+    assert(diverse(1) == 12L)     // diversity beats redundancy at lambda=.5
+  }
+
+  test("unionCandidates is order-free distinct union") {
+    val a = Seq(1L, 2L, 3L).toDF("id")
+    val b = Seq(3L, 4L).toDF("id")
+    val u = Hybrid.unionCandidates(a, b, "id").as[Long].collect().toSet
+    assert(u == Set(1L, 2L, 3L, 4L))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.VectorF._
+import org.apache.spark.sql.functions._
+
+/** V1–V9 vector scalar functions (SURVEY §2.3). */
+class VectorFSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecDf(vs: Seq[Seq[Double]]) =
+    vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+
+  test("l2normalize produces unit vectors and is idempotent") {
+    val df = vecDf(Seq(Seq(3.0, 4.0), Seq(0.5, 0.5), Seq(10.0, 0.0)))
+    val norms = df.select(norm2(l2normalize(col("v"))).as("n")).as[Double].collect()
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-6))
+    val twice = df.select(
+      zip_with(l2normalize(l2normalize(col("v"))), l2normalize(col("v")),
+        (a, b) => abs(a - b)).as("d"))
+      .select(array_max(col("d"))).as[Double].collect()
+    twice.foreach(d => assert(d < 1e-9))
+  }
+
+  test("l2normalize of the zero vector stays zero (epsilon guard)") {
+    val r = vecDf(Seq(Seq(0.0, 0.0)))
+      .select(array_max(l2normalize(col("v")))).as[Double].head()
+    assert(r == 0.0)
+  }
+
+  test("dot matches hand computation and is symmetric") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val (ab, ba) = df.select(dot(col("a"), col("b")), dot(col("b"), col("a")))
+      .as[(Double, Double)].head()
+    assert(ab == 32.0 && ba == 32.0)
+  }
+
+  test("cosine is bounded by 1 in magnitude (Cauchy–Schwarz)") {
+    val df = vecDf(Seq(Seq(1.0, 2.0, -3.0), Seq(-5.0, 0.1, 2.0), Seq(7.0, 7.0, 7.0)))
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .select(cosine(col("a.v"), col("b.v")).as("c")).as[Double].collect()
+    pairs.foreach(c => assert(c <= 1.0 + 1e-9 && c >= -1.0 - 1e-9))
+  }
+
+  test("weightedConcat doubles dimension and scales parts") {
+    val df = Seq((Seq(1.0, 1.0), Seq(2.0, 2.0))).toDF("a", "b")
+    val out = df.select(weightedConcat(col("a"), 0.7, col("b"), 0.3).as("w"))
+      .as[Seq[Double]].head()
+    assert(out == Seq(0.7, 0.7, 0.6, 0.6))
+  }
+
+  test("addNoise is deterministic, unit-norm, and id-dependent") {
+    val df = vecDf(Seq(Seq(1.0, 0.0, 0.0), Seq(1.0, 0.0, 0.0)))
+    val out = df.select(col("id"), addNoise(col("v"), col("id"), 0.15).as("n"))
+      .orderBy("id").as[(Long, Seq[Double])].collect()
+    // unit norm
+    out.foreach { case (_, n) =>
+      assert(math.abs(math.sqrt(n.map(x => x * x).sum) - 1.0) < 1e-6)
+    }
+    // different ids -> different noise
+    assert(out(0)._2 != out(1)._2)
+    // re-evaluation identical (pure hash, no rand())
+    val again = df.select(col("id"), addNoise(col("v"), col("id"), 0.15).as("n"))
+      .orderBy("id").as[(Long, Seq[Double])].collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("randomProjection has target dim and is linear in v") {
+    val df = Seq((Seq(1.0, 2.0, 3.0, 4.0), Seq(2.0, 4.0, 6.0, 8.0))).toDF("v", "v2")
+    val (p1, p2) = df.select(randomProjection(col("v"), 3).as("p1"),
+        randomProjection(col("v2"), 3).as("p2"))
+      .as[(Seq[Double], Seq[Double])].head()
+    assert(p1.size == 3)
+    p1.zip(p2).foreach { case (a, b) => assert(math.abs(b - 2 * a) < 1e-9) }
+  }
+
+  test("planeCoef gives distinct hyperplanes across bits") {
+    val df = spark.range(0, 32).toDF("i")
+    val planes = (0 until 12).map { b =>
+      df.select(planeCoef(col("i"), lit(b.toLong)).as("c")).as[Double].collect().toSeq
+    }
+    assert(planes.distinct.size == 12)
+  }
+}
