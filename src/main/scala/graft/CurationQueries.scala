@@ -1,0 +1,295 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.VectorF._
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation query catalog: the LLM-training-data operators the
+  * north star calls out beyond the reference's own surface — text
+  * analysis, quality scoring, language-ID, fingerprinting, and the
+  * dedup family (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine near-dup). Every query has a DuckDB oracle.
+  *
+  * Scale notes: q22–q24 and q32 are per-row expressions — linear,
+  * shuffle-free, codegen'd. q30 shuffles once on the dedup key. q31
+  * shuffles on (band, bandsig) — the LSH trick that replaces the
+  * quadratic candidate join at 100 TB. q33's pair join is quadratic by
+  * definition and kept to a bounded id range; the scale path for it is
+  * the same LSH bucketing (Search.lshBucket).
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  // ---------- text analysis ----------
+
+  /** Token statistics per document: whitespace tokens, BPE-ish
+    * subword pieces, lexical diversity, mean token length, stopword
+    * mass. One scan, zero shuffles. */
+  def q22TextStats(s: SparkSession, dir: String): DataFrame = {
+    import TextAnalysis._
+    docs(s, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        subwordCount(col("text")).as("n_subwords"),
+        round(distinctRatio(col("text")), 4).as("distinct_ratio"),
+        round(meanTokenLen(col("text")), 4).as("mean_tok_len"),
+        round(stopwordOccurrenceRatio(col("text")), 4).as("stop_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+
+  val q22Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks, text
+         FROM documents WHERE doc_id < 200)
+       SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subwords,
+         ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 4) AS distinct_ratio,
+         ROUND(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / greatest(len(toks), 1), 4) AS mean_tok_len,
+         ROUND(CAST(len(list_filter(toks, x -> list_contains([$stopList], x))) AS DOUBLE) / greatest(len(toks), 1), 4) AS stop_ratio
+       FROM t ORDER BY doc_id"""
+
+  /** Quality score + language-ID heuristic per document. The langId
+    * profile table is a broadcast literal — per-row argmax, no
+    * shuffle. `lang` ground truth included for eyeball comparison. */
+  def q23QualityLangid(s: SparkSession, dir: String): DataFrame = {
+    import TextAnalysis._
+    docs(s, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        qualityScore(col("text")).as("quality"),
+        langId(col("text")).as("lang_pred"),
+        col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val q23Sql: String = {
+    val langs = TextAnalysis.langProfiles.keys.toSeq.sorted
+    val scores = langs.map { l =>
+      val grams = TextAnalysis.langProfiles(l)
+      val sum = grams.map(g =>
+        s"CASE WHEN contains(lower(text), '$g') THEN 1.0 ELSE 0.0 END").mkString(" + ")
+      s"(($sum) / ${grams.size}) AS s_$l"
+    }.mkString(", ")
+    val mx = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val pick = "CASE " + langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ") + " END"
+    s"""WITH t AS (SELECT doc_id, lang, text,
+           string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+         WHERE doc_id < 200),
+       q AS (SELECT doc_id, lang,
+           least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) AS ls,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS dr,
+           1.0 - abs(CAST(len(list_filter(toks, x -> list_contains([$stopList], x))) AS DOUBLE)
+                     / greatest(len(toks), 1) - 0.4) AS ss,
+           $scores, text FROM t),
+       m AS (SELECT *, $mx AS mx FROM q)
+       SELECT doc_id, ROUND(((ls + dr) + ss) / 3.0, 4) AS quality,
+         $pick AS lang_pred, lang
+       FROM m ORDER BY doc_id"""
+  }
+
+  /** Document fingerprints: exact (MD5 of normalized text) and
+    * winnowing-style (min MD5 over 5-gram shingles, robust to local
+    * edits). */
+  def q24Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.minShingleFingerprint(col("text"), 5).as("msfp"))
+      .orderBy("doc_id")
+
+  val q24Sql: String =
+    """WITH t AS (SELECT doc_id, text,
+           string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+         WHERE doc_id < 200),
+       sh AS (SELECT doc_id, text,
+           CASE WHEN len(toks) >= 5 THEN
+             list_distinct(list_transform(generate_series(1, len(toks) - 4),
+               k -> array_to_string(toks[k:k+4], ' ')))
+           ELSE [] END AS sh FROM t)
+       SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS msfp
+       FROM sh ORDER BY doc_id"""
+
+  // ---------- dedup family ----------
+
+  /** Exact dedup on normalized text, keep-first; emits the kept id and
+    * how many copies collapsed into it. Single hash shuffle on the
+    * normalized key. */
+  def q30DedupExact(s: SparkSession, dir: String): DataFrame = {
+    val key = Dedup.normKey(col("text"))
+    val w = Window.partitionBy(key)
+    docs(s, dir)
+      .withColumn("__rn", row_number().over(w.orderBy(col("doc_id").asc)))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  val q30Sql: String =
+    """SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies FROM (
+         SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                              ORDER BY doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_copies
+         FROM documents)
+       WHERE rn = 1 ORDER BY doc_id"""
+
+  /** MinHash-LSH near-dup candidates + exact Jaccard verify.
+    * 16 permutations banded 4×4; candidates meet only inside a
+    * (band, signature) bucket, then the exact n-gram Jaccard of each
+    * candidate pair is computed — the standard two-phase near-dedup at
+    * corpus scale. */
+  val shingleN = 3; val nPerm = 16; val rowsPerBand = 4
+
+  def q31MinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.lshCandidates(d, "doc_id", "text", shingleN, nPerm, rowsPerBand)
+    Dedup.jaccardVerify(d, "doc_id", "text", pairs, shingleN)
+      .orderBy("id1", "id2")
+  }
+
+  val q31Sql: String = {
+    val nBands = nPerm / rowsPerBand
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         FROM documents),
+       d AS (SELECT doc_id,
+           CASE WHEN len(toks) >= $shingleN THEN
+             list_distinct(list_transform(generate_series(1, len(toks) - ${shingleN - 1}),
+               k -> array_to_string(toks[k:k+${shingleN - 1}], ' ')))
+           ELSE [] END AS sh FROM t),
+       nz AS (SELECT doc_id, sh, len(sh) AS nsh FROM d WHERE len(sh) > 0),
+       hs AS (SELECT doc_id, sh, nsh,
+               list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+             FROM nz),
+       sig AS (SELECT doc_id, list_transform(generate_series(0, ${nPerm - 1}),
+               p -> list_aggregate(list_transform(hs,
+                 h -> (((p+1) * 2654435761 % 2147483647) * h + (p+1) * 7919) % 2147483647), 'min')) AS sig
+             FROM hs),
+       banded AS (SELECT doc_id, b.b AS band,
+               array_to_string(sig[b.b*$rowsPerBand+1 : b.b*$rowsPerBand+$rowsPerBand], '|') AS bandsig
+             FROM sig, (SELECT unnest(generate_series(0, ${nBands - 1})) AS b) b),
+       cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+              FROM banded a JOIN banded c
+                ON a.band = c.band AND a.bandsig = c.bandsig AND a.doc_id < c.doc_id)
+       SELECT id1, id2,
+         ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+               (x.nsh + y.nsh - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+       FROM cand JOIN nz x ON cand.id1 = x.doc_id JOIN nz y ON cand.id2 = y.doc_id
+       ORDER BY id1, id2"""
+  }
+
+  /** 16-bit SimHash per document (token-hash sign aggregation). */
+  def q32Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash16(docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val q32Sql: String = {
+    def hexval(i: Int) = s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1)"
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         FROM documents WHERE doc_id < 100),
+       h AS (SELECT doc_id,
+           (${hexval(1)}*4096 + ${hexval(2)}*256 + ${hexval(3)}*16 + ${hexval(4)}) AS h FROM toks),
+       bits AS (SELECT doc_id, b.b AS b,
+           CASE WHEN CAST(floor(h / pow(2, b.b)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+         FROM h, (SELECT unnest(generate_series(0, 15)) AS b) b),
+       agg AS (SELECT doc_id, b, SUM(sgn) AS v FROM bits GROUP BY doc_id, b)
+       SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       FROM agg GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** Embedding-cosine near-dup pairs above τ=0.35. Exact quadratic
+    * form (broadcast self-join) — correct by construction; at corpus
+    * scale the same query runs behind Search.lshBucket so the join key
+    * becomes the bucket id (see q16_ann_lsh). */
+  def q33NeardupCosine(s: SparkSession, dir: String): DataFrame = {
+    // norms are computed ONCE per row before the pair join (2N norm
+    // passes instead of N^2), so per-pair work is a single codegen'd
+    // DotProduct + scalar ops
+    val e = emb(s, dir).select(col("vec_id"), col("v"), norm2(col("v")).as("n"))
+    // probe side re-partitioned: the parquet is one split and the
+    // nested-loop probe is the CPU-bound part — spread it over cores
+    val a = e.repartition(col("vec_id"))
+      .select(col("vec_id").as("id1"), col("v").as("v1"), col("n").as("n1"))
+    val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("n").as("n2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("c", dot(col("v1"), col("v2")) / (col("n1") * col("n2") + lit(1e-9)))
+      .filter(col("c") >= 0.35)
+      .select(col("id1"), col("id2"), round(col("c"), 6).as("cos"))
+      .orderBy("id1", "id2")
+  }
+
+  val q33Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
+             FROM embeddings),
+       s AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+               list_dot_product(a.v, b.v) / (a.n * b.n + 1e-9) AS c
+             FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       SELECT id1, id2, ROUND(c, 6) AS cos FROM s WHERE c >= 0.35 ORDER BY id1, id2"""
+
+  /** Exact n-gram Jaccard over all pairs in a bounded id range —
+    * the verify-everything variant for small candidate sets. */
+  def q34NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 40)
+    val ids = d.select(col("doc_id"))
+    val pairs = ids.select(col("doc_id").as("id1"))
+      .join(ids.select(col("doc_id").as("id2")), col("id1") < col("id2"))
+    Dedup.jaccardVerify(d, "doc_id", "text", pairs, shingleN)
+      .orderBy("id1", "id2")
+  }
+
+  val q34Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         FROM documents WHERE doc_id < 40),
+       d AS (SELECT doc_id,
+           CASE WHEN len(toks) >= $shingleN THEN
+             list_distinct(list_transform(generate_series(1, len(toks) - ${shingleN - 1}),
+               k -> array_to_string(toks[k:k+${shingleN - 1}], ' ')))
+           ELSE [] END AS sh FROM t),
+       n AS (SELECT doc_id, sh, len(sh) AS nsh FROM d)
+       SELECT x.doc_id AS id1, y.doc_id AS id2,
+         CASE WHEN (x.nsh + y.nsh - len(list_intersect(x.sh, y.sh))) > 0 THEN
+           ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                 (x.nsh + y.nsh - len(list_intersect(x.sh, y.sh))), 4)
+         ELSE 0.0 END AS jaccard
+       FROM n x JOIN n y ON x.doc_id < y.doc_id
+       ORDER BY id1, id2"""
+
+  // ---------- catalog ----------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_text_stats" -> (q22TextStats _),
+    "q23_quality_langid" -> (q23QualityLangid _),
+    "q24_fingerprint" -> (q24Fingerprint _),
+    "q30_dedup_exact" -> (q30DedupExact _),
+    "q31_minhash_pairs" -> (q31MinhashPairs _),
+    "q32_simhash" -> (q32Simhash _),
+    "q33_neardup_cosine" -> (q33NeardupCosine _),
+    "q34_ngram_jaccard" -> (q34NgramJaccard _))
+
+  val oracle: Map[String, String] = Map(
+    "q22_text_stats" -> q22Sql,
+    "q23_quality_langid" -> q23Sql,
+    "q24_fingerprint" -> q24Sql,
+    "q30_dedup_exact" -> q30Sql,
+    "q31_minhash_pairs" -> q31Sql,
+    "q32_simhash" -> q32Sql,
+    "q33_neardup_cosine" -> q33Sql,
+    "q34_ngram_jaccard" -> q34Sql)
+}

@@ -26,25 +26,90 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word n-gram shingles of `text` as an array column (distinct). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+  def tokenize(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Word n-gram shingles from a MATERIALIZED token-array column
+    * (distinct). `toks` must be a bound attribute, not an inline
+    * split() expression: the shingle window references it ~3n times
+    * per row, and an inline subtree would re-run the regex split per
+    * reference (observed 6x slowdown at sf0.1). */
+  def shinglesFromToks(toks: Column, n: Int, distinct: Boolean = true): Column = {
     // guard: sequence(1, x) with x<1 would generate a DESCENDING range
-    when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          k => concat_ws(" ", (0 until n).map(o => element_at(toks, k + o)): _*))))
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+      k => concat_ws(" ", (0 until n).map(o => element_at(toks, k + o)): _*))
+    when(size(toks) >= n, if (distinct) array_distinct(grams) else grams)
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature value for permutation `perm`: the minimum MD5
-    * over the document's shingles, salted by the permutation id.
-    * MD5('<perm>:<shingle>') is a uniform permutation of shingle
-    * space; the min is the classic MinHash statistic. Returns a
-    * (doc-local) array indexed by permutation — no shuffle. */
-  def minhashSig(sh: Column, nPerm: Int): Column =
-    transform(sequence(lit(0), lit(nPerm - 1)),
-      p => array_min(transform(sh, s => md5(concat(p.cast("string"), lit(":"), s)))))
+  /** Expression-level shingles (tokenizes inline — fine for single
+    * use / small inputs; prefer [[shingled]] in pipelines). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromToks(tokenize(text), n)
+
+  /** Exploded (id, s) shingle rows via posexplode + lead() windows.
+    * This is the FAST formulation: per-element array accessors inside
+    * a higher-order lambda (element_at/get) cost ~20x more than the
+    * codegen'd window path at sf0.1, so tokens explode once and each
+    * shingle is assembled from the current row plus n-1 leads. One
+    * hash shuffle on id (the window partition key), which also spreads
+    * a single-split parquet scan across cores. Non-distinct — MinHash
+    * is duplicate-invariant and Jaccard deduplicates downstream. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val posed = df
+      .select(col(idCol).as("id"), posexplode(tokenize(col(textCol))))
+      .toDF("id", "pos", "tok")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val leads = (1 until n).map(o => lead(col("tok"), o).over(w).as(s"t$o"))
+    posed.select(col("id") +: col("tok") +: leads: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("id"),
+        concat_ws(" ", col("tok") +: (1 until n).map(o => col(s"t$o")): _*).as("s"))
+  }
+
+  /** Base shingle hash: first 8 hex digits of MD5 as an int64 in
+    * [0, 2^32). ONE digest per shingle — the per-permutation values
+    * are derived arithmetically (see [[minhashValue]]), not re-hashed.
+    * DuckDB replays it as `('0x' || substr(md5(s),1,8))::BIGINT`. */
+  def shingleHash(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** MinHash permutation value: permutation `p` maps
+    * h -> (a_p*h + b_p) mod (2^31-1) with a distinct multiplier per
+    * permutation — the classic universal-hash MinHash. All
+    * intermediates stay below 2^63 (a_p < 2^31, h < 2^32), so the
+    * arithmetic is exact and engine-portable. */
+  def minhashValue(h: Column, p: Column): Column = {
+    val a = (p + lit(1L)) * lit(2654435761L) % lit(2147483647L)
+    val b = (p + lit(1L)) * lit(7919L)
+    (a * h + b) % lit(2147483647L)
+  }
+
+  /** Banded MinHash signatures, computed RELATIONALLY: explode
+    * shingles, one codegen'd hash-aggregate `min` per (doc,
+    * permutation) with map-side partial aggregation, then re-assemble
+    * each band's signature string. This keeps the whole MinHash hot
+    * path inside whole-stage codegen (interpreted higher-order
+    * lambdas were ~5x slower at sf0.1) and shuffles only the
+    * (doc × nPerm) partial minima, not the posting explosion.
+    * Output: (id, band, bandsig). */
+  def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, nPerm: Int, rowsPerBand: Int): DataFrame =
+    // Docs with fewer than shingleN tokens have NO shingles: their
+    // minhash would be undefined and every such doc would share the
+    // same empty bandsig — a quadratic all-pairs blowup of contentless
+    // candidates. They carry no n-gram signal, so they drop out here.
+    shingleRows(df, idCol, textCol, shingleN)
+      .select(col("id"), shingleHash(col("s")).as("h"))
+      .select(col("id"), col("h"),
+        explode(sequence(lit(0L), lit(nPerm - 1L))).as("p"))
+      .withColumn("v", minhashValue(col("h"), col("p")))
+      .groupBy("id", "p").agg(min(col("v")).as("v"))
+      .withColumn("band", (col("p") / rowsPerBand).cast("long"))
+      .groupBy("id", "band")
+      .agg(array_sort(collect_list(struct(col("p"), col("v")))).as("pv"))
+      .select(col("id"), col("band"),
+        array_join(transform(col("pv"), x => x.getField("v").cast("string")), "|")
+          .as("bandsig"))
 
   /** MinHash-LSH candidate pairs: band the signature (`rowsPerBand`
     * consecutive values concatenated), self-join on (band, bandSig).
@@ -53,20 +118,7 @@ object Dedup {
     * by (band, sig), identical docs co-locate, nothing else meets. */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
                     shingleN: Int, nPerm: Int, rowsPerBand: Int): DataFrame = {
-    val nBands = nPerm / rowsPerBand
-    // Docs with fewer than shingleN tokens have NO shingles: their
-    // minhash would be all-NULL and every such doc would share the
-    // same empty bandsig — a quadratic all-pairs blowup of contentless
-    // candidates. They carry no n-gram signal, so drop them here.
-    val sig = df.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), minhashSig(col("sh"), nPerm).as("sig"))
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-        b => concat_ws("|", (0 until rowsPerBand).map(r =>
-          element_at(col("sig"), (b * rowsPerBand) + r + 1)): _*))))
-      .toDF("id", "band", "bandsig")
+    val banded = bandedSignatures(df, idCol, textCol, shingleN, nPerm, rowsPerBand)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig") &&
           col("a.id") < col("b.id"))
@@ -79,14 +131,28 @@ object Dedup {
     * shingle sets, count intersection, |A|+|B|-∩ union. */
   def jaccardVerify(df: DataFrame, idCol: String, textCol: String,
                     pairs: DataFrame, shingleN: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    // only docs that appear in a candidate pair need their shingle
+    // set — semi-join prune BEFORE the (expensive) shingling, so the
+    // verify cost scales with |candidates|, not |corpus|
+    val needed = pairs.select(col("id1").as("id"))
+      .union(pairs.select(col("id2").as("id"))).distinct()
+    val sh = shingleRows(
+        df.join(broadcast(needed), df(idCol) === needed("id"), "left_semi"),
+        idCol, textCol, shingleN)
+      .groupBy("id").agg(collect_set(col("s")).as("sh"))
       .withColumn("nsh", size(col("sh")))
     val a = sh.select(col("id").as("id1"), col("sh").as("sh1"), col("nsh").as("n1"))
     val b = sh.select(col("id").as("id2"), col("sh").as("sh2"), col("nsh").as("n2"))
-    pairs.join(a, "id1").join(b, "id2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
-      // two empty shingle sets would divide 0/0 = NaN; define J = 0
-      .withColumn("union", col("n1") + col("n2") - col("inter"))
+    val emptyArr = array().cast("array<string>")
+    // left joins + coalesce: a doc shorter than the shingle width has
+    // NO shingle rows; its pairs must still surface with J = 0, and
+    // two empty sets would otherwise divide 0/0 = NaN
+    pairs.join(a, Seq("id1"), "left").join(b, Seq("id2"), "left")
+      .withColumn("inter",
+        size(array_intersect(coalesce(col("sh1"), emptyArr),
+          coalesce(col("sh2"), emptyArr))).cast("double"))
+      .withColumn("union",
+        coalesce(col("n1"), lit(0)) + coalesce(col("n2"), lit(0)) - col("inter"))
       .withColumn("jaccard",
         when(col("union") > 0, round(col("inter") / col("union"), 4))
           .otherwise(lit(0.0)))

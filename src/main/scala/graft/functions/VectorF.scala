@@ -20,9 +20,17 @@ object VectorF {
   /** Cast an array column to array<double> elementwise. */
   def toDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Dot product a·b in double precision, sequential fold.
-    * Reference `src/pipeline/utils.py:24` (`float(np.dot(a, b))`). */
+  /** Dot product a·b in double precision, sequential accumulation.
+    * Reference `src/pipeline/utils.py:24` (`float(np.dot(a, b))`).
+    * Backed by the codegen'd [[NativeExpressions.dotNative]] — a
+    * single fused loop, same left-to-right summation order as the
+    * `aggregate(zip_with(...))` formulation it replaces. */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftnative.NativeExpressions.dotNative(toDouble(a), toDouble(b))
+
+  /** The original higher-order-function dot — kept as the reference
+    * semantic definition and for A/B parity testing. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
       lit(0.0),
