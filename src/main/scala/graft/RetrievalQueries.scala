@@ -1,0 +1,242 @@
+package graft
+
+import graft.functions.VectorF._
+import graft.hybrid.Hybrid
+import graft.ingest.Ingest
+import graft.lexical.BM25
+import graft.metrics.RankMetrics
+import graft.search.Search
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retrieval/metrics/ingest query catalog: ranking-fidelity metrics
+  * (M1–M5), hybrid candidate union (R4), MMR re-rank (R5, rows-only
+  * check — inherently iterative), LSH-bucketed approximate kNN (R2
+  * scale path), ingest row ops (P3/P5/P8/P9), and rollup aggregation.
+  */
+object RetrievalQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  // ---------- ingest row ops ----------
+
+  /** P3/P5/P9: clean text, display snippet, conditional source
+    * prefix — all codegen'd string expressions, zero shuffles. */
+  def q07IngestClean(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        Ingest.snippet(Ingest.cleanText(col("text")), 60).as("snip"),
+        Ingest.prefixWhenPresent(col("source"),
+          Ingest.snippet(col("text"), 30)).as("titled"))
+      .orderBy("doc_id")
+
+  val q07Sql: String =
+    """WITH t AS (SELECT doc_id, text, source,
+         trim(regexp_replace(regexp_replace(text, '[\r\n]+', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+       FROM documents WHERE doc_id < 100)
+       SELECT doc_id,
+         regexp_replace(substr(clean, 1, 60), '[\r\n]', ' ', 'g') AS snip,
+         CASE WHEN source IS NOT NULL AND length(trim(source)) > 0
+           THEN concat(trim(source), ', ', regexp_replace(substr(text, 1, 30), '[\r\n]', ' ', 'g'))
+           ELSE regexp_replace(substr(text, 1, 30), '[\r\n]', ' ', 'g') END AS titled
+       FROM t ORDER BY doc_id"""
+
+  /** P8: deterministic fixed-size sample via LCG shuffle key —
+    * a single TakeOrderedAndProject pass, no full sort at scale. */
+  def q08Sample(s: SparkSession, dir: String): DataFrame =
+    Ingest.sampleN(docs(s, dir).select(col("doc_id")), col("doc_id"), 25)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
+  val q08Sql: String =
+    """SELECT doc_id FROM (
+         SELECT doc_id FROM documents
+         ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id LIMIT 25)
+       ORDER BY doc_id"""
+
+  /** Rollup aggregation over lineitem (super-aggregate rows coalesced
+    * to 'ALL' so both engines hash identically). */
+  def q09Rollup(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity") * 100).cast("long").as("qc"))
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(col("qc")).as("sum_qty_c"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty_c"), col("n"))
+      .orderBy("rf", "ls")
+
+  val q09Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       COUNT(*) AS n
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       ORDER BY rf, ls"""
+
+  // ---------- approximate kNN (R2 scale path) ----------
+
+  /** LSH-bucketed approximate kNN: the corpus scan is pruned to the
+    * query's sign-bit bucket before exact re-scoring. Deterministic
+    * hyperplanes (VectorF.planeCoef) make it oracle-replayable. */
+  val annBits = 4
+  def q16AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Search.lshTopK(e, "vec_id", "v",
+      e.filter(col("vec_id") === 0).select(col("v").as("qv")), "qv", 10, annBits)
+      .orderBy("rank")
+  }
+
+  val q16Sql: String = {
+    // bucket(v) = sum_b [proj_b(v) >= 0] * 2^b over annBits hyperplanes;
+    // planeCoef replayed in SQL exactly as VectorF.planeCoef defines it
+    val proj = (b: Int) =>
+      s"""list_sum(list_transform(generate_series(0, 63),
+          i -> v[i + 1] * ((((i + 1) * ((${b + 1} * 2654435761) % 1000003) + ${b + 1} * 7919) % 1000003) / 1000003.0 - 0.5)))"""
+    val bucket = (0 until annBits).map(b =>
+      s"CASE WHEN ${proj(b)} >= 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       bk AS (SELECT vec_id, v, ($bucket) AS b FROM e),
+       q AS (SELECT v AS qv, b AS qb FROM bk WHERE vec_id = 0),
+       sc AS (SELECT vec_id, list_dot_product(v, qv) AS sc
+              FROM bk, q WHERE bk.b = q.qb),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+  }
+
+  // ---------- ranking metrics (M1–M5) ----------
+
+  /** Full-dim exact kNN vs random-projected (64→16) kNN, 5 queries:
+    * recall/precision/agreement/MRR and the reference's unnormalized
+    * "NDCG" (SURVEY §2 M5) as one grouped aggregate per query. */
+  def q40RankMetrics(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val base = Search.multiTopK(e, "vec_id", "v", queries, "qid", "qv", 10)
+      .select(col("qid"), col("vec_id").as("id"), col("rank"))
+    val proj = e.select(col("vec_id"), randomProjection(col("v"), 16).as("v"))
+    val queriesP = proj.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val other = Search.multiTopK(proj, "vec_id", "v", queriesP, "qid", "qv", 10)
+      .select(col("qid"), col("vec_id").as("id"), col("rank"))
+    RankMetrics.all(base, other, 10)
+      .select(col("qid"),
+        round(col("recall"), 6).as("recall"),
+        round(col("precision"), 6).as("precision"),
+        round(col("agreement"), 6).as("agreement"),
+        round(col("mrr"), 6).as("mrr"),
+        round(col("ndcg_ref"), 6).as("ndcg_ref"))
+      .orderBy("qid")
+  }
+
+  val q40Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       p AS (SELECT vec_id, list_transform(generate_series(0, 15),
+               j -> list_sum(list_transform(generate_series(0, 63),
+                 i -> v[i + 1] * ((((i*31 + j*17) % 7) - 3) / 3.0)))) AS v
+             FROM e),
+       base AS (SELECT qid, vec_id AS id, rank FROM (
+           SELECT q.vec_id AS qid, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_dot_product(e.v, q.v) DESC, e.vec_id) AS rank
+           FROM e, (SELECT * FROM e WHERE vec_id < 5) q) WHERE rank <= 10),
+       other AS (SELECT qid, vec_id AS id, rank FROM (
+           SELECT q.vec_id AS qid, p.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_dot_product(p.v, q.v) DESC, p.vec_id) AS rank
+           FROM p, (SELECT * FROM p WHERE vec_id < 5) q) WHERE rank <= 10),
+       j AS (SELECT o.qid, o.rank AS orank, b.rank AS brank,
+               1.0 / log2(o.rank + 1.0) AS g
+             FROM other o LEFT JOIN base b ON o.qid = b.qid AND o.id = b.id)
+       SELECT qid,
+         ROUND(COUNT(brank) / 10.0, 6) AS recall,
+         ROUND(CAST(COUNT(brank) AS DOUBLE) / COUNT(*), 6) AS precision,
+         ROUND(AVG(CASE WHEN brank = orank THEN 1.0 ELSE 0.0 END), 6) AS agreement,
+         ROUND(COALESCE(MAX(CASE WHEN brank IS NOT NULL THEN 1.0 / orank END), 0), 6) AS mrr,
+         ROUND(SUM(g * COALESCE(brank, 0)) / SUM(g), 6) AS ndcg_ref
+       FROM j GROUP BY qid ORDER BY qid"""
+
+  // ---------- hybrid retrieval (R4/R5) ----------
+
+  /** R4: vector top-20 ∪ BM25 top-20 with provenance flags — the
+    * honest order-free union semantic of the reference's
+    * `list(set(a)|set(b))`, plus which leg found each candidate. */
+  def q41Hybrid(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val vec = Search.topK(e, "vec_id", "v",
+      e.filter(col("vec_id") === 0).select(col("v").as("qv")), "qv", 20)
+      .select(col("vec_id").as("id"), lit(1).as("in_vec"))
+    val lex = BM25.search(docs(s, dir), "doc_id", "text", Queries.bm25Terms, 20)
+      .select(col("doc").as("id"), lit(1).as("in_lex"))
+    vec.join(lex, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("in_vec"), lit(0)).as("in_vec"),
+        coalesce(col("in_lex"), lit(0)).as("in_lex"))
+      .orderBy("id")
+  }
+
+  val q41Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       vec AS (SELECT vec_id AS id FROM (
+           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY list_dot_product(v, qv) DESC, vec_id) AS rank
+           FROM e, q) WHERE rank <= 20),
+       d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+       corpus AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d),
+       post AS (SELECT doc_id, len(toks) AS len, UNNEST(toks) AS term FROM d),
+       tf AS (SELECT doc_id, len, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM post
+              WHERE term IN ('spark', 'hash', 'join') GROUP BY doc_id, len, term),
+       stats AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+       idf AS (SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf FROM stats, corpus),
+       sc AS (SELECT doc_id, SUM(idf * tf * 2.5 / (tf + 1.5 * (1.0 - 0.75 + 0.75 * len / avgdl))) AS score
+              FROM tf JOIN idf USING (term), corpus GROUP BY doc_id),
+       lex AS (SELECT doc_id AS id FROM (
+           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+           WHERE rank <= 20)
+       SELECT COALESCE(v.id, l.id) AS id,
+         CASE WHEN v.id IS NOT NULL THEN 1 ELSE 0 END AS in_vec,
+         CASE WHEN l.id IS NOT NULL THEN 1 ELSE 0 END AS in_lex
+       FROM vec v FULL OUTER JOIN lex l ON v.id = l.id
+       ORDER BY id"""
+
+  /** R5: MMR diversity re-rank over the top-50 vector candidates
+    * (λ=0.7). Iterative greedy selection — no SQL oracle; the driver
+    * records a rows-only check and MMRSpec covers the semantics. */
+  def q42Mmr(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val e = emb(s, dir).select(col("vec_id"), l2normalize(col("v")).as("nv"))
+    val q = e.filter(col("vec_id") === 0).select(col("nv").as("qv"))
+    val cands = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("nv"), dot(col("nv"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(50)
+    Hybrid.mmrRerank(cands, "vec_id", "nv", "sim", 10, 0.7)
+      .orderBy("rank")
+  }
+
+  // ---------- catalog ----------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q07_ingest_clean" -> (q07IngestClean _),
+    "q08_sample" -> (q08Sample _),
+    "q09_rollup" -> (q09Rollup _),
+    "q16_ann_lsh" -> (q16AnnLsh _),
+    "q40_rank_metrics" -> (q40RankMetrics _),
+    "q41_hybrid" -> (q41Hybrid _),
+    "q42_mmr" -> (q42Mmr _))
+
+  val oracle: Map[String, String] = Map(
+    "q07_ingest_clean" -> q07Sql,
+    "q08_sample" -> q08Sql,
+    "q09_rollup" -> q09Sql,
+    "q16_ann_lsh" -> q16Sql,
+    "q40_rank_metrics" -> q40Sql,
+    "q41_hybrid" -> q41Sql)
+}

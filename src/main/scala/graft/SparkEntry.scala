@@ -374,7 +374,7 @@ object Queries {
     "q14_noise_perturb" -> (q14NoisePerturb _),
     "q15_dp_search" -> (q15DpSearch _),
     "q20_bm25" -> (q20Bm25 _),
-    "q21_top_terms" -> (q21TopTerms _)) ++ CurationQueries.all
+    "q21_top_terms" -> (q21TopTerms _)) ++ CurationQueries.all ++ RetrievalQueries.all
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -390,5 +390,5 @@ object Queries {
     "q14_noise_perturb" -> q14Sql,
     "q15_dp_search" -> q15Sql,
     "q20_bm25" -> q20Sql,
-    "q21_top_terms" -> q21Sql) ++ CurationQueries.oracle
+    "q21_top_terms" -> q21Sql) ++ CurationQueries.oracle ++ RetrievalQueries.oracle
 }
