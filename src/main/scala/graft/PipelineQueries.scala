@@ -1,0 +1,75 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.streaming.Streaming
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal + streaming query catalog. q50 exercises the binary
+  * column path (documents' text bytes standing in for media blobs —
+  * same typed plumbing); q60 runs the streaming sessionizer in batch
+  * mode over the events table, with a gaps-and-islands SQL oracle.
+  */
+object PipelineQueries {
+
+  /** Binary content analysis: byte size, binary-safe fingerprint,
+    * sniffed format, and the first two stub features. Per-row
+    * expressions only — scales with the scan. */
+  def q50BinaryFeatures(s: SparkSession, dir: String): DataFrame = {
+    val bin = col("text").cast("binary")
+    val feats = Multimodal.featureStub(bin, 4)
+    graft.sources.Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        Multimodal.byteSize(bin).as("n_bytes"),
+        Multimodal.fingerprint(bin).as("fp"),
+        Multimodal.sniffFormat(bin).as("fmt"),
+        round(element_at(feats, 1), 6).as("feat0"),
+        round(element_at(feats, 2), 6).as("feat1"))
+      .orderBy("doc_id")
+  }
+
+  val q50Sql: String = {
+    val h = "('0x' || substr(md5(text), 1, 8))::BIGINT"
+    def feat(j: Int) = s"ROUND((($h * ${j + 21} + $j * 7919) % 1000003) / 1000003.0 - 0.5, 6)"
+    s"""SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS fp,
+       'unknown' AS fmt,
+       ${feat(0)} AS feat0,
+       ${feat(1)} AS feat1
+       FROM documents WHERE doc_id < 200 ORDER BY doc_id"""
+  }
+
+  /** Per-user session windows (30-minute gap) over the events table —
+    * the Structured Streaming sessionizer run in batch mode; the
+    * oracle replays it as gaps-and-islands SQL. Timestamps emitted as
+    * epoch micros so both engines hash identically. */
+  def q60Sessionize(s: SparkSession, dir: String): DataFrame =
+    Streaming.sessionize(Queries.eventsTable(s, dir), "30 minutes")
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        col("n_events"),
+        round(col("sum_value") * 100).cast("long").as("sum_value_c"))
+      .orderBy("user_id", "start_us")
+
+  val q60Sql: String =
+    """WITH lagd AS (SELECT user_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+       flag AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+           THEN 1 ELSE 0 END AS new_s FROM lagd),
+       sess AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING) AS sid FROM flag)
+       SELECT user_id, CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+       FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_binary_features" -> (q50BinaryFeatures _),
+    "q60_sessionize" -> (q60Sessionize _))
+
+  val oracle: Map[String, String] = Map(
+    "q50_binary_features" -> q50Sql,
+    "q60_sessionize" -> q60Sql)
+}

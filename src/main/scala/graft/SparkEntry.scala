@@ -134,6 +134,9 @@ object Queries {
   /** events.ts is TIMESTAMP(NANOS) in parquet; with
     * `spark.sql.legacy.parquet.nanosAsLong` it arrives as a raw nanos
     * long — convert to a real timestamp with exact integer division. */
+  /** events with `ts` restored to a real timestamp (see below). */
+  def eventsTable(s: SparkSession, dir: String): DataFrame = events(s, dir)
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -374,7 +377,8 @@ object Queries {
     "q14_noise_perturb" -> (q14NoisePerturb _),
     "q15_dp_search" -> (q15DpSearch _),
     "q20_bm25" -> (q20Bm25 _),
-    "q21_top_terms" -> (q21TopTerms _)) ++ CurationQueries.all ++ RetrievalQueries.all
+    "q21_top_terms" -> (q21TopTerms _)) ++
+    CurationQueries.all ++ RetrievalQueries.all ++ PipelineQueries.all
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -390,5 +394,6 @@ object Queries {
     "q14_noise_perturb" -> q14Sql,
     "q15_dp_search" -> q15Sql,
     "q20_bm25" -> q20Sql,
-    "q21_top_terms" -> q21Sql) ++ CurationQueries.oracle ++ RetrievalQueries.oracle
+    "q21_top_terms" -> q21Sql) ++
+    CurationQueries.oracle ++ RetrievalQueries.oracle ++ PipelineQueries.oracle
 }

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the events stream.
+  *
+  * The reference is batch-only (SURVEY §2.7: "no streaming
+  * whatsoever"), but the engine's event table IS a stream at rest —
+  * these transforms are written against unbounded DataFrames
+  * (`readStream` → transform → `writeStream`) and work identically on
+  * batch frames, which is how the specs drive them (MemoryStream) and
+  * how the bench replays them over the parquet table.
+  *
+  * Scale notes: the watermark bounds state: late rows beyond it are
+  * dropped and window state is evicted, so state size is
+  * O(active windows × groups), not O(stream length). Aggregations
+  * shuffle on the group key exactly like their batch twins.
+  */
+object Streaming {
+
+  /** Watermarked tumbling-window rollup per event type: the streaming
+    * twin of q06's hourly batch rollup. 10-minute allowed lateness. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Per-user session windows with an inactivity gap — native
+    * `session_window`, state evicted by the watermark. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Event for the typed custom-state path. */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  /** Running per-user aggregate emitted on every update. */
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: a running
+    * per-user counter that survives across micro-batches — the shape
+    * to reach for when window/session semantics don't fit. State is
+    * one small case class per active user; processing-time timeout
+    * would bound it in production. */
+  def runningPerUser(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** Wire a streaming source through a transform into an in-memory
+    * sink and process everything currently available. Returns the
+    * query name to select from. */
+  def runToMemory(spark: SparkSession, transformed: DataFrame, name: String,
+                  outputMode: String = "append"): Unit = {
+    val q = transformed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

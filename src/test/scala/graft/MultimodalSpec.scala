@@ -1,0 +1,71 @@
+package graft
+
+import graft.multimodal.{DecodeStub, MediaFeatures, Multimodal}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing: schema, sniffing, stubbed
+  * decode, frame sampling. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 1, 2, 3)
+  private val jpg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 9)
+  private val media = {
+    val rows = java.util.Arrays.asList(
+      Row(1L, png, Row("png", 64, 48, null)),
+      Row(2L, jpg, Row("jpeg", 32, 32, null)),
+      Row(3L, "plain bytes".getBytes("UTF-8"), Row(null, null, null, 10)))
+    spark.createDataFrame(rows, Multimodal.mediaSchema)
+  }
+
+  test("media schema round-trips binary + metadata struct") {
+    assert(media.schema == Multimodal.mediaSchema)
+    assert(media.count() == 3)
+    val w = media.filter(col("media_id") === 1)
+      .select(col("meta.width")).as[Int].head()
+    assert(w == 64)
+  }
+
+  test("sniffFormat dispatches on magic bytes") {
+    val got = media.select(col("media_id"), Multimodal.sniffFormat(col("media")))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "png", 2L -> "jpeg", 3L -> "unknown"))
+  }
+
+  test("byteSize and fingerprint are binary-safe") {
+    val (n, fp) = media.filter(col("media_id") === 1)
+      .select(Multimodal.byteSize(col("media")), Multimodal.fingerprint(col("media")))
+      .as[(Long, String)].head()
+    assert(n == 7)
+    assert(fp.matches("[0-9a-f]{32}"))
+  }
+
+  test("MediaFeatures.extract: distributed, deterministic, fixed dim") {
+    val dec = new DecodeStub(16)
+    val out = MediaFeatures.extract(media, "media_id", "media", dec)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    out.values.foreach(v => assert(v.length == 16))
+    // determinism: repeated extraction yields identical features
+    val again = MediaFeatures.extract(media, "media_id", "media", dec)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(out(1L).toSeq == again(1L).toSeq)
+    assert(out(1L).toSeq != out(2L).toSeq)
+  }
+
+  test("featureStub expression matches dim and range, oracle-style") {
+    val feats = media.select(Multimodal.featureStub(col("media"), 8).as("f"))
+      .as[Seq[Double]].collect()
+    feats.foreach { f =>
+      assert(f.size == 8)
+      f.foreach(x => assert(x >= -0.5 && x < 0.5))
+    }
+  }
+
+  test("sampleFrames explodes every stride-th frame index") {
+    val frames = Multimodal.sampleFrames(media, "media_id", 3)
+      .as[(Long, Int)].collect().toSeq.sorted
+    assert(frames == Seq((3L, 0), (3L, 3), (3L, 6), (3L, 9)))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{Event, UserRunning}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming: windowed aggregation with watermark,
+  * sessionization, and custom keyed state — driven by MemoryStream. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowedCounts aggregates per window and type over a stream") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.windowedCounts(in.toDF(), "15 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    in.addData(
+      Event(1, ts(5), 1, "click", 2.0),
+      Event(2, ts(10), 2, "click", 3.0),
+      Event(3, ts(20), 1, "view", 1.0))
+    q.processAllAvailable()
+    // append mode emits a window only once the watermark passes its
+    // end — push the watermark forward with a later event
+    in.addData(Event(4, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 3, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT event_type, n, sum_value FROM win_counts")
+      .as[(String, Long, Double)].collect().toSet
+    assert(rows.contains(("click", 2L, 5.0))) // both clicks in 10:00-10:15
+    assert(rows.contains(("view", 1L, 1.0)))
+  }
+
+  test("sessionize groups events within the gap into one session") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(10), 7, "click", 1.0),  // same session (gap 30m)
+      Event(3, ts(55), 7, "click", 1.0))  // new session
+    in.addData(Event(4, java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), 8, "click", 0.0))
+    Streaming.runToMemory(spark, Streaming.sessionize(in.toDF(), "30 minutes"),
+      "sessions", "append")
+    val sess = spark.sql("SELECT user_id, n_events FROM sessions WHERE user_id = 7")
+      .as[(Long, Long)].collect().toSeq.sortBy(-_._2)
+    assert(sess.map(_._2) == Seq(2L, 1L))
+  }
+
+  test("runningPerUser keeps state across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val out = Streaming.runningPerUser(in.toDS()).toDF()
+    val q = out.writeStream.format("memory").queryName("running")
+      .outputMode("append").start()
+    in.addData(Event(1, ts(0), 1, "click", 2.0), Event(2, ts(1), 1, "click", 3.0))
+    q.processAllAvailable()
+    in.addData(Event(3, ts(2), 1, "view", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT user_id, n_events, total_value FROM running")
+      .as[(Long, Long, Double)].collect().toSeq
+    // state carried over: second batch reports cumulative 3 events / 10.0
+    assert(rows.contains((1L, 3L, 10.0)))
+  }
+
+  test("streaming transforms run identically on a batch frame") {
+    val batch = Seq(
+      Event(1, ts(5), 1, "click", 2.0),
+      Event(2, ts(10), 2, "click", 3.0)).toDF()
+    val got = Streaming.windowedCounts(batch, "15 minutes")
+      .select("event_type", "n", "sum_value").as[(String, Long, Double)].collect()
+    assert(got.toSeq == Seq(("click", 2L, 5.0)))
+  }
+}
