@@ -211,7 +211,8 @@ object RetrievalQueries {
     * records a rows-only check and MMRSpec covers the semantics. */
   def q42Mmr(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
-    val e = emb(s, dir).select(col("vec_id"), l2normalize(col("v")).as("nv"))
+    val e = emb(s, dir).repartition(col("vec_id"))
+      .select(col("vec_id"), l2normalize(col("v")).as("nv"))
     val q = e.filter(col("vec_id") === 0).select(col("nv").as("qv"))
     val cands = e.crossJoin(broadcast(q))
       .select(col("vec_id"), col("nv"), dot(col("nv"), col("qv")).as("sim"))

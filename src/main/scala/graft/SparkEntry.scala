@@ -298,8 +298,13 @@ object Queries {
 
   def q15DpSearch(s: SparkSession, dir: String): DataFrame = {
     val e = embDouble(s, dir)
-    val docs = e.select(col("vec_id"),
-      l2normalize(weightedConcat(col("v"), 0.7, attrVec, 0.3)).as("dpv"))
+    // repartition: the concat+normalize is CPU-bound per-row work and
+    // a small parquet arrives as one split; materializing the concat
+    // in its own projection keeps l2normalize's two references to it
+    // reading an attribute instead of re-evaluating the subtree
+    val docs = e.repartition(col("vec_id"))
+      .select(col("vec_id"), weightedConcat(col("v"), 0.7, attrVec, 0.3).as("w"))
+      .select(col("vec_id"), l2normalize(col("w")).as("dpv"))
     val query = e.filter(col("vec_id") === 0)
       .select(Search.dpQueryVec(col("v"), attrDim, 0.7).as("qv"))
     Search.topK(docs, "vec_id", "dpv", query, "qv", 10).orderBy("rank")

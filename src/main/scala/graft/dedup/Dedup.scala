@@ -134,8 +134,11 @@ object Dedup {
     // only docs that appear in a candidate pair need their shingle
     // set — semi-join prune BEFORE the (expensive) shingling, so the
     // verify cost scales with |candidates|, not |corpus|
-    val needed = pairs.select(col("id1").as("id"))
-      .union(pairs.select(col("id2").as("id"))).distinct()
+    // single reference to the pairs plan (explode, not a two-leg
+    // union) so a self-join candidate pipeline is computed once and
+    // reused via its final exchange
+    val needed = pairs
+      .select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
     val sh = shingleRows(
         df.join(broadcast(needed), df(idCol) === needed("id"), "left_semi"),
         idCol, textCol, shingleN)
