@@ -110,6 +110,78 @@ object RetrievalQueries {
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
   }
 
+  // ---------- noise QA / FHE-as-contract (V9, M7, R7, M8) ----------
+
+  /** V9/M7: corpus-wide noise QA — mean/min/max cosine between each
+    * vector and its deterministically-perturbed twin, one aggregate
+    * row. Per-row cosines are rounded before averaging so partial-agg
+    * summation order can't leak into the 6dp output. */
+  def q17NoiseQa(s: SparkSession, dir: String): DataFrame = {
+    val noisy = addNoise(col("v"), col("vec_id"), 0.15)
+    emb(s, dir)
+      .select(round(dot(col("v"), noisy), 6).as("c"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("c")), 6).as("mean_cos"),
+        round(min(col("c")), 6).as("min_cos"),
+        round(max(col("c")), 6).as("max_cos"))
+  }
+
+  val q17Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       nv AS (SELECT vec_id, i.i AS i, v[i.i + 1] AS x,
+                v[i.i + 1] + (((vec_id*1103515245 + i.i*12345) % 1000003) / 1000003.0 - 0.5) * 0.15 AS y
+              FROM e, (SELECT UNNEST(generate_series(0, 63)) AS i) i),
+       agg AS (SELECT vec_id, SUM(x*y) AS xy, SUM(y*y) AS yy FROM nv GROUP BY vec_id),
+       c AS (SELECT ROUND(xy / (sqrt(yy) + 1e-9), 6) AS c FROM agg)
+       SELECT COUNT(*) AS n, ROUND(AVG(c), 6) AS mean_cos,
+         ROUND(MIN(c), 6) AS min_cos, ROUND(MAX(c), 6) AS max_cos FROM c"""
+
+  /** R7: the "FHE" encrypted scan as its observable semantic — exact
+    * dot products with bounded deterministic ε-noise (CKKS decrypt
+    * noise stand-in), same top-k plan shape. */
+  val fheEps = 0.002; val fheSeed = 7L
+  def q18FheSim(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.search.NoisyScan.noisyTopK(e, "vec_id", "v",
+      e.filter(col("vec_id") === 0).select(col("v").as("qv")), "qv", 10,
+      fheEps, fheSeed)
+      .orderBy("rank")
+  }
+
+  private def noisySql(eps: Double, seed: Long): String =
+    s"""(((vec_id + $seed) * 1103515245 + 12345) % 1000003) / 1000003.0 * $eps - ${eps / 2}"""
+
+  val q18Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       sc AS (SELECT vec_id, list_dot_product(v, qv) + (${noisySql(fheEps, fheSeed)}) AS sc
+              FROM e, q),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
+  /** M8: overlap fraction between the noisy ("FHE") top-10 and the
+    * exact top-10 — the reference's encrypted-vs-plaintext sanity
+    * check, as a single-row aggregate. */
+  def q19FheOverlap(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val noisy = graft.search.NoisyScan.noisyTopK(e, "vec_id", "v", q, "qv", 10, fheEps, fheSeed)
+    val exact = Search.topK(e, "vec_id", "v", q, "qv", 10)
+    graft.search.NoisyScan.overlap(noisy, exact, "vec_id", 10)
+      .select(round(col("overlap"), 6).as("overlap"))
+  }
+
+  val q19Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       sc AS (SELECT vec_id, list_dot_product(v, qv) AS ex,
+                list_dot_product(v, qv) + (${noisySql(fheEps, fheSeed)}) AS no
+              FROM e, q),
+       a AS (SELECT vec_id FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY no DESC, vec_id) AS r FROM sc) WHERE r <= 10),
+       b AS (SELECT vec_id FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY ex DESC, vec_id) AS r FROM sc) WHERE r <= 10)
+       SELECT ROUND(COUNT(*) / 10.0, 6) AS overlap FROM a JOIN b USING (vec_id)"""
+
   // ---------- ranking metrics (M1–M5) ----------
 
   /** Full-dim exact kNN vs random-projected (64→16) kNN, 5 queries:
@@ -162,6 +234,37 @@ object RetrievalQueries {
          ROUND(COALESCE(MAX(CASE WHEN brank IS NOT NULL THEN 1.0 / orank END), 0), 6) AS mrr,
          ROUND(SUM(g * COALESCE(brank, 0)) / SUM(g), 6) AS ndcg_ref
        FROM j GROUP BY qid ORDER BY qid"""
+
+  /** M6: mean of every ranking metric over the query set — the
+    * reference's `df.mean(numeric_only=True)` summary row. */
+  def q44MetricsMean(s: SparkSession, dir: String): DataFrame =
+    q40RankMetrics(s, dir)
+      .agg(round(avg(col("recall")), 6).as("recall"),
+        round(avg(col("precision")), 6).as("precision"),
+        round(avg(col("agreement")), 6).as("agreement"),
+        round(avg(col("mrr")), 6).as("mrr"),
+        round(avg(col("ndcg_ref")), 6).as("ndcg_ref"))
+
+  val q44Sql: String =
+    s"""SELECT ROUND(AVG(recall), 6) AS recall, ROUND(AVG(precision), 6) AS precision,
+       ROUND(AVG(agreement), 6) AS agreement, ROUND(AVG(mrr), 6) AS mrr,
+       ROUND(AVG(ndcg_ref), 6) AS ndcg_ref
+       FROM ($q40Sql)"""
+
+  /** E1/E2: distributed hash-featurizer embedding over the documents
+    * table (mapPartitions, one embedder per partition). MurmurHash3
+    * isn't replayable in ANSI SQL → rows-only driver check;
+    * EmbedderSpec pins the semantics (dim, unit norm, determinism). */
+  def q43EmbedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 200)
+    graft.embed.Embed.embedDocs(docs, "doc_id", "text",
+        new graft.embed.HashEmbedder(64))
+      .select(col("doc_id"),
+        round(element_at(col("vec"), 1).cast("double"), 6).as("e0"),
+        round(norm2(col("vec")), 6).as("norm"))
+      .orderBy("doc_id")
+  }
 
   // ---------- hybrid retrieval (R4/R5) ----------
 
@@ -229,15 +332,24 @@ object RetrievalQueries {
     "q08_sample" -> (q08Sample _),
     "q09_rollup" -> (q09Rollup _),
     "q16_ann_lsh" -> (q16AnnLsh _),
+    "q17_noise_qa" -> (q17NoiseQa _),
+    "q18_fhe_sim" -> (q18FheSim _),
+    "q19_fhe_overlap" -> (q19FheOverlap _),
     "q40_rank_metrics" -> (q40RankMetrics _),
     "q41_hybrid" -> (q41Hybrid _),
-    "q42_mmr" -> (q42Mmr _))
+    "q42_mmr" -> (q42Mmr _),
+    "q43_embed_docs" -> (q43EmbedDocs _),
+    "q44_metrics_mean" -> (q44MetricsMean _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
     "q08_sample" -> q08Sql,
     "q09_rollup" -> q09Sql,
     "q16_ann_lsh" -> q16Sql,
+    "q17_noise_qa" -> q17Sql,
+    "q18_fhe_sim" -> q18Sql,
+    "q19_fhe_overlap" -> q19Sql,
     "q40_rank_metrics" -> q40Sql,
-    "q41_hybrid" -> q41Sql)
+    "q41_hybrid" -> q41Sql,
+    "q44_metrics_mean" -> q44Sql)
 }
