@@ -165,22 +165,21 @@ object Dedup {
   /** SimHash (16-bit, from the first 4 hex digits of MD5(token)):
     * per bit b, sum +1/-1 over token occurrences by whether bit b of
     * the token hash is set; simhash = Σ 2^b over positive bits.
-    * Near-dup docs differ in few bits. Doc-local except one explode +
-    * re-aggregate keyed by doc — linear shuffle. */
+    * Near-dup docs differ in few bits. One token explode, ONE hash
+    * aggregate with 16 conditional sums (no per-bit row blowup, no
+    * second shuffle), then a local projection folds the bit sums. */
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"))
-    // dynamic bit extraction via exact double pow (h < 2^16)
-    val bits = toks.select(col("id"), col("h"),
-      explode(sequence(lit(0), lit(15))).as("b"))
-      .withColumn("sgn",
-        when(floor(col("h") / pow(lit(2.0), col("b"))).cast("long") % 2 === 1, 1)
-          .otherwise(-1))
-    bits.groupBy("id", "b")
-      .agg(sum(col("sgn")).as("v"))
-      .groupBy("id")
-      .agg(sum(when(col("v") > 0, pow(lit(2.0), col("b")).cast("long")).otherwise(0L))
-        .as("simhash"))
+    val bitSums = (0 until 16).map { b =>
+      sum(when(floor(col("h") / (1L << b)).cast("long") % 2 === 1, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
+    toks.groupBy("id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 16).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 }

@@ -54,10 +54,18 @@ object BM25 {
     val row = docs.select(
       count(lit(1)).as("n"), avg(size(tokens(col(textCol)))).as("avgdl")).head()
     val (nDocs, avgdl) = (row.getLong(0), row.getDouble(1))
-    // df(t) only needs postings OF t — filter before the df aggregation,
-    // so the whole stats pipeline is pushdown-pruned to the query terms
-    val post = postings(docs, idCol, textCol)
-      .filter(col("term").isin(queryTerms.map(_.toLowerCase): _*))
+    // postings of the QUERY TERMS only: the token array is filtered
+    // BEFORE the explode, so the generate emits just matching tokens
+    // (a predicate after the explode still pays for the full posting
+    // blowup — at corpus scale that's the difference between
+    // O(matching postings) and O(all tokens))
+    val terms = queryTerms.map(_.toLowerCase)
+    val post = docs
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"), size(col("toks")).cast("double").as("len"),
+        explode(filter(col("toks"), t => t.isin(terms: _*))).as("term"))
+      .groupBy("doc", "len", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
     val stats = termStats(post, nDocs)
     val scored = post
       .join(broadcast(stats), "term")
