@@ -110,6 +110,37 @@ object RetrievalQueries {
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
   }
 
+  /** R2 (second scale path): IVF coarse-quantized ANN — 8 strided
+    * centroids, probe the 2 best lists, exact re-rank inside them. */
+  val ivfK = 8; val ivfStride = 23L; val ivfProbe = 2
+  def q45AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.search.IVF.ivfTopK(e, "vec_id", "v",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+      10, ivfK, ivfStride, ivfProbe)
+      .orderBy("rank")
+  }
+
+  val q45Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT CAST(vec_id / $ivfStride AS BIGINT) AS cid, v AS cvec FROM e
+             WHERE vec_id % $ivfStride = 0 AND vec_id < ${ivfK * ivfStride}),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       sc AS (SELECT a.vec_id, list_dot_product(a.v, pr.qv) AS sc
+              FROM a JOIN pr ON a.cid = pr.cid),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
   // ---------- noise QA / FHE-as-contract (V9, M7, R7, M8) ----------
 
   /** V9/M7: corpus-wide noise QA — mean/min/max cosine between each
@@ -333,6 +364,7 @@ object RetrievalQueries {
     "q09_rollup" -> (q09Rollup _),
     "q16_ann_lsh" -> (q16AnnLsh _),
     "q17_noise_qa" -> (q17NoiseQa _),
+    "q45_ann_ivf" -> (q45AnnIvf _),
     "q18_fhe_sim" -> (q18FheSim _),
     "q19_fhe_overlap" -> (q19FheOverlap _),
     "q40_rank_metrics" -> (q40RankMetrics _),
@@ -347,6 +379,7 @@ object RetrievalQueries {
     "q09_rollup" -> q09Sql,
     "q16_ann_lsh" -> q16Sql,
     "q17_noise_qa" -> q17Sql,
+    "q45_ann_ivf" -> q45Sql,
     "q18_fhe_sim" -> q18Sql,
     "q19_fhe_overlap" -> q19Sql,
     "q40_rank_metrics" -> q40Sql,

@@ -1,0 +1,66 @@
+package graft.search
+
+import graft.functions.VectorF._
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-style approximate nearest-neighbor: a coarse quantizer
+  * partitions the corpus into inverted lists, queries probe only the
+  * `nprobe` nearest lists. This is the second scale path the engine
+  * offers next to sign-bit LSH (Search.lshTopK): at 100 TB the list
+  * id becomes the partition key, so a query touches nprobe/K of the
+  * corpus instead of all of it, and list assignment is a one-off
+  * batch job whose output is just an extra int column on the table.
+  *
+  * Centroids are chosen DETERMINISTICALLY (a strided sample of the
+  * corpus itself — ids j*stride for j < K), so the whole path —
+  * assignment, probing, final ranking — replays exactly in the DuckDB
+  * oracle. A k-means refinement would slot in without changing any
+  * plan shape (it only moves the centroid vectors).
+  */
+object IVF {
+
+  /** The K deterministic centroid rows: (cid, cvec). */
+  def centroids(docs: DataFrame, idCol: String, vecCol: String,
+                k: Int, stride: Long): DataFrame =
+    docs.filter(col(idCol) % stride === 0 && col(idCol) < k * stride)
+      .select((col(idCol) / stride).cast("long").as("cid"), col(vecCol).as("cvec"))
+
+  /** Assign every vector to its best inner-product centroid
+    * (tiebreak: lowest cid). Broadcast K centroids; one window rank
+    * over K candidates per row — no corpus shuffle beyond the rank. */
+  def assign(docs: DataFrame, idCol: String, vecCol: String,
+             cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__cs").desc, col("cid").asc)
+    docs.crossJoin(broadcast(cents))
+      .withColumn("__cs", dot(col(vecCol), col("cvec")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col(vecCol), col("cid"))
+  }
+
+  /** IVF search: probe the query's `nprobe` best lists, exact re-rank
+    * inside them. Output (id, rank, score) like Search.topK. */
+  def ivfTopK(docs: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, queryVecCol: String,
+              k: Int, nCentroids: Int, stride: Long, nprobe: Int): DataFrame = {
+    val cents = centroids(docs, idCol, vecCol, nCentroids, stride)
+    val assigned = assign(docs, idCol, vecCol, cents)
+    val probes = query.select(col(queryVecCol).as("__qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cs", dot(col("__qv"), col("cvec")))
+      .orderBy(col("__cs").desc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid"), col("__qv"))
+    val scored = assigned
+      .join(broadcast(probes), "cid") // list-pruned scan
+      .select(col(idCol), dot(col(vecCol), col("__qv")).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+    scored.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)).cast("long"))
+      .select(col(idCol), col("rank"), round(col("score"), 6).as("score"))
+  }
+}

@@ -36,12 +36,33 @@ object Search {
   }
 
   /** R1 multi-query: broadcast the (small) query set against the
-    * corpus, window top-k per query. The corpus is scanned ONCE for
-    * all queries; the only shuffle is the per-query top-k window,
-    * bounded by rank<=k partial aggregation under AQE. */
+    * corpus, then per-query top-k via the bounded-heap
+    * `TopKByScore` aggregate (SURVEY §4 item 2). The corpus is
+    * scanned ONCE for all queries, each task keeps a k-buffer per
+    * query (map-side partial aggregation), and the exchange carries
+    * O(queries × k) heap entries — the window formulation shuffles
+    * and sorts EVERY scored row per query, which at 100 TB is the
+    * difference between a broadcast-sized exchange and a full-corpus
+    * one. Tie order (score desc, id asc) is identical, so results
+    * match the sort-based plan and the oracle bit-for-bit. */
   def multiTopK(docs: DataFrame, idCol: String, vecCol: String,
                 queries: DataFrame, qidCol: String, qvecCol: String,
-                k: Int): DataFrame = {
+                k: Int): DataFrame =
+    docs
+      .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))))
+      .select(col("qid"), col(idCol), dot(col(vecCol), col("__qv")).as("score"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graftnative.TopKAggregate
+        .topK(col(idCol).cast("long"), col("score"), k).as("__tk"))
+      .select(col("qid"), explode(col("__tk")).as("__e"))
+      .select(col("qid"), col("__e.id").as(idCol), col("__e.rank").as("rank"),
+        round(col("__e.score"), 6).as("score"))
+
+  /** The window-sort formulation of multi-query top-k — kept for A/B
+    * parity testing against the heap aggregate. */
+  def multiTopKWindow(docs: DataFrame, idCol: String, vecCol: String,
+                      queries: DataFrame, qidCol: String, qvecCol: String,
+                      k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col(idCol).asc)
     docs
       .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))))

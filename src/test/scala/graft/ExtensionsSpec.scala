@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions: the native kernels exposed as SQL functions via
+  * spark.sql.extensions. Needs its own SparkSession (extensions apply
+  * at session construction), so the shared one is cleared and
+  * restored around the suite; the underlying SparkContext is reused.
+  */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSpec.spark // make sure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder()
+      .master("local[2]")
+      // withExtensions (not just the config string): the config path
+      // is only consulted when a fresh SparkContext is built, and the
+      // suite reuses the shared one
+      .withExtensions(new org.apache.spark.sql.graftnative.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    SparkSession.setDefaultSession(SparkSpec.spark)
+    SparkSession.setActiveSession(SparkSpec.spark)
+  }
+
+  test("graft_dot is callable from SQL") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("graft_topk aggregates per group from SQL") {
+    spark.sql(
+      """SELECT * FROM VALUES (1L, 10L, 0.5D), (1L, 11L, 0.9D), (1L, 12L, 0.7D),
+         (2L, 20L, 0.1D), (2L, 21L, 0.3D) AS t(qid, id, score)""")
+      .createOrReplaceTempView("scored")
+    val rows = spark.sql(
+      """SELECT qid, e.id, e.rank FROM (
+           SELECT qid, explode(graft_topk(id, score, 2)) AS e
+           FROM scored GROUP BY qid)
+         ORDER BY qid, e.rank""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 11L, 1L), (1L, 12L, 2L), (2L, 21L, 1L), (2L, 20L, 2L)))
+  }
+}

@@ -50,6 +50,33 @@ class SearchSpec extends SparkSpec {
     assert(approx.size <= 10)
   }
 
+  test("multiTopK heap aggregate matches the window-sort formulation exactly") {
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val heap = Search.multiTopK(emb, "vec_id", "v", qs, "qid", "qv", 7)
+      .select("qid", "vec_id", "rank", "score")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+    val win = Search.multiTopKWindow(emb, "vec_id", "v", qs, "qid", "qv", 7)
+      .select("qid", "vec_id", "rank", "score")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+    assert(heap.toSeq == win.toSeq)
+  }
+
+  test("IVF: assignment covers the corpus, probe-pruned top-k is a ranked subset") {
+    import graft.search.IVF
+    val cents = IVF.centroids(emb, "vec_id", "v", 8, 23L)
+    assert(cents.count() == 8)
+    val assigned = IVF.assign(emb, "vec_id", "v", cents)
+    assert(assigned.count() == emb.count()) // every vector lands in exactly one list
+    val got = IVF.ivfTopK(emb, "vec_id", "v",
+      emb.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10, 8, 23L, 2)
+      .select("vec_id", "rank").as[(Long, Long)].collect()
+    assert(got.length == 10)
+    assert(got.map(_._2).sorted.toSeq == (1L to 10L))
+    // the query vector itself is in a probed list (its own best list)
+    assert(got.map(_._1).contains(1L))
+  }
+
   test("dpQueryVec: unit norm, zero attr part") {
     val q = emb.filter(col("vec_id") === 0)
       .select(Search.dpQueryVec(col("v"), 16, 0.7).as("dq"))
