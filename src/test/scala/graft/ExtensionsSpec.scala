@@ -40,6 +40,20 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == 32.0)
   }
 
+  test("optimizer rewrites the HOF dot-product idiom into the fused kernel") {
+    // inputs derived from range() so constant folding can't collapse
+    // the plan before the rewrite is observable
+    spark.sql(
+      """SELECT array(CAST(id AS DOUBLE) + 1.0D, 2.0D, 3.0D) AS a,
+              array(4.0D, 5.0D, 6.0D) AS b FROM range(1)""")
+      .createOrReplaceTempView("vecs")
+    val df = spark.sql(
+      """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D,
+           (acc, x) -> acc + x) AS d FROM vecs""")
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    assert(df.collect().head.getDouble(0) == 32.0)
+  }
+
   test("graft_topk aggregates per group from SQL") {
     spark.sql(
       """SELECT * FROM VALUES (1L, 10L, 0.5D), (1L, 11L, 0.9D), (1L, 12L, 0.7D),

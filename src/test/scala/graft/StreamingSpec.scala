@@ -66,6 +66,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((1L, 3L, 10.0)))
   }
 
+  test("readStream over the events parquet matches the batch result") {
+    // the file source wants a directory: stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    val path = dir.toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(path).schema // ts arrives as nanos long
+    val restoreTs = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Streaming.windowedCounts(
+      restoreTs(spark.readStream.schema(schema).parquet(path)), "6 hours")
+    val q = stream.writeStream.format("memory").queryName("file_win")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT ws, event_type, n FROM file_win")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val want = Streaming.windowedCounts(restoreTs(spark.read.parquet(path)), "6 hours")
+      .select("ws", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming transforms run identically on a batch frame") {
     val batch = Seq(
       Event(1, ts(5), 1, "click", 2.0),
