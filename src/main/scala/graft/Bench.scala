@@ -12,9 +12,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // session warm-up: JVM/codegen/scheduler spin-up should not be
-    // attributed to whichever query happens to run first
+    // session warm-up: JVM/codegen/scheduler/parquet-reader spin-up
+    // should not be attributed to whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -65,7 +65,34 @@ object PipelineQueries {
          CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
        FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us"""
 
+  /** The reference's full baseline dataflow (SURVEY §3.1) as ONE
+    * declarative pipeline: ingest → clean → dedup-first → distributed
+    * embed → multi-query exact kNN → resolve ids back to snippets.
+    * Everything stays on executors; the only driver materialization
+    * is the driver-contract result itself. Rows-only check (the
+    * embedder hash isn't ANSI-SQL-expressible); every stage is
+    * individually oracle-checked or spec-covered elsewhere. */
+  def q46PipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import graft.ingest.Ingest
+    val raw = graft.sources.Tables.load(s, dir, "documents")
+    val cleaned = raw.select(col("doc_id"),
+      Ingest.cleanText(col("text")).as("text"))
+    val deduped = Ingest.dedupFirst(cleaned, col("text"), col("doc_id"))
+    val embedded = graft.embed.Embed
+      .embedDocs(deduped, "doc_id", "text", new graft.embed.HashEmbedder(64))
+      .select(col("doc_id"), col("vec").cast("array<double>").as("v"))
+    val queries = embedded.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("v").as("qv"))
+    val hits = graft.search.Search
+      .multiTopK(embedded, "doc_id", "v", queries, "qid", "qv", 5)
+    hits.join(raw.select(col("doc_id"), Ingest.snippet(col("text"), 40).as("snippet")),
+        "doc_id")
+      .select(col("qid"), col("rank"), col("doc_id"), col("score"), col("snippet"))
+      .orderBy("qid", "rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_pipeline_e2e" -> (q46PipelineE2e _),
     "q50_binary_features" -> (q50BinaryFeatures _),
     "q60_sessionize" -> (q60Sessionize _))
 

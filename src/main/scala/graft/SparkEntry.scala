@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   * sums so Spark and DuckDB hash-match bit-for-bit.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The full reference dataflow end-to-end: ingest → clean →
+    * dedup → distributed embed → multi-query kNN → snippets. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q10_knn_exact")(spark, "/root/testdata/sf0.001")
+    queries("q46_pipeline_e2e")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
 
