@@ -345,9 +345,14 @@ object RetrievalQueries {
     * records a rows-only check and MMRSpec covers the semantics. */
   def q42Mmr(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
-    val e = emb(s, dir).repartition(col("vec_id"))
+    val base = emb(s, dir)
+    // query row comes straight off the scan — routing it through the
+    // repartition exchange would recompute the whole-corpus shuffle
+    // just to keep one row
+    val q = base.filter(col("vec_id") === 0)
+      .select(l2normalize(col("v")).as("qv"))
+    val e = base.repartition(col("vec_id"))
       .select(col("vec_id"), l2normalize(col("v")).as("nv"))
-    val q = e.filter(col("vec_id") === 0).select(col("nv").as("qv"))
     val cands = e.crossJoin(broadcast(q))
       .select(col("vec_id"), col("nv"), dot(col("nv"), col("qv")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)

@@ -50,10 +50,11 @@ object BM25 {
     * term-stats side is broadcast, and top-k is TakeOrderedAndProject. */
   def search(docs: DataFrame, idCol: String, textCol: String,
              queryTerms: Seq[String], k: Int): DataFrame = {
-    // one action for both corpus scalars (N, avgdl)
-    val row = docs.select(
-      count(lit(1)).as("n"), avg(size(tokens(col(textCol)))).as("avgdl")).head()
-    val (nDocs, avgdl) = (row.getLong(0), row.getDouble(1))
+    // corpus scalars (N, avgdl) as a broadcast one-row frame — fully
+    // declarative, no eager driver action / extra scheduled job
+    val corpus = docs
+      .select(size(tokens(col(textCol))).cast("double").as("__dl"))
+      .agg(count(lit(1)).cast("double").as("__n"), avg(col("__dl")).as("__avgdl"))
     // postings of the QUERY TERMS only: the token array is filtered
     // BEFORE the explode, so the generate emits just matching tokens
     // (a predicate after the explode still pays for the full posting
@@ -66,12 +67,17 @@ object BM25 {
         explode(filter(col("toks"), t => t.isin(terms: _*))).as("term"))
       .groupBy("doc", "len", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
-    val stats = termStats(post, nDocs)
+    val stats = post.groupBy("term")
+      .agg(countDistinct(col("doc")).cast("double").as("df"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .select(col("term"), col("idf"), col("__avgdl"))
     val scored = post
       .join(broadcast(stats), "term")
       .withColumn("s",
         col("idf") * col("tf") * (K1 + 1.0) /
-          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("len") / avgdl)))
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("len") / col("__avgdl"))))
       .groupBy("doc")
       .agg(sum(col("s")).as("score"))
       .orderBy(col("score").desc, col("doc").asc)
