@@ -106,21 +106,25 @@ object CurationQueries {
       .filter(col("doc_id") < 200)
       .select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"),
-        TextAnalysis.minShingleFingerprint(col("text"), 5).as("msfp"))
+        TextAnalysis.minShingleFingerprint(col("text"), 5).as("msfp"),
+        TextAnalysis.rollingFingerprint(col("text")).as("fp_roll"))
       .orderBy("doc_id")
 
   val q24Sql: String =
     """WITH t AS (SELECT doc_id, text,
            string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
          WHERE doc_id < 200),
-       sh AS (SELECT doc_id, text,
+       sh AS (SELECT doc_id, text, toks,
            CASE WHEN len(toks) >= 5 THEN
              list_distinct(list_transform(generate_series(1, len(toks) - 4),
                k -> array_to_string(toks[k:k+4], ' ')))
            ELSE [] END AS sh FROM t)
        SELECT doc_id,
          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-         list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS msfp
+         list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS msfp,
+         list_reduce(list_prepend(0, list_transform(toks,
+           x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)),
+           (a, b) -> (a * 31 + b) % 2147483647) AS fp_roll
        FROM sh ORDER BY doc_id"""
 
   // ---------- dedup family ----------

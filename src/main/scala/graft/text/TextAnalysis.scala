@@ -104,4 +104,16 @@ object TextAnalysis {
     * fingerprint for near-identical detection. */
   def minShingleFingerprint(text: Column, n: Int): Column =
     array_min(transform(graft.dedup.Dedup.shingles(text, n), s => md5(s)))
+
+  /** Rolling (Rabin–Karp polynomial) fingerprint over token hashes:
+    * fp = fold(0, (acc, h) -> (acc·31 + h) mod (2^31−1)). ORDER
+    * SENSITIVE — unlike the set-style fingerprints above, swapping
+    * two tokens changes it, which is the property incremental /
+    * chunked dedup pipelines key on. Intermediates stay < 2^37, so
+    * the int64 arithmetic replays exactly in ANSI SQL. */
+  def rollingFingerprint(text: Column): Column = {
+    val hs = transform(toks(text),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    aggregate(hs, lit(0L), (acc, h) => (acc * 31L + h) % lit(2147483647L))
+  }
 }

@@ -65,4 +65,14 @@ class TextAnalysisSpec extends SparkSpec {
     // probability; for this fixture it does
     assert(msf(1L) == msf(3L))
   }
+
+  test("rollingFingerprint is order-sensitive, deterministic, bounded") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "beta alpha gamma"),
+      (3L, "alpha beta gamma")).toDF("id", "t")
+    val fp = df.select(col("id"), rollingFingerprint(col("t")))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) != fp(2L)) // token swap changes the hash
+    assert(fp(1L) == fp(3L))
+    fp.values.foreach(v => assert(v >= 0 && v < 2147483647L))
+  }
 }
