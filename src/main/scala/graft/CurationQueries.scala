@@ -161,7 +161,11 @@ object CurationQueries {
 
   def q31MinhashPairs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    // localCheckpoint: the candidate list is tiny but its subplan is
+    // the whole MinHash pipeline, and jaccardVerify references it
+    // twice (pair list + needed-ids prune) — materialize once
     val pairs = Dedup.lshCandidates(d, "doc_id", "text", shingleN, nPerm, rowsPerBand)
+      .localCheckpoint()
     Dedup.jaccardVerify(d, "doc_id", "text", pairs, shingleN)
       .orderBy("id1", "id2")
   }
