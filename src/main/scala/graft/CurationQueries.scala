@@ -279,6 +279,86 @@ object CurationQueries {
        FROM n x JOIN n y ON x.doc_id < y.doc_id
        ORDER BY id1, id2"""
 
+  /** The canonical training-data curation flow as ONE declarative
+    * pipeline, every stage oracle-replayable: exact dedup keep-first →
+    * MinHash-LSH near-dup removal (drop the higher id of any verified
+    * pair with J ≥ 0.5 — single-pass policy, not transitive closure) →
+    * quality floor → language filter. Survivors + quality out. */
+  val nearDupTau = 0.5
+  def q47CurationE2e(s: SparkSession, dir: String): DataFrame = {
+    import TextAnalysis._
+    // d1 feeds three consumers (candidates, verify, final anti-join):
+    // materialize the exact-dedup survivors once
+    val d1 = Dedup.exact(docs(s, dir), "text", "doc_id")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val pairs = Dedup
+      .lshCandidates(d1, "doc_id", "text", shingleN, nPerm, rowsPerBand)
+      .localCheckpoint()
+    val dropIds = Dedup.jaccardVerify(d1, "doc_id", "text", pairs, shingleN)
+      .filter(col("jaccard") >= nearDupTau)
+      .select(col("id2").as("doc_id")).distinct()
+    d1.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        qualityScore(col("text")).as("quality"),
+        langId(col("text")).as("lang_pred"))
+      .filter(col("quality") >= 0.5 && col("lang_pred") === "en")
+      .select(col("doc_id"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  val q47Sql: String = {
+    val langs = TextAnalysis.langProfiles.keys.toSeq.sorted
+    val scores = langs.map { l =>
+      val grams = TextAnalysis.langProfiles(l)
+      val sum = grams.map(g =>
+        s"CASE WHEN contains(lower(text), '$g') THEN 1.0 ELSE 0.0 END").mkString(" + ")
+      s"(($sum) / ${grams.size}) AS s_$l"
+    }.mkString(", ")
+    val mx = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val pick = "CASE " + langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ") + " END"
+    s"""WITH dd AS (SELECT doc_id, text FROM (
+           SELECT doc_id, text,
+             ROW_NUMBER() OVER (PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                                ORDER BY doc_id) AS rn
+           FROM documents) WHERE rn = 1),
+       tk AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM dd),
+       d AS (SELECT doc_id,
+           CASE WHEN len(toks) >= $shingleN THEN
+             list_distinct(list_transform(generate_series(1, len(toks) - ${shingleN - 1}),
+               k -> array_to_string(toks[k:k+${shingleN - 1}], ' ')))
+           ELSE [] END AS sh FROM tk),
+       nz AS (SELECT doc_id, sh, len(sh) AS nsh FROM d WHERE len(sh) > 0),
+       hs AS (SELECT doc_id, sh, nsh,
+               list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs FROM nz),
+       sig AS (SELECT doc_id, list_transform(generate_series(0, ${nPerm - 1}),
+               p -> list_aggregate(list_transform(hs,
+                 h -> (((p+1) * 2654435761 % 2147483647) * h + (p+1) * 7919) % 2147483647), 'min')) AS sig
+             FROM hs),
+       banded AS (SELECT doc_id, b.b AS band,
+               array_to_string(sig[b.b*$rowsPerBand+1 : b.b*$rowsPerBand+$rowsPerBand], '|') AS bandsig
+             FROM sig, (SELECT unnest(generate_series(0, ${nPerm / rowsPerBand - 1})) AS b) b),
+       cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+              FROM banded a JOIN banded c
+                ON a.band = c.band AND a.bandsig = c.bandsig AND a.doc_id < c.doc_id),
+       jac AS (SELECT id1, id2,
+           ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                 (x.nsh + y.nsh - len(list_intersect(x.sh, y.sh))), 4) AS j
+         FROM cand JOIN nz x ON cand.id1 = x.doc_id JOIN nz y ON cand.id2 = y.doc_id),
+       dropids AS (SELECT DISTINCT id2 FROM jac WHERE j >= $nearDupTau),
+       kept AS (SELECT tk.doc_id, tk.text, tk.toks FROM tk
+              WHERE tk.doc_id NOT IN (SELECT id2 FROM dropids)),
+       q AS (SELECT doc_id,
+           least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) AS ls,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS dr,
+           1.0 - abs(CAST(len(list_filter(toks, x -> list_contains([$stopList], x))) AS DOUBLE)
+                     / greatest(len(toks), 1) - 0.4) AS ss,
+           $scores FROM kept),
+       m AS (SELECT *, $mx AS mx, ROUND(((ls + dr) + ss) / 3.0, 4) AS quality FROM q)
+       SELECT doc_id, quality FROM m
+       WHERE quality >= 0.5 AND ($pick) = 'en'
+       ORDER BY doc_id"""
+  }
+
   // ---------- catalog ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -289,7 +369,8 @@ object CurationQueries {
     "q31_minhash_pairs" -> (q31MinhashPairs _),
     "q32_simhash" -> (q32Simhash _),
     "q33_neardup_cosine" -> (q33NeardupCosine _),
-    "q34_ngram_jaccard" -> (q34NgramJaccard _))
+    "q34_ngram_jaccard" -> (q34NgramJaccard _),
+    "q47_curation_e2e" -> (q47CurationE2e _))
 
   val oracle: Map[String, String] = Map(
     "q22_text_stats" -> q22Sql,
@@ -299,5 +380,6 @@ object CurationQueries {
     "q31_minhash_pairs" -> q31Sql,
     "q32_simhash" -> q32Sql,
     "q33_neardup_cosine" -> q33Sql,
-    "q34_ngram_jaccard" -> q34Sql)
+    "q34_ngram_jaccard" -> q34Sql,
+    "q47_curation_e2e" -> q47Sql)
 }
