@@ -42,7 +42,7 @@ object Dedup {
   }
 
   /** Expression-level shingles (tokenizes inline — fine for single
-    * use / small inputs; prefer [[shingled]] in pipelines). */
+    * use / small inputs; prefer [[shingleRows]] in pipelines). */
   def shingles(text: Column, n: Int): Column =
     shinglesFromToks(tokenize(text), n)
 

@@ -1,0 +1,45 @@
+package graft
+
+/** Physical-plan regression tests: the scale-critical plan properties
+  * (pushdown, pruning, broadcast strategy, heap top-k, bucket
+  * pruning) must survive refactors, not just the result values. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q01: filter is pushed to the parquet scan, schema pruned") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey")) // untouched columns never read
+  }
+
+  test("q02: dimension join is broadcast, fact side never shuffles on the key") {
+    val p = plan("q02_revenue_by_brand")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q10: single-query top-k plans as TakeOrderedAndProject (bounded heap)") {
+    val p = plan("q10_knn_exact")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q11: multi-query top-k runs through the graft_topk heap aggregate, no window sort") {
+    val p = plan("q11_knn_multi")
+    assert(p.contains("graft_topk"))
+    assert(!p.contains("Window"))
+  }
+
+  test("q10/q11: scoring uses the fused native dot product") {
+    assert(plan("q10_knn_exact").contains("graft_dot"))
+    assert(plan("q11_knn_multi").contains("graft_dot"))
+  }
+
+  test("q20: BM25 postings explode only the query terms (pre-explode array filter)") {
+    val p = plan("q20_bm25")
+    assert(p.contains("filter(")) // the array-level token filter feeds the generate
+    assert(p.contains("Generate explode"))
+  }
+}
