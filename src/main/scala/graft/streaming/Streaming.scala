@@ -40,6 +40,17 @@ object Streaming {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop rows whose fingerprint was already
+    * seen, with state bounded by the watermark —
+    * `dropDuplicatesWithinWatermark` evicts fingerprints older than
+    * the allowed lateness instead of keeping them forever (the
+    * difference between O(stream) and O(window) state at ingest
+    * scale). The batch twin is Dedup.exact/q30. */
+  def dedupStream(events: DataFrame, fpCol: String, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(fpCol)
+
   /** Event for the typed custom-state path. */
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)

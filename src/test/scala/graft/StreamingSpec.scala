@@ -66,6 +66,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((1L, 3L, 10.0)))
   }
 
+  test("dedupStream drops repeated fingerprints across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val withFp = Streaming.dedupStream(
+      in.toDF().withColumn("fp", md5(col("event_type"))), "fp")
+    val q = withFp.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    in.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 2, "click", 2.0))
+    q.processAllAvailable()
+    in.addData(Event(3, ts(2), 3, "click", 3.0), Event(4, ts(3), 4, "view", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.sql("SELECT event_id FROM dedup_stream").as[Long].collect().toSet
+    // one click survives (first seen), the later clicks are state-hits
+    assert(kept == Set(1L, 4L))
+  }
+
   test("readStream over the events parquet matches the batch result") {
     // the file source wants a directory: stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
