@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: empirical scaling probe. Synthesizes a K-times larger
+  * documents/embeddings corpus (id-shifted copies with perturbed
+  * text, so dedup structure stays realistic) in /tmp, then times the
+  * heaviest pipelines at 1x and Kx to measure their scaling exponent.
+  * Usage: sbt "runMain graft.ScaleProbe [K]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val dst = s"/tmp/graft_scale_${k}x"
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = docs.count()
+    // K copies; copy 0 is verbatim, copies >0 get a distinct prefix
+    // token so they are near-dups (not exact dups) of the original
+    val big = docs.crossJoin(
+        spark.range(0, k).toDF("copy"))
+      .select((col("doc_id") + col("copy") * nDocs).as("doc_id"),
+        when(col("copy") === 0, col("text"))
+          .otherwise(concat(lit("v"), col("copy"), lit(" "), col("text"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    big.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nEmb = emb.count()
+    val bigEmb = emb.crossJoin(spark.range(0, k).toDF("copy"))
+      .select((col("vec_id") + col("copy") * nEmb).as("vec_id"),
+        col("embedding"), col("label"))
+    bigEmb.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    // the relational/event tables aren't probed here; symlink-copy the
+    // small ones so table loads still resolve
+    Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+
+    def time(label: String, dir: String, q: String): Double = {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE $label $q rows=$n ${dt}%.2fs")
+      dt
+    }
+
+    Seq("q30_dedup_exact", "q31_minhash_pairs", "q47_curation_e2e",
+      "q20_bm25", "q21_top_terms", "q10_knn_exact", "q11_knn_multi").foreach { q =>
+      val a = time("1x", src, q)
+      val b = time(s"${k}x", dst, q)
+      println(f"SCALE RATIO $q ${b / a}%.2f (data ${k}x)")
+    }
+    spark.stop()
+  }
+}
