@@ -41,6 +41,32 @@ object IVF {
       .select(col(idCol), col(vecCol), col("cid"))
   }
 
+  /** Spherical k-means refinement of the coarse quantizer: Lloyd
+    * iterations — assign to best inner-product centroid, recompute
+    * each list's mean RELATIONALLY (posexplode → per-(cid, dim) avg →
+    * re-assemble), L2-normalize the means. Each iteration ends in a
+    * `localCheckpoint` so the lineage (and with it the plan size)
+    * stays constant across iterations — the standard discipline for
+    * iterative algorithms on DataFrames. Deterministic given the
+    * deterministic seeding, so refined-IVF results are reproducible
+    * run to run. */
+  def refine(docs: DataFrame, idCol: String, vecCol: String,
+             cents: DataFrame, iterations: Int): DataFrame = {
+    var c = cents
+    for (_ <- 0 until iterations) {
+      val next = assign(docs, idCol, vecCol, c)
+        .select(col("cid"), posexplode(col(vecCol)))
+        .toDF("cid", "pos", "x")
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          l2normalize(transform(col("pm"), p => p.getField("m"))).as("cvec"))
+      c = next.localCheckpoint()
+    }
+    c
+  }
+
   /** IVF search: probe the query's `nprobe` best lists, exact re-rank
     * inside them. Output (id, rank, score) like Search.topK. */
   def ivfTopK(docs: DataFrame, idCol: String, vecCol: String,

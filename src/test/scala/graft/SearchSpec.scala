@@ -77,6 +77,26 @@ class SearchSpec extends SparkSpec {
     assert(got.map(_._1).contains(1L))
   }
 
+  test("IVF k-means refinement improves the quantizer objective") {
+    import graft.search.IVF
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      IVF.assign(emb, "vec_id", "v", cents)
+        .join(broadcast(cents.select(col("cid").as("c2"), col("cvec"))),
+          col("cid") === col("c2"))
+        .select(graft.functions.VectorF.dot(col("v"), col("cvec")).as("s"))
+        .agg(avg("s")).as[Double].head()
+    val init = IVF.centroids(emb, "vec_id", "v", 8, 23L)
+      .select(col("cid"), graft.functions.VectorF.l2normalize(col("cvec")).as("cvec"))
+    val refined = IVF.refine(emb, "vec_id", "v", init, 3)
+    assert(refined.count() <= 8)
+    // unit-norm centroids of the right dimension
+    val norms = refined
+      .select(graft.functions.VectorF.norm2(col("cvec"))).as[Double].collect()
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-6))
+    // Lloyd steps don't decrease the (spherical) objective
+    assert(objective(refined) >= objective(init) - 1e-9)
+  }
+
   test("dpQueryVec: unit norm, zero attr part") {
     val q = emb.filter(col("vec_id") === 0)
       .select(Search.dpQueryVec(col("v"), 16, 0.7).as("dq"))
