@@ -67,6 +67,51 @@ object IVF {
     c
   }
 
+  /** Persist an IVF index at rest (SURVEY §2 S5: "an index is a
+    * cached/partitioned DataFrame"): the assigned corpus is written
+    * `partitionBy(cid)` so each inverted list is a parquet partition
+    * directory, and probing becomes PARTITION PRUNING — a query reads
+    * nprobe directories off disk, never the rest of the corpus. The
+    * centroid table rides along. This is the engine's answer to the
+    * reference's `faiss.write_index` file
+    * (`src/pipeline/pipeline.py:134`). */
+  def writeIndex(docs: DataFrame, idCol: String, vecCol: String,
+                 k: Int, stride: Long, refineIters: Int, path: String): Unit = {
+    val cents0 = centroids(docs, idCol, vecCol, k, stride)
+    val cents = if (refineIters > 0)
+      refine(docs, idCol, vecCol, cents0, refineIters) else cents0
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    val centsBack = docs.sparkSession.read.parquet(s"$path/centroids")
+    assign(docs, idCol, vecCol, centsBack)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+  }
+
+  /** Search a persisted IVF index: rank centroids for the query,
+    * filter the lists table to the nprobe best cids (a pure partition
+    * filter — see the PartitionFilters entry in the scan plan), exact
+    * re-rank inside. */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  idCol: String, vecCol: String,
+                  query: DataFrame, queryVecCol: String,
+                  k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val probes = query.select(col(queryVecCol).as("__qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cs", dot(col("__qv"), col("cvec")))
+      .orderBy(col("__cs").desc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid"), col("__qv"))
+    val lists = spark.read.parquet(s"$path/lists")
+    val scored = lists
+      .join(broadcast(probes), "cid") // becomes a partition filter on cid
+      .select(col(idCol), dot(col(vecCol), col("__qv")).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+    scored.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)).cast("long"))
+      .select(col(idCol), col("rank"), round(col("score"), 6).as("score"))
+  }
+
   /** IVF search: probe the query's `nprobe` best lists, exact re-rank
     * inside them. Output (id, rank, score) like Search.topK. */
   def ivfTopK(docs: DataFrame, idCol: String, vecCol: String,

@@ -77,6 +77,23 @@ class SearchSpec extends SparkSpec {
     assert(got.map(_._1).contains(1L))
   }
 
+  test("persisted IVF index: partition-pruned search matches in-memory IVF") {
+    import graft.search.IVF
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    IVF.writeIndex(emb, "vec_id", "v", 8, 23L, refineIters = 0, path)
+    val q = emb.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    val fromIndex = IVF.searchIndex(spark, path, "vec_id", "v", q, "qv", 10, 2)
+      .select("vec_id", "rank").as[(Long, Long)].collect().toSeq
+    val inMemory = IVF.ivfTopK(emb, "vec_id", "v", q, "qv", 10, 8, 23L, 2)
+      .select("vec_id", "rank").as[(Long, Long)].collect().toSeq
+    assert(fromIndex == inMemory)
+    // the probe is a genuine partition filter on the lists scan
+    val plan = IVF.searchIndex(spark, path, "vec_id", "v", q, "qv", 10, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(cid"),
+      s"expected partition pruning on cid:\n$plan")
+  }
+
   test("IVF k-means refinement improves the quantizer objective") {
     import graft.search.IVF
     def objective(cents: org.apache.spark.sql.DataFrame): Double =
