@@ -180,6 +180,36 @@ object Queries {
        CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
        FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
 
+  /** Anti join: customers with no high-value order — the filter is
+    * pushed into the orders scan BEFORE the distinct+broadcast, so
+    * the anti side ships only qualifying keys. */
+  def q08bCustomersNoOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "orders")
+          .filter(col("o_totalprice") > 300000).select(col("o_custkey")).distinct()),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  val q08bSql: String =
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+       ORDER BY c_custkey"""
+
+  /** Semi join: suppliers that supply at least one shipped line item —
+    * left_semi, no row multiplication from the fact side. */
+  def q08cActiveSuppliers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .join(t(s, dir, "lineitem").select(col("l_suppkey")),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+
+  val q08cSql: String =
+    """SELECT s_suppkey, s_name FROM supplier
+       WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+       ORDER BY s_suppkey"""
+
   // ---------- vector / search ----------
 
   private def embDouble(s: SparkSession, dir: String): DataFrame =
@@ -377,6 +407,8 @@ object Queries {
     "q04_top_orders_per_cust" -> (q04TopOrdersPerCust _),
     "q05_events_json" -> (q05EventsJson _),
     "q06_events_hourly" -> (q06EventsHourly _),
+    "q08b_customers_no_orders" -> (q08bCustomersNoOrders _),
+    "q08c_active_suppliers" -> (q08cActiveSuppliers _),
     "q10_knn_exact" -> (q10KnnExact _),
     "q11_knn_multi" -> (q11KnnMulti _),
     "q12_normalize" -> (q12Normalize _),
@@ -394,6 +426,8 @@ object Queries {
     "q04_top_orders_per_cust" -> q04Sql,
     "q05_events_json" -> q05Sql,
     "q06_events_hourly" -> q06Sql,
+    "q08b_customers_no_orders" -> q08bSql,
+    "q08c_active_suppliers" -> q08cSql,
     "q10_knn_exact" -> q10Sql,
     "q11_knn_multi" -> q11Sql,
     "q12_normalize" -> q12Sql,
