@@ -73,6 +73,17 @@ class VectorFSpec extends SparkSpec {
     p1.zip(p2).foreach { case (a, b) => assert(math.abs(b - 2 * a) < 1e-9) }
   }
 
+  test("native DotProduct is bit-identical to the HOF formulation on real embeddings") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.filter(col("vec_id") === 3).select(col("v").as("qv"))
+    val diffs = emb.crossJoin(q)
+      .select((dot(col("v"), col("qv")) - dotHof(col("v"), col("qv"))).as("d"))
+      .as[Double].collect()
+    // same left-to-right double accumulation -> exactly zero, not epsilon
+    diffs.foreach(d => assert(d == 0.0))
+  }
+
   test("planeCoef gives distinct hyperplanes across bits") {
     val df = spark.range(0, 32).toDF("i")
     val planes = (0 until 12).map { b =>
