@@ -49,6 +49,20 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 4L)) == 0.0)
   }
 
+  test("bandedSignatures: nBands rows per doc, identical docs share every bandsig") {
+    val banded = Dedup.bandedSignatures(docs, "doc_id", "text", 2, 16, 4)
+      .as[(Long, Long, String)].collect()
+    val perDoc = banded.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // doc 6 ("tiny") has no 2-gram shingles and drops out; others get 4 bands
+    assert(!perDoc.contains(6L))
+    perDoc.values.foreach(bands => assert(bands == Seq(0L, 1L, 2L, 3L)))
+    // exact dup pair (1, 2) collides on every band
+    val sigs = banded.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
   test("simhash: identical docs same hash, near dups few differing bits") {
     val sh = Dedup.simhash16(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
