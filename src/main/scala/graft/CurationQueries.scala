@@ -279,6 +279,30 @@ object CurationQueries {
        FROM n x JOIN n y ON x.doc_id < y.doc_id
        ORDER BY id1, id2"""
 
+  /** Deterministic stratified sampling — the data-mixing primitive:
+    * per-stratum Bernoulli keep with an LCG threshold on the doc id,
+    * so the mixture is reproducible run-to-run and replayable in SQL
+    * (`sampleBy`'s RNG is not). English kept at 50%, other languages
+    * at 20%. */
+  val strataFractions: Map[String, Double] = Map("en" -> 0.5).withDefaultValue(0.2)
+  def q26StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = ((col("doc_id") * 1103515245L + 12345L) % 1000003L)
+      .cast("double") / 1000003.0
+    val f = when(col("lang") === "en", strataFractions("en"))
+      .otherwise(strataFractions("other"))
+    docs(s, dir)
+      .filter(u < f)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  val q26Sql: String =
+    s"""SELECT lang, COUNT(*) AS n_kept FROM documents
+       WHERE ((doc_id * 1103515245 + 12345) % 1000003) / 1000003.0 <
+             CASE WHEN lang = 'en' THEN ${strataFractions("en")} ELSE ${strataFractions("other")} END
+       GROUP BY lang ORDER BY lang"""
+
   /** The canonical training-data curation flow as ONE declarative
     * pipeline, every stage oracle-replayable: exact dedup keep-first →
     * MinHash-LSH near-dup removal (drop the higher id of any verified
@@ -365,6 +389,7 @@ object CurationQueries {
     "q22_text_stats" -> (q22TextStats _),
     "q23_quality_langid" -> (q23QualityLangid _),
     "q24_fingerprint" -> (q24Fingerprint _),
+    "q26_stratified_sample" -> (q26StratifiedSample _),
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_pairs" -> (q31MinhashPairs _),
     "q32_simhash" -> (q32Simhash _),
@@ -376,6 +401,7 @@ object CurationQueries {
     "q22_text_stats" -> q22Sql,
     "q23_quality_langid" -> q23Sql,
     "q24_fingerprint" -> q24Sql,
+    "q26_stratified_sample" -> q26Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_minhash_pairs" -> q31Sql,
     "q32_simhash" -> q32Sql,
