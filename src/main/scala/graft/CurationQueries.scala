@@ -279,6 +279,37 @@ object CurationQueries {
        FROM n x JOIN n y ON x.doc_id < y.doc_id
        ORDER BY id1, id2"""
 
+  /** Unigram log-probability scoring — the perplexity-proxy quality
+    * filter: corpus unigram distribution (one explode + aggregate),
+    * broadcast back, per-doc mean token log-prob. Low scores flag
+    * gibberish / OOV-heavy docs. Two corpus-sized passes, shuffle
+    * keyed by term then by doc — both with map-side partial
+    * aggregation. */
+  def q27UnigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.toks(col("text"))).as("t"))
+    val freqs = toks.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = freqs.agg(sum(col("c")).as("tot"))
+    val withLp = toks
+      .join(broadcast(freqs.crossJoin(broadcast(total))), "t")
+      .select(col("doc_id"),
+        log(col("c").cast("double") / col("tot").cast("double")).as("lp"))
+    withLp.groupBy("doc_id")
+      .agg(round(avg(col("lp")), 6).as("mean_logprob"), count(lit(1)).as("n_tokens"))
+      .filter(col("doc_id") < 200)
+      .orderBy("doc_id")
+  }
+
+  val q27Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+         FROM documents),
+       freqs AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+       total AS (SELECT SUM(c) AS tot FROM freqs)
+       SELECT doc_id, ROUND(AVG(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))), 6) AS mean_logprob,
+         COUNT(*) AS n_tokens
+       FROM toks JOIN freqs USING (t), total
+       WHERE doc_id < 200 GROUP BY doc_id ORDER BY doc_id"""
+
   /** Deterministic stratified sampling — the data-mixing primitive:
     * per-stratum Bernoulli keep with an LCG threshold on the doc id,
     * so the mixture is reproducible run-to-run and replayable in SQL
@@ -390,6 +421,7 @@ object CurationQueries {
     "q23_quality_langid" -> (q23QualityLangid _),
     "q24_fingerprint" -> (q24Fingerprint _),
     "q26_stratified_sample" -> (q26StratifiedSample _),
+    "q27_unigram_logprob" -> (q27UnigramLogprob _),
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_minhash_pairs" -> (q31MinhashPairs _),
     "q32_simhash" -> (q32Simhash _),
@@ -402,6 +434,7 @@ object CurationQueries {
     "q23_quality_langid" -> q23Sql,
     "q24_fingerprint" -> q24Sql,
     "q26_stratified_sample" -> q26Sql,
+    "q27_unigram_logprob" -> q27Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_minhash_pairs" -> q31Sql,
     "q32_simhash" -> q32Sql,
