@@ -288,7 +288,9 @@ object CurationQueries {
   def q27UnigramLogprob(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(TextAnalysis.toks(col("text"))).as("t"))
-    val freqs = toks.groupBy("t").agg(count(lit(1)).as("c"))
+    // vocabulary-sized; materialized once (it is referenced both for
+    // the total and as the scoring join's build side)
+    val freqs = toks.groupBy("t").agg(count(lit(1)).as("c")).localCheckpoint()
     val total = freqs.agg(sum(col("c")).as("tot"))
     val withLp = toks
       .join(broadcast(freqs.crossJoin(broadcast(total))), "t")
