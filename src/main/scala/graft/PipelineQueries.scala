@@ -32,10 +32,21 @@ object PipelineQueries {
   val q50Sql: String = {
     val h = "('0x' || substr(md5(text), 1, 8))::BIGINT"
     def feat(j: Int) = s"ROUND((($h * ${j + 21} + $j * 7919) % 1000003) / 1000003.0 - 0.5, 6)"
+    // the magic-byte CASE replays Multimodal.sniffFormat exactly:
+    // hex() of the UTF-8 bytes, prefix-matched per format — a document
+    // whose text happens to begin with 'RIFF' etc. must sniff the same
+    // in both engines
+    val fmt =
+      """CASE WHEN substr(hex(encode(text)), 1, 8) = '89504E47' THEN 'png'
+              WHEN substr(hex(encode(text)), 1, 6) = 'FFD8FF'   THEN 'jpeg'
+              WHEN substr(hex(encode(text)), 1, 8) = '47494638' THEN 'gif'
+              WHEN substr(hex(encode(text)), 1, 8) = '52494646' THEN 'riff'
+              WHEN substr(hex(encode(text)), 1, 8) = '1A45DFA3' THEN 'matroska'
+              ELSE 'unknown' END"""
     s"""SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS fp,
-       'unknown' AS fmt,
+       $fmt AS fmt,
        ${feat(0)} AS feat0,
        ${feat(1)} AS feat1
        FROM documents WHERE doc_id < 200 ORDER BY doc_id"""
@@ -56,7 +67,7 @@ object PipelineQueries {
   val q60Sql: String =
     """WITH lagd AS (SELECT user_id, ts, value,
            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
-       flag AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+       flag AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
            THEN 1 ELSE 0 END AS new_s FROM lagd),
        sess AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
            ROWS UNBOUNDED PRECEDING) AS sid FROM flag)

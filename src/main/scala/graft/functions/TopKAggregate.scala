@@ -26,6 +26,7 @@ final class TopKBuffer(val k: Int) {
     s1 > s2 || (s1 == s2 && i1 < i2)
 
   def add(score: Double, id: Long): Unit = {
+    if (k <= 0) return // defensive: TopKByScore requires k >= 1
     if (n == k && !better(score, id, scores(n - 1), ids(n - 1))) return
     // find insert position (sorted best-first), shift the tail
     var lo = 0; var hi = n
@@ -66,6 +67,10 @@ case class TopKByScore(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] {
+
+  // fail at construction (= SQL analysis via GraftExtensions), not as
+  // an ArrayIndexOutOfBounds inside a running task
+  require(k >= 1, s"graft_topk requires k >= 1, got $k")
 
   override def children: Seq[Expression] = Seq(id, score)
   override def nullable: Boolean = false
