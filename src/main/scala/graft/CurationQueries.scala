@@ -16,9 +16,9 @@ import org.apache.spark.sql.functions._
   * Scale notes: q22–q24 and q32 are per-row expressions — linear,
   * shuffle-free, codegen'd. q30 shuffles once on the dedup key. q31
   * shuffles on (band, bandsig) — the LSH trick that replaces the
-  * quadratic candidate join at 100 TB. q33's pair join is quadratic by
-  * definition and kept to a bounded id range; the scale path for it is
-  * the same LSH bucketing (Search.lshBucket).
+  * quadratic candidate join at 100 TB. q33 applies the same trick to
+  * embeddings: sign-bit LSH buckets (Search.lshBucket) as the
+  * candidate equi-join key, exact cosine re-score inside buckets.
   */
 object CurationQueries {
 
@@ -221,35 +221,74 @@ object CurationQueries {
        FROM agg GROUP BY doc_id ORDER BY doc_id"""
   }
 
-  /** Embedding-cosine near-dup pairs above τ=0.35. Exact quadratic
-    * form (broadcast self-join) — correct by construction; at corpus
-    * scale the same query runs behind Search.lshBucket so the join key
-    * becomes the bucket id (see q16_ann_lsh). */
+  /** Embedding-cosine near-dup pairs above τ=0.35, LSH-bucketed:
+    * candidate pairs meet only inside a (plane-set, sign-bit bucket)
+    * cell — `q33Rot` independent rotations of `q33Bits` hyperplanes
+    * each (Search.lshBucket with a plane offset), unioned for recall —
+    * then each candidate pair is exactly re-scored with the codegen'd
+    * dot product. Every join is an equi-join (bucket key, then id), so
+    * at 100 TB the cost tracks Σ bucket² per cell, not corpus²; bits
+    * and rotations are the recall/cost knobs. The deterministic
+    * hyperplanes make the whole construction oracle-replayable; the
+    * exact all-pairs form survives as [[q33ExactAllPairs]], the
+    * spec-side ground truth (DedupSpec pins bucketed ⊆ exact and the
+    * achieved recall). */
+  val q33Bits = 4; val q33Rot = 3; val q33Tau = 0.35
+
   def q33NeardupCosine(s: SparkSession, dir: String): DataFrame = {
-    // norms are computed ONCE per row before the pair join (2N norm
-    // passes instead of N^2), so per-pair work is a single codegen'd
-    // DotProduct + scalar ops
     val e = emb(s, dir).select(col("vec_id"), col("v"), norm2(col("v")).as("n"))
-    // probe side re-partitioned: the parquet is one split and the
-    // nested-loop probe is the CPU-bound part — spread it over cores
-    val a = e.repartition(col("vec_id"))
-      .select(col("vec_id").as("id1"), col("v").as("v1"), col("n").as("n1"))
-    val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("n").as("n2"))
-    a.join(b, col("id1") < col("id2"))
+    // one row per (vector, rotation): key = rot·2^bits + bucket
+    val keys = (0 until q33Rot).map(r =>
+      graft.search.Search.lshBucket(col("v"), q33Bits, r * q33Bits)
+        + lit(r.toLong * (1L << q33Bits)))
+    val bk = e.select(col("vec_id"), explode(array(keys: _*)).as("bkey"))
+    val cand = bk.select(col("vec_id").as("id1"), col("bkey"))
+      .join(bk.select(col("vec_id").as("id2"), col("bkey")), Seq("bkey"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    cand
+      .join(e.select(col("vec_id").as("id1"), col("v").as("v1"), col("n").as("n1")), Seq("id1"))
+      .join(e.select(col("vec_id").as("id2"), col("v").as("v2"), col("n").as("n2")), Seq("id2"))
       .withColumn("c", dot(col("v1"), col("v2")) / (col("n1") * col("n2") + lit(1e-9)))
-      .filter(col("c") >= 0.35)
+      .filter(col("c") >= q33Tau)
       .select(col("id1"), col("id2"), round(col("c"), 6).as("cos"))
       .orderBy("id1", "id2")
   }
 
-  val q33Sql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+  /** The exact quadratic form of q33 — ground truth for the bucketed
+    * variant's recall, spec-only (a cartesian pair join cannot be the
+    * declared plan at corpus scale). */
+  def q33ExactAllPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("v"), norm2(col("v")).as("n"))
+    val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("n").as("n1"))
+    val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("n").as("n2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("c", dot(col("v1"), col("v2")) / (col("n1") * col("n2") + lit(1e-9)))
+      .filter(col("c") >= q33Tau)
+      .select(col("id1"), col("id2"), round(col("c"), 6).as("cos"))
+  }
+
+  val q33Sql: String = {
+    // planeCoef(i, p) replayed exactly as VectorF.planeCoef defines it
+    // (same formula as q16Sql, plane p = rot*bits + b)
+    def proj(p: Int) =
+      s"""list_sum(list_transform(generate_series(0, 63),
+          i -> v[i + 1] * ((((i + 1) * ((${p + 1} * 2654435761) % 1000003) + ${p + 1} * 7919) % 1000003) / 1000003.0 - 0.5)))"""
+    def key(r: Int) = (0 until q33Bits).map(b =>
+      s"CASE WHEN ${proj(r * q33Bits + b)} >= 0 THEN ${1L << b} ELSE 0 END")
+      .mkString("(", " + ", s" + ${r.toLong * (1L << q33Bits)})")
+    val keyList = (0 until q33Rot).map(key).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
              FROM embeddings),
-       s AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
-               list_dot_product(a.v, b.v) / (a.n * b.n + 1e-9) AS c
-             FROM e a JOIN e b ON a.vec_id < b.vec_id)
-       SELECT id1, id2, ROUND(c, 6) AS cos FROM s WHERE c >= 0.35 ORDER BY id1, id2"""
+       bk AS (SELECT vec_id, unnest($keyList) AS bkey FROM e),
+       cand AS (SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+              FROM bk a JOIN bk c ON a.bkey = c.bkey AND a.vec_id < c.vec_id),
+       sc AS (SELECT id1, id2,
+               list_dot_product(x.v, y.v) / (x.n * y.n + 1e-9) AS c
+             FROM cand JOIN e x ON cand.id1 = x.vec_id JOIN e y ON cand.id2 = y.vec_id)
+       SELECT id1, id2, ROUND(c, 6) AS cos FROM sc WHERE c >= $q33Tau ORDER BY id1, id2"""
+  }
 
   /** Exact n-gram Jaccard over all pairs in a bounded id range —
     * the verify-everything variant for small candidate sets. */

@@ -85,11 +85,17 @@ object Search {
     * the shuffle/partition key, so candidate generation touches only
     * same-bucket rows instead of the cross product. Deterministic →
     * oracle-replayable. */
-  def lshBucket(v: Column, nBits: Int): Column = {
+  def lshBucket(v: Column, nBits: Int): Column = lshBucket(v, nBits, 0)
+
+  /** As above, with plane indices offset by `planeOffset` — rotation
+    * set `r` uses planes [r·nBits, (r+1)·nBits), giving independent
+    * bucketings whose union recovers recall that any single plane set
+    * loses (the standard multi-hash-table LSH construction). */
+  def lshBucket(v: Column, nBits: Int, planeOffset: Int): Column = {
     val bits = (0 until nBits).map { b =>
       val proj = aggregate(
         zip_with(toDouble(v), sequence(lit(0L), size(v).cast("long") - 1L),
-          (x, i) => x * planeCoef(i, lit(b.toLong))),
+          (x, i) => x * planeCoef(i, lit((planeOffset + b).toLong))),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }

@@ -63,6 +63,18 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(4L))
   }
 
+  test("q33 bucketed near-dup pairs: subset of exact all-pairs, recall floor holds") {
+    val got = CurationQueries.q33NeardupCosine(spark, sf0001)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val exact = CurationQueries.q33ExactAllPairs(spark, sf0001)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact)) // re-score is exact: no false positives
+    assert(exact.nonEmpty && got.nonEmpty)
+    val recall = got.size.toDouble / exact.size
+    info(f"q33 LSH recall vs exact: $recall%.3f (${got.size}/${exact.size})")
+    assert(recall >= 0.3, s"recall $recall under floor — raise q33Rot or lower q33Bits")
+  }
+
   test("simhash: identical docs same hash, near dups few differing bits") {
     val sh = Dedup.simhash16(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

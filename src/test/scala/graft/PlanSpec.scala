@@ -37,6 +37,13 @@ class PlanSpec extends SparkSpec {
     assert(plan("q11_knn_multi").contains("graft_dot"))
   }
 
+  test("q33: near-dup candidates meet via bucket equi-join, never a nested-loop pair join") {
+    val p = plan("q33_neardup_cosine")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("q20: BM25 postings explode only the query terms (pre-explode array filter)") {
     val p = plan("q20_bm25")
     assert(p.contains("filter(")) // the array-level token filter feeds the generate
