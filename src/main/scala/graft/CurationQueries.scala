@@ -393,7 +393,10 @@ object CurationQueries {
     val dropIds = Dedup.jaccardVerify(d1, "doc_id", "text", pairs, shingleN)
       .filter(col("jaccard") >= nearDupTau)
       .select(col("id2").as("doc_id")).distinct()
-    d1.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+    // no broadcast() hint: dropIds scales with the near-dup pair
+    // count — strategy is AQE's call (it will still broadcast when
+    // the runtime size is actually small)
+    d1.join(dropIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"),
         qualityScore(col("text")).as("quality"),
         langId(col("text")).as("lang_pred"))

@@ -139,8 +139,11 @@ object Dedup {
     // reused via its final exchange
     val needed = pairs
       .select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
+    // no broadcast() hint: `needed` scales with the candidate-pair
+    // count, which an adversarial corpus can blow past the broadcast
+    // cap — leave the join strategy to AQE / size thresholds
     val sh = shingleRows(
-        df.join(broadcast(needed), df(idCol) === needed("id"), "left_semi"),
+        df.join(needed, df(idCol) === needed("id"), "left_semi"),
         idCol, textCol, shingleN)
       .groupBy("id").agg(collect_set(col("s")).as("sh"))
       .withColumn("nsh", size(col("sh")))
