@@ -15,12 +15,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * interpreted lambdas (CodegenFallback), one pass over the two
   * vector buffers.
   *
-  * Engine semantics note: DotProduct folds min(len(a), len(b))
-  * elements of non-null vectors; the HOF form would instead yield
-  * NULL on length mismatch via zip_with's null padding. The engine's
-  * vector columns are fixed-dimension and non-null by construction
-  * (SURVEY §1.2), where both forms agree exactly — including
-  * left-to-right summation order.
+  * The rewrite is semantics-preserving on ALL inputs: DotProduct
+  * returns NULL on null input, length mismatch, or a null element —
+  * exactly what the HOF form yields via zip_with's null padding and
+  * null propagation through the sum — and accumulates left-to-right
+  * in the same order, so the fused plan is bit-identical even on
+  * ragged or null-element arrays.
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
 

@@ -40,6 +40,26 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == 32.0)
   }
 
+  test("graft_dot matches the HOF form on ragged and null-element arrays") {
+    // zip_with null-pads the shorter array and the null propagates
+    // through the sum — both forms must return NULL, not a partial sum
+    val r = spark.sql(
+      """SELECT graft_dot(a, b) AS fused,
+                aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D,
+                  (acc, x) -> acc + x) AS hof
+         FROM VALUES
+           (array(1.0D, 2.0D), array(3.0D)),
+           (array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D)),
+           (CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)),
+           (array(1.0D, 2.0D), array(3.0D, 4.0D)) AS t(a, b)""")
+      .collect()
+    r.foreach { row =>
+      assert(row.isNullAt(0) == row.isNullAt(1))
+      if (!row.isNullAt(0)) assert(row.getDouble(0) == row.getDouble(1))
+    }
+    assert(r.count(_.isNullAt(0)) == 3)
+  }
+
   test("optimizer rewrites the HOF dot-product idiom into the fused kernel") {
     // inputs derived from range() so constant folding can't collapse
     // the plan before the rewrite is observable
