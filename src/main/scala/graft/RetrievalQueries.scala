@@ -110,21 +110,24 @@ object RetrievalQueries {
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
   }
 
-  /** R2 (second scale path): IVF coarse-quantized ANN — 8 strided
-    * centroids, probe the 2 best lists, exact re-rank inside them. */
-  val ivfK = 8; val ivfStride = 23L; val ivfProbe = 2
+  /** R2 (second scale path): IVF coarse-quantized ANN — 8 centroids
+    * seeded by the rank-based LCG sample (id-distribution-free),
+    * probe the 2 best lists, exact re-rank inside them. */
+  val ivfK = 8; val ivfProbe = 2
   def q45AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     graft.search.IVF.ivfTopK(e, "vec_id", "v",
       e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
-      10, ivfK, ivfStride, ivfProbe)
+      10, ivfK, ivfProbe)
       .orderBy("rank")
   }
 
   val q45Sql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       c AS (SELECT CAST(vec_id / $ivfStride AS BIGINT) AS cid, v AS cvec FROM e
-             WHERE vec_id % $ivfStride = 0 AND vec_id < ${ivfK * ivfStride}),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               (vec_id * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e) WHERE cid < $ivfK),
        a AS (SELECT vec_id, v, cid FROM (
            SELECT e.vec_id, e.v, c.cid,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id

@@ -1,6 +1,7 @@
 package graft.search
 
 import graft.functions.VectorF._
+import graft.ingest.Ingest
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -13,19 +14,25 @@ import org.apache.spark.sql.functions._
   * corpus instead of all of it, and list assignment is a one-off
   * batch job whose output is just an extra int column on the table.
   *
-  * Centroids are chosen DETERMINISTICALLY (a strided sample of the
-  * corpus itself — ids j*stride for j < K), so the whole path —
-  * assignment, probing, final ranking — replays exactly in the DuckDB
-  * oracle. A k-means refinement would slot in without changing any
-  * plan shape (it only moves the centroid vectors).
+  * Centroids are chosen DETERMINISTICALLY (the rank-based LCG sample
+  * of Ingest.sampleN — id-distribution-free, so sparse or
+  * non-contiguous id spaces still yield exactly K centroids), and the
+  * whole path — assignment, probing, final ranking — replays exactly
+  * in the DuckDB oracle. A k-means refinement would slot in without
+  * changing any plan shape (it only moves the centroid vectors).
   */
 object IVF {
 
-  /** The K deterministic centroid rows: (cid, cvec). */
+  /** The K deterministic centroid rows: (cid, cvec). cid is the rank
+    * in the LCG sample order — dense 0..K-1 whatever the id space. */
   def centroids(docs: DataFrame, idCol: String, vecCol: String,
-                k: Int, stride: Long): DataFrame =
-    docs.filter(col(idCol) % stride === 0 && col(idCol) < k * stride)
-      .select((col(idCol) / stride).cast("long").as("cid"), col(vecCol).as("cvec"))
+                k: Int): DataFrame =
+    Ingest.sampleN(docs, col(idCol), k)
+      .select(
+        (row_number().over(Window.orderBy(
+          Ingest.pseudoShuffleKey(col(idCol)).asc, col(idCol).asc)) - 1)
+          .cast("long").as("cid"),
+        col(vecCol).as("cvec"))
 
   /** Assign every vector to its best inner-product centroid
     * (tiebreak: lowest cid). Broadcast K centroids; one window rank
@@ -76,8 +83,8 @@ object IVF {
     * reference's `faiss.write_index` file
     * (`src/pipeline/pipeline.py:134`). */
   def writeIndex(docs: DataFrame, idCol: String, vecCol: String,
-                 k: Int, stride: Long, refineIters: Int, path: String): Unit = {
-    val cents0 = centroids(docs, idCol, vecCol, k, stride)
+                 k: Int, refineIters: Int, path: String): Unit = {
+    val cents0 = centroids(docs, idCol, vecCol, k)
     val cents = if (refineIters > 0)
       refine(docs, idCol, vecCol, cents0, refineIters) else cents0
     cents.write.mode("overwrite").parquet(s"$path/centroids")
@@ -116,8 +123,8 @@ object IVF {
     * inside them. Output (id, rank, score) like Search.topK. */
   def ivfTopK(docs: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, queryVecCol: String,
-              k: Int, nCentroids: Int, stride: Long, nprobe: Int): DataFrame = {
-    val cents = centroids(docs, idCol, vecCol, nCentroids, stride)
+              k: Int, nCentroids: Int, nprobe: Int): DataFrame = {
+    val cents = centroids(docs, idCol, vecCol, nCentroids)
     val assigned = assign(docs, idCol, vecCol, cents)
     val probes = query.select(col(queryVecCol).as("__qv"))
       .crossJoin(broadcast(cents))

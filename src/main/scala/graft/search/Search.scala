@@ -47,7 +47,18 @@ object Search {
     * match the sort-based plan and the oracle bit-for-bit. */
   def multiTopK(docs: DataFrame, idCol: String, vecCol: String,
                 queries: DataFrame, qidCol: String, qvecCol: String,
-                k: Int): DataFrame =
+                k: Int): DataFrame = {
+    // the heap aggregate carries ids as long; a non-integral id would
+    // cast to NULL and be silently dropped — reject it up front
+    require({
+        import org.apache.spark.sql.types._
+        docs.schema(idCol).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+      },
+      s"multiTopK requires an integral id column; '$idCol' is " +
+        docs.schema(idCol).dataType.simpleString)
     docs
       .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))))
       .select(col("qid"), col(idCol), dot(col(vecCol), col("__qv")).as("score"))
@@ -57,6 +68,7 @@ object Search {
       .select(col("qid"), explode(col("__tk")).as("__e"))
       .select(col("qid"), col("__e.id").as(idCol), col("__e.rank").as("rank"),
         round(col("__e.score"), 6).as("score"))
+  }
 
   /** The window-sort formulation of multi-query top-k — kept for A/B
     * parity testing against the heap aggregate. */

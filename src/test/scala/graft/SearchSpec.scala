@@ -41,6 +41,16 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("multiTopK rejects non-integral id columns instead of dropping rows") {
+    val qs = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val strId = emb.select(concat(lit("doc-"), col("vec_id")).as("vec_id"), col("v"))
+    val e = intercept[IllegalArgumentException] {
+      Search.multiTopK(strId, "vec_id", "v", qs, "qid", "qv", 5)
+    }
+    assert(e.getMessage.contains("integral id column"))
+  }
+
   test("lshTopK: bucket-pruned results are a subset ranked consistently, query itself found") {
     val q = emb.filter(col("vec_id") === 7).select(col("v").as("qv"))
     val approx = Search.lshTopK(emb, "vec_id", "v", q, "qv", 10, nBits = 4)
@@ -64,12 +74,12 @@ class SearchSpec extends SparkSpec {
 
   test("IVF: assignment covers the corpus, probe-pruned top-k is a ranked subset") {
     import graft.search.IVF
-    val cents = IVF.centroids(emb, "vec_id", "v", 8, 23L)
+    val cents = IVF.centroids(emb, "vec_id", "v", 8)
     assert(cents.count() == 8)
     val assigned = IVF.assign(emb, "vec_id", "v", cents)
     assert(assigned.count() == emb.count()) // every vector lands in exactly one list
     val got = IVF.ivfTopK(emb, "vec_id", "v",
-      emb.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10, 8, 23L, 2)
+      emb.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10, 8, 2)
       .select("vec_id", "rank").as[(Long, Long)].collect()
     assert(got.length == 10)
     assert(got.map(_._2).sorted.toSeq == (1L to 10L))
@@ -77,14 +87,30 @@ class SearchSpec extends SparkSpec {
     assert(got.map(_._1).contains(1L))
   }
 
+  test("IVF centroids: sparse/non-contiguous ids still yield exactly k dense cids") {
+    import graft.search.IVF
+    // an adversarial id space the old id-stride rule would have
+    // yielded 0 centroids on (no id divisible by the stride in range)
+    val sparse = emb.select((col("vec_id") * 1000003L + 17L).as("vec_id"), col("v"))
+    val cents = IVF.centroids(sparse, "vec_id", "v", 8)
+    val cids = cents.select("cid").as[Long].collect().sorted.toSeq
+    assert(cids == (0L until 8L))
+    // deterministic: same frame, same centroids
+    val again = IVF.centroids(sparse, "vec_id", "v", 8)
+      .select("cid", "cvec").as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val first = cents.select("cid", "cvec")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(again == first)
+  }
+
   test("persisted IVF index: partition-pruned search matches in-memory IVF") {
     import graft.search.IVF
     val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
-    IVF.writeIndex(emb, "vec_id", "v", 8, 23L, refineIters = 0, path)
+    IVF.writeIndex(emb, "vec_id", "v", 8, refineIters = 0, path)
     val q = emb.filter(col("vec_id") === 1).select(col("v").as("qv"))
     val fromIndex = IVF.searchIndex(spark, path, "vec_id", "v", q, "qv", 10, 2)
       .select("vec_id", "rank").as[(Long, Long)].collect().toSeq
-    val inMemory = IVF.ivfTopK(emb, "vec_id", "v", q, "qv", 10, 8, 23L, 2)
+    val inMemory = IVF.ivfTopK(emb, "vec_id", "v", q, "qv", 10, 8, 2)
       .select("vec_id", "rank").as[(Long, Long)].collect().toSeq
     assert(fromIndex == inMemory)
     // the probe is a genuine partition filter on the lists scan
@@ -102,7 +128,7 @@ class SearchSpec extends SparkSpec {
           col("cid") === col("c2"))
         .select(graft.functions.VectorF.dot(col("v"), col("cvec")).as("s"))
         .agg(avg("s")).as[Double].head()
-    val init = IVF.centroids(emb, "vec_id", "v", 8, 23L)
+    val init = IVF.centroids(emb, "vec_id", "v", 8)
       .select(col("cid"), graft.functions.VectorF.l2normalize(col("cvec")).as("cvec"))
     val refined = IVF.refine(emb, "vec_id", "v", init, 3)
     assert(refined.count() <= 8)
