@@ -92,14 +92,19 @@ object RetrievalQueries {
       .orderBy("rank")
   }
 
-  val q16Sql: String = {
-    // bucket(v) = sum_b [proj_b(v) >= 0] * 2^b over annBits hyperplanes;
-    // planeCoef replayed in SQL exactly as VectorF.planeCoef defines it
+  /** DuckDB replay of `Search.lshBucket(v, nBits)` over a 64-dim
+    * column named `v`: bucket = sum_b [proj_b(v) >= 0] * 2^b, with
+    * planeCoef written out exactly as VectorF.planeCoef defines it. */
+  private def bucketSql(nBits: Int): String = {
     val proj = (b: Int) =>
       s"""list_sum(list_transform(generate_series(0, 63),
           i -> v[i + 1] * ((((i + 1) * ((${b + 1} * 2654435761) % 1000003) + ${b + 1} * 7919) % 1000003) / 1000003.0 - 0.5)))"""
-    val bucket = (0 until annBits).map(b =>
+    (0 until nBits).map(b =>
       s"CASE WHEN ${proj(b)} >= 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+  }
+
+  val q16Sql: String = {
+    val bucket = bucketSql(annBits)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        bk AS (SELECT vec_id, v, ($bucket) AS b FROM e),
        q AS (SELECT v AS qv, b AS qb FROM bk WHERE vec_id = 0),
@@ -143,6 +148,116 @@ object RetrievalQueries {
        r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
+  /** R2 quality: the ANN recall CONTRACT. recall@10 of each
+    * approximate path against the exact scan, one row per
+    * (method, knob) — LSH single-probe vs multi-probe (Hamming-1
+    * neighbors) and IVF across nprobe. This is the knob-tuning /
+    * regression evidence the reference gets from clamping HNSW
+    * efSearch (`src/pipeline/pipeline_mode.py:221-228`): a user
+    * swapping in real embeddings reruns this query to pick the
+    * recall/cost point, and SearchSpec pins floors so a code change
+    * that silently degrades recall fails the build. */
+  val recallK = 10; val recallNq = 5
+  def q48AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qs = e.filter(col("vec_id") < recallNq)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = Search.multiTopK(e, "vec_id", "v", qs, "qid", "qv", recallK)
+      .select(col("qid"), col("vec_id"))
+    def recallRow(approx: DataFrame, method: String, knob: String): DataFrame =
+      exact.join(approx.select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_semi")
+        .agg(round(count(lit(1)) / lit((recallNq * recallK).toDouble), 4).as("recall"))
+        .select(lit(method).as("method"), lit(knob).as("knob"), col("recall"))
+    Seq(
+      recallRow(Search.lshMultiTopK(e, "vec_id", "v", qs, "qid", "qv",
+        recallK, annBits, hamming1 = false), "lsh", s"bits=$annBits probes=1"),
+      recallRow(Search.lshMultiTopK(e, "vec_id", "v", qs, "qid", "qv",
+        recallK, annBits, hamming1 = true), "lsh", s"bits=$annBits probes=1+H1"),
+      recallRow(graft.search.IVF.ivfMultiTopK(e, "vec_id", "v", qs, "qid", "qv",
+        recallK, ivfK, 1), "ivf", s"k=$ivfK nprobe=1"),
+      recallRow(graft.search.IVF.ivfMultiTopK(e, "vec_id", "v", qs, "qid", "qv",
+        recallK, ivfK, 2), "ivf", s"k=$ivfK nprobe=2"),
+      recallRow(graft.search.IVF.ivfMultiTopK(e, "vec_id", "v", qs, "qid", "qv",
+        recallK, ivfK, 4), "ivf", s"k=$ivfK nprobe=4"))
+      .reduce(_ union _)
+      .orderBy("method", "knob")
+  }
+
+  val q48Sql: String = {
+    val bucket = bucketSql(annBits)
+    val hProbes = (0 until annBits)
+      .map(b => s"UNION ALL SELECT qid, qv, xor(qb, ${1L << b}) AS pb FROM qb")
+      .mkString("\n            ")
+    val denom = s"${recallNq * recallK}.0"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $recallNq),
+       ex AS (SELECT qid, vec_id FROM (
+           SELECT q.qid, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(e.v, q.qv) DESC, e.vec_id) AS r
+           FROM e, q) WHERE r <= $recallK),
+       bk AS (SELECT vec_id, v, ($bucket) AS b FROM e),
+       qb AS (SELECT q.qid, q.qv, bk.b AS qb FROM q JOIN bk ON bk.vec_id = q.qid),
+       p1 AS (SELECT qid, qv, qb AS pb FROM qb),
+       ph AS (SELECT qid, qv, qb AS pb FROM qb
+            $hProbes),
+       lsh1 AS (SELECT qid, vec_id FROM (
+           SELECT p.qid, bk.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY p.qid
+               ORDER BY list_dot_product(bk.v, p.qv) DESC, bk.vec_id) AS r
+           FROM bk JOIN p1 p ON bk.b = p.pb) WHERE r <= $recallK),
+       lshh AS (SELECT qid, vec_id FROM (
+           SELECT p.qid, bk.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY p.qid
+               ORDER BY list_dot_product(bk.v, p.qv) DESC, bk.vec_id) AS r
+           FROM bk JOIN ph p ON bk.b = p.pb) WHERE r <= $recallK),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               (vec_id * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       pq AS (SELECT qid, qv, cid, r FROM (
+           SELECT q.qid, q.qv, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM q, c)),
+       ivf1 AS (SELECT qid, vec_id FROM (
+           SELECT p.qid, a.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY p.qid
+               ORDER BY list_dot_product(a.v, p.qv) DESC, a.vec_id) AS r2
+           FROM a JOIN (SELECT * FROM pq WHERE r <= 1) p ON a.cid = p.cid)
+           WHERE r2 <= $recallK),
+       ivf2 AS (SELECT qid, vec_id FROM (
+           SELECT p.qid, a.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY p.qid
+               ORDER BY list_dot_product(a.v, p.qv) DESC, a.vec_id) AS r2
+           FROM a JOIN (SELECT * FROM pq WHERE r <= 2) p ON a.cid = p.cid)
+           WHERE r2 <= $recallK),
+       ivf4 AS (SELECT qid, vec_id FROM (
+           SELECT p.qid, a.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY p.qid
+               ORDER BY list_dot_product(a.v, p.qv) DESC, a.vec_id) AS r2
+           FROM a JOIN (SELECT * FROM pq WHERE r <= 4) p ON a.cid = p.cid)
+           WHERE r2 <= $recallK)
+       SELECT method, knob, recall FROM (
+         SELECT 'lsh' AS method, 'bits=$annBits probes=1' AS knob,
+           ROUND(COUNT(*) / $denom, 4) AS recall FROM ex JOIN lsh1 USING (qid, vec_id)
+         UNION ALL SELECT 'lsh', 'bits=$annBits probes=1+H1',
+           ROUND(COUNT(*) / $denom, 4) FROM ex JOIN lshh USING (qid, vec_id)
+         UNION ALL SELECT 'ivf', 'k=$ivfK nprobe=1',
+           ROUND(COUNT(*) / $denom, 4) FROM ex JOIN ivf1 USING (qid, vec_id)
+         UNION ALL SELECT 'ivf', 'k=$ivfK nprobe=2',
+           ROUND(COUNT(*) / $denom, 4) FROM ex JOIN ivf2 USING (qid, vec_id)
+         UNION ALL SELECT 'ivf', 'k=$ivfK nprobe=4',
+           ROUND(COUNT(*) / $denom, 4) FROM ex JOIN ivf4 USING (qid, vec_id))
+       ORDER BY method, knob"""
+  }
 
   // ---------- noise QA / FHE-as-contract (V9, M7, R7, M8) ----------
 
@@ -383,6 +498,7 @@ object RetrievalQueries {
     "q16_ann_lsh" -> (q16AnnLsh _),
     "q17_noise_qa" -> (q17NoiseQa _),
     "q45_ann_ivf" -> (q45AnnIvf _),
+    "q48_ann_recall" -> (q48AnnRecall _),
     "q18_fhe_sim" -> (q18FheSim _),
     "q19_fhe_overlap" -> (q19FheOverlap _),
     "q40_rank_metrics" -> (q40Materialized _),
@@ -398,6 +514,7 @@ object RetrievalQueries {
     "q16_ann_lsh" -> q16Sql,
     "q17_noise_qa" -> q17Sql,
     "q45_ann_ivf" -> q45Sql,
+    "q48_ann_recall" -> q48Sql,
     "q18_fhe_sim" -> q18Sql,
     "q19_fhe_overlap" -> q19Sql,
     "q40_rank_metrics" -> q40Sql,

@@ -119,6 +119,37 @@ object IVF {
       .select(col(idCol), col("rank"), round(col("score"), 6).as("score"))
   }
 
+  /** Multi-query IVF search: ONE corpus scan serves every query.
+    * Each query ranks the centroids and keeps its `nprobe` best
+    * lists; candidates meet through an equi-join on cid (over a
+    * persisted index: partition pruning), and per-query top-k runs
+    * through the bounded-heap aggregate, so the exchange carries
+    * O(queries × k) rows. */
+  def ivfMultiTopK(docs: DataFrame, idCol: String, vecCol: String,
+                   queries: DataFrame, qidCol: String, qvecCol: String,
+                   k: Int, nCentroids: Int, nprobe: Int): DataFrame = {
+    val cents = centroids(docs, idCol, vecCol, nCentroids)
+    val assigned = assign(docs, idCol, vecCol, cents)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("__cs").desc, col("cid").asc)
+    val probes = queries
+      .select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cs", dot(col("__qv"), col("cvec")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nprobe)
+      .select(col("qid"), col("__qv"), col("cid"))
+    assigned
+      .join(broadcast(probes), "cid")
+      .select(col("qid"), col(idCol), dot(col(vecCol), col("__qv")).as("score"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graftnative.TopKAggregate
+        .topK(col(idCol).cast("long"), col("score"), k).as("__tk"))
+      .select(col("qid"), explode(col("__tk")).as("__e"))
+      .select(col("qid"), col("__e.id").as(idCol), col("__e.rank").as("rank"),
+        round(col("__e.score"), 6).as("score"))
+  }
+
   /** IVF search: probe the query's `nprobe` best lists, exact re-rank
     * inside them. Output (id, rank, score) like Search.topK. */
   def ivfTopK(docs: DataFrame, idCol: String, vecCol: String,

@@ -114,6 +114,41 @@ object Search {
     bits.reduce(_ + _)
   }
 
+  /** R2 multi-query LSH with the multi-probe recall knob: each query
+    * probes its own bucket plus (with `hamming1`) every Hamming-1
+    * neighbor bucket — the standard multi-probe LSH recall/cost dial
+    * (more probes = more candidates = higher recall), the engine's
+    * analog of the reference clamping HNSW efSearch
+    * (`src/pipeline/pipeline_mode.py:221-228`). Probing stays an
+    * EQUI-join on bucket id: the probe set is (1 + nBits) rows per
+    * query, so candidate generation is bucket-partition-pruned at any
+    * corpus size — never a similarity scan. Per-query top-k via the
+    * bounded-heap aggregate, one corpus scan for all queries. */
+  def lshMultiTopK(docs: DataFrame, idCol: String, vecCol: String,
+                   queries: DataFrame, qidCol: String, qvecCol: String,
+                   k: Int, nBits: Int, hamming1: Boolean): DataFrame = {
+    val base = queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qv"),
+      lshBucket(col(qvecCol), nBits).as("__qb"))
+    // neighbor buckets differ from __qb in exactly one bit → all
+    // probe buckets of one query are distinct, so no candidate is
+    // scored twice and the heap sees each (qid, id) once
+    val probeCols: Seq[Column] = col("__qb") +:
+      (if (hamming1) (0 until nBits).map(b => col("__qb").bitwiseXOR(lit(1L << b)))
+       else Seq.empty[Column])
+    val probes = base.select(col("qid"), col("__qv"),
+      explode(array(probeCols: _*)).as("__pb"))
+    docs
+      .withColumn("__db", lshBucket(col(vecCol), nBits))
+      .join(broadcast(probes), col("__db") === col("__pb"))
+      .select(col("qid"), col(idCol), dot(col(vecCol), col("__qv")).as("score"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graftnative.TopKAggregate
+        .topK(col(idCol).cast("long"), col("score"), k).as("__tk"))
+      .select(col("qid"), explode(col("__tk")).as("__e"))
+      .select(col("qid"), col("__e.id").as(idCol), col("__e.rank").as("rank"),
+        round(col("__e.score"), 6).as("score"))
+  }
+
   /** R2 (approximate kNN, scale path): restrict the scan to the
     * query's LSH bucket, then exact re-score inside it. Trades recall
     * for a corpus-partition-pruned scan — the Spark-native analog of

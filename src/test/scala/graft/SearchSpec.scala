@@ -87,6 +87,45 @@ class SearchSpec extends SparkSpec {
     assert(got.map(_._1).contains(1L))
   }
 
+  test("ANN recall contract: multi-probe and nprobe raise recall, floors hold, full probe is exact") {
+    import graft.search.IVF
+    val rec = RetrievalQueries.q48AnnRecall(spark, sf0001)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val lsh1 = rec(("lsh", "bits=4 probes=1"))
+    val lshH = rec(("lsh", "bits=4 probes=1+H1"))
+    val ivf1 = rec(("ivf", "k=8 nprobe=1"))
+    val ivf2 = rec(("ivf", "k=8 nprobe=2"))
+    val ivf4 = rec(("ivf", "k=8 nprobe=4"))
+    // more probes = superset candidates = recall can only rise
+    assert(lshH >= lsh1)
+    assert(ivf2 >= ivf1 && ivf4 >= ivf2)
+    // pinned floors (measured 0.28/0.56/0.78 on sf0.001): a change
+    // that silently degrades an ANN path below these fails the build
+    assert(lsh1 >= 0.25, s"lsh single-probe recall $lsh1")
+    assert(lshH >= 0.50, s"lsh multi-probe recall $lshH")
+    assert(ivf4 >= 0.70, s"ivf nprobe=4 recall $ivf4")
+    // probing every list IS the exact scan
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val full = IVF.ivfMultiTopK(emb, "vec_id", "v", qs, "qid", "qv", 10, 8, 8)
+      .select("qid", "vec_id", "rank").as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    val exact = Search.multiTopK(emb, "vec_id", "v", qs, "qid", "qv", 10)
+      .select("qid", "vec_id", "rank").as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    assert(full.toSeq == exact.toSeq)
+  }
+
+  test("lshMultiTopK single-probe agrees with single-query lshTopK") {
+    val q = emb.filter(col("vec_id") === 7)
+    val multi = Search.lshMultiTopK(emb, "vec_id", "v",
+        q.select(col("vec_id").as("qid"), col("v").as("qv")), "qid", "qv", 10, 4, hamming1 = false)
+      .select("vec_id", "rank").as[(Long, Long)].collect().sortBy(_._2).toSeq
+    val single = Search.lshTopK(emb, "vec_id", "v",
+        q.select(col("v").as("qv")), "qv", 10, 4)
+      .select("vec_id", "rank").as[(Long, Long)].collect().sortBy(_._2).toSeq
+    assert(multi == single)
+  }
+
   test("IVF centroids: sparse/non-contiguous ids still yield exactly k dense cids") {
     import graft.search.IVF
     // an adversarial id space the old id-stride rule would have
