@@ -425,6 +425,38 @@ object RetrievalQueries {
       .orderBy("doc_id")
   }
 
+  /** E2 end-to-end: the reference's DP attribute flow
+    * (`src/pipeline/pipeline_mode.py:60-104`) with a REAL attribute
+    * embedding, not the q15 synthetic stand-in. Attribute text
+    * "{lang} {source} {n_chars}" (Embed.attrText — the reference's
+    * f"{name} {gender} {age} {city}", :68-71) → hash embedder →
+    * deterministic noise at the reference's default sigma 0.15
+    * (`src/main.py:16`) → renormalize → normalize(0.7·text ⊕
+    * 0.3·noisy_attr) (:83-86) → top-10 with a zero-attribute query
+    * vector (:98-104). Text and attribute vectors come from ONE
+    * mapPartitions pass (Embed.embedDocsAttr) — one corpus scan, no
+    * self-join of two embedding passes. MurmurHash isn't ANSI SQL →
+    * rows-only driver check; EmbedderSpec pins the semantics and the
+    * retrieval drift vs exact text-only search. */
+  def q49DpAttrSearch(s: SparkSession, dir: String): DataFrame = {
+    val raw = docs(s, dir).select(col("doc_id"), col("text"),
+      graft.embed.Embed.attrText(Seq("lang", "source", "n_chars")).as("atext"))
+    val both = graft.embed.Embed.embedDocsAttr(raw, "doc_id", "text", "atext",
+      new graft.embed.HashEmbedder(64), new graft.embed.HashEmbedder(attrDim49))
+    val dpDocs = both.select(col("doc_id"),
+      l2normalize(weightedConcat(col("vec"), 0.7,
+        addNoise(col("avec"), col("doc_id"), 0.15), 0.3)).as("dpv"))
+    // query text encoded with the same model, zero attribute pad —
+    // exactly the reference's query path (:92-104)
+    val qv = new graft.embed.HashEmbedder(64).embed(Queries.bm25Terms.mkString(" "))
+      .map(_.toDouble).toSeq
+    val query = s.range(1)
+      .select(Search.dpQueryVec(typedLit(qv), attrDim49, 0.7).as("qv"))
+    Search.topK(dpDocs, "doc_id", "dpv", query, "qv", 10).orderBy("rank")
+  }
+
+  private val attrDim49 = 16
+
   // ---------- hybrid retrieval (R4/R5) ----------
 
   /** R4: vector top-20 ∪ BM25 top-20 with provenance flags — the
@@ -505,7 +537,8 @@ object RetrievalQueries {
     "q41_hybrid" -> (q41Hybrid _),
     "q42_mmr" -> (q42Mmr _),
     "q43_embed_docs" -> (q43EmbedDocs _),
-    "q44_metrics_mean" -> (q44MetricsMean _))
+    "q44_metrics_mean" -> (q44MetricsMean _),
+    "q49_dp_attr_search" -> (q49DpAttrSearch _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,

@@ -66,4 +66,22 @@ object Embed {
     * (reference `src/pipeline/pipeline_mode.py:68-75`). */
   def attrText(cols: Seq[String]): org.apache.spark.sql.Column =
     concat_ws(" ", cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+
+  /** E2/E3 fused: embed BOTH the document text and its attribute text
+    * in ONE mapPartitions pass — one corpus scan, two embedders per
+    * partition, no join between two embedding passes. (The reference
+    * makes two separate driver-side `model.encode` passes,
+    * `src/pipeline/pipeline_mode.py:62,74-76`; at corpus scale one
+    * scan strictly dominates two scans + an id join.) */
+  def embedDocsAttr(docs: DataFrame, idCol: String, textCol: String,
+                    attrCol: String, textEmb: Embedder,
+                    attrEmb: Embedder): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol), col(attrCol))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, t, a) => (id, textEmb.embed(t), attrEmb.embed(a)) }
+      }.toDF(idCol, "vec", "avec")
+  }
 }

@@ -39,4 +39,42 @@ class EmbedderSpec extends SparkSpec {
     val s = df.select(Embed.attrText(Seq("name", "gender", "age"))).as[String].head()
     assert(s == "ann  42")
   }
+
+  test("embedDocsAttr fused pass matches driver-side embed for both columns") {
+    val aEmb = new HashEmbedder(dim = 16)
+    val docs = Seq((1L, "hello world", "en web 11"), (2L, "spark engine", "fr pdf 12"))
+      .toDF("doc_id", "text", "atext")
+    val out = Embed.embedDocsAttr(docs, "doc_id", "text", "atext", emb, aEmb)
+      .select(col("doc_id"), col("vec"), col("avec"))
+      .as[(Long, Seq[Float], Seq[Float])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == emb.embed("hello world").toSeq)
+    assert(out(1L)._2 == aEmb.embed("en web 11").toSeq)
+    assert(out(2L)._2 == aEmb.embed("fr pdf 12").toSeq)
+  }
+
+  test("q49 DP attr search end-to-end: valid top-10, bounded drift vs text-only") {
+    import graft.search.Search
+    val dp = RetrievalQueries.q49DpAttrSearch(spark, sf0001)
+      .select(col("doc_id"), col("rank"), col("score"))
+      .as[(Long, Long, Double)].collect()
+    assert(dp.length == 10)
+    assert(dp.map(_._2).toSeq == (1L to 10L))
+    assert(dp.map(_._3).toSeq == dp.map(_._3).sortBy(-_).toSeq) // scores desc
+    assert(dp.forall(r => r._3 <= 1.0 + 1e-6)) // unit vectors → cosine ≤ 1
+
+    // drift pin: the 0.3-weighted noisy attribute must perturb, not
+    // replace, the text ranking — exact text-only top-10 with the
+    // same embedder/query should keep majority overlap (the
+    // reference's DP-vs-base eval expectation, evaluation.py)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val textVecs = Embed.embedDocs(docs, "doc_id", "text", emb)
+      .select(col("doc_id"), col("vec").cast("array<double>").as("v"))
+    val qv = emb.embed(Queries.bm25Terms.mkString(" ")).map(_.toDouble).toSeq
+    val exact = Search.topK(textVecs, "doc_id", "v",
+        spark.range(1).select(typedLit(qv).as("qv")), "qv", 10)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val overlap = dp.map(_._1).count(exact.contains)
+    assert(overlap >= 5, s"DP top-10 overlaps text-only top-10 on only $overlap ids")
+  }
 }
