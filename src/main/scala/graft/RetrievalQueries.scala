@@ -35,6 +35,45 @@ object RetrievalQueries {
           Ingest.snippet(col("text"), 30)).as("titled"))
       .orderBy("doc_id")
 
+  /** S1/S2 + P1/P3–P6: the reference's ACTUAL entry point — the
+    * quoted-multiline CSV scan and preprocessing chain
+    * (`src/pipeline/pipeline.py:26-68`): header CSV with
+    * quote-escape `"` → case-insensitive select+rename → clean_text
+    * → drop null text → conditional specialty prefix → dedup
+    * keep-first by text. The fixture (data/mtsamples_fixture.csv)
+    * exercises every dialect feature: quoted newlines in both text
+    * and attribute columns, doubled-quote escapes, embedded commas,
+    * null specialty/transcription, and a whitespace-variant
+    * duplicate that only collapses AFTER cleaning. Oracle replays it
+    * via DuckDB `read_csv` with the matching dialect. */
+  val csvFixture = "/root/repo/data/mtsamples_fixture.csv"
+
+  def q51CsvIngest(s: SparkSession, dir: String): DataFrame = {
+    val raw = graft.sources.Tables.csv(s, csvFixture)
+    val named = Ingest.resolveColumns(raw,
+      Seq("id", "name", "medical_specialty", "transcription"))
+    val rows = named
+      .select(col("id").cast("long").as("id"), col("name"),
+        col("medical_specialty"),
+        Ingest.cleanText(col("transcription")).as("cleaned"))
+      .filter(col("cleaned").isNotNull)
+      .select(col("id"), col("name"),
+        Ingest.prefixWhenPresent(col("medical_specialty"), col("cleaned")).as("text"))
+    Ingest.dedupFirst(rows, col("text"), col("id")).orderBy("id")
+  }
+
+  val q51Sql: String =
+    raw"""WITH rw AS (SELECT * FROM read_csv('$csvFixture', header=true, all_varchar=true)),
+       r AS (SELECT CAST(Id AS BIGINT) AS id, Name AS name, Medical_Specialty AS spec,
+               trim(regexp_replace(regexp_replace(Transcription, '[\r\n]+', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned
+             FROM rw),
+       p AS (SELECT id, name,
+               CASE WHEN spec IS NOT NULL AND len(trim(spec)) > 0
+                    THEN trim(spec) || ', ' || cleaned ELSE cleaned END AS text
+             FROM r WHERE cleaned IS NOT NULL),
+       d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY id) AS rn FROM p)
+       SELECT id, name, text FROM d WHERE rn = 1 ORDER BY id"""
+
   val q07Sql: String =
     """WITH t AS (SELECT doc_id, text, source,
          trim(regexp_replace(regexp_replace(text, '[\r\n]+', ' ', 'g'), '\s+', ' ', 'g')) AS clean
@@ -538,10 +577,12 @@ object RetrievalQueries {
     "q42_mmr" -> (q42Mmr _),
     "q43_embed_docs" -> (q43EmbedDocs _),
     "q44_metrics_mean" -> (q44MetricsMean _),
-    "q49_dp_attr_search" -> (q49DpAttrSearch _))
+    "q49_dp_attr_search" -> (q49DpAttrSearch _),
+    "q51_csv_ingest" -> (q51CsvIngest _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
+    "q51_csv_ingest" -> q51Sql,
     "q08_sample" -> q08Sql,
     "q09_rollup" -> q09Sql,
     "q16_ann_lsh" -> q16Sql,

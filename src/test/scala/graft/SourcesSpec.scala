@@ -42,6 +42,22 @@ class SourcesSpec extends SparkSpec {
     assert(back == Map("q1" -> 0.9, "q2" -> 0.7))
   }
 
+  test("q51 CSV ingest replays the reference preprocessing chain") {
+    val out = RetrievalQueries.q51CsvIngest(spark, sf0001)
+      .as[(Long, String, String)].collect().toSeq
+    // 8 fixture rows: id 5 has a null transcription (dropped), id 4 is
+    // a whitespace-variant duplicate of id 1 that collapses only after
+    // cleaning (dropped, keep-first). id 8 differs in case → kept.
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 6L, 7L, 8L))
+    val byId = out.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) ==
+      "Cardiology, Patient presents with chest pain. Follow-up in two weeks.")
+    assert(byId(2L).contains("\"mild\"")) // doubled-quote escape decoded
+    assert(byId(3L) == "Routine physical, all normal.") // no prefix: null specialty
+    assert(byId(6L).startsWith("Emergency\nMedicine, ")) // quoted newline in attribute col
+    assert(byId(7L).startsWith("Internal Medicine, Geriatrics, ")) // embedded comma
+  }
+
   test("all ten testdata tables load (catalog)") {
     Tables.all.foreach { t =>
       assert(Tables.load(spark, sf0001, t).columns.nonEmpty, t)
