@@ -482,9 +482,17 @@ object RetrievalQueries {
       graft.embed.Embed.attrText(Seq("lang", "source", "n_chars")).as("atext"))
     val both = graft.embed.Embed.embedDocsAttr(raw, "doc_id", "text", "atext",
       new graft.embed.HashEmbedder(64), new graft.embed.HashEmbedder(attrDim49))
-    val dpDocs = both.select(col("doc_id"),
-      l2normalize(weightedConcat(col("vec"), 0.7,
-        addNoise(col("avec"), col("doc_id"), 0.15), 0.3)).as("dpv"))
+    // staged projections (as in q15): each step's array materializes
+    // as a column attribute, so the next step's multiple references
+    // read it instead of re-evaluating the upstream subtree; the
+    // repartition also spreads the CPU-bound vector math across
+    // cores (the small parquet arrives as one split)
+    val dpDocs = both.repartition(col("doc_id"))
+      .select(col("doc_id"), col("vec"),
+        addNoise(col("avec"), col("doc_id"), 0.15).as("na"))
+      .select(col("doc_id"),
+        weightedConcat(col("vec"), 0.7, col("na"), 0.3).as("w"))
+      .select(col("doc_id"), l2normalize(col("w")).as("dpv"))
     // query text encoded with the same model, zero attribute pad —
     // exactly the reference's query path (:92-104)
     val qv = new graft.embed.HashEmbedder(64).embed(Queries.bm25Terms.mkString(" "))

