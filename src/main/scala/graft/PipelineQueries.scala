@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.VectorF._
 import graft.multimodal.Multimodal
 import graft.streaming.Streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -76,6 +77,67 @@ object PipelineQueries {
          CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
        FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us"""
 
+  /** Deterministic scratch path for write-then-read-back queries,
+    * distinct per (query, sf) so runs never cross-contaminate. */
+  private[graft] def roundtripPath(dir: String, q: String): String =
+    s"/tmp/graft_rt/${q}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** S3/S4 round-trip under the oracle gate: write a slice of the
+    * embeddings table — INCLUDING the float-array column — to
+    * parquet (the reference's embeddings persist,
+    * `src/pipeline/pipeline.py:100-102`), read it back, and
+    * aggregate over the array values. The oracle computes the same
+    * aggregate over the ORIGINAL table, so any loss or reordering in
+    * the write/read path breaks the hash match. Integer-exact sums
+    * (micro-units) so partial-agg merge order cannot matter. */
+  def q52ParquetRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = roundtripPath(dir, "q52")
+    graft.sources.Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") < 500)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .select(col("label"), col("vec_id"),
+        round(norm2Sq(col("embedding").cast("array<double>")) * 1e6)
+          .cast("long").as("nq"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum(col("nq")).as("sum_normsq_u"),
+        sum(col("vec_id")).as("sum_id"))
+      .orderBy("label")
+  }
+
+  val q52Sql: String =
+    """SELECT label, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) * 1000000) AS BIGINT)) AS BIGINT) AS sum_normsq_u,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_id
+       FROM embeddings WHERE vec_id < 500 GROUP BY label ORDER BY label"""
+
+  /** S6 round-trip under the oracle gate: compute a metrics-style
+    * table, write it as a single header CSV (the reference's results
+    * export, `src/pipeline/evaluation.py:178`), read it back with
+    * schema casts, return the re-read rows. Integer-cents sums keep
+    * the text round-trip exact. */
+  def q53CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = roundtripPath(dir, "q53")
+    graft.sources.Tables.load(s, dir, "customer")
+      .join(broadcast(graft.sources.Tables.load(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(round(col("c_acctbal") * 100).cast("long")).as("sum_bal_c"))
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    s.read.option("header", "true").csv(path)
+      .select(col("n_name"), col("n_cust").cast("long").as("n_cust"),
+        col("sum_bal_c").cast("long").as("sum_bal_c"))
+      .orderBy("n_name")
+  }
+
+  val q53Sql: String =
+    """SELECT n_name, COUNT(*) AS n_cust,
+       CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_bal_c
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name"""
+
   /** The reference's full baseline dataflow (SURVEY §3.1) as ONE
     * declarative pipeline: ingest → clean → dedup-first → distributed
     * embed → multi-query exact kNN → resolve ids back to snippets.
@@ -105,9 +167,13 @@ object PipelineQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_pipeline_e2e" -> (q46PipelineE2e _),
     "q50_binary_features" -> (q50BinaryFeatures _),
+    "q52_parquet_roundtrip" -> (q52ParquetRoundtrip _),
+    "q53_csv_roundtrip" -> (q53CsvRoundtrip _),
     "q60_sessionize" -> (q60Sessionize _))
 
   val oracle: Map[String, String] = Map(
     "q50_binary_features" -> q50Sql,
+    "q52_parquet_roundtrip" -> q52Sql,
+    "q53_csv_roundtrip" -> q53Sql,
     "q60_sessionize" -> q60Sql)
 }

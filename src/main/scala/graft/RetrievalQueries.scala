@@ -188,6 +188,23 @@ object RetrievalQueries {
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  /** S5 round-trip under the oracle gate: persist the IVF index at
+    * rest (inverted lists `partitionBy(cid)` + centroid table — the
+    * engine's `faiss.write_index`, reference
+    * `src/pipeline/pipeline.py:134`), then answer the SAME query as
+    * q45 from the on-disk index. Probing the persisted lists is a
+    * parquet partition filter, and the oracle is q45's: the index
+    * path must return bit-identical results to the in-memory path. */
+  def q54IvfPersist(s: SparkSession, dir: String): DataFrame = {
+    val path = PipelineQueries.roundtripPath(dir, "q54")
+    val e = emb(s, dir)
+    graft.search.IVF.writeIndex(e, "vec_id", "v", ivfK, 0, path)
+    graft.search.IVF.searchIndex(s, path, "vec_id", "v",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+      10, ivfProbe)
+      .orderBy("rank")
+  }
+
   /** R2 quality: the ANN recall CONTRACT. recall@10 of each
     * approximate path against the exact scan, one row per
     * (method, knob) — LSH single-probe vs multi-probe (Hamming-1
@@ -586,7 +603,8 @@ object RetrievalQueries {
     "q43_embed_docs" -> (q43EmbedDocs _),
     "q44_metrics_mean" -> (q44MetricsMean _),
     "q49_dp_attr_search" -> (q49DpAttrSearch _),
-    "q51_csv_ingest" -> (q51CsvIngest _))
+    "q51_csv_ingest" -> (q51CsvIngest _),
+    "q54_ivf_persist" -> (q54IvfPersist _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
@@ -597,6 +615,7 @@ object RetrievalQueries {
     "q17_noise_qa" -> q17Sql,
     "q45_ann_ivf" -> q45Sql,
     "q48_ann_recall" -> q48Sql,
+    "q54_ivf_persist" -> q45Sql,
     "q18_fhe_sim" -> q18Sql,
     "q19_fhe_overlap" -> q19Sql,
     "q40_rank_metrics" -> q40Sql,
