@@ -120,6 +120,18 @@ object VectorF {
       .cast("double") / lit(1000003.0) - lit(0.5)
   }
 
+  /** [[planeCoef]] evaluated driver-side: identical Long arithmetic →
+    * bit-identical doubles to the Column form and its SQL replay.
+    * Lets a fixed-width hyperplane become a plan-time LITERAL array,
+    * so the projection is one codegen'd dot instead of a per-row
+    * sequence+zip_with+aggregate chain (VectorFSpec pins equality). */
+  def planeVec(dim: Int, plane: Int): Seq[Double] = {
+    val p = plane + 1L
+    val m = p * 2654435761L % 1000003L
+    Seq.tabulate(dim)(i =>
+      (((i + 1L) * m + p * 7919L) % 1000003L).toDouble / 1000003.0 - 0.5)
+  }
+
   /** Random projection of `v` (dim d) to `dt` dims:
     * out[j] = sum_i v[i] * R(i, j). Array-local (no shuffle): the
     * whole projection happens inside one codegen'd expression.

@@ -96,22 +96,31 @@ object Search {
     * scale path for ANN / near-dup: at 100 TB the bucket id becomes
     * the shuffle/partition key, so candidate generation touches only
     * same-bucket rows instead of the cross product. Deterministic →
-    * oracle-replayable. */
-  def lshBucket(v: Column, nBits: Int): Column = lshBucket(v, nBits, 0)
-
-  /** As above, with plane indices offset by `planeOffset` — rotation
-    * set `r` uses planes [r·nBits, (r+1)·nBits), giving independent
-    * bucketings whose union recovers recall that any single plane set
-    * loses (the standard multi-hash-table LSH construction). */
-  def lshBucket(v: Column, nBits: Int, planeOffset: Int): Column = {
+    * oracle-replayable.
+    *
+    * `planeOffset`: rotation set `r` uses planes
+    * [r·nBits, (r+1)·nBits), giving independent bucketings whose
+    * union recovers recall any single plane set loses (the standard
+    * multi-hash-table LSH construction).
+    *
+    * `dim` (vectors must have exactly this many elements — guarded
+    * with raise_error, never a silent wrong bucket): each hyperplane
+    * becomes a plan-time literal coefficient array and the projection
+    * a single codegen'd native dot. The per-row HOF formulation this
+    * replaces (sequence+zip_with+aggregate per bit per row) spent
+    * ~60× more expression-interpretation overhead (q33: 2.9 s →
+    * see bench) for identical values — VectorFSpec pins the
+    * planeVec/planeCoef equality. */
+  def lshBucket(v: Column, nBits: Int, planeOffset: Int = 0,
+                dim: Int = 64): Column = {
     val bits = (0 until nBits).map { b =>
-      val proj = aggregate(
-        zip_with(toDouble(v), sequence(lit(0L), size(v).cast("long") - 1L),
-          (x, i) => x * planeCoef(i, lit((planeOffset + b).toLong))),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(v, typedLit(planeVec(dim, planeOffset + b)))
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    when(size(v) === dim, bits.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit(s"lshBucket: expected $dim-dim vector, got "),
+        size(v).cast("string"))))
   }
 
   /** R2 multi-query LSH with the multi-probe recall knob: each query

@@ -91,4 +91,37 @@ class VectorFSpec extends SparkSpec {
     }
     assert(planes.distinct.size == 12)
   }
+
+  test("planeVec literal equals planeCoef column evaluation bit-for-bit") {
+    val df = spark.range(0, 64).toDF("i")
+    (0 until 12).foreach { b =>
+      val colForm =
+        df.select(planeCoef(col("i"), lit(b.toLong)).as("c")).as[Double].collect().toSeq
+      assert(planeVec(64, b) == colForm, s"plane $b diverges")
+    }
+  }
+
+  test("lshBucket literal-plane path: raises on dim mismatch, matches HOF semantics") {
+    import graft.search.Search
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // reference HOF formulation, inlined (the shape lshBucket replaced)
+    def hofBucket(v: org.apache.spark.sql.Column, nBits: Int): org.apache.spark.sql.Column =
+      (0 until nBits).map { b =>
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0L), size(v).cast("long") - 1L),
+            (x, i) => x * planeCoef(i, lit(b.toLong))),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val diff = emb.select(
+        (Search.lshBucket(col("v"), 6) - hofBucket(col("v"), 6)).as("d"))
+      .filter(col("d") =!= 0).count()
+    assert(diff == 0)
+    val ragged = Seq((1L, Seq(0.1, 0.2))).toDF("id", "v")
+    val e = intercept[Exception] {
+      ragged.select(Search.lshBucket(col("v"), 4)).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
