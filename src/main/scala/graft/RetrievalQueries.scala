@@ -495,16 +495,19 @@ object RetrievalQueries {
     * rows-only driver check; EmbedderSpec pins the semantics and the
     * retrieval drift vs exact text-only search. */
   def q49DpAttrSearch(s: SparkSession, dir: String): DataFrame = {
+    // repartition the RAW rows (narrow: id + texts) before the
+    // CPU-bound embed, so both the embedding and the vector math run
+    // on all cores (the small parquet arrives as one split) and no
+    // wide post-embed shuffle is needed
     val raw = docs(s, dir).select(col("doc_id"), col("text"),
       graft.embed.Embed.attrText(Seq("lang", "source", "n_chars")).as("atext"))
+      .repartition(col("doc_id"))
     val both = graft.embed.Embed.embedDocsAttr(raw, "doc_id", "text", "atext",
       new graft.embed.HashEmbedder(64), new graft.embed.HashEmbedder(attrDim49))
     // staged projections (as in q15): each step's array materializes
     // as a column attribute, so the next step's multiple references
-    // read it instead of re-evaluating the upstream subtree; the
-    // repartition also spreads the CPU-bound vector math across
-    // cores (the small parquet arrives as one split)
-    val dpDocs = both.repartition(col("doc_id"))
+    // read it instead of re-evaluating the upstream subtree
+    val dpDocs = both
       .select(col("doc_id"), col("vec"),
         addNoise(col("avec"), col("doc_id"), 0.15).as("na"))
       .select(col("doc_id"),

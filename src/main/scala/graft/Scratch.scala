@@ -27,6 +27,14 @@ object Scratch {
     val pairs = Dedup.lshCandidates(docs, "doc_id", "text", 3, 16, 4)
     time("lshCandidates")(pairs.count())
     time("q31_full")(Dedup.jaccardVerify(docs, "doc_id", "text", pairs, 3).count())
+    // q47 tail stages in isolation
+    import graft.text.TextAnalysis._
+    time("exact_dedup")(Dedup.exact(docs, "text", "doc_id").count())
+    time("quality_only")(docs.select(col("doc_id"),
+      qualityScore(col("text")).as("q")).filter(col("q") >= 0.5).count())
+    time("langid_only")(docs.select(col("doc_id"),
+      langId(col("text")).as("l")).filter(col("l") === "en").count())
+    time("q47_full")(CurationQueries.all("q47_curation_e2e")(spark, dir).count())
     spark.stop()
   }
 }
