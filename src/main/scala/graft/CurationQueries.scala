@@ -239,7 +239,7 @@ object CurationQueries {
     val e = emb(s, dir).select(col("vec_id"), col("v"), norm2(col("v")).as("n"))
     // one row per (vector, rotation): key = rot·2^bits + bucket
     val keys = (0 until q33Rot).map(r =>
-      graft.search.Search.lshBucket(col("v"), q33Bits, r * q33Bits)
+      graft.search.Search.lshBucket(col("v"), q33Bits, 64, r * q33Bits)
         + lit(r.toLong * (1L << q33Bits)))
     val bk = e.select(col("vec_id"), explode(array(keys: _*)).as("bkey"))
     val cand = bk.select(col("vec_id").as("id1"), col("bkey"))
@@ -331,13 +331,17 @@ object CurationQueries {
     // the total and as the scoring join's build side)
     val freqs = toks.groupBy("t").agg(count(lit(1)).as("c")).localCheckpoint()
     val total = freqs.agg(sum(col("c")).as("tot"))
+    // the frequency table must stay CORPUS-wide (it IS the language
+    // model), but only the output docs need scoring — the id filter
+    // sits on the scoring side BEFORE the join/aggregate, so at scale
+    // this scores 200 docs, not the corpus (round-4 plan audit #1)
     val withLp = toks
+      .filter(col("doc_id") < 200)
       .join(broadcast(freqs.crossJoin(broadcast(total))), "t")
       .select(col("doc_id"),
         log(col("c").cast("double") / col("tot").cast("double")).as("lp"))
     withLp.groupBy("doc_id")
       .agg(round(avg(col("lp")), 6).as("mean_logprob"), count(lit(1)).as("n_tokens"))
-      .filter(col("doc_id") < 200)
       .orderBy("doc_id")
   }
 

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-lifetime memo for small materialized frames that several
+  * declared queries share (the q40 metrics table, BM25 corpus stats).
+  *
+  * Keys carry a cheap content fingerprint of the data directory (file
+  * path + size + mtime over the tree) rather than the raw path alone:
+  * rewriting the data under `dir` within a live session produces a
+  * NEW key instead of serving stale rows, and the superseded entry is
+  * dropped from the map so its checkpoint blocks become eligible for
+  * Spark's ContextCleaner once unreferenced — the two failure modes
+  * of the previous path-keyed TrieMap (round-4 advisory).
+  */
+object Memo {
+
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String, String), DataFrame]
+
+  /** Fingerprint of every file under `dir` (path, length, mtime).
+    * Driver-side directory walk — cheap for the handful of parquet
+    * files per scale-factor dir; at real scale the equivalent signal
+    * is the table snapshot/transaction id. */
+  private[graft] def dirFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir))
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode.toString
+  }
+
+  /** Memoize `build` per (session, dir-content, tag), materialized
+    * with localCheckpoint so consumers re-read executor-resident rows
+    * instead of re-running the plan. */
+  def cached(s: SparkSession, dir: String, tag: String)
+            (build: => DataFrame): DataFrame = {
+    val fp = dirFingerprint(dir)
+    cache.keys
+      .filter(k => k._1 == s && k._2 == dir && k._3 == tag && k._4 != fp)
+      .foreach(cache.remove)
+    cache.getOrElseUpdate((s, dir, tag, fp), build.localCheckpoint())
+  }
+}

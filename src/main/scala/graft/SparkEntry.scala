@@ -364,10 +364,21 @@ object Queries {
 
   // ---------- lexical ----------
 
+  /** BM25 corpus stats (N, avgdl) materialized once per (session,
+    * dir-content) and shared by every BM25-scoring query (q20, q41,
+    * the RAG pipeline) — the full-corpus tokenize pass behind these
+    * two scalars is query-independent, and recomputing it per query
+    * was the engine's residual echo of the reference's
+    * rebuild-BM25-per-query anti-pattern (SURVEY §7.5). */
+  private[graft] def bm25Stats(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "bm25stats")(
+      BM25.corpusStats(t(s, dir, "documents"), "text"))
+
   /** R3: BM25 top-20 for a fixed term query. */
   val bm25Terms = Seq("spark", "hash", "join")
   def q20Bm25(s: SparkSession, dir: String): DataFrame =
-    BM25.search(t(s, dir, "documents"), "doc_id", "text", bm25Terms, 20)
+    BM25.search(t(s, dir, "documents"), "doc_id", "text", bm25Terms, 20,
+      bm25Stats(s, dir))
       .orderBy("rank")
 
   val q20Sql: String =

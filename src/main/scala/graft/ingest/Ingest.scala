@@ -58,9 +58,15 @@ object Ingest {
     * replaces the reference's `pdf.sample(n, random_state=42)`
     * (`src/pipeline/pipeline_mode.py:129-130`). Pure int64 arithmetic
     * so the oracle replays it exactly; `TakeOrderedAndProject` keeps
-    * it a single pass at scale. */
+    * it a single pass at scale.
+    *
+    * The id is reduced mod 2^31 BEFORE the multiply: Spark wraps
+    * Long overflow silently while DuckDB BIGINT arithmetic raises, so
+    * without the reduction the engine and its oracle replay diverge
+    * once ids approach ~8.4e9. (2^31−1) · 1103515245 < 2^62 — no
+    * overflow in either engine at any id. Unchanged for ids < 2^31. */
   def pseudoShuffleKey(id: Column): Column =
-    (id * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+    ((id % lit(2147483648L)) * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
 
   def sampleN(df: DataFrame, id: Column, n: Int): DataFrame =
     df.orderBy(pseudoShuffleKey(id).asc, id.asc).limit(n)

@@ -44,17 +44,30 @@ object BM25 {
       .withColumn("idf",
         log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
 
+  /** Corpus scalars (N, avgdl) as a one-row frame. This is the part
+    * of the BM25 "index" that costs a full corpus tokenize pass and
+    * is QUERY-INDEPENDENT — compute it once per corpus and pass it to
+    * [[search]] (graft.Memo.cached is the session-lifetime memo the
+    * declared queries use), instead of the reference's
+    * rebuild-per-query anti-pattern (`src/pipeline/pipeline.py:171-172`,
+    * SURVEY §7.5). */
+  def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(size(tokens(col(textCol))).cast("double").as("__dl"))
+      .agg(count(lit(1)).cast("double").as("__n"), avg(col("__dl")).as("__avgdl"))
+
+  /** [[search]] computing corpus stats inline (one-off callers). */
+  def search(docs: DataFrame, idCol: String, textCol: String,
+             queryTerms: Seq[String], k: Int): DataFrame =
+    search(docs, idCol, textCol, queryTerms, k, corpusStats(docs, textCol))
+
   /** Score `queryTerms` against the corpus; returns (doc, rank, score)
     * top-k. The postings side is filtered to the query's terms BEFORE
     * any join (predicate pushdown into the postings scan), the
-    * term-stats side is broadcast, and top-k is TakeOrderedAndProject. */
+    * term-stats side is broadcast, and top-k is TakeOrderedAndProject.
+    * `corpus` is the (possibly memoized) [[corpusStats]] frame. */
   def search(docs: DataFrame, idCol: String, textCol: String,
-             queryTerms: Seq[String], k: Int): DataFrame = {
-    // corpus scalars (N, avgdl) as a broadcast one-row frame — fully
-    // declarative, no eager driver action / extra scheduled job
-    val corpus = docs
-      .select(size(tokens(col(textCol))).cast("double").as("__dl"))
-      .agg(count(lit(1)).cast("double").as("__n"), avg(col("__dl")).as("__avgdl"))
+             queryTerms: Seq[String], k: Int, corpus: DataFrame): DataFrame = {
     // postings of the QUERY TERMS only: the token array is filtered
     // BEFORE the explode, so the generate emits just matching tokens
     // (a predicate after the explode still pays for the full posting
@@ -84,7 +97,8 @@ object BM25 {
       .limit(k)
     scored
       .withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc").asc)).cast("long"))
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("score").desc, col("doc").asc)).cast("long"))
       .select(col("doc"), col("rank"), round(col("score"), 4).as("score"))
   }
 }

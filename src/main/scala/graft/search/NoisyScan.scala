@@ -37,7 +37,7 @@ object NoisyScan {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
     scored.withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
+        row_number().over(Search.wAll
           .orderBy(col("score").desc, col(idCol).asc)).cast("long"))
       .select(col(idCol), col("rank"), round(col("score"), 6).as("score"))
   }

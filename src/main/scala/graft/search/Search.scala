@@ -18,6 +18,29 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
+  /** Every top-k in this module runs the final rank window AFTER a
+    * `limit(k)`, so the input is k rows in one task — but an empty
+    * partitionBy makes WindowExec log a scary "No Partition Defined"
+    * warning on every query. A constant partition key is the same
+    * single-partition semantic without the log spam. */
+  private[search] val wAll = Window.partitionBy(lit(0))
+
+  /** The bounded-heap top-k aggregate carries ids as long; a
+    * non-integral id column would cast to NULL and be silently
+    * dropped by TopKByScore.update — the silent-wrong-result class
+    * this guard exists to reject. Shared by every heap-aggregate
+    * entry point (multiTopK, lshMultiTopK, IVF.ivfMultiTopK). */
+  private[search] def requireIntegralId(df: DataFrame, idCol: String,
+                                        caller: String): Unit = {
+    import org.apache.spark.sql.types._
+    val ok = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok, s"$caller requires an integral id column; '$idCol' is " +
+      df.schema(idCol).dataType.simpleString)
+  }
+
   /** R1 single query: exact top-k by dot product against one query
     * vector (as a one-row DataFrame, broadcast). Deterministic
     * tiebreak on id (SURVEY §7.4). Output: id, rank, score. */
@@ -31,7 +54,7 @@ object Search {
     // rank assignment over the k surviving rows only (tiny, single task)
     scored
       .withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)).cast("long"))
+        row_number().over(wAll.orderBy(col("score").desc, col(idCol).asc)).cast("long"))
       .select(col(idCol), col("rank"), round(col("score"), 6).as("score"))
   }
 
@@ -48,17 +71,7 @@ object Search {
   def multiTopK(docs: DataFrame, idCol: String, vecCol: String,
                 queries: DataFrame, qidCol: String, qvecCol: String,
                 k: Int): DataFrame = {
-    // the heap aggregate carries ids as long; a non-integral id would
-    // cast to NULL and be silently dropped — reject it up front
-    require({
-        import org.apache.spark.sql.types._
-        docs.schema(idCol).dataType match {
-          case ByteType | ShortType | IntegerType | LongType => true
-          case _ => false
-        }
-      },
-      s"multiTopK requires an integral id column; '$idCol' is " +
-        docs.schema(idCol).dataType.simpleString)
+    requireIntegralId(docs, idCol, "multiTopK")
     docs
       .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))))
       .select(col("qid"), col(idCol), dot(col(vecCol), col("__qv")).as("score"))
@@ -103,21 +116,24 @@ object Search {
     * union recovers recall any single plane set loses (the standard
     * multi-hash-table LSH construction).
     *
-    * `dim` (vectors must have exactly this many elements — guarded
-    * with raise_error, never a silent wrong bucket): each hyperplane
-    * becomes a plan-time literal coefficient array and the projection
-    * a single codegen'd native dot. The per-row HOF formulation this
-    * replaces (sequence+zip_with+aggregate per bit per row) spent
-    * ~60× more expression-interpretation overhead (q33: 2.9 s →
-    * see bench) for identical values — VectorFSpec pins the
-    * planeVec/planeCoef equality. */
-  def lshBucket(v: Column, nBits: Int, planeOffset: Int = 0,
-                dim: Int = 64): Column = {
+    * `dim` (explicit — no silent default; vectors must have exactly
+    * this many elements, guarded with raise_error, never a silent
+    * wrong bucket): each hyperplane becomes a plan-time literal
+    * coefficient array and the projection a single codegen'd native
+    * dot. The per-row HOF formulation this replaces
+    * (sequence+zip_with+aggregate per bit per row) spent ~60× more
+    * expression-interpretation overhead (q33: 2.9 s → see bench) for
+    * identical values — VectorFSpec pins the planeVec/planeCoef
+    * equality. A NULL vector buckets to NULL (and drops out of the
+    * bucket equi-join) instead of detonating the raise_error branch. */
+  def lshBucket(v: Column, nBits: Int, dim: Int,
+                planeOffset: Int = 0): Column = {
     val bits = (0 until nBits).map { b =>
       val proj = dot(v, typedLit(planeVec(dim, planeOffset + b)))
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
-    when(size(v) === dim, bits.reduce(_ + _))
+    when(v.isNull, lit(null).cast("long"))
+      .when(size(v) === dim, bits.reduce(_ + _))
       .otherwise(raise_error(concat(
         lit(s"lshBucket: expected $dim-dim vector, got "),
         size(v).cast("string"))))
@@ -135,9 +151,10 @@ object Search {
     * bounded-heap aggregate, one corpus scan for all queries. */
   def lshMultiTopK(docs: DataFrame, idCol: String, vecCol: String,
                    queries: DataFrame, qidCol: String, qvecCol: String,
-                   k: Int, nBits: Int, hamming1: Boolean): DataFrame = {
+                   k: Int, nBits: Int, dim: Int, hamming1: Boolean): DataFrame = {
+    requireIntegralId(docs, idCol, "lshMultiTopK")
     val base = queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qv"),
-      lshBucket(col(qvecCol), nBits).as("__qb"))
+      lshBucket(col(qvecCol), nBits, dim).as("__qb"))
     // neighbor buckets differ from __qb in exactly one bit → all
     // probe buckets of one query are distinct, so no candidate is
     // scored twice and the heap sees each (qid, id) once
@@ -147,7 +164,7 @@ object Search {
     val probes = base.select(col("qid"), col("__qv"),
       explode(array(probeCols: _*)).as("__pb"))
     docs
-      .withColumn("__db", lshBucket(col(vecCol), nBits))
+      .withColumn("__db", lshBucket(col(vecCol), nBits, dim))
       .join(broadcast(probes), col("__db") === col("__pb"))
       .select(col("qid"), col(idCol), dot(col(vecCol), col("__qv")).as("score"))
       .groupBy("qid")
@@ -163,17 +180,18 @@ object Search {
     * for a corpus-partition-pruned scan — the Spark-native analog of
     * the reference's HNSW approximation (`src/pipeline/pipeline_mode.py:217-240`). */
   def lshTopK(docs: DataFrame, idCol: String, vecCol: String,
-              query: DataFrame, queryVecCol: String, k: Int, nBits: Int): DataFrame = {
+              query: DataFrame, queryVecCol: String, k: Int, nBits: Int,
+              dim: Int): DataFrame = {
     val q = broadcast(query.select(
-      col(queryVecCol).as("__qv"), lshBucket(col(queryVecCol), nBits).as("__qb")))
+      col(queryVecCol).as("__qv"), lshBucket(col(queryVecCol), nBits, dim).as("__qb")))
     val scored = docs
-      .withColumn("__db", lshBucket(col(vecCol), nBits))
+      .withColumn("__db", lshBucket(col(vecCol), nBits, dim))
       .join(q, col("__db") === col("__qb")) // bucket-pruned
       .select(col(idCol), dot(col(vecCol), col("__qv")).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
     scored.withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)).cast("long"))
+        row_number().over(wAll.orderBy(col("score").desc, col(idCol).asc)).cast("long"))
       .select(col(idCol), col("rank"), round(col("score"), 6).as("score"))
   }
 }

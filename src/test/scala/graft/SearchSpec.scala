@@ -53,7 +53,7 @@ class SearchSpec extends SparkSpec {
 
   test("lshTopK: bucket-pruned results are a subset ranked consistently, query itself found") {
     val q = emb.filter(col("vec_id") === 7).select(col("v").as("qv"))
-    val approx = Search.lshTopK(emb, "vec_id", "v", q, "qv", 10, nBits = 4)
+    val approx = Search.lshTopK(emb, "vec_id", "v", q, "qv", 10, nBits = 4, dim = 64)
       .select("vec_id").as[Long].collect().toSet
     // the query vector shares its own bucket, so it must be retrieved
     assert(approx.contains(7L))
@@ -118,10 +118,11 @@ class SearchSpec extends SparkSpec {
   test("lshMultiTopK single-probe agrees with single-query lshTopK") {
     val q = emb.filter(col("vec_id") === 7)
     val multi = Search.lshMultiTopK(emb, "vec_id", "v",
-        q.select(col("vec_id").as("qid"), col("v").as("qv")), "qid", "qv", 10, 4, hamming1 = false)
+        q.select(col("vec_id").as("qid"), col("v").as("qv")), "qid", "qv", 10, 4,
+        dim = 64, hamming1 = false)
       .select("vec_id", "rank").as[(Long, Long)].collect().sortBy(_._2).toSeq
     val single = Search.lshTopK(emb, "vec_id", "v",
-        q.select(col("v").as("qv")), "qv", 10, 4)
+        q.select(col("v").as("qv")), "qv", 10, 4, dim = 64)
       .select("vec_id", "rank").as[(Long, Long)].collect().sortBy(_._2).toSeq
     assert(multi == single)
   }

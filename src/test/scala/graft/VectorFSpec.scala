@@ -115,13 +115,22 @@ class VectorFSpec extends SparkSpec {
         when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
     val diff = emb.select(
-        (Search.lshBucket(col("v"), 6) - hofBucket(col("v"), 6)).as("d"))
+        (Search.lshBucket(col("v"), 6, 64) - hofBucket(col("v"), 6)).as("d"))
       .filter(col("d") =!= 0).count()
     assert(diff == 0)
     val ragged = Seq((1L, Seq(0.1, 0.2))).toDF("id", "v")
     val e = intercept[Exception] {
-      ragged.select(Search.lshBucket(col("v"), 4)).collect()
+      ragged.select(Search.lshBucket(col("v"), 4, 64)).collect()
     }
     assert(e.getMessage != null)
+  }
+
+  test("lshBucket: NULL vector buckets to NULL instead of raising") {
+    import graft.search.Search
+    val df = Seq((1L, Some(Seq.fill(64)(0.1))), (2L, None))
+      .toDF("id", "v")
+    val got = df.select(col("id"), Search.lshBucket(col("v"), 4, 64).as("b"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!got(1L) && got(2L))
   }
 }
