@@ -658,6 +658,138 @@ object RetrievalQueries {
        ORDER BY cand.id"""
   }
 
+  /** The σ-sweep DP evaluation — the variant of the reference's
+    * harness that produced its PUBLISHED artifact
+    * (`evaluation_results.csv:1` columns `dp_*_0p05…0p2`;
+    * `evaluation.py:161-170` fixes σ=0.15, the sweep is the CSV's
+    * shape): one row per σ ∈ {0.05, 0.1, 0.15, 0.2} with the mean
+    * attribute drift (M7, the q17 noise-QA cosine) and the mean rank
+    * metrics M1–M5 of the DP search against the exact baseline over
+    * the 5-query set. ONE corpus scan serves every σ — the noise
+    * scale is an exploded literal column, so at 100 TB this is a 4×
+    * row-inflation inside one pass, not four pipeline runs; the DP
+    * rankings for all (σ, query) pairs come out of a single
+    * bounded-heap aggregate grouped by (σ, qid).
+    *
+    * Faithful-degeneracy note: the rank-metric columns come out
+    * CONSTANT across σ (ndcg_ref = 4.404706 — the published CSV's
+    * exact `ndcg_dp_*` value) for the same structural reason the
+    * reference's artifact shows `4.4047 / 1.00 / 1.00` in every σ
+    * column (SURVEY §6): the noised attribute vector is
+    * RE-NORMALIZED, so against a zero-attribute query the score is
+    * monotone in the text dot whatever σ is — only the drift column
+    * actually moves. The engine reproduces the published numbers,
+    * quirk included. */
+  val sweepSigmas = Seq(0.05, 0.1, 0.15, 0.2)
+  // local constant (= Queries.attrDim): q56Sql interpolates it at
+  // object init, and referencing Queries there would create an
+  // object-initialization cycle (Queries.all includes this object's
+  // catalog)
+  private val sweepAttrDim = 16
+  def q56DpSweep(s: SparkSession, dir: String): DataFrame = {
+    val el = graft.sources.Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    // one corpus scan, σ exploded; staged projections as in q15 so
+    // each array materializes once per row; checkpointed because both
+    // the scoring branch and the drift branch consume it
+    val withSigma = el
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("v"), Queries.attrVec.as("av"))
+      .select(col("vec_id"), col("v"), col("av"),
+        explode(typedLit(sweepSigmas)).as("sigma"))
+      .select(col("sigma"), col("vec_id"), col("v"), col("av"),
+        addNoise(col("av"), col("vec_id"), col("sigma")).as("na"))
+      .select(col("sigma"), col("vec_id"),
+        round(cosine(col("av"), col("na")), 6).as("c"),
+        weightedConcat(col("v"), 0.7, col("na"), 0.3).as("w"))
+      .select(col("sigma"), col("vec_id"), col("c"),
+        l2normalize(col("w")).as("dpv"))
+      .localCheckpoint()
+    val qsRaw = el.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val qsDp = qsRaw.select(col("qid"),
+      Search.dpQueryVec(col("qv"), sweepAttrDim, 0.7).as("qv"))
+    val base = Search.multiTopK(emb(s, dir), "vec_id", "v", qsRaw, "qid", "qv", 10)
+      .select(col("qid"), col("vec_id").as("id"), col("rank"))
+    val dpRank = withSigma.crossJoin(broadcast(qsDp))
+      .select(col("sigma"), col("qid"), col("vec_id"),
+        dot(col("dpv"), col("qv")).as("score"))
+      .groupBy("sigma", "qid")
+      .agg(org.apache.spark.sql.graftnative.TopKAggregate
+        .topK(col("vec_id").cast("long"), col("score"), 10).as("__tk"))
+      .select(col("sigma"), col("qid"), explode(col("__tk")).as("__e"))
+      .select(col("sigma"), col("qid"), col("__e.id").as("id"), col("__e.rank").as("rank"))
+    val metrics = RankMetrics.allGrouped(base, dpRank, 10, Seq("sigma"))
+      .groupBy("sigma")
+      .agg(round(avg(col("recall")), 6).as("recall"),
+        round(avg(col("precision")), 6).as("precision"),
+        round(avg(col("agreement")), 6).as("agreement"),
+        round(avg(col("mrr")), 6).as("mrr"),
+        round(avg(col("ndcg_ref")), 6).as("ndcg_ref"))
+    val drift = withSigma.groupBy("sigma")
+      .agg(round(avg(col("c")), 6).as("attr_drift"))
+    metrics.join(drift, "sigma")
+      .select(col("sigma"), col("attr_drift"), col("recall"), col("precision"),
+        col("agreement"), col("mrr"), col("ndcg_ref"))
+      .orderBy("sigma")
+  }
+
+  val q56Sql: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       sg AS (SELECT UNNEST([${sweepSigmas.mkString(", ")}]) AS sigma),
+       att AS (SELECT vec_id, label, v,
+           list_transform(generate_series(0, ${sweepAttrDim - 1}),
+             j -> (((label*31 + j*7) % 11) - 5) / 5.0) AS av
+         FROM e),
+       nz AS (SELECT s.sigma, a.vec_id, a.v, a.av,
+           list_transform(generate_series(0, ${sweepAttrDim - 1}),
+             j -> a.av[j+1] + ((((a.vec_id*1103515245 + j*12345) % 1000003) / 1000003.0) - 0.5) * s.sigma) AS nraw
+         FROM att a, sg s),
+       nn AS (SELECT sigma, vec_id, v, av,
+           list_transform(nraw, x -> x / (sqrt(list_dot_product(nraw, nraw)) + 1e-9)) AS na
+         FROM nz),
+       dp AS (SELECT sigma, vec_id,
+           ROUND(list_dot_product(av, na) /
+             (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(na, na)) + 1e-9), 6) AS c,
+           list_concat(list_transform(v, x -> 0.7*x), list_transform(na, x -> 0.3*x)) AS w
+         FROM nn),
+       dpv AS (SELECT sigma, vec_id, c,
+           list_transform(w, x -> x / (sqrt(list_dot_product(w, w)) + 1e-9)) AS dpv
+         FROM dp),
+       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+       qdp AS (SELECT qid,
+           list_transform(qw, x -> x / (sqrt(list_dot_product(qw, qw)) + 1e-9)) AS qv
+         FROM (SELECT qid, list_concat(list_transform(qv, x -> 0.7*x),
+              list_transform(generate_series(0, ${sweepAttrDim - 1}), j -> 0.0)) AS qw FROM q)),
+       base AS (SELECT qid, vec_id AS id, rank FROM (
+           SELECT q.qid, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(e.v, q.qv) DESC, e.vec_id) AS rank
+           FROM e, q) WHERE rank <= 10),
+       oth AS (SELECT sigma, qid, vec_id AS id, rank FROM (
+           SELECT d.sigma, qd.qid, d.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY d.sigma, qd.qid
+               ORDER BY list_dot_product(d.dpv, qd.qv) DESC, d.vec_id) AS rank
+           FROM dpv d, qdp qd) WHERE rank <= 10),
+       j AS (SELECT o.sigma, o.qid, o.rank AS orank, b.rank AS brank,
+             1.0 / log2(o.rank + 1.0) AS g
+           FROM oth o LEFT JOIN base b ON o.qid = b.qid AND o.id = b.id),
+       pq AS (SELECT sigma, qid,
+           COUNT(brank) / 10.0 AS recall,
+           CAST(COUNT(brank) AS DOUBLE) / COUNT(*) AS precision,
+           AVG(CASE WHEN brank = orank THEN 1.0 ELSE 0.0 END) AS agreement,
+           COALESCE(MAX(CASE WHEN brank IS NOT NULL THEN 1.0 / orank END), 0) AS mrr,
+           SUM(g * COALESCE(brank, 0)) / SUM(g) AS ndcg_ref
+         FROM j GROUP BY sigma, qid),
+       met AS (SELECT sigma, ROUND(AVG(recall), 6) AS recall,
+           ROUND(AVG(precision), 6) AS precision,
+           ROUND(AVG(agreement), 6) AS agreement, ROUND(AVG(mrr), 6) AS mrr,
+           ROUND(AVG(ndcg_ref), 6) AS ndcg_ref
+         FROM pq GROUP BY sigma),
+       dr AS (SELECT sigma, ROUND(AVG(c), 6) AS attr_drift FROM dpv GROUP BY sigma)
+       SELECT sigma, attr_drift, recall, precision, agreement, mrr, ndcg_ref
+       FROM met JOIN dr USING (sigma) ORDER BY sigma"""
+
   /** The full RAG flow end-to-end — the reference's
     * `--mode rag --enable_hybrid` run to its final answer: the q55
     * candidate frame → MMR re-rank at the reference's default λ=0.5
@@ -721,6 +853,7 @@ object RetrievalQueries {
     "q51_csv_ingest" -> (q51CsvIngest _),
     "q54_ivf_persist" -> (q54IvfPersist _),
     "q55_rag_candidates" -> (q55RagCandidates _),
+    "q56_dp_sweep" -> (q56DpSweep _),
     "q57_rag_e2e" -> (q57RagE2e _))
 
   val oracle: Map[String, String] = Map(
@@ -738,5 +871,6 @@ object RetrievalQueries {
     "q40_rank_metrics" -> q40Sql,
     "q41_hybrid" -> q41Sql,
     "q44_metrics_mean" -> q44Sql,
-    "q55_rag_candidates" -> q55Sql)
+    "q55_rag_candidates" -> q55Sql,
+    "q56_dp_sweep" -> q56Sql)
 }

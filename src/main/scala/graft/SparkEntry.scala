@@ -323,8 +323,8 @@ object Queries {
     * query = normalize(0.7·qv ⊕ zeros). attr vector is a deterministic
     * 16-dim pattern from `label` (stands in for the reference's
     * attribute embedding). */
-  private val attrDim = 16
-  private def attrVec: Column =
+  private[graft] val attrDim = 16
+  private[graft] def attrVec: Column =
     transform(sequence(lit(0L), lit(attrDim - 1L)),
       j => ((col("label").cast("long") * 31L + j * 7L) % 11L - 5L).cast("double") / 5.0)
 

@@ -91,11 +91,17 @@ object VectorF {
     * row `id`, then re-normalize — the reference's DP attribute
     * perturbation (`src/pipeline/pipeline_mode.py:77-80`) with
     * hash-derived (reproducible) noise per SURVEY §2 V7. */
-  def addNoise(v: Column, id: Column, sigma: Double): Column = {
+  def addNoise(v: Column, id: Column, sigma: Double): Column =
+    addNoise(v, id, lit(sigma))
+
+  /** [[addNoise]] with a COLUMN sigma — the σ-sweep (q56) evaluates
+    * all noise scales in one corpus pass with σ as an exploded
+    * literal column. */
+  def addNoise(v: Column, id: Column, sigma: Column): Column = {
     val noisy = zip_with(
       toDouble(v),
       sequence(lit(0), size(v) - 1),
-      (x, i) => x + pseudoUniform(id, i.cast("long")) * lit(sigma))
+      (x, i) => x + pseudoUniform(id, i.cast("long")) * sigma)
     l2normalize(noisy)
   }
 

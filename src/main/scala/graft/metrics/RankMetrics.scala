@@ -23,14 +23,24 @@ object RankMetrics {
     * sum(g_i * baseRank(other_i)) / sum(g_i) with g_i = 1/log2(i+1);
     * not divided by IDCG, so values may exceed 1 — kept bug-compatible
     * as `ndcg_ref`, see SURVEY §7.5). */
-  def all(base: DataFrame, other: DataFrame, k: Int): DataFrame = {
+  def all(base: DataFrame, other: DataFrame, k: Int): DataFrame =
+    allGrouped(base, other, k, Nil)
+
+  /** [[all]] with extra grouping keys carried on the `other` side —
+    * the σ-sweep (q56) scores ONE base ranking against a whole family
+    * of perturbed rankings in a single grouped aggregate instead of a
+    * metrics pass per knob. */
+  def allGrouped(base: DataFrame, other: DataFrame, k: Int,
+                 extraKeys: Seq[String]): DataFrame = {
     val b = base.select(col("qid"), col("id").as("bid"), col("rank").as("brank"))
-    val o = other.select(col("qid"), col("id").as("oid"), col("rank").as("orank"))
+    val o = other.select(extraKeys.map(col) ++
+      Seq(col("qid"), col("id").as("oid"), col("rank").as("orank")): _*)
     val joined = o.join(b, o("qid") === b("qid") && o("oid") === b("bid"), "left")
-      .select(o("qid"), col("oid"), col("orank"), col("brank"))
+      .select(extraKeys.map(o(_)) ++
+        Seq(o("qid"), col("oid"), col("orank"), col("brank")): _*)
     val g = lit(1.0) / log2(col("orank").cast("double") + 1.0)
     joined
-      .groupBy("qid")
+      .groupBy((extraKeys :+ "qid").map(col): _*)
       .agg(
         (count(col("brank")).cast("double") / k).as("recall"),
         (count(col("brank")).cast("double") / count(lit(1))).as("precision"),
