@@ -210,6 +210,64 @@ object RetrievalQueries {
       .orderBy("rank")
   }
 
+  /** R2 build-quality knob: IVF search through a k-means-REFINED
+    * quantizer — one Lloyd iteration over the deterministic seed
+    * centroids (assign → per-dimension quantized-exact mean →
+    * L2-normalize), then the same probe-2 search as q45, query
+    * vec_id=2. This is the engine's analog of the reference tuning
+    * HNSW build quality (efConstruction/M clamps,
+    * `src/pipeline/pipeline_mode.py:217-223`): better centroids →
+    * better lists → higher recall at the same nprobe. The whole
+    * iteration is relational and replayed in the oracle; SearchSpec
+    * pins that refinement does not degrade the quantizer objective. */
+  val refineIters = 1
+  def q58IvfRefined(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents0 = graft.search.IVF.centroids(e, "vec_id", "v", ivfK)
+    val cents1 = graft.search.IVF.refine(e, "vec_id", "v", cents0, refineIters)
+    graft.search.IVF.ivfTopKWith(cents1, e, "vec_id", "v",
+      e.filter(col("vec_id") === 2).select(col("v").as("qv")), "qv",
+      10, ivfProbe)
+      .orderBy("rank")
+  }
+
+  val q58Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c0 AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e) WHERE cid < $ivfK),
+       a0 AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c0 c) WHERE r = 1),
+       px AS (SELECT cid, i.i AS pos, v[i.i + 1] AS x
+              FROM a0, (SELECT UNNEST(generate_series(0, 63)) AS i) i),
+       m AS (SELECT cid, pos,
+               CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) /
+                 (COUNT(*) * 1000000.0) AS m
+             FROM px GROUP BY cid, pos),
+       g AS (SELECT cid, list(m ORDER BY pos) AS lm FROM m GROUP BY cid),
+       c1 AS (SELECT cid,
+               list_transform(lm, x -> x / (sqrt(list_dot_product(lm, lm)) + 1e-9)) AS cvec
+             FROM g),
+       a1 AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c1 c) WHERE r = 1),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 2),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c1 c, q) WHERE r <= $ivfProbe),
+       sc AS (SELECT a.vec_id, list_dot_product(a.v, pr.qv) AS sc
+              FROM a1 a JOIN pr ON a.cid = pr.cid),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
   /** R2 quality: the ANN recall CONTRACT. recall@10 of each
     * approximate path against the exact scan, one row per
     * (method, knob) — LSH single-probe vs multi-probe (Hamming-1
@@ -854,7 +912,8 @@ object RetrievalQueries {
     "q54_ivf_persist" -> (q54IvfPersist _),
     "q55_rag_candidates" -> (q55RagCandidates _),
     "q56_dp_sweep" -> (q56DpSweep _),
-    "q57_rag_e2e" -> (q57RagE2e _))
+    "q57_rag_e2e" -> (q57RagE2e _),
+    "q58_ivf_refined" -> (q58IvfRefined _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
@@ -872,5 +931,6 @@ object RetrievalQueries {
     "q41_hybrid" -> q41Sql,
     "q44_metrics_mean" -> q44Sql,
     "q55_rag_candidates" -> q55Sql,
-    "q56_dp_sweep" -> q56Sql)
+    "q56_dp_sweep" -> q56Sql,
+    "q58_ivf_refined" -> q58Sql)
 }

@@ -50,13 +50,21 @@ object IVF {
 
   /** Spherical k-means refinement of the coarse quantizer: Lloyd
     * iterations — assign to best inner-product centroid, recompute
-    * each list's mean RELATIONALLY (posexplode → per-(cid, dim) avg →
+    * each list's mean RELATIONALLY (posexplode → per-(cid, dim) mean →
     * re-assemble), L2-normalize the means. Each iteration ends in a
     * `localCheckpoint` so the lineage (and with it the plan size)
     * stays constant across iterations — the standard discipline for
-    * iterative algorithms on DataFrames. Deterministic given the
-    * deterministic seeding, so refined-IVF results are reproducible
-    * run to run. */
+    * iterative algorithms on DataFrames.
+    *
+    * The per-dimension mean is computed over 1e-6-QUANTIZED
+    * coordinates (an exact integer sum divided by the count): a plain
+    * double `avg` depends on partial-aggregation merge order, so two
+    * engines — or two shuffle layouts — could disagree in the last
+    * ulp and flip a downstream assignment tie. The integer sum is
+    * order-independent, which makes refined centroids bit-identical
+    * run-to-run AND replayable in the DuckDB oracle (q58); the 1e-6
+    * coordinate quantization is far below any meaningful centroid
+    * geometry. */
   def refine(docs: DataFrame, idCol: String, vecCol: String,
              cents: DataFrame, iterations: Int): DataFrame = {
     var c = cents
@@ -64,7 +72,9 @@ object IVF {
       val next = assign(docs, idCol, vecCol, c)
         .select(col("cid"), posexplode(col(vecCol)))
         .toDF("cid", "pos", "x")
-        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid", "pos")
+        .agg((sum(round(col("x") * 1e6).cast("long")).cast("double") /
+          (count(lit(1)).cast("double") * 1e6)).as("m"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"),
@@ -170,8 +180,16 @@ object IVF {
     * inside them. Output (id, rank, score) like Search.topK. */
   def ivfTopK(docs: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, queryVecCol: String,
-              k: Int, nCentroids: Int, nprobe: Int): DataFrame = {
-    val cents = centroids(docs, idCol, vecCol, nCentroids)
+              k: Int, nCentroids: Int, nprobe: Int): DataFrame =
+    ivfTopKWith(centroids(docs, idCol, vecCol, nCentroids),
+      docs, idCol, vecCol, query, queryVecCol, k, nprobe)
+
+  /** [[ivfTopK]] against a CALLER-SUPPLIED centroid table — the entry
+    * point for refined quantizers (q58 passes [[refine]]'s output) or
+    * any externally-trained codebook. */
+  def ivfTopKWith(cents: DataFrame, docs: DataFrame, idCol: String, vecCol: String,
+                  query: DataFrame, queryVecCol: String,
+                  k: Int, nprobe: Int): DataFrame = {
     val assigned = assign(docs, idCol, vecCol, cents)
     val probes = query.select(col(queryVecCol).as("__qv"))
       .crossJoin(broadcast(cents))

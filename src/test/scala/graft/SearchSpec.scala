@@ -180,6 +180,24 @@ class SearchSpec extends SparkSpec {
     assert(objective(refined) >= objective(init) - 1e-9)
   }
 
+  test("q58: refined-quantizer search returns a full ranking over genuinely moved centroids") {
+    import graft.search.IVF
+    val got = RetrievalQueries.q58IvfRefined(spark, sf0001)
+      .select("vec_id", "rank").as[(Long, Long)].collect()
+    assert(got.length == 10)
+    assert(got.map(_._2).sorted.toSeq == (1L to 10L))
+    assert(got.map(_._1).contains(2L)) // the query doc is in its own refined list
+    // the Lloyd step actually changed the quantizer (otherwise the
+    // declared query would be exercising dormant machinery)
+    val init = IVF.centroids(emb, "vec_id", "v", 8)
+      .select(col("cid"), graft.functions.VectorF.l2normalize(col("cvec")).as("cvec"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val refined = IVF.refine(emb, "vec_id", "v",
+        IVF.centroids(emb, "vec_id", "v", 8), 1)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(refined.exists { case (cid, v) => init.get(cid).exists(_ != v) })
+  }
+
   test("dpQueryVec: unit norm, zero attr part") {
     val q = emb.filter(col("vec_id") === 0)
       .select(Search.dpQueryVec(col("v"), 16, 0.7).as("dq"))
