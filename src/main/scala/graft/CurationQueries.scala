@@ -223,24 +223,38 @@ object CurationQueries {
 
   /** Embedding-cosine near-dup pairs above τ=0.35, LSH-bucketed:
     * candidate pairs meet only inside a (plane-set, sign-bit bucket)
-    * cell — `q33Rot` independent rotations of `q33Bits` hyperplanes
-    * each (Search.lshBucket with a plane offset), unioned for recall —
+    * cell — `q33Rot` independent rotations of `bits` hyperplanes each
+    * (Search.lshBucket with a plane offset), unioned for recall —
     * then each candidate pair is exactly re-scored with the codegen'd
     * dot product. Every join is an equi-join (bucket key, then id), so
-    * at 100 TB the cost tracks Σ bucket² per cell, not corpus²; bits
-    * and rotations are the recall/cost knobs. The deterministic
-    * hyperplanes make the whole construction oracle-replayable; the
-    * exact all-pairs form survives as [[q33ExactAllPairs]], the
-    * spec-side ground truth (DedupSpec pins bucketed ⊆ exact and the
-    * achieved recall). */
-  val q33Bits = 4; val q33Rot = 3; val q33Tau = 0.35
+    * at 100 TB the cost tracks Σ bucket² per cell, not corpus².
+    *
+    * `bits` GROWS WITH THE CORPUS: bits = clamp(⌈log2 N⌉ − 8, 4, 12),
+    * so expected bucket occupancy stays ≤ ~2^8 rows and Σ bucket²
+    * stays ~N·2^8 per rotation instead of N²/2^bits with a frozen
+    * bits (the round-4 scale-posture note). Rotation r uses planes
+    * [r·MAXBITS, r·MAXBITS + bits) — the plane index is DECOUPLED
+    * from bits so the hyperplane set for any given (r, b) is the same
+    * whatever the corpus size, and the oracle replays the same
+    * formula from its own COUNT(*) with integer threshold cases (no
+    * cross-engine float log2). The exact all-pairs form survives as
+    * [[q33ExactAllPairs]], the spec-side ground truth (DedupSpec pins
+    * bucketed ⊆ exact and the achieved recall). */
+  val q33Rot = 3; val q33Tau = 0.35; val q33MaxBits = 12
+
+  /** clamp(⌈log2 n⌉ − 8, 4, 12), exact integer arithmetic. */
+  def q33BitsFor(n: Long): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n - 1, 1))
+    math.min(q33MaxBits, math.max(4, ceilLog2 - 8))
+  }
 
   def q33NeardupCosine(s: SparkSession, dir: String): DataFrame = {
+    val bits = q33BitsFor(graft.sources.Tables.load(s, dir, "embeddings").count())
     val e = emb(s, dir).select(col("vec_id"), col("v"), norm2(col("v")).as("n"))
     // one row per (vector, rotation): key = rot·2^bits + bucket
     val keys = (0 until q33Rot).map(r =>
-      graft.search.Search.lshBucket(col("v"), q33Bits, 64, r * q33Bits)
-        + lit(r.toLong * (1L << q33Bits)))
+      graft.search.Search.lshBucket(col("v"), bits, 64, r * q33MaxBits)
+        + lit(r.toLong * (1L << bits)))
     val bk = e.select(col("vec_id"), explode(array(keys: _*)).as("bkey"))
     val cand = bk.select(col("vec_id").as("id1"), col("bkey"))
       .join(bk.select(col("vec_id").as("id2"), col("bkey")), Seq("bkey"))
@@ -270,18 +284,25 @@ object CurationQueries {
 
   val q33Sql: String = {
     // planeCoef(i, p) replayed exactly as VectorF.planeCoef defines it
-    // (same formula as q16Sql, plane p = rot*bits + b)
+    // (same formula as q16Sql, plane p = rot*MAXBITS + b — decoupled
+    // from the corpus-dependent bits so plane identity is stable)
     def proj(p: Int) =
       s"""list_sum(list_transform(generate_series(0, 63),
           i -> v[i + 1] * ((((i + 1) * ((${p + 1} * 2654435761) % 1000003) + ${p + 1} * 7919) % 1000003) / 1000003.0 - 0.5)))"""
-    def key(r: Int) = (0 until q33Bits).map(b =>
-      s"CASE WHEN ${proj(r * q33Bits + b)} >= 0 THEN ${1L << b} ELSE 0 END")
-      .mkString("(", " + ", s" + ${r.toLong * (1L << q33Bits)})")
+    // all MAXBITS projections are written out; b >= bits terms mask to
+    // 0, replaying clamp(ceil(log2 N)-8, 4, 12) with integer
+    // thresholds (no cross-engine float log2)
+    def key(r: Int) = (0 until q33MaxBits).map(b =>
+      s"CASE WHEN $b < bits THEN (CASE WHEN ${proj(r * q33MaxBits + b)} >= 0 THEN ${1L << b} ELSE 0 END) ELSE 0 END")
+      .mkString("(", " + ", s" + $r * (CAST(1 AS BIGINT) << bits))")
     val keyList = (0 until q33Rot).map(key).mkString("[", ", ", "]")
+    val thresholds = (4 to 11)
+      .map(k => s"WHEN COUNT(*) <= ${1L << (k + 8)} THEN $k").mkString(" ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
              FROM embeddings),
-       bk AS (SELECT vec_id, unnest($keyList) AS bkey FROM e),
+       bt AS (SELECT CASE $thresholds ELSE 12 END AS bits FROM embeddings),
+       bk AS (SELECT vec_id, unnest($keyList) AS bkey FROM e, bt),
        cand AS (SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
               FROM bk a JOIN bk c ON a.bkey = c.bkey AND a.vec_id < c.vec_id),
        sc AS (SELECT id1, id2,
