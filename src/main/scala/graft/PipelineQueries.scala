@@ -77,6 +77,39 @@ object PipelineQueries {
          CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
        FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us"""
 
+  /** q60's sessionizer executed UNDER THE LIVE STREAMING HARNESS:
+    * readStream file source over the events parquet → session_window
+    * aggregation → memory sink, Trigger.AvailableNow, complete output
+    * (all session state emitted once the source drains). Complete
+    * mode makes the streaming result equal the batch result row for
+    * row, so this query shares q60's gaps-and-islands DuckDB oracle —
+    * the streaming path sits under the correctness gate AND gets a
+    * timed bench artifact, not just a MemoryStream spec. */
+  def q61StreamSessionize(s: SparkSession, dir: String): DataFrame = {
+    val stage = roundtripPath(dir, "q61")
+    new java.io.File(stage).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$stage/events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = s.read.parquet(stage).schema
+    val raw = s.readStream.schema(schema).parquet(stage)
+    // ts arrives as raw nanos under nanosAsLong — restore, as in batch
+    val events =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val sink = "q61_sessions_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    Streaming.runToMemory(s, Streaming.sessionize(events, "30 minutes"),
+      sink, "complete")
+    s.table(sink)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        col("n_events"),
+        round(col("sum_value") * 100).cast("long").as("sum_value_c"))
+      .orderBy("user_id", "start_us")
+  }
+
   /** Deterministic scratch path for write-then-read-back queries,
     * distinct per (query, sf) so runs never cross-contaminate. */
   private[graft] def roundtripPath(dir: String, q: String): String =
@@ -169,11 +202,13 @@ object PipelineQueries {
     "q50_binary_features" -> (q50BinaryFeatures _),
     "q52_parquet_roundtrip" -> (q52ParquetRoundtrip _),
     "q53_csv_roundtrip" -> (q53CsvRoundtrip _),
-    "q60_sessionize" -> (q60Sessionize _))
+    "q60_sessionize" -> (q60Sessionize _),
+    "q61_stream_sessionize" -> (q61StreamSessionize _))
 
   val oracle: Map[String, String] = Map(
     "q50_binary_features" -> q50Sql,
     "q52_parquet_roundtrip" -> q52Sql,
     "q53_csv_roundtrip" -> q53Sql,
-    "q60_sessionize" -> q60Sql)
+    "q60_sessionize" -> q60Sql,
+    "q61_stream_sessionize" -> q60Sql)
 }
