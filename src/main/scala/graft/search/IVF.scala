@@ -35,17 +35,34 @@ object IVF {
         col(vecCol).as("cvec"))
 
   /** Assign every vector to its best inner-product centroid
-    * (tiebreak: lowest cid). Broadcast K centroids; one window rank
-    * over K candidates per row — no corpus shuffle beyond the rank. */
+    * (tiebreak: lowest cid). The centroid table is collapsed to ONE
+    * broadcast row holding the cid-sorted centroid array, and the
+    * per-row argmax is a transform + left-to-right fold over that
+    * array INSIDE the projection — no corpus × K row inflation, no
+    * aggregate, no exchange, no sort: assignment is embarrassingly
+    * parallel and each vector is scored against each centroid exactly
+    * once (the transform materializes the K scores before the fold,
+    * so the dot is not re-evaluated per comparison). The earlier
+    * window / max_by formulations both forced a corpus-sized
+    * sort-or-shuffle of K scored copies per row — at 100 TB and
+    * K=1024 centroids that is a 1000× inflation ahead of the
+    * exchange; this form scans the corpus once and emits one row per
+    * vector in place. A strict `>` over the cid-sorted array makes
+    * ties resolve to the lowest cid, identical to the old
+    * (score desc, cid asc) rank and to the oracle's ROW_NUMBER
+    * replay. */
   def assign(docs: DataFrame, idCol: String, vecCol: String,
              cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__cs").desc, col("cid").asc)
-    docs.crossJoin(broadcast(cents))
-      .withColumn("__cs", dot(col(vecCol), col("cvec")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .select(col(idCol), col(vecCol), col("cid"))
+    val packed = cents.agg(
+      array_sort(collect_list(struct(col("cid"), col("cvec")))).as("__cents"))
+    val scored = transform(col("__cents"),
+      c => struct(dot(col(vecCol), c.getField("cvec")).as("s"),
+        c.getField("cid").as("cid")))
+    val best = aggregate(scored,
+      struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("cid")),
+      (acc, c) => when(c.getField("s") > acc.getField("s"), c).otherwise(acc))
+    docs.crossJoin(broadcast(packed))
+      .select(col(idCol), col(vecCol), best.getField("cid").as("cid"))
   }
 
   /** Spherical k-means refinement of the coarse quantizer: Lloyd
