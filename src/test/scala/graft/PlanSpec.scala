@@ -44,6 +44,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("IVF assign is a pure projection over the corpus: no window, no sort-agg, no corpus shuffle") {
+    import graft.search.IVF
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // checkpoint the (K-row) centroid build so the printed plan is the
+    // assign subtree alone — the centroid-side cid window is K rows
+    // and not what this spec guards
+    val cents = IVF.centroids(emb, "vec_id", "v", 8).localCheckpoint()
+    val p = IVF.assign(emb, "vec_id", "v", cents)
+      .queryExecution.executedPlan.toString
+    // the argmax is a per-row fold over the broadcast centroid array —
+    // the K-fold row inflation of the window/max_by forms must not
+    // come back (the only exchange allowed is the K-row centroid pack)
+    assert(!p.contains("WindowExec") && !p.contains("Window "))
+    assert(!p.contains("SortAggregate"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
   test("q20: BM25 postings explode only the query terms (pre-explode array filter)") {
     val p = plan("q20_bm25")
     assert(p.contains("filter(")) // the array-level token filter feeds the generate
