@@ -600,8 +600,8 @@ object RetrievalQueries {
     val vec = Search.topK(e, "vec_id", "v",
       e.filter(col("vec_id") === 0).select(col("v").as("qv")), "qv", 20)
       .select(col("vec_id").as("id"), lit(1).as("in_vec"))
-    val lex = BM25.search(docs(s, dir), "doc_id", "text", Queries.bm25Terms, 20,
-        Queries.bm25Stats(s, dir))
+    val lex = BM25.searchIndexed(Queries.bm25Postings(s, dir),
+        Queries.bm25Stats(s, dir), Queries.bm25Terms, 20)
       .select(col("doc").as("id"), lit(1).as("in_lex"))
     vec.join(lex, Seq("id"), "full_outer")
       .select(col("id"),
@@ -655,8 +655,8 @@ object RetrievalQueries {
           .select(col("vec_id").as("qid"), col("v").as("qv")),
         "qid", "qv", 20, annBits, embDim, hamming1 = true)
       .select(col("vec_id").as("id"), lit(1).as("in_vec"))
-    val lexLeg = BM25.search(docs(s, dir), "doc_id", "text",
-        Queries.bm25Terms, 20, Queries.bm25Stats(s, dir))
+    val lexLeg = BM25.searchIndexed(Queries.bm25Postings(s, dir),
+        Queries.bm25Stats(s, dir), Queries.bm25Terms, 20)
       .select(col("doc").as("id"), lit(1).as("in_lex"))
     val cand = vecLeg.join(lexLeg, Seq("id"), "full_outer")
       .select(col("id"),

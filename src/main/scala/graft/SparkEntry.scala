@@ -374,11 +374,20 @@ object Queries {
     Memo.cached(s, dir, "bm25stats")(
       BM25.corpusStats(t(s, dir, "documents"), "text"))
 
-  /** R3: BM25 top-20 for a fixed term query. */
+  /** The full (doc, len, term, tf) postings table, built and
+    * materialized once per corpus — with [[bm25Stats]] this is the
+    * whole BM25 "index"; per-query cost is a filter + scoring join
+    * over it, never a re-tokenize (at rest this would be a persisted
+    * table bucketed by term). */
+  private[graft] def bm25Postings(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "bm25post")(
+      BM25.postings(t(s, dir, "documents"), "doc_id", "text"))
+
+  /** R3: BM25 top-20 for a fixed term query, served from the
+    * memoized index (postings + corpus stats). */
   val bm25Terms = Seq("spark", "hash", "join")
   def q20Bm25(s: SparkSession, dir: String): DataFrame =
-    BM25.search(t(s, dir, "documents"), "doc_id", "text", bm25Terms, 20,
-      bm25Stats(s, dir))
+    BM25.searchIndexed(bm25Postings(s, dir), bm25Stats(s, dir), bm25Terms, 20)
       .orderBy("rank")
 
   val q20Sql: String =

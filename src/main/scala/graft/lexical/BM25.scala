@@ -80,6 +80,25 @@ object BM25 {
         explode(filter(col("toks"), t => t.isin(terms: _*))).as("term"))
       .groupBy("doc", "len", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
+    scorePostings(post, corpus, k)
+  }
+
+  /** [[search]] over a PRE-BUILT postings frame (the [[postings]]
+    * output, memoized once per corpus): per-query work is a filter on
+    * the materialized (doc, term, tf) rows plus the scoring join —
+    * the corpus is never re-tokenized. With the stats memo this is
+    * the engine's full escape from the reference's
+    * rebuild-BM25-per-query anti-pattern (`src/pipeline/pipeline.py:171-172`,
+    * SURVEY §7.5): build once, score many. Values are identical to
+    * [[search]] — tf/df/len come out the same whether the term filter
+    * runs before or after the tf aggregation. */
+  def searchIndexed(post: DataFrame, corpus: DataFrame,
+                    queryTerms: Seq[String], k: Int): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase)
+    scorePostings(post.filter(col("term").isin(terms: _*)), corpus, k)
+  }
+
+  private def scorePostings(post: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val stats = post.groupBy("term")
       .agg(countDistinct(col("doc")).cast("double").as("df"))
       .crossJoin(broadcast(corpus))

@@ -63,8 +63,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
-  test("q20: BM25 postings explode only the query terms (pre-explode array filter)") {
+  test("q20: BM25 scores from the materialized postings index, never re-tokenizing") {
     val p = plan("q20_bm25")
+    // the declared path reads the memoized postings (Memo.cached
+    // checkpoint) with a term filter — a Generate would mean the
+    // corpus is being exploded per query again
+    assert(!p.contains("Generate explode"))
+    assert(p.contains("term") && p.contains("INSET") || p.contains("term#"),
+      s"expected a term filter over the postings scan:\n$p")
+  }
+
+  test("one-off BM25.search explodes only the query terms (pre-explode array filter)") {
+    import graft.lexical.BM25
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = BM25.search(docs, "doc_id", "text", Seq("spark", "join"), 10)
+      .queryExecution.executedPlan.toString
     assert(p.contains("filter(")) // the array-level token filter feeds the generate
     assert(p.contains("Generate explode"))
   }
