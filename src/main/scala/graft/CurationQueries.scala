@@ -346,18 +346,25 @@ object CurationQueries {
     * keyed by term then by doc — both with map-side partial
     * aggregation. */
   def q27UnigramLogprob(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir)
-      .select(col("doc_id"), explode(TextAnalysis.toks(col("text"))).as("t"))
-    // vocabulary-sized; materialized once (it is referenced both for
-    // the total and as the scoring join's build side)
-    val freqs = toks.groupBy("t").agg(count(lit(1)).as("c")).localCheckpoint()
+    // the corpus unigram table IS the BM25 postings index rolled up
+    // by term (identical whitespace-lowercase tokenizer): freqs(t) =
+    // Σ_doc tf, served from the memoized postings — building the
+    // language model re-exploads nothing, and the roll-up is a
+    // vocabulary-sized aggregate over materialized rows. tf values
+    // are integral doubles < 2^53, so the cast back to long is exact
+    // and the counts equal the old explode-and-count form.
+    val freqs = Queries.bm25Postings(s, dir)
+      .groupBy(col("term").as("t"))
+      .agg(sum(col("tf")).cast("long").as("c"))
+      .localCheckpoint()
     val total = freqs.agg(sum(col("c")).as("tot"))
     // the frequency table must stay CORPUS-wide (it IS the language
     // model), but only the output docs need scoring — the id filter
-    // sits on the scoring side BEFORE the join/aggregate, so at scale
-    // this scores 200 docs, not the corpus (round-4 plan audit #1)
-    val withLp = toks
+    // sits on the scoring side BEFORE the explode/join/aggregate, so
+    // at scale this scores 200 docs, not the corpus
+    val withLp = docs(s, dir)
       .filter(col("doc_id") < 200)
+      .select(col("doc_id"), explode(TextAnalysis.toks(col("text"))).as("t"))
       .join(broadcast(freqs.crossJoin(broadcast(total))), "t")
       .select(col("doc_id"),
         log(col("c").cast("double") / col("tot").cast("double")).as("lp"))
