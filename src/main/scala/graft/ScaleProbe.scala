@@ -57,7 +57,8 @@ object ScaleProbe {
 
     Seq("q30_dedup_exact", "q31_minhash_pairs", "q47_curation_e2e",
       "q20_bm25", "q21_top_terms", "q10_knn_exact", "q11_knn_multi",
-      "q16_ann_lsh", "q33_neardup_cosine", "q49_dp_attr_search").foreach { q =>
+      "q16_ann_lsh", "q33_neardup_cosine", "q49_dp_attr_search",
+      "q45_ann_ivf", "q58_ivf_refined", "q55_rag_candidates").foreach { q =>
       val a = time("1x", src, q)
       val b = time(s"${k}x", dst, q)
       println(f"SCALE RATIO $q ${b / a}%.2f (data ${k}x)")
