@@ -42,4 +42,20 @@ object Memo {
       .foreach(cache.remove)
     cache.getOrElseUpdate((s, dir, tag, fp), build.localCheckpoint())
   }
+
+  private val scalars = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String, String), Long]
+
+  /** Memoize a driver-side scalar per (session, dir-content, tag) —
+    * e.g. a corpus count that parameterizes a plan (q33's adaptive
+    * LSH bits), so repeated query construction doesn't re-run the
+    * counting job. */
+  def cachedCount(s: SparkSession, dir: String, tag: String)
+                 (build: => Long): Long = {
+    val fp = dirFingerprint(dir)
+    scalars.keys
+      .filter(k => k._1 == s && k._2 == dir && k._3 == tag && k._4 != fp)
+      .foreach(scalars.remove)
+    scalars.getOrElseUpdate((s, dir, tag, fp), build)
+  }
 }

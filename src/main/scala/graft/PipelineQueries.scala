@@ -88,10 +88,17 @@ object PipelineQueries {
   def q61StreamSessionize(s: SparkSession, dir: String): DataFrame = {
     val stage = roundtripPath(dir, "q61")
     new java.io.File(stage).mkdirs()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      java.nio.file.Paths.get(s"$stage/events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // events.parquet may be a single file (testdata layout) or a
+    // Spark-written directory — stage either shape recursively
+    def copyTree(src: java.io.File, dst: java.io.File): Unit =
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles()).toSeq.flatten
+          .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    copyTree(new java.io.File(s"$dir/events.parquet"),
+      new java.io.File(s"$stage/events.parquet"))
     val schema = s.read.parquet(stage).schema
     val raw = s.readStream.schema(schema).parquet(stage)
     // ts arrives as raw nanos under nanosAsLong — restore, as in batch

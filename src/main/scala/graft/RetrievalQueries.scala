@@ -402,7 +402,7 @@ object RetrievalQueries {
   val q17Sql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        nv AS (SELECT vec_id, i.i AS i, v[i.i + 1] AS x,
-                v[i.i + 1] + (((vec_id*1103515245 + i.i*12345) % 1000003) / 1000003.0 - 0.5) * 0.15 AS y
+                v[i.i + 1] + ((((vec_id % 2147483648)*1103515245 + i.i*12345) % 1000003) / 1000003.0 - 0.5) * 0.15 AS y
               FROM e, (SELECT UNNEST(generate_series(0, 63)) AS i) i),
        agg AS (SELECT vec_id, SUM(x*y) AS xy, SUM(y*y) AS yy FROM nv GROUP BY vec_id),
        c AS (SELECT ROUND(xy / (sqrt(yy) + 1e-9), 6) AS c FROM agg)
@@ -422,7 +422,7 @@ object RetrievalQueries {
   }
 
   private def noisySql(eps: Double, seed: Long): String =
-    s"""(((vec_id + $seed) * 1103515245 + 12345) % 1000003) / 1000003.0 * $eps - ${eps / 2}"""
+    s"""((((vec_id + $seed) % 2147483648) * 1103515245 + 12345) % 1000003) / 1000003.0 * $eps - ${eps / 2}"""
 
   val q18Sql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -745,6 +745,11 @@ object RetrievalQueries {
   // catalog)
   private val sweepAttrDim = 16
   def q56DpSweep(s: SparkSession, dir: String): DataFrame = {
+    // call-time is cycle-safe (only object-INIT references would
+    // deadlock); a drifted attrDim would otherwise surface as a
+    // silent dimension mismatch between engine and oracle
+    require(sweepAttrDim == Queries.attrDim,
+      s"sweepAttrDim ($sweepAttrDim) must equal Queries.attrDim (${Queries.attrDim})")
     val el = graft.sources.Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
     // one corpus scan, σ exploded; staged projections as in q15 so
@@ -801,7 +806,7 @@ object RetrievalQueries {
          FROM e),
        nz AS (SELECT s.sigma, a.vec_id, a.v, a.av,
            list_transform(generate_series(0, ${sweepAttrDim - 1}),
-             j -> a.av[j+1] + ((((a.vec_id*1103515245 + j*12345) % 1000003) / 1000003.0) - 0.5) * s.sigma) AS nraw
+             j -> a.av[j+1] + (((((a.vec_id % 2147483648)*1103515245 + j*12345) % 1000003) / 1000003.0) - 0.5) * s.sigma) AS nraw
          FROM att a, sg s),
        nn AS (SELECT sigma, vec_id, v, av,
            list_transform(nraw, x -> x / (sqrt(list_dot_product(nraw, nraw)) + 1e-9)) AS na

@@ -310,7 +310,7 @@ object Queries {
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                   FROM embeddings WHERE vec_id < 200),
        nv AS (SELECT vec_id, i.i AS i, v[i.i + 1] AS x,
-                v[i.i + 1] + (((vec_id*1103515245 + i.i*12345) % 1000003) / 1000003.0 - 0.5) * 0.15 AS y
+                v[i.i + 1] + ((((vec_id % 2147483648)*1103515245 + i.i*12345) % 1000003) / 1000003.0 - 0.5) * 0.15 AS y
               FROM e, (SELECT UNNEST(generate_series(0, 63)) AS i) i),
        agg AS (SELECT vec_id, SUM(x*y) AS xy, SUM(y*y) AS yy FROM nv GROUP BY vec_id),
        e0 AS (SELECT vec_id, y AS y0 FROM nv WHERE i = 0)

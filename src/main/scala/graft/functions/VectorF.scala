@@ -82,9 +82,14 @@ object VectorF {
     * integer arithmetic on (id, dim) — replaces the reference's
     * unseeded `np.random.normal` (`src/pipeline/pipeline_mode.py:79`)
     * with a reproducible, oracle-checkable perturbation (SURVEY §7.4).
-    * Pure int64 arithmetic → bit-identical in any engine. */
+    * Pure int64 arithmetic → bit-identical in any engine. The id is
+    * reduced mod 2^31 before the multiply for the same reason as
+    * Ingest.pseudoShuffleKey: Spark wraps Long overflow silently
+    * while DuckDB BIGINT raises, so without the reduction the engine
+    * and its oracle diverge once ids approach ~8.4e9. Unchanged for
+    * ids < 2^31. */
   def pseudoUniform(id: Column, dim: Column): Column =
-    ((id * lit(1103515245L) + dim * lit(12345L)) % lit(1000003L))
+    (((id % lit(2147483648L)) * lit(1103515245L) + dim * lit(12345L)) % lit(1000003L))
       .cast("double") / lit(1000003.0) - lit(0.5)
 
   /** Add deterministic noise of scale sigma to vector `v` keyed by

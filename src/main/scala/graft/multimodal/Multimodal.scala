@@ -35,7 +35,10 @@ object Multimodal {
   def fingerprint(bin: Column): Column = md5(bin)
 
   /** Magic-byte format sniff from the first bytes of the content —
-    * a codegen'd CASE over the hex prefix, no decode needed. */
+    * a codegen'd CASE over the hex prefix, no decode needed. Four
+    * bytes are hexed although JPEG's magic is only three (FFD8FF):
+    * `startsWith` on the hex string matches any prefix length ≤ 4
+    * bytes, so shorter magics work and 4 bytes covers the longest. */
   def sniffFormat(bin: Column): Column = {
     val prefix = hex(substring(bin, 1, 4))
     when(prefix.startsWith("89504E47"), "png")

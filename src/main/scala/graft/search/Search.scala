@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
 object Search {
 
   /** Every top-k in this module runs the final rank window AFTER a
-    * `limit(k)`, so the input is k rows in one task — but an empty
-    * partitionBy makes WindowExec log a scary "No Partition Defined"
-    * warning on every query. A constant partition key is the same
-    * single-partition semantic without the log spam. */
+    * `limit(k)` — k rows in one task, so the single-partition window
+    * is intentional and harmless. The shared spec centralizes that
+    * intent; note the literal partition key is CONSTANT-FOLDED AWAY
+    * by Spark 4's optimizer (verified empirically), so it does NOT
+    * suppress WindowExec's "No Partition Defined" warning — the
+    * harness mains mute that logger instead (see Bench.scala). */
   private[search] val wAll = Window.partitionBy(lit(0))
 
   /** The bounded-heap top-k aggregate carries ids as long; a

@@ -54,8 +54,11 @@ object MetricsViz {
     val rows = df.select(labelCol, valueCols: _*).collect()
     new java.io.File(outDir).mkdirs()
     valueCols.zipWithIndex.map { case (vc, i) =>
-      val data = rows.map { r =>
-        (String.valueOf(r.get(0)), r.getAs[Number](i + 1).doubleValue())
+      // NULL metric cells (e.g. a COALESCE-less aggregate over an
+      // empty group) are skipped, not rendered as a crash
+      val data = rows.flatMap { r =>
+        Option(r.get(i + 1)).map(v =>
+          (String.valueOf(r.get(0)), v.asInstanceOf[Number].doubleValue()))
       }.toSeq
       val path = s"$outDir/$vc.svg"
       java.nio.file.Files.writeString(

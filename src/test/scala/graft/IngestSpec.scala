@@ -50,4 +50,17 @@ class IngestSpec extends SparkSpec {
       .select(Ingest.snippet(col("t"), 10)).as[String].head()
     assert(s == "ab cdxxxxx")
   }
+
+  test("pseudoShuffleKey Column form matches the reduced formula past 2^31") {
+    // the old unreduced formula wrapped negative at ~8.36e9; the
+    // reduced form must agree with exact driver-side arithmetic at
+    // any id in both engines' range
+    val ids = Seq(0L, 42L, 2147483647L, 2147483648L, 8400000000L, Long.MaxValue - 12345L)
+    ids.foreach { id =>
+      val got = spark.range(1)
+        .select(Ingest.pseudoShuffleKey(lit(id))).head().getLong(0)
+      val want = ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L
+      assert(got == want, s"id=$id")
+    }
+  }
 }

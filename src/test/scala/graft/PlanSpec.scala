@@ -69,7 +69,9 @@ class PlanSpec extends SparkSpec {
     // checkpoint) with a term filter — a Generate would mean the
     // corpus is being exploded per query again
     assert(!p.contains("Generate explode"))
-    assert(p.contains("term") && p.contains("INSET") || p.contains("term#"),
+    // the term filter must actually appear (INSET for the 3-term
+    // list, or an IN/equality form if the term count changes)
+    assert(p.contains("INSET") || p.contains("term#") && p.contains(" IN "),
       s"expected a term filter over the postings scan:\n$p")
   }
 

@@ -71,10 +71,14 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
-  test("LCG sample key is non-negative and engine-portable for realistic ids") {
-    forAll(Gen.choose(0L, 1000000000L)) { id =>
-      val k = (id * 1103515245L + 12345L) % 2147483648L
+  test("LCG sample key is non-negative and overflow-free at ANY id (the mod-2^31 reduction)") {
+    // ids beyond 2^31 are exactly the range the reduction exists for:
+    // (id % 2^31) * 1103515245 < 2^62, so neither engine can overflow
+    forAll(Gen.choose(0L, Long.MaxValue - 12345L)) { id =>
+      val r = id % 2147483648L
+      assert(r * 1103515245L >= 0L) // no silent wrap on the Spark side
+      val k = (r * 1103515245L + 12345L) % 2147483648L
       assert(k >= 0L && k < 2147483648L)
     }
-  }
+  } // Column-form parity past 2^31 is pinned in IngestSpec (needs a session)
 }
