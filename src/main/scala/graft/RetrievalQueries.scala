@@ -289,12 +289,17 @@ object RetrievalQueries {
           Seq("qid", "vec_id"), "left_semi")
         .agg(round(count(lit(1)) / lit((recallNq * recallK).toDouble), 4).as("recall"))
         .select(lit(method).as("method"), lit(knob).as("knob"), col("recall"))
-    // the IVF index (centroids + per-row list assignment — a corpus ×
-    // K crossJoin plus a rank window) is computed ONCE and shared
-    // across the three nprobe knobs; recomputing it per knob was ~2/3
-    // of this query's cost (round-4 plan audit)
+    // the IVF index (centroids + per-row list assignment) is computed
+    // ONCE and shared across the three nprobe knobs; recomputing it
+    // per knob was ~2/3 of this query's cost (round-4 plan audit).
+    // The refined-quantizer row gets its own (one-Lloyd-iteration)
+    // index the same way, so the contract measures build quality
+    // (refine) and probe width (nprobe) as independent dials.
     val cents = graft.search.IVF.centroids(e, "vec_id", "v", ivfK).localCheckpoint()
     val assigned = graft.search.IVF.assign(e, "vec_id", "v", cents).localCheckpoint()
+    val centsR = graft.search.IVF.refine(e, "vec_id", "v", cents, refineIters)
+      .localCheckpoint()
+    val assignedR = graft.search.IVF.assign(e, "vec_id", "v", centsR).localCheckpoint()
     def ivfRow(nprobe: Int): DataFrame =
       recallRow(graft.search.IVF.ivfMultiTopKAssigned(assigned, cents,
         "vec_id", "v", qs, "qid", "qv", recallK, nprobe),
@@ -304,7 +309,10 @@ object RetrievalQueries {
         recallK, annBits, embDim, hamming1 = false), "lsh", s"bits=$annBits probes=1"),
       recallRow(Search.lshMultiTopK(e, "vec_id", "v", qs, "qid", "qv",
         recallK, annBits, embDim, hamming1 = true), "lsh", s"bits=$annBits probes=1+H1"),
-      ivfRow(1), ivfRow(2), ivfRow(4))
+      ivfRow(1), ivfRow(2), ivfRow(4),
+      recallRow(graft.search.IVF.ivfMultiTopKAssigned(assignedR, centsR,
+        "vec_id", "v", qs, "qid", "qv", recallK, ivfProbe),
+        "ivf", s"k=$ivfK nprobe=$ivfProbe refine=$refineIters"))
       .reduce(_ union _)
       .orderBy("method", "knob")
   }
@@ -368,6 +376,32 @@ object RetrievalQueries {
              ROW_NUMBER() OVER (PARTITION BY p.qid
                ORDER BY list_dot_product(a.v, p.qv) DESC, a.vec_id) AS r2
            FROM a JOIN (SELECT * FROM pq WHERE r <= 4) p ON a.cid = p.cid)
+           WHERE r2 <= $recallK),
+       px AS (SELECT cid, i.i AS pos, v[i.i + 1] AS x
+              FROM a, (SELECT UNNEST(generate_series(0, 63)) AS i) i),
+       mm AS (SELECT cid, pos,
+               CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) /
+                 (COUNT(*) * 1000000.0) AS m
+             FROM px GROUP BY cid, pos),
+       gg AS (SELECT cid, list(m ORDER BY pos) AS lm FROM mm GROUP BY cid),
+       c1 AS (SELECT cid,
+               list_transform(lm, x -> x / (sqrt(list_dot_product(lm, lm)) + 1e-9)) AS cvec
+             FROM gg),
+       ar AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c1 c) WHERE r = 1),
+       pqr AS (SELECT qid, qv, cid, r FROM (
+           SELECT q.qid, q.qv, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM q, c1 c)),
+       ivfr AS (SELECT qid, vec_id FROM (
+           SELECT p.qid, a.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY p.qid
+               ORDER BY list_dot_product(a.v, p.qv) DESC, a.vec_id) AS r2
+           FROM ar a JOIN (SELECT * FROM pqr WHERE r <= $ivfProbe) p ON a.cid = p.cid)
            WHERE r2 <= $recallK)
        SELECT method, knob, recall FROM (
          SELECT 'lsh' AS method, 'bits=$annBits probes=1' AS knob,
@@ -379,7 +413,9 @@ object RetrievalQueries {
          UNION ALL SELECT 'ivf', 'k=$ivfK nprobe=2',
            ROUND(COUNT(*) / $denom, 4) FROM ex JOIN ivf2 USING (qid, vec_id)
          UNION ALL SELECT 'ivf', 'k=$ivfK nprobe=4',
-           ROUND(COUNT(*) / $denom, 4) FROM ex JOIN ivf4 USING (qid, vec_id))
+           ROUND(COUNT(*) / $denom, 4) FROM ex JOIN ivf4 USING (qid, vec_id)
+         UNION ALL SELECT 'ivf', 'k=$ivfK nprobe=$ivfProbe refine=$refineIters',
+           ROUND(COUNT(*) / $denom, 4) FROM ex JOIN ivfr USING (qid, vec_id))
        ORDER BY method, knob"""
   }
 
