@@ -163,11 +163,31 @@ object RetrievalQueries {
     * seeded by the rank-based LCG sample (id-distribution-free),
     * probe the 2 best lists, exact re-rank inside them. */
   val ivfK = 8; val ivfProbe = 2
+
+  /** The in-session IVF index artifacts — seed centroids, refined
+    * centroids, and both list assignments — materialized once per
+    * (session, dir-content) and shared by q45/q48/q58: "build the
+    * index once, query it many times", the exact discipline the
+    * reference violates by rebuilding per query (SURVEY §7.5). The
+    * at-rest twin is q54's persisted partitionBy(cid) layout. */
+  private def ivfCents0(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "ivf_c0")(
+      graft.search.IVF.centroids(emb(s, dir), "vec_id", "v", ivfK))
+  private def ivfAssigned0(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "ivf_a0")(
+      graft.search.IVF.assign(emb(s, dir), "vec_id", "v", ivfCents0(s, dir)))
+  private def ivfCentsR(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "ivf_c1")(
+      graft.search.IVF.refine(emb(s, dir), "vec_id", "v", ivfCents0(s, dir), refineIters))
+  private def ivfAssignedR(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "ivf_a1")(
+      graft.search.IVF.assign(emb(s, dir), "vec_id", "v", ivfCentsR(s, dir)))
+
   def q45AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    graft.search.IVF.ivfTopK(e, "vec_id", "v",
+    graft.search.IVF.ivfTopKWith(ivfCents0(s, dir), e, "vec_id", "v",
       e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
-      10, ivfK, ivfProbe)
+      10, ivfProbe)
       .orderBy("rank")
   }
 
@@ -223,9 +243,7 @@ object RetrievalQueries {
   val refineIters = 1
   def q58IvfRefined(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val cents0 = graft.search.IVF.centroids(e, "vec_id", "v", ivfK)
-    val cents1 = graft.search.IVF.refine(e, "vec_id", "v", cents0, refineIters)
-    graft.search.IVF.ivfTopKWith(cents1, e, "vec_id", "v",
+    graft.search.IVF.ivfTopKWith(ivfCentsR(s, dir), e, "vec_id", "v",
       e.filter(col("vec_id") === 2).select(col("v").as("qv")), "qv",
       10, ivfProbe)
       .orderBy("rank")
@@ -289,17 +307,16 @@ object RetrievalQueries {
           Seq("qid", "vec_id"), "left_semi")
         .agg(round(count(lit(1)) / lit((recallNq * recallK).toDouble), 4).as("recall"))
         .select(lit(method).as("method"), lit(knob).as("knob"), col("recall"))
-    // the IVF index (centroids + per-row list assignment) is computed
-    // ONCE and shared across the three nprobe knobs; recomputing it
-    // per knob was ~2/3 of this query's cost (round-4 plan audit).
-    // The refined-quantizer row gets its own (one-Lloyd-iteration)
-    // index the same way, so the contract measures build quality
-    // (refine) and probe width (nprobe) as independent dials.
-    val cents = graft.search.IVF.centroids(e, "vec_id", "v", ivfK).localCheckpoint()
-    val assigned = graft.search.IVF.assign(e, "vec_id", "v", cents).localCheckpoint()
-    val centsR = graft.search.IVF.refine(e, "vec_id", "v", cents, refineIters)
-      .localCheckpoint()
-    val assignedR = graft.search.IVF.assign(e, "vec_id", "v", centsR).localCheckpoint()
+    // the IVF index artifacts (seed + refined centroids, both list
+    // assignments) come from the session memo shared with q45/q58 —
+    // computed once per corpus, probed here at three nprobe knobs;
+    // recomputing per knob was ~2/3 of this query's cost (round-4
+    // plan audit). The refined row makes build quality (refine) and
+    // probe width (nprobe) independent, measured dials.
+    val cents = ivfCents0(s, dir)
+    val assigned = ivfAssigned0(s, dir)
+    val centsR = ivfCentsR(s, dir)
+    val assignedR = ivfAssignedR(s, dir)
     def ivfRow(nprobe: Int): DataFrame =
       recallRow(graft.search.IVF.ivfMultiTopKAssigned(assigned, cents,
         "vec_id", "v", qs, "qid", "qv", recallK, nprobe),
