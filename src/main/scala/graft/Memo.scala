@@ -18,6 +18,18 @@ object Memo {
   private val cache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String, String), DataFrame]
 
+  /** The one invalidation rule, shared by every memo map: evict
+    * same-(session, dir, tag) entries whose fingerprint changed, then
+    * get-or-build under the current fingerprint. */
+  private def memoIn[V](map: scala.collection.concurrent.TrieMap[(SparkSession, String, String, String), V])
+                       (s: SparkSession, dir: String, tag: String)(build: => V): V = {
+    val fp = dirFingerprint(dir)
+    map.keys
+      .filter(k => k._1 == s && k._2 == dir && k._3 == tag && k._4 != fp)
+      .foreach(map.remove)
+    map.getOrElseUpdate((s, dir, tag, fp), build)
+  }
+
   /** Fingerprint of every file under `dir` (path, length, mtime).
     * Driver-side directory walk — cheap for the handful of parquet
     * files per scale-factor dir; at real scale the equivalent signal
@@ -35,13 +47,8 @@ object Memo {
     * with localCheckpoint so consumers re-read executor-resident rows
     * instead of re-running the plan. */
   def cached(s: SparkSession, dir: String, tag: String)
-            (build: => DataFrame): DataFrame = {
-    val fp = dirFingerprint(dir)
-    cache.keys
-      .filter(k => k._1 == s && k._2 == dir && k._3 == tag && k._4 != fp)
-      .foreach(cache.remove)
-    cache.getOrElseUpdate((s, dir, tag, fp), build.localCheckpoint())
-  }
+            (build: => DataFrame): DataFrame =
+    memoIn(cache)(s, dir, tag)(build.localCheckpoint())
 
   private val scalars = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String, String), Long]
@@ -51,11 +58,6 @@ object Memo {
     * LSH bits), so repeated query construction doesn't re-run the
     * counting job. */
   def cachedCount(s: SparkSession, dir: String, tag: String)
-                 (build: => Long): Long = {
-    val fp = dirFingerprint(dir)
-    scalars.keys
-      .filter(k => k._1 == s && k._2 == dir && k._3 == tag && k._4 != fp)
-      .foreach(scalars.remove)
-    scalars.getOrElseUpdate((s, dir, tag, fp), build)
-  }
+                 (build: => Long): Long =
+    memoIn(scalars)(s, dir, tag)(build)
 }

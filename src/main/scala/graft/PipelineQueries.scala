@@ -89,16 +89,27 @@ object PipelineQueries {
     val stage = roundtripPath(dir, "q61")
     new java.io.File(stage).mkdirs()
     // events.parquet may be a single file (testdata layout) or a
-    // Spark-written directory — stage either shape recursively
+    // Spark-written directory — stage either shape recursively. The
+    // stage target is DELETED first: directory-shaped sources have
+    // run-unique part-file names, and a replace-only copy would
+    // accumulate stale parts across runs (duplicated events ≠ q60).
+    def deleteTree(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
+      f.delete(); ()
+    }
     def copyTree(src: java.io.File, dst: java.io.File): Unit =
       if (src.isDirectory) {
         dst.mkdirs()
         Option(src.listFiles()).toSeq.flatten
           .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
-      } else java.nio.file.Files.copy(src.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    copyTree(new java.io.File(s"$dir/events.parquet"),
-      new java.io.File(s"$stage/events.parquet"))
+      } else {
+        java.nio.file.Files.copy(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+      }
+    val target = new java.io.File(s"$stage/events.parquet")
+    deleteTree(target)
+    copyTree(new java.io.File(s"$dir/events.parquet"), target)
     val schema = s.read.parquet(stage).schema
     val raw = s.readStream.schema(schema).parquet(stage)
     // ts arrives as raw nanos under nanosAsLong — restore, as in batch

@@ -185,7 +185,8 @@ object RetrievalQueries {
 
   def q45AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    graft.search.IVF.ivfTopKWith(ivfCents0(s, dir), e, "vec_id", "v",
+    graft.search.IVF.ivfTopKAssigned(ivfAssigned0(s, dir), ivfCents0(s, dir),
+      "vec_id", "v",
       e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
       10, ivfProbe)
       .orderBy("rank")
@@ -243,7 +244,8 @@ object RetrievalQueries {
   val refineIters = 1
   def q58IvfRefined(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    graft.search.IVF.ivfTopKWith(ivfCentsR(s, dir), e, "vec_id", "v",
+    graft.search.IVF.ivfTopKAssigned(ivfAssignedR(s, dir), ivfCentsR(s, dir),
+      "vec_id", "v",
       e.filter(col("vec_id") === 2).select(col("v").as("qv")), "qv",
       10, ivfProbe)
       .orderBy("rank")
@@ -475,7 +477,7 @@ object RetrievalQueries {
   }
 
   private def noisySql(eps: Double, seed: Long): String =
-    s"""((((vec_id + $seed) % 2147483648) * 1103515245 + 12345) % 1000003) / 1000003.0 * $eps - ${eps / 2}"""
+    s"""((((vec_id % 2147483648 + $seed) % 2147483648) * 1103515245 + 12345) % 1000003) / 1000003.0 * $eps - ${eps / 2}"""
 
   val q18Sql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

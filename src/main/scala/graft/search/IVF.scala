@@ -206,8 +206,17 @@ object IVF {
     * any externally-trained codebook. */
   def ivfTopKWith(cents: DataFrame, docs: DataFrame, idCol: String, vecCol: String,
                   query: DataFrame, queryVecCol: String,
-                  k: Int, nprobe: Int): DataFrame = {
-    val assigned = assign(docs, idCol, vecCol, cents)
+                  k: Int, nprobe: Int): DataFrame =
+    ivfTopKAssigned(assign(docs, idCol, vecCol, cents), cents,
+      idCol, vecCol, query, queryVecCol, k, nprobe)
+
+  /** Single-query IVF search over a PRE-ASSIGNED corpus (the memoized
+    * or persisted index): per-query work is centroid ranking + the
+    * probed-list scan, never a fresh assignment. */
+  def ivfTopKAssigned(assigned: DataFrame, cents: DataFrame,
+                      idCol: String, vecCol: String,
+                      query: DataFrame, queryVecCol: String,
+                      k: Int, nprobe: Int): DataFrame = {
     val probes = query.select(col(queryVecCol).as("__qv"))
       .crossJoin(broadcast(cents))
       .withColumn("__cs", dot(col("__qv"), col("cvec")))

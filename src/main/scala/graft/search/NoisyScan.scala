@@ -20,13 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object NoisyScan {
 
-  /** Deterministic score perturbation in [-eps/2, eps/2). (id+seed)
-    * is reduced mod 2^31 before the LCG multiply so Spark's wrapping
-    * Long arithmetic and DuckDB's checked BIGINT agree at any id —
-    * same rationale as Ingest.pseudoShuffleKey; unchanged for
-    * id+seed < 2^31. */
+  /** Deterministic score perturbation in [-eps/2, eps/2). The id is
+    * reduced mod 2^31 BEFORE the seed addition and again after, so
+    * neither the addition nor the LCG multiply can overflow in either
+    * engine at any id (Spark wraps Long overflow silently, DuckDB
+    * raises — same rationale as Ingest.pseudoShuffleKey); unchanged
+    * for id + seed < 2^31. */
   def scoreNoise(id: Column, eps: Double, seed: Long): Column =
-    ((((id + lit(seed)) % lit(2147483648L)) * lit(1103515245L) + lit(12345L)) % lit(1000003L))
+    ((((id % lit(2147483648L) + lit(seed)) % lit(2147483648L)) * lit(1103515245L)
+      + lit(12345L)) % lit(1000003L))
       .cast("double") / lit(1000003.0) * eps - lit(eps / 2)
 
   /** Noisy exact scan: dot product + per-row deterministic ε-noise,
