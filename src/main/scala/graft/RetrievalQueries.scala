@@ -224,7 +224,10 @@ object RetrievalQueries {
   def q54IvfPersist(s: SparkSession, dir: String): DataFrame = {
     val path = PipelineQueries.roundtripPath(dir, "q54")
     val e = emb(s, dir)
-    graft.search.IVF.writeIndex(e, "vec_id", "v", ivfK, 0, path)
+    // persist the SAME memoized artifacts the in-memory queries use —
+    // the at-rest index is the session index written down (parquet
+    // doubles are bit-exact, so the persisted search replays q45)
+    graft.search.IVF.writeIndexFrom(ivfCents0(s, dir), ivfAssigned0(s, dir), path)
     graft.search.IVF.searchIndex(s, path, "vec_id", "v",
       e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
       10, ivfProbe)

@@ -114,10 +114,16 @@ object IVF {
     val cents0 = centroids(docs, idCol, vecCol, k)
     val cents = if (refineIters > 0)
       refine(docs, idCol, vecCol, cents0, refineIters) else cents0
+    writeIndexFrom(cents, assign(docs, idCol, vecCol, cents), path)
+  }
+
+  /** Persist CALLER-SUPPLIED index artifacts (e.g. the session-memoized
+    * centroids + assignment the in-memory queries share) — the
+    * memoized index and the at-rest index are then the same object in
+    * two representations. */
+  def writeIndexFrom(cents: DataFrame, assigned: DataFrame, path: String): Unit = {
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    val centsBack = docs.sparkSession.read.parquet(s"$path/centroids")
-    assign(docs, idCol, vecCol, centsBack)
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
   }
 
   /** Search a persisted IVF index: rank centroids for the query,
