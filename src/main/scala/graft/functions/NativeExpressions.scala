@@ -90,9 +90,105 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused L2 normalization: out[i] = v[i] / (sqrt(Σ v[j]²) + 1e-9) as
+  * one codegen'd pass (norm loop + divide loop over the same
+  * UnsafeArrayData), replacing the interpreted
+  * `zip_with(v, array_repeat(norm, size), _/_)` chain that sat in
+  * every per-row normalize hot path (DP vectors, RAG scoring, the
+  * σ-sweep). Accumulation is the same left-to-right double sum, and
+  * the 1e-9 epsilon is the reference's (`src/pipeline/utils.py:9-15`),
+  * so results are bit-identical to the HOF form and the DuckDB
+  * replays (VectorFSpec pins it).
+  *
+  * NULL contract matches the HOF form: NULL input → NULL; a NULL
+  * ELEMENT nulls the norm, and dividing by a null norm nulls every
+  * output element — so the result is an array of NULLs of the same
+  * length, exactly what `zip_with` against a null-filled repeat
+  * produces. */
+case class L2Normalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType,
+    containsNull = child.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
+  override def prettyName: String = "graft_l2norm"
+
+  private lazy val elemsMayBeNull: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var i = 0
+    var anyNull = false
+    var s = 0.0
+    while (i < n) {
+      if (elemsMayBeNull && x.isNullAt(i)) { anyNull = true; i = n }
+      else { val v = x.getDouble(i); s += v * v; i += 1 }
+    }
+    if (anyNull) {
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](n)) // all-null elements, HOF-compatible
+    } else {
+      val nrm = math.sqrt(s) + 1e-9
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) { out(i) = x.getDouble(i) / nrm; i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val nrm = ctx.freshName("nrm")
+      val out = ctx.freshName("out")
+      val anyNull = ctx.freshName("anyNull")
+      val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+      val nullCheck =
+        if (elemsMayBeNull) s"if ($a.isNullAt($i)) { $anyNull = true; break; }"
+        else ""
+      s"""
+         |final int $n = $a.numElements();
+         |boolean $anyNull = false;
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  final double v = $a.getDouble($i);
+         |  $s += v * v;
+         |}
+         |if ($anyNull) {
+         |  ${ev.value} = new $gad(new Object[$n]);
+         |} else {
+         |  final double $nrm = java.lang.Math.sqrt($s) + 1e-9;
+         |  final double[] $out = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = $a.getDouble($i) / $nrm;
+         |  }
+         |  ${ev.value} = new $gad($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
 object NativeExpressions {
   /** Column-API wrapper for [[DotProduct]]. */
   def dotNative(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-API wrapper for [[L2Normalize]]. */
+  def l2normNative(v: Column): Column =
+    ExpressionUtils.column(L2Normalize(ExpressionUtils.expression(v)))
 }

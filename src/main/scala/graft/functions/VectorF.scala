@@ -44,16 +44,21 @@ object VectorF {
   def norm2(v: Column): Column = sqrt(norm2Sq(v))
 
   /** L2 normalize with the reference's 1e-9 epsilon guard
-    * (`src/pipeline/utils.py:9-15`: v / (||v|| + 1e-9)).
-    *
-    * NOT `transform(d, x => x / n)`: a non-trivial expression inside
-    * a HOF lambda is re-evaluated PER ELEMENT, so the norm aggregate
-    * — and the whole subtree feeding `v` — would run size(v) times
-    * per row (measured 20× slowdown on a nested concat+noise chain).
+    * (`src/pipeline/utils.py:9-15`: v / (||v|| + 1e-9)). Backed by the
+    * codegen'd [[L2Normalize]] native expression — one fused pass,
+    * same left-to-right summation and division order as the HOF
+    * formulation it replaces (kept as [[l2normalizeHof]] for A/B
+    * parity testing), so oracle parity is unchanged. */
+  def l2normalize(v: Column): Column =
+    org.apache.spark.sql.graftnative.NativeExpressions.l2normNative(toDouble(v))
+
+  /** The original higher-order-function normalize — the reference
+    * semantic definition and the A/B baseline. NOT
+    * `transform(d, x => x / n)`: a non-trivial expression inside a
+    * HOF lambda is re-evaluated PER ELEMENT (measured 20× slowdown);
     * `zip_with` against `array_repeat(n, …)` evaluates the norm once
-    * per row and keeps the per-element lambda a plain division. Same
-    * math, same element order → oracle parity unchanged. */
-  def l2normalize(v: Column): Column = {
+    * per row. */
+  def l2normalizeHof(v: Column): Column = {
     val d = toDouble(v)
     val n = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x)) + lit(1e-9)
     zip_with(d, array_repeat(n, size(d)), (x, m) => x / m)

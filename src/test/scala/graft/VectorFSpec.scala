@@ -125,6 +125,31 @@ class VectorFSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("native L2Normalize is bit-identical to the HOF formulation on real embeddings") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val diff = emb.select(
+        zip_with(l2normalize(col("v")), l2normalizeHof(col("v")),
+          (a, b) => when(a === b, 0).otherwise(1)).as("d"))
+      .select(aggregate(col("d"), lit(0), (acc, x) => acc + x).as("nd"))
+      .filter(col("nd") =!= 0).count()
+    assert(diff == 0)
+    // NULL contract: null vector -> null; null element -> all-null
+    // elements of the same length (what zip_with against a null-norm
+    // repeat produces)
+    val withNulls = Seq(
+      (1L, Some(Seq[java.lang.Double](3.0, 4.0))),
+      (2L, None),
+      (3L, Some(Seq[java.lang.Double](1.0, null)))).toDF("id", "v")
+    val got = withNulls.select(col("id"), l2normalize(col("v")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Any](1))).toMap
+    assert(got(2L) == null)
+    assert(got(3L).asInstanceOf[Seq[Any]] == Seq(null, null))
+    val n1 = got(1L).asInstanceOf[Seq[Double]]
+    assert(math.abs(n1.head - 3.0 / (5.0 + 1e-9)) < 1e-15)
+  }
+
   test("lshBucket: NULL vector buckets to NULL instead of raising") {
     import graft.search.Search
     val df = Seq((1L, Some(Seq.fill(64)(0.1))), (2L, None))
