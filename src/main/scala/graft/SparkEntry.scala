@@ -380,8 +380,16 @@ object Queries {
     * over it, never a re-tokenize (at rest this would be a persisted
     * table bucketed by term). */
   private[graft] def bm25Postings(s: SparkSession, dir: String): DataFrame =
-    Memo.cached(s, dir, "bm25post")(
-      BM25.postings(t(s, dir, "documents"), "doc_id", "text"))
+    Memo.cached(s, dir, "bm25post") {
+      val d = t(s, dir, "documents")
+      // a small local corpus file arrives as ONE scan partition,
+      // serializing the tokenize+explode of the index build; spread it
+      // across cores when the scan is under-parallel. No-op at real
+      // scale, where maxPartitionBytes already splits the scan.
+      val par = s.sparkContext.defaultParallelism
+      val dp = if (d.rdd.getNumPartitions < par) d.repartition(par) else d
+      BM25.postings(dp, "doc_id", "text")
+    }
 
   /** R3: BM25 top-20 for a fixed term query, served from the
     * memoized index (postings + corpus stats). */
@@ -437,7 +445,8 @@ object Queries {
     "q15_dp_search" -> (q15DpSearch _),
     "q20_bm25" -> (q20Bm25 _),
     "q21_top_terms" -> (q21TopTerms _)) ++
-    CurationQueries.all ++ RetrievalQueries.all ++ PipelineQueries.all
+    CurationQueries.all ++ RetrievalQueries.all ++ PipelineQueries.all ++
+    ScaleQueries.all
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -456,5 +465,6 @@ object Queries {
     "q15_dp_search" -> q15Sql,
     "q20_bm25" -> q20Sql,
     "q21_top_terms" -> q21Sql) ++
-    CurationQueries.oracle ++ RetrievalQueries.oracle ++ PipelineQueries.oracle
+    CurationQueries.oracle ++ RetrievalQueries.oracle ++ PipelineQueries.oracle ++
+    ScaleQueries.oracle
 }

@@ -1,0 +1,166 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.CountMinSketch
+
+/** Semantics + plan-shape tests for the scale-pattern operators:
+  * as-of join, count–min sketch, bucketed co-located join, salted
+  * skew join. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------- as-of join semantics ----------
+
+  private lazy val left = Seq(
+    (1L, 10L, "l-a"), (1L, 20L, "l-b"), (2L, 5L, "l-c"))
+    .toDF("k", "ts", "name")
+  private lazy val right = Seq(
+    (1L, 10L, 99L), (1L, 10L, 100L), (1L, 15L, 101L), (3L, 1L, 200L))
+    .toDF("k", "ts", "rid")
+
+  test("asofJoin: at-or-before, greatest-tiebreak-wins, null when no match") {
+    val out = AsOfJoin.asofJoin(left, right, "k", "ts", "rid")
+      .select($"name", $"asof.rid".as("rid"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    // simultaneous right rows ARE visible (at-or-before), and of the
+    // two rows tying on (k, ts) the greater rid wins
+    assert(out("l-a") === Some(100L))
+    // latest ts <= 20 is 15
+    assert(out("l-b") === Some(101L))
+    // no right row for k=2 at all
+    assert(out("l-c") === None)
+  }
+
+  test("asofJoin preserves every left row and column") {
+    val out = AsOfJoin.asofJoin(left, right, "k", "ts", "rid")
+    assert(out.count() === left.count())
+    assert(out.columns.toSeq === Seq("k", "ts", "name", "asof"))
+  }
+
+  test("asofJoin equals the naive theta-join argmax on real events") {
+    val ev = Queries.eventsTable(spark, sf0001)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_event_id"), $"user_id", $"ts", $"value")
+    val fast = AsOfJoin.asofJoin(clicks, purchases, "user_id", "ts", "p_event_id")
+      .select($"event_id", $"asof.p_event_id".as("p_event_id"))
+    // ground truth: range theta-join + per-click argmax (the
+    // row-multiplying plan the operator exists to avoid)
+    val w = Window.partitionBy($"event_id")
+      .orderBy($"p_ts".desc, $"p_event_id".desc)
+    val naive = clicks.join(
+        purchases.select($"p_event_id", $"user_id".as("p_uid"), $"ts".as("p_ts")),
+        $"user_id" === $"p_uid" && $"p_ts" <= $"ts", "left")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"event_id", $"p_event_id")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("asofJoin plans exactly one shuffle (the key partitioning)") {
+    val p = AsOfJoin.asofJoin(left, right, "k", "ts", "rid")
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles === 1, s"expected 1 shuffle, plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  // ---------- count–min sketch ----------
+
+  private def grid(df: org.apache.spark.sql.DataFrame, width: Int, depth: Int) =
+    df.agg(CountMinSketch.sketch(CountMinSketch.hash32($"term"), $"w",
+      width, depth).as("g"))
+
+  test("CMS: estimates equal exact counts when the sketch is wide (no collisions)") {
+    val df = Seq(("alpha", 3L), ("beta", 2L), ("alpha", 1L), ("gamma", 5L))
+      .toDF("term", "w")
+    val g = grid(df, 4096, 4)
+    val est = g.select(
+      CountMinSketch.estimate($"g", CountMinSketch.hash32(lit("alpha")), 4096, 4),
+      CountMinSketch.estimate($"g", CountMinSketch.hash32(lit("beta")), 4096, 4),
+      CountMinSketch.estimate($"g", CountMinSketch.hash32(lit("gamma")), 4096, 4),
+      CountMinSketch.estimate($"g", CountMinSketch.hash32(lit("absent")), 4096, 4))
+      .first()
+    assert(est.getLong(0) === 4L)
+    assert(est.getLong(1) === 2L)
+    assert(est.getLong(2) === 5L)
+    assert(est.getLong(3) === 0L)
+  }
+
+  test("CMS: estimates never underestimate, even under heavy collision") {
+    val df = (0 until 300).map(i => (s"t$i", (i % 7 + 1).toLong)).toDF("term", "w")
+    val g = df.agg(CountMinSketch.sketch(
+      CountMinSketch.hash32($"term"), $"w", 16, 2).as("g"))
+    val exact = (0 until 300).map(i => s"t$i" -> (i % 7 + 1).toLong).toMap
+    val ests = g.select(array((0 until 300).map(i =>
+        CountMinSketch.estimate($"g", CountMinSketch.hash32(lit(s"t$i")), 16, 2)): _*))
+      .first().getSeq[Long](0)
+    (0 until 300).foreach { i =>
+      assert(ests(i) >= exact(s"t$i"), s"t$i underestimated")
+    }
+    // total mass per sketch row is conserved
+    assert(ests.sum >= exact.values.sum)
+  }
+
+  test("CMS: partial-merge order does not change the grid") {
+    val df = (0 until 500).map(i => (s"t${i % 40}", 1L)).toDF("term", "w")
+    val one = grid(df.coalesce(1), 64, 3).first().getSeq[Long](0)
+    val many = grid(df.repartition(7), 64, 3).first().getSeq[Long](0)
+    assert(one === many)
+  }
+
+  test("CMS: null keys and weights are ignored, bad params rejected") {
+    val df = Seq((Some("a"), Some(1L)), (None, Some(9L)), (Some("a"), None))
+      .toDF("term", "w")
+    val g = grid(df, 64, 2)
+    val est = g.select(CountMinSketch.estimate($"g",
+      CountMinSketch.hash32(lit("a")), 64, 2)).first().getLong(0)
+    assert(est === 1L)
+    // the require() fires at Column-construction (= analysis) time
+    intercept[IllegalArgumentException] {
+      CountMinSketch.sketch(lit(1L), lit(1L), 1, 2)
+    }
+    intercept[IllegalArgumentException] {
+      CountMinSketch.sketch(lit(1L), lit(1L), 64, 0)
+    }
+  }
+
+  // ---------- bucketed join plan shape ----------
+
+  test("q64 core: bucketed sort-merge join + aggregate with ZERO exchanges") {
+    val (ot, lt) = ScaleQueries.bucketedTables(spark, sf0001)
+    val core = ScaleQueries.bucketedJoinCore(spark, ot, lt)
+    val p = core.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+    assert(!p.contains("Exchange"), s"expected no exchange at all:\n$p")
+    // results also match the straightforward non-bucketed plan
+    val plain = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf0001/orders.parquet"),
+        $"l_orderkey" === $"o_orderkey")
+      .filter($"o_custkey" < 200)
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000)
+          .cast("long")).as("rev_c4"))
+      .select($"l_orderkey".as("o_orderkey"), $"n_items", $"rev_c4")
+    assert(core.exceptAll(plain).isEmpty && plain.exceptAll(core).isEmpty)
+  }
+
+  // ---------- salted join equivalence ----------
+
+  test("q65: salted join equals the plain equi-join aggregate") {
+    val salted = ScaleQueries.q65SaltedJoin(spark, sf0001)
+    val ev = Queries.eventsTable(spark, sf0001)
+      .select($"user_id", round($"value" * 100).cast("long").as("vc"))
+    val plain = spark.read.parquet(s"$sf0001/customer.parquet")
+      .filter($"c_custkey" < 150)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+      .join(ev, "user_id")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), sum($"vc").as("sum_value_c"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}
