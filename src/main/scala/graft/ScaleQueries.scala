@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.Salting
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftnative.{CMS, CountMinSketch}
@@ -52,6 +52,37 @@ object ScaleQueries {
          CAST(ROUND(r.value * 100) AS BIGINT) AS p_value_c
        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
        ORDER BY l.event_id"""
+
+  /** Window attribution via the bucketed range join: every error
+    * event within 12 hours AFTER a click by the same user (the
+    * "which errors followed this interaction" query). The naive
+    * theta-join multiplies full per-user histories; the operator
+    * meets pairs inside (user, time-bucket) cells — see
+    * [[graft.operators.RangeJoin]]. Delta emitted in exact
+    * epoch-microseconds. */
+  val rangeWindowMicros: Long = 12L * 3600 * 1000000
+
+  def q66RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.eventsTable(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_event_id"), col("user_id"),
+        col("ts").as("e_ts"))
+    RangeJoin.rangeJoin(clicks, errors, "user_id", "ts", "e_ts", rangeWindowMicros)
+      .select(col("event_id"), col("e_event_id"),
+        (unix_micros(col("e_ts")) - unix_micros(col("ts"))).as("delta_us"))
+      .orderBy("event_id", "e_event_id")
+  }
+
+  val q66Sql: String =
+    """SELECT l.event_id AS event_id, r.event_id AS e_event_id,
+         CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS delta_us
+       FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+       JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') r
+         ON l.user_id = r.user_id
+        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 12 HOUR
+       ORDER BY event_id, e_event_id"""
 
   // ---------- count–min sketch ----------
 
@@ -206,11 +237,13 @@ object ScaleQueries {
     "q62_asof_join" -> (q62AsofJoin _),
     "q63_cms_heavy_hitters" -> (q63CmsHeavyHitters _),
     "q64_bucketed_join" -> (q64BucketedJoin _),
-    "q65_salted_join" -> (q65SaltedJoin _))
+    "q65_salted_join" -> (q65SaltedJoin _),
+    "q66_range_join" -> (q66RangeJoin _))
 
   val oracle: Map[String, String] = Map(
     "q62_asof_join" -> q62Sql,
     "q63_cms_heavy_hitters" -> q63Sql,
     "q64_bucketed_join" -> q64Sql,
-    "q65_salted_join" -> q65Sql)
+    "q65_salted_join" -> q65Sql,
+    "q66_range_join" -> q66Sql)
 }

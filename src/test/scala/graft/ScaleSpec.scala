@@ -68,6 +68,66 @@ class ScaleSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  // ---------- range join ----------
+
+  test("rangeJoin equals the naive theta-join on real events, pairs unduplicated") {
+    import graft.operators.RangeJoin
+    val W = ScaleQueries.rangeWindowMicros
+    val ev = Queries.eventsTable(spark, sf0001)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id".as("e_event_id"), $"user_id", $"ts".as("e_ts"))
+    val fast = RangeJoin.rangeJoin(clicks, errors, "user_id", "ts", "e_ts", W)
+      .select($"event_id", $"e_event_id")
+    val naive = clicks.join(errors.withColumnRenamed("user_id", "e_uid"),
+        $"user_id" === $"e_uid" &&
+          unix_micros($"e_ts") >= unix_micros($"ts") &&
+          unix_micros($"e_ts") <= unix_micros($"ts") + W)
+      .select($"event_id", $"e_event_id")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    // the two-bucket emission must not double-count any pair
+    assert(fast.count() === fast.distinct().count())
+  }
+
+  test("rangeJoin boundary semantics: inclusive both ends, bucket-crossing pairs found") {
+    import graft.operators.RangeJoin
+    import org.apache.spark.sql.functions.timestamp_micros
+    // W = 100 us buckets; pairs straddling a bucket boundary and pairs
+    // exactly at the window edges
+    val l = Seq((1L, 10L, 95L), (2L, 10L, 100L), (3L, 10L, 50L))
+      .toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+    val r = Seq((101L, 10L, 95L), (102L, 10L, 105L), (103L, 10L, 200L),
+        (104L, 10L, 151L), (105L, 10L, 94L))
+      .toDF("e_event_id", "user_id", "us")
+      .select($"e_event_id", $"user_id", timestamp_micros($"us").as("e_ts"))
+    val got = RangeJoin.rangeJoin(l, r, "user_id", "ts", "e_ts", 100L)
+      .select($"event_id", $"e_event_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === Set(
+      (1L, 101L), // same instant start
+      (1L, 102L), // crosses the 100-bucket boundary
+      (1L, 104L), // far side of next bucket, still within 95+100
+      (2L, 102L), (2L, 103L), (2L, 104L), // 200 = 100+W inclusive edge
+      (3L, 101L), (3L, 102L), (3L, 105L))) // 150 window: 151 excluded
+  }
+
+  test("rangeJoin plans a hash equi-join on (key, bucket), never a nested loop") {
+    import graft.operators.RangeJoin
+    val ev = Queries.eventsTable(spark, sf0001)
+    val l = ev.filter($"event_type" === "click").select($"event_id", $"user_id", $"ts")
+    val r = ev.filter($"event_type" === "error")
+      .select($"event_id".as("e_event_id"), $"user_id", $"ts".as("e_ts"))
+    val p = RangeJoin.rangeJoin(l, r, "user_id", "ts", "e_ts", 1000000L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+    intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoin(l, r, "user_id", "ts", "e_ts", 0L)
+    }
+  }
+
   // ---------- count–min sketch ----------
 
   private def grid(df: org.apache.spark.sql.DataFrame, width: Int, depth: Int) =
