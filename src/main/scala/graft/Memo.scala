@@ -50,6 +50,16 @@ object Memo {
             (build: => DataFrame): DataFrame =
     memoIn(cache)(s, dir, tag)(build.localCheckpoint())
 
+  private val values = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String, String), Any]
+
+  /** Memoize an arbitrary driver-side artifact descriptor (e.g. the
+    * catalog names of tables a query wrote) per (session,
+    * dir-content, tag) — same invalidation rule as [[cached]]. */
+  def cachedValue[T](s: SparkSession, dir: String, tag: String)
+                    (build: => T): T =
+    memoIn(values)(s, dir, tag)(build).asInstanceOf[T]
+
   private val scalars = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String, String), Long]
 

@@ -152,8 +152,15 @@ object ScaleQueries {
   // ---------- bucketed co-located join ----------
 
   /** Write both join sides bucketed by the join key (one file per
-    * bucket via the pre-repartition), then join the bucketed reads. */
-  private[graft] def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    * bucket via the pre-repartition), then join the bucketed reads.
+    * The build is memoized per (session, dir-content): the first call
+    * pays the partitioned write, repeat calls in the same session
+    * exercise only the read-side zero-exchange join — the
+    * pay-the-shuffle-once contract the layout exists for. */
+  private[graft] def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    Memo.cachedValue(s, dir, "q64tables")(buildBucketedTables(s, dir))
+
+  private def buildBucketedTables(s: SparkSession, dir: String): (String, String) = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val base = PipelineQueries.roundtripPath(dir, "q64")
     def write(df: DataFrame, name: String, key: String): String = {

@@ -14,7 +14,7 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (q <- Seq("q62_asof_join", "q63_cms_heavy_hitters",
-                  "q64_bucketed_join", "q65_salted_join")) {
+                  "q64_bucketed_join", "q65_salted_join", "q66_range_join")) {
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(q)(spark, dir)
       val n = df.count()

@@ -38,8 +38,18 @@ object AsOfJoin {
     * @param rightTieBreak right-side column breaking (key, ts) ties;
     *                      the greatest value wins
     */
+  /** Internal column names; caller frames must not use them (or the
+    * output name `asof`) — guarded, not silently clobbered. */
+  private val reserved = Set("__k", "__t", "__side", "__tb", "__lv", "__rv", "__m")
+
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                tsCol: String, rightTieBreak: String): DataFrame = {
+    val clash = (left.columns ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"asofJoin reserves column names ${reserved.mkString(", ")}; " +
+        s"rename: ${clash.mkString(", ")}")
+    require(!left.columns.contains("asof"),
+      "asofJoin emits the matched right row as `asof`; rename the left column")
     val lSchema = StructType(left.schema.fields)
     val rSchema = StructType(right.schema.fields)
     val lPrep = left.select(

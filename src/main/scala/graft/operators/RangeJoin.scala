@@ -36,6 +36,8 @@ object RangeJoin {
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
                 ltsCol: String, rtsCol: String, windowMicros: Long): DataFrame = {
     require(windowMicros > 0, s"rangeJoin requires window > 0, got $windowMicros")
+    require(!(left.columns ++ right.columns).contains("__b"),
+      "rangeJoin reserves the column name __b; rename it")
     val lUs = unix_micros(col(ltsCol))
     val rUs = unix_micros(col(rtsCol))
     // floor-division bucket, exact in integer arithmetic: pmod gives

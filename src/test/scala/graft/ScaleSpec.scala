@@ -33,6 +33,20 @@ class ScaleSpec extends SparkSpec {
     assert(out("l-c") === None)
   }
 
+  test("asofJoin and rangeJoin reject reserved column-name collisions") {
+    import graft.operators.RangeJoin
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(left.withColumn("asof", lit(1)), right, "k", "ts", "rid")
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(left, right.withColumn("__side", lit(1)), "k", "ts", "rid")
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoin(left.withColumn("__b", lit(1)),
+        right.withColumnRenamed("ts", "rts"), "k", "ts", "rts", 10L)
+    }
+  }
+
   test("asofJoin preserves every left row and column") {
     val out = AsOfJoin.asofJoin(left, right, "k", "ts", "rid")
     assert(out.count() === left.count())
