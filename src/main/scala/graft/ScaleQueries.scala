@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.Salting
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, HistogramQuantiles, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftnative.{CMS, CountMinSketch}
@@ -212,6 +212,53 @@ object ScaleQueries {
        WHERE o_custkey < 200
        GROUP BY o_orderkey ORDER BY o_orderkey"""
 
+  // ---------- histogram quantiles ----------
+
+  /** Per-language quality-score quantile thresholds (p50/p90) and the
+    * count of docs at-or-above each — the "keep the top decile per
+    * stratum" curation move, via [[graft.operators.HistogramQuantiles]]:
+    * the shuffle carries one row per (lang, distinct 4-decimal score),
+    * never the corpus, and the quantile rule is pure integer
+    * arithmetic (100·cum ≥ p·N), so it replays exactly in SQL. */
+  def q67QualityQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(col("lang"),
+      // qualityScore rounds to 4 decimals; ×10^4 makes it an exact
+      // integral bucket id
+      round(graft.text.TextAnalysis.qualityScore(col("text")) * 10000)
+        .cast("long").as("qs4"))
+    HistogramQuantiles.thresholds(scored, "lang", "qs4", Seq(50, 90))
+      .join(scored, "lang")
+      .groupBy(col("lang"), col("percent"), col("threshold"))
+      .agg(count(when(col("qs4") >= col("threshold"), lit(1))).as("n_ge"))
+      .orderBy("lang", "percent")
+  }
+
+  val q67Sql: String = {
+    val stopList = graft.text.TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         FROM documents),
+       q AS (SELECT lang,
+           least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) AS ls,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS dr,
+           1.0 - abs(CAST(len(list_filter(toks, x -> list_contains([$stopList], x))) AS DOUBLE)
+                     / greatest(len(toks), 1) - 0.4) AS ss
+         FROM t),
+       s AS (SELECT lang,
+           CAST(ROUND(ROUND(((ls + dr) + ss) / 3.0, 4) * 10000) AS BIGINT) AS qs4 FROM q),
+       hist AS (SELECT lang, qs4, COUNT(*) AS n FROM s GROUP BY lang, qs4),
+       cum AS (SELECT lang, qs4,
+           SUM(n) OVER (PARTITION BY lang ORDER BY qs4 ROWS UNBOUNDED PRECEDING) AS cumn,
+           SUM(n) OVER (PARTITION BY lang) AS nn FROM hist),
+       p AS (SELECT unnest([50, 90]) AS percent),
+       th AS (SELECT lang, percent, CAST(MIN(qs4) AS BIGINT) AS threshold
+              FROM cum, p WHERE cumn * 100 >= percent * nn GROUP BY lang, percent)
+       SELECT th.lang, th.percent, th.threshold,
+         CAST(COUNT(CASE WHEN s.qs4 >= th.threshold THEN 1 END) AS BIGINT) AS n_ge
+       FROM th JOIN s ON s.lang = th.lang
+       GROUP BY th.lang, th.percent, th.threshold
+       ORDER BY th.lang, th.percent"""
+  }
+
   // ---------- salted skew join ----------
 
   /** Declared path for the skew-salting tool: events (the fact side,
@@ -245,12 +292,14 @@ object ScaleQueries {
     "q63_cms_heavy_hitters" -> (q63CmsHeavyHitters _),
     "q64_bucketed_join" -> (q64BucketedJoin _),
     "q65_salted_join" -> (q65SaltedJoin _),
-    "q66_range_join" -> (q66RangeJoin _))
+    "q66_range_join" -> (q66RangeJoin _),
+    "q67_quality_quantiles" -> (q67QualityQuantiles _))
 
   val oracle: Map[String, String] = Map(
     "q62_asof_join" -> q62Sql,
     "q63_cms_heavy_hitters" -> q63Sql,
     "q64_bucketed_join" -> q64Sql,
     "q65_salted_join" -> q65Sql,
-    "q66_range_join" -> q66Sql)
+    "q66_range_join" -> q66Sql,
+    "q67_quality_quantiles" -> q67Sql)
 }

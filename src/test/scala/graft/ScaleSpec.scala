@@ -223,6 +223,47 @@ class ScaleSpec extends SparkSpec {
     assert(core.exceptAll(plain).isEmpty && plain.exceptAll(core).isEmpty)
   }
 
+  // ---------- histogram quantiles ----------
+
+  test("histogram quantiles: type-1 semantics, ties, multi-key, param guard") {
+    import graft.operators.HistogramQuantiles
+    val df = ((1 to 10).map(v => ("a", v.toLong)) ++
+        Seq(("b", 1L), ("b", 1L), ("b", 1L), ("b", 9L)))
+      .toDF("k", "v")
+    val th = HistogramQuantiles.thresholds(df, "k", "v", Seq(1, 50, 90, 100))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // key a: values 1..10 — rank ceil(p·10/100)
+    assert(th(("a", 1)) === 1L)    // ceil(0.1) = 1st smallest
+    assert(th(("a", 50)) === 5L)   // 5th smallest
+    assert(th(("a", 90)) === 9L)
+    assert(th(("a", 100)) === 10L)
+    // key b: [1,1,1,9] — p50 rank 2 lands inside the tie run
+    assert(th(("b", 50)) === 1L)
+    assert(th(("b", 90)) === 9L)   // rank ceil(3.6) = 4 → 9
+    intercept[IllegalArgumentException] {
+      HistogramQuantiles.thresholds(df, "k", "v", Seq(0, 50))
+    }
+  }
+
+  test("histogram quantiles match the built-in exact percentile on real scores") {
+    import graft.operators.HistogramQuantiles
+    val scored = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"lang",
+        round(graft.text.TextAnalysis.qualityScore($"text") * 10000)
+          .cast("long").as("qs4"))
+    val th = HistogramQuantiles.thresholds(scored, "lang", "qs4", Seq(50))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // percentile(..., 0.5) interpolates; the type-1 threshold must be
+    // the bucket at-or-above the interpolated value's floor — compare
+    // against a driver-side exact computation instead
+    val byLang = scored.collect().groupBy(_.getString(0))
+      .map { case (l, rows) => l -> rows.map(_.getLong(1)).sorted }
+    byLang.foreach { case (l, vs) =>
+      val rank = math.ceil(vs.length * 0.5).toInt
+      assert(th(l) === vs(rank - 1), s"lang $l")
+    }
+  }
+
   // ---------- salted join equivalence ----------
 
   test("q65: salted join equals the plain equi-join aggregate") {
