@@ -39,10 +39,22 @@ object ScaleProbe {
       .select((col("vec_id") + col("copy") * nEmb).as("vec_id"),
         col("embedding"), col("label"))
     bigEmb.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
-    // the relational/event tables aren't probed here; symlink-copy the
+    // events scale along the KEY axis: K id-shifted user populations
+    // with the same per-user density/timeline — the growth profile the
+    // temporal joins (q62/q66) are built for (per-key work constant,
+    // key count K×)
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val nEv = ev.count()
+    val nUsers = ev.agg(max(col("user_id"))).head.getLong(0) + 1
+    ev.crossJoin(spark.range(0, k).toDF("copy"))
+      .select((col("event_id") + col("copy") * nEv).as("event_id"),
+        col("ts"), (col("user_id") + col("copy") * nUsers).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    // the remaining relational tables aren't probed here; copy the
     // small ones so table loads still resolve
     Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events").foreach { t =>
+      "orders", "lineitem").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
@@ -58,7 +70,9 @@ object ScaleProbe {
     Seq("q30_dedup_exact", "q31_minhash_pairs", "q47_curation_e2e",
       "q20_bm25", "q21_top_terms", "q10_knn_exact", "q11_knn_multi",
       "q16_ann_lsh", "q33_neardup_cosine", "q49_dp_attr_search",
-      "q45_ann_ivf", "q58_ivf_refined", "q55_rag_candidates").foreach { q =>
+      "q45_ann_ivf", "q58_ivf_refined", "q55_rag_candidates",
+      "q62_asof_join", "q66_range_join", "q63_cms_heavy_hitters",
+      "q67_quality_quantiles").foreach { q =>
       val a = time("1x", src, q)
       val b = time(s"${k}x", dst, q)
       println(f"SCALE RATIO $q ${b / a}%.2f (data ${k}x)")

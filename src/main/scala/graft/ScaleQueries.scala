@@ -226,8 +226,12 @@ object ScaleQueries {
       // integral bucket id
       round(graft.text.TextAnalysis.qualityScore(col("text")) * 10000)
         .cast("long").as("qs4"))
-    HistogramQuantiles.thresholds(scored, "lang", "qs4", Seq(50, 90))
-      .join(scored, "lang")
+    // thresholds is keys × percents rows — ALWAYS the broadcast side;
+    // without the hint Spark's size estimate at test scale broadcasts
+    // the corpus scan instead
+    scored.join(
+        broadcast(HistogramQuantiles.thresholds(scored, "lang", "qs4", Seq(50, 90))),
+        "lang")
       .groupBy(col("lang"), col("percent"), col("threshold"))
       .agg(count(when(col("qs4") >= col("threshold"), lit(1))).as("n_ge"))
       .orderBy("lang", "percent")

@@ -202,6 +202,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("CMS sketch aggregates incrementally under the streaming harness") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val q = in.toDF().toDF("term", "w")
+      .agg(CountMinSketch.sketch(CountMinSketch.hash32($"term"), $"w", 64, 2).as("g"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData(("a", 1L), ("b", 2L))
+      q.processAllAvailable()
+      in.addData(("a", 3L))
+      q.processAllAvailable()
+      val est = spark.table("cms_stream").select(
+        CountMinSketch.estimate($"g", CountMinSketch.hash32(lit("a")), 64, 2),
+        CountMinSketch.estimate($"g", CountMinSketch.hash32(lit("b")), 64, 2))
+        .first()
+      // the second micro-batch's rows merged into the same grid
+      assert(est.getLong(0) === 4L)
+      assert(est.getLong(1) === 2L)
+    } finally q.stop()
+  }
+
   // ---------- bucketed join plan shape ----------
 
   test("q64 core: bucketed sort-merge join + aggregate with ZERO exchanges") {
