@@ -33,5 +33,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         TopKByScore(exprs(0), exprs(1), k)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CountMinSketchAgg].getName, "graft_cms"),
+      (exprs: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_cms $what must be an integer literal, got $other")
+        }
+        CountMinSketchAgg(exprs(0), exprs(1),
+          intLit(exprs(2), "width"), intLit(exprs(3), "depth"))
+      }))
   }
 }

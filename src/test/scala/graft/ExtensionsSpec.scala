@@ -87,4 +87,25 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(rows == Seq((1L, 11L, 1L), (1L, 12L, 2L), (2L, 21L, 1L), (2L, 20L, 2L)))
   }
+
+  test("graft_cms sketches from SQL and estimates match the Column API") {
+    import org.apache.spark.sql.graftnative.CountMinSketch
+    import org.apache.spark.sql.functions._
+    spark.sql(
+      """SELECT * FROM VALUES ('alpha', 3L), ('beta', 2L), ('alpha', 1L)
+         AS t(term, w)""").createOrReplaceTempView("cms_in")
+    val grid = spark.sql(
+      """SELECT graft_cms(CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT),
+                          w, 64, 2) AS g
+         FROM cms_in""")
+    val est = grid.select(
+      CountMinSketch.estimate(col("g"), CountMinSketch.hash32(lit("alpha")), 64, 2),
+      CountMinSketch.estimate(col("g"), CountMinSketch.hash32(lit("beta")), 64, 2))
+      .first()
+    assert(est.getLong(0) === 4L)
+    assert(est.getLong(1) === 2L)
+    intercept[Exception] {
+      spark.sql("SELECT graft_cms(1L, 1L, 64, 0) FROM cms_in").collect()
+    }
+  }
 }
