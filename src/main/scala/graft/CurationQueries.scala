@@ -170,9 +170,13 @@ object CurationQueries {
       .orderBy("id1", "id2")
   }
 
-  val q31Sql: String = {
+  /** The verified-near-dup-pairs CTE chain (shingles → MinHash banded
+    * signatures → bucket candidates → exact Jaccard), exposed so other
+    * oracles (q68's transitive closure) can build on the same pair
+    * set. Ends with a `pairs(id1, id2, jaccard)` CTE. */
+  private[graft] val pairsCteSql: String = {
     val nBands = nPerm / rowsPerBand
-    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+    s"""t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
          FROM documents),
        d AS (SELECT doc_id,
            CASE WHEN len(toks) >= $shingleN THEN
@@ -192,13 +196,15 @@ object CurationQueries {
              FROM sig, (SELECT unnest(generate_series(0, ${nBands - 1})) AS b) b),
        cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
               FROM banded a JOIN banded c
-                ON a.band = c.band AND a.bandsig = c.bandsig AND a.doc_id < c.doc_id)
-       SELECT id1, id2,
+                ON a.band = c.band AND a.bandsig = c.bandsig AND a.doc_id < c.doc_id),
+       pairs AS (SELECT id1, id2,
          ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
                (x.nsh + y.nsh - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
-       FROM cand JOIN nz x ON cand.id1 = x.doc_id JOIN nz y ON cand.id2 = y.doc_id
-       ORDER BY id1, id2"""
+       FROM cand JOIN nz x ON cand.id1 = x.doc_id JOIN nz y ON cand.id2 = y.doc_id)"""
   }
+
+  val q31Sql: String =
+    s"WITH $pairsCteSql SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"
 
   /** 16-bit SimHash per document (token-hash sign aggregation). */
   def q32Simhash(s: SparkSession, dir: String): DataFrame =

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.Salting
-import graft.operators.{AsOfJoin, HistogramQuantiles, RangeJoin}
+import graft.operators.{AsOfJoin, ConnectedComponents, HistogramQuantiles, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftnative.{CMS, CountMinSketch}
@@ -212,6 +212,57 @@ object ScaleQueries {
        WHERE o_custkey < 200
        GROUP BY o_orderkey ORDER BY o_orderkey"""
 
+  // ---------- dedup clustering (connected components) ----------
+
+  /** Verified near-dup pairs (the q31 pipeline), materialized once
+    * per (session, dir-content) — the shared input of pair-level
+    * reporting and cluster-level closure. */
+  private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "neardup_pairs") {
+      val d = t(s, dir, "documents")
+      val cand = graft.dedup.Dedup.lshCandidates(d, "doc_id", "text",
+        CurationQueries.shingleN, CurationQueries.nPerm, CurationQueries.rowsPerBand)
+        .localCheckpoint()
+      graft.dedup.Dedup.jaccardVerify(d, "doc_id", "text", cand,
+        CurationQueries.shingleN)
+    }
+
+  /** Near-duplicate CLUSTERS: the transitive closure of the verified
+    * pair graph via [[graft.operators.ConnectedComponents]] min-label
+    * propagation. Pairwise policies (q47 drops the higher id of each
+    * pair) under-merge chains a~b~c; the component id (= min doc id
+    * reachable) is the canonical cluster key a dedup pipeline keeps
+    * one representative per. Oracle: DuckDB WITH RECURSIVE reachability
+    * over the same pair CTE — a different algorithm computing the same
+    * fixpoint. */
+  def q68DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = nearDupPairs(s, dir)
+      .filter(col("jaccard") >= CurationQueries.nearDupTau)
+    val comp = ConnectedComponents.components(edges, "id1", "id2")
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    // component count ~ cluster count can approach node count — join
+    // strategy stays AQE's call, no forced broadcast
+    comp.join(sizes, "component")
+      .select(col("v").as("doc_id"), col("component").as("comp"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  val q68Sql: String =
+    s"""WITH RECURSIVE ${CurationQueries.pairsCteSql},
+       e AS (SELECT id1 AS a, id2 AS b FROM pairs WHERE jaccard >= ${CurationQueries.nearDupTau}
+             UNION ALL
+             SELECT id2 AS a, id1 AS b FROM pairs WHERE jaccard >= ${CurationQueries.nearDupTau}),
+       nodes AS (SELECT DISTINCT a AS v FROM e),
+       r AS (SELECT v, v AS l FROM nodes
+             UNION
+             SELECT e.b AS v, r.l AS l FROM r JOIN e ON e.a = r.v),
+       comps AS (SELECT v AS doc_id, CAST(MIN(l) AS BIGINT) AS comp FROM r GROUP BY v),
+       sizes AS (SELECT comp, COUNT(*) AS n FROM comps GROUP BY comp)
+       SELECT c.doc_id, c.comp, CAST(s.n AS BIGINT) AS cluster_size
+       FROM comps c JOIN sizes s ON s.comp = c.comp
+       ORDER BY c.doc_id"""
+
   // ---------- histogram quantiles ----------
 
   /** Per-language quality-score quantile thresholds (p50/p90) and the
@@ -297,7 +348,8 @@ object ScaleQueries {
     "q64_bucketed_join" -> (q64BucketedJoin _),
     "q65_salted_join" -> (q65SaltedJoin _),
     "q66_range_join" -> (q66RangeJoin _),
-    "q67_quality_quantiles" -> (q67QualityQuantiles _))
+    "q67_quality_quantiles" -> (q67QualityQuantiles _),
+    "q68_dedup_clusters" -> (q68DedupClusters _))
 
   val oracle: Map[String, String] = Map(
     "q62_asof_join" -> q62Sql,
@@ -305,5 +357,6 @@ object ScaleQueries {
     "q64_bucketed_join" -> q64Sql,
     "q65_salted_join" -> q65Sql,
     "q66_range_join" -> q66Sql,
-    "q67_quality_quantiles" -> q67Sql)
+    "q67_quality_quantiles" -> q67Sql,
+    "q68_dedup_clusters" -> q68Sql)
 }

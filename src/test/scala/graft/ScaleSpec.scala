@@ -246,6 +246,56 @@ class ScaleSpec extends SparkSpec {
     assert(core.exceptAll(plain).isEmpty && plain.exceptAll(core).isEmpty)
   }
 
+  // ---------- connected components ----------
+
+  test("connected components: chains merge transitively, deterministic min-id labels") {
+    import graft.operators.ConnectedComponents
+    // chain 1-2-3-4 (never a direct 1-4 pair), separate pair 10-11,
+    // plus an edge listed "backwards" (7, 6)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (7L, 6L))
+      .toDF("id1", "id2")
+    val comp = ConnectedComponents.components(edges, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 6L -> 6L, 7L -> 6L))
+  }
+
+  test("connected components: long path converges; tight cap throws") {
+    import graft.operators.ConnectedComponents
+    val path = (0 until 9).map(i => (i.toLong, i + 1L)).toDF("id1", "id2")
+    val comp = ConnectedComponents.components(path, "id1", "id2")
+      .collect().map(_.getLong(1)).distinct
+    assert(comp === Array(0L))
+    intercept[IllegalStateException] {
+      ConnectedComponents.components(path, "id1", "id2", maxIters = 2)
+    }
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.components(path, "id1", "id2", maxIters = 0)
+    }
+  }
+
+  test("q68 clusters equal a driver-side union-find over the same pairs") {
+    val pairs = ScaleQueries.nearDupPairs(spark, sf0001)
+      .filter($"jaccard" >= CurationQueries.nearDupTau)
+      .select($"id1", $"id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain near-dup pairs")
+    // classic union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(v => v -> find(v)).toMap
+    val got = ScaleQueries.q68DedupClusters(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === truth)
+  }
+
   // ---------- histogram quantiles ----------
 
   test("histogram quantiles: type-1 semantics, ties, multi-key, param guard") {
