@@ -214,19 +214,6 @@ object ScaleQueries {
 
   // ---------- dedup clustering (connected components) ----------
 
-  /** Verified near-dup pairs (the q31 pipeline), materialized once
-    * per (session, dir-content) — the shared input of pair-level
-    * reporting and cluster-level closure. */
-  private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
-    Memo.cached(s, dir, "neardup_pairs") {
-      val d = t(s, dir, "documents")
-      val cand = graft.dedup.Dedup.lshCandidates(d, "doc_id", "text",
-        CurationQueries.shingleN, CurationQueries.nPerm, CurationQueries.rowsPerBand)
-        .localCheckpoint()
-      graft.dedup.Dedup.jaccardVerify(d, "doc_id", "text", cand,
-        CurationQueries.shingleN)
-    }
-
   /** Near-duplicate CLUSTERS: the transitive closure of the verified
     * pair graph via [[graft.operators.ConnectedComponents]] min-label
     * propagation. Pairwise policies (q47 drops the higher id of each
@@ -236,7 +223,7 @@ object ScaleQueries {
     * over the same pair CTE — a different algorithm computing the same
     * fixpoint. */
   def q68DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val edges = nearDupPairs(s, dir)
+    val edges = CurationQueries.nearDupPairs(s, dir)
       .filter(col("jaccard") >= CurationQueries.nearDupTau)
     val comp = ConnectedComponents.components(edges, "id1", "id2")
     val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))

@@ -275,7 +275,7 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("q68 clusters equal a driver-side union-find over the same pairs") {
-    val pairs = ScaleQueries.nearDupPairs(spark, sf0001)
+    val pairs = CurationQueries.nearDupPairs(spark, sf0001)
       .filter($"jaccard" >= CurationQueries.nearDupTau)
       .select($"id1", $"id2")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
