@@ -259,11 +259,15 @@ object ScaleQueries {
     * never the corpus, and the quantile rule is pure integer
     * arithmetic (100·cum ≥ p·N), so it replays exactly in SQL. */
   def q67QualityQuantiles(s: SparkSession, dir: String): DataFrame = {
+    // scored feeds TWO consumers (histogram + threshold-count join);
+    // materialize the tokenize+score pass once — it is the dominant
+    // cost of the query
     val scored = t(s, dir, "documents").select(col("lang"),
       // qualityScore rounds to 4 decimals; ×10^4 makes it an exact
       // integral bucket id
       round(graft.text.TextAnalysis.qualityScore(col("text")) * 10000)
         .cast("long").as("qs4"))
+      .localCheckpoint()
     // thresholds is keys × percents rows — ALWAYS the broadcast side;
     // without the hint Spark's size estimate at test scale broadcasts
     // the corpus scan instead

@@ -6,7 +6,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -67,12 +67,15 @@ case class CountMinSketchAgg(
     depth: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[CMSBuffer] {
+  extends TypedImperativeAggregate[CMSBuffer] with ExpectsInputTypes {
 
   require(width >= 2, s"graft_cms requires width >= 2, got $width")
   require(depth >= 1 && depth <= CMS.maxDepth,
     s"graft_cms requires 1 <= depth <= ${CMS.maxDepth}, got $depth")
 
+  // analysis-time typing (an int hash column becomes an error, not an
+  // executor ClassCastException), same contract style as DotProduct
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
   override def children: Seq[Expression] = Seq(hash, weight)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -83,8 +86,16 @@ case class CountMinSketchAgg(
   override def update(buf: CMSBuffer, input: InternalRow): CMSBuffer = {
     val h = hash.eval(input)
     val w = weight.eval(input)
-    if (h != null && w != null)
-      buf.add(h.asInstanceOf[Long], w.asInstanceOf[Long])
+    if (h != null && w != null) {
+      val hv = h.asInstanceOf[Long]
+      // the 32-bit contract keeps A(j)·h below 2^53 (exact in both
+      // engines); a 64-bit hash (e.g. xxhash64) would silently wrap
+      // and corrupt buckets — fail loudly instead
+      if (hv < 0L || hv > 0xFFFFFFFFL)
+        throw new IllegalArgumentException(
+          s"graft_cms hash must be an unsigned 32-bit value (use hash32), got $hv")
+      buf.add(hv, w.asInstanceOf[Long])
+    }
     buf
   }
 
@@ -140,11 +151,20 @@ object CountMinSketch {
         ExpressionUtils.expression(weight), width, depth).toAggregateExpression())
 
   /** Point estimate for a pre-hashed key from a sketch grid column:
-    * min over rows of the key's counter (1-based element_at). */
-  def estimate(grid: Column, hash: Column, width: Int, depth: Int): Column =
-    (0 until depth).map { j =>
+    * min over rows of the key's counter (1-based element_at). The
+    * 32-bit hash contract is enforced — a negative index would make
+    * element_at read from the array END and silently break the
+    * never-underestimate guarantee. */
+  def estimate(grid: Column, hash: Column, width: Int, depth: Int): Column = {
+    val est = (0 until depth).map { j =>
       element_at(grid,
         (((lit(CMS.A(j)) * hash + CMS.B(j)) % CMS.P) % width + j * width + 1)
           .cast("int"))
     }.reduce(least(_, _))
+    when(hash.isNull, lit(null).cast("long"))
+      .when(hash.between(0L, 0xFFFFFFFFL), est)
+      .otherwise(raise_error(concat(
+        lit("graft_cms estimate: hash out of unsigned 32-bit range: "),
+        hash.cast("string"))))
+  }
 }

@@ -29,11 +29,20 @@ object HistogramQuantiles {
     * `value` must be integral (pre-quantized by the caller). Returns
     * (key, percent, threshold).
     */
+  /** Internal + output column names; caller frames must not use them. */
+  private val reserved = Set("__n", "__cum", "__N", "percent", "threshold")
+
   def thresholds(df: DataFrame, key: String, value: String,
                  percents: Seq[Int]): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
       s"percents must be in [1, 100], got ${percents.mkString(", ")}")
-    val hist = df.groupBy(col(key), col(value)).agg(count(lit(1)).as("__n"))
+    require(!reserved(key) && !reserved(value),
+      s"thresholds reserves column names ${reserved.mkString(", ")}; rename $key/$value")
+    // quantiles are over the NON-NULL values: a null bucket would sort
+    // first under Spark's NULLS FIRST and shift every threshold down
+    // (and diverge from SQL replays, which default to NULLS LAST)
+    val hist = df.filter(col(value).isNotNull)
+      .groupBy(col(key), col(value)).agg(count(lit(1)).as("__n"))
     val wCum = Window.partitionBy(col(key)).orderBy(col(value))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col(key))

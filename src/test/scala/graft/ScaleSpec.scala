@@ -318,6 +318,42 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("histogram quantiles ignore null values and reject reserved names") {
+    import graft.operators.HistogramQuantiles
+    val df = Seq(("a", Some(1L)), ("a", None), ("a", Some(2L)), ("a", Some(3L)))
+      .toDF("k", "v")
+    val th = HistogramQuantiles.thresholds(df, "k", "v", Seq(50))
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    // over the 3 non-null values p50 rank is 2 → threshold 2; counting
+    // the null row would shift it to 1
+    assert(th(50) === 2L)
+    intercept[IllegalArgumentException] {
+      HistogramQuantiles.thresholds(df.withColumnRenamed("v", "percent"),
+        "k", "percent", Seq(50))
+    }
+  }
+
+  test("CMS estimate: null hash is null, out-of-range hash errors loudly") {
+    val df = Seq(("alpha", 3L)).toDF("term", "w")
+    val g = grid(df, 64, 2)
+    val nullEst = g.select(CountMinSketch.estimate($"g",
+      lit(null).cast("long"), 64, 2)).first()
+    assert(nullEst.isNullAt(0))
+    val bad = intercept[Exception] {
+      g.select(CountMinSketch.estimate($"g", lit(-5L), 64, 2)).collect()
+    }
+    assert(bad.getMessage.contains("32-bit") ||
+      String.valueOf(bad.getCause).contains("32-bit"))
+    // aggregate side: a 64-bit hash input fails the task instead of
+    // silently wrapping buckets
+    val agg = intercept[Exception] {
+      Seq((Long.MaxValue, 1L)).toDF("h", "w")
+        .agg(CountMinSketch.sketch($"h", $"w", 64, 2)).collect()
+    }
+    assert(String.valueOf(agg.getMessage).contains("32-bit") ||
+      String.valueOf(agg.getCause).contains("32-bit"))
+  }
+
   test("histogram quantiles match the built-in exact percentile on real scores") {
     import graft.operators.HistogramQuantiles
     val scored = spark.read.parquet(s"$sf0001/documents.parquet")
