@@ -85,14 +85,17 @@ object PipelineQueries {
     * row, so this query shares q60's gaps-and-islands DuckDB oracle —
     * the streaming path sits under the correctness gate AND gets a
     * timed bench artifact, not just a MemoryStream spec. */
-  def q61StreamSessionize(s: SparkSession, dir: String): DataFrame = {
-    val stage = roundtripPath(dir, "q61")
+  /** Stage the events table into a file-stream source dir and open it
+    * as a readStream with `ts` restored, shared by the streaming-
+    * harness queries (q61, q69). events.parquet may be a single file
+    * (testdata layout) or a Spark-written directory — stage either
+    * shape recursively. The stage target is DELETED first:
+    * directory-shaped sources have run-unique part-file names, and a
+    * replace-only copy would accumulate stale parts across runs
+    * (duplicated events ≠ the batch oracle). */
+  private def eventsStream(s: SparkSession, dir: String, tag: String): DataFrame = {
+    val stage = roundtripPath(dir, tag)
     new java.io.File(stage).mkdirs()
-    // events.parquet may be a single file (testdata layout) or a
-    // Spark-written directory — stage either shape recursively. The
-    // stage target is DELETED first: directory-shaped sources have
-    // run-unique part-file names, and a replace-only copy would
-    // accumulate stale parts across runs (duplicated events ≠ q60).
     def deleteTree(f: java.io.File): Unit = {
       if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
@@ -113,10 +116,13 @@ object PipelineQueries {
     val schema = s.read.parquet(stage).schema
     val raw = s.readStream.schema(schema).parquet(stage)
     // ts arrives as raw nanos under nanosAsLong — restore, as in batch
-    val events =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  def q61StreamSessionize(s: SparkSession, dir: String): DataFrame = {
+    val events = eventsStream(s, dir, "q61")
     val sink = "q61_sessions_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     Streaming.runToMemory(s, Streaming.sessionize(events, "30 minutes"),
       sink, "complete")
@@ -127,6 +133,37 @@ object PipelineQueries {
         round(col("sum_value") * 100).cast("long").as("sum_value_c"))
       .orderBy("user_id", "start_us")
   }
+
+  /** Stream-static join under the live harness: the event stream is
+    * enriched with the STATIC customer dimension (the canonical
+    * streaming-enrichment shape — the dimension is broadcast per
+    * micro-batch, no stream-stream state), then aggregated per
+    * (segment, event_type) in complete mode so the streaming result
+    * equals the batch join row for row — which is exactly what the
+    * plain-SQL oracle checks. */
+  def q69StreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val events = eventsStream(s, dir, "q69")
+    val dim = graft.sources.Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") < 150)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val enriched = events
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .join(broadcast(dim), "user_id")
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("sum_value_c"))
+    val sink = "q69_enrich_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    Streaming.runToMemory(s, enriched, sink, "complete")
+    s.table(sink).orderBy("c_mktsegment", "event_type")
+  }
+
+  val q69Sql: String =
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+       FROM events JOIN customer ON user_id = c_custkey
+       WHERE c_custkey < 150
+       GROUP BY c_mktsegment, event_type
+       ORDER BY c_mktsegment, event_type"""
 
   /** Deterministic scratch path for write-then-read-back queries,
     * distinct per (query, sf) so runs never cross-contaminate. */
@@ -221,12 +258,14 @@ object PipelineQueries {
     "q52_parquet_roundtrip" -> (q52ParquetRoundtrip _),
     "q53_csv_roundtrip" -> (q53CsvRoundtrip _),
     "q60_sessionize" -> (q60Sessionize _),
-    "q61_stream_sessionize" -> (q61StreamSessionize _))
+    "q61_stream_sessionize" -> (q61StreamSessionize _),
+    "q69_stream_enrich" -> (q69StreamEnrich _))
 
   val oracle: Map[String, String] = Map(
     "q50_binary_features" -> q50Sql,
     "q52_parquet_roundtrip" -> q52Sql,
     "q53_csv_roundtrip" -> q53Sql,
     "q60_sessionize" -> q60Sql,
-    "q61_stream_sessionize" -> q60Sql)
+    "q61_stream_sessionize" -> q60Sql,
+    "q69_stream_enrich" -> q69Sql)
 }
