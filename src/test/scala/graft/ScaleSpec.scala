@@ -179,6 +179,15 @@ class ScaleSpec extends SparkSpec {
     assert(ests.sum >= exact.values.sum)
   }
 
+  test("CMS sketch plans as ObjectHashAggregate with a map-side partial") {
+    val df = (0 until 100).map(i => (s"t$i", 1L)).toDF("term", "w")
+    val p = grid(df.repartition(4), 512, 2).queryExecution.executedPlan.toString
+    // partial + final ObjectHashAggregate: each task folds its rows
+    // into a local grid and the exchange carries grids, not rows
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("CMS: partial-merge order does not change the grid") {
     val df = (0 until 500).map(i => (s"t${i % 40}", 1L)).toDF("term", "w")
     val one = grid(df.coalesce(1), 64, 3).first().getSeq[Long](0)
