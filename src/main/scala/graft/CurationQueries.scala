@@ -437,11 +437,18 @@ object CurationQueries {
     // materialize the exact-dedup survivors once
     val d1 = Dedup.exact(docs(s, dir), "text", "doc_id")
       .select(col("doc_id"), col("text")).localCheckpoint()
-    val pairs = Dedup
-      .lshCandidates(d1, "doc_id", "text", shingleN, nPerm, rowsPerBand)
-      .localCheckpoint()
-    val dropIds = Dedup.jaccardVerify(d1, "doc_id", "text", pairs, shingleN)
+    // the survivors' verified pair set IS the memoized full-corpus
+    // pair index filtered to survivor×survivor: per-doc MinHash
+    // signatures (hence buckets) and per-pair Jaccard are corpus-
+    // independent, and an exact-dup's surviving twin has identical
+    // signatures, so no candidate is lost by filtering after the
+    // fact. Build the index once (shared with q31/q68), never per
+    // pipeline.
+    val survivors = d1.select(col("doc_id"))
+    val dropIds = nearDupPairs(s, dir)
       .filter(col("jaccard") >= nearDupTau)
+      .join(survivors.withColumnRenamed("doc_id", "id1"), Seq("id1"), "left_semi")
+      .join(survivors.withColumnRenamed("doc_id", "id2"), Seq("id2"), "left_semi")
       .select(col("id2").as("doc_id")).distinct()
     // no broadcast() hint: dropIds scales with the near-dup pair
     // count — strategy is AQE's call (it will still broadcast when
