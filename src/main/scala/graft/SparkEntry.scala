@@ -210,6 +210,32 @@ object Queries {
        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
        ORDER BY s_suppkey"""
 
+  /** Pivot (long → wide): events per market segment × event type.
+    * Pivot values are EXPLICIT, so the output schema is deterministic
+    * (no value-discovery pass over the data — at scale an implicit
+    * pivot runs an extra distinct job and can explode the schema);
+    * missing cells are 0, and the whole thing is one broadcast join +
+    * one aggregate. */
+  val pivotEventTypes = Seq("click", "error", "purchase", "signup", "view")
+  def q70Pivot(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("user_id"), col("event_type"))
+      .join(broadcast(t(s, dir, "customer").filter(col("c_custkey") < 150)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))), "user_id")
+      .groupBy("c_mktsegment")
+      .pivot("event_type", pivotEventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy("c_mktsegment")
+
+  val q70Sql: String = {
+    val cells = pivotEventTypes.map(t =>
+      s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS $t").mkString(", ")
+    s"""SELECT c_mktsegment, $cells
+       FROM events JOIN customer ON user_id = c_custkey
+       WHERE c_custkey < 150
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+  }
+
   // ---------- vector / search ----------
 
   private def embDouble(s: SparkSession, dir: String): DataFrame =
@@ -444,7 +470,8 @@ object Queries {
     "q14_noise_perturb" -> (q14NoisePerturb _),
     "q15_dp_search" -> (q15DpSearch _),
     "q20_bm25" -> (q20Bm25 _),
-    "q21_top_terms" -> (q21TopTerms _)) ++
+    "q21_top_terms" -> (q21TopTerms _),
+    "q70_pivot" -> (q70Pivot _)) ++
     CurationQueries.all ++ RetrievalQueries.all ++ PipelineQueries.all ++
     ScaleQueries.all
 
@@ -464,7 +491,8 @@ object Queries {
     "q14_noise_perturb" -> q14Sql,
     "q15_dp_search" -> q15Sql,
     "q20_bm25" -> q20Sql,
-    "q21_top_terms" -> q21Sql) ++
+    "q21_top_terms" -> q21Sql,
+    "q70_pivot" -> q70Sql) ++
     CurationQueries.oracle ++ RetrievalQueries.oracle ++ PipelineQueries.oracle ++
     ScaleQueries.oracle
 }
