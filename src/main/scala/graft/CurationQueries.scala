@@ -425,6 +425,46 @@ object CurationQueries {
              CASE WHEN lang = 'en' THEN ${strataFractions("en")} ELSE ${strataFractions("other")} END
        GROUP BY lang ORDER BY lang"""
 
+  /** Temperature-based mixture resampling — the multilingual
+    * balancing op (XLM-R-style): each language keeps documents with
+    * probability (n_min / n_lang)^0.5, so the smallest language keeps
+    * everything and head languages are downsampled toward balance.
+    * The fraction is DERIVED FROM THE DATA (one count pass), then
+    * applied as an integer LCG threshold, so the whole thing replays
+    * bit-exactly in SQL: sqrt and one division are correctly-rounded
+    * IEEE ops on integers (no float accumulation anywhere), and the
+    * per-doc keep test is pure integer arithmetic. Two scans total;
+    * the per-lang threshold table is keys-sized and broadcast. */
+  def q71TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val counts = docs(s, dir).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
+    val thr = counts.crossJoin(broadcast(nMin))
+      .withColumn("thr",
+        round(sqrt(col("n_min").cast("double") / col("n_docs").cast("double"))
+          * 1000003).cast("long"))
+      .select(col("lang"), col("n_docs"), col("thr"))
+    val u = ((col("doc_id") % 2147483648L) * 1103515245L + 12345L) % 1000003L
+    docs(s, dir).select(col("doc_id"), col("lang"))
+      .join(broadcast(thr), "lang")
+      .filter(u < col("thr"))
+      .groupBy(col("lang"), col("n_docs"), col("thr"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  val q71Sql: String =
+    """WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+       m AS (SELECT MIN(n_docs) AS n_min FROM counts),
+       thr AS (SELECT lang, n_docs,
+           CAST(ROUND(sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1000003) AS BIGINT) AS thr
+         FROM counts, m)
+       SELECT d.lang, t.n_docs, t.thr, COUNT(*) AS n_kept
+       FROM documents d JOIN thr t ON d.lang = t.lang
+       WHERE (((d.doc_id % 2147483648) * 1103515245 + 12345) % 1000003) < t.thr
+       GROUP BY d.lang, t.n_docs, t.thr
+       ORDER BY d.lang"""
+
   /** The canonical training-data curation flow as ONE declarative
     * pipeline, every stage oracle-replayable: exact dedup keep-first →
     * MinHash-LSH near-dup removal (drop the higher id of any verified
@@ -528,7 +568,8 @@ object CurationQueries {
     "q32_simhash" -> (q32Simhash _),
     "q33_neardup_cosine" -> (q33NeardupCosine _),
     "q34_ngram_jaccard" -> (q34NgramJaccard _),
-    "q47_curation_e2e" -> (q47CurationE2e _))
+    "q47_curation_e2e" -> (q47CurationE2e _),
+    "q71_temperature_mix" -> (q71TemperatureMix _))
 
   val oracle: Map[String, String] = Map(
     "q22_text_stats" -> q22Sql,
@@ -541,5 +582,6 @@ object CurationQueries {
     "q32_simhash" -> q32Sql,
     "q33_neardup_cosine" -> q33Sql,
     "q34_ngram_jaccard" -> q34Sql,
-    "q47_curation_e2e" -> q47Sql)
+    "q47_curation_e2e" -> q47Sql,
+    "q71_temperature_mix" -> q71Sql)
 }

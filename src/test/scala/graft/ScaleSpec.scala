@@ -382,6 +382,26 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  // ---------- temperature mixture ----------
+
+  test("q71: smallest language keeps ~everything, head languages downsample toward balance") {
+    val rows = CurationQueries.all("q71_temperature_mix")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val minLang = rows.minBy(_._2)
+    // the smallest language's threshold is the full LCG modulus → keeps all
+    assert(minLang._3 === 1000003L)
+    assert(minLang._4 === minLang._2)
+    // keep RATE is monotone non-increasing in language size
+    rows.sortBy(_._2).map(_._3).toSeq.sliding(2).foreach { w =>
+      if (w.size == 2) assert(w.head >= w.last)
+    }
+    // kept counts are more balanced than inputs: max/min ratio shrinks
+    val inRatio = rows.map(_._2).max.toDouble / rows.map(_._2).min
+    val outRatio = rows.map(_._4).max.toDouble / math.max(rows.map(_._4).min, 1L)
+    assert(outRatio <= inRatio)
+  }
+
   // ---------- salted join equivalence ----------
 
   test("q65: salted join equals the plain equi-join aggregate") {
