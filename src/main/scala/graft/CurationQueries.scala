@@ -404,12 +404,18 @@ object CurationQueries {
     * so the mixture is reproducible run-to-run and replayable in SQL
     * (`sampleBy`'s RNG is not). English kept at 50%, other languages
     * at 20%. */
+  /** Uniform-in-[0, 1000003) LCG key on doc_id — the portable seeded
+    * sampler shared by q26/q71 (same recipe as Ingest.pseudoShuffleKey;
+    * id reduced mod 2^31 before the multiply so the arithmetic is
+    * overflow-free in both engines). Keep the Column and SQL forms in
+    * lockstep: every sampling oracle replays this expression. */
+  private def lcgKey: org.apache.spark.sql.Column =
+    ((col("doc_id") % 2147483648L) * 1103515245L + 12345L) % 1000003L
+  private val lcgKeySql = "(((doc_id % 2147483648) * 1103515245 + 12345) % 1000003)"
+
   val strataFractions: Map[String, Double] = Map("en" -> 0.5).withDefaultValue(0.2)
   def q26StratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    // id reduced mod 2^31 before the multiply (overflow portability,
-    // see Ingest.pseudoShuffleKey); unchanged for ids < 2^31
-    val u = (((col("doc_id") % 2147483648L) * 1103515245L + 12345L) % 1000003L)
-      .cast("double") / 1000003.0
+    val u = lcgKey.cast("double") / 1000003.0
     val f = when(col("lang") === "en", strataFractions("en"))
       .otherwise(strataFractions("other"))
     docs(s, dir)
@@ -421,7 +427,7 @@ object CurationQueries {
 
   val q26Sql: String =
     s"""SELECT lang, COUNT(*) AS n_kept FROM documents
-       WHERE (((doc_id % 2147483648) * 1103515245 + 12345) % 1000003) / 1000003.0 <
+       WHERE $lcgKeySql / 1000003.0 <
              CASE WHEN lang = 'en' THEN ${strataFractions("en")} ELSE ${strataFractions("other")} END
        GROUP BY lang ORDER BY lang"""
 
@@ -444,24 +450,23 @@ object CurationQueries {
         round(sqrt(col("n_min").cast("double") / col("n_docs").cast("double"))
           * 1000003).cast("long"))
       .select(col("lang"), col("n_docs"), col("thr"))
-    val u = ((col("doc_id") % 2147483648L) * 1103515245L + 12345L) % 1000003L
     docs(s, dir).select(col("doc_id"), col("lang"))
       .join(broadcast(thr), "lang")
-      .filter(u < col("thr"))
+      .filter(lcgKey < col("thr"))
       .groupBy(col("lang"), col("n_docs"), col("thr"))
       .agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
   }
 
   val q71Sql: String =
-    """WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    s"""WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
        m AS (SELECT MIN(n_docs) AS n_min FROM counts),
        thr AS (SELECT lang, n_docs,
            CAST(ROUND(sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1000003) AS BIGINT) AS thr
          FROM counts, m)
        SELECT d.lang, t.n_docs, t.thr, COUNT(*) AS n_kept
        FROM documents d JOIN thr t ON d.lang = t.lang
-       WHERE (((d.doc_id % 2147483648) * 1103515245 + 12345) % 1000003) < t.thr
+       WHERE ${lcgKeySql.replace("doc_id", "d.doc_id")} < t.thr
        GROUP BY d.lang, t.n_docs, t.thr
        ORDER BY d.lang"""
 
@@ -473,7 +478,7 @@ object CurationQueries {
   val nearDupTau = 0.5
   def q47CurationE2e(s: SparkSession, dir: String): DataFrame = {
     import TextAnalysis._
-    // d1 feeds three consumers (candidates, verify, final anti-join):
+    // d1 feeds the two survivor semi-joins and the final anti-join:
     // materialize the exact-dedup survivors once
     val d1 = Dedup.exact(docs(s, dir), "text", "doc_id")
       .select(col("doc_id"), col("text")).localCheckpoint()

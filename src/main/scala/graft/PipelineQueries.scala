@@ -77,14 +77,6 @@ object PipelineQueries {
          CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
        FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us"""
 
-  /** q60's sessionizer executed UNDER THE LIVE STREAMING HARNESS:
-    * readStream file source over the events parquet → session_window
-    * aggregation → memory sink, Trigger.AvailableNow, complete output
-    * (all session state emitted once the source drains). Complete
-    * mode makes the streaming result equal the batch result row for
-    * row, so this query shares q60's gaps-and-islands DuckDB oracle —
-    * the streaming path sits under the correctness gate AND gets a
-    * timed bench artifact, not just a MemoryStream spec. */
   /** Stage the events table into a file-stream source dir and open it
     * as a readStream with `ts` restored, shared by the streaming-
     * harness queries (q61, q69). events.parquet may be a single file
@@ -92,27 +84,32 @@ object PipelineQueries {
     * shape recursively. The stage target is DELETED first:
     * directory-shaped sources have run-unique part-file names, and a
     * replace-only copy would accumulate stale parts across runs
-    * (duplicated events ≠ the batch oracle). */
-  private def eventsStream(s: SparkSession, dir: String, tag: String): DataFrame = {
-    val stage = roundtripPath(dir, tag)
-    new java.io.File(stage).mkdirs()
-    def deleteTree(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
-      f.delete(); ()
-    }
-    def copyTree(src: java.io.File, dst: java.io.File): Unit =
-      if (src.isDirectory) {
-        dst.mkdirs()
-        Option(src.listFiles()).toSeq.flatten
-          .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
-      } else {
-        java.nio.file.Files.copy(src.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+    * (duplicated events ≠ the batch oracle). The copy itself is
+    * read-only staging (not a write-under-test), so ONE staged copy
+    * per (session, dir-content) serves every streaming query. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val stage = Memo.cachedValue(s, dir, "events_stage") {
+      val path = roundtripPath(dir, "events_stream")
+      new java.io.File(path).mkdirs()
+      def deleteTree(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
+        f.delete(); ()
       }
-    val target = new java.io.File(s"$stage/events.parquet")
-    deleteTree(target)
-    copyTree(new java.io.File(s"$dir/events.parquet"), target)
+      def copyTree(src: java.io.File, dst: java.io.File): Unit =
+        if (src.isDirectory) {
+          dst.mkdirs()
+          Option(src.listFiles()).toSeq.flatten
+            .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+        } else {
+          java.nio.file.Files.copy(src.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+        }
+      val target = new java.io.File(s"$path/events.parquet")
+      deleteTree(target)
+      copyTree(new java.io.File(s"$dir/events.parquet"), target)
+      path
+    }
     val schema = s.read.parquet(stage).schema
     val raw = s.readStream.schema(schema).parquet(stage)
     // ts arrives as raw nanos under nanosAsLong — restore, as in batch
@@ -121,8 +118,16 @@ object PipelineQueries {
     else raw
   }
 
+  /** q60's sessionizer executed UNDER THE LIVE STREAMING HARNESS:
+    * readStream file source over the events parquet → session_window
+    * aggregation → memory sink, Trigger.AvailableNow, complete output
+    * (all session state emitted once the source drains). Complete
+    * mode makes the streaming result equal the batch result row for
+    * row, so this query shares q60's gaps-and-islands DuckDB oracle —
+    * the streaming path sits under the correctness gate AND gets a
+    * timed bench artifact, not just a MemoryStream spec. */
   def q61StreamSessionize(s: SparkSession, dir: String): DataFrame = {
-    val events = eventsStream(s, dir, "q61")
+    val events = eventsStream(s, dir)
     val sink = "q61_sessions_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     Streaming.runToMemory(s, Streaming.sessionize(events, "30 minutes"),
       sink, "complete")
@@ -142,7 +147,7 @@ object PipelineQueries {
     * equals the batch join row for row — which is exactly what the
     * plain-SQL oracle checks. */
   def q69StreamEnrich(s: SparkSession, dir: String): DataFrame = {
-    val events = eventsStream(s, dir, "q69")
+    val events = eventsStream(s, dir)
     val dim = graft.sources.Tables.load(s, dir, "customer")
       .filter(col("c_custkey") < 150)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
