@@ -732,12 +732,16 @@ object RetrievalQueries {
         round(dot(col("nv"), col("qnv")), 6).as("sim"))
   }
 
-  val q55Sql: String = {
+  /** q55's CTE chain (ANN leg ∪ BM25 leg → provenance-flagged
+    * candidates → normalized vectors → scored), ending in a
+    * `scored(id, in_vec, in_lex, nv, sim)` CTE so the MMR-tail oracle
+    * (q57) can build on the same frame. */
+  private val q55CteSql: String = {
     val bucket = bucketSql(annBits)
     val hProbes = (0 until annBits)
       .map(b => s"UNION ALL SELECT xor(qb, ${1L << b}) AS pb FROM qb")
       .mkString("\n            ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
        bk AS (SELECT vec_id, v, ($bucket) AS b FROM e),
        qb AS (SELECT b AS qb FROM bk WHERE vec_id = 0),
@@ -767,12 +771,78 @@ object RetrievalQueries {
              list_transform(v, x -> x / (sqrt(list_dot_product(v, v)) + 1e-9)) AS nv
            FROM e),
        qn AS (SELECT list_transform(qv, x -> x / (sqrt(list_dot_product(qv, qv)) + 1e-9)) AS qnv
-           FROM q)
-       SELECT cand.id AS id, in_vec, in_lex,
-         ROUND(list_dot_product(nrm.nv, qn.qnv), 6) AS sim
-       FROM cand JOIN nrm ON cand.id = nrm.id, qn
-       ORDER BY cand.id"""
+           FROM q),
+       scored AS (SELECT cand.id AS id, in_vec, in_lex, nrm.nv AS nv,
+             ROUND(list_dot_product(nrm.nv, qn.qnv), 6) AS sim
+           FROM cand JOIN nrm ON cand.id = nrm.id, qn)"""
   }
+
+  val q55Sql: String =
+    s"""WITH $q55CteSql
+       SELECT id, in_vec, in_lex, sim FROM scored ORDER BY id"""
+
+  /** Recursive-CTE replay of the greedy MMR loop over a
+    * `cand(id, nv, sim)` CTE: each recursion step appends the
+    * candidate no other unselected candidate beats on
+    * (λ·sim − (1−λ)·max cos to selected, ties to the lower id) — the
+    * argmax is NOT EXISTS, not an aggregate, because SQL forbids
+    * aggregation in the recursive term. The score arithmetic is
+    * written exactly as the Scala loop computes it — including
+    * (1.0 − λ), so both engines share the same rounded constant
+    * (1 − 0.7 is NOT the double 0.3) — and the normalize/dot chains
+    * are bit-identical across engines (verified empirically:
+    * element-wise bit equality on the probe frame), so the greedy
+    * argmax replays exactly despite comparing unrounded doubles. */
+  private def mmrSelSql(lambda: String, k: Int, candCte: String): String = {
+    def score(x: String, mx: String) = s"($lambda*$x.sim - (1.0-$lambda)*$mx)"
+    def mxOver(x: String) =
+      s"list_max(list_transform(s.sel_vecs, v -> list_dot_product($x.nv, v)))"
+    s"""sel AS (
+       SELECT 1 AS rank, c.id AS id, c.nv AS nv, [c.id] AS sel_ids, [c.nv] AS sel_vecs
+       FROM $candCte c
+       WHERE NOT EXISTS (SELECT 1 FROM $candCte d WHERE
+           ${score("d", "0.0")} > ${score("c", "0.0")}
+           OR (${score("d", "0.0")} = ${score("c", "0.0")} AND d.id < c.id))
+       UNION ALL
+       SELECT s.rank + 1, c.id, c.nv,
+              list_append(s.sel_ids, c.id), list_append(s.sel_vecs, c.nv)
+       FROM sel s, $candCte c
+       WHERE s.rank < $k AND NOT list_contains(s.sel_ids, c.id)
+         AND NOT EXISTS (
+           SELECT 1 FROM $candCte d
+           WHERE NOT list_contains(s.sel_ids, d.id) AND d.id != c.id
+             AND (${score("d", mxOver("d"))} > ${score("c", mxOver("c"))}
+               OR (${score("d", mxOver("d"))} = ${score("c", mxOver("c"))}
+                   AND d.id < c.id))))"""
+  }
+
+  /** q42's oracle: top-50 cosine candidates, then the greedy MMR
+    * (λ=0.7, k=10) replayed as a recursive CTE. */
+  val q42Sql: String =
+    s"""WITH RECURSIVE
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       n AS (SELECT vec_id AS id,
+           list_transform(v, x -> x / (sqrt(list_sum(list_transform(v, y -> y*y))) + 1e-9)) AS nv
+         FROM e),
+       q AS (SELECT nv AS qv FROM n WHERE id = 0),
+       cand AS (SELECT id, nv, list_dot_product(nv, qv) AS sim FROM n, q
+                ORDER BY sim DESC, id LIMIT 50),
+       ${mmrSelSql("0.7", 10, "cand")}
+       SELECT id AS vec_id, CAST(rank AS BIGINT) AS rank FROM sel ORDER BY rank"""
+
+  /** q57's oracle: the q55 scored-candidate chain, the greedy MMR
+    * tail (λ=0.5, k=10) as a recursive CTE, and the q07-style
+    * clean+snippet projection. */
+  val q57Sql: String =
+    s"""WITH RECURSIVE $q55CteSql,
+       mcand AS (SELECT id, nv, sim FROM scored),
+       ${mmrSelSql("0.5", 10, "mcand")},
+       snip AS (SELECT doc_id AS id,
+           regexp_replace(substr(trim(regexp_replace(regexp_replace(text, '[\\r\\n]+', ' ', 'g'), '\\s+', ' ', 'g')), 1, 60), '[\\r\\n]', ' ', 'g') AS snippet
+         FROM documents)
+       SELECT CAST(sel.rank AS BIGINT) AS rank, sel.id AS id, snip.snippet AS snippet
+       FROM sel JOIN snip ON sel.id = snip.id
+       ORDER BY rank"""
 
   /** The σ-sweep DP evaluation — the variant of the reference's
     * harness that produced its PUBLISHED artifact
@@ -933,8 +1003,10 @@ object RetrievalQueries {
   }
 
   /** R5: MMR diversity re-rank over the top-50 vector candidates
-    * (λ=0.7). Iterative greedy selection — no SQL oracle; the driver
-    * records a rows-only check and MMRSpec covers the semantics. */
+    * (λ=0.7). The greedy selection runs on the driver (SURVEY §2 R5)
+    * but IS oracle-checked since round 6: the loop replays as a
+    * recursive CTE ([[mmrSelSql]]) because the engines' normalize/dot
+    * chains are bit-identical. */
   def q42Mmr(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     val base = emb(s, dir)
@@ -992,8 +1064,10 @@ object RetrievalQueries {
     "q19_fhe_overlap" -> q19Sql,
     "q40_rank_metrics" -> q40Sql,
     "q41_hybrid" -> q41Sql,
+    "q42_mmr" -> q42Sql,
     "q44_metrics_mean" -> q44Sql,
     "q55_rag_candidates" -> q55Sql,
     "q56_dp_sweep" -> q56Sql,
+    "q57_rag_e2e" -> q57Sql,
     "q58_ivf_refined" -> q58Sql)
 }

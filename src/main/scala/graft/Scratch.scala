@@ -13,14 +13,8 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (q <- Seq("q62_asof_join", "q63_cms_heavy_hitters",
-                  "q64_bucketed_join", "q65_salted_join", "q66_range_join")) {
-      val t0 = System.nanoTime()
-      val df = SparkEntry.queries(q)(spark, dir)
-      val n = df.count()
-      println(f"SMOKE $q rows=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      df.show(5, truncate = false)
-    }
+    SparkEntry.queries("q42_mmr")(spark, dir).show(20, truncate = false)
+    SparkEntry.queries("q57_rag_e2e")(spark, dir).show(20, truncate = false)
     spark.stop()
   }
 }
