@@ -245,7 +245,7 @@ object PipelineQueries {
       Ingest.cleanText(col("text")).as("text"))
     val deduped = Ingest.dedupFirst(cleaned, col("text"), col("doc_id"))
     val embedded = graft.embed.Embed
-      .embedDocs(deduped, "doc_id", "text", new graft.embed.HashEmbedder(64))
+      .embedDocs(deduped, "doc_id", "text", new graft.embed.PortableHashEmbedder(64))
       .select(col("doc_id"), col("vec").cast("array<double>").as("v"))
     val queries = embedded.filter(col("doc_id") < 3)
       .select(col("doc_id").as("qid"), col("v").as("qv"))
@@ -257,6 +257,29 @@ object PipelineQueries {
       .orderBy("qid", "rank")
   }
 
+  /** q46's oracle: the full baseline dataflow replayed — clean text,
+    * keep-first dedup, the portable feature-hash embedding
+    * (RetrievalQueries.embedCteSql), multi-query exact kNN with the
+    * engine's tie order, snippets off the raw text. */
+  val q46Sql: String =
+    s"""WITH cl AS (SELECT doc_id,
+           trim(regexp_replace(regexp_replace(text, '[\\r\\n]+', ' ', 'g'), '\\s+', ' ', 'g')) AS ctext
+         FROM documents),
+       base AS (SELECT doc_id, ctext FROM cl
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY ctext ORDER BY doc_id) = 1),
+       ${RetrievalQueries.embedCteSql("base", "ctext", 64, "")},
+       vec AS (SELECT doc_id, list(x ORDER BY j) AS v FROM vf GROUP BY doc_id),
+       qs AS (SELECT doc_id AS qid, v AS qv FROM vec WHERE doc_id < 3),
+       sc AS (SELECT q.qid, v.doc_id, list_dot_product(v.v, q.qv) AS s FROM vec v, qs q),
+       r AS (SELECT qid, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+             ROUND(s, 6) AS score FROM sc),
+       snip AS (SELECT doc_id, regexp_replace(substr(text, 1, 40), '[\\r\\n]', ' ', 'g') AS snippet
+         FROM documents)
+       SELECT r.qid, r.rank, r.doc_id, r.score, snip.snippet
+       FROM r JOIN snip ON r.doc_id = snip.doc_id
+       WHERE rank <= 5 ORDER BY qid, rank"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_pipeline_e2e" -> (q46PipelineE2e _),
     "q50_binary_features" -> (q50BinaryFeatures _),
@@ -267,6 +290,7 @@ object PipelineQueries {
     "q69_stream_enrich" -> (q69StreamEnrich _))
 
   val oracle: Map[String, String] = Map(
+    "q46_pipeline_e2e" -> q46Sql,
     "q50_binary_features" -> q50Sql,
     "q52_parquet_roundtrip" -> q52Sql,
     "q53_csv_roundtrip" -> q53Sql,

@@ -598,12 +598,43 @@ object RetrievalQueries {
     val docs = graft.sources.Tables.load(s, dir, "documents")
       .filter(col("doc_id") < 200)
     graft.embed.Embed.embedDocs(docs, "doc_id", "text",
-        new graft.embed.HashEmbedder(64))
+        new graft.embed.PortableHashEmbedder(64))
       .select(col("doc_id"),
         round(element_at(col("vec"), 1).cast("double"), 6).as("e0"),
         round(norm2(col("vec")), 6).as("norm"))
       .orderBy("doc_id")
   }
+
+  /** The portable feature-hash embedding replayed relationally:
+    * token → md5-prefix hash → (bucket, sign) → integer bucket sums →
+    * double normalize → ONE rounding to float per element. Shared by
+    * the q43/q46/q49 oracles. Ends in a `vf(doc_id, j, x)` CTE of
+    * dense float-rounded components over `$base(doc_id, textExpr)`. */
+  private[graft] def embedCteSql(base: String, textExpr: String,
+                                 dim: Int, prefix: String): String =
+    s"""${prefix}tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim($textExpr)), '\\s+')) AS tok
+         FROM $base),
+       ${prefix}h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM ${prefix}tok),
+       ${prefix}cnt AS (SELECT doc_id, CAST(h % $dim AS INT) AS j,
+             CAST(SUM(CASE WHEN (h // 65536) % 2 = 1 THEN 1 ELSE -1 END) AS DOUBLE) AS c
+           FROM ${prefix}h GROUP BY doc_id, j),
+       ${prefix}grid AS (SELECT b.doc_id, j.j FROM $base b,
+           (SELECT unnest(generate_series(0, ${dim - 1})) AS j) j),
+       ${prefix}dense AS (SELECT g.doc_id, g.j, COALESCE(c.c, 0.0) AS c
+           FROM ${prefix}grid g LEFT JOIN ${prefix}cnt c
+             ON g.doc_id = c.doc_id AND g.j = c.j),
+       ${prefix}nrm AS (SELECT doc_id, sqrt(SUM(c*c)) + 1e-9 AS nrm
+           FROM ${prefix}dense GROUP BY doc_id),
+       ${prefix}vf AS (SELECT d.doc_id, d.j, CAST(CAST(d.c / n.nrm AS REAL) AS DOUBLE) AS x
+           FROM ${prefix}dense d JOIN ${prefix}nrm n ON d.doc_id = n.doc_id)"""
+
+  val q43Sql: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+       ${embedCteSql("base", "text", 64, "")}
+       SELECT doc_id,
+         ROUND(MAX(CASE WHEN j = 0 THEN x END), 6) AS e0,
+         ROUND(sqrt(SUM(x*x)), 6) AS norm
+       FROM vf GROUP BY doc_id ORDER BY doc_id"""
 
   /** E2 end-to-end: the reference's DP attribute flow
     * (`src/pipeline/pipeline_mode.py:60-104`) with a REAL attribute
@@ -627,7 +658,8 @@ object RetrievalQueries {
       graft.embed.Embed.attrText(Seq("lang", "source", "n_chars")).as("atext"))
       .repartition(col("doc_id"))
     val both = graft.embed.Embed.embedDocsAttr(raw, "doc_id", "text", "atext",
-      new graft.embed.HashEmbedder(64), new graft.embed.HashEmbedder(attrDim49))
+      new graft.embed.PortableHashEmbedder(64),
+      new graft.embed.PortableHashEmbedder(attrDim49))
     // staged projections (as in q15): each step's array materializes
     // as a column attribute, so the next step's multiple references
     // read it instead of re-evaluating the upstream subtree
@@ -639,7 +671,8 @@ object RetrievalQueries {
       .select(col("doc_id"), l2normalize(col("w")).as("dpv"))
     // query text encoded with the same model, zero attribute pad —
     // exactly the reference's query path (:92-104)
-    val qv = new graft.embed.HashEmbedder(64).embed(Queries.bm25Terms.mkString(" "))
+    val qv = new graft.embed.PortableHashEmbedder(64)
+      .embed(Queries.bm25Terms.mkString(" "))
       .map(_.toDouble).toSeq
     val query = s.range(1)
       .select(Search.dpQueryVec(typedLit(qv), attrDim49, 0.7).as("qv"))
@@ -647,6 +680,58 @@ object RetrievalQueries {
   }
 
   private val attrDim49 = 16
+
+  /** q49's oracle: the whole DP attribute flow replayed — portable
+    * text + attribute embeddings (list-ordered, so every float chain
+    * is sequential like the Scala fold), per-doc seeded noise on the
+    * attribute vector (q14's pseudoUniform, 0-based dims → the
+    * 1-based lambda index shifts by one), 0.7/0.3 weighted concat,
+    * renormalize, and the zero-attribute query built from the SAME
+    * portable embedding of the literal query terms. */
+  val q49Sql: String = {
+    // literal copy of Queries.bm25Terms — catalog objects must not
+    // reference Queries during their own init (cyclic-init NPE)
+    val qToks = Seq("spark", "hash", "join").map(t => s"'$t'").mkString(", ")
+    def normalize(l: String) =
+      s"list_transform($l, v -> v / (sqrt(list_sum(list_transform($l, z -> z*z))) + 1e-9))"
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       abase AS (SELECT doc_id, concat_ws(' ',
+             COALESCE(CAST(lang AS VARCHAR), ''),
+             COALESCE(CAST(source AS VARCHAR), ''),
+             COALESCE(CAST(n_chars AS VARCHAR), '')) AS atext
+           FROM documents),
+       ${embedCteSql("base", "text", 64, "")},
+       ${embedCteSql("abase", "atext", attrDim49, "a")},
+       tv AS (SELECT doc_id, list(x ORDER BY j) AS t FROM vf GROUP BY doc_id),
+       av AS (SELECT doc_id, list(x ORDER BY j) AS a FROM avf GROUP BY doc_id),
+       nz AS (SELECT doc_id, list_transform(a, (x, i) ->
+             x + ((((doc_id % 2147483648) * 1103515245 + (i-1) * 12345) % 1000003)
+                  / 1000003.0 - 0.5) * 0.15) AS y FROM av),
+       nn AS (SELECT doc_id, ${normalize("y")} AS na FROM nz),
+       w AS (SELECT tv.doc_id,
+             list_concat(list_transform(t, v -> v * 0.7),
+                         list_transform(na, v -> v * 0.3)) AS w
+           FROM tv JOIN nn ON tv.doc_id = nn.doc_id),
+       dp AS (SELECT doc_id, ${normalize("w")} AS dpv FROM w),
+       qtok AS (SELECT unnest([$qToks]) AS tok),
+       qh AS (SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM qtok),
+       qcnt AS (SELECT CAST(h % 64 AS INT) AS j,
+             CAST(SUM(CASE WHEN (h // 65536) % 2 = 1 THEN 1 ELSE -1 END) AS DOUBLE) AS c
+           FROM qh GROUP BY j),
+       qgrid AS (SELECT j.j, COALESCE(qcnt.c, 0.0) AS c
+           FROM (SELECT unnest(generate_series(0, 63)) AS j) j
+           LEFT JOIN qcnt ON j.j = qcnt.j),
+       qnrm AS (SELECT sqrt(SUM(c*c)) + 1e-9 AS nrm FROM qgrid),
+       qvec AS (SELECT list(CAST(CAST(c / nrm AS REAL) AS DOUBLE) ORDER BY j) AS q
+           FROM qgrid, qnrm),
+       qw AS (SELECT list_concat(list_transform(q, v -> v * 0.7),
+             list_transform(generate_series(1, $attrDim49), x -> 0.0)) AS qw FROM qvec),
+       dq AS (SELECT ${normalize("qw")} AS qv FROM qw),
+       sc AS (SELECT doc_id, list_dot_product(dpv, qv) AS s FROM dp, dq),
+       r AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+             ROUND(s, 6) AS score FROM sc)
+       SELECT doc_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+  }
 
   // ---------- hybrid retrieval (R4/R5) ----------
 
@@ -1065,7 +1150,9 @@ object RetrievalQueries {
     "q40_rank_metrics" -> q40Sql,
     "q41_hybrid" -> q41Sql,
     "q42_mmr" -> q42Sql,
+    "q43_embed_docs" -> q43Sql,
     "q44_metrics_mean" -> q44Sql,
+    "q49_dp_attr_search" -> q49Sql,
     "q55_rag_candidates" -> q55Sql,
     "q56_dp_sweep" -> q56Sql,
     "q57_rag_e2e" -> q57Sql,

@@ -48,6 +48,48 @@ final class HashEmbedder(val dim: Int = 64, seed: Int = 42) extends Embedder {
   }
 }
 
+/** Same feature-hashing embedder with the engine's CROSS-ENGINE
+  * portable token hash (first 8 md5 hex chars, the TextAnalysis /
+  * CountMinSketch convention) instead of JVM MurmurHash — which makes
+  * the whole embed→search dataflow SQL-replayable, putting the
+  * embedding queries under the DuckDB oracle gate like everything
+  * else. Numeric discipline for bit-exact replay: bucket counts are
+  * exact integers (order-free sums), the normalize runs in double,
+  * and each element is rounded to float ONCE (a single
+  * correctly-rounded conversion — no float accumulation anywhere, so
+  * no double-rounding divergence between engines). */
+final class PortableHashEmbedder(val dim: Int = 64) extends Embedder {
+  private def hash32(tok: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tok.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  def embed(text: String): Array[Float] = {
+    val c = new Array[Long](dim)
+    val toks = text.toLowerCase.trim.split("\\s+")
+    var i = 0
+    while (i < toks.length) {
+      val h = hash32(toks(i))
+      val idx = (h % dim).toInt
+      c(idx) += (if (((h >>> 16) & 1L) == 1L) 1L else -1L)
+      i += 1
+    }
+    var norm = 0.0
+    var j = 0
+    while (j < dim) { norm += c(j).toDouble * c(j); j += 1 }
+    // divide (NOT multiply by a reciprocal): the SQL replay writes
+    // c / nrm, and IEEE division and reciprocal-multiply round
+    // differently
+    val nrm = math.sqrt(norm) + 1e-9
+    val v = new Array[Float](dim)
+    j = 0
+    while (j < dim) { v(j) = (c(j).toDouble / nrm).toFloat; j += 1 }
+    v
+  }
+}
+
 object Embed {
   /** E1/E3: distributed embedding — one Embedder per partition,
     * vectors never pass through the driver. */

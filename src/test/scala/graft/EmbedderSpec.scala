@@ -22,6 +22,27 @@ class EmbedderSpec extends SparkSpec {
     assert(emb.embed("alpha beta").toSeq != emb.embed("gamma delta").toSeq)
   }
 
+  test("portable embedder: same contract, md5-prefix buckets, cross-engine hash") {
+    val p = new graft.embed.PortableHashEmbedder(64)
+    val v1 = p.embed("the quick brown fox")
+    assert(v1.length == 64)
+    assert(v1.toSeq == p.embed("the quick brown fox").toSeq)
+    val n = math.sqrt(v1.map(x => x.toDouble * x).sum)
+    assert(math.abs(n - 1.0) < 1e-5)
+    assert(p.embed("alpha beta").toSeq != p.embed("gamma delta").toSeq)
+    // the token hash is the engine-wide portable convention: first 8
+    // md5 hex chars — 'spark' must land in bucket h % 64 with the
+    // sign of bit 16, exactly what the SQL oracles compute
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = java.lang.Long.parseLong(
+      md.digest("spark".getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+    val single = p.embed("spark")
+    val idx = (h % 64).toInt
+    val sgn = if (((h >>> 16) & 1L) == 1L) 1.0f else -1.0f
+    assert(math.abs(single(idx) - sgn) < 1e-6)
+    assert(single.zipWithIndex.filter(_._2 != idx).forall(_._1 == 0.0f))
+  }
+
   test("embedDocs runs distributed and preserves ids") {
     val docs = Seq((1L, "hello world"), (2L, "spark engine"), (3L, "hello world"))
       .toDF("doc_id", "text")
@@ -67,10 +88,12 @@ class EmbedderSpec extends SparkSpec {
     // replace, the text ranking — exact text-only top-10 with the
     // same embedder/query should keep majority overlap (the
     // reference's DP-vs-base eval expectation, evaluation.py)
+    // baseline must use q49's embedder (the portable one)
+    val pemb = new graft.embed.PortableHashEmbedder(64)
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
-    val textVecs = Embed.embedDocs(docs, "doc_id", "text", emb)
+    val textVecs = Embed.embedDocs(docs, "doc_id", "text", pemb)
       .select(col("doc_id"), col("vec").cast("array<double>").as("v"))
-    val qv = emb.embed(Queries.bm25Terms.mkString(" ")).map(_.toDouble).toSeq
+    val qv = pemb.embed(Queries.bm25Terms.mkString(" ")).map(_.toDouble).toSeq
     val exact = Search.topK(textVecs, "doc_id", "v",
         spark.range(1).select(typedLit(qv).as("qv")), "qv", 10)
       .select(col("doc_id")).as[Long].collect().toSet
