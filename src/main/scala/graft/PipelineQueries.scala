@@ -235,9 +235,9 @@ object PipelineQueries {
     * declarative pipeline: ingest → clean → dedup-first → distributed
     * embed → multi-query exact kNN → resolve ids back to snippets.
     * Everything stays on executors; the only driver materialization
-    * is the driver-contract result itself. Rows-only check (the
-    * embedder hash isn't ANSI-SQL-expressible); every stage is
-    * individually oracle-checked or spec-covered elsewhere. */
+    * is the driver-contract result itself. Fully oracle-checked —
+    * q46Sql replays every stage including the portable feature-hash
+    * embedding. */
   def q46PipelineE2e(s: SparkSession, dir: String): DataFrame = {
     import graft.ingest.Ingest
     val raw = graft.sources.Tables.load(s, dir, "documents")

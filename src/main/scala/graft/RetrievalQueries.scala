@@ -10,9 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Retrieval/metrics/ingest query catalog: ranking-fidelity metrics
-  * (M1–M5), hybrid candidate union (R4), MMR re-rank (R5, rows-only
-  * check — inherently iterative), LSH-bucketed approximate kNN (R2
-  * scale path), ingest row ops (P3/P5/P8/P9), and rollup aggregation.
+  * (M1–M5), hybrid candidate union (R4), MMR re-rank (R5 — the
+  * iterative greedy loop, oracle-replayed as a recursive CTE),
+  * LSH-bucketed approximate kNN (R2 scale path), ingest row ops
+  * (P3/P5/P8/P9), and rollup aggregation.
   */
 object RetrievalQueries {
 
@@ -591,9 +592,10 @@ object RetrievalQueries {
        FROM ($q40Sql)"""
 
   /** E1/E2: distributed hash-featurizer embedding over the documents
-    * table (mapPartitions, one embedder per partition). MurmurHash3
-    * isn't replayable in ANSI SQL → rows-only driver check;
-    * EmbedderSpec pins the semantics (dim, unit norm, determinism). */
+    * table (mapPartitions, one embedder per partition). The portable
+    * md5-prefix featurizer replays in SQL (embedCteSql), so this is
+    * fully oracle-checked; EmbedderSpec pins the semantics (dim, unit
+    * norm, determinism). */
   def q43EmbedDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.sources.Tables.load(s, dir, "documents")
       .filter(col("doc_id") < 200)
@@ -609,10 +611,13 @@ object RetrievalQueries {
     * token → md5-prefix hash → (bucket, sign) → integer bucket sums →
     * double normalize → ONE rounding to float per element. Shared by
     * the q43/q46/q49 oracles. Ends in a `vf(doc_id, j, x)` CTE of
-    * dense float-rounded components over `$base(doc_id, textExpr)`. */
+    * dense float-rounded components over `$base(doc_id, textExpr)`.
+    * The tokenizer is PortableHashEmbedder's: non-empty runs of
+    * non-whitespace with the class spelled out — see the scaladoc
+    * there for why neither trim nor \\s survives cross-engine. */
   private[graft] def embedCteSql(base: String, textExpr: String,
                                  dim: Int, prefix: String): String =
-    s"""${prefix}tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim($textExpr)), '\\s+')) AS tok
+    s"""${prefix}tok AS (SELECT doc_id, unnest(regexp_extract_all(lower($textExpr), '[^ \\t\\n\\r\\f]+')) AS tok
          FROM $base),
        ${prefix}h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM ${prefix}tok),
        ${prefix}cnt AS (SELECT doc_id, CAST(h % $dim AS INT) AS j,
@@ -630,11 +635,12 @@ object RetrievalQueries {
 
   val q43Sql: String =
     s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
-       ${embedCteSql("base", "text", 64, "")}
+       ${embedCteSql("base", "text", 64, "")},
+       vec AS (SELECT doc_id, list(x ORDER BY j) AS v FROM vf GROUP BY doc_id)
        SELECT doc_id,
-         ROUND(MAX(CASE WHEN j = 0 THEN x END), 6) AS e0,
-         ROUND(sqrt(SUM(x*x)), 6) AS norm
-       FROM vf GROUP BY doc_id ORDER BY doc_id"""
+         ROUND(v[1], 6) AS e0,
+         ROUND(sqrt(list_sum(list_transform(v, z -> z*z))), 6) AS norm
+       FROM vec ORDER BY doc_id"""
 
   /** E2 end-to-end: the reference's DP attribute flow
     * (`src/pipeline/pipeline_mode.py:60-104`) with a REAL attribute
@@ -646,9 +652,10 @@ object RetrievalQueries {
     * 0.3·noisy_attr) (:83-86) → top-10 with a zero-attribute query
     * vector (:98-104). Text and attribute vectors come from ONE
     * mapPartitions pass (Embed.embedDocsAttr) — one corpus scan, no
-    * self-join of two embedding passes. MurmurHash isn't ANSI SQL →
-    * rows-only driver check; EmbedderSpec pins the semantics and the
-    * retrieval drift vs exact text-only search. */
+    * self-join of two embedding passes. Fully oracle-checked via the
+    * portable featurizer (q49Sql replays the whole flow); EmbedderSpec
+    * pins the semantics and the retrieval drift vs exact text-only
+    * search. */
   def q49DpAttrSearch(s: SparkSession, dir: String): DataFrame = {
     // repartition the RAW rows (narrow: id + texts) before the
     // CPU-bound embed, so both the embedding and the vector math run
@@ -671,6 +678,10 @@ object RetrievalQueries {
       .select(col("doc_id"), l2normalize(col("w")).as("dpv"))
     // query text encoded with the same model, zero attribute pad —
     // exactly the reference's query path (:92-104)
+    // q49Sql carries a literal copy of these terms (cyclic-init rule);
+    // fail loudly if they ever drift apart
+    require(Queries.bm25Terms == Seq("spark", "hash", "join"),
+      "q49Sql's literal query terms are out of sync with Queries.bm25Terms")
     val qv = new graft.embed.PortableHashEmbedder(64)
       .embed(Queries.bm25Terms.mkString(" "))
       .map(_.toDouble).toSeq
@@ -690,8 +701,9 @@ object RetrievalQueries {
     * portable embedding of the literal query terms. */
   val q49Sql: String = {
     // literal copy of Queries.bm25Terms — catalog objects must not
-    // reference Queries during their own init (cyclic-init NPE)
-    val qToks = Seq("spark", "hash", "join").map(t => s"'$t'").mkString(", ")
+    // reference Queries during their own init (cyclic-init NPE);
+    // q49DpAttrSearch guards the copy with a require at call time
+    val qText = "'" + Seq("spark", "hash", "join").mkString(" ") + "'"
     def normalize(l: String) =
       s"list_transform($l, v -> v / (sqrt(list_sum(list_transform($l, z -> z*z))) + 1e-9))"
     s"""WITH base AS (SELECT doc_id, text FROM documents),
@@ -713,17 +725,9 @@ object RetrievalQueries {
                          list_transform(na, v -> v * 0.3)) AS w
            FROM tv JOIN nn ON tv.doc_id = nn.doc_id),
        dp AS (SELECT doc_id, ${normalize("w")} AS dpv FROM w),
-       qtok AS (SELECT unnest([$qToks]) AS tok),
-       qh AS (SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM qtok),
-       qcnt AS (SELECT CAST(h % 64 AS INT) AS j,
-             CAST(SUM(CASE WHEN (h // 65536) % 2 = 1 THEN 1 ELSE -1 END) AS DOUBLE) AS c
-           FROM qh GROUP BY j),
-       qgrid AS (SELECT j.j, COALESCE(qcnt.c, 0.0) AS c
-           FROM (SELECT unnest(generate_series(0, 63)) AS j) j
-           LEFT JOIN qcnt ON j.j = qcnt.j),
-       qnrm AS (SELECT sqrt(SUM(c*c)) + 1e-9 AS nrm FROM qgrid),
-       qvec AS (SELECT list(CAST(CAST(c / nrm AS REAL) AS DOUBLE) ORDER BY j) AS q
-           FROM qgrid, qnrm),
+       qbase AS (SELECT 0 AS doc_id, $qText AS qtext),
+       ${embedCteSql("qbase", "qtext", 64, "q")},
+       qvec AS (SELECT list(x ORDER BY j) AS q FROM qvf GROUP BY doc_id),
        qw AS (SELECT list_concat(list_transform(q, v -> v * 0.7),
              list_transform(generate_series(1, $attrDim49), x -> 0.0)) AS qw FROM qvec),
        dq AS (SELECT ${normalize("qw")} AS qv FROM qw),
@@ -1070,10 +1074,11 @@ object RetrievalQueries {
     * `--mode rag --enable_hybrid` run to its final answer: the q55
     * candidate frame → MMR re-rank at the reference's default λ=0.5
     * (`src/main.py:28`) → top-10 → resolve snippets (P9/P10,
-    * reference :261-264). The MMR tail is inherently sequential over
-    * ≤40 candidates (SURVEY §2 R5) → rows-only driver check; RagSpec
-    * pins the λ=1 degenerate case to pure vector order and the
-    * candidate-stage oracle covers everything upstream. */
+    * reference :261-264). The MMR tail runs as a sequential greedy
+    * loop over ≤40 candidates (SURVEY §2 R5) and is oracle-checked
+    * end to end — q57Sql replays it as a recursive CTE on top of the
+    * q55 chain; RagSpec additionally pins the λ=1 degenerate case to
+    * pure vector order. */
   def q57RagE2e(s: SparkSession, dir: String): DataFrame = {
     implicit val spark: SparkSession = s
     val e = emb(s, dir)

@@ -59,22 +59,28 @@ final class HashEmbedder(val dim: Int = 64, seed: Int = 42) extends Embedder {
   * correctly-rounded conversion — no float accumulation anywhere, so
   * no double-rounding divergence between engines). */
 final class PortableHashEmbedder(val dim: Int = 64) extends Embedder {
-  private def hash32(tok: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(tok.getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex, 16)
-  }
+  /** Tokenizer chosen for EXACT cross-engine agreement: non-empty
+    * maximal runs of non-whitespace, with the whitespace class spelled
+    * out (Java's \s includes \x0B, RE2's does not) — no trim (Java
+    * trim strips \n\t\r, SQL TRIM strips spaces only) and no
+    * split-empty-token edge cases on either side. Locale.ROOT
+    * lowercase so a Turkish default locale cannot change 'I'.
+    * SQL replay: regexp_extract_all(lower(text), '[^ \t\n\r\f]+'). */
+  private val tokenRe = java.util.regex.Pattern.compile("[^ \t\n\r\f]+")
 
   def embed(text: String): Array[Float] = {
     val c = new Array[Long](dim)
-    val toks = text.toLowerCase.trim.split("\\s+")
-    var i = 0
-    while (i < toks.length) {
-      val h = hash32(toks(i))
+    // one digest instance per call, value read directly off the first
+    // 4 digest bytes (big-endian) — identical to parsing the first 8
+    // md5 hex chars, without the hex round-trip per token
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = tokenRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
+    while (m.find()) {
+      val d = md.digest(m.group().getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       val idx = (h % dim).toInt
       c(idx) += (if (((h >>> 16) & 1L) == 1L) 1L else -1L)
-      i += 1
     }
     var norm = 0.0
     var j = 0
