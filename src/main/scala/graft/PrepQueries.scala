@@ -1,0 +1,220 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.{Chunker, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation catalog (round 6): the steps that sit
+  * between raw corpus and training shards — chunking to context
+  * windows, Gopher-style repetition filtering, benchmark
+  * decontamination, and the marginal-novelty curve that tells a data
+  * team when a source is mined out. Extends the curation family
+  * (CurationQueries) the same way the reference's pipeline feeds its
+  * embedder (`src/pipeline/pipeline.py:169`): every query has a
+  * DuckDB oracle and every plan shape is the one that survives a
+  * 100 TB corpus.
+  *
+  * Scale notes: q72/q73 are per-row codegen'd expressions — linear,
+  * shuffle-free. q74/q75 shuffle on the 8-byte shingle HASH (never
+  * the shingle string): contamination and first-seen joins exchange
+  * narrow (id, int64) rows, and the eval-set side of q74 is
+  * corpus/10 distinct hashes — broadcast-able at small scale, a
+  * plain hash-partitioned equi-join at large (strategy left to AQE,
+  * per the round-3 verdict on candidate-derived sets).
+  */
+object PrepQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.load(s, dir, "documents")
+
+  // ---------- q72: context-window chunking ----------
+
+  val chunkSize = 32; val chunkStride = 24
+
+  /** Chunk documents into overlapping 32-token windows with stride
+    * 24. The chunk text is verified by MD5 (identical digests across
+    * engines), keeping the declared output compact while still
+    * pinning every byte of every chunk. */
+  def q72ChunkDocs(s: SparkSession, dir: String): DataFrame =
+    Chunker.chunkRows(docs(s, dir).filter(col("doc_id") < 100),
+      "doc_id", "text", chunkSize, chunkStride)
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_toks"),
+        md5(col("chunk_text")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+
+  val q72Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         FROM documents WHERE doc_id < 100),
+       s AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), $chunkStride)) AS st FROM t)
+       SELECT doc_id,
+         CAST((st - 1) // $chunkStride AS BIGINT) AS chunk_id,
+         CAST(st AS BIGINT) AS start_tok,
+         CAST(least(len(toks) - st + 1, $chunkSize) AS BIGINT) AS n_toks,
+         md5(array_to_string(toks[st : st + ${chunkSize - 1}], ' ')) AS chunk_hash
+       FROM s ORDER BY doc_id, chunk_id"""
+
+  // ---------- q73: repetition filter (Gopher-style) ----------
+
+  /** Non-distinct word n-grams from a BOUND token-array attribute. */
+  private def grams(toksCol: Column, n: Int): Column =
+    Dedup.shinglesFromToks(toksCol, n, distinct = false)
+
+  private def dupFrac(g: Column): Column =
+    when(size(g) === 0, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"), 4))
+
+  /** Fraction of the doc's n-grams taken by its single most frequent
+    * n-gram — the "top n-gram fraction" repetition signal. O(d·g)
+    * per row over the distinct-gram array; codegen'd, no shuffle. */
+  private def topFrac(g: Column): Column =
+    when(size(g) === 0, lit(0.0)).otherwise(
+      round(array_max(transform(array_distinct(g),
+        x => size(filter(g, y => y === x)))).cast("double") / size(g).cast("double"), 4))
+
+  val topBigramThreshold = 0.1; val dupTrigramThreshold = 0.55
+
+  /** Per-document repetition metrics in the Gopher filter family:
+    * duplicate-bigram fraction, top-bigram fraction, duplicate-
+    * trigram fraction, and the composite `repetitive` flag (computed
+    * on the ROUNDED fractions so the boolean replays exactly in the
+    * oracle). */
+  def q73Repetition(s: SparkSession, dir: String): DataFrame = {
+    val staged = docs(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), TextAnalysis.toks(col("text")).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_toks"),
+        grams(col("__toks"), 2).as("__g2"), grams(col("__toks"), 3).as("__g3"))
+      .select(col("doc_id"), col("n_toks"),
+        dupFrac(col("__g2")).as("dup2_frac"), topFrac(col("__g2")).as("top2_frac"),
+        dupFrac(col("__g3")).as("dup3_frac"))
+    staged.select(col("doc_id"), col("n_toks"), col("dup2_frac"),
+      col("top2_frac"), col("dup3_frac"),
+      (col("top2_frac") >= topBigramThreshold ||
+        col("dup3_frac") >= dupTrigramThreshold).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  val q73Sql: String = {
+    def gramSql(n: Int): String =
+      s"""CASE WHEN len(toks) >= $n THEN
+           list_transform(generate_series(1, len(toks) - ${n - 1}),
+             k -> array_to_string(toks[k : k + ${n - 1}], ' '))
+         ELSE [] END"""
+    def dupSql(g: String): String =
+      s"""CASE WHEN len($g) = 0 THEN 0.0 ELSE
+           ROUND(1.0 - CAST(len(list_distinct($g)) AS DOUBLE) / len($g), 4) END"""
+    def topSql(g: String): String =
+      s"""CASE WHEN len($g) = 0 THEN 0.0 ELSE
+           ROUND(CAST(list_aggregate(list_transform(list_distinct($g),
+             x -> len(list_filter($g, y -> y = x))), 'max') AS DOUBLE) / len($g), 4) END"""
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         FROM documents WHERE doc_id < 200),
+       g AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+           ${gramSql(2)} AS g2, ${gramSql(3)} AS g3 FROM t),
+       m AS (SELECT doc_id, n_toks,
+           ${dupSql("g2")} AS dup2_frac, ${topSql("g2")} AS top2_frac,
+           ${dupSql("g3")} AS dup3_frac FROM g)
+       SELECT doc_id, n_toks, dup2_frac, top2_frac, dup3_frac,
+         (top2_frac >= $topBigramThreshold OR dup3_frac >= $dupTrigramThreshold) AS repetitive
+       FROM m ORDER BY doc_id"""
+  }
+
+  // ---------- q74: benchmark decontamination ----------
+
+  val decontamN = 8
+
+  /** Distinct (doc_id, shingle-hash) rows: the 8-byte key every
+    * downstream join exchanges. */
+  private def shingleHashes(s: SparkSession, dir: String, n: Int): DataFrame =
+    Dedup.shingleRows(docs(s, dir), "doc_id", "text", n)
+      .select(col("id").as("doc_id"), Dedup.shingleHash(col("s")).as("h"))
+      .distinct()
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * 8-token shingle with the held-out eval slice (doc_id % 10 = 7 —
+    * a fixed fraction of the corpus at every scale factor). The
+    * standard n-gram-overlap decontamination step run before any
+    * training shard ships. Output: per train doc (< 200), its shingle
+    * count, how many shingles also appear in ANY eval doc, and the
+    * contamination fraction. */
+  def q74Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(s, dir, decontamN)
+    val evalSh = sh.filter(col("doc_id") % 10 === 7).select(col("h")).distinct()
+    val train = sh.filter(col("doc_id") % 10 =!= 7 && col("doc_id") < 200)
+    val tot = train.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hit = train.join(evalSh, "h").groupBy("doc_id").agg(count(lit(1)).as("__hits"))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("__hits"), lit(0L)).as("n_shared"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") /
+          col("n_sh").cast("double"), 4).as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  private def shingleHashRowsSql(n: Int): String =
+    s"""SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+       FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= $n THEN
+           list_transform(generate_series(1, len(toks) - ${n - 1}),
+             k -> array_to_string(toks[k : k + ${n - 1}], ' '))
+         ELSE [] END) AS g
+         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents))"""
+
+  val q74Sql: String =
+    s"""WITH sh AS (${shingleHashRowsSql(decontamN)}),
+       ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 7),
+       tr AS (SELECT doc_id, h FROM sh WHERE doc_id % 10 <> 7 AND doc_id < 200),
+       tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM tr GROUP BY doc_id),
+       hit AS (SELECT tr.doc_id, COUNT(*) AS hits FROM tr JOIN ev USING (h) GROUP BY tr.doc_id)
+       SELECT doc_id, n_sh, COALESCE(hits, 0) AS n_shared,
+         ROUND(CAST(COALESCE(hits, 0) AS DOUBLE) / n_sh, 4) AS contamination
+       FROM tot LEFT JOIN hit USING (doc_id) ORDER BY doc_id"""
+
+  // ---------- q75: marginal-novelty curve ----------
+
+  val noveltyN = 3
+
+  /** Marginal n-gram novelty in corpus (doc_id) order: for each doc,
+    * the fraction of its distinct 3-gram shingles first seen in THIS
+    * doc. The curve a data team reads to decide when a source stops
+    * contributing new information. First-seen is a `min(doc_id)`
+    * aggregate keyed by the shingle hash — one narrow shuffle —
+    * joined back to the per-doc shingle rows. */
+  def q75Novelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(s, dir, noveltyN)
+    val first = sh.groupBy("h").agg(min(col("doc_id")).as("first_id"))
+    sh.join(first, "h")
+      .filter(col("doc_id") < 200)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        count(when(col("first_id") === col("doc_id"), lit(1))).as("n_novel"))
+      .select(col("doc_id"), col("n_sh"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_sh").cast("double"), 4)
+          .as("novel_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q75Sql: String =
+    s"""WITH sh AS (${shingleHashRowsSql(noveltyN)}),
+       f AS (SELECT h, MIN(doc_id) AS first_id FROM sh GROUP BY h)
+       SELECT sh.doc_id, COUNT(*) AS n_sh,
+         COUNT(CASE WHEN f.first_id = sh.doc_id THEN 1 END) AS n_novel,
+         ROUND(CAST(COUNT(CASE WHEN f.first_id = sh.doc_id THEN 1 END) AS DOUBLE)
+           / COUNT(*), 4) AS novel_frac
+       FROM sh JOIN f USING (h) WHERE sh.doc_id < 200
+       GROUP BY sh.doc_id ORDER BY doc_id"""
+
+  // ---------- catalog ----------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_chunk_docs" -> (q72ChunkDocs _),
+    "q73_repetition" -> (q73Repetition _),
+    "q74_decontaminate" -> (q74Decontaminate _),
+    "q75_novelty" -> (q75Novelty _))
+
+  val oracle: Map[String, String] = Map(
+    "q72_chunk_docs" -> q72Sql,
+    "q73_repetition" -> q73Sql,
+    "q74_decontaminate" -> q74Sql,
+    "q75_novelty" -> q75Sql)
+}

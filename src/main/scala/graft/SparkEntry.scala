@@ -473,7 +473,7 @@ object Queries {
     "q21_top_terms" -> (q21TopTerms _),
     "q70_pivot" -> (q70Pivot _)) ++
     CurationQueries.all ++ RetrievalQueries.all ++ PipelineQueries.all ++
-    ScaleQueries.all
+    ScaleQueries.all ++ PrepQueries.all
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -494,5 +494,5 @@ object Queries {
     "q21_top_terms" -> q21Sql,
     "q70_pivot" -> q70Sql) ++
     CurationQueries.oracle ++ RetrievalQueries.oracle ++ PipelineQueries.oracle ++
-    ScaleQueries.oracle
+    ScaleQueries.oracle ++ PrepQueries.oracle
 }
