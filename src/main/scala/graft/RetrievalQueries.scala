@@ -292,6 +292,59 @@ object RetrievalQueries {
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  /** R2 (third scale path): product-quantization ADC search — a
+    * 16-entry codebook over 8 subspaces of 8 dims, every data vector
+    * scored through its reconstruction. Same query point as q45 so
+    * the three ANN paths (IVF / LSH / PQ) and the exact scan are
+    * directly comparable on one query. The codebook reuses the
+    * rank-based LCG sample (session-memoized like the IVF
+    * artifacts); PQSpec pins recall@10 vs exact. */
+  val pqM = 8; val pqK = 16; val pqDim = 64
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "pq_cb")(
+      graft.search.IVF.centroids(emb(s, dir), "vec_id", "v", pqK))
+
+  def q59PqAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.search.PQ.adcTopK(e, "vec_id", "v", pqCodebook(s, dir),
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+      10, pqM, pqDim)
+      .orderBy("rank")
+  }
+
+  /** Replays the full PQ path: codebook (same centroid CTE as q45,
+    * K=16), per-(vector, subspace) argmin over dot(c,c) − 2·dot(x,c)
+    * with ROW_NUMBER ties-to-lowest-cid (identical to the Spark
+    * fold's strict `<`), reconstruction by flattening the chosen
+    * sub-centroids in subspace order (so the final dot product runs
+    * in the SAME element order as the Spark side), then top-10. */
+  val q59Sql: String = {
+    val sub = pqDim / pqM
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e) WHERE cid < $pqK),
+       sp AS (SELECT UNNEST(generate_series(0, ${pqM - 1})) AS m),
+       d AS (SELECT e.vec_id, sp.m, c.cid,
+               c.cvec[sp.m * $sub + 1 : sp.m * $sub + $sub] AS cm,
+               list_dot_product(c.cvec[sp.m * $sub + 1 : sp.m * $sub + $sub],
+                                c.cvec[sp.m * $sub + 1 : sp.m * $sub + $sub])
+                 - 2 * list_dot_product(e.v[sp.m * $sub + 1 : sp.m * $sub + $sub],
+                                        c.cvec[sp.m * $sub + 1 : sp.m * $sub + $sub]) AS dist
+             FROM e, sp, c),
+       b AS (SELECT vec_id, m, cm FROM (
+               SELECT vec_id, m, cm,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS r
+               FROM d) WHERE r = 1),
+       x AS (SELECT vec_id, flatten(list(cm ORDER BY m)) AS xhat FROM b GROUP BY vec_id),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+       sc AS (SELECT vec_id, list_dot_product(qv, xhat) AS sc FROM x, q),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+  }
+
   /** R2 quality: the ANN recall CONTRACT. recall@10 of each
     * approximate path against the exact scan, one row per
     * (method, knob) — LSH single-probe vs multi-probe (Hamming-1
@@ -1138,7 +1191,8 @@ object RetrievalQueries {
     "q55_rag_candidates" -> (q55RagCandidates _),
     "q56_dp_sweep" -> (q56DpSweep _),
     "q57_rag_e2e" -> (q57RagE2e _),
-    "q58_ivf_refined" -> (q58IvfRefined _))
+    "q58_ivf_refined" -> (q58IvfRefined _),
+    "q59_pq_ann" -> (q59PqAnn _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
@@ -1161,5 +1215,6 @@ object RetrievalQueries {
     "q55_rag_candidates" -> q55Sql,
     "q56_dp_sweep" -> q56Sql,
     "q57_rag_e2e" -> q57Sql,
-    "q58_ivf_refined" -> q58Sql)
+    "q58_ivf_refined" -> q58Sql,
+    "q59_pq_ann" -> q59Sql)
 }

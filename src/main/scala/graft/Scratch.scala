@@ -21,6 +21,15 @@ object Scratch {
       val n = df.count()
       println(f"SCRATCH $q rows=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
       df.show(5, truncate = false)
+      // optional single-query dump for a targeted tools/oracle_check.py run
+      sys.env.get("SCRATCH_OUT").foreach { out =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$out/$q")
+        val sql = SparkEntry.oracleSql.get(q).map(x =>
+          "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"")
+            .replace("\n", "\\n").replace("\t", "\\t") + "\"").getOrElse("null")
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/oracle_sql.json"),
+          s"""{"$q": $sql}""".getBytes)
+      }
     }
     spark.stop()
   }

@@ -1,0 +1,76 @@
+package graft.search
+
+import graft.functions.VectorF.dot
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the third ANN scale path next to sign-bit
+  * LSH (Search.lshTopK) and IVF inverted lists (IVF): compress each
+  * d-dim vector to `m` sub-codes against a shared codebook and score
+  * queries against the RECONSTRUCTED vectors (asymmetric distance
+  * computation). At 100 TB this is the memory story — a 64-float
+  * vector becomes m codebook ids, so the scored working set shrinks
+  * ~32× and the codebook rides along as one broadcast row; the scan
+  * stays embarrassingly parallel with no exchange before the final
+  * top-k heap.
+  *
+  * Replaces the reference's FAISS-side index choice
+  * (`src/pipeline/pipeline.py:130` IndexFlatIP) the same way IVF
+  * does: same query surface, deterministic codebook (the rank-based
+  * LCG sample of Ingest.sampleN via IVF.centroids), every step —
+  * sub-space assignment, reconstruction, ranking — replayable in the
+  * DuckDB oracle.
+  *
+  * Quantization rule per subspace i (sub = dim/m dims): code =
+  * argmin over codebook entries of ||x_i − c_i||², computed as
+  * dot(c_i, c_i) − 2·dot(x_i, c_i) (the dot(x_i, x_i) term is
+  * constant under the argmin and dropping it keeps the arithmetic
+  * identical across engines), ties to the LOWEST cid — the strict
+  * `<` fold below and the oracle's `ROW_NUMBER() OVER (ORDER BY
+  * dist, cid)` agree exactly.
+  */
+object PQ {
+
+  /** ADC top-k: quantize every data vector against the broadcast
+    * codebook `cents` (cid, cvec — full-dim rows, sliced per
+    * subspace), reconstruct, and rank by dot(query, reconstruction).
+    * The per-row work is m folds over the K-entry codebook array —
+    * no row inflation, no exchange; the plan is scan → project →
+    * top-k, the same shape as Search.topK. */
+  def adcTopK(docs: DataFrame, idCol: String, vecCol: String,
+              cents: DataFrame, query: DataFrame, queryVecCol: String,
+              k: Int, m: Int, dim: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(m >= 1 && dim % m == 0,
+      s"dim ($dim) must be divisible by the number of subspaces ($m)")
+    val sub = dim / m
+    val packed = cents.agg(
+      array_sort(collect_list(struct(col("cid"), col("cvec")))).as("__cb"))
+    // chosen sub-centroid for subspace i: strict-< fold keeps the
+    // first (lowest-cid) entry on exact distance ties
+    def bestSub(i: Int): Column = {
+      val xm = slice(col(vecCol), i * sub + 1, sub)
+      aggregate(col("__cb"),
+        struct(lit(Double.PositiveInfinity).as("d"),
+          array().cast("array<double>").as("cm")),
+        (acc, c) => {
+          val cm = slice(c.getField("cvec"), i * sub + 1, sub)
+          val d = dot(cm, cm) - lit(2.0) * dot(xm, cm)
+          when(d < acc.getField("d"),
+            struct(d.as("d"), cm.cast("array<double>").as("cm"))).otherwise(acc)
+        }).getField("cm")
+    }
+    val xhat = concat((0 until m).map(bestSub): _*)
+    val scored = docs
+      .crossJoin(broadcast(packed))
+      .select(col(idCol), xhat.as("__xhat"))
+      .crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
+      .select(col(idCol), dot(col("__qv"), col("__xhat")).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+    scored
+      .withColumn("rank", row_number().over(
+        Search.wAll.orderBy(col("score").desc, col(idCol).asc)).cast("long"))
+      .select(col(idCol), col("rank"), round(col("score"), 6).as("score"))
+  }
+}
