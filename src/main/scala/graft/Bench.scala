@@ -35,7 +35,12 @@ object Bench {
     // should not be attributed to whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // name-sorted execution: Map iteration order reshuffles whenever
+    // a query is added, silently moving session-memo build costs
+    // (postings index, IVF artifacts) onto a different query's clock
+    // round-over-round; sorted order pins which query pays each
+    // first-touch so per-query numbers stay comparable across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
                 catch { case e: Throwable =>
@@ -47,7 +52,7 @@ object Bench {
     val errs = results.collect { case (k, (_, Some(m))) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val nErr = results.count(_._2._2.isDefined)
-    val total = results.values.map(_._1).sum
+    val total = results.map(_._2._1).sum
     val mean = if (results.nonEmpty) total / results.size else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"n_errors":$nErr,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -191,4 +191,166 @@ object NativeExpressions {
   /** Column-API wrapper for [[L2Normalize]]. */
   def l2normNative(v: Column): Column =
     ExpressionUtils.column(L2Normalize(ExpressionUtils.expression(v)))
+
+  /** Column-API wrapper for [[PQReconstruct]]. */
+  def pqReconstructNative(v: Column, codebook: Column, m: Int): Column =
+    ExpressionUtils.column(PQReconstruct(
+      ExpressionUtils.expression(v), ExpressionUtils.expression(codebook), m))
+}
+
+/** Fused product-quantization reconstruction: split the input vector
+  * into `m` equal subspaces, pick per subspace the codebook entry
+  * minimizing ||x_i − c_i||² (computed as dot(c_i,c_i) − 2·dot(x_i,c_i),
+  * strict `<`, ties to the LOWEST index), and emit the concatenation
+  * of the chosen sub-centroids. One codegen'd pass over the
+  * UnsafeArrayData buffers — replaces the interpreted
+  * `aggregate(...)` fold that dominated q59's per-row cost (the fold
+  * survives as [[graft.search.PQ.adcTopKHof]], the A/B semantic
+  * reference; PQSpec pins bit-equality).
+  *
+  * Contract (matches the fold exactly): NULL input → NULL; vector
+  * length not divisible by m → NULL; a codebook entry participates in
+  * subspace i only if it is non-null, long enough, and null-free over
+  * that subspace (the fold's mismatched/null dot evaluates to NULL and
+  * is skipped by `<`); a subspace where NO entry participates —
+  * including when the vector itself has a NULL element there —
+  * contributes nothing, shortening the output exactly like concat of
+  * an empty fold result. Distances that compare NaN are skipped, as
+  * `NaN < acc` is false in both the fold and Java. */
+case class PQReconstruct(left: Expression, right: Expression, m: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_reconstruct"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cb = b.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (m < 1 || n % m != 0) return null
+    val sub = n / m
+    val out = new Array[Double](n)
+    var w = 0
+    var i = 0
+    while (i < m) {
+      val lo = i * sub
+      var xmNull = false
+      var k = 0
+      while (k < sub && !xmNull) { xmNull = v.isNullAt(lo + k); k += 1 }
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      if (!xmNull) {
+        var j = 0
+        while (j < cb.numElements()) {
+          if (!cb.isNullAt(j)) {
+            val e = cb.getArray(j)
+            if (e.numElements() >= lo + sub) {
+              var eNull = false
+              var s1 = 0.0
+              var s2 = 0.0
+              k = 0
+              while (k < sub && !eNull) {
+                if (e.isNullAt(lo + k)) eNull = true
+                else {
+                  val c = e.getDouble(lo + k)
+                  s1 += c * c
+                  s2 += v.getDouble(lo + k) * c
+                  k += 1
+                }
+              }
+              if (!eNull) {
+                val d = s1 - 2.0 * s2
+                if (d < bestD) { bestD = d; best = j }
+              }
+            }
+          }
+          j += 1
+        }
+      }
+      if (best >= 0) {
+        val e = cb.getArray(best)
+        k = 0
+        while (k < sub) { out(w) = e.getDouble(lo + k); w += 1; k += 1 }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (w == n) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val sub = ctx.freshName("sub")
+      val out = ctx.freshName("out")
+      val w = ctx.freshName("w")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val lo = ctx.freshName("lo")
+      val xmNull = ctx.freshName("xmNull")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val e = ctx.freshName("e")
+      val eNull = ctx.freshName("eNull")
+      val s1 = ctx.freshName("s1")
+      val s2 = ctx.freshName("s2")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+      val ad = classOf[ArrayData].getName
+      s"""
+         |final int $n = $a.numElements();
+         |if ($m < 1 || $n % $m != 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $sub = $n / $m;
+         |  final double[] $out = new double[$n];
+         |  int $w = 0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    final int $lo = $i * $sub;
+         |    boolean $xmNull = false;
+         |    for (int $k = 0; $k < $sub && !$xmNull; $k++) {
+         |      $xmNull = $a.isNullAt($lo + $k);
+         |    }
+         |    int $best = -1;
+         |    double $bestD = Double.POSITIVE_INFINITY;
+         |    if (!$xmNull) {
+         |      for (int $j = 0; $j < $b.numElements(); $j++) {
+         |        if ($b.isNullAt($j)) continue;
+         |        final $ad $e = $b.getArray($j);
+         |        if ($e.numElements() < $lo + $sub) continue;
+         |        boolean $eNull = false;
+         |        double $s1 = 0.0;
+         |        double $s2 = 0.0;
+         |        for (int $k = 0; $k < $sub && !$eNull; $k++) {
+         |          if ($e.isNullAt($lo + $k)) { $eNull = true; break; }
+         |          final double $c = $e.getDouble($lo + $k);
+         |          $s1 += $c * $c;
+         |          $s2 += $a.getDouble($lo + $k) * $c;
+         |        }
+         |        if ($eNull) continue;
+         |        final double $d = $s1 - 2.0 * $s2;
+         |        if ($d < $bestD) { $bestD = $d; $best = $j; }
+         |      }
+         |    }
+         |    if ($best >= 0) {
+         |      final $ad $e = $b.getArray($best);
+         |      for (int $k = 0; $k < $sub; $k++) {
+         |        $out[$w++] = $e.getDouble($lo + $k);
+         |      }
+         |    }
+         |  }
+         |  ${ev.value} = new $gad(
+         |    $w == $n ? $out : java.util.Arrays.copyOf($out, $w));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PQReconstruct =
+    copy(left = newLeft, right = newRight)
 }

@@ -34,36 +34,58 @@ object PQ {
   /** ADC top-k: quantize every data vector against the broadcast
     * codebook `cents` (cid, cvec — full-dim rows, sliced per
     * subspace), reconstruct, and rank by dot(query, reconstruction).
-    * The per-row work is m folds over the K-entry codebook array —
-    * no row inflation, no exchange; the plan is scan → project →
-    * top-k, the same shape as Search.topK. */
+    * The reconstruction is ONE codegen'd pass per row
+    * ([[org.apache.spark.sql.graftnative.PQReconstruct]]) — no row
+    * inflation, no exchange; the plan is scan → project → top-k, the
+    * same shape as Search.topK. */
   def adcTopK(docs: DataFrame, idCol: String, vecCol: String,
               cents: DataFrame, query: DataFrame, queryVecCol: String,
-              k: Int, m: Int, dim: Int): DataFrame = {
+              k: Int, m: Int, dim: Int): DataFrame =
+    adcTopKImpl(docs, idCol, vecCol, cents, query, queryVecCol, k, m, dim,
+      (v, cb) =>
+        org.apache.spark.sql.graftnative.NativeExpressions
+          .pqReconstructNative(v, cb, m))
+
+  /** The higher-order-function formulation of the same quantize +
+    * reconstruct — kept as the semantic reference and for A/B parity
+    * testing against the native expression (the dotHof convention).
+    * Strict-< fold keeps the first (lowest-cid) entry on ties. */
+  def adcTopKHof(docs: DataFrame, idCol: String, vecCol: String,
+                 cents: DataFrame, query: DataFrame, queryVecCol: String,
+                 k: Int, m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    adcTopKImpl(docs, idCol, vecCol, cents, query, queryVecCol, k, m, dim,
+      (v, cb) => {
+        def bestSub(i: Int): Column = {
+          val xm = slice(v, i * sub + 1, sub)
+          aggregate(cb,
+            struct(lit(Double.PositiveInfinity).as("d"),
+              array().cast("array<double>").as("cm")),
+            (acc, cvec) => {
+              val cm = slice(cvec, i * sub + 1, sub)
+              val d = dot(cm, cm) - lit(2.0) * dot(xm, cm)
+              when(d < acc.getField("d"),
+                struct(d.as("d"), cm.cast("array<double>").as("cm"))).otherwise(acc)
+            }).getField("cm")
+        }
+        concat((0 until m).map(bestSub): _*)
+      })
+  }
+
+  private def adcTopKImpl(docs: DataFrame, idCol: String, vecCol: String,
+                          cents: DataFrame, query: DataFrame, queryVecCol: String,
+                          k: Int, m: Int, dim: Int,
+                          reconstruct: (Column, Column) => Column): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(m >= 1 && dim % m == 0,
       s"dim ($dim) must be divisible by the number of subspaces ($m)")
-    val sub = dim / m
+    // ONE broadcast row: the cid-sorted array of codebook vectors
     val packed = cents.agg(
-      array_sort(collect_list(struct(col("cid"), col("cvec")))).as("__cb"))
-    // chosen sub-centroid for subspace i: strict-< fold keeps the
-    // first (lowest-cid) entry on exact distance ties
-    def bestSub(i: Int): Column = {
-      val xm = slice(col(vecCol), i * sub + 1, sub)
-      aggregate(col("__cb"),
-        struct(lit(Double.PositiveInfinity).as("d"),
-          array().cast("array<double>").as("cm")),
-        (acc, c) => {
-          val cm = slice(c.getField("cvec"), i * sub + 1, sub)
-          val d = dot(cm, cm) - lit(2.0) * dot(xm, cm)
-          when(d < acc.getField("d"),
-            struct(d.as("d"), cm.cast("array<double>").as("cm"))).otherwise(acc)
-        }).getField("cm")
-    }
-    val xhat = concat((0 until m).map(bestSub): _*)
+      transform(array_sort(collect_list(struct(col("cid"), col("cvec")))),
+        c => c.getField("cvec").cast("array<double>")).as("__cb"))
     val scored = docs
       .crossJoin(broadcast(packed))
-      .select(col(idCol), xhat.as("__xhat"))
+      .select(col(idCol), reconstruct(col(vecCol), col("__cb")).as("__xhat"))
       .crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
       .select(col(idCol), dot(col("__qv"), col("__xhat")).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)

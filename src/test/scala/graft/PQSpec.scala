@@ -72,6 +72,18 @@ class PQSpec extends SparkSpec {
     assert(adc == ex)
   }
 
+  test("native reconstruction matches the HOF fold bit-for-bit") {
+    // the A/B contract (dotHof convention): the codegen'd
+    // PQReconstruct and the aggregate() fold produce identical
+    // rankings AND identical rounded scores
+    val q = emb.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    val native = PQ.adcTopK(emb, "vec_id", "v", cb, q, "qv", 20, 8, 64)
+      .orderBy("rank").collect().toSeq
+    val hof = PQ.adcTopKHof(emb, "vec_id", "v", cb, q, "qv", 20, 8, 64)
+      .orderBy("rank").collect().toSeq
+    assert(native == hof)
+  }
+
   test("adcTopK rejects invalid k and non-divisible subspaces") {
     val q = emb.filter(col("vec_id") === 1).select(col("v").as("qv"))
     intercept[IllegalArgumentException] {
