@@ -204,17 +204,124 @@ object PrepQueries {
        FROM sh JOIN f USING (h) WHERE sh.doc_id < 200
        GROUP BY sh.doc_id ORDER BY doc_id"""
 
+  // ---------- q76: int8 embedding quantization ----------
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Symmetric int8 quantization of the embedding column — the
+    * storage-shrink step before shipping vectors to a training shard
+    * or a RAM-resident ANN index (4 bytes/dim → 1): scale =
+    * 127/max|v|, q_i = clamp(round(v_i·scale)). Per-row, codegen'd,
+    * no shuffle. The declared stats are INTEGER-exact (Σ|q|, min,
+    * max, saturation count pin every quantized element without
+    * exposing a float-summation order to the oracle); the scale
+    * replays as one rounded double. */
+  def q76Int8Quantize(s: SparkSession, dir: String): DataFrame = {
+    val maxabs = array_max(transform(col("v"), x => abs(x)))
+    val staged = emb(s, dir).filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("v"),
+        when(maxabs === 0.0, lit(1.0)).otherwise(lit(127.0) / maxabs).as("__sc"))
+      .select(col("vec_id"), col("__sc"),
+        transform(col("v"), x =>
+          greatest(lit(-127.0), least(lit(127.0), round(x * col("__sc"))))
+            .cast("int")).as("__q"))
+    staged.select(col("vec_id"),
+      round(col("__sc"), 6).as("scale_r"),
+      aggregate(col("__q"), lit(0L), (acc, x) => acc + abs(x).cast("long"))
+        .as("sum_abs_q"),
+      array_min(col("__q")).as("q_min"),
+      array_max(col("__q")).as("q_max"),
+      size(filter(col("__q"), x => abs(x) === 127)).cast("long").as("n_sat"))
+      .orderBy("vec_id")
+  }
+
+  val q76Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         WHERE vec_id < 100),
+       s AS (SELECT vec_id, v,
+           CASE WHEN list_aggregate(list_transform(v, x -> abs(x)), 'max') = 0.0
+             THEN 1.0
+             ELSE 127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') END AS sc
+         FROM e),
+       q AS (SELECT vec_id, sc,
+           list_transform(v, x -> CAST(greatest(-127.0, least(127.0, round(x * sc, 0))) AS INT)) AS qv
+         FROM s)
+       SELECT vec_id, ROUND(sc, 6) AS scale_r,
+         CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_abs_q,
+         list_aggregate(qv, 'min') AS q_min,
+         list_aggregate(qv, 'max') AS q_max,
+         CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+       FROM q ORDER BY vec_id"""
+
+  // ---------- q77: sequence-packing efficiency ----------
+
+  val contextLen = 512
+
+  /** Sequence-packing audit in the concat-then-split style (docs
+    * concatenated per shard in doc_id order, split at every
+    * `contextLen` tokens): per source shard — the packing unit, so
+    * the cumulative sum is a PER-SOURCE window, embarrassingly
+    * parallel across shards, never a global ordering — the number of
+    * context windows produced, the padding fraction of the final
+    * partial window, and how many documents straddle a window
+    * boundary. The report a training-data team reads before choosing
+    * chunk/pack parameters. */
+  def q77PackingStats(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val staged = docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_toks"))
+      .withColumn("__cum", sum(col("n_toks")).over(w))
+    staged.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_toks"),
+        count(when(floor((col("__cum") - col("n_toks")) / contextLen) =!=
+          floor((col("__cum") - 1) / contextLen), lit(1))).as("n_straddle"))
+      .select(col("source"), col("n_docs"), col("total_toks"),
+        ceil(col("total_toks").cast("double") / contextLen).cast("long").as("n_windows"),
+        round((ceil(col("total_toks").cast("double") / contextLen) * contextLen -
+          col("total_toks")).cast("double") /
+          (ceil(col("total_toks").cast("double") / contextLen) * contextLen), 4)
+          .as("pad_frac"),
+        col("n_straddle"))
+      .orderBy("source")
+  }
+
+  val q77Sql: String =
+    s"""WITH t AS (SELECT source, doc_id,
+           CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_toks
+         FROM documents),
+       c AS (SELECT source, doc_id, n_toks,
+           SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM t)
+       SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+         CAST(ceil(CAST(SUM(n_toks) AS DOUBLE) / $contextLen) AS BIGINT) AS n_windows,
+         ROUND((ceil(CAST(SUM(n_toks) AS DOUBLE) / $contextLen) * $contextLen - SUM(n_toks))
+           / (ceil(CAST(SUM(n_toks) AS DOUBLE) / $contextLen) * $contextLen), 4) AS pad_frac,
+         COUNT(CASE WHEN (cum - n_toks) // $contextLen <> (cum - 1) // $contextLen
+           THEN 1 END) AS n_straddle
+       FROM c GROUP BY source ORDER BY source"""
+
   // ---------- catalog ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_chunk_docs" -> (q72ChunkDocs _),
     "q73_repetition" -> (q73Repetition _),
     "q74_decontaminate" -> (q74Decontaminate _),
-    "q75_novelty" -> (q75Novelty _))
+    "q75_novelty" -> (q75Novelty _),
+    "q76_int8_quantize" -> (q76Int8Quantize _),
+    "q77_packing_stats" -> (q77PackingStats _))
 
   val oracle: Map[String, String] = Map(
     "q72_chunk_docs" -> q72Sql,
     "q73_repetition" -> q73Sql,
     "q74_decontaminate" -> q74Sql,
-    "q75_novelty" -> q75Sql)
+    "q75_novelty" -> q75Sql,
+    "q76_int8_quantize" -> q76Sql,
+    "q77_packing_stats" -> q77Sql)
 }
