@@ -72,7 +72,10 @@ object ScaleProbe {
       "q16_ann_lsh", "q33_neardup_cosine", "q49_dp_attr_search",
       "q45_ann_ivf", "q58_ivf_refined", "q55_rag_candidates",
       "q62_asof_join", "q66_range_join", "q63_cms_heavy_hitters",
-      "q67_quality_quantiles").foreach { q =>
+      "q67_quality_quantiles",
+      "q59_pq_ann", "q72_chunk_docs", "q73_repetition",
+      "q74_decontaminate", "q75_novelty", "q76_int8_quantize",
+      "q77_packing_stats").foreach { q =>
       val a = time("1x", src, q)
       val b = time(s"${k}x", dst, q)
       println(f"SCALE RATIO $q ${b / a}%.2f (data ${k}x)")

@@ -84,4 +84,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("filter(")) // the array-level token filter feeds the generate
     assert(p.contains("Generate explode"))
   }
+
+  test("q59: PQ is scan -> fused reconstruct -> heap top-k; no shuffle before the limit") {
+    val p = plan("q59_pq_ann")
+    // quantize+reconstruct is the single codegen'd expression, and the
+    // interpreted ArrayAggregate fold must not creep back into the
+    // per-row path
+    assert(p.contains("graft_pq_reconstruct"))
+    assert(!p.contains("aggregate("))
+    // corpus-side ranking is a bounded heap, not a global sort
+    assert(p.contains("TakeOrderedAndProject"))
+    // the only exchanges feeding the scored scan are broadcasts
+    // (codebook pack + query row)
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("q72: chunking is a pure generate over the pushed-down scan, no pre-sort shuffle") {
+    val p = plan("q72_chunk_docs")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]"))
+    // exactly one exchange: the final declared ORDER BY (rangepartitioning)
+    assert("Exchange".r.findAllIn(p).length == 1, s"expected 1 exchange:\n$p")
+    assert(!p.contains("Window"))
+  }
+
+  test("q77: packing cumsum is a PER-SOURCE window, never a global ordering") {
+    val p = plan("q77_packing_stats")
+    // the window exchange must hashpartition on source — a
+    // rangepartitioning before the Window would mean a global sort
+    // crept into the packing scan
+    assert(p.contains("hashpartitioning(source"),
+      s"expected the cumsum window keyed by source:\n$p")
+  }
 }
