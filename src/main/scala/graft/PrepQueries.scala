@@ -60,37 +60,49 @@ object PrepQueries {
   private def grams(toksCol: Column, n: Int): Column =
     Dedup.shinglesFromToks(toksCol, n, distinct = false)
 
-  private def dupFrac(g: Column): Column =
-    when(size(g) === 0, lit(0.0)).otherwise(
-      round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"), 4))
-
-  /** Fraction of the doc's n-grams taken by its single most frequent
-    * n-gram — the "top n-gram fraction" repetition signal. O(d·g)
-    * per row over the distinct-gram array; codegen'd, no shuffle. */
-  private def topFrac(g: Column): Column =
-    when(size(g) === 0, lit(0.0)).otherwise(
-      round(array_max(transform(array_distinct(g),
-        x => size(filter(g, y => y === x)))).cast("double") / size(g).cast("double"), 4))
-
   val topBigramThreshold = 0.1; val dupTrigramThreshold = 0.55
+
+  /** Per-doc n-gram frequency rollup, computed RELATIONALLY: explode
+    * grams, count per (doc, gram), roll up to (total, distinct, max).
+    * Linear in total grams with the shuffle keyed by (doc_id, gram) —
+    * the per-row `transform(distinct, filter-count)` form is O(n²)
+    * in DOCUMENT length, which a single 100k-token document turns
+    * into a straggler task; this shape cannot. */
+  private def gramStats(staged: DataFrame, n: Int, pfx: String): DataFrame =
+    staged
+      .select(col("doc_id"), explode(grams(col("__toks"), n)).as("__g"))
+      .groupBy("doc_id", "__g").agg(count(lit(1)).as("__c"))
+      .groupBy("doc_id")
+      .agg(sum(col("__c")).as(s"${pfx}_tot"),
+        count(lit(1)).as(s"${pfx}_dist"),
+        max(col("__c")).as(s"${pfx}_top"))
 
   /** Per-document repetition metrics in the Gopher filter family:
     * duplicate-bigram fraction, top-bigram fraction, duplicate-
     * trigram fraction, and the composite `repetitive` flag (computed
     * on the ROUNDED fractions so the boolean replays exactly in the
-    * oracle). */
+    * oracle). Documents too short to have n-grams score 0.0 (left
+    * join + coalesce). */
   def q73Repetition(s: SparkSession, dir: String): DataFrame = {
     val staged = docs(s, dir).filter(col("doc_id") < 200)
       .select(col("doc_id"), TextAnalysis.toks(col("text")).as("__toks"))
-      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_toks"),
-        grams(col("__toks"), 2).as("__g2"), grams(col("__toks"), 3).as("__g3"))
+    def dupFrac(pfx: String): Column =
+      coalesce(round(lit(1.0) -
+        col(s"${pfx}_dist").cast("double") / col(s"${pfx}_tot").cast("double"), 4),
+        lit(0.0))
+    def topFrac(pfx: String): Column =
+      coalesce(round(
+        col(s"${pfx}_top").cast("double") / col(s"${pfx}_tot").cast("double"), 4),
+        lit(0.0))
+    staged.select(col("doc_id"), size(col("__toks")).cast("long").as("n_toks"))
+      .join(gramStats(staged, 2, "g2"), Seq("doc_id"), "left")
+      .join(gramStats(staged, 3, "g3"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_toks"),
-        dupFrac(col("__g2")).as("dup2_frac"), topFrac(col("__g2")).as("top2_frac"),
-        dupFrac(col("__g3")).as("dup3_frac"))
-    staged.select(col("doc_id"), col("n_toks"), col("dup2_frac"),
-      col("top2_frac"), col("dup3_frac"),
-      (col("top2_frac") >= topBigramThreshold ||
-        col("dup3_frac") >= dupTrigramThreshold).as("repetitive"))
+        dupFrac("g2").as("dup2_frac"), topFrac("g2").as("top2_frac"),
+        dupFrac("g3").as("dup3_frac"))
+      .withColumn("repetitive",
+        col("top2_frac") >= topBigramThreshold ||
+          col("dup3_frac") >= dupTrigramThreshold)
       .orderBy("doc_id")
   }
 
@@ -307,6 +319,69 @@ object PrepQueries {
            THEN 1 END) AS n_straddle
        FROM c GROUP BY source ORDER BY source"""
 
+  // ---------- q78: nearest-centroid label eval ----------
+
+  /** Embedding-quality eval: per-label mean centroids, every vector
+    * classified to its L2-nearest centroid, per-label accuracy — the
+    * separability check a team runs on a new embedder before
+    * committing a corpus to it. Centroid means use the IVF.refine
+    * 1e-6-quantized integer sum (order-independent, engine-portable);
+    * classification REUSES IVF.assign via the augmented-vector trick:
+    * append 1.0 to vectors and −½·dot(c,c) to centroids, so assign's
+    * dot-product argmax IS the L2 argmin (ties to lowest label, like
+    * every argmax in the engine). One posexplode aggregate + one
+    * broadcast fold over the corpus — no K-fold row inflation. */
+  def q78CentroidClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.sources.Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val cents = e
+      .select(col("label").as("cid"), posexplode(col("v")))
+      .toDF("cid", "pos", "x")
+      .groupBy("cid", "pos")
+      .agg((sum(round(col("x") * 1e6).cast("long")).cast("double") /
+        (count(lit(1)).cast("double") * 1e6)).as("m"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"),
+        concat(transform(col("pm"), p => p.getField("m")),
+          array(lit(-0.5) * graft.functions.VectorF.dot(
+            transform(col("pm"), p => p.getField("m")),
+            transform(col("pm"), p => p.getField("m"))))).as("cvec"))
+    val aug = e.select(col("vec_id"), col("label"),
+      concat(col("v"), array(lit(1.0))).as("v"))
+    val assigned = graft.search.IVF.assign(aug, "vec_id", "v", cents)
+      .select(col("vec_id"), col("cid").as("pred"))
+    e.select(col("vec_id"), col("label")).join(assigned, "vec_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("pred") === col("label"), lit(1))).as("n_correct"))
+      .select(col("label"), col("n"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n").cast("double"), 4)
+          .as("acc"))
+      .orderBy("label")
+  }
+
+  val q78Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       m AS (SELECT label AS cid, i.i AS pos,
+           CAST(SUM(CAST(ROUND(v[i.i + 1] * 1000000) AS BIGINT)) AS DOUBLE) /
+             (COUNT(*) * 1000000.0) AS m
+         FROM e, (SELECT UNNEST(generate_series(0, 63)) AS i) i
+         GROUP BY label, i.i),
+       c AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM m GROUP BY cid),
+       a AS (SELECT vec_id, label, cid FROM (
+           SELECT e.vec_id, e.label, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec)
+                 - 0.5 * list_dot_product(c.cvec, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1)
+       SELECT label, COUNT(*) AS n,
+         COUNT(CASE WHEN cid = label THEN 1 END) AS n_correct,
+         ROUND(CAST(COUNT(CASE WHEN cid = label THEN 1 END) AS DOUBLE) / COUNT(*), 4) AS acc
+       FROM a GROUP BY label ORDER BY label"""
+
   // ---------- catalog ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -315,7 +390,8 @@ object PrepQueries {
     "q74_decontaminate" -> (q74Decontaminate _),
     "q75_novelty" -> (q75Novelty _),
     "q76_int8_quantize" -> (q76Int8Quantize _),
-    "q77_packing_stats" -> (q77PackingStats _))
+    "q77_packing_stats" -> (q77PackingStats _),
+    "q78_centroid_classify" -> (q78CentroidClassify _))
 
   val oracle: Map[String, String] = Map(
     "q72_chunk_docs" -> q72Sql,
@@ -323,5 +399,6 @@ object PrepQueries {
     "q74_decontaminate" -> q74Sql,
     "q75_novelty" -> q75Sql,
     "q76_int8_quantize" -> q76Sql,
-    "q77_packing_stats" -> q77Sql)
+    "q77_packing_stats" -> q77Sql,
+    "q78_centroid_classify" -> q78Sql)
 }
