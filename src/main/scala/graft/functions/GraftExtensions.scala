@@ -34,6 +34,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TopKByScore(exprs(0), exprs(1), k)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_l2norm"),
+      new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2norm"),
+      (exprs: Seq[Expression]) => L2Normalize(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_reconstruct"),
+      new ExpressionInfo(classOf[PQReconstruct].getName, "graft_pq_reconstruct"),
+      (exprs: Seq[Expression]) => {
+        val m = exprs(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_pq_reconstruct m must be an integer literal, got $other")
+        }
+        PQReconstruct(exprs(0), exprs(1), m)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_cms"),
       new ExpressionInfo(classOf[CountMinSketchAgg].getName, "graft_cms"),
       (exprs: Seq[Expression]) => {

@@ -74,6 +74,19 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().head.getDouble(0) == 32.0)
   }
 
+  test("graft_l2norm and graft_pq_reconstruct are callable from SQL") {
+    val n = spark.sql(
+      "SELECT graft_l2norm(array(3.0D, 4.0D)) AS v").head.getSeq[Double](0)
+    assert(math.abs(n(0) - 0.6) < 1e-9 && math.abs(n(1) - 0.8) < 1e-9)
+    // 2 subspaces of 1 dim, codebook {[0,0],[1,10]}: x=[0.9, 9.0]
+    // quantizes to entry 1 in both subspaces -> reconstruct [1.0, 10.0]
+    val r = spark.sql(
+      """SELECT graft_pq_reconstruct(array(0.9D, 9.0D),
+           array(array(0.0D, 0.0D), array(1.0D, 10.0D)), 2) AS v""")
+      .head.getSeq[Double](0)
+    assert(r == Seq(1.0, 10.0))
+  }
+
   test("graft_topk aggregates per group from SQL") {
     spark.sql(
       """SELECT * FROM VALUES (1L, 10L, 0.5D), (1L, 11L, 0.9D), (1L, 12L, 0.7D),
