@@ -82,16 +82,29 @@ object Streaming {
 
   /** Wire a streaming source through a transform into an in-memory
     * sink and process everything currently available. Returns the
-    * query name to select from. */
+    * query name to select from.
+    *
+    * `statePartitions` sizes the state store: stateful streaming
+    * reads `spark.sql.shuffle.partitions` ONCE at first micro-batch
+    * and every partition carries its own state-store instance with
+    * per-batch snapshot/commit overhead — a deployment knob that
+    * should track state volume, not the batch session's default. The
+    * session conf is restored afterwards so the batch plans around
+    * the harness are untouched. */
   def runToMemory(spark: SparkSession, transformed: DataFrame, name: String,
-                  outputMode: String = "append"): Unit = {
-    val q = transformed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+                  outputMode: String = "append",
+                  statePartitions: Int = 8): Unit = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = transformed.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }
