@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  private def jstr(s: String): String = "\"" + s.flatMap {
+  private[graft] def jstr(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"

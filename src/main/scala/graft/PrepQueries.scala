@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle and every plan shape is the one that survives a
   * 100 TB corpus.
   *
-  * Scale notes: q72/q73 are per-row codegen'd expressions — linear,
-  * shuffle-free. q74/q75 shuffle on the 8-byte shingle HASH (never
+  * Scale notes: q72 is a per-row codegen'd expression — linear,
+  * shuffle-free. q73 rolls n-gram frequencies up relationally
+  * (shuffles keyed by doc/gram, linear in total grams — never O(n²)
+  * in a single document's length). q74/q75 shuffle on the 8-byte
+  * shingle HASH (never
   * the shingle string): contamination and first-seen joins exchange
   * narrow (id, int64) rows, and the eval-set side of q74 is
   * corpus/10 distinct hashes — broadcast-able at small scale, a
@@ -56,22 +59,19 @@ object PrepQueries {
 
   // ---------- q73: repetition filter (Gopher-style) ----------
 
-  /** Non-distinct word n-grams from a BOUND token-array attribute. */
-  private def grams(toksCol: Column, n: Int): Column =
-    Dedup.shinglesFromToks(toksCol, n, distinct = false)
-
   val topBigramThreshold = 0.1; val dupTrigramThreshold = 0.55
 
-  /** Per-doc n-gram frequency rollup, computed RELATIONALLY: explode
-    * grams, count per (doc, gram), roll up to (total, distinct, max).
-    * Linear in total grams with the shuffle keyed by (doc_id, gram) —
-    * the per-row `transform(distinct, filter-count)` form is O(n²)
-    * in DOCUMENT length, which a single 100k-token document turns
-    * into a straggler task; this shape cannot. */
-  private def gramStats(staged: DataFrame, n: Int, pfx: String): DataFrame =
-    staged
-      .select(col("doc_id"), explode(grams(col("__toks"), n)).as("__g"))
-      .groupBy("doc_id", "__g").agg(count(lit(1)).as("__c"))
+  /** Per-doc n-gram frequency rollup, computed RELATIONALLY over the
+    * measured-fast `Dedup.shingleRows` explosion (posexplode + lead
+    * windows — the per-row `element_at`-in-lambda shingle form is
+    * ~20x slower per Dedup's own note, and the per-row
+    * `transform(distinct, filter-count)` top-count is O(n²) in
+    * DOCUMENT length, a straggler on one 100k-token doc): count per
+    * (doc, gram), roll up to (total, distinct, max). Linear in total
+    * grams, shuffles keyed by doc/gram. */
+  private def gramStats(d: DataFrame, n: Int, pfx: String): DataFrame =
+    Dedup.shingleRows(d, "doc_id", "text", n)
+      .groupBy(col("id").as("doc_id"), col("s")).agg(count(lit(1)).as("__c"))
       .groupBy("doc_id")
       .agg(sum(col("__c")).as(s"${pfx}_tot"),
         count(lit(1)).as(s"${pfx}_dist"),
@@ -84,8 +84,7 @@ object PrepQueries {
     * oracle). Documents too short to have n-grams score 0.0 (left
     * join + coalesce). */
   def q73Repetition(s: SparkSession, dir: String): DataFrame = {
-    val staged = docs(s, dir).filter(col("doc_id") < 200)
-      .select(col("doc_id"), TextAnalysis.toks(col("text")).as("__toks"))
+    val d = docs(s, dir).filter(col("doc_id") < 200)
     def dupFrac(pfx: String): Column =
       coalesce(round(lit(1.0) -
         col(s"${pfx}_dist").cast("double") / col(s"${pfx}_tot").cast("double"), 4),
@@ -94,9 +93,9 @@ object PrepQueries {
       coalesce(round(
         col(s"${pfx}_top").cast("double") / col(s"${pfx}_tot").cast("double"), 4),
         lit(0.0))
-    staged.select(col("doc_id"), size(col("__toks")).cast("long").as("n_toks"))
-      .join(gramStats(staged, 2, "g2"), Seq("doc_id"), "left")
-      .join(gramStats(staged, 3, "g3"), Seq("doc_id"), "left")
+    d.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_toks"))
+      .join(gramStats(d, 2, "g2"), Seq("doc_id"), "left")
+      .join(gramStats(d, 3, "g3"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_toks"),
         dupFrac("g2").as("dup2_frac"), topFrac("g2").as("top2_frac"),
         dupFrac("g3").as("dup3_frac"))

@@ -15,20 +15,23 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val dumped = scala.collection.mutable.LinkedHashMap[String, String]()
     for (q <- args.drop(1)) {
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(q)(spark, dir)
       val n = df.count()
       println(f"SCRATCH $q rows=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
       df.show(5, truncate = false)
-      // optional single-query dump for a targeted tools/oracle_check.py run
+      // optional dump for a targeted tools/oracle_check.py run —
+      // accumulated across the arg list (a per-query overwrite would
+      // leave only the last query's oracle entry), escaped by the
+      // same jstr as the Verify/Bench dumps
       sys.env.get("SCRATCH_OUT").foreach { out =>
         df.coalesce(1).write.mode("overwrite").parquet(s"$out/$q")
-        val sql = SparkEntry.oracleSql.get(q).map(x =>
-          "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"")
-            .replace("\n", "\\n").replace("\t", "\\t") + "\"").getOrElse("null")
+        SparkEntry.oracleSql.get(q).foreach(sql => dumped += q -> sql)
         java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/oracle_sql.json"),
-          s"""{"$q": $sql}""".getBytes)
+          dumped.map { case (k, v) => s"${Bench.jstr(k)}: ${Bench.jstr(v)}" }
+            .mkString("{", ", ", "}").getBytes)
       }
     }
     spark.stop()
