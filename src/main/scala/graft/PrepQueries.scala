@@ -381,6 +381,68 @@ object PrepQueries {
          ROUND(CAST(COUNT(CASE WHEN cid = label THEN 1 END) AS DOUBLE) / COUNT(*), 4) AS acc
        FROM a GROUP BY label ORDER BY label"""
 
+  // ---------- q79: deterministic shard shuffle ----------
+
+  val nShards = 4
+
+  private def md5Slice(c: Column, from: Int): Column =
+    conv(substring(md5(c.cast("string")), from, 8), 16, 10).cast("long")
+
+  /** Reproducible training order: every doc hashes to a shard
+    * (md5 % S) and to a within-shard position (a DIFFERENT md5
+    * window, so shard and order are uncorrelated), seq = rank within
+    * the shard. This is the "global shuffle" a training run needs
+    * made deterministic and distributed: one hash shuffle on shard,
+    * a within-shard sort — never a global ordering — and the same
+    * corpus always yields the same byte order. */
+  def q79ShardShuffle(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("__ord", "doc_id")
+    docs(s, dir).filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        (md5Slice(col("doc_id"), 1) % nShards).as("shard"),
+        md5Slice(col("doc_id"), 9).as("__ord"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("seq"))
+      .orderBy("shard", "seq")
+  }
+
+  val q79Sql: String =
+    s"""WITH t AS (SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $nShards AS shard,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS o
+         FROM documents WHERE doc_id < 100)
+       SELECT doc_id, shard,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY o, doc_id) AS BIGINT) AS seq
+       FROM t ORDER BY shard, seq"""
+
+  // ---------- q80: train/val/test split assignment ----------
+
+  /** Hash-based 80/10/10 split — the assignment is a pure function
+    * of the doc id (no state, no sampling), so adding documents
+    * never reassigns existing ones and every engine derives the same
+    * split. Declared output: per (split, lang) counts — the table a
+    * team checks for stratification drift before training. */
+  def q80SplitAssign(s: SparkSession, dir: String): DataFrame = {
+    val bucket = md5Slice(col("doc_id"), 1) % 100
+    docs(s, dir)
+      .select(col("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("split", "lang")
+  }
+
+  val q80Sql: String =
+    """WITH t AS (SELECT lang,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents)
+       SELECT split, lang, COUNT(*) AS n FROM t
+       GROUP BY split, lang ORDER BY split, lang"""
+
   // ---------- catalog ----------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -390,7 +452,9 @@ object PrepQueries {
     "q75_novelty" -> (q75Novelty _),
     "q76_int8_quantize" -> (q76Int8Quantize _),
     "q77_packing_stats" -> (q77PackingStats _),
-    "q78_centroid_classify" -> (q78CentroidClassify _))
+    "q78_centroid_classify" -> (q78CentroidClassify _),
+    "q79_shard_shuffle" -> (q79ShardShuffle _),
+    "q80_split_assign" -> (q80SplitAssign _))
 
   val oracle: Map[String, String] = Map(
     "q72_chunk_docs" -> q72Sql,
@@ -399,5 +463,7 @@ object PrepQueries {
     "q75_novelty" -> q75Sql,
     "q76_int8_quantize" -> q76Sql,
     "q77_packing_stats" -> q77Sql,
-    "q78_centroid_classify" -> q78Sql)
+    "q78_centroid_classify" -> q78Sql,
+    "q79_shard_shuffle" -> q79Sql,
+    "q80_split_assign" -> q80Sql)
 }
