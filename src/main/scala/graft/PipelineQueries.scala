@@ -162,6 +162,30 @@ object PipelineQueries {
     s.table(sink).orderBy("c_mktsegment", "event_type")
   }
 
+  /** q06's hourly rollup executed UNDER THE LIVE STREAMING HARNESS:
+    * watermarked 1-hour tumbling windows (`window(ts, '1 hour')`
+    * starts are epoch-hour-aligned, identical to `date_trunc`),
+    * values pre-scaled to integer cents so the windowed sum is exact
+    * in any accumulation order. Complete mode drains every window
+    * once the AvailableNow source is exhausted, so the streaming
+    * result equals the batch rollup row for row — q06's oracle
+    * checks it. */
+  def q82StreamHourly(s: SparkSession, dir: String): DataFrame = {
+    val events = eventsStream(s, dir)
+    val agg = events
+      .select(col("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_value_c"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value_c"))
+    val sink = "q82_hourly_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    Streaming.runToMemory(s, agg, sink, "complete")
+    s.table(sink).orderBy("hour", "event_type")
+  }
+
   val q69Sql: String =
     """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
@@ -287,7 +311,8 @@ object PipelineQueries {
     "q53_csv_roundtrip" -> (q53CsvRoundtrip _),
     "q60_sessionize" -> (q60Sessionize _),
     "q61_stream_sessionize" -> (q61StreamSessionize _),
-    "q69_stream_enrich" -> (q69StreamEnrich _))
+    "q69_stream_enrich" -> (q69StreamEnrich _),
+    "q82_stream_hourly" -> (q82StreamHourly _))
 
   val oracle: Map[String, String] = Map(
     "q46_pipeline_e2e" -> q46Sql,
@@ -296,5 +321,6 @@ object PipelineQueries {
     "q53_csv_roundtrip" -> q53Sql,
     "q60_sessionize" -> q60Sql,
     "q61_stream_sessionize" -> q60Sql,
-    "q69_stream_enrich" -> q69Sql)
+    "q69_stream_enrich" -> q69Sql,
+    "q82_stream_hourly" -> Queries.q06Sql)
 }

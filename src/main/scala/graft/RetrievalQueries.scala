@@ -345,6 +345,62 @@ object RetrievalQueries {
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
   }
 
+  /** R2 (composed scale path): IVF+PQ — coarse lists bound WHICH
+    * vectors the query touches (nprobe/K of the corpus), PQ codes
+    * bound WHAT is read per vector. Every artifact comes from the
+    * session memos (coarse centroids + assignment shared with
+    * q45/q48/q58, codebook shared with q59). */
+  def q81IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.search.PQ.ivfAdcTopK(ivfAssigned0(s, dir), ivfCents0(s, dir),
+      pqCodebook(s, dir), "vec_id", "v",
+      e.filter(col("vec_id") === 3).select(col("v").as("qv")), "qv",
+      10, ivfProbe, pqM, pqDim)
+      .orderBy("rank")
+  }
+
+  /** One LCG-ranked ordering CTE cut at 8 (coarse) and 16 (PQ
+    * codebook — the memoized artifacts share the sample), q45's
+    * probe + assignment replay, q59's per-subspace argmin over the
+    * PROBED candidates only. */
+  val q81Sql: String = {
+    val sub = pqDim / pqM
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       ord AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+             ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+           v AS cvec FROM e),
+       c8 AS (SELECT cid, cvec FROM ord WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c8 c) WHERE r = 1),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 3),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c8 c, q) WHERE r <= $ivfProbe),
+       cand AS (SELECT a.vec_id, a.v FROM a JOIN pr ON a.cid = pr.cid),
+       c16 AS (SELECT cid, cvec FROM ord WHERE cid < $pqK),
+       sp AS (SELECT UNNEST(generate_series(0, ${pqM - 1})) AS m),
+       d AS (SELECT cand.vec_id, sp.m, c.cid,
+               c.cvec[sp.m * $sub + 1 : sp.m * $sub + $sub] AS cm,
+               list_dot_product(c.cvec[sp.m * $sub + 1 : sp.m * $sub + $sub],
+                                c.cvec[sp.m * $sub + 1 : sp.m * $sub + $sub])
+                 - 2 * list_dot_product(cand.v[sp.m * $sub + 1 : sp.m * $sub + $sub],
+                                        c.cvec[sp.m * $sub + 1 : sp.m * $sub + $sub]) AS dist
+             FROM cand, sp, c16 c),
+       b AS (SELECT vec_id, m, cm FROM (
+               SELECT vec_id, m, cm,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS r
+               FROM d) WHERE r = 1),
+       x AS (SELECT vec_id, flatten(list(cm ORDER BY m)) AS xhat FROM b GROUP BY vec_id),
+       sc AS (SELECT vec_id, list_dot_product(qv, xhat) AS sc FROM x, q),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+  }
+
   /** R2 quality: the ANN recall CONTRACT. recall@10 of each
     * approximate path against the exact scan, one row per
     * (method, knob) — LSH single-probe vs multi-probe (Hamming-1
@@ -1192,7 +1248,8 @@ object RetrievalQueries {
     "q56_dp_sweep" -> (q56DpSweep _),
     "q57_rag_e2e" -> (q57RagE2e _),
     "q58_ivf_refined" -> (q58IvfRefined _),
-    "q59_pq_ann" -> (q59PqAnn _))
+    "q59_pq_ann" -> (q59PqAnn _),
+    "q81_ivf_pq" -> (q81IvfPq _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
@@ -1216,5 +1273,6 @@ object RetrievalQueries {
     "q56_dp_sweep" -> q56Sql,
     "q57_rag_e2e" -> q57Sql,
     "q58_ivf_refined" -> q58Sql,
-    "q59_pq_ann" -> q59Sql)
+    "q59_pq_ann" -> q59Sql,
+    "q81_ivf_pq" -> q81Sql)
 }

@@ -72,6 +72,45 @@ object PQ {
       })
   }
 
+  /** IVF+PQ — the production ANN layout (FAISS's IndexIVFPQ, recast
+    * relationally): the coarse quantizer's inverted lists bound WHICH
+    * vectors a query touches (nprobe/K of the corpus; over a
+    * persisted index this is parquet partition pruning, q54), and PQ
+    * reconstruction bounds WHAT is read per vector (m codes against
+    * a broadcast codebook instead of the full float row). Takes the
+    * PRE-ASSIGNED corpus and both codebooks so sessions build each
+    * index artifact once (the q45/q48/q58 memo discipline). */
+  def ivfAdcTopK(assigned: DataFrame, cents: DataFrame, codebook: DataFrame,
+                 idCol: String, vecCol: String,
+                 query: DataFrame, queryVecCol: String,
+                 k: Int, nprobe: Int, m: Int, dim: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(m >= 1 && dim % m == 0,
+      s"dim ($dim) must be divisible by the number of subspaces ($m)")
+    val probes = query.select(col(queryVecCol).as("__qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cs", dot(col("__qv"), col("cvec")))
+      .orderBy(col("__cs").desc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid"), col("__qv"))
+    val packed = codebook.agg(
+      transform(array_sort(collect_list(struct(col("cid"), col("cvec")))),
+        c => c.getField("cvec").cast("array<double>")).as("__cb"))
+    val scored = assigned
+      .join(broadcast(probes), "cid")
+      .crossJoin(broadcast(packed))
+      .select(col(idCol), dot(col("__qv"),
+        org.apache.spark.sql.graftnative.NativeExpressions
+          .pqReconstructNative(col(vecCol), col("__cb"), m)).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+    scored
+      .withColumn("rank", row_number().over(
+        Search.wAll.orderBy(col("score").desc, col(idCol).asc)).cast("long"))
+      .select(col(idCol), col("rank"), round(col("score"), 6).as("score"))
+  }
+
   private def adcTopKImpl(docs: DataFrame, idCol: String, vecCol: String,
                           cents: DataFrame, query: DataFrame, queryVecCol: String,
                           k: Int, m: Int, dim: Int,
