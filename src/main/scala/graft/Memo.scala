@@ -33,14 +33,42 @@ object Memo {
   /** Fingerprint of every file under `dir` (path, length, mtime).
     * Driver-side directory walk — cheap for the handful of parquet
     * files per scale-factor dir; at real scale the equivalent signal
-    * is the table snapshot/transaction id. */
+    * is the table snapshot/transaction id.
+    *
+    * The recursive walk runs dozens of times per bench run (every
+    * memo access), so its result is cached behind a SHALLOW signature
+    * of the root (root mtime + direct children name/len/mtime): any
+    * add/remove/rewrite of a table under a data dir changes a direct
+    * child's entry (parquet overwrites create new part files, so even
+    * directory-shaped tables bump their own mtime), invalidating the
+    * cache and forcing a fresh deep walk. The one shape this can miss
+    * — an in-place byte rewrite of a NESTED file that alters neither
+    * its parent dir's mtime nor the root's — does not occur for
+    * parquet/CSV table layouts, where writers always create/delete
+    * part files. */
+  private val fpCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, String)] // dir -> (shallowSig, deepFp)
+
+  private def shallowSig(root: java.io.File): String =
+    (s"${root.lastModified}" +:
+      Option(root.listFiles()).toSeq.flatten.sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")).mkString("|")
+
   private[graft] def dirFingerprint(dir: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
-      else Seq(f)
-    walk(new java.io.File(dir))
-      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
-      .mkString("|").hashCode.toString
+    val root = new java.io.File(dir)
+    val sig = shallowSig(root)
+    fpCache.get(dir) match {
+      case Some((`sig`, fp)) => fp
+      case _ =>
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+          else Seq(f)
+        val fp = walk(root)
+          .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
+          .mkString("|").hashCode.toString
+        fpCache.put(dir, (sig, fp))
+        fp
+    }
   }
 
   /** Memoize `build` per (session, dir-content, tag), materialized

@@ -362,12 +362,12 @@ object PrepQueries {
   }
 
   val q78Sql: String =
-    """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        m AS (SELECT label AS cid, i.i AS pos,
            CAST(SUM(CAST(ROUND(v[i.i + 1] * 1000000) AS BIGINT)) AS DOUBLE) /
              (COUNT(*) * 1000000.0) AS m
-         FROM e, (SELECT UNNEST(generate_series(0, 63)) AS i) i
+         FROM e, (SELECT UNNEST(generate_series(0, ${RetrievalQueries.embDim - 1})) AS i) i
          GROUP BY label, i.i),
        c AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM m GROUP BY cid),
        a AS (SELECT vec_id, label, cid FROM (

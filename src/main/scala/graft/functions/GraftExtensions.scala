@@ -16,49 +16,64 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * code changes needed, per the SparkSessionExtensions contract.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Arity check with a clean analysis-time error (a raw `exprs(i)`
+    * on a short argument list dies with IndexOutOfBoundsException). */
+  private def requireArity(fn: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$fn takes exactly $n arguments, got ${exprs.length}")
+
+  /** Constant scalar knobs (k, m, width, depth) must be integral
+    * literals — accept any integral width (2, 2L, …) since SQL
+    * frontends differ in how they type small literals. */
+  private def intLit(fn: String, what: String, e: Expression): Int = e match {
+    case Literal(v: Int, _)   => v
+    case Literal(v: Long, _)  => v.toInt
+    case Literal(v: Short, _) => v.toInt
+    case Literal(v: Byte, _)  => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn $what must be an integral literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DotProductRewrite)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        requireArity("graft_dot", exprs, 2)
+        DotProduct(exprs(0), exprs(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       (exprs: Seq[Expression]) => {
-        val k = exprs(2) match {
-          case Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_topk k must be an integer literal, got $other")
-        }
-        TopKByScore(exprs(0), exprs(1), k)
+        requireArity("graft_topk", exprs, 3)
+        TopKByScore(exprs(0), exprs(1), intLit("graft_topk", "k", exprs(2)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2norm"),
-      (exprs: Seq[Expression]) => L2Normalize(exprs(0))))
+      (exprs: Seq[Expression]) => {
+        requireArity("graft_l2norm", exprs, 1)
+        L2Normalize(exprs(0))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_pq_reconstruct"),
       new ExpressionInfo(classOf[PQReconstruct].getName, "graft_pq_reconstruct"),
       (exprs: Seq[Expression]) => {
-        val m = exprs(2) match {
-          case Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_pq_reconstruct m must be an integer literal, got $other")
-        }
-        PQReconstruct(exprs(0), exprs(1), m)
+        requireArity("graft_pq_reconstruct", exprs, 3)
+        PQReconstruct(exprs(0), exprs(1),
+          intLit("graft_pq_reconstruct", "m", exprs(2)))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_cms"),
       new ExpressionInfo(classOf[CountMinSketchAgg].getName, "graft_cms"),
       (exprs: Seq[Expression]) => {
-        def intLit(e: Expression, what: String): Int = e match {
-          case Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_cms $what must be an integer literal, got $other")
-        }
+        requireArity("graft_cms", exprs, 4)
         CountMinSketchAgg(exprs(0), exprs(1),
-          intLit(exprs(2), "width"), intLit(exprs(3), "depth"))
+          intLit("graft_cms", "width", exprs(2)),
+          intLit("graft_cms", "depth", exprs(3)))
       }))
   }
 }

@@ -37,7 +37,13 @@ object PQ {
     * The reconstruction is ONE codegen'd pass per row
     * ([[org.apache.spark.sql.graftnative.PQReconstruct]]) — no row
     * inflation, no exchange; the plan is scan → project → top-k, the
-    * same shape as Search.topK. */
+    * same shape as Search.topK.
+    *
+    * `query` must be a ONE-ROW frame (same contract as Search.topK /
+    * IVF.ivfTopK — it is broadcast and cross-joined, so a multi-row
+    * frame would interleave both queries' scores in one ranked list);
+    * multi-query scoring goes through Search.multiTopK-style qid
+    * plumbing instead. */
   def adcTopK(docs: DataFrame, idCol: String, vecCol: String,
               cents: DataFrame, query: DataFrame, queryVecCol: String,
               k: Int, m: Int, dim: Int): DataFrame =
@@ -79,7 +85,8 @@ object PQ {
     * reconstruction bounds WHAT is read per vector (m codes against
     * a broadcast codebook instead of the full float row). Takes the
     * PRE-ASSIGNED corpus and both codebooks so sessions build each
-    * index artifact once (the q45/q48/q58 memo discipline). */
+    * index artifact once (the q45/q48/q58 memo discipline).
+    * `query` must be a ONE-ROW frame, as in [[adcTopK]]. */
   def ivfAdcTopK(assigned: DataFrame, cents: DataFrame, codebook: DataFrame,
                  idCol: String, vecCol: String,
                  query: DataFrame, queryVecCol: String,

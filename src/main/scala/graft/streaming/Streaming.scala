@@ -90,10 +90,21 @@ object Streaming {
     * per-batch snapshot/commit overhead — a deployment knob that
     * should track state volume, not the batch session's default. The
     * session conf is restored afterwards so the batch plans around
-    * the harness are untouched. */
+    * the harness are untouched.
+    *
+    * CONCURRENCY CONTRACT: the override mutates the SESSION-global
+    * `spark.sql.shuffle.partitions` for the duration of the run, so
+    * any query planned concurrently on the same SparkSession would
+    * silently pick up the streaming value. The declared-query harness
+    * (Verify/Bench) is single-threaded, and the lock below serializes
+    * overlapping runToMemory calls; a multi-tenant deployment should
+    * instead run streams on `spark.newSession()` (per-session conf,
+    * shared SparkContext). */
+  private val confLock = new Object
+
   def runToMemory(spark: SparkSession, transformed: DataFrame, name: String,
                   outputMode: String = "append",
-                  statePartitions: Int = 8): Unit = {
+                  statePartitions: Int = 8): Unit = confLock.synchronized {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
     try {
