@@ -40,26 +40,40 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     Seq("nation", "lineitem", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-    // name-sorted execution: Map iteration order reshuffles whenever
-    // a query is added, silently moving session-memo build costs
-    // (postings index, IVF artifacts) onto a different query's clock
-    // round-over-round; sorted order pins which query pays each
-    // first-touch so per-query numbers stay comparable across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timed(name: String, run: () => Unit): (String, (Double, Option[String])) = {
       val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
+      val err = try { run(); None }
                 catch { case e: Throwable =>
                   Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
       name -> ((System.nanoTime() - t0) / 1e9, err)
     }
+    // shared-artifact builds run FIRST as their own named entries
+    // (`_build_*` sorts before every qNN): an index or memo built once
+    // and ridden by many queries is charged to its build entry, so no
+    // query's number silently includes a first-touch index build
+    // (the round-6 q20/q31 attribution skew)
+    val builds = SparkEntry.builds.toSeq.sortBy(_._1).map { case (name, fn) =>
+      timed(name, () => fn(spark, sfDir))
+    }
+    // name-sorted execution: Map iteration order reshuffles whenever
+    // a query is added, silently moving any residual first-touch cost
+    // onto a different query's clock round-over-round; sorted order
+    // keeps per-query numbers comparable across rounds
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      timed(name, () => { fn(spark, sfDir).count(); () })
+    }
+    val results = builds ++ queries
     val qs = results.map { case (k, (v, _)) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(m))) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val nErr = results.count(_._2._2.isDefined)
     val total = results.map(_._2._1).sum
-    val mean = if (results.nonEmpty) total / results.size else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"n_errors":$nErr,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    val buildTotal = builds.map(_._2._1).sum
+    // mean is over DECLARED QUERIES (what "how fast is a query"
+    // means); total includes the build entries
+    val mean = if (queries.nonEmpty) queries.map(_._2._1).sum / queries.size else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${queries.size},"n_builds":${builds.size},"build_sec":$buildTotal,"mean_sec":$mean,"n_errors":$nErr,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }

@@ -562,6 +562,10 @@ object CurationQueries {
 
   // ---------- catalog ----------
 
+  /** Shared-artifact builds (see RetrievalQueries.builds). */
+  val builds: Map[String, (SparkSession, String) => Unit] = Map(
+    "_build_neardup_pairs" -> ((s, dir) => { nearDupPairs(s, dir).count(); () }))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_text_stats" -> (q22TextStats _),
     "q23_quality_langid" -> (q23QualityLangid _),

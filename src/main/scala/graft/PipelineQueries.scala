@@ -304,6 +304,12 @@ object PipelineQueries {
        FROM r JOIN snip ON r.doc_id = snip.doc_id
        WHERE rank <= 5 ORDER BY qid, rank"""
 
+  /** Shared-artifact builds (see RetrievalQueries.builds). Staging
+    * the events dir is pure driver-side file copying — constructing
+    * the readStream frame forces it. */
+  val builds: Map[String, (SparkSession, String) => Unit] = Map(
+    "_build_events_stage" -> ((s, dir) => { eventsStream(s, dir); () }))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_pipeline_e2e" -> (q46PipelineE2e _),
     "q50_binary_features" -> (q50BinaryFeatures _),

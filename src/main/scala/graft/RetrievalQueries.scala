@@ -165,24 +165,46 @@ object RetrievalQueries {
     * probe the 2 best lists, exact re-rank inside them. */
   val ivfK = 8; val ivfProbe = 2
 
-  /** The in-session IVF index artifacts — seed centroids, refined
-    * centroids, and both list assignments — materialized once per
-    * (session, dir-content) and shared by q45/q48/q58: "build the
-    * index once, query it many times", the exact discipline the
-    * reference violates by rebuilding per query (SURVEY §7.5). The
-    * at-rest twin is q54's persisted partitionBy(cid) layout. */
+  /** The shared IVF index artifacts. The CENTROID tables (K rows) are
+    * session memos — genuinely small, localCheckpoint is the right
+    * home. The corpus-sized LIST ASSIGNMENTS are PERSISTED once per
+    * corpus as partitionBy(cid) parquet (the q54 layout as the
+    * DEFAULT artifact, not the demo): an executor-memory checkpoint
+    * of a corpus-sized frame neither fits executor storage at 100 TB
+    * nor survives an executor loss (localCheckpoint truncates
+    * lineage), while the at-rest lists make every probe a
+    * partition-pruned read and persist across sessions. q45/q48/q54/
+    * q58/q81 all ride these; build cost is charged to the
+    * `_build_ivf_index` bench entry. "Build the index once, query it
+    * many times" — the exact discipline the reference violates by
+    * rebuilding per query (SURVEY §7.5). */
   private def ivfCents0(s: SparkSession, dir: String): DataFrame =
     Memo.cached(s, dir, "ivf_c0")(
       graft.search.IVF.centroids(emb(s, dir), "vec_id", "v", ivfK))
-  private def ivfAssigned0(s: SparkSession, dir: String): DataFrame =
-    Memo.cached(s, dir, "ivf_a0")(
-      graft.search.IVF.assign(emb(s, dir), "vec_id", "v", ivfCents0(s, dir)))
   private def ivfCentsR(s: SparkSession, dir: String): DataFrame =
     Memo.cached(s, dir, "ivf_c1")(
       graft.search.IVF.refine(emb(s, dir), "vec_id", "v", ivfCents0(s, dir), refineIters))
+
+  /** Write (once per session × corpus) and reopen the persisted
+    * inverted lists for `cents`; reads restore cid to long (parquet
+    * partition-column inference narrows it to int). */
+  private def persistedLists(s: SparkSession, dir: String, tag: String,
+                             cents: => DataFrame): DataFrame = {
+    val path = Memo.cachedValue(s, dir, tag) {
+      val p = PipelineQueries.roundtripPath(dir, tag)
+      val c = cents
+      graft.search.IVF.writeIndexFrom(c,
+        graft.search.IVF.assign(emb(s, dir), "vec_id", "v", c), p)
+      p
+    }
+    s.read.parquet(s"$path/lists")
+      .withColumn("cid", col("cid").cast("long"))
+  }
+
+  private def ivfAssigned0(s: SparkSession, dir: String): DataFrame =
+    persistedLists(s, dir, "ivf_idx0", ivfCents0(s, dir))
   private def ivfAssignedR(s: SparkSession, dir: String): DataFrame =
-    Memo.cached(s, dir, "ivf_a1")(
-      graft.search.IVF.assign(emb(s, dir), "vec_id", "v", ivfCentsR(s, dir)))
+    persistedLists(s, dir, "ivf_idx1", ivfCentsR(s, dir))
 
   def q45AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -1225,6 +1247,18 @@ object RetrievalQueries {
   }
 
   // ---------- catalog ----------
+
+  /** Shared-artifact builds, surfaced to the bench harness as named
+    * `_build_*` entries so their one-time cost is charged to the
+    * BUILD, not to whichever declared query happens to touch the memo
+    * first in name-sorted order (the round-6 q20/q31 attribution
+    * skew). Each is idempotent — a no-op when the memo is warm. */
+  val builds: Map[String, (SparkSession, String) => Unit] = Map(
+    "_build_ivf_index" -> ((s, dir) => { ivfAssigned0(s, dir).count(); () }),
+    "_build_ivf_refined" -> ((s, dir) => { ivfAssignedR(s, dir).count(); () }),
+    "_build_pq_codebook" -> ((s, dir) => { pqCodebook(s, dir).count(); () }),
+    "_build_eval_metrics" -> ((s, dir) => { q40Materialized(s, dir).count(); () }),
+    "_build_rag_candidates" -> ((s, dir) => { q55RagCandidates(s, dir).count(); () }))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_ingest_clean" -> (q07IngestClean _),

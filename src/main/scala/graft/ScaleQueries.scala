@@ -333,6 +333,10 @@ object ScaleQueries {
        WHERE c_custkey < 150
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** Shared-artifact builds (see RetrievalQueries.builds). */
+  val builds: Map[String, (SparkSession, String) => Unit] = Map(
+    "_build_bucketed_tables" -> ((s, dir) => { bucketedTables(s, dir); () }))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_asof_join" -> (q62AsofJoin _),
     "q63_cms_heavy_hitters" -> (q63CmsHeavyHitters _),

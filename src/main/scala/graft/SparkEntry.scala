@@ -32,6 +32,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
 
   def oracleSql: Map[String, String] = Queries.oracle
+
+  /** Shared-artifact builds (indexes, memos, staged dirs) as named
+    * units of work: the bench harness runs and times these FIRST so
+    * each declared query's number is the query, never a first-touch
+    * index build. Idempotent — warm memos make them no-ops. */
+  def builds: Map[String, (SparkSession, String) => Unit] = Queries.builds
 }
 
 /** The query catalog. Kept separate so SparkEntry stays the thin
@@ -400,13 +406,25 @@ object Queries {
     Memo.cached(s, dir, "bm25stats")(
       BM25.corpusStats(t(s, dir, "documents"), "text"))
 
-  /** The full (doc, len, term, tf) postings table, built and
-    * materialized once per corpus — with [[bm25Stats]] this is the
-    * whole BM25 "index"; per-query cost is a filter + scoring join
-    * over it, never a re-tokenize (at rest this would be a persisted
-    * table bucketed by term). */
-  private[graft] def bm25Postings(s: SparkSession, dir: String): DataFrame =
-    Memo.cached(s, dir, "bm25post") {
+  /** The full (doc, len, term, tf) postings table — with [[bm25Stats]]
+    * this is the whole BM25 "index"; per-query cost is a filter +
+    * scoring join over it, never a re-tokenize.
+    *
+    * The index is PERSISTED at rest as a term-bucketed table (the q64
+    * layout discipline), not held as an executor-memory checkpoint: a
+    * corpus-sized artifact must survive executor loss and must not
+    * occupy executor storage between queries — at 100 TB a
+    * localCheckpoint'd postings frame does neither. Bucketing by term
+    * makes every per-query term filter a BUCKET-PRUNED read
+    * (SelectedBucketsCount in the scan), and the term-keyed df
+    * aggregate inside scoring reuses the bucketing with no exchange.
+    * Build-once cost is charged to the `_build_bm25_index` bench
+    * entry, not to whichever query first touches the index. */
+  private[graft] val bm25Buckets = 8
+  private[graft] def bm25PostingsTable(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "bm25index") {
+      val tbl = "bm25_postings_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
       val d = t(s, dir, "documents")
       // a small local corpus file arrives as ONE scan partition,
       // serializing the tokenize+explode of the index build; spread it
@@ -415,7 +433,18 @@ object Queries {
       val par = s.sparkContext.defaultParallelism
       val dp = if (d.rdd.getNumPartitions < par) d.repartition(par) else d
       BM25.postings(dp, "doc_id", "text")
+        // one file per bucket: the write-side shuffle pays for the
+        // read-side pruning every query after
+        .repartition(bm25Buckets, col("term"))
+        .write.mode("overwrite")
+        .option("path", PipelineQueries.roundtripPath(dir, "bm25index"))
+        .bucketBy(bm25Buckets, "term").sortBy("term")
+        .saveAsTable(tbl)
+      tbl
     }
+
+  private[graft] def bm25Postings(s: SparkSession, dir: String): DataFrame =
+    s.table(bm25PostingsTable(s, dir))
 
   /** R3: BM25 top-20 for a fixed term query, served from the
     * memoized index (postings + corpus stats). */
@@ -453,6 +482,13 @@ object Queries {
        GROUP BY term ORDER BY n DESC, term LIMIT 20"""
 
   // ---------- catalog ----------
+
+  val builds: Map[String, (SparkSession, String) => Unit] = Map(
+    "_build_bm25_index" -> ((s: SparkSession, dir: String) => {
+      bm25PostingsTable(s, dir); bm25Stats(s, dir).count(); ()
+    })) ++
+    CurationQueries.builds ++ RetrievalQueries.builds ++
+    PipelineQueries.builds ++ ScaleQueries.builds
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),

@@ -75,6 +75,22 @@ class PlanSpec extends SparkSpec {
       s"expected a term filter over the postings scan:\n$p")
   }
 
+  test("q20: postings scan is bucket-pruned and the term-keyed agg reuses the bucketing") {
+    val p = plan("q20_bm25")
+    // the persisted index is a term-bucketed table; a 3-term query
+    // must read a strict subset of the buckets
+    assert(p.contains("SelectedBucketsCount"),
+      s"expected a bucketed postings scan:\n$p")
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(p)
+    assert(sel.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"expected bucket pruning to select a strict subset:\n$p")
+    // the df aggregate (groupBy term) must ride the table's bucketing:
+    // no exchange may hash-partition on term
+    assert(!p.contains("hashpartitioning(term"),
+      s"expected the term-keyed aggregate to reuse bucketing:\n$p")
+  }
+
   test("one-off BM25.search explodes only the query terms (pre-explode array filter)") {
     import graft.lexical.BM25
     import org.apache.spark.sql.functions._
