@@ -320,7 +320,13 @@ object PipelineQueries {
     "q69_stream_enrich" -> (q69StreamEnrich _),
     "q82_stream_hourly" -> (q82StreamHourly _))
 
-  val oracle: Map[String, String] = Map(
+  // LAZY: q82 shares q06's oracle, so this map reaches back into
+  // Queries — evaluating it during THIS object's clinit would NPE
+  // whenever PipelineQueries initializes first (e.g. a spec calling
+  // roundtripPath before any Queries member), because Queries' own
+  // catalog vals concat this object's still-null maps. Deferring to
+  // first use lets whichever object initializes first finish cleanly.
+  lazy val oracle: Map[String, String] = Map(
     "q46_pipeline_e2e" -> q46Sql,
     "q50_binary_features" -> q50Sql,
     "q52_parquet_roundtrip" -> q52Sql,

@@ -314,6 +314,55 @@ object RetrievalQueries {
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  /** S5/R2 incremental maintenance under the oracle gate: build the
+    * at-rest IVF index over the BASE corpus slice (vec_id >= 100),
+    * APPEND the delta batch (vec_id < 100) against the existing
+    * centroids with [[graft.search.IVF.appendToIndex]] — the daily
+    * operation of a continuously-ingested vector store; the
+    * reference's FAISS analog is add-then-search
+    * (`src/pipeline/pipeline.py:131-158`) — then answer a query from
+    * the updated index. The oracle replays a FULL REBUILD over the
+    * union corpus with the same base-sampled centroids, so the hash
+    * match IS the append ≡ rebuild equivalence; the query vector
+    * itself (vec_id=1) arrived via the append. */
+  def q84IvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q84")
+    val base = e.filter(col("vec_id") >= 100)
+    val delta = e.filter(col("vec_id") < 100)
+    graft.search.IVF.writeIndex(base, "vec_id", "v", ivfK, 0, path)
+    graft.search.IVF.appendToIndex(s, path, delta, "vec_id", "v")
+    graft.search.IVF.searchIndex(s, path, "vec_id", "v",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+      10, ivfProbe)
+      .orderBy("rank")
+  }
+
+  /** q45's replay with the centroid sample drawn from the BASE slice
+    * only (the index's standing quantizer) and assignment over the
+    * full union corpus (base written + delta appended). */
+  val q84Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e WHERE vec_id >= 100) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       sc AS (SELECT a.vec_id, list_dot_product(a.v, pr.qv) AS sc
+              FROM a JOIN pr ON a.cid = pr.cid),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
   /** R2 (third scale path): product-quantization ADC search — a
     * 16-entry codebook over 8 subspaces of 8 dims, every data vector
     * scored through its reconstruction. Same query point as q45 so
@@ -1283,7 +1332,8 @@ object RetrievalQueries {
     "q57_rag_e2e" -> (q57RagE2e _),
     "q58_ivf_refined" -> (q58IvfRefined _),
     "q59_pq_ann" -> (q59PqAnn _),
-    "q81_ivf_pq" -> (q81IvfPq _))
+    "q81_ivf_pq" -> (q81IvfPq _),
+    "q84_ivf_append" -> (q84IvfAppend _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
@@ -1308,5 +1358,6 @@ object RetrievalQueries {
     "q57_rag_e2e" -> q57Sql,
     "q58_ivf_refined" -> q58Sql,
     "q59_pq_ann" -> q59Sql,
-    "q81_ivf_pq" -> q81Sql)
+    "q81_ivf_pq" -> q81Sql,
+    "q84_ivf_append" -> q84Sql)
 }

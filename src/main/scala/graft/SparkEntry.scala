@@ -483,7 +483,11 @@ object Queries {
 
   // ---------- catalog ----------
 
-  val builds: Map[String, (SparkSession, String) => Unit] = Map(
+  // a DEF, not a val: Queries aggregates the per-catalog builds maps,
+  // and the catalog objects reference Queries during THEIR init (the
+  // q-catalog layering rule) — an eager val here would read a
+  // mid-initialization catalog's builds as null
+  def builds: Map[String, (SparkSession, String) => Unit] = Map(
     "_build_bm25_index" -> ((s: SparkSession, dir: String) => {
       bm25PostingsTable(s, dir); bm25Stats(s, dir).count(); ()
     })) ++

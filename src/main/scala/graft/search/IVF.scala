@@ -126,6 +126,51 @@ object IVF {
     assigned.write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
   }
 
+  /** INCREMENTAL index maintenance: assign a delta batch against the
+    * index's EXISTING centroid table and append the assigned rows to
+    * the persisted inverted lists — the engine's `faiss index.add`
+    * (the reference adds embeddings to a built index inside its build
+    * loop, `src/pipeline/pipeline.py:131-134`). A continuously
+    * ingested corpus appends per batch; nothing already at rest is
+    * rewritten (parquet append creates new part files only under the
+    * touched cid= directories), and a search over the updated index
+    * equals a full rebuild over the union corpus with the same
+    * centroids — bit for bit, since [[assign]] is deterministic and
+    * list membership is searched exhaustively inside probed lists
+    * (q84's oracle pins exactly this equivalence).
+    *
+    * What appending does NOT do is move centroids: drift in the
+    * incoming distribution degrades list balance over time, which is
+    * a SCHEDULING signal, not a per-batch cost — check [[needsRefine]]
+    * after appending and rebuild with [[refine]]d centroids when list
+    * skew passes the threshold (FAISS users retrain the coarse
+    * quantizer on the same trigger). */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    delta: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    assign(delta, idCol, vecCol, cents)
+      .write.mode("append").partitionBy("cid").parquet(s"$path/lists")
+  }
+
+  /** Per-list row counts of a persisted index — one count aggregate
+    * over the lists' cid partition column (column-pruned: no vector
+    * bytes are read). */
+  def listSizes(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/lists")
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+
+  /** Refine trigger: true when max(list size) / mean(list size)
+    * exceeds `maxSkew` — the balance signal a maintenance job polls
+    * after appends to decide when the coarse quantizer needs
+    * retraining. Driver-side scalar over K rows. */
+  def needsRefine(spark: org.apache.spark.sql.SparkSession, path: String,
+                  maxSkew: Double): Boolean = {
+    val row = listSizes(spark, path)
+      .agg(max(col("n")).cast("double").as("mx"), avg(col("n")).as("mean"))
+      .head()
+    row.getDouble(0) > maxSkew * row.getDouble(1)
+  }
+
   /** Search a persisted IVF index: rank centroids for the query,
     * filter the lists table to the nprobe best cids (a pure partition
     * filter — see the PartitionFilters entry in the scan plan), exact

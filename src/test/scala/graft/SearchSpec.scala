@@ -160,6 +160,38 @@ class SearchSpec extends SparkSpec {
       s"expected partition pruning on cid:\n$plan")
   }
 
+  test("IVF append: search over appended index equals full rebuild over the union") {
+    import graft.search.IVF
+    val base = emb.filter(col("vec_id") >= 50)
+    val delta = emb.filter(col("vec_id") < 50)
+    val cents = IVF.centroids(base, "vec_id", "v", 8).localCheckpoint()
+    val appended = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    IVF.writeIndexFrom(cents, IVF.assign(base, "vec_id", "v", cents), appended)
+    IVF.appendToIndex(spark, appended, delta, "vec_id", "v")
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_ivf_full").toString
+    IVF.writeIndexFrom(cents, IVF.assign(emb, "vec_id", "v", cents), rebuilt)
+    val q = emb.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    def search(p: String) =
+      IVF.searchIndex(spark, p, "vec_id", "v", q, "qv", 10, 2)
+        .select("vec_id", "rank", "score")
+        .as[(Long, Long, Double)].collect().toSeq
+    assert(search(appended) == search(rebuilt))
+    // appended rows really landed in the lists (union cardinality)
+    assert(spark.read.parquet(s"$appended/lists").count() == emb.count())
+  }
+
+  test("IVF listSizes/needsRefine expose list balance of a persisted index") {
+    import graft.search.IVF
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_skew").toString
+    IVF.writeIndex(emb, "vec_id", "v", 8, refineIters = 0, path)
+    val sizes = IVF.listSizes(spark, path)
+    assert(sizes.count() <= 8)
+    assert(sizes.agg(sum(col("n"))).as[Long].head() == emb.count())
+    // every corpus is "skewed" at threshold 0 and balanced at a huge one
+    assert(IVF.needsRefine(spark, path, 0.0))
+    assert(!IVF.needsRefine(spark, path, 1e9))
+  }
+
   test("IVF k-means refinement improves the quantizer objective") {
     import graft.search.IVF
     def objective(cents: org.apache.spark.sql.DataFrame): Double =
