@@ -186,6 +186,33 @@ object PipelineQueries {
     s.table(sink).orderBy("hour", "event_type")
   }
 
+  /** STREAM-STREAM watermarked join under the live harness: the
+    * click stream joined to the error stream on user within 12 hours
+    * after the click — q66's range-join attribution, re-expressed as
+    * two watermarked streams through [[Streaming.intervalJoin]]. The
+    * AvailableNow file source delivers the staged events in one
+    * micro-batch, so no row is late and the drained inner join equals
+    * the batch range join row for row — q66's DuckDB oracle checks
+    * it; StreamingSpec covers the late/dropped-row semantics the
+    * batch oracle can't see. */
+  def q83StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_event_id"),
+        col("user_id").as("e_user_id"), col("ts").as("e_ts"))
+    val joined = Streaming.intervalJoin(clicks, "ts", errors, "e_ts",
+      col("user_id") === col("e_user_id") &&
+        col("e_ts") >= col("ts") &&
+        col("e_ts") <= col("ts") + expr("INTERVAL 12 HOURS"))
+      .select(col("event_id"), col("e_event_id"),
+        (unix_micros(col("e_ts")) - unix_micros(col("ts"))).as("delta_us"))
+    val sink = "q83_ssjoin_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    Streaming.runToMemory(s, joined, sink, "append")
+    s.table(sink).orderBy("event_id", "e_event_id")
+  }
+
   val q69Sql: String =
     """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
@@ -318,7 +345,8 @@ object PipelineQueries {
     "q60_sessionize" -> (q60Sessionize _),
     "q61_stream_sessionize" -> (q61StreamSessionize _),
     "q69_stream_enrich" -> (q69StreamEnrich _),
-    "q82_stream_hourly" -> (q82StreamHourly _))
+    "q82_stream_hourly" -> (q82StreamHourly _),
+    "q83_stream_stream_join" -> (q83StreamStreamJoin _))
 
   // LAZY: q82 shares q06's oracle, so this map reaches back into
   // Queries — evaluating it during THIS object's clinit would NPE
@@ -334,5 +362,6 @@ object PipelineQueries {
     "q60_sessionize" -> q60Sql,
     "q61_stream_sessionize" -> q60Sql,
     "q69_stream_enrich" -> q69Sql,
-    "q82_stream_hourly" -> Queries.q06Sql)
+    "q82_stream_hourly" -> Queries.q06Sql,
+    "q83_stream_stream_join" -> ScaleQueries.q66Sql)
 }

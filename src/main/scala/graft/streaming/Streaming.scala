@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -50,6 +50,25 @@ object Streaming {
     events
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(fpCol)
+
+  /** Stream-stream inner join within an event-time bound — the
+    * impressions⋈clicks shape of event pipelines (here: which errors
+    * followed a click). Both inputs are watermarked, and `cond` must
+    * carry an event-time RANGE constraint between the two time
+    * columns (e.g. `rTs >= lTs && rTs <= lTs + INTERVAL 12 HOURS`):
+    * Spark derives each side's state-eviction watermark from that
+    * range, so join state is bounded by watermark + window, not by
+    * stream length. Matches are emitted as they are found (inner-join
+    * append semantics); input rows older than the global watermark
+    * minus the allowed lateness are DROPPED at ingest — the batch
+    * twin of this operator is [[graft.operators.RangeJoin]], and
+    * q83's oracle checks the drained stream against exactly that
+    * batch formulation. */
+  def intervalJoin(left: DataFrame, leftTsCol: String,
+                   right: DataFrame, rightTsCol: String,
+                   cond: Column, lateness: String = "10 minutes"): DataFrame =
+    left.withWatermark(leftTsCol, lateness)
+      .join(right.withWatermark(rightTsCol, lateness), cond)
 
   /** Event for the typed custom-state path. */
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -83,6 +83,44 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("intervalJoin matches in-window pairs and drops rows behind the watermark") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val joined = Streaming.intervalJoin(
+      clicks.toDF().select(col("event_id"), col("user_id"), col("ts")), "ts",
+      errors.toDF().select(col("event_id").as("e_event_id"),
+        col("user_id").as("e_user_id"), col("ts").as("e_ts")), "e_ts",
+      col("user_id") === col("e_user_id") &&
+        col("e_ts") >= col("ts") &&
+        col("e_ts") <= col("ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("event_id"), col("e_event_id"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    // in-window match (error 10 min after click), out-of-window error
+    clicks.addData(Event(1, ts(0), 7, "click", 1.0))
+    errors.addData(Event(100, ts(10), 7, "error", 0.0),
+      Event(101, java.sql.Timestamp.valueOf("2024-01-01 23:00:00"), 7, "error", 0.0))
+    q.processAllAvailable()
+    val matched = spark.sql("SELECT event_id, e_event_id FROM ssjoin")
+      .as[(Long, Long)].collect().toSet
+    assert(matched == Set((1L, 100L)))
+    // advance the watermark far past the join window on BOTH inputs
+    // (the global watermark is the min across them)
+    val late = java.sql.Timestamp.valueOf("2024-01-03 10:00:00")
+    clicks.addData(Event(2, late, 8, "click", 1.0))
+    errors.addData(Event(102, late, 9, "error", 0.0))
+    q.processAllAvailable()
+    // a row hours behind the watermark is dropped at ingest: it must
+    // NOT match the (also state-evicted) click from the first batch
+    errors.addData(Event(103, ts(5), 7, "error", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.sql("SELECT event_id, e_event_id FROM ssjoin")
+      .as[(Long, Long)].collect().toSet
+    assert(after == Set((1L, 100L)))
+  }
+
   test("readStream over the events parquet matches the batch result") {
     // the file source wants a directory: stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
