@@ -213,6 +213,93 @@ object PipelineQueries {
     s.table(sink).orderBy("event_id", "e_event_id")
   }
 
+  // ---------- q85: real PNG decode ----------
+
+  /** Deterministic RGB test pattern per media id: dims vary with the
+    * id, every channel is an affine function of (x, y, id) mod 256 —
+    * closed-form enough that the DuckDB oracle recomputes the exact
+    * pixel sums from the formula while the Spark side must round-trip
+    * them through a REAL encode → decode. */
+  val pngN = 50
+  val pngWBase = 16; val pngWMod = 5
+  val pngHBase = 12; val pngHMod = 3
+  private[graft] def pngPattern(id: Long): (Int, Int, Array[Byte]) = {
+    val w = pngWBase + (id % pngWMod).toInt
+    val h = pngHBase + (id % pngHMod).toInt
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(i) = ((x * 7 + y * 3 + id * 13) % 256).toByte
+        px(i + 1) = ((x * 5 + y * 11 + id * 17) % 256).toByte
+        px(i + 2) = ((x * 3 + y * 13 + id * 19) % 256).toByte
+        i += 3
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** REAL media decode under the oracle gate: generate the pattern,
+    * encode it as an actual PNG (deflate + chunks + CRC), carry the
+    * binary column through the relational magic-byte sniff, DECODE
+    * the pixels back (inflate + unfilter), and aggregate exact
+    * integer channel sums per image. The oracle computes the same
+    * sums directly from the pattern formula, so a single wrong byte
+    * anywhere in the codec path breaks the hash match. Both codec
+    * steps are per-partition batched ([[MediaFeatures]] shape) —
+    * media bytes never visit the driver; the per-row imperative work
+    * is exactly the codec boundary mapPartitions exists for. */
+  def q85PngStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = s.range(pngN).select(col("id").as("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, px) = pngPattern(id)
+        (id, graft.multimodal.Png.encode(w, h, px))
+      })
+      .toDF("media_id", "media")
+    media
+      .select(col("media_id"), col("media"),
+        Multimodal.sniffFormat(col("media")).as("fmt"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, fmt) =>
+        val img = graft.multimodal.Png.decode(bytes)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          sr += img.pixels(i) & 0xFF
+          sg += img.pixels(i + 1) & 0xFF
+          sb += img.pixels(i + 2) & 0xFF
+          i += 3
+        }
+        (id, fmt, img.width.toLong, img.height.toLong, sr, sg, sb)
+      })
+      .toDF("media_id", "fmt", "width", "height", "sum_r", "sum_g", "sum_b")
+      .orderBy("media_id")
+  }
+
+  /** The pattern replayed relationally: a bounded (x, y) grid filtered
+    * to each image's dims, channel formulas verbatim. */
+  val q85Sql: String =
+    s"""WITH ids AS (SELECT unnest(generate_series(0, ${pngN - 1})) AS media_id),
+       dims AS (SELECT media_id, $pngWBase + media_id % $pngWMod AS w,
+                       $pngHBase + media_id % $pngHMod AS h FROM ids),
+       xs AS (SELECT unnest(generate_series(0, ${pngWBase + pngWMod - 2})) AS x),
+       ys AS (SELECT unnest(generate_series(0, ${pngHBase + pngHMod - 2})) AS y),
+       px AS (SELECT media_id, w, h,
+                (x*7 + y*3 + media_id*13) % 256 AS r,
+                (x*5 + y*11 + media_id*17) % 256 AS g,
+                (x*3 + y*13 + media_id*19) % 256 AS b
+              FROM dims, xs, ys WHERE x < w AND y < h)
+       SELECT CAST(media_id AS BIGINT) AS media_id, 'png' AS fmt,
+         CAST(MIN(w) AS BIGINT) AS width, CAST(MIN(h) AS BIGINT) AS height,
+         CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+         CAST(SUM(b) AS BIGINT) AS sum_b
+       FROM px GROUP BY media_id ORDER BY media_id"""
+
   val q69Sql: String =
     """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
@@ -346,7 +433,8 @@ object PipelineQueries {
     "q61_stream_sessionize" -> (q61StreamSessionize _),
     "q69_stream_enrich" -> (q69StreamEnrich _),
     "q82_stream_hourly" -> (q82StreamHourly _),
-    "q83_stream_stream_join" -> (q83StreamStreamJoin _))
+    "q83_stream_stream_join" -> (q83StreamStreamJoin _),
+    "q85_png_stats" -> (q85PngStats _))
 
   // LAZY: q82 shares q06's oracle, so this map reaches back into
   // Queries — evaluating it during THIS object's clinit would NPE
@@ -363,5 +451,6 @@ object PipelineQueries {
     "q61_stream_sessionize" -> q60Sql,
     "q69_stream_enrich" -> q69Sql,
     "q82_stream_hourly" -> Queries.q06Sql,
-    "q83_stream_stream_join" -> ScaleQueries.q66Sql)
+    "q83_stream_stream_join" -> ScaleQueries.q66Sql,
+    "q85_png_stats" -> q85Sql)
 }

@@ -8,13 +8,17 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus the decode → featurize plumbing
   * a training-data pipeline runs over them.
   *
-  * The decode step itself is STUBBED (this container has no image or
-  * audio codecs): [[DecodeStub.features]] derives deterministic fake
-  * features from the content bytes. Everything around it — the
-  * schema, the binary-safe fingerprints, magic-byte format sniffing,
-  * the per-partition batched extraction, and the frame-sampling plan —
-  * is real Spark plumbing, exercised by MultimodalSpec. Swapping the
-  * stub for a JNI/FFI decoder changes one function.
+  * PNG decode is REAL: [[PngDecoder]] inflates and unfilters actual
+  * pixels through the pure-JVM [[Png]] codec (q85 pins exact channel
+  * sums against a formula-replaying oracle). Formats with no JVM
+  * codec in this container (JPEG, audio, video) go through
+  * [[DecodeStub.features]], which derives deterministic fake features
+  * from the content bytes. Everything around the decoder boundary —
+  * the schema, the binary-safe fingerprints, magic-byte format
+  * sniffing, the per-partition batched extraction, and the
+  * frame-sampling plan — is the same Spark plumbing either way,
+  * exercised by MultimodalSpec/PngSpec; swapping a stub for a real
+  * decoder changes one [[MediaDecoder]] binding.
   */
 object Multimodal {
 
