@@ -472,6 +472,22 @@ object RetrievalQueries {
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
   }
 
+  /** R2 (fourth scale path): per-partition NSW graph ANN — one
+    * navigable graph per partition via mapPartitions, beam search
+    * inside, exact re-score merge ([[graft.search.GraphAnn]]). Same
+    * query point as q45/q59 so all four approximate paths are
+    * comparable on one query. NO oracle: graph construction is
+    * iterative and partition-local (not SQL-expressible), so this
+    * row rides the driver's rows-only check + GraphAnnSpec's recall
+    * floors (≥ 0.9, ≥ IVF at nprobe=2) — the SURVEY ✗-mark
+    * discipline. */
+  def q86GraphAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.search.GraphAnn.graphTopK(e, "vec_id", "v",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10)
+      .orderBy("rank")
+  }
+
   /** R2 quality: the ANN recall CONTRACT. recall@10 of each
     * approximate path against the exact scan, one row per
     * (method, knob) — LSH single-probe vs multi-probe (Hamming-1
@@ -1333,7 +1349,8 @@ object RetrievalQueries {
     "q58_ivf_refined" -> (q58IvfRefined _),
     "q59_pq_ann" -> (q59PqAnn _),
     "q81_ivf_pq" -> (q81IvfPq _),
-    "q84_ivf_append" -> (q84IvfAppend _))
+    "q84_ivf_append" -> (q84IvfAppend _),
+    "q86_graph_ann" -> (q86GraphAnn _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,

@@ -1,0 +1,82 @@
+package graft
+
+import graft.search.{GraphAnn, IVF, Search}
+import org.apache.spark.sql.functions._
+
+/** Per-partition graph ANN: determinism, ranking contract, and the
+  * recall floor vs exact — the spec gate for the one search path that
+  * is not SQL-replayable (graph construction is iterative and
+  * partition-local), mirroring how SURVEY ✗-marks S7/M9. */
+class GraphAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  private def query(id: Long) =
+    emb.filter(col("vec_id") === id).select(col("v").as("qv"))
+
+  test("graphTopK returns dense ranks with exact re-scored values") {
+    val got = GraphAnn.graphTopK(emb, "vec_id", "v", query(0), "qv", 10)
+      .select("vec_id", "rank", "score")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    assert(got.map(_._2) == (1L to 10L))
+    // scores are the exact dot products of the returned ids (re-score
+    // contract: approximation prunes candidates, never alters scores)
+    val exact = Search.topK(emb, "vec_id", "v", query(0), "qv", 200)
+      .select("vec_id", "score").as[(Long, Double)].collect().toMap
+    got.foreach { case (id, _, s) => assert(exact(id) == s) }
+    // the query vector itself must be found (it is its own argmax)
+    assert(got.head._1 == 0L)
+  }
+
+  test("graphTopK is deterministic run-to-run") {
+    def run() = GraphAnn.graphTopK(emb, "vec_id", "v", query(3), "qv", 10)
+      .select("vec_id", "rank", "score").as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(run() == run())
+  }
+
+  test("recall@10 vs exact meets the floor and is competitive with IVF at equal probe cost") {
+    val queries = (0L until 5L)
+    def recallOf(approx: Long => Seq[Long]): Double = {
+      val hits = queries.map { q =>
+        val exact = Search.topK(emb, "vec_id", "v", query(q), "qv", 10)
+          .select("vec_id").as[Long].collect().toSet
+        approx(q).count(exact.contains)
+      }.sum
+      hits.toDouble / (queries.size * 10)
+    }
+    val graphRecall = recallOf(q =>
+      GraphAnn.graphTopK(emb, "vec_id", "v", query(q), "qv", 10, m = 8, ef = 48)
+        .select("vec_id").as[Long].collect().toSeq)
+    // IVF at nprobe=2 of 8 lists reads ~1/4 of the corpus — a probe
+    // budget comparable to ef=48 beams per partition on this corpus
+    val ivfRecall = recallOf(q =>
+      IVF.ivfTopK(emb, "vec_id", "v", query(q), "qv", 10, 8, 2)
+        .select("vec_id").as[Long].collect().toSeq)
+    assert(graphRecall >= 0.9, s"graph recall $graphRecall below floor")
+    assert(graphRecall >= ivfRecall,
+      s"graph recall $graphRecall below IVF nprobe=2 recall $ivfRecall")
+  }
+
+  test("graph build links every inserted node (no orphans)") {
+    val vecs = (0 until 64).map { i =>
+      Array.tabulate(8)(j => math.sin(i * 31 + j * 7).abs + 0.1)
+    }.toArray
+    val g = GraphAnn.buildGraph(vecs, m = 4, efC = 16)
+    (1 until 64).foreach(i => assert(g(i).nonEmpty, s"node $i has no neighbors"))
+    // degree bound holds after trimming
+    g.foreach(nb => assert(nb.length <= 4))
+  }
+
+  test("graphTopK rejects bad knobs and non-integral ids") {
+    intercept[IllegalArgumentException](
+      GraphAnn.graphTopK(emb, "vec_id", "v", query(0), "qv", 0))
+    intercept[IllegalArgumentException](
+      GraphAnn.graphTopK(emb, "vec_id", "v", query(0), "qv", 10, m = 8, ef = 5))
+    val strId = emb.select(col("vec_id").cast("string").as("vec_id"), col("v"))
+    intercept[IllegalArgumentException](
+      GraphAnn.graphTopK(strId, "vec_id", "v", query(0), "qv", 10))
+  }
+}
