@@ -421,25 +421,36 @@ object Queries {
     * Build-once cost is charged to the `_build_bm25_index` bench
     * entry, not to whichever query first touches the index. */
   private[graft] val bm25Buckets = 8
+
+  /** Tokenize `docs` and write (or append) their postings into the
+    * term-bucketed table `tbl`. Append preserves the bucket spec, so
+    * an incrementally-grown index prunes identically to a rebuilt
+    * one. */
+  private[graft] def writePostings(s: SparkSession, docs: DataFrame,
+                                   tbl: String, path: String,
+                                   mode: String): Unit = {
+    // a small local corpus file arrives as ONE scan partition,
+    // serializing the tokenize+explode of the index build; spread it
+    // across cores when the scan is under-parallel. No-op at real
+    // scale, where maxPartitionBytes already splits the scan.
+    val par = s.sparkContext.defaultParallelism
+    val dp = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    BM25.postings(dp, "doc_id", "text")
+      // one file per bucket: the write-side shuffle pays for the
+      // read-side pruning every query after
+      .repartition(bm25Buckets, col("term"))
+      .write.mode(mode)
+      .option("path", path)
+      .bucketBy(bm25Buckets, "term").sortBy("term")
+      .saveAsTable(tbl)
+  }
+
   private[graft] def bm25PostingsTable(s: SparkSession, dir: String): String =
     Memo.cachedValue(s, dir, "bm25index") {
       val tbl = "bm25_postings_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       s.sql(s"DROP TABLE IF EXISTS $tbl")
-      val d = t(s, dir, "documents")
-      // a small local corpus file arrives as ONE scan partition,
-      // serializing the tokenize+explode of the index build; spread it
-      // across cores when the scan is under-parallel. No-op at real
-      // scale, where maxPartitionBytes already splits the scan.
-      val par = s.sparkContext.defaultParallelism
-      val dp = if (d.rdd.getNumPartitions < par) d.repartition(par) else d
-      BM25.postings(dp, "doc_id", "text")
-        // one file per bucket: the write-side shuffle pays for the
-        // read-side pruning every query after
-        .repartition(bm25Buckets, col("term"))
-        .write.mode("overwrite")
-        .option("path", PipelineQueries.roundtripPath(dir, "bm25index"))
-        .bucketBy(bm25Buckets, "term").sortBy("term")
-        .saveAsTable(tbl)
+      writePostings(s, t(s, dir, "documents"), tbl,
+        PipelineQueries.roundtripPath(dir, "bm25index"), "overwrite")
       tbl
     }
 
@@ -466,6 +477,29 @@ object Queries {
        r AS (SELECT doc_id AS doc, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
                     ROUND(score, 4) AS score FROM sc)
        SELECT doc, rank, score FROM r WHERE rank <= 20 ORDER BY rank"""
+
+  /** R3 incremental maintenance under the oracle gate (the BM25 twin
+    * of q84's IVF append): build the term-bucketed postings table
+    * over the BASE corpus slice (doc_id >= 100), APPEND the delta
+    * batch's postings (doc_id < 100), derive (N, avgdl) FROM the
+    * grown table ([[BM25.statsFromPostings]]) and search it. The
+    * oracle is q20's full-corpus SQL, so the hash match pins
+    * append-then-derive ≡ full rebuild: postings are per-doc rows
+    * (appending docs never rewrites existing rows), df/idf and the
+    * corpus scalars are recomputed at query time from the table, and
+    * the appended files land in the same term buckets so pruning is
+    * unchanged. */
+  def q87Bm25Append(s: SparkSession, dir: String): DataFrame = {
+    val tbl = "bm25_append_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = PipelineQueries.roundtripPath(dir, "bm25append")
+    val d = t(s, dir, "documents")
+    writePostings(s, d.filter(col("doc_id") >= 100), tbl, path, "overwrite")
+    writePostings(s, d.filter(col("doc_id") < 100), tbl, path, "append")
+    val post = s.table(tbl)
+    BM25.searchIndexed(post, BM25.statsFromPostings(post), bm25Terms, 20)
+      .orderBy("rank")
+  }
 
   /** Corpus-wide term frequencies, top 20 — explode + aggregate. */
   def q21TopTerms(s: SparkSession, dir: String): DataFrame =
@@ -511,7 +545,8 @@ object Queries {
     "q15_dp_search" -> (q15DpSearch _),
     "q20_bm25" -> (q20Bm25 _),
     "q21_top_terms" -> (q21TopTerms _),
-    "q70_pivot" -> (q70Pivot _)) ++
+    "q70_pivot" -> (q70Pivot _),
+    "q87_bm25_append" -> (q87Bm25Append _)) ++
     CurationQueries.all ++ RetrievalQueries.all ++ PipelineQueries.all ++
     ScaleQueries.all ++ PrepQueries.all
 
@@ -532,7 +567,8 @@ object Queries {
     "q15_dp_search" -> q15Sql,
     "q20_bm25" -> q20Sql,
     "q21_top_terms" -> q21Sql,
-    "q70_pivot" -> q70Sql) ++
+    "q70_pivot" -> q70Sql,
+    "q87_bm25_append" -> q20Sql) ++
     CurationQueries.oracle ++ RetrievalQueries.oracle ++ PipelineQueries.oracle ++
     ScaleQueries.oracle ++ PrepQueries.oracle
 }

@@ -56,6 +56,20 @@ object BM25 {
       .select(size(tokens(col(textCol))).cast("double").as("__dl"))
       .agg(count(lit(1)).cast("double").as("__n"), avg(col("__dl")).as("__avgdl"))
 
+  /** Corpus stats DERIVED FROM a postings frame instead of the raw
+    * corpus: every document contributes at least one posting row
+    * (the tokenizer emits [""] for empty text), so
+    * distinct (doc, len) recovers exactly the (N, avgdl) that
+    * [[corpusStats]] computes from the documents table. This is what
+    * makes the postings table the SINGLE incremental artifact:
+    * append a delta batch's postings and the stats follow from the
+    * table itself — no separately-maintained counter to drift out of
+    * sync (q87 pins append-then-derive ≡ full rebuild under the
+    * oracle). */
+  def statsFromPostings(post: DataFrame): DataFrame =
+    post.select(col("doc"), col("len")).distinct()
+      .agg(count(lit(1)).cast("double").as("__n"), avg(col("len")).as("__avgdl"))
+
   /** [[search]] computing corpus stats inline (one-off callers). */
   def search(docs: DataFrame, idCol: String, textCol: String,
              queryTerms: Seq[String], k: Int): DataFrame =

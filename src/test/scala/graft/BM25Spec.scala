@@ -36,6 +36,29 @@ class BM25Spec extends SparkSpec {
     assert(got.head == 1L) // doc 1 matches both terms
   }
 
+  test("statsFromPostings recovers corpusStats exactly (incl. empty text)") {
+    val withEmpty = docs.union(Seq((5L, "")).toDF("doc_id", "text"))
+    val fromCorpus = BM25.corpusStats(withEmpty, "text")
+      .as[(Double, Double)].head()
+    val fromPostings = BM25.statsFromPostings(
+      BM25.postings(withEmpty, "doc_id", "text"))
+      .as[(Double, Double)].head()
+    assert(fromCorpus == fromPostings)
+  }
+
+  test("appended postings score identically to a full one-shot index") {
+    val base = docs.filter(col("doc_id") <= 2)
+    val delta = docs.filter(col("doc_id") > 2)
+    val appended = BM25.postings(base, "doc_id", "text")
+      .union(BM25.postings(delta, "doc_id", "text"))
+    val full = BM25.postings(docs, "doc_id", "text")
+    def score(post: org.apache.spark.sql.DataFrame) =
+      BM25.searchIndexed(post, BM25.statsFromPostings(post), Seq("spark", "engine"), 10)
+        .select("doc", "rank", "score").as[(Long, Long, Double)]
+        .collect().toSeq.sortBy(_._2)
+    assert(score(appended) == score(full))
+  }
+
   test("no matching docs gives empty result") {
     assert(BM25.search(docs, "doc_id", "text", Seq("zzz"), 5).count() == 0)
   }
