@@ -102,7 +102,19 @@ object GraphAnn {
     while (continue && frontier.nonEmpty) {
       val (best, bestScore) = frontier.dequeue()
       if (beam.size >= ef && bestScore < beam.head._2) continue = false
-      else nbrs(best).foreach(j => if (j < limit) consider(j))
+      else {
+        nbrs(best).foreach(j => if (j < limit) consider(j))
+        // implicit CHAIN BACKBONE: every node also reaches its id
+        // neighbors i±1. Proximity links alone can disconnect — a
+        // clique of exact-duplicate vectors fills each member's
+        // trimmed neighbor list with fellow copies and strands the
+        // entry component (surfaced by the 10× ScaleProbe corpus,
+        // whose id-shifted embedding copies are exact duplicates);
+        // the chain keeps the graph navigable from any entry point
+        // with zero storage and no effect on the trim heuristic.
+        if (best + 1 < limit) consider(best + 1)
+        if (best - 1 >= 0) consider(best - 1)
+      }
     }
     beam.dequeueAll.toArray.sortBy { case (i, s) => (-s, i) }
   }

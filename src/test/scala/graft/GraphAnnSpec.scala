@@ -60,6 +60,22 @@ class GraphAnnSpec extends SparkSpec {
       s"graph recall $graphRecall below IVF nprobe=2 recall $ivfRecall")
   }
 
+  test("exact-duplicate cliques do not strand the search (chain backbone)") {
+    // every vector duplicated 10x with shifted ids — the ScaleProbe
+    // corpus shape that trapped the pre-chain graph inside the entry
+    // point's duplicate clique (9 rows returned, query never found)
+    val n = emb.count()
+    val dup = (0 until 10).map(c =>
+      emb.select((col("vec_id") + lit(c * n)).as("vec_id"), col("v")))
+      .reduce(_ union _)
+    val got = GraphAnn.graphTopK(dup, "vec_id", "v", query(1), "qv", 10)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(got.size == 10, s"expected a full top-10, got ${got.size}")
+    // the query point and its 9 duplicates all score 1.0 (normalized
+    // corpus) and must be exactly the top-10
+    assert(got.map(_._1).toSet == (0 until 10).map(c => 1L + c * n).toSet)
+  }
+
   test("graph build links every inserted node (no orphans)") {
     val vecs = (0 until 64).map { i =>
       Array.tabulate(8)(j => math.sin(i * 31 + j * 7).abs + 0.1)
