@@ -138,8 +138,17 @@ object GraphAnn {
     val qv = query.select(col(queryVecCol).cast("array<double>"))
       .as[Seq[Double]].head().toArray
     val bq = spark.sparkContext.broadcast(qv)
-    val cands = docs
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    val src = docs.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    // graph build cost is superlinear in rows-per-partition (each
+    // insertion beam-searches the partition's graph-so-far), so an
+    // under-parallel scan — a small local file arriving as ONE split —
+    // must be spread before building; the id-hash repartition keeps
+    // each graph a deterministic function of corpus content. No-op at
+    // real scale, where maxPartitionBytes bounds rows per partition.
+    val par = spark.sparkContext.defaultParallelism
+    val spread = if (src.rdd.getNumPartitions < par)
+      src.repartition(par, col(idCol)) else src
+    val cands = spread
       .as[(Long, Seq[Double])]
       .mapPartitions { it =>
         // ascending-id order makes the graph a pure function of the
