@@ -59,6 +59,48 @@ object CurationQueries {
          ROUND(CAST(len(list_filter(toks, x -> list_contains([$stopList], x))) AS DOUBLE) / greatest(len(toks), 1), 4) AS stop_ratio
        FROM t ORDER BY doc_id"""
 
+  /** PII redaction under the oracle gate: every doc gets a
+    * deterministic synthetic PII tail (email + URL + phone derived
+    * from doc_id — the corpus text itself carries no PII, so the
+    * fixture guarantees every redaction branch actually fires), then
+    * the scrub replaces each kind with its typed placeholder and the
+    * audit counts matches per kind. The md5 of the REDACTED text is
+    * declared, so one mis-replaced character anywhere breaks the
+    * hash; patterns live in the Java∩RE2 dialect so the identical
+    * strings run in both engines. Pure per-row codegen'd projection —
+    * scales with the scan. */
+  def q88Redact(s: SparkSession, dir: String): DataFrame = {
+    import TextAnalysis._
+    val t2 = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com via http://ex"), col("doc_id").cast("string"),
+      lit(".io or 555-123-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    docs(s, dir)
+      .filter(col("doc_id") < 200)
+      .select(Seq(col("doc_id")) ++ piiCounts(t2) :+
+        md5(redactPii(t2)).as("fp"): _*)
+      .orderBy("doc_id")
+  }
+
+  val q88Sql: String = {
+    import TextAnalysis._
+    s"""WITH t AS (SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com via http://ex' || CAST(doc_id AS VARCHAR)
+              || '.io or 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2
+       FROM documents WHERE doc_id < 200)
+       SELECT doc_id,
+         CAST(len(regexp_extract_all(t2, '$emailRe')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(t2, '$urlRe')) AS BIGINT) AS n_url,
+         CAST(len(regexp_extract_all(t2, '$phoneRe')) AS BIGINT) AS n_phone,
+         md5(regexp_replace(regexp_replace(regexp_replace(t2,
+           '$emailRe', '<EMAIL>', 'g'),
+           '$urlRe', '<URL>', 'g'),
+           '$phoneRe', '<PHONE>', 'g')) AS fp
+       FROM t ORDER BY doc_id"""
+  }
+
   /** Quality score + language-ID heuristic per document. The langId
     * profile table is a broadcast literal — per-row argmax, no
     * shuffle. `lang` ground truth included for eyeball comparison. */
@@ -578,7 +620,8 @@ object CurationQueries {
     "q33_neardup_cosine" -> (q33NeardupCosine _),
     "q34_ngram_jaccard" -> (q34NgramJaccard _),
     "q47_curation_e2e" -> (q47CurationE2e _),
-    "q71_temperature_mix" -> (q71TemperatureMix _))
+    "q71_temperature_mix" -> (q71TemperatureMix _),
+    "q88_redact" -> (q88Redact _))
 
   val oracle: Map[String, String] = Map(
     "q22_text_stats" -> q22Sql,
@@ -592,5 +635,6 @@ object CurationQueries {
     "q33_neardup_cosine" -> q33Sql,
     "q34_ngram_jaccard" -> q34Sql,
     "q47_curation_e2e" -> q47Sql,
-    "q71_temperature_mix" -> q71Sql)
+    "q71_temperature_mix" -> q71Sql,
+    "q88_redact" -> q88Sql)
 }

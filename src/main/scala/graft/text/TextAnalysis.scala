@@ -116,4 +116,32 @@ object TextAnalysis {
       t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
     aggregate(hs, lit(0L), (acc, h) => (acc * 31L + h) % lit(2147483647L))
   }
+
+  // ---------- PII redaction ----------
+
+  /** PII patterns, written in the Java-regex ∩ RE2 dialect so the
+    * same strings run verbatim in Spark (codegen'd regexp_replace)
+    * and the DuckDB oracle. Conservative by design: redaction
+    * pipelines prefer false positives over leaked identifiers. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRe = "https?://[^\\s]+"
+  val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** Redact emails, then URLs, then phone numbers to typed
+    * placeholder tokens — the standard pre-training scrub. Email runs
+    * first so an address is never half-eaten by the URL pass; all
+    * three are per-row codegen'd regexp_replace calls, so redaction
+    * scales with the scan. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        urlRe, "<URL>"),
+      phoneRe, "<PHONE>")
+
+  /** Per-kind PII match counts (the audit side of redaction). */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(emailRe)).cast("long").as("n_email"),
+    regexp_count(text, lit(urlRe)).cast("long").as("n_url"),
+    regexp_count(text, lit(phoneRe)).cast("long").as("n_phone"))
 }

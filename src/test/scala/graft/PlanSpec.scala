@@ -91,6 +91,18 @@ class PlanSpec extends SparkSpec {
       s"expected the term-keyed aggregate to reuse bucketing:\n$p")
   }
 
+  test("q87: incrementally-appended postings table stays bucket-pruned") {
+    val p = plan("q87_bm25_append")
+    // append lands delta files in the SAME term buckets, so the
+    // 3-term query still reads a strict subset of buckets and the
+    // term-keyed aggregates still reuse the bucketing
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+    assert(sel.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"expected bucket pruning on the appended table:\n$p")
+    assert(!p.contains("hashpartitioning(term"),
+      s"expected the term-keyed aggregate to reuse bucketing:\n$p")
+  }
+
   test("one-off BM25.search explodes only the query terms (pre-explode array filter)") {
     import graft.lexical.BM25
     import org.apache.spark.sql.functions._

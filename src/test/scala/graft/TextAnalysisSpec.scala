@@ -75,4 +75,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) == fp(3L))
     fp.values.foreach(v => assert(v >= 0 && v < 2147483647L))
   }
+
+  test("redactPii replaces each kind with its placeholder, counts audit") {
+    val df = Seq(
+      (1L, "write to a.b+c@mail-host.co.uk or visit https://x.io/p?q=1 now"),
+      (2L, "call 555-123-4567 or 555-999-0000"),
+      (3L, "no pii here at all")).toDF("id", "t")
+    val red = df.select(col("id"), redactPii(col("t")))
+      .as[(Long, String)].collect().toMap
+    assert(red(1L) == "write to <EMAIL> or visit <URL> now")
+    assert(red(2L) == "call <PHONE> or <PHONE>")
+    assert(red(3L) == "no pii here at all")
+    val counts = df.select(Seq(col("id")) ++ piiCounts(col("t")): _*)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(counts(1L) == ((1L, 1L, 0L)))
+    assert(counts(2L) == ((0L, 0L, 2L)))
+    assert(counts(3L) == ((0L, 0L, 0L)))
+  }
 }
