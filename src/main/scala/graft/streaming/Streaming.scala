@@ -64,11 +64,17 @@ object Streaming {
     * twin of this operator is [[graft.operators.RangeJoin]], and
     * q83's oracle checks the drained stream against exactly that
     * batch formulation. */
+  /** `joinType` supports "inner" and the watermarked outer variants
+    * ("left_outer"/"right_outer"/"full_outer"): an outer row's null
+    * match is emitted only once the watermark proves no in-window
+    * partner can still arrive — the streaming-correct version of
+    * "clicks with no error within 12h". */
   def intervalJoin(left: DataFrame, leftTsCol: String,
                    right: DataFrame, rightTsCol: String,
-                   cond: Column, lateness: String = "10 minutes"): DataFrame =
+                   cond: Column, lateness: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTsCol, lateness)
-      .join(right.withWatermark(rightTsCol, lateness), cond)
+      .join(right.withWatermark(rightTsCol, lateness), cond, joinType)
 
   /** Event for the typed custom-state path. */
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

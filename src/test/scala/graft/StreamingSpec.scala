@@ -121,6 +121,41 @@ class StreamingSpec extends SparkSpec {
     assert(after == Set((1L, 100L)))
   }
 
+  test("left-outer intervalJoin emits the null match once the watermark closes the window") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val joined = Streaming.intervalJoin(
+      clicks.toDF().select(col("event_id"), col("user_id"), col("ts")), "ts",
+      errors.toDF().select(col("event_id").as("e_event_id"),
+        col("user_id").as("e_user_id"), col("ts").as("e_ts")), "e_ts",
+      col("user_id") === col("e_user_id") &&
+        col("e_ts") >= col("ts") &&
+        col("e_ts") <= col("ts") + expr("INTERVAL 1 HOUR"),
+      joinType = "left_outer")
+      .select(col("event_id"), col("e_event_id"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_outer")
+      .outputMode("append").start()
+    // user 7 gets a match; user 8's click has no error in its window
+    clicks.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(0), 8, "click", 1.0))
+    errors.addData(Event(100, ts(10), 7, "error", 0.0))
+    q.processAllAvailable()
+    // the unmatched click's null row must NOT appear yet — its window
+    // is still open
+    val early = spark.sql("SELECT event_id, e_event_id FROM ssjoin_outer")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(early == Set((1L, Some(100L))))
+    // watermark far past the window on both inputs closes it
+    val late = java.sql.Timestamp.valueOf("2024-01-02 10:00:00")
+    clicks.addData(Event(3, late, 9, "click", 1.0))
+    errors.addData(Event(101, late, 9, "error", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.sql("SELECT event_id, e_event_id FROM ssjoin_outer")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(after.contains((2L, None)), s"expected the null match for the closed window, got $after")
+  }
+
   test("readStream over the events parquet matches the batch result") {
     // the file source wants a directory: stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
