@@ -488,6 +488,50 @@ object RetrievalQueries {
       .orderBy("rank")
   }
 
+  /** Embedding-quality diagnostics: corpus mean + top principal
+    * component of the centered embeddings via relational power
+    * iteration ([[graft.embed.Spectral]]) — the artifacts of the
+    * "all-but-the-top" post-process a pipeline computes before
+    * committing a corpus to a new embedder. Every cross-row sum is
+    * integer-quantized (the q58/q78 discipline), so three full
+    * power-iteration steps — including normalization — hash-match
+    * the unrolled SQL replay bit for bit. */
+  val pcaIters = 3
+  def q89EmbeddingPc(s: SparkSession, dir: String): DataFrame =
+    graft.embed.Spectral.topComponent(emb(s, dir), "v", pcaIters)
+      .select(posexplode(arrays_zip(col("mu"), col("pc"))))
+      .select(col("pos").cast("long").as("j"),
+        round(col("col.mu"), 6).as("mu"),
+        round(col("col.pc"), 6).as("loading"))
+      .orderBy("j")
+
+  /** The power iteration unrolled: centered exploded coordinates,
+    * v0 = 1/8 (= 1/√64 exactly), each step = quantized projection
+    * sum per row, quantized component sum per dimension, quantized
+    * norm. */
+  val q89Sql: String = {
+    def iter(t: Int): String = {
+      val prev = if (t == 1) "v0" else s"v${t - 1}"
+      s"""s$t AS (SELECT i, SUM(CAST(ROUND(xc * v * 1000000000) AS BIGINT)) / 1000000000.0 AS s
+           FROM cx JOIN $prev USING (j) GROUP BY i),
+         wq$t AS (SELECT j, SUM(CAST(ROUND(xc * s * 1000000) AS BIGINT)) AS wq
+           FROM cx JOIN s$t USING (i) GROUP BY j),
+         n$t AS (SELECT sqrt(SUM(CAST(ROUND((wq/1000000.0)*(wq/1000000.0)*1000000) AS BIGINT))/1000000.0) AS nrm
+           FROM wq$t),
+         v$t AS (SELECT j, (wq/1000000.0) / (nrm + 1e-9) AS v FROM wq$t, n$t)"""
+    }
+    val dims = s"SELECT UNNEST(generate_series(0, ${embDim - 1})) AS j"
+    s"""WITH e AS (SELECT vec_id AS i, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       px AS (SELECT i, jj.j AS j, v[jj.j + 1] AS x FROM e, ($dims) jj),
+       mu AS (SELECT j, CAST(SUM(CAST(ROUND(x*1000000) AS BIGINT)) AS DOUBLE)/(COUNT(*)*1000000.0) AS m
+              FROM px GROUP BY j),
+       cx AS (SELECT i, j, x - m AS xc FROM px JOIN mu USING (j)),
+       v0 AS (SELECT j, 0.125 AS v FROM ($dims)),
+       ${(1 to pcaIters).map(iter).mkString(",\n       ")}
+       SELECT j, ROUND(m, 6) AS mu, ROUND(v, 6) AS loading
+       FROM v$pcaIters JOIN mu USING (j) ORDER BY j"""
+  }
+
   /** R2 quality: the ANN recall CONTRACT. recall@10 of each
     * approximate path against the exact scan, one row per
     * (method, knob) — LSH single-probe vs multi-probe (Hamming-1
@@ -1350,7 +1394,8 @@ object RetrievalQueries {
     "q59_pq_ann" -> (q59PqAnn _),
     "q81_ivf_pq" -> (q81IvfPq _),
     "q84_ivf_append" -> (q84IvfAppend _),
-    "q86_graph_ann" -> (q86GraphAnn _))
+    "q86_graph_ann" -> (q86GraphAnn _),
+    "q89_embedding_pc" -> (q89EmbeddingPc _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
@@ -1376,5 +1421,6 @@ object RetrievalQueries {
     "q58_ivf_refined" -> q58Sql,
     "q59_pq_ann" -> q59Sql,
     "q81_ivf_pq" -> q81Sql,
-    "q84_ivf_append" -> q84Sql)
+    "q84_ivf_append" -> q84Sql,
+    "q89_embedding_pc" -> q89Sql)
 }
