@@ -41,18 +41,29 @@ object Memo {
     * add/remove/rewrite of a table under a data dir changes a direct
     * child's entry (parquet overwrites create new part files, so even
     * directory-shaped tables bump their own mtime), invalidating the
-    * cache and forcing a fresh deep walk. The one shape this can miss
-    * — an in-place byte rewrite of a NESTED file that alters neither
-    * its parent dir's mtime nor the root's — does not occur for
-    * parquet/CSV table layouts, where writers always create/delete
-    * part files. */
+    * cache and forcing a fresh deep walk. The signature descends TWO
+    * levels (root entries + each subdirectory's entries) so that
+    * directory-shaped tables (part files under events.parquet, or
+    * under a partitioned index's cid= dirs) invalidate on part-file
+    * append/delete —
+    * any file write creates or deletes an entry whose parent dir sits
+    * within those two levels for every table layout the engine
+    * writes. The remaining blind spot — an in-place byte rewrite of a
+    * depth-≥3 file that bumps no tracked mtime — does not occur for
+    * parquet/CSV layouts, where writers always create/delete part
+    * files. */
   private val fpCache = scala.collection.concurrent.TrieMap
     .empty[String, (String, String)] // dir -> (shallowSig, deepFp)
 
-  private def shallowSig(root: java.io.File): String =
-    (s"${root.lastModified}" +:
-      Option(root.listFiles()).toSeq.flatten.sortBy(_.getName)
-        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")).mkString("|")
+  private def shallowSig(root: java.io.File): String = {
+    def entry(f: java.io.File) = s"${f.getName}:${f.length}:${f.lastModified}"
+    val kids = Option(root.listFiles()).toSeq.flatten.sortBy(_.getName)
+    (s"${root.lastModified}" +: kids.flatMap { f =>
+      entry(f) +: (if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).map(entry)
+      else Nil)
+    }).mkString("|")
+  }
 
   private[graft] def dirFingerprint(dir: String): String = {
     val root = new java.io.File(dir)

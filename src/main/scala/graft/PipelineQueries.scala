@@ -128,7 +128,7 @@ object PipelineQueries {
     * timed bench artifact, not just a MemoryStream spec. */
   def q61StreamSessionize(s: SparkSession, dir: String): DataFrame = {
     val events = eventsStream(s, dir)
-    val sink = "q61_sessions_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val sink = "q61_sessions_" + sanitizeTag(dir)
     Streaming.runToMemory(s, Streaming.sessionize(events, "30 minutes"),
       sink, "complete")
     s.table(sink)
@@ -157,7 +157,7 @@ object PipelineQueries {
       .join(broadcast(dim), "user_id")
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("sum_value_c"))
-    val sink = "q69_enrich_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val sink = "q69_enrich_" + sanitizeTag(dir)
     Streaming.runToMemory(s, enriched, sink, "complete")
     s.table(sink).orderBy("c_mktsegment", "event_type")
   }
@@ -181,7 +181,7 @@ object PipelineQueries {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value_c"))
-    val sink = "q82_hourly_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val sink = "q82_hourly_" + sanitizeTag(dir)
     Streaming.runToMemory(s, agg, sink, "complete")
     s.table(sink).orderBy("hour", "event_type")
   }
@@ -208,7 +208,7 @@ object PipelineQueries {
         col("e_ts") <= col("ts") + expr("INTERVAL 12 HOURS"))
       .select(col("event_id"), col("e_event_id"),
         (unix_micros(col("e_ts")) - unix_micros(col("ts"))).as("delta_us"))
-    val sink = "q83_ssjoin_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val sink = "q83_ssjoin_" + sanitizeTag(dir)
     Streaming.runToMemory(s, joined, sink, "append")
     s.table(sink).orderBy("event_id", "e_event_id")
   }
@@ -307,6 +307,12 @@ object PipelineQueries {
        WHERE c_custkey < 150
        GROUP BY c_mktsegment, event_type
        ORDER BY c_mktsegment, event_type"""
+
+  /** Catalog-safe tag for a data dir (table/sink names must be
+    * identifier-shaped); shared by every per-dir table and memory
+    * sink so the character class lives in ONE place. */
+  private[graft] def sanitizeTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_")
 
   /** Deterministic scratch path for write-then-read-back queries,
     * distinct per (query, sf) so runs never cross-contaminate. */

@@ -161,7 +161,7 @@ object ScaleQueries {
     Memo.cachedValue(s, dir, "q64tables")(buildBucketedTables(s, dir))
 
   private def buildBucketedTables(s: SparkSession, dir: String): (String, String) = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = PipelineQueries.sanitizeTag(dir)
     val base = PipelineQueries.roundtripPath(dir, "q64")
     def write(df: DataFrame, name: String, key: String): String = {
       val tbl = s"q64_${name}_$tag"

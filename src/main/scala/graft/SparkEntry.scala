@@ -447,7 +447,7 @@ object Queries {
 
   private[graft] def bm25PostingsTable(s: SparkSession, dir: String): String =
     Memo.cachedValue(s, dir, "bm25index") {
-      val tbl = "bm25_postings_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = "bm25_postings_" + PipelineQueries.sanitizeTag(dir)
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       writePostings(s, t(s, dir, "documents"), tbl,
         PipelineQueries.roundtripPath(dir, "bm25index"), "overwrite")
@@ -490,7 +490,7 @@ object Queries {
     * the appended files land in the same term buckets so pruning is
     * unchanged. */
   def q87Bm25Append(s: SparkSession, dir: String): DataFrame = {
-    val tbl = "bm25_append_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = "bm25_append_" + PipelineQueries.sanitizeTag(dir)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     val path = PipelineQueries.roundtripPath(dir, "bm25append")
     val d = t(s, dir, "documents")

@@ -25,10 +25,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   /** Constant scalar knobs (k, m, width, depth) must be integral
     * literals — accept any integral width (2, 2L, …) since SQL
-    * frontends differ in how they type small literals. */
+    * frontends differ in how they type small literals, but reject an
+    * out-of-Int-range Long instead of silently wrapping it to a
+    * wrong knob value. */
   private def intLit(fn: String, what: String, e: Expression): Int = e match {
     case Literal(v: Int, _)   => v
-    case Literal(v: Long, _)  => v.toInt
+    case Literal(v: Long, _) =>
+      if (v < Int.MinValue || v > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"$fn $what is out of Int range: $v")
+      v.toInt
     case Literal(v: Short, _) => v.toInt
     case Literal(v: Byte, _)  => v.toInt
     case other => throw new IllegalArgumentException(

@@ -118,7 +118,9 @@ object Png {
     var done = false
     while (!done && pos + 8 <= bytes.length) {
       val len = ByteBuffer.wrap(bytes, pos, 4).getInt
-      require(len >= 0 && pos + 8 + len + 4 <= bytes.length,
+      // overflow-safe bound: a hostile length near Int.MaxValue would
+      // wrap `pos + 8 + len + 4` negative and slip past a naive check
+      require(len >= 0 && len <= bytes.length - pos - 12,
         s"truncated chunk at offset $pos")
       val typ = new String(bytes, pos + 4, 4, "US-ASCII")
       val dataOff = pos + 8
@@ -160,6 +162,10 @@ object Png {
     var off = 0
     while (!inflater.finished() && off < raw.length) {
       val n = inflater.inflate(raw, off, raw.length - off)
+      // needsDictionary: FDICT-flagged zlib streams (never valid in
+      // PNG) would otherwise return n=0 forever and busy-spin here
+      require(!inflater.needsDictionary(),
+        "IDAT stream requires a preset dictionary (invalid for PNG)")
       require(n > 0 || !inflater.needsInput(), "truncated IDAT stream")
       off += n
     }

@@ -63,8 +63,9 @@ object Streaming {
     * minus the allowed lateness are DROPPED at ingest — the batch
     * twin of this operator is [[graft.operators.RangeJoin]], and
     * q83's oracle checks the drained stream against exactly that
-    * batch formulation. */
-  /** `joinType` supports "inner" and the watermarked outer variants
+    * batch formulation.
+    *
+    * `joinType` supports "inner" and the watermarked outer variants
     * ("left_outer"/"right_outer"/"full_outer"): an outer row's null
     * match is emitted only once the watermark proves no in-window
     * partner can still arrive — the streaming-correct version of
