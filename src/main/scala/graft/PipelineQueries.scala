@@ -41,6 +41,7 @@ object PipelineQueries {
       """CASE WHEN substr(hex(encode(text)), 1, 8) = '89504E47' THEN 'png'
               WHEN substr(hex(encode(text)), 1, 6) = 'FFD8FF'   THEN 'jpeg'
               WHEN substr(hex(encode(text)), 1, 8) = '47494638' THEN 'gif'
+              WHEN substr(hex(encode(text)), 1, 4) = '424D'     THEN 'bmp'
               WHEN substr(hex(encode(text)), 1, 8) = '52494646' THEN 'riff'
               WHEN substr(hex(encode(text)), 1, 8) = '1A45DFA3' THEN 'matroska'
               ELSE 'unknown' END"""
@@ -300,6 +301,66 @@ object PipelineQueries {
          CAST(SUM(b) AS BIGINT) AS sum_b
        FROM px GROUP BY media_id ORDER BY media_id"""
 
+  /** MIXED-FORMAT media decode under the oracle gate: the same
+    * deterministic pattern as q85, but the binary column holds TWO
+    * real containers — JDK-written BMP for even ids, the engine's own
+    * PNG for odd ids — and every row flows through the relational
+    * magic-byte dispatch into ONE decoder ([[graft.multimodal
+    * .ImageIoCodec]], which also cross-validates the hand-rolled PNG
+    * encoder against the JDK's independent PNG reader). Both
+    * containers are lossless, so exact integer channel sums replay
+    * from the pattern formula; the format column pins the dispatch. */
+  def q90MixedMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = s.range(pngN).select(col("id").as("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, px) = pngPattern(id)
+        val bytes =
+          if (id % 2 == 0) graft.multimodal.ImageIoCodec.encodeBmp(w, h, px)
+          else graft.multimodal.Png.encode(w, h, px)
+        (id, bytes)
+      })
+      .toDF("media_id", "media")
+    media
+      .select(col("media_id"), col("media"),
+        Multimodal.sniffFormat(col("media")).as("fmt"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, fmt) =>
+        val img = graft.multimodal.ImageIoCodec.decodeRgb(bytes)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          sr += img.pixels(i) & 0xFF
+          sg += img.pixels(i + 1) & 0xFF
+          sb += img.pixels(i + 2) & 0xFF
+          i += 3
+        }
+        (id, fmt, img.width.toLong, img.height.toLong, sr, sg, sb)
+      })
+      .toDF("media_id", "fmt", "width", "height", "sum_r", "sum_g", "sum_b")
+      .orderBy("media_id")
+  }
+
+  /** q85's formula replay with the per-id container in the fmt
+    * column. */
+  val q90Sql: String =
+    s"""WITH ids AS (SELECT unnest(generate_series(0, ${pngN - 1})) AS media_id),
+       dims AS (SELECT media_id, $pngWBase + media_id % $pngWMod AS w,
+                       $pngHBase + media_id % $pngHMod AS h FROM ids),
+       xs AS (SELECT unnest(generate_series(0, ${pngWBase + pngWMod - 2})) AS x),
+       ys AS (SELECT unnest(generate_series(0, ${pngHBase + pngHMod - 2})) AS y),
+       px AS (SELECT media_id, w, h,
+                (x*7 + y*3 + media_id*13) % 256 AS r,
+                (x*5 + y*11 + media_id*17) % 256 AS g,
+                (x*3 + y*13 + media_id*19) % 256 AS b
+              FROM dims, xs, ys WHERE x < w AND y < h)
+       SELECT CAST(media_id AS BIGINT) AS media_id,
+         CASE WHEN media_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+         CAST(MIN(w) AS BIGINT) AS width, CAST(MIN(h) AS BIGINT) AS height,
+         CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+         CAST(SUM(b) AS BIGINT) AS sum_b
+       FROM px GROUP BY media_id ORDER BY media_id"""
+
   val q69Sql: String =
     """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
@@ -440,7 +501,8 @@ object PipelineQueries {
     "q69_stream_enrich" -> (q69StreamEnrich _),
     "q82_stream_hourly" -> (q82StreamHourly _),
     "q83_stream_stream_join" -> (q83StreamStreamJoin _),
-    "q85_png_stats" -> (q85PngStats _))
+    "q85_png_stats" -> (q85PngStats _),
+    "q90_mixed_media" -> (q90MixedMedia _))
 
   // LAZY: q82 shares q06's oracle, so this map reaches back into
   // Queries — evaluating it during THIS object's clinit would NPE
@@ -458,5 +520,6 @@ object PipelineQueries {
     "q69_stream_enrich" -> q69Sql,
     "q82_stream_hourly" -> Queries.q06Sql,
     "q83_stream_stream_join" -> ScaleQueries.q66Sql,
-    "q85_png_stats" -> q85Sql)
+    "q85_png_stats" -> q85Sql,
+    "q90_mixed_media" -> q90Sql)
 }

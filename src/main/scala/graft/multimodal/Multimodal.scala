@@ -48,6 +48,7 @@ object Multimodal {
     when(prefix.startsWith("89504E47"), "png")
       .when(prefix.startsWith("FFD8FF"), "jpeg")
       .when(prefix.startsWith("47494638"), "gif")
+      .when(prefix.startsWith("424D"), "bmp")
       .when(prefix.startsWith("52494646"), "riff") // wav/avi container
       .when(prefix.startsWith("1A45DFA3"), "matroska")
       .otherwise("unknown")
