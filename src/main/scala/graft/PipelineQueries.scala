@@ -361,6 +361,74 @@ object PipelineQueries {
          CAST(SUM(b) AS BIGINT) AS sum_b
        FROM px GROUP BY media_id ORDER BY media_id"""
 
+  /** REAL audio decode under the oracle gate: deterministic integer
+    * sawtooth waveforms (pure integer arithmetic — no libm, so the
+    * oracle replays samples exactly), encoded as genuine PCM16 WAV
+    * files, carried as a binary column through the magic sniff (RIFF
+    * container), decoded back by [[graft.multimodal.Wav]], and
+    * reduced to exact integer sample statistics. The audio twin of
+    * q85/q90. */
+  val wavN = 40
+  private[graft] def wavPattern(id: Long): (Int, Array[Short]) = {
+    val n = 800 + (id % 5).toInt * 100
+    val rate = 8000 + (id % 3).toInt * 4000
+    val k = 7 + (id % 11).toInt
+    val s = new Array[Short](n)
+    var t = 0
+    while (t < n) {
+      s(t) = (((t.toLong * k + id * 131) % 4096) - 2048).toShort
+      t += 1
+    }
+    (rate, s)
+  }
+
+  def q91WavStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = s.range(wavN).select(col("id").as("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (rate, samples) = wavPattern(id)
+        (id, graft.multimodal.Wav.encode(rate, 1, samples))
+      })
+      .toDF("media_id", "media")
+    media
+      .select(col("media_id"), col("media"),
+        Multimodal.sniffFormat(col("media")).as("fmt"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, fmt) =>
+        val a = graft.multimodal.Wav.decode(bytes)
+        var sumAbs = 0L
+        var mn = Int.MaxValue
+        var mx = Int.MinValue
+        a.samples.foreach { v =>
+          sumAbs += math.abs(v.toInt)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+        }
+        (id, fmt, a.sampleRate.toLong, a.samples.length.toLong,
+          sumAbs, mn.toLong, mx.toLong)
+      })
+      .toDF("media_id", "fmt", "sample_rate", "n_samples", "sum_abs",
+        "min_s", "max_s")
+      .orderBy("media_id")
+  }
+
+  /** The waveform formula replayed over a bounded sample grid. */
+  val q91Sql: String =
+    s"""WITH ids AS (SELECT unnest(generate_series(0, ${wavN - 1})) AS media_id),
+       dims AS (SELECT media_id, 800 + (media_id % 5) * 100 AS n,
+                       8000 + (media_id % 3) * 4000 AS rate,
+                       7 + media_id % 11 AS k FROM ids),
+       ts AS (SELECT unnest(generate_series(0, 1199)) AS t),
+       smp AS (SELECT media_id, n, rate,
+                 ((t * k + media_id * 131) % 4096) - 2048 AS v
+               FROM dims, ts WHERE t < n)
+       SELECT CAST(media_id AS BIGINT) AS media_id, 'riff' AS fmt,
+         CAST(MIN(rate) AS BIGINT) AS sample_rate,
+         CAST(MIN(n) AS BIGINT) AS n_samples,
+         CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+         CAST(MIN(v) AS BIGINT) AS min_s, CAST(MAX(v) AS BIGINT) AS max_s
+       FROM smp GROUP BY media_id ORDER BY media_id"""
+
   val q69Sql: String =
     """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
@@ -502,7 +570,8 @@ object PipelineQueries {
     "q82_stream_hourly" -> (q82StreamHourly _),
     "q83_stream_stream_join" -> (q83StreamStreamJoin _),
     "q85_png_stats" -> (q85PngStats _),
-    "q90_mixed_media" -> (q90MixedMedia _))
+    "q90_mixed_media" -> (q90MixedMedia _),
+    "q91_wav_stats" -> (q91WavStats _))
 
   // LAZY: q82 shares q06's oracle, so this map reaches back into
   // Queries — evaluating it during THIS object's clinit would NPE
@@ -521,5 +590,6 @@ object PipelineQueries {
     "q82_stream_hourly" -> Queries.q06Sql,
     "q83_stream_stream_join" -> ScaleQueries.q66Sql,
     "q85_png_stats" -> q85Sql,
-    "q90_mixed_media" -> q90Sql)
+    "q90_mixed_media" -> q90Sql,
+    "q91_wav_stats" -> q91Sql)
 }
