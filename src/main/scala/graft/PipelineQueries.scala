@@ -429,6 +429,94 @@ object PipelineQueries {
          CAST(MIN(v) AS BIGINT) AS min_s, CAST(MAX(v) AS BIGINT) AS max_s
        FROM smp GROUP BY media_id ORDER BY media_id"""
 
+  /** REAL video-frame decode under the oracle gate: deterministic
+    * C444 Y4M clips (per-frame integer plane patterns), the
+    * [[Multimodal.sampleFrames]] plan explodes every stride-th frame
+    * index from the catalog metadata, and each plan row decodes ONLY
+    * its frame (Y4M frame access is O(1) — header + fixed stride),
+    * reducing to exact per-plane integer sums. This closes the
+    * multimodal matrix: text native, image (q85/q90), audio (q91),
+    * video frames here — every modality decoding real containers. */
+  val y4mN = 30
+  val y4mStride = 2
+  private[graft] def y4mDims(id: Long): (Int, Int, Int) =
+    (8 + (id % 3).toInt, 6 + (id % 2).toInt, 4 + (id % 3).toInt * 2)
+
+  private[graft] def y4mFrame(id: Long, w: Int, h: Int, f: Int)
+      : (Array[Byte], Array[Byte], Array[Byte]) = {
+    def plane(a: Int, b: Int, c: Int, d: Int): Array[Byte] = {
+      val p = new Array[Byte](w * h)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          p(i) = ((x * a + y * b + f * c + id * d) % 256).toByte
+          i += 1
+          x += 1
+        }
+        y += 1
+      }
+      p
+    }
+    (plane(3, 5, 17, 7), plane(11, 2, 23, 3), plane(7, 13, 29, 5))
+  }
+
+  def q92VideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = s.range(y4mN).select(col("id").as("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, n) = y4mDims(id)
+        val clip = graft.multimodal.Y4m.encode(w, h,
+          (0 until n).map(f => y4mFrame(id, w, h, f)))
+        (id, clip, n)
+      })
+      .toDF("media_id", "media", "n_frames")
+      .select(col("media_id"), col("media"),
+        struct(lit("y4m").as("format"), lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          col("n_frames").cast("int").as("n_frames")).as("meta"))
+    // the frame-sampling PLAN comes from catalog metadata (no decode),
+    // then each (clip, frame) row decodes just its frame
+    val plan = Multimodal.sampleFrames(media, "media_id", y4mStride)
+    plan.join(media.select(col("media_id"), col("media")), "media_id")
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions(_.map { case (id, fidx, bytes) =>
+        val clip = graft.multimodal.Y4m.decode(bytes)
+        val (py, pu, pv) = clip.frame(fidx)
+        def sum(p: Array[Byte]): Long = {
+          var acc = 0L
+          p.foreach(b => acc += (b & 0xFF))
+          acc
+        }
+        (id, fidx.toLong, clip.width.toLong, clip.height.toLong,
+          sum(py), sum(pu), sum(pv))
+      })
+      .toDF("media_id", "frame_idx", "width", "height",
+        "sum_y", "sum_u", "sum_v")
+      .orderBy("media_id", "frame_idx")
+  }
+
+  /** The plane formulas replayed over bounded (frame, x, y) grids. */
+  val q92Sql: String =
+    s"""WITH ids AS (SELECT unnest(generate_series(0, ${y4mN - 1})) AS media_id),
+       dims AS (SELECT media_id, 8 + media_id % 3 AS w, 6 + media_id % 2 AS h,
+                       4 + (media_id % 3) * 2 AS n FROM ids),
+       fs AS (SELECT unnest(generate_series(0, 7)) AS f),
+       xs AS (SELECT unnest(generate_series(0, 9)) AS x),
+       ys AS (SELECT unnest(generate_series(0, 6)) AS y),
+       px AS (SELECT media_id, w, h, f,
+                (x*3 + y*5 + f*17 + media_id*7) % 256 AS py,
+                (x*11 + y*2 + f*23 + media_id*3) % 256 AS pu,
+                (x*7 + y*13 + f*29 + media_id*5) % 256 AS pv
+              FROM dims, fs, xs, ys
+              WHERE f < n AND f % $y4mStride = 0 AND x < w AND y < h)
+       SELECT CAST(media_id AS BIGINT) AS media_id, CAST(f AS BIGINT) AS frame_idx,
+         CAST(MIN(w) AS BIGINT) AS width, CAST(MIN(h) AS BIGINT) AS height,
+         CAST(SUM(py) AS BIGINT) AS sum_y, CAST(SUM(pu) AS BIGINT) AS sum_u,
+         CAST(SUM(pv) AS BIGINT) AS sum_v
+       FROM px GROUP BY media_id, f ORDER BY media_id, frame_idx"""
+
   val q69Sql: String =
     """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
@@ -571,7 +659,8 @@ object PipelineQueries {
     "q83_stream_stream_join" -> (q83StreamStreamJoin _),
     "q85_png_stats" -> (q85PngStats _),
     "q90_mixed_media" -> (q90MixedMedia _),
-    "q91_wav_stats" -> (q91WavStats _))
+    "q91_wav_stats" -> (q91WavStats _),
+    "q92_video_frames" -> (q92VideoFrames _))
 
   // LAZY: q82 shares q06's oracle, so this map reaches back into
   // Queries — evaluating it during THIS object's clinit would NPE
@@ -591,5 +680,6 @@ object PipelineQueries {
     "q83_stream_stream_join" -> ScaleQueries.q66Sql,
     "q85_png_stats" -> q85Sql,
     "q90_mixed_media" -> q90Sql,
-    "q91_wav_stats" -> q91Sql)
+    "q91_wav_stats" -> q91Sql,
+    "q92_video_frames" -> q92Sql)
 }
