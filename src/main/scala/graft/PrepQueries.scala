@@ -445,6 +445,82 @@ object PrepQueries {
 
   // ---------- catalog ----------
 
+  // ---------- q93: training-prep pipeline end-to-end ----------
+
+  /** The FULL prep pipeline as one declarative flow: redact PII →
+    * exact-dedup the redacted text (keep-first) → quality-filter →
+    * chunk to context windows → deterministic shard assignment →
+    * per-shard audit (chunk/doc counts, token mass, and an integer
+    * checksum over chunk-content hashes that pins every byte of
+    * every surviving chunk). Composes the round-7 redaction into the
+    * existing prep operators the way q46/q47/q57 compose their
+    * families; every stage is a scan-linear projection or a keyed
+    * aggregate — no stage ever holds more than (doc, chunk) rows. */
+  val prepShards = 4
+  def q93PrepE2e(s: SparkSession, dir: String): DataFrame = {
+    import graft.ingest.Ingest
+    val base = docs(s, dir).filter(col("doc_id") < 150)
+      .select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("rtext"))
+    val d1 = Ingest.dedupFirst(base, col("rtext"), col("doc_id"))
+    val kept = d1.filter(TextAnalysis.qualityScore(col("rtext")) >= 0.5)
+    val chunks = Chunker.chunkRows(kept, "doc_id", "rtext",
+      chunkSize, chunkStride)
+    chunks
+      .select(col("doc_id"), col("n_toks"),
+        (md5Slice(col("doc_id") * 1000 + col("chunk_id"), 1) % prepShards)
+          .as("shard"),
+        md5Slice(col("chunk_text"), 1).as("chash"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_toks")).as("sum_toks"),
+        sum(col("chash")).as("sum_hash"))
+      .orderBy("shard")
+  }
+
+  /** Every stage replayed: the q88 redaction regexes, keep-first
+    * dedup on redacted text, the q67-style quality formula, q72's
+    * chunk windows, q79's md5 shard assignment. */
+  val q93Sql: String = {
+    import TextAnalysis.{emailRe, urlRe, phoneRe}
+    val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH red AS (SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '$emailRe', '<EMAIL>', 'g'),
+           '$urlRe', '<URL>', 'g'),
+           '$phoneRe', '<PHONE>', 'g') AS rtext
+       FROM documents WHERE doc_id < 150),
+       d1 AS (SELECT doc_id, rtext FROM red
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY rtext ORDER BY doc_id) = 1),
+       tq AS (SELECT doc_id, rtext,
+           string_split_regex(lower(trim(rtext)), '\\s+') AS toks FROM d1),
+       q AS (SELECT doc_id, rtext, toks,
+           least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) AS ls,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS dr,
+           1.0 - abs(CAST(len(list_filter(toks, x -> list_contains([$stopList], x))) AS DOUBLE)
+                     / greatest(len(toks), 1) - 0.4) AS ss
+         FROM tq),
+       kept AS (SELECT doc_id, toks FROM q
+         WHERE ROUND(((ls + dr) + ss) / 3.0, 4) >= 0.5),
+       ch AS (SELECT doc_id,
+           CAST((st - 1) // $chunkStride AS BIGINT) AS chunk_id,
+           CAST(least(len(toks) - st + 1, $chunkSize) AS BIGINT) AS n_toks,
+           array_to_string(toks[st : st + ${chunkSize - 1}], ' ') AS chunk_text
+         FROM (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks), $chunkStride)) AS st
+               FROM kept)),
+       sh AS (SELECT doc_id, n_toks,
+           ('0x' || substr(md5(CAST(doc_id * 1000 + chunk_id AS VARCHAR)), 1, 8))::BIGINT
+             % $prepShards AS shard,
+           ('0x' || substr(md5(chunk_text), 1, 8))::BIGINT AS chash
+         FROM ch)
+       SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_chunks,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+         CAST(SUM(chash) AS BIGINT) AS sum_hash
+       FROM sh GROUP BY shard ORDER BY shard"""
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_chunk_docs" -> (q72ChunkDocs _),
     "q73_repetition" -> (q73Repetition _),
@@ -454,7 +530,8 @@ object PrepQueries {
     "q77_packing_stats" -> (q77PackingStats _),
     "q78_centroid_classify" -> (q78CentroidClassify _),
     "q79_shard_shuffle" -> (q79ShardShuffle _),
-    "q80_split_assign" -> (q80SplitAssign _))
+    "q80_split_assign" -> (q80SplitAssign _),
+    "q93_prep_e2e" -> (q93PrepE2e _))
 
   val oracle: Map[String, String] = Map(
     "q72_chunk_docs" -> q72Sql,
@@ -465,5 +542,6 @@ object PrepQueries {
     "q77_packing_stats" -> q77Sql,
     "q78_centroid_classify" -> q78Sql,
     "q79_shard_shuffle" -> q79Sql,
-    "q80_split_assign" -> q80Sql)
+    "q80_split_assign" -> q80Sql,
+    "q93_prep_e2e" -> q93Sql)
 }
