@@ -127,6 +127,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"))
   }
 
+  test("q88: redaction is a pure pushed-down projection — one exchange (the declared sort)") {
+    val p = plan("q88_redact")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,200)]"),
+      s"expected the doc_id filter at the scan:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1, s"expected 1 exchange:\n$p")
+  }
+
+  test("q93: the prep pipeline's only wide stages are dedup, the shard agg and the sort") {
+    val p = plan("q93_prep_e2e")
+    // dedup window + final aggregate + declared ORDER BY — chunking,
+    // redaction and shard hashing must all stay narrow
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n <= 4, s"expected <= 4 exchanges in the prep pipeline, got $n:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q72: chunking is a pure generate over the pushed-down scan, no pre-sort shuffle") {
     val p = plan("q72_chunk_docs")
     assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]"))
