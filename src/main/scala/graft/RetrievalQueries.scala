@@ -497,19 +497,28 @@ object RetrievalQueries {
     * power-iteration steps — including normalization — hash-match
     * the unrolled SQL replay bit for bit. */
   val pcaIters = 3
+
+  /** The (mu, pc) artifact as a session memo — a ONE-ROW frame, the
+    * right home for localCheckpoint — shared by q89 (inspect) and
+    * q94 (apply); built once per corpus under `_build_spectral`. */
+  private def spectralArtifacts(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "spectral")(
+      graft.embed.Spectral.topComponent(emb(s, dir), "v", pcaIters))
+
   def q89EmbeddingPc(s: SparkSession, dir: String): DataFrame =
-    graft.embed.Spectral.topComponent(emb(s, dir), "v", pcaIters)
+    spectralArtifacts(s, dir)
       .select(posexplode(arrays_zip(col("mu"), col("pc"))))
       .select(col("pos").cast("long").as("j"),
         round(col("col.mu"), 6).as("mu"),
         round(col("col.pc"), 6).as("loading"))
       .orderBy("j")
 
-  /** The power iteration unrolled: centered exploded coordinates,
-    * v0 = 1/8 (= 1/√64 exactly), each step = quantized projection
-    * sum per row, quantized component sum per dimension, quantized
-    * norm. */
-  val q89Sql: String = {
+  /** The power iteration unrolled as a reusable CTE chain (ends at
+    * `v$pcaIters` = the top PC and `mu`): centered exploded
+    * coordinates, v0 = 1/8 (= 1/√64 exactly), each step = quantized
+    * projection sum per row, quantized component sum per dimension,
+    * quantized norm. Shared by the q89 and q94 oracles. */
+  private def spectralCtes: String = {
     def iter(t: Int): String = {
       val prev = if (t == 1) "v0" else s"v${t - 1}"
       s"""s$t AS (SELECT i, SUM(CAST(ROUND(xc * v * 1000000000) AS BIGINT)) / 1000000000.0 AS s
@@ -521,16 +530,71 @@ object RetrievalQueries {
          v$t AS (SELECT j, (wq/1000000.0) / (nrm + 1e-9) AS v FROM wq$t, n$t)"""
     }
     val dims = s"SELECT UNNEST(generate_series(0, ${embDim - 1})) AS j"
-    s"""WITH e AS (SELECT vec_id AS i, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id AS i, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        px AS (SELECT i, jj.j AS j, v[jj.j + 1] AS x FROM e, ($dims) jj),
        mu AS (SELECT j, CAST(SUM(CAST(ROUND(x*1000000) AS BIGINT)) AS DOUBLE)/(COUNT(*)*1000000.0) AS m
               FROM px GROUP BY j),
        cx AS (SELECT i, j, x - m AS xc FROM px JOIN mu USING (j)),
        v0 AS (SELECT j, 0.125 AS v FROM ($dims)),
-       ${(1 to pcaIters).map(iter).mkString(",\n       ")}
+       ${(1 to pcaIters).map(iter).mkString(",\n       ")}"""
+  }
+
+  val q89Sql: String =
+    s"""WITH $spectralCtes
        SELECT j, ROUND(m, 6) AS mu, ROUND(v, 6) AS loading
        FROM v$pcaIters JOIN mu USING (j) ORDER BY j"""
+
+  /** The correction APPLIED ("all-but-the-top" proper): every vector
+    * centered, its top-component projection removed, re-normalized
+    * (all via the memoized artifact), then a per-label audit — count,
+    * quantized-integer sum of the first corrected coordinate (pins
+    * the transform), and the quantized mean |projection onto pc| of
+    * the corrected vectors, which removal drives to ≈0: the output
+    * is its own evidence the common direction is gone. */
+  def q94AllButTop(s: SparkSession, dir: String): DataFrame = {
+    import graft.embed.Spectral
+    val e = graft.sources.Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val corrected = e.crossJoin(broadcast(spectralArtifacts(s, dir)))
+      .select(col("label"), col("pc"),
+        Spectral.removeTopRaw(col("v"), col("mu"), col("pc")).as("r"))
+      .select(col("label"), col("pc"), Spectral.normalizeQuant(col("r")).as("c"))
+    val resid = aggregate(zip_with(col("c"), col("pc"),
+      (x, p) => round(x * p * 1e9).cast("long")),
+      lit(0L), (acc, q) => acc + q)
+    corrected
+      .select(col("label"),
+        abs(resid).as("absproj_q"), // already the 1e-9-quantized integer
+        round(element_at(col("c"), 1) * 1e6).cast("long").as("c0_q"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(col("absproj_q")).as("sum_absproj_q"),
+        sum(col("c0_q")).as("sum_c0_q"))
+      .orderBy("label")
   }
+
+  /** q89's chain + the per-row correction replay: projection,
+    * removal, quantized norm, residual projection — all in the same
+    * integer-quantized arithmetic. */
+  val q94Sql: String =
+    s"""WITH $spectralCtes,
+       proj AS (SELECT cx.i, SUM(CAST(ROUND(xc * v * 1000000000) AS BIGINT)) AS pq
+           FROM cx JOIN v$pcaIters USING (j) GROUP BY cx.i),
+       rem AS (SELECT cx.i, cx.j, xc - (pq / 1000000000.0) * v AS r
+           FROM cx JOIN v$pcaIters USING (j) JOIN proj ON proj.i = cx.i),
+       nq AS (SELECT i, sqrt(SUM(CAST(ROUND(r*r*1000000) AS BIGINT))/1000000.0) AS nrm
+           FROM rem GROUP BY i),
+       cvec AS (SELECT rem.i, rem.j, r / (nrm + 1e-9) AS c
+           FROM rem JOIN nq ON nq.i = rem.i),
+       resid AS (SELECT cvec.i, SUM(CAST(ROUND(c * v * 1000000000) AS BIGINT)) AS rq
+           FROM cvec JOIN v$pcaIters USING (j) GROUP BY cvec.i),
+       c0 AS (SELECT i, CAST(ROUND(c * 1000000) AS BIGINT) AS c0_q FROM cvec WHERE j = 0)
+       SELECT CAST(e.label AS BIGINT) AS label, COUNT(*) AS n,
+         CAST(SUM(ABS(rq)) AS BIGINT) AS sum_absproj_q,
+         CAST(SUM(c0_q) AS BIGINT) AS sum_c0_q
+       FROM e JOIN resid ON resid.i = e.i JOIN c0 ON c0.i = e.i
+       GROUP BY e.label ORDER BY label"""
 
   /** R2 quality: the ANN recall CONTRACT. recall@10 of each
     * approximate path against the exact scan, one row per
@@ -1367,7 +1431,8 @@ object RetrievalQueries {
     "_build_ivf_refined" -> ((s, dir) => { ivfAssignedR(s, dir).count(); () }),
     "_build_pq_codebook" -> ((s, dir) => { pqCodebook(s, dir).count(); () }),
     "_build_eval_metrics" -> ((s, dir) => { q40Materialized(s, dir).count(); () }),
-    "_build_rag_candidates" -> ((s, dir) => { q55RagCandidates(s, dir).count(); () }))
+    "_build_rag_candidates" -> ((s, dir) => { q55RagCandidates(s, dir).count(); () }),
+    "_build_spectral" -> ((s, dir) => { spectralArtifacts(s, dir).count(); () }))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_ingest_clean" -> (q07IngestClean _),
@@ -1395,7 +1460,8 @@ object RetrievalQueries {
     "q81_ivf_pq" -> (q81IvfPq _),
     "q84_ivf_append" -> (q84IvfAppend _),
     "q86_graph_ann" -> (q86GraphAnn _),
-    "q89_embedding_pc" -> (q89EmbeddingPc _))
+    "q89_embedding_pc" -> (q89EmbeddingPc _),
+    "q94_all_but_top" -> (q94AllButTop _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
@@ -1422,5 +1488,6 @@ object RetrievalQueries {
     "q59_pq_ann" -> q59Sql,
     "q81_ivf_pq" -> q81Sql,
     "q84_ivf_append" -> q84Sql,
-    "q89_embedding_pc" -> q89Sql)
+    "q89_embedding_pc" -> q89Sql,
+    "q94_all_but_top" -> q94Sql)
 }

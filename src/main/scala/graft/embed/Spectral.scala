@@ -46,6 +46,25 @@ object Spectral {
     sqrt(aggregate(transform(v, x => round(x * x * 1e6).cast("long")),
       lit(0L), (acc, q) => acc + q).cast("double") / 1e6)
 
+  /** Center + project out the top component (UNNORMALIZED — callers
+    * materialize this behind a projection, then [[normalizeQuant]]
+    * it, so the fold-valued subtree is evaluated once per row, not
+    * once per element; the measured HOF-lambda lesson in SCALE.md).
+    * The projection coefficient quantizes its terms like every
+    * cross-engine sum, so corrected vectors replay in SQL. */
+  def removeTopRaw(v: Column, mu: Column, pc: Column): Column = {
+    val centered = zip_with(v, mu, (x, m) => x - m)
+    val proj = aggregate(zip_with(centered, pc,
+      (x, p) => round(x * p * 1e9).cast("long")),
+      lit(0L), (acc, q) => acc + q).cast("double") / 1e9
+    zip_with(centered, pc, (x, p) => x - proj * p)
+  }
+
+  /** Quantized-exact L2 normalization (the iteration's rule, exposed
+    * for the q94 correction pipeline). */
+  def normalizeQuant(v: Column): Column =
+    transform(v, x => x / (quantNorm(v) + 1e-9))
+
   /** Top principal component of the CENTERED embeddings by `iters`
     * power-iteration steps from the deterministic start
     * v0 = (1/√d, …, 1/√d). Returns ONE row (mu, pc). */

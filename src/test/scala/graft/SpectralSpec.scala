@@ -31,6 +31,23 @@ class SpectralSpec extends SparkSpec {
     assert(math.abs(pc.map(x => x * x).sum - 1.0) < 1e-3)
   }
 
+  test("removeTop drives the corrected vectors' projection onto pc to ~0, unit norm") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val art = Spectral.topComponent(emb, "v", 3).localCheckpoint()
+    val corrected = emb.crossJoin(broadcast(art))
+      .select(col("pc"), Spectral.removeTopRaw(col("v"), col("mu"), col("pc")).as("r"))
+      .select(col("pc"), Spectral.normalizeQuant(col("r")).as("c"))
+    val stats = corrected.select(
+        abs(aggregate(zip_with(col("c"), col("pc"),
+          (x, p) => x * p), lit(0.0), (a, x) => a + x)).as("proj"),
+        aggregate(transform(col("c"), x => x * x), lit(0.0), (a, x) => a + x).as("nsq"))
+      .agg(max(col("proj")), min(col("nsq")), max(col("nsq")))
+      .as[(Double, Double, Double)].head()
+    assert(stats._1 < 1e-6, s"max |projection| ${stats._1} not ~0 after removal")
+    assert(stats._2 > 0.999 && stats._3 < 1.001, s"norms not ~1: $stats")
+  }
+
   test("topComponent is deterministic run-to-run") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
