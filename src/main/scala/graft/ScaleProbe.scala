@@ -77,7 +77,8 @@ object ScaleProbe {
       "q74_decontaminate", "q75_novelty", "q76_int8_quantize",
       "q77_packing_stats", "q78_centroid_classify",
       "q84_ivf_append", "q86_graph_ann", "q87_bm25_append",
-      "q88_redact", "q93_prep_e2e").foreach { q =>
+      "q88_redact", "q93_prep_e2e", "q89_embedding_pc",
+      "q94_all_but_top").foreach { q =>
       val a = time("1x", src, q)
       val b = time(s"${k}x", dst, q)
       println(f"SCALE RATIO $q ${b / a}%.2f (data ${k}x)")
