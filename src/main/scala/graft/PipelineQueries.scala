@@ -244,30 +244,26 @@ object PipelineQueries {
     (w, h, px)
   }
 
-  /** REAL media decode under the oracle gate: generate the pattern,
-    * encode it as an actual PNG (deflate + chunks + CRC), carry the
-    * binary column through the relational magic-byte sniff, DECODE
-    * the pixels back (inflate + unfilter), and aggregate exact
-    * integer channel sums per image. The oracle computes the same
-    * sums directly from the pattern formula, so a single wrong byte
-    * anywhere in the codec path breaks the hash match. Both codec
-    * steps are per-partition batched ([[MediaFeatures]] shape) —
-    * media bytes never visit the driver; the per-row imperative work
-    * is exactly the codec boundary mapPartitions exists for. */
-  def q85PngStats(s: SparkSession, dir: String): DataFrame = {
+  /** The shared pattern→encode→sniff→decode→exact-channel-sums
+    * pipeline behind q85/q90, parameterized over the per-id encoder
+    * and the decoder — ONE pixel-sum implementation, two container
+    * stories. Both codec steps are per-partition batched
+    * ([[MediaFeatures]] shape) — media bytes never visit the driver;
+    * the per-row imperative work is exactly the codec boundary
+    * mapPartitions exists for. */
+  private def channelSums(s: SparkSession,
+                          encode: Long => Array[Byte],
+                          decode: Array[Byte] => graft.multimodal.Png.Image)
+      : DataFrame = {
     import s.implicits._
-    val media = s.range(pngN).select(col("id").as("media_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val (w, h, px) = pngPattern(id)
-        (id, graft.multimodal.Png.encode(w, h, px))
-      })
+    s.range(pngN).select(col("id").as("media_id")).as[Long]
+      .mapPartitions(_.map(id => (id, encode(id))))
       .toDF("media_id", "media")
-    media
       .select(col("media_id"), col("media"),
         Multimodal.sniffFormat(col("media")).as("fmt"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions(_.map { case (id, bytes, fmt) =>
-        val img = graft.multimodal.Png.decode(bytes)
+        val img = decode(bytes)
         var sr = 0L; var sg = 0L; var sb = 0L
         var i = 0
         while (i < img.pixels.length) {
@@ -281,6 +277,18 @@ object PipelineQueries {
       .toDF("media_id", "fmt", "width", "height", "sum_r", "sum_g", "sum_b")
       .orderBy("media_id")
   }
+
+  /** REAL media decode under the oracle gate: generate the pattern,
+    * encode it as an actual PNG (deflate + chunks + CRC), carry the
+    * binary column through the relational magic-byte sniff, DECODE
+    * the pixels back (inflate + unfilter), and aggregate exact
+    * integer channel sums per image. The oracle computes the same
+    * sums directly from the pattern formula, so a single wrong byte
+    * anywhere in the codec path breaks the hash match. */
+  def q85PngStats(s: SparkSession, dir: String): DataFrame =
+    channelSums(s,
+      id => { val (w, h, px) = pngPattern(id); graft.multimodal.Png.encode(w, h, px) },
+      graft.multimodal.Png.decode)
 
   /** The pattern replayed relationally: a bounded (x, y) grid filtered
     * to each image's dims, channel formulas verbatim. */
@@ -310,36 +318,14 @@ object PipelineQueries {
     * encoder against the JDK's independent PNG reader). Both
     * containers are lossless, so exact integer channel sums replay
     * from the pattern formula; the format column pins the dispatch. */
-  def q90MixedMedia(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val media = s.range(pngN).select(col("id").as("media_id")).as[Long]
-      .mapPartitions(_.map { id =>
+  def q90MixedMedia(s: SparkSession, dir: String): DataFrame =
+    channelSums(s,
+      id => {
         val (w, h, px) = pngPattern(id)
-        val bytes =
-          if (id % 2 == 0) graft.multimodal.ImageIoCodec.encodeBmp(w, h, px)
-          else graft.multimodal.Png.encode(w, h, px)
-        (id, bytes)
-      })
-      .toDF("media_id", "media")
-    media
-      .select(col("media_id"), col("media"),
-        Multimodal.sniffFormat(col("media")).as("fmt"))
-      .as[(Long, Array[Byte], String)]
-      .mapPartitions(_.map { case (id, bytes, fmt) =>
-        val img = graft.multimodal.ImageIoCodec.decodeRgb(bytes)
-        var sr = 0L; var sg = 0L; var sb = 0L
-        var i = 0
-        while (i < img.pixels.length) {
-          sr += img.pixels(i) & 0xFF
-          sg += img.pixels(i + 1) & 0xFF
-          sb += img.pixels(i + 2) & 0xFF
-          i += 3
-        }
-        (id, fmt, img.width.toLong, img.height.toLong, sr, sg, sb)
-      })
-      .toDF("media_id", "fmt", "width", "height", "sum_r", "sum_g", "sum_b")
-      .orderBy("media_id")
-  }
+        if (id % 2 == 0) graft.multimodal.ImageIoCodec.encodeBmp(w, h, px)
+        else graft.multimodal.Png.encode(w, h, px)
+      },
+      graft.multimodal.ImageIoCodec.decodeRgb)
 
   /** q85's formula replay with the per-id container in the fmt
     * column. */
@@ -464,6 +450,9 @@ object PipelineQueries {
 
   def q92VideoFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // localCheckpoint: the media frame feeds BOTH the sampleFrames
+    // plan and the decode join — without it each consumer re-runs
+    // the clip encode
     val media = s.range(y4mN).select(col("id").as("media_id")).as[Long]
       .mapPartitions(_.map { id =>
         val (w, h, n) = y4mDims(id)
@@ -476,6 +465,7 @@ object PipelineQueries {
         struct(lit("y4m").as("format"), lit(null).cast("int").as("width"),
           lit(null).cast("int").as("height"),
           col("n_frames").cast("int").as("n_frames")).as("meta"))
+      .localCheckpoint()
     // the frame-sampling PLAN comes from catalog metadata (no decode),
     // then each (clip, frame) row decodes just its frame
     val plan = Multimodal.sampleFrames(media, "media_id", y4mStride)

@@ -467,8 +467,11 @@ object PrepQueries {
       chunkSize, chunkStride)
     chunks
       .select(col("doc_id"), col("n_toks"),
-        (md5Slice(col("doc_id") * 1000 + col("chunk_id"), 1) % prepShards)
-          .as("shard"),
+        // hash the (doc, chunk) PAIR as a delimited string — an
+        // arithmetic doc*K+chunk key would alias across documents
+        // once a document yields K+ chunks
+        (md5Slice(concat(col("doc_id").cast("string"), lit(":"),
+          col("chunk_id").cast("string")), 1) % prepShards).as("shard"),
         md5Slice(col("chunk_text"), 1).as("chash"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_chunks"),
@@ -510,7 +513,7 @@ object PrepQueries {
                  unnest(generate_series(1, len(toks), $chunkStride)) AS st
                FROM kept)),
        sh AS (SELECT doc_id, n_toks,
-           ('0x' || substr(md5(CAST(doc_id * 1000 + chunk_id AS VARCHAR)), 1, 8))::BIGINT
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR)), 1, 8))::BIGINT
              % $prepShards AS shard,
            ('0x' || substr(md5(chunk_text), 1, 8))::BIGINT AS chash
          FROM ch)

@@ -46,24 +46,32 @@ object Spectral {
     sqrt(aggregate(transform(v, x => round(x * x * 1e6).cast("long")),
       lit(0L), (acc, q) => acc + q).cast("double") / 1e6)
 
-  /** Center + project out the top component (UNNORMALIZED — callers
-    * materialize this behind a projection, then [[normalizeQuant]]
-    * it, so the fold-valued subtree is evaluated once per row, not
-    * once per element; the measured HOF-lambda lesson in SCALE.md).
-    * The projection coefficient quantizes its terms like every
-    * cross-engine sum, so corrected vectors replay in SQL. */
+  /** Quantized-exact inner product in 1e-9 units (LONG) — the
+    * order-independent projection sum of the iteration and the q94
+    * correction. */
+  def quantDotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, p) => round(x * p * 1e9).cast("long")),
+      lit(0L), (acc, q) => acc + q)
+
+  /** Center + project out the top component (UNNORMALIZED — compose
+    * with [[normalizeQuant]]). The fold-valued projection is spread
+    * via `array_repeat` so it evaluates once per ROW, not once per
+    * element (the measured HOF-lambda lesson: VectorF.l2normalizeHof,
+    * SCALE.md); the per-element arithmetic is unchanged, so the SQL
+    * replay is identical. */
   def removeTopRaw(v: Column, mu: Column, pc: Column): Column = {
     val centered = zip_with(v, mu, (x, m) => x - m)
-    val proj = aggregate(zip_with(centered, pc,
-      (x, p) => round(x * p * 1e9).cast("long")),
-      lit(0L), (acc, q) => acc + q).cast("double") / 1e9
-    zip_with(centered, pc, (x, p) => x - proj * p)
+    val proj = quantDotQ(centered, pc).cast("double") / 1e9
+    val scaledPc = zip_with(pc, array_repeat(proj, size(pc)),
+      (p, pj) => p * pj)
+    zip_with(centered, scaledPc, (x, s) => x - s)
   }
 
   /** Quantized-exact L2 normalization (the iteration's rule, exposed
-    * for the q94 correction pipeline). */
+    * for the q94 correction pipeline); the norm is spread via
+    * `array_repeat` — once per row. */
   def normalizeQuant(v: Column): Column =
-    transform(v, x => x / (quantNorm(v) + 1e-9))
+    zip_with(v, array_repeat(quantNorm(v) + 1e-9, size(v)), (x, n) => x / n)
 
   /** Top principal component of the CENTERED embeddings by `iters`
     * power-iteration steps from the deterministic start

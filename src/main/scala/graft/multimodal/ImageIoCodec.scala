@@ -75,30 +75,11 @@ object ImageIoCodec {
   }
 }
 
-/** [[MediaDecoder]] over the JDK readers — same feature layout as
-  * [[PngDecoder]] so the two real decoders are drop-in swappable in
-  * [[MediaFeatures.extract]]. */
+/** [[MediaDecoder]] over the JDK readers — the SAME
+  * [[RasterFeatures]] layout as [[PngDecoder]], so the two real
+  * decoders are drop-in swappable in [[MediaFeatures.extract]]. */
 final class ImageIoDecoder extends MediaDecoder {
-  val dim = 8
-  def features(bytes: Array[Byte]): Array[Float] = {
-    val img = ImageIoCodec.decodeRgb(bytes)
-    val n = img.width.toLong * img.height
-    val sums = new Array[Long](3)
-    var total = 0L
-    var i = 0
-    while (i < img.pixels.length) {
-      val v = img.pixels(i) & 0xFF
-      sums(i % 3) += v
-      total += v
-      i += 1
-    }
-    val out = new Array[Float](dim)
-    out(0) = img.width.toFloat
-    out(1) = img.height.toFloat
-    out(2) = 3.0f
-    var c = 0
-    while (c < 3) { out(3 + c) = (sums(c).toDouble / n).toFloat; c += 1 }
-    out(7) = (total.toDouble / (n * 3)).toFloat
-    out
-  }
+  val dim = RasterFeatures.dim
+  def features(bytes: Array[Byte]): Array[Float] =
+    RasterFeatures.of(ImageIoCodec.decodeRgb(bytes))
 }

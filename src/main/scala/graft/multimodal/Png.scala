@@ -214,14 +214,13 @@ object Png {
   }
 }
 
-/** The REAL [[MediaDecoder]]: decodes PNG pixels and emits
+/** Shared decoded-raster feature layout for the REAL decoders:
   * [width, height, channels, mean(c0..c3) (0-padded), overall mean] —
-  * swap for [[DecodeStub]] in [[MediaFeatures.extract]] and the same
-  * distributed plumbing now computes real pixel statistics. */
-final class PngDecoder extends MediaDecoder {
+  * one implementation, so "drop-in swappable" decoders cannot drift
+  * apart (ImageIoSpec pins their equality on shared bytes). */
+private[multimodal] object RasterFeatures {
   val dim = 8
-  def features(bytes: Array[Byte]): Array[Float] = {
-    val img = Png.decode(bytes)
+  def of(img: Png.Image): Array[Float] = {
     val ch = img.channels
     val n = img.width.toLong * img.height
     val sums = new Array[Long](ch)
@@ -242,4 +241,14 @@ final class PngDecoder extends MediaDecoder {
     out(7) = (total.toDouble / (n * ch)).toFloat
     out
   }
+}
+
+/** The REAL [[MediaDecoder]] over the hand-rolled codec: decodes PNG
+  * pixels and emits the shared [[RasterFeatures]] layout — swap for
+  * [[DecodeStub]] in [[MediaFeatures.extract]] and the same
+  * distributed plumbing now computes real pixel statistics. */
+final class PngDecoder extends MediaDecoder {
+  val dim = RasterFeatures.dim
+  def features(bytes: Array[Byte]): Array[Float] =
+    RasterFeatures.of(Png.decode(bytes))
 }

@@ -70,6 +70,10 @@ object Wav {
         s"truncated '$tag' chunk")
       tag match {
         case "fmt " =>
+          // the 6 fields below span 16 bytes; a shorter declared
+          // chunk would misparse the next chunk's bytes as format
+          // fields instead of failing cleanly
+          require(len >= 16, s"fmt chunk too short: $len bytes")
           val fmtEnd = buf.position() + len
           val audioFormat = buf.getShort & 0xFFFF
           channels = buf.getShort & 0xFFFF
