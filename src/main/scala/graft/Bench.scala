@@ -84,7 +84,22 @@ object Bench {
     // mean is over DECLARED QUERIES (what "how fast is a query"
     // means); total includes the build entries
     val mean = if (queries.nonEmpty) queries.map(_._2._1).sum / queries.size else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${queries.size},"n_builds":${builds.size},"build_sec":$buildTotal,"mean_sec":$mean,"calib_sec":$calibSec,"n_errors":$nErr,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${queries.size},"n_builds":${builds.size},"build_sec":$buildTotal,"mean_sec":$mean,"calib_sec":$calibSec,"n_errors":$nErr,"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    println(fullJson)
+    // The driver's capture keeps the TAIL of stdout: with per-query
+    // times last in the big line, truncation ate the head — totals and
+    // calib_sec — two rounds running (the shipped BENCH_r06/r07 were
+    // yardstick-less). Two defenses: (1) persist the full JSON to a
+    // file the end-of-round snapshot commits, (2) re-print a compact
+    // totals+calibration line AFTER the big one, so any tail capture
+    // retains the yardstick even if the full line is truncated.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json"))
+      java.nio.file.Files.write(out,
+        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // best-effort; stdout is the contract
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"build_sec":$buildTotal,"mean_sec":$mean,"n_queries":${queries.size},"n_builds":${builds.size},"n_errors":$nErr}""")
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }

@@ -472,20 +472,65 @@ object RetrievalQueries {
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
   }
 
-  /** R2 (fourth scale path): per-partition NSW graph ANN — one
-    * navigable graph per partition via mapPartitions, beam search
-    * inside, exact re-score merge ([[graft.search.GraphAnn]]). Same
-    * query point as q45/q59 so all four approximate paths are
-    * comparable on one query. NO oracle: graph construction is
-    * iterative and partition-local (not SQL-expressible), so this
-    * row rides the driver's rows-only check + GraphAnnSpec's recall
-    * floors (≥ 0.9, ≥ IVF at nprobe=2) — the SURVEY ✗-mark
-    * discipline. */
+  /** The persisted graph-ANN index (m, efConstruction, part count
+    * pinned so the at-rest graphs are environment-independent), built
+    * once per (session, dir-content) under `_build_graph_ann` — the
+    * graph path's q54/q20 discipline: construction is superlinear per
+    * part and must never run inside a query's clock. parts=8 keeps
+    * per-part graphs segment-sized at the test SFs (the knob a real
+    * deployment derives from maxPartitionBytes). */
+  private[graft] val graphM = 8; private[graft] val graphEf = 48
+  private[graft] val graphParts = 8
+  private[graft] def graphIndexPath(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "graphann") {
+      val p = PipelineQueries.roundtripPath(dir, "graphann")
+      graft.search.GraphAnn.writeIndex(emb(s, dir), "vec_id", "v",
+        graphM, graphEf, graphParts, p)
+      p
+    }
+
+  /** R2 (fourth scale path): NSW graph ANN served from the AT-REST
+    * per-part adjacency ([[graft.search.GraphAnn.searchIndex]]) —
+    * per-query work is the index scan + beam search + exact-score
+    * merge; the superlinear graph build is charged to
+    * `_build_graph_ann`. Same query point as q45/q59 so all four
+    * approximate paths are comparable on one query. NO oracle: graph
+    * construction is iterative and partition-local (not
+    * SQL-expressible), so this row rides the driver's rows-only
+    * check + GraphAnnSpec's recall floors + q95's recall-as-data
+    * rows — the SURVEY ✗-mark discipline. */
   def q86GraphAnn(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    graft.search.GraphAnn.graphTopK(e, "vec_id", "v",
-      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10)
+    graft.search.GraphAnn.searchIndex(s, graphIndexPath(s, dir), "vec_id",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10, graphEf)
       .orderBy("rank")
+  }
+
+  /** Graph-ANN recall surfaced AS DATA (the q48 contract shape for
+    * the one path q48 cannot carry — graph build is not
+    * SQL-replayable): recall@10 over the first [[recallNq]] queries
+    * vs the exact top-k, one row per (method, knob) across the ef
+    * beam-width dial on the shared persisted index. Rows-only check
+    * by design; the recall FLOORS ride in the output so the driver
+    * records them, and GraphAnnSpec pins them (≥ 0.9 at ef=48). One
+    * index scan serves every (query, knob) via searchIndexMulti. */
+  def q95GraphRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qs = e.filter(col("vec_id") < recallNq)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = Search.multiTopK(e, "vec_id", "v", qs, "qid", "qv", recallK)
+      .select(col("qid"), col("vec_id"))
+    val path = graphIndexPath(s, dir)
+    def row(ef: Int): DataFrame =
+      exact.join(
+          graft.search.GraphAnn.searchIndexMulti(s, path, "vec_id",
+            qs, "qid", "qv", recallK, ef).select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_semi")
+        .agg(round(count(lit(1)) / lit((recallNq * recallK).toDouble), 4).as("recall"))
+        .select(lit("graph").as("method"),
+          lit(s"m=$graphM parts=$graphParts ef=$ef").as("knob"), col("recall"))
+    Seq(recallK, 24, graphEf).map(row).reduce(_ union _)
+      .orderBy("method", "knob")
   }
 
   /** Embedding-quality diagnostics: corpus mean + top principal
@@ -1432,7 +1477,8 @@ object RetrievalQueries {
     "_build_pq_codebook" -> ((s, dir) => { pqCodebook(s, dir).count(); () }),
     "_build_eval_metrics" -> ((s, dir) => { q40Materialized(s, dir).count(); () }),
     "_build_rag_candidates" -> ((s, dir) => { q55RagCandidates(s, dir).count(); () }),
-    "_build_spectral" -> ((s, dir) => { spectralArtifacts(s, dir).count(); () }))
+    "_build_spectral" -> ((s, dir) => { spectralArtifacts(s, dir).count(); () }),
+    "_build_graph_ann" -> ((s, dir) => { graphIndexPath(s, dir); () }))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_ingest_clean" -> (q07IngestClean _),
@@ -1460,6 +1506,7 @@ object RetrievalQueries {
     "q81_ivf_pq" -> (q81IvfPq _),
     "q84_ivf_append" -> (q84IvfAppend _),
     "q86_graph_ann" -> (q86GraphAnn _),
+    "q95_graph_recall" -> (q95GraphRecall _),
     "q89_embedding_pc" -> (q89EmbeddingPc _),
     "q94_all_but_top" -> (q94AllButTop _))
 

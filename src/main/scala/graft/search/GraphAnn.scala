@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Per-partition graph ANN (SURVEY §2 R2 option (c), the deferred
@@ -119,6 +119,17 @@ object GraphAnn {
     beam.dequeueAll.toArray.sortBy { case (i, s) => (-s, i) }
   }
 
+  /** Final ranking shared by the in-memory and at-rest paths: sort
+    * the candidate union by (score desc, id asc), keep k, emit dense
+    * ranks and 6-dp scores (the Search.topK output contract). */
+  private def rankTopK(cands: DataFrame, idCol: String, k: Int): DataFrame =
+    cands
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Search.wAll.orderBy(col("score").desc, col(idCol).asc)).cast("long"))
+      .select(col(idCol), col("rank"), round(col("score"), 6).as("score"))
+
   /** Graph-ANN top-k: build/search one NSW graph per partition,
     * exact-re-score the per-partition beams, global bounded top-k.
     * `query` must be a ONE-ROW frame (Search.topK contract). Knobs:
@@ -163,11 +174,154 @@ object GraphAnn {
         }
       }
       .toDF(idCol, "score")
-    cands
-      .orderBy(col("score").desc, col(idCol).asc)
-      .limit(k)
-      .withColumn("rank", row_number().over(
-        Search.wAll.orderBy(col("score").desc, col(idCol).asc)).cast("long"))
-      .select(col(idCol), col("rank"), round(col("score"), 6).as("score"))
+    rankTopK(cands, idCol, k)
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted graph index (the at-rest twin of graphTopK, the q54/q20
+  // discipline applied to the graph path): graph CONSTRUCTION is the
+  // superlinear part — each insertion beam-searches the graph-so-far —
+  // and rebuilding it inside every query charges an index build to
+  // query latency. writeIndex pays that cost once and serializes each
+  // partition's nodes WITH their adjacency lists; searchIndex then
+  // serves beam searches from the at-rest graph: per-query work is a
+  // scan of the index rows + beam search + the O(parts × ef) merge.
+  // ------------------------------------------------------------------
+
+  /** Build one NSW graph per id-hash bucket of `docs` and persist the
+    * result at `path` as a self-contained parquet index:
+    *
+    *   path/nodes — (id, vec, nbrs: array<long>) partitioned by
+    *     `part = pmod(hash(id), parts)`, one file per part;
+    *   path/meta  — (part, n) node counts, the completeness guard
+    *     searchIndex enforces when a scan split ever halves a part.
+    *
+    * `part` uses the SQL `hash()` function — the same Murmur3(seed 42)
+    * HashPartitioning applies under `repartition(n, col)` — so the
+    * persisted graphs are exactly the graphs the in-memory path builds
+    * at `parts` partitions, independent of the session's parallelism
+    * (graphTopK's partition count follows defaultParallelism; the
+    * at-rest index pins it, so two sessions build bit-identical
+    * indexes). Adjacency is stored as GLOBAL id lists (sorted), so the
+    * artifact is row-order-free; searchGraph result is invariant to
+    * neighbor-list order (every neighbor of an expanded node is
+    * considered).
+    *
+    * Scale shape: each part is a segment-sized graph (the Lucene/FAISS
+    * shard layout); the build shuffles the corpus ONCE by part and
+    * writes in place, and the index grows by adding parts, not by
+    * touching existing ones. */
+  def writeIndex(docs: DataFrame, idCol: String, vecCol: String,
+                 m: Int, efC: Int, parts: Int, path: String): Unit = {
+    require(parts >= 1, s"parts must be >= 1, got $parts")
+    Search.requireIntegralId(docs, idCol, "GraphAnn.writeIndex")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val src = docs
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("part", pmod(hash(col("id")), lit(parts)).cast("int"))
+    val nodes = src
+      // co-locate each part in one task (a task may hold several
+      // parts — grouped in-iterator below — but never half a part)
+      .repartition(parts, col("part"))
+      .as[(Long, Seq[Double], Int)]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._3).iterator.flatMap { case (part, rows0) =>
+          // ascending-id order: the graph is a pure function of the
+          // part's CONTENT (same contract as the in-memory path)
+          val rows = rows0.sortBy(_._1)
+          val vecs = rows.map(_._2.toArray)
+          val graph = buildGraph(vecs, m, efC)
+          rows.indices.iterator.map { i =>
+            (part, rows(i)._1, rows(i)._2,
+              graph(i).toArray.map(j => rows(j)._1).sorted.toSeq)
+          }
+        }
+      }
+      .toDF("part", "id", "vec", "nbrs")
+    nodes.write.mode("overwrite").partitionBy("part").parquet(s"$path/nodes")
+    spark.read.parquet(s"$path/nodes")
+      .groupBy(col("part")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The shared index-scan kernel: one pass over the at-rest node
+    * rows serves EVERY query in `qvs` — each part's adjacency is
+    * reassembled once in its scan task (parts grouped in-iterator;
+    * completeness enforced against path/meta so a part file ever
+    * split across scan tasks fails loudly instead of silently
+    * searching half a graph), then beam-searched per query. Output:
+    * (qid, id, score) candidate rows, O(parts × queries × ef) of
+    * them. No graph is ever rebuilt. */
+  private def partBeams(spark: SparkSession, path: String,
+                        qvs: Array[(Long, Array[Double])],
+                        ef: Int): DataFrame = {
+    import spark.implicits._
+    val bqs = spark.sparkContext.broadcast(qvs)
+    val expected = spark.read.parquet(s"$path/meta")
+      .select(col("part").cast("int"), col("n").cast("long"))
+      .as[(Int, Long)].collect().toMap
+    val bExpected = spark.sparkContext.broadcast(expected)
+    spark.read.parquet(s"$path/nodes")
+      .select(col("part").cast("int"), col("id"), col("vec"), col("nbrs"))
+      .as[(Int, Long, Seq[Double], Seq[Long])]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (part, rows0) =>
+          require(rows0.length == bExpected.value.getOrElse(part, -1L),
+            s"graph part $part incomplete in this scan task " +
+              s"(${rows0.length}/${bExpected.value.getOrElse(part, -1L)} rows): " +
+              "a part file was split across tasks — raise " +
+              "spark.sql.files.maxPartitionBytes above the largest part file")
+          val rows = rows0.sortBy(_._2)
+          val idToIdx = rows.iterator.map(_._2).zipWithIndex.toMap
+          val vecs = rows.map(_._3.toArray)
+          val adj: Adjacency = rows.map(r =>
+            scala.collection.mutable.ArrayBuffer(r._4.map(idToIdx): _*))
+          bqs.value.iterator.flatMap { case (qid, qv) =>
+            searchGraph(vecs, adj, qv, ef, vecs.length)
+              .iterator.map { case (i, s) => (qid, rows(i)._2, s) }
+          }
+        }
+      }
+      .toDF("qid", "id", "score")
+  }
+
+  /** Beam-search a persisted graph index for ONE query (Search.topK
+    * output contract): per-query cost is the index scan + beams + the
+    * O(parts × ef) exact-score merge. */
+  def searchIndex(spark: SparkSession, path: String, idCol: String,
+                  query: DataFrame, queryVecCol: String,
+                  k: Int, ef: Int): DataFrame = {
+    require(k >= 1 && ef >= k, s"need k >= 1 and ef >= k, got k=$k ef=$ef")
+    import spark.implicits._
+    val qv = query.select(col(queryVecCol).cast("array<double>"))
+      .as[Seq[Double]].head().toArray
+    rankTopK(
+      partBeams(spark, path, Array((0L, qv)), ef).select(col("id").as(idCol), col("score")),
+      idCol, k)
+  }
+
+  /** Multi-query search over a persisted graph index: ONE index scan
+    * serves every query (the multiTopK shape — the query set is the
+    * driver-sized side by contract), per-query top-k through the
+    * bounded-heap aggregate so the exchange carries
+    * O(queries × k) rows. Output (qid, id, rank, score). */
+  def searchIndexMulti(spark: SparkSession, path: String, idCol: String,
+                       queries: DataFrame, qidCol: String, qvecCol: String,
+                       k: Int, ef: Int): DataFrame = {
+    require(k >= 1 && ef >= k, s"need k >= 1 and ef >= k, got k=$k ef=$ef")
+    import spark.implicits._
+    val qvs = queries
+      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (qid, v) => (qid, v.toArray) }
+    partBeams(spark, path, qvs, ef)
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graftnative.TopKAggregate
+        .topK(col("id"), col("score"), k).as("__tk"))
+      .select(col("qid"), explode(col("__tk")).as("__e"))
+      .select(col("qid"), col("__e.id").as(idCol), col("__e.rank").as("rank"),
+        round(col("__e.score"), 6).as("score"))
   }
 }

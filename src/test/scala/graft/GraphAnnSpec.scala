@@ -86,6 +86,53 @@ class GraphAnnSpec extends SparkSpec {
     g.foreach(nb => assert(nb.length <= 4))
   }
 
+  test("persisted index serves exact-scored deterministic beams from at-rest adjacency") {
+    val path = java.nio.file.Files.createTempDirectory("graphann_spec").toString
+    GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, path)
+    def run() = GraphAnn.searchIndex(spark, path, "vec_id", query(0), "qv", 10, ef = 48)
+      .select("vec_id", "rank", "score").as[(Long, Long, Double)]
+      .collect().toSeq.sortBy(_._2)
+    val got = run()
+    assert(got.map(_._2) == (1L to 10L))
+    assert(got.head._1 == 0L) // the query finds itself
+    // scores are exact dot products (re-score contract holds at rest)
+    val exact = Search.topK(emb, "vec_id", "v", query(0), "qv", 200)
+      .select("vec_id", "score").as[(Long, Double)].collect().toMap
+    got.foreach { case (id, _, s) => assert(exact(id) == s) }
+    // serving is deterministic: the graph is at rest, not rebuilt
+    assert(run() == run())
+  }
+
+  test("searchIndexMulti matches per-query searchIndex over the same index") {
+    val path = java.nio.file.Files.createTempDirectory("graphann_multi").toString
+    GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, path)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val multi = GraphAnn.searchIndexMulti(spark, path, "vec_id",
+        qs, "qid", "qv", 10, ef = 48)
+      .select("qid", "vec_id", "rank", "score")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(_._2)).toMap
+    (0L until 3L).foreach { q =>
+      val single = GraphAnn.searchIndex(spark, path, "vec_id",
+          query(q), "qv", 10, ef = 48)
+        .select("vec_id", "rank", "score").as[(Long, Long, Double)]
+        .collect().toSeq.sortBy(_._2)
+      assert(multi(q) == single, s"multi/single divergence for qid=$q")
+    }
+  }
+
+  test("q95_graph_recall pins the recall floor in its output rows") {
+    val rows = RetrievalQueries.q95GraphRecall(spark, sf0001)
+      .select("method", "knob", "recall")
+      .as[(String, String, Double)].collect().toSeq
+    assert(rows.size == 3 && rows.forall(_._1 == "graph"))
+    rows.foreach { case (_, knob, r) =>
+      assert(r > 0.0 && r <= 1.0, s"recall $r out of range at $knob") }
+    val ef48 = rows.find(_._2.endsWith("ef=48")).get._3
+    assert(ef48 >= 0.9, s"ef=48 recall $ef48 below the 0.9 floor")
+  }
+
   test("graphTopK rejects bad knobs and non-integral ids") {
     intercept[IllegalArgumentException](
       GraphAnn.graphTopK(emb, "vec_id", "v", query(0), "qv", 0))
