@@ -30,56 +30,25 @@ object Memo {
     map.getOrElseUpdate((s, dir, tag, fp), build)
   }
 
-  /** Fingerprint of every file under `dir` (path, length, mtime).
-    * Driver-side directory walk — cheap for the handful of parquet
-    * files per scale-factor dir; at real scale the equivalent signal
-    * is the table snapshot/transaction id.
-    *
-    * The recursive walk runs dozens of times per bench run (every
-    * memo access), so its result is cached behind a SHALLOW signature
-    * of the root (root mtime + direct children name/len/mtime): any
-    * add/remove/rewrite of a table under a data dir changes a direct
-    * child's entry (parquet overwrites create new part files, so even
-    * directory-shaped tables bump their own mtime), invalidating the
-    * cache and forcing a fresh deep walk. The signature descends TWO
-    * levels (root entries + each subdirectory's entries) so that
-    * directory-shaped tables (part files under events.parquet, or
-    * under a partitioned index's cid= dirs) invalidate on part-file
-    * append/delete —
-    * any file write creates or deletes an entry whose parent dir sits
-    * within those two levels for every table layout the engine
-    * writes. The remaining blind spot — an in-place byte rewrite of a
-    * depth-≥3 file that bumps no tracked mtime — does not occur for
-    * parquet/CSV layouts, where writers always create/delete part
-    * files. */
-  private val fpCache = scala.collection.concurrent.TrieMap
-    .empty[String, (String, String)] // dir -> (shallowSig, deepFp)
-
-  private def shallowSig(root: java.io.File): String = {
-    def entry(f: java.io.File) = s"${f.getName}:${f.length}:${f.lastModified}"
-    val kids = Option(root.listFiles()).toSeq.flatten.sortBy(_.getName)
-    (s"${root.lastModified}" +: kids.flatMap { f =>
-      entry(f) +: (if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).map(entry)
-      else Nil)
-    }).mkString("|")
-  }
-
+  /** Fingerprint of every file under `dir` (path, length, mtime) via
+    * an UNCONDITIONAL full recursive walk: every depth is observed, so
+    * any table layout — including a future partitioned table with
+    * part files at depth ≥3 — invalidates on append/delete/rewrite.
+    * (An earlier revision cached the deep walk behind a two-level
+    * shallow signature; the cache saved microseconds — the signature
+    * already visited nearly every file in these layouts — and bought
+    * a depth-3 blind spot that could serve stale memoized artifacts.
+    * Walking a data dir's few hundred files per memo access is
+    * driver-side noise; at real scale the equivalent signal is the
+    * table snapshot/transaction id.) */
   private[graft] def dirFingerprint(dir: String): String = {
-    val root = new java.io.File(dir)
-    val sig = shallowSig(root)
-    fpCache.get(dir) match {
-      case Some((`sig`, fp)) => fp
-      case _ =>
-        def walk(f: java.io.File): Seq[java.io.File] =
-          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
-          else Seq(f)
-        val fp = walk(root)
-          .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
-          .mkString("|").hashCode.toString
-        fpCache.put(dir, (sig, fp))
-        fp
-    }
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir))
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode.toString
   }
 
   /** Memoize `build` per (session, dir-content, tag), materialized

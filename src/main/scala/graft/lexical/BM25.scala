@@ -23,8 +23,16 @@ object BM25 {
   val K1 = 1.5
   val B = 0.75
 
-  /** Whitespace-lowercase tokenizer (reference `src/pipeline/pipeline.py:169`). */
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** Whitespace-lowercase tokenizer (reference `src/pipeline/pipeline.py:169`).
+    * NULL text coalesces to "" (→ the [""] token array) so a null-text
+    * document behaves exactly like an empty-text one: it still emits a
+    * posting row, which [[statsFromPostings]]' equivalence to
+    * [[corpusStats]] relies on — without the coalesce, explode drops
+    * the doc from postings while corpusStats still counts it in N,
+    * and q87's append-then-derive ≡ rebuild contract would diverge on
+    * a corpus with null text. */
+  def tokens(text: Column): Column =
+    split(lower(trim(coalesce(text, lit("")))), "\\s+")
 
   /** Posting list: (id, term, tf) + doc length. One explode + one
     * aggregation; partitioned by (id, term) hash. */

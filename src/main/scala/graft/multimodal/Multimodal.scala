@@ -8,12 +8,16 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus the decode → featurize plumbing
   * a training-data pipeline runs over them.
   *
-  * PNG decode is REAL: [[PngDecoder]] inflates and unfilters actual
-  * pixels through the pure-JVM [[Png]] codec (q85 pins exact channel
-  * sums against a formula-replaying oracle). Formats with no JVM
-  * codec in this container (JPEG, audio, video) go through
-  * [[DecodeStub.features]], which derives deterministic fake features
-  * from the content bytes. Everything around the decoder boundary —
+  * Decode is REAL for every format the testdata carries: PNG through
+  * the pure-JVM [[Png]] codec (inflate + all five filters; q85 pins
+  * exact channel sums against a formula-replaying oracle), WAV
+  * through [[WavDecoder]] (RIFF/PCM16, q91), Y4M video through
+  * [[Y4mDecoder]] (O(1) frame seek, q92), and BMP/JPEG through the
+  * JDK's ImageIO ([[ImageIoCodec]], q90). [[DecodeStub.features]]
+  * remains only for genuinely codec-less formats, deriving
+  * deterministic fake features from the content bytes so the
+  * pipeline shape stays testable. Everything around the decoder
+  * boundary —
   * the schema, the binary-safe fingerprints, magic-byte format
   * sniffing, the per-partition batched extraction, and the
   * frame-sampling plan — is the same Spark plumbing either way,

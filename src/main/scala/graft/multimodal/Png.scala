@@ -27,6 +27,11 @@ object Png {
   private val SIG: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 
+  /** Decode-side allocation cap (bytes of raw raster incl. filter
+    * bytes) for untrusted binary columns — see the bound in
+    * [[decode]]. */
+  val MaxRasterBytes: Long = 1L << 30
+
   private def colorType(channels: Int): Int = channels match {
     case 1 => 0
     case 2 => 4
@@ -126,6 +131,10 @@ object Png {
       val dataOff = pos + 8
       typ match {
         case "IHDR" =>
+          // spec: IHDR data is exactly 13 bytes; a short chunk would
+          // otherwise surface as BufferUnderflowException below
+          // instead of the documented IllegalArgumentException
+          require(len == 13, s"bad IHDR length $len (expected 13)")
           val b = ByteBuffer.wrap(bytes, dataOff, len)
           width = b.getInt
           height = b.getInt
@@ -154,6 +163,15 @@ object Png {
     require(seenIhdr, "missing IHDR")
     require(done, "truncated PNG: missing IEND")
     require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    // untrusted-binary allocation cap, checked in LONG arithmetic
+    // BEFORE any buffer is sized: a hostile IHDR with width ~2^30
+    // would overflow `width * channels` to a negative stride (or
+    // allocate gigabytes) without this bound. 1 GiB of raster covers
+    // any realistic media row; raise MaxRasterBytes if a corpus
+    // legitimately exceeds it.
+    require(width.toLong * height * channels + height <= MaxRasterBytes,
+      s"raster ${width}x$height x$channels exceeds the " +
+        s"$MaxRasterBytes-byte decode cap for untrusted binary columns")
 
     val stride = width * channels
     val raw = new Array[Byte](height * (1 + stride))

@@ -125,6 +125,12 @@ object PQ {
     require(k >= 1, s"k must be >= 1, got $k")
     require(m >= 1 && dim % m == 0,
       s"dim ($dim) must be divisible by the number of subspaces ($m)")
+    // enforce the ONE-ROW query contract instead of silently
+    // multiplying the corpus through the crossJoin; limit(2) keeps
+    // the check a CollectLimit short-circuit, not a full count
+    val qdf = query.select(col(queryVecCol).as("__qv"))
+    val nq = qdf.limit(2).count()
+    require(nq == 1, s"adcTopK requires a ONE-ROW query frame, got $nq")
     // ONE broadcast row: the cid-sorted array of codebook vectors
     val packed = cents.agg(
       transform(array_sort(collect_list(struct(col("cid"), col("cvec")))),
@@ -132,7 +138,7 @@ object PQ {
     val scored = docs
       .crossJoin(broadcast(packed))
       .select(col(idCol), reconstruct(col(vecCol), col("__cb")).as("__xhat"))
-      .crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
+      .crossJoin(broadcast(qdf))
       .select(col(idCol), dot(col("__qv"), col("__xhat")).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)

@@ -36,14 +36,20 @@ class BM25Spec extends SparkSpec {
     assert(got.head == 1L) // doc 1 matches both terms
   }
 
-  test("statsFromPostings recovers corpusStats exactly (incl. empty text)") {
-    val withEmpty = docs.union(Seq((5L, "")).toDF("doc_id", "text"))
-    val fromCorpus = BM25.corpusStats(withEmpty, "text")
+  test("statsFromPostings recovers corpusStats exactly (incl. empty AND null text)") {
+    // null text must behave like empty text (tokens coalesces to ""):
+    // without that, explode drops the null-text doc from postings
+    // while corpusStats still counts it in N — the q87 append≡rebuild
+    // contract would diverge on a corpus with nulls
+    val withEdge = docs.union(Seq((5L, ""), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val fromCorpus = BM25.corpusStats(withEdge, "text")
       .as[(Double, Double)].head()
     val fromPostings = BM25.statsFromPostings(
-      BM25.postings(withEmpty, "doc_id", "text"))
+      BM25.postings(withEdge, "doc_id", "text"))
       .as[(Double, Double)].head()
     assert(fromCorpus == fromPostings)
+    assert(fromCorpus._1 == docs.count() + 2.0) // both edge docs in N
   }
 
   test("appended postings score identically to a full one-shot index") {

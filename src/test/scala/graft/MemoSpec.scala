@@ -53,6 +53,23 @@ class MemoSpec extends AnyFunSuite {
     assert(withB != afterDelete)
   }
 
+  test("dirFingerprint observes part files at depth >= 3 (partitioned-table layouts)") {
+    // the round-7 blind spot: a file under dir/table/key=x/ rewritten
+    // with every ancestor mtime pinned — only a full walk sees it
+    val d = tempDir()
+    val table = new java.io.File(d, "table.parquet")
+    val part = new java.io.File(table, "key=x")
+    part.mkdirs()
+    val deep = new java.io.File(part, "part-0")
+    java.nio.file.Files.write(deep.toPath, "one".getBytes("UTF-8"))
+    Seq(deep, part, table, d).foreach(_.setLastModified(1000000000000L))
+    val before = Memo.dirFingerprint(d.getPath)
+    java.nio.file.Files.write(deep.toPath, "two!".getBytes("UTF-8"))
+    deep.setLastModified(1000000060000L)
+    Seq(part, table, d).foreach(_.setLastModified(1000000000000L))
+    assert(before != Memo.dirFingerprint(d.getPath))
+  }
+
   test("cachedCount rebuilds only when the dir content changes") {
     val d = tempDir()
     write(d, "a.txt", "one", 1000000000000L)

@@ -84,6 +84,13 @@ class PQSpec extends SparkSpec {
     assert(native == hof)
   }
 
+  test("adcTopK rejects a multi-row query frame instead of multiplying the corpus") {
+    val q2 = emb.filter(col("vec_id") < 2).select(col("v").as("qv"))
+    val e = intercept[IllegalArgumentException](
+      PQ.adcTopK(emb, "vec_id", "v", cb, q2, "qv", 10, 8, 64))
+    assert(e.getMessage.contains("ONE-ROW"))
+  }
+
   test("adcTopK rejects invalid k and non-divisible subspaces") {
     val q = emb.filter(col("vec_id") === 1).select(col("v").as("qv"))
     intercept[IllegalArgumentException] {

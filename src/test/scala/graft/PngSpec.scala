@@ -81,6 +81,21 @@ class PngSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Png.decode(good.take(good.length - 8)))
   }
 
+  test("hostile IHDR is rejected before any allocation (untrusted binary)") {
+    val good = Png.encode(4, 4, gradient(4, 4, 3))
+    // IHDR chunk: signature(8) + len(4)@8 + type(4)@12 + width(4)@16
+    // + height(4)@20. Our decoder skips CRCs, so byte patches reach it.
+    val shortIhdr = good.clone()
+    shortIhdr(11) = 12 // declared IHDR length 12 (must be 13)
+    val e1 = intercept[IllegalArgumentException](Png.decode(shortIhdr))
+    assert(e1.getMessage.contains("IHDR"))
+    val hugeWidth = good.clone()
+    hugeWidth(16) = 0x40; hugeWidth(17) = 0; hugeWidth(18) = 0; hugeWidth(19) = 0
+    val e2 = intercept[IllegalArgumentException](Png.decode(hugeWidth))
+    assert(e2.getMessage.contains("decode cap"),
+      s"expected the raster cap to fire, got: ${e2.getMessage}")
+  }
+
   test("PngDecoder features carry dims and exact channel means") {
     // 1x2 RGB: (0 100 200), (50 150 250) -> means (25, 125, 225)
     val px = Array[Byte](0, 100, 200.toByte, 50, 150.toByte, 250.toByte)
