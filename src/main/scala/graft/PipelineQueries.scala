@@ -91,24 +91,34 @@ object PipelineQueries {
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val stage = Memo.cachedValue(s, dir, "events_stage") {
       val path = roundtripPath(dir, "events_stream")
-      new java.io.File(path).mkdirs()
       def deleteTree(f: java.io.File): Unit = {
         if (f.isDirectory)
           Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
         f.delete(); ()
       }
-      def copyTree(src: java.io.File, dst: java.io.File): Unit =
-        if (src.isDirectory) {
-          dst.mkdirs()
-          Option(src.listFiles()).toSeq.flatten
-            .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
-        } else {
-          java.nio.file.Files.copy(src.toPath, dst.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
-        }
-      val target = new java.io.File(s"$path/events.parquet")
-      deleteTree(target)
-      copyTree(new java.io.File(s"$dir/events.parquet"), target)
+      val root = new java.io.File(path)
+      deleteTree(root)
+      root.mkdirs()
+      // FLATTEN into the stage dir: the source may be the testdata's
+      // single file OR a Spark-written directory (part files +
+      // _SUCCESS/.crc markers). Part files must land as TOP-LEVEL
+      // files — neither the batch schema read nor the file-stream
+      // source descends into a non-partition subdirectory, so the
+      // nested-copy staging of the directory shape read zero files
+      // (surfaced by the 10× ScaleProbe corpus, whose events table is
+      // directory-shaped). Markers are skipped; parquet part-file
+      // names are run-unique, hence the full stage delete above.
+      def copyFile(src: java.io.File): Unit = {
+        java.nio.file.Files.copy(src.toPath,
+          new java.io.File(root, src.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+      }
+      val src = new java.io.File(s"$dir/events.parquet")
+      if (src.isFile) copyFile(src)
+      else Option(src.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .foreach(copyFile)
       path
     }
     val schema = s.read.parquet(stage).schema

@@ -363,6 +363,91 @@ object RetrievalQueries {
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  /** S5/R2 INDEX LIFECYCLE under the oracle gate — the composition
+    * whose halves q84 (append ≡ rebuild) and q58 (refine replay) pin
+    * separately: build the at-rest index over the odd-id slice,
+    * append a deliberately SKEWED delta (every even id re-embedded AT
+    * the cid-0 centroid — the drift shape of a corpus whose new
+    * content clusters where the standing quantizer under-covers),
+    * observe [[graft.search.IVF.needsRefine]] FIRE (the require makes
+    * the trigger itself part of the correctness gate: one list holds
+    * ≥ half the corpus, ≥ 4× the mean at any SF), retrain the
+    * quantizer with one Lloyd iteration over the index's OWN rows,
+    * rewrite via [[graft.search.IVF.writeIndexFrom]], and serve the
+    * query from the refreshed index. The oracle replays the whole
+    * composition from scratch, so the hash match pins
+    * append → trigger → retrain → rewrite ≡ one straight-line
+    * rebuild. (The cloned delta stays one indivisible list after
+    * refinement — identical vectors cannot be split — so the trigger
+    * remains hot on the refreshed index; the contract is the
+    * lifecycle, not that one iteration cures duplication.) */
+  def q96IvfRefresh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q96")
+    val path2 = PipelineQueries.roundtripPath(dir, "q96r")
+    val base = e.filter(col("vec_id") % 2 === 1)
+    graft.search.IVF.writeIndex(base, "vec_id", "v", ivfK, 0, path)
+    val cz = s.read.parquet(s"$path/centroids")
+      .filter(col("cid") === 0).select(col("cvec"))
+    val delta = e.filter(col("vec_id") % 2 === 0)
+      .crossJoin(broadcast(cz)).select(col("vec_id"), col("cvec").as("v"))
+    graft.search.IVF.appendToIndex(s, path, delta, "vec_id", "v")
+    require(graft.search.IVF.needsRefine(s, path, 2.0),
+      "q96: the skewed append must trip the refine trigger")
+    val rows = s.read.parquet(s"$path/lists").select(col("vec_id"), col("v"))
+    val refined = graft.search.IVF.refine(rows, "vec_id", "v",
+      s.read.parquet(s"$path/centroids"), refineIters)
+    graft.search.IVF.writeIndexFrom(refined,
+      graft.search.IVF.assign(rows, "vec_id", "v", refined), path2)
+    graft.search.IVF.searchIndex(s, path2, "vec_id", "v",
+      e.filter(col("vec_id") === 3).select(col("v").as("qv")), "qv",
+      10, ivfProbe)
+      .orderBy("rank")
+  }
+
+  /** The straight-line replay: base-slice LCG centroids, the union
+    * corpus with even ids re-embedded at cid 0's vector, q58's
+    * quantized-exact Lloyd step, assignment + probe + top-k. */
+  val q96Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cs AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e WHERE vec_id % 2 = 1) WHERE cid < $ivfK),
+       cz AS (SELECT cvec FROM cs WHERE cid = 0),
+       u AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1
+             UNION ALL SELECT vec_id, cz.cvec AS v FROM e, cz WHERE vec_id % 2 = 0),
+       a0 AS (SELECT vec_id, v, cid FROM (
+           SELECT u.vec_id, u.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY u.vec_id
+               ORDER BY list_dot_product(u.v, c.cvec) DESC, c.cid) AS r
+           FROM u, cs c) WHERE r = 1),
+       px AS (SELECT cid, i.i AS pos, v[i.i + 1] AS x
+              FROM a0, (SELECT UNNEST(generate_series(0, ${embDim - 1})) AS i) i),
+       m AS (SELECT cid, pos,
+               CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) /
+                 (COUNT(*) * 1000000.0) AS m
+             FROM px GROUP BY cid, pos),
+       g AS (SELECT cid, list(m ORDER BY pos) AS lm FROM m GROUP BY cid),
+       c1 AS (SELECT cid,
+               list_transform(lm, x -> x / (sqrt(list_dot_product(lm, lm)) + 1e-9)) AS cvec
+             FROM g),
+       a1 AS (SELECT vec_id, v, cid FROM (
+           SELECT u.vec_id, u.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY u.vec_id
+               ORDER BY list_dot_product(u.v, c.cvec) DESC, c.cid) AS r
+           FROM u, c1 c) WHERE r = 1),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 3),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c1 c, q) WHERE r <= $ivfProbe),
+       sc AS (SELECT a.vec_id, list_dot_product(a.v, pr.qv) AS sc
+              FROM a1 a JOIN pr ON a.cid = pr.cid),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
   /** R2 (third scale path): product-quantization ADC search — a
     * 16-entry codebook over 8 subspaces of 8 dims, every data vector
     * scored through its reconstruction. Same query point as q45 so
@@ -472,20 +557,30 @@ object RetrievalQueries {
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
   }
 
-  /** The persisted graph-ANN index (m, efConstruction, part count
-    * pinned so the at-rest graphs are environment-independent), built
-    * once per (session, dir-content) under `_build_graph_ann` — the
-    * graph path's q54/q20 discipline: construction is superlinear per
-    * part and must never run inside a query's clock. parts=8 keeps
-    * per-part graphs segment-sized at the test SFs (the knob a real
-    * deployment derives from maxPartitionBytes). */
+  /** The persisted graph-ANN index (m and efConstruction pinned;
+    * part count derived from CORPUS SIZE, so the at-rest graphs are
+    * environment-independent yet stay segment-sized), built once per
+    * (session, dir-content) under `_build_graph_ann` — the graph
+    * path's q54/q20 discipline: construction is superlinear IN PART
+    * SIZE (each insertion beam-searches the part's graph-so-far) and
+    * must neither run inside a query's clock nor grow per-part. The
+    * q33-adaptive-bits discipline applied to partitioning:
+    * parts = max(8, ⌈N / 500⌉) caps parts at ~500 nodes, making
+    * total build cost linear in N (more data → more segments, never
+    * bigger ones — the 10× ScaleProbe measured 37× build growth with
+    * parts frozen at 8, the motivating defect). A real deployment
+    * derives the same number from maxPartitionBytes. */
   private[graft] val graphM = 8; private[graft] val graphEf = 48
-  private[graft] val graphParts = 8
+  private[graft] val graphTargetPart = 500
+  private[graft] def graphPartsFor(s: SparkSession, dir: String): Int = {
+    val n = Memo.cachedCount(s, dir, "emb_n")(emb(s, dir).count())
+    math.max(8, math.ceil(n.toDouble / graphTargetPart).toInt)
+  }
   private[graft] def graphIndexPath(s: SparkSession, dir: String): String =
     Memo.cachedValue(s, dir, "graphann") {
       val p = PipelineQueries.roundtripPath(dir, "graphann")
       graft.search.GraphAnn.writeIndex(emb(s, dir), "vec_id", "v",
-        graphM, graphEf, graphParts, p)
+        graphM, graphEf, graphPartsFor(s, dir), p)
       p
     }
 
@@ -521,6 +616,7 @@ object RetrievalQueries {
     val exact = Search.multiTopK(e, "vec_id", "v", qs, "qid", "qv", recallK)
       .select(col("qid"), col("vec_id"))
     val path = graphIndexPath(s, dir)
+    val parts = graphPartsFor(s, dir)
     def row(ef: Int): DataFrame =
       exact.join(
           graft.search.GraphAnn.searchIndexMulti(s, path, "vec_id",
@@ -528,7 +624,7 @@ object RetrievalQueries {
           Seq("qid", "vec_id"), "left_semi")
         .agg(round(count(lit(1)) / lit((recallNq * recallK).toDouble), 4).as("recall"))
         .select(lit("graph").as("method"),
-          lit(s"m=$graphM parts=$graphParts ef=$ef").as("knob"), col("recall"))
+          lit(s"m=$graphM parts=$parts ef=$ef").as("knob"), col("recall"))
     Seq(recallK, 24, graphEf).map(row).reduce(_ union _)
       .orderBy("method", "knob")
   }
@@ -560,10 +656,15 @@ object RetrievalQueries {
 
   /** The power iteration unrolled as a reusable CTE chain (ends at
     * `v$pcaIters` = the top PC and `mu`): centered exploded
-    * coordinates, v0 = 1/8 (= 1/√64 exactly), each step = quantized
-    * projection sum per row, quantized component sum per dimension,
-    * quantized norm. Shared by the q89 and q94 oracles. */
+    * coordinates, v0 = 1/√embDim (interpolated from the SAME constant
+    * the Scala side derives from size(mu), so changing embDim cannot
+    * silently split the two sides — the q78Sql hardcoding class; the
+    * CAST pins DuckDB to the shortest-round-trip double rather than a
+    * DECIMAL reading of the literal), each step = quantized projection
+    * sum per row, quantized component sum per dimension, quantized
+    * norm. Shared by the q89 and q94 oracles. */
   private def spectralCtes: String = {
+    val v0 = 1.0 / math.sqrt(embDim.toDouble)
     def iter(t: Int): String = {
       val prev = if (t == 1) "v0" else s"v${t - 1}"
       s"""s$t AS (SELECT i, SUM(CAST(ROUND(xc * v * 1000000000) AS BIGINT)) / 1000000000.0 AS s
@@ -580,7 +681,7 @@ object RetrievalQueries {
        mu AS (SELECT j, CAST(SUM(CAST(ROUND(x*1000000) AS BIGINT)) AS DOUBLE)/(COUNT(*)*1000000.0) AS m
               FROM px GROUP BY j),
        cx AS (SELECT i, j, x - m AS xc FROM px JOIN mu USING (j)),
-       v0 AS (SELECT j, 0.125 AS v FROM ($dims)),
+       v0 AS (SELECT j, CAST($v0 AS DOUBLE) AS v FROM ($dims)),
        ${(1 to pcaIters).map(iter).mkString(",\n       ")}"""
   }
 
@@ -1505,6 +1606,7 @@ object RetrievalQueries {
     "q59_pq_ann" -> (q59PqAnn _),
     "q81_ivf_pq" -> (q81IvfPq _),
     "q84_ivf_append" -> (q84IvfAppend _),
+    "q96_ivf_refresh" -> (q96IvfRefresh _),
     "q86_graph_ann" -> (q86GraphAnn _),
     "q95_graph_recall" -> (q95GraphRecall _),
     "q89_embedding_pc" -> (q89EmbeddingPc _),
@@ -1535,6 +1637,7 @@ object RetrievalQueries {
     "q59_pq_ann" -> q59Sql,
     "q81_ivf_pq" -> q81Sql,
     "q84_ivf_append" -> q84Sql,
+    "q96_ivf_refresh" -> q96Sql,
     "q89_embedding_pc" -> q89Sql,
     "q94_all_but_top" -> q94Sql)
 }

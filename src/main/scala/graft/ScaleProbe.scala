@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * documents/embeddings corpus (id-shifted copies with perturbed
   * text, so dedup structure stays realistic) in /tmp, then times the
   * heaviest pipelines at 1x and Kx to measure their scaling exponent.
-  * Usage: sbt "runMain graft.ScaleProbe [K]"
+  * Usage: sbt "runMain graft.ScaleProbe [K] [query...]"
+  * (trailing query names restrict the probe to that subset)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -20,6 +21,17 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val src = "/root/testdata/sf0.1"
     val dst = s"/tmp/graft_scale_${k}x"
+
+    // SCALE_PROBE_REUSE: skip the Kx corpus re-synthesis when the dst
+    // dir already exists — lets repeated single-query probes (fresh
+    // JVM per measurement, to keep streaming state stores and memory
+    // sinks from cross-contaminating timings) start at the queries
+    if (sys.env.contains("SCALE_PROBE_REUSE") &&
+        new java.io.File(s"$dst/events.parquet").exists()) {
+      probe(spark, k, src, dst, args)
+      spark.stop()
+      return
+    }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nDocs = docs.count()
@@ -59,6 +71,12 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
 
+    probe(spark, k, src, dst, args)
+    spark.stop()
+  }
+
+  private def probe(spark: SparkSession, k: Int, src: String, dst: String,
+                    args: Array[String]): Unit = {
     def time(label: String, dir: String, q: String): Double = {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()
@@ -67,7 +85,7 @@ object ScaleProbe {
       dt
     }
 
-    Seq("q30_dedup_exact", "q31_minhash_pairs", "q47_curation_e2e",
+    val defaults = Seq("q30_dedup_exact", "q31_minhash_pairs", "q47_curation_e2e",
       "q20_bm25", "q21_top_terms", "q10_knn_exact", "q11_knn_multi",
       "q16_ann_lsh", "q33_neardup_cosine", "q49_dp_attr_search",
       "q45_ann_ivf", "q58_ivf_refined", "q55_rag_candidates",
@@ -78,11 +96,14 @@ object ScaleProbe {
       "q77_packing_stats", "q78_centroid_classify",
       "q84_ivf_append", "q86_graph_ann", "q87_bm25_append",
       "q88_redact", "q93_prep_e2e", "q89_embedding_pc",
-      "q94_all_but_top").foreach { q =>
+      "q94_all_but_top",
+      "q61_stream_sessionize", "q83_stream_stream_join",
+      "q95_graph_recall", "q96_ivf_refresh")
+    val probeQs = if (args.length > 1) args.drop(1).toSeq else defaults
+    probeQs.foreach { q =>
       val a = time("1x", src, q)
       val b = time(s"${k}x", dst, q)
       println(f"SCALE RATIO $q ${b / a}%.2f (data ${k}x)")
     }
-    spark.stop()
   }
 }

@@ -15,6 +15,24 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one-off: how many micro-batches does the q61 drain split into
+    // on a directory-shaped (32-part-file) staged source?
+    if (args.contains("probe61batches")) {
+      val stage = "/tmp/graft_rt/events_stream__tmp_graft_scale_10x"
+      val schema = spark.read.parquet(stage).schema
+      val ev = spark.readStream.schema(schema).parquet(stage)
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Streaming.sessionize(ev, "30 minutes").writeStream
+        .format("memory").queryName("probe61").outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      println(s"PROBE61 batches=${q.recentProgress.length} " +
+        s"ids=${q.recentProgress.map(_.batchId).mkString(",")} " +
+        f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      spark.stop(); return
+    }
     val dumped = scala.collection.mutable.LinkedHashMap[String, String]()
     for (q <- args.drop(1)) {
       val t0 = System.nanoTime()

@@ -76,14 +76,38 @@ object GraphAnn {
     s
   }
 
-  /** Greedy best-first beam search from node 0 over the first `limit`
+  /** HNSW-style coarse entry layer, flattened: instead of upper graph
+    * levels, score every `stride`-th node (⌈√n⌉ landmarks) against
+    * the query and descend from the best (ties: lowest index). Same
+    * role as the reference HNSW's log-time entry descent
+    * (`IndexHNSWFlat(d, M=32)`, `src/pipeline/pipeline.py:126-129`):
+    * the beam starts near the query's neighborhood instead of at
+    * node 0, cutting hops on large partitions for O(√n) extra dots.
+    * Deterministic, and search-time only — graphs are built with the
+    * fixed entry so the at-rest artifact is unchanged. */
+  private[graft] def landmarkEntry(vecs: Array[Array[Double]],
+                                   q: Array[Double], limit: Int): Int = {
+    if (limit <= 0) return 0
+    val stride = math.max(1, math.ceil(math.sqrt(limit.toDouble)).toInt)
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var i = 0
+    while (i < limit) {
+      val s = dot(vecs(i), q)
+      if (s > bestS) { bestS = s; best = i }
+      i += stride
+    }
+    best
+  }
+
+  /** Greedy best-first beam search from `entry` over the first `limit`
     * nodes: expand the best unexpanded candidate, keep a beam of the
     * ef best seen, stop when the beam's worst beats every frontier
     * node. Returns (index, score) sorted by (score desc, index asc). */
   private[graft] def searchGraph(vecs: Array[Array[Double]],
                                   nbrs: Adjacency,
                                   q: Array[Double], ef: Int,
-                                  limit: Int): Array[(Int, Double)] = {
+                                  limit: Int, entry: Int = 0): Array[(Int, Double)] = {
     if (limit <= 0) return Array.empty
     val visited = new java.util.BitSet(limit)
     // frontier: max-heap by score (ties: lowest index first)
@@ -97,7 +121,7 @@ object GraphAnn {
       beam.enqueue((i, s))
       if (beam.size > ef) beam.dequeue()
     }
-    consider(0)
+    consider(if (entry >= 0 && entry < limit) entry else 0)
     var continue = true
     while (continue && frontier.nonEmpty) {
       val (best, bestScore) = frontier.dequeue()
@@ -169,7 +193,8 @@ object GraphAnn {
         else {
           val vecs = rows.map(_._2)
           val graph = buildGraph(vecs, m, efC = ef)
-          searchGraph(vecs, graph, bq.value, ef, vecs.length)
+          searchGraph(vecs, graph, bq.value, ef, vecs.length,
+              landmarkEntry(vecs, bq.value, vecs.length))
             .iterator.map { case (i, s) => (rows(i)._1, s) }
         }
       }
@@ -279,7 +304,8 @@ object GraphAnn {
           val adj: Adjacency = rows.map(r =>
             scala.collection.mutable.ArrayBuffer(r._4.map(idToIdx): _*))
           bqs.value.iterator.flatMap { case (qid, qv) =>
-            searchGraph(vecs, adj, qv, ef, vecs.length)
+            searchGraph(vecs, adj, qv, ef, vecs.length,
+                landmarkEntry(vecs, qv, vecs.length))
               .iterator.map { case (i, s) => (qid, rows(i)._2, s) }
           }
         }

@@ -133,6 +133,30 @@ class GraphAnnSpec extends SparkSpec {
     assert(ef48 >= 0.9, s"ef=48 recall $ef48 below the 0.9 floor")
   }
 
+  test("landmark entry descent: no recall loss vs entry-0 (hierarchical entry A/B)") {
+    // driver-side A/B over one partition's worth of real vectors: the
+    // √n-landmark descent must not lose recall relative to the fixed
+    // entry, and must meet the per-query floor on its own
+    val vecs = emb.orderBy("vec_id").select("v")
+      .as[Seq[Double]].collect().map(_.toArray)
+    val g = GraphAnn.buildGraph(vecs, m = 8, efC = 48)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map(p => p._1 * p._2).sum
+    vecs.take(5).foreach { q =>
+      val exact = vecs.zipWithIndex
+        .map { case (v, i) => (i, dot(v, q)) }
+        .sortBy { case (i, s) => (-s, i) }.take(10).map(_._1).toSet
+      def top10(entry: Int) =
+        GraphAnn.searchGraph(vecs, g, q, 48, vecs.length, entry)
+          .take(10).map(_._1).toSet
+    val e0 = (top10(0) intersect exact).size
+      val lmEntry = GraphAnn.landmarkEntry(vecs, q, vecs.length)
+      val lm = (top10(lmEntry) intersect exact).size
+      assert(lm >= e0, s"landmark entry lost recall: $lm < $e0")
+      assert(lm >= 9, s"landmark-entry recall $lm/10 below floor")
+    }
+  }
+
   test("graphTopK rejects bad knobs and non-integral ids") {
     intercept[IllegalArgumentException](
       GraphAnn.graphTopK(emb, "vec_id", "v", query(0), "qv", 0))

@@ -416,4 +416,69 @@ class ScaleSpec extends SparkSpec {
       .agg(count(lit(1)).as("n_events"), sum($"vc").as("sum_value_c"))
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
+
+  // ---------- AQE skew-join vs manual salting (when each applies) ----------
+
+  test("AQE splits a moderately-skewed join at runtime; salting handles it statically") {
+    // A/B of the two skew tools on the SAME moderately-skewed join:
+    // half the fact rows share one hot key. AQE's skew-join split is
+    // the default answer — zero code, the optimizer divides the
+    // oversized shuffle partition among extra tasks at runtime.
+    // Manual salting (q65's Salting.saltedJoin) remains the static
+    // fallback for the extreme tail: a single key so hot that even
+    // its SPLITS overwhelm a task, or plans where AQE can't apply
+    // (stateful streaming, Spark < 3 sinks). Sessions are isolated so
+    // the tuned thresholds never leak into other suites.
+    def skewedJoin(s: org.apache.spark.sql.SparkSession) = {
+      val fact = s.range(40000).select(
+        when(col("id") % 2 === 0, 0L).otherwise(col("id")).as("k"),
+        (col("id") % 97).as("vc"))
+      val dim = s.range(40000).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("name"))
+      fact.join(dim, "k").groupBy(length(col("name")).as("len"))
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("sv"))
+    }
+    def withConfs(skewOn: Boolean) = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+      // scaled-down detection knobs: the test corpus is KBs, not the
+      // 256 MB default threshold a real cluster uses
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      s
+    }
+    // collect the frame ITSELF (not an orderBy derivative): AQE
+    // finalizes executedPlan per executed frame, so inspecting a
+    // never-executed parent would read isFinalPlan=false
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+    val on = withConfs(skewOn = true)
+    val dfOn = skewedJoin(on)
+    val gotOn = rows(dfOn)
+    val planOn = dfOn.queryExecution.executedPlan.toString
+    assert(planOn.contains("skew=true"),
+      s"AQE did not mark the skewed join (plan:\n${planOn.take(2000)})")
+    val off = withConfs(skewOn = false)
+    val dfOff = skewedJoin(off)
+    val gotOff = rows(dfOff)
+    assert(!dfOff.queryExecution.executedPlan.toString.contains("skew=true"))
+    // same rows either way — the split is a physical rewrite only
+    assert(gotOn == gotOff)
+    // and the manual tool agrees on the same data (the q65 path)
+    val factOff = off.range(40000).select(
+      when(col("id") % 2 === 0, 0L).otherwise(col("id")).as("k"),
+      (col("id") % 97).as("vc"))
+    val dimOff = off.range(40000).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("name"))
+    val saltedAgg = rows(graft.ingest.Salting
+      .saltedJoin(factOff, col("k"), dimOff, "k", 8)
+      .groupBy(length(col("name")).as("len"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sv")))
+    assert(saltedAgg == gotOff)
+  }
 }
