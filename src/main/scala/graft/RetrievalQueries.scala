@@ -629,6 +629,42 @@ object RetrievalQueries {
       .orderBy("method", "knob")
   }
 
+  /** S5/R2 GRAPH-INDEX LIFECYCLE (the q84/q96 maintenance discipline
+    * applied to the graph path): build the at-rest NSW index over the
+    * FIRST 80% of ids, append the newest 20% as a delta through
+    * [[graft.search.GraphAnn.appendToIndex]] — the continuous-ingest
+    * shape: new content arrives with fresh, growing ids — and serve
+    * the q86 query from the appended index. Because the builder
+    * inserts in ascending id order, append ≡ from-scratch rebuild
+    * BIT FOR BIT, and since base ∪ delta is the whole corpus at the
+    * same knobs, the appended index must equal the `_build_graph_ann`
+    * index exactly: the require() makes that node-table equivalence
+    * part of the correctness gate (the q96 trigger discipline), so
+    * the rows-only check still rides a hard in-query contract. NO
+    * oracle: graph construction is not SQL-expressible (the SURVEY
+    * ✗-mark discipline; GraphAnnSpec pins the same equivalence plus
+    * recall floors at spec scale). */
+  def q97GraphAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
+    val split = 4L * n / 5L
+    val path = PipelineQueries.roundtripPath(dir, "q97")
+    graft.search.GraphAnn.writeIndex(e.filter(col("vec_id") < split),
+      "vec_id", "v", graphM, graphEf, graphPartsFor(s, dir), path)
+    graft.search.GraphAnn.appendToIndex(s, path,
+      e.filter(col("vec_id") >= split), "vec_id", "v")
+    val appended = s.read.parquet(s"$path/nodes")
+      .select(col("part"), col("id"), col("vec"), col("nbrs"))
+    val rebuilt = s.read.parquet(s"${graphIndexPath(s, dir)}/nodes")
+      .select(col("part"), col("id"), col("vec"), col("nbrs"))
+    require(appended.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(appended).isEmpty,
+      "q97: appended graph index must equal the full rebuild bit for bit")
+    graft.search.GraphAnn.searchIndex(s, path, "vec_id",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10, graphEf)
+      .orderBy("rank")
+  }
+
   /** Embedding-quality diagnostics: corpus mean + top principal
     * component of the centered embeddings via relational power
     * iteration ([[graft.embed.Spectral]]) — the artifacts of the
@@ -1609,6 +1645,7 @@ object RetrievalQueries {
     "q96_ivf_refresh" -> (q96IvfRefresh _),
     "q86_graph_ann" -> (q86GraphAnn _),
     "q95_graph_recall" -> (q95GraphRecall _),
+    "q97_graph_append" -> (q97GraphAppend _),
     "q89_embedding_pc" -> (q89EmbeddingPc _),
     "q94_all_but_top" -> (q94AllButTop _))
 

@@ -47,8 +47,21 @@ object GraphAnn {
 
   private[graft] def buildGraph(vecs: Array[Array[Double]],
                                  m: Int, efC: Int): Adjacency = {
-    val n = vecs.length
-    val nbrs: Adjacency = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    val nbrs: Adjacency = Array.fill(vecs.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    insertFrom(vecs, nbrs, 1, m, efC)
+    nbrs
+  }
+
+  /** Insert nodes `from until vecs.length` into a graph already built
+    * over `0 until from` (shared by [[buildGraph]], which starts at 1
+    * over an empty graph, and [[appendToIndex]], which starts at the
+    * existing part size). Because [[buildGraph]] itself inserts in
+    * ascending index order, inserting a sorted suffix here is
+    * IDENTICAL to having built the whole array from scratch — the
+    * bit-for-bit append ≡ rebuild contract GraphAnnSpec pins. */
+  private[graft] def insertFrom(vecs: Array[Array[Double]], nbrs: Adjacency,
+                                from: Int, m: Int, efC: Int): Unit = {
     def link(a: Int, b: Int): Unit = {
       val buf = nbrs(a)
       if (!buf.contains(b)) {
@@ -60,13 +73,12 @@ object GraphAnn {
         }
       }
     }
-    var i = 1
-    while (i < n) {
+    var i = math.max(from, 1)
+    while (i < vecs.length) {
       val found = searchGraph(vecs, nbrs, vecs(i), efC, i)
       found.take(m).foreach { case (j, _) => link(i, j); link(j, i) }
       i += 1
     }
-    nbrs
   }
 
   private def dot(a: Array[Double], b: Array[Double]): Double = {
@@ -266,6 +278,93 @@ object GraphAnn {
       }
       .toDF("part", "id", "vec", "nbrs")
     nodes.write.mode("overwrite").partitionBy("part").parquet(s"$path/nodes")
+    spark.read.parquet(s"$path/nodes")
+      .groupBy(col("part")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+    // the build knobs ride with the index so append re-derives the
+    // SAME part assignment and degree bound (an append under different
+    // knobs would silently produce a different graph family)
+    Seq((parts, m, efC)).toDF("parts", "m", "efC")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** INCREMENTAL graph-index maintenance — the [[IVF.appendToIndex]]
+    * discipline applied to the graph path (the engine's
+    * `faiss index.add` for HNSW-family indexes, reference
+    * `src/pipeline/pipeline.py:131-134`): route each delta vector to
+    * its id-hash part under the index's OWN `parts` knob, reconstruct
+    * only the TOUCHED parts' adjacency, insert the delta nodes with
+    * the same beam-search-and-link rule the builder used, and rewrite
+    * just those part directories (dynamic partition overwrite —
+    * untouched parts stay at rest, byte for byte).
+    *
+    * CONTRACT: every delta id must exceed every id already in the
+    * index (enforced per part). New content arriving with fresh,
+    * monotonically growing ids is exactly the continuous-ingest shape
+    * — and under it, because [[buildGraph]] inserts in ascending id
+    * order, append ≡ from-scratch rebuild over the union corpus
+    * BIT FOR BIT (node rows, adjacency lists, and every search
+    * answer; GraphAnnSpec pins all three). Inserting a delta that
+    * interleaves with existing ids would yield a different (still
+    * navigable) graph than the rebuild, so it is rejected rather than
+    * silently weakening the equivalence. */
+  def appendToIndex(spark: SparkSession, path: String,
+                    delta: DataFrame, idCol: String, vecCol: String): Unit = {
+    import spark.implicits._
+    Search.requireIntegralId(delta, idCol, "GraphAnn.appendToIndex")
+    val (parts, m, efC) = spark.read.parquet(s"$path/params")
+      .select(col("parts").cast("int"), col("m").cast("int"), col("efC").cast("int"))
+      .as[(Int, Int, Int)].head()
+    val d = delta
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("part", pmod(hash(col("id")), lit(parts)).cast("int"))
+    // the touched-part list is ≤ parts rows — driver-sized by design
+    val touched = d.select(col("part")).distinct().as[Int].collect().sorted
+    if (touched.isEmpty) return
+    val existing = spark.read.parquet(s"$path/nodes")
+      .filter(col("part").isin(touched.map(Integer.valueOf): _*)) // partition-pruned scan
+      .select(col("part").cast("int"), col("id"), col("vec"), col("nbrs"),
+        lit(false).as("isNew"))
+    val union = existing.unionByName(
+      d.select(col("part"), col("id"), col("vec"),
+        lit(null).cast("array<long>").as("nbrs"), lit(true).as("isNew")))
+    val rewritten = union
+      .repartition(touched.length, col("part"))
+      .as[(Int, Long, Seq[Double], Seq[Long], Boolean)]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (part, all) =>
+          val (newRows0, oldRows0) = all.partition(_._5)
+          val oldRows = oldRows0.sortBy(_._2)
+          val newRows = newRows0.sortBy(_._2)
+          require(oldRows.isEmpty || newRows.head._2 > oldRows.last._2,
+            s"GraphAnn.appendToIndex: delta id ${newRows.head._2} does not " +
+              s"exceed existing max id ${oldRows.last._2} in part $part — " +
+              "append requires monotonically growing ids (rebuild instead)")
+          val rows = oldRows ++ newRows
+          val idToIdx = rows.iterator.map(_._2).zipWithIndex.toMap
+          val vecs = rows.map(_._3.toArray)
+          val adj: Adjacency = rows.map { r =>
+            if (r._5) scala.collection.mutable.ArrayBuffer.empty[Int]
+            else scala.collection.mutable.ArrayBuffer(r._4.map(idToIdx): _*)
+          }
+          insertFrom(vecs, adj, oldRows.length, m, efC)
+          rows.indices.iterator.map { i =>
+            (part, rows(i)._2, rows(i)._3,
+              adj(i).toArray.map(j => rows(j)._2).sorted.toSeq)
+          }
+        }
+      }
+      .toDF("part", "id", "vec", "nbrs")
+      // materialize BEFORE the write: the plan reads the very part
+      // files the dynamic overwrite replaces, and Spark (rightly)
+      // refuses to overwrite a path it is reading from — the
+      // checkpoint computes the rewritten parts first, then the write
+      // sees a lineage-free plan
+      .localCheckpoint()
+    rewritten.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part").parquet(s"$path/nodes")
     spark.read.parquet(s"$path/nodes")
       .groupBy(col("part")).agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$path/meta")

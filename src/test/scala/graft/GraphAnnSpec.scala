@@ -157,6 +157,60 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
+  test("appendToIndex with growing ids equals a from-scratch rebuild bit for bit") {
+    val n = emb.count()
+    val split = 4L * n / 5L
+    val pathA = java.nio.file.Files.createTempDirectory("graphann_append").toString
+    GraphAnn.writeIndex(emb.filter(col("vec_id") < split), "vec_id", "v",
+      m = 8, efC = 48, parts = 4, pathA)
+    GraphAnn.appendToIndex(spark, pathA,
+      emb.filter(col("vec_id") >= split), "vec_id", "v")
+    val pathB = java.nio.file.Files.createTempDirectory("graphann_rebuild").toString
+    GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, pathB)
+    def nodes(p: String) = spark.read.parquet(s"$p/nodes")
+      .select(col("part").cast("int"), col("id"), col("vec"), col("nbrs"))
+      .as[(Int, Long, Seq[Double], Seq[Long])].collect().toSeq.sortBy(_._2)
+    assert(nodes(pathA) == nodes(pathB),
+      "appended node/adjacency rows diverge from the rebuild")
+    // and the served search answers are identical too
+    def top(p: String) = GraphAnn.searchIndex(spark, p, "vec_id",
+        query(1), "qv", 10, ef = 48)
+      .select("vec_id", "rank", "score").as[(Long, Long, Double)]
+      .collect().toSeq.sortBy(_._2)
+    assert(top(pathA) == top(pathB))
+  }
+
+  test("appendToIndex touches only the delta's parts and rejects interleaved ids") {
+    val n = emb.count()
+    val split = 4L * n / 5L
+    val path = java.nio.file.Files.createTempDirectory("graphann_touch").toString
+    GraphAnn.writeIndex(emb.filter(col("vec_id") < split), "vec_id", "v",
+      m = 8, efC = 48, parts = 4, path)
+    // pick ONE delta row; only its id-hash part may be rewritten
+    val one = emb.filter(col("vec_id") === split)
+    val deltaPart = one
+      .select(pmod(hash(col("vec_id").cast("long")), lit(4)).cast("int"))
+      .as[Int].head()
+    def fileSig(): Map[String, Set[String]] =
+      new java.io.File(s"$path/nodes").listFiles().toSeq
+        .filter(_.getName.startsWith("part="))
+        .map(d => d.getName ->
+          d.listFiles().map(f => s"${f.getName}:${f.lastModified}").toSet)
+        .toMap
+    val before = fileSig()
+    GraphAnn.appendToIndex(spark, path, one, "vec_id", "v")
+    val after = fileSig()
+    before.keys.filterNot(_ == s"part=$deltaPart").foreach { p =>
+      assert(after(p) == before(p), s"untouched $p was rewritten") }
+    assert(after(s"part=$deltaPart") != before(s"part=$deltaPart"),
+      "the delta's own part was not rewritten")
+    // interleaved ids (id 0 already exists below every index id) are
+    // rejected rather than silently breaking append ≡ rebuild
+    intercept[org.apache.spark.SparkException](
+      GraphAnn.appendToIndex(spark, path,
+        emb.filter(col("vec_id") === 0), "vec_id", "v"))
+  }
+
   test("graphTopK rejects bad knobs and non-integral ids") {
     intercept[IllegalArgumentException](
       GraphAnn.graphTopK(emb, "vec_id", "v", query(0), "qv", 0))
