@@ -222,7 +222,13 @@ object CurationQueries {
     * signatures → bucket candidates → exact Jaccard), exposed so other
     * oracles (q68's transitive closure) can build on the same pair
     * set. Ends with a `pairs(id1, id2, jaccard)` CTE. */
-  private[graft] val pairsCteSql: String = {
+  private[graft] val pairsCteSql: String = pairsCteSqlWith("a.doc_id < c.doc_id")
+
+  /** [[pairsCteSql]] with a caller-chosen candidate-pair predicate
+    * (`a` = the id1 side, `c` = the id2 side of the bucket
+    * self-join) — q31 keeps the canonical `a.doc_id < c.doc_id`
+    * within-corpus form; q98 swaps in the delta × base slice split. */
+  private[graft] def pairsCteSqlWith(pairPred: String): String = {
     val nBands = nPerm / rowsPerBand
     s"""t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
          FROM documents),
@@ -244,7 +250,7 @@ object CurationQueries {
              FROM sig, (SELECT unnest(generate_series(0, ${nBands - 1})) AS b) b),
        cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
               FROM banded a JOIN banded c
-                ON a.band = c.band AND a.bandsig = c.bandsig AND a.doc_id < c.doc_id),
+                ON a.band = c.band AND a.bandsig = c.bandsig AND ($pairPred)),
        pairs AS (SELECT id1, id2,
          ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
                (x.nsh + y.nsh - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
@@ -253,6 +259,88 @@ object CurationQueries {
 
   val q31Sql: String =
     s"WITH $pairsCteSql SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"
+
+  // ---------- streaming near-dup (continuous-ingest curation) ----------
+
+  /** The standing corpus's banded MinHash signatures — the at-rest
+    * "dedup index" an ingest pipeline keeps next to its corpus so each
+    * incoming batch can be checked without re-signaturing what is
+    * already there. Base slice = every document outside the q98 delta
+    * (doc_id % 10 ≠ 7); built once per (session, dir-content) under
+    * `_build_stream_bands`. */
+  private[graft] def streamBaseBands(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "q98_base_bands")(
+      Dedup.bandedSignatures(docs(s, dir).filter(col("doc_id") % 10 =!= 7),
+        "doc_id", "text", shingleN, nPerm, rowsPerBand))
+
+  /** The q98 delta slice staged as a FOUR-file parquet directory so
+    * the file-stream source delivers it as several micro-batches
+    * (maxFilesPerTrigger=1), not one — the multi-batch path is the
+    * part worth exercising. Hash-split by doc_id: deterministic file
+    * contents, and the batch split must not matter (the contract
+    * [[q98StreamNeardup]] relies on). */
+  private[graft] def q98Stage(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "q98_stage") {
+      val p = PipelineQueries.roundtripPath(dir, "q98_stream")
+      docs(s, dir).filter(col("doc_id") % 10 === 7)
+        .repartition(4, col("doc_id"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+
+  /** STREAMING NEAR-DUP against the standing corpus — the
+    * continuous-ingest shape of q31: documents arrive as a stream
+    * (the doc_id % 10 = 7 slice, staged as a 4-file source drained in
+    * 4 micro-batches), each micro-batch derives its banded MinHash
+    * signatures, candidates meet the STATIC base-corpus band table
+    * through the (band, bandsig) equi-join, and each candidate pair
+    * is exact-Jaccard verified — all inside `foreachBatch`, because
+    * signature derivation chains two aggregations that the
+    * incremental streaming planner cannot express in one stateful
+    * query, while per-batch batch semantics express them exactly.
+    *
+    * Every delta doc's matches depend only on its own text and the
+    * static base table, so the drained union is independent of how
+    * the source splits batches and equals the batch replay — which is
+    * exactly what the DuckDB oracle checks (q31's CTE chain with the
+    * candidate join restricted to delta × base). Within-stream
+    * duplicates are q30/q31's domain, not this query's: matched pairs
+    * always cross the slice boundary (id1 = incoming, id2 = corpus).
+    *
+    * Scale shape: the base band table is corpus-sized but the
+    * per-batch join is an equi-join on the bucket key (at rest it
+    * would be bucket-pruned like the BM25 postings); per-batch verify
+    * cost scales with that batch's candidates, never the corpus. */
+  def q98StreamNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val baseBands = streamBaseBands(s, dir)
+    val stage = q98Stage(s, dir)
+    val out = PipelineQueries.roundtripPath(dir, "q98_out")
+    // seed with the empty schema: a drain whose every batch verified
+    // zero pairs must still read back as an empty typed frame
+    Seq.empty[(Long, Long, Double)].toDF("id1", "id2", "jaccard")
+      .write.mode("overwrite").parquet(out)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, _) => {
+      val sigs = Dedup.bandedSignatures(batch, "doc_id", "text",
+        shingleN, nPerm, rowsPerBand)
+      val cands = sigs.as("a")
+        .join(baseBands.as("b"),
+          col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+        .distinct()
+      Dedup.jaccardVerify(d, "doc_id", "text", cands, shingleN)
+        .write.mode("append").parquet(out)
+    })
+    s.read.parquet(out).orderBy("id1", "id2")
+  }
+
+  val q98Sql: String =
+    s"""WITH ${pairsCteSqlWith("a.doc_id % 10 = 7 AND c.doc_id % 10 <> 7")}
+       SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"""
 
   /** 16-bit SimHash per document (token-hash sign aggregation). */
   def q32Simhash(s: SparkSession, dir: String): DataFrame =
@@ -606,7 +694,9 @@ object CurationQueries {
 
   /** Shared-artifact builds (see RetrievalQueries.builds). */
   val builds: Map[String, (SparkSession, String) => Unit] = Map(
-    "_build_neardup_pairs" -> ((s, dir) => { nearDupPairs(s, dir).count(); () }))
+    "_build_neardup_pairs" -> ((s, dir) => { nearDupPairs(s, dir).count(); () }),
+    "_build_stream_bands" -> ((s, dir) =>
+      { streamBaseBands(s, dir).count(); q98Stage(s, dir); () }))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_text_stats" -> (q22TextStats _),
@@ -621,7 +711,8 @@ object CurationQueries {
     "q34_ngram_jaccard" -> (q34NgramJaccard _),
     "q47_curation_e2e" -> (q47CurationE2e _),
     "q71_temperature_mix" -> (q71TemperatureMix _),
-    "q88_redact" -> (q88Redact _))
+    "q88_redact" -> (q88Redact _),
+    "q98_stream_neardup" -> (q98StreamNeardup _))
 
   val oracle: Map[String, String] = Map(
     "q22_text_stats" -> q22Sql,
@@ -636,5 +727,6 @@ object CurationQueries {
     "q34_ngram_jaccard" -> q34Sql,
     "q47_curation_e2e" -> q47Sql,
     "q71_temperature_mix" -> q71Sql,
-    "q88_redact" -> q88Sql)
+    "q88_redact" -> q88Sql,
+    "q98_stream_neardup" -> q98Sql)
 }

@@ -144,4 +144,27 @@ object Streaming {
       q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  /** Drain a streaming source through a PER-MICRO-BATCH batch
+    * transform (`foreachBatch`) until everything currently available
+    * is processed — the harness for streaming operators whose batch
+    * logic needs multiple aggregations or joins that Structured
+    * Streaming's incremental planner cannot express in one stateful
+    * query (e.g. MinHash signature derivation: two chained groupBys).
+    * Inside `fn` the micro-batch is an ordinary DataFrame with the
+    * full batch API; the contract is that `fn`'s effect is
+    * batch-partition independent (each input row's output depends
+    * only on that row and STATIC tables), so the drained union equals
+    * the batch replay regardless of how the source splits batches.
+    * No state store is involved and the session conf is untouched —
+    * no lock needed. */
+  def runForeachBatch(spark: SparkSession, src: DataFrame,
+                      fn: (DataFrame, Long) => Unit): Unit = {
+    val q = src.writeStream
+      .foreachBatch(fn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }

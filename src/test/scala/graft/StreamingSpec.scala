@@ -190,4 +190,41 @@ class StreamingSpec extends SparkSpec {
       .select("event_type", "n", "sum_value").as[(String, Long, Double)].collect()
     assert(got.toSeq == Seq(("click", 2L, 5.0)))
   }
+
+  test("q98 stream near-dup: multi-batch drain equals the batch replay") {
+    // the staged q98 source is 4 files; with maxFilesPerTrigger=1 the
+    // drain must split into multiple micro-batches — the property the
+    // foreachBatch union has to be invariant to
+    val stage = CurationQueries.q98Stage(spark, sf0001)
+    val schema = spark.read.parquet(stage).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    Streaming.runForeachBatch(spark, src, (b, _) => {
+      batches.incrementAndGet(); seen.addAndGet(b.count()); ()
+    })
+    val deltaN = spark.read.parquet(stage).count()
+    assert(batches.get() >= 2, s"expected a multi-batch drain, got ${batches.get()}")
+    assert(seen.get() == deltaN, "drain lost or duplicated delta rows")
+    // the drained union equals the direct batch computation of
+    // delta-vs-base candidates + exact Jaccard
+    val got = CurationQueries.q98StreamNeardup(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val delta = d.filter(col("doc_id") % 10 === 7)
+    val sigs = graft.dedup.Dedup.bandedSignatures(delta, "doc_id", "text",
+      CurationQueries.shingleN, CurationQueries.nPerm, CurationQueries.rowsPerBand)
+    val cands = sigs.as("a")
+      .join(CurationQueries.streamBaseBands(spark, sf0001).as("b"),
+        col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+    val want = graft.dedup.Dedup
+      .jaccardVerify(d, "doc_id", "text", cands, CurationQueries.shingleN)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(got == want, "streaming drain diverges from the batch replay")
+    // every match crosses the slice boundary: id1 incoming, id2 corpus
+    got.foreach { case (id1, id2, _) =>
+      assert(id1 % 10 == 7 && id2 % 10 != 7) }
+  }
 }
