@@ -265,13 +265,59 @@ object CurationQueries {
   /** The standing corpus's banded MinHash signatures — the at-rest
     * "dedup index" an ingest pipeline keeps next to its corpus so each
     * incoming batch can be checked without re-signaturing what is
-    * already there. Base slice = every document outside the q98 delta
-    * (doc_id % 10 ≠ 7); built once per (session, dir-content) under
-    * `_build_stream_bands`. */
-  private[graft] def streamBaseBands(s: SparkSession, dir: String): DataFrame =
-    Memo.cached(s, dir, "q98_base_bands")(
+    * already there. PERSISTED partitioned by
+    * `sigbucket = pmod(hash(band, bandsig), 16)` (the IVF-lists /
+    * BM25-buckets discipline applied to dedup): an incoming batch's
+    * signatures touch a bounded set of buckets, so its candidate
+    * lookup reads ONLY those partition directories — per-batch read
+    * cost scales with the batch, not the corpus. Base slice = every
+    * document outside the q98 delta (doc_id % 10 ≠ 7); built once per
+    * (session, dir-content) under `_build_stream_bands`. At 100 TB
+    * the bucket count is the only knob that changes (sized so
+    * batch-signatures ≪ buckets ≪ files-per-dir limits). */
+  private[graft] val q98SigBuckets = 16
+  private[graft] def sigbucket(band: Column, bandsig: Column): Column =
+    pmod(hash(band, bandsig), lit(q98SigBuckets))
+  private[graft] def streamBandsPath(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "q98_base_bands") {
+      val p = PipelineQueries.roundtripPath(dir, "q98_bands")
       Dedup.bandedSignatures(docs(s, dir).filter(col("doc_id") % 10 =!= 7),
-        "doc_id", "text", shingleN, nPerm, rowsPerBand))
+          "doc_id", "text", shingleN, nPerm, rowsPerBand)
+        .withColumn("sigbucket", sigbucket(col("band"), col("bandsig")))
+        // one file per bucket directory (the postings-write discipline)
+        .repartition(q98SigBuckets, col("sigbucket"))
+        .write.mode("overwrite").partitionBy("sigbucket").parquet(p)
+      p
+    }
+  private[graft] def streamBaseBands(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(streamBandsPath(s, dir))
+
+  /** One micro-batch's near-dup matches against the at-rest band
+    * table: derive the batch's banded signatures, collect its
+    * DISTINCT sigbuckets (driver-sized: ≤ 4 bands × batch rows,
+    * the MMR-candidate class of bounded collect), read ONLY those
+    * bucket directories (explicit partition filter — deterministic
+    * pruning, not an optimizer bet), bucket-join, exact-Jaccard
+    * verify. Factored out of the stream so StreamingSpec can pin the
+    * pruned-scan plan shape directly. */
+  private[graft] def q98BatchMatches(s: SparkSession, batch: DataFrame,
+                                     bandsPath: String,
+                                     allDocs: DataFrame): DataFrame = {
+    val sigs = Dedup.bandedSignatures(batch, "doc_id", "text",
+        shingleN, nPerm, rowsPerBand)
+      .withColumn("sigbucket", sigbucket(col("band"), col("bandsig")))
+      .localCheckpoint() // referenced three times below; batch-sized
+    val buckets = sigs.select(col("sigbucket")).distinct()
+      .collect().map(_.getInt(0))
+    val base = s.read.parquet(bandsPath)
+      .filter(col("sigbucket").isin(buckets.map(Integer.valueOf): _*))
+    val cands = sigs.as("a")
+      .join(base.as("b"),
+        col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    Dedup.jaccardVerify(allDocs, "doc_id", "text", cands, shingleN)
+  }
 
   /** The q98 delta slice staged as a FOUR-file parquet directory so
     * the file-stream source delivers it as several micro-batches
@@ -307,14 +353,15 @@ object CurationQueries {
     * duplicates are q30/q31's domain, not this query's: matched pairs
     * always cross the slice boundary (id1 = incoming, id2 = corpus).
     *
-    * Scale shape: the base band table is corpus-sized but the
-    * per-batch join is an equi-join on the bucket key (at rest it
-    * would be bucket-pruned like the BM25 postings); per-batch verify
-    * cost scales with that batch's candidates, never the corpus. */
+    * Scale shape: the base band table lives AT REST partitioned by
+    * sigbucket, and each batch reads only its own buckets (explicit
+    * partition filter from the batch's collected bucket set —
+    * [[q98BatchMatches]]); per-batch verify cost scales with that
+    * batch's candidates, never the corpus. */
   def q98StreamNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = docs(s, dir)
-    val baseBands = streamBaseBands(s, dir)
+    val bandsPath = streamBandsPath(s, dir)
     val stage = q98Stage(s, dir)
     val out = PipelineQueries.roundtripPath(dir, "q98_out")
     // seed with the empty schema: a drain whose every batch verified
@@ -324,17 +371,9 @@ object CurationQueries {
     val schema = s.read.parquet(stage).schema
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
-    graft.streaming.Streaming.runForeachBatch(s, src, (batch, _) => {
-      val sigs = Dedup.bandedSignatures(batch, "doc_id", "text",
-        shingleN, nPerm, rowsPerBand)
-      val cands = sigs.as("a")
-        .join(baseBands.as("b"),
-          col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig"))
-        .select(col("a.id").as("id1"), col("b.id").as("id2"))
-        .distinct()
-      Dedup.jaccardVerify(d, "doc_id", "text", cands, shingleN)
-        .write.mode("append").parquet(out)
-    })
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, _) =>
+      q98BatchMatches(s, batch, bandsPath, d)
+        .write.mode("append").parquet(out))
     s.read.parquet(out).orderBy("id1", "id2")
   }
 
@@ -696,7 +735,7 @@ object CurationQueries {
   val builds: Map[String, (SparkSession, String) => Unit] = Map(
     "_build_neardup_pairs" -> ((s, dir) => { nearDupPairs(s, dir).count(); () }),
     "_build_stream_bands" -> ((s, dir) =>
-      { streamBaseBands(s, dir).count(); q98Stage(s, dir); () }))
+      { streamBandsPath(s, dir); q98Stage(s, dir); () }))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_text_stats" -> (q22TextStats _),

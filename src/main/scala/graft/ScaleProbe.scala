@@ -98,7 +98,8 @@ object ScaleProbe {
       "q88_redact", "q93_prep_e2e", "q89_embedding_pc",
       "q94_all_but_top",
       "q61_stream_sessionize", "q83_stream_stream_join",
-      "q95_graph_recall", "q96_ivf_refresh")
+      "q95_graph_recall", "q96_ivf_refresh",
+      "q97_graph_append", "q98_stream_neardup")
     val probeQs = if (args.length > 1) args.drop(1).toSeq else defaults
     probeQs.foreach { q =>
       val a = time("1x", src, q)

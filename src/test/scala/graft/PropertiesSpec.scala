@@ -71,6 +71,30 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("NSW suffix insertion equals from-scratch build at ANY split point") {
+    // the kernel identity GraphAnn.appendToIndex rides on: because
+    // buildGraph inserts in ascending index order, building over a
+    // prefix and then insertFrom-ing the suffix yields the SAME
+    // adjacency — exactly, for any vectors and any split
+    import graft.search.GraphAnn
+    val vecGen = for {
+      n <- Gen.choose(2, 32)
+      vs <- Gen.listOfN(n, Gen.listOfN(3, Gen.choose(-1.0, 1.0)))
+      k <- Gen.choose(1, n - 1)
+    } yield (vs.map(_.toArray).toArray, k)
+    forAll(vecGen, n = 60) { case (vecs, k) =>
+      val full = GraphAnn.buildGraph(vecs, m = 4, efC = 8)
+      val base = GraphAnn.buildGraph(vecs.take(k), m = 4, efC = 8)
+      val grown: GraphAnn.Adjacency =
+        Array.tabulate(vecs.length)(i =>
+          if (i < k) base(i).clone()
+          else scala.collection.mutable.ArrayBuffer.empty[Int])
+      GraphAnn.insertFrom(vecs, grown, k, m = 4, efC = 8)
+      assert(full.map(_.toList).toSeq == grown.map(_.toList).toSeq,
+        s"suffix insertion diverged at split $k of ${vecs.length}")
+    }
+  }
+
   test("LCG sample key is non-negative and overflow-free at ANY id (the mod-2^31 reduction)") {
     // ids beyond 2^31 are exactly the range the reduction exists for:
     // (id % 2^31) * 1103515245 < 2^62, so neither engine can overflow

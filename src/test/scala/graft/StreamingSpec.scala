@@ -227,4 +227,29 @@ class StreamingSpec extends SparkSpec {
     got.foreach { case (id1, id2, _) =>
       assert(id1 % 10 == 7 && id2 % 10 != 7) }
   }
+
+  test("q98 per-batch candidate lookup prunes the at-rest band table to the batch's buckets") {
+    // a ONE-doc batch carries ≤ 4 band signatures → ≤ 4 of the 16
+    // sigbucket partitions; the batch's base-table scan must be an
+    // explicit partition-filtered read, not a full-corpus scan
+    val bandsPath = CurationQueries.streamBandsPath(spark, sf0001)
+    val one = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") === 7)
+    val batch = CurationQueries.q98BatchMatches(spark, one, bandsPath,
+      spark.read.parquet(s"$sf0001/documents.parquet"))
+    batch.collect() // force planning + execution (finalizes the AQE plan)
+    val p = batch.queryExecution.executedPlan.toString
+    val bandScans = p.split("\n").filter(_.contains("q98_bands"))
+    assert(bandScans.nonEmpty, s"expected a scan of the at-rest band table:\n$p")
+    bandScans.foreach { line =>
+      assert(line.contains("PartitionFilters: [") && line.contains("sigbucket"),
+        s"expected a sigbucket partition filter on the band scan:\n$line")
+    }
+    // the INSET carries the batch's own buckets — at most 4 of 16
+    val inset = "sigbucket#\\d+ INSET ([0-9, ]+)".r.findFirstMatchIn(p)
+    inset.foreach { m =>
+      val n = m.group(1).split(",").length
+      assert(n <= 4, s"one-doc batch pruned to $n buckets (expected ≤ 4)")
+    }
+  }
 }
