@@ -365,9 +365,17 @@ object GraphAnn {
     rewritten.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("part").parquet(s"$path/nodes")
-    spark.read.parquet(s"$path/nodes")
-      .groupBy(col("part")).agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$path/meta")
+    // meta update touches only the rewritten parts (recounting the
+    // whole nodes table would be a full corpus scan per delta batch);
+    // the checkpointed `rewritten` rows are the touched parts' new
+    // truth, untouched parts keep their standing counts
+    val meta = spark.read.parquet(s"$path/meta")
+      .filter(!col("part").isin(touched.map(Integer.valueOf): _*))
+      .select(col("part").cast("int"), col("n").cast("long"))
+      .unionByName(rewritten.groupBy(col("part").cast("int").as("part"))
+        .agg(count(lit(1)).as("n")))
+      .localCheckpoint() // reads path/meta, then overwrites it
+    meta.write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** The shared index-scan kernel: one pass over the at-rest node

@@ -204,6 +204,15 @@ class GraphAnnSpec extends SparkSpec {
       assert(after(p) == before(p), s"untouched $p was rewritten") }
     assert(after(s"part=$deltaPart") != before(s"part=$deltaPart"),
       "the delta's own part was not rewritten")
+    // the touched-parts-only meta update must still equal a recount
+    val metaCounts = spark.read.parquet(s"$path/meta")
+      .select(col("part").cast("int"), col("n").cast("long"))
+      .as[(Int, Long)].collect().toMap
+    val trueCounts = spark.read.parquet(s"$path/nodes")
+      .groupBy(col("part").cast("int")).count()
+      .as[(Int, Long)].collect().toMap
+    assert(metaCounts == trueCounts,
+      s"meta diverged from a recount: $metaCounts vs $trueCounts")
     // interleaved ids (id 0 already exists below every index id) are
     // rejected rather than silently breaking append ≡ rebuild
     intercept[org.apache.spark.SparkException](
