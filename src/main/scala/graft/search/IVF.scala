@@ -123,7 +123,15 @@ object IVF {
     * two representations. */
   def writeIndexFrom(cents: DataFrame, assigned: DataFrame, path: String): Unit = {
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+    assigned
+      // one file per inverted list: without the cid shuffle every
+      // write task drops a fragment into every cid= dir it holds
+      // rows for (tasks × K small files — the anti-layout for both
+      // the local FS and a 100 TB object store); the write-side
+      // exchange pays for every read after (the postings-write
+      // discipline, SparkEntry.writePostings)
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
   }
 
   /** INCREMENTAL index maintenance: assign a delta batch against the
@@ -149,6 +157,7 @@ object IVF {
                     delta: DataFrame, idCol: String, vecCol: String): Unit = {
     val cents = spark.read.parquet(s"$path/centroids")
     assign(delta, idCol, vecCol, cents)
+      .repartition(col("cid")) // one appended file per touched list
       .write.mode("append").partitionBy("cid").parquet(s"$path/lists")
   }
 
