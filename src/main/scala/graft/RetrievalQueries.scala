@@ -665,6 +665,62 @@ object RetrievalQueries {
       .orderBy("rank")
   }
 
+  /** STREAMING INGEST INTO THE GRAPH INDEX — the round's two
+    * maintenance pieces composed into the production shape: a vector
+    * index that grows as embeddings ARRIVE. The newest 20% of ids is
+    * staged as four RANGE-split files whose mtimes ascend with the id
+    * ranges, so the AvailableNow file source (maxFilesPerTrigger=1)
+    * delivers four micro-batches in id order; each batch appends into
+    * the at-rest index through [[graft.search.GraphAnn.appendToIndex]]
+    * inside `foreachBatch`. Because every batch's ids exceed all ids
+    * already indexed, the multi-batch suffix insertion composes (the
+    * PropertiesSpec identity, applied 4 times) and the drained index
+    * must equal the `_build_graph_ann` full rebuild BIT FOR BIT —
+    * the require() makes that part of the gate; a mis-ordered batch
+    * would fail appendToIndex's monotonic-id contract loudly rather
+    * than building a silently different graph. Rows-only (graph
+    * construction is not SQL-expressible). */
+  def q99StreamIndex(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
+    val split = 4L * n / 5L
+    val stage = Memo.cachedValue(s, dir, "q99_stage") {
+      val p = PipelineQueries.roundtripPath(dir, "q99_stream")
+      e.filter(col("vec_id") >= split)
+        .repartitionByRange(4, col("vec_id"))
+        .write.mode("overwrite").parquet(p)
+      // ascending mtimes pin the source's batch order to the id
+      // ranges (the file source orders by (mtime, path); range
+      // partition k holds lower ids than k+1 and part file names
+      // sort with k, so both keys agree)
+      val parts = Option(new java.io.File(p).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - 3600L * 1000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 2000L) }
+      p
+    }
+    val path = PipelineQueries.roundtripPath(dir, "q99")
+    graft.search.GraphAnn.writeIndex(e.filter(col("vec_id") < split),
+      "vec_id", "v", graphM, graphEf, graphPartsFor(s, dir), path)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, _) =>
+      graft.search.GraphAnn.appendToIndex(s, path,
+        batch.select(col("vec_id"), col("v")), "vec_id", "v"))
+    val grown = s.read.parquet(s"$path/nodes")
+      .select(col("part"), col("id"), col("vec"), col("nbrs"))
+    val rebuilt = s.read.parquet(s"${graphIndexPath(s, dir)}/nodes")
+      .select(col("part"), col("id"), col("vec"), col("nbrs"))
+    require(grown.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(grown).isEmpty,
+      "q99: the streamed-in index must equal the full rebuild bit for bit")
+    graft.search.GraphAnn.searchIndex(s, path, "vec_id",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10, graphEf)
+      .orderBy("rank")
+  }
+
   /** Embedding-quality diagnostics: corpus mean + top principal
     * component of the centered embeddings via relational power
     * iteration ([[graft.embed.Spectral]]) — the artifacts of the
@@ -1646,6 +1702,7 @@ object RetrievalQueries {
     "q86_graph_ann" -> (q86GraphAnn _),
     "q95_graph_recall" -> (q95GraphRecall _),
     "q97_graph_append" -> (q97GraphAppend _),
+    "q99_stream_index" -> (q99StreamIndex _),
     "q89_embedding_pc" -> (q89EmbeddingPc _),
     "q94_all_but_top" -> (q94AllButTop _))
 

@@ -161,6 +161,49 @@ object IVF {
       .write.mode("append").partitionBy("cid").parquet(s"$path/lists")
   }
 
+  /** COMPACTION — the last quarter of the index-maintenance
+    * lifecycle (build → append → refine → compact): every append
+    * lands one new file per touched list, so a long-lived index
+    * accumulates small files and scan/footer overhead grows with
+    * append COUNT rather than data size. Compacting rewrites each
+    * list back to one file — contents unchanged (search answers are
+    * bit-identical; IVFSpec pins it), read cost restored. Runs as
+    * one partition-pruned scan + one cid shuffle; a maintenance job
+    * schedules it like [[needsRefine]], e.g. when files-per-list
+    * passes a threshold. The rewrite is staged through a temp dir
+    * (not localCheckpoint: a 100 TB index must not round-trip
+    * through executor memory) and swapped in with two renames. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val tmp = s"$path/lists__compact"
+    spark.read.parquet(s"$path/lists")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    val live = new java.io.File(s"$path/lists")
+    val old = new java.io.File(s"$path/lists__old")
+    def deleteTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
+      f.delete(); ()
+    }
+    deleteTree(old)
+    require(live.renameTo(old) && new java.io.File(tmp).renameTo(live),
+      s"compactIndex: atomic swap failed under $path")
+    deleteTree(old)
+  }
+
+  /** Files per inverted list of a persisted index — the compaction
+    * trigger's input, from a driver-side listing (K directory reads,
+    * no data scan). */
+  def listFileCounts(path: String): Map[Long, Int] = {
+    val lists = new java.io.File(s"$path/lists")
+    Option(lists.listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("cid="))
+      .map { d =>
+        d.getName.stripPrefix("cid=").toLong ->
+          Option(d.listFiles()).toSeq.flatten
+            .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      }.toMap
+  }
+
   /** Per-list row counts of a persisted index — one count aggregate
     * over the lists' cid partition column (column-pruned: no vector
     * bytes are read). */

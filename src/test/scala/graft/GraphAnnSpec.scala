@@ -220,6 +220,18 @@ class GraphAnnSpec extends SparkSpec {
         emb.filter(col("vec_id") === 0), "vec_id", "v"))
   }
 
+  test("q99 streamed-in index serves the same answers as the built-at-once index (q86)") {
+    // the in-query require already pins node-table equality vs the
+    // full rebuild; this pins the user-visible consequence — the
+    // served top-k is identical to q86's, which reads the index that
+    // was built in one shot
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "rank", "score")
+        .as[(Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    assert(rows(RetrievalQueries.q99StreamIndex(spark, sf0001)) ==
+      rows(RetrievalQueries.q86GraphAnn(spark, sf0001)))
+  }
+
   test("graphTopK rejects bad knobs and non-integral ids") {
     intercept[IllegalArgumentException](
       GraphAnn.graphTopK(emb, "vec_id", "v", query(0), "qv", 0))

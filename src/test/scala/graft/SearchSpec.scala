@@ -180,6 +180,29 @@ class SearchSpec extends SparkSpec {
     assert(spark.read.parquet(s"$appended/lists").count() == emb.count())
   }
 
+  test("IVF compaction: one file per list, identical search answers") {
+    import graft.search.IVF
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString
+    IVF.writeIndex(emb.filter(col("vec_id") >= 50), "vec_id", "v", 8, 0, path)
+    // three append batches -> up to 4 files per touched list
+    Seq(0L -> 20L, 20L -> 35L, 35L -> 50L).foreach { case (lo, hi) =>
+      IVF.appendToIndex(spark, path,
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi), "vec_id", "v")
+    }
+    assert(IVF.listFileCounts(path).values.max > 1,
+      "expected multi-file lists before compaction")
+    val q = emb.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    def search() = IVF.searchIndex(spark, path, "vec_id", "v", q, "qv", 10, 2)
+      .select("vec_id", "rank", "score").as[(Long, Long, Double)].collect().toSeq
+    val before = search()
+    IVF.compactIndex(spark, path)
+    val counts = IVF.listFileCounts(path)
+    assert(counts.nonEmpty && counts.values.forall(_ == 1),
+      s"expected one file per list after compaction, got $counts")
+    assert(search() == before, "compaction changed search answers")
+    assert(spark.read.parquet(s"$path/lists").count() == emb.count())
+  }
+
   test("IVF listSizes/needsRefine expose list balance of a persisted index") {
     import graft.search.IVF
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_skew").toString
