@@ -299,7 +299,12 @@ object CurationQueries {
     * bucket directories (explicit partition filter — deterministic
     * pruning, not an optimizer bet), bucket-join, exact-Jaccard
     * verify. Factored out of the stream so StreamingSpec can pin the
-    * pruned-scan plan shape directly. */
+    * pruned-scan plan shape directly. The verify step's text fetch
+    * (jaccardVerify's semi-join against `allDocs`) scans the corpus
+    * table here; at real scale the corpus lives id-bucketed (the
+    * postings discipline), making that fetch a bucket-pruned point
+    * lookup of the batch's candidate ids — the layout changes, the
+    * plan does not. */
   private[graft] def q98BatchMatches(s: SparkSession, batch: DataFrame,
                                      bandsPath: String,
                                      allDocs: DataFrame): DataFrame = {
