@@ -3,6 +3,7 @@ package graft
 import graft.dedup.Dedup
 import graft.text.{Chunker, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data preparation catalog (round 6): the steps that sit
@@ -524,6 +525,194 @@ object PrepQueries {
        FROM sh GROUP BY shard ORDER BY shard"""
   }
 
+  // ---------- q100: exact-substring duplication ----------
+
+  val substrN = 16
+
+  /** Exact-substring duplication audit — the span-level dedup pass of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee
+    * et al., 2022), re-expressed relationally: a 16-token window
+    * whose hash occurs in two or more DISTINCT documents is a
+    * duplicated span, and a document's duplication load is the
+    * fraction of its tokens covered by at least one such span
+    * (overlapping spans merged by a gaps-and-islands pass). Where the
+    * paper builds a corpus-wide suffix array, the engine gets the
+    * same duplicated-span set from a hash aggregate: every window of
+    * a repeated substring of length >= 16 is itself repeated, so
+    * flagged-window coverage IS repeated-substring coverage (spans
+    * shorter than the window are below the audit threshold by
+    * definition).
+    *
+    * Scale shape: ONE corpus-wide pass (the dup-hash aggregate over
+    * (id, pos, int64-hash) window rows — the exchange carries 8-byte
+    * hashes, never text) and ONE windowing pass over the scored docs;
+    * per-doc window totals come from a pure `len(toks) - 15`
+    * projection, not a second explode. The membership test is a LEFT
+    * SEMI join on the hash; the island merge is a window partitioned
+    * per document (state bounded by one document's windows) over
+    * OUTPUT docs only, and its aggregate emits coverage AND window
+    * counts in the same pass. */
+  def q100SubstringDedup(s: SparkSession, dir: String): DataFrame = {
+    // corpus-wide vote on what is duplicated (output restriction
+    // must NOT apply here: a span shared with an out-of-range doc is
+    // still a duplicated span)
+    val dupH = Dedup.shingleRowsPos(docs(s, dir), "doc_id", "text", substrN)
+      .select(col("id").as("doc_id"), Dedup.shingleHash(col("s")).as("h"))
+      .groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= 2).select("h")
+    val out = Dedup.shingleRowsPos(
+        docs(s, dir).filter(col("doc_id") < 500), "doc_id", "text", substrN)
+      .select(col("id").as("doc_id"), col("pos"),
+        Dedup.shingleHash(col("s")).as("h"))
+    val dupWins = out.join(dupH, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"), (col("pos") + lit(substrN - 1L)).as("e"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val perDoc = dupWins
+      .withColumn("__ni", when(prevMax.isNull || col("pos") > prevMax, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__ni")).over(w))
+      .groupBy("doc_id", "__isl")
+      .agg((max(col("e")) - min(col("pos")) + 1).as("__cov"),
+        count(lit(1)).as("__cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("__cov")).cast("long").as("dup_tokens"),
+        sum(col("__cnt")).cast("long").as("n_dup_windows"))
+    docs(s, dir).filter(col("doc_id") < 500)
+      .select(col("doc_id"),
+        (size(Dedup.tokenize(col("text"))) - lit(substrN - 1)).cast("long")
+          .as("n_windows"))
+      .filter(col("n_windows") >= 1)
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          (col("n_windows") + lit(substrN - 1L)).cast("double"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q100Sql: String = {
+    val n = substrN
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         FROM documents),
+       w0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS pos
+         FROM t WHERE len(toks) >= $n),
+       w AS (SELECT doc_id, pos,
+           ('0x' || substr(md5(array_to_string(toks[pos : pos + ${n - 1}], ' ')), 1, 8))::BIGINT AS h
+         FROM w0),
+       d AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+       o AS (SELECT doc_id, pos, pos + ${n - 1} AS e FROM w
+         WHERE doc_id < 500 AND h IN (SELECT h FROM d)),
+       i AS (SELECT doc_id, pos, e,
+           CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni
+         FROM o),
+       j AS (SELECT doc_id, pos, e,
+           SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM i),
+       cov AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup_tokens FROM
+         (SELECT doc_id, isl, MAX(e) - MIN(pos) + 1 AS c FROM j GROUP BY doc_id, isl)
+         GROUP BY doc_id),
+       nd AS (SELECT doc_id, COUNT(*) AS n_dup_windows FROM o GROUP BY doc_id),
+       tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM w WHERE doc_id < 500 GROUP BY doc_id)
+       SELECT tot.doc_id, n_windows,
+         COALESCE(n_dup_windows, 0) AS n_dup_windows,
+         COALESCE(dup_tokens, 0) AS dup_tokens,
+         ROUND(CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / (n_windows + ${n - 1}), 4) AS dup_frac
+       FROM tot LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)
+       ORDER BY doc_id"""
+  }
+
+  // ---------- q101: DSIR-style importance weights ----------
+
+  val dsirBuckets = 512
+
+  /** Data Selection with Importance Resampling (Xie et al., 2023),
+    * the hashed-n-gram flavor: model the target domain (here the
+    * English slice) and the raw corpus as bag-of-hashed-n-gram
+    * multinomials over [[dsirBuckets]] buckets, then score every
+    * document by its importance log-weight
+    * `sum_b c_b * (ln p_target(b) - ln p_raw(b))` (add-0.5
+    * smoothing). High-weight docs look like the target domain;
+    * resampling by these weights is the standard pre-training
+    * data-selection recipe. Features are unigrams + bigrams hashed
+    * with the engine-portable MD5 bucket hash, so the oracle replays
+    * the exact bucket assignment.
+    *
+    * Scale shape: ONE corpus pass builds BOTH multinomials (the
+    * target flag rides the explode as a column, so raw and target
+    * counts are one conditional hash aggregate — map-side partials
+    * absorb the explosion down to at most [[dsirBuckets]] rows,
+    * checkpointed so the totals roll-up re-reads 512 rows, not the
+    * corpus). Pass two scores only the OUTPUT docs (filter before
+    * the explode), joining the bucket model by broadcast — the model
+    * is 512 rows at ANY corpus size, which is the point of feature
+    * hashing. */
+  def q101DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    // (doc_id, __t, b): hashed unigram + bigram bucket per feature
+    // occurrence, the target-membership flag carried through both
+    // explodes (no corpus-sized tag join)
+    def feats(src: DataFrame): DataFrame = {
+      val tagged = src.select(col("doc_id"), col("text"),
+        (col("lang") === "en").as("__t"))
+      val uni = tagged.select(col("doc_id"), col("__t"),
+        explode(Dedup.tokenize(col("text"))).as("s"))
+      val posed = tagged
+        .select(col("doc_id"), col("__t"), posexplode(Dedup.tokenize(col("text"))))
+        .toDF("doc_id", "__t", "pos", "tok")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bi = posed
+        .withColumn("__t1", lead(col("tok"), 1).over(w))
+        .filter(col("__t1").isNotNull)
+        .select(col("doc_id"), col("__t"),
+          concat_ws(" ", col("tok"), col("__t1")).as("s"))
+      uni.unionAll(bi).select(col("doc_id"), col("__t"),
+        (Dedup.shingleHash(col("s")) % dsirBuckets).as("b"))
+    }
+    val bc = feats(docs(s, dir))
+      .groupBy("b")
+      .agg(count(lit(1)).as("cr"), count(when(col("__t"), lit(1))).as("ct"))
+      .localCheckpoint()
+    val model = bc
+      .crossJoin(broadcast(bc.agg(sum(col("cr")).as("totr"), sum(col("ct")).as("tott"))))
+      .select(col("b"),
+        (log((col("ct").cast("double") + 0.5) /
+             (col("tott").cast("double") + 0.5 * dsirBuckets)) -
+         log((col("cr").cast("double") + 0.5) /
+             (col("totr").cast("double") + 0.5 * dsirBuckets))).as("lr"))
+    feats(docs(s, dir).filter(col("doc_id") < 200))
+      .join(broadcast(model), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("lr")), 6).as("log_weight"))
+      .orderBy("doc_id")
+  }
+
+  val q101Sql: String = {
+    val b = dsirBuckets
+    s"""WITH t AS (SELECT doc_id, lang = 'en' AS is_t,
+           string_split_regex(lower(trim(text)), '\\s+') AS toks
+         FROM documents),
+       g AS (SELECT doc_id, is_t, unnest(CASE WHEN len(toks) >= 2 THEN
+             toks || list_transform(generate_series(1, len(toks) - 1),
+               k -> toks[k] || ' ' || toks[k + 1])
+           ELSE toks END) AS s
+         FROM t),
+       f AS (SELECT doc_id, is_t,
+           ('0x' || substr(md5(s), 1, 8))::BIGINT % $b AS b FROM g),
+       bc AS (SELECT b, COUNT(*) AS cr,
+           COUNT(CASE WHEN is_t THEN 1 END) AS ct FROM f GROUP BY b),
+       tots AS (SELECT SUM(cr) AS totr, SUM(ct) AS tott FROM bc),
+       model AS (SELECT b,
+           ln((CAST(ct AS DOUBLE) + 0.5) / (CAST(tott AS DOUBLE) + ${0.5 * b})) -
+           ln((CAST(cr AS DOUBLE) + 0.5) / (CAST(totr AS DOUBLE) + ${0.5 * b})) AS lr
+         FROM bc, tots)
+       SELECT doc_id, COUNT(*) AS n_feats,
+         ROUND(SUM(lr), 6) AS log_weight
+       FROM f JOIN model USING (b) WHERE doc_id < 200
+       GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_chunk_docs" -> (q72ChunkDocs _),
     "q73_repetition" -> (q73Repetition _),
@@ -534,7 +723,9 @@ object PrepQueries {
     "q78_centroid_classify" -> (q78CentroidClassify _),
     "q79_shard_shuffle" -> (q79ShardShuffle _),
     "q80_split_assign" -> (q80SplitAssign _),
-    "q93_prep_e2e" -> (q93PrepE2e _))
+    "q93_prep_e2e" -> (q93PrepE2e _),
+    "q100_substring_dedup" -> (q100SubstringDedup _),
+    "q101_dsir_weights" -> (q101DsirWeights _))
 
   val oracle: Map[String, String] = Map(
     "q72_chunk_docs" -> q72Sql,
@@ -546,5 +737,7 @@ object PrepQueries {
     "q78_centroid_classify" -> q78Sql,
     "q79_shard_shuffle" -> q79Sql,
     "q80_split_assign" -> q80Sql,
-    "q93_prep_e2e" -> q93Sql)
+    "q93_prep_e2e" -> q93Sql,
+    "q100_substring_dedup" -> q100Sql,
+    "q101_dsir_weights" -> q101Sql)
 }

@@ -66,6 +66,26 @@ object Dedup {
         concat_ws(" ", col("tok") +: (1 until n).map(o => col(s"t$o")): _*).as("s"))
   }
 
+  /** [[shingleRows]] with the window's 1-based start-token position
+    * kept: `(id, pos, s)`. Same lead()-window formulation and the
+    * same single id-keyed shuffle; `pos` matches DuckDB's
+    * `generate_series(1, len(toks)-n+1)` numbering so span oracles
+    * replay positions exactly. Used by the exact-substring dedup
+    * path, where coverage math needs WHERE each duplicated window
+    * sits, not just that it exists. */
+  def shingleRowsPos(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"positioned shingles need n >= 2, got $n")
+    val posed = df
+      .select(col(idCol).as("id"), posexplode(tokenize(col(textCol))))
+      .toDF("id", "pos", "tok")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val leads = (1 until n).map(o => lead(col("tok"), o).over(w).as(s"t$o"))
+    posed.select(col("id") +: col("pos") +: col("tok") +: leads: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+        concat_ws(" ", col("tok") +: (1 until n).map(o => col(s"t$o")): _*).as("s"))
+  }
+
   /** Base shingle hash: first 8 hex digits of MD5 as an int64 in
     * [0, 2^32). ONE digest per shingle — the per-permutation values
     * are derived arithmetically (see [[minhashValue]]), not re-hashed.

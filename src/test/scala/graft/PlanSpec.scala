@@ -151,6 +151,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("q100: one corpus explode + one scored-doc explode; totals stay a projection") {
+    val p = plan("q100_substring_dedup")
+    // exactly two generate passes: the corpus-wide dup vote (no
+    // filter) and the scored-doc window pass (doc_id < 500 pushed);
+    // n_windows must come from the len(toks)-15 projection, not a
+    // third explode
+    assert("Generate posexplode".r.findAllIn(p).length == 2,
+      s"expected exactly 2 explodes:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,500)]"))
+    // the dup-hash candidate set meets scored windows via an equi
+    // semi-join on the 8-byte hash — never a pair join
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q101: the DSIR model joins by broadcast; scoring scans are filter-pushed") {
+    val p = plan("q101_dsir_weights")
+    // every live scan is the scored slice (the corpus model pass is
+    // materialized behind the checkpoint, so the query-time plan
+    // re-reads 512 rows, not the corpus)
+    val scans = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(p).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("LessThan(doc_id,200)")),
+      s"expected all query-time scans pushed to doc_id < 200: $scans")
+    // bucket model meets feature rows via broadcast hash join on b
+    assert(p.contains("BroadcastHashJoin [b#"), s"expected broadcast model join:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q77: packing cumsum is a PER-SOURCE window, never a global ordering") {
     val p = plan("q77_packing_stats")
     // the window exchange must hashpartition on source — a

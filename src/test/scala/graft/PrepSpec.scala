@@ -73,6 +73,80 @@ class PrepSpec extends SparkSpec {
     assert(!g2.contains(1L)) // 1-token doc has no bigrams
   }
 
+  test("shingleRowsPos: 1-based positions, full window coverage") {
+    val d = df((7L, "a b c d e"))
+    val rows = graft.dedup.Dedup.shingleRowsPos(d, "doc_id", "text", 3)
+      .orderBy("pos").select("pos", "s").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "a b c"), (2L, "b c d"), (3L, "c d e")))
+    // a doc shorter than the window yields no rows
+    assert(graft.dedup.Dedup.shingleRowsPos(df((1L, "a b")), "doc_id", "text", 3)
+      .isEmpty)
+    intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.shingleRowsPos(d, "doc_id", "text", 1)
+    }
+  }
+
+  private def writeDocs(rows: (Long, String, String)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("prepdocs").toString
+    rows.toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), col("text"), col("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q100: shared 20-token run is found, merged, and measured exactly") {
+    def run(tag: String, k: Int) = (1 to k).map(i => s"$tag$i").mkString(" ")
+    val shared = run("s", 20)
+    // doc0: 5 unique + shared-20 + 5 unique = 30 toks; dup windows are
+    // exactly the 5 fully inside the run (start 6..10) -> merged
+    // island covers tokens 6..25 = 20 tokens
+    val dir = writeDocs(
+      (0L, run("u", 5) + " " + shared + " " + run("v", 5), "en"),
+      (1L, run("w", 3) + " " + shared + " " + run("x", 7), "en"),
+      (2L, run("z", 20), "en"))
+    val out = PrepQueries.q100SubstringDedup(spark, dir)
+      .select("doc_id", "n_windows", "n_dup_windows", "dup_tokens", "dup_frac")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 15L, 5L, 20L, 0.6667),
+      (1L, 15L, 5L, 20L, 0.6667),
+      (2L, 5L, 0L, 0L, 0.0)))
+  }
+
+  test("q100: two disjoint duplicated runs in one doc merge into two islands") {
+    def run(tag: String, k: Int) = (1 to k).map(i => s"$tag$i").mkString(" ")
+    val a = run("a", 16); val b = run("b", 16)
+    // doc0 carries both runs separated by unique filler; docs 1/2 each
+    // repeat one run. Coverage = 16 + 16, not one merged 42-token span.
+    val dir = writeDocs(
+      (0L, a + " " + run("f", 10) + " " + b, "en"),
+      (1L, run("g", 4) + " " + a, "en"),
+      (2L, b + " " + run("h", 4), "en"))
+    val row = PrepQueries.q100SubstringDedup(spark, dir)
+      .filter(col("doc_id") === 0L)
+      .select("n_dup_windows", "dup_tokens").as[(Long, Long)].head()
+    assert(row == ((2L, 32L)))
+  }
+
+  test("q101: target-like docs outweigh off-target docs; n_feats = 2n-1") {
+    // target (en) speaks 'cat dog fish', off-target (de) speaks
+    // 'rock sand clay'; scored docs mirror one side each
+    val dir = writeDocs(
+      (0L, "cat dog fish cat dog", "en"),
+      (1L, "dog fish cat fish dog", "en"),
+      (2L, "rock sand clay rock sand", "de"),
+      (3L, "sand clay rock clay sand", "de"))
+    val w = PrepQueries.q101DsirWeights(spark, dir)
+      .select("doc_id", "n_feats", "log_weight")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // 5 tokens -> 5 unigrams + 4 bigrams
+    assert(w.values.forall(_._1 == 9L))
+    assert(w(0L)._2 > 0 && w(1L)._2 > 0, s"target-like docs must score > 0: $w")
+    assert(w(2L)._2 < 0 && w(3L)._2 < 0, s"off-target docs must score < 0: $w")
+    assert(w(0L)._2 > w(2L)._2)
+  }
+
   test("q78 centroid eval on separable toy data reaches accuracy 1.0") {
     val e = Seq(
       (0L, 0, Seq(1.0f, 0.0f)), (1L, 0, Seq(0.9f, 0.1f)),
