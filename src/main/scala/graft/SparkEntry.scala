@@ -501,6 +501,57 @@ object Queries {
       .orderBy("rank")
   }
 
+  /** STREAMING INGEST INTO THE BM25 INDEX — q87's append discipline
+    * under a live micro-batch drain (the q99 shape applied to the
+    * lexical index, closing the streaming row of the maintenance
+    * matrix: IVF q84/q96, graph q97/q99, BM25 q87/here). The delta
+    * slice (doc_id < 100) is staged as four range-split files with
+    * ascending mtimes, so the AvailableNow file source
+    * (maxFilesPerTrigger=1) drains it as four ordered micro-batches;
+    * each batch's postings APPEND into the term-bucketed at-rest
+    * table inside `foreachBatch`. Postings are per-doc rows and the
+    * buckets are append-stable, so the drained table must equal the
+    * one-shot full build row for row — the require() pins that, and
+    * unlike the graph twin this lifecycle ALSO carries the full
+    * DuckDB oracle: the post-drain search hash-matches q20's
+    * whole-corpus SQL. */
+  /** q102's staged delta: the doc_id < 100 slice as four range-split
+    * files with ascending mtimes so the file source drains them as
+    * four ordered micro-batches (the q99 staging recipe). */
+  private[graft] def q102Stage(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "q102_stage") {
+      val p = PipelineQueries.roundtripPath(dir, "q102_stream")
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(p)
+      val parts = Option(new java.io.File(p).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - 3600L * 1000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 2000L) }
+      p
+    }
+
+  def q102StreamBm25(s: SparkSession, dir: String): DataFrame = {
+    val tbl = "bm25_stream_" + PipelineQueries.sanitizeTag(dir)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = PipelineQueries.roundtripPath(dir, "bm25stream")
+    val d = t(s, dir, "documents")
+    writePostings(s, d.filter(col("doc_id") >= 100), tbl, path, "overwrite")
+    val stage = q102Stage(s, dir)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, _) =>
+      writePostings(s, batch, tbl, path, "append"))
+    val post = s.table(tbl)
+    val rebuilt = bm25Postings(s, dir)
+    require(post.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(post).isEmpty,
+      "q102: the streamed-in postings table must equal the full build row for row")
+    BM25.searchIndexed(post, BM25.statsFromPostings(post), bm25Terms, 20)
+      .orderBy("rank")
+  }
+
   /** Corpus-wide term frequencies, top 20 — explode + aggregate. */
   def q21TopTerms(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -546,7 +597,8 @@ object Queries {
     "q20_bm25" -> (q20Bm25 _),
     "q21_top_terms" -> (q21TopTerms _),
     "q70_pivot" -> (q70Pivot _),
-    "q87_bm25_append" -> (q87Bm25Append _)) ++
+    "q87_bm25_append" -> (q87Bm25Append _),
+    "q102_stream_bm25" -> (q102StreamBm25 _)) ++
     CurationQueries.all ++ RetrievalQueries.all ++ PipelineQueries.all ++
     ScaleQueries.all ++ PrepQueries.all
 
@@ -568,7 +620,8 @@ object Queries {
     "q20_bm25" -> q20Sql,
     "q21_top_terms" -> q21Sql,
     "q70_pivot" -> q70Sql,
-    "q87_bm25_append" -> q20Sql) ++
+    "q87_bm25_append" -> q20Sql,
+    "q102_stream_bm25" -> q20Sql) ++
     CurationQueries.oracle ++ RetrievalQueries.oracle ++ PipelineQueries.oracle ++
     ScaleQueries.oracle ++ PrepQueries.oracle
 }

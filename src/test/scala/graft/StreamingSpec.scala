@@ -252,4 +252,29 @@ class StreamingSpec extends SparkSpec {
       assert(n <= 4, s"one-doc batch pruned to $n buckets (expected ≤ 4)")
     }
   }
+
+  test("q102 stream BM25: multi-batch drain; served search equals the one-shot q20") {
+    // the staged delta must split into multiple micro-batches and
+    // deliver every delta row exactly once
+    val stage = Queries.q102Stage(spark, sf0001)
+    val schema = spark.read.parquet(stage).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    Streaming.runForeachBatch(spark, src, (b, _) => {
+      batches.incrementAndGet(); seen.addAndGet(b.count()); ()
+    })
+    assert(batches.get() >= 2, s"expected a multi-batch drain, got ${batches.get()}")
+    assert(seen.get() == spark.read.parquet(stage).count(),
+      "drain lost or duplicated delta rows")
+    // end to end: the search served from the streamed-in index equals
+    // the one served from the one-shot full build (q102's internal
+    // require() additionally pins the postings tables row for row)
+    val got = SparkEntry.queries("q102_stream_bm25")(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSeq
+    val want = SparkEntry.queries("q20_bm25")(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == want, "streamed-in BM25 index diverges from the one-shot build")
+  }
 }
