@@ -30,6 +30,26 @@ class DedupSpec extends SparkSpec {
     assert(sh(1L).size == sh(1L).distinct.size)
   }
 
+  test("shingleRowsPos drops to exactly shingleRows (content), one row per position") {
+    for (n <- Seq(2, 3, 5)) {
+      val plain = Dedup.shingleRows(docs, "doc_id", "text", n)
+        .groupBy("id", "s").count()
+      val posed = Dedup.shingleRowsPos(docs, "doc_id", "text", n)
+      // positions are a bijection onto 1..len-n+1 per doc…
+      val byDoc = posed.groupBy("id")
+        .agg(count(lit(1)).as("c"), min("pos").as("lo"),
+          max("pos").as("hi"), count_distinct(col("pos")).as("d"))
+        .as[(Long, Long, Long, Long, Long)].collect()
+      byDoc.foreach { case (_, c, lo, hi, d) =>
+        assert(lo == 1L && hi == c && d == c)
+      }
+      // …and forgetting them recovers shingleRows' multiset exactly
+      val dropped = posed.groupBy("id", "s").count()
+      assert(dropped.exceptAll(plain).isEmpty && plain.exceptAll(dropped).isEmpty,
+        s"positioned shingles diverge from shingleRows at n=$n")
+    }
+  }
+
   test("LSH candidates find exact and near dups, not unrelated docs") {
     val pairs = Dedup.lshCandidates(docs, "doc_id", "text",
       shingleN = 2, nPerm = 16, rowsPerBand = 2)
