@@ -713,6 +713,128 @@ object PrepQueries {
        GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  // ---------- q103: BPE tokenizer induction ----------
+
+  val bpeRounds = 16
+
+  /** Byte-pair-encoding vocabulary induction over the corpus
+    * ([[graft.text.Bpe]]): the tokenizer-TRAINING step that precedes
+    * the token counting q27 already ships. Output is the learned
+    * merge table `(round, pair, cnt)` — one row per merge in
+    * training order, which pins the whole trainer: round r's winner
+    * depends on every previous merge having been applied correctly.
+    * Rounds are unrolled in the oracle (q58 Lloyd / q89
+    * power-iteration discipline); the `||`-delimited symbol encoding
+    * makes each merge a literal string `replace` with identical
+    * left-to-right semantics in Spark and DuckDB (see [[Bpe]] doc).
+    *
+    * Scale shape: one corpus-sized word-count shuffle, then
+    * [[bpeRounds]] vocab-sized rounds (pair explode + hash agg +
+    * 1-row broadcast argmax + replace projection) — the production
+    * BPE shape, where corpus size only ever enters through the first
+    * aggregate. */
+  def q103BpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeArtifacts(s, dir)._1
+
+  /** The trainer's (merge table, final vocab) pair as ONE session
+    * memo — q103 inspects the merges, q104 encodes with the vocab,
+    * and the 16-round loop runs once per corpus. Both frames are
+    * checkpoint-backed inside [[graft.text.Bpe.trainLoop]]; the merge
+    * table is additionally checkpointed so repeated reads skip the
+    * per-round union replay. */
+  private def bpeArtifacts(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    Memo.cachedValue(s, dir, "bpe_artifacts") {
+      val (m, v) = graft.text.Bpe.trainLoop(docs(s, dir), "text", bpeRounds)
+      (m.localCheckpoint(), v)
+    }
+
+  /** The unrolled trainer CTE chain shared by q103 (inspect the merge
+    * table) and q104 (encode with the final vocab): v0 = word counts
+    * + initial symbol strings, then per round r: pair counts c$r,
+    * 1-row argmax m$r, merged vocab v$r. The merge v$r is a LEFT
+    * join on TRUE so an empty m$r (vocab merged to completion) is a
+    * no-op — mirroring [[graft.text.Bpe.applyMerge]]. */
+  private def bpeCtes: String = {
+    def one(r: Int): String = {
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      // each round references its predecessor twice (pair counts AND
+      // the merge projection) — without MATERIALIZED, DuckDB inlines
+      // the chain into a 2^rounds-scan tree
+      s"""c$r AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt
+           FROM (SELECT n, unnest(list_transform(generate_series(1, len(els) - 1),
+                   i -> els[i] || '|' || els[i + 1])) AS pair
+                 FROM (SELECT n, list_filter(string_split(sym, '||'), x -> x <> '') AS els
+                       FROM $prev))
+           GROUP BY pair),
+       m$r AS (SELECT pair, cnt FROM c$r ORDER BY cnt DESC, pair ASC LIMIT 1),
+       v$r AS MATERIALIZED (SELECT v.word, v.n,
+             CASE WHEN m.pair IS NULL THEN v.sym ELSE replace(v.sym,
+               '|' || string_split(m.pair, '|')[1] || '||' || string_split(m.pair, '|')[2] || '|',
+               '|' || string_split(m.pair, '|')[1] || string_split(m.pair, '|')[2] || '|') END AS sym
+           FROM $prev v LEFT JOIN m$r m ON TRUE)"""
+    }
+    s"""v0 AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+           '|' || regexp_replace(word, '(.)', '|\\1|', 'g') || '|' AS sym
+         FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+               FROM documents)
+         WHERE regexp_matches(word, '^[a-z0-9]+$$')
+         GROUP BY word),
+       ${(1 to bpeRounds).map(one).mkString(",\n       ")}"""
+  }
+
+  val q103Sql: String = {
+    val rows = (1 to bpeRounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, pair, cnt FROM m$r")
+      .mkString("\n       UNION ALL ")
+    s"""WITH $bpeCtes
+       $rows
+       ORDER BY round"""
+  }
+
+  // ---------- q104: BPE encode + compression audit ----------
+
+  /** The learned merges APPLIED: encode every document (doc_id < 200)
+    * with the final vocabulary and audit the tokenizer — words,
+    * subword tokens, characters, and the chars-per-token compression
+    * ratio per document. Encoding is vocab-sized work (each DISTINCT
+    * word resolves to its final symbol split once) plus one equi-join
+    * from the exploded corpus to that table — the trainer never
+    * touches per-occurrence state, and the join strategy is left to
+    * AQE (the vocab is ≪ corpus by construction; broadcast at any
+    * realistic scale). The subword count is derived from the sym
+    * string in-plan, so the output pins every merge's cumulative
+    * effect on every document. */
+  def q104BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val enc = bpeArtifacts(s, dir)._2
+      .select(col("word"), graft.text.Bpe.symCount(col("sym")).cast("long").as("n_sub"))
+    docs(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), explode(Dedup.tokenize(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .join(enc, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_subtokens"),
+        sum(length(col("word"))).cast("long").as("n_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_subtokens"), 6))
+      .orderBy("doc_id")
+  }
+
+  val q104Sql: String =
+    s"""WITH $bpeCtes,
+       enc AS (SELECT word,
+           CAST(len(list_filter(string_split(sym, '||'), x -> x <> '')) AS BIGINT) AS n_sub
+         FROM v$bpeRounds),
+       dw AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         FROM documents WHERE doc_id < 200),
+       f AS (SELECT doc_id, word FROM dw WHERE regexp_matches(word, '^[a-z0-9]+$$'))
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(n_sub) AS BIGINT) AS n_subtokens,
+         CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+         ROUND(CAST(SUM(length(word)) AS DOUBLE) / SUM(n_sub), 6) AS chars_per_token
+       FROM f JOIN enc USING (word)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_chunk_docs" -> (q72ChunkDocs _),
     "q73_repetition" -> (q73Repetition _),
@@ -725,7 +847,9 @@ object PrepQueries {
     "q80_split_assign" -> (q80SplitAssign _),
     "q93_prep_e2e" -> (q93PrepE2e _),
     "q100_substring_dedup" -> (q100SubstringDedup _),
-    "q101_dsir_weights" -> (q101DsirWeights _))
+    "q101_dsir_weights" -> (q101DsirWeights _),
+    "q103_bpe_train" -> (q103BpeTrain _),
+    "q104_bpe_encode" -> (q104BpeEncode _))
 
   val oracle: Map[String, String] = Map(
     "q72_chunk_docs" -> q72Sql,
@@ -739,5 +863,7 @@ object PrepQueries {
     "q80_split_assign" -> q80Sql,
     "q93_prep_e2e" -> q93Sql,
     "q100_substring_dedup" -> q100Sql,
-    "q101_dsir_weights" -> q101Sql)
+    "q101_dsir_weights" -> q101Sql,
+    "q103_bpe_train" -> q103Sql,
+    "q104_bpe_encode" -> q104Sql)
 }
