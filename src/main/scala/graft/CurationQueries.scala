@@ -472,34 +472,102 @@ object CurationQueries {
       .select(col("id1"), col("id2"), round(col("c"), 6).as("cos"))
   }
 
-  val q33Sql: String = {
-    // planeCoef(i, p) replayed exactly as VectorF.planeCoef defines it
-    // (same formula as q16Sql, plane p = rot*MAXBITS + b — decoupled
-    // from the corpus-dependent bits so plane identity is stable)
+  /** The e/bt/bk CTE prefix shared by q33 and q105: normalized
+    * vectors, the corpus-adaptive bit width (integer thresholds
+    * replaying [[q33BitsFor]] — no cross-engine float log2), and one
+    * (vec_id, bkey) row per rotation. planeCoef(i, p) is replayed
+    * exactly as VectorF.planeCoef defines it (same formula as q16Sql,
+    * plane p = rot*MAXBITS + b — decoupled from the corpus-dependent
+    * bits so plane identity is stable); all MAXBITS projections are
+    * written out and b >= bits terms mask to 0. */
+  private def lshBucketCtes: String = {
     def proj(p: Int) =
       s"""list_sum(list_transform(generate_series(0, 63),
           i -> v[i + 1] * ((((i + 1) * ((${p + 1} * 2654435761) % 1000003) + ${p + 1} * 7919) % 1000003) / 1000003.0 - 0.5)))"""
-    // all MAXBITS projections are written out; b >= bits terms mask to
-    // 0, replaying clamp(ceil(log2 N)-8, 4, 12) with integer
-    // thresholds (no cross-engine float log2)
     def key(r: Int) = (0 until q33MaxBits).map(b =>
       s"CASE WHEN $b < bits THEN (CASE WHEN ${proj(r * q33MaxBits + b)} >= 0 THEN ${1L << b} ELSE 0 END) ELSE 0 END")
       .mkString("(", " + ", s" + $r * (CAST(1 AS BIGINT) << bits))")
     val keyList = (0 until q33Rot).map(key).mkString("[", ", ", "]")
     val thresholds = (4 to 11)
       .map(k => s"WHEN COUNT(*) <= ${1L << (k + 8)} THEN $k").mkString(" ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
              FROM embeddings),
        bt AS (SELECT CASE $thresholds ELSE 12 END AS bits FROM embeddings),
-       bk AS (SELECT vec_id, unnest($keyList) AS bkey FROM e, bt),
+       bk AS (SELECT vec_id, unnest($keyList) AS bkey FROM e, bt)"""
+  }
+
+  val q33Sql: String =
+    s"""WITH $lshBucketCtes,
        cand AS (SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
               FROM bk a JOIN bk c ON a.bkey = c.bkey AND a.vec_id < c.vec_id),
        sc AS (SELECT id1, id2,
                list_dot_product(x.v, y.v) / (x.n * y.n + 1e-9) AS c
              FROM cand JOIN e x ON cand.id1 = x.vec_id JOIN e y ON cand.id2 = y.vec_id)
        SELECT id1, id2, ROUND(c, 6) AS cos FROM sc WHERE c >= $q33Tau ORDER BY id1, id2"""
+
+  // ---------- q105: semantic decontamination ----------
+
+  /** SEMANTIC decontamination — the embedding-cosine sibling of q74's
+    * n-gram benchmark decontamination: flag every training vector
+    * whose cosine to ANY held-out eval vector (the vec_id % 10 = 0
+    * slice, q74's corpus/10 eval convention) reaches τ. Candidates
+    * meet ONLY inside q33's multi-rotation sign-LSH buckets (the
+    * corpus-adaptive `bits` keeps bucket occupancy flat at any N) and
+    * are exactly re-scored with the codegen'd dot product, so the
+    * cost tracks Σ bucket·(eval-share of bucket) per cell — never
+    * train × eval. Output per contaminated vector: hit count, max
+    * cosine, and the argmax eval id (row_number with a total
+    * tie-break, so both engines pick the same witness). At 100 TB
+    * the eval side is benchmark-sized: the bucket join is the same
+    * plan with the eval bucket table broadcast. */
+  def q105SemanticDecon(s: SparkSession, dir: String): DataFrame = {
+    val bits = q33BitsFor(Memo.cachedCount(s, dir, "embN")(
+      graft.sources.Tables.load(s, dir, "embeddings").count()))
+    val e = emb(s, dir).select(col("vec_id"), col("v"), norm2(col("v")).as("n"))
+    val keys = (0 until q33Rot).map(r =>
+      graft.search.Search.lshBucket(col("v"), bits, 64, r * q33MaxBits)
+        + lit(r.toLong * (1L << bits)))
+    val bk = e.select(col("vec_id"), explode(array(keys: _*)).as("bkey"))
+    val cand = bk.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("tid"), col("bkey"))
+      .join(bk.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("eid"), col("bkey")), Seq("bkey"))
+      .select(col("tid"), col("eid")).distinct()
+    val hits = cand
+      .join(e.select(col("vec_id").as("tid"), col("v").as("v1"), col("n").as("n1")), Seq("tid"))
+      .join(e.select(col("vec_id").as("eid"), col("v").as("v2"), col("n").as("n2")), Seq("eid"))
+      .withColumn("c", dot(col("v1"), col("v2")) / (col("n1") * col("n2") + lit(1e-9)))
+      .filter(col("c") >= q33Tau)
+      .select(col("tid"), col("eid"), col("c"))
+    val w = Window.partitionBy("tid").orderBy(col("c").desc, col("eid").asc)
+    val top = hits.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1).select(col("tid"), col("eid").as("top_eval_id"))
+    hits.groupBy("tid")
+      .agg(count(lit(1)).as("n_eval_hits"), round(max(col("c")), 6).as("max_cos"))
+      .join(top, Seq("tid"))
+      .select(col("tid").as("vec_id"), col("n_eval_hits"), col("max_cos"),
+        col("top_eval_id"))
+      .orderBy("vec_id")
   }
+
+  val q105Sql: String =
+    s"""WITH $lshBucketCtes,
+       cand AS (SELECT DISTINCT a.vec_id AS tid, c.vec_id AS eid
+              FROM bk a JOIN bk c ON a.bkey = c.bkey
+              WHERE a.vec_id % 10 <> 0 AND c.vec_id % 10 = 0),
+       hits AS (SELECT tid, eid, c FROM (
+               SELECT tid, eid, list_dot_product(x.v, y.v) / (x.n * y.n + 1e-9) AS c
+               FROM cand JOIN e x ON cand.tid = x.vec_id JOIN e y ON cand.eid = y.vec_id)
+             WHERE c >= $q33Tau),
+       agg AS (SELECT tid, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+               ROUND(MAX(c), 6) AS max_cos FROM hits GROUP BY tid),
+       r1 AS (SELECT tid, eid AS top_eval_id,
+               ROW_NUMBER() OVER (PARTITION BY tid ORDER BY c DESC, eid ASC) AS r
+             FROM hits)
+       SELECT agg.tid AS vec_id, n_eval_hits, max_cos, top_eval_id
+       FROM agg JOIN r1 ON agg.tid = r1.tid AND r1.r = 1
+       ORDER BY vec_id"""
 
   /** Exact n-gram Jaccard over all pairs in a bounded id range —
     * the verify-everything variant for small candidate sets. */
@@ -756,7 +824,8 @@ object CurationQueries {
     "q47_curation_e2e" -> (q47CurationE2e _),
     "q71_temperature_mix" -> (q71TemperatureMix _),
     "q88_redact" -> (q88Redact _),
-    "q98_stream_neardup" -> (q98StreamNeardup _))
+    "q98_stream_neardup" -> (q98StreamNeardup _),
+    "q105_semantic_decon" -> (q105SemanticDecon _))
 
   val oracle: Map[String, String] = Map(
     "q22_text_stats" -> q22Sql,
@@ -772,5 +841,6 @@ object CurationQueries {
     "q47_curation_e2e" -> q47Sql,
     "q71_temperature_mix" -> q71Sql,
     "q88_redact" -> q88Sql,
-    "q98_stream_neardup" -> q98Sql)
+    "q98_stream_neardup" -> q98Sql,
+    "q105_semantic_decon" -> q105Sql)
 }

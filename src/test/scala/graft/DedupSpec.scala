@@ -95,6 +95,31 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall under floor — raise q33Rot or lower q33Bits")
   }
 
+  test("q105 semantic decon: flagged set subset of exact cross-pairs, recall floor holds") {
+    val got = CurationQueries.q105SemanticDecon(spark, sf0001)
+      .select("vec_id", "max_cos", "top_eval_id")
+      .as[(Long, Double, Long)].collect()
+    // the eval witness is always from the eval slice; flagged ids never are
+    assert(got.forall { case (t, _, e) => t % 10 != 0 && e % 10 == 0 })
+    // exact ground truth: train x eval pairs over tau, from the exact
+    // all-pairs form restricted to the slice boundary
+    val exact = CurationQueries.q33ExactAllPairs(spark, sf0001)
+      .select("id1", "id2", "cos").as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, c) =>
+        if (a % 10 == 0 && b % 10 != 0) Some((b, a, c))
+        else if (b % 10 == 0 && a % 10 != 0) Some((a, b, c)) else None }
+    val exactByTid = exact.groupBy(_._1)
+    assert(got.map(_._1).toSet.subsetOf(exactByTid.keySet)) // exact re-score: no false flags
+    // per flagged vector, max_cos never exceeds the true max over eval
+    got.foreach { case (t, mc, _) =>
+      val trueMax = exactByTid(t).map(_._3).max
+      assert(mc <= trueMax + 1e-9, s"vec $t max_cos $mc > true $trueMax")
+    }
+    val recall = got.length.toDouble / exactByTid.size
+    info(f"q105 decon recall vs exact: $recall%.3f (${got.length}/${exactByTid.size})")
+    assert(recall >= 0.3, s"recall $recall under floor")
+  }
+
   test("simhash: identical docs same hash, near dups few differing bits") {
     val sh = Dedup.simhash16(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -179,6 +179,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q105: decon candidates meet via the bucket equi-join, never a pair nested loop") {
+    val p = plan("q105_semantic_decon")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the witness pick is a per-tid window over HITS (candidate-sized),
+    // partitioned by tid — not a global sort
+    assert(p.contains("hashpartitioning(tid"),
+      s"expected the argmax window keyed by tid:\n$p")
+  }
+
+  test("q104: encode scans are filter-pushed; the vocab join never sort-merges") {
+    val p = plan("q104_bpe_encode")
+    // the corpus-side scan reads only the scored slice
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(doc_id,200\\)[^\\]]*\\]".r
+      .findFirstIn(p).isDefined, s"expected doc_id<200 pushed:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"vocab join should stay hash/broadcast:\n$p")
+  }
+
   test("q77: packing cumsum is a PER-SOURCE window, never a global ordering") {
     val p = plan("q77_packing_stats")
     // the window exchange must hashpartition on source — a
