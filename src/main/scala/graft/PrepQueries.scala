@@ -552,21 +552,34 @@ object PrepQueries {
     * per document (state bounded by one document's windows) over
     * OUTPUT docs only, and its aggregate emits coverage AND window
     * counts in the same pass. */
-  def q100SubstringDedup(s: SparkSession, dir: String): DataFrame = {
-    // corpus-wide vote on what is duplicated (output restriction
-    // must NOT apply here: a span shared with an out-of-range doc is
-    // still a duplicated span)
+  /** The duplicated-window rows of the scored slice (doc_id, pos, e),
+    * shared by the q100 audit and the q106 removal: the corpus-wide
+    * dup-hash vote (output restriction must NOT apply there — a span
+    * shared with an out-of-range doc is still duplicated), then the
+    * slice's window rows semi-joined against it. Memoized per
+    * (session, dir-content): both queries read the same handful of
+    * flagged windows, and the corpus-sized vote runs once. */
+  private def dupWins500(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "q100_dupwins")(dupWinsRaw(s, dir))
+
+  /** The un-memoized build plan — exposed so PlanSpec can pin its
+    * shape (two explodes, hash semi-join, pushed slice filter). */
+  private[graft] def dupWinsRaw(s: SparkSession, dir: String): DataFrame = {
     val dupH = Dedup.shingleRowsPos(docs(s, dir), "doc_id", "text", substrN)
       .select(col("id").as("doc_id"), Dedup.shingleHash(col("s")).as("h"))
       .groupBy("h")
       .agg(count_distinct(col("doc_id")).as("__nd"))
       .filter(col("__nd") >= 2).select("h")
-    val out = Dedup.shingleRowsPos(
+    Dedup.shingleRowsPos(
         docs(s, dir).filter(col("doc_id") < 500), "doc_id", "text", substrN)
       .select(col("id").as("doc_id"), col("pos"),
         Dedup.shingleHash(col("s")).as("h"))
-    val dupWins = out.join(dupH, Seq("h"), "left_semi")
+      .join(dupH, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos"), (col("pos") + lit(substrN - 1L)).as("e"))
+  }
+
+  def q100SubstringDedup(s: SparkSession, dir: String): DataFrame = {
+    val dupWins = dupWins500(s, dir)
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val prevMax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
     val perDoc = dupWins
@@ -621,6 +634,85 @@ object PrepQueries {
          ROUND(CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / (n_windows + ${n - 1}), 4) AS dup_frac
        FROM tot LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)
        ORDER BY doc_id"""
+  }
+
+  // ---------- q106: exact-substring dedup APPLIED ----------
+
+  /** The removal action behind q100's audit — Lee et al. 2022's
+    * actual dedup step: delete every token covered by a
+    * corpus-duplicated >= 16-token span and emit the cleaned
+    * document (md5-pinned, so the oracle checks every surviving
+    * byte), with kept/removed counts. Coverage is decided by ONE
+    * per-doc window over the interleaved union of token rows and
+    * flagged window rows (windows sort first at equal pos): a token
+    * at position p is covered iff the running max of window ends
+    * reaches p. The flagged windows come from the memoized
+    * [[dupWins500]] vote shared with q100.
+    *
+    * Scale shape: the slice's token explode is linear and
+    * filter-pushed; the interleave window is partitioned per
+    * document (state = one doc's rows); the cleaned text is
+    * reassembled from a position-sorted collect inside the same
+    * per-doc aggregate — nothing corpus-sized shuffles more than
+    * once, and nothing reaches the driver. */
+  def q106SubstringDedupApply(s: SparkSession, dir: String): DataFrame = {
+    val slice = docs(s, dir).filter(col("doc_id") < 500)
+    val toks = slice
+      .select(col("doc_id"), posexplode(Dedup.tokenize(col("text"))))
+      .toDF("doc_id", "pos0", "tok")
+      .select(col("doc_id"), (col("pos0") + lit(1L)).as("pos"), col("tok"),
+        lit(null).cast("long").as("e"), lit(0).as("is_win"))
+    val wins = dupWins500(s, dir)
+      .select(col("doc_id"), col("pos"), lit(null).cast("string").as("tok"),
+        col("e"), lit(1).as("is_win"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("pos"), col("is_win").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val marked = wins.unionByName(toks)
+      .withColumn("__rme", max(col("e")).over(w))
+      .filter(col("is_win") === 0)
+      .withColumn("__keep", col("__rme").isNull || col("__rme") < col("pos"))
+    marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("pos"), col("tok"))))),
+          x => x.getField("tok")))).as("clean_hash"))
+      .withColumn("removed_frac",
+        round((col("n_toks") - col("n_kept")).cast("double") /
+          col("n_toks").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
+  val q106Sql: String = {
+    val n = substrN
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         FROM documents),
+       w0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS pos
+         FROM t WHERE len(toks) >= $n),
+       w AS (SELECT doc_id, pos,
+           ('0x' || substr(md5(array_to_string(toks[pos : pos + ${n - 1}], ' ')), 1, 8))::BIGINT AS h
+         FROM w0),
+       d AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+       o AS (SELECT doc_id, pos, pos + ${n - 1} AS e FROM w
+         WHERE doc_id < 500 AND h IN (SELECT h FROM d)),
+       tk AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+           unnest(toks) AS tok FROM t WHERE doc_id < 500),
+       m AS (SELECT doc_id, pos, CAST(NULL AS VARCHAR) AS tok, e, 1 AS is_win FROM o
+         UNION ALL
+         SELECT doc_id, pos, tok, CAST(NULL AS BIGINT) AS e, 0 AS is_win FROM tk),
+       r AS (SELECT doc_id, pos, tok, is_win,
+           MAX(e) OVER (PARTITION BY doc_id ORDER BY pos, is_win DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rme
+         FROM m),
+       k AS (SELECT doc_id, pos, tok,
+           (rme IS NULL OR rme < pos) AS keep FROM r WHERE is_win = 0)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         md5(COALESCE(string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY pos), '')) AS clean_hash,
+         ROUND(CAST(COUNT(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS removed_frac
+       FROM k GROUP BY doc_id ORDER BY doc_id"""
   }
 
   // ---------- q101: DSIR-style importance weights ----------
@@ -849,7 +941,8 @@ object PrepQueries {
     "q100_substring_dedup" -> (q100SubstringDedup _),
     "q101_dsir_weights" -> (q101DsirWeights _),
     "q103_bpe_train" -> (q103BpeTrain _),
-    "q104_bpe_encode" -> (q104BpeEncode _))
+    "q104_bpe_encode" -> (q104BpeEncode _),
+    "q106_substring_dedup_apply" -> (q106SubstringDedupApply _))
 
   val oracle: Map[String, String] = Map(
     "q72_chunk_docs" -> q72Sql,
@@ -865,5 +958,6 @@ object PrepQueries {
     "q100_substring_dedup" -> q100Sql,
     "q101_dsir_weights" -> q101Sql,
     "q103_bpe_train" -> q103Sql,
-    "q104_bpe_encode" -> q104Sql)
+    "q104_bpe_encode" -> q104Sql,
+    "q106_substring_dedup_apply" -> q106Sql)
 }

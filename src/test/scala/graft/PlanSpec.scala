@@ -151,19 +151,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
-  test("q100: one corpus explode + one scored-doc explode; totals stay a projection") {
-    val p = plan("q100_substring_dedup")
-    // exactly two generate passes: the corpus-wide dup vote (no
-    // filter) and the scored-doc window pass (doc_id < 500 pushed);
-    // n_windows must come from the len(toks)-15 projection, not a
-    // third explode
+  test("q100 flagged-window build: one corpus explode + one scored-doc explode") {
+    // the build plan (memoized at query time behind dupWins500):
+    // exactly two generate passes — the corpus-wide dup vote (no
+    // filter) and the scored-doc window pass (doc_id < 500 pushed) —
+    // meeting via an equi semi-join on the 8-byte hash
+    val p = PrepQueries.dupWinsRaw(spark, sf0001)
+      .queryExecution.executedPlan.toString
     assert("Generate posexplode".r.findAllIn(p).length == 2,
       s"expected exactly 2 explodes:\n$p")
     assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,500)]"))
-    // the dup-hash candidate set meets scored windows via an equi
-    // semi-join on the 8-byte hash — never a pair join
     assert(p.contains("LeftSemi"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q100 audit serves from the flagged-window memo: no explode, totals a projection") {
+    val p = plan("q100_substring_dedup")
+    // n_windows must come from the len(toks)-15 projection, not an
+    // explode; the island merge is the only window and it is keyed
+    // per document
+    assert(!p.contains("Generate posexplode"), s"audit should not re-explode:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,500)]"))
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"expected the island window keyed by doc_id:\n$p")
+  }
+
+  test("q106 removal: interleave window keyed per doc; slice scan pushed; no re-explode of the vote") {
+    val p = plan("q106_substring_dedup_apply")
+    // exactly one explode — the slice's token rows (the flagged
+    // windows come from the memo)
+    assert("Generate posexplode".r.findAllIn(p).length == 1,
+      s"expected exactly 1 explode:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,500)]"))
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"expected the coverage window keyed by doc_id:\n$p")
+    assert(!p.contains("rangepartitioning(pos") && !p.contains("CartesianProduct"))
   }
 
   test("q101: the DSIR model joins by broadcast; scoring scans are filter-pushed") {

@@ -129,6 +129,38 @@ class PrepSpec extends SparkSpec {
     assert(row == ((2L, 32L)))
   }
 
+  test("q106: covered tokens are cut, survivors keep order, clean docs pass through") {
+    def run(tag: String, k: Int) = (1 to k).map(i => s"$tag$i").mkString(" ")
+    val shared = run("s", 20)
+    val dir = writeDocs(
+      (0L, run("u", 5) + " " + shared + " " + run("v", 5), "en"),
+      (1L, run("w", 3) + " " + shared + " " + run("x", 7), "en"),
+      (2L, run("z", 20), "en"))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = PrepQueries.q106SubstringDedupApply(spark, dir)
+      .select("doc_id", "n_toks", "n_kept", "clean_hash")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // the shared 20-token run (island tokens 6..25 / 4..23) is cut;
+    // the unique flanks survive IN ORDER; doc2 is untouched
+    assert(out == Seq(
+      (0L, 30L, 10L, md5hex(run("u", 5) + " " + run("v", 5))),
+      (1L, 30L, 10L, md5hex(run("w", 3) + " " + run("x", 7))),
+      (2L, 20L, 20L, md5hex(run("z", 20)))))
+  }
+
+  test("q106 removal equals q100's island coverage doc by doc") {
+    val audit = PrepQueries.q100SubstringDedup(spark, sf0001)
+      .select("doc_id", "dup_tokens").as[(Long, Long)].collect().toMap
+    val applied = PrepQueries.q106SubstringDedupApply(spark, sf0001)
+      .select("doc_id", "n_toks", "n_kept").as[(Long, Long, Long)].collect()
+    applied.foreach { case (d, nt, nk) =>
+      assert(nt - nk == audit.getOrElse(d, 0L),
+        s"doc $d: removed ${nt - nk} != audited ${audit.getOrElse(d, 0L)}")
+    }
+    assert(applied.exists { case (_, nt, nk) => nk < nt }) // removal happened
+  }
+
   test("q101: target-like docs outweigh off-target docs; n_feats = 2n-1") {
     // target (en) speaks 'cat dog fish', off-target (de) speaks
     // 'rock sand clay'; scored docs mirror one side each
