@@ -1657,6 +1657,52 @@ object RetrievalQueries {
       .orderBy("rank")
   }
 
+  // ---------- q107: hard-negative mining ----------
+
+  /** Hard-negative mining for retrieval/embedding training — for each
+    * held-out query vector (the first five eval-slice ids:
+    * vec_id % 10 = 0, < 50), the top-10 most-similar TRAIN vectors
+    * whose label differs from the query's (same-label rows are
+    * positives and are excluded BEFORE the top-k, so the negative
+    * list is never truncated by them). One corpus scan scores all
+    * queries (broadcast query set), the per-(query, candidate) label
+    * predicate rides the scan, and per-query top-k runs through the
+    * bounded-heap `TopKByScore` aggregate — the q11 shape with an
+    * exclusion predicate, so the exchange stays O(queries × k). At
+    * 100 TB the same predicate composes unchanged with the IVF /
+    * LSH / PQ candidate paths (it is a filter between candidate
+    * generation and the heap); the exact scan here is the declared
+    * R1 baseline. */
+  def q107HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.sources.Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val queries = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
+    e.filter(col("vec_id") % 10 =!= 0)
+      .crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"), dot(col("v"), col("qv")).as("score"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graftnative.TopKAggregate
+        .topK(col("vec_id").cast("long"), col("score"), 10).as("__tk"))
+      .select(col("qid"), explode(col("__tk")).as("__e"))
+      .select(col("qid"), col("__e.id").as("vec_id"), col("__e.rank").as("rank"),
+        round(col("__e.score"), 6).as("score"))
+      .orderBy("qid", "rank")
+  }
+
+  val q107Sql: String =
+    """WITH q AS (SELECT vec_id AS qid, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 50),
+       s AS (SELECT qid, e.vec_id, list_dot_product(CAST(e.embedding AS DOUBLE[]), qv) AS sc
+             FROM embeddings e, q
+             WHERE e.vec_id % 10 <> 0 AND e.label <> q.qlabel),
+       r AS (SELECT qid, vec_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+               ROUND(sc, 6) AS score FROM s)
+       SELECT qid, vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY qid, rank"""
+
   // ---------- catalog ----------
 
   /** Shared-artifact builds, surfaced to the bench harness as named
@@ -1704,7 +1750,8 @@ object RetrievalQueries {
     "q97_graph_append" -> (q97GraphAppend _),
     "q99_stream_index" -> (q99StreamIndex _),
     "q89_embedding_pc" -> (q89EmbeddingPc _),
-    "q94_all_but_top" -> (q94AllButTop _))
+    "q94_all_but_top" -> (q94AllButTop _),
+    "q107_hard_negatives" -> (q107HardNegatives _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
@@ -1733,5 +1780,6 @@ object RetrievalQueries {
     "q84_ivf_append" -> q84Sql,
     "q96_ivf_refresh" -> q96Sql,
     "q89_embedding_pc" -> q89Sql,
-    "q94_all_but_top" -> q94Sql)
+    "q94_all_but_top" -> q94Sql,
+    "q107_hard_negatives" -> q107Sql)
 }

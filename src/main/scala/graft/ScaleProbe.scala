@@ -102,7 +102,8 @@ object ScaleProbe {
       "q97_graph_append", "q98_stream_neardup", "q99_stream_index",
       "q100_substring_dedup", "q101_dsir_weights", "q102_stream_bm25",
       "q103_bpe_train", "q104_bpe_encode",
-      "q105_semantic_decon", "q106_substring_dedup_apply")
+      "q105_semantic_decon", "q106_substring_dedup_apply",
+      "q107_hard_negatives")
     val probeQs = if (args.length > 1) args.drop(1).toSeq else defaults
     probeQs.foreach { q =>
       val a = time("1x", src, q)

@@ -219,6 +219,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"vocab join should stay hash/broadcast:\n$p")
   }
 
+  test("q107: hard negatives ride the heap aggregate; exclusion is a scan-side filter") {
+    val p = plan("q107_hard_negatives")
+    assert(p.contains("graft_topk"))
+    assert(!p.contains("Window"), s"top-k must not fall back to a window sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
   test("q77: packing cumsum is a PER-SOURCE window, never a global ordering") {
     val p = plan("q77_packing_stats")
     // the window exchange must hashpartition on source — a

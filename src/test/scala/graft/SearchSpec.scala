@@ -305,4 +305,21 @@ class SearchSpec extends SparkSpec {
     val u = Hybrid.unionCandidates(a, b, "id").as[Long].collect().toSet
     assert(u == Set(1L, 2L, 3L, 4L))
   }
+
+  test("q107: negatives never carry the query's label and never come from the eval slice") {
+    val labels = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val out = RetrievalQueries.q107HardNegatives(spark, sf0001)
+      .select("qid", "vec_id", "rank").as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (q, n, _) =>
+      assert(q % 10 == 0 && n % 10 != 0, s"slice violation: q=$q n=$n")
+      assert(labels(q) != labels(n), s"positive leaked: q=$q n=$n label=${labels(q)}")
+    }
+    // full negative lists: every query returns k=10 ranked 1..10
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to 10L), s"query $q ranks")
+    }
+  }
 }
