@@ -715,6 +715,87 @@ object PrepQueries {
        FROM k GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  // ---------- q108: token-budget mixture allocation ----------
+
+  /** Water-filling allocation of a global token budget across
+    * sources — the data-mixing step that decides how much of each
+    * source a training run may keep: sources below the water level
+    * keep everything, larger sources are capped at the level c
+    * solving Σ min(n_s, c) = B (here B = total/2). The level is found
+    * CLOSED-FORM in one pass: sort sources ascending, and for each
+    * rank r the candidate c_r = (B − prefix_{r−1})/(m − r + 1) is the
+    * level if capping starts at r — the first rank where c_r < n_r
+    * wins (1-row broadcast). Integer allocations floor the level and
+    * hand the remainder out +1 token at a time in source order
+    * (largest-remainder style), so Σ alloc = B exactly and every
+    * number is integer arithmetic the oracle replays bit for bit.
+    *
+    * Scale shape: one corpus-sized token-count aggregate; everything
+    * after operates on the SOURCE table, which is small by
+    * construction (it is the mixing unit), so the unpartitioned
+    * rank/prefix window is bounded by the source count, not the
+    * corpus. */
+  def q108BudgetAllocation(s: SparkSession, dir: String): DataFrame = {
+    val per = docs(s, dir)
+      .select(col("source"), size(Dedup.tokenize(col("text"))).cast("long").as("t"))
+      .groupBy("source").agg(sum(col("t")).as("n"))
+    val stats = per.agg(sum(col("n")).as("total"), count(lit(1)).as("m"))
+    val w = Window.orderBy(col("n").asc, col("source").asc)
+    val ranked = per.crossJoin(broadcast(stats))
+      .withColumn("b", floor(col("total") / lit(2)))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("prefix",
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val cap = ranked
+      .withColumn("cf", (col("b") - (col("prefix") - col("n"))).cast("double") /
+        (col("m") - col("r") + 1).cast("double"))
+      .filter(col("cf") < col("n").cast("double"))
+      .orderBy("r").limit(1)
+      .withColumn("capfloor", floor(col("cf")))
+      .select(col("capfloor"),
+        (col("b") - (col("prefix") - col("n")) -
+          (col("m") - col("r") + 1) * col("capfloor")).as("rem"),
+        col("r").as("capr"))
+    val wc = Window.partitionBy("capped").orderBy("source")
+    ranked.join(broadcast(cap), lit(true), "left")
+      .withColumn("capped", col("capr").isNotNull && col("r") >= col("capr"))
+      .withColumn("crn", row_number().over(wc).cast("long"))
+      .select(col("source"), col("n").as("n_tokens"),
+        when(!col("capped"), col("n"))
+          .otherwise(col("capfloor") +
+            when(col("crn") <= col("rem"), 1L).otherwise(0L)).as("alloc_tokens"),
+        col("capped"))
+      .orderBy("source")
+  }
+
+  val q108Sql: String =
+    s"""WITH per AS (SELECT source,
+           CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS n
+         FROM documents GROUP BY source),
+       st AS (SELECT SUM(n) AS total, COUNT(*) AS m FROM per),
+       rk AS (SELECT source, n, m,
+           CAST(FLOOR(total / 2) AS BIGINT) AS b,
+           ROW_NUMBER() OVER (ORDER BY n, source) AS r,
+           SUM(n) OVER (ORDER BY n, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+         FROM per, st),
+       cap AS (SELECT CAST(FLOOR(cf) AS BIGINT) AS capfloor,
+           b - (prefix - n) - (m - r + 1) * CAST(FLOOR(cf) AS BIGINT) AS rem,
+           r AS capr
+         FROM (SELECT *, CAST(b - (prefix - n) AS DOUBLE) / (m - r + 1) AS cf FROM rk)
+         WHERE cf < n ORDER BY r LIMIT 1),
+       al AS (SELECT rk.source, rk.n,
+           (cap.capr IS NOT NULL AND rk.r >= cap.capr) AS capped,
+           cap.capfloor, cap.rem
+         FROM rk LEFT JOIN cap ON TRUE),
+       rn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY capped ORDER BY source) AS crn
+         FROM al)
+       SELECT source, n AS n_tokens,
+         CAST(CASE WHEN NOT capped THEN n
+           ELSE capfloor + CASE WHEN crn <= rem THEN 1 ELSE 0 END END AS BIGINT) AS alloc_tokens,
+         capped
+       FROM rn ORDER BY source"""
+
   // ---------- q101: DSIR-style importance weights ----------
 
   val dsirBuckets = 512
@@ -942,7 +1023,8 @@ object PrepQueries {
     "q101_dsir_weights" -> (q101DsirWeights _),
     "q103_bpe_train" -> (q103BpeTrain _),
     "q104_bpe_encode" -> (q104BpeEncode _),
-    "q106_substring_dedup_apply" -> (q106SubstringDedupApply _))
+    "q106_substring_dedup_apply" -> (q106SubstringDedupApply _),
+    "q108_budget_allocation" -> (q108BudgetAllocation _))
 
   val oracle: Map[String, String] = Map(
     "q72_chunk_docs" -> q72Sql,
@@ -959,5 +1041,6 @@ object PrepQueries {
     "q101_dsir_weights" -> q101Sql,
     "q103_bpe_train" -> q103Sql,
     "q104_bpe_encode" -> q104Sql,
-    "q106_substring_dedup_apply" -> q106Sql)
+    "q106_substring_dedup_apply" -> q106Sql,
+    "q108_budget_allocation" -> q108Sql)
 }

@@ -103,7 +103,7 @@ object ScaleProbe {
       "q100_substring_dedup", "q101_dsir_weights", "q102_stream_bm25",
       "q103_bpe_train", "q104_bpe_encode",
       "q105_semantic_decon", "q106_substring_dedup_apply",
-      "q107_hard_negatives")
+      "q107_hard_negatives", "q108_budget_allocation")
     val probeQs = if (args.length > 1) args.drop(1).toSeq else defaults
     probeQs.foreach { q =>
       val a = time("1x", src, q)

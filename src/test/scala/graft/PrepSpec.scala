@@ -161,6 +161,31 @@ class PrepSpec extends SparkSpec {
     assert(applied.exists { case (_, nt, nk) => nk < nt }) // removal happened
   }
 
+  test("q108 water-filling: level, floors and remainder match the hand solution") {
+    // sources 10/20/40 tokens, budget = 35: A keeps all 10; level
+    // c = 12.5 caps B and C; floors 12+12, remainder 1 goes to B
+    // (source order) -> 10 + 13 + 12 = 35
+    val dir = java.nio.file.Files.createTempDirectory("q108docs").toString
+    Seq((0L, (1 to 10).map("a" + _).mkString(" "), "en", "A"),
+        (1L, (1 to 20).map("b" + _).mkString(" "), "en", "B"),
+        (2L, (1 to 40).map("c" + _).mkString(" "), "en", "C"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PrepQueries.q108BudgetAllocation(spark, dir)
+      .select("source", "n_tokens", "alloc_tokens", "capped")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(("A", 10L, 10L, false), ("B", 20L, 13L, true),
+      ("C", 40L, 12L, true)))
+  }
+
+  test("q108: allocations sum exactly to the budget and never exceed the source") {
+    val out = PrepQueries.q108BudgetAllocation(spark, sf0001)
+      .select("n_tokens", "alloc_tokens").as[(Long, Long)].collect()
+    assert(out.nonEmpty && out.forall { case (n, a) => a >= 0 && a <= n })
+    assert(out.map(_._2).sum == out.map(_._1).sum / 2)
+  }
+
   test("q101: target-like docs outweigh off-target docs; n_feats = 2n-1") {
     // target (en) speaks 'cat dog fish', off-target (de) speaks
     // 'rock sand clay'; scored docs mirror one side each
