@@ -94,11 +94,14 @@ object Bench {
     // totals+calibration line AFTER the big one, so any tail capture
     // retains the yardstick even if the full line is truncated.
     try {
+      // default is cwd-relative so any checkout persists its artifact
       val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
       java.nio.file.Files.write(out,
         (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () } // best-effort; stdout is the contract
+    } catch { case e: Throwable => // best-effort; stdout is the contract
+      System.err.println(s"bench: artifact write failed: $e")
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"build_sec":$buildTotal,"mean_sec":$mean,"n_queries":${queries.size},"n_builds":${builds.size},"n_errors":$nErr}""")
     spark.stop()
     if (nErr > 0) sys.exit(1)

@@ -434,18 +434,34 @@ object CurationQueries {
     math.min(q33MaxBits, math.max(4, ceilLog2 - 8))
   }
 
+  /** The normalized-vector frame q33 and q105 share, memoized per
+    * (session, dir-content). */
+  private def lshVecs(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "lsh_e")(
+      emb(s, dir).select(col("vec_id"), col("v"), norm2(col("v")).as("n")))
+
+  /** The multi-rotation (vec_id, bkey) bucket table q33 and q105
+    * share — one row per (vector, rotation), key = rot·2^bits +
+    * bucket, with the corpus-adaptive bit width. Both queries'
+    * candidate generation starts from this same explode, so it is
+    * built ONCE per (session, dir-content) and charged to
+    * `_build_lsh_buckets` (the band-table discipline: the bench
+    * clock on each query then measures serving, not re-hashing).
+    * The corpus count that sizes the buckets is memoized too, so
+    * repeated construction re-runs no counting job. */
+  private[graft] def lshBuckets(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "lsh_bk") {
+      val bits = q33BitsFor(Memo.cachedCount(s, dir, "embN")(
+        graft.sources.Tables.load(s, dir, "embeddings").count()))
+      val keys = (0 until q33Rot).map(r =>
+        graft.search.Search.lshBucket(col("v"), bits, 64, r * q33MaxBits)
+          + lit(r.toLong * (1L << bits)))
+      lshVecs(s, dir).select(col("vec_id"), explode(array(keys: _*)).as("bkey"))
+    }
+
   def q33NeardupCosine(s: SparkSession, dir: String): DataFrame = {
-    // the corpus count that sizes the buckets is memoized per
-    // (session, dir-content) — repeated construction (bench warm
-    // runs, specs) doesn't re-run the counting job
-    val bits = q33BitsFor(Memo.cachedCount(s, dir, "embN")(
-      graft.sources.Tables.load(s, dir, "embeddings").count()))
-    val e = emb(s, dir).select(col("vec_id"), col("v"), norm2(col("v")).as("n"))
-    // one row per (vector, rotation): key = rot·2^bits + bucket
-    val keys = (0 until q33Rot).map(r =>
-      graft.search.Search.lshBucket(col("v"), bits, 64, r * q33MaxBits)
-        + lit(r.toLong * (1L << bits)))
-    val bk = e.select(col("vec_id"), explode(array(keys: _*)).as("bkey"))
+    val e = lshVecs(s, dir)
+    val bk = lshBuckets(s, dir)
     val cand = bk.select(col("vec_id").as("id1"), col("bkey"))
       .join(bk.select(col("vec_id").as("id2"), col("bkey")), Seq("bkey"))
       .filter(col("id1") < col("id2"))
@@ -522,13 +538,8 @@ object CurationQueries {
     * the eval side is benchmark-sized: the bucket join is the same
     * plan with the eval bucket table broadcast. */
   def q105SemanticDecon(s: SparkSession, dir: String): DataFrame = {
-    val bits = q33BitsFor(Memo.cachedCount(s, dir, "embN")(
-      graft.sources.Tables.load(s, dir, "embeddings").count()))
-    val e = emb(s, dir).select(col("vec_id"), col("v"), norm2(col("v")).as("n"))
-    val keys = (0 until q33Rot).map(r =>
-      graft.search.Search.lshBucket(col("v"), bits, 64, r * q33MaxBits)
-        + lit(r.toLong * (1L << bits)))
-    val bk = e.select(col("vec_id"), explode(array(keys: _*)).as("bkey"))
+    val e = lshVecs(s, dir)
+    val bk = lshBuckets(s, dir)
     val cand = bk.filter(col("vec_id") % 10 =!= 0)
       .select(col("vec_id").as("tid"), col("bkey"))
       .join(bk.filter(col("vec_id") % 10 === 0)
@@ -807,6 +818,7 @@ object CurationQueries {
   /** Shared-artifact builds (see RetrievalQueries.builds). */
   val builds: Map[String, (SparkSession, String) => Unit] = Map(
     "_build_neardup_pairs" -> ((s, dir) => { nearDupPairs(s, dir).count(); () }),
+    "_build_lsh_buckets" -> ((s, dir) => { lshBuckets(s, dir).count(); () }),
     "_build_stream_bands" -> ((s, dir) =>
       { streamBandsPath(s, dir); q98Stage(s, dir); () }))
 

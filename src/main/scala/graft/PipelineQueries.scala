@@ -123,10 +123,15 @@ object PipelineQueries {
     }
     val schema = s.read.parquet(stage).schema
     val raw = s.readStream.schema(schema).parquet(stage)
-    // ts arrives as raw nanos under nanosAsLong — restore, as in batch
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    // ts arrives as raw nanos under nanosAsLong, or as TIMESTAMP_NTZ
+    // when the file stores naive micros — restore, as in batch
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** q60's sessionizer executed UNDER THE LIVE STREAMING HARNESS:
@@ -143,6 +148,60 @@ object PipelineQueries {
     Streaming.runToMemory(s, Streaming.sessionize(events, "30 minutes"),
       sink, "complete")
     s.table(sink)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        col("n_events"),
+        round(col("sum_value") * 100).cast("long").as("sum_value_c"))
+      .orderBy("user_id", "start_us")
+  }
+
+  /** APPEND-MODE streaming sessionize — the bounded-emission twin of
+    * q61's complete-mode drain. Complete mode re-emits EVERY standing
+    * session each micro-batch, so emission grows as state × batches
+    * (the 13.6× asterisk on q61's 10× probe); append mode emits each
+    * session EXACTLY ONCE, when the watermark passes its end, so
+    * per-batch emission is bounded by the sessions that actually
+    * closed. The staging range-splits the events into four ts-ordered
+    * files with ascending mtimes (the q99 in-order micro-batch
+    * discipline), so the watermark advances between batches and
+    * sessions flush INCREMENTALLY — never one final dump — and a
+    * SENTINEL punctuation event (user_id = −1, three days past the
+    * last real event, the production heartbeat that bounds
+    * stream-end latency) closes the tail sessions still within the
+    * lateness allowance. The drained sink, sentinel filtered out,
+    * equals the batch sessionizer row for row — q60's
+    * gaps-and-islands oracle checks it. */
+  def q111StreamSessionizeAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stage = graft.Memo.cachedValue(s, dir, "q111_stage") {
+      val p = roundtripPath(dir, "q111_stream")
+      val ev = Queries.eventsTable(s, dir)
+        .select(col("ts"), col("user_id"), col("value"))
+      ev.repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(p)
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val dataParts = Option(new java.io.File(p).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      Seq((new java.sql.Timestamp(maxTs.getTime + 3L * 24 * 3600 * 1000),
+          -1L, 0.0))
+        .toDF("ts", "user_id", "value").coalesce(1)
+        .write.mode("append").parquet(p)
+      val sentinel = Option(new java.io.File(p).listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith("part-") && !dataParts.contains(f))
+      // ascending mtimes pin batch order to the ts ranges, sentinel last
+      val t0 = System.currentTimeMillis() - 3600L * 1000L
+      (dataParts ++ sentinel).zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 2000L) }
+      p
+    }
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val sink = "q111_sessions_" + sanitizeTag(dir)
+    Streaming.runToMemory(s, Streaming.sessionize(src, "30 minutes"),
+      sink, "append")
+    s.table(sink)
+      .filter(col("user_id") >= 0)
       .select(col("user_id"),
         unix_micros(col("session_start")).as("start_us"),
         col("n_events"),
@@ -654,6 +713,7 @@ object PipelineQueries {
     "q53_csv_roundtrip" -> (q53CsvRoundtrip _),
     "q60_sessionize" -> (q60Sessionize _),
     "q61_stream_sessionize" -> (q61StreamSessionize _),
+    "q111_stream_sessionize_append" -> (q111StreamSessionizeAppend _),
     "q69_stream_enrich" -> (q69StreamEnrich _),
     "q82_stream_hourly" -> (q82StreamHourly _),
     "q83_stream_stream_join" -> (q83StreamStreamJoin _),
@@ -675,6 +735,7 @@ object PipelineQueries {
     "q53_csv_roundtrip" -> q53Sql,
     "q60_sessionize" -> q60Sql,
     "q61_stream_sessionize" -> q60Sql,
+    "q111_stream_sessionize_append" -> q60Sql,
     "q69_stream_enrich" -> q69Sql,
     "q82_stream_hourly" -> Queries.q06Sql,
     "q83_stream_stream_join" -> ScaleQueries.q66Sql,

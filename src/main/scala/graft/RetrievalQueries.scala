@@ -197,7 +197,7 @@ object RetrievalQueries {
         graft.search.IVF.assign(emb(s, dir), "vec_id", "v", c), p)
       p
     }
-    s.read.parquet(s"$path/lists")
+    s.read.parquet(graft.search.IVF.listsPath(path))
       .withColumn("cid", col("cid").cast("long"))
   }
 
@@ -394,7 +394,8 @@ object RetrievalQueries {
     graft.search.IVF.appendToIndex(s, path, delta, "vec_id", "v")
     require(graft.search.IVF.needsRefine(s, path, 2.0),
       "q96: the skewed append must trip the refine trigger")
-    val rows = s.read.parquet(s"$path/lists").select(col("vec_id"), col("v"))
+    val rows = s.read.parquet(graft.search.IVF.listsPath(path))
+      .select(col("vec_id"), col("v"))
     val refined = graft.search.IVF.refine(rows, "vec_id", "v",
       s.read.parquet(s"$path/centroids"), refineIters)
     graft.search.IVF.writeIndexFrom(refined,
@@ -448,6 +449,68 @@ object RetrievalQueries {
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  /** S5 COMPACTION under the oracle gate — the quarter of the index
+    * lifecycle q84 (append), q58 (refine), and q96 (refresh) leave
+    * open: build the at-rest IVF index over the base slice, append
+    * FOUR delta batches — each lands one new parquet file per touched
+    * list, so files-per-list grows with append COUNT, the
+    * fragmentation shape of a week of continuous ingest — observe
+    * [[graft.search.IVF.listFileCounts]] report the fragmentation
+    * (the require makes the trigger input part of the gate), run
+    * [[graft.search.IVF.compactIndex]] — which stages the rewrite
+    * into a fresh versioned generation and commits it by atomically
+    * replacing the CURRENT pointer file, so there is no crash window
+    * with no live lists — require one-file-per-list afterwards, and
+    * serve a query from the compacted index. The oracle replays a
+    * straight-line rebuild over the union corpus with base-sampled
+    * centroids: the hash match IS "compaction changes bytes-on-disk
+    * layout, never content". */
+  def q109IvfCompact(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q109")
+    graft.search.IVF.writeIndex(e.filter(col("vec_id") >= 100),
+      "vec_id", "v", ivfK, 0, path)
+    (0 until 4).foreach { b =>
+      graft.search.IVF.appendToIndex(s, path,
+        e.filter(col("vec_id") < 100 && col("vec_id") % 4 === b),
+        "vec_id", "v")
+    }
+    require(graft.search.IVF.listFileCounts(path).values.max >= 3,
+      "q109: four append batches must fragment the lists")
+    graft.search.IVF.compactIndex(s, path)
+    require(graft.search.IVF.listFileCounts(path).values.forall(_ == 1),
+      "q109: compaction must restore one file per list")
+    graft.search.IVF.searchIndex(s, path, "vec_id", "v",
+      e.filter(col("vec_id") === 2).select(col("v").as("qv")), "qv",
+      10, ivfProbe)
+      .orderBy("rank")
+  }
+
+  /** q84's replay at a different query point: compaction must be
+    * invisible to every answer, so the oracle is simply the
+    * append ≡ rebuild replay over the same union corpus. */
+  val q109Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e WHERE vec_id >= 100) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 2),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       sc AS (SELECT a.vec_id, list_dot_product(a.v, pr.qv) AS sc
+              FROM a JOIN pr ON a.cid = pr.cid),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
   /** R2 (third scale path): product-quantization ADC search — a
     * 16-entry codebook over 8 subspaces of 8 dims, every data vector
     * scored through its reconstruction. Same query point as q45 so
@@ -459,6 +522,12 @@ object RetrievalQueries {
   private def pqCodebook(s: SparkSession, dir: String): DataFrame =
     Memo.cached(s, dir, "pq_cb")(
       graft.search.IVF.centroids(emb(s, dir), "vec_id", "v", pqK))
+
+  /** The finer K=64 codebook for q48's PQ resolution dial —
+    * the same LCG sample cut at 64 instead of [[pqK]]. */
+  private def pqCodebook64(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "pq_cb64")(
+      graft.search.IVF.centroids(emb(s, dir), "vec_id", "v", 64))
 
   def q59PqAnn(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -584,6 +653,36 @@ object RetrievalQueries {
       p
     }
 
+  /** The routed serving dial: cells probed per query (of
+    * [[graphPartsFor]] total). parts/2 keeps the q95-measured recall
+    * comfortably above the 0.9 floor (0.98 at sf0.001 with the 2×
+    * boundary replication) while the nodes scan reads half the cells
+    * off disk (partition-pruned; GraphAnnSpec plan-asserts it) — the
+    * IVF nprobe trade surfaced as data by q95's probe rows. */
+  private[graft] def graphProbeFor(s: SparkSession, dir: String): Int =
+    math.max(2, graphPartsFor(s, dir) / 2)
+
+  /** Full-corpus rebuild UNDER THE ROUTING TRAINED ON THE FIRST 80%
+    * of ids — the equivalence target q97/q99 pin their appended /
+    * streamed indexes against ([[graft.search.IVF]]'s q84 contract
+    * applied to the graph path: append ≡ rebuild with the SAME coarse
+    * quantizer; the quantizer is fixed at deployment while the corpus
+    * grows, so a rebuild that re-trained routing on the union corpus
+    * would be a different — also valid — index, not the equivalence
+    * class). Memoized: q97 and q99 share one build. */
+  private def graphRebuildPath(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "graphann_rb80") {
+      val e = emb(s, dir)
+      val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
+      val split = 4L * n / 5L
+      val p = PipelineQueries.roundtripPath(dir, "graphann_rb80")
+      graft.search.GraphAnn.writeIndexWith(
+        graft.search.GraphAnn.routingFor(
+          e.filter(col("vec_id") < split), "vec_id", "v", graphPartsFor(s, dir)),
+        e, "vec_id", "v", graphM, graphEf, p)
+      p
+    }
+
   /** R2 (fourth scale path): NSW graph ANN served from the AT-REST
     * per-part adjacency ([[graft.search.GraphAnn.searchIndex]]) —
     * per-query work is the index scan + beam search + exact-score
@@ -597,7 +696,8 @@ object RetrievalQueries {
   def q86GraphAnn(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     graft.search.GraphAnn.searchIndex(s, graphIndexPath(s, dir), "vec_id",
-      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10, graphEf)
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10, graphEf,
+      probeParts = graphProbeFor(s, dir))
       .orderBy("rank")
   }
 
@@ -615,17 +715,31 @@ object RetrievalQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val exact = Search.multiTopK(e, "vec_id", "v", qs, "qid", "qv", recallK)
       .select(col("qid"), col("vec_id"))
+      .localCheckpoint() // reused by every (ef, probe) row below
+    // denominator from the exact frame itself, not the recallNq×recallK
+    // constant — fewer queries or short exact lists would silently
+    // understate recall (round-8 advice), so divergence fails loudly
+    val exactN = exact.count()
+    require(exactN == recallNq.toLong * recallK,
+      s"q95: exact baseline has $exactN rows, expected ${recallNq * recallK}")
     val path = graphIndexPath(s, dir)
     val parts = graphPartsFor(s, dir)
-    def row(ef: Int): DataFrame =
+    def row(ef: Int, probe: Int): DataFrame =
       exact.join(
           graft.search.GraphAnn.searchIndexMulti(s, path, "vec_id",
-            qs, "qid", "qv", recallK, ef).select(col("qid"), col("vec_id")),
+            qs, "qid", "qv", recallK, ef, probeParts = probe)
+            .select(col("qid"), col("vec_id")),
           Seq("qid", "vec_id"), "left_semi")
-        .agg(round(count(lit(1)) / lit((recallNq * recallK).toDouble), 4).as("recall"))
+        .agg(round(count(lit(1)) / lit(exactN.toDouble), 4).as("recall"))
         .select(lit("graph").as("method"),
-          lit(s"m=$graphM parts=$parts ef=$ef").as("knob"), col("recall"))
-    Seq(recallK, 24, graphEf).map(row).reduce(_ union _)
+          lit(s"m=$graphM parts=$parts ef=$ef probe=${math.min(probe, parts)}")
+            .as("knob"), col("recall"))
+    // two dials on the shared at-rest index: the ef beam width at full
+    // probe, and the routed probe count (the nprobe trade) at ef=48
+    (Seq(recallK, 24, graphEf).map(ef => row(ef, parts)) ++
+      Seq(1, math.max(2, parts / 4), math.max(4, parts / 2)).map(p =>
+        row(graphEf, p)))
+      .reduce(_ union _)
       .orderBy("method", "knob")
   }
 
@@ -634,13 +748,15 @@ object RetrievalQueries {
     * FIRST 80% of ids, append the newest 20% as a delta through
     * [[graft.search.GraphAnn.appendToIndex]] — the continuous-ingest
     * shape: new content arrives with fresh, growing ids — and serve
-    * the q86 query from the appended index. Because the builder
+    * the q86 query from the appended index. Because the delta routes
+    * through the index's OWN standing routing table and the builder
     * inserts in ascending id order, append ≡ from-scratch rebuild
-    * BIT FOR BIT, and since base ∪ delta is the whole corpus at the
-    * same knobs, the appended index must equal the `_build_graph_ann`
-    * index exactly: the require() makes that node-table equivalence
-    * part of the correctness gate (the q96 trigger discipline), so
-    * the rows-only check still rides a hard in-query contract. NO
+    * UNDER THE SAME ROUTING, BIT FOR BIT: the require() compares the
+    * appended node table against [[graphRebuildPath]] — the
+    * full-corpus build under the 80%-trained quantizer — making that
+    * equivalence part of the correctness gate (the q96 trigger
+    * discipline and IVF q84's same-centroids contract), so the
+    * rows-only check still rides a hard in-query contract. NO
     * oracle: graph construction is not SQL-expressible (the SURVEY
     * ✗-mark discipline; GraphAnnSpec pins the same equivalence plus
     * recall floors at spec scale). */
@@ -655,11 +771,11 @@ object RetrievalQueries {
       e.filter(col("vec_id") >= split), "vec_id", "v")
     val appended = s.read.parquet(s"$path/nodes")
       .select(col("part"), col("id"), col("vec"), col("nbrs"))
-    val rebuilt = s.read.parquet(s"${graphIndexPath(s, dir)}/nodes")
+    val rebuilt = s.read.parquet(s"${graphRebuildPath(s, dir)}/nodes")
       .select(col("part"), col("id"), col("vec"), col("nbrs"))
     require(appended.exceptAll(rebuilt).isEmpty &&
         rebuilt.exceptAll(appended).isEmpty,
-      "q97: appended graph index must equal the full rebuild bit for bit")
+      "q97: appended graph index must equal the same-routing full rebuild bit for bit")
     graft.search.GraphAnn.searchIndex(s, path, "vec_id",
       e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10, graphEf)
       .orderBy("rank")
@@ -675,8 +791,9 @@ object RetrievalQueries {
     * inside `foreachBatch`. Because every batch's ids exceed all ids
     * already indexed, the multi-batch suffix insertion composes (the
     * PropertiesSpec identity, applied 4 times) and the drained index
-    * must equal the `_build_graph_ann` full rebuild BIT FOR BIT —
-    * the require() makes that part of the gate; a mis-ordered batch
+    * must equal [[graphRebuildPath]] — the full-corpus rebuild under
+    * the same 80%-trained routing table — BIT FOR BIT; the
+    * require() makes that part of the gate; a mis-ordered batch
     * would fail appendToIndex's monotonic-id contract loudly rather
     * than building a silently different graph. Rows-only (graph
     * construction is not SQL-expressible). */
@@ -711,11 +828,11 @@ object RetrievalQueries {
         batch.select(col("vec_id"), col("v")), "vec_id", "v"))
     val grown = s.read.parquet(s"$path/nodes")
       .select(col("part"), col("id"), col("vec"), col("nbrs"))
-    val rebuilt = s.read.parquet(s"${graphIndexPath(s, dir)}/nodes")
+    val rebuilt = s.read.parquet(s"${graphRebuildPath(s, dir)}/nodes")
       .select(col("part"), col("id"), col("vec"), col("nbrs"))
     require(grown.exceptAll(rebuilt).isEmpty &&
         rebuilt.exceptAll(grown).isEmpty,
-      "q99: the streamed-in index must equal the full rebuild bit for bit")
+      "q99: the streamed-in index must equal the same-routing full rebuild bit for bit")
     graft.search.GraphAnn.searchIndex(s, path, "vec_id",
       e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10, graphEf)
       .orderBy("rank")
@@ -869,6 +986,14 @@ object RetrievalQueries {
       recallRow(graft.search.IVF.ivfMultiTopKAssigned(assigned, cents,
         "vec_id", "v", qs, "qid", "qv", recallK, nprobe),
         "ivf", s"k=$ivfK nprobe=$nprobe")
+    // the PQ dials — subspace count m (compression: dim/m floats of
+    // code per vector) and codebook size K (cell resolution) — probed
+    // over the shared memoized codebooks, so all FOUR ANN paths (lsh
+    // / ivf / pq here, graph in q95) surface their knob→recall trade
+    // as recorded data
+    def pqRow(cb: DataFrame, m: Int, kk: Int): DataFrame =
+      recallRow(graft.search.PQ.adcMultiTopK(e, "vec_id", "v", cb,
+        qs, "qid", "qv", recallK, m, embDim), "pq", s"m=$m k=$kk")
     Seq(
       recallRow(Search.lshMultiTopK(e, "vec_id", "v", qs, "qid", "qv",
         recallK, annBits, embDim, hamming1 = false), "lsh", s"bits=$annBits probes=1"),
@@ -877,13 +1002,50 @@ object RetrievalQueries {
       ivfRow(1), ivfRow(2), ivfRow(4),
       recallRow(graft.search.IVF.ivfMultiTopKAssigned(assignedR, centsR,
         "vec_id", "v", qs, "qid", "qv", recallK, ivfProbe),
-        "ivf", s"k=$ivfK nprobe=$ivfProbe refine=$refineIters"))
+        "ivf", s"k=$ivfK nprobe=$ivfProbe refine=$refineIters"),
+      pqRow(pqCodebook(s, dir), pqM, pqK),
+      pqRow(pqCodebook(s, dir), 4, pqK),
+      pqRow(pqCodebook64(s, dir), pqM, 64))
       .reduce(_ union _)
       .orderBy("method", "knob")
   }
 
   val q48Sql: String = {
     val bucket = bucketSql(annBits)
+    // per-(m, K) PQ replay (the q59Sql quantize/reconstruct CTEs cut
+    // from the shared `ordc` LCG ordering), one candidate CTE per knob
+    def pqKnob(tag: String, m: Int, kk: Int): String = {
+      val sub = embDim / m
+      s"""cb$tag AS (SELECT cid, cvec FROM ordc WHERE cid < $kk),
+       sp$tag AS (SELECT UNNEST(generate_series(0, ${m - 1})) AS m),
+       d$tag AS (SELECT e.vec_id, sp.m, c.cid,
+               c.cvec[sp.m * $sub + 1 : sp.m * $sub + $sub] AS cm,
+               list_dot_product(c.cvec[sp.m * $sub + 1 : sp.m * $sub + $sub],
+                                c.cvec[sp.m * $sub + 1 : sp.m * $sub + $sub])
+                 - 2 * list_dot_product(e.v[sp.m * $sub + 1 : sp.m * $sub + $sub],
+                                        c.cvec[sp.m * $sub + 1 : sp.m * $sub + $sub]) AS dist
+             FROM e, sp$tag sp, cb$tag c),
+       b$tag AS (SELECT vec_id, m, cm FROM (
+               SELECT vec_id, m, cm,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS r
+               FROM d$tag) WHERE r = 1),
+       x$tag AS (SELECT vec_id, flatten(list(cm ORDER BY m)) AS xhat FROM b$tag GROUP BY vec_id),
+       pqk$tag AS (SELECT qid, vec_id FROM (
+           SELECT q.qid, x.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(q.qv, x.xhat) DESC, x.vec_id) AS r
+           FROM x$tag x, q) WHERE r <= $recallK)"""
+    }
+    val pqCtes = Seq(pqKnob("p1", pqM, pqK), pqKnob("p2", 4, pqK),
+      pqKnob("p3", pqM, 64)).mkString(",\n       ")
+    val pqRows =
+      s"""         UNION ALL SELECT 'pq', 'm=$pqM k=$pqK',
+           ROUND(COUNT(*) / PQDENOM, 4) FROM ex JOIN pqkp1 USING (qid, vec_id)
+         UNION ALL SELECT 'pq', 'm=4 k=$pqK',
+           ROUND(COUNT(*) / PQDENOM, 4) FROM ex JOIN pqkp2 USING (qid, vec_id)
+         UNION ALL SELECT 'pq', 'm=$pqM k=64',
+           ROUND(COUNT(*) / PQDENOM, 4) FROM ex JOIN pqkp3 USING (qid, vec_id)"""
+        .replace("PQDENOM", s"${recallNq * recallK}.0")
     val hProbes = (0 until annBits)
       .map(b => s"UNION ALL SELECT qid, qv, xor(qb, ${1L << b}) AS pb FROM qb")
       .mkString("\n            ")
@@ -967,7 +1129,11 @@ object RetrievalQueries {
              ROW_NUMBER() OVER (PARTITION BY p.qid
                ORDER BY list_dot_product(a.v, p.qv) DESC, a.vec_id) AS r2
            FROM ar a JOIN (SELECT * FROM pqr WHERE r <= $ivfProbe) p ON a.cid = p.cid)
-           WHERE r2 <= $recallK)
+           WHERE r2 <= $recallK),
+       ordc AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e),
+$pqCtes
        SELECT method, knob, recall FROM (
          SELECT 'lsh' AS method, 'bits=$annBits probes=1' AS knob,
            ROUND(COUNT(*) / $denom, 4) AS recall FROM ex JOIN lsh1 USING (qid, vec_id)
@@ -980,7 +1146,8 @@ object RetrievalQueries {
          UNION ALL SELECT 'ivf', 'k=$ivfK nprobe=4',
            ROUND(COUNT(*) / $denom, 4) FROM ex JOIN ivf4 USING (qid, vec_id)
          UNION ALL SELECT 'ivf', 'k=$ivfK nprobe=$ivfProbe refine=$refineIters',
-           ROUND(COUNT(*) / $denom, 4) FROM ex JOIN ivfr USING (qid, vec_id))
+           ROUND(COUNT(*) / $denom, 4) FROM ex JOIN ivfr USING (qid, vec_id)
+$pqRows)
        ORDER BY method, knob"""
   }
 
@@ -1639,21 +1806,25 @@ object RetrievalQueries {
     * but IS oracle-checked since round 6: the loop replays as a
     * recursive CTE ([[mmrSelSql]]) because the engines' normalize/dot
     * chains are bit-identical. */
-  def q42Mmr(s: SparkSession, dir: String): DataFrame = {
-    implicit val spark: SparkSession = s
+  /** q42's candidate generation, exchange-free: scan → broadcast the
+    * one query row → TakeOrderedAndProject keeps the global top-50
+    * with per-partition heaps, no corpus shuffle (PlanSpec pins this
+    * frame's plan — the declared q42 output is the driver-side MMR
+    * selection, a local table whose plan says nothing). */
+  private[graft] def q42Candidates(s: SparkSession, dir: String): DataFrame = {
     val base = emb(s, dir)
-    // query row comes straight off the scan — routing it through the
-    // repartition exchange would recompute the whole-corpus shuffle
-    // just to keep one row
     val q = base.filter(col("vec_id") === 0)
       .select(l2normalize(col("v")).as("qv"))
-    val e = base.repartition(col("vec_id"))
-      .select(col("vec_id"), l2normalize(col("v")).as("nv"))
-    val cands = e.crossJoin(broadcast(q))
+    base.select(col("vec_id"), l2normalize(col("v")).as("nv"))
+      .crossJoin(broadcast(q))
       .select(col("vec_id"), col("nv"), dot(col("nv"), col("qv")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(50)
-    Hybrid.mmrRerank(cands, "vec_id", "nv", "sim", 10, 0.7)
+  }
+
+  def q42Mmr(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    Hybrid.mmrRerank(q42Candidates(s, dir), "vec_id", "nv", "sim", 10, 0.7)
       .orderBy("rank")
   }
 
@@ -1692,6 +1863,95 @@ object RetrievalQueries {
       .orderBy("qid", "rank")
   }
 
+  /** The at-rest LABELED IVF index over the train slice
+    * (vec_id % 10 ≠ 0): [[graft.search.IVF.assign]] passes payload
+    * columns through, so the label rides each inverted list and
+    * serving-time exclusion predicates run INSIDE the
+    * partition-pruned list scan. Built once per (session,
+    * dir-content), charged to `_build_ivf_labeled`. */
+  private def ivfLabeledPath(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "ivf_lbl") {
+      val p = PipelineQueries.roundtripPath(dir, "ivf_lbl")
+      val train = graft.sources.Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val cents = graft.search.IVF.centroids(train, "vec_id", "v", ivfK)
+      graft.search.IVF.writeIndexFrom(cents,
+        graft.search.IVF.assign(train, "vec_id", "v", cents), p)
+      p
+    }
+
+  /** q107 COMPOSED WITH THE ANN CANDIDATE PATH — hard negatives
+    * served from the at-rest labeled IVF index instead of the exact
+    * corpus scan: each query ranks the standing centroids and keeps
+    * its `nprobe` best lists (over the persisted index: partition
+    * pruning — a query reads its probed list directories off disk,
+    * never the rest of the corpus), the positive-exclusion predicate
+    * `label ≠ qlabel` runs between candidate generation and the
+    * bounded heap exactly as q107's doc promises — INSIDE the pruned
+    * list scan, since the label column rides the lists — and
+    * per-query top-k flows through `TopKByScore`, so the exchange
+    * stays O(queries × k). The oracle replays the whole composition
+    * (train-slice LCG centroids, assignment, probes, label-excluded
+    * rank), so the approximation is pinned deterministically, not
+    * waved at. */
+  def q110HardNegativesAnn(s: SparkSession, dir: String): DataFrame = {
+    val path = ivfLabeledPath(s, dir)
+    val cents = s.read.parquet(s"$path/centroids")
+    val queries = graft.sources.Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") % 10 === 0 && col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("label").cast("long").as("qlabel"),
+        col("embedding").cast("array<double>").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("__cs").desc, col("cid").asc)
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("__cs", dot(col("qv"), col("cvec")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= ivfProbe)
+      .select(col("qid"), col("qlabel"), col("qv"), col("cid"))
+    s.read.parquet(graft.search.IVF.listsPath(path))
+      .join(broadcast(probes), "cid") // partition-pruned list scan
+      .filter(col("label") =!= col("qlabel")) // exclusion rides the scan
+      .select(col("qid"), col("vec_id"), dot(col("v"), col("qv")).as("score"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graftnative.TopKAggregate
+        .topK(col("vec_id").cast("long"), col("score"), 10).as("__tk"))
+      .select(col("qid"), explode(col("__tk")).as("__e"))
+      .select(col("qid"), col("__e.id").as("vec_id"), col("__e.rank").as("rank"),
+        round(col("__e.score"), 6).as("score"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The straight-line replay of the labeled-index composition:
+    * train-slice LCG centroid sample, full assignment, per-query
+    * probe ranking, label-excluded scoring, per-query rank. */
+  val q110Sql: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       t AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM t) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, label, v, cid FROM (
+           SELECT t.vec_id, t.label, t.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY t.vec_id
+               ORDER BY list_dot_product(t.v, c.cvec) DESC, c.cid) AS r
+           FROM t, c) WHERE r = 1),
+       q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+             FROM e WHERE vec_id % 10 = 0 AND vec_id < 50),
+       pr AS (SELECT qid, qlabel, qv, cid FROM (
+           SELECT q.qid, q.qlabel, q.qv, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       sc AS (SELECT pr.qid, a.vec_id, list_dot_product(a.v, pr.qv) AS sc
+              FROM a JOIN pr ON a.cid = pr.cid AND a.label <> pr.qlabel),
+       r AS (SELECT qid, vec_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+               ROUND(sc, 6) AS score FROM sc)
+       SELECT qid, vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY qid, rank"""
+
   val q107Sql: String =
     """WITH q AS (SELECT vec_id AS qid, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qv
                   FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 50),
@@ -1717,7 +1977,9 @@ object RetrievalQueries {
     "_build_eval_metrics" -> ((s, dir) => { q40Materialized(s, dir).count(); () }),
     "_build_rag_candidates" -> ((s, dir) => { q55RagCandidates(s, dir).count(); () }),
     "_build_spectral" -> ((s, dir) => { spectralArtifacts(s, dir).count(); () }),
-    "_build_graph_ann" -> ((s, dir) => { graphIndexPath(s, dir); () }))
+    "_build_graph_ann" -> ((s, dir) => { graphIndexPath(s, dir); () }),
+    "_build_ivf_labeled" -> ((s, dir) => { ivfLabeledPath(s, dir); () }),
+    "_build_graph_rebuild80" -> ((s, dir) => { graphRebuildPath(s, dir); () }))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_ingest_clean" -> (q07IngestClean _),
@@ -1745,13 +2007,15 @@ object RetrievalQueries {
     "q81_ivf_pq" -> (q81IvfPq _),
     "q84_ivf_append" -> (q84IvfAppend _),
     "q96_ivf_refresh" -> (q96IvfRefresh _),
+    "q109_ivf_compact" -> (q109IvfCompact _),
     "q86_graph_ann" -> (q86GraphAnn _),
     "q95_graph_recall" -> (q95GraphRecall _),
     "q97_graph_append" -> (q97GraphAppend _),
     "q99_stream_index" -> (q99StreamIndex _),
     "q89_embedding_pc" -> (q89EmbeddingPc _),
     "q94_all_but_top" -> (q94AllButTop _),
-    "q107_hard_negatives" -> (q107HardNegatives _))
+    "q107_hard_negatives" -> (q107HardNegatives _),
+    "q110_hard_negatives_ann" -> (q110HardNegativesAnn _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
@@ -1779,7 +2043,9 @@ object RetrievalQueries {
     "q81_ivf_pq" -> q81Sql,
     "q84_ivf_append" -> q84Sql,
     "q96_ivf_refresh" -> q96Sql,
+    "q109_ivf_compact" -> q109Sql,
     "q89_embedding_pc" -> q89Sql,
     "q94_all_but_top" -> q94Sql,
-    "q107_hard_negatives" -> q107Sql)
+    "q107_hard_negatives" -> q107Sql,
+    "q110_hard_negatives_ann" -> q110Sql)
 }

@@ -105,10 +105,27 @@ object ScaleProbe {
       "q105_semantic_decon", "q106_substring_dedup_apply",
       "q107_hard_negatives", "q108_budget_allocation")
     val probeQs = if (args.length > 1) args.drop(1).toSeq else defaults
-    probeQs.foreach { q =>
-      val a = time("1x", src, q)
-      val b = time(s"${k}x", dst, q)
-      println(f"SCALE RATIO $q ${b / a}%.2f (data ${k}x)")
+    probeQs.foreach {
+      // vocab-axis probe for the BPE trainer (not a declared query):
+      // rounds drive cost, corpus size must not — time 64 merge
+      // rounds at both corpus sizes and compare against the q103 row
+      // (16 rounds) to separate the two exponents
+      case "bpe64" =>
+        def timeBpe(label: String, dir: String): Double = {
+          val d = graft.sources.Tables.load(spark, dir, "documents")
+          val t0 = System.nanoTime()
+          val n = graft.text.Bpe.train(d, "text", 64).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"SCALE $label bpe64 rows=$n ${dt}%.2fs")
+          dt
+        }
+        val a = timeBpe("1x", src)
+        val b = timeBpe(s"${k}x", dst)
+        println(f"SCALE RATIO bpe64 ${b / a}%.2f (data ${k}x)")
+      case q =>
+        val a = time("1x", src, q)
+        val b = time(s"${k}x", dst, q)
+        println(f"SCALE RATIO $q ${b / a}%.2f (data ${k}x)")
     }
   }
 }

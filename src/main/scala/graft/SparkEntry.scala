@@ -147,9 +147,16 @@ object Queries {
 
   private def events(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
-    if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else e
+    e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // naive parquet micros arrive as TIMESTAMP_NTZ under Spark 4's
+        // NTZ inference; the session runs in UTC, so the cast to the
+        // instant type is exact and unix_micros/watermarks work again
+        e.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => e
+    }
   }
 
   /** JSON scalar extraction over events (`props` is a JSON string) +

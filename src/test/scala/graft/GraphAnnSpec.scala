@@ -126,11 +126,15 @@ class GraphAnnSpec extends SparkSpec {
     val rows = RetrievalQueries.q95GraphRecall(spark, sf0001)
       .select("method", "knob", "recall")
       .as[(String, String, Double)].collect().toSeq
-    assert(rows.size == 3 && rows.forall(_._1 == "graph"))
+    assert(rows.size == 6 && rows.forall(_._1 == "graph"))
     rows.foreach { case (_, knob, r) =>
       assert(r > 0.0 && r <= 1.0, s"recall $r out of range at $knob") }
-    val ef48 = rows.find(_._2.endsWith("ef=48")).get._3
-    assert(ef48 >= 0.9, s"ef=48 recall $ef48 below the 0.9 floor")
+    // full-probe ef=48 pins the beam-width floor; the q86 serving
+    // config (probe=parts/2) pins the routed floor
+    val ef48 = rows.find(_._2.contains("ef=48 probe=8")).get._3
+    assert(ef48 >= 0.9, s"ef=48 full-probe recall $ef48 below the 0.9 floor")
+    val routed = rows.find(_._2.contains("ef=48 probe=4")).get._3
+    assert(routed >= 0.9, s"probe=4 routed recall $routed below the 0.9 floor")
   }
 
   test("landmark entry descent: no recall loss vs entry-0 (hierarchical entry A/B)") {
@@ -157,7 +161,7 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
-  test("appendToIndex with growing ids equals a from-scratch rebuild bit for bit") {
+  test("appendToIndex with growing ids equals a same-routing rebuild bit for bit") {
     val n = emb.count()
     val split = 4L * n / 5L
     val pathA = java.nio.file.Files.createTempDirectory("graphann_append").toString
@@ -165,8 +169,13 @@ class GraphAnnSpec extends SparkSpec {
       m = 8, efC = 48, parts = 4, pathA)
     GraphAnn.appendToIndex(spark, pathA,
       emb.filter(col("vec_id") >= split), "vec_id", "v")
+    // the rebuild target shares the appended index's routing (the
+    // quantizer is fixed at deployment; IVF q84's same-centroids
+    // contract) — a rebuild that re-trained routing on the union
+    // corpus would be a different, also-valid index
     val pathB = java.nio.file.Files.createTempDirectory("graphann_rebuild").toString
-    GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, pathB)
+    GraphAnn.writeIndexWith(spark.read.parquet(s"$pathA/routing"),
+      emb, "vec_id", "v", m = 8, efC = 48, pathB)
     def nodes(p: String) = spark.read.parquet(s"$p/nodes")
       .select(col("part").cast("int"), col("id"), col("vec"), col("nbrs"))
       .as[(Int, Long, Seq[Double], Seq[Long])].collect().toSeq.sortBy(_._2)
@@ -186,11 +195,18 @@ class GraphAnnSpec extends SparkSpec {
     val path = java.nio.file.Files.createTempDirectory("graphann_touch").toString
     GraphAnn.writeIndex(emb.filter(col("vec_id") < split), "vec_id", "v",
       m = 8, efC = 48, parts = 4, path)
-    // pick ONE delta row; only its id-hash part may be rewritten
+    // pick ONE delta row; only its TWO routed content cells (the
+    // replicated assignment) may be rewritten
     val one = emb.filter(col("vec_id") === split)
-    val deltaPart = one
-      .select(pmod(hash(col("vec_id").cast("long")), lit(4)).cast("int"))
-      .as[Int].head()
+    val cells = spark.read.parquet(s"$path/routing")
+      .select(col("part").cast("int"), col("rvec").cast("array<double>"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    val qv = one.select(col("v").cast("array<double>"))
+      .as[Seq[Double]].head().toArray
+    val deltaParts = cells
+      .map { case (p, rv) => (p, rv.zip(qv).map(t => t._1 * t._2).sum) }
+      .sortBy { case (p, s) => (-s, p) }.take(2).map(_._1)
+      .map(p => s"part=$p").toSet
     def fileSig(): Map[String, Set[String]] =
       new java.io.File(s"$path/nodes").listFiles().toSeq
         .filter(_.getName.startsWith("part="))
@@ -200,10 +216,10 @@ class GraphAnnSpec extends SparkSpec {
     val before = fileSig()
     GraphAnn.appendToIndex(spark, path, one, "vec_id", "v")
     val after = fileSig()
-    before.keys.filterNot(_ == s"part=$deltaPart").foreach { p =>
+    before.keys.filterNot(deltaParts.contains).foreach { p =>
       assert(after(p) == before(p), s"untouched $p was rewritten") }
-    assert(after(s"part=$deltaPart") != before(s"part=$deltaPart"),
-      "the delta's own part was not rewritten")
+    deltaParts.foreach(p => assert(after(p) != before(p),
+      s"the delta's own $p was not rewritten"))
     // the touched-parts-only meta update must still equal a recount
     val metaCounts = spark.read.parquet(s"$path/meta")
       .select(col("part").cast("int"), col("n").cast("long"))
@@ -220,16 +236,42 @@ class GraphAnnSpec extends SparkSpec {
         emb.filter(col("vec_id") === 0), "vec_id", "v"))
   }
 
-  test("q99 streamed-in index serves the same answers as the built-at-once index (q86)") {
-    // the in-query require already pins node-table equality vs the
-    // full rebuild; this pins the user-visible consequence — the
-    // served top-k is identical to q86's, which reads the index that
-    // was built in one shot
+  test("q99 streamed ingest serves the same answers as q97's batch append") {
+    // the in-query requires already pin node-table equality vs the
+    // same-routing full rebuild; this pins the user-visible
+    // consequence — streamed micro-batch ingest and one batch append
+    // reach byte-identical index STATE, so the served top-k agrees
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("vec_id", "rank", "score")
         .as[(Long, Long, Double)].collect().toSeq.sortBy(_._2)
     assert(rows(RetrievalQueries.q99StreamIndex(spark, sf0001)) ==
-      rows(RetrievalQueries.q86GraphAnn(spark, sf0001)))
+      rows(RetrievalQueries.q97GraphAppend(spark, sf0001)))
+  }
+
+  test("routed serving: top-P probe prunes the nodes scan and holds the recall floor") {
+    val path = java.nio.file.Files.createTempDirectory("graphann_route").toString
+    GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 8, path)
+    val queries = (0L until 5L)
+    val exact = queries.map { q =>
+      q -> Search.topK(emb, "vec_id", "v", query(q), "qv", 10)
+        .select("vec_id").as[Long].collect().toSet
+    }.toMap
+    def recallAt(probe: Int): Double = queries.map { q =>
+      GraphAnn.searchIndex(spark, path, "vec_id", query(q), "qv", 10,
+          ef = 48, probeParts = probe)
+        .select("vec_id").as[Long].collect().count(exact(q).contains)
+    }.sum.toDouble / (queries.size * 10)
+    // the q86 serving config: probe = parts/2 of the 2×-replicated cells
+    val r4 = recallAt(4)
+    assert(r4 >= 0.9, s"probe=4/8 recall $r4 below the 0.9 serving floor")
+    // more cells probed can only add candidates (monotone dial)
+    assert(recallAt(6) >= r4)
+    // and the probe is a genuine partition filter on the nodes scan
+    val plan = GraphAnn.searchIndex(spark, path, "vec_id", query(0), "qv", 10,
+        ef = 48, probeParts = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("part#"),
+      s"expected partition pruning on part:\n$plan")
   }
 
   test("graphTopK rejects bad knobs and non-integral ids") {

@@ -44,6 +44,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("q42: candidate generation is exchange-free — scan, broadcast query, heap top-50") {
+    // the declared q42 output is the driver-side MMR selection (a
+    // local table); the scale-critical plan is the candidate frame's
+    val p = RetrievalQueries.q42Candidates(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected a bounded-heap top-k:\n$p")
+    // the only allowed exchange is the one-row query broadcast; a
+    // corpus repartition ahead of the broadcast join is pure cost
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q42 must not shuffle the corpus:\n$p")
+  }
+
   test("IVF assign is a pure projection over the corpus: no window, no sort-agg, no corpus shuffle") {
     import graft.search.IVF
     import org.apache.spark.sql.functions._

@@ -105,6 +105,16 @@ class SearchSpec extends SparkSpec {
     assert(lsh1 >= 0.25, s"lsh single-probe recall $lsh1")
     assert(lshH >= 0.50, s"lsh multi-probe recall $lshH")
     assert(ivf4 >= 0.70, s"ivf nprobe=4 recall $ivf4")
+    // the PQ dials (round 9): more subspaces = finer reconstruction,
+    // bigger codebook = finer cells (measured 0.30/0.32/0.44 — the
+    // i.i.d. embeddings are PQ's worst case, so these are
+    // non-degeneracy bars, not production targets)
+    val pq46 = rec(("pq", "m=4 k=16"))
+    val pq86 = rec(("pq", "m=8 k=16"))
+    val pq864 = rec(("pq", "m=8 k=64"))
+    assert(pq86 >= pq46, s"subspace dial inverted: m=8 $pq86 < m=4 $pq46")
+    assert(pq864 >= pq86, s"codebook dial inverted: k=64 $pq864 < k=16 $pq86")
+    assert(pq46 >= 0.2, s"pq m=4 k=16 recall $pq46 degenerate")
     // probing every list IS the exact scan
     val qs = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -177,7 +187,7 @@ class SearchSpec extends SparkSpec {
         .as[(Long, Long, Double)].collect().toSeq
     assert(search(appended) == search(rebuilt))
     // appended rows really landed in the lists (union cardinality)
-    assert(spark.read.parquet(s"$appended/lists").count() == emb.count())
+    assert(spark.read.parquet(IVF.listsPath(appended)).count() == emb.count())
   }
 
   test("IVF compaction: one file per list, identical search answers") {
@@ -200,7 +210,7 @@ class SearchSpec extends SparkSpec {
     assert(counts.nonEmpty && counts.values.forall(_ == 1),
       s"expected one file per list after compaction, got $counts")
     assert(search() == before, "compaction changed search answers")
-    assert(spark.read.parquet(s"$path/lists").count() == emb.count())
+    assert(spark.read.parquet(IVF.listsPath(path)).count() == emb.count())
   }
 
   test("IVF listSizes/needsRefine expose list balance of a persisted index") {

@@ -163,9 +163,17 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       dir.resolve("events.parquet"))
-    val schema = spark.read.parquet(path).schema // ts arrives as nanos long
+    val schema = spark.read.parquet(path).schema
+    // ts arrives as a nanos long (nanosAsLong) or TIMESTAMP_NTZ (naive
+    // micros) depending on the file — restore as SparkEntry.events does
     val restoreTs = (df: org.apache.spark.sql.DataFrame) =>
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     val stream = Streaming.windowedCounts(
       restoreTs(spark.readStream.schema(schema).parquet(path)), "6 hours")
     val q = stream.writeStream.format("memory").queryName("file_win")
