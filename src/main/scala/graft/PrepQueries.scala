@@ -768,8 +768,11 @@ object PrepQueries {
       .orderBy("source")
   }
 
-  val q108Sql: String =
-    s"""WITH per AS (SELECT source,
+  /** q108's allocation CTE chain ending in `alloc(source, n_tokens,
+    * alloc_tokens, capped)` — shared verbatim by q108 and q113's
+    * replay. */
+  private val allocCtesSql: String =
+    s"""per AS (SELECT source,
            CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS n
          FROM documents GROUP BY source),
        st AS (SELECT SUM(n) AS total, COUNT(*) AS m FROM per),
@@ -789,14 +792,213 @@ object PrepQueries {
            cap.capfloor, cap.rem
          FROM rk LEFT JOIN cap ON TRUE),
        rn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY capped ORDER BY source) AS crn
-         FROM al)
-       SELECT source, n AS n_tokens,
+         FROM al),
+       alloc AS (SELECT source, n AS n_tokens,
          CAST(CASE WHEN NOT capped THEN n
            ELSE capfloor + CASE WHEN crn <= rem THEN 1 ELSE 0 END END AS BIGINT) AS alloc_tokens,
          capped
-       FROM rn ORDER BY source"""
+       FROM rn)"""
 
-  // ---------- q101: DSIR-style importance weights ----------
+  val q108Sql: String =
+    s"""WITH $allocCtesSql
+       SELECT source, n_tokens, alloc_tokens, capped FROM alloc ORDER BY source"""
+
+  /** q108's chain + the hash-sampling draw: per-source manifest of
+    * target allocation vs tokens actually drawn. */
+  val q113Sql: String =
+    s"""WITH $allocCtesSql,
+       dt AS (SELECT source, doc_id,
+           CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS t
+         FROM documents),
+       kept AS (SELECT dt.source, alloc_tokens, dt.t
+         FROM dt JOIN alloc USING (source)
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2, 8))::BIGINT % 1000000
+               < FLOOR(alloc_tokens * 1000000 / n_tokens))
+       SELECT source, alloc_tokens, COUNT(*) AS n_docs_kept,
+         CAST(SUM(t) AS BIGINT) AS n_tokens_kept
+       FROM kept GROUP BY source, alloc_tokens ORDER BY source"""
+
+  // ---------- q112: CCNet-style perplexity quality filter ----------
+
+
+  /** Each document's word bigrams with their one-token history:
+    * (doc_id, h = w_k, s = "w_k w_k+1"), the unit both the LM counts
+    * and the scoring join key on. */
+  private def docBigrams(d: DataFrame): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    d.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          k => struct(element_at(col("toks"), k).as("h"),
+            concat_ws(" ", element_at(col("toks"), k),
+              element_at(col("toks"), k + 1)).as("s")))).as("bg"))
+      .select(col("doc_id"), col("bg.h").as("h"), col("bg.s").as("s"))
+  }
+
+  /** CCNet-style perplexity quality filter (Wenzek et al., 2020:
+    * score every document under a language model trained on a
+    * CURATED reference corpus; low-probability documents are
+    * candidate junk — the head/middle/tail cut every large-scale
+    * web-corpus pipeline runs). The LM is the relational stand-in a
+    * 100 TB pipeline trains in one pass: an add-one-smoothed word
+    * BIGRAM model over the curated slice (sources src0/src1 here;
+    * KenLM's 5-gram would be the same two aggregates at n = 5).
+    * P(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V), and unseen pairs /
+    * histories fall out of the SAME formula through the null-to-zero
+    * coalesce (history unseen → uniform 1/V floor). Scoring is ONE
+    * corpus scan: explode bigrams, two broadcast joins against the
+    * model tables (bounded by the REFERENCE vocabulary, never
+    * corpus-sized), per-doc mean log-prob through one aggregate.
+    * Output: (doc_id, n_bigrams, mean_logp, flagged). */
+  def q112PerplexityFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val curated = d.filter(col("source").isin("src0", "src1"))
+    val ref = docBigrams(curated)
+    val pair = ref.groupBy("s").agg(count(lit(1)).as("c"))
+    val hist = ref.groupBy("h").agg(count(lit(1)).as("c1"))
+    val vocab = curated
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    docBigrams(d.filter(col("doc_id") < 200))
+      .join(broadcast(pair), Seq("s"), "left")
+      .join(broadcast(hist), Seq("h"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((coalesce(col("c"), lit(0L)).cast("double") + 1.0) /
+            (coalesce(col("c1"), lit(0L)).cast("double") +
+              col("v").cast("double"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")) / count(lit(1)), 6).as("mean_logp"))
+      // CCNet's head/middle/tail cut: terciles of the score over the
+      // scored slice (ties broken by doc_id so both engines agree).
+      // At 100 TB the cuts come from a quantile sketch over the
+      // corpus, not a global window — the window here ranks the
+      // bounded declared slice only.
+      .withColumn("ppl_bucket",
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          ntile(3).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("mean_logp").desc, col("doc_id").asc))))
+      .orderBy("doc_id")
+  }
+
+  val q112Sql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+           string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       g AS (SELECT doc_id, source,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+             k -> {'h': toks[k], 's': toks[k] || ' ' || toks[k + 1]}),
+             recursive := true)
+         FROM t WHERE len(toks) >= 2),
+       pair AS (SELECT s, COUNT(*) AS c FROM g
+         WHERE source IN ('src0', 'src1') GROUP BY s),
+       hist AS (SELECT h, COUNT(*) AS c1 FROM g
+         WHERE source IN ('src0', 'src1') GROUP BY h),
+       voc AS (SELECT COUNT(DISTINCT tok) AS v FROM (
+           SELECT unnest(toks) AS tok FROM t WHERE source IN ('src0', 'src1'))),
+       sc AS (SELECT doc_id,
+           ln((COALESCE(c, 0) + 1.0) / (COALESCE(c1, 0) + CAST(v AS DOUBLE))) AS lp
+         FROM g LEFT JOIN pair USING (s) LEFT JOIN hist USING (h), voc
+         WHERE doc_id < 200),
+       agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(SUM(lp) / COUNT(*), 6) AS mean_logp
+         FROM sc GROUP BY doc_id)
+       SELECT doc_id, n_bigrams, mean_logp,
+         ['head', 'middle', 'tail'][NTILE(3) OVER (ORDER BY mean_logp DESC, doc_id)] AS ppl_bucket
+       FROM agg ORDER BY doc_id"""
+
+  // ---------- q113: mixture materialization ----------
+
+  /** MATERIALIZE the q108 token-budget allocation: q108 decides how
+    * many tokens each source CONTRIBUTES (water-filling under a
+    * budget); this query actually draws the mixture — per-source
+    * deterministic hash sampling at rate alloc/n, the one-scan,
+    * shuffle-free way to realize a mixture at 100 TB (no sort, no
+    * per-source limit(); every doc decides its own membership from
+    * its hash). A doc is kept iff md5(doc_id)[2:10] % 1e6 <
+    * ⌊alloc·1e6 / n⌋ (a DIFFERENT hash window than q80's split
+    * bucket, so mixture membership and split assignment stay
+    * independent), so each source's kept-token EXPECTATION is its
+    * allocation; output reports target vs drawn per source — the
+    * mixture-manifest table a training run consumes. */
+  def q113MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val alloc = q108BudgetAllocation(s, dir)
+      .select(col("source"), col("n_tokens"), col("alloc_tokens"))
+    docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(Dedup.tokenize(col("text"))).cast("long").as("t"))
+      .join(broadcast(alloc), "source")
+      .filter(md5Slice(col("doc_id"), 2) % 1000000L <
+        floor(col("alloc_tokens") * lit(1000000L) / col("n_tokens")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("t")).as("n_tokens_kept"))
+      .join(broadcast(alloc), "source")
+      .select(col("source"), col("alloc_tokens"), col("n_docs_kept"),
+        col("n_tokens_kept"))
+      .orderBy("source")
+  }
+
+  // ---------- q115: leakage-free split (dedup-aware) ----------
+
+  /** LEAKAGE-FREE train/val/test split — q80's hash split keyed on
+    * the near-dup CLUSTER instead of the document: two near-duplicate
+    * documents must never straddle a split boundary (a q80-style
+    * per-doc hash puts a train doc's near-copy in test — the classic
+    * contamination leak), so the split key is the doc's q68 component
+    * id (min reachable doc through the verified MinHash pair graph;
+    * singletons are their own component). The require() makes the
+    * no-straddle property part of the gate: every component maps to
+    * exactly one split BY CONSTRUCTION (same key → same hash), and
+    * the check fails loudly if the wiring ever breaks. At 100 TB the
+    * component table is the dedup pipeline's existing artifact; the
+    * split is one join + a pure hash projection. Oracle: q68's
+    * recursive-CTE closure + q80's bucket rule on the component
+    * key. */
+  def q115LeakFreeSplit(s: SparkSession, dir: String): DataFrame = {
+    val comp = graft.operators.ConnectedComponents.components(
+      CurationQueries.nearDupPairs(s, dir)
+        .filter(col("jaccard") >= CurationQueries.nearDupTau), "id1", "id2")
+      .select(col("v").as("doc_id"), col("component"))
+    val keyed = docs(s, dir)
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("component"), col("doc_id")).as("ck"))
+    val bucket = md5Slice(col("ck"), 1) % 100
+    val split = keyed
+      .select(col("doc_id"), col("lang"), col("ck"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+    // the no-straddle gate: every component lands in exactly one split
+    require(split.groupBy("ck")
+        .agg(count_distinct(col("split")).as("ns"))
+        .filter(col("ns") > 1).isEmpty,
+      "q115: a near-dup component straddles splits")
+    split.groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("split", "lang")
+  }
+
+  val q115Sql: String =
+    s"""WITH RECURSIVE ${CurationQueries.pairsCteSql},
+       e AS (SELECT id1 AS a, id2 AS b FROM pairs WHERE jaccard >= ${CurationQueries.nearDupTau}
+             UNION ALL
+             SELECT id2 AS a, id1 AS b FROM pairs WHERE jaccard >= ${CurationQueries.nearDupTau}),
+       nodes AS (SELECT DISTINCT a AS v FROM e),
+       r AS (SELECT v, v AS l FROM nodes
+             UNION
+             SELECT e.b AS v, r.l AS l FROM r JOIN e ON e.a = r.v),
+       comps AS (SELECT v AS doc_id, CAST(MIN(l) AS BIGINT) AS component FROM r GROUP BY v),
+       keyed AS (SELECT d.doc_id, d.lang,
+           COALESCE(c.component, d.doc_id) AS ck
+         FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id),
+       sp AS (SELECT lang,
+           CASE WHEN ('0x' || substr(md5(CAST(ck AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(ck AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM keyed)
+       SELECT split, lang, COUNT(*) AS n FROM sp
+       GROUP BY split, lang ORDER BY split, lang"""
 
   val dsirBuckets = 512
 
@@ -1024,7 +1226,10 @@ object PrepQueries {
     "q103_bpe_train" -> (q103BpeTrain _),
     "q104_bpe_encode" -> (q104BpeEncode _),
     "q106_substring_dedup_apply" -> (q106SubstringDedupApply _),
-    "q108_budget_allocation" -> (q108BudgetAllocation _))
+    "q108_budget_allocation" -> (q108BudgetAllocation _),
+    "q112_perplexity_filter" -> (q112PerplexityFilter _),
+    "q113_mixture_sample" -> (q113MixtureSample _),
+    "q115_leakfree_split" -> (q115LeakFreeSplit _))
 
   val oracle: Map[String, String] = Map(
     "q72_chunk_docs" -> q72Sql,
@@ -1042,5 +1247,8 @@ object PrepQueries {
     "q103_bpe_train" -> q103Sql,
     "q104_bpe_encode" -> q104Sql,
     "q106_substring_dedup_apply" -> q106Sql,
-    "q108_budget_allocation" -> q108Sql)
+    "q108_budget_allocation" -> q108Sql,
+    "q112_perplexity_filter" -> q112Sql,
+    "q113_mixture_sample" -> q113Sql,
+    "q115_leakfree_split" -> q115Sql)
 }

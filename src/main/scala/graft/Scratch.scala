@@ -15,6 +15,24 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // round 9: dump a named-query subset to parquet for a fast local
+    // oracle spot-check (tools/oracle_check.py on the partial dir)
+    if (args.contains("dumpsubset")) {
+      val out = "/tmp/verify_subset"
+      new java.io.File(out).mkdirs()
+      args.drop(2).filter(SparkEntry.queries.contains).foreach { name =>
+        SparkEntry.queries(name)(spark, dir).coalesce(1)
+          .write.mode("overwrite").parquet(s"$out/$name")
+        println(s"dumped $name")
+      }
+      def q(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+      val json = SparkEntry.oracleSql
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$out/oracle_sql.json"), json)
+      spark.stop(); return
+    }
     // one-off: how many micro-batches does the q61 drain split into
     // on a directory-shaped (32-part-file) staged source?
     if (args.contains("probe61batches")) {

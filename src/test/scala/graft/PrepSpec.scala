@@ -204,6 +204,68 @@ class PrepSpec extends SparkSpec {
     assert(w(0L)._2 > w(2L)._2)
   }
 
+  test("q112: tercile buckets are balanced and ordered by score") {
+    val rows = PrepQueries.q112PerplexityFilter(spark, sf0001)
+      .select("doc_id", "mean_logp", "ppl_bucket")
+      .as[(Long, Double, String)].collect().toSeq
+    val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // NTILE(3) balance: bucket sizes differ by at most 1
+    val sizes = byBucket.values.map(_.size)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced terciles: $byBucket")
+    // ordering: every head score >= every middle score >= every tail
+    assert(byBucket("head").min >= byBucket("middle").max)
+    assert(byBucket("middle").min >= byBucket("tail").max)
+    // scores are log-probs: strictly negative
+    assert(rows.forall(_._2 < 0.0))
+  }
+
+  test("q112: curated-slice docs score no worse than the corpus on average") {
+    // the LM is trained on src0/src1 — in-model docs must have higher
+    // mean log-prob than the rest on average, or the filter is noise
+    val scored = PrepQueries.q112PerplexityFilter(spark, sf0001)
+      .join(spark.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), col("source")), "doc_id")
+    val Seq((inModel, rest)) = scored
+      .agg(avg(when(col("source").isin("src0", "src1"), col("mean_logp"))),
+        avg(when(!col("source").isin("src0", "src1"), col("mean_logp"))))
+      .as[(Double, Double)].collect().toSeq
+    assert(inModel > rest,
+      s"curated slice $inModel not above out-of-model $rest")
+  }
+
+  test("q113: drawn tokens track the allocation and never exceed the source") {
+    val rows = PrepQueries.q113MixtureSample(spark, sf0001)
+      .select("source", "alloc_tokens", "n_tokens_kept")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val target = rows.map(_._2).sum.toDouble
+    val drawn = rows.map(_._3).sum.toDouble
+    // hash sampling is an expectation, not a quota: the corpus-wide
+    // draw must land near the budget (deterministic per dataset)
+    assert(drawn / target > 0.6 && drawn / target < 1.4,
+      s"drawn $drawn vs target $target out of band")
+  }
+
+  test("q115: split totals cover the corpus and no pair straddles splits") {
+    // the in-query require() already gates component-level agreement;
+    // this pins the user-visible consequences
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    val counts = PrepQueries.q115LeakFreeSplit(spark, sf0001)
+      .select("n").as[Long].collect().sum
+    assert(counts == n, s"split counts $counts do not cover $n docs")
+    // and a known near-dup pair really lands in one split
+    val pair = CurationQueries.nearDupPairs(spark, sf0001)
+      .filter(col("jaccard") >= CurationQueries.nearDupTau)
+      .select("id1", "id2").as[(Long, Long)].head()
+    val comp = graft.operators.ConnectedComponents.components(
+      CurationQueries.nearDupPairs(spark, sf0001)
+        .filter(col("jaccard") >= CurationQueries.nearDupTau), "id1", "id2")
+    val lbl = comp.filter(col("v").isin(pair._1, pair._2))
+      .select("component").distinct().count()
+    assert(lbl == 1L, s"pair $pair not in one component")
+  }
+
   test("q78 centroid eval on separable toy data reaches accuracy 1.0") {
     val e = Seq(
       (0L, 0, Seq(1.0f, 0.0f)), (1L, 0, Seq(0.9f, 0.1f)),
