@@ -673,15 +673,53 @@ object RetrievalQueries {
   private def graphRebuildPath(s: SparkSession, dir: String): String =
     Memo.cachedValue(s, dir, "graphann_rb80") {
       val e = emb(s, dir)
-      val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
-      val split = 4L * n / 5L
       val p = PipelineQueries.roundtripPath(dir, "graphann_rb80")
+      // the rebuild shares the BASE index's at-rest routing table —
+      // the deployed quantizer is the artifact, not a recomputation
       graft.search.GraphAnn.writeIndexWith(
-        graft.search.GraphAnn.routingFor(
-          e.filter(col("vec_id") < split), "vec_id", "v", graphPartsFor(s, dir)),
+        s.read.parquet(s"${graphBase80Path(s, dir)}/routing"),
         e, "vec_id", "v", graphM, graphEf, p)
       p
     }
+
+  /** The 80%-prefix BASE graph index, built once per (session,
+    * dir-content): q97 and q99 each CLONE it (an index is a directory
+    * of parquet — a clone is a file copy) and append their deltas
+    * onto the clone, so each lifecycle query's clock times the
+    * APPEND, not a repeated base build; the shared build is charged
+    * to `_build_graph_base80`. */
+  private def graphBase80Path(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "graphann_base80") {
+      val e = emb(s, dir)
+      val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
+      val split = 4L * n / 5L
+      val p = PipelineQueries.roundtripPath(dir, "graphann_base80")
+      graft.search.GraphAnn.writeIndex(e.filter(col("vec_id") < split),
+        "vec_id", "v", graphM, graphEf, graphPartsFor(s, dir), p)
+      p
+    }
+
+  /** Recursive file-tree clone (delete-then-copy), the index-clone
+    * primitive behind [[graphBase80Path]]'s consumers. */
+  private def cloneTree(src: String, dst: String): Unit = {
+    def deleteTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
+      f.delete(); ()
+    }
+    deleteTree(new java.io.File(dst))
+    def copy(s0: java.io.File, d0: java.io.File): Unit = {
+      if (s0.isDirectory) {
+        d0.mkdirs()
+        Option(s0.listFiles()).toSeq.flatten
+          .foreach(c => copy(c, new java.io.File(d0, c.getName)))
+      } else {
+        java.nio.file.Files.copy(s0.toPath, d0.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    }
+    copy(new java.io.File(src), new java.io.File(dst))
+  }
 
   /** R2 (fourth scale path): NSW graph ANN served from the AT-REST
     * per-part adjacency ([[graft.search.GraphAnn.searchIndex]]) —
@@ -765,8 +803,7 @@ object RetrievalQueries {
     val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
     val split = 4L * n / 5L
     val path = PipelineQueries.roundtripPath(dir, "q97")
-    graft.search.GraphAnn.writeIndex(e.filter(col("vec_id") < split),
-      "vec_id", "v", graphM, graphEf, graphPartsFor(s, dir), path)
+    cloneTree(graphBase80Path(s, dir), path)
     graft.search.GraphAnn.appendToIndex(s, path,
       e.filter(col("vec_id") >= split), "vec_id", "v")
     val appended = s.read.parquet(s"$path/nodes")
@@ -818,8 +855,7 @@ object RetrievalQueries {
       p
     }
     val path = PipelineQueries.roundtripPath(dir, "q99")
-    graft.search.GraphAnn.writeIndex(e.filter(col("vec_id") < split),
-      "vec_id", "v", graphM, graphEf, graphPartsFor(s, dir), path)
+    cloneTree(graphBase80Path(s, dir), path)
     val schema = s.read.parquet(stage).schema
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
@@ -1979,6 +2015,7 @@ $pqRows)
     "_build_spectral" -> ((s, dir) => { spectralArtifacts(s, dir).count(); () }),
     "_build_graph_ann" -> ((s, dir) => { graphIndexPath(s, dir); () }),
     "_build_ivf_labeled" -> ((s, dir) => { ivfLabeledPath(s, dir); () }),
+    "_build_graph_base80" -> ((s, dir) => { graphBase80Path(s, dir); () }),
     "_build_graph_rebuild80" -> ((s, dir) => { graphRebuildPath(s, dir); () }))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -103,7 +103,10 @@ object ScaleProbe {
       "q100_substring_dedup", "q101_dsir_weights", "q102_stream_bm25",
       "q103_bpe_train", "q104_bpe_encode",
       "q105_semantic_decon", "q106_substring_dedup_apply",
-      "q107_hard_negatives", "q108_budget_allocation")
+      "q107_hard_negatives", "q108_budget_allocation",
+      "q109_ivf_compact", "q110_hard_negatives_ann",
+      "q111_stream_sessionize_append", "q112_perplexity_filter",
+      "q113_mixture_sample", "q115_leakfree_split")
     val probeQs = if (args.length > 1) args.drop(1).toSeq else defaults
     probeQs.foreach {
       // vocab-axis probe for the BPE trainer (not a declared query):
