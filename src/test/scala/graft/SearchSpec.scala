@@ -190,6 +190,38 @@ class SearchSpec extends SparkSpec {
     assert(spark.read.parquet(IVF.listsPath(appended)).count() == emb.count())
   }
 
+  test("IVF compaction generations: repeat compacts advance the pointer, appends land in the live one") {
+    import graft.search.IVF
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_gen").toString
+    IVF.writeIndex(emb.filter(col("vec_id") >= 50), "vec_id", "v", 8, 0, path)
+    IVF.appendToIndex(spark, path, emb.filter(col("vec_id") < 25), "vec_id", "v")
+    val q = emb.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    def search() = IVF.searchIndex(spark, path, "vec_id", "v", q, "qv", 10, 2)
+      .select("vec_id", "rank", "score").as[(Long, Long, Double)].collect().toSeq
+    IVF.compactIndex(spark, path)
+    assert(IVF.listsPath(path).endsWith("lists__v2"))
+    val afterFirst = search()
+    // an append AFTER compaction must land in the live generation
+    IVF.appendToIndex(spark, path,
+      emb.filter(col("vec_id") >= 25 && col("vec_id") < 50), "vec_id", "v")
+    assert(spark.read.parquet(IVF.listsPath(path)).count() == emb.count())
+    // and a second compaction advances the pointer again, same answers
+    IVF.compactIndex(spark, path)
+    assert(IVF.listsPath(path).endsWith("lists__v3"))
+    assert(IVF.listFileCounts(path).values.forall(_ == 1))
+    assert(search().map(_._1).nonEmpty && afterFirst.nonEmpty)
+    // superseded generations are garbage-collected after the flip
+    assert(!new java.io.File(s"$path/lists").exists())
+    assert(!new java.io.File(s"$path/lists__v2").exists())
+    // a full rebuild resets the generation back to the initial layout
+    // (checkpoint the standing centroids first: writeIndexFrom
+    // overwrites the very files the lazy plan would re-read)
+    val cents = spark.read.parquet(s"$path/centroids").localCheckpoint()
+    IVF.writeIndexFrom(cents,
+      IVF.assign(emb, "vec_id", "v", cents), path)
+    assert(IVF.listsPath(path).endsWith("/lists"))
+  }
+
   test("IVF compaction: one file per list, identical search answers") {
     import graft.search.IVF
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString
