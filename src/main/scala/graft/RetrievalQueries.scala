@@ -1003,6 +1003,7 @@ object RetrievalQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val exact = Search.multiTopK(e, "vec_id", "v", qs, "qid", "qv", recallK)
       .select(col("qid"), col("vec_id"))
+      .localCheckpoint() // reused by all nine knob rows below
     def recallRow(approx: DataFrame, method: String, knob: String): DataFrame =
       exact.join(approx.select(col("qid"), col("vec_id")),
           Seq("qid", "vec_id"), "left_semi")

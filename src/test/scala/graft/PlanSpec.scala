@@ -57,6 +57,26 @@ class PlanSpec extends SparkSpec {
       s"q42 must not shuffle the corpus:\n$p")
   }
 
+  test("q110: pruned labeled lists feed the label-excluded heap top-k") {
+    val p = plan("q110_hard_negatives_ann")
+    // candidate generation is the partition-pruned list scan
+    assert(p.contains("dynamicpruning") || p.contains("PartitionFilters: [isnotnull(cid"),
+      s"expected partition pruning on cid:\n$p")
+    // per-query top-k through the bounded heap, not a window sort
+    assert(p.contains("graft_topk"), s"expected the heap aggregate:\n$p")
+    // the positive-exclusion predicate rides the scan side of the plan
+    assert(p.contains("NOT (label"), s"expected the label filter:\n$p")
+  }
+
+  test("q112/q113: model and allocation join by broadcast, never sort-merge") {
+    val p112 = plan("q112_perplexity_filter")
+    assert(!p112.contains("SortMergeJoin"), s"q112 sort-merged a model join:\n$p112")
+    assert(p112.contains("BroadcastHashJoin"), s"q112 lost the broadcast:\n$p112")
+    val p113 = plan("q113_mixture_sample")
+    assert(!p113.contains("SortMergeJoin"), s"q113 sort-merged the alloc join:\n$p113")
+    assert(p113.contains("BroadcastHashJoin"), s"q113 lost the broadcast:\n$p113")
+  }
+
   test("IVF assign is a pure projection over the corpus: no window, no sort-agg, no corpus shuffle") {
     import graft.search.IVF
     import org.apache.spark.sql.functions._
