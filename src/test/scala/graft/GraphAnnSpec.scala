@@ -274,6 +274,29 @@ class GraphAnnSpec extends SparkSpec {
       s"expected partition pruning on part:\n$plan")
   }
 
+  test("boundary replication: every vector lives in exactly two distinct cells, one primary") {
+    val path = java.nio.file.Files.createTempDirectory("graphann_repl").toString
+    GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 8, path)
+    val nodes = spark.read.parquet(s"$path/nodes")
+      .select(col("id").cast("long"), col("part").cast("int"))
+      .as[(Long, Int)].collect().toSeq
+    val n = emb.count()
+    assert(nodes.size == 2 * n, s"expected 2x replication, got ${nodes.size}/$n")
+    val cells = nodes.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(cells.values.forall(_.size == 2), "a vector's two cells collide")
+    // the primary cell is the IVF-style single assignment under the
+    // same routing table: it must be one of the two
+    val routing = spark.read.parquet(s"$path/routing")
+      .select(col("part").cast("long").as("cid"), col("rvec").as("cvec"))
+    val primary = IVF.assign(
+        emb.select(col("vec_id").cast("long").as("id"),
+          col("v").cast("array<double>").as("vec")), "id", "vec", routing)
+      .select(col("id"), col("cid").cast("int"))
+      .as[(Long, Int)].collect().toMap
+    cells.foreach { case (id, cs) =>
+      assert(cs.contains(primary(id)), s"vector $id not in its primary cell") }
+  }
+
   test("graphTopK rejects bad knobs and non-integral ids") {
     intercept[IllegalArgumentException](
       GraphAnn.graphTopK(emb, "vec_id", "v", query(0), "qv", 0))

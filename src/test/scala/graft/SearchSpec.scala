@@ -222,6 +222,29 @@ class SearchSpec extends SparkSpec {
     assert(IVF.listsPath(path).endsWith("/lists"))
   }
 
+  test("IVF compaction crash window: an orphaned generation never serves; re-running completes") {
+    import graft.search.IVF
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_crash").toString
+    IVF.writeIndex(emb.filter(col("vec_id") >= 50), "vec_id", "v", 8, 0, path)
+    IVF.appendToIndex(spark, path, emb.filter(col("vec_id") < 50), "vec_id", "v")
+    val q = emb.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    def search() = IVF.searchIndex(spark, path, "vec_id", "v", q, "qv", 10, 2)
+      .select("vec_id", "rank", "score").as[(Long, Long, Double)].collect().toSeq
+    val before = search()
+    // simulate a crash AFTER the new generation is written but BEFORE
+    // the pointer flip: the staged dir exists, CURRENT does not point
+    // at it — reads must keep serving the old generation untouched
+    spark.read.parquet(IVF.listsPath(path)).repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists__v2")
+    assert(IVF.listsPath(path).endsWith("/lists"), "orphan generation went live")
+    assert(search() == before)
+    // re-running compaction from this state completes: it overwrites
+    // the orphan, flips the pointer, and answers are unchanged
+    IVF.compactIndex(spark, path)
+    assert(IVF.listsPath(path).endsWith("lists__v2"))
+    assert(search() == before)
+  }
+
   test("IVF compaction: one file per list, identical search answers") {
     import graft.search.IVF
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString
