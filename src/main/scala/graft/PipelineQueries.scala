@@ -91,13 +91,8 @@ object PipelineQueries {
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val stage = Memo.cachedValue(s, dir, "events_stage") {
       val path = roundtripPath(dir, "events_stream")
-      def deleteTree(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
-        f.delete(); ()
-      }
       val root = new java.io.File(path)
-      deleteTree(root)
+      FileTree.delete(root)
       root.mkdirs()
       // FLATTEN into the stage dir: the source may be the testdata's
       // single file OR a Spark-written directory (part files +

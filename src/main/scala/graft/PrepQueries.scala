@@ -810,13 +810,16 @@ object PrepQueries {
        dt AS (SELECT source, doc_id,
            CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS t
          FROM documents),
-       kept AS (SELECT dt.source, alloc_tokens, dt.t
+       kept AS (SELECT dt.source, dt.t
          FROM dt JOIN alloc USING (source)
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2, 8))::BIGINT % 1000000
-               < FLOOR(alloc_tokens * 1000000 / n_tokens))
-       SELECT source, alloc_tokens, COUNT(*) AS n_docs_kept,
-         CAST(SUM(t) AS BIGINT) AS n_tokens_kept
-       FROM kept GROUP BY source, alloc_tokens ORDER BY source"""
+               < FLOOR(alloc_tokens * 1000000 / n_tokens)),
+       ka AS (SELECT source, COUNT(*) AS nd, SUM(t) AS nt
+         FROM kept GROUP BY source)
+       SELECT a.source, a.alloc_tokens,
+         COALESCE(nd, 0) AS n_docs_kept,
+         CAST(COALESCE(nt, 0) AS BIGINT) AS n_tokens_kept
+       FROM alloc a LEFT JOIN ka USING (source) ORDER BY source"""
 
   // ---------- q112: CCNet-style perplexity quality filter ----------
 
@@ -860,7 +863,7 @@ object PrepQueries {
     val vocab = curated
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
-    docBigrams(d.filter(col("doc_id") < 200))
+    val scored = docBigrams(d.filter(col("doc_id") < 200))
       .join(broadcast(pair), Seq("s"), "left")
       .join(broadcast(hist), Seq("h"), "left")
       .crossJoin(broadcast(vocab))
@@ -871,6 +874,17 @@ object PrepQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("lp")) / count(lit(1)), 6).as("mean_logp"))
+    // a document too short to have a bigram still gets a score — the
+    // uniform 1/V floor (n_bigrams = 0) — instead of silently passing
+    // the quality cut unscored; shortest-junk docs are exactly what a
+    // perplexity filter exists to catch
+    d.filter(col("doc_id") < 200).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("mean_logp"),
+          round(log(lit(1.0) / col("v").cast("double")), 6)).as("mean_logp"))
       // CCNet's head/middle/tail cut: terciles of the score over the
       // scored slice (ties broken by doc_id so both engines agree).
       // At 100 TB the cuts come from a quantile sketch over the
@@ -901,9 +915,14 @@ object PrepQueries {
            ln((COALESCE(c, 0) + 1.0) / (COALESCE(c1, 0) + CAST(v AS DOUBLE))) AS lp
          FROM g LEFT JOIN pair USING (s) LEFT JOIN hist USING (h), voc
          WHERE doc_id < 200),
-       agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+       agg0 AS (SELECT doc_id, COUNT(*) AS n_bigrams,
            ROUND(SUM(lp) / COUNT(*), 6) AS mean_logp
-         FROM sc GROUP BY doc_id)
+         FROM sc GROUP BY doc_id),
+       agg AS (SELECT d.doc_id,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           COALESCE(mean_logp, ROUND(ln(1.0 / CAST(v AS DOUBLE)), 6)) AS mean_logp
+         FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+         LEFT JOIN agg0 ON d.doc_id = agg0.doc_id, voc)
        SELECT doc_id, n_bigrams, mean_logp,
          ['head', 'middle', 'tail'][NTILE(3) OVER (ORDER BY mean_logp DESC, doc_id)] AS ppl_bucket
        FROM agg ORDER BY doc_id"""
@@ -925,17 +944,21 @@ object PrepQueries {
   def q113MixtureSample(s: SparkSession, dir: String): DataFrame = {
     val alloc = q108BudgetAllocation(s, dir)
       .select(col("source"), col("n_tokens"), col("alloc_tokens"))
-    docs(s, dir)
+    val kept = docs(s, dir)
       .select(col("source"), col("doc_id"),
         size(Dedup.tokenize(col("text"))).cast("long").as("t"))
       .join(broadcast(alloc), "source")
       .filter(md5Slice(col("doc_id"), 2) % 1000000L <
         floor(col("alloc_tokens") * lit(1000000L) / col("n_tokens")))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_docs_kept"), sum(col("t")).as("n_tokens_kept"))
-      .join(broadcast(alloc), "source")
-      .select(col("source"), col("alloc_tokens"), col("n_docs_kept"),
-        col("n_tokens_kept"))
+      .agg(count(lit(1)).as("nd"), sum(col("t")).as("nt"))
+    // LEFT join from the allocation so a source whose draw kept zero
+    // documents still reports (alloc, 0, 0) — a missing manifest row
+    // would silently drop the source from the mixture
+    alloc.join(broadcast(kept), Seq("source"), "left")
+      .select(col("source"), col("alloc_tokens"),
+        coalesce(col("nd"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("nt"), lit(0L)).as("n_tokens_kept"))
       .orderBy("source")
   }
 

@@ -702,23 +702,8 @@ object RetrievalQueries {
   /** Recursive file-tree clone (delete-then-copy), the index-clone
     * primitive behind [[graphBase80Path]]'s consumers. */
   private def cloneTree(src: String, dst: String): Unit = {
-    def deleteTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
-      f.delete(); ()
-    }
-    deleteTree(new java.io.File(dst))
-    def copy(s0: java.io.File, d0: java.io.File): Unit = {
-      if (s0.isDirectory) {
-        d0.mkdirs()
-        Option(s0.listFiles()).toSeq.flatten
-          .foreach(c => copy(c, new java.io.File(d0, c.getName)))
-      } else {
-        java.nio.file.Files.copy(s0.toPath, d0.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        ()
-      }
-    }
-    copy(new java.io.File(src), new java.io.File(dst))
+    FileTree.delete(new java.io.File(dst))
+    FileTree.copy(new java.io.File(src), new java.io.File(dst))
   }
 
   /** R2 (fourth scale path): NSW graph ANN served from the AT-REST

@@ -560,11 +560,20 @@ object GraphAnn {
         }
       }
       .toDF("qid", "id", "score")
-      // a replicated vector found in two probed cells yields the same
-      // (qid, id) twice with the identical exact score — collapse
-      // before ranking (the aggregate runs over O(parts × queries ×
-      // ef) candidate rows, bounded by design)
-      .groupBy("qid", "id").agg(max("score").as("score"))
+  }
+
+  /** Collapse replica duplicates: a 2×-replicated vector found in two
+    * probed cells yields the same (qid, id) twice with the identical
+    * exact score. The aggregate runs over O(parts × queries × ef)
+    * candidate rows (bounded by design) and is SKIPPED entirely for
+    * replicas = 1 indexes, where no duplicate can exist. */
+  private def dedupCandidates(spark: SparkSession, path: String,
+                              beams: DataFrame): DataFrame = {
+    import spark.implicits._
+    val replicas = spark.read.parquet(s"$path/params")
+      .select(col("replicas").cast("int")).as[Int].head()
+    if (replicas == 1) beams
+    else beams.groupBy("qid", "id").agg(max("score").as("score"))
   }
 
   /** Beam-search a persisted graph index for ONE query (Search.topK
@@ -580,7 +589,8 @@ object GraphAnn {
     val qv = query.select(col(queryVecCol).cast("array<double>"))
       .as[Seq[Double]].head().toArray
     rankTopK(
-      partBeams(spark, path, Array((0L, qv)), ef, probeParts)
+      dedupCandidates(spark, path,
+        partBeams(spark, path, Array((0L, qv)), ef, probeParts))
         .select(col("id").as(idCol), col("score")),
       idCol, k)
   }
@@ -600,7 +610,7 @@ object GraphAnn {
       .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
       .as[(Long, Seq[Double])].collect()
       .map { case (qid, v) => (qid, v.toArray) }
-    partBeams(spark, path, qvs, ef, probeParts)
+    dedupCandidates(spark, path, partBeams(spark, path, qvs, ef, probeParts))
       .groupBy("qid")
       .agg(org.apache.spark.sql.graftnative.TopKAggregate
         .topK(col("id"), col("score"), k).as("__tk"))

@@ -130,10 +130,6 @@ object IVF {
     * memoized index and the at-rest index are then the same object in
     * two representations. */
   def writeIndexFrom(cents: DataFrame, assigned: DataFrame, path: String): Unit = {
-    // a full rebuild resets the compaction generation: drop any
-    // CURRENT pointer so the index is live at the initial `lists`
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(s"$path/CURRENT"))
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     assigned
       // one file per inverted list: without the cid shuffle every
@@ -144,6 +140,18 @@ object IVF {
       // discipline, SparkEntry.writePostings)
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+    // a full rebuild resets the compaction generation — but the
+    // CURRENT pointer is dropped only AFTER the fresh `lists` write
+    // completes: while it was in flight, any pointer from a previous
+    // compaction kept readers on the old (still valid) generation, so
+    // a crash mid-rebuild never leaves the index pointing at a
+    // half-written or missing directory. The delete is a single
+    // atomic file remove (the flip), then stale generations are GC'd.
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$path/CURRENT"))
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("lists__v"))
+      .foreach(graft.FileTree.delete)
   }
 
   /** INCREMENTAL index maintenance: assign a delta batch against the
@@ -212,8 +220,11 @@ object IVF {
     * AFTER the flip leaves the new generation live and the old one
     * garbage — both states serve correctly, there is no window with
     * no live lists. Assumes one maintenance writer at a time (the
-    * standard compactor discipline); concurrent searches are safe on
-    * either side of the flip. */
+    * standard compactor discipline). Concurrent SEARCHES are safe
+    * across the flip because the immediately superseded generation
+    * is NOT deleted — it survives one compaction cycle as the grace
+    * window for readers that resolved the pointer just before the
+    * flip; only generations two or more cycles old are GC'd. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val liveName = listsName(path)
     val next = if (liveName == "lists") 2
@@ -228,11 +239,12 @@ object IVF {
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$path/CURRENT"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    def deleteTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
-      f.delete(); ()
-    }
-    deleteTree(new java.io.File(s"$path/$liveName"))
+    val keep = Set(nextName, liveName)
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory &&
+        (f.getName == "lists" || f.getName.startsWith("lists__v")) &&
+        !keep.contains(f.getName))
+      .foreach(graft.FileTree.delete)
   }
 
   /** Files per inverted list of a persisted index — the compaction

@@ -210,9 +210,11 @@ class SearchSpec extends SparkSpec {
     assert(IVF.listsPath(path).endsWith("lists__v3"))
     assert(IVF.listFileCounts(path).values.forall(_ == 1))
     assert(search().map(_._1).nonEmpty && afterFirst.nonEmpty)
-    // superseded generations are garbage-collected after the flip
+    // GC keeps the immediately superseded generation as the in-flight
+    // readers' grace window; generations two cycles old are deleted
     assert(!new java.io.File(s"$path/lists").exists())
-    assert(!new java.io.File(s"$path/lists__v2").exists())
+    assert(new java.io.File(s"$path/lists__v2").exists(),
+      "grace-window generation was deleted")
     // a full rebuild resets the generation back to the initial layout
     // (checkpoint the standing centroids first: writeIndexFrom
     // overwrites the very files the lazy plan would re-read)
@@ -220,6 +222,9 @@ class SearchSpec extends SparkSpec {
     IVF.writeIndexFrom(cents,
       IVF.assign(emb, "vec_id", "v", cents), path)
     assert(IVF.listsPath(path).endsWith("/lists"))
+    // a rebuild GCs every stale generation after its pointer flip
+    assert(!new java.io.File(s"$path/lists__v2").exists())
+    assert(!new java.io.File(s"$path/lists__v3").exists())
   }
 
   test("IVF compaction crash window: an orphaned generation never serves; re-running completes") {
