@@ -182,7 +182,15 @@ object GraphAnn {
     * exact-re-score the per-partition beams, global bounded top-k.
     * `query` must be a ONE-ROW frame (Search.topK contract). Knobs:
     * `m` = max neighbors per node (graph degree), `ef` = search beam
-    * width — the efSearch dial of the reference's HNSW config. */
+    * width — the efSearch dial of the reference's HNSW config.
+    *
+    * This ad-hoc path partitions by id hash and scans every
+    * partition, unlike the at-rest index's content routing: a
+    * one-shot query has no standing quantizer, and training one
+    * (sample + Lloyd refinement) costs a multiple of the single scan
+    * it would prune. Queries that repeat against the same corpus
+    * should build the routed index once ([[writeIndex]]) and serve
+    * pruned ([[searchIndex]]). */
   def graphTopK(docs: DataFrame, idCol: String, vecCol: String,
                 query: DataFrame, queryVecCol: String,
                 k: Int, m: Int = 8, ef: Int = 48): DataFrame = {
