@@ -378,7 +378,13 @@ object GraphAnn {
     // the routing table is parts-sized — driver-small by contract
     val parts = routing.count().toInt
     require(parts >= 1, s"routing table is empty under $path")
-    val nodes = assignParts(docs, idCol, vecCol, routing, replicas)
+    val routed = routing.select(col("part").cast("int").as("part"),
+      col("rvec").cast("array<double>").as("rvec"),
+      // the replication factor rides the routing table so serving
+      // reads it from the collect it already does (no extra driver
+      // job per query against path/params)
+      lit(replicas).as("replicas"))
+    val nodes = assignParts(docs, idCol, vecCol, routed, replicas)
       // co-locate each part in one task (a task may hold several
       // parts — grouped in-iterator below — but never half a part)
       .repartition(parts, col("part"))
@@ -398,7 +404,7 @@ object GraphAnn {
       }
       .toDF("part", "id", "vec", "nbrs")
     nodes.write.mode("overwrite").partitionBy("part").parquet(s"$path/nodes")
-    routing.orderBy("part")
+    routed.orderBy("part")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/routing")
     spark.read.parquet(s"$path/nodes")
       .groupBy(col("part")).agg(count(lit(1)).as("n"))
@@ -524,10 +530,12 @@ object GraphAnn {
       .select(col("part").cast("int"), col("n").cast("long"))
       .as[(Int, Long)].collect().toMap
     val bExpected = spark.sparkContext.broadcast(expected)
-    val routing = spark.read.parquet(s"$path/routing")
-      .select(col("part").cast("int"), col("rvec").cast("array<double>"))
-      .as[(Int, Seq[Double])].collect()
-      .map { case (p, v) => (p, v.toArray) }.sortBy(_._1)
+    val routingRows = spark.read.parquet(s"$path/routing")
+      .select(col("part").cast("int"), col("rvec").cast("array<double>"),
+        col("replicas").cast("int"))
+      .as[(Int, Seq[Double], Int)].collect()
+    val replicas = routingRows.headOption.map(_._3).getOrElse(1)
+    val routing = routingRows.map { case (p, v, _) => (p, v.toArray) }.sortBy(_._1)
     val pruned = probeParts < routing.length
     val allowed: Map[Long, Set[Int]] =
       if (!pruned) Map.empty
@@ -567,21 +575,16 @@ object GraphAnn {
           }
         }
       }
-      .toDF("qid", "id", "score")
-  }
-
-  /** Collapse replica duplicates: a 2×-replicated vector found in two
-    * probed cells yields the same (qid, id) twice with the identical
-    * exact score. The aggregate runs over O(parts × queries × ef)
-    * candidate rows (bounded by design) and is SKIPPED entirely for
-    * replicas = 1 indexes, where no duplicate can exist. */
-  private def dedupCandidates(spark: SparkSession, path: String,
-                              beams: DataFrame): DataFrame = {
-    import spark.implicits._
-    val replicas = spark.read.parquet(s"$path/params")
-      .select(col("replicas").cast("int")).as[Int].head()
-    if (replicas == 1) beams
-    else beams.groupBy("qid", "id").agg(max("score").as("score"))
+      .toDF("qid", "id", "score") match {
+        // collapse replica duplicates: a 2×-replicated vector found in
+        // two probed cells yields the same (qid, id) twice with the
+        // identical exact score; the aggregate runs over
+        // O(parts × queries × ef) candidate rows (bounded by design)
+        // and is SKIPPED for replicas = 1 indexes, where no duplicate
+        // can exist
+        case beams if replicas == 1 => beams
+        case beams => beams.groupBy("qid", "id").agg(max("score").as("score"))
+      }
   }
 
   /** Beam-search a persisted graph index for ONE query (Search.topK
@@ -597,8 +600,7 @@ object GraphAnn {
     val qv = query.select(col(queryVecCol).cast("array<double>"))
       .as[Seq[Double]].head().toArray
     rankTopK(
-      dedupCandidates(spark, path,
-        partBeams(spark, path, Array((0L, qv)), ef, probeParts))
+      partBeams(spark, path, Array((0L, qv)), ef, probeParts)
         .select(col("id").as(idCol), col("score")),
       idCol, k)
   }
@@ -618,7 +620,7 @@ object GraphAnn {
       .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
       .as[(Long, Seq[Double])].collect()
       .map { case (qid, v) => (qid, v.toArray) }
-    dedupCandidates(spark, path, partBeams(spark, path, qvs, ef, probeParts))
+    partBeams(spark, path, qvs, ef, probeParts)
       .groupBy("qid")
       .agg(org.apache.spark.sql.graftnative.TopKAggregate
         .topK(col("id"), col("score"), k).as("__tk"))
