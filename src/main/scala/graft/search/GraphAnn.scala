@@ -343,8 +343,10 @@ object GraphAnn {
     *
     *   path/nodes   — (id, vec, nbrs: array<long>) partitioned by
     *     `part` = the vector's best inner-product routing cell;
-    *   path/routing — (part, rvec) the coarse quantizer, read per
-    *     query to choose the top-P cells (driver-sized by contract);
+    *   path/routing — (part, rvec, replicas) the coarse quantizer,
+    *     read per query to choose the top-P cells (driver-sized by
+    *     contract; `replicas` rides along so serving learns the
+    *     replication factor from the same read);
     *   path/meta    — (part, n) node counts, the completeness guard
     *     searchIndex enforces when a scan split ever halves a part;
     *   path/params  — (parts, m, efC) so append re-derives the SAME
@@ -530,9 +532,14 @@ object GraphAnn {
       .select(col("part").cast("int"), col("n").cast("long"))
       .as[(Int, Long)].collect().toMap
     val bExpected = spark.sparkContext.broadcast(expected)
-    val routingRows = spark.read.parquet(s"$path/routing")
+    val routingDf = spark.read.parquet(s"$path/routing")
+    val routingRows = routingDf
       .select(col("part").cast("int"), col("rvec").cast("array<double>"),
-        col("replicas").cast("int"))
+        // pre-replication routing tables lack the column — default to
+        // 2 (the conservative side: the dedup aggregate is always
+        // correct, merely unnecessary for a replicas=1 index)
+        (if (routingDf.columns.contains("replicas"))
+          col("replicas").cast("int") else lit(2)).as("replicas"))
       .as[(Int, Seq[Double], Int)].collect()
     val replicas = routingRows.headOption.map(_._3).getOrElse(1)
     val routing = routingRows.map { case (p, v, _) => (p, v.toArray) }.sortBy(_._1)

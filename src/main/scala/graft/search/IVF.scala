@@ -129,7 +129,29 @@ object IVF {
     * centroids + assignment the in-memory queries share) — the
     * memoized index and the at-rest index are then the same object in
     * two representations. */
+  /** List-generation directories under `path` (the initial `lists`
+    * plus every versioned `lists__vN`), minus `keep` — the ONE
+    * predicate both compaction's and the rebuild's GC share. */
+  private def staleGenerations(path: String, keep: Set[String]): Seq[java.io.File] =
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory &&
+        (f.getName == "lists" || f.getName.startsWith("lists__v")) &&
+        !keep.contains(f.getName))
+
   def writeIndexFrom(cents: DataFrame, assigned: DataFrame, path: String): Unit = {
+    // REBUILD — a wholesale replacement of the index (new centroids +
+    // new lists). NOT crash-atomic as a pair: the quantizer and the
+    // lists are two tables, and a crash between their writes is
+    // recovered by RE-RUNNING the rebuild (single maintenance writer —
+    // the create/replace discipline; contrast compactIndex, whose
+    // content-preserving swap IS atomic via the pointer flip). What
+    // the ordering below does guarantee: the CURRENT pointer never
+    // dangles — it is dropped only after the fresh `lists` write
+    // completes, so a previously-compacted index serves its old
+    // generation throughout the rebuild, and that generation then
+    // survives one more cycle as the in-flight readers' grace window
+    // (the compactIndex GC rule).
+    val prev = listsName(path)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     assigned
       // one file per inverted list: without the cid shuffle every
@@ -140,17 +162,9 @@ object IVF {
       // discipline, SparkEntry.writePostings)
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
-    // a full rebuild resets the compaction generation — but the
-    // CURRENT pointer is dropped only AFTER the fresh `lists` write
-    // completes: while it was in flight, any pointer from a previous
-    // compaction kept readers on the old (still valid) generation, so
-    // a crash mid-rebuild never leaves the index pointing at a
-    // half-written or missing directory. The delete is a single
-    // atomic file remove (the flip), then stale generations are GC'd.
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$path/CURRENT"))
-    Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("lists__v"))
+    staleGenerations(path, keep = Set("lists", prev))
       .foreach(graft.FileTree.delete)
   }
 
@@ -239,11 +253,7 @@ object IVF {
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$path/CURRENT"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    val keep = Set(nextName, liveName)
-    Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory &&
-        (f.getName == "lists" || f.getName.startsWith("lists__v")) &&
-        !keep.contains(f.getName))
+    staleGenerations(path, keep = Set(nextName, liveName))
       .foreach(graft.FileTree.delete)
   }
 

@@ -222,9 +222,12 @@ class SearchSpec extends SparkSpec {
     IVF.writeIndexFrom(cents,
       IVF.assign(emb, "vec_id", "v", cents), path)
     assert(IVF.listsPath(path).endsWith("/lists"))
-    // a rebuild GCs every stale generation after its pointer flip
+    // the rebuild's GC follows the same grace rule: the generation
+    // that was live before the rebuild (v3) survives one cycle for
+    // in-flight readers; older ones (v2) are deleted
     assert(!new java.io.File(s"$path/lists__v2").exists())
-    assert(!new java.io.File(s"$path/lists__v3").exists())
+    assert(new java.io.File(s"$path/lists__v3").exists(),
+      "rebuild deleted the grace-window generation")
   }
 
   test("IVF compaction crash window: an orphaned generation never serves; re-running completes") {
