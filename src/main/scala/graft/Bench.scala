@@ -51,6 +51,24 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .selectExpr("sum(l_quantity)", "count(distinct l_partkey)").collect()
     val calibSec = (System.nanoTime() - calibT0) / 1e9
+    // I/O calibration, SEPARATE from the CPU+scan blend above: hosts
+    // degrade CPU and I/O independently (round 9 shipped on a window
+    // where calib_sec was ~2x while streaming file-source queries ran
+    // 5-10x slow at idle CPU — the CPU yardstick could not see it).
+    // Re-reading testdata would hit the page cache, so the probe is a
+    // WRITE + fresh-READ + delete round-trip of incompressible rows —
+    // the file-creation/commit/list path streaming sinks and index
+    // writes live on. A run whose io_calib is inflated while calib is
+    // flat is flagged as I/O-degraded rather than misread as query
+    // regressions.
+    val ioT0 = System.nanoTime()
+    val ioDir = java.nio.file.Files
+      .createTempDirectory("graft_iocalib").toString
+    spark.range(2000000L).selectExpr("id", "md5(cast(id as string)) as h")
+      .write.mode("overwrite").parquet(ioDir)
+    spark.read.parquet(ioDir).selectExpr("count(distinct h)").collect()
+    val ioCalibSec = (System.nanoTime() - ioT0) / 1e9
+    FileTree.delete(new java.io.File(ioDir))
     def timed(name: String, run: () => Unit): (String, (Double, Option[String])) = {
       val t0 = System.nanoTime()
       val err = try { run(); None }
@@ -84,7 +102,7 @@ object Bench {
     // mean is over DECLARED QUERIES (what "how fast is a query"
     // means); total includes the build entries
     val mean = if (queries.nonEmpty) queries.map(_._2._1).sum / queries.size else 0.0
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${queries.size},"n_builds":${builds.size},"build_sec":$buildTotal,"mean_sec":$mean,"calib_sec":$calibSec,"n_errors":$nErr,"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${queries.size},"n_builds":${builds.size},"build_sec":$buildTotal,"mean_sec":$mean,"calib_sec":$calibSec,"io_calib_sec":$ioCalibSec,"n_errors":$nErr,"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     println(fullJson)
     // The driver's capture keeps the TAIL of stdout: with per-query
     // times last in the big line, truncation ate the head — totals and
@@ -102,7 +120,7 @@ object Bench {
     } catch { case e: Throwable => // best-effort; stdout is the contract
       System.err.println(s"bench: artifact write failed: $e")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"build_sec":$buildTotal,"mean_sec":$mean,"n_queries":${queries.size},"n_builds":${builds.size},"n_errors":$nErr}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calibSec,"io_calib_sec":$ioCalibSec,"build_sec":$buildTotal,"mean_sec":$mean,"n_queries":${queries.size},"n_builds":${builds.size},"n_errors":$nErr}""")
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }

@@ -813,7 +813,7 @@ object PrepQueries {
        kept AS (SELECT dt.source, dt.t
          FROM dt JOIN alloc USING (source)
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2, 8))::BIGINT % 1000000
-               < FLOOR(alloc_tokens * 1000000 / n_tokens)),
+               < FLOOR(CAST(alloc_tokens AS DOUBLE) * 1000000 / n_tokens)),
        ka AS (SELECT source, COUNT(*) AS nd, SUM(t) AS nt
          FROM kept GROUP BY source)
        SELECT a.source, a.alloc_tokens,
@@ -948,8 +948,14 @@ object PrepQueries {
       .select(col("source"), col("doc_id"),
         size(Dedup.tokenize(col("text"))).cast("long").as("t"))
       .join(broadcast(alloc), "source")
+      // threshold computed in DOUBLE: the integer form
+      // alloc_tokens * 1000000L wraps silently past ~9.2e12 tokens —
+      // inside the 100 TB range — corrupting the sampling rate; the
+      // double ratio is exact for any alloc below 2^53 and both
+      // engines floor the same value
       .filter(md5Slice(col("doc_id"), 2) % 1000000L <
-        floor(col("alloc_tokens") * lit(1000000L) / col("n_tokens")))
+        floor(col("alloc_tokens").cast("double") * lit(1e6) /
+          col("n_tokens").cast("double")))
       .groupBy("source")
       .agg(count(lit(1)).as("nd"), sum(col("t")).as("nt"))
     // LEFT join from the allocation so a source whose draw kept zero

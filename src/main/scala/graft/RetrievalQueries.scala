@@ -387,7 +387,7 @@ object RetrievalQueries {
     val path2 = PipelineQueries.roundtripPath(dir, "q96r")
     val base = e.filter(col("vec_id") % 2 === 1)
     graft.search.IVF.writeIndex(base, "vec_id", "v", ivfK, 0, path)
-    val cz = s.read.parquet(s"$path/centroids")
+    val cz = s.read.parquet(graft.search.IVF.centroidsPath(path))
       .filter(col("cid") === 0).select(col("cvec"))
     val delta = e.filter(col("vec_id") % 2 === 0)
       .crossJoin(broadcast(cz)).select(col("vec_id"), col("cvec").as("v"))
@@ -397,7 +397,7 @@ object RetrievalQueries {
     val rows = s.read.parquet(graft.search.IVF.listsPath(path))
       .select(col("vec_id"), col("v"))
     val refined = graft.search.IVF.refine(rows, "vec_id", "v",
-      s.read.parquet(s"$path/centroids"), refineIters)
+      s.read.parquet(graft.search.IVF.centroidsPath(path)), refineIters)
     graft.search.IVF.writeIndexFrom(refined,
       graft.search.IVF.assign(rows, "vec_id", "v", refined), path2)
     graft.search.IVF.searchIndex(s, path2, "vec_id", "v",
@@ -470,16 +470,40 @@ object RetrievalQueries {
     val path = PipelineQueries.roundtripPath(dir, "q109")
     graft.search.IVF.writeIndex(e.filter(col("vec_id") >= 100),
       "vec_id", "v", ivfK, 0, path)
-    (0 until 4).foreach { b =>
+    (0 until 2).foreach { b =>
       graft.search.IVF.appendToIndex(s, path,
         e.filter(col("vec_id") < 100 && col("vec_id") % 4 === b),
         "vec_id", "v")
     }
-    require(graft.search.IVF.listFileCounts(path).values.max >= 3,
-      "q109: four append batches must fragment the lists")
+    require(graft.search.IVF.listFileCounts(path).values.max >= 2,
+      "q109: append batches must fragment the lists")
     graft.search.IVF.compactIndex(s, path)
     require(graft.search.IVF.listFileCounts(path).values.forall(_ == 1),
       "q109: compaction must restore one file per list")
+    // the GRACE WINDOW is live state, not a comment: the superseded
+    // base generation must survive exactly one compaction cycle for
+    // readers that resolved the pointer just before the flip ...
+    require(new java.io.File(s"$path/lists").isDirectory,
+      "q109: first compaction must keep the superseded generation")
+    (2 until 4).foreach { b =>
+      graft.search.IVF.appendToIndex(s, path,
+        e.filter(col("vec_id") < 100 && col("vec_id") % 4 === b),
+        "vec_id", "v")
+    }
+    require(graft.search.IVF.listFileCounts(path).values.max >= 2,
+      "q109: the live generation must absorb post-compaction appends")
+    graft.search.IVF.compactIndex(s, path)
+    // ... and the SECOND cycle retires it while the first compacted
+    // generation becomes the new grace window — the full
+    // fragment → compact → re-fragment → compact → GC lifecycle under
+    // the oracle (searches stay green throughout; the hash match
+    // proves no append or swap lost a row)
+    require(!new java.io.File(s"$path/lists").isDirectory,
+      "q109: a generation two cycles old must be GC'd")
+    require(new java.io.File(s"$path/lists__v2").isDirectory,
+      "q109: the immediately superseded generation must survive as grace")
+    require(graft.search.IVF.listFileCounts(path).values.forall(_ == 1),
+      "q109: second compaction must restore one file per list")
     graft.search.IVF.searchIndex(s, path, "vec_id", "v",
       e.filter(col("vec_id") === 2).select(col("v").as("qv")), "qv",
       10, ivfProbe)
@@ -798,8 +822,11 @@ object RetrievalQueries {
     require(appended.exceptAll(rebuilt).isEmpty &&
         rebuilt.exceptAll(appended).isEmpty,
       "q97: appended graph index must equal the same-routing full rebuild bit for bit")
+    // serve ROUTED (the production shape — every serving call site
+    // exercises the partition-pruned path, not just q86)
     graft.search.GraphAnn.searchIndex(s, path, "vec_id",
-      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10, graphEf)
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10, graphEf,
+      probeParts = graphProbeFor(s, dir))
       .orderBy("rank")
   }
 
@@ -854,8 +881,11 @@ object RetrievalQueries {
     require(grown.exceptAll(rebuilt).isEmpty &&
         rebuilt.exceptAll(grown).isEmpty,
       "q99: the streamed-in index must equal the same-routing full rebuild bit for bit")
+    // routed serving, like q86/q97 — the streamed-in index is served
+    // exactly as the production index would be
     graft.search.GraphAnn.searchIndex(s, path, "vec_id",
-      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10, graphEf)
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10, graphEf,
+      probeParts = graphProbeFor(s, dir))
       .orderBy("rank")
   }
 
@@ -1920,7 +1950,7 @@ $pqRows)
     * waved at. */
   def q110HardNegativesAnn(s: SparkSession, dir: String): DataFrame = {
     val path = ivfLabeledPath(s, dir)
-    val cents = s.read.parquet(s"$path/centroids")
+    val cents = s.read.parquet(graft.search.IVF.centroidsPath(path))
     val queries = graft.sources.Tables.load(s, dir, "embeddings")
       .filter(col("vec_id") % 10 === 0 && col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("label").cast("long").as("qlabel"),

@@ -33,6 +33,48 @@ object Scratch {
         java.nio.file.Paths.get(s"$out/oracle_sql.json"), json)
       spark.stop(); return
     }
+    // round 10: routed-graph recall sweep — (replication, probe, ef)
+    // dials at the CURRENT sf, 50 queries, vs the exact top-10
+    if (args.contains("graphsweep")) {
+      import org.apache.spark.sql.functions._
+      val e = graft.sources.Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .localCheckpoint()
+      val n = e.count()
+      val parts = math.max(8, math.ceil(n.toDouble / 500).toInt)
+      val nq = 50; val k = 10
+      val qs = e.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("qid"), col("v").as("qv")).localCheckpoint()
+      val exact = graft.search.Search.multiTopK(e, "vec_id", "v", qs, "qid", "qv", k)
+        .select(col("qid"), col("vec_id")).localCheckpoint()
+      val exactN = exact.count().toDouble
+      val routing = graft.search.GraphAnn.routingFor(e, "vec_id", "v", parts)
+        .localCheckpoint()
+      def recallAt(path: String, probe: Int, ef: Int): (Double, Double) = {
+        val t1 = System.nanoTime()
+        val hits = exact.join(
+          graft.search.GraphAnn.searchIndexMulti(spark, path, "vec_id",
+            qs, "qid", "qv", k, ef, probeParts = probe)
+            .select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_semi").count()
+        (hits / exactN, (System.nanoTime() - t1) / 1e9)
+      }
+      for (r <- Seq(2, 3)) {
+        val path = s"/tmp/graft_sweep/graph_r$r"
+        val t0 = System.nanoTime()
+        graft.search.GraphAnn.writeIndexWith(routing, e, "vec_id", "v",
+          8, 48, path, replicas = r)
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        val dials = Seq(0.25, 1.0 / 3, 0.5, 2.0 / 3).map(f =>
+          math.max(2, math.ceil(parts * f).toInt))
+        for (probe <- (dials :+ parts).distinct; ef <- Seq(48, 96)) {
+          val (rec, sec) = recallAt(path, probe, ef)
+          println(f"GRAPHSWEEP sf=$dir%s parts=$parts R=$r probe=$probe " +
+            f"ef=$ef recall=$rec%.4f sec=$sec%.1f build=$buildSec%.1f")
+        }
+      }
+      spark.stop(); return
+    }
     // one-off: how many micro-batches does the q61 drain split into
     // on a directory-shaped (32-part-file) staged source?
     if (args.contains("probe61batches")) {

@@ -286,8 +286,8 @@ object GraphAnn {
     * deterministic. */
   private def assignParts(docs: DataFrame, idCol: String, vecCol: String,
                           routing: DataFrame, replicas: Int): DataFrame = {
-    require(replicas == 1 || replicas == 2,
-      s"replicas must be 1 or 2, got $replicas")
+    require(replicas >= 1 && replicas <= 4,
+      s"replicas must be in 1..4, got $replicas")
     if (replicas == 1)
       IVF.assign(
         docs.select(col(idCol).cast("long").as("id"),
@@ -297,30 +297,25 @@ object GraphAnn {
           col("rvec").as("cvec")))
         .select(col("id"), col("vec"), col("cid").cast("int").as("part"))
     else {
+      // rank every cell by (score desc, part asc) — encoded as an
+      // ascending sort on (-score, part) — and keep the R best: the
+      // R=2 two-slot fold generalized to any replication factor, still
+      // one scan, no row inflation before the final ≤R-way explode,
+      // no exchange. Ties resolve to the lowest part, so assignment
+      // stays deterministic (the fold's strict-> behavior).
       val packed = routing.agg(
         array_sort(collect_list(struct(col("part"), col("rvec")))).as("__cells"))
-      val scored = transform(col("__cells"),
-        c => struct(graft.functions.VectorF.dot(col("vec"), c.getField("rvec")).as("s"),
-          c.getField("part").as("p")))
-      val neg = lit(Double.NegativeInfinity)
-      val best2 = aggregate(scored,
-        struct(neg.as("s1"), lit(-1).as("p1"), neg.as("s2"), lit(-1).as("p2")),
-        (acc, c) =>
-          when(c.getField("s") > acc.getField("s1"),
-            struct(c.getField("s").as("s1"), c.getField("p").as("p1"),
-              acc.getField("s1").as("s2"), acc.getField("p1").as("p2")))
-          .when(c.getField("s") > acc.getField("s2"),
-            struct(acc.getField("s1").as("s1"), acc.getField("p1").as("p1"),
-              c.getField("s").as("s2"), c.getField("p").as("p2")))
-          .otherwise(acc))
+      val ranked = array_sort(transform(col("__cells"),
+        c => struct(
+          (-graft.functions.VectorF.dot(col("vec"), c.getField("rvec"))).as("ns"),
+          c.getField("part").as("p"))))
       docs
         .select(col(idCol).cast("long").as("id"),
           col(vecCol).cast("array<double>").as("vec"))
         .crossJoin(broadcast(packed))
         .select(col("id"), col("vec"),
-          explode(filter(array(best2.getField("p1"), best2.getField("p2")),
-            p => p >= 0)).as("part"))
-        .select(col("id"), col("vec"), col("part").cast("int").as("part"))
+          explode(slice(ranked, 1, replicas)).as("__c"))
+        .select(col("id"), col("vec"), col("__c.p").cast("int").as("part"))
     }
   }
 
@@ -442,9 +437,15 @@ object GraphAnn {
                     delta: DataFrame, idCol: String, vecCol: String): Unit = {
     import spark.implicits._
     Search.requireIntegralId(delta, idCol, "GraphAnn.appendToIndex")
-    val (m, efC, replicas) = spark.read.parquet(s"$path/params")
+    requireRouted(path, "appendToIndex")
+    val paramsDf = spark.read.parquet(s"$path/params")
+    val (m, efC, replicas) = paramsDf
       .select(col("m").cast("int"), col("efC").cast("int"),
-        col("replicas").cast("int"))
+        // pre-replication params lack the column — those indexes were
+        // built at the then-default 2× assignment (same back-compat
+        // rule as partBeams' routing read)
+        (if (paramsDf.columns.contains("replicas"))
+          col("replicas").cast("int") else lit(2)).as("replicas"))
       .as[(Int, Int, Int)].head()
     val d = assignParts(delta, idCol, vecCol,
       spark.read.parquet(s"$path/routing"), replicas)
@@ -523,10 +524,21 @@ object GraphAnn {
     * parquet `part` column, so unprobed cells are never read off
     * disk — and inside a task each cell beam-searches only the
     * queries routed to it. */
+  /** Layout guard: a graph index written before content routing
+    * (id-hash parts, no `routing` dir) cannot be routed or appended
+    * under the standing-quantizer contract — fail with the remedy
+    * instead of the raw missing-path AnalysisException the routing
+    * read would throw. */
+  private def requireRouted(path: String, op: String): Unit =
+    require(new java.io.File(s"$path/routing").exists(),
+      s"GraphAnn.$op: index at $path has no routing table — its layout " +
+        "predates content routing; rebuild it with GraphAnn.writeIndex")
+
   private def partBeams(spark: SparkSession, path: String,
                         qvs: Array[(Long, Array[Double])],
                         ef: Int, probeParts: Int): DataFrame = {
     import spark.implicits._
+    requireRouted(path, "searchIndex")
     val bqs = spark.sparkContext.broadcast(qvs)
     val expected = spark.read.parquet(s"$path/meta")
       .select(col("part").cast("int"), col("n").cast("long"))

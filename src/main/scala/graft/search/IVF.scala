@@ -122,6 +122,11 @@ object IVF {
     val cents0 = centroids(docs, idCol, vecCol, k)
     val cents = if (refineIters > 0)
       refine(docs, idCol, vecCol, cents0, refineIters) else cents0
+    // CREATE semantics: a brand-new index replaces whatever lived at
+    // the path (leftover generations from a prior index would
+    // otherwise leak into this one's lifecycle); REBUILDING a live
+    // index in place is writeIndexFrom's staged path
+    graft.FileTree.delete(new java.io.File(path))
     writeIndexFrom(cents, assign(docs, idCol, vecCol, cents), path)
   }
 
@@ -129,43 +134,87 @@ object IVF {
     * centroids + assignment the in-memory queries share) — the
     * memoized index and the at-rest index are then the same object in
     * two representations. */
-  /** List-generation directories under `path` (the initial `lists`
-    * plus every versioned `lists__vN`), minus `keep` — the ONE
-    * predicate both compaction's and the rebuild's GC share. */
+  /** Generation directories under `path` (the initial `lists` /
+    * `centroids` plus every versioned `lists__vN` / `centroids__vN`),
+    * minus `keep` — the ONE predicate both compaction's and the
+    * rebuild's GC share. */
   private def staleGenerations(path: String, keep: Set[String]): Seq[java.io.File] =
     Option(new java.io.File(path).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory &&
-        (f.getName == "lists" || f.getName.startsWith("lists__v")) &&
+        (f.getName == "lists" || f.getName.startsWith("lists__v") ||
+          f.getName == "centroids" || f.getName.startsWith("centroids__v")) &&
         !keep.contains(f.getName))
+
+  /** The next free generation number: max over EVERY versioned dir
+    * present (live, grace, or orphaned) + 1 — derived from the
+    * listing, never from the live name, so a staged write can never
+    * collide with a surviving generation (a liveName-based counter
+    * restarts at v2 after a rebuild and overwrites the grace
+    * generation readers may still hold). */
+  private def nextVersion(path: String): Int = {
+    val vs = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName)
+      .collect {
+        case n if n.startsWith("lists__v") => n.stripPrefix("lists__v")
+        case n if n.startsWith("centroids__v") => n.stripPrefix("centroids__v")
+      }
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+    (vs :+ 1).max + 1
+  }
+
+  /** Atomically point CURRENT at a (lists, centroids) generation pair:
+    * single-file ATOMIC_MOVE on a filesystem, a small-object PUT on an
+    * object store. */
+  private def flipCurrent(path: String, listsN: String, centsN: String): Unit = {
+    val tmp = java.nio.file.Paths.get(s"$path/CURRENT.tmp")
+    java.nio.file.Files.write(tmp,
+      s"$listsN $centsN".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$path/CURRENT"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   def writeIndexFrom(cents: DataFrame, assigned: DataFrame, path: String): Unit = {
     // REBUILD — a wholesale replacement of the index (new centroids +
-    // new lists). NOT crash-atomic as a pair: the quantizer and the
-    // lists are two tables, and a crash between their writes is
-    // recovered by RE-RUNNING the rebuild (single maintenance writer —
-    // the create/replace discipline; contrast compactIndex, whose
-    // content-preserving swap IS atomic via the pointer flip). What
-    // the ordering below does guarantee: the CURRENT pointer never
-    // dangles — it is dropped only after the fresh `lists` write
-    // completes, so a previously-compacted index serves its old
-    // generation throughout the rebuild, and that generation then
-    // survives one more cycle as the in-flight readers' grace window
-    // (the compactIndex GC rule).
-    val prev = listsName(path)
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
-    assigned
-      // one file per inverted list: without the cid shuffle every
-      // write task drops a fragment into every cid= dir it holds
-      // rows for (tasks × K small files — the anti-layout for both
-      // the local FS and a 100 TB object store); the write-side
-      // exchange pays for every read after (the postings-write
-      // discipline, SparkEntry.writePostings)
-      .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(s"$path/CURRENT"))
-    staleGenerations(path, keep = Set("lists", prev))
-      .foreach(graft.FileTree.delete)
+    // new lists). The quantizer and its lists are ONE consistency
+    // unit: list cids are assigned under specific centroids, so a
+    // reader pairing a new quantizer with old lists (or vice versa)
+    // ranks probes against one geometry and scans lists laid out
+    // under another — silently wrong candidates. On a live index the
+    // rebuild therefore stages BOTH tables under a fresh versioned
+    // generation and commits them with the single CURRENT pointer
+    // flip (compactIndex's discipline): a crash before the flip
+    // leaves the old generation serving and the staged one orphaned
+    // (re-run to complete; the orphan is GC'd next cycle), a crash
+    // after leaves the new one serving — no window pairs mismatched
+    // tables. The superseded generation survives one cycle as the
+    // in-flight readers' grace window, exactly like compaction's.
+    val freshIndex = !new java.io.File(s"$path/CURRENT").isFile &&
+      !new java.io.File(s"$path/lists").isDirectory
+    // one file per inverted list: without the cid shuffle every
+    // write task drops a fragment into every cid= dir it holds
+    // rows for (tasks × K small files — the anti-layout for both
+    // the local FS and a 100 TB object store); the write-side
+    // exchange pays for every read after (the postings-write
+    // discipline, SparkEntry.writePostings)
+    val listWrite = assigned.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+    if (freshIndex) {
+      // first build at this path: nothing can be reading it, the base
+      // names ARE the generation (no pointer until maintenance)
+      cents.write.mode("overwrite").parquet(s"$path/centroids")
+      listWrite.parquet(s"$path/lists")
+    } else {
+      val prevLists = listsName(path)
+      val prevCents = centroidsName(path)
+      val v = nextVersion(path)
+      cents.write.mode("overwrite").parquet(s"$path/centroids__v$v")
+      listWrite.parquet(s"$path/lists__v$v")
+      flipCurrent(path, s"lists__v$v", s"centroids__v$v")
+      staleGenerations(path,
+        keep = Set(s"lists__v$v", s"centroids__v$v", prevLists, prevCents))
+        .foreach(graft.FileTree.delete)
+    }
   }
 
   /** INCREMENTAL index maintenance: assign a delta batch against the
@@ -189,28 +238,43 @@ object IVF {
     * quantizer on the same trigger). */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     delta: DataFrame, idCol: String, vecCol: String): Unit = {
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = spark.read.parquet(centroidsPath(path))
     assign(delta, idCol, vecCol, cents)
       .repartition(col("cid")) // one appended file per touched list
       .write.mode("append").partitionBy("cid").parquet(listsPath(path))
   }
 
-  /** The LIVE inverted-lists directory name: compaction writes each
-    * new generation under a fresh versioned name and flips the
-    * one-line `$path/CURRENT` pointer to it; an index that has never
-    * compacted has no pointer and lives at the initial `lists`. */
-  private def listsName(path: String): String = {
+  /** The LIVE generation pair: maintenance ops write each new
+    * generation under fresh versioned names and flip the one-line
+    * `$path/CURRENT` pointer (`"<listsName> <centroidsName>"`) to it;
+    * an index that has never been compacted or rebuilt in place has
+    * no pointer and lives at the base `lists` / `centroids`. A legacy
+    * single-token pointer (written before centroids were versioned)
+    * names only the lists generation — its centroids are the base
+    * table, which that layout never moved. */
+  private def parseCurrent(path: String): Option[(String, String)] = {
     val cur = new java.io.File(s"$path/CURRENT")
-    if (cur.isFile)
-      new String(java.nio.file.Files.readAllBytes(cur.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-    else "lists"
+    if (!cur.isFile) None
+    else {
+      val toks = new String(java.nio.file.Files.readAllBytes(cur.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+      Some((toks(0), if (toks.length > 1) toks(1) else "centroids"))
+    }
   }
+  private def listsName(path: String): String =
+    parseCurrent(path).map(_._1).getOrElse("lists")
+  private def centroidsName(path: String): String =
+    parseCurrent(path).map(_._2).getOrElse("centroids")
 
   /** Resolved path of the live inverted lists — every reader and the
     * append writer go through this indirection so compaction can swap
     * generations without touching them. */
   def listsPath(path: String): String = s"$path/${listsName(path)}"
+
+  /** Resolved path of the live centroid table — versioned WITH the
+    * lists under the same pointer, so the (quantizer, lists) pair a
+    * reader sees is always the pair one generation wrote. */
+  def centroidsPath(path: String): String = s"$path/${centroidsName(path)}"
 
   /** COMPACTION — the last quarter of the index-maintenance
     * lifecycle (build → append → refine → compact): every append
@@ -240,20 +304,20 @@ object IVF {
     * window for readers that resolved the pointer just before the
     * flip; only generations two or more cycles old are GC'd. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val liveName = listsName(path)
-    val next = if (liveName == "lists") 2
-      else liveName.stripPrefix("lists__v").toInt + 1
-    val nextName = s"lists__v$next"
-    spark.read.parquet(s"$path/$liveName")
+    val liveLists = listsName(path)
+    val liveCents = centroidsName(path)
+    // next version from the LISTING (nextVersion), not the live name:
+    // a liveName-derived counter restarts at v2 right after a rebuild
+    // and would stage INTO a surviving grace generation
+    val nextName = s"lists__v${nextVersion(path)}"
+    spark.read.parquet(s"$path/$liveLists")
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/$nextName")
-    val tmp = java.nio.file.Paths.get(s"$path/CURRENT.tmp")
-    java.nio.file.Files.write(tmp,
-      nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$path/CURRENT"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    staleGenerations(path, keep = Set(nextName, liveName))
+    // compaction moves bytes, never content: the new lists still live
+    // under the SAME quantizer, so the pointer keeps the centroids
+    // name and swaps only the lists generation
+    flipCurrent(path, nextName, liveCents)
+    staleGenerations(path, keep = Set(nextName, liveLists, liveCents))
       .foreach(graft.FileTree.delete)
   }
 
@@ -298,7 +362,7 @@ object IVF {
                   idCol: String, vecCol: String,
                   query: DataFrame, queryVecCol: String,
                   k: Int, nprobe: Int): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = spark.read.parquet(centroidsPath(path))
     val probes = query.select(col(queryVecCol).as("__qv"))
       .crossJoin(broadcast(cents))
       .withColumn("__cs", dot(col("__qv"), col("cvec")))

@@ -215,19 +215,37 @@ class SearchSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/lists").exists())
     assert(new java.io.File(s"$path/lists__v2").exists(),
       "grace-window generation was deleted")
-    // a full rebuild resets the generation back to the initial layout
-    // (checkpoint the standing centroids first: writeIndexFrom
-    // overwrites the very files the lazy plan would re-read)
-    val cents = spark.read.parquet(s"$path/centroids").localCheckpoint()
+    // an in-place rebuild STAGES a fresh generation pair (centroids +
+    // lists under one pointer flip — a reader can never pair the new
+    // quantizer with the old lists) at max(existing)+1, so it cannot
+    // collide with the surviving v2/v3 generations
+    val cents = spark.read.parquet(IVF.centroidsPath(path)).localCheckpoint()
     IVF.writeIndexFrom(cents,
       IVF.assign(emb, "vec_id", "v", cents), path)
-    assert(IVF.listsPath(path).endsWith("/lists"))
+    assert(IVF.listsPath(path).endsWith("lists__v4"),
+      s"rebuild should stage past surviving generations, got ${IVF.listsPath(path)}")
+    assert(IVF.centroidsPath(path).endsWith("centroids__v4"),
+      "rebuild must version the centroids with the lists")
+    assert(search() == afterFirst, "in-place rebuild changed answers")
     // the rebuild's GC follows the same grace rule: the generation
-    // that was live before the rebuild (v3) survives one cycle for
-    // in-flight readers; older ones (v2) are deleted
+    // that was live before the rebuild (v3) and its centroids (the
+    // base table) survive one cycle for in-flight readers; older
+    // lists (v2) are deleted
     assert(!new java.io.File(s"$path/lists__v2").exists())
     assert(new java.io.File(s"$path/lists__v3").exists(),
       "rebuild deleted the grace-window generation")
+    assert(new java.io.File(s"$path/centroids").exists(),
+      "rebuild deleted the grace-window centroids")
+    // the NEXT maintenance cycle retires the rebuild's grace pair
+    IVF.compactIndex(spark, path)
+    assert(IVF.listsPath(path).endsWith("lists__v5"))
+    assert(IVF.centroidsPath(path).endsWith("centroids__v4"),
+      "compaction must keep serving the same quantizer")
+    assert(!new java.io.File(s"$path/lists__v3").exists() &&
+      !new java.io.File(s"$path/centroids").exists(),
+      "generations two cycles old must be GC'd")
+    assert(new java.io.File(s"$path/lists__v4").exists())
+    assert(search() == afterFirst)
   }
 
   test("IVF compaction crash window: an orphaned generation never serves; re-running completes") {
@@ -246,10 +264,14 @@ class SearchSpec extends SparkSpec {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists__v2")
     assert(IVF.listsPath(path).endsWith("/lists"), "orphan generation went live")
     assert(search() == before)
-    // re-running compaction from this state completes: it overwrites
-    // the orphan, flips the pointer, and answers are unchanged
+    // re-running compaction from this state completes: the version
+    // counter skips PAST the orphan (a name an in-flight reader could
+    // in principle hold is never re-staged into), flips the pointer,
+    // GCs the orphan, and answers are unchanged
     IVF.compactIndex(spark, path)
-    assert(IVF.listsPath(path).endsWith("lists__v2"))
+    assert(IVF.listsPath(path).endsWith("lists__v3"))
+    assert(!new java.io.File(s"$path/lists__v2").exists(),
+      "the orphaned generation should be GC'd once a real one commits")
     assert(search() == before)
   }
 
