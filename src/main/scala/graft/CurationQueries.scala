@@ -227,11 +227,15 @@ object CurationQueries {
   /** [[pairsCteSql]] with a caller-chosen candidate-pair predicate
     * (`a` = the id1 side, `c` = the id2 side of the bucket
     * self-join) — q31 keeps the canonical `a.doc_id < c.doc_id`
-    * within-corpus form; q98 swaps in the delta × base slice split. */
-  private[graft] def pairsCteSqlWith(pairPred: String): String = {
+    * within-corpus form; q98 swaps in the delta × base slice split —
+    * and a caller-chosen source relation providing (doc_id, text):
+    * q117's composed pipeline runs the pair chain over its
+    * cleaned-and-exact-deduped survivors instead of raw documents. */
+  private[graft] def pairsCteSqlWith(pairPred: String,
+      srcSql: String = "SELECT doc_id, text FROM documents"): String = {
     val nBands = nPerm / rowsPerBand
     s"""t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
-         FROM documents),
+         FROM ($srcSql)),
        d AS (SELECT doc_id,
            CASE WHEN len(toks) >= $shingleN THEN
              list_distinct(list_transform(generate_series(1, len(toks) - ${shingleN - 1}),

@@ -678,13 +678,14 @@ object RetrievalQueries {
     }
 
   /** The routed serving dial: cells probed per query (of
-    * [[graphPartsFor]] total). parts/2 keeps the q95-measured recall
-    * comfortably above the 0.9 floor (0.98 at sf0.001 with the 2×
-    * boundary replication) while the nodes scan reads half the cells
-    * off disk (partition-pruned; GraphAnnSpec plan-asserts it) — the
-    * IVF nprobe trade surfaced as data by q95's probe rows. */
+    * [[graphPartsFor]] total) — [[graft.search.GraphAnn.autoProbe]]'s
+    * occupancy-aware default (coverage 1.5: parts/2 at the 3×
+    * replication the index is built with), which the round-10 sf0.1
+    * sweep measured at recall 0.978 — headroom over the 0.9 spec
+    * floor, vs exactly 0.90 for the round-9 fixed parts/2 at R=2. */
   private[graft] def graphProbeFor(s: SparkSession, dir: String): Int =
-    math.max(2, graphPartsFor(s, dir) / 2)
+    graft.search.GraphAnn.autoProbe(graphPartsFor(s, dir),
+      graft.search.GraphAnn.DefaultReplicas)
 
   /** Full-corpus rebuild UNDER THE ROUTING TRAINED ON THE FIRST 80%
     * of ids — the equivalence target q97/q99 pin their appended /

@@ -254,6 +254,33 @@ object GraphAnn {
     * from the local structure routing exploits, so 3 is the pin. */
   private val RoutingRefineIters = 3
 
+  /** Default boundary-replication factor. The round-10 sweep at the
+    * LARGEST measured scale point (sf0.1, 8 cells, 50 queries, ef=48)
+    * moved this from 2 to 3: at equal probed-cell count (parts/2)
+    * recall@10 is 0.918 at R=2 — no headroom over the 0.9 spec
+    * floor — vs 0.978 at R=3; matching R=2's recall instead needs
+    * probe=3·parts/4, the same bytes scanned (probe/parts × R·n) with
+    * more per-query beam searches. 1.5× index bytes at rest buys the
+    * ≥0.95 recall target at half-probe serving. */
+  private[graft] val DefaultReplicas = 3
+
+  /** Scale-aware serving default: the probe count that holds the
+    * measured recall floor as a function of the index's OWN
+    * replication factor (read from the routing table at serving
+    * time — the at-rest record of cell occupancy), rather than a
+    * fixed parts/2. coverage ≈ probe/parts × R is the expected
+    * number of a neighbor's cells among the probed ones; the sweep
+    * measured coverage 1.5 as the knee (R=3 → parts/2 → 0.978,
+    * R=2 → 3·parts/4 → 0.986 at sf0.1; fractions below it fall
+    * under 0.95). */
+  private[graft] def autoProbe(parts: Int, replicas: Int): Int =
+    math.min(parts,
+      math.max(2, math.ceil(1.5 * parts / math.max(1, replicas)).toInt))
+
+  /** Sentinel for `probeParts`: resolve the probe count from the
+    * index's routing table via [[autoProbe]]. */
+  val AutoProbe = 0
+
   /** The index's deterministic routing table: `parts` coarse cells,
     * one (part, rvec) row each — [[IVF.centroids]]' rank-based LCG
     * sample refined by [[IVF.refine]]'s integer-quantized spherical
@@ -325,7 +352,7 @@ object GraphAnn {
     * ([[routingFor]]); see [[writeIndexWith]] for the layout. */
   def writeIndex(docs: DataFrame, idCol: String, vecCol: String,
                  m: Int, efC: Int, parts: Int, path: String,
-                 replicas: Int = 2): Unit = {
+                 replicas: Int = DefaultReplicas): Unit = {
     require(parts >= 1, s"parts must be >= 1, got $parts")
     writeIndexWith(routingFor(docs, idCol, vecCol, parts),
       docs, idCol, vecCol, m, efC, path, replicas)
@@ -368,7 +395,7 @@ object GraphAnn {
   def writeIndexWith(routing: DataFrame, docs: DataFrame,
                      idCol: String, vecCol: String,
                      m: Int, efC: Int, path: String,
-                     replicas: Int = 2): Unit = {
+                     replicas: Int = DefaultReplicas): Unit = {
     Search.requireIntegralId(docs, idCol, "GraphAnn.writeIndex")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -555,13 +582,17 @@ object GraphAnn {
       .as[(Int, Seq[Double], Int)].collect()
     val replicas = routingRows.headOption.map(_._3).getOrElse(1)
     val routing = routingRows.map { case (p, v, _) => (p, v.toArray) }.sortBy(_._1)
-    val pruned = probeParts < routing.length
+    // AutoProbe resolves against the index's own occupancy here, where
+    // the routing table is already in hand
+    val probe = if (probeParts == AutoProbe) autoProbe(routing.length, replicas)
+      else probeParts
+    val pruned = probe < routing.length
     val allowed: Map[Long, Set[Int]] =
       if (!pruned) Map.empty
       else qvs.iterator.map { case (qid, qv) =>
         qid -> routing.map { case (p, rv) => (p, dot(rv, qv)) }
           .sortBy { case (p, s) => (-s, p) }
-          .take(probeParts).map(_._1).toSet
+          .take(probe).map(_._1).toSet
       }.toMap
     val bAllowed = spark.sparkContext.broadcast(allowed)
     val base = spark.read.parquet(s"$path/nodes")
@@ -609,12 +640,15 @@ object GraphAnn {
   /** Beam-search a persisted graph index for ONE query (Search.topK
     * output contract): per-query cost is the routed index scan +
     * beams + the O(probeParts × ef) exact-score merge. `probeParts`
-    * is the nprobe dial — cells to route to (default: all). */
+    * is the nprobe dial — cells to route to. The default is
+    * [[AutoProbe]]: the scale-aware probe count derived from the
+    * index's own routing occupancy ([[autoProbe]]); pass
+    * `Int.MaxValue` (or `parts`) for an explicit full scan. */
   def searchIndex(spark: SparkSession, path: String, idCol: String,
                   query: DataFrame, queryVecCol: String,
-                  k: Int, ef: Int, probeParts: Int = Int.MaxValue): DataFrame = {
+                  k: Int, ef: Int, probeParts: Int = AutoProbe): DataFrame = {
     require(k >= 1 && ef >= k, s"need k >= 1 and ef >= k, got k=$k ef=$ef")
-    require(probeParts >= 1, s"probeParts must be >= 1, got $probeParts")
+    require(probeParts >= 0, s"probeParts must be >= 0, got $probeParts")
     import spark.implicits._
     val qv = query.select(col(queryVecCol).cast("array<double>"))
       .as[Seq[Double]].head().toArray
@@ -631,9 +665,9 @@ object GraphAnn {
     * O(queries × k) rows. Output (qid, id, rank, score). */
   def searchIndexMulti(spark: SparkSession, path: String, idCol: String,
                        queries: DataFrame, qidCol: String, qvecCol: String,
-                       k: Int, ef: Int, probeParts: Int = Int.MaxValue): DataFrame = {
+                       k: Int, ef: Int, probeParts: Int = AutoProbe): DataFrame = {
     require(k >= 1 && ef >= k, s"need k >= 1 and ef >= k, got k=$k ef=$ef")
-    require(probeParts >= 1, s"probeParts must be >= 1, got $probeParts")
+    require(probeParts >= 0, s"probeParts must be >= 0, got $probeParts")
     import spark.implicits._
     val qvs = queries
       .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))

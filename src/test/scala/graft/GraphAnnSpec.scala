@@ -195,7 +195,7 @@ class GraphAnnSpec extends SparkSpec {
     val path = java.nio.file.Files.createTempDirectory("graphann_touch").toString
     GraphAnn.writeIndex(emb.filter(col("vec_id") < split), "vec_id", "v",
       m = 8, efC = 48, parts = 4, path)
-    // pick ONE delta row; only its TWO routed content cells (the
+    // pick ONE delta row; only its R routed content cells (the
     // replicated assignment) may be rewritten
     val one = emb.filter(col("vec_id") === split)
     val cells = spark.read.parquet(s"$path/routing")
@@ -205,7 +205,7 @@ class GraphAnnSpec extends SparkSpec {
       .as[Seq[Double]].head().toArray
     val deltaParts = cells
       .map { case (p, rv) => (p, rv.zip(qv).map(t => t._1 * t._2).sum) }
-      .sortBy { case (p, s) => (-s, p) }.take(2).map(_._1)
+      .sortBy { case (p, s) => (-s, p) }.take(GraphAnn.DefaultReplicas).map(_._1)
       .map(p => s"part=$p").toSet
     def fileSig(): Map[String, Set[String]] =
       new java.io.File(s"$path/nodes").listFiles().toSeq
@@ -274,16 +274,17 @@ class GraphAnnSpec extends SparkSpec {
       s"expected partition pruning on part:\n$plan")
   }
 
-  test("boundary replication: every vector lives in exactly two distinct cells, one primary") {
+  test("boundary replication: every vector lives in exactly R distinct cells, one primary") {
     val path = java.nio.file.Files.createTempDirectory("graphann_repl").toString
     GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 8, path)
     val nodes = spark.read.parquet(s"$path/nodes")
       .select(col("id").cast("long"), col("part").cast("int"))
       .as[(Long, Int)].collect().toSeq
     val n = emb.count()
-    assert(nodes.size == 2 * n, s"expected 2x replication, got ${nodes.size}/$n")
+    val r = GraphAnn.DefaultReplicas
+    assert(nodes.size == r * n, s"expected ${r}x replication, got ${nodes.size}/$n")
     val cells = nodes.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    assert(cells.values.forall(_.size == 2), "a vector's two cells collide")
+    assert(cells.values.forall(_.size == r), s"a vector's $r cells collide")
     // the primary cell is the IVF-style single assignment under the
     // same routing table: it must be one of the two
     val routing = spark.read.parquet(s"$path/routing")
