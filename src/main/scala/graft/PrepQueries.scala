@@ -735,10 +735,16 @@ object PrepQueries {
     * construction (it is the mixing unit), so the unpartitioned
     * rank/prefix window is bounded by the source count, not the
     * corpus. */
-  def q108BudgetAllocation(s: SparkSession, dir: String): DataFrame = {
-    val per = docs(s, dir)
+  def q108BudgetAllocation(s: SparkSession, dir: String): DataFrame =
+    budgetAllocationOver(docs(s, dir)
       .select(col("source"), size(Dedup.tokenize(col("text"))).cast("long").as("t"))
-      .groupBy("source").agg(sum(col("t")).as("n"))
+      .groupBy("source").agg(sum(col("t")).as("n")))
+
+  /** The water-filling allocation over a CALLER-SUPPLIED per-source
+    * token-count table `per(source, n)` — q108 feeds it the raw
+    * corpus, q117's composed pipeline the post-filter survivors.
+    * Output: (source, n_tokens, alloc_tokens, capped), ordered. */
+  private[graft] def budgetAllocationOver(per: DataFrame): DataFrame = {
     val stats = per.agg(sum(col("n")).as("total"), count(lit(1)).as("m"))
     val w = Window.orderBy(col("n").asc, col("source").asc)
     val ranked = per.crossJoin(broadcast(stats))
@@ -768,14 +774,12 @@ object PrepQueries {
       .orderBy("source")
   }
 
-  /** q108's allocation CTE chain ending in `alloc(source, n_tokens,
-    * alloc_tokens, capped)` — shared verbatim by q108 and q113's
-    * replay. */
-  private val allocCtesSql: String =
-    s"""per AS (SELECT source,
-           CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS n
-         FROM documents GROUP BY source),
-       st AS (SELECT SUM(n) AS total, COUNT(*) AS m FROM per),
+  /** The water-filling tail: the allocation chain AFTER a
+    * caller-supplied `per(source, n)` CTE, ending in
+    * `alloc(source, n_tokens, alloc_tokens, capped)` — q108/q113 feed
+    * it the raw corpus counts, q117 its filtered pool's. */
+  private[graft] val allocTailSql: String =
+    s"""st AS (SELECT SUM(n) AS total, COUNT(*) AS m FROM per),
        rk AS (SELECT source, n, m,
            CAST(FLOOR(total / 2) AS BIGINT) AS b,
            ROW_NUMBER() OVER (ORDER BY n, source) AS r,
@@ -798,6 +802,14 @@ object PrepQueries {
            ELSE capfloor + CASE WHEN crn <= rem THEN 1 ELSE 0 END END AS BIGINT) AS alloc_tokens,
          capped
        FROM rn)"""
+
+  /** q108's allocation CTE chain over the raw corpus (per + tail) —
+    * shared verbatim by q108 and q113's replay. */
+  private val allocCtesSql: String =
+    s"""per AS (SELECT source,
+           CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS n
+         FROM documents GROUP BY source),
+       $allocTailSql"""
 
   val q108Sql: String =
     s"""WITH $allocCtesSql
@@ -1029,6 +1041,194 @@ object PrepQueries {
        SELECT split, lang, COUNT(*) AS n FROM sp
        GROUP BY split, lang ORDER BY split, lang"""
 
+  // ---------- q117: the curation pipeline end-to-end ----------
+
+  /** THE CANONICAL TRAINING-DATA CURATION CHAIN AS ONE QUERY — the
+    * stages q07 (clean), q30 (exact dedup), q68 (near-dup
+    * components), q34/q105 (decontamination), q112 (perplexity
+    * filter), q108/q113 (mixture draw), and q115 (leakage-free
+    * split) compose end-to-end, each stage consuming the PREVIOUS
+    * stage's output rather than the raw table. The individually
+    * oracled queries pin each operator; this one pins the WIRING —
+    * the cross-operator bug class (a split keyed on pre-dedup ids, a
+    * quality model trained on text the dedup already removed) lives
+    * only in the composition, so the oracle replays the entire chain
+    * and the hash match certifies every hand-off:
+    *
+    *   1. clean: whitespace-normalized text — the form every later
+    *      stage tokenizes (one projection);
+    *   2. exact dedup: keep-first on the normalized CLEAN text (one
+    *      hash shuffle);
+    *   3. near-dup components over the SURVIVORS: MinHash bands →
+    *      verified Jaccard pairs → connected components (banded
+    *      equi-join + bounded label propagation) — computed
+    *      post-exact-dedup so component ids key on documents that
+    *      still exist;
+    *   4. decontaminate: the held-out eval slice (doc_id % 10 = 7)
+    *      leaves the train pool, and so does every doc sharing a
+    *      near-dup COMPONENT with one (stage-3's artifact reused —
+    *      an equi-join on the component key);
+    *   5. perplexity filter: the q112 bigram LM trained on the
+    *      surviving pool itself scores each doc; docs below the
+    *      pool-mean log-prob drop. The threshold compare is exact
+    *      integer arithmetic (micro-logp × pool count vs pool sum —
+    *      one corpus aggregate broadcast, no quantile window);
+    *   6. mixture draw: water-filling token budget (B = total/2)
+    *      across sources over the FILTERED pool, realized by the
+    *      q113 deterministic hash draw (per-doc, one scan, no sort);
+    *   7. leakage-free split: q115's 80/10/10 hash split keyed on
+    *      stage-3's component id, so near-dup documents never
+    *      straddle splits (require-gated).
+    *
+    * Output: the per-(split, source) manifest a training run
+    * consumes. Scale shape: projections, banded equi-joins, keyed
+    * aggregates, and one-row broadcasts — no stage materializes more
+    * than the corpus scan it rides; the LM tables are
+    * vocabulary-bounded, the allocation operates on the source
+    * table. */
+  def q117CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.ingest.Ingest
+    val tau = CurationQueries.nearDupTau
+    // 1. clean
+    val cleaned = docs(s, dir).select(col("doc_id"), col("source"),
+      Ingest.cleanText(col("text")).as("ctext"))
+    // 2. exact dedup (keep-first by id) on the normalized clean text
+    val surv = Ingest.dedupFirst(cleaned, Dedup.normKey(col("ctext")), col("doc_id"))
+      .localCheckpoint() // pair chain + keyed read it repeatedly
+    // 3. near-dup components over the survivors
+    val cand = Dedup.lshCandidates(surv, "doc_id", "ctext",
+      CurationQueries.shingleN, CurationQueries.nPerm, CurationQueries.rowsPerBand)
+      .localCheckpoint()
+    val pairs = Dedup.jaccardVerify(surv, "doc_id", "ctext", cand,
+      CurationQueries.shingleN)
+      .filter(col("jaccard") >= tau)
+    val comp = graft.operators.ConnectedComponents.components(pairs, "id1", "id2")
+      .select(col("v").as("doc_id"), col("component"))
+    val keyed = surv.join(comp, Seq("doc_id"), "left")
+      .withColumn("ck", coalesce(col("component"), col("doc_id")))
+    // 4. decontaminate: eval docs and their near-dup components leave
+    val evalCk = keyed.filter(col("doc_id") % 10 === 7).select("ck").distinct()
+    val pool0 = keyed.filter(col("doc_id") % 10 =!= 7)
+      .join(evalCk, Seq("ck"), "left_anti")
+      .select(col("doc_id"), col("source"), col("ck"), col("ctext").as("text"))
+      .localCheckpoint() // LM counts + vocab + scoring + manifest
+    // 5. perplexity filter: q112's bigram LM, trained on the pool
+    val ref = docBigrams(pool0).localCheckpoint()
+    val pairLm = ref.groupBy("s").agg(count(lit(1)).as("c"))
+    val histLm = ref.groupBy("h").agg(count(lit(1)).as("c1"))
+    val vocab = pool0
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val scored = ref
+      .join(broadcast(pairLm), Seq("s"), "left")
+      .join(broadcast(histLm), Seq("h"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((coalesce(col("c"), lit(0L)).cast("double") + 1.0) /
+            (coalesce(col("c1"), lit(0L)).cast("double") +
+              col("v").cast("double"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("lp")) / count(lit(1)), 6).as("mlp"))
+    val withU = pool0.join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(vocab))
+      // micro-logp as exact integers: the pool-mean threshold becomes
+      // a multiply-compare (mlp_u · n_pool ≥ Σ mlp_u) — order-free and
+      // engine-portable, where a double mean could flip a boundary doc
+      // between engines on the last ulp
+      .withColumn("mlp_u", round(coalesce(col("mlp"),
+        round(log(lit(1.0) / col("v").cast("double")), 6)) * 1e6).cast("long"))
+    val stats = withU.agg(sum(col("mlp_u")).as("sum_u"),
+      count(lit(1)).as("n_pool"))
+    val pool = withU.crossJoin(broadcast(stats))
+      .filter(col("mlp_u") * col("n_pool") >= col("sum_u"))
+      .select(col("doc_id"), col("source"), col("ck"),
+        size(Dedup.tokenize(col("text"))).cast("long").as("t"))
+      .localCheckpoint() // alloc + draw + manifest
+    // 6. mixture draw over the filtered pool
+    val alloc = budgetAllocationOver(
+      pool.groupBy("source").agg(sum(col("t")).as("n")))
+      .select(col("source"), col("n_tokens"), col("alloc_tokens"))
+    val drawn = pool.join(broadcast(alloc), "source")
+      .filter(md5Slice(col("doc_id"), 2) % 1000000L <
+        floor(col("alloc_tokens").cast("double") * lit(1e6) /
+          col("n_tokens").cast("double")))
+    // 7. leakage-free split on the component key
+    val bucket = md5Slice(col("ck"), 1) % 100
+    val splitDf = drawn.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    require(splitDf.groupBy("ck")
+        .agg(count_distinct(col("split")).as("ns"))
+        .filter(col("ns") > 1).isEmpty,
+      "q117: a near-dup component straddles splits")
+    splitDf.groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+      .orderBy("split", "source")
+  }
+
+  /** Every hand-off replayed: q07's clean regex → q30's keep-first →
+    * the pair chain OVER THE SURVIVOR RELATION → q115's recursive
+    * closure → component-keyed decontamination → q112's LM CTEs over
+    * the pool → integer threshold → q108's allocation over the
+    * filtered pool → q113's draw → q115's split rule. */
+  val q117Sql: String = {
+    val tau = CurationQueries.nearDupTau
+    s"""WITH RECURSIVE cl AS (SELECT doc_id, source,
+           trim(regexp_replace(regexp_replace(text, '[\\r\\n]+', ' ', 'g'), '\\s+', ' ', 'g')) AS ctext
+         FROM documents),
+       surv AS (SELECT doc_id, source, ctext FROM cl
+         QUALIFY ROW_NUMBER() OVER (
+           PARTITION BY regexp_replace(lower(trim(ctext)), '\\s+', ' ', 'g')
+           ORDER BY doc_id) = 1),
+       ${CurationQueries.pairsCteSqlWith("a.doc_id < c.doc_id",
+          "SELECT doc_id, ctext AS text FROM surv")},
+       e AS (SELECT id1 AS a, id2 AS b FROM pairs WHERE jaccard >= $tau
+             UNION ALL SELECT id2 AS a, id1 AS b FROM pairs WHERE jaccard >= $tau),
+       vnodes AS (SELECT DISTINCT a AS v FROM e),
+       r AS (SELECT v, v AS l FROM vnodes
+             UNION SELECT e.b AS v, r.l AS l FROM r JOIN e ON e.a = r.v),
+       comps AS (SELECT v AS doc_id, CAST(MIN(l) AS BIGINT) AS component FROM r GROUP BY v),
+       keyed AS (SELECT s.doc_id, s.source, s.ctext,
+           COALESCE(c.component, s.doc_id) AS ck
+         FROM surv s LEFT JOIN comps c ON s.doc_id = c.doc_id),
+       evalck AS (SELECT DISTINCT ck FROM keyed WHERE doc_id % 10 = 7),
+       pool0 AS (SELECT doc_id, source, ck,
+           string_split_regex(lower(trim(ctext)), '\\s+') AS toks
+         FROM keyed WHERE doc_id % 10 <> 7
+           AND ck NOT IN (SELECT ck FROM evalck)),
+       bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+           k -> {'h': toks[k], 's': toks[k] || ' ' || toks[k + 1]}),
+           recursive := true)
+         FROM pool0 WHERE len(toks) >= 2),
+       pairlm AS (SELECT s, COUNT(*) AS c FROM bg GROUP BY s),
+       histlm AS (SELECT h, COUNT(*) AS c1 FROM bg GROUP BY h),
+       voc AS (SELECT COUNT(DISTINCT tok) AS v FROM (
+           SELECT unnest(toks) AS tok FROM pool0)),
+       sc AS (SELECT doc_id,
+           ln((COALESCE(c, 0) + 1.0) / (COALESCE(c1, 0) + CAST(v AS DOUBLE))) AS lp
+         FROM bg LEFT JOIN pairlm USING (s) LEFT JOIN histlm USING (h), voc),
+       agg0 AS (SELECT doc_id, ROUND(SUM(lp) / COUNT(*), 6) AS mlp
+         FROM sc GROUP BY doc_id),
+       scored AS (SELECT p.doc_id, p.source, p.ck, p.toks,
+           CAST(ROUND(COALESCE(a.mlp, ROUND(ln(1.0 / CAST(v AS DOUBLE)), 6)) * 1000000) AS BIGINT) AS mlp_u
+         FROM pool0 p LEFT JOIN agg0 a ON p.doc_id = a.doc_id, voc),
+       st0 AS (SELECT SUM(mlp_u) AS sum_u, COUNT(*) AS n_pool FROM scored),
+       pool AS (SELECT doc_id, source, ck, CAST(len(toks) AS BIGINT) AS t
+         FROM scored, st0 WHERE mlp_u * n_pool >= sum_u),
+       per AS (SELECT source, CAST(SUM(t) AS BIGINT) AS n FROM pool GROUP BY source),
+       ${allocTailSql},
+       kept AS (SELECT pool.source, pool.ck, pool.t
+         FROM pool JOIN alloc USING (source)
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2, 8))::BIGINT % 1000000
+               < FLOOR(CAST(alloc_tokens AS DOUBLE) * 1000000 / n_tokens)),
+       sp AS (SELECT source, t,
+           CASE WHEN ('0x' || substr(md5(CAST(ck AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(ck AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM kept)
+       SELECT split, source, COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS n_tokens
+       FROM sp GROUP BY split, source ORDER BY split, source"""
+  }
+
   val dsirBuckets = 512
 
   /** Data Selection with Importance Resampling (Xie et al., 2023),
@@ -1258,7 +1458,8 @@ object PrepQueries {
     "q108_budget_allocation" -> (q108BudgetAllocation _),
     "q112_perplexity_filter" -> (q112PerplexityFilter _),
     "q113_mixture_sample" -> (q113MixtureSample _),
-    "q115_leakfree_split" -> (q115LeakFreeSplit _))
+    "q115_leakfree_split" -> (q115LeakFreeSplit _),
+    "q117_curation_pipeline" -> (q117CurationPipeline _))
 
   val oracle: Map[String, String] = Map(
     "q72_chunk_docs" -> q72Sql,
@@ -1279,5 +1480,6 @@ object PrepQueries {
     "q108_budget_allocation" -> q108Sql,
     "q112_perplexity_filter" -> q112Sql,
     "q113_mixture_sample" -> q113Sql,
-    "q115_leakfree_split" -> q115Sql)
+    "q115_leakfree_split" -> q115Sql,
+    "q117_curation_pipeline" -> q117Sql)
 }

@@ -890,6 +890,73 @@ object RetrievalQueries {
       .orderBy("rank")
   }
 
+  /** GRAPH ROUTING REFRESH LIFECYCLE — the maintenance quarter
+    * q97/q99 leave open (their routing is "fixed at deployment while
+    * the corpus grows"): at 100 TB with drift, new content clusters
+    * where the standing quantizer under-covers, cell occupancy skews,
+    * per-cell graphs grow super-linearly, and routed recall decays.
+    * This is q96's trigger discipline applied to the graph index:
+    * build the at-rest index over the FIRST 60% of ids, append a
+    * deliberately drifted delta — the newest 40% re-embedded AT cell
+    * 0's routing vector, so every delta vector routes to the same
+    * replica cells (growing ids keep the append contract) — observe
+    * [[graft.search.GraphAnn.needsReroute]] FIRE (the require makes
+    * the trigger part of the gate: the hot cells hold base + the
+    * whole delta, ≥ 1.5× the mean at any SF by construction), retrain
+    * the routing on the index's OWN content with
+    * [[graft.search.GraphAnn.refreshRouting]], and serve the q86
+    * query from the refreshed index, routed.
+    *
+    * The equivalence gate: refresh ≡ a from-scratch [[writeIndex]]
+    * over the union corpus, BIT FOR BIT — routing training and the
+    * per-cell builds are deterministic functions of content, so
+    * retrain-and-rebuild from the live index must land on exactly the
+    * from-scratch artifact (the q97 append ≡ rebuild contract, one
+    * lifecycle quarter later). The exceptAll gate is O(index) per
+    * maintenance event — a deliberate HARNESS cost: the gate, not the
+    * refresh, scales with the index; production runs the refresh and
+    * trusts the spec-pinned equivalence. (Like q96: the cloned delta
+    * is one indivisible point mass — identical vectors cannot be
+    * split across cells — so the refreshed index may stay skewed; the
+    * contract is the lifecycle, not that one retrain cures
+    * duplication.) Rows-only: graph construction is not
+    * SQL-expressible (SURVEY ✗-mark discipline; GraphAnnSpec pins the
+    * same equivalence at spec scale). */
+  def q116GraphReroute(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
+    val split = 3L * n / 5L
+    val parts = graphPartsFor(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q116")
+    val path2 = PipelineQueries.roundtripPath(dir, "q116r")
+    val target = PipelineQueries.roundtripPath(dir, "q116t")
+    val base = e.filter(col("vec_id") < split)
+    graft.search.GraphAnn.writeIndex(base, "vec_id", "v",
+      graphM, graphEf, parts, path)
+    val rv0 = s.read.parquet(s"$path/routing").filter(col("part") === 0)
+      .select(col("rvec"))
+    val delta = e.filter(col("vec_id") >= split)
+      .crossJoin(broadcast(rv0)).select(col("vec_id"), col("rvec").as("v"))
+    graft.search.GraphAnn.appendToIndex(s, path, delta, "vec_id", "v")
+    require(graft.search.GraphAnn.needsReroute(s, path, 1.5),
+      "q116: the drifted append must trip the reroute trigger")
+    graft.search.GraphAnn.refreshRouting(s, path, parts, path2)
+    graft.search.GraphAnn.writeIndex(
+      base.select(col("vec_id"), col("v")).unionByName(delta),
+      "vec_id", "v", graphM, graphEf, parts, target)
+    val refreshed = s.read.parquet(s"$path2/nodes")
+      .select(col("part"), col("id"), col("vec"), col("nbrs"))
+    val scratch = s.read.parquet(s"$target/nodes")
+      .select(col("part"), col("id"), col("vec"), col("nbrs"))
+    require(refreshed.exceptAll(scratch).isEmpty &&
+        scratch.exceptAll(refreshed).isEmpty,
+      "q116: routing refresh must equal the from-scratch rebuild bit for bit")
+    graft.search.GraphAnn.searchIndex(s, path2, "vec_id",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10, graphEf,
+      probeParts = graphProbeFor(s, dir))
+      .orderBy("rank")
+  }
+
   /** Embedding-quality diagnostics: corpus mean + top principal
     * component of the centered embeddings via relational power
     * iteration ([[graft.embed.Spectral]]) — the artifacts of the
@@ -2066,6 +2133,7 @@ $pqRows)
     "q95_graph_recall" -> (q95GraphRecall _),
     "q97_graph_append" -> (q97GraphAppend _),
     "q99_stream_index" -> (q99StreamIndex _),
+    "q116_graph_reroute" -> (q116GraphReroute _),
     "q89_embedding_pc" -> (q89EmbeddingPc _),
     "q94_all_but_top" -> (q94AllButTop _),
     "q107_hard_negatives" -> (q107HardNegatives _),

@@ -106,7 +106,8 @@ object ScaleProbe {
       "q107_hard_negatives", "q108_budget_allocation",
       "q109_ivf_compact", "q110_hard_negatives_ann",
       "q111_stream_sessionize_append", "q112_perplexity_filter",
-      "q113_mixture_sample", "q115_leakfree_split")
+      "q113_mixture_sample", "q115_leakfree_split",
+      "q116_graph_reroute", "q117_curation_pipeline")
     val probeQs = if (args.length > 1) args.drop(1).toSeq else defaults
     probeQs.foreach {
       // vocab-axis probe for the BPE trainer (not a declared query):

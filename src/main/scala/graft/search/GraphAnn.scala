@@ -108,7 +108,25 @@ object GraphAnn {
     * the beam starts near the query's neighborhood instead of at
     * node 0, cutting hops on large partitions for O(√n) extra dots.
     * Deterministic, and search-time only — graphs are built with the
-    * fixed entry so the at-rest artifact is unchanged. */
+    * fixed entry so the at-rest artifact is unchanged.
+    *
+    * WHY NOT THE FULL MULTI-LEVEL DESCENT (the one structural gap vs
+    * the reference's HNSW): a log-time descent needs a proximity
+    * GRAPH at every level — upper levels of id-strided landmarks have
+    * no edges, so the only navigation over them is the linear scan
+    * this layer already does. Materializing level graphs would change
+    * the at-rest artifact for a win that only exists in very large
+    * single cells: the flat layer costs ⌈√n⌉ extra dots vs
+    * ~m·log₂(n) for HNSW's descent, crossing over around
+    * √n ≈ m·log₂(n) — n ≈ 30k nodes per cell at m=8. The builder
+    * sizes cells at ~[[graft.RetrievalQueries.graphTargetPart]] (500)
+    * nodes (more data → more cells, never bigger ones), and
+    * occupancy-triggered rerouting ([[needsReroute]]/
+    * [[refreshRouting]]) re-partitions drifted indexes long before
+    * any cell grows 60×, so the flat layer is the cheaper side of the
+    * crossover everywhere the engine operates; GraphAnnSpec's
+    * forced-large-cell A/B pins that it still holds recall at 10×
+    * the target cell size. */
   private[graft] def landmarkEntry(vecs: Array[Array[Double]],
                                    q: Array[Double], limit: Int): Int = {
     if (limit <= 0) return 0
@@ -533,6 +551,67 @@ object GraphAnn {
         .agg(count(lit(1)).as("n")))
       .localCheckpoint() // reads path/meta, then overwrites it
     meta.write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Occupancy skew of a persisted graph index: max / mean of the
+    * per-cell node counts — read from `path/meta` (parts rows,
+    * driver-side, no data scan; appendToIndex maintains the counts
+    * per delta batch). The routing-drift signal a maintenance job
+    * polls, the graph twin of [[IVF.needsRefine]]'s list balance. */
+  def cellSkew(spark: SparkSession, path: String): Double = {
+    import spark.implicits._
+    val ns = spark.read.parquet(s"$path/meta")
+      .select(col("n").cast("double")).as[Double].collect()
+    require(ns.nonEmpty, s"graph index at $path has an empty meta table")
+    ns.max / (ns.sum / ns.length)
+  }
+
+  /** Reroute trigger: content drift concentrates new vectors in a few
+    * cells (the routing table is fixed at deployment while the corpus
+    * grows — q97's contract), so cell occupancy skews, per-cell graphs
+    * grow super-linearly, and routed recall decays toward whatever the
+    * stale quantizer covers. Fire when max/mean passes `maxSkew`. */
+  def needsReroute(spark: SparkSession, path: String, maxSkew: Double): Boolean =
+    cellSkew(spark, path) > maxSkew
+
+  /** ROUTING REFRESH — [[IVF]]'s q96 retrain discipline applied to the
+    * graph index (FAISS users retrain the coarse quantizer on the same
+    * drift trigger; the reference rebuilds its in-memory HNSW on
+    * distribution shift, `src/pipeline/evaluation.py:84-89`): retrain
+    * the routing table on the index's OWN content (each vector read
+    * once — replica copies collapse on id) and rebuild the cells under
+    * the new quantizer at `outPath`, carrying the build knobs
+    * (m/efC/replicas) from the live index so the refreshed index is
+    * the same graph family.
+    *
+    * Because [[routingFor]] and the per-cell build are deterministic
+    * functions of CONTENT, refresh ≡ a from-scratch [[writeIndex]]
+    * over the union corpus, BIT FOR BIT — the equivalence q116 and
+    * GraphAnnSpec gate, closing the lifecycle the way q96 closes
+    * IVF's (append ≡ rebuild is q97's gate; retrain ≡ rebuild is
+    * this one's).
+    *
+    * Scale shape: one partition-parallel scan of the index (the id
+    * dedup is one hash shuffle), the routing train (sample + 3 Lloyd
+    * iterations), and the build's single part shuffle — a scheduled
+    * maintenance job's cost, never a query's. */
+  def refreshRouting(spark: SparkSession, path: String, parts: Int,
+                     outPath: String): Unit = {
+    import spark.implicits._
+    requireRouted(path, "refreshRouting")
+    val paramsDf = spark.read.parquet(s"$path/params")
+    val (m, efC, replicas) = paramsDf
+      .select(col("m").cast("int"), col("efC").cast("int"),
+        (if (paramsDf.columns.contains("replicas"))
+          col("replicas").cast("int") else lit(2)).as("replicas"))
+      .as[(Int, Int, Int)].head()
+    // replica copies of a vector are identical (same id, same vec), so
+    // any representative is THE vector — dropDuplicates is content-
+    // deterministic here
+    val src = spark.read.parquet(s"$path/nodes")
+      .select(col("id"), col("vec")).dropDuplicates("id")
+    writeIndexWith(routingFor(src, "id", "vec", parts),
+      src, "id", "vec", m, efC, outPath, replicas)
   }
 
   /** The shared index-scan kernel: one pass over the at-rest node

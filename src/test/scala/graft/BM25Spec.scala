@@ -68,4 +68,40 @@ class BM25Spec extends SparkSpec {
   test("no matching docs gives empty result") {
     assert(BM25.search(docs, "doc_id", "text", Seq("zzz"), 5).count() == 0)
   }
+
+  test("postings append writes only the delta's term buckets, at-rest files untouched") {
+    // the q87/q102 append discipline as a file-level contract: a delta
+    // batch must land NEW files only, and only in buckets some delta
+    // term hashes to — never rewrite the postings dir (per-batch write
+    // scope is what keeps streaming ingest O(delta), not O(index))
+    val tbl = "bm25_scope_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = java.nio.file.Files.createTempDirectory("bm25_scope").toString + "/t"
+    Queries.writePostings(spark, docs, tbl, path, "overwrite")
+    def files(): Map[String, Long] =
+      Option(new java.io.File(path).listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(f => f.getName -> f.lastModified).toMap
+    val before = files()
+    // one tiny delta doc: its terms touch a strict subset of buckets
+    val delta = Seq((99L, "spark")).toDF("doc_id", "text")
+    Queries.writePostings(spark, delta, tbl, path, "append")
+    val after = files()
+    // at-rest files byte-stable (same names, same mtimes)
+    before.foreach { case (name, m) =>
+      assert(after.get(name).contains(m), s"at-rest file $name was rewritten") }
+    // new files only in the delta's own buckets (Spark bucket id =
+    // pmod(murmur3(term), buckets), the bucket id rides the file name
+    // as the _NNNNN suffix before .c000)
+    val touched = BM25.postings(delta, "doc_id", "text")
+      .select(pmod(hash(col("term")), lit(Queries.bm25Buckets)).cast("int"))
+      .distinct().as[Int].collect().toSet
+    val newBuckets = (after.keySet -- before.keySet).map { name =>
+      "_(\\d{5})\\.".r.findFirstMatchIn(name)
+        .getOrElse(fail(s"no bucket id in appended file name $name"))
+        .group(1).toInt
+    }
+    assert(newBuckets.nonEmpty && newBuckets == touched,
+      s"appended buckets $newBuckets != delta's term buckets $touched")
+  }
 }

@@ -274,6 +274,82 @@ class GraphAnnSpec extends SparkSpec {
       s"expected partition pruning on part:\n$plan")
   }
 
+  test("forced large cell: the sqrt(n) landmark layer holds recall at 10x the target cell size") {
+    // ONE cell of 5000 distinct vectors — 10x the builder's ~500-node
+    // sizing target, the regime the multi-level-descent question is
+    // about (below the ~30k/cell crossover where the flat layer's
+    // sqrt(n) dots overtake an HNSW descent's m*log n; see
+    // landmarkEntry's scaladoc). The landmark entry must not lose
+    // recall vs the fixed entry, and must hold a floor of its own.
+    val n = 5000
+    val dim = 16
+    val vecs = Array.tabulate(n) { i =>
+      val raw = Array.tabulate(dim)(j => math.sin(i * 31.0 + j * 7.0) + 0.1)
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / nrm)
+    }
+    val g = GraphAnn.buildGraph(vecs, m = 8, efC = 48)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map(p => p._1 * p._2).sum
+    val qs = Seq(17, 1234, 2500, 3999, 4777).map(vecs(_))
+    val (hits0, hitsLm) = qs.map { q =>
+      val exact = vecs.zipWithIndex
+        .map { case (v, i) => (i, dot(v, q)) }
+        .sortBy { case (i, s) => (-s, i) }.take(10).map(_._1).toSet
+      def top10(entry: Int) =
+        GraphAnn.searchGraph(vecs, g, q, 48, n, entry)
+          .take(10).map(_._1).toSet
+      ((top10(0) intersect exact).size,
+        (top10(GraphAnn.landmarkEntry(vecs, q, n)) intersect exact).size)
+    }.unzip
+    assert(hitsLm.sum >= hits0.sum,
+      s"landmark entry lost recall at the large cell: ${hitsLm.sum} < ${hits0.sum}")
+    assert(hitsLm.sum >= 40, s"large-cell recall ${hitsLm.sum}/50 below 0.8 floor")
+  }
+
+  test("routing refresh: drift trips the trigger, retrain equals a from-scratch rebuild") {
+    val n = emb.count()
+    val split = 3L * n / 5L
+    val path = java.nio.file.Files.createTempDirectory("graphann_rr").toString
+    val out = java.nio.file.Files.createTempDirectory("graphann_rr_out").toString
+    val target = java.nio.file.Files.createTempDirectory("graphann_rr_t").toString
+    GraphAnn.writeIndex(emb.filter(col("vec_id") < split), "vec_id", "v",
+      m = 8, efC = 48, parts = 8, path)
+    val skew0 = GraphAnn.cellSkew(spark, path)
+    // the q116 drift shape: the newest 40% of ids all re-embedded at
+    // cell 0's routing vector — new content clustering where the
+    // standing quantizer has one cell
+    val rv0 = spark.read.parquet(s"$path/routing").filter(col("part") === 0)
+      .select(col("rvec"))
+    val delta = emb.filter(col("vec_id") >= split)
+      .crossJoin(broadcast(rv0)).select(col("vec_id"), col("rvec").as("v"))
+    GraphAnn.appendToIndex(spark, path, delta, "vec_id", "v")
+    assert(GraphAnn.cellSkew(spark, path) > skew0,
+      "the drifted append should skew cell occupancy")
+    assert(GraphAnn.needsReroute(spark, path, 1.5),
+      s"skew ${GraphAnn.cellSkew(spark, path)} should trip the 1.5 trigger")
+    GraphAnn.refreshRouting(spark, path, 8, out)
+    // retrain-and-rebuild from the live index ≡ from-scratch build
+    // over the union corpus, bit for bit (deterministic routing +
+    // deterministic per-cell construction)
+    GraphAnn.writeIndex(
+      emb.filter(col("vec_id") < split).select(col("vec_id"), col("v"))
+        .unionByName(delta),
+      "vec_id", "v", m = 8, efC = 48, parts = 8, target)
+    def nodes(p: String) = spark.read.parquet(s"$p/nodes")
+      .select(col("part"), col("id"), col("vec"), col("nbrs"))
+    assert(nodes(out).exceptAll(nodes(target)).isEmpty &&
+      nodes(target).exceptAll(nodes(out)).isEmpty,
+      "refreshRouting must equal the from-scratch rebuild bit for bit")
+    // the refreshed index serves (auto-probed) the same answers as the
+    // from-scratch one — the user-visible consequence of bit equality
+    def top(p: String) = GraphAnn.searchIndex(spark, p, "vec_id",
+        query(1), "qv", 10, ef = 48)
+      .select("vec_id", "rank", "score")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    assert(top(out) == top(target))
+  }
+
   test("boundary replication: every vector lives in exactly R distinct cells, one primary") {
     val path = java.nio.file.Files.createTempDirectory("graphann_repl").toString
     GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 8, path)
