@@ -922,31 +922,65 @@ object RetrievalQueries {
     * duplication.) Rows-only: graph construction is not
     * SQL-expressible (SURVEY ✗-mark discipline; GraphAnnSpec pins the
     * same equivalence at spec scale). */
-  def q116GraphReroute(s: SparkSession, dir: String): DataFrame = {
+  /** The 60%-prefix base index q116 clones and drifts — built once
+    * per (session, dir-content), charged to `_build_graph_base60`
+    * (the graphBase80Path discipline). */
+  private def graphBase60Path(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "graphann_base60") {
+      val e = emb(s, dir)
+      val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
+      val p = PipelineQueries.roundtripPath(dir, "graphann_base60")
+      graft.search.GraphAnn.writeIndex(e.filter(col("vec_id") < 3L * n / 5L),
+        "vec_id", "v", graphM, graphEf, graphPartsFor(s, dir), p)
+      p
+    }
+
+  /** q116's drift delta: the newest 40% of ids re-embedded AT cell
+    * 0's routing vector — new content clustering where the standing
+    * quantizer has one cell; growing ids keep the append contract.
+    * (Deliberately the worst-case insert — the whole drift mass lands
+    * in one cell's graph, the degenerate growth rerouting exists to
+    * fix; a production corpus drifts across many batches and polls
+    * the trigger long before one cell absorbs 40% of the corpus.) */
+  private def graph116Delta(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
-    val split = 3L * n / 5L
+    val rv0 = s.read.parquet(s"${graphBase60Path(s, dir)}/routing")
+      .filter(col("part") === 0).select(col("rvec"))
+    e.filter(col("vec_id") >= 3L * n / 5L)
+      .crossJoin(broadcast(rv0)).select(col("vec_id"), col("rvec").as("v"))
+  }
+
+  /** The from-scratch rebuild over the drifted union corpus — q116's
+    * equivalence target (the graphRebuildPath discipline: the gate's
+    * reference artifact is a shared build, not a per-query cost),
+    * charged to `_build_graph_reroute_target`. */
+  private def graph116TargetPath(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "graphann_rrt") {
+      val e = emb(s, dir)
+      val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
+      val p = PipelineQueries.roundtripPath(dir, "graphann_rrt")
+      graft.search.GraphAnn.writeIndex(
+        e.filter(col("vec_id") < 3L * n / 5L).select(col("vec_id"), col("v"))
+          .unionByName(graph116Delta(s, dir)),
+        "vec_id", "v", graphM, graphEf, graphPartsFor(s, dir), p)
+      p
+    }
+
+  def q116GraphReroute(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
     val parts = graphPartsFor(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q116")
     val path2 = PipelineQueries.roundtripPath(dir, "q116r")
-    val target = PipelineQueries.roundtripPath(dir, "q116t")
-    val base = e.filter(col("vec_id") < split)
-    graft.search.GraphAnn.writeIndex(base, "vec_id", "v",
-      graphM, graphEf, parts, path)
-    val rv0 = s.read.parquet(s"$path/routing").filter(col("part") === 0)
-      .select(col("rvec"))
-    val delta = e.filter(col("vec_id") >= split)
-      .crossJoin(broadcast(rv0)).select(col("vec_id"), col("rvec").as("v"))
-    graft.search.GraphAnn.appendToIndex(s, path, delta, "vec_id", "v")
+    cloneTree(graphBase60Path(s, dir), path)
+    graft.search.GraphAnn.appendToIndex(s, path, graph116Delta(s, dir),
+      "vec_id", "v")
     require(graft.search.GraphAnn.needsReroute(s, path, 1.5),
       "q116: the drifted append must trip the reroute trigger")
     graft.search.GraphAnn.refreshRouting(s, path, parts, path2)
-    graft.search.GraphAnn.writeIndex(
-      base.select(col("vec_id"), col("v")).unionByName(delta),
-      "vec_id", "v", graphM, graphEf, parts, target)
     val refreshed = s.read.parquet(s"$path2/nodes")
       .select(col("part"), col("id"), col("vec"), col("nbrs"))
-    val scratch = s.read.parquet(s"$target/nodes")
+    val scratch = s.read.parquet(s"${graph116TargetPath(s, dir)}/nodes")
       .select(col("part"), col("id"), col("vec"), col("nbrs"))
     require(refreshed.exceptAll(scratch).isEmpty &&
         scratch.exceptAll(refreshed).isEmpty,
@@ -2100,7 +2134,9 @@ $pqRows)
     "_build_graph_ann" -> ((s, dir) => { graphIndexPath(s, dir); () }),
     "_build_ivf_labeled" -> ((s, dir) => { ivfLabeledPath(s, dir); () }),
     "_build_graph_base80" -> ((s, dir) => { graphBase80Path(s, dir); () }),
-    "_build_graph_rebuild80" -> ((s, dir) => { graphRebuildPath(s, dir); () }))
+    "_build_graph_rebuild80" -> ((s, dir) => { graphRebuildPath(s, dir); () }),
+    "_build_graph_base60" -> ((s, dir) => { graphBase60Path(s, dir); () }),
+    "_build_graph_reroute_target" -> ((s, dir) => { graph116TargetPath(s, dir); () }))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_ingest_clean" -> (q07IngestClean _),
