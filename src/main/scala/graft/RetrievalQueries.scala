@@ -535,6 +535,74 @@ object RetrievalQueries {
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  /** q114 knobs: exact re-rank depth and the (fixed) embedding
+    * dimensionality the oracle's per-dimension CTEs unroll over. */
+  val sqRerank = 40; val sqDim = 64
+
+  /** R2 (fourth scale path): IVF with SCALAR-QUANTIZED (SQ8) lists —
+    * the at-rest payload is one uint8 code per dimension packed into
+    * a BINARY column (8× smaller than the double lists; the dominant
+    * bytes at 100 TB), candidates are ADC-scored through the fused
+    * codegen'd kernel over the cid-pruned partitions, and the top
+    * [[sqRerank]] approximate candidates are re-scored EXACTLY from
+    * the full-precision embeddings table (the two-tier
+    * quantize-then-refine serving layout; FAISS
+    * `IndexIVFScalarQuantizer` + refine — the reference stores full
+    * float32 in every index, `src/pipeline/pipeline.py:126-134`).
+    * Same query point as q45/q59 so all four ANN paths (LSH / IVF /
+    * PQ / SQ) and the exact scan are directly comparable. Build and
+    * search are deterministic functions of content, so the oracle
+    * replays the ENTIRE chain — bounds, codes, ADC ordering, re-rank
+    * — in SQL; the hash match certifies the quantized index returns
+    * exactly what the replay says it must. */
+  def q114AnnSq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q114")
+    graft.search.SQ.writeIndex(e, "vec_id", "v", ivfK, path)
+    graft.search.SQ.searchIndex(s, path, e, "vec_id", "v",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+      10, ivfProbe, sqRerank)
+      .orderBy("rank")
+  }
+
+  val q114Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       b AS (SELECT d, MIN(v[d]) AS lo, MAX(v[d]) AS hi
+             FROM e, (SELECT UNNEST(generate_series(1, $sqDim)) AS d) GROUP BY d),
+       bl AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM b),
+       cd AS (SELECT a.vec_id, a.cid,
+           list_transform(generate_series(1, $sqDim), d ->
+             CASE WHEN hi[d] = lo[d] THEN 0
+               ELSE CAST(least(255.0, greatest(0.0,
+                 round((v[d] - lo[d]) * 255.0 / (hi[d] - lo[d]), 0))) AS INT) END) AS code
+         FROM a, bl),
+       ad AS (SELECT cd.vec_id,
+           list_dot_product(list_transform(generate_series(1, $sqDim), d ->
+             lo[d] + code[d] * ((hi[d] - lo[d]) / 255.0)), pr.qv) AS adc
+         FROM cd JOIN pr ON cd.cid = pr.cid, bl),
+       cand AS (SELECT vec_id FROM (
+           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc DESC, vec_id) AS r FROM ad)
+         WHERE r <= $sqRerank),
+       sc AS (SELECT e.vec_id, list_dot_product(e.v, q.qv) AS sc
+              FROM e JOIN cand USING (vec_id), q),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
   /** R2 (third scale path): product-quantization ADC search — a
     * 16-entry codebook over 8 subspaces of 8 dims, every data vector
     * scored through its reconstruction. Same query point as q45 so
@@ -2165,6 +2233,7 @@ $pqRows)
     "q84_ivf_append" -> (q84IvfAppend _),
     "q96_ivf_refresh" -> (q96IvfRefresh _),
     "q109_ivf_compact" -> (q109IvfCompact _),
+    "q114_ann_sq" -> (q114AnnSq _),
     "q86_graph_ann" -> (q86GraphAnn _),
     "q95_graph_recall" -> (q95GraphRecall _),
     "q97_graph_append" -> (q97GraphAppend _),
@@ -2202,6 +2271,7 @@ $pqRows)
     "q84_ivf_append" -> q84Sql,
     "q96_ivf_refresh" -> q96Sql,
     "q109_ivf_compact" -> q109Sql,
+    "q114_ann_sq" -> q114Sql,
     "q89_embedding_pc" -> q89Sql,
     "q94_all_but_top" -> q94Sql,
     "q107_hard_negatives" -> q107Sql,

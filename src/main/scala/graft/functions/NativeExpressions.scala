@@ -196,6 +196,173 @@ object NativeExpressions {
   def pqReconstructNative(v: Column, codebook: Column, m: Int): Column =
     ExpressionUtils.column(PQReconstruct(
       ExpressionUtils.expression(v), ExpressionUtils.expression(codebook), m))
+
+  /** Column-API wrapper for [[SqPack]]. */
+  def sqPackNative(codes: Column): Column =
+    ExpressionUtils.column(SqPack(ExpressionUtils.expression(codes)))
+
+  /** Column-API wrapper for [[SqAdc]]. */
+  def sqAdcNative(codes: Column, lo: Column, hi: Column, qv: Column): Column =
+    ExpressionUtils.column(SqAdc(
+      ExpressionUtils.expression(codes), ExpressionUtils.expression(lo),
+      ExpressionUtils.expression(hi), ExpressionUtils.expression(qv)))
+}
+
+/** Pack uint8 scalar-quantization codes (array<int>, each already in
+  * [0, 255] — clamped defensively here) into a BINARY column: 1 byte
+  * per dimension at rest instead of parquet's per-element list
+  * overhead on top of 8-byte doubles — the 8x storage lever of the
+  * SQ8 index format (FAISS `IndexIVFScalarQuantizer(QT_8bit)`; the
+  * reference keeps float32 vectors in every index,
+  * `src/pipeline/pipeline.py:126-134`, which is exactly what does not
+  * fit at 100 TB). Write-path only; the hot read path is [[SqAdc]].
+  *
+  * NULL contract: NULL input → NULL; a NULL element → NULL (a code
+  * either exists for every dimension or the row is unusable). */
+case class SqPack(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "graft_sq_pack"
+  override def nullable: Boolean = true
+
+  private lazy val elemsMayBeNull: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (elemsMayBeNull && x.isNullAt(i)) return null
+      val v = x.getInt(i)
+      out(i) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val v = ctx.freshName("v")
+      val nullCheck =
+        if (elemsMayBeNull)
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |final int $n = $a.numElements();
+         |final byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  final int $v = $a.getInt($i);
+         |  $out[$i] = (byte) ($v < 0 ? 0 : ($v > 255 ? 255 : $v));
+         |}
+         |if (!${ev.isNull}) ${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SqPack =
+    copy(child = newChild)
+}
+
+/** Fused asymmetric-distance (ADC) scoring over packed SQ8 codes: one
+  * codegen'd loop computing
+  * `Σ_d (lo[d] + c_d * ((hi[d] - lo[d]) / 255.0)) * qv[d]` where
+  * `c_d = codes[d] & 0xFF` — the dequantize-and-dot of a scalar-
+  * quantized inverted list WITHOUT materializing the dequantized
+  * array (FAISS's SQ8 ADC scan, the query-side half of
+  * `IndexIVFScalarQuantizer`). The per-element arithmetic is written
+  * exactly as the oracle's
+  * `list_dot_product(list_transform(...dequant...), qv)` evaluates
+  * it (same operand order, left-to-right double accumulation), so the
+  * scores are bit-identical cross-engine.
+  *
+  * NULL contract: NULL in any input → NULL; length mismatch between
+  * the code bytes and any array → NULL; a NULL array element → NULL. */
+case class SqAdc(first: Expression, second: Expression,
+                 third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.BinaryType, ArrayType(DoubleType),
+      ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sq_adc"
+  override def nullable: Boolean = true
+
+  private lazy val elemsMayBeNull: Boolean =
+    Seq(second, third, fourth).exists {
+      _.dataType match {
+        case ArrayType(_, containsNull) => containsNull
+        case _ => true
+      }
+    }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any = {
+    val codes = a.asInstanceOf[Array[Byte]]
+    val lo = b.asInstanceOf[ArrayData]
+    val hi = c.asInstanceOf[ArrayData]
+    val qv = d.asInstanceOf[ArrayData]
+    val n = codes.length
+    if (lo.numElements() != n || hi.numElements() != n ||
+      qv.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (elemsMayBeNull &&
+        (lo.isNullAt(i) || hi.isNullAt(i) || qv.isNullAt(i))) return null
+      val l = lo.getDouble(i)
+      val cd = (codes(i) & 0xFF).toDouble
+      s += (l + cd * ((hi.getDouble(i) - l) / 255.0)) * qv.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val l = ctx.freshName("l")
+      val cd = ctx.freshName("cd")
+      val nullCheck =
+        if (elemsMayBeNull)
+          s"""if ($b.isNullAt($i) || $c.isNullAt($i) || $d.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
+      s"""
+         |final int $n = $a.length;
+         |if ($b.numElements() != $n || $c.numElements() != $n ||
+         |    $d.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    final double $l = $b.getDouble($i);
+         |    final double $cd = (double) ($a[$i] & 0xFF);
+         |    $s += ($l + $cd * (($c.getDouble($i) - $l) / 255.0)) * $d.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): SqAdc =
+    copy(first = newFirst, second = newSecond,
+      third = newThird, fourth = newFourth)
 }
 
 /** Fused product-quantization reconstruction: split the input vector

@@ -1,0 +1,142 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.NativeExpressions.{dotNative => dot, sqAdcNative, sqPackNative}
+
+/** R2 (fourth scale path): IVF with SCALAR-QUANTIZED (SQ8) inverted
+  * lists — the coarse structure of [[IVF]] with the at-rest list
+  * payload shrunk 8×: each vector is stored as one uint8 code per
+  * dimension (per-dimension affine quantization over corpus min/max
+  * bounds), packed into a single BINARY column. Candidate generation
+  * scans the pruned lists through the codegen'd asymmetric-distance
+  * kernel ([[org.apache.spark.sql.graftnative.SqAdc]] — dequantize
+  * and dot in one fused loop, no materialized array), then the top
+  * `rerank` candidates are re-scored EXACTLY against the
+  * full-precision source-of-truth table (an O(rerank)-row broadcast
+  * join) — the standard two-tier serving layout (FAISS
+  * `IndexIVFScalarQuantizer(QT_8bit)` + refine; the reference keeps
+  * full float32 vectors in every index, `src/pipeline/pipeline.py:
+  * 126-134`, the layout that stops fitting first at 100 TB).
+  *
+  * WHY THIS EXISTS NEXT TO PQ (q59/q81): PQ is the smaller-but-lossy
+  * end of the compression dial (sub-vector codebooks, recall bounded
+  * by codebook quality); SQ8 is the cheap 8× point whose error is a
+  * per-dimension rounding bound, so ADC ordering degrades only where
+  * true scores are closer than the quantization step — which the
+  * exact re-rank then repairs. At 100 TB the lists are the dominant
+  * bytes; centroids and bounds stay tiny and broadcastable.
+  *
+  * Layout at `path`: `centroids` (cid, cvec — full precision, K
+  * rows), `bounds` (d, lo, hi — one row per dimension), `lists`
+  * (partitionBy(cid): id, code BINARY). Every quantity is a
+  * deterministic function of the indexed content, so the whole
+  * build + search replays as SQL — q114's oracle runs the identical
+  * chain in DuckDB.
+  */
+object SQ {
+
+  /** Quantization levels: codes live in [0, Levels]. */
+  val Levels = 255
+
+  /** Per-dimension corpus bounds (d, lo, hi): posexplode + keyed
+    * min/max — map-side partial aggregation collapses each task to
+    * `dim` rows before the exchange, so the shuffle carries
+    * O(dim × tasks) rows at any corpus size. */
+  def bounds(docs: DataFrame, vecCol: String): DataFrame =
+    docs.select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy("d").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+
+  /** The bounds table collapsed to ONE broadcastable row of
+    * dim-ordered (lo, hi) arrays — the form the quantize and ADC
+    * kernels consume. */
+  def boundsArrays(b: DataFrame): DataFrame =
+    b.agg(array_sort(collect_list(struct(col("d"), col("lo"), col("hi"))))
+        .as("__b"))
+      .select(
+        transform(col("__b"), e => e.getField("lo")).as("lo"),
+        transform(col("__b"), e => e.getField("hi")).as("hi"))
+
+  /** Affine uint8 code per dimension:
+    * `round((x - lo) * 255.0 / (hi - lo))` clamped to [0, 255]; a
+    * degenerate dimension (hi = lo) codes to 0 and dequantizes back
+    * to `lo` exactly. The arithmetic (operand order, HALF_UP round)
+    * is written exactly as the oracle's `list_transform` replays it. */
+  private[graft] def quantCodes(vecCol: org.apache.spark.sql.Column,
+                                lo: org.apache.spark.sql.Column,
+                                hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val lohi = zip_with(lo, hi, (l, h) => struct(l.as("l"), h.as("h")))
+    zip_with(vecCol, lohi, (x, lh) => {
+      val l = lh.getField("l")
+      val h = lh.getField("h")
+      when(h === l, lit(0)).otherwise(
+        least(lit(255.0), greatest(lit(0.0),
+          round((x - l) * lit(255.0) / (h - l))))
+          .cast("int"))
+    })
+  }
+
+  /** Build + persist the SQ8 index: full-precision centroids (the
+    * probe structure — K rows), per-dimension bounds (dim rows), and
+    * the quantized inverted lists (one parquet file per cid via the
+    * write-side repartition — the postings-write discipline). CREATE
+    * semantics like [[IVF.writeIndex]]: replaces whatever lived at
+    * the path. */
+  def writeIndex(docs: DataFrame, idCol: String, vecCol: String,
+                 k: Int, path: String): Unit = {
+    graft.FileTree.delete(new java.io.File(path))
+    val cents = IVF.centroids(docs, idCol, vecCol, k)
+    val b = bounds(docs, vecCol)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    b.write.mode("overwrite").parquet(s"$path/bounds")
+    IVF.assign(docs, idCol, vecCol, cents)
+      .crossJoin(broadcast(boundsArrays(b)))
+      .select(col(idCol).as("id"),
+        sqPackNative(quantCodes(col(vecCol), col("lo"), col("hi"))).as("code"),
+        col("cid"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+  }
+
+  /** Search the persisted SQ8 index: rank centroids for the query
+    * (K-row broadcast), scan the `nprobe` best lists (a cid partition
+    * filter — only those bytes leave disk), ADC-score each candidate
+    * code through the fused kernel, keep the `rerank` best
+    * approximate candidates, then re-score EXACTLY from the
+    * full-precision `source` table (candidate ids broadcast into an
+    * equi-join — O(rerank) rows against the source scan) and emit the
+    * final top-k. Output contract matches [[IVF.searchIndex]]:
+    * (idCol, rank, score) with score the exact dot rounded to 6. */
+  def searchIndex(spark: SparkSession, path: String,
+                  source: DataFrame, idCol: String, vecCol: String,
+                  query: DataFrame, queryVecCol: String,
+                  k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"need rerank >= k, got rerank=$rerank k=$k")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val ba = boundsArrays(spark.read.parquet(s"$path/bounds"))
+    val probes = query.select(col(queryVecCol).as("__qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cs", dot(col("__qv"), col("cvec")))
+      .orderBy(col("__cs").desc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid"), col("__qv"))
+    val cand = spark.read.parquet(s"$path/lists")
+      .join(broadcast(probes), "cid") // becomes a partition filter on cid
+      .crossJoin(broadcast(ba))
+      .select(col("id"),
+        sqAdcNative(col("code"), col("lo"), col("hi"), col("__qv")).as("__adc"),
+        col("__qv"))
+      .orderBy(col("__adc").desc, col("id").asc)
+      .limit(rerank)
+    val exact = source
+      .select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .join(broadcast(cand.select(col("id"), col("__qv"))), "id")
+      .select(col("id"), dot(col("__v"), col("__qv")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+    exact.withColumn("rank",
+        row_number().over(Search.wAll.orderBy(col("score").desc, col("id").asc))
+          .cast("long"))
+      .select(col("id").as(idCol), col("rank"), round(col("score"), 6).as("score"))
+  }
+}

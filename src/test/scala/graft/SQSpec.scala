@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.NativeExpressions.{dotNative, sqAdcNative, sqPackNative}
+import graft.search.SQ
+
+/** Scalar-quantized (SQ8) IVF: quantization bounds, the fused
+  * pack / ADC kernels, the two-tier search's exactness contract, and
+  * the at-rest layout (q114's operator). */
+class SQSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val e = graft.sources.Tables.load(spark, sf0001, "embeddings")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    .localCheckpoint()
+
+  private def dims: Int = e.select(size(col("v"))).as[Int].head()
+
+  test("quantize→dequantize error is bounded by half a step; degenerate dims exact") {
+    val b = SQ.bounds(e, "v")
+    val ba = SQ.boundsArrays(b)
+    val staged = e.crossJoin(broadcast(ba))
+      .select(col("vec_id"), col("v"), col("lo"), col("hi"),
+        SQ.quantCodes(col("v"), col("lo"), col("hi")).as("codes"))
+    val rows = staged
+      .select(col("v"), col("lo"), col("hi"), col("codes"))
+      .as[(Seq[Double], Seq[Double], Seq[Double], Seq[Int])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, lo, hi, codes) =>
+      v.indices.foreach { d =>
+        val step = (hi(d) - lo(d)) / 255.0
+        val deq = lo(d) + codes(d) * step
+        if (hi(d) == lo(d)) assert(deq == lo(d))
+        else assert(math.abs(deq - v(d)) <= step / 2 + 1e-12,
+          s"dim $d: |$deq - ${v(d)}| > step/2 ($step)")
+      }
+    }
+  }
+
+  test("SqPack clamps out-of-range codes and nulls on null elements") {
+    val df = Seq((1L, Seq(-5, 0, 128, 255, 300))).toDF("id", "codes")
+      .select(sqPackNative(col("codes")).as("p"))
+    val p = df.as[Array[Byte]].head()
+    assert(p.toSeq.map(_ & 0xFF) == Seq(0, 0, 128, 255, 255))
+    val withNull = Seq((1L, Seq[Integer](1, null, 3))).toDF("id", "codes")
+      .select(sqPackNative(col("codes")).as("p"))
+    assert(withNull.filter(col("p").isNull).count() == 1)
+  }
+
+  test("fused ADC kernel is bit-identical to the HOF dequantize-then-dot") {
+    val b = SQ.bounds(e, "v")
+    val ba = SQ.boundsArrays(b)
+    val qv = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    val staged = e.crossJoin(broadcast(ba)).crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("lo"), col("hi"), col("qv"),
+        SQ.quantCodes(col("v"), col("lo"), col("hi")).as("codes"),
+        sqPackNative(SQ.quantCodes(col("v"), col("lo"), col("hi"))).as("code"))
+    // the HOF reference: materialize the dequantized array from the
+    // UNPACKED int codes with the SAME per-element arithmetic, then
+    // the codegen'd dot (SqPack's byte fidelity is pinned above)
+    val lohi = zip_with(col("lo"), col("hi"), (l, h) => struct(l.as("l"), h.as("h")))
+    val deq = zip_with(col("codes").cast("array<double>"), lohi, (c, lh) => {
+      val l = lh.getField("l"); val h = lh.getField("h")
+      l + c * ((h - l) / lit(255.0))
+    })
+    val rows = staged
+      .select(
+        sqAdcNative(col("code"), col("lo"), col("hi"), col("qv")).as("fused"),
+        dotNative(deq, col("qv")).as("hof"))
+      .as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (fused, hof) =>
+      assert(java.lang.Double.doubleToLongBits(fused) ==
+        java.lang.Double.doubleToLongBits(hof), s"$fused != $hof")
+    }
+  }
+
+  test("ADC length mismatch and null inputs yield NULL, not garbage") {
+    val df = Seq((Array[Byte](1, 2, 3), Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(1.0, 1.0)))
+      .toDF("code", "lo", "hi", "qv")
+      .select(sqAdcNative(col("code"), col("lo"), col("hi"), col("qv")).as("s"))
+    assert(df.filter(col("s").isNull).count() == 1)
+  }
+
+  test("persisted SQ index: two-tier search serves EXACT scores and holds recall") {
+    val path = "/tmp/graft_test/sq_index"
+    SQ.writeIndex(e, "vec_id", "v", 8, path)
+    val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    val got = SQ.searchIndex(spark, path, e, "vec_id", "v", q, "qv",
+      10, 8, RetrievalQueries.sqRerank) // probe ALL cells: isolates SQ error
+      .select(col("vec_id"), col("rank"), col("score"))
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    val exact = graft.search.Search.topK(e, "vec_id", "v", q, "qv", 10)
+      .select(col("vec_id"), col("rank"), col("score"))
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    // scores of served ids are the full-precision dots (re-rank is
+    // exact): every returned (id, score) must appear in the exact
+    // ranking's score map
+    val exactScores = graft.search.Search
+      .topK(e, "vec_id", "v", q, "qv", e.count().toInt)
+      .select(col("vec_id"), col("score")).as[(Long, Double)].collect().toMap
+    got.foreach { case (id, _, s) => assert(exactScores(id) == s, s"id $id") }
+    // with all cells probed and rerank 4x k, the served top-10 should
+    // recover at least 8 of the exact top-10 on this corpus
+    val overlap = got.map(_._1).toSet.intersect(exact.map(_._1).toSet).size
+    assert(overlap >= 8, s"recall@10 too low: $overlap/10")
+  }
+
+  test("at-rest lists are 1 byte per dimension and the scan is cid-pruned") {
+    val path = "/tmp/graft_test/sq_index" // written by the previous test
+    val lists = spark.read.parquet(s"$path/lists")
+    val sizes = lists.select(length(col("code")).cast("int")).distinct().as[Int].collect()
+    assert(sizes.toSeq == Seq(dims), s"code bytes $sizes != dims $dims")
+    val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    val plan = SQ.searchIndex(spark, path, e, "vec_id", "v", q, "qv", 10, 2,
+        RetrievalQueries.sqRerank)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") ||
+      plan.contains("PartitionFilters: [isnotnull(cid"),
+      s"expected partition pruning on cid:\n$plan")
+  }
+}
