@@ -1712,6 +1712,53 @@ $pqRows)
        FROM vec v FULL OUTER JOIN lex l ON v.id = l.id
        ORDER BY id"""
 
+  /** RRF constant (Cormack et al., SIGIR 2009) and fusion depth. */
+  val rrfC = 60; val rrfDepth = 20
+
+  /** R4 (rank-fusion form): q41's two candidate streams — exact
+    * vector top-20 and indexed BM25 top-20 over the same query —
+    * fused by reciprocal-rank fusion instead of the unscored set
+    * union: `score = 1/(60+rank_vec) + 1/(60+rank_lex)`, absent terms
+    * 0, final top-10 by fused score. Rank-only fusion needs no score
+    * calibration between the cosine and BM25 scales, which is what
+    * makes it the production default for hybrid serving. The oracle
+    * replays both rankings and the fused arithmetic; the exchange is
+    * bounded by the two k-row candidate lists. */
+  def q118RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val vec = Search.topK(e, "vec_id", "v",
+      e.filter(col("vec_id") === 0).select(col("v").as("qv")), "qv", rrfDepth)
+    val lex = BM25.searchIndexed(Queries.bm25Postings(s, dir),
+      Queries.bm25Stats(s, dir), Queries.bm25Terms, rrfDepth)
+    Hybrid.rrfFuse(vec, "vec_id", lex, "doc", rrfC, 10)
+      .orderBy("rank")
+  }
+
+  val q118Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       vr AS (SELECT vec_id AS id, rank FROM (
+           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY list_dot_product(v, qv) DESC, vec_id) AS rank
+           FROM e, q) WHERE rank <= $rrfDepth),
+       d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       corpus AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d),
+       post AS (SELECT doc_id, len(toks) AS len, UNNEST(toks) AS term FROM d),
+       tf AS (SELECT doc_id, len, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM post
+              WHERE term IN ('spark', 'hash', 'join') GROUP BY doc_id, len, term),
+       stats AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+       idf AS (SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf FROM stats, corpus),
+       sc AS (SELECT doc_id, SUM(idf * tf * 2.5 / (tf + 1.5 * (1.0 - 0.75 + 0.75 * len / avgdl))) AS score
+              FROM tf JOIN idf USING (term), corpus GROUP BY doc_id),
+       lr AS (SELECT doc_id AS id, rank FROM (
+           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+           WHERE rank <= $rrfDepth),
+       f AS (SELECT COALESCE(v.id, l.id) AS id,
+           COALESCE(1.0 / ($rrfC + v.rank), 0.0) + COALESCE(1.0 / ($rrfC + l.rank), 0.0) AS s
+         FROM vr v FULL OUTER JOIN lr l ON v.id = l.id),
+       r AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, id) AS BIGINT) AS rank,
+                    ROUND(s, 6) AS score FROM f)
+       SELECT id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
   /** The reference's second flagship entry point — `--mode rag
     * --enable_hybrid` (`src/pipeline/pipeline_mode.py:198-264`,
     * SURVEY §3.2) — candidate-generation + scoring stage, fully
@@ -2234,6 +2281,7 @@ $pqRows)
     "q96_ivf_refresh" -> (q96IvfRefresh _),
     "q109_ivf_compact" -> (q109IvfCompact _),
     "q114_ann_sq" -> (q114AnnSq _),
+    "q118_rrf_fusion" -> (q118RrfFusion _),
     "q86_graph_ann" -> (q86GraphAnn _),
     "q95_graph_recall" -> (q95GraphRecall _),
     "q97_graph_append" -> (q97GraphAppend _),
@@ -2272,6 +2320,7 @@ $pqRows)
     "q96_ivf_refresh" -> q96Sql,
     "q109_ivf_compact" -> q109Sql,
     "q114_ann_sq" -> q114Sql,
+    "q118_rrf_fusion" -> q118Sql,
     "q89_embedding_pc" -> q89Sql,
     "q94_all_but_top" -> q94Sql,
     "q107_hard_negatives" -> q107Sql,

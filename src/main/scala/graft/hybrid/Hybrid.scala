@@ -16,6 +16,36 @@ object Hybrid {
   def unionCandidates(a: DataFrame, b: DataFrame, idCol: String): DataFrame =
     a.select(col(idCol)).union(b.select(col(idCol))).distinct()
 
+  /** R4 (rank-fusion form): reciprocal-rank fusion of two rankings —
+    * `score(d) = 1/(c + rank_vec(d)) + 1/(c + rank_lex(d))`, absent
+    * terms contributing 0 (Cormack et al., SIGIR 2009; c = 60 is the
+    * canonical constant). RRF consumes only the RANKS, so it needs no
+    * cross-system score calibration — the reason it is the robust
+    * default over the reference's unscored set-union
+    * (`src/pipeline/pipeline_mode.py:244-258`): candidates agreeing
+    * across retrievers rise deterministically instead of arriving in
+    * set order. Shape: two k-row inputs full-outer-joined on id —
+    * driver-free, exchange bounded by k, corpus never touched. The
+    * two reciprocal terms are added in fixed (vec, lex) order so the
+    * double sum replays bit-identically in SQL. */
+  def rrfFuse(vec: DataFrame, vecIdCol: String,
+              lex: DataFrame, lexIdCol: String,
+              c: Int, k: Int): DataFrame = {
+    val v = vec.select(col(vecIdCol).as("id"), col("rank").as("__vr"))
+    val l = lex.select(col(lexIdCol).as("id"), col("rank").as("__lr"))
+    v.join(l, Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(lit(1.0) / (lit(c) + col("__vr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("__lr")), lit(0.0))).as("__s"))
+      .orderBy(col("__s").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0))
+          .orderBy(col("__s").desc, col("id").asc)).cast("long"))
+      .select(col("id"), col("rank"), round(col("__s"), 6).as("score"))
+  }
+
   /** R5: MMR greedy re-rank. Inherently sequential (each pick
     * conditions on all previous picks) over a candidate set the
     * reference caps at ~250 rows — so the candidates (id, vec, sim)

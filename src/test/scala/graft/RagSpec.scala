@@ -10,6 +10,31 @@ import org.apache.spark.sql.functions._
 class RagSpec extends SparkSpec {
   import spark.implicits._
 
+  test("RRF fusion: hand-computed scores, absent-term zeros, rank-only input") {
+    // vec ranks: a=1, b=2, c=3; lex ranks: b=1, d=2 (scores irrelevant)
+    val vec = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("vec_id", "rank")
+    val lex = Seq((20L, 1L), (40L, 2L)).toDF("doc", "rank")
+    val got = Hybrid.rrfFuse(vec, "vec_id", lex, "doc", 60, 10)
+      .select(col("id"), col("rank"), col("score"))
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 20 appears in both: 1/62 + 1/61; singles contribute one term
+    val want = Seq(
+      20L -> r6(1.0 / 62 + 1.0 / 61),
+      10L -> r6(1.0 / 61),
+      40L -> r6(1.0 / 62),
+      30L -> r6(1.0 / 63))
+    assert(got.map(g => (g._1, g._3)).toSeq == want)
+    assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("q118: fused top-10 ⊆ union of the two candidate lists, ranks dense") {
+    val df = RetrievalQueries.q118RrfFusion(spark, sf0001)
+      .select(col("id"), col("rank")).as[(Long, Long)].collect()
+    assert(df.length == 10 && df.map(_._2).sorted.toSeq == (1L to 10L))
+    assert(df.map(_._1).distinct.length == 10)
+  }
+
   test("q55 candidates: legs contribute, ids distinct, sims bounded") {
     val c = RetrievalQueries.q55RagCandidates(spark, sf0001)
       .select("id", "in_vec", "in_lex", "sim")
