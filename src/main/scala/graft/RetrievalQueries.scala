@@ -1668,6 +1668,89 @@ $pqRows)
        SELECT doc_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
   }
 
+  /** Composite chunk key stride: doc_id · 4096 + chunk_id. Chunks per
+    * doc are bounded by ⌈tokens/stride⌉, far under 4096 for this
+    * corpus — the require in q119 keeps the bound honest. */
+  private val pdChunkMul = 4096L
+
+  /** PARENT-DOCUMENT RETRIEVAL (the passage-level serving pattern):
+    * documents are chunked into overlapping token windows (q72's
+    * chunker), every CHUNK is embedded and scored against the query,
+    * and each document is ranked by its BEST chunk — returning the
+    * winning chunk as the citation witness plus the doc's chunk
+    * count. This is the standard long-document recipe (a whole-doc
+    * embedding dilutes a relevant passage; chunk-level scoring with
+    * doc-level max-pooling recovers it) — the retrieval twin of
+    * q72's chunking audit. Shape: chunking is a narrow per-doc
+    * explode, embedding rides one mapPartitions corpus scan
+    * (repartitioned first so the CPU-bound embed parallelizes), the
+    * per-doc argmax is a doc-keyed window over chunk rows (partition-
+    * parallel), and only the final 10 rows sort globally — post-limit
+    * rank window. Fully oracle-checked: chunk text, the portable
+    * featurizer, scoring, and the max-pool all replay in SQL. */
+  def q119ParentDoc(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("doc_id") < 200)
+    val ch = graft.text.Chunker.chunkRows(base, "doc_id", "text",
+        PrepQueries.chunkSize, PrepQueries.chunkStride)
+      .select((col("doc_id") * pdChunkMul + col("chunk_id")).as("ckey"),
+        col("chunk_id"), col("chunk_text"))
+    require(Queries.bm25Terms == Seq("spark", "hash", "join"),
+      "q119Sql's literal query terms are out of sync with Queries.bm25Terms")
+    // composite-key safety: chunk ids must stay under the stride
+    // (one tiny agg over the narrow chunk rows — metadata-scale)
+    require(ch.agg(max(col("chunk_id"))).head().getLong(0) < pdChunkMul,
+      s"q119: a document exceeds $pdChunkMul chunks; widen pdChunkMul")
+    val cv = graft.embed.Embed.embedDocs(
+        ch.select(col("ckey"), col("chunk_text")).repartition(col("ckey")),
+        "ckey", "chunk_text", new graft.embed.PortableHashEmbedder(64))
+      .select(col("ckey"), col("vec").cast("array<double>").as("v"))
+    val qv = new graft.embed.PortableHashEmbedder(64)
+      .embed(Queries.bm25Terms.mkString(" ")).map(_.toDouble).toSeq
+    val scored = cv
+      .select(expr(s"ckey div $pdChunkMul").as("doc_id"),
+        pmod(col("ckey"), lit(pdChunkMul)).as("chunk_id"),
+        dot(col("v"), typedLit(qv)).as("__s"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val best = scored
+      .withColumn("n_chunks", count(lit(1)).over(w).cast("long"))
+      .withColumn("__r",
+        row_number().over(w.orderBy(col("__s").desc, col("chunk_id").asc)))
+      .filter(col("__r") === 1)
+    best
+      .orderBy(col("__s").desc, col("doc_id").asc)
+      .limit(10)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          .orderBy(col("__s").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("rank"), col("chunk_id"), col("n_chunks"),
+        round(col("__s"), 6).as("score"))
+      .orderBy("rank")
+  }
+
+  val q119Sql: String = {
+    val sz = PrepQueries.chunkSize; val st = PrepQueries.chunkStride
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         FROM documents WHERE doc_id < 200),
+       sch AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), $st)) AS stt FROM t),
+       base AS (SELECT doc_id * $pdChunkMul + ((stt - 1) // $st) AS doc_id,
+           array_to_string(toks[stt : stt + ${sz - 1}], ' ') AS ctext FROM sch),
+       ${embedCteSql("base", "ctext", 64, "")},
+       cv AS (SELECT doc_id AS ckey, list(x ORDER BY j) AS v FROM vf GROUP BY doc_id),
+       qbase AS (SELECT 0 AS doc_id, 'spark hash join' AS qtext),
+       ${embedCteSql("qbase", "qtext", 64, "q")},
+       qvec AS (SELECT list(x ORDER BY j) AS qv FROM qvf GROUP BY doc_id),
+       sc AS (SELECT ckey // $pdChunkMul AS doc_id, ckey % $pdChunkMul AS chunk_id,
+              list_dot_product(v, qv) AS s FROM cv, qvec),
+       best AS (SELECT doc_id, chunk_id, s, n_chunks FROM (
+           SELECT doc_id, chunk_id, s,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_chunks,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, chunk_id) AS r
+           FROM sc) WHERE r = 1),
+       r AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+             chunk_id, n_chunks, ROUND(s, 6) AS score FROM best)
+       SELECT doc_id, rank, chunk_id, n_chunks, score FROM r WHERE rank <= 10 ORDER BY rank"""
+  }
+
   // ---------- hybrid retrieval (R4/R5) ----------
 
   /** R4: vector top-20 ∪ BM25 top-20 with provenance flags — the
@@ -2282,6 +2365,7 @@ $pqRows)
     "q109_ivf_compact" -> (q109IvfCompact _),
     "q114_ann_sq" -> (q114AnnSq _),
     "q118_rrf_fusion" -> (q118RrfFusion _),
+    "q119_parent_doc" -> (q119ParentDoc _),
     "q86_graph_ann" -> (q86GraphAnn _),
     "q95_graph_recall" -> (q95GraphRecall _),
     "q97_graph_append" -> (q97GraphAppend _),
@@ -2321,6 +2405,7 @@ $pqRows)
     "q109_ivf_compact" -> q109Sql,
     "q114_ann_sq" -> q114Sql,
     "q118_rrf_fusion" -> q118Sql,
+    "q119_parent_doc" -> q119Sql,
     "q89_embedding_pc" -> q89Sql,
     "q94_all_but_top" -> q94Sql,
     "q107_hard_negatives" -> q107Sql,

@@ -35,6 +35,33 @@ class RagSpec extends SparkSpec {
     assert(df.map(_._1).distinct.length == 10)
   }
 
+  test("q119 parent-doc: served score IS the max over the doc's chunk scores") {
+    val got = RetrievalQueries.q119ParentDoc(spark, sf0001)
+      .select(col("doc_id"), col("chunk_id"), col("n_chunks"), col("score"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 10)
+    // recompute every chunk score independently and check the pooling
+    val emb64 = new graft.embed.PortableHashEmbedder(64)
+    val qv = emb64.embed("spark hash join").map(_.toDouble)
+    val chunks = graft.text.Chunker.chunkRows(
+        graft.sources.Tables.load(spark, sf0001, "documents")
+          .filter(col("doc_id") < 200), "doc_id", "text",
+        PrepQueries.chunkSize, PrepQueries.chunkStride)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      .as[(Long, Long, String)].collect()
+    val byDoc = chunks.groupBy(_._1)
+    got.foreach { case (doc, chunkId, nChunks, score) =>
+      val cs = byDoc(doc).map { case (_, cid, text) =>
+        val v = emb64.embed(text).map(_.toDouble)
+        (cid, v.zip(qv).map { case (a, b) => a * b }.sum)
+      }
+      assert(cs.length.toLong == nChunks, s"doc $doc chunk count")
+      val (bestCid, bestS) = cs.minBy { case (cid, s) => (-s, cid) }
+      assert(bestCid == chunkId, s"doc $doc argmax chunk")
+      assert(math.abs(bestS - score) < 1e-6, s"doc $doc max score")
+    }
+  }
+
   test("q55 candidates: legs contribute, ids distinct, sims bounded") {
     val c = RetrievalQueries.q55RagCandidates(spark, sf0001)
       .select("id", "in_vec", "in_lex", "sim")
