@@ -24,19 +24,22 @@ object Hybrid {
     * default over the reference's unscored set-union
     * (`src/pipeline/pipeline_mode.py:244-258`): candidates agreeing
     * across retrievers rise deterministically instead of arriving in
-    * set order. Shape: two k-row inputs full-outer-joined on id —
-    * driver-free, exchange bounded by k, corpus never touched. The
-    * two reciprocal terms are added in fixed (vec, lex) order so the
-    * double sum replays bit-identically in SQL. */
+    * set order. Shape: the two k-row reciprocal-term lists UNION and
+    * hash-aggregate on id — driver-free, exchange bounded by the
+    * candidate count, corpus never touched, and (unlike a full-outer
+    * join, which Spark cannot broadcast) no sort-merge anywhere. The
+    * per-id sum has at most two terms, so IEEE commutativity makes
+    * the double result independent of merge order — bit-identical to
+    * the oracle's fixed-order (vec, lex) addition. */
   def rrfFuse(vec: DataFrame, vecIdCol: String,
               lex: DataFrame, lexIdCol: String,
               c: Int, k: Int): DataFrame = {
-    val v = vec.select(col(vecIdCol).as("id"), col("rank").as("__vr"))
-    val l = lex.select(col(lexIdCol).as("id"), col("rank").as("__lr"))
-    v.join(l, Seq("id"), "full_outer")
-      .select(col("id"),
-        (coalesce(lit(1.0) / (lit(c) + col("__vr")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(c) + col("__lr")), lit(0.0))).as("__s"))
+    val v = vec.select(col(vecIdCol).as("id"),
+      (lit(1.0) / (lit(c) + col("rank"))).as("__t"))
+    val l = lex.select(col(lexIdCol).as("id"),
+      (lit(1.0) / (lit(c) + col("rank"))).as("__t"))
+    v.union(l)
+      .groupBy("id").agg(sum(col("__t")).as("__s"))
       .orderBy(col("__s").desc, col("id").asc)
       .limit(k)
       .withColumn("rank",

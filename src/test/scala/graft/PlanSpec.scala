@@ -68,6 +68,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("NOT (label"), s"expected the label filter:\n$p")
   }
 
+  test("q114: ADC scoring is the fused kernel; candidates and re-rank stay broadcast") {
+    val p = plan("q114_ann_sq")
+    // the quantized-list scan scores through the codegen'd SQ kernel
+    assert(p.contains("graft_sq_adc"), s"expected the fused ADC kernel:\n$p")
+    // probe + candidate + re-rank joins are all broadcast: nothing
+    // corpus-sized ever shuffles on a join key
+    assert(!p.contains("SortMergeJoin"), s"q114 sort-merged a join:\n$p")
+    // both top-k stages are bounded heaps, not window sorts over the scan
+    assert(p.contains("TakeOrderedAndProject"), s"expected heap top-k:\n$p")
+  }
+
+  test("q118: RRF fuses two k-row lists — no corpus-sized exchange after the legs") {
+    val p = plan("q118_rrf_fusion")
+    assert(!p.contains("SortMergeJoin"), s"q118 sort-merged the fusion:\n$p")
+    // the fusion is a hash aggregate over the ≤2k unioned term rows:
+    // both legs end in a bounded heap before the union
+    assert(p.contains("TakeOrderedAndProject"), s"expected heap top-k legs:\n$p")
+    assert(p.contains("HashAggregate"), s"expected the fused-sum aggregate:\n$p")
+  }
+
+  test("q119: per-doc argmax is one doc-keyed window; final sort is post-limit") {
+    val p = plan("q119_parent_doc")
+    // the chunk-scoring side must not sort-merge against the query
+    assert(!p.contains("SortMergeJoin"), s"q119 sort-merged a join:\n$p")
+    // global ordering appears only after the 10-row limit
+    assert(p.contains("TakeOrderedAndProject"), s"expected post-limit heap:\n$p")
+  }
+
   test("q112/q113: model and allocation join by broadcast, never sort-merge") {
     val p112 = plan("q112_perplexity_filter")
     assert(!p112.contains("SortMergeJoin"), s"q112 sort-merged a model join:\n$p112")
