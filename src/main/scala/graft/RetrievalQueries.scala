@@ -1227,10 +1227,21 @@ object RetrievalQueries {
         "ivf", s"k=$ivfK nprobe=$ivfProbe refine=$refineIters"),
       pqRow(pqCodebook(s, dir), pqM, pqK),
       pqRow(pqCodebook(s, dir), 4, pqK),
-      pqRow(pqCodebook64(s, dir), pqM, 64))
+      pqRow(pqCodebook64(s, dir), pqM, 64),
+      // the SQ8 dial (round 10): rerank = k is raw ADC ordering,
+      // rerank = 4k the serving default's exact-margin repair — the
+      // fifth ANN path's knob→recall trade next to the others
+      sqRow(s, dir, qs, recallRow(_, _, _), recallK),
+      sqRow(s, dir, qs, recallRow(_, _, _), sqRerank))
       .reduce(_ union _)
       .orderBy("method", "knob")
   }
+
+  private def sqRow(s: SparkSession, dir: String, qs: DataFrame,
+                    recallRow: (DataFrame, String, String) => DataFrame,
+                    rerank: Int): DataFrame =
+    recallRow(graft.search.SQ.sqMultiTopK(emb(s, dir), "vec_id", "v",
+      qs, "qid", "qv", recallK, rerank), "sq", s"rerank=$rerank")
 
   val q48Sql: String = {
     val bucket = bucketSql(annBits)
@@ -1260,6 +1271,25 @@ object RetrievalQueries {
     }
     val pqCtes = Seq(pqKnob("p1", pqM, pqK), pqKnob("p2", 4, pqK),
       pqKnob("p3", pqM, 64)).mkString(",\n       ")
+    // per-rerank SQ8 replay off the shared bounds/codes/adc CTEs
+    def sqKnob(rerank: Int): String =
+      s"""sqc$rerank AS (SELECT qid, vec_id FROM (
+           SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS r
+           FROM sqad) WHERE r <= $rerank),
+       sqk$rerank AS (SELECT qid, vec_id FROM (
+           SELECT s.qid, s.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY s.sc DESC, s.vec_id) AS r
+           FROM (SELECT c.qid, c.vec_id, list_dot_product(e.v, q.qv) AS sc
+                 FROM sqc$rerank c JOIN e USING (vec_id) JOIN q USING (qid)) s)
+           WHERE r <= $recallK)"""
+    val sqCtes = Seq(sqKnob(recallK), sqKnob(sqRerank)).mkString(",\n       ")
+    val sqRows =
+      s"""         UNION ALL SELECT 'sq', 'rerank=$recallK',
+           ROUND(COUNT(*) / PQDENOM, 4) FROM ex JOIN sqk$recallK USING (qid, vec_id)
+         UNION ALL SELECT 'sq', 'rerank=$sqRerank',
+           ROUND(COUNT(*) / PQDENOM, 4) FROM ex JOIN sqk$sqRerank USING (qid, vec_id)"""
+        .replace("PQDENOM", s"${recallNq * recallK}.0")
     val pqRows =
       s"""         UNION ALL SELECT 'pq', 'm=$pqM k=$pqK',
            ROUND(COUNT(*) / PQDENOM, 4) FROM ex JOIN pqkp1 USING (qid, vec_id)
@@ -1355,6 +1385,19 @@ object RetrievalQueries {
        ordc AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY
                ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
              v AS cvec FROM e),
+       sqb AS (SELECT d, MIN(v[d]) AS lo, MAX(v[d]) AS hi
+             FROM e, (SELECT UNNEST(generate_series(1, $embDim)) AS d) GROUP BY d),
+       sqbl AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM sqb),
+       sqcd AS (SELECT vec_id, list_transform(generate_series(1, $embDim), d ->
+             CASE WHEN hi[d] = lo[d] THEN 0
+               ELSE CAST(least(255.0, greatest(0.0,
+                 round((v[d] - lo[d]) * 255.0 / (hi[d] - lo[d]), 0))) AS INT) END) AS code
+           FROM e, sqbl),
+       sqad AS (SELECT q.qid, cd.vec_id,
+             list_dot_product(list_transform(generate_series(1, $embDim), d ->
+               lo[d] + code[d] * ((hi[d] - lo[d]) / 255.0)), q.qv) AS adc
+           FROM sqcd cd, sqbl, q),
+       $sqCtes,
 $pqCtes
        SELECT method, knob, recall FROM (
          SELECT 'lsh' AS method, 'bits=$annBits probes=1' AS knob,
@@ -1369,7 +1412,8 @@ $pqCtes
            ROUND(COUNT(*) / $denom, 4) FROM ex JOIN ivf4 USING (qid, vec_id)
          UNION ALL SELECT 'ivf', 'k=$ivfK nprobe=$ivfProbe refine=$refineIters',
            ROUND(COUNT(*) / $denom, 4) FROM ex JOIN ivfr USING (qid, vec_id)
-$pqRows)
+$pqRows
+$sqRows)
        ORDER BY method, knob"""
   }
 

@@ -98,6 +98,46 @@ object SQ {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
   }
 
+  /** Multi-query SQ8 search WITHOUT the coarse IVF structure (full
+    * quantized scan) — the form q48's recall surface probes, because
+    * it isolates the QUANTIZATION dial from the probe dial: one scan
+    * quantizes and ADC-scores every query through the fused kernel,
+    * per-query top-`rerank` candidates through the bounded heap,
+    * exact re-score from the full-precision vectors (an
+    * O(queries × rerank)-row broadcast join), per-query top-k.
+    * `rerank = k` measures raw ADC ordering; `rerank > k` measures
+    * how much exact margin repairs. Output matches
+    * [[Search.multiTopK]]: (qid, idCol, rank, score). */
+  def sqMultiTopK(docs: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, qidCol: String, qvecCol: String,
+                  k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"need rerank >= k, got rerank=$rerank k=$k")
+    val ba = boundsArrays(bounds(docs, vecCol))
+    val qs = queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))
+    val cand = docs.crossJoin(broadcast(ba))
+      .select(col(idCol).cast("long").as("id"),
+        sqPackNative(quantCodes(col(vecCol), col("lo"), col("hi"))).as("code"),
+        col("lo"), col("hi"))
+      .crossJoin(broadcast(qs))
+      .select(col("qid"), col("id"),
+        sqAdcNative(col("code"), col("lo"), col("hi"), col("__qv")).as("__adc"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graftnative.TopKAggregate
+        .topK(col("id"), col("__adc"), rerank).as("__tk"))
+      .select(col("qid"), explode(col("__tk")).as("__e"))
+      .select(col("qid"), col("__e.id").as("id"))
+    val candQ = cand.join(qs, "qid")
+    docs.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+      .join(broadcast(candQ), "id")
+      .select(col("qid"), col("id"), dot(col("__v"), col("__qv")).as("score"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graftnative.TopKAggregate
+        .topK(col("id"), col("score"), k).as("__tk"))
+      .select(col("qid"), explode(col("__tk")).as("__e"))
+      .select(col("qid"), col("__e.id").as(idCol), col("__e.rank").as("rank"),
+        round(col("__e.score"), 6).as("score"))
+  }
+
   /** Search the persisted SQ8 index: rank centroids for the query
     * (K-row broadcast), scan the `nprobe` best lists (a cid partition
     * filter — only those bytes leave disk), ADC-score each candidate
