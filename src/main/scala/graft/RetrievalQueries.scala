@@ -1059,6 +1059,112 @@ object RetrievalQueries {
       .orderBy("rank")
   }
 
+  /** q116's drifted delta staged as 4 id-ordered stream files (q99's
+    * ascending-mtime discipline pins the file source's batch order to
+    * the id ranges). */
+  private def q120Stage(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "q120_stage") {
+      val p = PipelineQueries.roundtripPath(dir, "q120_stream")
+      graph116Delta(s, dir).repartitionByRange(4, col("vec_id"))
+        .write.mode("overwrite").parquet(p)
+      val parts = Option(new java.io.File(p).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - 3600L * 1000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 2000L) }
+      p
+    }
+
+  /** ONE maintenance-aware ingest step — the per-batch rule BOTH the
+    * streamed drain and the batch replay run: append the batch to the
+    * live index, then (if no refresh has happened yet) poll the
+    * occupancy trigger and, when it fires, retrain the routing into
+    * `alt` and move serving there. Threaded state is
+    * (live path, refresh batch or -1). One refresh per run — the
+    * maintenance-window discipline: the trigger schedules a retrain,
+    * it does not retrain per batch (q116's point-mass drift would
+    * otherwise re-fire every batch forever, since identical vectors
+    * can never be split across cells). */
+  private def rerouteStep(s: SparkSession, parts: Int, alt: String)
+                         (st: (String, Int), batch: DataFrame, i: Int): (String, Int) = {
+    val (cur, refreshedAt) = st
+    graft.search.GraphAnn.appendToIndex(s, cur,
+      batch.select(col("vec_id"), col("v")), "vec_id", "v")
+    if (refreshedAt < 0 && graft.search.GraphAnn.needsReroute(s, cur, 1.5)) {
+      graft.search.GraphAnn.refreshRouting(s, cur, parts, alt)
+      (alt, i)
+    } else st
+  }
+
+  /** The batch replay of q120's lifecycle — clone the 60% base, apply
+    * the four staged delta files in order through [[rerouteStep]] —
+    * memoized as the equivalence target (`_build_q120_target`). */
+  private def q120TargetState(s: SparkSession, dir: String): (String, Int) =
+    Memo.cachedValue(s, dir, "q120_target") {
+      val pB = PipelineQueries.roundtripPath(dir, "q120b")
+      val altB = PipelineQueries.roundtripPath(dir, "q120br")
+      graft.FileTree.delete(new java.io.File(altB))
+      cloneTree(graphBase60Path(s, dir), pB)
+      val parts = graphPartsFor(s, dir)
+      val files = Option(new java.io.File(q120Stage(s, dir)).listFiles())
+        .toSeq.flatten.filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      var st = (pB, -1)
+      files.zipWithIndex.foreach { case (f, i) =>
+        st = rerouteStep(s, parts, altB)(st, s.read.parquet(f.getPath), i)
+      }
+      st
+    }
+
+  /** MAINTENANCE UNDER LIVE INGEST — the composition q99 and q116
+    * leave to each other: the drifted delta arrives as a STREAM (four
+    * in-order micro-batches through the file source), each batch
+    * appends into the live graph index inside foreachBatch, and the
+    * occupancy trigger is polled per batch exactly as a production
+    * maintenance job would — when it fires MID-DRAIN, the routing
+    * retrains on the index's own content and the remaining batches
+    * append under the NEW routing. The gates: (1) the trigger must
+    * fire mid-drain (not at the end — the drift is front-loaded
+    * enough by construction); (2) the streamed lifecycle must refresh
+    * at the SAME batch as the batch replay; (3) the final index must
+    * equal the batch replay BIT FOR BIT (every append before AND
+    * after the routing swap landed identically). Then the index
+    * serves routed. Rows-only like the rest of the graph family; the
+    * exceptAll gate is the deliberate O(index) harness cost
+    * (q97/q99/q116's discipline — production trusts the spec-pinned
+    * equivalence). */
+  def q120StreamReroute(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val parts = graphPartsFor(s, dir)
+    val stage = q120Stage(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q120")
+    val alt = PipelineQueries.roundtripPath(dir, "q120r")
+    graft.FileTree.delete(new java.io.File(alt))
+    cloneTree(graphBase60Path(s, dir), path)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    var st = (path, -1)
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) =>
+      st = rerouteStep(s, parts, alt)(st, batch, bid.toInt))
+    val (live, refreshedAt) = st
+    require(refreshedAt >= 0 && refreshedAt < 3,
+      s"q120: the reroute trigger must fire mid-drain, fired at $refreshedAt")
+    val (liveB, refreshedAtB) = q120TargetState(s, dir)
+    require(refreshedAt == refreshedAtB,
+      s"q120: streamed refresh at batch $refreshedAt, batch replay at $refreshedAtB")
+    val grown = s.read.parquet(s"$live/nodes")
+      .select(col("part"), col("id"), col("vec"), col("nbrs"))
+    val target = s.read.parquet(s"$liveB/nodes")
+      .select(col("part"), col("id"), col("vec"), col("nbrs"))
+    require(grown.exceptAll(target).isEmpty &&
+        target.exceptAll(grown).isEmpty,
+      "q120: the streamed maintenance lifecycle must equal the batch replay bit for bit")
+    graft.search.GraphAnn.searchIndex(s, live, "vec_id",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10, graphEf,
+      probeParts = graphProbeFor(s, dir))
+      .orderBy("rank")
+  }
+
   /** Embedding-quality diagnostics: corpus mean + top principal
     * component of the centered embeddings via relational power
     * iteration ([[graft.embed.Spectral]]) — the artifacts of the
@@ -2378,7 +2484,8 @@ $sqRows)
     "_build_graph_base80" -> ((s, dir) => { graphBase80Path(s, dir); () }),
     "_build_graph_rebuild80" -> ((s, dir) => { graphRebuildPath(s, dir); () }),
     "_build_graph_base60" -> ((s, dir) => { graphBase60Path(s, dir); () }),
-    "_build_graph_reroute_target" -> ((s, dir) => { graph116TargetPath(s, dir); () }))
+    "_build_graph_reroute_target" -> ((s, dir) => { graph116TargetPath(s, dir); () }),
+    "_build_q120_target" -> ((s, dir) => { q120TargetState(s, dir); () }))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_ingest_clean" -> (q07IngestClean _),
@@ -2415,6 +2522,7 @@ $sqRows)
     "q97_graph_append" -> (q97GraphAppend _),
     "q99_stream_index" -> (q99StreamIndex _),
     "q116_graph_reroute" -> (q116GraphReroute _),
+    "q120_stream_reroute" -> (q120StreamReroute _),
     "q89_embedding_pc" -> (q89EmbeddingPc _),
     "q94_all_but_top" -> (q94AllButTop _),
     "q107_hard_negatives" -> (q107HardNegatives _),

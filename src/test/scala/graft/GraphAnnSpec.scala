@@ -350,6 +350,45 @@ class GraphAnnSpec extends SparkSpec {
     assert(top(out) == top(target))
   }
 
+  test("interleaved maintenance: append after a mid-lifecycle refresh stays structurally sound") {
+    // q120's step rule at spec scale: base → drifted append → refresh
+    // → ANOTHER drifted append under the NEW routing. The refreshed
+    // artifact must accept appends like any index, and the final
+    // state must keep the structural contracts (every id in exactly R
+    // cells, deterministic dense serving).
+    val n = emb.count()
+    val split = 3L * n / 5L
+    val mid = 4L * n / 5L
+    val path = java.nio.file.Files.createTempDirectory("graphann_im").toString
+    val out = java.nio.file.Files.createTempDirectory("graphann_im_out").toString
+    GraphAnn.writeIndex(emb.filter(col("vec_id") < split), "vec_id", "v",
+      m = 8, efC = 48, parts = 8, path)
+    val rv0 = spark.read.parquet(s"$path/routing").filter(col("part") === 0)
+      .select(col("rvec"))
+    def drifted(lo: Long, hi: Long) =
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .crossJoin(broadcast(rv0)).select(col("vec_id"), col("rvec").as("v"))
+    GraphAnn.appendToIndex(spark, path, drifted(split, mid), "vec_id", "v")
+    GraphAnn.refreshRouting(spark, path, 8, out)
+    // the tail of the stream lands on the REFRESHED index
+    GraphAnn.appendToIndex(spark, out, drifted(mid, n), "vec_id", "v")
+    val nodes = spark.read.parquet(s"$out/nodes")
+    val r = spark.read.parquet(s"$out/routing")
+      .select(col("replicas")).as[Int].head()
+    val perId = nodes.groupBy(col("id"))
+      .agg(countDistinct(col("part")).as("cells"), count(lit(1)).as("copies"))
+    assert(perId.count() == n, "every id must survive the interleaved lifecycle")
+    assert(perId.filter(col("cells") =!= r || col("copies") =!= r).isEmpty,
+      s"every id must live in exactly R=$r distinct cells")
+    def serve() = GraphAnn.searchIndex(spark, out, "vec_id",
+        query(1), "qv", 10, ef = 48)
+      .select("vec_id", "rank", "score")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    val a = serve()
+    assert(a.map(_._2) == (1L to 10L), "dense ranks after interleaved maintenance")
+    assert(a == serve(), "serving stays deterministic")
+  }
+
   test("boundary replication: every vector lives in exactly R distinct cells, one primary") {
     val path = java.nio.file.Files.createTempDirectory("graphann_repl").toString
     GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 8, path)
