@@ -603,6 +603,102 @@ object RetrievalQueries {
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  /** Clamped-element fraction past which the SQ index needs fresh
+    * bounds: 2% of out-of-range mass distorts the edge codes enough
+    * to matter, while in-distribution appends sit well under it. */
+  val sqClampThreshold = 0.02
+
+  /** THE SQ8 MAINTENANCE LIFECYCLE under the oracle — build → append
+    * → drift trips the requant trigger → fresh-bounds rebuild →
+    * serve (the q84/q96/q109 discipline applied to the fourth ANN
+    * path, whose twist is that the BOUNDS are index geometry): an
+    * in-distribution delta appends under the standing bounds with
+    * ~zero clamped mass (the require pins the trigger's quiet side),
+    * then a drifted delta — the newest vectors shifted by +1.0, a
+    * recalibrated embedder's systematic offset, a range the standing
+    * quantizer never saw (an offset, unlike a scale factor, clamps at
+    * EVERY corpus size — wider corpora have wider min/max bounds that
+    * absorb multiplicative drift) — lands mostly OUT of [lo, hi], the
+    * clamped fraction crosses [[sqClampThreshold]] (the require
+    * makes the trigger input part of the gate), and the index
+    * re-quantizes from the full-precision source of truth (codes are
+    * lossy; an SQ index can never re-derive itself — requantization
+    * is always a source-table rebuild, which is why the source stays
+    * the system of record). File discipline gates fragmentation
+    * (appends land new files per touched list) and restoration (the
+    * rebuild is one file per list). The oracle replays the ENTIRE
+    * post-requant state — union corpus with the scaled delta, fresh
+    * bounds, codes, probe, ADC ordering, exact re-rank — so the hash
+    * match certifies requantization reproduces exactly the clean
+    * build over the drifted corpus. */
+  def q121SqAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q121")
+    graft.search.SQ.writeIndex(e.filter(col("vec_id") >= 100),
+      "vec_id", "v", ivfK, path)
+    val f1 = graft.search.SQ.appendToIndex(s, path,
+      e.filter(col("vec_id") >= 50 && col("vec_id") < 100), "vec_id", "v")
+    require(f1 <= sqClampThreshold,
+      s"q121: in-distribution delta must not trip requant (clamped $f1)")
+    val drift = e.filter(col("vec_id") < 50)
+      .select(col("vec_id"), transform(col("v"), x => x + lit(1.0)).as("v"))
+    val f2 = graft.search.SQ.appendToIndex(s, path, drift, "vec_id", "v")
+    require(f2 > sqClampThreshold,
+      s"q121: the out-of-range delta must trip requant (clamped $f2)")
+    require(graft.search.IVF.listFileCounts(path).values.max >= 2,
+      "q121: appends must land as new files per touched list")
+    val u = e.filter(col("vec_id") >= 50).select(col("vec_id"), col("v"))
+      .unionByName(drift)
+    graft.search.SQ.writeIndex(u, "vec_id", "v", ivfK, path)
+    require(graft.search.IVF.listFileCounts(path).values.forall(_ == 1),
+      "q121: requantization must restore one file per list")
+    graft.search.SQ.searchIndex(s, path, u, "vec_id", "v",
+      e.filter(col("vec_id") === 2).select(col("v").as("qv")), "qv",
+      10, ivfProbe, sqRerank)
+      .orderBy("rank")
+  }
+
+  val q121Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       u AS (SELECT vec_id, v FROM e WHERE vec_id >= 50
+             UNION ALL
+             SELECT vec_id, list_transform(v, x -> x + 1.0) AS v FROM e WHERE vec_id < 50),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM u) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT u.vec_id, u.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY u.vec_id
+               ORDER BY list_dot_product(u.v, c.cvec) DESC, c.cid) AS r
+           FROM u, c) WHERE r = 1),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 2),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       b AS (SELECT d, MIN(v[d]) AS lo, MAX(v[d]) AS hi
+             FROM u, (SELECT UNNEST(generate_series(1, $sqDim)) AS d) GROUP BY d),
+       bl AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM b),
+       cd AS (SELECT a.vec_id, a.cid,
+           list_transform(generate_series(1, $sqDim), d ->
+             CASE WHEN hi[d] = lo[d] THEN 0
+               ELSE CAST(least(255.0, greatest(0.0,
+                 round((v[d] - lo[d]) * 255.0 / (hi[d] - lo[d]), 0))) AS INT) END) AS code
+         FROM a, bl),
+       ad AS (SELECT cd.vec_id,
+           list_dot_product(list_transform(generate_series(1, $sqDim), d ->
+             lo[d] + code[d] * ((hi[d] - lo[d]) / 255.0)), pr.qv) AS adc
+         FROM cd JOIN pr ON cd.cid = pr.cid, bl),
+       cand AS (SELECT vec_id FROM (
+           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc DESC, vec_id) AS r FROM ad)
+         WHERE r <= $sqRerank),
+       sc AS (SELECT u.vec_id, list_dot_product(u.v, q.qv) AS sc
+              FROM u JOIN cand USING (vec_id), q),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
   /** R2 (third scale path): product-quantization ADC search — a
     * 16-entry codebook over 8 subspaces of 8 dims, every data vector
     * scored through its reconstruction. Same query point as q45 so
@@ -2515,6 +2611,7 @@ $sqRows)
     "q96_ivf_refresh" -> (q96IvfRefresh _),
     "q109_ivf_compact" -> (q109IvfCompact _),
     "q114_ann_sq" -> (q114AnnSq _),
+    "q121_sq_append" -> (q121SqAppend _),
     "q118_rrf_fusion" -> (q118RrfFusion _),
     "q119_parent_doc" -> (q119ParentDoc _),
     "q86_graph_ann" -> (q86GraphAnn _),
@@ -2556,6 +2653,7 @@ $sqRows)
     "q96_ivf_refresh" -> q96Sql,
     "q109_ivf_compact" -> q109Sql,
     "q114_ann_sq" -> q114Sql,
+    "q121_sq_append" -> q121Sql,
     "q118_rrf_fusion" -> q118Sql,
     "q119_parent_doc" -> q119Sql,
     "q89_embedding_pc" -> q89Sql,

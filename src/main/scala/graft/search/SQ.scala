@@ -98,6 +98,47 @@ object SQ {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
   }
 
+  /** INCREMENTAL maintenance of the SQ8 index: assign a delta batch
+    * against the STANDING quantizer and quantize it under the
+    * STANDING bounds — the bounds are part of the index's geometry,
+    * so an append must not move them (re-deriving bounds per batch
+    * would silently re-scale every previously-written code). Values
+    * outside the standing [lo, hi] clamp to the edge codes; the
+    * RETURNED clamped-element fraction is the re-quantization
+    * trigger's input (the SQ twin of [[IVF.needsRefine]]'s skew and
+    * [[GraphAnn.needsReroute]]'s occupancy): distribution drift shows
+    * up as out-of-range mass, and past a threshold the index needs a
+    * fresh-bounds rebuild from the full-precision source of truth
+    * (codes are lossy — the index can never re-derive itself). Two
+    * delta passes: one aggregate for the clamp fraction, one
+    * assign + quantize + append write (one new file per touched
+    * list, the q84/q87 append discipline). Maintenance-path cost,
+    * never a query's. */
+  def appendToIndex(spark: SparkSession, path: String,
+                    delta: DataFrame, idCol: String, vecCol: String): Double = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val ba = boundsArrays(spark.read.parquet(s"$path/bounds"))
+    val lohi = zip_with(col("lo"), col("hi"), (l, h) => struct(l.as("l"), h.as("h")))
+    val oobRow = delta.crossJoin(broadcast(ba))
+      .select(
+        size(filter(zip_with(col(vecCol), lohi,
+          (x, lh) => x < lh.getField("l") || x > lh.getField("h")), b => b))
+          .cast("long").as("oob"),
+        size(col(vecCol)).cast("long").as("n"))
+      .agg(sum(col("oob")).cast("double").as("o"), sum(col("n")).cast("double").as("t"))
+      .head()
+    val oobFrac = if (oobRow.getDouble(1) == 0.0) 0.0
+      else oobRow.getDouble(0) / oobRow.getDouble(1)
+    IVF.assign(delta, idCol, vecCol, cents)
+      .crossJoin(broadcast(ba))
+      .select(col(idCol).as("id"),
+        sqPackNative(quantCodes(col(vecCol), col("lo"), col("hi"))).as("code"),
+        col("cid"))
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/lists")
+    oobFrac
+  }
+
   /** Multi-query SQ8 search WITHOUT the coarse IVF structure (full
     * quantized scan) — the form q48's recall surface probes, because
     * it isolates the QUANTIZATION dial from the probe dial: one scan

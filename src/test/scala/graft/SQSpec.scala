@@ -106,6 +106,38 @@ class SQSpec extends SparkSpec {
     assert(overlap >= 8, s"recall@10 too low: $overlap/10")
   }
 
+  test("append quantizes under the STANDING bounds and reports the clamped fraction") {
+    val path = "/tmp/graft_test/sq_append"
+    val base = e.filter(col("vec_id") >= 100)
+    SQ.writeIndex(base, "vec_id", "v", 8, path)
+    val baseBounds = SQ.boundsArrays(SQ.bounds(base, "v"))
+    // a delta scaled beyond the standing range: most elements clamp
+    val drift = e.filter(col("vec_id") < 50)
+      .select(col("vec_id"), transform(col("v"), x => x * lit(2.0)).as("v"))
+    val frac = SQ.appendToIndex(spark, path, drift, "vec_id", "v")
+    // 2x scaling pushes the tail mass past the standing per-dim
+    // min/max — well past the 2% requant threshold, under 1
+    assert(frac > RetrievalQueries.sqClampThreshold && frac <= 1.0,
+      s"expected clamping past the requant threshold, got $frac")
+    // the appended codes must be the delta quantized under the BASE
+    // bounds (not bounds re-derived from base+delta): compare byte
+    // for byte against the directly-computed standing-bounds codes
+    val want = drift.crossJoin(broadcast(baseBounds))
+      .select(col("vec_id").as("id"),
+        org.apache.spark.sql.graftnative.NativeExpressions
+          .sqPackNative(SQ.quantCodes(col("v"), col("lo"), col("hi"))).as("code"))
+      .as[(Long, Array[Byte])].collect().toMap
+    val got = spark.read.parquet(s"$path/lists")
+      .filter(col("id") < 50)
+      .select(col("id"), col("code")).as[(Long, Array[Byte])].collect()
+    assert(got.length == want.size)
+    got.foreach { case (id, code) =>
+      assert(java.util.Arrays.equals(code, want(id)), s"id $id codes differ") }
+    // an in-distribution delta reports ~zero clamped mass
+    val inDist = e.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+    assert(SQ.appendToIndex(spark, path, inDist, "vec_id", "v") <= 0.02)
+  }
+
   test("at-rest lists are 1 byte per dimension and the scan is cid-pruned") {
     val path = "/tmp/graft_test/sq_index" // written by the previous test
     val lists = spark.read.parquet(s"$path/lists")
