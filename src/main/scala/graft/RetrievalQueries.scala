@@ -539,7 +539,7 @@ object RetrievalQueries {
     * dimensionality the oracle's per-dimension CTEs unroll over. */
   val sqRerank = 40; val sqDim = 64
 
-  /** R2 (fourth scale path): IVF with SCALAR-QUANTIZED (SQ8) lists —
+  /** R2 (fifth scale path): IVF with SCALAR-QUANTIZED (SQ8) lists —
     * the at-rest payload is one uint8 code per dimension packed into
     * a BINARY column (8× smaller than the double lists; the dominant
     * bytes at 100 TB), candidates are ADC-scored through the fused
@@ -610,7 +610,7 @@ object RetrievalQueries {
 
   /** THE SQ8 MAINTENANCE LIFECYCLE under the oracle — build → append
     * → drift trips the requant trigger → fresh-bounds rebuild →
-    * serve (the q84/q96/q109 discipline applied to the fourth ANN
+    * serve (the q84/q96/q109 discipline applied to the SQ8 ANN
     * path, whose twist is that the BOUNDS are index geometry): an
     * in-distribution delta appends under the standing bounds with
     * ~zero clamped mass (the require pins the trigger's quiet side),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftnative.NativeExpressions.{dotNative => dot, sqAdcNative, sqPackNative}
 
-/** R2 (fourth scale path): IVF with SCALAR-QUANTIZED (SQ8) inverted
+/** R2 (fifth scale path): IVF with SCALAR-QUANTIZED (SQ8) inverted
   * lists — the coarse structure of [[IVF]] with the at-rest list
   * payload shrunk 8×: each vector is stored as one uint8 code per
   * dimension (per-dimension affine quantization over corpus min/max
