@@ -167,8 +167,17 @@ object SQ {
         .topK(col("id"), col("__adc"), rerank).as("__tk"))
       .select(col("qid"), explode(col("__tk")).as("__e"))
       .select(col("qid"), col("__e.id").as("id"))
+      // O(queries × rerank) rows: checkpointed so the id collect and
+      // the pairing join don't each re-run the corpus-sized ADC scan
+      .localCheckpoint()
+    // candidate ids are contract-bounded (≤ queries × rerank): pushed
+    // into the fetch scan as an In predicate, paired per query by the
+    // broadcast join
+    val ids = cand.select(col("id")).distinct()
+      .as(org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
     val candQ = cand.join(qs, "qid")
     docs.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+      .filter(col("id").isin(ids: _*))
       .join(broadcast(candQ), "id")
       .select(col("qid"), col("id"), dot(col("__v"), col("__qv")).as("score"))
       .groupBy("qid")
@@ -179,40 +188,58 @@ object SQ {
         round(col("__e.score"), 6).as("score"))
   }
 
-  /** Search the persisted SQ8 index: rank centroids for the query
-    * (K-row broadcast), scan the `nprobe` best lists (a cid partition
-    * filter — only those bytes leave disk), ADC-score each candidate
-    * code through the fused kernel, keep the `rerank` best
-    * approximate candidates, then re-score EXACTLY from the
-    * full-precision `source` table (candidate ids broadcast into an
-    * equi-join — O(rerank) rows against the source scan) and emit the
-    * final top-k. Output contract matches [[IVF.searchIndex]]:
-    * (idCol, rank, score) with score the exact dot rounded to 6. */
-  def searchIndex(spark: SparkSession, path: String,
-                  source: DataFrame, idCol: String, vecCol: String,
-                  query: DataFrame, queryVecCol: String,
-                  k: Int, nprobe: Int, rerank: Int): DataFrame = {
-    require(rerank >= k, s"need rerank >= k, got rerank=$rerank k=$k")
+  /** The candidate stage of [[searchIndex]]: rank centroids for the
+    * query (K-row broadcast), scan the `nprobe` best lists (a cid
+    * partition filter — only those bytes leave disk), ADC-score each
+    * candidate code through the fused kernel, keep the `rerank` best
+    * by (adc desc, id asc) via the bounded heap. */
+  private[graft] def adcCandidates(spark: SparkSession, path: String,
+                                   qv: Seq[Double], nprobe: Int,
+                                   rerank: Int): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
     val ba = boundsArrays(spark.read.parquet(s"$path/bounds"))
-    val probes = query.select(col(queryVecCol).as("__qv"))
+    val probes = spark.range(1).select(typedLit(qv).as("__qv"))
       .crossJoin(broadcast(cents))
       .withColumn("__cs", dot(col("__qv"), col("cvec")))
       .orderBy(col("__cs").desc, col("cid").asc)
       .limit(nprobe)
       .select(col("cid"), col("__qv"))
-    val cand = spark.read.parquet(s"$path/lists")
+    spark.read.parquet(s"$path/lists")
       .join(broadcast(probes), "cid") // becomes a partition filter on cid
       .crossJoin(broadcast(ba))
       .select(col("id"),
-        sqAdcNative(col("code"), col("lo"), col("hi"), col("__qv")).as("__adc"),
-        col("__qv"))
+        sqAdcNative(col("code"), col("lo"), col("hi"), col("__qv")).as("__adc"))
       .orderBy(col("__adc").desc, col("id").asc)
       .limit(rerank)
+  }
+
+  /** Search the persisted SQ8 index: [[adcCandidates]] over the
+    * pruned lists, then re-score EXACTLY from the full-precision
+    * `source` table. The candidate ids are contract-bounded
+    * (≤ rerank), so they collect to the driver — the routing-table /
+    * MMR-candidate discipline — and re-enter as an `In` predicate
+    * PUSHED INTO the source scan: the re-rank is a point fetch
+    * (parquet min/max row-group pruning on the id column), not a
+    * corpus scan wearing a broadcast join. Output contract matches
+    * [[IVF.searchIndex]]: (idCol, rank, score) with score the exact
+    * dot rounded to 6. */
+  def searchIndex(spark: SparkSession, path: String,
+                  source: DataFrame, idCol: String, vecCol: String,
+                  query: DataFrame, queryVecCol: String,
+                  k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"need rerank >= k, got rerank=$rerank k=$k")
+    import spark.implicits._
+    val qv = query.select(col(queryVecCol).cast("array<double>"))
+      .as[Seq[Double]].head()
+    val ids = adcCandidates(spark, path, qv, nprobe, rerank)
+      .select(col("id").cast("long")).as[Long].collect().toSeq
+    if (ids.isEmpty)
+      return source.select(col(idCol), lit(0L).as("rank"),
+        lit(0.0).as("score")).limit(0)
     val exact = source
       .select(col(idCol).as("id"), col(vecCol).as("__v"))
-      .join(broadcast(cand.select(col("id"), col("__qv"))), "id")
-      .select(col("id"), dot(col("__v"), col("__qv")).as("score"))
+      .filter(col("id").isin(ids: _*)) // pushed: point fetch by id
+      .select(col("id"), dot(col("__v"), typedLit(qv)).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
     exact.withColumn("rank",

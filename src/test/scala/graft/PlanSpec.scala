@@ -68,14 +68,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("NOT (label"), s"expected the label filter:\n$p")
   }
 
-  test("q114: ADC scoring is the fused kernel; candidates and re-rank stay broadcast") {
+  test("q114: re-rank is an id-pushed point fetch ending in a heap top-k") {
+    // the candidate stage's plan (cid pruning + fused ADC kernel) is
+    // asserted in SQSpec; the query's returned plan is the re-rank
+    // fetch — candidate ids pushed into the scan, nothing sort-merged
     val p = plan("q114_ann_sq")
-    // the quantized-list scan scores through the codegen'd SQ kernel
-    assert(p.contains("graft_sq_adc"), s"expected the fused ADC kernel:\n$p")
-    // probe + candidate + re-rank joins are all broadcast: nothing
-    // corpus-sized ever shuffles on a join key
+    assert(p.contains("PushedFilters: [In(vec_id"),
+      s"expected the candidate-id In pushdown:\n$p")
     assert(!p.contains("SortMergeJoin"), s"q114 sort-merged a join:\n$p")
-    // both top-k stages are bounded heaps, not window sorts over the scan
     assert(p.contains("TakeOrderedAndProject"), s"expected heap top-k:\n$p")
   }
 

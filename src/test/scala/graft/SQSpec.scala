@@ -138,17 +138,31 @@ class SQSpec extends SparkSpec {
     assert(SQ.appendToIndex(spark, path, inDist, "vec_id", "v") <= 0.02)
   }
 
-  test("at-rest lists are 1 byte per dimension and the scan is cid-pruned") {
+  test("at-rest lists are 1 byte per dimension; candidates cid-pruned; re-rank id-pushed") {
     val path = "/tmp/graft_test/sq_index" // written by the previous test
     val lists = spark.read.parquet(s"$path/lists")
     val sizes = lists.select(length(col("code")).cast("int")).distinct().as[Int].collect()
     assert(sizes.toSeq == Seq(dims), s"code bytes $sizes != dims $dims")
     val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
-    val plan = SQ.searchIndex(spark, path, e, "vec_id", "v", q, "qv", 10, 2,
+    val qv = q.select(col("qv").cast("array<double>")).as[Seq[Double]].head()
+    // stage 1: the candidate scan reads only the probed cid partitions
+    val candPlan = SQ.adcCandidates(spark, path, qv, 2, RetrievalQueries.sqRerank)
+      .queryExecution.executedPlan.toString
+    assert(candPlan.contains("dynamicpruning") ||
+      candPlan.contains("PartitionFilters: [isnotnull(cid"),
+      s"expected partition pruning on cid:\n$candPlan")
+    assert(candPlan.contains("graft_sq_adc"),
+      s"expected the fused ADC kernel in the candidate scan:\n$candPlan")
+    // stage 2: the exact re-rank is a point fetch — the candidate ids
+    // arrive as an In predicate pushed into the source scan
+    val servePlan = SQ.searchIndex(spark, path, e, "vec_id", "v", q, "qv", 10, 2,
         RetrievalQueries.sqRerank)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning") ||
-      plan.contains("PartitionFilters: [isnotnull(cid"),
-      s"expected partition pruning on cid:\n$plan")
+    // (the spec corpus is a localCheckpoint, so the predicate shows
+    // as an INSET filter on the RDD scan; over parquet — PlanSpec's
+    // q114 case — the same predicate lands in PushedFilters)
+    assert(servePlan.contains("PushedFilters: [In(vec_id") ||
+      servePlan.contains("INSET"),
+      s"expected the candidate-id In predicate on the re-rank fetch:\n$servePlan")
   }
 }
