@@ -549,7 +549,7 @@ object RetrievalQueries {
     * quantize-then-refine serving layout; FAISS
     * `IndexIVFScalarQuantizer` + refine — the reference stores full
     * float32 in every index, `src/pipeline/pipeline.py:126-134`).
-    * Same query point as q45/q59 so all four ANN paths (LSH / IVF /
+    * Same query point as q45/q59 so all five ANN paths (LSH / IVF /
     * PQ / SQ) and the exact scan are directly comparable. Build and
     * search are deterministic functions of content, so the oracle
     * replays the ENTIRE chain — bounds, codes, ADC ordering, re-rank
@@ -702,8 +702,8 @@ object RetrievalQueries {
   /** R2 (third scale path): product-quantization ADC search — a
     * 16-entry codebook over 8 subspaces of 8 dims, every data vector
     * scored through its reconstruction. Same query point as q45 so
-    * the three ANN paths (IVF / LSH / PQ) and the exact scan are
-    * directly comparable on one query. The codebook reuses the
+    * the five ANN paths (IVF / LSH / PQ / SQ / graph) and the exact
+    * scan are directly comparable on one query. The codebook reuses the
     * rank-based LCG sample (session-memoized like the IVF
     * artifacts); PQSpec pins recall@10 vs exact. */
   val pqM = 8; val pqK = 16; val pqDim = 64
@@ -899,7 +899,7 @@ object RetrievalQueries {
     * per-part adjacency ([[graft.search.GraphAnn.searchIndex]]) —
     * per-query work is the index scan + beam search + exact-score
     * merge; the superlinear graph build is charged to
-    * `_build_graph_ann`. Same query point as q45/q59 so all four
+    * `_build_graph_ann`. Same query point as q45/q59 so all five
     * approximate paths are comparable on one query. NO oracle: graph
     * construction is iterative and partition-local (not
     * SQL-expressible), so this row rides the driver's rows-only
