@@ -452,6 +452,81 @@ object Queries {
       .saveAsTable(tbl)
   }
 
+  /** COMPACTION of the bucketed postings table — the last quarter of
+    * the BM25 maintenance lifecycle (build q20 → append q87 → stream
+    * q102 → compact here), the lexical twin of
+    * [[graft.search.IVF.compactIndex]]: every append lands one new
+    * file per touched bucket, so a long-lived postings table
+    * accumulates files-per-bucket and every term read pays the
+    * open/seek tax. Stage a one-file-per-bucket rewrite under a
+    * fresh external path WITH THE SAME bucketBy metadata (bucket
+    * pruning and the exchange-free stats aggregate must survive the
+    * rewrite), then swap via metastore renames: each RENAME is
+    * atomic; a crash between them leaves the old table serving under
+    * `__old` or the new one live — never a half-written table,
+    * because the staged write completed before the first rename. The
+    * superseded files stay on disk as the in-flight readers' grace
+    * window (a reader's plan holds the file list it resolved; the
+    * IVF generation-GC discipline applies if cycles repeat). Returns
+    * the live data path for file-count gates. */
+  private[graft] def compactPostings(s: SparkSession, tbl: String,
+                                     path: String): String = {
+    val stage = tbl + "__stage"
+    val old = tbl + "__old"
+    s.sql(s"DROP TABLE IF EXISTS $stage")
+    s.sql(s"DROP TABLE IF EXISTS $old")
+    val stagePath = path + "__compact"
+    // read the FILES, not the table: the bucketed-table scan already
+    // claims the bucket distribution, which lets the planner elide
+    // the aligning repartition and write one file per (task, bucket)
+    // instead of one per bucket; a plain parquet scan forces the real
+    // exchange, and the bucket id is a pure function of term so the
+    // re-hash re-derives exactly the same buckets
+    s.read.parquet(path)
+      .repartition(bm25Buckets, col("term"))
+      .write.mode("overwrite")
+      .option("path", stagePath)
+      .bucketBy(bm25Buckets, "term").sortBy("term")
+      .saveAsTable(stage)
+    s.sql(s"ALTER TABLE $tbl RENAME TO $old")
+    s.sql(s"ALTER TABLE $stage RENAME TO $tbl")
+    s.sql(s"DROP TABLE $old") // external: files remain as the grace window
+    stagePath
+  }
+
+  /** THE POSTINGS COMPACTION LIFECYCLE under the oracle — q109's
+    * discipline applied to the lexical index, closing the BM25
+    * maintenance matrix (build → append → stream-ingest → compact):
+    * build the bucketed table over the ≥100 slice, fragment it with
+    * two delta appends (one new file per touched bucket each —
+    * [[graft.lexical.BM25.bucketFileCounts]] reports it, the require
+    * makes the trigger input part of the gate), compact into a
+    * one-file-per-bucket rewrite swapped in by metastore renames,
+    * require restoration AND that the bucket count carried over,
+    * then serve the q20 search from the compacted table with stats
+    * derived from it. The oracle is q20's whole-corpus SQL: the hash
+    * match certifies compaction moved bytes, never content. */
+  def q122Bm25Compact(s: SparkSession, dir: String): DataFrame = {
+    val tbl = "bm25_compact_" + PipelineQueries.sanitizeTag(dir)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = PipelineQueries.roundtripPath(dir, "bm25compact")
+    graft.FileTree.delete(new java.io.File(path))
+    val d = t(s, dir, "documents")
+    writePostings(s, d.filter(col("doc_id") >= 100), tbl, path, "overwrite")
+    (0 until 2).foreach { b =>
+      writePostings(s, d.filter(col("doc_id") < 100 && col("doc_id") % 2 === b),
+        tbl, path, "append")
+    }
+    require(BM25.bucketFileCounts(path).values.max >= 2,
+      "q122: appends must fragment the buckets")
+    val live = compactPostings(s, tbl, path)
+    require(BM25.bucketFileCounts(live).values.forall(_ == 1),
+      "q122: compaction must restore one file per bucket")
+    val post = s.table(tbl)
+    BM25.searchIndexed(post, BM25.statsFromPostings(post), bm25Terms, 20)
+      .orderBy("rank")
+  }
+
   private[graft] def bm25PostingsTable(s: SparkSession, dir: String): String =
     Memo.cachedValue(s, dir, "bm25index") {
       val tbl = "bm25_postings_" + PipelineQueries.sanitizeTag(dir)
@@ -605,6 +680,7 @@ object Queries {
     "q21_top_terms" -> (q21TopTerms _),
     "q70_pivot" -> (q70Pivot _),
     "q87_bm25_append" -> (q87Bm25Append _),
+    "q122_bm25_compact" -> (q122Bm25Compact _),
     "q102_stream_bm25" -> (q102StreamBm25 _)) ++
     CurationQueries.all ++ RetrievalQueries.all ++ PipelineQueries.all ++
     ScaleQueries.all ++ PrepQueries.all
@@ -628,6 +704,7 @@ object Queries {
     "q21_top_terms" -> q21Sql,
     "q70_pivot" -> q70Sql,
     "q87_bm25_append" -> q20Sql,
+    "q122_bm25_compact" -> q20Sql,
     "q102_stream_bm25" -> q20Sql) ++
     CurationQueries.oracle ++ RetrievalQueries.oracle ++ PipelineQueries.oracle ++
     ScaleQueries.oracle ++ PrepQueries.oracle

@@ -105,6 +105,20 @@ object BM25 {
     scorePostings(post, corpus, k)
   }
 
+  /** Files per term bucket of a persisted postings table — the
+    * compaction trigger's input, from a driver-side listing (the
+    * Spark bucket id rides the file name as the `_NNNNN` suffix
+    * before `.c000`). The BM25 twin of [[graft.search.IVF
+    * .listFileCounts]]: every append lands one new file per touched
+    * bucket, so files-per-bucket grows with append count. */
+  def bucketFileCounts(path: String): Map[Int, Int] =
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .flatMap(f => "_(\\d{5})\\.".r.findFirstMatchIn(f.getName)
+        .map(_.group(1).toInt))
+      .groupBy(identity).map { case (b, fs) => b -> fs.size }
+
   /** [[search]] over a PRE-BUILT postings frame (the [[postings]]
     * output, memoized once per corpus): per-query work is a filter on
     * the materialized (doc, term, tf) rows plus the scoring join —

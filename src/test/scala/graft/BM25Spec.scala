@@ -69,6 +69,29 @@ class BM25Spec extends SparkSpec {
     assert(BM25.search(docs, "doc_id", "text", Seq("zzz"), 5).count() == 0)
   }
 
+  test("compactPostings: one file per bucket, rows identical, grace files kept") {
+    val tbl = "bm25_compact_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = java.nio.file.Files.createTempDirectory("bm25_compact").toString + "/t"
+    Queries.writePostings(spark, docs.filter(col("doc_id") < 3), tbl, path, "overwrite")
+    Queries.writePostings(spark, docs.filter(col("doc_id") >= 3), tbl, path, "append")
+    assert(BM25.bucketFileCounts(path).values.max >= 2,
+      "the append should fragment at least one bucket")
+    val before = spark.table(tbl)
+      .as[(Long, Double, String, Double)].collect().toSet
+    val live = Queries.compactPostings(spark, tbl, path)
+    assert(BM25.bucketFileCounts(live).values.forall(_ == 1),
+      s"compaction must restore one file per bucket: ${BM25.bucketFileCounts(live)}")
+    // content identical row for row
+    val after = spark.table(tbl)
+      .as[(Long, Double, String, Double)].collect().toSet
+    assert(after == before, "compaction must move bytes, never content")
+    // the superseded files survive as the in-flight readers' grace window
+    assert(Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .exists(_.getName.startsWith("part-")),
+      "the superseded generation's files must remain on disk")
+  }
+
   test("postings append writes only the delta's term buckets, at-rest files untouched") {
     // the q87/q102 append discipline as a file-level contract: a delta
     // batch must land NEW files only, and only in buckets some delta

@@ -164,6 +164,18 @@ class PlanSpec extends SparkSpec {
       s"expected the term-keyed aggregate to reuse bucketing:\n$p")
   }
 
+  test("q122: the compacted postings table stays bucket-pruned and exchange-free") {
+    val p = plan("q122_bm25_compact")
+    // the metastore swap must carry the bucketBy metadata: the served
+    // search still reads a strict subset of buckets and the term-keyed
+    // aggregates still reuse the bucketing with no exchange
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+    assert(sel.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"expected bucket pruning on the compacted table:\n$p")
+    assert(!p.contains("hashpartitioning(term"),
+      s"expected the term-keyed aggregate to reuse bucketing:\n$p")
+  }
+
   test("one-off BM25.search explodes only the query terms (pre-explode array filter)") {
     import graft.lexical.BM25
     import org.apache.spark.sql.functions._
