@@ -319,6 +319,68 @@ object PrepQueries {
            THEN 1 END) AS n_straddle
        FROM c GROUP BY source ORDER BY source"""
 
+  // ---------- q125: materialized pack manifest ----------
+
+  /** SEQUENCE PACKING, MATERIALIZED — the manifest q77 only audits.
+    * Concat-then-split packing (docs concatenated per source shard in
+    * doc_id order, split every [[contextLen]] tokens, GPT-pretraining
+    * style): each document's token run [cum−n, cum) intersects
+    * windows ⌊(cum−n)/L⌋ .. ⌊(cum−1)/L⌋, and the manifest row
+    * (source, window_id) reports how many docs contribute to that
+    * context window, how many of its tokens are filled, and the
+    * padding of the final partial window. This is the artifact a
+    * packing job actually hands to the trainer — which doc slices
+    * land in which window — not just the fill-rate report.
+    *
+    * Shape at 100 TB: the cumulative sum is the q77 PER-SOURCE window
+    * (partition-parallel, no global ordering), the span explode emits
+    * ⌈n/L⌉+1 rows per doc (output-sized, ~tokens/L total), and the
+    * per-window rollup is a hash aggregate on (source, window) —
+    * every stage keyed or partition-local, integers throughout
+    * (exact, order-free). Fully oracle-checked. */
+  def q125PackManifest(s: SparkSession, dir: String): DataFrame = {
+    val L = contextLen
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val staged = docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .filter(col("n") > 0)
+    staged
+      .select(col("source"), col("n"), col("cum"),
+        explode(sequence(expr(s"(cum - n) div $L"), expr(s"(cum - 1) div $L")))
+          .as("win"))
+      .groupBy("source", "win")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("cum"), (col("win") + 1) * L) -
+          greatest(col("cum") - col("n"), col("win") * L)).as("n_toks"))
+      .select(col("source"), col("win").as("window_id"), col("n_docs"),
+        col("n_toks"), (lit(L.toLong) - col("n_toks")).as("pad"))
+      .orderBy("source", "window_id")
+  }
+
+  val q125Sql: String =
+    s"""WITH t AS (SELECT source, doc_id,
+           CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n
+         FROM documents),
+       c AS (SELECT source, doc_id, n,
+           SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM t),
+       sp AS (SELECT source, n, cum,
+           unnest(generate_series(CAST((cum - n) // $contextLen AS BIGINT),
+                                  CAST((cum - 1) // $contextLen AS BIGINT))) AS win
+         FROM c WHERE n > 0),
+       g AS (SELECT source, win, COUNT(*) AS n_docs,
+           SUM(LEAST(cum, (win + 1) * $contextLen) -
+               GREATEST(cum - n, win * $contextLen)) AS n_toks
+         FROM sp GROUP BY source, win)
+       SELECT source, CAST(win AS BIGINT) AS window_id,
+         CAST(n_docs AS BIGINT) AS n_docs, CAST(n_toks AS BIGINT) AS n_toks,
+         CAST($contextLen - n_toks AS BIGINT) AS pad
+       FROM g ORDER BY source, window_id"""
+
   // ---------- q78: nearest-centroid label eval ----------
 
   /** Embedding-quality eval: per-label mean centroids, every vector
@@ -1446,6 +1508,7 @@ object PrepQueries {
     "q75_novelty" -> (q75Novelty _),
     "q76_int8_quantize" -> (q76Int8Quantize _),
     "q77_packing_stats" -> (q77PackingStats _),
+    "q125_pack_manifest" -> (q125PackManifest _),
     "q78_centroid_classify" -> (q78CentroidClassify _),
     "q79_shard_shuffle" -> (q79ShardShuffle _),
     "q80_split_assign" -> (q80SplitAssign _),
@@ -1468,6 +1531,7 @@ object PrepQueries {
     "q75_novelty" -> q75Sql,
     "q76_int8_quantize" -> q76Sql,
     "q77_packing_stats" -> q77Sql,
+    "q125_pack_manifest" -> q125Sql,
     "q78_centroid_classify" -> q78Sql,
     "q79_shard_shuffle" -> q79Sql,
     "q80_split_assign" -> q80Sql,

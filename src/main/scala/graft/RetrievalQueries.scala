@@ -2088,6 +2088,159 @@ $sqRows)
                     ROUND(s, 6) AS score FROM f)
        SELECT id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  // ---------- q123: late-interaction (MaxSim) retrieval ----------
+
+  /** LATE-INTERACTION retrieval (the ColBERT MaxSim scoring shape,
+    * Khattab & Zaharia, SIGIR 2020): the query is a SET of unit
+    * vectors (each query term embedded on its own), each document a
+    * set of chunk vectors (q119's chunk embeddings), and
+    * score(doc) = Σ_u max_c ⟨u, c⟩ — every query unit independently
+    * finds its best-matching passage, so a doc that answers all
+    * terms in different places beats one that matches a single term
+    * everywhere (the failure mode of single-vector scoring that
+    * motivates the multi-vector model). `n_pos_units` reports how
+    * many units matched positively — the coverage witness.
+    *
+    * Shape at 100 TB: the corpus-sized work is ONE chunk explode +
+    * one mapPartitions embed scan (identical to q119); the query-unit
+    * set is broadcast (|Q| rows), per-(doc, unit) max and the per-doc
+    * sum are ordinary partial-aggregating hash aggregates keyed by
+    * doc, and only k rows reach the global sort (TakeOrdered). Unit
+    * maxima are quantized to 1e-6 integers before the cross-unit sum,
+    * so the sum is order-free (exact long addition) and the ranking
+    * key is deterministic cross-engine. Fully oracle-checked: chunker,
+    * portable featurizer, MaxSim, and ranking all replay in SQL. */
+  def q123LateInteraction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = docs(s, dir).filter(col("doc_id") < 200)
+    val ch = graft.text.Chunker.chunkRows(base, "doc_id", "text",
+        PrepQueries.chunkSize, PrepQueries.chunkStride)
+      .select((col("doc_id") * pdChunkMul + col("chunk_id")).as("ckey"),
+        col("chunk_text"))
+    val cv = graft.embed.Embed.embedDocs(
+        ch.repartition(col("ckey")), "ckey", "chunk_text",
+        new graft.embed.PortableHashEmbedder(64))
+      .select(col("ckey"), col("vec").cast("array<double>").as("v"))
+    // q123Sql carries a literal copy of these terms (cyclic-init rule)
+    require(Queries.bm25Terms == Seq("spark", "hash", "join"),
+      "q123Sql's literal query units are out of sync with Queries.bm25Terms")
+    val e64 = new graft.embed.PortableHashEmbedder(64)
+    val qdf = Queries.bm25Terms.zipWithIndex
+      .map { case (t, i) => (i.toLong, e64.embed(t).map(_.toDouble).toSeq) }
+      .toDF("qidx", "qv")
+    val perUnit = cv
+      .crossJoin(broadcast(qdf))
+      .select(expr(s"ckey div $pdChunkMul").as("doc_id"), col("qidx"),
+        dot(col("v"), col("qv")).as("__s"))
+      .groupBy("doc_id", "qidx")
+      .agg(round(max(col("__s")) * 1e6).cast("long").as("__msq"))
+    perUnit
+      .groupBy("doc_id")
+      .agg(sum(col("__msq")).as("__sq"),
+        count(when(col("__msq") > 0, lit(1))).as("n_pos_units"))
+      .orderBy(col("__sq").desc, col("doc_id").asc)
+      .limit(10)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          .orderBy(col("__sq").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("rank"), col("n_pos_units"),
+        round(col("__sq") / 1e6, 6).as("score"))
+      .orderBy("rank")
+  }
+
+  val q123Sql: String = {
+    val sz = PrepQueries.chunkSize; val st = PrepQueries.chunkStride
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         FROM documents WHERE doc_id < 200),
+       sch AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), $st)) AS stt FROM t),
+       base AS (SELECT doc_id * $pdChunkMul + ((stt - 1) // $st) AS doc_id,
+           array_to_string(toks[stt : stt + ${sz - 1}], ' ') AS ctext FROM sch),
+       ${embedCteSql("base", "ctext", 64, "")},
+       cv AS (SELECT doc_id AS ckey, list(x ORDER BY j) AS v FROM vf GROUP BY doc_id),
+       qbase AS (SELECT * FROM (VALUES (0, 'spark'), (1, 'hash'), (2, 'join')) AS u(doc_id, qtext)),
+       ${embedCteSql("qbase", "qtext", 64, "q")},
+       qvec AS (SELECT doc_id AS qidx, list(x ORDER BY j) AS qv FROM qvf GROUP BY doc_id),
+       pu AS (SELECT ckey // $pdChunkMul AS doc_id, qidx,
+             CAST(ROUND(MAX(list_dot_product(v, qv)) * 1000000) AS BIGINT) AS msq
+           FROM cv, qvec GROUP BY 1, 2),
+       ds AS (SELECT doc_id, SUM(msq) AS sq,
+             COUNT(CASE WHEN msq > 0 THEN 1 END) AS n_pos_units
+           FROM pu GROUP BY doc_id),
+       r AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY sq DESC, doc_id) AS BIGINT) AS rank,
+             CAST(n_pos_units AS BIGINT) AS n_pos_units,
+             ROUND(sq / 1000000.0, 6) AS score FROM ds)
+       SELECT doc_id, rank, n_pos_units, score FROM r WHERE rank <= 10 ORDER BY rank"""
+  }
+
+  // ---------- q124: matryoshka truncation recall dial ----------
+
+  /** Truncation dims probed by the matryoshka dial (64 = the full
+    * dim, the recall-1.0 anchor row). */
+  val mrlDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** MATRYOSHKA truncation recall dial (Kusupati et al., NeurIPS
+    * 2022): recall@10 of exact search over PREFIX-TRUNCATED,
+    * renormalized embeddings against the full-dimension exact
+    * baseline, one row per kept dim. This is the serving dial an
+    * MRL-trained embedding ships with — how much recall each prefix
+    * width buys — measured the q48 way (same queries, same exact
+    * baseline, same recall arithmetic), so the truncation trade
+    * reads side-by-side with the LSH/IVF/PQ/SQ/graph knobs. The hash
+    * featurizer is NOT matryoshka-trained, so the small-prefix rows
+    * are the pessimistic floor; a real MRL encoder raises them, and
+    * the dial is how a user sees it.
+    *
+    * Shape: one corpus scan per dim row (the dial is |dims| exact
+    * scans — deliberately, it calibrates approximations rather than
+    * being one); truncate+renormalize is a narrow per-row projection
+    * feeding the bounded-heap top-k aggregate, exchange
+    * O(queries × k) per row. Fully oracle-checked. */
+  def q124MatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qs = e.filter(col("vec_id") < recallNq)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = Search.multiTopK(e, "vec_id", "v", qs, "qid", "qv", recallK)
+      .select(col("qid"), col("vec_id"))
+      .localCheckpoint() // reused by every dim row
+    mrlDims.map { d =>
+      val ed = e.select(col("vec_id"), l2normalize(slice(col("v"), 1, d)).as("v"))
+      val qd = qs.select(col("qid"), l2normalize(slice(col("qv"), 1, d)).as("qv"))
+      exact.join(
+          broadcast(Search.multiTopK(ed, "vec_id", "v", qd, "qid", "qv", recallK)
+            .select(col("qid"), col("vec_id"))),
+          Seq("qid", "vec_id"), "left_semi")
+        .agg(round(count(lit(1)) / lit((recallNq * recallK).toDouble), 4).as("recall"))
+        .select(lit(d.toLong).as("dim"), col("recall"))
+    }.reduce(_ union _).orderBy("dim")
+  }
+
+  val q124Sql: String = {
+    // l2normalize replayed: v / (||v|| + 1e-9), norm summed
+    // left-to-right like the native expression; lambda vars must not
+    // shadow the sliced column name (DuckDB resolves v[1:dim] against
+    // the lambda's element otherwise)
+    def nz(l: String) =
+      s"list_transform($l, xe -> xe / (sqrt(list_sum(list_transform($l, ze -> ze*ze))) + 1e-9))"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $recallNq),
+       ex AS (SELECT qid, vec_id FROM (
+           SELECT q.qid, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(e.v, q.qv) DESC, e.vec_id) AS rank
+           FROM e, q) WHERE rank <= $recallK),
+       dims AS (SELECT unnest([${mrlDims.mkString(", ")}]) AS dim),
+       ed AS (SELECT dim, vec_id, ${nz("v[1:dim]")} AS v FROM e, dims),
+       qd AS (SELECT dim, qid, ${nz("qv[1:dim]")} AS qv FROM q, dims),
+       ap AS (SELECT dim, qid, vec_id FROM (
+           SELECT ed.dim, qd.qid, ed.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY ed.dim, qd.qid
+               ORDER BY list_dot_product(ed.v, qd.qv) DESC, ed.vec_id) AS rank
+           FROM ed JOIN qd ON ed.dim = qd.dim) WHERE rank <= $recallK)
+       SELECT CAST(dim AS BIGINT) AS dim,
+         ROUND(COUNT(*) / ${(recallNq * recallK).toDouble}, 4) AS recall
+       FROM ap JOIN ex USING (qid, vec_id) GROUP BY dim ORDER BY dim"""
+  }
+
   /** The reference's second flagship entry point — `--mode rag
     * --enable_hybrid` (`src/pipeline/pipeline_mode.py:198-264`,
     * SURVEY §3.2) — candidate-generation + scoring stage, fully
@@ -2614,6 +2767,8 @@ $sqRows)
     "q121_sq_append" -> (q121SqAppend _),
     "q118_rrf_fusion" -> (q118RrfFusion _),
     "q119_parent_doc" -> (q119ParentDoc _),
+    "q123_late_interaction" -> (q123LateInteraction _),
+    "q124_matryoshka_recall" -> (q124MatryoshkaRecall _),
     "q86_graph_ann" -> (q86GraphAnn _),
     "q95_graph_recall" -> (q95GraphRecall _),
     "q97_graph_append" -> (q97GraphAppend _),
@@ -2656,6 +2811,8 @@ $sqRows)
     "q121_sq_append" -> q121Sql,
     "q118_rrf_fusion" -> q118Sql,
     "q119_parent_doc" -> q119Sql,
+    "q123_late_interaction" -> q123Sql,
+    "q124_matryoshka_recall" -> q124Sql,
     "q89_embedding_pc" -> q89Sql,
     "q94_all_but_top" -> q94Sql,
     "q107_hard_negatives" -> q107Sql,

@@ -96,6 +96,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected post-limit heap:\n$p")
   }
 
+  test("q123: MaxSim is broadcast units + doc-keyed hash aggregates; final sort post-limit") {
+    val p = plan("q123_late_interaction")
+    // the unit set joins by broadcast — the corpus never shuffles to
+    // meet a |Q|-row table
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"q123 lost the unit broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q123 sort-merged a join:\n$p")
+    // per-(doc,unit) max and per-doc sum are hash aggregates (partial
+    // map-side), never window sorts
+    assert(p.contains("HashAggregate"), s"expected hash aggregates:\n$p")
+    // global ordering only after the 10-row limit
+    assert(p.contains("TakeOrderedAndProject"), s"expected post-limit heap:\n$p")
+  }
+
+  test("q124: every dial row runs through the graft_topk heap, no window sort") {
+    val p = plan("q124_matryoshka_recall")
+    assert(p.contains("graft_topk"), s"expected the heap aggregate:\n$p")
+    assert(!p.contains("Window"), s"q124 fell back to a window sort:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q124 sort-merged the recall join:\n$p")
+  }
+
+  test("q125: the pack cumsum window is source-partitioned, never a single global sort") {
+    val p = plan("q125_pack_manifest")
+    // the window exchange is keyed by source (partition-parallel) —
+    // a missing partition key would collapse the corpus to one task
+    assert(p.contains("hashpartitioning(source"),
+      s"q125 cumsum window lost its source partitioning:\n$p")
+    // the span explode is a Generate over the windowed rows
+    assert(p.contains("Generate explode"), s"expected the span explode:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q125 grew a join:\n$p")
+  }
+
   test("q112/q113: model and allocation join by broadcast, never sort-merge") {
     val p112 = plan("q112_perplexity_filter")
     assert(!p112.contains("SortMergeJoin"), s"q112 sort-merged a model join:\n$p112")

@@ -12,6 +12,36 @@ class PrepSpec extends SparkSpec {
   private def df(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("q125 pack manifest is consistent with q77's audit: window counts, token totals, pad only on the tail") {
+    val manifest = PrepQueries.q125PackManifest(spark, sf0001)
+      .select("source", "window_id", "n_docs", "n_toks", "pad")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val audit = PrepQueries.q77PackingStats(spark, sf0001)
+      .select("source", "total_toks", "n_windows")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val bySource = manifest.groupBy(_._1)
+    assert(bySource.keySet == audit.keySet)
+    val L = PrepQueries.contextLen
+    bySource.foreach { case (src, rows) =>
+      val (totalToks, nWindows) = audit(src)
+      // window ids are dense 0..n_windows-1 — concat-then-split
+      // leaves no empty window
+      assert(rows.map(_._2).sorted.toSeq == (0L until nWindows),
+        s"$src window ids not dense")
+      // every token lands in exactly one window
+      assert(rows.map(_._4).sum == totalToks, s"$src token total")
+      // pad = L - fill, zero everywhere except (possibly) the final
+      // partial window
+      assert(rows.forall(r => r._5 == L - r._4), s"$src pad arithmetic")
+      val (tail, full) = rows.partition(_._2 == nWindows - 1)
+      assert(full.forall(_._5 == 0L), s"$src non-tail window padded")
+      assert(tail.head._5 >= 0L && tail.head._5 < L, s"$src tail pad bounds")
+      // at least one doc contributes to every window
+      assert(rows.forall(_._3 >= 1L), s"$src empty window row")
+    }
+  }
+
   test("chunkRows covers every token with the configured overlap") {
     val d = df((1L, (1 to 100).map(i => s"t$i").mkString(" ")))
     val chunks = Chunker.chunkRows(d, "doc_id", "text", 32, 24)

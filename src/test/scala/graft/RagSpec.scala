@@ -62,6 +62,35 @@ class RagSpec extends SparkSpec {
     }
   }
 
+  test("q123 late interaction: served score IS Σ per-unit max over chunk dots") {
+    val got = RetrievalQueries.q123LateInteraction(spark, sf0001)
+      .select(col("doc_id"), col("rank"), col("n_pos_units"), col("score"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 10 && got.map(_._2).sorted.toSeq == (1L to 10L))
+    assert(got.forall(r => r._3 >= 0 && r._3 <= Queries.bm25Terms.length))
+    // recompute MaxSim independently per top doc: embed every chunk,
+    // take each unit's max dot, quantize, sum
+    val emb64 = new graft.embed.PortableHashEmbedder(64)
+    val units = Queries.bm25Terms.map(t => emb64.embed(t).map(_.toDouble))
+    val chunks = graft.text.Chunker.chunkRows(
+        graft.sources.Tables.load(spark, sf0001, "documents")
+          .filter(col("doc_id") < 200), "doc_id", "text",
+        PrepQueries.chunkSize, PrepQueries.chunkStride)
+      .select(col("doc_id"), col("chunk_text"))
+      .as[(Long, String)].collect()
+    val byDoc = chunks.groupBy(_._1)
+    got.foreach { case (doc, _, nPos, score) =>
+      val cvs = byDoc(doc).map(c => emb64.embed(c._2).map(_.toDouble))
+      val maxq = units.map(u =>
+        math.round(cvs.map(v => v.zip(u).map { case (a, b) => a * b }.sum).max * 1e6))
+      assert(maxq.count(_ > 0).toLong == nPos, s"doc $doc unit coverage")
+      assert(math.abs(maxq.sum / 1e6 - score) < 1e-9, s"doc $doc MaxSim score")
+    }
+    // the multi-vector property: at least one served doc matches ALL
+    // units positively (different passages can answer different terms)
+    assert(got.exists(_._3 == Queries.bm25Terms.length))
+  }
+
   test("q55 candidates: legs contribute, ids distinct, sims bounded") {
     val c = RetrievalQueries.q55RagCandidates(spark, sf0001)
       .select("id", "in_vec", "in_lex", "sim")

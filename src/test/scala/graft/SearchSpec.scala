@@ -125,6 +125,20 @@ class SearchSpec extends SparkSpec {
     assert(full.toSeq == exact.toSeq)
   }
 
+  test("q124 matryoshka dial: full-dim row is the exact anchor, prefixes degrade gracefully") {
+    val rows = RetrievalQueries.q124MatryoshkaRecall(spark, sf0001)
+      .as[(Long, Double)].collect().toMap
+    assert(rows.keySet == RetrievalQueries.mrlDims.map(_.toLong).toSet)
+    // dim 64 = no truncation; the corpus is unit-norm so renormalize
+    // is the identity and the row must anchor at exactly 1.0
+    assert(rows(64L) == 1.0, s"full-dim anchor ${rows(64L)}")
+    assert(rows.values.forall(r => r >= 0.0 && r <= 1.0))
+    // the widest prefix must beat the narrowest (measured 1.0 vs
+    // 0.18 at sf0.001 — the hash featurizer is not MRL-trained, so
+    // narrow prefixes are the pessimistic floor, not a target)
+    assert(rows(64L) > rows(8L), s"dim dial inverted: ${rows(64L)} <= ${rows(8L)}")
+  }
+
   test("lshMultiTopK single-probe agrees with single-query lshTopK") {
     val q = emb.filter(col("vec_id") === 7)
     val multi = Search.lshMultiTopK(emb, "vec_id", "v",
