@@ -2714,6 +2714,83 @@ $sqRows)
                ROUND(sc, 6) AS score FROM s)
        SELECT qid, vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY qid, rank"""
 
+  // ---------- q126: contrastive triplet mining ----------
+
+  /** Negatives per anchor in the mined triplet table. */
+  val tripletNegs = 3
+
+  /** CONTRASTIVE TRIPLET MINING — the materialized (anchor, positive,
+    * hard-negative) table an embedding-model trainer consumes
+    * (triplet/InfoNCE mining): for each anchor query, the single
+    * most-similar SAME-label train vector (the in-class positive) is
+    * paired with q107's top-[[tripletNegs]] different-label hard
+    * negatives, each row carrying pos/neg similarities and the
+    * training margin pos−neg. A NEGATIVE margin is the signal the
+    * miner exists to surface — a confusable negative outscoring the
+    * true positive.
+    *
+    * Shape at 100 TB: two corpus scans (one per leg — the label
+    * predicate splits before the bounded heap, so each leg is the
+    * q107/q11 shape: broadcast anchor set, map-side partial heap,
+    * O(anchors × k) exchange), then a k-row × k-row join of the two
+    * legs. Nothing anchor×corpus-sized survives an aggregate. Fully
+    * oracle-checked. */
+  def q126ContrastiveTriplets(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.sources.Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val anchors = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
+    // anchors are the vec_id%10==0 slice, the train legs the
+    // complement — no self-pair can arise, so neither leg needs an
+    // id-exclusion predicate
+    def leg(sameLabel: Boolean, k: Int): DataFrame = {
+      val cmp = if (sameLabel) col("label") === col("qlabel")
+                else col("label") =!= col("qlabel")
+      e.filter(col("vec_id") % 10 =!= 0)
+        .crossJoin(broadcast(anchors))
+        .filter(cmp)
+        .select(col("qid"), col("vec_id"), dot(col("v"), col("qv")).as("score"))
+        .groupBy("qid")
+        .agg(org.apache.spark.sql.graftnative.TopKAggregate
+          .topK(col("vec_id").cast("long"), col("score"), k).as("__tk"))
+        .select(col("qid"), explode(col("__tk")).as("__e"))
+    }
+    val pos = leg(sameLabel = true, 1)
+      .select(col("qid"), col("__e.id").as("pos_id"), col("__e.score").as("__ps"))
+    val neg = leg(sameLabel = false, tripletNegs)
+      .select(col("qid"), col("__e.id").as("neg_id"),
+        col("__e.rank").as("neg_rank"), col("__e.score").as("__ns"))
+    pos.join(broadcast(neg), "qid")
+      .select(col("qid").as("anchor_id"), col("pos_id"), col("neg_id"),
+        col("neg_rank"),
+        round(col("__ps"), 6).as("pos_sim"),
+        round(col("__ns"), 6).as("neg_sim"),
+        round(col("__ps") - col("__ns"), 6).as("margin"))
+      .orderBy("anchor_id", "neg_rank")
+  }
+
+  val q126Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 50),
+       ps AS (SELECT qid, e.vec_id, list_dot_product(CAST(e.embedding AS DOUBLE[]), qv) AS sc
+             FROM embeddings e, q
+             WHERE e.vec_id % 10 <> 0 AND e.label = q.qlabel),
+       pr AS (SELECT qid, vec_id, sc,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS r FROM ps),
+       p1 AS (SELECT qid, vec_id AS pos_id, sc AS psc FROM pr WHERE r = 1),
+       ns AS (SELECT qid, e.vec_id, list_dot_product(CAST(e.embedding AS DOUBLE[]), qv) AS sc
+             FROM embeddings e, q
+             WHERE e.vec_id % 10 <> 0 AND e.label <> q.qlabel),
+       nr AS (SELECT qid, vec_id, sc,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS r FROM ns),
+       n3 AS (SELECT qid, vec_id AS neg_id, CAST(r AS BIGINT) AS neg_rank, sc AS nsc
+             FROM nr WHERE r <= $tripletNegs)
+       SELECT p1.qid AS anchor_id, pos_id, neg_id, neg_rank,
+         ROUND(psc, 6) AS pos_sim, ROUND(nsc, 6) AS neg_sim,
+         ROUND(psc - nsc, 6) AS margin
+       FROM p1 JOIN n3 ON p1.qid = n3.qid ORDER BY anchor_id, neg_rank"""
+
   // ---------- catalog ----------
 
   /** Shared-artifact builds, surfaced to the bench harness as named
@@ -2778,7 +2855,8 @@ $sqRows)
     "q89_embedding_pc" -> (q89EmbeddingPc _),
     "q94_all_but_top" -> (q94AllButTop _),
     "q107_hard_negatives" -> (q107HardNegatives _),
-    "q110_hard_negatives_ann" -> (q110HardNegativesAnn _))
+    "q110_hard_negatives_ann" -> (q110HardNegativesAnn _),
+    "q126_contrastive_triplets" -> (q126ContrastiveTriplets _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
@@ -2816,5 +2894,6 @@ $sqRows)
     "q89_embedding_pc" -> q89Sql,
     "q94_all_but_top" -> q94Sql,
     "q107_hard_negatives" -> q107Sql,
-    "q110_hard_negatives_ann" -> q110Sql)
+    "q110_hard_negatives_ann" -> q110Sql,
+    "q126_contrastive_triplets" -> q126Sql)
 }

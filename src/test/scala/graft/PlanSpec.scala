@@ -129,6 +129,13 @@ class PlanSpec extends SparkSpec {
       s"q125 grew a join:\n$p")
   }
 
+  test("q126: both mining legs ride the broadcast anchors + heap; the leg join is broadcast") {
+    val p = plan("q126_contrastive_triplets")
+    assert(p.contains("graft_topk"), s"expected heap aggregates:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"anchors must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q126 sort-merged the leg join:\n$p")
+  }
+
   test("q112/q113: model and allocation join by broadcast, never sort-merge") {
     val p112 = plan("q112_perplexity_filter")
     assert(!p112.contains("SortMergeJoin"), s"q112 sort-merged a model join:\n$p112")

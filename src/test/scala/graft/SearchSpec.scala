@@ -139,6 +139,40 @@ class SearchSpec extends SparkSpec {
     assert(rows(64L) > rows(8L), s"dim dial inverted: ${rows(64L)} <= ${rows(8L)}")
   }
 
+  test("q126 triplets: positive is the same-label argmax, negatives never share the anchor's label, margin exact") {
+    val rows = RetrievalQueries.q126ContrastiveTriplets(spark, sf0001)
+      .select("anchor_id", "pos_id", "neg_id", "neg_rank", "pos_sim", "neg_sim", "margin")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.length == 5 * RetrievalQueries.tripletNegs)
+    // ground truth recomputed driver-side over the raw table
+    val all = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Long, Seq[Double])].collect()
+    val byId = all.map(r => r._1 -> r).toMap
+    def dotp(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    rows.groupBy(_._1).foreach { case (aid, trip) =>
+      val (_, albl, av) = byId(aid)
+      val train = all.filter(r => r._1 % 10 != 0)
+      // the served positive IS the same-label argmax
+      val wantPos = train.filter(_._2 == albl)
+        .map(r => (r._1, dotp(r._3, av))).minBy { case (id, s) => (-s, id) }
+      assert(trip.forall(_._2 == wantPos._1), s"anchor $aid positive")
+      // negatives: different label, descending, the true top-3
+      val wantNegs = train.filter(_._2 != albl)
+        .map(r => (r._1, dotp(r._3, av))).sortBy { case (id, s) => (-s, id) }
+        .take(RetrievalQueries.tripletNegs).map(_._1).toSeq
+      assert(trip.sortBy(_._4).map(_._3).toSeq == wantNegs, s"anchor $aid negatives")
+      trip.foreach { t =>
+        assert(byId(t._3)._2 != albl, s"anchor $aid negative label leak")
+        assert(math.abs(t._7 - BigDecimal(t._5 - t._6).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6,
+          s"anchor $aid margin arithmetic")
+      }
+    }
+  }
+
   test("lshMultiTopK single-probe agrees with single-query lshTopK") {
     val q = emb.filter(col("vec_id") === 7)
     val multi = Search.lshMultiTopK(emb, "vec_id", "v",
