@@ -285,4 +285,51 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(got == want, "streamed-in BM25 index diverges from the one-shot build")
   }
+
+  test("q102 per-batch writes land new files only, and only in the batch's term buckets") {
+    // the streaming-ingest twin of BM25Spec's append-scope contract:
+    // EVERY micro-batch of the drain must write O(delta-batch) — new
+    // files only, confined to buckets some batch term hashes to, the
+    // at-rest files byte-stable. This is what keeps a 100 TB postings
+    // table's streaming ingest from rewriting the index per trigger.
+    val tbl = "bm25_stream_scope_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = java.nio.file.Files.createTempDirectory("bm25_sscope").toString + "/t"
+    // small standing corpus, then drain the staged delta live
+    val standing = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") >= 100)
+    Queries.writePostings(spark, standing, tbl, path, "overwrite")
+    def files(): Map[String, Long] =
+      Option(new java.io.File(path).listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(f => f.getName -> f.lastModified).toMap
+    val stage = Queries.q102Stage(spark, sf0001)
+    val schema = spark.read.parquet(stage).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val snapshots = scala.collection.mutable.ArrayBuffer
+      .empty[(Map[String, Long], Map[String, Long], Set[Int])]
+    Streaming.runForeachBatch(spark, src, (batch, _) => {
+      val b = batch.localCheckpoint() // batch frames are single-pass
+      val before = files()
+      Queries.writePostings(spark, b, tbl, path, "append")
+      val touched = graft.lexical.BM25.postings(b, "doc_id", "text")
+        .select(pmod(hash(col("term")), lit(Queries.bm25Buckets)).cast("int"))
+        .distinct().as[Int].collect().toSet
+      snapshots += ((before, files(), touched))
+      ()
+    })
+    assert(snapshots.length >= 2, "expected a multi-batch drain")
+    snapshots.foreach { case (before, after, touched) =>
+      before.foreach { case (name, m) =>
+        assert(after.get(name).contains(m), s"at-rest file $name rewritten mid-drain") }
+      val newBuckets = (after.keySet -- before.keySet).map { name =>
+        "_(\\d{5})\\.".r.findFirstMatchIn(name)
+          .getOrElse(fail(s"no bucket id in appended file name $name"))
+          .group(1).toInt
+      }
+      assert(newBuckets.nonEmpty && newBuckets.subsetOf(touched),
+        s"batch wrote buckets $newBuckets outside its term buckets $touched")
+    }
+  }
 }
