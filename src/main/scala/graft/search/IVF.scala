@@ -276,6 +276,33 @@ object IVF {
     * reader sees is always the pair one generation wrote. */
   def centroidsPath(path: String): String = s"$path/${centroidsName(path)}"
 
+  /** The live generation PAIR as a pinnable handle — `(listsName,
+    * centroidsName)`. A long-running reader resolves this ONCE and
+    * passes it to [[searchIndexPinned]] for every query it serves:
+    * the pair is one consistency unit (the quantizer its lists were
+    * assigned under), so the reader keeps serving a coherent snapshot
+    * across any concurrent [[compactIndex]] / [[writeIndexFrom]]
+    * flip. Validity is the GC grace window — a pinned generation
+    * survives exactly ONE further maintenance cycle; re-resolve at
+    * least once per cycle (the standard snapshot-reader discipline on
+    * a versioned table). */
+  def currentGeneration(path: String): (String, String) =
+    (listsName(path), centroidsName(path))
+
+  /** [[searchIndex]] against a PINNED generation pair instead of the
+    * CURRENT pointer — the snapshot-isolation read: answers come from
+    * the exact (quantizer, lists) pair captured by
+    * [[currentGeneration]], regardless of how many flips have
+    * happened since (within the grace window). A pin whose files have
+    * been GC'd fails loudly at scan time, never silently serves a
+    * mixed pair. */
+  def searchIndexPinned(spark: org.apache.spark.sql.SparkSession, path: String,
+                        gen: (String, String), idCol: String, vecCol: String,
+                        query: DataFrame, queryVecCol: String,
+                        k: Int, nprobe: Int): DataFrame =
+    searchResolved(spark, s"$path/${gen._1}", s"$path/${gen._2}",
+      idCol, vecCol, query, queryVecCol, k, nprobe)
+
   /** COMPACTION — the last quarter of the index-maintenance
     * lifecycle (build → append → refine → compact): every append
     * lands one new file per touched list, so a long-lived index
@@ -361,15 +388,23 @@ object IVF {
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                   idCol: String, vecCol: String,
                   query: DataFrame, queryVecCol: String,
-                  k: Int, nprobe: Int): DataFrame = {
-    val cents = spark.read.parquet(centroidsPath(path))
+                  k: Int, nprobe: Int): DataFrame =
+    searchResolved(spark, listsPath(path), centroidsPath(path),
+      idCol, vecCol, query, queryVecCol, k, nprobe)
+
+  private def searchResolved(spark: org.apache.spark.sql.SparkSession,
+                             listsDir: String, centsDir: String,
+                             idCol: String, vecCol: String,
+                             query: DataFrame, queryVecCol: String,
+                             k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(centsDir)
     val probes = query.select(col(queryVecCol).as("__qv"))
       .crossJoin(broadcast(cents))
       .withColumn("__cs", dot(col("__qv"), col("cvec")))
       .orderBy(col("__cs").desc, col("cid").asc)
       .limit(nprobe)
       .select(col("cid"), col("__qv"))
-    val lists = spark.read.parquet(listsPath(path))
+    val lists = spark.read.parquet(listsDir)
     val scored = lists
       .join(broadcast(probes), "cid") // becomes a partition filter on cid
       .select(col(idCol), dot(col(vecCol), col("__qv")).as("score"))

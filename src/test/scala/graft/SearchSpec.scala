@@ -201,6 +201,42 @@ class SearchSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("pinned-generation reads: coherent snapshot across an in-place rebuild, pins expire with the grace window") {
+    import graft.search.IVF
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_pin").toString
+    val base = emb.filter(col("vec_id") >= 50)
+    IVF.writeIndex(base, "vec_id", "v", 8, refineIters = 0, path)
+    val q = emb.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "rank", "score").as[(Long, Long, Double)].collect().toSeq
+    val r0 = rows(IVF.searchIndex(spark, path, "vec_id", "v", q, "qv", 10, 2))
+    val pin0 = IVF.currentGeneration(path)
+    // in-place rebuild over the FULL corpus with a retrained quantizer
+    // — a genuine semantic change (the query vector itself enters)
+    val cents2 = IVF.centroids(emb, "vec_id", "v", 8).localCheckpoint()
+    IVF.writeIndexFrom(cents2, IVF.assign(emb, "vec_id", "v", cents2), path)
+    val r1 = rows(IVF.searchIndex(spark, path, "vec_id", "v", q, "qv", 10, 2))
+    assert(r1 != r0, "rebuild premise: answers must actually change")
+    assert(r1.head._1 == 1L, "query vector should now be its own top hit")
+    // the pre-rebuild pin keeps serving the OLD (quantizer, lists)
+    // pair — bit-identical snapshot, never a mixed pair
+    assert(rows(IVF.searchIndexPinned(spark, path, pin0,
+      "vec_id", "v", q, "qv", 10, 2)) == r0,
+      "pinned read diverged from its snapshot")
+    val pin1 = IVF.currentGeneration(path)
+    // one more maintenance cycle: the immediately superseded pin
+    // survives (grace window), the two-cycle-old pin is GC'd
+    IVF.compactIndex(spark, path)
+    assert(rows(IVF.searchIndexPinned(spark, path, pin1,
+      "vec_id", "v", q, "qv", 10, 2)) == r1,
+      "grace-window pin must keep serving")
+    val dead = intercept[Exception] {
+      IVF.searchIndexPinned(spark, path, pin0,
+        "vec_id", "v", q, "qv", 10, 2).collect()
+    }
+    assert(dead != null, "expired pin must fail loudly, not serve a mixed pair")
+  }
+
   test("persisted IVF index: partition-pruned search matches in-memory IVF") {
     import graft.search.IVF
     val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
