@@ -1916,8 +1916,32 @@ $sqRows)
 
   /** Composite chunk key stride: doc_id · 4096 + chunk_id. Chunks per
     * doc are bounded by ⌈tokens/stride⌉, far under 4096 for this
-    * corpus — the require in q119 keeps the bound honest. */
+    * corpus — the require in [[chunkVecs]] keeps the bound honest. */
   private val pdChunkMul = 4096L
+
+  /** The declared ≤200-doc slice chunked under the composite key and
+    * embedded — the doc side BOTH chunk-level retrieval queries score
+    * (q119 parent-doc max-pool, q123 MaxSim), factored out so the
+    * key-aliasing guard cannot drift out of one of them: a doc whose
+    * chunk_id reaches the key stride would silently fold its spilled
+    * chunks into the NEXT doc's scores. Chunking is a narrow per-doc
+    * explode; the embed rides one mapPartitions scan (repartitioned
+    * first so the CPU-bound stage parallelizes). */
+  private def chunkVecs(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("doc_id") < 200)
+    val ch = graft.text.Chunker.chunkRows(base, "doc_id", "text",
+        PrepQueries.chunkSize, PrepQueries.chunkStride)
+      .select((col("doc_id") * pdChunkMul + col("chunk_id")).as("ckey"),
+        col("chunk_id"), col("chunk_text"))
+    // composite-key safety: chunk ids must stay under the stride
+    // (one tiny agg over the narrow chunk rows — metadata-scale)
+    require(ch.agg(max(col("chunk_id"))).head().getLong(0) < pdChunkMul,
+      s"chunked slice: a document exceeds $pdChunkMul chunks; widen pdChunkMul")
+    graft.embed.Embed.embedDocs(
+        ch.select(col("ckey"), col("chunk_text")).repartition(col("ckey")),
+        "ckey", "chunk_text", new graft.embed.PortableHashEmbedder(64))
+      .select(col("ckey"), col("vec").cast("array<double>").as("v"))
+  }
 
   /** PARENT-DOCUMENT RETRIEVAL (the passage-level serving pattern):
     * documents are chunked into overlapping token windows (q72's
@@ -1935,21 +1959,9 @@ $sqRows)
     * rank window. Fully oracle-checked: chunk text, the portable
     * featurizer, scoring, and the max-pool all replay in SQL. */
   def q119ParentDoc(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).filter(col("doc_id") < 200)
-    val ch = graft.text.Chunker.chunkRows(base, "doc_id", "text",
-        PrepQueries.chunkSize, PrepQueries.chunkStride)
-      .select((col("doc_id") * pdChunkMul + col("chunk_id")).as("ckey"),
-        col("chunk_id"), col("chunk_text"))
     require(Queries.bm25Terms == Seq("spark", "hash", "join"),
       "q119Sql's literal query terms are out of sync with Queries.bm25Terms")
-    // composite-key safety: chunk ids must stay under the stride
-    // (one tiny agg over the narrow chunk rows — metadata-scale)
-    require(ch.agg(max(col("chunk_id"))).head().getLong(0) < pdChunkMul,
-      s"q119: a document exceeds $pdChunkMul chunks; widen pdChunkMul")
-    val cv = graft.embed.Embed.embedDocs(
-        ch.select(col("ckey"), col("chunk_text")).repartition(col("ckey")),
-        "ckey", "chunk_text", new graft.embed.PortableHashEmbedder(64))
-      .select(col("ckey"), col("vec").cast("array<double>").as("v"))
+    val cv = chunkVecs(s, dir)
     val qv = new graft.embed.PortableHashEmbedder(64)
       .embed(Queries.bm25Terms.mkString(" ")).map(_.toDouble).toSeq
     val scored = cv
@@ -2112,15 +2124,7 @@ $sqRows)
     * portable featurizer, MaxSim, and ranking all replay in SQL. */
   def q123LateInteraction(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = docs(s, dir).filter(col("doc_id") < 200)
-    val ch = graft.text.Chunker.chunkRows(base, "doc_id", "text",
-        PrepQueries.chunkSize, PrepQueries.chunkStride)
-      .select((col("doc_id") * pdChunkMul + col("chunk_id")).as("ckey"),
-        col("chunk_text"))
-    val cv = graft.embed.Embed.embedDocs(
-        ch.repartition(col("ckey")), "ckey", "chunk_text",
-        new graft.embed.PortableHashEmbedder(64))
-      .select(col("ckey"), col("vec").cast("array<double>").as("v"))
+    val cv = chunkVecs(s, dir)
     // q123Sql carries a literal copy of these terms (cyclic-init rule)
     require(Queries.bm25Terms == Seq("spark", "hash", "join"),
       "q123Sql's literal query units are out of sync with Queries.bm25Terms")

@@ -205,8 +205,7 @@ object IVF {
       cents.write.mode("overwrite").parquet(s"$path/centroids")
       listWrite.parquet(s"$path/lists")
     } else {
-      val prevLists = listsName(path)
-      val prevCents = centroidsName(path)
+      val (prevLists, prevCents) = generationPair(path)
       val v = nextVersion(path)
       cents.write.mode("overwrite").parquet(s"$path/centroids__v$v")
       listWrite.parquet(s"$path/lists__v$v")
@@ -261,10 +260,16 @@ object IVF {
       Some((toks(0), if (toks.length > 1) toks(1) else "centroids"))
     }
   }
-  private def listsName(path: String): String =
-    parseCurrent(path).map(_._1).getOrElse("lists")
-  private def centroidsName(path: String): String =
-    parseCurrent(path).map(_._2).getOrElse("centroids")
+  /** The live (listsName, centroidsName) pair from ONE pointer read.
+    * Every caller that needs both names must go through this — two
+    * independent `parseCurrent` reads can straddle a concurrent
+    * maintenance flip and pair one generation's lists with another's
+    * quantizer (the exact mixed-pair state the versioned-generation
+    * design exists to prevent). */
+  private def generationPair(path: String): (String, String) =
+    parseCurrent(path).getOrElse(("lists", "centroids"))
+  private def listsName(path: String): String = generationPair(path)._1
+  private def centroidsName(path: String): String = generationPair(path)._2
 
   /** Resolved path of the live inverted lists — every reader and the
     * append writer go through this indirection so compaction can swap
@@ -287,7 +292,7 @@ object IVF {
     * least once per cycle (the standard snapshot-reader discipline on
     * a versioned table). */
   def currentGeneration(path: String): (String, String) =
-    (listsName(path), centroidsName(path))
+    generationPair(path)
 
   /** [[searchIndex]] against a PINNED generation pair instead of the
     * CURRENT pointer — the snapshot-isolation read: answers come from
@@ -331,8 +336,7 @@ object IVF {
     * window for readers that resolved the pointer just before the
     * flip; only generations two or more cycles old are GC'd. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val liveLists = listsName(path)
-    val liveCents = centroidsName(path)
+    val (liveLists, liveCents) = generationPair(path)
     // next version from the LISTING (nextVersion), not the live name:
     // a liveName-derived counter restarts at v2 right after a rebuild
     // and would stage INTO a surviving grace generation
@@ -388,9 +392,13 @@ object IVF {
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                   idCol: String, vecCol: String,
                   query: DataFrame, queryVecCol: String,
-                  k: Int, nprobe: Int): DataFrame =
-    searchResolved(spark, listsPath(path), centroidsPath(path),
+                  k: Int, nprobe: Int): DataFrame = {
+    // one pointer read for both names — listsPath + centroidsPath
+    // would read CURRENT twice and could straddle a concurrent flip
+    val (ln, cn) = generationPair(path)
+    searchResolved(spark, s"$path/$ln", s"$path/$cn",
       idCol, vecCol, query, queryVecCol, k, nprobe)
+  }
 
   private def searchResolved(spark: org.apache.spark.sql.SparkSession,
                              listsDir: String, centsDir: String,
