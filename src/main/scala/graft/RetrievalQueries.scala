@@ -363,6 +363,62 @@ object RetrievalQueries {
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  /** STREAMING INGEST INTO THE IVF INDEX — the stream quarter of the
+    * IVF maintenance matrix (build q54 → append q84 → STREAM here →
+    * skew-refresh q96 → compact q109), the vector-index twin of q99
+    * (graph) and q102 (BM25): the delta slice drains in four
+    * id-ordered micro-batches, each appending through
+    * [[graft.search.IVF.appendToIndex]] inside foreachBatch — every
+    * batch assigns against the STANDING quantizer and lands one new
+    * file per touched list, so per-trigger write cost is O(batch),
+    * never O(index) (the q102 discipline on the vector index;
+    * StreamingSpec pins the file-level contract). Two gates: the
+    * drained lists are require-pinned row-for-row equal to a one-shot
+    * assignment of the full union under the same quantizer, and the
+    * served search hash-matches q84's full SQL replay (base-slice
+    * centroid sample, assignment over the union) — so streaming in
+    * the delta is provably indistinguishable from the batch append. */
+  def q127StreamIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q127")
+    val base = e.filter(col("vec_id") >= 100)
+    val delta = e.filter(col("vec_id") < 100)
+    graft.search.IVF.writeIndex(base, "vec_id", "v", ivfK, 0, path)
+    val stage = Memo.cachedValue(s, dir, "q127_stage") {
+      val p = PipelineQueries.roundtripPath(dir, "q127_stream")
+      delta.repartitionByRange(4, col("vec_id"))
+        .write.mode("overwrite").parquet(p)
+      // ascending mtimes pin the source's batch order to the id
+      // ranges (the q99/q102 staging recipe)
+      val parts = Option(new java.io.File(p).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - 3600L * 1000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 2000L) }
+      p
+    }
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, _) =>
+      graft.search.IVF.appendToIndex(s, path,
+        batch.select(col("vec_id"), col("v")), "vec_id", "v"))
+    // gate: the streamed-in lists equal one assignment of the whole
+    // union corpus under the index's own standing quantizer
+    val cents = s.read.parquet(graft.search.IVF.centroidsPath(path))
+    val streamed = s.read.parquet(graft.search.IVF.listsPath(path))
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    val expected = graft.search.IVF.assign(e, "vec_id", "v", cents)
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    require(streamed.exceptAll(expected).isEmpty &&
+        expected.exceptAll(streamed).isEmpty,
+      "q127: the streamed-in lists must equal the batch assignment row for row")
+    graft.search.IVF.searchIndex(s, path, "vec_id", "v",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+      10, ivfProbe)
+      .orderBy("rank")
+  }
+
   /** S5/R2 INDEX LIFECYCLE under the oracle gate — the composition
     * whose halves q84 (append ≡ rebuild) and q58 (refine replay) pin
     * separately: build the at-rest index over the odd-id slice,
@@ -2860,7 +2916,8 @@ $sqRows)
     "q94_all_but_top" -> (q94AllButTop _),
     "q107_hard_negatives" -> (q107HardNegatives _),
     "q110_hard_negatives_ann" -> (q110HardNegativesAnn _),
-    "q126_contrastive_triplets" -> (q126ContrastiveTriplets _))
+    "q126_contrastive_triplets" -> (q126ContrastiveTriplets _),
+    "q127_stream_ivf" -> (q127StreamIvf _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
@@ -2899,5 +2956,8 @@ $sqRows)
     "q94_all_but_top" -> q94Sql,
     "q107_hard_negatives" -> q107Sql,
     "q110_hard_negatives_ann" -> q110Sql,
-    "q126_contrastive_triplets" -> q126Sql)
+    "q126_contrastive_triplets" -> q126Sql,
+    // q127's final state IS q84's (standing quantizer + union
+    // assignment), so the append replay oracles the streamed index
+    "q127_stream_ivf" -> q84Sql)
 }

@@ -286,6 +286,55 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "streamed-in BM25 index diverges from the one-shot build")
   }
 
+  test("q127 per-batch IVF appends land new files only, and only under the batch's assigned lists") {
+    // the vector-index twin of the BM25 streaming-scope contract:
+    // each micro-batch assigns against the standing quantizer and may
+    // create files only under the cid= directories its own vectors
+    // land in — at-rest files byte-stable, per-trigger cost O(batch)
+    import graft.search.IVF
+    val path = java.nio.file.Files.createTempDirectory("ivf_sscope").toString + "/idx"
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    IVF.writeIndex(e.filter(col("vec_id") >= 100), "vec_id", "v", 8, 0, path)
+    val cents = spark.read.parquet(IVF.centroidsPath(path)).localCheckpoint()
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(IVF.listsPath(path)))
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(f => f.getParentFile.getName + "/" + f.getName -> f.lastModified).toMap
+    }
+    val stage = java.nio.file.Files.createTempDirectory("ivf_sstage").toString
+    e.filter(col("vec_id") < 100).repartitionByRange(4, col("vec_id"))
+      .write.mode("overwrite").parquet(stage)
+    val parts = Option(new java.io.File(stage).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val t0 = System.currentTimeMillis() - 3600L * 1000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 2000L) }
+    val src = spark.readStream.schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val snapshots = scala.collection.mutable.ArrayBuffer
+      .empty[(Map[String, Long], Map[String, Long], Set[Long])]
+    Streaming.runForeachBatch(spark, src, (batch, _) => {
+      val b = batch.localCheckpoint()
+      val before = files()
+      IVF.appendToIndex(spark, path, b.select(col("vec_id"), col("v")), "vec_id", "v")
+      val touched = IVF.assign(b, "vec_id", "v", cents)
+        .select(col("cid").cast("long")).distinct().as[Long].collect().toSet
+      snapshots += ((before, files(), touched))
+      ()
+    })
+    assert(snapshots.length >= 2, "expected a multi-batch drain")
+    snapshots.foreach { case (before, after, touched) =>
+      before.foreach { case (name, m) =>
+        assert(after.get(name).contains(m), s"at-rest list file $name rewritten mid-drain") }
+      val newLists = (after.keySet -- before.keySet)
+        .map(_.split("/").head.stripPrefix("cid=").toLong)
+      assert(newLists.nonEmpty && newLists.subsetOf(touched),
+        s"batch wrote lists $newLists outside its assigned cells $touched")
+    }
+  }
+
   test("q102 per-batch writes land new files only, and only in the batch's term buckets") {
     // the streaming-ingest twin of BM25Spec's append-scope contract:
     // EVERY micro-batch of the drain must write O(delta-batch) — new
