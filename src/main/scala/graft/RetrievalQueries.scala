@@ -363,6 +363,25 @@ object RetrievalQueries {
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  /** The vec_id < 100 delta slice staged as four range-split files
+    * with ascending mtimes (the q99/q102 staging recipe), so a file
+    * source drains it as four id-ordered micro-batches — shared by
+    * the two vector-index streaming-ingest queries (q127 IVF, q128
+    * SQ8). */
+  private def embDeltaStage(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "q127_stage") {
+      val p = PipelineQueries.roundtripPath(dir, "q127_stream")
+      emb(s, dir).filter(col("vec_id") < 100)
+        .repartitionByRange(4, col("vec_id"))
+        .write.mode("overwrite").parquet(p)
+      val parts = Option(new java.io.File(p).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - 3600L * 1000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 2000L) }
+      p
+    }
+
   /** STREAMING INGEST INTO THE IVF INDEX — the stream quarter of the
     * IVF maintenance matrix (build q54 → append q84 → STREAM here →
     * skew-refresh q96 → compact q109), the vector-index twin of q99
@@ -382,21 +401,8 @@ object RetrievalQueries {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q127")
     val base = e.filter(col("vec_id") >= 100)
-    val delta = e.filter(col("vec_id") < 100)
     graft.search.IVF.writeIndex(base, "vec_id", "v", ivfK, 0, path)
-    val stage = Memo.cachedValue(s, dir, "q127_stage") {
-      val p = PipelineQueries.roundtripPath(dir, "q127_stream")
-      delta.repartitionByRange(4, col("vec_id"))
-        .write.mode("overwrite").parquet(p)
-      // ascending mtimes pin the source's batch order to the id
-      // ranges (the q99/q102 staging recipe)
-      val parts = Option(new java.io.File(p).listFiles()).toSeq.flatten
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      val t0 = System.currentTimeMillis() - 3600L * 1000L
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(t0 + i * 2000L) }
-      p
-    }
+    val stage = embDeltaStage(s, dir)
     val schema = s.read.parquet(stage).schema
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
@@ -418,6 +424,99 @@ object RetrievalQueries {
       10, ivfProbe)
       .orderBy("rank")
   }
+
+  /** STREAMING INGEST INTO THE SQ8 INDEX — q127's discipline on the
+    * quantized path, completing live ingest for ALL FOUR persisted
+    * index families (graph q99, BM25 q102, IVF q127, SQ8 here). The
+    * twist the quantized index adds: every micro-batch quantizes
+    * under the STANDING bounds (index geometry — re-deriving bounds
+    * per batch would silently re-scale every previously-written
+    * code), and the per-batch clamped-element fraction is
+    * require-pinned under [[sqClampThreshold]] — an in-distribution
+    * stream must never trip the requant trigger mid-drain (q121 owns
+    * the tripped side). Gates: the drained code lists are
+    * require-pinned row-for-row equal to ONE quantization of the
+    * union under the standing geometry ([[graft.search.SQ.quantized]]
+    * — the same projection the build and append write), and the
+    * served search (ADC over cid-pruned lists + exact re-rank from
+    * the full-precision source) hash-matches the SQL replay with
+    * base-slice centroids and bounds. The streamed-in query vector
+    * (vec_id 1, part of the delta) surfacing as its own top hit is
+    * the end-to-end freshness witness. */
+  def q128StreamSq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q128")
+    graft.search.SQ.writeIndex(e.filter(col("vec_id") >= 100),
+      "vec_id", "v", ivfK, path)
+    val stage = embDeltaStage(s, dir)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, _) => {
+      val f = graft.search.SQ.appendToIndex(s, path,
+        batch.select(col("vec_id"), col("v")), "vec_id", "v")
+      require(f <= sqClampThreshold,
+        s"q128: in-distribution batch must not trip requant (clamped $f)")
+      ()
+    })
+    val cents = s.read.parquet(s"$path/centroids")
+    val ba = graft.search.SQ.boundsArrays(s.read.parquet(s"$path/bounds"))
+    val streamed = s.read.parquet(s"$path/lists")
+      .select(col("id"), col("code"), col("cid").cast("long").as("cid"))
+    val expected = graft.search.SQ.quantized(e, "vec_id", "v", cents, ba)
+      .select(col("id"), col("code"), col("cid").cast("long").as("cid"))
+    require(streamed.exceptAll(expected).isEmpty &&
+        expected.exceptAll(streamed).isEmpty,
+      "q128: the streamed-in code lists must equal the batch quantization byte for byte")
+    graft.search.SQ.searchIndex(s, path, e, "vec_id", "v",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+      10, ivfProbe, sqRerank)
+      .orderBy("rank")
+  }
+
+  /** q114's replay with centroids AND bounds drawn from the base
+    * slice only (the index's standing geometry) and assignment +
+    * codes over the full union — the streamed-in SQ8 state. LAZY:
+    * declared above the sqDim/sqRerank vals it interpolates — an
+    * eager val here would bake their pre-init zeros into the SQL. */
+  lazy val q128Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e WHERE vec_id >= 100) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       b AS (SELECT d, MIN(v[d]) AS lo, MAX(v[d]) AS hi
+             FROM (SELECT v FROM e WHERE vec_id >= 100),
+               (SELECT UNNEST(generate_series(1, $sqDim)) AS d) GROUP BY d),
+       bl AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM b),
+       cd AS (SELECT a.vec_id, a.cid,
+           list_transform(generate_series(1, $sqDim), d ->
+             CASE WHEN hi[d] = lo[d] THEN 0
+               ELSE CAST(least(255.0, greatest(0.0,
+                 round((v[d] - lo[d]) * 255.0 / (hi[d] - lo[d]), 0))) AS INT) END) AS code
+         FROM a, bl),
+       ad AS (SELECT cd.vec_id,
+           list_dot_product(list_transform(generate_series(1, $sqDim), d ->
+             lo[d] + code[d] * ((hi[d] - lo[d]) / 255.0)), pr.qv) AS adc
+         FROM cd JOIN pr ON cd.cid = pr.cid, bl),
+       cand AS (SELECT vec_id FROM (
+           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc DESC, vec_id) AS r FROM ad)
+         WHERE r <= $sqRerank),
+       sc AS (SELECT e.vec_id, list_dot_product(e.v, q.qv) AS sc
+              FROM e JOIN cand USING (vec_id), q),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
   /** S5/R2 INDEX LIFECYCLE under the oracle gate — the composition
     * whose halves q84 (append ≡ rebuild) and q58 (refine replay) pin
@@ -2917,7 +3016,8 @@ $sqRows)
     "q107_hard_negatives" -> (q107HardNegatives _),
     "q110_hard_negatives_ann" -> (q110HardNegativesAnn _),
     "q126_contrastive_triplets" -> (q126ContrastiveTriplets _),
-    "q127_stream_ivf" -> (q127StreamIvf _))
+    "q127_stream_ivf" -> (q127StreamIvf _),
+    "q128_stream_sq" -> (q128StreamSq _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
@@ -2959,5 +3059,6 @@ $sqRows)
     "q126_contrastive_triplets" -> q126Sql,
     // q127's final state IS q84's (standing quantizer + union
     // assignment), so the append replay oracles the streamed index
-    "q127_stream_ivf" -> q84Sql)
+    "q127_stream_ivf" -> q84Sql,
+    "q128_stream_sq" -> q128Sql)
 }

@@ -82,6 +82,19 @@ object SQ {
     * write-side repartition — the postings-write discipline). CREATE
     * semantics like [[IVF.writeIndex]]: replaces whatever lived at
     * the path. */
+  /** The index's list projection — assignment under `cents`, codes
+    * quantized+packed under the `ba` bounds geometry: the ONE
+    * definition the build, the append, and the streamed-ingest
+    * equality gate (q128) all share, so "what a list row is" cannot
+    * drift between the write paths. */
+  private[graft] def quantized(docs: DataFrame, idCol: String, vecCol: String,
+                               cents: DataFrame, ba: DataFrame): DataFrame =
+    IVF.assign(docs, idCol, vecCol, cents)
+      .crossJoin(broadcast(ba))
+      .select(col(idCol).as("id"),
+        sqPackNative(quantCodes(col(vecCol), col("lo"), col("hi"))).as("code"),
+        col("cid"))
+
   def writeIndex(docs: DataFrame, idCol: String, vecCol: String,
                  k: Int, path: String): Unit = {
     graft.FileTree.delete(new java.io.File(path))
@@ -89,11 +102,7 @@ object SQ {
     val b = bounds(docs, vecCol)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     b.write.mode("overwrite").parquet(s"$path/bounds")
-    IVF.assign(docs, idCol, vecCol, cents)
-      .crossJoin(broadcast(boundsArrays(b)))
-      .select(col(idCol).as("id"),
-        sqPackNative(quantCodes(col(vecCol), col("lo"), col("hi"))).as("code"),
-        col("cid"))
+    quantized(docs, idCol, vecCol, cents, boundsArrays(b))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
   }
@@ -129,11 +138,7 @@ object SQ {
       .head()
     val oobFrac = if (oobRow.getDouble(1) == 0.0) 0.0
       else oobRow.getDouble(0) / oobRow.getDouble(1)
-    IVF.assign(delta, idCol, vecCol, cents)
-      .crossJoin(broadcast(ba))
-      .select(col(idCol).as("id"),
-        sqPackNative(quantCodes(col(vecCol), col("lo"), col("hi"))).as("code"),
-        col("cid"))
+    quantized(delta, idCol, vecCol, cents, ba)
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(s"$path/lists")
     oobFrac

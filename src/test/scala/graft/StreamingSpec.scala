@@ -335,6 +335,18 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q128 streamed SQ8 ingest: gates pass and the streamed-in query vector is its own top hit") {
+    // the in-query requires carry the heavy contracts (per-batch clamp
+    // fraction under threshold, drained codes ≡ batch quantization);
+    // this drives them at spec time and checks the freshness witness —
+    // a vector that arrived only via the stream is immediately served
+    val got = SparkEntry.queries("q128_stream_sq")(spark, sf0001)
+      .select("vec_id", "rank").as[(Long, Long)].collect().toSeq
+    assert(got.length == 10 && got.map(_._2).sorted == (1L to 10L))
+    assert(got.find(_._2 == 1L).map(_._1).contains(1L),
+      "the streamed-in query vector must surface as its own nearest neighbor")
+  }
+
   test("q102 per-batch writes land new files only, and only in the batch's term buckets") {
     // the streaming-ingest twin of BM25Spec's append-scope contract:
     // EVERY micro-batch of the drain must write O(delta-batch) — new
