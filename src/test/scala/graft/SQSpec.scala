@@ -165,4 +165,15 @@ class SQSpec extends SparkSpec {
       servePlan.contains("INSET"),
       s"expected the candidate-id In predicate on the re-rank fetch:\n$servePlan")
   }
+
+  test("q128Sql interpolates the REAL dial constants, not pre-init zeros") {
+    // q128Sql is declared above the sqDim/sqRerank vals it references;
+    // it is lazy for exactly this reason, and this case pins the fix:
+    // an eager re-declaration would bake generate_series(1, 0) into
+    // the oracle and the whole bounds pipeline would go empty
+    val sql = RetrievalQueries.q128Sql
+    assert(sql.contains(s"generate_series(1, ${RetrievalQueries.sqDim})"))
+    assert(sql.contains(s"r <= ${RetrievalQueries.sqRerank}"))
+    assert(RetrievalQueries.sqDim == 64 && RetrievalQueries.sqRerank == 40)
+  }
 }
