@@ -1110,6 +1110,77 @@ object RetrievalQueries {
       .orderBy("method", "knob")
   }
 
+  /** Over-retrieval factors probed by the filtered-graph dial. */
+  val filterFactors: Seq[Int] = Seq(1, 2, 4)
+
+  /** FILTERED SEARCH ON THE ROUTED GRAPH INDEX — the
+    * predicate-plus-vector serving shape q110 gives the IVF path
+    * (whose lists carry the label, so the predicate rides the pruned
+    * scan), answered for the index family whose at-rest nodes carry
+    * NO payload: over-retrieve-then-filter, the standard post-filter
+    * recipe when the filter lives outside the index — beam k′ =
+    * factor × k candidates from the routed index, resolve labels by
+    * joining the k′-row candidate set into the source table
+    * (broadcast — a point fetch, never a corpus shuffle), apply the
+    * predicate (label ≠ the query's label, the q107/q110
+    * hard-negative semantic), keep the top k survivors. The
+    * over-retrieval factor is surfaced as a MEASURED dial against
+    * the exact filtered baseline rather than promised: post-filtering
+    * loses exactly the candidates the filter removes from the beam,
+    * so recall rises with factor, and the dial row is how a user
+    * picks the factor for their filter's selectivity. Rows-only (the
+    * beam is not SQL-replayable); the in-query require pins the
+    * baseline's completeness and GraphAnnSpec pins the dial floor
+    * and ordering at spec scale. */
+  def q129GraphFiltered(s: SparkSession, dir: String): DataFrame = {
+    val el = graft.sources.Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val qs = el.filter(col("vec_id") < recallNq)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    // exact filtered baseline: one corpus scan, predicate before the
+    // bounded heap (the q107 shape)
+    val exact = el.filter(col("vec_id") >= recallNq)
+      .crossJoin(broadcast(qs))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"), dot(col("v"), col("qv")).as("score"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graftnative.TopKAggregate
+        .topK(col("vec_id").cast("long"), col("score"), recallK).as("__tk"))
+      .select(col("qid"), explode(col("__tk")).as("__e"))
+      .select(col("qid"), col("__e.id").as("vec_id"))
+      .localCheckpoint()
+    val exactN = exact.count()
+    require(exactN == recallNq.toLong * recallK,
+      s"q129: exact filtered baseline has $exactN rows, expected ${recallNq * recallK}")
+    val path = graphIndexPath(s, dir)
+    val labels = el.select(col("vec_id"), col("label"))
+    def row(factor: Int): DataFrame = {
+      val kPrime = factor * recallK
+      val ef = math.max(graphEf, kPrime)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id").asc)
+      val cands = graft.search.GraphAnn.searchIndexMulti(s, path, "vec_id",
+          qs.select(col("qid"), col("qv")), "qid", "qv", kPrime, ef,
+          probeParts = graphProbeFor(s, dir))
+        // the query's own row never appears in the exact baseline
+        .filter(col("vec_id") >= recallNq)
+      val kept = cands
+        .join(broadcast(qs.select(col("qid"), col("qlabel"))), "qid")
+        .join(labels, "vec_id") // candidate side broadcast by AQE: k'-rows
+        .filter(col("label") =!= col("qlabel"))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= recallK)
+      exact.join(broadcast(kept.select(col("qid"), col("vec_id"))),
+          Seq("qid", "vec_id"), "left_semi")
+        .agg(round(count(lit(1)) / lit(exactN.toDouble), 4).as("recall"))
+        .select(lit("graph+filter").as("method"),
+          lit(s"k'=$kPrime ef=$ef factor=$factor").as("knob"), col("recall"))
+    }
+    filterFactors.map(row).reduce(_ union _).orderBy("method", "knob")
+  }
+
   /** S5/R2 GRAPH-INDEX LIFECYCLE (the q84/q96 maintenance discipline
     * applied to the graph path): build the at-rest NSW index over the
     * FIRST 80% of ids, append the newest 20% as a delta through
@@ -3017,7 +3088,8 @@ $sqRows)
     "q110_hard_negatives_ann" -> (q110HardNegativesAnn _),
     "q126_contrastive_triplets" -> (q126ContrastiveTriplets _),
     "q127_stream_ivf" -> (q127StreamIvf _),
-    "q128_stream_sq" -> (q128StreamSq _))
+    "q128_stream_sq" -> (q128StreamSq _),
+    "q129_graph_filtered" -> (q129GraphFiltered _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,

@@ -137,6 +137,24 @@ class GraphAnnSpec extends SparkSpec {
     assert(routed >= 0.9, s"probe=4 routed recall $routed below the 0.9 floor")
   }
 
+  test("q129 filtered serving: over-retrieval buys back post-filter recall, floors hold") {
+    val rows = RetrievalQueries.q129GraphFiltered(spark, sf0001)
+      .select("method", "knob", "recall")
+      .as[(String, String, Double)].collect().toSeq
+    assert(rows.size == RetrievalQueries.filterFactors.size &&
+      rows.forall(_._1 == "graph+filter"))
+    val byFactor = rows.map(r =>
+      "factor=(\\d+)".r.findFirstMatchIn(r._2).get.group(1).toInt -> r._3).toMap
+    assert(byFactor.keySet == RetrievalQueries.filterFactors.toSet)
+    // the dial's point: post-filtering at factor 1 loses whatever the
+    // predicate removes from the beam; widening the beam buys it back
+    // (measured 0.86 / 0.96 / 0.96 at sf0.001, 0.78 / 1.0 / 1.0 at
+    // sf0.1 — floors leave drift margin)
+    assert(byFactor(4) >= byFactor(1), s"over-retrieval dial inverted: $byFactor")
+    assert(byFactor(4) >= 0.9, s"factor-4 filtered recall ${byFactor(4)} below floor")
+    assert(byFactor(1) >= 0.6, s"factor-1 filtered recall ${byFactor(1)} degenerate")
+  }
+
   test("landmark entry descent: no recall loss vs entry-0 (hierarchical entry A/B)") {
     // driver-side A/B over one partition's worth of real vectors: the
     // √n-landmark descent must not lose recall relative to the fixed
