@@ -33,6 +33,48 @@ object Scratch {
         java.nio.file.Paths.get(s"$out/oracle_sql.json"), json)
       spark.stop(); return
     }
+    // round 10: clustered-corpus probe diagnosis — recall per probe
+    // incl. full probe, separating routing loss from beam loss
+    if (args.contains("clustdiag")) {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val dim = 16; val nClusters = 16; val perCluster = 125
+      def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
+      def unit(seed: Long): Array[Double] = {
+        var s = seed; val v = Array.ofDim[Double](dim)
+        var j = 0
+        while (j < dim) { s = lcg(s); v(j) = (s >>> 11).toDouble / (1L << 53).toDouble - 0.5; j += 1 }
+        val n = math.sqrt(v.map(x => x * x).sum) + 1e-9
+        v.map(_ / n)
+      }
+      val rows = (0 until nClusters).flatMap { cIdx =>
+        val center = unit(1000L + cIdx)
+        (0 until perCluster).map { i =>
+          val id = cIdx.toLong * perCluster + i
+          val noise = unit(7000L + id)
+          val raw = center.zip(noise).map { case (c, e) => c + 0.08 * e }
+          val n = math.sqrt(raw.map(x => x * x).sum) + 1e-9
+          (id, raw.map(_ / n).toSeq)
+        }
+      }
+      val docs = rows.toDF("vec_id", "v").localCheckpoint()
+      val path = "/tmp/graft_clustdiag/idx"
+      graft.FileTree.delete(new java.io.File("/tmp/graft_clustdiag"))
+      graft.search.GraphAnn.writeIndex(docs, "vec_id", "v", 8, 48, nClusters, path)
+      val qs = docs.filter(col("vec_id") % (4L * perCluster) === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv")).localCheckpoint()
+      val exact = graft.search.Search.multiTopK(docs, "vec_id", "v", qs, "qid", "qv", 10)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+      for (p <- Seq(2, 3, 4, 8, nClusters)) {
+        val got = graft.search.GraphAnn.searchIndexMulti(spark, path, "vec_id",
+            qs, "qid", "qv", 10, 48, probeParts = p)
+          .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+        val perQ = exact.groupBy(_._1).map { case (q, s) =>
+          q -> s.count(got.contains) }
+        println(s"CLUSTDIAG probe=$p recall=${(exact & got).size / 40.0} perQ=${perQ.toSeq.sortBy(_._1)}")
+      }
+      spark.stop(); return
+    }
     // round 10: routed-graph recall sweep — (replication, probe, ef)
     // dials at the CURRENT sf, 50 queries, vs the exact top-10
     if (args.contains("graphsweep")) {
