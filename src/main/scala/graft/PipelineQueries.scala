@@ -169,24 +169,16 @@ object PipelineQueries {
   def q111StreamSessionizeAppend(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val stage = graft.Memo.cachedValue(s, dir, "q111_stage") {
-      val p = roundtripPath(dir, "q111_stream")
       val ev = Queries.eventsTable(s, dir)
         .select(col("ts"), col("user_id"), col("value"))
-      ev.repartitionByRange(4, col("ts"))
-        .write.mode("overwrite").parquet(p)
+      val p = stageOrderedFiles(ev, "ts", 4, roundtripPath(dir, "q111_stream"))
+      // the sentinel appends AFTER the mtime pin, so its now-mtime
+      // makes it the last micro-batch (the punctuation flush)
       val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-      val dataParts = Option(new java.io.File(p).listFiles()).toSeq.flatten
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
       Seq((new java.sql.Timestamp(maxTs.getTime + 3L * 24 * 3600 * 1000),
           -1L, 0.0))
         .toDF("ts", "user_id", "value").coalesce(1)
         .write.mode("append").parquet(p)
-      val sentinel = Option(new java.io.File(p).listFiles()).toSeq.flatten
-        .filter(f => f.getName.startsWith("part-") && !dataParts.contains(f))
-      // ascending mtimes pin batch order to the ts ranges, sentinel last
-      val t0 = System.currentTimeMillis() - 3600L * 1000L
-      (dataParts ++ sentinel).zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(t0 + i * 2000L) }
       p
     }
     val schema = s.read.parquet(stage).schema
@@ -589,6 +581,28 @@ object PipelineQueries {
     * distinct per (query, sf) so runs never cross-contaminate. */
   private[graft] def roundtripPath(dir: String, q: String): String =
     s"/tmp/graft_rt/${q}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Stage `df` as `nFiles` range-split parquet files on `keyCol`
+    * with ascending mtimes pinned to the key ranges, so a
+    * maxFilesPerTrigger=1 file source drains them as `nFiles`
+    * key-ordered micro-batches: the file source orders by
+    * (mtime, path); range partition k holds lower keys than k+1 and
+    * part file names sort with k, so both orderings agree. The ONE
+    * definition of the drain-order recipe every streaming-ingest
+    * harness shares (q99/q102/q111/q120/q127/q128 and the
+    * write-scope specs); a file appended AFTER this call (q111's
+    * sentinel) gets a now-mtime and therefore drains last. */
+  private[graft] def stageOrderedFiles(df: DataFrame, keyCol: String,
+                                       nFiles: Int, path: String): String = {
+    df.repartitionByRange(nFiles, col(keyCol))
+      .write.mode("overwrite").parquet(path)
+    val parts = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val t0 = System.currentTimeMillis() - 3600L * 1000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(t0 + i * 2000L) }
+    path
+  }
 
   /** S3/S4 round-trip under the oracle gate: write a slice of the
     * embeddings table — INCLUDING the float-array column — to

@@ -370,16 +370,9 @@ object RetrievalQueries {
     * SQ8). */
   private def embDeltaStage(s: SparkSession, dir: String): String =
     Memo.cachedValue(s, dir, "q127_stage") {
-      val p = PipelineQueries.roundtripPath(dir, "q127_stream")
-      emb(s, dir).filter(col("vec_id") < 100)
-        .repartitionByRange(4, col("vec_id"))
-        .write.mode("overwrite").parquet(p)
-      val parts = Option(new java.io.File(p).listFiles()).toSeq.flatten
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      val t0 = System.currentTimeMillis() - 3600L * 1000L
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(t0 + i * 2000L) }
-      p
+      PipelineQueries.stageOrderedFiles(
+        emb(s, dir).filter(col("vec_id") < 100), "vec_id", 4,
+        PipelineQueries.roundtripPath(dir, "q127_stream"))
     }
 
   /** STREAMING INGEST INTO THE IVF INDEX — the stream quarter of the
@@ -1156,19 +1149,27 @@ object RetrievalQueries {
       s"q129: exact filtered baseline has $exactN rows, expected ${recallNq * recallK}")
     val path = graphIndexPath(s, dir)
     val labels = el.select(col("vec_id"), col("label"))
+    // ONE routed search at the widest k' serves every factor row: the
+    // beam depends only on (ef, probe) — k just cuts the ranked
+    // candidates — so the factor dial is a rank slice of the same
+    // label-resolved list, never a repeated search (was 3 identical
+    // index scans)
+    val kMax = filterFactors.max * recallK
+    val ef = math.max(graphEf, kMax)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id").asc)
+    val cands = graft.search.GraphAnn.searchIndexMulti(s, path, "vec_id",
+        qs.select(col("qid"), col("qv")), "qid", "qv", kMax, ef,
+        probeParts = graphProbeFor(s, dir))
+      .join(broadcast(qs.select(col("qid"), col("qlabel"))), "qid")
+      .join(labels, "vec_id") // candidate side broadcast by AQE: k'-rows
+      .localCheckpoint() // ≤ nq × k' rows, reused by every factor row
     def row(factor: Int): DataFrame = {
       val kPrime = factor * recallK
-      val ef = math.max(graphEf, kPrime)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id").asc)
-      val cands = graft.search.GraphAnn.searchIndexMulti(s, path, "vec_id",
-          qs.select(col("qid"), col("qv")), "qid", "qv", kPrime, ef,
-          probeParts = graphProbeFor(s, dir))
+      val kept = cands
+        .filter(col("rank") <= kPrime)
         // the query's own row never appears in the exact baseline
         .filter(col("vec_id") >= recallNq)
-      val kept = cands
-        .join(broadcast(qs.select(col("qid"), col("qlabel"))), "qid")
-        .join(labels, "vec_id") // candidate side broadcast by AQE: k'-rows
         .filter(col("label") =!= col("qlabel"))
         .withColumn("__r", row_number().over(w))
         .filter(col("__r") <= recallK)
@@ -1242,20 +1243,9 @@ object RetrievalQueries {
     val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
     val split = 4L * n / 5L
     val stage = Memo.cachedValue(s, dir, "q99_stage") {
-      val p = PipelineQueries.roundtripPath(dir, "q99_stream")
-      e.filter(col("vec_id") >= split)
-        .repartitionByRange(4, col("vec_id"))
-        .write.mode("overwrite").parquet(p)
-      // ascending mtimes pin the source's batch order to the id
-      // ranges (the file source orders by (mtime, path); range
-      // partition k holds lower ids than k+1 and part file names
-      // sort with k, so both keys agree)
-      val parts = Option(new java.io.File(p).listFiles()).toSeq.flatten
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      val t0 = System.currentTimeMillis() - 3600L * 1000L
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(t0 + i * 2000L) }
-      p
+      PipelineQueries.stageOrderedFiles(
+        e.filter(col("vec_id") >= split), "vec_id", 4,
+        PipelineQueries.roundtripPath(dir, "q99_stream"))
     }
     val path = PipelineQueries.roundtripPath(dir, "q99")
     cloneTree(graphBase80Path(s, dir), path)
@@ -1386,15 +1376,8 @@ object RetrievalQueries {
     * the id ranges). */
   private def q120Stage(s: SparkSession, dir: String): String =
     Memo.cachedValue(s, dir, "q120_stage") {
-      val p = PipelineQueries.roundtripPath(dir, "q120_stream")
-      graph116Delta(s, dir).repartitionByRange(4, col("vec_id"))
-        .write.mode("overwrite").parquet(p)
-      val parts = Option(new java.io.File(p).listFiles()).toSeq.flatten
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      val t0 = System.currentTimeMillis() - 3600L * 1000L
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(t0 + i * 2000L) }
-      p
+      PipelineQueries.stageOrderedFiles(graph116Delta(s, dir), "vec_id", 4,
+        PipelineQueries.roundtripPath(dir, "q120_stream"))
     }
 
   /** ONE maintenance-aware ingest step — the per-batch rule BOTH the

@@ -38,26 +38,10 @@ object Scratch {
     if (args.contains("clustdiag")) {
       import org.apache.spark.sql.functions._
       import spark.implicits._
-      val dim = 16; val nClusters = 16; val perCluster = 125
-      def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
-      def unit(seed: Long): Array[Double] = {
-        var s = seed; val v = Array.ofDim[Double](dim)
-        var j = 0
-        while (j < dim) { s = lcg(s); v(j) = (s >>> 11).toDouble / (1L << 53).toDouble - 0.5; j += 1 }
-        val n = math.sqrt(v.map(x => x * x).sum) + 1e-9
-        v.map(_ / n)
-      }
-      val rows = (0 until nClusters).flatMap { cIdx =>
-        val center = unit(1000L + cIdx)
-        (0 until perCluster).map { i =>
-          val id = cIdx.toLong * perCluster + i
-          val noise = unit(7000L + id)
-          val raw = center.zip(noise).map { case (c, e) => c + 0.08 * e }
-          val n = math.sqrt(raw.map(x => x * x).sum) + 1e-9
-          (id, raw.map(_ / n).toSeq)
-        }
-      }
-      val docs = rows.toDF("vec_id", "v").localCheckpoint()
+      val nClusters = 16; val perCluster = 125
+      val docs = graft.search.ClusteredFixture
+        .rows(nClusters = nClusters, perCluster = perCluster)
+        .toDF("vec_id", "v").localCheckpoint()
       val path = "/tmp/graft_clustdiag/idx"
       graft.FileTree.delete(new java.io.File("/tmp/graft_clustdiag"))
       graft.search.GraphAnn.writeIndex(docs, "vec_id", "v", 8, 48, nClusters, path)
@@ -71,7 +55,7 @@ object Scratch {
           .select("qid", "vec_id").as[(Long, Long)].collect().toSet
         val perQ = exact.groupBy(_._1).map { case (q, s) =>
           q -> s.count(got.contains) }
-        println(s"CLUSTDIAG probe=$p recall=${(exact & got).size / 40.0} perQ=${perQ.toSeq.sortBy(_._1)}")
+        println(s"CLUSTDIAG probe=$p recall=${(exact & got).size.toDouble / exact.size} perQ=${perQ.toSeq.sortBy(_._1)}")
       }
       spark.stop(); return
     }

@@ -602,16 +602,9 @@ object Queries {
     * four ordered micro-batches (the q99 staging recipe). */
   private[graft] def q102Stage(s: SparkSession, dir: String): String =
     Memo.cachedValue(s, dir, "q102_stage") {
-      val p = PipelineQueries.roundtripPath(dir, "q102_stream")
-      t(s, dir, "documents").filter(col("doc_id") < 100)
-        .repartitionByRange(4, col("doc_id"))
-        .write.mode("overwrite").parquet(p)
-      val parts = Option(new java.io.File(p).listFiles()).toSeq.flatten
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      val t0 = System.currentTimeMillis() - 3600L * 1000L
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(t0 + i * 2000L) }
-      p
+      PipelineQueries.stageOrderedFiles(
+        t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", 4,
+        PipelineQueries.roundtripPath(dir, "q102_stream"))
     }
 
   def q102StreamBm25(s: SparkSession, dir: String): DataFrame = {

@@ -65,13 +65,6 @@ object GraphAnn {
     nbrs
   }
 
-  /** Insert nodes `from until vecs.length` into a graph already built
-    * over `0 until from` (shared by [[buildGraph]], which starts at 1
-    * over an empty graph, and [[appendToIndex]], which starts at the
-    * existing part size). Because [[buildGraph]] itself inserts in
-    * ascending index order, inserting a sorted suffix here is
-    * IDENTICAL to having built the whole array from scratch — the
-    * bit-for-bit append ≡ rebuild contract GraphAnnSpec pins. */
   /** HNSW's neighbor-selection heuristic (Malkov & Yashunin 2018,
     * Algorithm 4), similarity form: walk candidates best-first and
     * KEEP c only if it is closer to the node than to every
@@ -101,6 +94,13 @@ object GraphAnn {
     kept.toSeq
   }
 
+  /** Insert nodes `from until vecs.length` into a graph already built
+    * over `0 until from` (shared by [[buildGraph]], which starts at 1
+    * over an empty graph, and [[appendToIndex]], which starts at the
+    * existing part size). Because [[buildGraph]] itself inserts in
+    * ascending index order, inserting a sorted suffix here is
+    * IDENTICAL to having built the whole array from scratch — the
+    * bit-for-bit append ≡ rebuild contract GraphAnnSpec pins. */
   private[graft] def insertFrom(vecs: Array[Array[Double]], nbrs: Adjacency,
                                 from: Int, m: Int, efC: Int): Unit = {
     def link(a: Int, b: Int): Unit = {
@@ -793,5 +793,40 @@ object GraphAnn {
       .select(col("qid"), explode(col("__tk")).as("__e"))
       .select(col("qid"), col("__e.id").as(idCol), col("__e.rank").as("rank"),
         round(col("__e.score"), 6).as("score"))
+  }
+}
+
+/** Deterministic clustered test corpus — `nClusters` tight unit-norm
+  * clusters of `perCluster` points each (LCG-seeded centers, 0.08
+  * noise) — the ONE generator GraphAnnSpec's clustered serving case
+  * and Scratch's `clustdiag` share, so the diagnostic always measures
+  * exactly the corpus the spec pins. Dev/spec fixture only; not part
+  * of the query surface. */
+private[graft] object ClusteredFixture {
+  def rows(dim: Int = 16, nClusters: Int = 16,
+           perCluster: Int = 125): Seq[(Long, Seq[Double])] = {
+    def lcg(seed: Long): Long =
+      seed * 6364136223846793005L + 1442695040888963407L
+    def unit(seed: Long): Array[Double] = {
+      var s = seed; val v = Array.ofDim[Double](dim)
+      var j = 0
+      while (j < dim) {
+        s = lcg(s)
+        v(j) = (s >>> 11).toDouble / (1L << 53).toDouble - 0.5
+        j += 1
+      }
+      val n = math.sqrt(v.map(x => x * x).sum) + 1e-9
+      v.map(_ / n)
+    }
+    (0 until nClusters).flatMap { cIdx =>
+      val center = unit(1000L + cIdx)
+      (0 until perCluster).map { i =>
+        val id = cIdx.toLong * perCluster + i
+        val noise = unit(7000L + id)
+        val raw = center.zip(noise).map { case (c, e) => c + 0.08 * e }
+        val n = math.sqrt(raw.map(x => x * x).sum) + 1e-9
+        (id, raw.map(_ / n).toSeq)
+      }
+    }
   }
 }

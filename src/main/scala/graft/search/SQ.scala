@@ -76,12 +76,6 @@ object SQ {
     })
   }
 
-  /** Build + persist the SQ8 index: full-precision centroids (the
-    * probe structure — K rows), per-dimension bounds (dim rows), and
-    * the quantized inverted lists (one parquet file per cid via the
-    * write-side repartition — the postings-write discipline). CREATE
-    * semantics like [[IVF.writeIndex]]: replaces whatever lived at
-    * the path. */
   /** The index's list projection — assignment under `cents`, codes
     * quantized+packed under the `ba` bounds geometry: the ONE
     * definition the build, the append, and the streamed-ingest
@@ -95,6 +89,12 @@ object SQ {
         sqPackNative(quantCodes(col(vecCol), col("lo"), col("hi"))).as("code"),
         col("cid"))
 
+  /** Build + persist the SQ8 index: full-precision centroids (the
+    * probe structure — K rows), per-dimension bounds (dim rows), and
+    * the quantized inverted lists (one parquet file per cid via the
+    * write-side repartition — the postings-write discipline). CREATE
+    * semantics like [[IVF.writeIndex]]: replaces whatever lived at
+    * the path. */
   def writeIndex(docs: DataFrame, idCol: String, vecCol: String,
                  k: Int, path: String): Unit = {
     graft.FileTree.delete(new java.io.File(path))

@@ -163,26 +163,9 @@ class GraphAnnSpec extends SparkSpec {
     // concentrate in its own few cells, so a CONSTANT probe, a small
     // and shrinking fraction of parts, holds recall. 16 tight
     // clusters x 125 points, deterministic construction.
-    val dim = 16; val nClusters = 16; val perCluster = 125
-    def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
-    def unit(seed: Long): Array[Double] = {
-      var s = seed; val v = Array.ofDim[Double](dim)
-      var j = 0
-      while (j < dim) { s = lcg(s); v(j) = (s >>> 11).toDouble / (1L << 53).toDouble - 0.5; j += 1 }
-      val n = math.sqrt(v.map(x => x * x).sum) + 1e-9
-      v.map(_ / n)
-    }
-    val rows = (0 until nClusters).flatMap { cIdx =>
-      val center = unit(1000L + cIdx)
-      (0 until perCluster).map { i =>
-        val id = cIdx.toLong * perCluster + i
-        val noise = unit(7000L + id)
-        val raw = center.zip(noise).map { case (c, e) => c + 0.08 * e }
-        val n = math.sqrt(raw.map(x => x * x).sum) + 1e-9
-        (id, raw.map(_ / n).toSeq)
-      }
-    }
-    val docs = rows.toDF("vec_id", "v")
+    val nClusters = 16; val perCluster = 125
+    val docs = graft.search.ClusteredFixture
+      .rows(nClusters = nClusters, perCluster = perCluster).toDF("vec_id", "v")
     val path = java.nio.file.Files.createTempDirectory("graphann_clust").toString
     GraphAnn.writeIndex(docs, "vec_id", "v", m = 8, efC = 48,
       parts = nClusters, path)

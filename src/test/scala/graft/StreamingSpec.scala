@@ -304,13 +304,9 @@ class StreamingSpec extends SparkSpec {
         .filter(f => f.getName.endsWith(".parquet"))
         .map(f => f.getParentFile.getName + "/" + f.getName -> f.lastModified).toMap
     }
-    val stage = java.nio.file.Files.createTempDirectory("ivf_sstage").toString
-    e.filter(col("vec_id") < 100).repartitionByRange(4, col("vec_id"))
-      .write.mode("overwrite").parquet(stage)
-    val parts = Option(new java.io.File(stage).listFiles()).toSeq.flatten
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val t0 = System.currentTimeMillis() - 3600L * 1000L
-    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 2000L) }
+    val stage = PipelineQueries.stageOrderedFiles(
+      e.filter(col("vec_id") < 100), "vec_id", 4,
+      java.nio.file.Files.createTempDirectory("ivf_sstage").toString + "/stage")
     val src = spark.readStream.schema(spark.read.parquet(stage).schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
     val snapshots = scala.collection.mutable.ArrayBuffer
