@@ -167,4 +167,32 @@ object Streaming {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** [[runForeachBatch]] with a DURABLE checkpoint — the production
+    * ingest loop: files land in the source directory, the drain
+    * re-runs on a schedule, and only data not already committed under
+    * `checkpointDir` reaches the sink (a fresh run of the same
+    * (source, checkpoint) pair after new files arrive delivers
+    * exactly the delta; StreamingSpec drives two runs into one IVF
+    * index and gates the final lists against a single batch
+    * assignment). The one-shot harness queries keep
+    * [[runForeachBatch]]'s per-run temp checkpoint deliberately —
+    * their gates compare a COMPLETE drain against a batch replay.
+    * foreachBatch's standard contract still applies across CRASHES:
+    * a batch whose `fn` ran but whose checkpoint commit did not land
+    * is re-run on restart, so a sink needs per-batchId idempotence
+    * for exactly-once under mid-batch failure — and the engine's
+    * index-equality gates turn any violation into a loud failure
+    * rather than silent duplication. */
+  def runForeachBatchResumable(spark: SparkSession, src: DataFrame,
+                               checkpointDir: String,
+                               fn: (DataFrame, Long) => Unit): Unit = {
+    val q = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(fn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }

@@ -331,6 +331,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("resumable drain: two runs over one checkpoint ingest each file exactly once into the IVF index") {
+    // the production ingest loop: files land, the drain re-runs with
+    // the SAME durable checkpoint, and only the delta reaches the
+    // sink — proven end-to-end by appending both runs into one IVF
+    // index and gating the final lists against a single batch
+    // assignment of everything (any re-delivery would duplicate rows
+    // and fail the exceptAll)
+    import graft.search.IVF
+    val root = java.nio.file.Files.createTempDirectory("resume_drain").toString
+    val live = s"$root/live"; val ckpt = s"$root/ckpt"; val idx = s"$root/idx"
+    new java.io.File(live).mkdirs()
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    IVF.writeIndex(e.filter(col("vec_id") >= 100), "vec_id", "v", 8, 0, idx)
+    val staged = PipelineQueries.stageOrderedFiles(
+      e.filter(col("vec_id") < 100), "vec_id", 4, s"$root/staged")
+    val files = Option(new java.io.File(staged).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(files.length == 4)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drain(): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(staged).schema)
+        .option("maxFilesPerTrigger", 1).parquet(live)
+      Streaming.runForeachBatchResumable(spark, src, ckpt, (b, _) => {
+        val rows = b.localCheckpoint()
+        seen += rows.count()
+        IVF.appendToIndex(spark, idx, rows, "vec_id", "v")
+      })
+    }
+    // run 1: only the first two files exist
+    files.take(2).foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(live, f.getName)) }
+    drain()
+    val afterRun1 = seen.sum
+    assert(afterRun1 == spark.read.parquet(files.take(2).map(_.getPath): _*).count(),
+      "run 1 must deliver exactly the first two files")
+    // run 2: the remaining files land; SAME checkpoint — only the
+    // delta is delivered
+    files.drop(2).foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(live, f.getName)) }
+    drain()
+    assert(seen.sum == e.filter(col("vec_id") < 100).count(),
+      s"two drains must deliver every row exactly once, saw ${seen.sum}")
+    // the end-to-end gate: the twice-drained index equals ONE batch
+    // assignment of the whole union — re-delivery would duplicate
+    val cents = spark.read.parquet(IVF.centroidsPath(idx))
+    val streamed = spark.read.parquet(IVF.listsPath(idx))
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    val expected = IVF.assign(e, "vec_id", "v", cents)
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    assert(streamed.exceptAll(expected).isEmpty &&
+      expected.exceptAll(streamed).isEmpty,
+      "resumed drains must leave the index identical to one batch assignment")
+  }
+
   test("q128 streamed SQ8 ingest: gates pass and the streamed-in query vector is its own top hit") {
     // the in-query requires carry the heavy contracts (per-batch clamp
     // fraction under threshold, drained codes ≡ batch quantization);
