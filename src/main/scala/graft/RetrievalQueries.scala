@@ -2135,8 +2135,15 @@ $sqRows)
     * chunk_id reaches the key stride would silently fold its spilled
     * chunks into the NEXT doc's scores. Chunking is a narrow per-doc
     * explode; the embed rides one mapPartitions scan (repartitioned
-    * first so the CPU-bound stage parallelizes). */
-  private def chunkVecs(s: SparkSession, dir: String): DataFrame = {
+    * first so the CPU-bound stage parallelizes). MEMOIZED per
+    * (session, dir-content) and charged to `_build_chunk_vecs` —
+    * chunk embeddings are a precomputed serving artifact in
+    * production (the passage index), not per-query work, so neither
+    * retrieval query pays the embed twice. */
+  private[graft] def chunkVecs(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "chunk_vecs")(chunkVecsBuild(s, dir))
+
+  private def chunkVecsBuild(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).filter(col("doc_id") < 200)
     val ch = graft.text.Chunker.chunkRows(base, "doc_id", "text",
         PrepQueries.chunkSize, PrepQueries.chunkStride)
@@ -3013,6 +3020,7 @@ $sqRows)
     * skew). Each is idempotent — a no-op when the memo is warm. */
   val builds: Map[String, (SparkSession, String) => Unit] = Map(
     "_build_ivf_index" -> ((s, dir) => { ivfAssigned0(s, dir).count(); () }),
+    "_build_chunk_vecs" -> ((s, dir) => { chunkVecs(s, dir).count(); () }),
     "_build_ivf_refined" -> ((s, dir) => { ivfAssignedR(s, dir).count(); () }),
     "_build_pq_codebook" -> ((s, dir) => { pqCodebook(s, dir).count(); () }),
     "_build_eval_metrics" -> ((s, dir) => { q40Materialized(s, dir).count(); () }),
