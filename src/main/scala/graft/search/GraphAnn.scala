@@ -121,7 +121,8 @@ object GraphAnn {
     var i = math.max(from, 1)
     while (i < vecs.length) {
       val found = searchGraph(vecs, nbrs, vecs(i), efC, i)
-      selectDiverse(vecs, vecs(i), found, m)
+      selectDiverse(vecs, vecs(i),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(found), m)
         .foreach { j => link(i, j); link(j, i) }
       i += 1
     }
