@@ -390,6 +390,109 @@ object CurationQueries {
     s"""WITH ${pairsCteSqlWith("a.doc_id % 10 = 7 AND c.doc_id % 10 <> 7")}
        SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"""
 
+  // ---------- q130: CUMULATIVE streaming near-dup ----------
+
+  /** The incoming slice staged as four id-ordered batch files with
+    * DETERMINISTIC rank-quartile boundaries — batch(doc) =
+    * ⌊4·(rank−1)/n⌋ over the incoming ids in order — so the oracle
+    * can replay exactly which earlier-batch documents each batch
+    * dedups against (q98's hash-split staging is deliberately
+    * order-free because its matches only ever face the standing
+    * corpus; cumulative matching makes arrival order part of the
+    * semantics, so the split rule must be cross-engine computable).
+    * The rank window runs over the corpus/10 incoming slice — the
+    * same staging-harness class as every other stream stage. */
+  private def q130Stage(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "q130_stage") {
+      val p = PipelineQueries.roundtripPath(dir, "q130_stream")
+      graft.FileTree.delete(new java.io.File(p))
+      val inc = docs(s, dir).filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), col("text"))
+      val cnt = inc.count()
+      val staged = inc
+        .withColumn("bat", expr(s"((row_number() OVER (ORDER BY doc_id) - 1) * 4) div $cnt"))
+        .localCheckpoint()
+      val t0 = System.currentTimeMillis() - 3600L * 1000L
+      (0 until 4).foreach { b =>
+        staged.filter(col("bat") === b).select(col("doc_id"), col("text"))
+          .coalesce(1).write.mode("append").parquet(p)
+        // pin this batch file's mtime before the next write lands
+        Option(new java.io.File(p).listFiles()).toSeq.flatten
+          .filter(f => f.getName.startsWith("part-") &&
+            f.lastModified > t0 + 3600L * 1000L - 10000L)
+          .foreach(_.setLastModified(t0 + b * 2000L))
+      }
+      p
+    }
+
+  /** CUMULATIVE streaming near-dup — the register-after-vetting
+    * semantic q98 leaves open: q98 checks every incoming batch
+    * against the STANDING corpus only, so two near-identical
+    * documents arriving in different batches both pass. Here each
+    * drained batch (1) matches against the band table AS IT IS —
+    * standing corpus plus every PREVIOUSLY REGISTERED batch — and
+    * (2) registers its own banded signatures into the table
+    * (bucket-partitioned append, one file per touched sigbucket: the
+    * q87/q127 write discipline on the dedup index), so later batches
+    * dedup against it. The standing band table is cloned first —
+    * maintenance mutates a private copy, never the shared artifact.
+    * Fully oracle-checked: the staged batch boundaries are
+    * deterministic rank quartiles, so the DuckDB replay knows exactly
+    * which (incoming, earlier-incoming) pairs each batch can see, and
+    * the in-query require pins the final mutated band table equal to
+    * a one-shot build over standing ∪ incoming — registration ≡
+    * batch, the stream-equals-batch discipline on the dedup index
+    * itself. */
+  def q130StreamNeardupCumulative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val mut = PipelineQueries.roundtripPath(dir, "q130_bands")
+    graft.FileTree.delete(new java.io.File(mut))
+    graft.FileTree.copy(new java.io.File(streamBandsPath(s, dir)),
+      new java.io.File(mut))
+    val stage = q130Stage(s, dir)
+    val out = PipelineQueries.roundtripPath(dir, "q130_out")
+    Seq.empty[(Long, Long, Double)].toDF("id1", "id2", "jaccard")
+      .write.mode("overwrite").parquet(out)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, _) => {
+      val b = batch.localCheckpoint()
+      // vet against everything registered so far...
+      q98BatchMatches(s, b, mut, d).write.mode("append").parquet(out)
+      // ...then register this batch for the ones after it
+      Dedup.bandedSignatures(b, "doc_id", "text", shingleN, nPerm, rowsPerBand)
+        .withColumn("sigbucket", sigbucket(col("band"), col("bandsig")))
+        .repartition(col("sigbucket"))
+        .write.mode("append").partitionBy("sigbucket").parquet(mut)
+    })
+    // registration ≡ batch: the mutated table equals a one-shot build
+    // over the whole corpus
+    val full = Dedup.bandedSignatures(d, "doc_id", "text",
+        shingleN, nPerm, rowsPerBand)
+      .withColumn("sigbucket", sigbucket(col("band"), col("bandsig")))
+      .select(col("id"), col("band"), col("bandsig"), col("sigbucket").cast("int"))
+    val mutRows = s.read.parquet(mut)
+      .select(col("id"), col("band"), col("bandsig"), col("sigbucket").cast("int"))
+    require(mutRows.exceptAll(full).isEmpty && full.exceptAll(mutRows).isEmpty,
+      "q130: the registered band table must equal a one-shot build row for row")
+    s.read.parquet(out).orderBy("id1", "id2")
+  }
+
+  /** q98's replay with the cumulative arrival predicate: an incoming
+    * document also matches incoming documents from STRICTLY EARLIER
+    * rank-quartile batches. */
+  val q130Sql: String =
+    s"""WITH bq AS (SELECT doc_id,
+           CAST((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) * 4 //
+             (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 7) AS BIGINT) AS bat
+         FROM documents WHERE doc_id % 10 = 7),
+       ${pairsCteSqlWith("a.doc_id % 10 = 7 AND (c.doc_id % 10 <> 7 OR " +
+        "(SELECT x.bat FROM bq x WHERE x.doc_id = c.doc_id) < " +
+        "(SELECT y.bat FROM bq y WHERE y.doc_id = a.doc_id))")}
+       SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"""
+
   /** 16-bit SimHash per document (token-hash sign aggregation). */
   def q32Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash16(docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text")
@@ -841,6 +944,7 @@ object CurationQueries {
     "q71_temperature_mix" -> (q71TemperatureMix _),
     "q88_redact" -> (q88Redact _),
     "q98_stream_neardup" -> (q98StreamNeardup _),
+    "q130_stream_neardup_cumulative" -> (q130StreamNeardupCumulative _),
     "q105_semantic_decon" -> (q105SemanticDecon _))
 
   val oracle: Map[String, String] = Map(
@@ -858,5 +962,6 @@ object CurationQueries {
     "q71_temperature_mix" -> q71Sql,
     "q88_redact" -> q88Sql,
     "q98_stream_neardup" -> q98Sql,
+    "q130_stream_neardup_cumulative" -> q130Sql,
     "q105_semantic_decon" -> q105Sql)
 }

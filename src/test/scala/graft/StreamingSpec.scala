@@ -389,6 +389,35 @@ class StreamingSpec extends SparkSpec {
       "resumed drains must leave the index identical to one batch assignment")
   }
 
+  test("q130 cumulative drain: q98's pairs plus exactly the earlier-batch incoming matches") {
+    val cum = SparkEntry.queries("q130_stream_neardup_cumulative")(spark, sf0001)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val standingOnly = SparkEntry.queries("q98_stream_neardup")(spark, sf0001)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // the cumulative semantic can only ADD matches (same standing
+    // corpus, same thresholds; registration widens the candidate set)
+    assert(standingOnly.subsetOf(cum),
+      "cumulative drain lost a standing-corpus match")
+    // every extra pair is incoming x EARLIER-BATCH incoming, earlier
+    // measured by the deterministic rank-quartile batch rule
+    val incIds = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") % 10 === 7)
+      .select("doc_id").as[Long].collect().sorted
+    val batchOf = incIds.zipWithIndex
+      .map { case (id, r) => id -> (r.toLong * 4 / incIds.length) }.toMap
+    // sf0.001's incoming slice happens to carry no cross-batch
+    // near-dups; the sf0.01 oracle is where the extras are EXERCISED
+    // (13 cumulative pairs vs q98's 11). When present, every extra
+    // must be incoming x earlier-batch incoming.
+    val extras = cum -- standingOnly
+    extras.foreach { case (id1, id2, _) =>
+      assert(id1 % 10 == 7 && id2 % 10 == 7,
+        s"extra pair ($id1, $id2) is not incoming x incoming")
+      assert(batchOf(id2) < batchOf(id1),
+        s"extra pair ($id1, $id2) does not respect arrival order")
+    }
+  }
+
   test("q128 streamed SQ8 ingest: gates pass and the streamed-in query vector is its own top hit") {
     // the in-query requires carry the heavy contracts (per-batch clamp
     // fraction under threshold, drained codes ≡ batch quantization);
