@@ -412,16 +412,22 @@ object CurationQueries {
       val staged = inc
         .withColumn("bat", expr(s"((row_number() OVER (ORDER BY doc_id) - 1) * 4) div $cnt"))
         .localCheckpoint()
-      val t0 = System.currentTimeMillis() - 3600L * 1000L
+      // each batch's files identified by a directory-listing diff
+      // (never by wall-clock mtime windows), then pinned in batch
+      // order through the shared asserting primitive
+      def partFiles(): Set[java.io.File] =
+        Option(new java.io.File(p).listFiles()).toSeq.flatten
+          .filter(_.getName.startsWith("part-")).toSet
+      val written = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
       (0 until 4).foreach { b =>
+        val before = partFiles()
         staged.filter(col("bat") === b).select(col("doc_id"), col("text"))
           .coalesce(1).write.mode("append").parquet(p)
-        // pin this batch file's mtime before the next write lands
-        Option(new java.io.File(p).listFiles()).toSeq.flatten
-          .filter(f => f.getName.startsWith("part-") &&
-            f.lastModified > t0 + 3600L * 1000L - 10000L)
-          .foreach(_.setLastModified(t0 + b * 2000L))
+        val fresh = (partFiles() -- before).toSeq.sortBy(_.getName)
+        require(fresh.nonEmpty, s"q130 stage batch $b wrote no file")
+        written ++= fresh
       }
+      PipelineQueries.pinAscendingMtimes(written.toSeq)
       p
     }
 
@@ -927,7 +933,7 @@ object CurationQueries {
     "_build_neardup_pairs" -> ((s, dir) => { nearDupPairs(s, dir).count(); () }),
     "_build_lsh_buckets" -> ((s, dir) => { lshBuckets(s, dir).count(); () }),
     "_build_stream_bands" -> ((s, dir) =>
-      { streamBandsPath(s, dir); q98Stage(s, dir); () }))
+      { streamBandsPath(s, dir); q98Stage(s, dir); q130Stage(s, dir); () }))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_text_stats" -> (q22TextStats _),

@@ -596,12 +596,24 @@ object PipelineQueries {
                                        nFiles: Int, path: String): String = {
     df.repartitionByRange(nFiles, col(keyCol))
       .write.mode("overwrite").parquet(path)
-    val parts = Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    pinAscendingMtimes(
+      Option(new java.io.File(path).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName))
+    path
+  }
+
+  /** Pin `parts` (in the given order) to ascending mtimes starting an
+    * hour ago — the drain-order primitive [[stageOrderedFiles]] and
+    * custom-split stage writers (q130's rank-quartile writer) share.
+    * Every pin is asserted: a filesystem that rejects
+    * `setLastModified` would otherwise leave a fresh mtime in place
+    * and silently reorder the drain. */
+  private[graft] def pinAscendingMtimes(parts: Seq[java.io.File]): Unit = {
     val t0 = System.currentTimeMillis() - 3600L * 1000L
     parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(t0 + i * 2000L) }
-    path
+      require(f.setLastModified(t0 + i * 2000L),
+        s"mtime pin failed on ${f.getName} — drain order would be undefined")
+    }
   }
 
   /** S3/S4 round-trip under the oracle gate: write a slice of the

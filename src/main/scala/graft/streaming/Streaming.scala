@@ -159,14 +159,8 @@ object Streaming {
     * No state store is involved and the session conf is untouched —
     * no lock needed. */
   def runForeachBatch(spark: SparkSession, src: DataFrame,
-                      fn: (DataFrame, Long) => Unit): Unit = {
-    val q = src.writeStream
-      .foreachBatch(fn)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-  }
+                      fn: (DataFrame, Long) => Unit): Unit =
+    runDrain(src, None, fn)
 
   /** [[runForeachBatch]] with a DURABLE checkpoint — the production
     * ingest loop: files land in the source directory, the drain
@@ -186,11 +180,18 @@ object Streaming {
     * rather than silent duplication. */
   def runForeachBatchResumable(spark: SparkSession, src: DataFrame,
                                checkpointDir: String,
-                               fn: (DataFrame, Long) => Unit): Unit = {
-    val q = src.writeStream
-      .option("checkpointLocation", checkpointDir)
+                               fn: (DataFrame, Long) => Unit): Unit =
+    runDrain(src, Some(checkpointDir), fn)
+
+  /** The one drain harness both entry points share: AvailableNow
+    * foreachBatch, optionally under a durable checkpoint. */
+  private def runDrain(src: DataFrame, checkpointDir: Option[String],
+                       fn: (DataFrame, Long) => Unit): Unit = {
+    val w0 = src.writeStream
       .foreachBatch(fn)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val q = checkpointDir
+      .fold(w0)(c => w0.option("checkpointLocation", c))
       .start()
     q.processAllAvailable()
     q.stop()
