@@ -381,6 +381,79 @@ object PrepQueries {
          CAST($contextLen - n_toks AS BIGINT) AS pad
        FROM g ORDER BY source, window_id"""
 
+  // ---------- q131: the packed windows materialized ----------
+
+  /** THE PACKED TRAINING WINDOWS THEMSELVES — the artifact q125's
+    * manifest describes and the trainer actually reads: per (source,
+    * window), the window's token content assembled from each
+    * contributing document's slice (doc d contributes tokens
+    * [max(0, w·L − (cum−n)), min(n, (w+1)·L − (cum−n))) of its own
+    * token array), concatenated in doc_id order. The declared row
+    * carries the text's md5 rather than the text — one misplaced
+    * token anywhere in any window breaks the hash, and the output
+    * stays manifest-sized.
+    *
+    * Shape at 100 TB: identical to q125 plus a per-span narrow array
+    * slice (the tokens ride the same explode row — no re-fetch of
+    * the document) and a per-window sorted-struct concat: every
+    * stage keyed by (source, window), output-sized. Windows are the
+    * unit a trainer shards by, so the final orderBy is the artifact
+    * contract, not a scale term. Fully oracle-checked. */
+  def q131PackWindows(s: SparkSession, dir: String): DataFrame = {
+    val L = contextLen
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val staged = docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(col("source"), col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .filter(col("n") > 0)
+    val spans = staged
+      .select(col("source"), col("doc_id"), col("toks"), col("n"), col("cum"),
+        explode(sequence(expr(s"(cum - n) div $L"), expr(s"(cum - 1) div $L")))
+          .as("win"))
+      // this doc's slice of window `win`, in the doc's own 1-based
+      // token coordinates
+      .select(col("source"), col("win"), col("doc_id"),
+        expr(s"array_join(slice(toks, " +
+          s"cast(greatest(0L, win * $L - (cum - n)) as int) + 1, " +
+          s"cast(least(n, (win + 1) * $L - (cum - n)) - greatest(0L, win * $L - (cum - n)) as int)), ' ')")
+          .as("piece"))
+    spans
+      .groupBy("source", "win")
+      .agg(count(lit(1)).as("n_docs"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("piece")))),
+          p => p.getField("piece")), " ")).as("window_md5"))
+      .select(col("source"), col("win").as("window_id"), col("n_docs"),
+        col("window_md5"))
+      .orderBy("source", "window_id")
+  }
+
+  val q131Sql: String =
+    s"""WITH t AS (SELECT source, doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS toks,
+           CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n
+         FROM documents),
+       c AS (SELECT source, doc_id, toks, n,
+           SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM t),
+       sp AS (SELECT source, doc_id, toks, n, cum,
+           unnest(generate_series(CAST((cum - n) // $contextLen AS BIGINT),
+                                  CAST((cum - 1) // $contextLen AS BIGINT))) AS win
+         FROM c WHERE n > 0),
+       pc AS (SELECT source, win, doc_id,
+           array_to_string(toks[CAST(greatest(0, win * $contextLen - (cum - n)) AS BIGINT) + 1 :
+             CAST(least(n, (win + 1) * $contextLen - (cum - n)) AS BIGINT)], ' ') AS piece
+         FROM sp)
+       SELECT source, CAST(win AS BIGINT) AS window_id,
+         COUNT(*) AS n_docs,
+         md5(string_agg(piece, ' ' ORDER BY doc_id)) AS window_md5
+       FROM pc GROUP BY source, win ORDER BY source, window_id"""
+
   // ---------- q78: nearest-centroid label eval ----------
 
   /** Embedding-quality eval: per-label mean centroids, every vector
@@ -1509,6 +1582,7 @@ object PrepQueries {
     "q76_int8_quantize" -> (q76Int8Quantize _),
     "q77_packing_stats" -> (q77PackingStats _),
     "q125_pack_manifest" -> (q125PackManifest _),
+    "q131_pack_windows" -> (q131PackWindows _),
     "q78_centroid_classify" -> (q78CentroidClassify _),
     "q79_shard_shuffle" -> (q79ShardShuffle _),
     "q80_split_assign" -> (q80SplitAssign _),
@@ -1532,6 +1606,7 @@ object PrepQueries {
     "q76_int8_quantize" -> q76Sql,
     "q77_packing_stats" -> q77Sql,
     "q125_pack_manifest" -> q125Sql,
+    "q131_pack_windows" -> q131Sql,
     "q78_centroid_classify" -> q78Sql,
     "q79_shard_shuffle" -> q79Sql,
     "q80_split_assign" -> q80Sql,

@@ -42,6 +42,36 @@ class PrepSpec extends SparkSpec {
     }
   }
 
+  test("q131 packed windows agree with q125's manifest and a driver-side byte replay") {
+    val windows = PrepQueries.q131PackWindows(spark, sf0001)
+      .select("source", "window_id", "n_docs", "window_md5")
+      .as[(String, Long, Long, String)].collect()
+    val manifest = PrepQueries.q125PackManifest(spark, sf0001)
+      .select("source", "window_id", "n_docs")
+      .as[(String, Long, Long)].collect()
+    // same windows, same contributing-doc counts — the text artifact
+    // and its manifest cannot disagree
+    assert(windows.map(w => (w._1, w._2, w._3)).sorted.toSeq ==
+      manifest.sorted.toSeq)
+    // full driver-side replay of one source's windows: concatenate
+    // the corpus in doc_id order, split every L tokens, md5 each
+    val L = PrepQueries.contextLen
+    val src0 = windows.map(_._1).min
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("source") === src0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .sortBy(_._1)
+      .flatMap(d => d._2.toLowerCase.trim.split("\\s+").filter(_.nonEmpty))
+    val wantMd5 = toks.grouped(L).map { g =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(g.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }.toSeq
+    val gotMd5 = windows.filter(_._1 == src0).sortBy(_._2).map(_._4).toSeq
+    assert(gotMd5 == wantMd5,
+      s"window bytes diverge from the concat-then-split replay for $src0")
+  }
+
   test("chunkRows covers every token with the configured overlap") {
     val d = df((1L, (1 to 100).map(i => s"t$i").mkString(" ")))
     val chunks = Chunker.chunkRows(d, "doc_id", "text", 32, 24)
