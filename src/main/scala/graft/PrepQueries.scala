@@ -281,8 +281,13 @@ object PrepQueries {
     * boundary. The report a training-data team reads before choosing
     * chunk/pack parameters. */
   def q77PackingStats(s: SparkSession, dir: String): DataFrame = {
+    // explicit ROWS frame: the oracle pins ROWS, and Spark's default
+    // for an ordered window is RANGE — divergent if doc_id ever had
+    // peer duplicates
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val staged = docs(s, dir)
       .select(col("source"), col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_toks"))
@@ -342,6 +347,8 @@ object PrepQueries {
     val L = contextLen
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val staged = docs(s, dir)
       .select(col("source"), col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n"))
@@ -393,24 +400,32 @@ object PrepQueries {
     * token anywhere in any window breaks the hash, and the output
     * stays manifest-sized.
     *
-    * Shape at 100 TB: identical to q125 plus a per-span narrow array
-    * slice (the tokens ride the same explode row — no re-fetch of
-    * the document) and a per-window sorted-struct concat: every
-    * stage keyed by (source, window), output-sized. Windows are the
-    * unit a trainer shards by, so the final orderBy is the artifact
-    * contract, not a scale term. Fully oracle-checked. */
+    * Shape at 100 TB: the cumsum runs over q125's NARROW rows
+    * (source, doc_id, n) — the token arrays must never ride the
+    * per-source window sort, which would pull a whole source's
+    * tokenized shard into one task — and rejoin the tokenized scan
+    * by (source, doc_id), a keyed parallel exchange. The per-span
+    * slice and the per-window sorted-struct concat are then keyed by
+    * (source, window), output-sized. Windows are the unit a trainer
+    * shards by, so the final orderBy is the artifact contract, not a
+    * scale term. Tokenization is [[TextAnalysis.toks]] — the ONE
+    * definition q77/q125 and every token-count consumer share.
+    * Fully oracle-checked. */
   def q131PackWindows(s: SparkSession, dir: String): DataFrame = {
     val L = contextLen
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
-    val staged = docs(s, dir)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val counts = docs(s, dir)
       .select(col("source"), col("doc_id"),
-        split(lower(trim(col("text"))), "\\s+").as("toks"))
-      .select(col("source"), col("doc_id"), col("toks"),
-        size(col("toks")).cast("long").as("n"))
+        TextAnalysis.tokenCount(col("text")).as("n"))
       .withColumn("cum", sum(col("n")).over(w))
       .filter(col("n") > 0)
-    val spans = staged
+    val toksDf = docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.toks(col("text")).as("toks"))
+    val spans = counts.join(toksDf, Seq("source", "doc_id"))
       .select(col("source"), col("doc_id"), col("toks"), col("n"), col("cum"),
         explode(sequence(expr(s"(cum - n) div $L"), expr(s"(cum - 1) div $L")))
           .as("win"))
@@ -435,7 +450,7 @@ object PrepQueries {
   val q131Sql: String =
     s"""WITH t AS (SELECT source, doc_id,
            string_split_regex(lower(trim(text)), '\\s+') AS toks,
-           CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n
+           CAST(len(toks) AS BIGINT) AS n
          FROM documents),
        c AS (SELECT source, doc_id, toks, n,
            SUM(n) OVER (PARTITION BY source ORDER BY doc_id

@@ -57,11 +57,23 @@ class PrepSpec extends SparkSpec {
     // the corpus in doc_id order, split every L tokens, md5 each
     val L = PrepQueries.contextLen
     val src0 = windows.map(_._1).min
+    // faithful to the ENGINE's tokenizer (TextAnalysis.toks): SQL
+    // trim strips spaces only (not \t\n like Java's), lower is
+    // locale-independent (Locale.ROOT — a tr_TR default would fold
+    // 'I' differently), and split keeps interior/trailing empties
+    // (limit -1) exactly as Spark's split does
+    def sqlTrim(s0: String): String = {
+      var a = 0; var b = s0.length
+      while (a < b && s0.charAt(a) == ' ') a += 1
+      while (b > a && s0.charAt(b - 1) == ' ') b -= 1
+      s0.substring(a, b)
+    }
     val toks = spark.read.parquet(s"$sf0001/documents.parquet")
       .filter(col("source") === src0)
       .select("doc_id", "text").as[(Long, String)].collect()
       .sortBy(_._1)
-      .flatMap(d => d._2.toLowerCase.trim.split("\\s+").filter(_.nonEmpty))
+      .flatMap(d => sqlTrim(d._2).toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+", -1))
     val wantMd5 = toks.grouped(L).map { g =>
       java.security.MessageDigest.getInstance("MD5")
         .digest(g.mkString(" ").getBytes("UTF-8"))
