@@ -409,6 +409,7 @@ object CurationQueries {
       val inc = docs(s, dir).filter(col("doc_id") % 10 === 7)
         .select(col("doc_id"), col("text"))
       val cnt = inc.count()
+      require(cnt > 0, "q130: incoming slice is empty — nothing to stage")
       val staged = inc
         .withColumn("bat", expr(s"((row_number() OVER (ORDER BY doc_id) - 1) * 4) div $cnt"))
         .localCheckpoint()

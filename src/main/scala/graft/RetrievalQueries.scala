@@ -1176,10 +1176,13 @@ object RetrievalQueries {
       exact.join(broadcast(kept.select(col("qid"), col("vec_id"))),
           Seq("qid", "vec_id"), "left_semi")
         .agg(round(count(lit(1)) / lit(exactN.toDouble), 4).as("recall"))
-        .select(lit("graph+filter").as("method"),
+        .select(lit("graph+filter").as("method"), lit(factor).as("factor"),
           lit(s"k'=$kPrime ef=$ef factor=$factor").as("knob"), col("recall"))
     }
-    filterFactors.map(row).reduce(_ union _).orderBy("method", "knob")
+    // order by the NUMERIC factor (knob strings are display-only —
+    // lexicographic order on them is only coincidentally numeric)
+    filterFactors.map(row).reduce(_ union _).orderBy("method", "factor")
+      .select("method", "knob", "recall")
   }
 
   /** S5/R2 GRAPH-INDEX LIFECYCLE (the q84/q96 maintenance discipline

@@ -103,18 +103,38 @@ object GraphAnn {
     * bit-for-bit append ≡ rebuild contract GraphAnnSpec pins. */
   private[graft] def insertFrom(vecs: Array[Array[Double]], nbrs: Adjacency,
                                 from: Int, m: Int, efC: Int): Unit = {
+    // node→neighbor similarity cache, parallel to nbrs: an overflow
+    // trim re-sorts from these cached values instead of recomputing
+    // m dot products against the node per overflow (the scores are
+    // the identical dot(a, j) values, so selection is unchanged —
+    // this only removes the m·dim recompute from every trim).
+    // Existing adjacency (the append path) fills lazily, once.
+    val simsCache =
+      new Array[scala.collection.mutable.ArrayBuffer[Double]](vecs.length)
+    def sims(a: Int): scala.collection.mutable.ArrayBuffer[Double] = {
+      var sc = simsCache(a)
+      if (sc == null) {
+        sc = nbrs(a).map(j => dot(vecs(a), vecs(j)))
+        simsCache(a) = sc
+      }
+      sc
+    }
     def link(a: Int, b: Int): Unit = {
       val buf = nbrs(a)
       if (!buf.contains(b)) {
+        val sc = sims(a)
         buf += b
+        sc += dot(vecs(a), vecs(b))
         if (buf.length > m) {
           // re-select m diverse neighbors (heuristic trim — dropping
           // the single farthest keeps near-clique duplicates and
           // strands beams on clustered data)
-          val sorted = buf.toSeq.map(j => (j, dot(vecs(a), vecs(j))))
+          val sorted = buf.indices.map(i => (buf(i), sc(i)))
             .sortBy { case (j, s) => (-s, j) }
           val sel = selectDiverse(vecs, vecs(a), sorted, m)
+          val score = sorted.toMap
           buf.clear(); buf ++= sel
+          sc.clear(); sc ++= sel.map(score)
         }
       }
     }
@@ -493,8 +513,8 @@ object GraphAnn {
   /** INCREMENTAL graph-index maintenance — the [[IVF.appendToIndex]]
     * discipline applied to the graph path (the engine's
     * `faiss index.add` for HNSW-family indexes, reference
-    * `src/pipeline/pipeline.py:131-134`): route each delta vector to
-    * its id-hash part under the index's OWN `parts` knob, reconstruct
+    * `src/pipeline/pipeline.py:131-134`): route each delta vector
+    * through the index's OWN standing routing table, reconstruct
     * only the TOUCHED parts' adjacency, insert the delta nodes with
     * the same beam-search-and-link rule the builder used, and rewrite
     * just those part directories (dynamic partition overwrite —
