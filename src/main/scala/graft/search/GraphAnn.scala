@@ -472,6 +472,17 @@ object GraphAnn {
     Search.requireIntegralId(docs, idCol, "GraphAnn.writeIndex")
     val spark = docs.sparkSession
     import spark.implicits._
+    // CREATE semantics for a direct build at this path: a leftover
+    // CURRENT pointer (plus its generation dirs) from a prior
+    // refreshed index would otherwise shadow the base tables this
+    // build is about to write — readers would resolve the stale
+    // generation instead of the new index
+    if (new java.io.File(s"$path/CURRENT").isFile) {
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$path/CURRENT"))
+      Option(new java.io.File(path).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("gen__v"))
+        .foreach(graft.FileTree.delete)
+    }
     // the routing table is parts-sized — driver-small by contract
     val parts = routing.count().toInt
     require(parts >= 1, s"routing table is empty under $path")
@@ -533,10 +544,16 @@ object GraphAnn {
     * that interleaves with existing ids would yield a different
     * (still navigable) graph than the rebuild, so it is rejected
     * rather than silently weakening the equivalence. */
-  def appendToIndex(spark: SparkSession, path: String,
+  def appendToIndex(spark: SparkSession, path0: String,
                     delta: DataFrame, idCol: String, vecCol: String): Unit = {
     import spark.implicits._
     Search.requireIntegralId(delta, idCol, "GraphAnn.appendToIndex")
+    // ONE pointer read: the whole append (params, routing, nodes,
+    // meta) runs against the generation live at entry — a concurrent
+    // refresh flip mid-append cannot split the write across two
+    // generations (single maintenance writer is still the contract,
+    // as for IVF)
+    val path = resolveRoot(path0)
     requireRouted(path, "appendToIndex")
     val paramsDf = spark.read.parquet(s"$path/params")
     val (m, efC, replicas) = paramsDf
@@ -615,7 +632,7 @@ object GraphAnn {
     * polls, the graph twin of [[IVF.needsRefine]]'s list balance. */
   def cellSkew(spark: SparkSession, path: String): Double = {
     import spark.implicits._
-    val ns = spark.read.parquet(s"$path/meta")
+    val ns = spark.read.parquet(s"${resolveRoot(path)}/meta")
       .select(col("n").cast("double")).as[Double].collect()
     require(ns.nonEmpty, s"graph index at $path has an empty meta table")
     ns.max / (ns.sum / ns.length)
@@ -629,32 +646,153 @@ object GraphAnn {
   def needsReroute(spark: SparkSession, path: String, maxSkew: Double): Boolean =
     cellSkew(spark, path) > maxSkew
 
+  // ---------- generations: the IVF CURRENT-pointer contract ----------
+
+  /** The graph index carries [[IVF]]'s versioned-generation contract:
+    * a generation is ONE consistency unit — the four tables
+    * (nodes/routing/meta/params) one build wrote together, since
+    * nodes are partitioned under the exact routing they were assigned
+    * with. An index that has never been refreshed in place lives at
+    * the BASE layout (the four tables directly under `path`, no
+    * pointer — generation name ""); each in-place [[refreshRouting]]
+    * stages a complete new index under `path/gen__vN/` and commits it
+    * by atomically replacing the one-line `path/CURRENT` pointer
+    * (single-file ATOMIC_MOVE on a filesystem, a small-object PUT on
+    * an object store). A crash before the flip leaves the old
+    * generation serving and the staged one orphaned (re-run; the
+    * orphan is GC'd next cycle); a crash after leaves the new one
+    * serving — no window straddles old nodes and new routing, the
+    * exact mixed-pair state a path-variable swap (the pre-generation
+    * q116/q120 shape) could expose to a reader resolving mid-flip.
+    * The immediately superseded generation survives ONE further cycle
+    * as the in-flight readers' grace window; older generations are
+    * GC'd. */
+  private def parseCurrentGen(path: String): Option[String] = {
+    val cur = new java.io.File(s"$path/CURRENT")
+    if (!cur.isFile) None
+    else Some(new String(java.nio.file.Files.readAllBytes(cur.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim)
+  }
+
+  /** The live generation name — "" for the base layout, `gen__vN`
+    * once maintenance has flipped the pointer. This is the PINNABLE
+    * handle: a long-running reader resolves it once and serves every
+    * query through [[searchIndexPinned]] /
+    * [[searchIndexMultiPinned]], keeping a coherent snapshot across
+    * any concurrent [[refreshRouting]] flip. Validity is the GC grace
+    * window — a pinned generation survives exactly one further
+    * maintenance cycle; re-resolve at least once per cycle (the
+    * [[IVF.currentGeneration]] snapshot-reader discipline). */
+  def currentGeneration(path: String): String =
+    parseCurrentGen(path).getOrElse("")
+
+  private def genRoot(path: String, gen: String): String =
+    if (gen.isEmpty) path else s"$path/$gen"
+
+  /** The live root directory with ONE pointer read — every reader and
+    * maintenance writer resolves through this so a flip can never be
+    * straddled within one operation. */
+  private def resolveRoot(path: String): String =
+    genRoot(path, currentGeneration(path))
+
+  /** Resolved live path of one index table — for callers outside the
+    * search/maintenance surface that read index sidecars directly
+    * (e.g. a query gating on `meta` part counts or the `routing`
+    * table). One pointer read per call; read the tables of ONE
+    * operation through one [[currentGeneration]] pin if consistency
+    * across them matters. */
+  def tablePath(path: String, table: String): String =
+    s"${resolveRoot(path)}/$table"
+
+  /** Next free generation number from the LISTING (live, grace, or
+    * orphaned — the [[IVF]] rule: a counter derived from the live
+    * name would collide with a surviving grace generation). */
+  private def nextGenVersion(path: String): Int = {
+    val vs = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName)
+      .collect { case n if n.startsWith("gen__v") => n.stripPrefix("gen__v") }
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+    (vs :+ 1).max + 1
+  }
+
+  private def flipCurrent(path: String, gen: String): Unit = {
+    val tmp = java.nio.file.Paths.get(s"$path/CURRENT.tmp")
+    java.nio.file.Files.write(tmp,
+      gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$path/CURRENT"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private val IndexTables = Seq("nodes", "routing", "meta", "params")
+
+  /** Generation directories under `path` minus `keep` — the GC
+    * predicate. The base layout participates as generation "": its
+    * four table directories are deleted once it leaves the grace
+    * window. */
+  private def staleGenerations(path: String, keep: Set[String]): Seq[java.io.File] = {
+    val gens = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("gen__v") &&
+        !keep.contains(f.getName))
+    val base = if (keep.contains("")) Seq.empty
+      else IndexTables.map(t => new java.io.File(s"$path/$t"))
+        .filter(_.isDirectory)
+    gens ++ base
+  }
+
   /** ROUTING REFRESH — [[IVF]]'s q96 retrain discipline applied to the
     * graph index (FAISS users retrain the coarse quantizer on the same
     * drift trigger; the reference rebuilds its in-memory HNSW on
     * distribution shift, `src/pipeline/evaluation.py:84-89`): retrain
     * the routing table on the index's OWN content (each vector read
     * once — replica copies collapse on id) and rebuild the cells under
-    * the new quantizer at `outPath`, carrying the build knobs
-    * (m/efC/replicas) from the live index so the refreshed index is
-    * the same graph family.
+    * the new quantizer, carrying the build knobs (m/efC/replicas)
+    * from the live index so the refreshed index is the same graph
+    * family.
     *
     * Because [[routingFor]] and the per-cell build are deterministic
     * functions of CONTENT, refresh ≡ a from-scratch [[writeIndex]]
-    * over the union corpus, BIT FOR BIT — the equivalence q116 and
-    * GraphAnnSpec gate, closing the lifecycle the way q96 closes
-    * IVF's (append ≡ rebuild is q97's gate; retrain ≡ rebuild is
-    * this one's).
+    * over the union corpus, BIT FOR BIT — the equivalence
+    * GraphAnnSpec pins at spec scale (q116/q120 gate the lifecycle
+    * with cheap generation/occupancy checks and trust the spec-pinned
+    * equivalence — the O(index) bit-identity compare is a spec cost,
+    * not a serving-path cost), closing the lifecycle the way q96
+    * closes IVF's (append ≡ rebuild is q97's gate; retrain ≡ rebuild
+    * is this one's).
+    *
+    * This overload refreshes IN PLACE: the rebuilt index stages under
+    * a fresh `gen__vN` and commits with the atomic CURRENT flip —
+    * serving paths, pins, and the append writer all keep pointing at
+    * `path` and resolve the new generation on their next pointer
+    * read; readers that resolved just before the flip keep a coherent
+    * superseded generation for one grace cycle.
     *
     * Scale shape: one partition-parallel scan of the index (the id
     * dedup is one hash shuffle), the routing train (sample + 3 Lloyd
     * iterations), and the build's single part shuffle — a scheduled
     * maintenance job's cost, never a query's. */
+  def refreshRouting(spark: SparkSession, path: String, parts: Int): Unit = {
+    val prevGen = currentGeneration(path)
+    val newGen = s"gen__v${nextGenVersion(path)}"
+    refreshRoutingInto(spark, genRoot(path, prevGen), parts, s"$path/$newGen")
+    flipCurrent(path, newGen)
+    staleGenerations(path, keep = Set(newGen, prevGen))
+      .foreach(graft.FileTree.delete)
+  }
+
+  /** [[refreshRouting]] into an EXPLICIT new deployment path (no
+    * generation mechanics — the caller owns the serving cutover).
+    * The source index's live generation is resolved through its own
+    * pointer. */
   def refreshRouting(spark: SparkSession, path: String, parts: Int,
-                     outPath: String): Unit = {
+                     outPath: String): Unit =
+    refreshRoutingInto(spark, resolveRoot(path), parts, outPath)
+
+  private def refreshRoutingInto(spark: SparkSession, root: String, parts: Int,
+                                 outRoot: String): Unit = {
     import spark.implicits._
-    requireRouted(path, "refreshRouting")
-    val paramsDf = spark.read.parquet(s"$path/params")
+    requireRouted(root, "refreshRouting")
+    val paramsDf = spark.read.parquet(s"$root/params")
     val (m, efC, replicas) = paramsDf
       .select(col("m").cast("int"), col("efC").cast("int"),
         (if (paramsDf.columns.contains("replicas"))
@@ -663,10 +801,10 @@ object GraphAnn {
     // replica copies of a vector are identical (same id, same vec), so
     // any representative is THE vector — dropDuplicates is content-
     // deterministic here
-    val src = spark.read.parquet(s"$path/nodes")
+    val src = spark.read.parquet(s"$root/nodes")
       .select(col("id"), col("vec")).dropDuplicates("id")
     writeIndexWith(routingFor(src, "id", "vec", parts),
-      src, "id", "vec", m, efC, outPath, replicas)
+      src, "id", "vec", m, efC, outRoot, replicas)
   }
 
   /** The shared index-scan kernel: one pass over the at-rest node
@@ -695,10 +833,12 @@ object GraphAnn {
       s"GraphAnn.$op: index at $path has no routing table — its layout " +
         "predates content routing; rebuild it with GraphAnn.writeIndex")
 
-  private def partBeams(spark: SparkSession, path: String,
+  private def partBeams(spark: SparkSession, root: String,
                         qvs: Array[(Long, Array[Double])],
                         ef: Int, probeParts: Int): DataFrame = {
     import spark.implicits._
+    val path = root // one RESOLVED generation root: meta, routing and
+    // nodes below all come from the same consistency unit
     requireRouted(path, "searchIndex")
     val bqs = spark.sparkContext.broadcast(qvs)
     val expected = spark.read.parquet(s"$path/meta")
@@ -780,16 +920,43 @@ object GraphAnn {
     * `Int.MaxValue` (or `parts`) for an explicit full scan. */
   def searchIndex(spark: SparkSession, path: String, idCol: String,
                   query: DataFrame, queryVecCol: String,
-                  k: Int, ef: Int, probeParts: Int = AutoProbe): DataFrame = {
+                  k: Int, ef: Int, probeParts: Int = AutoProbe): DataFrame =
+    searchIndexPinned(spark, path, currentGeneration(path), idCol,
+      query, queryVecCol, k, ef, probeParts)
+
+  /** [[searchIndex]] against a PINNED generation instead of the
+    * CURRENT pointer — the snapshot-isolation read (the
+    * [[IVF.searchIndexPinned]] contract): answers come from the exact
+    * four-table unit captured by [[currentGeneration]], regardless of
+    * how many [[refreshRouting]] flips have happened since, within
+    * the one-cycle grace window. A pin whose generation has been
+    * GC'd fails loudly here, never silently serves a newer graph. */
+  def searchIndexPinned(spark: SparkSession, path: String, gen: String,
+                        idCol: String, query: DataFrame, queryVecCol: String,
+                        k: Int, ef: Int,
+                        probeParts: Int = AutoProbe): DataFrame = {
     require(k >= 1 && ef >= k, s"need k >= 1 and ef >= k, got k=$k ef=$ef")
     require(probeParts >= 0, s"probeParts must be >= 0, got $probeParts")
     import spark.implicits._
+    val root = pinnedRoot(path, gen)
     val qv = query.select(col(queryVecCol).cast("array<double>"))
       .as[Seq[Double]].head().toArray
     rankTopK(
-      partBeams(spark, path, Array((0L, qv)), ef, probeParts)
+      partBeams(spark, root, Array((0L, qv)), ef, probeParts)
         .select(col("id").as(idCol), col("score")),
       idCol, k)
+  }
+
+  /** Resolve a pinned generation's root, failing LOUDLY on an expired
+    * pin (a generation two or more maintenance cycles old has been
+    * GC'd — the grace-window contract). */
+  private def pinnedRoot(path: String, gen: String): String = {
+    val root = genRoot(path, gen)
+    require(new java.io.File(s"$root/nodes").isDirectory,
+      s"GraphAnn: pinned generation '${if (gen.isEmpty) "<base>" else gen}' " +
+        s"at $path has been GC'd — a pin is valid for one maintenance " +
+        "cycle; re-resolve currentGeneration and retry")
+    root
   }
 
   /** Multi-query search over a persisted graph index: ONE index scan
@@ -799,15 +966,25 @@ object GraphAnn {
     * O(queries × k) rows. Output (qid, id, rank, score). */
   def searchIndexMulti(spark: SparkSession, path: String, idCol: String,
                        queries: DataFrame, qidCol: String, qvecCol: String,
-                       k: Int, ef: Int, probeParts: Int = AutoProbe): DataFrame = {
+                       k: Int, ef: Int, probeParts: Int = AutoProbe): DataFrame =
+    searchIndexMultiPinned(spark, path, currentGeneration(path), idCol,
+      queries, qidCol, qvecCol, k, ef, probeParts)
+
+  /** [[searchIndexMulti]] against a PINNED generation — see
+    * [[searchIndexPinned]]. */
+  def searchIndexMultiPinned(spark: SparkSession, path: String, gen: String,
+                             idCol: String, queries: DataFrame, qidCol: String,
+                             qvecCol: String, k: Int, ef: Int,
+                             probeParts: Int = AutoProbe): DataFrame = {
     require(k >= 1 && ef >= k, s"need k >= 1 and ef >= k, got k=$k ef=$ef")
     require(probeParts >= 0, s"probeParts must be >= 0, got $probeParts")
     import spark.implicits._
+    val root = pinnedRoot(path, gen)
     val qvs = queries
       .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
       .as[(Long, Seq[Double])].collect()
       .map { case (qid, v) => (qid, v.toArray) }
-    partBeams(spark, path, qvs, ef, probeParts)
+    partBeams(spark, root, qvs, ef, probeParts)
       .groupBy("qid")
       .agg(org.apache.spark.sql.graftnative.TopKAggregate
         .topK(col("id"), col("score"), k).as("__tk"))

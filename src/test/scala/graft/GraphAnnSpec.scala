@@ -483,4 +483,84 @@ class GraphAnnSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       GraphAnn.graphTopK(strId, "vec_id", "v", query(0), "qv", 10))
   }
+
+  // ---------- in-place generations: the IVF CURRENT contract ----------
+
+  /** Build a base index over the 60% prefix at `path` and append the
+    * q116-shape drifted delta (the rest of the ids re-embedded at
+    * cell 0's routing vector), returning the union corpus frame for
+    * target rebuilds. */
+  private def driftedIndex(path: String) = {
+    val n = emb.count()
+    val split = 3L * n / 5L
+    GraphAnn.writeIndex(emb.filter(col("vec_id") < split), "vec_id", "v",
+      m = 8, efC = 48, parts = 8, path)
+    val rv0 = spark.read.parquet(s"$path/routing").filter(col("part") === 0)
+      .select(col("rvec"))
+    val delta = emb.filter(col("vec_id") >= split)
+      .crossJoin(broadcast(rv0)).select(col("vec_id"), col("rvec").as("v"))
+    GraphAnn.appendToIndex(spark, path, delta, "vec_id", "v")
+    emb.filter(col("vec_id") < split).select(col("vec_id"), col("v"))
+      .unionByName(delta)
+  }
+
+  test("in-place refresh: CURRENT flip, bit-identity with from-scratch, grace + GC, loud pin expiry") {
+    val path = java.nio.file.Files.createTempDirectory("graphann_gen").toString
+    val target = java.nio.file.Files.createTempDirectory("graphann_gen_t").toString
+    val union = driftedIndex(path)
+    assert(GraphAnn.currentGeneration(path) == "",
+      "a never-refreshed index lives at the base layout")
+    // a reader pins the base generation before maintenance runs
+    val pin0 = GraphAnn.currentGeneration(path)
+    def serve(gen: String) = GraphAnn.searchIndexPinned(spark, path, gen,
+        "vec_id", query(1), "qv", 10, ef = 48)
+      .select("vec_id", "rank", "score")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    val before = serve(pin0)
+    // IN-PLACE refresh: stage + atomic flip. The refreshed generation
+    // must be bit-identical to a from-scratch build over the union
+    // corpus — the q116/q120 gate, pinned HERE at spec scale.
+    GraphAnn.refreshRouting(spark, path, 8)
+    val gen1 = GraphAnn.currentGeneration(path)
+    assert(gen1.startsWith("gen__v"), s"CURRENT must name a generation, got '$gen1'")
+    GraphAnn.writeIndex(union, "vec_id", "v", m = 8, efC = 48, parts = 8, target)
+    def nodes(p: String) = spark.read.parquet(p)
+      .select(col("part"), col("id"), col("vec"), col("nbrs"))
+    assert(nodes(s"$path/$gen1/nodes").exceptAll(nodes(s"$target/nodes")).isEmpty &&
+      nodes(s"$target/nodes").exceptAll(nodes(s"$path/$gen1/nodes")).isEmpty,
+      "in-place refresh must equal the from-scratch rebuild bit for bit")
+    // SNAPSHOT ISOLATION: the pre-flip pin keeps serving the OLD
+    // generation's answers coherently (grace window — the base tables
+    // survive one cycle)
+    assert(serve(pin0) == before,
+      "a pinned reader must keep serving the superseded generation across the flip")
+    // the unpinned path serves the NEW generation
+    val after = GraphAnn.searchIndex(spark, path, "vec_id",
+        query(1), "qv", 10, ef = 48)
+      .select("vec_id", "rank", "score")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    assert(after == serve(gen1))
+    // SECOND refresh: the base generation leaves the grace window and
+    // is GC'd; the stale pin now fails LOUDLY, never silently serving
+    // a newer graph
+    GraphAnn.refreshRouting(spark, path, 8)
+    val gen2 = GraphAnn.currentGeneration(path)
+    assert(gen2 != gen1, "second refresh must advance the generation")
+    assert(!new java.io.File(s"$path/nodes").isDirectory,
+      "the base generation must be GC'd after leaving the grace window")
+    assert(new java.io.File(s"$path/$gen1/nodes").isDirectory,
+      "the immediately superseded generation must survive as grace")
+    val ex = intercept[IllegalArgumentException](serve(pin0))
+    assert(ex.getMessage.contains("GC'd"), s"expiry must be loud: ${ex.getMessage}")
+    // appends keep flowing through the pointer after any number of flips
+    val nMax = emb.count()
+    val extra = emb.limit(1)
+      .select((col("vec_id") + lit(10L * nMax)).as("vec_id"), col("v"))
+    GraphAnn.appendToIndex(spark, path, extra, "vec_id", "v")
+    val live = spark.read.parquet(s"$path/$gen2/nodes")
+      .filter(col("id") >= 10L * nMax).count()
+    assert(live == spark.read.parquet(s"$path/$gen2/routing")
+        .select(col("replicas")).as[Int].head().toLong,
+      "a post-refresh append must land in the LIVE generation")
+  }
 }
