@@ -188,15 +188,19 @@ object RetrievalQueries {
   /** Write (once per session × corpus) and reopen the persisted
     * inverted lists for `cents`; reads restore cid to long (parquet
     * partition-column inference narrows it to int). */
-  private def persistedLists(s: SparkSession, dir: String, tag: String,
-                             cents: => DataFrame): DataFrame = {
-    val path = Memo.cachedValue(s, dir, tag) {
+  private def persistedListsPath(s: SparkSession, dir: String, tag: String,
+                                 cents: => DataFrame): String =
+    Memo.cachedValue(s, dir, tag) {
       val p = PipelineQueries.roundtripPath(dir, tag)
       val c = cents
       graft.search.IVF.writeIndexFrom(c,
         graft.search.IVF.assign(emb(s, dir), "vec_id", "v", c), p)
       p
     }
+
+  private def persistedLists(s: SparkSession, dir: String, tag: String,
+                             cents: => DataFrame): DataFrame = {
+    val path = persistedListsPath(s, dir, tag, cents)
     s.read.parquet(graft.search.IVF.listsPath(path))
       .withColumn("cid", col("cid").cast("long"))
   }
@@ -846,6 +850,219 @@ object RetrievalQueries {
        r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
+  /** S5 COMPACTION ON THE SQ8 INDEX — q109's
+    * fragment → compact → re-fragment → compact → GC lifecycle
+    * applied to the quantized-list layout (the gap q128's streaming
+    * drain exposes: every drained batch lands one file per touched
+    * cid, and SQ8 had no repair op). The machinery is literally
+    * [[graft.search.IVF.compactIndex]]: the SQ list layout
+    * (cid-partitioned parquet + small sidecars) is identical by
+    * design, so the same staged `lists__vN` generation + atomic
+    * CURRENT flip + one-cycle grace window + GC applies unchanged —
+    * bounds and centroids are index GEOMETRY and never move during
+    * compaction. Gates mirror q109 (fragmentation observed, one file
+    * per list restored, grace survives one cycle, GC after two) plus
+    * the SQ-specific quiet side of the requant trigger (appends stay
+    * under the clamp threshold). The oracle replays the straight-line
+    * build: base-trained centroids AND bounds, every append quantized
+    * under the STANDING bounds, ADC + exact re-rank — the hash match
+    * IS "compaction moves bytes, never content" on the lossy
+    * layout. */
+  def q133SqCompact(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q133")
+    graft.search.SQ.writeIndex(e.filter(col("vec_id") >= 100),
+      "vec_id", "v", ivfK, path)
+    def appendBatch(b: Int): Unit = {
+      val f = graft.search.SQ.appendToIndex(s, path,
+        e.filter(col("vec_id") < 100 && col("vec_id") % 4 === b), "vec_id", "v")
+      require(f <= sqClampThreshold,
+        s"q133: in-distribution append must stay under requant (clamped $f)")
+    }
+    (0 until 2).foreach(appendBatch)
+    require(graft.search.IVF.listFileCounts(path).values.max >= 2,
+      "q133: appends must fragment the quantized lists")
+    graft.search.IVF.compactIndex(s, path)
+    require(graft.search.IVF.listFileCounts(path).values.forall(_ == 1),
+      "q133: compaction must restore one file per list")
+    require(new java.io.File(s"$path/lists").isDirectory,
+      "q133: first compaction must keep the superseded generation")
+    (2 until 4).foreach(appendBatch)
+    require(graft.search.IVF.listFileCounts(path).values.max >= 2,
+      "q133: the live generation must absorb post-compaction appends")
+    graft.search.IVF.compactIndex(s, path)
+    require(!new java.io.File(s"$path/lists").isDirectory,
+      "q133: a generation two cycles old must be GC'd")
+    require(new java.io.File(s"$path/lists__v2").isDirectory,
+      "q133: the immediately superseded generation must survive as grace")
+    require(graft.search.IVF.listFileCounts(path).values.forall(_ == 1),
+      "q133: second compaction must restore one file per list")
+    graft.search.SQ.searchIndex(s, path, e, "vec_id", "v",
+      e.filter(col("vec_id") === 2).select(col("v").as("qv")), "qv",
+      10, ivfProbe, sqRerank)
+      .orderBy("rank")
+  }
+
+  /** q114's replay with base-slice geometry (centroids AND bounds
+    * from vec_id >= 100 — appends quantize under the standing
+    * bounds, clamped at the edges exactly as the engine clamps). */
+  val q133Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e WHERE vec_id >= 100) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 2),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       b AS (SELECT d, MIN(v[d]) AS lo, MAX(v[d]) AS hi
+             FROM e, (SELECT UNNEST(generate_series(1, $sqDim)) AS d)
+             WHERE vec_id >= 100 GROUP BY d),
+       bl AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM b),
+       cd AS (SELECT a.vec_id, a.cid,
+           list_transform(generate_series(1, $sqDim), d ->
+             CASE WHEN hi[d] = lo[d] THEN 0
+               ELSE CAST(least(255.0, greatest(0.0,
+                 round((v[d] - lo[d]) * 255.0 / (hi[d] - lo[d]), 0))) AS INT) END) AS code
+         FROM a, bl),
+       ad AS (SELECT cd.vec_id,
+           list_dot_product(list_transform(generate_series(1, $sqDim), d ->
+             lo[d] + code[d] * ((hi[d] - lo[d]) / 255.0)), pr.qv) AS adc
+         FROM cd JOIN pr ON cd.cid = pr.cid, bl),
+       cand AS (SELECT vec_id FROM (
+           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc DESC, vec_id) AS r FROM ad)
+         WHERE r <= $sqRerank),
+       sc AS (SELECT e.vec_id, list_dot_product(e.v, q.qv) AS sc
+              FROM e JOIN cand USING (vec_id), q),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
+  /** The multi-query serving query set: three corpus vectors as
+    * queries — enough to exercise distinct probe sets while the
+    * probe table stays driver-trivial. */
+  private val multiQids = Seq(1L, 2L, 3L)
+  private def multiQueries(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id").isin(multiQids: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+
+  /** MULTI-QUERY SERVING FROM THE PERSISTED IVF INDEX — the serving
+    * asymmetry the graph path closed in round 9
+    * ([[graft.search.GraphAnn.searchIndexMulti]]) applied to IVF:
+    * [[graft.search.IVF.searchIndex]] reads the at-rest lists once
+    * PER QUERY; a serving tier answering a query batch should read
+    * them ONCE, with the scan filtered to the union of every query's
+    * probed cells (a static cid partition filter — PlanSpec asserts
+    * unprobed list directories never leave disk) and per-query top-k
+    * through the bounded heap. Serves from the SAME persisted index
+    * artifact q45/q48/q54 ride (`_build_ivf_index`); the oracle is
+    * q45's chain with per-qid windows. */
+  def q134IvfMulti(s: SparkSession, dir: String): DataFrame = {
+    require(multiQids == Seq(1L, 2L, 3L),
+      "q134Sql/q135Sql literal qids are out of sync with multiQids")
+    val path = persistedListsPath(s, dir, "ivf_idx0", ivfCents0(s, dir))
+    graft.search.IVF.searchIndexMulti(s, path, "vec_id", "v",
+      multiQueries(s, dir), "qid", "qv", 10, ivfProbe)
+      .orderBy("qid", "rank")
+  }
+
+  val q134Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (1, 2, 3)),
+       pr AS (SELECT qid, cid, qv FROM (
+           SELECT q.qid, c.cid, q.qv,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       sc AS (SELECT pr.qid, a.vec_id, list_dot_product(a.v, pr.qv) AS sc
+              FROM a JOIN pr ON a.cid = pr.cid),
+       r AS (SELECT qid, vec_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+               ROUND(sc, 6) AS score FROM sc)
+       SELECT qid, vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY qid, rank"""
+
+  /** The shared at-rest SQ8 index over the full corpus (the q114
+    * build, persisted once per session × corpus and charged to
+    * `_build_sq_index`) — the artifact q135 serves from. */
+  private def sqIndexPath(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "sq_idx0") {
+      val p = PipelineQueries.roundtripPath(dir, "sq_idx0")
+      graft.search.SQ.writeIndex(emb(s, dir), "vec_id", "v", ivfK, p)
+      p
+    }
+
+  /** MULTI-QUERY SERVING FROM THE PERSISTED SQ8 INDEX — q134's one
+    * scan-per-batch contract on the quantized two-tier layout: one
+    * union-pruned ADC scan scores every query's candidates through
+    * the fused kernel, per-query top-[[sqRerank]] off the bounded
+    * heap, then ONE exact point-fetch (the union of candidate ids as
+    * an In predicate on the source scan) re-scores full-precision
+    * before the per-query top-k. Oracle: q114's chain with per-qid
+    * windows. */
+  def q135SqMulti(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.search.SQ.searchIndexMulti(s, sqIndexPath(s, dir), e, "vec_id", "v",
+      multiQueries(s, dir), "qid", "qv", 10, ivfProbe, sqRerank)
+      .orderBy("qid", "rank")
+  }
+
+  val q135Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (1, 2, 3)),
+       pr AS (SELECT qid, cid, qv FROM (
+           SELECT q.qid, c.cid, q.qv,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       b AS (SELECT d, MIN(v[d]) AS lo, MAX(v[d]) AS hi
+             FROM e, (SELECT UNNEST(generate_series(1, $sqDim)) AS d) GROUP BY d),
+       bl AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM b),
+       cd AS (SELECT a.vec_id, a.cid,
+           list_transform(generate_series(1, $sqDim), d ->
+             CASE WHEN hi[d] = lo[d] THEN 0
+               ELSE CAST(least(255.0, greatest(0.0,
+                 round((v[d] - lo[d]) * 255.0 / (hi[d] - lo[d]), 0))) AS INT) END) AS code
+         FROM a, bl),
+       ad AS (SELECT pr.qid, cd.vec_id,
+           list_dot_product(list_transform(generate_series(1, $sqDim), d ->
+             lo[d] + code[d] * ((hi[d] - lo[d]) / 255.0)), pr.qv) AS adc
+         FROM cd JOIN pr ON cd.cid = pr.cid, bl),
+       cand AS (SELECT qid, vec_id FROM (
+           SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS r
+           FROM ad) WHERE r <= $sqRerank),
+       sc AS (SELECT qid, vec_id, list_dot_product(v, qv) AS sc
+              FROM e JOIN cand USING (vec_id) JOIN q USING (qid)),
+       r AS (SELECT qid, vec_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+               ROUND(sc, 6) AS score FROM sc)
+       SELECT qid, vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY qid, rank"""
 
   /** R2 (third scale path): product-quantization ADC search — a
     * 16-entry codebook over 8 subspaces of 8 dims, every data vector
@@ -3058,7 +3275,8 @@ $sqRows)
     "_build_graph_base80" -> ((s, dir) => { graphBase80Path(s, dir); () }),
     "_build_graph_rebuild80" -> ((s, dir) => { graphRebuildPath(s, dir); () }),
     "_build_graph_base60" -> ((s, dir) => { graphBase60Path(s, dir); () }),
-    "_build_q120_target" -> ((s, dir) => { q120TargetState(s, dir); () }))
+    "_build_q120_target" -> ((s, dir) => { q120TargetState(s, dir); () }),
+    "_build_sq_index" -> ((s, dir) => { sqIndexPath(s, dir); () }))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_ingest_clean" -> (q07IngestClean _),
@@ -3106,7 +3324,10 @@ $sqRows)
     "q126_contrastive_triplets" -> (q126ContrastiveTriplets _),
     "q127_stream_ivf" -> (q127StreamIvf _),
     "q128_stream_sq" -> (q128StreamSq _),
-    "q129_graph_filtered" -> (q129GraphFiltered _))
+    "q129_graph_filtered" -> (q129GraphFiltered _),
+    "q133_sq_compact" -> (q133SqCompact _),
+    "q134_ivf_multi" -> (q134IvfMulti _),
+    "q135_sq_multi" -> (q135SqMulti _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
@@ -3137,6 +3358,9 @@ $sqRows)
     "q109_ivf_compact" -> q109Sql,
     "q114_ann_sq" -> q114Sql,
     "q121_sq_append" -> q121Sql,
+    "q133_sq_compact" -> q133Sql,
+    "q134_ivf_multi" -> q134Sql,
+    "q135_sq_multi" -> q135Sql,
     "q118_rrf_fusion" -> q118Sql,
     "q119_parent_doc" -> q119Sql,
     "q123_late_interaction" -> q123Sql,

@@ -450,15 +450,33 @@ object IVF {
                            queries: DataFrame, qidCol: String, qvecCol: String,
                            k: Int, nprobe: Int): DataFrame = {
     Search.requireIntegralId(assigned, idCol, "ivfMultiTopK")
+    multiTopKProbed(assigned,
+      multiProbes(cents, queries, qidCol, qvecCol, nprobe), idCol, vecCol, k)
+  }
+
+  /** Each query's `nprobe` best cids: (qid, __qv, cid) — the
+    * queries × nprobe probe table every multi-query IVF-family path
+    * shares (in-memory, persisted, SQ8). Driver-bounded by contract
+    * (the query set is the small side). */
+  private[search] def multiProbes(cents: DataFrame, queries: DataFrame,
+                                  qidCol: String, qvecCol: String,
+                                  nprobe: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("__cs").desc, col("cid").asc)
-    val probes = queries
+    queries
       .select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))
       .crossJoin(broadcast(cents))
       .withColumn("__cs", dot(col("__qv"), col("cvec")))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= nprobe)
       .select(col("qid"), col("__qv"), col("cid"))
+  }
+
+  /** The candidate join + per-query bounded-heap top-k over a probe
+    * table — one scan of `assigned` serves every query. */
+  private[search] def multiTopKProbed(assigned: DataFrame, probes: DataFrame,
+                                      idCol: String, vecCol: String,
+                                      k: Int): DataFrame =
     assigned
       .join(broadcast(probes), "cid")
       .select(col("qid"), col(idCol), dot(col(vecCol), col("__qv")).as("score"))
@@ -468,6 +486,36 @@ object IVF {
       .select(col("qid"), explode(col("__tk")).as("__e"))
       .select(col("qid"), col("__e.id").as(idCol), col("__e.rank").as("rank"),
         round(col("__e.score"), 6).as("score"))
+
+  /** MULTI-QUERY search over a PERSISTED index: ONE pruned scan of
+    * the at-rest lists serves every query (the
+    * [[GraphAnn.searchIndexMulti]] contract brought to the IVF
+    * path — [[searchIndex]] reads the lists once per query; a
+    * serving tier answering a query batch reads them once, period).
+    * Each query ranks the centroids and keeps its `nprobe` best
+    * cids; the lists scan is filtered to the UNION of every query's
+    * cids — a STATIC `cid IN (...)` partition filter, so unprobed
+    * list directories never leave disk (PlanSpec asserts it) — and
+    * per-query top-k runs through the bounded heap, so the exchange
+    * carries O(queries × k) rows. The probe table is
+    * queries × nprobe rows, driver-bounded by the multi-query
+    * contract (the routing-table discipline). */
+  def searchIndexMulti(spark: org.apache.spark.sql.SparkSession, path: String,
+                       idCol: String, vecCol: String,
+                       queries: DataFrame, qidCol: String, qvecCol: String,
+                       k: Int, nprobe: Int): DataFrame = {
+    // one pointer read for the (lists, centroids) consistency unit
+    val (ln, cn) = generationPair(path)
+    val cents = spark.read.parquet(s"$path/$cn")
+    val probes = multiProbes(cents, queries, qidCol, qvecCol, nprobe)
+      // queries × nprobe rows: materialized once, reused by the cid
+      // collect below and the candidate join
+      .localCheckpoint()
+    val cids = probes.select(col("cid").cast("long")).distinct()
+      .as(org.apache.spark.sql.Encoders.scalaLong).collect().toSeq.sorted
+    val lists = spark.read.parquet(s"$path/$ln")
+      .filter(col("cid").isin(cids: _*)) // union of probed cells
+    multiTopKProbed(lists, probes, idCol, vecCol, k)
   }
 
   /** IVF search: probe the query's `nprobe` best lists, exact re-rank

@@ -33,7 +33,17 @@ import org.apache.spark.sql.graftnative.NativeExpressions.{dotNative => dot, sqA
   * deterministic function of the indexed content, so the whole
   * build + search replays as SQL — q114's oracle runs the identical
   * chain in DuckDB.
-  */
+  *
+  * MAINTENANCE shares [[IVF]]'s machinery outright: the list layout
+  * (cid-partitioned parquet + small sidecar tables) is deliberately
+  * identical, so [[IVF.compactIndex]] compacts an SQ index's
+  * fragmented lists into a fresh `lists__vN` generation committed by
+  * the same atomic CURRENT flip (bounds and centroids never move
+  * during compaction — they are index geometry, not list bytes), and
+  * [[IVF.listFileCounts]] is the shared fragmentation trigger. Every
+  * SQ list read and append below resolves the live generation
+  * through [[IVF.listsPath]], so readers ride the same
+  * grace-windowed swap discipline q109 pins for IVF. */
 object SQ {
 
   /** Quantization levels: codes live in [0, Levels]. */
@@ -140,7 +150,8 @@ object SQ {
       else oobRow.getDouble(0) / oobRow.getDouble(1)
     quantized(delta, idCol, vecCol, cents, ba)
       .repartition(col("cid"))
-      .write.mode("append").partitionBy("cid").parquet(s"$path/lists")
+      .write.mode("append").partitionBy("cid")
+      .parquet(IVF.listsPath(path)) // the LIVE lists generation
     oobFrac
   }
 
@@ -209,13 +220,66 @@ object SQ {
       .orderBy(col("__cs").desc, col("cid").asc)
       .limit(nprobe)
       .select(col("cid"), col("__qv"))
-    spark.read.parquet(s"$path/lists")
+    spark.read.parquet(IVF.listsPath(path)) // live generation, one pointer read
       .join(broadcast(probes), "cid") // becomes a partition filter on cid
       .crossJoin(broadcast(ba))
       .select(col("id"),
         sqAdcNative(col("code"), col("lo"), col("hi"), col("__qv")).as("__adc"))
       .orderBy(col("__adc").desc, col("id").asc)
       .limit(rerank)
+  }
+
+  /** MULTI-QUERY search over the persisted SQ8 index — ONE pruned
+    * scan of the quantized lists serves every query (the
+    * [[IVF.searchIndexMulti]] contract on the SQ8 layout): per-query
+    * centroid ranking keeps each query's `nprobe` cids, the lists
+    * scan is filtered to the UNION of probed cids (static partition
+    * filter), every surviving code is ADC-scored against its
+    * queries through the fused kernel, per-query top-`rerank`
+    * candidates come off the bounded heap, and ONE exact point-fetch
+    * (the union of all queries' candidate ids as an `In` predicate on
+    * the source scan) re-scores them full-precision before the final
+    * per-query top-k. The exchange carries O(queries × rerank) rows;
+    * the fetch reads O(queries × rerank) source rows. */
+  def searchIndexMulti(spark: SparkSession, path: String,
+                       source: DataFrame, idCol: String, vecCol: String,
+                       queries: DataFrame, qidCol: String, qvecCol: String,
+                       k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"need rerank >= k, got rerank=$rerank k=$k")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val ba = boundsArrays(spark.read.parquet(s"$path/bounds"))
+    val probes = IVF.multiProbes(cents, queries, qidCol, qvecCol, nprobe)
+      .localCheckpoint() // queries x nprobe rows: cid collect + join
+    val cids = probes.select(col("cid").cast("long")).distinct()
+      .as(org.apache.spark.sql.Encoders.scalaLong).collect().toSeq.sorted
+    val cand = spark.read.parquet(IVF.listsPath(path))
+      .filter(col("cid").isin(cids: _*)) // union of probed cells
+      .join(broadcast(probes), "cid")
+      .crossJoin(broadcast(ba))
+      .select(col("qid"), col("id"),
+        sqAdcNative(col("code"), col("lo"), col("hi"), col("__qv")).as("__adc"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graftnative.TopKAggregate
+        .topK(col("id"), col("__adc"), rerank).as("__tk"))
+      .select(col("qid"), explode(col("__tk")).as("__e"))
+      .select(col("qid"), col("__e.id").as("id"))
+      // O(queries x rerank) rows: checkpointed so the id collect and
+      // the pairing join don't each re-run the pruned ADC scan
+      .localCheckpoint()
+    val ids = cand.select(col("id")).distinct()
+      .as(org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
+    val qs = queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))
+    val candQ = cand.join(qs, "qid")
+    source.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+      .filter(col("id").isin(ids: _*)) // pushed: point fetch by id
+      .join(broadcast(candQ), "id")
+      .select(col("qid"), col("id"), dot(col("__v"), col("__qv")).as("score"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graftnative.TopKAggregate
+        .topK(col("id"), col("score"), k).as("__tk"))
+      .select(col("qid"), explode(col("__tk")).as("__e"))
+      .select(col("qid"), col("__e.id").as(idCol), col("__e.rank").as("rank"),
+        round(col("__e.score"), 6).as("score"))
   }
 
   /** Search the persisted SQ8 index: [[adcCandidates]] over the

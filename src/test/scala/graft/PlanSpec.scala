@@ -347,4 +347,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(source"),
       s"expected the cumsum window keyed by source:\n$p")
   }
+
+  test("q134: ONE union-pruned lists scan serves every query; per-query heap top-k") {
+    val p = plan("q134_ivf_multi")
+    // the union of the queries' probed cids is a STATIC partition
+    // filter on the at-rest lists scan — unprobed list directories
+    // never leave disk
+    assert(p.contains("PartitionFilters: [cid") && p.contains(" IN "),
+      s"expected the static cid IN partition filter:\n$p")
+    // exactly one scan of the persisted lists serves all queries
+    // (the probe table is checkpointed — no second parquet scan)
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1 && p.contains("ivf_idx0"),
+      s"expected ONE lists scan serving the whole query batch, got $scans:\n$p")
+    // per-query top-k through the bounded heap, never a window sort
+    assert(p.contains("graft_topk"), s"expected the heap aggregate:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q135: one pruned ADC scan + one id-pushed point fetch serve the query batch") {
+    val p = plan("q135_sq_multi")
+    // the declared plan is the re-rank stage: candidate ids pushed
+    // into the source scan as one In predicate for ALL queries
+    assert(p.contains("PushedFilters: [In(vec_id"),
+      s"expected the batched candidate-id In pushdown:\n$p")
+    assert(p.contains("graft_topk"), s"expected the heap aggregate:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    // the ADC candidate stage runs behind a checkpoint (its pruning +
+    // fused-kernel plan properties are SQSpec's single-query
+    // assertions, shared stage code) — the declared plan must not
+    // re-scan the quantized lists
+    assert(!p.contains("sq_idx0/lists"),
+      s"the re-rank must point-fetch, not re-scan the lists:\n$p")
+  }
 }
