@@ -411,20 +411,29 @@ object PrepQueries {
     * scale term. Tokenization is [[TextAnalysis.toks]] — the ONE
     * definition q77/q125 and every token-count consumer share.
     * Fully oracle-checked. */
-  def q131PackWindows(s: SparkSession, dir: String): DataFrame = {
+  def q131PackWindows(s: SparkSession, dir: String): DataFrame =
+    packWindowsOver(docs(s, dir), "text")
+
+  /** The q131 packing core over ANY (source, doc_id, <textCol>)
+    * relation — the ONE definition of "assemble the packed training
+    * windows" that q131 (raw corpus) and q132 (curated train split)
+    * share, so the packer cannot drift between the audit path and
+    * the curated path. Narrow-row cumsum, output-sized span explode,
+    * per-window md5 — see q131's scale notes. */
+  private def packWindowsOver(d: DataFrame, textCol: String): DataFrame = {
     val L = contextLen
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val counts = docs(s, dir)
+    val counts = d
       .select(col("source"), col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n"))
+        TextAnalysis.tokenCount(col(textCol)).as("n"))
       .withColumn("cum", sum(col("n")).over(w))
       .filter(col("n") > 0)
-    val toksDf = docs(s, dir)
+    val toksDf = d
       .select(col("source"), col("doc_id"),
-        TextAnalysis.toks(col("text")).as("toks"))
+        TextAnalysis.toks(col(textCol)).as("toks"))
     val spans = counts.join(toksDf, Seq("source", "doc_id"))
       .select(col("source"), col("doc_id"), col("toks"), col("n"), col("cum"),
         explode(sequence(expr(s"(cum - n) div $L"), expr(s"(cum - 1) div $L")))
@@ -468,6 +477,117 @@ object PrepQueries {
          COUNT(*) AS n_docs,
          md5(string_agg(piece, ' ' ORDER BY doc_id)) AS window_md5
        FROM pc GROUP BY source, win ORDER BY source, window_id"""
+
+  // ---------- q132: raw corpus → trainer-ready windows ----------
+
+  /** THE END ARTIFACT OF THE WHOLE PIPELINE — q117's curated train
+    * split fed through q131's packing machinery in ONE oracled
+    * query: raw corpus → clean → exact dedup → near-dup components →
+    * decontaminate → perplexity filter → mixture draw → leakage-free
+    * split → TRAIN slice → concat-then-split packed windows. q117
+    * stops at split assignment and q125/q131 pack the RAW corpus;
+    * the hand-off between them — where a split/pack id mismatch or a
+    * pre-clean tokenization would silently corrupt training data —
+    * lives only in this composition, so the oracle replays the
+    * ENTIRE chain (the q117 recursive-CTE front extended by the q131
+    * window CTEs) and the per-window md5 hash-match certifies every
+    * token of the final artifact. Packing tokenizes the CLEANED text
+    * (the form every curation stage scored — packing raw text here
+    * is exactly the wiring bug this query exists to catch), rejoined
+    * by doc_id from the clean projection; the packer itself is
+    * [[packWindowsOver]], the same definition q131 audits. Reference
+    * analogy: the pipeline persists its FINAL table for the consumer,
+    * not an intermediate (`src/pipeline/pipeline.py:100-102`); this
+    * is the table a trainer shards by.
+    *
+    * Scale shape: the chain's stages are the already-audited
+    * operators (banded equi-joins, keyed aggregates, one-row
+    * broadcasts); the packing adds one keyed equi-join (train ids ×
+    * clean text), the per-source narrow-row cumsum, and the
+    * output-sized span explode. Nothing new materializes beyond the
+    * curated slice. */
+  def q132CuratedPack(s: SparkSession, dir: String): DataFrame = {
+    import graft.ingest.Ingest
+    val train = q117SplitFrame(s, dir).filter(col("split") === "train")
+      .select(col("doc_id"))
+    val cleaned = docs(s, dir).select(col("doc_id"), col("source"),
+      Ingest.cleanText(col("text")).as("ctext"))
+    packWindowsOver(train.join(cleaned, "doc_id"), "ctext")
+  }
+
+  /** q117's replay (every CTE through the split rule) extended by
+    * q131's window CTEs over the train slice's CLEANED tokens.
+    * (lazy: interpolates [[allocTailSql]], declared later in the
+    * object — an eager val would capture null at init.) */
+  lazy val q132Sql: String = {
+    val tau = CurationQueries.nearDupTau
+    s"""WITH RECURSIVE cl AS (SELECT doc_id, source,
+           trim(regexp_replace(regexp_replace(text, '[\\r\\n]+', ' ', 'g'), '\\s+', ' ', 'g')) AS ctext
+         FROM documents),
+       surv AS (SELECT doc_id, source, ctext FROM cl
+         QUALIFY ROW_NUMBER() OVER (
+           PARTITION BY regexp_replace(lower(trim(ctext)), '\\s+', ' ', 'g')
+           ORDER BY doc_id) = 1),
+       ${CurationQueries.pairsCteSqlWith("a.doc_id < c.doc_id",
+          "SELECT doc_id, ctext AS text FROM surv")},
+       e AS (SELECT id1 AS a, id2 AS b FROM pairs WHERE jaccard >= $tau
+             UNION ALL SELECT id2 AS a, id1 AS b FROM pairs WHERE jaccard >= $tau),
+       vnodes AS (SELECT DISTINCT a AS v FROM e),
+       r AS (SELECT v, v AS l FROM vnodes
+             UNION SELECT e.b AS v, r.l AS l FROM r JOIN e ON e.a = r.v),
+       comps AS (SELECT v AS doc_id, CAST(MIN(l) AS BIGINT) AS component FROM r GROUP BY v),
+       keyed AS (SELECT s.doc_id, s.source, s.ctext,
+           COALESCE(c.component, s.doc_id) AS ck
+         FROM surv s LEFT JOIN comps c ON s.doc_id = c.doc_id),
+       evalck AS (SELECT DISTINCT ck FROM keyed WHERE doc_id % 10 = 7),
+       pool0 AS (SELECT doc_id, source, ck,
+           string_split_regex(lower(trim(ctext)), '\\s+') AS toks
+         FROM keyed WHERE doc_id % 10 <> 7
+           AND ck NOT IN (SELECT ck FROM evalck)),
+       bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+           k -> {'h': toks[k], 's': toks[k] || ' ' || toks[k + 1]}),
+           recursive := true)
+         FROM pool0 WHERE len(toks) >= 2),
+       pairlm AS (SELECT s, COUNT(*) AS c FROM bg GROUP BY s),
+       histlm AS (SELECT h, COUNT(*) AS c1 FROM bg GROUP BY h),
+       voc AS (SELECT COUNT(DISTINCT tok) AS v FROM (
+           SELECT unnest(toks) AS tok FROM pool0)),
+       sc AS (SELECT doc_id,
+           ln((COALESCE(c, 0) + 1.0) / (COALESCE(c1, 0) + CAST(v AS DOUBLE))) AS lp
+         FROM bg LEFT JOIN pairlm USING (s) LEFT JOIN histlm USING (h), voc),
+       agg0 AS (SELECT doc_id, ROUND(SUM(lp) / COUNT(*), 6) AS mlp
+         FROM sc GROUP BY doc_id),
+       scored AS (SELECT p.doc_id, p.source, p.ck, p.toks,
+           CAST(ROUND(COALESCE(a.mlp, ROUND(ln(1.0 / CAST(v AS DOUBLE)), 6)) * 1000000) AS BIGINT) AS mlp_u
+         FROM pool0 p LEFT JOIN agg0 a ON p.doc_id = a.doc_id, voc),
+       st0 AS (SELECT SUM(mlp_u) AS sum_u, COUNT(*) AS n_pool FROM scored),
+       pool AS (SELECT doc_id, source, ck, toks, CAST(len(toks) AS BIGINT) AS t
+         FROM scored, st0 WHERE mlp_u * n_pool >= sum_u),
+       per AS (SELECT source, CAST(SUM(t) AS BIGINT) AS n FROM pool GROUP BY source),
+       ${allocTailSql},
+       kept AS (SELECT pool.doc_id, pool.source, pool.ck, pool.toks, pool.t
+         FROM pool JOIN alloc USING (source)
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2, 8))::BIGINT % 1000000
+               < FLOOR(CAST(alloc_tokens AS DOUBLE) * 1000000 / n_tokens)),
+       tr AS (SELECT doc_id, source, toks, t AS n FROM kept
+         WHERE ('0x' || substr(md5(CAST(ck AS VARCHAR)), 1, 8))::BIGINT % 100 < 80),
+       cwin AS (SELECT source, doc_id, toks, n,
+           SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM tr),
+       sp AS (SELECT source, doc_id, toks, n, cum,
+           unnest(generate_series(CAST((cum - n) // $contextLen AS BIGINT),
+                                  CAST((cum - 1) // $contextLen AS BIGINT))) AS win
+         FROM cwin WHERE n > 0),
+       pc AS (SELECT source, win, doc_id,
+           array_to_string(toks[CAST(greatest(0, win * $contextLen - (cum - n)) AS BIGINT) + 1 :
+             CAST(least(n, (win + 1) * $contextLen - (cum - n)) AS BIGINT)], ' ') AS piece
+         FROM sp)
+       SELECT source, CAST(win AS BIGINT) AS window_id,
+         COUNT(*) AS n_docs,
+         md5(string_agg(piece, ' ' ORDER BY doc_id)) AS window_md5
+       FROM pc GROUP BY source, win ORDER BY source, window_id"""
+  }
 
   // ---------- q78: nearest-centroid label eval ----------
 
@@ -1236,7 +1356,26 @@ object PrepQueries {
     * than the corpus scan it rides; the LM tables are
     * vocabulary-bounded, the allocation operates on the source
     * table. */
-  def q117CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+  /** The q117 chain through stage 7 as the REUSABLE frame — one row
+    * per drawn document: (doc_id, source, ck, t, split). q117
+    * aggregates it into the split manifest; q132 feeds its train
+    * slice into the packing machinery. Session-memoized (charged to
+    * `_build_q117_split`) so the two declared queries run the chain
+    * once; the no-straddle gate runs inside the build. */
+  private def q117SplitFrame(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "q117_split") {
+      val drawn = q117Drawn(s, dir)
+      val bucket = md5Slice(col("ck"), 1) % 100
+      val splitDf = drawn.withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      require(splitDf.groupBy("ck")
+          .agg(count_distinct(col("split")).as("ns"))
+          .filter(col("ns") > 1).isEmpty,
+        "q117: a near-dup component straddles splits")
+      splitDf
+    }
+
+  private def q117Drawn(s: SparkSession, dir: String): DataFrame = {
     import graft.ingest.Ingest
     val tau = CurationQueries.nearDupTau
     // 1. clean
@@ -1298,22 +1437,19 @@ object PrepQueries {
     val alloc = budgetAllocationOver(
       pool.groupBy("source").agg(sum(col("t")).as("n")))
       .select(col("source"), col("n_tokens"), col("alloc_tokens"))
-    val drawn = pool.join(broadcast(alloc), "source")
+    pool.join(broadcast(alloc), "source")
       .filter(md5Slice(col("doc_id"), 2) % 1000000L <
         floor(col("alloc_tokens").cast("double") * lit(1e6) /
           col("n_tokens").cast("double")))
-    // 7. leakage-free split on the component key
-    val bucket = md5Slice(col("ck"), 1) % 100
-    val splitDf = drawn.withColumn("split",
-      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
-    require(splitDf.groupBy("ck")
-        .agg(count_distinct(col("split")).as("ns"))
-        .filter(col("ns") > 1).isEmpty,
-      "q117: a near-dup component straddles splits")
-    splitDf.groupBy("split", "source")
+      .select(col("doc_id"), col("source"), col("ck"), col("t"))
+  }
+
+  def q117CurationPipeline(s: SparkSession, dir: String): DataFrame =
+    // 7. leakage-free split on the component key (inside the shared
+    // frame), rolled up to the per-(split, source) manifest
+    q117SplitFrame(s, dir).groupBy("split", "source")
       .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
       .orderBy("split", "source")
-  }
 
   /** Every hand-off replayed: q07's clean regex → q30's keep-first →
     * the pair chain OVER THE SURVIVOR RELATION → q115's recursive
@@ -1589,6 +1725,13 @@ object PrepQueries {
        FROM f JOIN enc USING (word)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Shared-artifact builds (the SparkEntry.builds discipline): the
+    * q117 curation chain runs ONCE per session × corpus, charged
+    * here, so q117's and q132's declared clocks are the rollup and
+    * the pack, not two runs of the chain. */
+  val builds: Map[String, (SparkSession, String) => Unit] = Map(
+    "_build_q117_split" -> ((s, dir) => { q117SplitFrame(s, dir).count(); () }))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_chunk_docs" -> (q72ChunkDocs _),
     "q73_repetition" -> (q73Repetition _),
@@ -1611,7 +1754,8 @@ object PrepQueries {
     "q112_perplexity_filter" -> (q112PerplexityFilter _),
     "q113_mixture_sample" -> (q113MixtureSample _),
     "q115_leakfree_split" -> (q115LeakFreeSplit _),
-    "q117_curation_pipeline" -> (q117CurationPipeline _))
+    "q117_curation_pipeline" -> (q117CurationPipeline _),
+    "q132_curated_pack" -> (q132CuratedPack _))
 
   val oracle: Map[String, String] = Map(
     "q72_chunk_docs" -> q72Sql,
@@ -1635,5 +1779,6 @@ object PrepQueries {
     "q112_perplexity_filter" -> q112Sql,
     "q113_mixture_sample" -> q113Sql,
     "q115_leakfree_split" -> q115Sql,
-    "q117_curation_pipeline" -> q117Sql)
+    "q117_curation_pipeline" -> q117Sql,
+    "q132_curated_pack" -> q132Sql)
 }

@@ -652,7 +652,7 @@ object Queries {
       bm25PostingsTable(s, dir); bm25Stats(s, dir).count(); ()
     })) ++
     CurationQueries.builds ++ RetrievalQueries.builds ++
-    PipelineQueries.builds ++ ScaleQueries.builds
+    PipelineQueries.builds ++ ScaleQueries.builds ++ PrepQueries.builds
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
