@@ -487,6 +487,179 @@ object CurationQueries {
     s.read.parquet(out).orderBy("id1", "id2")
   }
 
+  // ---------- q136: the STREAMING curation front half ----------
+
+  /** The whole corpus staged as 4 doc_id-ordered batch files with
+    * ascending mtimes — arrival order IS id order, which is the one
+    * property the streamed front half needs: cross-batch keep-first
+    * then equals batch keep-first-by-id, and every pair's earlier
+    * member is registered before its later member arrives. The exact
+    * range boundaries don't matter (the final vetted table is
+    * split-invariant), so the generic range stager suffices where
+    * q130 needed rank quartiles. */
+  private def q136Stage(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "q136_stage") {
+      PipelineQueries.stageOrderedFiles(
+        docs(s, dir).select(col("doc_id"), col("source"), col("text")),
+        "doc_id", 4, PipelineQueries.roundtripPath(dir, "q136_stream"))
+    }
+
+  /** Norm-key register bucketing — the sigbucket discipline applied
+    * to the exact-dedup index: a batch's key lookups read only its
+    * own bucket directories. */
+  private val q136KeyBuckets = 16
+  private def kbucket(k: Column): Column = pmod(hash(k), lit(q136KeyBuckets))
+
+  /** STREAMING CURATION FRONT HALF — q117's stages 1–4 as one drained
+    * lifecycle (the stream-equals-batch discipline applied one level
+    * up from q130): documents arrive as four id-ordered micro-batches;
+    * each batch (1) cleans, (2) exact-dedups — keep-first WITHIN the
+    * batch, then drop every norm key the standing KEY REGISTER has
+    * seen (bucket-pruned read), (3) derives banded MinHash signatures
+    * and meets the standing BAND REGISTER (standing corpus = every
+    * earlier batch) plus itself for candidates, exact-Jaccard
+    * verified against the at-rest survivor texts, and (4) registers
+    * its survivors: keys, bands (bucket-partitioned appends — one
+    * file per touched bucket), and the survivor rows themselves.
+    * After the drain, the accumulated pair table closes into near-dup
+    * components and the component-keyed decontamination drops the
+    * eval slice (doc_id % 10 = 7) and everything sharing a component
+    * with it — the exact front half of q117's chain, so the FINAL
+    * VETTED TABLE is fully oracle-checked against the batch replay
+    * (the q117Sql front CTEs): the hash match IS the
+    * stream ≡ batch equality gate on the artifact that matters. The
+    * in-query require pins the register-after-vetting wiring the
+    * oracle cannot see: the key register must equal the survivors'
+    * norm keys row for row.
+    *
+    * Scale shape: per-batch cost is the batch's own keys/buckets
+    * (bucket-pruned register reads, batch-sized writes); the
+    * post-drain close is the already-audited component + decon
+    * chain. Arrival id-order is the continuous-ingest contract
+    * (growing ids), the same one q97/q99 enforce for index appends. */
+  def q136StreamCuration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ingest.Ingest
+    val stage = q136Stage(s, dir)
+    val keysP = PipelineQueries.roundtripPath(dir, "q136_keys")
+    val survP = PipelineQueries.roundtripPath(dir, "q136_surv")
+    val bandsP = PipelineQueries.roundtripPath(dir, "q136_bands")
+    val pairsP = PipelineQueries.roundtripPath(dir, "q136_pairs")
+    Seq(keysP, survP, bandsP, pairsP)
+      .foreach(p => graft.FileTree.delete(new java.io.File(p)))
+    // empty partitioned writes land no files at all — the register
+    // dirs are created empty and read back under explicit schemas
+    // until their first append
+    val keysSchema = "k string, kb int"
+    val bandsSchema = "id bigint, band bigint, bandsig string, sigbucket int"
+    Seq(keysP, bandsP).foreach(p => new java.io.File(p).mkdirs())
+    Seq.empty[(Long, String, String)].toDF("doc_id", "source", "ctext")
+      .write.mode("overwrite").parquet(survP)
+    Seq.empty[(Long, Long, Double)].toDF("id1", "id2", "jaccard")
+      .write.mode("overwrite").parquet(pairsP)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, _) => {
+      val b = batch.select(col("doc_id"), col("source"),
+          Ingest.cleanText(col("text")).as("ctext"))
+        .withColumn("k", Dedup.normKey(col("ctext")))
+        .localCheckpoint()
+      // (2) exact dedup: keep-first within the batch, then the
+      // standing register (bucket-pruned: only this batch's kbuckets)
+      val inBatch = Ingest.dedupFirst(b, col("k"), col("doc_id"))
+      val kbs = inBatch.select(kbucket(col("k")).as("kb")).distinct()
+        .as[Int].collect()
+      val standingKeys = s.read.schema(keysSchema).parquet(keysP)
+        .filter(col("kb").isin(kbs.map(Integer.valueOf): _*))
+      val survB = inBatch.join(standingKeys.select("k"), Seq("k"), "left_anti")
+        .localCheckpoint()
+      // (3) near-dup candidates: batch bands × (register ∪ batch)
+      val sigs = Dedup.bandedSignatures(survB, "doc_id", "ctext",
+          shingleN, nPerm, rowsPerBand)
+        .withColumn("sigbucket", sigbucket(col("band"), col("bandsig")))
+        .localCheckpoint()
+      val sbs = sigs.select(col("sigbucket")).distinct().as[Int].collect()
+      val reg = s.read.schema(bandsSchema).parquet(bandsP)
+        .filter(col("sigbucket").isin(sbs.map(Integer.valueOf): _*))
+      // registered ids precede every batch id (ordered arrival), so
+      // (register, batch) is already the id1 < id2 orientation
+      val crossCand = reg.as("a").join(sigs.as("b"),
+          col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      val withinCand = sigs.as("a").join(sigs.as("b"),
+          col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      val cands = crossCand.unionByName(withinCand).distinct()
+      val texts = s.read.parquet(survP).select(col("doc_id"), col("ctext"))
+        .unionByName(survB.select(col("doc_id"), col("ctext")))
+      Dedup.jaccardVerify(texts, "doc_id", "ctext", cands, shingleN)
+        .write.mode("append").parquet(pairsP)
+      // (4) register AFTER vetting: keys, bands, survivor rows
+      survB.select(col("k"), kbucket(col("k")).as("kb"))
+        .repartition(col("kb"))
+        .write.mode("append").partitionBy("kb").parquet(keysP)
+      sigs.repartition(col("sigbucket"))
+        .write.mode("append").partitionBy("sigbucket").parquet(bandsP)
+      survB.select(col("doc_id"), col("source"), col("ctext"))
+        .write.mode("append").parquet(survP)
+    })
+    val surv = s.read.parquet(survP)
+    // register ≡ survivors (narrow single-column compare): the key
+    // register holds exactly the surviving norm keys — the
+    // registration wiring the final-table oracle cannot observe
+    val keyRows = s.read.schema(keysSchema).parquet(keysP).select(col("k"))
+    val survKeys = surv.select(Dedup.normKey(col("ctext")).as("k"))
+    require(keyRows.exceptAll(survKeys).isEmpty &&
+        survKeys.exceptAll(keyRows).isEmpty,
+      "q136: the key register must equal the survivors' norm keys row for row")
+    // post-drain close: components over the accumulated pairs, then
+    // component-keyed decontamination — q117 stages 3–4
+    val pairs = s.read.parquet(pairsP).filter(col("jaccard") >= nearDupTau)
+    val comp = graft.operators.ConnectedComponents.components(pairs, "id1", "id2")
+      .select(col("v").as("doc_id"), col("component"))
+    val keyed = surv.join(comp, Seq("doc_id"), "left")
+      .withColumn("ck", coalesce(col("component"), col("doc_id")))
+    val evalCk = keyed.filter(col("doc_id") % 10 === 7).select("ck").distinct()
+    keyed.filter(col("doc_id") % 10 =!= 7)
+      .join(evalCk, Seq("ck"), "left_anti")
+      .select(col("doc_id"), col("source"), col("ck"))
+      .orderBy("doc_id")
+  }
+
+  /** The batch replay: q117Sql's front half verbatim — clean,
+    * keep-first exact dedup, the pair chain over the survivors, the
+    * recursive component closure, component-keyed decon — ending at
+    * the vetted table instead of rolling on into the LM filter.
+    * (lazy: interpolates [[nearDupTau]], declared later in the
+    * object — an eager val would capture 0.0 at init.) */
+  lazy val q136Sql: String = {
+    val tau = nearDupTau
+    s"""WITH RECURSIVE cl AS (SELECT doc_id, source,
+           trim(regexp_replace(regexp_replace(text, '[\\r\\n]+', ' ', 'g'), '\\s+', ' ', 'g')) AS ctext
+         FROM documents),
+       surv AS (SELECT doc_id, source, ctext FROM cl
+         QUALIFY ROW_NUMBER() OVER (
+           PARTITION BY regexp_replace(lower(trim(ctext)), '\\s+', ' ', 'g')
+           ORDER BY doc_id) = 1),
+       ${pairsCteSqlWith("a.doc_id < c.doc_id",
+          "SELECT doc_id, ctext AS text FROM surv")},
+       e AS (SELECT id1 AS a, id2 AS b FROM pairs WHERE jaccard >= $tau
+             UNION ALL SELECT id2 AS a, id1 AS b FROM pairs WHERE jaccard >= $tau),
+       vnodes AS (SELECT DISTINCT a AS v FROM e),
+       r AS (SELECT v, v AS l FROM vnodes
+             UNION SELECT e.b AS v, r.l AS l FROM r JOIN e ON e.a = r.v),
+       comps AS (SELECT v AS doc_id, CAST(MIN(l) AS BIGINT) AS component FROM r GROUP BY v),
+       keyed AS (SELECT s.doc_id, s.source,
+           COALESCE(c.component, s.doc_id) AS ck
+         FROM surv s LEFT JOIN comps c ON s.doc_id = c.doc_id),
+       evalck AS (SELECT DISTINCT ck FROM keyed WHERE doc_id % 10 = 7)
+       SELECT doc_id, source, CAST(ck AS BIGINT) AS ck FROM keyed
+       WHERE doc_id % 10 <> 7 AND ck NOT IN (SELECT ck FROM evalck)
+       ORDER BY doc_id"""
+  }
+
   /** q98's replay with the cumulative arrival predicate: an incoming
     * document also matches incoming documents from STRICTLY EARLIER
     * rank-quartile batches. */
@@ -952,6 +1125,7 @@ object CurationQueries {
     "q88_redact" -> (q88Redact _),
     "q98_stream_neardup" -> (q98StreamNeardup _),
     "q130_stream_neardup_cumulative" -> (q130StreamNeardupCumulative _),
+    "q136_stream_curation" -> (q136StreamCuration _),
     "q105_semantic_decon" -> (q105SemanticDecon _))
 
   val oracle: Map[String, String] = Map(
@@ -970,5 +1144,6 @@ object CurationQueries {
     "q88_redact" -> q88Sql,
     "q98_stream_neardup" -> q98Sql,
     "q130_stream_neardup_cumulative" -> q130Sql,
+    "q136_stream_curation" -> q136Sql,
     "q105_semantic_decon" -> q105Sql)
 }
