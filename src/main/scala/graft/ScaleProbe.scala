@@ -107,7 +107,9 @@ object ScaleProbe {
       "q109_ivf_compact", "q110_hard_negatives_ann",
       "q111_stream_sessionize_append", "q112_perplexity_filter",
       "q113_mixture_sample", "q115_leakfree_split",
-      "q116_graph_reroute", "q117_curation_pipeline")
+      "q116_graph_reroute", "q117_curation_pipeline",
+      "q132_curated_pack", "q133_sq_compact", "q134_ivf_multi",
+      "q135_sq_multi", "q136_stream_curation")
     val probeQs = if (args.length > 1) args.drop(1).toSeq else defaults
     probeQs.foreach {
       // vocab-axis probe for the BPE trainer (not a declared query):

@@ -345,7 +345,15 @@ object GraphAnn {
     * number of a neighbor's cells among the probed ones; the sweep
     * measured coverage 1.5 as the knee (R=3 → parts/2 → 0.978,
     * R=2 → 3·parts/4 → 0.986 at sf0.1; fractions below it fall
-    * under 0.95). */
+    * under 0.95). CONFIRMED AT TWO FURTHER SCALE POINTS (round 11,
+    * 50 queries, recall@10 vs exact): parts 8 → 40 (10× corpus) and
+    * 8 → 120 (30×), coverage ∈ {0.75, 1.0, 1.5, 2.0, full} — at
+    * BOTH, recall at coverage 1.5 is bit-identical to the full
+    * unpruned scan (R=3: 0.944/0.978 at ef=48/96 at 10×,
+    * 0.984/0.992 at 30×), i.e. routing loss at the knee is ZERO and
+    * the residual recall dial is the beam width ef, not coverage.
+    * The knee constant is scale-stable across 8/40/120 cells; see
+    * SCALE.md's coverage-sweep rows. */
   private[graft] def autoProbe(parts: Int, replicas: Int): Int =
     math.min(parts,
       math.max(2, math.ceil(1.5 * parts / math.max(1, replicas)).toInt))

@@ -412,16 +412,16 @@ class GraphAnnSpec extends SparkSpec {
   }
 
   test("interleaved maintenance: append after a mid-lifecycle refresh stays structurally sound") {
-    // q120's step rule at spec scale: base → drifted append → refresh
-    // → ANOTHER drifted append under the NEW routing. The refreshed
-    // artifact must accept appends like any index, and the final
+    // q120's step rule at spec scale: base → drifted append →
+    // IN-PLACE refresh (staged generation + CURRENT flip) → ANOTHER
+    // drifted append through the SAME path — the tail of the stream
+    // must land in the LIVE generation via the pointer, and the final
     // state must keep the structural contracts (every id in exactly R
     // cells, deterministic dense serving).
     val n = emb.count()
     val split = 3L * n / 5L
     val mid = 4L * n / 5L
     val path = java.nio.file.Files.createTempDirectory("graphann_im").toString
-    val out = java.nio.file.Files.createTempDirectory("graphann_im_out").toString
     GraphAnn.writeIndex(emb.filter(col("vec_id") < split), "vec_id", "v",
       m = 8, efC = 48, parts = 8, path)
     val rv0 = spark.read.parquet(s"$path/routing").filter(col("part") === 0)
@@ -430,18 +430,26 @@ class GraphAnnSpec extends SparkSpec {
       emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
         .crossJoin(broadcast(rv0)).select(col("vec_id"), col("rvec").as("v"))
     GraphAnn.appendToIndex(spark, path, drifted(split, mid), "vec_id", "v")
-    GraphAnn.refreshRouting(spark, path, 8, out)
-    // the tail of the stream lands on the REFRESHED index
-    GraphAnn.appendToIndex(spark, out, drifted(mid, n), "vec_id", "v")
-    val nodes = spark.read.parquet(s"$out/nodes")
-    val r = spark.read.parquet(s"$out/routing")
+    GraphAnn.refreshRouting(spark, path, 8)
+    val gen = GraphAnn.currentGeneration(path)
+    assert(gen.startsWith("gen__v"), "in-place refresh must flip CURRENT")
+    // the tail of the stream lands on the REFRESHED index, resolved
+    // through the pointer — never the superseded base tables
+    GraphAnn.appendToIndex(spark, path, drifted(mid, n), "vec_id", "v")
+    val nodes = spark.read.parquet(GraphAnn.tablePath(path, "nodes"))
+    val r = spark.read.parquet(GraphAnn.tablePath(path, "routing"))
       .select(col("replicas")).as[Int].head()
     val perId = nodes.groupBy(col("id"))
       .agg(countDistinct(col("part")).as("cells"), count(lit(1)).as("copies"))
     assert(perId.count() == n, "every id must survive the interleaved lifecycle")
     assert(perId.filter(col("cells") =!= r || col("copies") =!= r).isEmpty,
       s"every id must live in exactly R=$r distinct cells")
-    def serve() = GraphAnn.searchIndex(spark, out, "vec_id",
+    // the superseded base generation kept its pre-append shape: the
+    // tail ids must NOT have leaked into the grace tables
+    assert(spark.read.parquet(s"$path/nodes")
+        .filter(col("id") >= mid).count() == 0,
+      "a post-flip append leaked into the superseded generation")
+    def serve() = GraphAnn.searchIndex(spark, path, "vec_id",
         query(1), "qv", 10, ef = 48)
       .select("vec_id", "rank", "score")
       .as[(Long, Long, Double)].collect().toSeq.sortBy(_._2)
