@@ -537,14 +537,30 @@ object CurationQueries {
     * post-drain close is the already-audited component + decon
     * chain. Arrival id-order is the continuous-ingest contract
     * (growing ids), the same one q97/q99 enforce for index appends. */
-  def q136StreamCuration(s: SparkSession, dir: String): DataFrame = {
+  def q136StreamCuration(s: SparkSession, dir: String): DataFrame =
+    q136Lifecycle(s, dir, "q136")
+      .select(col("doc_id"), col("source"), col("ck"))
+      .orderBy("doc_id")
+
+  /** The streamed vetted table WITH its cleaned text — drained ONCE
+    * per session x corpus under its own state dirs (charged to
+    * `_build_q136_vetted`): the artifact q137 composes into the back
+    * half of the curation chain. */
+  private[graft] def q136Vetted(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "q136_vetted")(q136Lifecycle(s, dir, "q136m"))
+
+  /** The q136 drain + post-drain close, state dirs keyed by `tag` so
+    * the declared query (which IS the timed lifecycle) and the
+    * memoized artifact build never clobber each other mid-bench.
+    * Returns (doc_id, source, ck, ctext). */
+  private def q136Lifecycle(s: SparkSession, dir: String, tag: String): DataFrame = {
     import s.implicits._
     import graft.ingest.Ingest
     val stage = q136Stage(s, dir)
-    val keysP = PipelineQueries.roundtripPath(dir, "q136_keys")
-    val survP = PipelineQueries.roundtripPath(dir, "q136_surv")
-    val bandsP = PipelineQueries.roundtripPath(dir, "q136_bands")
-    val pairsP = PipelineQueries.roundtripPath(dir, "q136_pairs")
+    val keysP = PipelineQueries.roundtripPath(dir, s"${tag}_keys")
+    val survP = PipelineQueries.roundtripPath(dir, s"${tag}_surv")
+    val bandsP = PipelineQueries.roundtripPath(dir, s"${tag}_bands")
+    val pairsP = PipelineQueries.roundtripPath(dir, s"${tag}_pairs")
     Seq(keysP, survP, bandsP, pairsP)
       .foreach(p => graft.FileTree.delete(new java.io.File(p)))
     // empty partitioned writes land no files at all — the register
@@ -624,8 +640,7 @@ object CurationQueries {
     val evalCk = keyed.filter(col("doc_id") % 10 === 7).select("ck").distinct()
     keyed.filter(col("doc_id") % 10 =!= 7)
       .join(evalCk, Seq("ck"), "left_anti")
-      .select(col("doc_id"), col("source"), col("ck"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("source"), col("ck"), col("ctext"))
   }
 
   /** The batch replay: q117Sql's front half verbatim — clean,
@@ -1107,7 +1122,8 @@ object CurationQueries {
     "_build_neardup_pairs" -> ((s, dir) => { nearDupPairs(s, dir).count(); () }),
     "_build_lsh_buckets" -> ((s, dir) => { lshBuckets(s, dir).count(); () }),
     "_build_stream_bands" -> ((s, dir) =>
-      { streamBandsPath(s, dir); q98Stage(s, dir); q130Stage(s, dir); () }))
+      { streamBandsPath(s, dir); q98Stage(s, dir); q130Stage(s, dir); () }),
+    "_build_q136_vetted" -> ((s, dir) => { q136Vetted(s, dir).count(); () }))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_text_stats" -> (q22TextStats _),

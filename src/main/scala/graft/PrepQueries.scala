@@ -589,6 +589,38 @@ object PrepQueries {
        FROM pc GROUP BY source, win ORDER BY source, window_id"""
   }
 
+  // ---------- q137: streamed corpus → trainer-ready windows ----------
+
+  /** THE WHOLE FACTORY, STREAM-FED — q136's streamed front half
+    * composed into q117's back half and q131's packer: documents
+    * arrive as micro-batches, drain through the register-vetted
+    * exact-dedup + near-dup + decon lifecycle (q136, memoized drain
+    * charged to `_build_q136_vetted`), the vetted pool trains the
+    * perplexity filter and takes the water-filled draw
+    * ([[q117BackHalf]] — the SAME stage code q117/q132 run), the
+    * train slice splits off by the component-keyed hash rule, and
+    * the packer assembles the context windows from the VETTED text
+    * carried through the stream. Because q136's vetted table is
+    * oracle-pinned equal to the batch front half, the final windows
+    * must equal q132's batch-pipeline windows — so the oracle IS
+    * q132's SQL, and the hash match certifies that a continuously
+    * ingested corpus ends as bit-identical training data to the
+    * batch run over the same documents: the strongest
+    * stream-equals-batch statement the engine makes, at the artifact
+    * a trainer actually reads. */
+  def q137StreamToPack(s: SparkSession, dir: String): DataFrame = {
+    val vetted = CurationQueries.q136Vetted(s, dir)
+    val drawn = q117BackHalf(
+      vetted.select(col("doc_id"), col("source"), col("ck"),
+        col("ctext").as("text")))
+    val train = drawn.filter(md5Slice(col("ck"), 1) % 100 < 80)
+      .select(col("doc_id"))
+    packWindowsOver(
+      train.join(vetted.select(col("doc_id"), col("source"), col("ctext")),
+        "doc_id"),
+      "ctext")
+  }
+
   // ---------- q78: nearest-centroid label eval ----------
 
   /** Embedding-quality eval: per-label mean centroids, every vector
@@ -1375,7 +1407,15 @@ object PrepQueries {
       splitDf
     }
 
-  private def q117Drawn(s: SparkSession, dir: String): DataFrame = {
+  private def q117Drawn(s: SparkSession, dir: String): DataFrame =
+    q117BackHalf(q117Pool0(s, dir))
+
+  /** q117 stages 1–4 (clean → exact dedup → near-dup components →
+    * component-keyed decon): the FRONT half, ending at the vetted
+    * pool (doc_id, source, ck, text = cleaned). q136 computes the
+    * same relation by streaming ingest — [[q117BackHalf]] accepts
+    * either. */
+  private def q117Pool0(s: SparkSession, dir: String): DataFrame = {
     import graft.ingest.Ingest
     val tau = CurationQueries.nearDupTau
     // 1. clean
@@ -1397,9 +1437,17 @@ object PrepQueries {
       .withColumn("ck", coalesce(col("component"), col("doc_id")))
     // 4. decontaminate: eval docs and their near-dup components leave
     val evalCk = keyed.filter(col("doc_id") % 10 === 7).select("ck").distinct()
-    val pool0 = keyed.filter(col("doc_id") % 10 =!= 7)
+    keyed.filter(col("doc_id") % 10 =!= 7)
       .join(evalCk, Seq("ck"), "left_anti")
       .select(col("doc_id"), col("source"), col("ck"), col("ctext").as("text"))
+  }
+
+  /** q117 stages 5–6 over a CALLER-SUPPLIED vetted pool
+    * (doc_id, source, ck, text): pool-trained perplexity filter with
+    * the exact integer threshold, then the water-filled mixture
+    * draw. Returns one row per drawn doc (doc_id, source, ck, t). */
+  private def q117BackHalf(pool0In: DataFrame): DataFrame = {
+    val pool0 = pool0In
       .localCheckpoint() // LM counts + vocab + scoring + manifest
     // 5. perplexity filter: q112's bigram LM, trained on the pool
     val ref = docBigrams(pool0).localCheckpoint()
@@ -1725,6 +1773,87 @@ object PrepQueries {
        FROM f JOIN enc USING (word)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---------- q138: BPE-tokenized packed windows ----------
+
+  /** THE TOKENIZER→PACKER HAND-OFF UNDER THE HASH GATE — packed
+    * training windows whose token stream is the LEARNED BPE
+    * vocabulary's subword encoding (q103/q104), not raw whitespace
+    * words: per document, each conforming word resolves through the
+    * trained encode table to its subword split, the per-word splits
+    * concatenate in word order into the document's subtoken stream,
+    * and [[packWindowsOver]] — the SAME packer q131 audits and
+    * q132/q137 consume — assembles fixed-[[contextLen]] windows of
+    * SUBTOKENS. This is the form of the artifact an LLM trainer
+    * actually reads (tokenizer units per context window — the
+    * subword strings that biject to ids); a tokenizer/packer
+    * mismatch — packing words the tokenizer would split, or
+    * re-tokenizing differently than the vocabulary encoded — moves
+    * window boundaries and breaks the per-window md5. The oracle
+    * replays the ENTIRE chain: the 16-round trainer CTEs, the
+    * per-doc re-encode with an order-preserving zipped unnest, and
+    * q131's window CTEs over the subtoken text. (The curated
+    * variant is this query by substitution — q117BackHalf's pool in
+    * place of `documents`, exactly as q132/q137 compose the packer;
+    * the raw corpus keeps the oracle chain at one trainer replay.)
+    *
+    * Scale shape: the encode table is vocab-sized (distinct
+    * conforming words — ≪ corpus; the join is keyed on `word` and
+    * AQE picks broadcast at any realistic vocab), the per-doc
+    * reassembly is a doc-keyed sort of that doc's own words
+    * (bounded by document length), and the pack inherits q131's
+    * narrow-row cumsum discipline — corpus size enters only through
+    * the tokenize scan and the output-sized window assembly. */
+  def q138BpePack(s: SparkSession, dir: String): DataFrame = {
+    val enc = bpeArtifacts(s, dir)._2
+      .select(col("word"), expr("trim(replace(sym, '||', ' '))").as("sub"))
+    val bpeDocs = docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        posexplode(Dedup.tokenize(col("text"))).as(Seq("pos", "word")))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .join(enc, "word")
+      .groupBy("source", "doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("sub")))),
+        p => p.getField("sub")), " ").as("btext"))
+    packWindowsOver(bpeDocs, "btext")
+  }
+
+  /** lazy: interpolates [[bpeCtes]]/[[bpeRounds]] (declared above)
+    * and [[contextLen]] — the object-init-order discipline. */
+  lazy val q138Sql: String =
+    s"""WITH $bpeCtes,
+       encw AS (SELECT word, trim(replace(sym, '||', ' ')) AS sub
+         FROM v$bpeRounds),
+       dw AS (SELECT source, doc_id, unnest(toks) AS word,
+           unnest(generate_series(1, len(toks))) AS pos
+         FROM (SELECT source, doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents)),
+       bd AS (SELECT source, doc_id, string_agg(sub, ' ' ORDER BY pos) AS btext
+         FROM dw JOIN encw USING (word)
+         WHERE regexp_matches(word, '^[a-z0-9]+$$')
+         GROUP BY source, doc_id),
+       t AS (SELECT source, doc_id,
+           string_split_regex(lower(trim(btext)), '\\s+') AS toks,
+           CAST(len(toks) AS BIGINT) AS n
+         FROM bd),
+       c AS (SELECT source, doc_id, toks, n,
+           SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM t),
+       sp AS (SELECT source, doc_id, toks, n, cum,
+           unnest(generate_series(CAST((cum - n) // $contextLen AS BIGINT),
+                                  CAST((cum - 1) // $contextLen AS BIGINT))) AS win
+         FROM c WHERE n > 0),
+       pc AS (SELECT source, win, doc_id,
+           array_to_string(toks[CAST(greatest(0, win * $contextLen - (cum - n)) AS BIGINT) + 1 :
+             CAST(least(n, (win + 1) * $contextLen - (cum - n)) AS BIGINT)], ' ') AS piece
+         FROM sp)
+       SELECT source, CAST(win AS BIGINT) AS window_id,
+         COUNT(*) AS n_docs,
+         md5(string_agg(piece, ' ' ORDER BY doc_id)) AS window_md5
+       FROM pc GROUP BY source, win ORDER BY source, window_id"""
+
   /** Shared-artifact builds (the SparkEntry.builds discipline): the
     * q117 curation chain runs ONCE per session × corpus, charged
     * here, so q117's and q132's declared clocks are the rollup and
@@ -1755,7 +1884,9 @@ object PrepQueries {
     "q113_mixture_sample" -> (q113MixtureSample _),
     "q115_leakfree_split" -> (q115LeakFreeSplit _),
     "q117_curation_pipeline" -> (q117CurationPipeline _),
-    "q132_curated_pack" -> (q132CuratedPack _))
+    "q132_curated_pack" -> (q132CuratedPack _),
+    "q137_stream_to_pack" -> (q137StreamToPack _),
+    "q138_bpe_pack" -> (q138BpePack _))
 
   val oracle: Map[String, String] = Map(
     "q72_chunk_docs" -> q72Sql,
@@ -1780,5 +1911,7 @@ object PrepQueries {
     "q113_mixture_sample" -> q113Sql,
     "q115_leakfree_split" -> q115Sql,
     "q117_curation_pipeline" -> q117Sql,
-    "q132_curated_pack" -> q132Sql)
+    "q132_curated_pack" -> q132Sql,
+    "q137_stream_to_pack" -> q132Sql,
+    "q138_bpe_pack" -> q138Sql)
 }

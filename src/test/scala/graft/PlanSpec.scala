@@ -129,6 +129,20 @@ class PlanSpec extends SparkSpec {
       s"q125 grew a join:\n$p")
   }
 
+  test("q138: BPE pack keeps the keyed encode join and the source-partitioned cumsum") {
+    val p = plan("q138_bpe_pack")
+    // the corpus meets the vocab through the word-keyed equi-join —
+    // never a pair nested loop — and the pack window stays
+    // source-partitioned (q125's property, inherited via the shared
+    // packer); the span explode is the output-sized Generate
+    assert(p.contains("hashpartitioning(source"),
+      s"q138 pack window lost its source partitioning:\n$p")
+    assert(p.contains("Generate explode"), s"expected the span explode:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      s"q138 encode join degenerated to a pair join:\n$p")
+  }
+
   test("q126: both mining legs ride the broadcast anchors + heap; the leg join is broadcast") {
     val p = plan("q126_contrastive_triplets")
     assert(p.contains("graft_topk"), s"expected heap aggregates:\n$p")
