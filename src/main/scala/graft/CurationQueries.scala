@@ -882,6 +882,97 @@ object CurationQueries {
        FROM agg JOIN r1 ON agg.tid = r1.tid AND r1.r = 1
        ORDER BY vec_id"""
 
+  // ---------- q139: cluster-keyed semantic dedup (SemDeDup) ----------
+
+  /** CLUSTER-KEYED SEMANTIC DEDUP — the published industrial design
+    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"), the THIRD candidate
+    * generation next to sign-LSH (q33/q105) and MinHash bands (q31):
+    * partition the embedding space into ~[[graft.RetrievalQueries
+    * .graphPartsFor occupancy-sized]] centroid cells (the SAME
+    * ⌈N/500⌉ discipline the graph index routes by, seeded by the
+    * id-distribution-free LCG rank sample q45's quantizer uses),
+    * then examine pairs ONLY within a cell. The keep rule is the
+    * reference implementation's triangular max: order each cell's
+    * members by (cosine-to-centroid ASC, id ASC); a member survives
+    * iff its max cosine to any EARLIER member stays below τ — no
+    * recursion, no connected components, deterministic at any
+    * parallelism. Output is the per-document audit row (cell,
+    * position, max-prior-cosine, kept), the table a curation run
+    * joins against to apply the drop.
+    *
+    * Scale shape: the cell assignment is one broadcast-quantizer
+    * scan (parts-sized centroid table — the graph routing table's
+    * story at 100 TB); the within-cell triangular join is an
+    * equi-join on cid with cells capped ~500 by construction, so
+    * total pair work is ~500·N — LINEAR in corpus, the property
+    * that lets SemDeDup run at web scale where all-pairs cosine
+    * cannot. τ reuses [[q33Tau]] (one near-dup dial across all
+    * three candidate generators). */
+  def q139SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = lshVecs(s, dir)
+    val cents = Memo.cached(s, dir, "semdedup_c")(
+      graft.search.IVF.centroids(emb(s, dir), "vec_id", "v",
+        RetrievalQueries.graphPartsFor(s, dir)))
+    val cn = cents.select(col("cid"), col("cvec"), norm2(col("cvec")).as("cn"))
+    val p = graft.search.IVF.assign(e, "vec_id", "v", cents)
+      .join(broadcast(cn), "cid")
+      .withColumn("csim",
+        dot(col("v"), col("cvec")) / (col("n") * col("cn") + lit(1e-9)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("cid").orderBy(col("csim").asc, col("vec_id").asc)))
+      .select(col("vec_id"), col("cid"), col("v"), col("n"), col("pos"))
+    val prior = p
+      .select(col("cid"), col("pos").as("p1"), col("v").as("v1"), col("n").as("n1"))
+      .join(p.select(col("cid"), col("vec_id"), col("pos").as("p2"),
+        col("v").as("v2"), col("n").as("n2")), Seq("cid"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("vec_id")
+      .agg(max(dot(col("v1"), col("v2")) /
+        (col("n1") * col("n2") + lit(1e-9))).as("maxp"))
+    p.join(prior, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("pos").cast("long").as("pos"),
+        round(col("maxp"), 6).as("max_prior_cos"),
+        when(col("maxp").isNull || col("maxp") < q33Tau, 1L).otherwise(0L)
+          .as("kept"))
+      .orderBy("cid", "pos")
+  }
+
+  /** The centroid CTE is q45Sql's LCG rank sample with the cell
+    * count computed IN-QUERY (⌈N/500⌉ min 8 — replaying
+    * graphPartsFor, no host-side constant that could drift from the
+    * Spark side across SFs). */
+  val q139Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS n
+         FROM embeddings),
+       kt AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 500.0) AS BIGINT)) AS k
+         FROM embeddings),
+       c AS (SELECT cid, cvec, sqrt(list_dot_product(cvec, cvec)) AS cn FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e), kt WHERE cid < kt.k),
+       a AS (SELECT vec_id, v, n, cid FROM (
+           SELECT e.vec_id, e.v, e.n, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       p AS (SELECT vec_id, cid, v, n, csim,
+           ROW_NUMBER() OVER (PARTITION BY cid ORDER BY csim, vec_id) AS pos
+         FROM (SELECT a.vec_id, a.cid, a.v, a.n,
+             list_dot_product(a.v, c.cvec) / (a.n * c.cn + 1e-9) AS csim
+           FROM a JOIN c USING (cid))),
+       pr AS (SELECT b.vec_id,
+           MAX(list_dot_product(x.v, b.v) / (x.n * b.n + 1e-9)) AS maxp
+         FROM p b JOIN p x ON x.cid = b.cid AND x.pos < b.pos
+         GROUP BY b.vec_id)
+       SELECT p.vec_id, p.cid, CAST(p.pos AS BIGINT) AS pos,
+         ROUND(pr.maxp, 6) AS max_prior_cos,
+         CAST(CASE WHEN pr.maxp IS NULL OR pr.maxp < $q33Tau THEN 1 ELSE 0 END AS BIGINT) AS kept
+       FROM p LEFT JOIN pr ON p.vec_id = pr.vec_id
+       ORDER BY p.cid, p.pos"""
+
   /** Exact n-gram Jaccard over all pairs in a bounded id range —
     * the verify-everything variant for small candidate sets. */
   def q34NgramJaccard(s: SparkSession, dir: String): DataFrame = {
@@ -1142,7 +1233,8 @@ object CurationQueries {
     "q98_stream_neardup" -> (q98StreamNeardup _),
     "q130_stream_neardup_cumulative" -> (q130StreamNeardupCumulative _),
     "q136_stream_curation" -> (q136StreamCuration _),
-    "q105_semantic_decon" -> (q105SemanticDecon _))
+    "q105_semantic_decon" -> (q105SemanticDecon _),
+    "q139_semdedup" -> (q139SemDedup _))
 
   val oracle: Map[String, String] = Map(
     "q22_text_stats" -> q22Sql,
@@ -1161,5 +1253,6 @@ object CurationQueries {
     "q98_stream_neardup" -> q98Sql,
     "q130_stream_neardup_cumulative" -> q130Sql,
     "q136_stream_curation" -> q136Sql,
-    "q105_semantic_decon" -> q105Sql)
+    "q105_semantic_decon" -> q105Sql,
+    "q139_semdedup" -> q139Sql)
 }

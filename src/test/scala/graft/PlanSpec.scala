@@ -129,6 +129,18 @@ class PlanSpec extends SparkSpec {
       s"q125 grew a join:\n$p")
   }
 
+  test("q139: semdedup pairs meet via the cell equi-join; scoring is the fused dot") {
+    val p = plan("q139_semdedup")
+    // the within-cell triangular join is keyed on cid (cells are
+    // occupancy-capped, so pair work stays ~cell * N); the only
+    // unkeyed join allowed is the 1-row packed-quantizer broadcast
+    assert(p.contains("graft_dot"), s"expected the fused dot product:\n$p")
+    assert(p.contains("hashpartitioning(cid"),
+      s"q139 lost the cell-keyed partitioning:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q139 degenerated to an all-pairs join:\n$p")
+  }
+
   test("q138: BPE pack keeps the keyed encode join and the source-partitioned cumsum") {
     val p = plan("q138_bpe_pack")
     // the corpus meets the vocab through the word-keyed equi-join —
