@@ -973,6 +973,142 @@ object CurationQueries {
        FROM p LEFT JOIN pr ON p.vec_id = pr.vec_id
        ORDER BY p.cid, p.pos"""
 
+  // ---------- q140: trained model-based quality filter ----------
+
+  /** GD step count and rate for the in-engine quality classifier.
+    * lr = 0.5 is exactly representable, so the driver-side weight
+    * update and the oracle's in-query update perform bit-identical
+    * IEEE arithmetic. */
+  val qcSteps = 3; val qcLr = 0.5
+
+  /** The classifier's training frame: portable-hash features (the
+    * q43 embedder — bit-exact cross-engine by construction) + the
+    * weak-supervision label y = [source = 'src0'] (the curated
+    * reference domain). Corpus-sized; memoized per session × corpus
+    * like [[lshVecs]] — at 100 TB this frame IS the embeddings
+    * table at rest. */
+  private def qcFeats(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "qc_feats") {
+      val d = docs(s, dir)
+      graft.embed.Embed.embedDocs(d, "doc_id", "text",
+          new graft.embed.PortableHashEmbedder(64))
+        .select(col("doc_id"), col("vec").cast("array<double>").as("xd"))
+        .join(d.select(col("doc_id"),
+          when(col("source") === "src0", 1.0).otherwise(0.0).as("y")),
+          "doc_id")
+    }
+
+  /** TRAIN the linear model: [[qcSteps]] unrolled full-batch
+    * gradient steps on squared loss (w ← w − lr·XᵀꞮ(Xw − y)/n). Each
+    * step is ONE corpus scan (fused dot for the margins, posexplode
+    * + 64-group aggregate for the gradient) and collects exactly 64
+    * doubles — the routing-table-sized collect the driver
+    * discipline allows. The gradient's cross-row sums are
+    * 1e-6-quantized integer sums (the q58/q89 discipline), so the
+    * learned weights are bit-identical at any parallelism AND
+    * replayable by the oracle's unrolled CTE chain; squared loss
+    * (not logistic) is the deliberate substitution that keeps every
+    * training op inside exactly-replayable IEEE arithmetic — no
+    * transcendental whose last ulp differs between engines. */
+  private def qcWeights(s: SparkSession, dir: String): Array[Double] =
+    Memo.cachedValue(s, dir, "qc_w") {
+      val f = qcFeats(s, dir)
+      val n = Memo.cachedCount(s, dir, "qc_n")(f.count()).toDouble
+      var w = Array.fill(64)(0.0)
+      for (_ <- 1 to qcSteps) {
+        val wl = array(w.toSeq.map(lit): _*)
+        val g = f
+          .select((dot(col("xd"), wl) - col("y")).as("resid"),
+            posexplode(col("xd")).as(Seq("j", "xj")))
+          .groupBy("j")
+          .agg((sum(round(col("resid") * col("xj") * lit(1e6)).cast("long"))
+            .cast("double") / 1e6).as("gsum"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        w = Array.tabulate(64)(j => w(j) - qcLr * (g.getOrElse(j, 0.0) / n))
+      }
+      w
+    }
+
+  /** MODEL-BASED QUALITY FILTERING — the published web-corpus recipe
+    * (GPT-3 Appendix A; CCNet, Wenzek et al. 2020): train a linear
+    * classifier to recognize a curated reference domain, score every
+    * document, keep the ones that look reference-like. Training runs
+    * IN-ENGINE and fully relationally ([[qcWeights]]); scoring is
+    * one fused-dot corpus scan. Documents bucket CCNet-style into
+    * head / middle / tail RELATIVE to the reference domain — head ≥
+    * the positive-class mean score, middle ≥ half of it, tail below
+    * — each cut decided by an exact integer cross-multiplication
+    * (scoreQ·nPos ≥ ΣposQ etc., the q112 integer-threshold
+    * discipline: no cross-engine float division anywhere near a
+    * cut); kept = not tail. Output is the per-document audit row
+    * (label, score, bucket, kept) a curation run joins to apply the
+    * filter or the bucket-conditional sampling CCNet prescribes.
+    * The whole thing — features, 3 training steps, scores, the
+    * threshold — replays in ONE oracle query. */
+  def q140QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val w = qcWeights(s, dir)
+    val wl = array(w.toSeq.map(lit): _*)
+    val scored = qcFeats(s, dir)
+      .withColumn("score", dot(col("xd"), wl))
+      .withColumn("sq", round(col("score") * lit(1e6)).cast("long"))
+    val pos = scored.filter(col("y") === 1.0)
+      .agg(sum(col("sq")).as("spq"), count(lit(1)).as("np"))
+      .head()
+    val (spq, np) = (pos.getLong(0), pos.getLong(1))
+    scored
+      .select(col("doc_id"), col("y").cast("long").as("label"),
+        round(col("score"), 6).as("score"),
+        when(col("sq") * lit(np) >= lit(spq), "head")
+          .when(col("sq") * lit(np) * 2 >= lit(spq), "middle")
+          .otherwise("tail").as("bucket"),
+        when(col("sq") * lit(np) * 2 >= lit(spq), 1L).otherwise(0L)
+          .as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** The unrolled trainer + scorer chain: w0 = 0, per step t the
+    * margins come from an ORDERED list dot (same sequential
+    * accumulation as the fused Spark dot), the gradient from the
+    * quantized integer sum, the update from the same
+    * `w − 0.5·(g/n)` expression the driver evaluates. */
+  lazy val q140Sql: String = {
+    def step(t: Int): String = {
+      val prev = s"w${t - 1}"
+      s"""wl${t - 1} AS (SELECT list(w ORDER BY j) AS wv FROM $prev),
+       r$t AS (SELECT f.doc_id, list_dot_product(f.xv, wl.wv) - l.y AS resid
+         FROM xs f CROSS JOIN wl${t - 1} wl JOIN lab l ON f.doc_id = l.doc_id),
+       g$t AS (SELECT d.j,
+           CAST(SUM(CAST(round(r.resid * d.x * 1000000.0) AS BIGINT)) AS DOUBLE) / 1e6 AS gsum
+         FROM r$t r JOIN vf d ON r.doc_id = d.doc_id GROUP BY d.j),
+       w$t AS (SELECT w.j, w.w - $qcLr * (g.gsum / n.n) AS w
+         FROM $prev w JOIN g$t g ON w.j = g.j CROSS JOIN nt n)"""
+    }
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       ${graft.RetrievalQueries.embedCteSql("base", "text", 64, "")},
+       lab AS (SELECT doc_id,
+           CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+         FROM documents),
+       xs AS (SELECT doc_id, list(x ORDER BY j) AS xv FROM vf GROUP BY doc_id),
+       nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+       w0 AS (SELECT CAST(unnest(generate_series(0, 63)) AS INT) AS j, 0.0 AS w),
+       ${(1 to qcSteps).map(step).mkString(",\n       ")},
+       wl$qcSteps AS (SELECT list(w ORDER BY j) AS wv FROM w$qcSteps),
+       sc AS (SELECT f.doc_id, list_dot_product(f.xv, wl.wv) AS score
+         FROM xs f CROSS JOIN wl$qcSteps wl),
+       scq AS (SELECT doc_id, score,
+           CAST(round(score * 1000000.0) AS BIGINT) AS sq FROM sc),
+       pos AS (SELECT SUM(s.sq) AS spq, CAST(COUNT(*) AS BIGINT) AS np
+         FROM scq s JOIN lab l ON s.doc_id = l.doc_id WHERE l.y = 1.0)
+       SELECT s.doc_id, CAST(l.y AS BIGINT) AS label,
+         ROUND(s.score, 6) AS score,
+         CASE WHEN s.sq * p.np >= p.spq THEN 'head'
+              WHEN s.sq * p.np * 2 >= p.spq THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         CAST(CASE WHEN s.sq * p.np * 2 >= p.spq THEN 1 ELSE 0 END AS BIGINT) AS kept
+       FROM scq s JOIN lab l ON s.doc_id = l.doc_id CROSS JOIN pos p
+       ORDER BY s.doc_id"""
+  }
+
   /** Exact n-gram Jaccard over all pairs in a bounded id range —
     * the verify-everything variant for small candidate sets. */
   def q34NgramJaccard(s: SparkSession, dir: String): DataFrame = {
@@ -1234,7 +1370,8 @@ object CurationQueries {
     "q130_stream_neardup_cumulative" -> (q130StreamNeardupCumulative _),
     "q136_stream_curation" -> (q136StreamCuration _),
     "q105_semantic_decon" -> (q105SemanticDecon _),
-    "q139_semdedup" -> (q139SemDedup _))
+    "q139_semdedup" -> (q139SemDedup _),
+    "q140_quality_classifier" -> (q140QualityClassifier _))
 
   val oracle: Map[String, String] = Map(
     "q22_text_stats" -> q22Sql,
@@ -1254,5 +1391,6 @@ object CurationQueries {
     "q130_stream_neardup_cumulative" -> q130Sql,
     "q136_stream_curation" -> q136Sql,
     "q105_semantic_decon" -> q105Sql,
-    "q139_semdedup" -> q139Sql)
+    "q139_semdedup" -> q139Sql,
+    "q140_quality_classifier" -> q140Sql)
 }

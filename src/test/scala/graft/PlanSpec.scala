@@ -141,6 +141,17 @@ class PlanSpec extends SparkSpec {
       s"q139 degenerated to an all-pairs join:\n$p")
   }
 
+  test("q140: quality scoring is one fused-dot scan; the bucket cuts are scalar compares") {
+    val p = plan("q140_quality_classifier")
+    // training happened before the plan (64-double collects); the
+    // declared query must be scan + keyed label join + projection —
+    // no global window ranking the corpus, no pair join
+    assert(p.contains("graft_dot"), s"expected the fused dot scorer:\n$p")
+    assert(!p.contains("Window"), s"q140 grew a global ranking window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q140 degenerated to a pair join:\n$p")
+  }
+
   test("q138: BPE pack keeps the keyed encode join and the source-partitioned cumsum") {
     val p = plan("q138_bpe_pack")
     // the corpus meets the vocab through the word-keyed equi-join —
