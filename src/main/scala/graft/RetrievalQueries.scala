@@ -1064,6 +1064,101 @@ object RetrievalQueries {
                ROUND(sc, 6) AS score FROM sc)
        SELECT qid, vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY qid, rank"""
 
+  // ---------- q141: embedder-upgrade reindex lifecycle ----------
+
+  /** EMBEDDER UPGRADE — the one lifecycle event every other
+    * maintenance op (append q84, refresh q96, compact q109, requant
+    * q121) assumes away: the EMBEDDER ITSELF changes, every vector
+    * in the corpus must be re-derived, and the at-rest index must
+    * swap to the new geometry without a serving gap. The codes
+    * cannot re-derive themselves (the q121 lesson, one level up):
+    * the rebuild sources from the TEXT — the full-precision truth —
+    * re-embeds under the v2 featurizer, and stages a complete
+    * (centroids, lists) generation which [[graft.search.IVF
+    * .writeIndexFrom]] commits with the atomic CURRENT flip. A
+    * reader that pinned the pre-upgrade generation KEEPS SERVING the
+    * v1 snapshot through the grace window — witnessed here by
+    * running the pinned v1 search AFTER the flip — while new readers
+    * resolve the pointer and serve v2. Output is both serves under a
+    * phase column, BOTH legs fully oracled: the v2 "upgrade" is the
+    * same portable featurizer over version-prefixed text ('v2 ' ||
+    * text) — deterministic, genuinely different vectors, and exactly
+    * SQL-replayable, the [[graft.embed.Embedder]] trait's slot for a
+    * real model swap. Reference analogy: swapping the
+    * SentenceTransformer checkpoint under `src/pipeline/pipeline
+    * .py:80-104` invalidates the FAISS index wholesale — the
+    * reference would rebuild and atomically... restart; this is that
+    * event made a zero-downtime index lifecycle op. */
+  def q141EmbedderUpgrade(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.Tables.load(s, dir, "documents")
+    def feats(df: org.apache.spark.sql.DataFrame) =
+      graft.embed.Embed.embedDocs(df, "doc_id", "text",
+          new graft.embed.PortableHashEmbedder(64))
+        .select(col("doc_id"), col("vec").cast("array<double>").as("v"))
+        .localCheckpoint()
+    val v1 = feats(d)
+    val path = PipelineQueries.roundtripPath(dir, "q141")
+    graft.search.IVF.writeIndex(v1, "doc_id", "v", ivfK, 0, path)
+    val pin = graft.search.IVF.currentGeneration(path)
+    val q1 = v1.filter(col("doc_id") === 1).select(col("v").as("qv"))
+    // THE UPGRADE: re-embed from text under v2, staged generation +
+    // atomic flip (writeIndexFrom's live-rebuild path)
+    val v2 = feats(d.select(col("doc_id"),
+      concat(lit("v2 "), col("text")).as("text")))
+    val c2 = graft.search.IVF.centroids(v2, "doc_id", "v", ivfK)
+    graft.search.IVF.writeIndexFrom(c2,
+      graft.search.IVF.assign(v2, "doc_id", "v", c2), path)
+    require(graft.search.IVF.currentGeneration(path) != pin,
+      "q141: the upgrade must commit a new generation through the CURRENT flip")
+    val q2 = v2.filter(col("doc_id") === 1).select(col("v").as("qv"))
+    // pinned v1 serve AFTER the flip (snapshot isolation across the
+    // upgrade) UNION the current v2 serve (the upgraded geometry)
+    graft.search.IVF.searchIndexPinned(s, path, pin, "doc_id", "v",
+        q1, "qv", 10, ivfProbe)
+      .withColumn("phase", lit("pinned_v1"))
+      .unionAll(
+        graft.search.IVF.searchIndex(s, path, "doc_id", "v",
+            q2, "qv", 10, ivfProbe)
+          .withColumn("phase", lit("current_v2")))
+      .select(col("phase"), col("doc_id"), col("rank"), col("score"))
+      .orderBy("phase", "rank")
+  }
+
+  /** Both legs replayed end to end: features from the portable
+    * embed CTE (v2's text is "'v2 ' || text"), then q45's
+    * centroid/assign/probe/top-k chain per leg. */
+  lazy val q141Sql: String = {
+    def leg(p: String, textExpr: String, phase: String): String =
+      s"""${graft.RetrievalQueries.embedCteSql("base", textExpr, 64, p)},
+       ${p}xs AS (SELECT doc_id, list(x ORDER BY j) AS v FROM ${p}vf GROUP BY doc_id),
+       ${p}c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648, doc_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM ${p}xs) WHERE cid < $ivfK),
+       ${p}a AS (SELECT doc_id, v, cid FROM (
+           SELECT x.doc_id, x.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY x.doc_id
+               ORDER BY list_dot_product(x.v, c.cvec) DESC, c.cid) AS r
+           FROM ${p}xs x, ${p}c c) WHERE r = 1),
+       ${p}q AS (SELECT v AS qv FROM ${p}xs WHERE doc_id = 1),
+       ${p}pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM ${p}c c, ${p}q q) WHERE r <= $ivfProbe),
+       ${p}sc AS (SELECT a.doc_id, list_dot_product(a.v, pr.qv) AS sc
+           FROM ${p}a a JOIN ${p}pr pr ON a.cid = pr.cid),
+       ${p}r AS (SELECT '$phase' AS phase, doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS BIGINT) AS rank,
+           ROUND(sc, 6) AS score FROM ${p}sc)"""
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       ${leg("u1", "text", "pinned_v1")},
+       ${leg("u2", "'v2 ' || text", "current_v2")}
+       SELECT phase, doc_id, rank, score FROM u1r WHERE rank <= 10
+       UNION ALL
+       SELECT phase, doc_id, rank, score FROM u2r WHERE rank <= 10
+       ORDER BY phase, rank"""
+  }
+
   /** R2 (third scale path): product-quantization ADC search — a
     * 16-entry codebook over 8 subspaces of 8 dims, every data vector
     * scored through its reconstruction. Same query point as q45 so
@@ -3327,7 +3422,8 @@ $sqRows)
     "q129_graph_filtered" -> (q129GraphFiltered _),
     "q133_sq_compact" -> (q133SqCompact _),
     "q134_ivf_multi" -> (q134IvfMulti _),
-    "q135_sq_multi" -> (q135SqMulti _))
+    "q135_sq_multi" -> (q135SqMulti _),
+    "q141_embedder_upgrade" -> (q141EmbedderUpgrade _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
@@ -3361,6 +3457,7 @@ $sqRows)
     "q133_sq_compact" -> q133Sql,
     "q134_ivf_multi" -> q134Sql,
     "q135_sq_multi" -> q135Sql,
+    "q141_embedder_upgrade" -> q141Sql,
     "q118_rrf_fusion" -> q118Sql,
     "q119_parent_doc" -> q119Sql,
     "q123_late_interaction" -> q123Sql,
