@@ -2655,6 +2655,78 @@ $sqRows)
                     ROUND(s, 6) AS score FROM f)
        SELECT id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  // ---------- q142: hybrid serving from at-rest indexes ----------
+
+  /** THE PRODUCTION RAG SERVING PATH — q118's fusion with BOTH legs
+    * reading AT-REST artifacts through their read contracts, because
+    * at 100 TB neither leg can afford a per-query corpus scan: the
+    * vector candidates come from the persisted IVF index via a
+    * PINNED generation read (resolve [[graft.search.IVF
+    * .currentGeneration]] once, serve through
+    * [[graft.search.IVF.searchIndexPinned]] — the long-running
+    * server's snapshot discipline, coherent across any concurrent
+    * compaction/rebuild flip), probing [[ivfProbe]] partition-pruned
+    * lists; the lexical candidates come from the materialized BM25
+    * postings (bucket-pruned term reads, q20's artifact); RRF fuses
+    * the two k-row rank lists. The exchange after the index reads is
+    * bounded by 2·[[rrfDepth]] rows. The oracle replays the IVF
+    * approximation exactly (q45's centroid/assign/probe chain at
+    * fusion depth) plus q118's postings scoring and fused
+    * arithmetic — so the hash gate certifies the SERVED
+    * approximation, not an idealized exact ranking. */
+  def q142PersistedRag(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = persistedListsPath(s, dir, "ivf_idx0", ivfCents0(s, dir))
+    val pin = graft.search.IVF.currentGeneration(path)
+    val vec = graft.search.IVF.searchIndexPinned(s, path, pin, "vec_id", "v",
+      e.filter(col("vec_id") === 0).select(col("v").as("qv")), "qv",
+      rrfDepth, ivfProbe)
+    val lex = BM25.searchIndexed(Queries.bm25Postings(s, dir),
+      Queries.bm25Stats(s, dir), Queries.bm25Terms, rrfDepth)
+    Hybrid.rrfFuse(vec, "vec_id", lex, "doc", rrfC, 10)
+      .orderBy("rank")
+  }
+
+  val q142Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       vs AS (SELECT a.vec_id, list_dot_product(a.v, pr.qv) AS sc
+              FROM a JOIN pr ON a.cid = pr.cid),
+       vr AS (SELECT vec_id AS id, rank FROM (
+           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS rank
+           FROM vs) WHERE rank <= $rrfDepth),
+       d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       corpus AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d),
+       post AS (SELECT doc_id, len(toks) AS len, UNNEST(toks) AS term FROM d),
+       tf AS (SELECT doc_id, len, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM post
+              WHERE term IN ('spark', 'hash', 'join') GROUP BY doc_id, len, term),
+       stats AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+       idf AS (SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf FROM stats, corpus),
+       sc AS (SELECT doc_id, SUM(idf * tf * 2.5 / (tf + 1.5 * (1.0 - 0.75 + 0.75 * len / avgdl))) AS score
+              FROM tf JOIN idf USING (term), corpus GROUP BY doc_id),
+       lr AS (SELECT doc_id AS id, rank FROM (
+           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+           WHERE rank <= $rrfDepth),
+       f AS (SELECT COALESCE(v.id, l.id) AS id,
+           COALESCE(1.0 / ($rrfC + v.rank), 0.0) + COALESCE(1.0 / ($rrfC + l.rank), 0.0) AS s
+         FROM vr v FULL OUTER JOIN lr l ON v.id = l.id),
+       r AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, id) AS BIGINT) AS rank,
+                    ROUND(s, 6) AS score FROM f)
+       SELECT id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
   // ---------- q123: late-interaction (MaxSim) retrieval ----------
 
   /** LATE-INTERACTION retrieval (the ColBERT MaxSim scoring shape,
@@ -3423,7 +3495,8 @@ $sqRows)
     "q133_sq_compact" -> (q133SqCompact _),
     "q134_ivf_multi" -> (q134IvfMulti _),
     "q135_sq_multi" -> (q135SqMulti _),
-    "q141_embedder_upgrade" -> (q141EmbedderUpgrade _))
+    "q141_embedder_upgrade" -> (q141EmbedderUpgrade _),
+    "q142_persisted_rag" -> (q142PersistedRag _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
@@ -3458,6 +3531,7 @@ $sqRows)
     "q134_ivf_multi" -> q134Sql,
     "q135_sq_multi" -> q135Sql,
     "q141_embedder_upgrade" -> q141Sql,
+    "q142_persisted_rag" -> q142Sql,
     "q118_rrf_fusion" -> q118Sql,
     "q119_parent_doc" -> q119Sql,
     "q123_late_interaction" -> q123Sql,

@@ -141,6 +141,20 @@ class PlanSpec extends SparkSpec {
       s"q139 degenerated to an all-pairs join:\n$p")
   }
 
+  test("q142: both serving legs read pruned at-rest artifacts; fusion joins k-row lists") {
+    val p = plan("q142_persisted_rag")
+    // vector leg: the pinned IVF lists scan is partition-pruned to
+    // the probed cids; lexical leg: the postings scan stays
+    // bucket-pruned (the bkt filter); fusion is a full outer join of
+    // two k-row rank lists — nothing corpus-sized crosses an exchange
+    assert(p.contains("dynamicpruning") || p.contains("PartitionFilters: [isnotnull(cid"),
+      s"expected partition pruning on cid in the IVF leg:\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"expected the bucket-pruned postings leg:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q142 degenerated to an unkeyed join:\n$p")
+  }
+
   test("q140: quality scoring is one fused-dot scan; the bucket cuts are scalar compares") {
     val p = plan("q140_quality_classifier")
     // training happened before the plan (64-double collects); the
