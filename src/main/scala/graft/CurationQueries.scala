@@ -922,6 +922,9 @@ object CurationQueries {
       .withColumn("pos", row_number().over(
         Window.partitionBy("cid").orderBy(col("csim").asc, col("vec_id").asc)))
       .select(col("vec_id"), col("cid"), col("v"), col("n"), col("pos"))
+      // consumed three times (both triangular-join sides + the final
+      // left join): checkpoint so the assignment + window run once
+      .localCheckpoint()
     val prior = p
       .select(col("cid"), col("pos").as("p1"), col("v").as("v1"), col("n").as("n1"))
       .join(p.select(col("cid"), col("vec_id"), col("pos").as("p2"),
@@ -1054,15 +1057,26 @@ object CurationQueries {
     val pos = scored.filter(col("y") === 1.0)
       .agg(sum(col("sq")).as("spq"), count(lit(1)).as("np"))
       .head()
-    val (spq, np) = (pos.getLong(0), pos.getLong(1))
+    // a corpus with NO reference-domain docs has no threshold: every
+    // doc is tail (the SQL's NULL comparisons land there too)
+    val (spq, np) =
+      if (pos.isNullAt(0)) (0L, 0L) else (pos.getLong(0), pos.getLong(1))
+    // tail is decided FIRST: with a negative reference mean the head
+    // cut (≥ mean) is WEAKER than the middle cut (≥ mean/2), so a
+    // head-ordered CASE could emit bucket='head' with kept=0 —
+    // tail-first keeps head ⊆ middle ⊆ kept at any mean sign
+    val bucket =
+      if (np == 0L) lit("tail")
+      else when(col("sq") * lit(np) * 2 < lit(spq), "tail")
+        .when(col("sq") * lit(np) >= lit(spq), "head")
+        .otherwise("middle")
+    val kept =
+      if (np == 0L) lit(0L)
+      else when(col("sq") * lit(np) * 2 >= lit(spq), 1L).otherwise(0L)
     scored
       .select(col("doc_id"), col("y").cast("long").as("label"),
-        round(col("score"), 6).as("score"),
-        when(col("sq") * lit(np) >= lit(spq), "head")
-          .when(col("sq") * lit(np) * 2 >= lit(spq), "middle")
-          .otherwise("tail").as("bucket"),
-        when(col("sq") * lit(np) * 2 >= lit(spq), 1L).otherwise(0L)
-          .as("kept"))
+        round(col("score"), 6).as("score"), bucket.as("bucket"),
+        kept.as("kept"))
       .orderBy("doc_id")
   }
 
@@ -1101,10 +1115,10 @@ object CurationQueries {
          FROM scq s JOIN lab l ON s.doc_id = l.doc_id WHERE l.y = 1.0)
        SELECT s.doc_id, CAST(l.y AS BIGINT) AS label,
          ROUND(s.score, 6) AS score,
-         CASE WHEN s.sq * p.np >= p.spq THEN 'head'
-              WHEN s.sq * p.np * 2 >= p.spq THEN 'middle'
-              ELSE 'tail' END AS bucket,
-         CAST(CASE WHEN s.sq * p.np * 2 >= p.spq THEN 1 ELSE 0 END AS BIGINT) AS kept
+         CASE WHEN p.np = 0 OR s.sq * p.np * 2 < p.spq THEN 'tail'
+              WHEN s.sq * p.np >= p.spq THEN 'head'
+              ELSE 'middle' END AS bucket,
+         CAST(CASE WHEN p.np > 0 AND s.sq * p.np * 2 >= p.spq THEN 1 ELSE 0 END AS BIGINT) AS kept
        FROM scq s JOIN lab l ON s.doc_id = l.doc_id CROSS JOIN pos p
        ORDER BY s.doc_id"""
   }

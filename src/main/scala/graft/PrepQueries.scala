@@ -613,7 +613,7 @@ object PrepQueries {
     val drawn = q117BackHalf(
       vetted.select(col("doc_id"), col("source"), col("ck"),
         col("ctext").as("text")))
-    val train = drawn.filter(md5Slice(col("ck"), 1) % 100 < 80)
+    val train = drawn.filter(ckSplit === "train")
       .select(col("doc_id"))
     packWindowsOver(
       train.join(vetted.select(col("doc_id"), col("source"), col("ctext")),
@@ -690,6 +690,16 @@ object PrepQueries {
 
   private def md5Slice(c: Column, from: Int): Column =
     conv(substring(md5(c.cast("string")), from, 8), 16, 10).cast("long")
+
+  /** THE component-keyed split rule — ONE definition for every path
+    * that assigns or filters splits (q115's manifest, q117's split
+    * frame, q137's streamed train slice), so the 80/10/10 cuts and
+    * the md5 window cannot drift between the batch and stream
+    * paths. Keyed on the `ck` column. */
+  private def ckSplit: Column = {
+    val bucket = md5Slice(col("ck"), 1) % 100
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
 
   /** Reproducible training order: every doc hashes to a shard
     * (md5 % S) and to a within-shard position (a DIFFERENT md5
@@ -1307,11 +1317,8 @@ object PrepQueries {
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("component"), col("doc_id")).as("ck"))
-    val bucket = md5Slice(col("ck"), 1) % 100
     val split = keyed
-      .select(col("doc_id"), col("lang"), col("ck"),
-        when(bucket < 80, "train").when(bucket < 90, "val")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), col("lang"), col("ck"), ckSplit.as("split"))
     // the no-straddle gate: every component lands in exactly one split
     require(split.groupBy("ck")
         .agg(count_distinct(col("split")).as("ns"))
@@ -1397,9 +1404,7 @@ object PrepQueries {
   private def q117SplitFrame(s: SparkSession, dir: String): DataFrame =
     Memo.cached(s, dir, "q117_split") {
       val drawn = q117Drawn(s, dir)
-      val bucket = md5Slice(col("ck"), 1) % 100
-      val splitDf = drawn.withColumn("split",
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      val splitDf = drawn.withColumn("split", ckSplit)
       require(splitDf.groupBy("ck")
           .agg(count_distinct(col("split")).as("ns"))
           .filter(col("ns") > 1).isEmpty,
