@@ -1048,23 +1048,31 @@ object CurationQueries {
     * filter or the bucket-conditional sampling CCNet prescribes.
     * The whole thing — features, 3 training steps, scores, the
     * threshold — replays in ONE oracle query. */
-  def q140QualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    val w = qcWeights(s, dir)
-    val wl = array(w.toSeq.map(lit): _*)
-    val scored = qcFeats(s, dir)
-      .withColumn("score", dot(col("xd"), wl))
-      .withColumn("sq", round(col("score") * lit(1e6)).cast("long"))
-    val pos = scored.filter(col("y") === 1.0)
-      .agg(sum(col("sq")).as("spq"), count(lit(1)).as("np"))
-      .head()
-    // a corpus with NO reference-domain docs has no threshold: every
-    // doc is tail (the SQL's NULL comparisons land there too)
-    val (spq, np) =
-      if (pos.isNullAt(0)) (0L, 0L) else (pos.getLong(0), pos.getLong(1))
-    // tail is decided FIRST: with a negative reference mean the head
-    // cut (≥ mean) is WEAKER than the middle cut (≥ mean/2), so a
-    // head-ordered CASE could emit bucket='head' with kept=0 —
-    // tail-first keeps head ⊆ middle ⊆ kept at any mean sign
+  /** The STANDING MODEL artifact — weights plus the reference-domain
+    * threshold aggregate (ΣposQ, nPos), trained/derived ONCE per
+    * session × corpus: q140 scores the corpus with it in batch, q143
+    * scores the live stream under it. A no-reference corpus yields
+    * (w, 0, 0) — no threshold, every doc is tail (the SQL's NULL
+    * comparisons land there too). */
+  private def qcModel(s: SparkSession, dir: String): (Array[Double], Long, Long) =
+    Memo.cachedValue(s, dir, "qc_model") {
+      val w = qcWeights(s, dir)
+      val wl = array(w.toSeq.map(lit): _*)
+      val pos = qcFeats(s, dir).filter(col("y") === 1.0)
+        .agg(sum(round(dot(col("xd"), wl) * lit(1e6)).cast("long")).as("spq"),
+          count(lit(1)).as("np"))
+        .head()
+      if (pos.isNullAt(0)) (w, 0L, 0L) else (w, pos.getLong(0), pos.getLong(1))
+    }
+
+  /** The per-document audit projection over a scored frame
+    * (doc_id, y, score, sq) — ONE definition for the batch (q140)
+    * and streamed (q143) paths. Tail is decided FIRST: with a
+    * negative reference mean the head cut (≥ mean) is WEAKER than
+    * the middle cut (≥ mean/2), so a head-ordered CASE could emit
+    * bucket='head' with kept=0 — tail-first keeps
+    * head ⊆ middle ⊆ kept at any mean sign. */
+  private def qcAudit(scored: DataFrame, spq: Long, np: Long): DataFrame = {
     val bucket =
       if (np == 0L) lit("tail")
       else when(col("sq") * lit(np) * 2 < lit(spq), "tail")
@@ -1073,11 +1081,65 @@ object CurationQueries {
     val kept =
       if (np == 0L) lit(0L)
       else when(col("sq") * lit(np) * 2 >= lit(spq), 1L).otherwise(0L)
-    scored
-      .select(col("doc_id"), col("y").cast("long").as("label"),
-        round(col("score"), 6).as("score"), bucket.as("bucket"),
-        kept.as("kept"))
-      .orderBy("doc_id")
+    scored.select(col("doc_id"), col("y").cast("long").as("label"),
+      round(col("score"), 6).as("score"), bucket.as("bucket"),
+      kept.as("kept"))
+  }
+
+  def q140QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val (w, spq, np) = qcModel(s, dir)
+    val wl = array(w.toSeq.map(lit): _*)
+    val scored = qcFeats(s, dir)
+      .withColumn("score", dot(col("xd"), wl))
+      .withColumn("sq", round(col("score") * lit(1e6)).cast("long"))
+    qcAudit(scored, spq, np).orderBy("doc_id")
+  }
+
+  /** STREAMING SCORING UNDER THE STANDING MODEL — the q127/q128
+    * standing-artifact discipline applied to the TRAINED model,
+    * completing the live-ingest matrix for every at-rest artifact
+    * family (standing quantizer q127, standing bounds q128, standing
+    * routing q99, standing registers q130/q136, standing WEIGHTS +
+    * THRESHOLD here): re-training or re-thresholding per batch would
+    * silently score two arrivals of the same document under two
+    * different models, exactly as per-batch bounds would re-scale
+    * q128's codes. Documents drain as four id-ordered micro-batches;
+    * each batch embeds and scores INSIDE foreachBatch under the
+    * standing (w, ΣposQ, nPos) literals and appends its audit rows
+    * to the scored table — per-trigger cost is batch-sized, the
+    * model is driver-held (64 doubles + 2 longs). The staged stream
+    * is the training corpus itself, so the drained table must equal
+    * q140's batch scoring ROW FOR ROW — and the oracle IS q140's SQL
+    * (the stream-equals-batch gate made total); at 100 TB the same
+    * drain scores NEW documents under the deployed model. */
+  def q143StreamScoring(s: SparkSession, dir: String): DataFrame = {
+    val (w, spq, np) = qcModel(s, dir)
+    val wl = array(w.toSeq.map(lit): _*)
+    val stage = q136Stage(s, dir)
+    val out = PipelineQueries.roundtripPath(dir, "q143")
+    graft.FileTree.delete(new java.io.File(out))
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    var batches = 0
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, _) => {
+      batches += 1
+      val scoredB = graft.embed.Embed.embedDocs(batch, "doc_id", "text",
+          new graft.embed.PortableHashEmbedder(64))
+        .select(col("doc_id"), col("vec").cast("array<double>").as("xd"))
+        .join(batch.select(col("doc_id"),
+          when(col("source") === "src0", 1.0).otherwise(0.0).as("y")),
+          "doc_id")
+        .withColumn("score", dot(col("xd"), wl))
+        .withColumn("sq", round(col("score") * lit(1e6)).cast("long"))
+      qcAudit(scoredB, spq, np).write.mode("append").parquet(out)
+    })
+    require(batches == 4, s"q143: expected a 4-batch drain, got $batches")
+    val drained = s.read.parquet(out)
+    val n = Memo.cachedCount(s, dir, "docs_n")(docs(s, dir).count())
+    require(drained.count() == n,
+      s"q143: drained ${drained.count()} scored rows for a $n-doc corpus")
+    drained.orderBy("doc_id")
   }
 
   /** The unrolled trainer + scorer chain: w0 = 0, per step t the
@@ -1385,7 +1447,8 @@ object CurationQueries {
     "q136_stream_curation" -> (q136StreamCuration _),
     "q105_semantic_decon" -> (q105SemanticDecon _),
     "q139_semdedup" -> (q139SemDedup _),
-    "q140_quality_classifier" -> (q140QualityClassifier _))
+    "q140_quality_classifier" -> (q140QualityClassifier _),
+    "q143_stream_scoring" -> (q143StreamScoring _))
 
   val oracle: Map[String, String] = Map(
     "q22_text_stats" -> q22Sql,
@@ -1406,5 +1469,6 @@ object CurationQueries {
     "q136_stream_curation" -> q136Sql,
     "q105_semantic_decon" -> q105Sql,
     "q139_semdedup" -> q139Sql,
-    "q140_quality_classifier" -> q140Sql)
+    "q140_quality_classifier" -> q140Sql,
+    "q143_stream_scoring" -> q140Sql)
 }
