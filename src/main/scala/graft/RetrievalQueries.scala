@@ -2727,6 +2727,89 @@ $sqRows)
                     ROUND(s, 6) AS score FROM f)
        SELECT id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  // ---------- q144: deletion from the at-rest index ----------
+
+  /** DELETE FROM THE LIVE INDEX — the right-to-be-forgotten quarter
+    * the lifecycle matrix was missing (build q54 → append q84 →
+    * refresh q96 → compact q109 → stream q127 → upgrade q141 → DELETE
+    * here): a request-sized id set must leave the at-rest index as if
+    * those vectors were never ingested, without rewriting anything
+    * else. [[graft.search.IVF.deleteFromIndex]] finds the touched
+    * lists by one broadcast semi-join and rewrites ONLY those
+    * partitions (dynamic partition overwrite over a cid-pruned read;
+    * lists emptied by the delete are dropped explicitly, since
+    * dynamic overwrite only replaces partitions present in the
+    * write). The quantizer stands — deletion never changes geometry.
+    * In-query gates are meta-level: the deleted count matches the
+    * request∩index, total mass drops by exactly that count, and
+    * every UNTOUCHED list's files are byte-identical by driver
+    * listing (name, length, mtime — the write-scope pin). The served
+    * search hash-matches the SQL replay with the delete predicate
+    * applied to the lists — the index answers as if the ids never
+    * existed. The same function deletes from SQ8's lists (shared
+    * layout, idCol = "id"). */
+  def q144IndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q144")
+    graft.FileTree.delete(new java.io.File(path))
+    graft.search.IVF.writeIndexFrom(ivfCents0(s, dir), ivfAssigned0(s, dir), path)
+    val lp = graft.search.IVF.listsPath(path)
+    val before = s.read.parquet(lp).count()
+    val delIds = e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+    val nReq = Memo.cachedCount(s, dir, "q144_ndel")(delIds.count())
+    val touched = s.read.parquet(lp)
+      .join(broadcast(delIds), Seq("vec_id"), "left_semi")
+      .select(col("cid").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    def untouchedSnap(): Map[String, Seq[(String, Long, Long)]] =
+      Option(new java.io.File(lp).listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.startsWith("cid=") &&
+          !touched.contains(d.getName.stripPrefix("cid=").toLong))
+        .map(d => d.getName ->
+          Option(d.listFiles()).toSeq.flatten.filter(_.isFile)
+            .map(f => (f.getName, f.length(), f.lastModified()))
+            .sortBy(_._1))
+        .toMap
+    val snapBefore = untouchedSnap()
+    val nDel = graft.search.IVF.deleteFromIndex(s, path, delIds, "vec_id")
+    require(nDel == nReq,
+      s"q144: deleted $nDel of a $nReq-id request fully inside the index")
+    require(s.read.parquet(lp).count() == before - nDel,
+      "q144: total list mass must drop by exactly the deleted count")
+    require(untouchedSnap() == snapBefore,
+      "q144: an untouched list's files changed — the delete must rewrite only touched lists")
+    graft.search.IVF.searchIndex(s, path, "vec_id", "v",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+      10, ivfProbe)
+      .orderBy("rank")
+  }
+
+  /** q45's replay with the delete predicate applied to the LISTS
+    * (the quantizer stands): the index must answer as if the ids
+    * were never ingested. */
+  val q144Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       d AS (SELECT * FROM a WHERE NOT (vec_id % 7 = 3)),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       sc AS (SELECT d.vec_id, list_dot_product(d.v, pr.qv) AS sc
+              FROM d JOIN pr ON d.cid = pr.cid),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
   // ---------- q123: late-interaction (MaxSim) retrieval ----------
 
   /** LATE-INTERACTION retrieval (the ColBERT MaxSim scoring shape,
@@ -3496,7 +3579,8 @@ $sqRows)
     "q134_ivf_multi" -> (q134IvfMulti _),
     "q135_sq_multi" -> (q135SqMulti _),
     "q141_embedder_upgrade" -> (q141EmbedderUpgrade _),
-    "q142_persisted_rag" -> (q142PersistedRag _))
+    "q142_persisted_rag" -> (q142PersistedRag _),
+    "q144_index_delete" -> (q144IndexDelete _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
@@ -3532,6 +3616,7 @@ $sqRows)
     "q135_sq_multi" -> q135Sql,
     "q141_embedder_upgrade" -> q141Sql,
     "q142_persisted_rag" -> q142Sql,
+    "q144_index_delete" -> q144Sql,
     "q118_rrf_fusion" -> q118Sql,
     "q119_parent_doc" -> q119Sql,
     "q123_late_interaction" -> q123Sql,

@@ -243,6 +243,50 @@ object IVF {
       .write.mode("append").partitionBy("cid").parquet(listsPath(path))
   }
 
+  /** DELETE ids from the live lists — the right-to-be-forgotten
+    * lifecycle op: the delete set is request-sized (broadcast), the
+    * touched lists are found by one semi-join, and ONLY those
+    * partitions rewrite (dynamic partition overwrite over a
+    * cid-pruned read) — an untouched list's files are never opened,
+    * so delete cost tracks the touched lists, not the index. A list
+    * whose every member is deleted writes no rows under dynamic
+    * overwrite (which only replaces partitions PRESENT in the write),
+    * so emptied lists are dropped by an explicit parts-bounded
+    * directory delete. The quantizer stands — deletion never changes
+    * geometry, exactly as appends assign under the standing
+    * centroids. Returns the deleted row count. Works on any index
+    * sharing the cid-partitioned list layout (SQ8's lists qualify,
+    * with idCol = "id"). */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      ids: DataFrame, idCol: String): Long = {
+    val lp = listsPath(path)
+    val lists = spark.read.parquet(lp)
+    val touched = lists.join(broadcast(ids), Seq(idCol), "left_semi")
+      .groupBy("cid").agg(count(lit(1)).as("ndel"))
+      .collect().map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+    if (touched.isEmpty) return 0L
+    val touchedCids = touched.keySet.toSeq
+    val retained = lists
+      .filter(col("cid").cast("long").isin(touchedCids: _*))
+      .join(broadcast(ids), Seq(idCol), "left_anti")
+      .repartition(col("cid")) // one file per rewritten list
+      // materialize BEFORE overwriting the frame's own source files
+      // (the self-overwrite guard); the checkpoint holds only the
+      // TOUCHED lists, request-scoped by construction — a delete set
+      // large enough to touch most lists should stage a generation
+      // (writeIndexFrom) instead
+      .localCheckpoint()
+    val kept = retained.select(col("cid").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    retained.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cid").parquet(lp)
+    // lists emptied by the delete wrote no partition: drop their dirs
+    touchedCids.filterNot(kept).foreach(c =>
+      graft.FileTree.delete(new java.io.File(s"$lp/cid=$c")))
+    touched.values.sum
+  }
+
   /** The LIVE generation pair: maintenance ops write each new
     * generation under fresh versioned names and flip the one-line
     * `$path/CURRENT` pointer (`"<listsName> <centroidsName>"`) to it;

@@ -274,6 +274,41 @@ class SearchSpec extends SparkSpec {
     assert(spark.read.parquet(IVF.listsPath(appended)).count() == emb.count())
   }
 
+  test("IVF delete: equals rebuild-without-them, empties whole lists, ignores absent ids") {
+    import graft.search.IVF
+    val cents = IVF.centroids(emb, "vec_id", "v", 8).localCheckpoint()
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+    IVF.writeIndexFrom(cents, IVF.assign(emb, "vec_id", "v", cents), path)
+    // delete EVERY member of one list (the emptied-list branch) plus
+    // a spread set, and two ids the index never held
+    val lists = spark.read.parquet(IVF.listsPath(path))
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+    val victimCid = lists.groupBy("cid").count()
+      .orderBy(col("count").asc, col("cid").asc).head().getLong(0)
+    val doomed = lists.filter(col("cid") === victimCid).select("vec_id")
+      .unionAll(emb.filter(col("vec_id") % 11 === 5).select("vec_id"))
+      .distinct().localCheckpoint()
+    val nDoomed = doomed.count()
+    val absent = spark.range(10000000L, 10000002L).toDF("vec_id")
+    assert(IVF.deleteFromIndex(spark, path, absent, "vec_id") == 0L,
+      "deleting absent ids must be a no-op")
+    assert(IVF.deleteFromIndex(spark, path, doomed, "vec_id") == nDoomed)
+    // the emptied list's directory is gone
+    assert(!new java.io.File(s"${IVF.listsPath(path)}/cid=$victimCid").exists(),
+      "a fully-deleted list must drop its directory")
+    // search equals an index built without the doomed ids
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_ivf_del_rb").toString
+    IVF.writeIndexFrom(cents,
+      IVF.assign(emb.join(doomed, Seq("vec_id"), "left_anti"), "vec_id", "v", cents),
+      rebuilt)
+    val q = emb.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    def search(p: String) =
+      IVF.searchIndex(spark, p, "vec_id", "v", q, "qv", 10, 2)
+        .select("vec_id", "rank", "score")
+        .as[(Long, Long, Double)].collect().toSeq
+    assert(search(path) == search(rebuilt))
+  }
+
   test("IVF compaction generations: repeat compacts advance the pointer, appends land in the live one") {
     import graft.search.IVF
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_gen").toString
