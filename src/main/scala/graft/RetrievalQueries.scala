@@ -2810,6 +2810,68 @@ $sqRows)
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  // ---------- q145: graph-index deletion (tombstone + compact) ----------
+
+  /** DELETION FROM THE GRAPH INDEX — q144's lifecycle quarter for the
+    * family whose structure cannot drop rows in place (neighbors
+    * POINT AT the deleted node), run as the production two-phase
+    * pattern: TOMBSTONE (the request-sized id set lands in a sidecar;
+    * every serve anti-joins it before the top-k, so deleted content
+    * is hidden IMMEDIATELY while the nodes keep navigating traffic —
+    * ef ≫ k absorbs the dropped candidates) then COMPACT (touched
+    * cells rebuild their graphs over the remaining members — the same
+    * ascending-id pure-function-of-content build, so the compacted
+    * index equals a from-scratch rebuild of the corpus-without-them
+    * under the same routing, GraphAnnSpec pins it bit for bit —
+    * staged as a fresh generation and committed by the atomic CURRENT
+    * flip). In-query gates: the tombstoned serve returns none of the
+    * deleted ids; compaction flips the generation, clears the
+    * sidecar, and drops node mass by EXACTLY the deleted ids' replica
+    * copies (meta-level counts); and the post-compaction serve equals
+    * the tombstone-filtered serve ROW FOR ROW — hide-now ≡
+    * remove-later at the answer level, the witness that makes the
+    * two-phase design safe to serve through. Rows-only (graph
+    * construction is not SQL-expressible; the ✗-mark discipline). */
+  def q145GraphDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.search.GraphAnn
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q145")
+    cloneTree(graphIndexPath(s, dir), path)
+    val delIds = e.filter(col("vec_id") % 9 === 4).select(col("vec_id"))
+    val nReq = Memo.cachedCount(s, dir, "q145_ndel")(delIds.count())
+    val nodesBefore = s.read.parquet(GraphAnn.tablePath(path, "nodes"))
+    val massBefore = nodesBefore.count()
+    // every replica copy of a deleted id must go (column-pruned count)
+    val delCopies = nodesBefore
+      .join(broadcast(delIds.select(col("vec_id").as("id"))), Seq("id"),
+        "left_semi")
+      .count()
+    val present = GraphAnn.deleteFromIndex(s, path, delIds, "vec_id")
+    require(present == nReq,
+      s"q145: $present of the $nReq requested ids were in the index")
+    def serve() = GraphAnn.searchIndex(s, path, "vec_id",
+        e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+        10, graphEf, probeParts = graphProbeFor(s, dir))
+      .select(col("vec_id"), col("rank"), col("score"))
+    val hidden = serve().collect().toSeq
+    require(hidden.forall(_.getLong(0) % 9 != 4),
+      "q145: a tombstoned id surfaced in the served top-k")
+    val genBefore = GraphAnn.currentGeneration(path)
+    GraphAnn.compactTombstones(s, path)
+    require(GraphAnn.currentGeneration(path) != genBefore,
+      "q145: compaction must commit a new generation through the CURRENT flip")
+    require(!new java.io.File(GraphAnn.tablePath(path, "tombstones"))
+        .isDirectory,
+      "q145: the new generation must start with a clean tombstone sidecar")
+    require(s.read.parquet(GraphAnn.tablePath(path, "nodes")).count()
+        == massBefore - delCopies,
+      "q145: node mass must drop by exactly the deleted ids' replica copies")
+    val removed = serve().collect().toSeq
+    require(hidden == removed,
+      "q145: tombstone-filtered serving must equal physical removal row for row")
+    serve().orderBy("rank")
+  }
+
   // ---------- q123: late-interaction (MaxSim) retrieval ----------
 
   /** LATE-INTERACTION retrieval (the ColBERT MaxSim scoring shape,
@@ -3580,7 +3642,8 @@ $sqRows)
     "q135_sq_multi" -> (q135SqMulti _),
     "q141_embedder_upgrade" -> (q141EmbedderUpgrade _),
     "q142_persisted_rag" -> (q142PersistedRag _),
-    "q144_index_delete" -> (q144IndexDelete _))
+    "q144_index_delete" -> (q144IndexDelete _),
+    "q145_graph_delete" -> (q145GraphDelete _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,

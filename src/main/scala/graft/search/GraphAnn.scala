@@ -796,6 +796,93 @@ object GraphAnn {
                      outPath: String): Unit =
     refreshRoutingInto(spark, resolveRoot(path), parts, outPath)
 
+  /** TOMBSTONE DELETE — the right-to-be-forgotten op on the index
+    * family whose at-rest structure cannot drop rows in place: a
+    * graph node's neighbors POINT AT IT, so removing the row breaks
+    * the adjacency of every node that linked to it. The production
+    * pattern (FAISS IDMap remove / HNSW soft delete) is two-phase:
+    * (1) here, the request-sized id set lands in a `tombstones`
+    * sidecar of the LIVE generation — served beams exclude
+    * tombstoned ids (the k-filling is absorbed by ef ≫ k, the q129
+    * over-retrieval argument), while the nodes still participate in
+    * NAVIGATION (their edges route traffic — content is hidden
+    * immediately, structure is repaired later); (2)
+    * [[compactTombstones]] physically removes them. Deleting by id
+    * removes EVERY replica copy. Returns the count of distinct
+    * requested ids present in the index. */
+  def deleteFromIndex(spark: SparkSession, path: String,
+                      ids: DataFrame, idCol: String): Long = {
+    val root = resolveRoot(path)
+    requireRouted(root, "deleteFromIndex")
+    val tomb = ids.select(col(idCol).cast("long").as("id")).distinct()
+    tomb.coalesce(1).write.mode("append").parquet(s"$root/tombstones")
+    spark.read.parquet(s"$root/nodes").select(col("id")).distinct()
+      .join(broadcast(tomb), Seq("id"), "left_semi").count()
+  }
+
+  /** PHYSICAL REMOVAL of tombstoned nodes — the second phase: parts
+    * holding tombstoned ids rebuild their cell graphs over the
+    * REMAINING members (the same ascending-id pure-function-of-
+    * content build [[writeIndexWith]] runs, so the compacted index
+    * equals a from-scratch rebuild of the corpus-without-them under
+    * the same routing, BIT FOR BIT — GraphAnnSpec pins it);
+    * untouched parts carry over row-for-row without reading their
+    * vectors into a build. The staged generation commits with the
+    * atomic CURRENT flip (routing/params carried verbatim, meta
+    * recomputed, tombstones NOT carried — the new generation starts
+    * clean), the superseded generation surviving one grace cycle
+    * exactly like [[refreshRouting]]'s. A no-tombstone index is a
+    * no-op. */
+  def compactTombstones(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val prevGen = currentGeneration(path)
+    val root = genRoot(path, prevGen)
+    if (!new java.io.File(s"$root/tombstones").isDirectory) return
+    val tomb = spark.read.parquet(s"$root/tombstones")
+      .select(col("id")).distinct().localCheckpoint()
+    val paramsDf = spark.read.parquet(s"$root/params")
+    val (m, efC) = paramsDf.select(col("m").cast("int"), col("efC").cast("int"))
+      .as[(Int, Int)].head()
+    val nodes = spark.read.parquet(s"$root/nodes")
+      .select(col("part").cast("int").as("part"), col("id"), col("vec"),
+        col("nbrs"))
+    val touched = nodes.join(broadcast(tomb), Seq("id"), "left_semi")
+      .select(col("part")).distinct().as[Int].collect().toSet
+    val newGen = s"gen__v${nextGenVersion(path)}"
+    val out = s"$path/$newGen"
+    val touchedSeq = touched.toSeq.map(Integer.valueOf)
+    val untouched = nodes
+      .filter(!col("part").isin(touchedSeq: _*))
+      .select(col("part"), col("id"), col("vec"), col("nbrs"))
+    val rebuilt = nodes.filter(col("part").isin(touchedSeq: _*))
+      .join(broadcast(tomb), Seq("id"), "left_anti")
+      .select(col("part"), col("id"), col("vec").cast("array<double>"))
+      .repartition(math.max(1, touched.size), col("part"))
+      .as[(Int, Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (part, rows0) =>
+          val rows = rows0.sortBy(_._2)
+          val vecs = rows.map(_._3.toArray)
+          val graph = buildGraph(vecs, m, efC)
+          rows.indices.iterator.map(i => (part, rows(i)._2, rows(i)._3,
+            graph(i).toArray.map(j => rows(j)._2).sorted.toSeq))
+        }
+      }
+      .toDF("part", "id", "vec", "nbrs")
+    untouched.unionAll(rebuilt)
+      .write.mode("overwrite").partitionBy("part").parquet(s"$out/nodes")
+    spark.read.parquet(s"$root/routing").orderBy("part").coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/routing")
+    spark.read.parquet(s"$root/params").coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/params")
+    spark.read.parquet(s"$out/nodes")
+      .groupBy(col("part")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$out/meta")
+    flipCurrent(path, newGen)
+    staleGenerations(path, keep = Set(newGen, prevGen))
+      .foreach(graft.FileTree.delete)
+  }
+
   private def refreshRoutingInto(spark: SparkSession, root: String, parts: Int,
                                  outRoot: String): Unit = {
     import spark.implicits._
@@ -914,10 +1001,22 @@ object GraphAnn {
         // O(parts × queries × ef) candidate rows (bounded by design)
         // and is SKIPPED for replicas = 1 indexes, where no duplicate
         // can exist
-        case beams if replicas == 1 => beams
-        case beams => beams.groupBy("qid", "id").agg(max("score").as("score"))
+        case beams if replicas == 1 => dropTombstoned(spark, path, beams)
+        case beams => dropTombstoned(spark, path,
+          beams.groupBy("qid", "id").agg(max("score").as("score")))
       }
   }
+
+  /** Tombstoned ids are HIDDEN from every serve ([[deleteFromIndex]]'s
+    * phase 1): the request-sized sidecar anti-joins the candidate
+    * rows BEFORE the top-k, so ef ≫ k absorbs the dropped candidates;
+    * the nodes still navigate until [[compactTombstones]]. */
+  private def dropTombstoned(spark: SparkSession, root: String,
+                             beams: DataFrame): DataFrame =
+    if (!new java.io.File(s"$root/tombstones").isDirectory) beams
+    else beams.join(
+      broadcast(spark.read.parquet(s"$root/tombstones").select(col("id"))),
+      Seq("id"), "left_anti")
 
   /** Beam-search a persisted graph index for ONE query (Search.topK
     * output contract): per-query cost is the routed index scan +

@@ -250,6 +250,42 @@ class GraphAnnSpec extends SparkSpec {
     assert(top(pathA) == top(pathB))
   }
 
+  test("tombstone delete hides ids now; compaction equals rebuild-without-them bit for bit") {
+    val path = java.nio.file.Files.createTempDirectory("graphann_del").toString
+    GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, path)
+    val doomed = emb.filter(col("vec_id") % 9 === 4).select(col("vec_id"))
+    val nDoomed = doomed.count()
+    assert(GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id") == nDoomed)
+    def top(p: String) = GraphAnn.searchIndex(spark, p, "vec_id",
+        query(1), "qv", 10, ef = 48)
+      .select("vec_id", "rank", "score").as[(Long, Long, Double)]
+      .collect().toSeq.sortBy(_._2)
+    // phase 1: tombstoned ids never surface, k still fills
+    val hidden = top(path)
+    assert(hidden.size == 10 && hidden.forall(_._1 % 9 != 4),
+      s"tombstoned ids surfaced or k underfilled: $hidden")
+    // phase 2: physical removal — answers unchanged, and the index
+    // equals a from-scratch build of the corpus-without-them under
+    // the SAME routing
+    GraphAnn.compactTombstones(spark, path)
+    assert(top(path) == hidden, "compaction changed the served answers")
+    val rebuilt = java.nio.file.Files.createTempDirectory("graphann_del_rb").toString
+    GraphAnn.writeIndexWith(
+      spark.read.parquet(GraphAnn.tablePath(path, "routing")),
+      emb.join(doomed, Seq("vec_id"), "left_anti"), "vec_id", "v",
+      m = 8, efC = 48, rebuilt)
+    def nodes(p: String) = spark.read.parquet(GraphAnn.tablePath(p, "nodes"))
+      .select(col("part").cast("int"), col("id"), col("vec"), col("nbrs"))
+      .as[(Int, Long, Seq[Double], Seq[Long])].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(nodes(path) == nodes(rebuilt),
+      "compacted node/adjacency rows diverge from the rebuild-without-them")
+    // compacting a clean index is a no-op (pointer stays)
+    val gen = GraphAnn.currentGeneration(path)
+    GraphAnn.compactTombstones(spark, path)
+    assert(GraphAnn.currentGeneration(path) == gen)
+  }
+
   test("appendToIndex touches only the delta's parts and rejects interleaved ids") {
     val n = emb.count()
     val split = 4L * n / 5L
