@@ -470,7 +470,8 @@ object Queries {
     * IVF generation-GC discipline applies if cycles repeat). Returns
     * the live data path for file-count gates. */
   private[graft] def compactPostings(s: SparkSession, tbl: String,
-                                     path: String): String = {
+                                     path: String,
+                                     dropDocs: Option[DataFrame] = None): String = {
     val stage = tbl + "__stage"
     val old = tbl + "__old"
     s.sql(s"DROP TABLE IF EXISTS $stage")
@@ -482,7 +483,12 @@ object Queries {
     // instead of one per bucket; a plain parquet scan forces the real
     // exchange, and the bucket id is a pure function of term so the
     // re-hash re-derives exactly the same buckets
-    s.read.parquet(path)
+    val src = s.read.parquet(path)
+    // the rewrite reads every byte anyway, so physical deletion rides
+    // compaction for free (q146's phase 2 — the request-sized drop
+    // set broadcasts into the rewrite scan)
+    dropDocs.fold(src)(dd =>
+        src.join(broadcast(dd.select(col("doc"))), Seq("doc"), "left_anti"))
       .repartition(bm25Buckets, col("term"))
       .write.mode("overwrite")
       .option("path", stagePath)
@@ -526,6 +532,78 @@ object Queries {
     BM25.searchIndexed(post, BM25.statsFromPostings(post), bm25Terms, 20)
       .orderBy("rank")
   }
+
+  /** DELETION FROM THE BM25 POSTINGS — the lexical quarter of the
+    * delete lifecycle (q144 rewrites the IVF/SQ8 lists in place, q145
+    * tombstones the graph): a bucketed table's files are immutable
+    * too, so deletion is two-phase. Phase 1 TOMBSTONE: the deleted
+    * doc ids anti-join the postings BEFORE scoring — and because BOTH
+    * stats legs derive from the filtered frame
+    * ([[graft.lexical.BM25.statsFromPostings]] for N/avgdl, the df
+    * aggregate inside scoring), the tombstoned serve is EXACTLY the
+    * from-scratch index over the corpus-without-them: idf, avgdl,
+    * every score — which is why this family's delete, unlike the
+    * graph's, is FULLY ORACLED (the SQL replays q20 over the
+    * surviving documents). Phase 2 PHYSICAL: the deletion rides
+    * [[compactPostings]]' staged rewrite (it reads every byte
+    * anyway), swapped by metastore renames, one file per bucket
+    * restored. Gates: no deleted doc serves, the compacted table
+    * drops exactly the deleted docs' posting rows, and the
+    * post-compaction serve equals the tombstone-filtered serve row
+    * for row — hide-now ≡ remove-later, q145's witness on the
+    * lexical index. */
+  def q146Bm25Delete(s: SparkSession, dir: String): DataFrame = {
+    val tbl = "bm25_delete_" + PipelineQueries.sanitizeTag(dir)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = PipelineQueries.roundtripPath(dir, "bm25delete")
+    graft.FileTree.delete(new java.io.File(path))
+    graft.FileTree.delete(new java.io.File(path + "__compact"))
+    val d = t(s, dir, "documents")
+    writePostings(s, d, tbl, path, "overwrite")
+    val del = d.filter(col("doc_id") % 9 === 4)
+      .select(col("doc_id").as("doc")).localCheckpoint()
+    val delRows = s.table(tbl)
+      .join(broadcast(del), Seq("doc"), "left_semi").count()
+    // phase 1: tombstone-filtered serving with table-derived stats
+    val filtered = s.table(tbl).join(broadcast(del), Seq("doc"), "left_anti")
+    def serve(post: DataFrame) =
+      BM25.searchIndexed(post, BM25.statsFromPostings(post), bm25Terms, 20)
+    val hidden = serve(filtered).collect().toSeq
+    require(hidden.forall(_.getLong(0) % 9 != 4),
+      "q146: a deleted doc surfaced in the tombstone-filtered serve")
+    // phase 2: physical removal rides the compaction rewrite
+    val before = s.table(tbl).count()
+    val live = compactPostings(s, tbl, path, Some(del))
+    require(BM25.bucketFileCounts(live).values.forall(_ == 1),
+      "q146: the delete rewrite must restore one file per bucket")
+    val post = s.table(tbl)
+    require(post.count() == before - delRows,
+      "q146: the compacted table must drop exactly the deleted docs' posting rows")
+    require(post.join(broadcast(del), Seq("doc"), "left_semi").isEmpty,
+      "q146: a deleted doc's postings survived the rewrite")
+    val removed = serve(post).collect().toSeq
+    require(hidden == removed,
+      "q146: tombstone-filtered serving must equal physical removal row for row")
+    serve(post).orderBy("rank")
+  }
+
+  /** q20's replay over the surviving documents: deletion must leave
+    * the index indistinguishable from one never containing them —
+    * stats included. */
+  val q146Sql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+         FROM documents WHERE NOT (doc_id % 9 = 4)),
+       corpus AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d),
+       post AS (SELECT doc_id, len(toks) AS len, UNNEST(toks) AS term FROM d),
+       tf AS (SELECT doc_id, len, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM post
+              WHERE term IN ('spark', 'hash', 'join') GROUP BY doc_id, len, term),
+       stats AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+       idf AS (SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf FROM stats, corpus),
+       sc AS (SELECT doc_id, SUM(idf * tf * 2.5 / (tf + 1.5 * (1.0 - 0.75 + 0.75 * len / avgdl))) AS score
+              FROM tf JOIN idf USING (term), corpus GROUP BY doc_id),
+       r AS (SELECT doc_id AS doc, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+                    ROUND(score, 4) AS score FROM sc)
+       SELECT doc, rank, score FROM r WHERE rank <= 20 ORDER BY rank"""
 
   private[graft] def bm25PostingsTable(s: SparkSession, dir: String): String =
     Memo.cachedValue(s, dir, "bm25index") {
@@ -674,6 +752,7 @@ object Queries {
     "q70_pivot" -> (q70Pivot _),
     "q87_bm25_append" -> (q87Bm25Append _),
     "q122_bm25_compact" -> (q122Bm25Compact _),
+    "q146_bm25_delete" -> (q146Bm25Delete _),
     "q102_stream_bm25" -> (q102StreamBm25 _)) ++
     CurationQueries.all ++ RetrievalQueries.all ++ PipelineQueries.all ++
     ScaleQueries.all ++ PrepQueries.all
@@ -698,6 +777,7 @@ object Queries {
     "q70_pivot" -> q70Sql,
     "q87_bm25_append" -> q20Sql,
     "q122_bm25_compact" -> q20Sql,
+    "q146_bm25_delete" -> q146Sql,
     "q102_stream_bm25" -> q20Sql) ++
     CurationQueries.oracle ++ RetrievalQueries.oracle ++ PipelineQueries.oracle ++
     ScaleQueries.oracle ++ PrepQueries.oracle
