@@ -2853,8 +2853,11 @@ $sqRows)
         e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
         10, graphEf, probeParts = graphProbeFor(s, dir))
       .select(col("vec_id"), col("rank"), col("score"))
-    val hidden = serve().collect().toSeq
-    require(hidden.forall(_.getLong(0) % 9 != 4),
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2)
+    val hidden = serve()
+    require(hidden.forall(_._1 % 9 != 4),
       "q145: a tombstoned id surfaced in the served top-k")
     val genBefore = GraphAnn.currentGeneration(path)
     GraphAnn.compactTombstones(s, path)
@@ -2866,10 +2869,18 @@ $sqRows)
     require(s.read.parquet(GraphAnn.tablePath(path, "nodes")).count()
         == massBefore - delCopies,
       "q145: node mass must drop by exactly the deleted ids' replica copies")
-    val removed = serve().collect().toSeq
+    // equality holds for this query's SPREAD delete set (ef ≫
+    // deleted-per-cell, so both beams keep the same survivors); a
+    // delete concentrated inside a probed cell could legitimately
+    // shift approximate answers — the invariant form (compacted ≡
+    // rebuild-without-them, bit for bit) is GraphAnnSpec's pin
+    val removed = serve()
     require(hidden == removed,
       "q145: tombstone-filtered serving must equal physical removal row for row")
-    serve().orderBy("rank")
+    // the gates already collected the k-row answer — return it
+    // without a third index serve
+    import s.implicits._
+    removed.toDF("vec_id", "rank", "score").orderBy("rank")
   }
 
   // ---------- q123: late-interaction (MaxSim) retrieval ----------

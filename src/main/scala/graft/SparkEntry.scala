@@ -568,8 +568,11 @@ object Queries {
     val filtered = s.table(tbl).join(broadcast(del), Seq("doc"), "left_anti")
     def serve(post: DataFrame) =
       BM25.searchIndexed(post, BM25.statsFromPostings(post), bm25Terms, 20)
-    val hidden = serve(filtered).collect().toSeq
-    require(hidden.forall(_.getLong(0) % 9 != 4),
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._2)
+    val hidden = serve(filtered)
+    require(hidden.forall(_._1 % 9 != 4),
       "q146: a deleted doc surfaced in the tombstone-filtered serve")
     // phase 2: physical removal rides the compaction rewrite
     val before = s.table(tbl).count()
@@ -581,10 +584,15 @@ object Queries {
       "q146: the compacted table must drop exactly the deleted docs' posting rows")
     require(post.join(broadcast(del), Seq("doc"), "left_semi").isEmpty,
       "q146: a deleted doc's postings survived the rewrite")
-    val removed = serve(post).collect().toSeq
+    // rounded 4-dp scores compared on rank-sorted tuples — the same
+    // tolerance the cross-engine oracle compare applies
+    val removed = serve(post)
     require(hidden == removed,
       "q146: tombstone-filtered serving must equal physical removal row for row")
-    serve(post).orderBy("rank")
+    // the gate collected the k-row answer — return it without a
+    // second full scoring pass
+    import s.implicits._
+    removed.toDF("doc", "rank", "score").orderBy("rank")
   }
 
   /** q20's replay over the surviving documents: deletion must leave

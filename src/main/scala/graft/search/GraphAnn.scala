@@ -491,6 +491,10 @@ object GraphAnn {
         .filter(f => f.isDirectory && f.getName.startsWith("gen__v"))
         .foreach(graft.FileTree.delete)
     }
+    // a leftover phase-1 tombstones sidecar from a prior index at
+    // this path would silently hide legitimate ids from the fresh
+    // index — CREATE semantics clear it unconditionally
+    graft.FileTree.delete(new java.io.File(s"$path/tombstones"))
     // the routing table is parts-sized — driver-small by contract
     val parts = routing.count().toInt
     require(parts >= 1, s"routing table is empty under $path")
@@ -732,7 +736,9 @@ object GraphAnn {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private val IndexTables = Seq("nodes", "routing", "meta", "params")
+  // tombstones rides along so a GC'd base layout cannot leak a stale
+  // sidecar into a later index at the same path
+  private val IndexTables = Seq("nodes", "routing", "meta", "params", "tombstones")
 
   /** Generation directories under `path` minus `keep` — the GC
     * predicate. The base layout participates as generation "": its
@@ -896,8 +902,19 @@ object GraphAnn {
     // replica copies of a vector are identical (same id, same vec), so
     // any representative is THE vector — dropDuplicates is content-
     // deterministic here
-    val src = spark.read.parquet(s"$root/nodes")
+    val src0 = spark.read.parquet(s"$root/nodes")
       .select(col("id"), col("vec")).dropDuplicates("id")
+    // tombstoned ids must not ride into the refreshed generation:
+    // the rebuild sources from phase-1 nodes that still physically
+    // hold them, and the new root starts with no sidecar — without
+    // this anti-join a routine refresh would silently RESURRECT
+    // deleted content (physical removal rides the refresh for free,
+    // exactly as it rides compactTombstones' rewrite)
+    val src =
+      if (!new java.io.File(s"$root/tombstones").isDirectory) src0
+      else src0.join(
+        broadcast(spark.read.parquet(s"$root/tombstones").select(col("id"))),
+        Seq("id"), "left_anti")
     writeIndexWith(routingFor(src, "id", "vec", parts),
       src, "id", "vec", m, efC, outRoot, replicas)
   }

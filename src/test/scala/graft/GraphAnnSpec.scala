@@ -286,6 +286,38 @@ class GraphAnnSpec extends SparkSpec {
     assert(GraphAnn.currentGeneration(path) == gen)
   }
 
+  test("routine refresh between delete and compaction does not resurrect tombstoned ids") {
+    val path = java.nio.file.Files.createTempDirectory("graphann_del_rr").toString
+    GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, path)
+    val doomed = emb.filter(col("vec_id") % 9 === 4).select(col("vec_id"))
+    GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id")
+    // phase 1 only — then a scheduled routing refresh runs first
+    GraphAnn.refreshRouting(spark, path, parts = 4)
+    val served = GraphAnn.searchIndex(spark, path, "vec_id",
+        query(1), "qv", 10, ef = 48)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(served.forall(_ % 9 != 4),
+      "a tombstoned id came back after refreshRouting")
+    // and the refresh removed them PHYSICALLY (rides the rebuild)
+    val ids = spark.read.parquet(GraphAnn.tablePath(path, "nodes"))
+      .select(col("id")).as[Long].collect().toSet
+    assert(ids.forall(_ % 9 != 4), "tombstoned nodes survived the refresh")
+  }
+
+  test("a fresh build at a path with a stale tombstone sidecar serves every id") {
+    val path = java.nio.file.Files.createTempDirectory("graphann_del_stale").toString
+    GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, path)
+    GraphAnn.deleteFromIndex(spark, path,
+      emb.filter(col("vec_id") === 1).select(col("vec_id")), "vec_id")
+    // CREATE semantics must clear the sidecar: id 1 is legitimate in
+    // the new index and must be servable again
+    GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, path)
+    val top = GraphAnn.searchIndex(spark, path, "vec_id",
+        query(1), "qv", 1, ef = 48)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(1L), s"stale sidecar hid the query's own id: $top")
+  }
+
   test("appendToIndex touches only the delta's parts and rejects interleaved ids") {
     val n = emb.count()
     val split = 4L * n / 5L
