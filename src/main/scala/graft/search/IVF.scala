@@ -142,8 +142,49 @@ object IVF {
     Option(new java.io.File(path).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory &&
         (f.getName == "lists" || f.getName.startsWith("lists__v") ||
-          f.getName == "centroids" || f.getName.startsWith("centroids__v")) &&
+          f.getName == "centroids" || f.getName.startsWith("centroids__v") ||
+          f.getName.startsWith("tomb__")) &&
         !keep.contains(f.getName))
+
+  /** A lists generation's tombstone sidecar name: the sidecar is
+    * VERSIONED WITH the lists (`tomb__<listsName>`), so a pinned
+    * reader pairs its generation's lists with that generation's
+    * delete set — and a compacted generation, which starts with no
+    * sidecar, cannot resurrect a grace-window pin's hidden rows. */
+  private def tombName(listsName: String): String = s"tomb__$listsName"
+  private def tombDirFor(listsDir: String): String = {
+    val f = new java.io.File(listsDir)
+    new java.io.File(f.getParentFile, tombName(f.getName)).getPath
+  }
+
+  /** Hide tombstoned ids from a frame read out of `listsDir`'s
+    * generation — the request-sized anti-join every serve and every
+    * maintenance read of the live lists applies (the graph index's
+    * `dropTombstoned` shape). The sidecar's single column carries the
+    * index's own id column name, so the join key needs no metadata
+    * beyond the sidecar schema. No sidecar → the frame passes through
+    * untouched (a never-deleted index pays nothing). */
+  private[search] def dropTombstoned(spark: org.apache.spark.sql.SparkSession,
+                                     listsDir: String, df: DataFrame): DataFrame = {
+    val td = tombDirFor(listsDir)
+    if (!new java.io.File(td).isDirectory) df
+    else {
+      val tomb = spark.read.parquet(td)
+      df.join(broadcast(tomb.select(tomb.columns.head)),
+        Seq(tomb.columns.head), "left_anti")
+    }
+  }
+
+  /** The LIVE list rows with tombstoned ids hidden — the one reader
+    * every maintenance flow that rebuilds FROM the index's own
+    * content (q96's refine-then-rewrite) must go through: a rebuild
+    * sourced from a raw `listsPath` read would re-ingest rows a
+    * delete already hid (the resurrection bug the graph index's
+    * `refreshRouting` anti-join exists to prevent). */
+  def listsRows(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val lp = listsPath(path)
+    dropTombstoned(spark, lp, spark.read.parquet(lp))
+  }
 
   /** The next free generation number: max over EVERY versioned dir
     * present (live, grace, or orphaned) + 1 — derived from the
@@ -243,48 +284,40 @@ object IVF {
       .write.mode("append").partitionBy("cid").parquet(listsPath(path))
   }
 
-  /** DELETE ids from the live lists — the right-to-be-forgotten
-    * lifecycle op: the delete set is request-sized (broadcast), the
-    * touched lists are found by one semi-join, and ONLY those
-    * partitions rewrite (dynamic partition overwrite over a
-    * cid-pruned read) — an untouched list's files are never opened,
-    * so delete cost tracks the touched lists, not the index. A list
-    * whose every member is deleted writes no rows under dynamic
-    * overwrite (which only replaces partitions PRESENT in the write),
-    * so emptied lists are dropped by an explicit parts-bounded
-    * directory delete. The quantizer stands — deletion never changes
-    * geometry, exactly as appends assign under the standing
-    * centroids. Returns the deleted row count. Works on any index
-    * sharing the cid-partitioned list layout (SQ8's lists qualify,
-    * with idCol = "id"). */
+  /** DELETE ids from the index — the right-to-be-forgotten lifecycle
+    * op, TWO-PHASE like the graph index's (tombstone → compaction),
+    * so deletion composes with the generation/pin contract every
+    * other mutation honors. PHASE 1 (here): the request-sized id set
+    * lands in the live generation's `tomb__<lists>` sidecar — an
+    * O(request) append that opens NO list file — and every serve
+    * ([[searchIndex]], [[searchIndexPinned]], [[searchIndexMulti]],
+    * SQ8's reads) anti-joins it before the top-k, so deleted content
+    * is hidden IMMEDIATELY while the at-rest bytes stand untouched.
+    * PHASE 2: physical removal rides [[compactIndex]]'s staged
+    * rewrite (it reads every byte anyway); the new generation starts
+    * with a clean sidecar and the superseded one keeps its sidecar
+    * through the grace window, so a reader pinned across the delete
+    * or the flip always sees a coherent, delete-filtered snapshot —
+    * never the half-rewritten list set an in-place rewrite could
+    * expose. (An earlier revision rewrote touched lists in place
+    * under dynamic partition overwrite; request-scoped, but the one
+    * mutation that broke snapshot isolation for concurrent readers.)
+    * The quantizer stands — deletion never changes geometry. Returns
+    * the count of index rows the request hides (a column-pruned
+    * id-only scan; the hide itself never reads list bytes). Works on
+    * any index sharing the cid-partitioned list layout (SQ8's lists
+    * qualify, with idCol = "id"). */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       ids: DataFrame, idCol: String): Long = {
     val lp = listsPath(path)
-    val lists = spark.read.parquet(lp)
-    val touched = lists.join(broadcast(ids), Seq(idCol), "left_semi")
-      .groupBy("cid").agg(count(lit(1)).as("ndel"))
-      .collect().map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
-    if (touched.isEmpty) return 0L
-    val touchedCids = touched.keySet.toSeq
-    val retained = lists
-      .filter(col("cid").cast("long").isin(touchedCids: _*))
-      .join(broadcast(ids), Seq(idCol), "left_anti")
-      .repartition(col("cid")) // one file per rewritten list
-      // materialize BEFORE overwriting the frame's own source files
-      // (the self-overwrite guard); the checkpoint holds only the
-      // TOUCHED lists, request-scoped by construction — a delete set
-      // large enough to touch most lists should stage a generation
-      // (writeIndexFrom) instead
-      .localCheckpoint()
-    val kept = retained.select(col("cid").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    retained.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cid").parquet(lp)
-    // lists emptied by the delete wrote no partition: drop their dirs
-    touchedCids.filterNot(kept).foreach(c =>
-      graft.FileTree.delete(new java.io.File(s"$lp/cid=$c")))
-    touched.values.sum
+    // gate input, not part of the hide: how many index rows the
+    // request covers (id column only — column-pruned scan)
+    val present = spark.read.parquet(lp).select(col(idCol))
+      .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_semi")
+      .count()
+    ids.select(col(idCol).cast("long").as(idCol))
+      .coalesce(1).write.mode("append").parquet(tombDirFor(lp))
+    present
   }
 
   /** The LIVE generation pair: maintenance ops write each new
