@@ -546,7 +546,10 @@ object RetrievalQueries {
     graft.search.IVF.appendToIndex(s, path, delta, "vec_id", "v")
     require(graft.search.IVF.needsRefine(s, path, 2.0),
       "q96: the skewed append must trip the refine trigger")
-    val rows = s.read.parquet(graft.search.IVF.listsPath(path))
+    // rebuilds FROM the index's own content go through listsRows (the
+    // tombstone-filtered reader): a raw listsPath read would re-ingest
+    // rows a delete already hid. No sidecar here → identical plan.
+    val rows = graft.search.IVF.listsRows(s, path)
       .select(col("vec_id"), col("v"))
     val refined = graft.search.IVF.refine(rows, "vec_id", "v",
       s.read.parquet(graft.search.IVF.centroidsPath(path)), refineIters)
@@ -1505,15 +1508,17 @@ object RetrievalQueries {
     * the q86 query from the appended index. Because the delta routes
     * through the index's OWN standing routing table and the builder
     * inserts in ascending id order, append ≡ from-scratch rebuild
-    * UNDER THE SAME ROUTING, BIT FOR BIT: the require() compares the
-    * appended node table against [[graphRebuildPath]] — the
-    * full-corpus build under the 80%-trained quantizer — making that
-    * equivalence part of the correctness gate (the q96 trigger
-    * discipline and IVF q84's same-centroids contract), so the
-    * rows-only check still rides a hard in-query contract. NO
-    * oracle: graph construction is not SQL-expressible (the SURVEY
-    * ✗-mark discipline; GraphAnnSpec pins the same equivalence plus
-    * recall floors at spec scale). */
+    * UNDER THE SAME ROUTING, BIT FOR BIT — GraphAnnSpec pins that
+    * equivalence at spec scale ("appendToIndex with growing ids
+    * equals a same-routing rebuild bit for bit"); the in-query gate
+    * is META-LEVEL and parts-sized (the q116/q120 discipline): the
+    * appended index's per-cell occupancy must equal the full
+    * rebuild's cell for cell. The O(index) exceptAll that used to
+    * live here made a linear append look like a full-index scan in
+    * the bench clock — production appends and trusts the spec-pinned
+    * equivalence. NO oracle: graph construction is not
+    * SQL-expressible (the SURVEY ✗-mark discipline; GraphAnnSpec
+    * also pins recall floors at spec scale). */
   def q97GraphAppend(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
@@ -1522,13 +1527,12 @@ object RetrievalQueries {
     cloneTree(graphBase80Path(s, dir), path)
     graft.search.GraphAnn.appendToIndex(s, path,
       e.filter(col("vec_id") >= split), "vec_id", "v")
-    val appended = s.read.parquet(s"$path/nodes")
-      .select(col("part"), col("id"), col("vec"), col("nbrs"))
-    val rebuilt = s.read.parquet(s"${graphRebuildPath(s, dir)}/nodes")
-      .select(col("part"), col("id"), col("vec"), col("nbrs"))
-    require(appended.exceptAll(rebuilt).isEmpty &&
-        rebuilt.exceptAll(appended).isEmpty,
-      "q97: appended graph index must equal the same-routing full rebuild bit for bit")
+    def occupancy(p: String): Seq[(Long, Long)] = s.read
+      .parquet(graft.search.GraphAnn.tablePath(p, "meta"))
+      .select(col("part").cast("long"), col("n").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    require(occupancy(path) == occupancy(graphRebuildPath(s, dir)),
+      "q97: appended index's per-cell occupancy must equal the same-routing full rebuild's")
     // serve ROUTED (the production shape — every serving call site
     // exercises the partition-pruned path, not just q86)
     graft.search.GraphAnn.searchIndex(s, path, "vec_id",
@@ -1547,12 +1551,16 @@ object RetrievalQueries {
     * inside `foreachBatch`. Because every batch's ids exceed all ids
     * already indexed, the multi-batch suffix insertion composes (the
     * PropertiesSpec identity, applied 4 times) and the drained index
-    * must equal [[graphRebuildPath]] — the full-corpus rebuild under
-    * the same 80%-trained routing table — BIT FOR BIT; the
-    * require() makes that part of the gate; a mis-ordered batch
-    * would fail appendToIndex's monotonic-id contract loudly rather
-    * than building a silently different graph. Rows-only (graph
-    * construction is not SQL-expressible). */
+    * equals [[graphRebuildPath]] — the full-corpus rebuild under the
+    * same 80%-trained routing table — BIT FOR BIT; that equivalence
+    * is GraphAnnSpec's cost at spec scale ("q99 streamed ingest
+    * serves the same answers" + the append≡rebuild pin), and the
+    * in-query gate is the parts-sized per-cell occupancy compare
+    * (the q116/q120 meta-gate discipline — the O(index) exceptAll
+    * here made a linear drain look superlinear in the bench clock).
+    * A mis-ordered batch would fail appendToIndex's monotonic-id
+    * contract loudly rather than building a silently different
+    * graph. Rows-only (graph construction is not SQL-expressible). */
   def q99StreamIndex(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
@@ -1570,13 +1578,12 @@ object RetrievalQueries {
     graft.streaming.Streaming.runForeachBatch(s, src, (batch, _) =>
       graft.search.GraphAnn.appendToIndex(s, path,
         batch.select(col("vec_id"), col("v")), "vec_id", "v"))
-    val grown = s.read.parquet(s"$path/nodes")
-      .select(col("part"), col("id"), col("vec"), col("nbrs"))
-    val rebuilt = s.read.parquet(s"${graphRebuildPath(s, dir)}/nodes")
-      .select(col("part"), col("id"), col("vec"), col("nbrs"))
-    require(grown.exceptAll(rebuilt).isEmpty &&
-        rebuilt.exceptAll(grown).isEmpty,
-      "q99: the streamed-in index must equal the same-routing full rebuild bit for bit")
+    def occupancy(p: String): Seq[(Long, Long)] = s.read
+      .parquet(graft.search.GraphAnn.tablePath(p, "meta"))
+      .select(col("part").cast("long"), col("n").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    require(occupancy(path) == occupancy(graphRebuildPath(s, dir)),
+      "q99: the drained index's per-cell occupancy must equal the same-routing full rebuild's")
     // routed serving, like q86/q97 — the streamed-in index is served
     // exactly as the production index would be
     graft.search.GraphAnn.searchIndex(s, path, "vec_id",
@@ -2574,7 +2581,8 @@ $sqRows)
     val vec = Search.topK(e, "vec_id", "v",
       e.filter(col("vec_id") === 0).select(col("v").as("qv")), "qv", 20)
       .select(col("vec_id").as("id"), lit(1).as("in_vec"))
-    val lex = BM25.searchIndexed(Queries.bm25Postings(s, dir),
+    val lex = BM25.searchIndexed(s, Queries.bm25IndexPath(s, dir),
+        Queries.bm25Postings(s, dir),
         Queries.bm25Stats(s, dir), Queries.bm25Terms, 20)
       .select(col("doc").as("id"), lit(1).as("in_lex"))
     vec.join(lex, Seq("id"), "full_outer")
@@ -2624,7 +2632,8 @@ $sqRows)
     val e = emb(s, dir)
     val vec = Search.topK(e, "vec_id", "v",
       e.filter(col("vec_id") === 0).select(col("v").as("qv")), "qv", rrfDepth)
-    val lex = BM25.searchIndexed(Queries.bm25Postings(s, dir),
+    val lex = BM25.searchIndexed(s, Queries.bm25IndexPath(s, dir),
+      Queries.bm25Postings(s, dir),
       Queries.bm25Stats(s, dir), Queries.bm25Terms, rrfDepth)
     Hybrid.rrfFuse(vec, "vec_id", lex, "doc", rrfC, 10)
       .orderBy("rank")
@@ -2681,7 +2690,8 @@ $sqRows)
     val vec = graft.search.IVF.searchIndexPinned(s, path, pin, "vec_id", "v",
       e.filter(col("vec_id") === 0).select(col("v").as("qv")), "qv",
       rrfDepth, ivfProbe)
-    val lex = BM25.searchIndexed(Queries.bm25Postings(s, dir),
+    val lex = BM25.searchIndexed(s, Queries.bm25IndexPath(s, dir),
+      Queries.bm25Postings(s, dir),
       Queries.bm25Stats(s, dir), Queries.bm25Terms, rrfDepth)
     Hybrid.rrfFuse(vec, "vec_id", lex, "doc", rrfC, 10)
       .orderBy("rank")
@@ -2732,22 +2742,27 @@ $sqRows)
   /** DELETE FROM THE LIVE INDEX — the right-to-be-forgotten quarter
     * the lifecycle matrix was missing (build q54 → append q84 →
     * refresh q96 → compact q109 → stream q127 → upgrade q141 → DELETE
-    * here): a request-sized id set must leave the at-rest index as if
-    * those vectors were never ingested, without rewriting anything
-    * else. [[graft.search.IVF.deleteFromIndex]] finds the touched
-    * lists by one broadcast semi-join and rewrites ONLY those
-    * partitions (dynamic partition overwrite over a cid-pruned read;
-    * lists emptied by the delete are dropped explicitly, since
-    * dynamic overwrite only replaces partitions present in the
-    * write). The quantizer stands — deletion never changes geometry.
-    * In-query gates are meta-level: the deleted count matches the
-    * request∩index, total mass drops by exactly that count, and
-    * every UNTOUCHED list's files are byte-identical by driver
-    * listing (name, length, mtime — the write-scope pin). The served
-    * search hash-matches the SQL replay with the delete predicate
-    * applied to the lists — the index answers as if the ids never
-    * existed. The same function deletes from SQ8's lists (shared
-    * layout, idCol = "id"). */
+    * here), run as the production TWO-PHASE pattern the graph index
+    * (q145) already honors. PHASE 1 — TOMBSTONE:
+    * [[graft.search.IVF.deleteFromIndex]] records request∩index in
+    * the live generation's sidecar, an O(request) write that opens NO
+    * list file (gated here by a full file-listing snapshot: name,
+    * length, mtime of EVERY list file unchanged), and every serve
+    * anti-joins it before the top-k, so deleted content is hidden
+    * IMMEDIATELY (gated: the served top-k contains none of the
+    * deleted ids) while at-rest mass stands (gated: raw list count
+    * unchanged). PHASE 2 — COMPACT:
+    * [[graft.search.IVF.compactIndex]] sources its staged rewrite
+    * through the tombstone filter, so physical removal rides the
+    * rewrite it was already paying for — gated: mass drops by exactly
+    * the deleted count, and the fresh generation starts with a clean
+    * sidecar. The quantizer stands — deletion never changes geometry.
+    * The declared output is the POST-COMPACTION serve, and the
+    * pre-compaction serve must equal it row for row (hide-now ≡
+    * remove-later); both hash-match the SQL replay with the delete
+    * predicate applied to the lists — the index answers as if the
+    * ids never existed. The same function deletes from SQ8's lists
+    * (shared layout, idCol = "id"; SearchSpec pins that family). */
   def q144IndexDelete(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q144")
@@ -2757,31 +2772,40 @@ $sqRows)
     val before = s.read.parquet(lp).count()
     val delIds = e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
     val nReq = Memo.cachedCount(s, dir, "q144_ndel")(delIds.count())
-    val touched = s.read.parquet(lp)
-      .join(broadcast(delIds), Seq("vec_id"), "left_semi")
-      .select(col("cid").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    def untouchedSnap(): Map[String, Seq[(String, Long, Long)]] =
+    def listSnap(): Map[String, Seq[(String, Long, Long)]] =
       Option(new java.io.File(lp).listFiles()).toSeq.flatten
-        .filter(d => d.isDirectory && d.getName.startsWith("cid=") &&
-          !touched.contains(d.getName.stripPrefix("cid=").toLong))
+        .filter(d => d.isDirectory && d.getName.startsWith("cid="))
         .map(d => d.getName ->
           Option(d.listFiles()).toSeq.flatten.filter(_.isFile)
             .map(f => (f.getName, f.length(), f.lastModified()))
             .sortBy(_._1))
         .toMap
-    val snapBefore = untouchedSnap()
+    val snapBefore = listSnap()
     val nDel = graft.search.IVF.deleteFromIndex(s, path, delIds, "vec_id")
     require(nDel == nReq,
-      s"q144: deleted $nDel of a $nReq-id request fully inside the index")
-    require(s.read.parquet(lp).count() == before - nDel,
-      "q144: total list mass must drop by exactly the deleted count")
-    require(untouchedSnap() == snapBefore,
-      "q144: an untouched list's files changed — the delete must rewrite only touched lists")
-    graft.search.IVF.searchIndex(s, path, "vec_id", "v",
+      s"q144: tombstoned $nDel of a $nReq-id request fully inside the index")
+    require(listSnap() == snapBefore,
+      "q144: the tombstone phase must not touch a single list file")
+    require(s.read.parquet(lp).count() == before,
+      "q144: at-rest mass must stand until compaction")
+    def serve() = graft.search.IVF.searchIndex(s, path, "vec_id", "v",
       e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
       10, ivfProbe)
-      .orderBy("rank")
+    val hidden = serve().collect().toSeq // pre-compaction: hide-now
+    require(!hidden.map(_.getLong(0)).exists(_ % 7 == 3),
+      "q144: a tombstoned id was served")
+    graft.search.IVF.compactIndex(s, path)
+    val lp2 = graft.search.IVF.listsPath(path)
+    require(lp2 != lp, "q144: compaction must flip to a fresh generation")
+    require(s.read.parquet(lp2).count() == before - nDel,
+      "q144: compaction must physically drop exactly the deleted count")
+    require(!new java.io.File(new java.io.File(lp2).getParentFile,
+        s"tomb__${new java.io.File(lp2).getName}").isDirectory,
+      "q144: the compacted generation must start with a clean sidecar")
+    val served = serve()
+    require(served.collect().toSeq == hidden,
+      "q144: hide-now and remove-later must serve identical answers")
+    served.orderBy("rank")
   }
 
   /** q45's replay with the delete predicate applied to the LISTS
@@ -3049,7 +3073,8 @@ $sqRows)
           .select(col("vec_id").as("qid"), col("v").as("qv")),
         "qid", "qv", 20, annBits, embDim, hamming1 = true)
       .select(col("vec_id").as("id"), lit(1).as("in_vec"))
-    val lexLeg = BM25.searchIndexed(Queries.bm25Postings(s, dir),
+    val lexLeg = BM25.searchIndexed(s, Queries.bm25IndexPath(s, dir),
+        Queries.bm25Postings(s, dir),
         Queries.bm25Stats(s, dir), Queries.bm25Terms, 20)
       .select(col("doc").as("id"), lit(1).as("in_lex"))
     val cand = vecLeg.join(lexLeg, Seq("id"), "full_outer")

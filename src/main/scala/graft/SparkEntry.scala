@@ -470,8 +470,7 @@ object Queries {
     * IVF generation-GC discipline applies if cycles repeat). Returns
     * the live data path for file-count gates. */
   private[graft] def compactPostings(s: SparkSession, tbl: String,
-                                     path: String,
-                                     dropDocs: Option[DataFrame] = None): String = {
+                                     path: String): String = {
     val stage = tbl + "__stage"
     val old = tbl + "__old"
     s.sql(s"DROP TABLE IF EXISTS $stage")
@@ -483,12 +482,15 @@ object Queries {
     // instead of one per bucket; a plain parquet scan forces the real
     // exchange, and the bucket id is a pure function of term so the
     // re-hash re-derives exactly the same buckets
-    val src = s.read.parquet(path)
-    // the rewrite reads every byte anyway, so physical deletion rides
-    // compaction for free (q146's phase 2 — the request-sized drop
-    // set broadcasts into the rewrite scan)
-    dropDocs.fold(src)(dd =>
-        src.join(broadcast(dd.select(col("doc"))), Seq("doc"), "left_anti"))
+    //
+    // the rewrite is sourced through the DELETE SIDECAR filter
+    // (BM25.livePostings): compaction is deletion's phase 2 — it
+    // reads every byte anyway, so physical removal rides it for
+    // free, and the swapped-in generation (a fresh data path) starts
+    // with a clean sidecar by construction. The superseded path
+    // keeps its files AND its sidecar as the in-flight readers'
+    // coherent grace window.
+    BM25.livePostings(s, path, s.read.parquet(path))
       .repartition(bm25Buckets, col("term"))
       .write.mode("overwrite")
       .option("path", stagePath)
@@ -534,51 +536,72 @@ object Queries {
   }
 
   /** DELETION FROM THE BM25 POSTINGS — the lexical quarter of the
-    * delete lifecycle (q144 rewrites the IVF/SQ8 lists in place, q145
-    * tombstones the graph): a bucketed table's files are immutable
-    * too, so deletion is two-phase. Phase 1 TOMBSTONE: the deleted
-    * doc ids anti-join the postings BEFORE scoring — and because BOTH
-    * stats legs derive from the filtered frame
-    * ([[graft.lexical.BM25.statsFromPostings]] for N/avgdl, the df
-    * aggregate inside scoring), the tombstoned serve is EXACTLY the
-    * from-scratch index over the corpus-without-them: idf, avgdl,
-    * every score — which is why this family's delete, unlike the
-    * graph's, is FULLY ORACLED (the SQL replays q20 over the
-    * surviving documents). Phase 2 PHYSICAL: the deletion rides
-    * [[compactPostings]]' staged rewrite (it reads every byte
-    * anyway), swapped by metastore renames, one file per bucket
-    * restored. Gates: no deleted doc serves, the compacted table
-    * drops exactly the deleted docs' posting rows, and the
-    * post-compaction serve equals the tombstone-filtered serve row
-    * for row — hide-now ≡ remove-later, q145's witness on the
-    * lexical index. */
+    * delete lifecycle (q144 tombstones the IVF/SQ8 lists, q145 the
+    * graph): a bucketed table's files are immutable too, so deletion
+    * is two-phase, and the tombstone set is a PERSISTED SIDECAR
+    * ([[graft.lexical.BM25.deleteFromPostings]] — the `tomb__` twin
+    * on the lexical index), not per-query plumbing: EVERY
+    * sidecar-aware serve ([[graft.lexical.BM25.searchIndexed]]'s
+    * path-taking overload — q20 and the hybrid q142's lexical leg go
+    * through it) hides the docs from then on, with BOTH stats legs
+    * derived from the filtered frame, so the tombstoned serve is
+    * EXACTLY the from-scratch index over the corpus-without-them:
+    * idf, avgdl, every score — which is why this family's delete,
+    * unlike the graph's, is FULLY ORACLED (the SQL replays q20 over
+    * the surviving documents). Phase 2 PHYSICAL: the deletion rides
+    * [[compactPostings]]' staged rewrite (it reads every byte anyway
+    * and now sources through the sidecar filter), swapped by
+    * metastore renames; the fresh data path starts with a clean
+    * sidecar by construction. Gates: sidecar count = request∩index
+    * docs, a repeat delete counts zero, no deleted doc serves, the
+    * compacted table drops exactly the deleted docs' posting rows,
+    * and the post-compaction serve equals the tombstone-filtered
+    * serve row for row — hide-now ≡ remove-later, q145's witness on
+    * the lexical index. */
   def q146Bm25Delete(s: SparkSession, dir: String): DataFrame = {
     val tbl = "bm25_delete_" + PipelineQueries.sanitizeTag(dir)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     val path = PipelineQueries.roundtripPath(dir, "bm25delete")
     graft.FileTree.delete(new java.io.File(path))
     graft.FileTree.delete(new java.io.File(path + "__compact"))
+    graft.FileTree.delete(new java.io.File(BM25.tombPath(path)))
+    graft.FileTree.delete(new java.io.File(BM25.tombPath(path + "__compact")))
     val d = t(s, dir, "documents")
     writePostings(s, d, tbl, path, "overwrite")
     val del = d.filter(col("doc_id") % 9 === 4)
       .select(col("doc_id").as("doc")).localCheckpoint()
+    val nDocs = del.count()
     val delRows = s.table(tbl)
       .join(broadcast(del), Seq("doc"), "left_semi").count()
-    // phase 1: tombstone-filtered serving with table-derived stats
-    val filtered = s.table(tbl).join(broadcast(del), Seq("doc"), "left_anti")
-    def serve(post: DataFrame) =
-      BM25.searchIndexed(post, BM25.statsFromPostings(post), bm25Terms, 20)
+    val before = s.table(tbl).count()
+    // phase 1: the request lands in the persisted sidecar — O(request),
+    // no posting file touched, idempotent across repeats
+    require(BM25.deleteFromPostings(s, path, s.table(tbl), del) == nDocs,
+      "q146: the sidecar must record exactly the request∩index docs")
+    require(BM25.deleteFromPostings(s, path, s.table(tbl), del) == 0L,
+      "q146: re-deleting tombstoned docs must count zero")
+    require(s.table(tbl).count() == before,
+      "q146: the tombstone phase must not touch posting bytes")
+    // the DEFAULT serve hides from now on — same call shape q20 and
+    // q142's lexical leg use; stats re-derive from the filtered frame
+    def serve(livePath: String) = {
+      val post = s.table(tbl)
+      BM25.searchIndexed(s, livePath, post,
+          BM25.statsFromPostings(post), bm25Terms, 20)
         .collect().toSeq
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .sortBy(_._2)
-    val hidden = serve(filtered)
+    }
+    val hidden = serve(path)
     require(hidden.forall(_._1 % 9 != 4),
-      "q146: a deleted doc surfaced in the tombstone-filtered serve")
-    // phase 2: physical removal rides the compaction rewrite
-    val before = s.table(tbl).count()
-    val live = compactPostings(s, tbl, path, Some(del))
+      "q146: a deleted doc surfaced in the sidecar-aware serve")
+    // phase 2: physical removal rides the compaction rewrite; the
+    // swapped-in generation has no sidecar
+    val live = compactPostings(s, tbl, path)
     require(BM25.bucketFileCounts(live).values.forall(_ == 1),
       "q146: the delete rewrite must restore one file per bucket")
+    require(!new java.io.File(BM25.tombPath(live)).isDirectory,
+      "q146: the compacted generation must start with a clean sidecar")
     val post = s.table(tbl)
     require(post.count() == before - delRows,
       "q146: the compacted table must drop exactly the deleted docs' posting rows")
@@ -586,9 +609,9 @@ object Queries {
       "q146: a deleted doc's postings survived the rewrite")
     // rounded 4-dp scores compared on rank-sorted tuples — the same
     // tolerance the cross-engine oracle compare applies
-    val removed = serve(post)
+    val removed = serve(live)
     require(hidden == removed,
-      "q146: tombstone-filtered serving must equal physical removal row for row")
+      "q146: sidecar-aware serving must equal physical removal row for row")
     // the gate collected the k-row answer — return it without a
     // second full scoring pass
     import s.implicits._
@@ -625,11 +648,23 @@ object Queries {
   private[graft] def bm25Postings(s: SparkSession, dir: String): DataFrame =
     s.table(bm25PostingsTable(s, dir))
 
+  /** The shared postings table's data path — the key the delete
+    * sidecar hangs off; every serve of the shared index passes it so
+    * a standing delete set is honored by default. */
+  private[graft] def bm25IndexPath(s: SparkSession, dir: String): String = {
+    bm25PostingsTable(s, dir) // ensure the table (and path) exist
+    PipelineQueries.roundtripPath(dir, "bm25index")
+  }
+
   /** R3: BM25 top-20 for a fixed term query, served from the
-    * memoized index (postings + corpus stats). */
+    * memoized index (postings + corpus stats) through the
+    * SIDECAR-AWARE path — a standing delete set would be hidden here
+    * without the query changing (no sidecar → the memoized-stats
+    * fast path, zero cost). */
   val bm25Terms = Seq("spark", "hash", "join")
   def q20Bm25(s: SparkSession, dir: String): DataFrame =
-    BM25.searchIndexed(bm25Postings(s, dir), bm25Stats(s, dir), bm25Terms, 20)
+    BM25.searchIndexed(s, bm25IndexPath(s, dir), bm25Postings(s, dir),
+        bm25Stats(s, dir), bm25Terms, 20)
       .orderBy("rank")
 
   val q20Sql: String =

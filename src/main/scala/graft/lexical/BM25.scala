@@ -134,6 +134,65 @@ object BM25 {
     scorePostings(post.filter(col("term").isin(terms: _*)), corpus, k)
   }
 
+  /** The postings table's DELETE SIDECAR path — the lexical twin of
+    * the IVF `tomb__<lists>` sidecar, keyed to the DATA path (the
+    * postings generation): a compaction that swaps in a fresh data
+    * path starts with no sidecar by construction, so a staged rewrite
+    * can never resurrect hidden docs for the new generation's
+    * readers. */
+  def tombPath(path: String): String = path + "__tomb"
+
+  private def hasTomb(path: String): Boolean =
+    new java.io.File(tombPath(path)).isDirectory
+
+  /** PHASE-1 deletion from the postings index: record request∩index
+    * doc ids in the sidecar — an O(request) write that opens no
+    * posting file — and every sidecar-aware serve hides them before
+    * scoring. Ids absent from the live (already-filtered) postings
+    * are never recorded, so a repeated delete of the same docs counts
+    * zero. PHASE 2 rides the compaction rewrite (it reads every byte
+    * anyway), which swaps in a clean-sidecar generation. Returns the
+    * number of DOCS the request hides. */
+  def deleteFromPostings(spark: org.apache.spark.sql.SparkSession,
+                         path: String, post: DataFrame,
+                         ids: DataFrame): Long = {
+    val hit = livePostings(spark, path, post.select(col("doc")))
+      .join(broadcast(ids.select(col(ids.columns.head).as("doc"))),
+        Seq("doc"), "left_semi")
+      .distinct()
+      .localCheckpoint() // request-sized by contract: count + write share it
+    val n = hit.count()
+    if (n > 0L) hit.coalesce(1).write.mode("append").parquet(tombPath(path))
+    n
+  }
+
+  /** The LIVE view of a postings frame stored at `path`: tombstoned
+    * docs hidden by a request-sized broadcast anti-join. No sidecar →
+    * the frame passes through untouched (a never-deleted index pays
+    * nothing). Every maintenance read that rebuilds FROM the postings
+    * must also go through this (the resurrection discipline). */
+  def livePostings(spark: org.apache.spark.sql.SparkSession,
+                   path: String, post: DataFrame): DataFrame =
+    if (!hasTomb(path)) post
+    else post.join(broadcast(spark.read.parquet(tombPath(path))),
+      Seq("doc"), "left_anti")
+
+  /** SIDECAR-AWARE [[searchIndexed]] — the default serve for a
+    * postings table that supports deletion: with no sidecar it is
+    * exactly the memoized-stats fast path; with one, the postings are
+    * filtered AND the corpus scalars are re-derived from the filtered
+    * frame, so the served ranking (idf, avgdl, every score) equals a
+    * from-scratch index over the corpus-without-them — the hide-now
+    * half of the two-phase contract, fully SQL-replayable. */
+  def searchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                    post: DataFrame, corpus: DataFrame,
+                    queryTerms: Seq[String], k: Int): DataFrame =
+    if (!hasTomb(path)) searchIndexed(post, corpus, queryTerms, k)
+    else {
+      val live = livePostings(spark, path, post)
+      searchIndexed(live, statsFromPostings(live), queryTerms, k)
+    }
+
   private def scorePostings(post: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val stats = post.groupBy("term")
       .agg(countDistinct(col("doc")).cast("double").as("df"))

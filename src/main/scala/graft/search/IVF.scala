@@ -251,8 +251,12 @@ object IVF {
       cents.write.mode("overwrite").parquet(s"$path/centroids__v$v")
       listWrite.parquet(s"$path/lists__v$v")
       flipCurrent(path, s"lists__v$v", s"centroids__v$v")
+      // each kept lists generation keeps ITS tombstone sidecar: a
+      // grace-window pin pairs its lists with its delete set, so the
+      // sidecar must survive exactly as long as the lists do
       staleGenerations(path,
-        keep = Set(s"lists__v$v", s"centroids__v$v", prevLists, prevCents))
+        keep = Set(s"lists__v$v", s"centroids__v$v", prevLists, prevCents,
+          tombName(s"lists__v$v"), tombName(prevLists)))
         .foreach(graft.FileTree.delete)
     }
   }
@@ -310,13 +314,19 @@ object IVF {
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       ids: DataFrame, idCol: String): Long = {
     val lp = listsPath(path)
-    // gate input, not part of the hide: how many index rows the
-    // request covers (id column only — column-pruned scan)
-    val present = spark.read.parquet(lp).select(col(idCol))
-      .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_semi")
-      .count()
-    ids.select(col(idCol).cast("long").as(idCol))
-      .coalesce(1).write.mode("append").parquet(tombDirFor(lp))
+    // the sidecar rows are request ∩ LIVE index (the semi-join runs
+    // against the tombstone-filtered lists, so ids absent from the
+    // index are never recorded and a repeated delete of the same ids
+    // counts zero — no double-counting across requests). Column-pruned
+    // id-only scan; the hide itself never reads vector bytes.
+    val hit = dropTombstoned(spark, lp,
+        spark.read.parquet(lp).select(col(idCol).cast("long").as(idCol)))
+      .join(broadcast(ids.select(col(idCol).cast("long").as(idCol))),
+        Seq(idCol), "left_semi")
+      .localCheckpoint() // request-sized by contract: count + write share it
+    val present = hit.count()
+    if (present > 0L)
+      hit.coalesce(1).write.mode("append").parquet(tombDirFor(lp))
     present
   }
 
@@ -418,14 +428,25 @@ object IVF {
     // a liveName-derived counter restarts at v2 right after a rebuild
     // and would stage INTO a surviving grace generation
     val nextName = s"lists__v${nextVersion(path)}"
-    spark.read.parquet(s"$path/$liveLists")
+    // the rewrite is sourced through the tombstone filter: compaction
+    // is deletion's PHASE 2 — it reads every byte anyway, so physical
+    // removal rides it for free, the new generation starts with a
+    // clean sidecar (its lists simply no longer hold the rows), and a
+    // raw-read rewrite could never resurrect a hidden row. A list
+    // every member of which was deleted vanishes here too: the cid
+    // shuffle produces no rows for it, so no directory is written.
+    dropTombstoned(spark, s"$path/$liveLists",
+        spark.read.parquet(s"$path/$liveLists"))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/$nextName")
     // compaction moves bytes, never content: the new lists still live
     // under the SAME quantizer, so the pointer keeps the centroids
     // name and swaps only the lists generation
     flipCurrent(path, nextName, liveCents)
-    staleGenerations(path, keep = Set(nextName, liveLists, liveCents))
+    // the superseded generation keeps its sidecar through the grace
+    // window — a pinned reader pairs old lists with the old delete set
+    staleGenerations(path,
+        keep = Set(nextName, liveLists, liveCents, tombName(liveLists)))
       .foreach(graft.FileTree.delete)
   }
 
@@ -489,7 +510,11 @@ object IVF {
       .orderBy(col("__cs").desc, col("cid").asc)
       .limit(nprobe)
       .select(col("cid"), col("__qv"))
-    val lists = spark.read.parquet(listsDir)
+    // every serve hides the generation's tombstoned ids BEFORE the
+    // top-k (a request-sized broadcast anti-join; no sidecar → free):
+    // a deleted row must never be served, whatever the at-rest bytes
+    // still hold between delete and compaction
+    val lists = dropTombstoned(spark, listsDir, spark.read.parquet(listsDir))
     val scored = lists
       .join(broadcast(probes), "cid") // becomes a partition filter on cid
       .select(col(idCol), dot(col(vecCol), col("__qv")).as("score"))
@@ -590,8 +615,9 @@ object IVF {
       .localCheckpoint()
     val cids = probes.select(col("cid").cast("long")).distinct()
       .as(org.apache.spark.sql.Encoders.scalaLong).collect().toSeq.sorted
-    val lists = spark.read.parquet(s"$path/$ln")
-      .filter(col("cid").isin(cids: _*)) // union of probed cells
+    val lists = dropTombstoned(spark, s"$path/$ln",
+      spark.read.parquet(s"$path/$ln")
+        .filter(col("cid").isin(cids: _*))) // union of probed cells
     multiTopKProbed(lists, probes, idCol, vecCol, k)
   }
 

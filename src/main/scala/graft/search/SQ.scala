@@ -220,7 +220,11 @@ object SQ {
       .orderBy(col("__cs").desc, col("cid").asc)
       .limit(nprobe)
       .select(col("cid"), col("__qv"))
-    spark.read.parquet(IVF.listsPath(path)) // live generation, one pointer read
+    val lp = IVF.listsPath(path) // live generation, one pointer read
+    // tombstoned ids are hidden from the candidate scan (IVF's delete
+    // sidecar — shared layout, shared hide), so a deleted code can
+    // never reach the re-rank between delete and compaction
+    IVF.dropTombstoned(spark, lp, spark.read.parquet(lp))
       .join(broadcast(probes), "cid") // becomes a partition filter on cid
       .crossJoin(broadcast(ba))
       .select(col("id"),
@@ -252,8 +256,10 @@ object SQ {
       .localCheckpoint() // queries x nprobe rows: cid collect + join
     val cids = probes.select(col("cid").cast("long")).distinct()
       .as(org.apache.spark.sql.Encoders.scalaLong).collect().toSeq.sorted
-    val cand = spark.read.parquet(IVF.listsPath(path))
-      .filter(col("cid").isin(cids: _*)) // union of probed cells
+    val lp = IVF.listsPath(path) // one pointer read
+    val cand = IVF.dropTombstoned(spark, lp, // delete sidecar hidden here too
+        spark.read.parquet(lp)
+          .filter(col("cid").isin(cids: _*))) // union of probed cells
       .join(broadcast(probes), "cid")
       .crossJoin(broadcast(ba))
       .select(col("qid"), col("id"),

@@ -92,6 +92,51 @@ class BM25Spec extends SparkSpec {
       "the superseded generation's files must remain on disk")
   }
 
+  test("delete sidecar: default serve hides docs, compaction folds + clears, no-op without one") {
+    val tbl = "bm25_tomb_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = java.nio.file.Files.createTempDirectory("bm25_tomb").toString + "/t"
+    Queries.writePostings(spark, docs, tbl, path, "overwrite")
+    def serve() = {
+      val post = spark.table(tbl)
+      BM25.searchIndexed(spark, path, post, BM25.statsFromPostings(post),
+          Seq("spark", "engine"), 10)
+        .select("doc", "rank", "score").as[(Long, Long, Double)]
+        .collect().toSeq.sortBy(_._2)
+    }
+    val all = serve() // no sidecar: the raw fast path
+    assert(all.nonEmpty)
+    val victim = all.head._1
+    val del = Seq(victim).toDF("doc")
+    assert(BM25.deleteFromPostings(spark, path, spark.table(tbl), del) == 1L)
+    assert(BM25.deleteFromPostings(spark, path, spark.table(tbl), del) == 0L,
+      "re-delete must count zero")
+    assert(BM25.deleteFromPostings(spark, path, spark.table(tbl),
+        Seq(999999L).toDF("doc")) == 0L,
+      "absent docs must count zero")
+    val hidden = serve()
+    assert(!hidden.map(_._1).contains(victim), "deleted doc still served")
+    // hide-now equals the from-scratch index over the corpus-without:
+    // stats (N, avgdl, df) must re-derive from the filtered frame
+    val rebuilt = BM25.search(docs.filter(col("doc_id") =!= victim),
+        "doc_id", "text", Seq("spark", "engine"), 10)
+      .select("doc", "rank", "score").as[(Long, Long, Double)]
+      .collect().toSeq.sortBy(_._2)
+    assert(hidden == rebuilt, "sidecar-aware serve must equal rebuild-without")
+    // compaction folds the sidecar into the rewrite; the new data
+    // path starts clean and serves identically
+    val live = Queries.compactPostings(spark, tbl, path)
+    assert(!new java.io.File(BM25.tombPath(live)).isDirectory)
+    assert(spark.table(tbl).filter(col("doc") === victim).isEmpty,
+      "deleted doc's postings survived compaction")
+    val post = spark.table(tbl)
+    val removed = BM25.searchIndexed(spark, live, post,
+        BM25.statsFromPostings(post), Seq("spark", "engine"), 10)
+      .select("doc", "rank", "score").as[(Long, Long, Double)]
+      .collect().toSeq.sortBy(_._2)
+    assert(removed == hidden, "hide-now and remove-later diverge")
+  }
+
   test("postings append writes only the delta's term buckets, at-rest files untouched") {
     // the q87/q102 append discipline as a file-level contract: a delta
     // batch must land NEW files only, and only in buckets some delta

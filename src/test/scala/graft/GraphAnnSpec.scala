@@ -365,16 +365,26 @@ class GraphAnnSpec extends SparkSpec {
         emb.filter(col("vec_id") === 0), "vec_id", "v"))
   }
 
-  test("q99 streamed ingest serves the same answers as q97's batch append") {
-    // the in-query requires already pin node-table equality vs the
-    // same-routing full rebuild; this pins the user-visible
-    // consequence — streamed micro-batch ingest and one batch append
-    // reach byte-identical index STATE, so the served top-k agrees
+  test("q99 streamed ingest equals q97's batch append: node tables bit for bit, same answers") {
+    // the O(index) bit-identity gates moved OUT of the declared
+    // queries (their in-query gates are parts-sized occupancy
+    // compares — the q116/q120 discipline); this spec carries the
+    // full-strength pin at spec scale: streamed micro-batch ingest
+    // and one batch append reach byte-identical index STATE (and the
+    // single-append ≡ same-routing-rebuild case above closes the
+    // chain to the from-scratch build), so the served top-k agrees
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("vec_id", "rank", "score")
         .as[(Long, Long, Double)].collect().toSeq.sortBy(_._2)
     assert(rows(RetrievalQueries.q99StreamIndex(spark, sf0001)) ==
       rows(RetrievalQueries.q97GraphAppend(spark, sf0001)))
+    def nodes(p: String) = spark.read.parquet(s"$p/nodes")
+      .select(col("part").cast("int"), col("id"), col("vec"), col("nbrs"))
+      .as[(Int, Long, Seq[Double], Seq[Long])].collect().toSeq.sortBy(_._2)
+    val q97Nodes = nodes(PipelineQueries.roundtripPath(sf0001, "q97"))
+    assert(nodes(PipelineQueries.roundtripPath(sf0001, "q99")) == q97Nodes,
+      "drained and batch-appended node tables diverge")
+    assert(q97Nodes.nonEmpty)
   }
 
   test("routed serving: top-P probe prunes the nodes scan and holds the recall floor") {

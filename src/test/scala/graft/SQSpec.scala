@@ -106,6 +106,33 @@ class SQSpec extends SparkSpec {
     assert(overlap >= 8, s"recall@10 too low: $overlap/10")
   }
 
+  test("SQ8 delete: tombstone hides from ADC serve now, compaction removes later") {
+    import graft.search.IVF
+    val path = "/tmp/graft_test/sq_delete"
+    SQ.writeIndex(e, "vec_id", "v", 8, path)
+    val total = e.count()
+    val doomed = e.filter(col("vec_id") % 9 === 2)
+      .select(col("vec_id").as("id")).localCheckpoint()
+    val nDoomed = doomed.count()
+    // shared layout, shared delete: IVF.deleteFromIndex on idCol "id"
+    assert(IVF.deleteFromIndex(spark, path, doomed, "id") == nDoomed)
+    assert(spark.read.parquet(IVF.listsPath(path)).count() == total,
+      "tombstoning must not touch SQ list bytes")
+    val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    def serve() = SQ.searchIndex(spark, path, e, "vec_id", "v", q, "qv",
+        10, 8, RetrievalQueries.sqRerank)
+      .select(col("vec_id"), col("rank"), col("score"))
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    val hidden = serve()
+    assert(hidden.nonEmpty && !hidden.map(_._1).exists(_ % 9 == 2),
+      "a tombstoned id reached the SQ8 serve")
+    // compaction (IVF's, shared machinery) folds the tombstones in
+    IVF.compactIndex(spark, path)
+    assert(spark.read.parquet(IVF.listsPath(path)).count() == total - nDoomed,
+      "compaction must physically drop the deleted codes")
+    assert(serve() == hidden, "hide-now and remove-later must serve alike")
+  }
+
   test("append quantizes under the STANDING bounds and reports the clamped fraction") {
     val path = "/tmp/graft_test/sq_append"
     val base = e.filter(col("vec_id") >= 100)

@@ -274,11 +274,12 @@ class SearchSpec extends SparkSpec {
     assert(spark.read.parquet(IVF.listsPath(appended)).count() == emb.count())
   }
 
-  test("IVF delete: equals rebuild-without-them, empties whole lists, ignores absent ids") {
+  test("IVF delete: tombstone hides now, compaction removes later, equals rebuild-without-them") {
     import graft.search.IVF
     val cents = IVF.centroids(emb, "vec_id", "v", 8).localCheckpoint()
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
     IVF.writeIndexFrom(cents, IVF.assign(emb, "vec_id", "v", cents), path)
+    val total = emb.count()
     // delete EVERY member of one list (the emptied-list branch) plus
     // a spread set, and two ids the index never held
     val lists = spark.read.parquet(IVF.listsPath(path))
@@ -292,11 +293,18 @@ class SearchSpec extends SparkSpec {
     val absent = spark.range(10000000L, 10000002L).toDF("vec_id")
     assert(IVF.deleteFromIndex(spark, path, absent, "vec_id") == 0L,
       "deleting absent ids must be a no-op")
+    assert(!new java.io.File(s"$path/tomb__lists").isDirectory,
+      "an all-absent request must not create a sidecar")
     assert(IVF.deleteFromIndex(spark, path, doomed, "vec_id") == nDoomed)
-    // the emptied list's directory is gone
-    assert(!new java.io.File(s"${IVF.listsPath(path)}/cid=$victimCid").exists(),
-      "a fully-deleted list must drop its directory")
-    // search equals an index built without the doomed ids
+    // PHASE 1 is a pure hide: at-rest bytes stand, sidecar holds
+    // request∩index, a repeat of the same request counts zero
+    assert(spark.read.parquet(IVF.listsPath(path)).count() == total,
+      "tombstoning must not touch list bytes")
+    assert(spark.read.parquet(s"$path/tomb__lists").count() == nDoomed)
+    assert(IVF.deleteFromIndex(spark, path, doomed, "vec_id") == 0L,
+      "re-deleting tombstoned ids must count zero (no double-counting)")
+    assert(IVF.listsRows(spark, path).count() == total - nDoomed)
+    // hide-now: search equals an index built without the doomed ids
     val rebuilt = java.nio.file.Files.createTempDirectory("graft_ivf_del_rb").toString
     IVF.writeIndexFrom(cents,
       IVF.assign(emb.join(doomed, Seq("vec_id"), "left_anti"), "vec_id", "v", cents),
@@ -306,7 +314,26 @@ class SearchSpec extends SparkSpec {
       IVF.searchIndex(spark, p, "vec_id", "v", q, "qv", 10, 2)
         .select("vec_id", "rank", "score")
         .as[(Long, Long, Double)].collect().toSeq
-    assert(search(path) == search(rebuilt))
+    val want = search(rebuilt)
+    assert(search(path) == want)
+    // PHASE 2: compaction physically removes, drops the emptied
+    // list's directory, starts the fresh generation with a clean
+    // sidecar — and a pinned pre-flip reader keeps its coherent
+    // (old lists + old sidecar) snapshot through the grace window
+    val pin = IVF.currentGeneration(path)
+    IVF.compactIndex(spark, path)
+    assert(spark.read.parquet(IVF.listsPath(path)).count() == total - nDoomed,
+      "compaction must fold the tombstones into the rewrite")
+    assert(!new java.io.File(s"${IVF.listsPath(path)}/cid=$victimCid").exists(),
+      "a fully-deleted list must drop its directory at compaction")
+    val newName = new java.io.File(IVF.listsPath(path)).getName
+    assert(!new java.io.File(s"$path/tomb__$newName").isDirectory,
+      "the compacted generation must start with a clean sidecar")
+    assert(search(path) == want, "post-compaction serve must not move")
+    assert(IVF.searchIndexPinned(spark, path, pin, "vec_id", "v", q, "qv", 10, 2)
+        .select("vec_id", "rank", "score")
+        .as[(Long, Long, Double)].collect().toSeq == want,
+      "a grace-window pin must keep serving the delete-filtered snapshot")
   }
 
   test("IVF compaction generations: repeat compacts advance the pointer, appends land in the live one") {
