@@ -403,6 +403,181 @@ object PipelineQueries {
          CAST(SUM(b) AS BIGINT) AS sum_b
        FROM px GROUP BY media_id ORDER BY media_id"""
 
+  // ---------- q152: multimodal near-dup (dHash + Hamming bands) ----------
+
+  /** The image near-dup corpus: [[pngPattern]]'s formula for base ids,
+    * and for ids ≥ [[dhashBase]] a NEAR-DUPLICATE of id − dhashBase —
+    * same dims, same pattern, with the leftmost dHash cell column
+    * brightened by a clamped +25 per channel (a deterministic "edited
+    * crop-corner" perturbation: byte-different pixels, close
+    * fingerprint — only the column-0/1 comparisons can flip, ≤ 8 of
+    * 64 bits). Closed-form, so the oracle replays pixels, grid sums,
+    * bits, bands, and Hamming distances exactly. */
+  val dhashN = 60
+  val dhashBase = 40
+  val dhashTau = 12
+  private[graft] def dhashPattern(id: Long): (Int, Int, Array[Byte]) = {
+    val src = if (id >= dhashBase) id - dhashBase else id
+    val (w, h, px) = pngPattern(src)
+    if (id >= dhashBase) {
+      var y = 0; var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if (x < w / 9) {
+            px(i) = math.min(255, (px(i) & 0xFF) + 25).toByte
+            px(i + 1) = math.min(255, (px(i + 1) & 0xFF) + 25).toByte
+            px(i + 2) = math.min(255, (px(i + 2) & 0xFF) + 25).toByte
+          }
+          i += 3; x += 1
+        }
+        y += 1
+      }
+    }
+    (w, h, px)
+  }
+
+  /** 64-bit dHash of a decoded image: integer luma
+    * (299r + 587g + 114b)/1000, average-pooled onto a 9×8 grid
+    * (cx = x·9/w, cy = y·8/h — every cell non-empty since
+    * w ≥ 9, h ≥ 8), bit k = cx·8+cy set when the right cell's mean
+    * exceeds the left's (exact cross-multiplied compare — no float
+    * division anywhere, so Spark and the SQL replay agree bit for
+    * bit). The packing is COLUMN-MAJOR deliberately: a 16-bit band
+    * is then two adjacent cell COLUMNS, so a spatially-local edit
+    * (the planted corner perturbation, a watermark, a cropped edge)
+    * dirties few bands and the pair still meets through a clean one
+    * — row-major packing smears one edited column across all four
+    * bands and the banded join misses exactly the near-dups it
+    * exists to find. The per-image work is the codec boundary
+    * (mapPartitions, like q85's channel sums); everything after the
+    * hash is relational. */
+  private[graft] def dhash64(img: graft.multimodal.Png.Image): Long = {
+    val w = img.width; val h = img.height
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var y = 0; var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = img.pixels(i) & 0xFF
+        val g = img.pixels(i + 1) & 0xFF
+        val b = img.pixels(i + 2) & 0xFF
+        val cx = x * 9 / w; val cy = y * 8 / h
+        sums(cy)(cx) += (299 * r + 587 * g + 114 * b) / 1000
+        cnts(cy)(cx) += 1
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (sums(cy)(cx + 1) * cnts(cy)(cx) > sums(cy)(cx) * cnts(cy)(cx + 1))
+          hash |= 1L << (cx * 8 + cy)
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  /** MULTIMODAL NEAR-DUP — the image dedup cell of the training-data
+    * matrix (text has MinHash/SimHash/cosine; images get perceptual
+    * dHash): encode each corpus image as a REAL PNG, decode it back,
+    * dHash the decoded bitmap ([[dhash64]] — the whole codec round
+    * trip is under the gate), then find near-duplicates RELATIONALLY
+    * with the SimHash band discipline (`dedup/Dedup` q32): the
+    * 64-bit fingerprint splits into four 16-bit bands, candidates
+    * meet through a (band, value) equi-join — two images compare iff
+    * they agree exactly on at least one band, NEVER all-pairs (the
+    * planted column-0 perturbation dirties only band 0 under the
+    * column-major packing; any pair whose differing bits cluster in
+    * ≤ 3 bands shares a clean one) — and survivors are verified by exact
+    * Hamming distance (bit_count(xor), codegen'd). At 100 TB the
+    * band value is the shuffle key and pair work tracks candidate
+    * count, the exact q32/q33 scale story. The oracle replays
+    * pixels → luma grid → bits → bands → join → popcount from the
+    * closed-form pattern, so one wrong byte anywhere in
+    * encode/decode/hash/band/join breaks the hash match. */
+  def q152ImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Png
+    val feats = s.range(dhashN).select(col("id").as("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, px) = dhashPattern(id)
+        (id, dhash64(Png.decode(Png.encode(w, h, px))))
+      })
+      .toDF("media_id", "dhash")
+      // one long per image — the feature table the banded join reads
+      // twice (self-join sides)
+      .localCheckpoint()
+    val bands = feats.select(col("media_id"),
+        posexplode(array((0 until 4).map(j =>
+          shiftright(col("dhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("media_id", "band", "bval")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a"), col("b.media_id").as("b"))
+      .distinct()
+    cand
+      .join(feats.select(col("media_id").as("a"), col("dhash").as("ha")), "a")
+      .join(feats.select(col("media_id").as("b"), col("dhash").as("hb")), "b")
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= dhashTau)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy("a", "b")
+  }
+
+  /** The closed-form replay: pixels (clamped perturbation included) →
+    * integer luma → 9×8 grid sums → cross-multiplied bits → 16-bit
+    * band values (the packed 64-bit hash is never materialized in
+    * SQL — bit 63 would wrap a BIGINT; Hamming sums per-band
+    * popcounts instead, which is the same number) → band equi-join →
+    * tau filter. */
+  val q152Sql: String =
+    s"""WITH ids AS (SELECT unnest(generate_series(0, ${dhashN - 1})) AS id),
+       src AS (SELECT id, CASE WHEN id >= $dhashBase THEN id - $dhashBase ELSE id END AS s FROM ids),
+       dims AS (SELECT id, s, $pngWBase + s % $pngWMod AS w,
+                       $pngHBase + s % $pngHMod AS h FROM src),
+       xs AS (SELECT unnest(generate_series(0, ${pngWBase + pngWMod - 2})) AS x),
+       ys AS (SELECT unnest(generate_series(0, ${pngHBase + pngHMod - 2})) AS y),
+       px AS (SELECT id, w, h, x, y,
+                LEAST(255, (x*7 + y*3 + s*13) % 256 +
+                  CASE WHEN id >= $dhashBase AND x < w // 9 THEN 25 ELSE 0 END) AS r,
+                LEAST(255, (x*5 + y*11 + s*17) % 256 +
+                  CASE WHEN id >= $dhashBase AND x < w // 9 THEN 25 ELSE 0 END) AS g,
+                LEAST(255, (x*3 + y*13 + s*19) % 256 +
+                  CASE WHEN id >= $dhashBase AND x < w // 9 THEN 25 ELSE 0 END) AS b
+              FROM dims, xs, ys WHERE x < w AND y < h),
+       lum AS (SELECT id, (x*9) // w AS cx, (y*8) // h AS cy,
+                 (299*r + 587*g + 114*b) // 1000 AS l FROM px),
+       cells AS (SELECT id, cy, cx, SUM(l) AS sm, COUNT(*) AS cnt
+                 FROM lum GROUP BY id, cy, cx),
+       bits AS (SELECT c1.id, c1.cy, c1.cx,
+                  CASE WHEN c2.sm * c1.cnt > c1.sm * c2.cnt THEN 1 ELSE 0 END AS bit
+                FROM cells c1 JOIN cells c2
+                  ON c1.id = c2.id AND c1.cy = c2.cy AND c2.cx = c1.cx + 1
+                WHERE c1.cx < 8),
+       bands AS (SELECT id, (cx*8 + cy) // 16 AS band,
+                   CAST(SUM(bit * (1 << ((cx*8 + cy) % 16))) AS BIGINT) AS bval
+                 FROM bits GROUP BY id, (cx*8 + cy) // 16),
+       cand AS (SELECT DISTINCT a.id AS a, b.id AS b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bval = b.bval AND a.id < b.id),
+       ham AS (SELECT cand.a, cand.b,
+                 CAST(SUM(bit_count(xor(ba.bval, bb.bval))) AS BIGINT) AS hamming
+               FROM cand
+               JOIN bands ba ON ba.id = cand.a
+               JOIN bands bb ON bb.id = cand.b AND bb.band = ba.band
+               GROUP BY cand.a, cand.b)
+       SELECT a, b, hamming FROM ham WHERE hamming <= $dhashTau ORDER BY a, b"""
+
   /** REAL audio decode under the oracle gate: deterministic integer
     * sawtooth waveforms (pure integer arithmetic — no libm, so the
     * oracle replays samples exactly), encoded as genuine PCM16 WAV
@@ -739,6 +914,7 @@ object PipelineQueries {
     "q82_stream_hourly" -> (q82StreamHourly _),
     "q83_stream_stream_join" -> (q83StreamStreamJoin _),
     "q85_png_stats" -> (q85PngStats _),
+    "q152_image_neardup" -> (q152ImageNeardup _),
     "q90_mixed_media" -> (q90MixedMedia _),
     "q91_wav_stats" -> (q91WavStats _),
     "q92_video_frames" -> (q92VideoFrames _))
@@ -761,6 +937,7 @@ object PipelineQueries {
     "q82_stream_hourly" -> Queries.q06Sql,
     "q83_stream_stream_join" -> ScaleQueries.q66Sql,
     "q85_png_stats" -> q85Sql,
+    "q152_image_neardup" -> q152Sql,
     "q90_mixed_media" -> q90Sql,
     "q91_wav_stats" -> q91Sql,
     "q92_video_frames" -> q92Sql)

@@ -515,6 +515,121 @@ object RetrievalQueries {
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  /** DELETION UNDER LIVE INGEST — the lifecycle composition the
+    * matrix lacked: a right-to-be-forgotten request lands MID-DRAIN,
+    * between q127's append micro-batches, exercising the two-phase
+    * tombstone machinery under the concurrency it was built for. The
+    * drain is q127's (base index over vec_id ≥ 100, the < 100 slice
+    * as four id-ordered micro-batches appending through
+    * [[graft.search.IVF.appendToIndex]]); after batch 1 commits, the
+    * delete request (base ids ≡ 3 mod 7 — rows ingested BEFORE the
+    * stream started) runs [[graft.search.IVF.deleteFromIndex]]
+    * against the live index, and batches 2–3 keep appending AFTER it.
+    * In-query gates, all request- or parts-sized (the q116/q120
+    * discipline — full-strength row equality lives in StreamingSpec):
+    * the mid-drain delete counts exactly request∩index and touches
+    * ZERO list files (full file-listing snapshot around it — hide
+    * cost is O(request) even while the index is mid-ingest), and the
+    * drained index's per-cell live occupancy equals the batch
+    * replay's (assign the union under the standing quantizer, drop
+    * the deleted ids — K rows per side). The declared output is the
+    * post-drain serve, hash-matched against the SQL replay of
+    * append → delete → append, so the oracle certifies the stream
+    * and the delete COMPOSED: the index answers as if the deleted
+    * rows were never ingested and the post-delete batches always
+    * had been. The appended ids are disjoint from the request, so
+    * no batch trips the revive path — [[graft.search.IVF
+    * .appendToIndex]]'s revive probe stays a directory read per
+    * batch. */
+  def q147StreamIvfDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q147")
+    val base = e.filter(col("vec_id") >= 100)
+    graft.search.IVF.writeIndex(base, "vec_id", "v", ivfK, 0, path)
+    val stage = embDeltaStage(s, dir)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val delIds = e.filter(col("vec_id") >= 100 && col("vec_id") % 7 === 3)
+      .select(col("vec_id"))
+    val nReq = Memo.cachedCount(s, dir, "q147_ndel")(delIds.count())
+    def listSnap(lp: String): Map[String, Seq[(String, Long, Long)]] =
+      Option(new java.io.File(lp).listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.startsWith("cid="))
+        .map(d => d.getName ->
+          Option(d.listFiles()).toSeq.flatten.filter(_.isFile)
+            .map(f => (f.getName, f.length(), f.lastModified()))
+            .sortBy(_._1))
+        .toMap
+    var nDel = -1L
+    var filesTouched = true
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      graft.search.IVF.appendToIndex(s, path,
+        batch.select(col("vec_id"), col("v")), "vec_id", "v")
+      if (bid == 1L) {
+        val lp = graft.search.IVF.listsPath(path)
+        val snapBefore = listSnap(lp)
+        nDel = graft.search.IVF.deleteFromIndex(s, path, delIds, "vec_id")
+        filesTouched = listSnap(lp) != snapBefore
+      }
+    })
+    require(nDel == nReq,
+      s"q147: the mid-drain delete hid $nDel of a $nReq-id request")
+    require(!filesTouched,
+      "q147: the mid-drain delete must not touch a single list file")
+    // parts-sized occupancy gate: live (tombstone-filtered) per-cell
+    // counts equal the batch replay's — assign the union under the
+    // standing quantizer, drop the deleted ids
+    val cents = s.read.parquet(graft.search.IVF.centroidsPath(path))
+    val liveOcc = graft.search.IVF.listsRows(s, path)
+      .groupBy(col("cid").cast("long").as("cid")).count()
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toMap
+    val wantOcc = graft.search.IVF.assign(
+        e.filter(!(col("vec_id") >= 100 && col("vec_id") % 7 === 3)),
+        "vec_id", "v", cents)
+      .groupBy(col("cid").cast("long").as("cid")).count()
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toMap
+    require(liveOcc == wantOcc,
+      "q147: drained+deleted per-cell occupancy must equal the batch replay")
+    graft.search.IVF.searchIndex(s, path, "vec_id", "v",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+      10, ivfProbe)
+      .orderBy("rank")
+  }
+
+  /** q84's replay (standing base-slice quantizer, assignment over the
+    * union) with the delete predicate applied to the lists — the
+    * stream and the delete composed: deleted base rows were never
+    * ingested, post-delete batches always were. */
+  val q147Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e WHERE vec_id >= 100) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       d AS (SELECT * FROM a WHERE NOT (vec_id >= 100 AND vec_id % 7 = 3)),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       sc AS (SELECT d.vec_id, list_dot_product(d.v, pr.qv) AS sc
+              FROM d JOIN pr ON d.cid = pr.cid),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
   /** S5/R2 INDEX LIFECYCLE under the oracle gate — the composition
     * whose halves q84 (append ≡ rebuild) and q58 (refine replay) pin
     * separately: build the at-rest index over the odd-id slice,
@@ -953,6 +1068,18 @@ object RetrievalQueries {
     * queries — enough to exercise distinct probe sets while the
     * probe table stays driver-trivial. */
   private val multiQids = Seq(1L, 2L, 3L)
+
+  /** The multi-query lexical workload: per-qid term sets (terms from
+    * the synthetic corpus's stable vocabulary so every SF has
+    * matches). qids mirror [[multiQids]] so the hybrid q150 pairs the
+    * legs. Lives HERE, not in Queries (the q-catalog layering rule):
+    * q150Sql below interpolates it during THIS object's init, and a
+    * cross-catalog read at init time deadlocks the <clinit> cycle. */
+  private[graft] val bm25MultiQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "hash", "join"),
+    2L -> Seq("vector", "scan", "filter"),
+    3L -> Seq("stream", "batch", "merge"))
+
   private def multiQueries(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).filter(col("vec_id").isin(multiQids: _*))
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -1500,6 +1627,21 @@ object RetrievalQueries {
       .select("method", "knob", "recall")
   }
 
+  /** Parts-sized per-cell CONTENT SIGNATURE of a graph index: sum
+    * over each cell of hash(id, nbrs) — one column-pruned scan (id +
+    * adjacency, never vector bytes), map-side partial agg, parts
+    * rows out. Order-independent (sum), content-sensitive (an index
+    * that keeps per-cell counts but corrupts ids or adjacency gets a
+    * different signature) — the cheap in-query stand-in for the
+    * O(index) exceptAll equality that lives in GraphAnnSpec
+    * (q116/q120 discipline, hardened per the round-13 advisory). */
+  private def cellSignature(s: SparkSession, p: String): Seq[(Long, Long)] =
+    s.read.parquet(graft.search.GraphAnn.tablePath(p, "nodes"))
+      .select(col("part").cast("long").as("part"),
+        hash(col("id"), col("nbrs")).cast("long").as("h"))
+      .groupBy("part").agg(sum(col("h")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
   /** S5/R2 GRAPH-INDEX LIFECYCLE (the q84/q96 maintenance discipline
     * applied to the graph path): build the at-rest NSW index over the
     * FIRST 80% of ids, append the newest 20% as a delta through
@@ -1511,14 +1653,18 @@ object RetrievalQueries {
     * UNDER THE SAME ROUTING, BIT FOR BIT — GraphAnnSpec pins that
     * equivalence at spec scale ("appendToIndex with growing ids
     * equals a same-routing rebuild bit for bit"); the in-query gate
-    * is META-LEVEL and parts-sized (the q116/q120 discipline): the
-    * appended index's per-cell occupancy must equal the full
-    * rebuild's cell for cell. The O(index) exceptAll that used to
-    * live here made a linear append look like a full-index scan in
-    * the bench clock — production appends and trusts the spec-pinned
-    * equivalence. NO oracle: graph construction is not
-    * SQL-expressible (the SURVEY ✗-mark discipline; GraphAnnSpec
-    * also pins recall floors at spec scale). */
+    * is parts-sized (the q116/q120 discipline): a per-cell CONTENT
+    * SIGNATURE — sum over the cell of hash(id, nbrs), a column-pruned
+    * scan that never reads vector bytes, order-independent under the
+    * sum — must equal the full rebuild's cell for cell, so an append
+    * bug that preserves per-cell counts but corrupts ids or adjacency
+    * still fails here, not only in the spec. The O(index) exceptAll
+    * that used to live here made a linear append look like a
+    * full-index scan in the bench clock — production appends and
+    * trusts the spec-pinned equivalence. NO oracle: graph
+    * construction is not SQL-expressible (the SURVEY ✗-mark
+    * discipline; GraphAnnSpec also pins recall floors at spec
+    * scale). */
   def q97GraphAppend(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
@@ -1527,12 +1673,8 @@ object RetrievalQueries {
     cloneTree(graphBase80Path(s, dir), path)
     graft.search.GraphAnn.appendToIndex(s, path,
       e.filter(col("vec_id") >= split), "vec_id", "v")
-    def occupancy(p: String): Seq[(Long, Long)] = s.read
-      .parquet(graft.search.GraphAnn.tablePath(p, "meta"))
-      .select(col("part").cast("long"), col("n").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-    require(occupancy(path) == occupancy(graphRebuildPath(s, dir)),
-      "q97: appended index's per-cell occupancy must equal the same-routing full rebuild's")
+    require(cellSignature(s, path) == cellSignature(s, graphRebuildPath(s, dir)),
+      "q97: appended index's per-cell content signature must equal the same-routing full rebuild's")
     // serve ROUTED (the production shape — every serving call site
     // exercises the partition-pruned path, not just q86)
     graft.search.GraphAnn.searchIndex(s, path, "vec_id",
@@ -1555,12 +1697,14 @@ object RetrievalQueries {
     * same 80%-trained routing table — BIT FOR BIT; that equivalence
     * is GraphAnnSpec's cost at spec scale ("q99 streamed ingest
     * serves the same answers" + the append≡rebuild pin), and the
-    * in-query gate is the parts-sized per-cell occupancy compare
-    * (the q116/q120 meta-gate discipline — the O(index) exceptAll
-    * here made a linear drain look superlinear in the bench clock).
-    * A mis-ordered batch would fail appendToIndex's monotonic-id
-    * contract loudly rather than building a silently different
-    * graph. Rows-only (graph construction is not SQL-expressible). */
+    * in-query gate is the parts-sized per-cell CONTENT-SIGNATURE
+    * compare ([[cellSignature]] — the q116/q120 meta-gate
+    * discipline with q97's content-sensitivity; the O(index)
+    * exceptAll here made a linear drain look superlinear in the
+    * bench clock). A mis-ordered batch would fail appendToIndex's
+    * monotonic-id contract loudly rather than building a silently
+    * different graph. Rows-only (graph construction is not
+    * SQL-expressible). */
   def q99StreamIndex(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
@@ -1578,12 +1722,8 @@ object RetrievalQueries {
     graft.streaming.Streaming.runForeachBatch(s, src, (batch, _) =>
       graft.search.GraphAnn.appendToIndex(s, path,
         batch.select(col("vec_id"), col("v")), "vec_id", "v"))
-    def occupancy(p: String): Seq[(Long, Long)] = s.read
-      .parquet(graft.search.GraphAnn.tablePath(p, "meta"))
-      .select(col("part").cast("long"), col("n").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-    require(occupancy(path) == occupancy(graphRebuildPath(s, dir)),
-      "q99: the drained index's per-cell occupancy must equal the same-routing full rebuild's")
+    require(cellSignature(s, path) == cellSignature(s, graphRebuildPath(s, dir)),
+      "q99: the drained index's per-cell content signature must equal the same-routing full rebuild's")
     // routed serving, like q86/q97 — the streamed-in index is served
     // exactly as the production index would be
     graft.search.GraphAnn.searchIndex(s, path, "vec_id",
@@ -2737,6 +2877,97 @@ $sqRows)
                     ROUND(s, 6) AS score FROM f)
        SELECT id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  // ---------- q150: multi-query hybrid from at-rest indexes ----------
+
+  /** MULTI-QUERY HYBRID SERVING — q142's production RAG path for a
+    * QUERY BATCH, reading each at-rest artifact ONCE for the whole
+    * batch: the vector leg is [[graft.search.IVF.searchIndexMulti]]
+    * (one partition-pruned lists scan filtered to the UNION of every
+    * query's probed cells), the lexical leg is
+    * [[graft.lexical.BM25.searchIndexedMulti]] (one bucket-pruned
+    * postings scan scoring all term-sets), and
+    * [[graft.hybrid.Hybrid.rrfFuseMulti]] fuses per qid over
+    * ≤ 2·[[rrfDepth]] candidates each — the whole post-scan exchange
+    * is O(queries × depth) rows. Every other serving family has its
+    * multi-query row (q134 IVF, q135 SQ8, graph multi); this closes
+    * the lexical and hybrid legs. The oracle replays both legs per
+    * qid (the IVF approximation chain partitioned by qid, the BM25
+    * scoring over a VALUES routing table) plus the fused arithmetic. */
+  def q150HybridMulti(s: SparkSession, dir: String): DataFrame = {
+    require(bm25MultiQueries.map(_._1) == multiQids,
+      "q150Sql/q149 routing qids are out of sync with multiQids")
+    val e = emb(s, dir)
+    val path = persistedListsPath(s, dir, "ivf_idx0", ivfCents0(s, dir))
+    val qs = e.filter(col("vec_id").isin(multiQids: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val vec = graft.search.IVF.searchIndexMulti(s, path, "vec_id", "v",
+      qs, "qid", "qv", rrfDepth, ivfProbe)
+    val lex = BM25.searchIndexedMulti(s, Queries.bm25IndexPath(s, dir),
+      Queries.bm25Postings(s, dir), Queries.bm25Stats(s, dir),
+      bm25MultiQueries, rrfDepth)
+    Hybrid.rrfFuseMulti(vec, "vec_id", lex, "doc", rrfC, 10)
+      .orderBy("qid", "rank")
+  }
+
+  /** q142's replay generalized per qid: the vector approximation
+    * chain partitioned by query, the lexical scoring joined through
+    * the VALUES routing table, RRF fused on (qid, id). LAZY, over
+    * THIS object's [[bm25MultiQueries]] (initialization-order
+    * safe). */
+  lazy val q150Sql: String = {
+    val qtVals = bm25MultiQueries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    val union = bm25MultiQueries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    val qids = multiQids.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ($qids)),
+       pr AS (SELECT qid, cid, qv FROM (
+           SELECT q.qid, c.cid, q.qv,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       vs AS (SELECT pr.qid, a.vec_id, list_dot_product(a.v, pr.qv) AS sc
+              FROM a JOIN pr ON a.cid = pr.cid),
+       vr AS (SELECT qid, vec_id AS id, rank FROM (
+           SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS rank
+           FROM vs) WHERE rank <= $rrfDepth),
+       qt AS (SELECT CAST(qid AS BIGINT) AS qid, term
+           FROM (VALUES $qtVals) t(qid, term)),
+       d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       corpus AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d),
+       post AS (SELECT doc_id, len(toks) AS len, UNNEST(toks) AS term FROM d),
+       tf AS (SELECT doc_id, len, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM post
+              WHERE term IN ($union) GROUP BY doc_id, len, term),
+       stats AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+       idf AS (SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf FROM stats, corpus),
+       lsc AS (SELECT qt.qid, tf.doc_id,
+                SUM(idf * tf * 2.5 / (tf + 1.5 * (1.0 - 0.75 + 0.75 * len / avgdl))) AS score
+              FROM tf JOIN idf USING (term) JOIN qt USING (term), corpus
+              GROUP BY qt.qid, tf.doc_id),
+       lr AS (SELECT qid, doc_id AS id, rank FROM (
+           SELECT qid, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+           FROM lsc) WHERE rank <= $rrfDepth),
+       f AS (SELECT COALESCE(v.qid, l.qid) AS qid, COALESCE(v.id, l.id) AS id,
+           COALESCE(1.0 / ($rrfC + v.rank), 0.0) + COALESCE(1.0 / ($rrfC + l.rank), 0.0) AS s
+         FROM vr v FULL OUTER JOIN lr l ON v.qid = l.qid AND v.id = l.id),
+       r AS (SELECT qid, id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, id) AS BIGINT) AS rank,
+               ROUND(s, 6) AS score FROM f)
+       SELECT qid, id, rank, score FROM r WHERE rank <= 10 ORDER BY qid, rank"""
+  }
+
   // ---------- q144: deletion from the at-rest index ----------
 
   /** DELETE FROM THE LIVE INDEX — the right-to-be-forgotten quarter
@@ -2905,6 +3136,75 @@ $sqRows)
     // without a third index serve
     import s.implicits._
     removed.toDF("vec_id", "rank", "score").orderBy("rank")
+  }
+
+  // ---------- q151: graph delete composed with routing refresh ----------
+
+  /** TOMBSTONE → ROUTING REFRESH → SERVE — the one graph lifecycle
+    * composition q145 (delete → compact) and q116 (drift → refresh)
+    * leave uncovered: a standing delete set when the SCHEDULED
+    * maintenance that runs next is a routing refresh, not a
+    * tombstone compaction. The refresh rebuilds from phase-1 nodes
+    * that still physically hold the deleted rows, so its source read
+    * MUST anti-join the sidecar ([[graft.search.GraphAnn
+    * .refreshRouting]]'s tombstone filter — spec-covered until now,
+    * never exercised by a declared query): without it a routine
+    * refresh would silently RESURRECT deleted content into the new
+    * generation. Gates (meta-level, the q116 discipline): the
+    * tombstoned serve hides the ids immediately; the refresh commits
+    * a new generation through the CURRENT flip whose root starts
+    * with NO tombstone sidecar (physical removal rode the refresh
+    * for free); total node mass drops by exactly the deleted ids'
+    * replica copies; and the post-refresh serve — under the
+    * RETRAINED routing — still returns none of them, with the
+    * streamed-in query vector as its own top hit (freshness
+    * witness). Rows-only (graph construction is not
+    * SQL-expressible); GraphAnnSpec pins refreshed ≡
+    * rebuild-without-them bit for bit. */
+  def q151GraphRerouteDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.search.GraphAnn
+    val e = emb(s, dir)
+    val parts = graphPartsFor(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q151")
+    cloneTree(graphIndexPath(s, dir), path)
+    val delIds = e.filter(col("vec_id") % 11 === 6).select(col("vec_id"))
+    val nReq = Memo.cachedCount(s, dir, "q151_ndel")(delIds.count())
+    val nodesBefore = s.read.parquet(GraphAnn.tablePath(path, "nodes"))
+    val massBefore = nodesBefore.count()
+    val delCopies = nodesBefore
+      .join(broadcast(delIds.select(col("vec_id").as("id"))), Seq("id"),
+        "left_semi")
+      .count()
+    val present = GraphAnn.deleteFromIndex(s, path, delIds, "vec_id")
+    require(present == nReq,
+      s"q151: $present of the $nReq requested ids were in the index")
+    def serve() = GraphAnn.searchIndex(s, path, "vec_id",
+        e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+        10, graphEf, probeParts = graphProbeFor(s, dir))
+      .select(col("vec_id"), col("rank"), col("score"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2)
+    val hidden = serve()
+    require(hidden.forall(_._1 % 11 != 6),
+      "q151: a tombstoned id surfaced in the pre-refresh serve")
+    val genBefore = GraphAnn.currentGeneration(path)
+    GraphAnn.refreshRouting(s, path, parts)
+    require(GraphAnn.currentGeneration(path) != genBefore,
+      "q151: refresh must commit a new generation through the CURRENT flip")
+    require(!new java.io.File(GraphAnn.tablePath(path, "tombstones"))
+        .isDirectory,
+      "q151: the refreshed generation must start with a clean sidecar")
+    require(s.read.parquet(GraphAnn.tablePath(path, "nodes")).count()
+        == massBefore - delCopies,
+      "q151: the refresh must drop exactly the deleted ids' replica copies")
+    val refreshed = serve()
+    require(refreshed.forall(_._1 % 11 != 6),
+      "q151: a deleted id resurrected through the routing refresh")
+    require(refreshed.nonEmpty && refreshed.head._1 == 1L,
+      "q151: the surviving query vector must remain its own top hit")
+    import s.implicits._
+    refreshed.toDF("vec_id", "rank", "score").orderBy("rank")
   }
 
   // ---------- q123: late-interaction (MaxSim) retrieval ----------
@@ -3672,6 +3972,7 @@ $sqRows)
     "q126_contrastive_triplets" -> (q126ContrastiveTriplets _),
     "q127_stream_ivf" -> (q127StreamIvf _),
     "q128_stream_sq" -> (q128StreamSq _),
+    "q147_stream_ivf_delete" -> (q147StreamIvfDelete _),
     "q129_graph_filtered" -> (q129GraphFiltered _),
     "q133_sq_compact" -> (q133SqCompact _),
     "q134_ivf_multi" -> (q134IvfMulti _),
@@ -3679,7 +3980,9 @@ $sqRows)
     "q141_embedder_upgrade" -> (q141EmbedderUpgrade _),
     "q142_persisted_rag" -> (q142PersistedRag _),
     "q144_index_delete" -> (q144IndexDelete _),
-    "q145_graph_delete" -> (q145GraphDelete _))
+    "q145_graph_delete" -> (q145GraphDelete _),
+    "q150_hybrid_multi" -> (q150HybridMulti _),
+    "q151_graph_reroute_delete" -> (q151GraphRerouteDelete _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
@@ -3728,5 +4031,7 @@ $sqRows)
     // q127's final state IS q84's (standing quantizer + union
     // assignment), so the append replay oracles the streamed index
     "q127_stream_ivf" -> q84Sql,
-    "q128_stream_sq" -> q128Sql)
+    "q128_stream_sq" -> q128Sql,
+    "q147_stream_ivf_delete" -> q147Sql,
+    "q150_hybrid_multi" -> q150Sql)
 }

@@ -429,27 +429,60 @@ object Queries {
     * entry, not to whichever query first touches the index. */
   private[graft] val bm25Buckets = 8
 
+  /** The table's LIVE data path from the metastore — the one
+    * authority on which generation serves after any number of
+    * [[compactPostings]] cycles (each cycle moves the data to a fresh
+    * `__genN` path; the metastore rename IS the pointer flip, so
+    * resolving through it can never read a superseded generation).
+    * The delete sidecar and the file-count trigger hang off this
+    * path. */
+  private[graft] def postingsLivePath(s: SparkSession, tbl: String): String =
+    java.nio.file.Paths.get(s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location).toString
+
   /** Tokenize `docs` and write (or append) their postings into the
     * term-bucketed table `tbl`. Append preserves the bucket spec, so
     * an incrementally-grown index prunes identically to a rebuilt
-    * one. */
+    * one.
+    *
+    * An APPEND that re-ingests a tombstoned doc (REVIVE) first runs
+    * the deferred [[compactPostings]] — the [[graft.search.IVF
+    * .appendToIndex]] discipline: clearing the sidecar entry alone
+    * would resurrect the doc's old posting rows next to the new ones
+    * (doubled tf, wrong scores), and leaving it would anti-join the
+    * new rows away — a delete outliving the data it names. The
+    * staged rewrite physically drops every tombstoned doc, the fresh
+    * generation starts with a clean sidecar, and the new postings
+    * append as the doc's only rows. Appends resolve the live
+    * location through the metastore ([[postingsLivePath]]), so they
+    * land in whatever generation is current. */
   private[graft] def writePostings(s: SparkSession, docs: DataFrame,
                                    tbl: String, path: String,
                                    mode: String): Unit = {
+    if (mode == "append" &&
+        BM25.hasRevives(s, postingsLivePath(s, tbl), docs.select(col("doc_id"))))
+      compactPostings(s, tbl, postingsLivePath(s, tbl))
     // a small local corpus file arrives as ONE scan partition,
     // serializing the tokenize+explode of the index build; spread it
     // across cores when the scan is under-parallel. No-op at real
     // scale, where maxPartitionBytes already splits the scan.
     val par = s.sparkContext.defaultParallelism
     val dp = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    BM25.postings(dp, "doc_id", "text")
+    val post = BM25.postings(dp, "doc_id", "text")
       // one file per bucket: the write-side shuffle pays for the
       // read-side pruning every query after
       .repartition(bm25Buckets, col("term"))
-      .write.mode(mode)
-      .option("path", path)
+    // appends pass the table's CURRENT metastore location as the
+    // path (a caller-fixed path would fight the metastore after a
+    // compaction cycle; omitting the option entirely leaves the
+    // calling session's cached file listing stale when the write
+    // runs on a streaming-cloned session — the foreachBatch case)
+    val target = if (mode == "append") postingsLivePath(s, tbl) else path
+    post.write.mode(mode)
+      .option("path", target)
       .bucketBy(bm25Buckets, "term").sortBy("term")
       .saveAsTable(tbl)
+    if (mode == "append") s.catalog.refreshTable(tbl)
   }
 
   /** COMPACTION of the bucketed postings table — the last quarter of
@@ -468,14 +501,35 @@ object Queries {
     * superseded files stay on disk as the in-flight readers' grace
     * window (a reader's plan holds the file list it resolved; the
     * IVF generation-GC discipline applies if cycles repeat). Returns
-    * the live data path for file-count gates. */
+    * the LIVE data path — callers MUST thread it into every
+    * subsequent read, delete, and compaction of this table.
+    *
+    * `path` is the CURRENT live data path (the original build path,
+    * or the path a previous compaction returned). The stage path is
+    * derived from a VERSION COUNTER over the base path's sibling
+    * generations (the IVF `nextVersion` discipline), never a fixed
+    * suffix: with a fixed stage name, a second cycle handed the
+    * ORIGINAL path would re-read the superseded generation's files —
+    * dropping every append/delete that landed since — and overwrite
+    * the live files in place under the metastore's feet. Generations
+    * two or more cycles old are GC'd with their sidecars; the
+    * immediately superseded path keeps both as the in-flight
+    * readers' grace window. */
   private[graft] def compactPostings(s: SparkSession, tbl: String,
                                      path: String): String = {
     val stage = tbl + "__stage"
     val old = tbl + "__old"
     s.sql(s"DROP TABLE IF EXISTS $stage")
     s.sql(s"DROP TABLE IF EXISTS $old")
-    val stagePath = path + "__compact"
+    val base = path.replaceAll("__gen\\d+$", "")
+    val baseName = new java.io.File(base).getName
+    val siblings = Option(new java.io.File(base).getParentFile.listFiles())
+      .toSeq.flatten.map(_.getName)
+      .filter(_.startsWith(baseName + "__gen"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix(baseName + "__gen").toInt).toOption)
+    val v = (siblings :+ 1).max + 1
+    val stagePath = base + "__gen" + v
     // read the FILES, not the table: the bucketed-table scan already
     // claims the bucket distribution, which lets the planner elide
     // the aligning repartition and write one file per (task, bucket)
@@ -499,6 +553,21 @@ object Queries {
     s.sql(s"ALTER TABLE $tbl RENAME TO $old")
     s.sql(s"ALTER TABLE $stage RENAME TO $tbl")
     s.sql(s"DROP TABLE $old") // external: files remain as the grace window
+    // GC generations two+ cycles old (with their sidecars); the
+    // immediately superseded `path` keeps its files AND sidecar as
+    // the in-flight readers' coherent grace window
+    val keep = Set(new java.io.File(stagePath).getName,
+      new java.io.File(path).getName,
+      new java.io.File(BM25.tombPath(stagePath)).getName,
+      new java.io.File(BM25.tombPath(path)).getName)
+    Option(new java.io.File(base).getParentFile.listFiles()).toSeq.flatten
+      .filter { f =>
+        val n = f.getName
+        f.isDirectory && !keep.contains(n) &&
+          (n == baseName || n.startsWith(baseName + "__gen") ||
+            n == new java.io.File(BM25.tombPath(base)).getName)
+      }
+      .foreach(graft.FileTree.delete)
     stagePath
   }
 
@@ -681,6 +750,48 @@ object Queries {
                     ROUND(score, 4) AS score FROM sc)
        SELECT doc, rank, score FROM r WHERE rank <= 20 ORDER BY rank"""
 
+  /** MULTI-QUERY BM25 SERVING from the shared at-rest postings —
+    * [[graft.lexical.BM25.searchIndexedMulti]]: ONE bucket-pruned
+    * postings scan scores all three term-sets (per-term idf computed
+    * once and shared, the per-query fan-out a broadcast routing
+    * join), per-query top-k through the bounded heap — the exchange
+    * carries O(queries × k) rows. The lexical row of the multi-query
+    * serving matrix (q134 IVF, q135 SQ8, graph multi — this was the
+    * gap); PlanSpec pins the one-scan contract. Oracle: per-qid BM25
+    * replay over a VALUES routing table. */
+  def q149Bm25Multi(s: SparkSession, dir: String): DataFrame =
+    BM25.searchIndexedMulti(s, bm25IndexPath(s, dir), bm25Postings(s, dir),
+        bm25Stats(s, dir), RetrievalQueries.bm25MultiQueries, 10)
+      .orderBy("qid", "rank")
+
+  // LAZY and sourced from RetrievalQueries (the q-catalog layering
+  // rule): an eager val would force RetrievalQueries.<clinit> from
+  // inside Queries.<clinit> — and RetrievalQueries' own map build
+  // reads this catalog's state
+  lazy val q149Sql: String = {
+    val qtVals = RetrievalQueries.bm25MultiQueries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    val union = RetrievalQueries.bm25MultiQueries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH qt AS (SELECT CAST(qid AS BIGINT) AS qid, term
+           FROM (VALUES $qtVals) t(qid, term)),
+       d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       corpus AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d),
+       post AS (SELECT doc_id, len(toks) AS len, UNNEST(toks) AS term FROM d),
+       tf AS (SELECT doc_id, len, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM post
+              WHERE term IN ($union) GROUP BY doc_id, len, term),
+       stats AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+       idf AS (SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf FROM stats, corpus),
+       sc AS (SELECT qt.qid, tf.doc_id,
+                SUM(idf * tf * 2.5 / (tf + 1.5 * (1.0 - 0.75 + 0.75 * len / avgdl))) AS score
+              FROM tf JOIN idf USING (term) JOIN qt USING (term), corpus
+              GROUP BY qt.qid, tf.doc_id),
+       r AS (SELECT qid, doc_id AS doc,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+               ROUND(score, 4) AS score FROM sc)
+       SELECT qid, doc, rank, score FROM r WHERE rank <= 10 ORDER BY qid, rank"""
+  }
+
   /** R3 incremental maintenance under the oracle gate (the BM25 twin
     * of q84's IVF append): build the term-bucketed postings table
     * over the BASE corpus slice (doc_id >= 100), APPEND the delta
@@ -748,6 +859,85 @@ object Queries {
       .orderBy("rank")
   }
 
+  /** DELETION UNDER LIVE LEXICAL INGEST — q147's composition on the
+    * BM25 index, and unlike the vector twin FULLY ORACLED (every leg
+    * of this family is SQL-replayable): q102's drain (base postings
+    * over doc_id ≥ 100, the < 100 slice as four ordered micro-batches
+    * appending through [[writePostings]]), with a delete request
+    * (base docs ≡ 4 mod 9 — ingested BEFORE the stream started)
+    * landing through [[graft.lexical.BM25.deleteFromPostings]] after
+    * batch 1 commits, and batches 2–3 appending AFTER it. In-query
+    * gates are request-sized: the mid-drain delete records exactly
+    * request∩index in the sidecar, a repeat counts zero, and the
+    * at-rest posting files stand untouched around it (full
+    * file-listing snapshot — hide cost is O(request) mid-ingest).
+    * The declared output is the post-drain SIDECAR-AWARE serve, and
+    * the oracle replays q20 over the surviving corpus: the stream
+    * and the delete composed — idf, avgdl, every score as if the
+    * deleted docs were never ingested and the post-delete batches
+    * always had been. The appended ids are disjoint from the
+    * request, so no batch trips [[writePostings]]' revive
+    * compaction. */
+  def q148StreamBm25Delete(s: SparkSession, dir: String): DataFrame = {
+    val tbl = "bm25_sdelete_" + PipelineQueries.sanitizeTag(dir)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = PipelineQueries.roundtripPath(dir, "bm25sdelete")
+    graft.FileTree.delete(new java.io.File(path))
+    graft.FileTree.delete(new java.io.File(BM25.tombPath(path)))
+    val d = t(s, dir, "documents")
+    writePostings(s, d.filter(col("doc_id") >= 100), tbl, path, "overwrite")
+    val stage = q102Stage(s, dir)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val del = d.filter(col("doc_id") >= 100 && col("doc_id") % 9 === 4)
+      .select(col("doc_id").as("doc"))
+    val nReq = Memo.cachedCount(s, dir, "q148_ndel")(del.count())
+    def fileSnap(): Map[String, (Long, Long)] =
+      Option(new java.io.File(path).listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(f => f.getName -> (f.length(), f.lastModified()))
+        .toMap
+    var nDel = -1L; var nRepeat = -1L
+    var filesTouched = true
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      writePostings(s, batch, tbl, path, "append")
+      if (bid == 1L) {
+        val snapBefore = fileSnap()
+        nDel = BM25.deleteFromPostings(s, path, s.table(tbl), del)
+        nRepeat = BM25.deleteFromPostings(s, path, s.table(tbl), del)
+        filesTouched = fileSnap() != snapBefore
+      }
+    })
+    require(nDel == nReq,
+      s"q148: the mid-drain delete hid $nDel of a $nReq-doc request")
+    require(nRepeat == 0L, "q148: a repeated mid-drain delete must count zero")
+    require(!filesTouched,
+      "q148: the mid-drain delete must not touch a posting file")
+    val post = s.table(tbl)
+    BM25.searchIndexed(s, path, post, BM25.statsFromPostings(post),
+        bm25Terms, 20)
+      .orderBy("rank")
+  }
+
+  /** q20's replay over the corpus minus the mid-drain delete: the
+    * streamed index must be indistinguishable from one that never
+    * held the deleted base docs — stats included. */
+  val q148Sql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+         FROM documents WHERE NOT (doc_id >= 100 AND doc_id % 9 = 4)),
+       corpus AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d),
+       post AS (SELECT doc_id, len(toks) AS len, UNNEST(toks) AS term FROM d),
+       tf AS (SELECT doc_id, len, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM post
+              WHERE term IN ('spark', 'hash', 'join') GROUP BY doc_id, len, term),
+       stats AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+       idf AS (SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf FROM stats, corpus),
+       sc AS (SELECT doc_id, SUM(idf * tf * 2.5 / (tf + 1.5 * (1.0 - 0.75 + 0.75 * len / avgdl))) AS score
+              FROM tf JOIN idf USING (term), corpus GROUP BY doc_id),
+       r AS (SELECT doc_id AS doc, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+                    ROUND(score, 4) AS score FROM sc)
+       SELECT doc, rank, score FROM r WHERE rank <= 20 ORDER BY rank"""
+
   /** Corpus-wide term frequencies, top 20 — explode + aggregate. */
   def q21TopTerms(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -796,7 +986,9 @@ object Queries {
     "q87_bm25_append" -> (q87Bm25Append _),
     "q122_bm25_compact" -> (q122Bm25Compact _),
     "q146_bm25_delete" -> (q146Bm25Delete _),
-    "q102_stream_bm25" -> (q102StreamBm25 _)) ++
+    "q102_stream_bm25" -> (q102StreamBm25 _),
+    "q148_stream_bm25_delete" -> (q148StreamBm25Delete _),
+    "q149_bm25_multi" -> (q149Bm25Multi _)) ++
     CurationQueries.all ++ RetrievalQueries.all ++ PipelineQueries.all ++
     ScaleQueries.all ++ PrepQueries.all
 
@@ -821,7 +1013,9 @@ object Queries {
     "q87_bm25_append" -> q20Sql,
     "q122_bm25_compact" -> q20Sql,
     "q146_bm25_delete" -> q146Sql,
-    "q102_stream_bm25" -> q20Sql) ++
+    "q102_stream_bm25" -> q20Sql,
+    "q148_stream_bm25_delete" -> q148Sql,
+    "q149_bm25_multi" -> q149Sql) ++
     CurationQueries.oracle ++ RetrievalQueries.oracle ++ PipelineQueries.oracle ++
     ScaleQueries.oracle ++ PrepQueries.oracle
 }

@@ -49,6 +49,33 @@ object Hybrid {
       .select(col("id"), col("rank"), round(col("__s"), 6).as("score"))
   }
 
+  /** MULTI-QUERY [[rrfFuse]]: both legs carry (qid, id, rank) for a
+    * BATCH of queries (the multi-query index reads —
+    * [[graft.search.IVF.searchIndexMulti]] for the vector leg,
+    * [[graft.lexical.BM25.searchIndexedMulti]] for the lexical one);
+    * fusion scores group by (qid, id) and per-query top-k is a
+    * window over each query's ≤ 2·depth fused candidates — the
+    * exchange carries O(queries × depth) rows end to end, and the
+    * corpus-sized artifacts were already read ONCE for the whole
+    * batch by the legs. */
+  def rrfFuseMulti(vec: DataFrame, vecIdCol: String,
+                   lex: DataFrame, lexIdCol: String,
+                   c: Int, k: Int): DataFrame = {
+    val v = vec.select(col("qid"), col(vecIdCol).as("id"),
+      (lit(1.0) / (lit(c) + col("rank"))).as("__t"))
+    val l = lex.select(col("qid"), col(lexIdCol).as("id"),
+      (lit(1.0) / (lit(c) + col("rank"))).as("__t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("__s").desc, col("id").asc)
+    v.union(l)
+      .groupBy("qid", "id").agg(sum(col("__t")).as("__s"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("rank"),
+        round(col("__s"), 6).as("score"))
+  }
+
   /** R5: MMR greedy re-rank. Inherently sequential (each pick
     * conditions on all previous picks) over a candidate set the
     * reference caps at ~250 rows — so the candidates (id, vec, sim)

@@ -167,15 +167,55 @@ object BM25 {
   }
 
   /** The LIVE view of a postings frame stored at `path`: tombstoned
-    * docs hidden by a request-sized broadcast anti-join. No sidecar →
-    * the frame passes through untouched (a never-deleted index pays
+    * docs hidden by an anti-join on the sidecar. No sidecar → the
+    * frame passes through untouched (a never-deleted index pays
     * nothing). Every maintenance read that rebuilds FROM the postings
-    * must also go through this (the resurrection discipline). */
+    * must also go through this (the resurrection discipline).
+    *
+    * The join strategy is AQE-GOVERNED, not a forced `broadcast()`:
+    * each request is small, but the sidecar ACCUMULATES requests
+    * between compactions, and an over-grown one must degrade to a
+    * shuffle anti-join instead of a driver OOM (the IVF
+    * `dropTombstoned` discipline). AQE still broadcasts the sidecar
+    * whenever its file stats say it is actually small — the common
+    * case costs what the hint did. [[needsCompact]] is the trigger
+    * that keeps it from living long at the degraded size. */
   def livePostings(spark: org.apache.spark.sql.SparkSession,
                    path: String, post: DataFrame): DataFrame =
     if (!hasTomb(path)) post
-    else post.join(broadcast(spark.read.parquet(tombPath(path))),
+    else post.join(spark.read.parquet(tombPath(path)),
       Seq("doc"), "left_anti")
+
+  /** Docs in the sidecar at `path` (0 when none) — sidecar-only. */
+  def tombstoneRows(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Long =
+    if (!hasTomb(path)) 0L
+    else spark.read.parquet(tombPath(path)).count()
+
+  /** Compaction trigger on delete accumulation — the lexical twin of
+    * [[graft.search.IVF.needsCompact]] next to [[bucketFileCounts]]
+    * (append fragmentation): true when the sidecar hides more than
+    * `maxTombRows` docs. A maintenance job polls it after deletes and
+    * schedules the postings compaction, which folds the sidecar into
+    * the rewrite and bounds the serve-time anti-join's build side. */
+  def needsCompact(spark: org.apache.spark.sql.SparkSession, path: String,
+                   maxTombRows: Long): Boolean =
+    tombstoneRows(spark, path) > maxTombRows
+
+  /** True when any of `ids` (doc ids, any column name) sit in
+    * `path`'s sidecar — the REVIVE probe the append writer runs:
+    * re-ingesting a tombstoned doc must first run the deferred
+    * compaction (deletion's phase 2), because clearing the sidecar
+    * entry alone would resurrect the old posting rows alongside the
+    * new ones (doubled tf, wrong scores) and leaving it would
+    * anti-join the new rows away. A directory probe on the
+    * never-deleted common case, a request-sized semi-join
+    * otherwise. */
+  def hasRevives(spark: org.apache.spark.sql.SparkSession,
+                 path: String, ids: DataFrame): Boolean =
+    hasTomb(path) && !spark.read.parquet(tombPath(path))
+      .join(ids.select(col(ids.columns.head).as("doc")), Seq("doc"), "left_semi")
+      .isEmpty
 
   /** SIDECAR-AWARE [[searchIndexed]] — the default serve for a
     * postings table that supports deletion: with no sidecar it is
@@ -191,6 +231,67 @@ object BM25 {
     else {
       val live = livePostings(spark, path, post)
       searchIndexed(live, statsFromPostings(live), queryTerms, k)
+    }
+
+  /** MULTI-QUERY [[searchIndexed]] — ONE postings scan serves every
+    * query (the [[graft.search.IVF.searchIndexMulti]] contract on the
+    * lexical index: a serving tier answering a query batch must not
+    * read the postings once per query). The scan is filtered to the
+    * UNION of every query's terms — a single bucket-pruned read
+    * (PlanSpec asserts one scan) — per-term df/idf is computed once
+    * and shared (corpus statistics do not depend on which query asked),
+    * the per-query fan-out is a broadcast join against the
+    * queries × terms routing table (driver-bounded by the multi-query
+    * contract), and per-query top-k runs through the bounded-heap
+    * aggregate, so the exchange after scoring carries
+    * O(queries × k) rows. Output (qid, doc, rank, score); scores are
+    * identical to per-query [[searchIndexed]] calls. */
+  def searchIndexedMulti(post: DataFrame, corpus: DataFrame,
+                         queries: Seq[(Long, Seq[String])],
+                         k: Int): DataFrame = {
+    val spark = post.sparkSession
+    import spark.implicits._
+    val qt = queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t.toLowerCase)) }
+      .toDF("qid", "term")
+    val allTerms = queries.flatMap(_._2).map(_.toLowerCase).distinct
+    val filtered = post.filter(col("term").isin(allTerms: _*))
+    val stats = filtered.groupBy("term")
+      .agg(countDistinct(col("doc")).cast("double").as("df"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .select(col("term"), col("idf"), col("__avgdl"))
+    filtered
+      .join(broadcast(stats), "term")
+      .withColumn("s",
+        col("idf") * col("tf") * (K1 + 1.0) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("len") / col("__avgdl"))))
+      .join(broadcast(qt), "term") // fan out to the queries sharing the term
+      .groupBy("qid", "doc")
+      .agg(sum(col("s")).as("score"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graftnative.TopKAggregate
+        .topK(col("doc"), col("score"), k).as("__tk"))
+      .select(col("qid"), explode(col("__tk")).as("__e"))
+      .select(col("qid"), col("__e.id").as("doc"), col("__e.rank").as("rank"),
+        round(col("__e.score"), 4).as("score"))
+  }
+
+  /** SIDECAR-AWARE [[searchIndexedMulti]] — the default multi-query
+    * serve for a postings table that supports deletion (the
+    * path-taking [[searchIndexed]] twin): with no sidecar the raw
+    * fast path; with one, postings filtered and corpus scalars
+    * re-derived, so every query's ranking equals a from-scratch
+    * index over the corpus-without-them. */
+  def searchIndexedMulti(spark: org.apache.spark.sql.SparkSession,
+                         path: String, post: DataFrame, corpus: DataFrame,
+                         queries: Seq[(Long, Seq[String])],
+                         k: Int): DataFrame =
+    if (!hasTomb(path)) searchIndexedMulti(post, corpus, queries, k)
+    else {
+      val live = livePostings(spark, path, post)
+      searchIndexedMulti(live, statsFromPostings(live), queries, k)
     }
 
   private def scorePostings(post: DataFrame, corpus: DataFrame, k: Int): DataFrame = {

@@ -158,22 +158,55 @@ object IVF {
   }
 
   /** Hide tombstoned ids from a frame read out of `listsDir`'s
-    * generation — the request-sized anti-join every serve and every
-    * maintenance read of the live lists applies (the graph index's
+    * generation — the anti-join every serve and every maintenance
+    * read of the live lists applies (the graph index's
     * `dropTombstoned` shape). The sidecar's single column carries the
     * index's own id column name, so the join key needs no metadata
     * beyond the sidecar schema. No sidecar → the frame passes through
-    * untouched (a never-deleted index pays nothing). */
+    * untouched (a never-deleted index pays nothing).
+    *
+    * The join strategy is deliberately AQE-GOVERNED, not a forced
+    * `broadcast()`: each delete request is request-sized, but between
+    * compactions the sidecar ACCUMULATES requests, and months of
+    * right-to-be-forgotten traffic on a 100 TB index can push the
+    * union past the broadcast ceiling — an over-grown sidecar must
+    * degrade to a shuffle anti-join, never a driver OOM (the SCALE.md
+    * lesson from the dedup candidate sets). The sidecar is a parquet
+    * read with file-level size stats, so AQE broadcasts it whenever
+    * it actually is small — the common case costs exactly what the
+    * forced hint did. [[needsCompact]] is the scheduling valve that
+    * keeps the sidecar from living long at that size. */
   private[search] def dropTombstoned(spark: org.apache.spark.sql.SparkSession,
                                      listsDir: String, df: DataFrame): DataFrame = {
     val td = tombDirFor(listsDir)
     if (!new java.io.File(td).isDirectory) df
     else {
       val tomb = spark.read.parquet(td)
-      df.join(broadcast(tomb.select(tomb.columns.head)),
+      df.join(tomb.select(tomb.columns.head),
         Seq(tomb.columns.head), "left_anti")
     }
   }
+
+  /** Rows in the LIVE generation's tombstone sidecar (0 when none) —
+    * a sidecar-only count, no list bytes. */
+  def tombstoneRows(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val td = tombDirFor(listsPath(path))
+    if (!new java.io.File(td).isDirectory) 0L
+    else spark.read.parquet(td).count()
+  }
+
+  /** Compaction trigger on DELETE ACCUMULATION — the twin of
+    * [[needsRefine]] (list skew) and [[listFileCounts]] (append
+    * fragmentation): true when the live sidecar holds more than
+    * `maxTombRows` hidden ids. A maintenance job polls it after
+    * deletes and schedules [[compactIndex]] when it fires, which
+    * bounds both the serve-time anti-join's build side and the dead
+    * bytes scans still pay to read — without a trigger the sidecar
+    * grows until the hide join outweighs the rewrite it was
+    * deferring. */
+  def needsCompact(spark: org.apache.spark.sql.SparkSession, path: String,
+                   maxTombRows: Long): Boolean =
+    tombstoneRows(spark, path) > maxTombRows
 
   /** The LIVE list rows with tombstoned ids hidden — the one reader
     * every maintenance flow that rebuilds FROM the index's own
@@ -279,13 +312,45 @@ object IVF {
     * a SCHEDULING signal, not a per-batch cost — check [[needsRefine]]
     * after appending and rebuild with [[refine]]d centroids when list
     * skew passes the threshold (FAISS users retrain the coarse
-    * quantizer on the same trigger). */
+    * quantizer on the same trigger).
+    *
+    * RE-INGEST REVIVES — by forcing deletion's phase 2 first: if an
+    * appended id sits in the live generation's tombstone sidecar
+    * (deleted earlier, ingested again), the ingest is the newer fact
+    * and must serve — but simply clearing the sidecar entry would
+    * RESURRECT the old physical copy alongside the new one (the hide
+    * was the only thing keeping it dead), and leaving the entry would
+    * silently anti-join the new row away and let [[compactIndex]]
+    * drop it — a delete outliving the data it names. So a revive runs
+    * [[compactIndex]] BEFORE the append: the staged rewrite
+    * physically removes every tombstoned copy (the pending phase-2
+    * work, paid early), the fresh generation starts with a clean
+    * sidecar, and the new row appends into it as the id's ONLY copy.
+    * The revive check is a directory probe on the never-deleted
+    * common case and a request-sized semi-join otherwise; the
+    * compaction itself is O(index), which is why it only fires on an
+    * actual revive — at a scale where revives are routine, the
+    * sequence-scoped tombstone (hide only rows ingested BEFORE the
+    * delete) is the upgrade path, at the cost of a seq column in the
+    * list schema. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     delta: DataFrame, idCol: String, vecCol: String): Unit = {
-    val cents = spark.read.parquet(centroidsPath(path))
+    val td = tombDirFor(listsPath(path))
+    if (new java.io.File(td).isDirectory) {
+      val tomb = spark.read.parquet(td)
+      val revives = tomb.join(
+        delta.select(col(idCol).cast("long").as(tomb.columns.head)),
+        Seq(tomb.columns.head), "left_semi")
+      if (!revives.isEmpty) compactIndex(spark, path)
+    }
+    // resolve the generation pair ONCE (and after any revive
+    // compaction): the assignment's quantizer and the append's lists
+    // must be the same consistency unit
+    val (ln, cn) = generationPair(path)
+    val cents = spark.read.parquet(s"$path/$cn")
     assign(delta, idCol, vecCol, cents)
       .repartition(col("cid")) // one appended file per touched list
-      .write.mode("append").partitionBy("cid").parquet(listsPath(path))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/$ln")
   }
 
   /** DELETE ids from the index — the right-to-be-forgotten lifecycle

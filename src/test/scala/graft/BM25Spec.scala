@@ -137,6 +137,79 @@ class BM25Spec extends SparkSpec {
     assert(removed == hidden, "hide-now and remove-later diverge")
   }
 
+  test("delete valves: needsCompact trigger, shuffle-degraded hide, re-ingest compacts first, cycles thread the live path") {
+    val tbl = "bm25_valve_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = java.nio.file.Files.createTempDirectory("bm25_valve").toString + "/t"
+    Queries.writePostings(spark, docs, tbl, path, "overwrite")
+    assert(BM25.tombstoneRows(spark, path) == 0L)
+    assert(!BM25.needsCompact(spark, path, 0L))
+    val del = Seq(1L, 3L).toDF("doc")
+    assert(BM25.deleteFromPostings(spark, path, spark.table(tbl), del) == 2L)
+    assert(BM25.tombstoneRows(spark, path) == 2L)
+    assert(BM25.needsCompact(spark, path, 1L))
+    assert(!BM25.needsCompact(spark, path, 2L),
+      "needsCompact must stay silent at or under the threshold")
+    def serve(p: String) = {
+      val post = spark.table(tbl)
+      BM25.searchIndexed(spark, p, post, BM25.statsFromPostings(post),
+          Seq("spark", "engine"), 10)
+        .select("doc", "rank", "score").as[(Long, Long, Double)]
+        .collect().toSeq.sortBy(_._2)
+    }
+    // AQE-governed hide join: broadcast disabled (the over-grown
+    // sidecar degradation) must serve identically
+    val hidden = serve(path)
+    assert(!hidden.map(_._1).exists(Set(1L, 3L)))
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(serve(path) == hidden, "shuffle-degraded hide changed answers")
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    // RE-INGEST doc 1 with NEW text: the append must run the deferred
+    // compaction first (old rows of 1 and 3 die physically, sidecar
+    // clears), then land the new postings as doc 1's only rows
+    Queries.writePostings(spark,
+      Seq((1L, "fresh spark material")).toDF("doc_id", "text"),
+      tbl, path, "append")
+    val live = Queries.postingsLivePath(spark, tbl)
+    assert(live != path, "a revive append must cycle the generation")
+    assert(BM25.tombstoneRows(spark, live) == 0L)
+    assert(spark.table(tbl).filter(col("doc") === 3L).isEmpty,
+      "the non-revived tombstoned doc must be physically gone")
+    assert(spark.table(tbl).filter(col("doc") === 1L).count() == 3L,
+      "the revived doc must carry ONLY its new text's postings")
+    // serves equal a from-scratch index over (docs - {1,3}) + new 1
+    val wantCorpus = docs.filter(!col("doc_id").isin(1L, 3L))
+      .unionByName(Seq((1L, "fresh spark material")).toDF("doc_id", "text"))
+    val want = BM25.search(wantCorpus, "doc_id", "text",
+        Seq("spark", "engine"), 10)
+      .select("doc", "rank", "score").as[(Long, Long, Double)]
+      .collect().toSeq.sortBy(_._2)
+    assert(serve(live) == want)
+    // SECOND cycle on the same table: a delete + compaction against
+    // the CURRENT live path (version-counter staging — a fixed stage
+    // suffix would re-read the superseded generation and drop the
+    // revive). Nothing appended since the first cycle may be lost.
+    assert(BM25.deleteFromPostings(spark, live, spark.table(tbl),
+      Seq(4L).toDF("doc")) == 1L)
+    val live2 = Queries.compactPostings(spark, tbl, live)
+    assert(live2 != live && live2 != path)
+    assert(Queries.postingsLivePath(spark, tbl) == live2,
+      "the metastore must resolve to the newest generation")
+    val want2 = BM25.search(wantCorpus.filter(col("doc_id") =!= 4L),
+        "doc_id", "text", Seq("spark", "engine"), 10)
+      .select("doc", "rank", "score").as[(Long, Long, Double)]
+      .collect().toSeq.sortBy(_._2)
+    assert(serve(live2) == want2,
+      "second compaction cycle lost post-first-cycle state")
+    // generation GC: two-cycles-old data dir is gone, the immediately
+    // superseded one survives as the grace window
+    assert(!new java.io.File(path).exists(),
+      "two-cycles-old generation must be GC'd")
+    assert(new java.io.File(live).exists(),
+      "the immediately superseded generation is the grace window")
+  }
+
   test("postings append writes only the delta's term buckets, at-rest files untouched") {
     // the q87/q102 append discipline as a file-level contract: a delta
     // batch must land NEW files only, and only in buckets some delta

@@ -302,6 +302,21 @@ class GraphAnnSpec extends SparkSpec {
     val ids = spark.read.parquet(GraphAnn.tablePath(path, "nodes"))
       .select(col("id")).as[Long].collect().toSet
     assert(ids.forall(_ % 9 != 4), "tombstoned nodes survived the refresh")
+    // the q151 bit-identity pin: refresh-after-tombstone equals the
+    // same refresh procedure over an index that never held the
+    // deleted ids — routing retrain and cell builds are pure
+    // functions of the surviving content
+    val cleanPath = java.nio.file.Files
+      .createTempDirectory("graphann_del_rr_clean").toString
+    GraphAnn.writeIndex(emb.join(doomed, Seq("vec_id"), "left_anti"),
+      "vec_id", "v", m = 8, efC = 48, parts = 4, cleanPath)
+    GraphAnn.refreshRouting(spark, cleanPath, parts = 4)
+    def nodesOf(p: String) = spark.read
+      .parquet(GraphAnn.tablePath(p, "nodes"))
+      .select(col("part").cast("long"), col("id"), col("vec"), col("nbrs"))
+    assert(nodesOf(path).exceptAll(nodesOf(cleanPath)).isEmpty &&
+        nodesOf(cleanPath).exceptAll(nodesOf(path)).isEmpty,
+      "refresh-after-tombstone diverged from rebuild-without-them")
   }
 
   test("a fresh build at a path with a stale tombstone sidecar serves every id") {

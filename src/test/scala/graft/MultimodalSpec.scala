@@ -68,4 +68,29 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Int)].collect().toSeq.sorted
     assert(frames == Seq((3L, 0), (3L, 3), (3L, 6), (3L, 9)))
   }
+
+  test("q152 image near-dup: banding finds every planted pair, dHash separates edits from strangers") {
+    val pairs = SparkEntry.queries("q152_image_neardup")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    // every planted near-dup (id, id+dhashBase) survives the band
+    // join AND the tau filter — the column-major packing keeps the
+    // column-0 perturbation inside one band, so the other three
+    // bands match exactly
+    val planted = pairs.filter { case (a, b, _) =>
+      b == a + PipelineQueries.dhashBase }
+    assert(planted.size == PipelineQueries.dhashBase.toInt.min(
+      PipelineQueries.dhashN - PipelineQueries.dhashBase),
+      s"missing planted pairs: found ${planted.size}")
+    // the perturbation flips only column-0/1 comparisons: 8 bits max
+    planted.foreach { case (a, b, h) =>
+      assert(h <= 8, s"planted pair ($a,$b) drifted to hamming $h") }
+    // symmetry/dedup hygiene: a < b, no duplicates
+    assert(pairs.forall { case (a, b, _) => a < b })
+    assert(pairs.map(p => (p._1, p._2)).distinct.size == pairs.size)
+    // the hash genuinely discriminates: some image pairs are NOT
+    // near-dups (an all-pairs tau pass would make banding pointless)
+    val n = PipelineQueries.dhashN.toLong
+    assert(pairs.size < n * (n - 1) / 2,
+      "every pair passed tau — the fingerprint separates nothing")
+  }
 }

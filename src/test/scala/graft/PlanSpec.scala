@@ -243,6 +243,36 @@ class PlanSpec extends SparkSpec {
       s"expected the term-keyed aggregate to reuse bucketing:\n$p")
   }
 
+  test("q149: ONE bucket-pruned postings scan serves every query; per-query top-k rides the heap") {
+    val p = plan("q149_bm25_multi")
+    // the multi-query contract: however many term-sets are scored,
+    // the bucketed postings table is scanned exactly ONCE for tf/len
+    // and once for the shared df stats — never once per query
+    val postingsScans = "Batched: .*bm25_postings".r.findAllIn(p).size
+    assert(postingsScans <= 2,
+      s"expected at most 2 postings scans (tf + df), got $postingsScans:\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"expected the bucket-pruned postings scan:\n$p")
+    // per-query top-k is the bounded-heap aggregate, not a window sort
+    assert(p.contains("graft_topk"),
+      s"expected the heap top-k aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q150: multi-query hybrid reads each at-rest artifact once; fusion joins per-qid k-row lists") {
+    val p = plan("q150_hybrid_multi")
+    // vector leg: the lists scan is filtered to the UNION of probed
+    // cells (static partition filter); lexical leg: bucket-pruned
+    assert(p.contains("PartitionFilters") && p.contains("cid"),
+      s"expected the cid partition filter on the IVF leg:\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"expected the bucket-pruned postings leg:\n$p")
+    assert(p.contains("graft_topk"),
+      s"expected heap top-k in the legs:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q150 degenerated to an unkeyed join:\n$p")
+  }
+
   test("q87: incrementally-appended postings table stays bucket-pruned") {
     val p = plan("q87_bm25_append")
     // append lands delta files in the SAME term buckets, so the

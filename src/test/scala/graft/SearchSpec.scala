@@ -336,6 +336,66 @@ class SearchSpec extends SparkSpec {
       "a grace-window pin must keep serving the delete-filtered snapshot")
   }
 
+  test("IVF delete valves: needsCompact trigger, shuffle-degraded hide join, re-ingest compacts first") {
+    import graft.search.IVF
+    val cents = IVF.centroids(emb, "vec_id", "v", 8).localCheckpoint()
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_valve").toString
+    IVF.writeIndexFrom(cents, IVF.assign(emb, "vec_id", "v", cents), path)
+    val total = emb.count()
+    // trigger silent on a never-deleted index (directory probe only)
+    assert(IVF.tombstoneRows(spark, path) == 0L)
+    assert(!IVF.needsCompact(spark, path, 0L))
+    val doomed = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+      .localCheckpoint()
+    val nDoomed = doomed.count()
+    assert(IVF.deleteFromIndex(spark, path, doomed, "vec_id") == nDoomed)
+    // the trigger reads exactly the accumulated sidecar
+    assert(IVF.tombstoneRows(spark, path) == nDoomed)
+    assert(IVF.needsCompact(spark, path, nDoomed - 1))
+    assert(!IVF.needsCompact(spark, path, nDoomed),
+      "needsCompact must stay silent at or under the threshold")
+    val q = emb.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    def serve() = IVF.searchIndex(spark, path, "vec_id", "v", q, "qv", 10, 2)
+      .select("vec_id", "rank", "score").as[(Long, Long, Double)].collect().toSeq
+    // the hide join is AQE-governed, not hint-forced: with broadcast
+    // disabled (the over-grown-sidecar degradation) it must plan as a
+    // shuffle anti-join and serve the same answers
+    val hidden = serve()
+    assert(hidden.forall(_._1 % 10 != 3))
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(serve() == hidden, "shuffle-degraded hide join changed answers")
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    // RE-INGEST REVIVES by forcing deletion's phase 2 first: append
+    // id 3 back with a DIFFERENT vector — the compaction physically
+    // drops every tombstoned copy (old 3 included), then the new row
+    // lands as the id's only copy
+    val lp0 = IVF.listsPath(path)
+    val revive = emb.filter(col("vec_id") === 3)
+      .select(col("vec_id"), transform(col("v"), x => x * 2.0).as("v"))
+    IVF.appendToIndex(spark, path, revive, "vec_id", "v")
+    assert(IVF.listsPath(path) != lp0,
+      "a revive append must run the deferred compaction (generation flip)")
+    assert(IVF.tombstoneRows(spark, path) == 0L,
+      "the revive compaction must fold and clear the whole sidecar")
+    val lists = spark.read.parquet(IVF.listsPath(path))
+    assert(lists.count() == total - nDoomed + 1)
+    assert(lists.filter(col("vec_id") === 3).count() == 1,
+      "the revived id must have exactly ONE physical copy")
+    // the revived row serves with its NEW vector; the rest of the
+    // doomed set stays dead — equals a from-scratch index over
+    // exactly that corpus
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_ivf_valve_rb").toString
+    IVF.writeIndexFrom(cents,
+      IVF.assign(emb.filter(col("vec_id") % 10 =!= 3).unionByName(revive),
+        "vec_id", "v", cents),
+      rebuilt)
+    val want = IVF.searchIndex(spark, rebuilt, "vec_id", "v", q, "qv", 10, 2)
+      .select("vec_id", "rank", "score").as[(Long, Long, Double)].collect().toSeq
+    assert(serve() == want,
+      "post-revive serve must equal the rebuild over (survivors + new row)")
+  }
+
   test("IVF compaction generations: repeat compacts advance the pointer, appends land in the live one") {
     import graft.search.IVF
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_gen").toString

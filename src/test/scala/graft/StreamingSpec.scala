@@ -331,6 +331,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q147 mid-drain delete: drained live rows equal the batch replay append-delete-append, bit for bit") {
+    // the full-strength pin behind q147's parts-sized in-query gates
+    // (the q116/q120 discipline): a delete request landing between
+    // append micro-batches must leave the LIVE view row-identical to
+    // the batch replay — union assigned under the standing quantizer,
+    // deleted ids dropped — while the at-rest mass stands until
+    // compaction folds the sidecar
+    import graft.search.IVF
+    val path = java.nio.file.Files.createTempDirectory("ivf_sdel").toString + "/idx"
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    IVF.writeIndex(e.filter(col("vec_id") >= 100), "vec_id", "v", 8, 0, path)
+    val cents = spark.read.parquet(IVF.centroidsPath(path)).localCheckpoint()
+    val stage = PipelineQueries.stageOrderedFiles(
+      e.filter(col("vec_id") < 100), "vec_id", 4,
+      java.nio.file.Files.createTempDirectory("ivf_sdel_stage").toString + "/stage")
+    val src = spark.readStream.schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val delIds = e.filter(col("vec_id") >= 100 && col("vec_id") % 7 === 3)
+      .select("vec_id").localCheckpoint()
+    var deleted = -1L
+    Streaming.runForeachBatch(spark, src, (batch, bid) => {
+      IVF.appendToIndex(spark, path,
+        batch.select(col("vec_id"), col("v")), "vec_id", "v")
+      if (bid == 1L) deleted = IVF.deleteFromIndex(spark, path, delIds, "vec_id")
+    })
+    assert(deleted == delIds.count(),
+      "the mid-drain delete must hide exactly the request")
+    val live = IVF.listsRows(spark, path)
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    val want = IVF.assign(
+        e.filter(!(col("vec_id") >= 100 && col("vec_id") % 7 === 3)),
+        "vec_id", "v", cents)
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    assert(live.exceptAll(want).isEmpty && want.exceptAll(live).isEmpty,
+      "drained live view must equal the batch replay row for row")
+    // hide-now: at-rest mass stands; remove-later: compaction folds
+    assert(spark.read.parquet(IVF.listsPath(path)).count() == e.count())
+    IVF.compactIndex(spark, path)
+    assert(spark.read.parquet(IVF.listsPath(path)).count() == e.count() - deleted)
+  }
+
   test("resumable drain: two runs over one checkpoint ingest each file exactly once into the IVF index") {
     // the production ingest loop: files land, the drain re-runs with
     // the SAME durable checkpoint, and only the delta reaches the
