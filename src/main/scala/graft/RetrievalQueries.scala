@@ -577,6 +577,13 @@ object RetrievalQueries {
       s"q147: the mid-drain delete hid $nDel of a $nReq-id request")
     require(!filesTouched,
       "q147: the mid-drain delete must not touch a single list file")
+    // the growth valve reads exactly the accumulated sidecar: fires
+    // just under the standing delete count, silent at it (a
+    // maintenance job polling this after the drain would schedule
+    // the compaction)
+    require(graft.search.IVF.needsCompact(s, path, nReq - 1) &&
+        !graft.search.IVF.needsCompact(s, path, nReq),
+      "q147: needsCompact must track the standing sidecar exactly")
     // parts-sized occupancy gate: live (tombstone-filtered) per-cell
     // counts equal the batch replay's — assign the union under the
     // standing quantizer, drop the deleted ids

@@ -33,6 +33,33 @@ object Scratch {
         java.nio.file.Paths.get(s"$out/oracle_sql.json"), json)
       spark.stop(); return
     }
+    // round 14: q152 banded-growth probe — candidate pairs vs
+    // all-pairs as the image corpus grows 10× (the dedup candidate-
+    // tracking story on the perceptual-hash axis)
+    if (args.contains("dhashgrowth")) {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      for (n <- Seq(60, 600)) {
+        val t0 = System.nanoTime()
+        val feats = spark.range(n).select(col("id").as("media_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val (w, h, px) = PipelineQueries.dhashPattern(id)
+            (id, PipelineQueries.dhash64(
+              graft.multimodal.Png.decode(graft.multimodal.Png.encode(w, h, px))))
+          }).toDF("media_id", "dhash").localCheckpoint()
+        val bands = feats.select(col("media_id"),
+            posexplode(array((0 until 4).map(j =>
+              shiftright(col("dhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+          .toDF("media_id", "band", "bval")
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+              col("a.media_id") < col("b.media_id"))
+          .select(col("a.media_id"), col("b.media_id")).distinct().count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"DHASHGROWTH n=$n cand=$cand allpairs=${n.toLong * (n - 1) / 2} sec=$dt%.2f")
+      }
+      spark.stop(); return
+    }
     // round 10: clustered-corpus probe diagnosis — recall per probe
     // incl. full probe, separating routing loss from beam loss
     if (args.contains("clustdiag")) {

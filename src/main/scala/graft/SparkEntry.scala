@@ -914,6 +914,11 @@ object Queries {
     require(nRepeat == 0L, "q148: a repeated mid-drain delete must count zero")
     require(!filesTouched,
       "q148: the mid-drain delete must not touch a posting file")
+    // the growth valve tracks the standing sidecar (the q147 gate on
+    // the lexical index)
+    require(BM25.needsCompact(s, path, nReq - 1) &&
+        !BM25.needsCompact(s, path, nReq),
+      "q148: needsCompact must track the standing sidecar exactly")
     val post = s.table(tbl)
     BM25.searchIndexed(s, path, post, BM25.statsFromPostings(post),
         bm25Terms, 20)
