@@ -3185,6 +3185,12 @@ $sqRows)
     val present = GraphAnn.deleteFromIndex(s, path, delIds, "vec_id")
     require(present == nReq,
       s"q151: $present of the $nReq requested ids were in the index")
+    // the growth valve tracks the standing sidecar (the q147/q148
+    // gate on the graph family) — this is the signal that would have
+    // scheduled the maintenance the refresh below performs
+    require(GraphAnn.needsCompact(s, path, nReq - 1) &&
+        !GraphAnn.needsCompact(s, path, nReq),
+      "q151: needsCompact must track the standing sidecar exactly")
     def serve() = GraphAnn.searchIndex(s, path, "vec_id",
         e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
         10, graphEf, probeParts = graphProbeFor(s, dir))

@@ -1025,15 +1025,42 @@ object GraphAnn {
   }
 
   /** Tombstoned ids are HIDDEN from every serve ([[deleteFromIndex]]'s
-    * phase 1): the request-sized sidecar anti-joins the candidate
-    * rows BEFORE the top-k, so ef ≫ k absorbs the dropped candidates;
-    * the nodes still navigate until [[compactTombstones]]. */
+    * phase 1): the sidecar anti-joins the candidate rows BEFORE the
+    * top-k, so ef ≫ k absorbs the dropped candidates; the nodes still
+    * navigate until [[compactTombstones]]. The join strategy is
+    * AQE-GOVERNED, not hint-forced (the IVF/BM25 round-14 valve):
+    * the sidecar accumulates requests between compactions, and an
+    * over-grown one must degrade to a shuffle anti-join against the
+    * beam rows, never a driver OOM; AQE still broadcasts it while
+    * its file stats say it is small. [[needsCompact]] is the
+    * scheduling valve. */
   private def dropTombstoned(spark: SparkSession, root: String,
                              beams: DataFrame): DataFrame =
     if (!new java.io.File(s"$root/tombstones").isDirectory) beams
     else beams.join(
-      broadcast(spark.read.parquet(s"$root/tombstones").select(col("id"))),
+      spark.read.parquet(s"$root/tombstones").select(col("id")),
       Seq("id"), "left_anti")
+
+  /** Distinct ids in the LIVE generation's tombstone sidecar (0 when
+    * none) — sidecar-only, no node bytes. (Distinct, not raw rows:
+    * [[deleteFromIndex]] appends each request verbatim, so repeated
+    * requests would inflate a raw count.) */
+  def tombstoneRows(spark: SparkSession, path: String): Long = {
+    val td = s"${resolveRoot(path)}/tombstones"
+    if (!new java.io.File(td).isDirectory) 0L
+    else spark.read.parquet(td).select(col("id")).distinct().count()
+  }
+
+  /** Compaction trigger on delete accumulation — the graph twin of
+    * [[IVF.needsCompact]], read beside [[needsReroute]] (routing
+    * drift): true when the sidecar hides more than `maxTombRows`
+    * distinct ids. A maintenance job polls it after deletes and
+    * schedules [[compactTombstones]] (or lets the next
+    * [[refreshRouting]] fold the set, which sources through the
+    * tombstone anti-join). */
+  def needsCompact(spark: SparkSession, path: String,
+                   maxTombRows: Long): Boolean =
+    tombstoneRows(spark, path) > maxTombRows
 
   /** Beam-search a persisted graph index for ONE query (Search.topK
     * output contract): per-query cost is the routed index scan +

@@ -255,7 +255,15 @@ class GraphAnnSpec extends SparkSpec {
     GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, path)
     val doomed = emb.filter(col("vec_id") % 9 === 4).select(col("vec_id"))
     val nDoomed = doomed.count()
+    // growth valve: silent on a clean index, tracks the distinct
+    // standing set after deletes (repeat requests must not inflate it)
+    assert(GraphAnn.tombstoneRows(spark, path) == 0L)
+    assert(!GraphAnn.needsCompact(spark, path, 0L))
     assert(GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id") == nDoomed)
+    GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id") // repeat request
+    assert(GraphAnn.tombstoneRows(spark, path) == nDoomed)
+    assert(GraphAnn.needsCompact(spark, path, nDoomed - 1))
+    assert(!GraphAnn.needsCompact(spark, path, nDoomed))
     def top(p: String) = GraphAnn.searchIndex(spark, p, "vec_id",
         query(1), "qv", 10, ef = 48)
       .select("vec_id", "rank", "score").as[(Long, Long, Double)]
@@ -264,6 +272,12 @@ class GraphAnnSpec extends SparkSpec {
     val hidden = top(path)
     assert(hidden.size == 10 && hidden.forall(_._1 % 9 != 4),
       s"tombstoned ids surfaced or k underfilled: $hidden")
+    // the hide join is AQE-governed: with broadcast disabled (the
+    // over-grown-sidecar degradation) it serves the same answers
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(top(path) == hidden, "shuffle-degraded hide changed answers")
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     // phase 2: physical removal — answers unchanged, and the index
     // equals a from-scratch build of the corpus-without-them under
     // the SAME routing
