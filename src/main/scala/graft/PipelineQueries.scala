@@ -452,21 +452,22 @@ object PipelineQueries {
     * exists to find. The per-image work is the codec boundary
     * (mapPartitions, like q85's channel sums); everything after the
     * hash is relational. */
-  private[graft] def dhash64(img: graft.multimodal.Png.Image): Long = {
-    val w = img.width; val h = img.height
+  /** The shared 9×8 grid-pool + compare + column-major pack over any
+    * luma accessor. An empty cell (an image narrower than 9 or
+    * shorter than 8 grid units) makes both cross-products 0, so its
+    * comparisons yield bit 0 deterministically — the SQL replay's
+    * absent-join-row contributes the same 0 to the band sum. */
+  private[graft] def dhashGrid(w: Int, h: Int)(luma: (Int, Int) => Long): Long = {
     val sums = Array.ofDim[Long](8, 9)
     val cnts = Array.ofDim[Long](8, 9)
-    var y = 0; var i = 0
+    var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = img.pixels(i) & 0xFF
-        val g = img.pixels(i + 1) & 0xFF
-        val b = img.pixels(i + 2) & 0xFF
         val cx = x * 9 / w; val cy = y * 8 / h
-        sums(cy)(cx) += (299 * r + 587 * g + 114 * b) / 1000
+        sums(cy)(cx) += luma(x, y)
         cnts(cy)(cx) += 1
-        i += 3; x += 1
+        x += 1
       }
       y += 1
     }
@@ -483,6 +484,20 @@ object PipelineQueries {
     }
     hash
   }
+
+  private[graft] def dhash64(img: graft.multimodal.Png.Image): Long =
+    dhashGrid(img.width, img.height) { (x, y) =>
+      val i = (y * img.width + x) * 3
+      val r = img.pixels(i) & 0xFF
+      val g = img.pixels(i + 1) & 0xFF
+      val b = img.pixels(i + 2) & 0xFF
+      ((299 * r + 587 * g + 114 * b) / 1000).toLong
+    }
+
+  /** dHash of one raw luma plane (the video frame case — Y4M's Y
+    * plane IS the luma, no RGB conversion). */
+  private[graft] def dhashY(w: Int, h: Int, py: Array[Byte]): Long =
+    dhashGrid(w, h)((x, y) => (py(y * w + x) & 0xFF).toLong)
 
   /** MULTIMODAL NEAR-DUP — the image dedup cell of the training-data
     * matrix (text has MinHash/SimHash/cosine; images get perceptual
@@ -577,6 +592,147 @@ object PipelineQueries {
                JOIN bands bb ON bb.id = cand.b AND bb.band = ba.band
                GROUP BY cand.a, cand.b)
        SELECT a, b, hamming FROM ham WHERE hamming <= $dhashTau ORDER BY a, b"""
+
+  // ---------- q153: video near-dup (frame-aligned dHash) ----------
+
+  /** The video near-dup corpus: q92's Y4M clip formulas for base
+    * ids; ids ≥ [[vdupBase]] are NEAR-DUPLICATES of id − vdupBase —
+    * same dims and frame count, Y plane's first pixel column
+    * brightened by a clamped +25 per frame (the q152 perturbation on
+    * the temporal axis: byte-different every frame, close per-frame
+    * fingerprint — only grid-column-0 comparisons can flip). */
+  val vdupN = 40
+  val vdupBase = 25
+  val vdupTau = 12
+  private[graft] def vdupClip(id: Long)
+      : (Int, Int, Seq[(Array[Byte], Array[Byte], Array[Byte])]) = {
+    val src = if (id >= vdupBase) id - vdupBase else id
+    val (w, h, n) = y4mDims(src)
+    val frames = (0 until n).map { f =>
+      val (py, pu, pv) = y4mFrame(src, w, h, f)
+      if (id >= vdupBase) {
+        var y = 0
+        while (y < h) {
+          py(y * w) = math.min(255, (py(y * w) & 0xFF) + 25).toByte
+          y += 1
+        }
+      }
+      (py, pu, pv)
+    }
+    (w, h, frames)
+  }
+
+  /** VIDEO NEAR-DUP — q152's perceptual dedup on the temporal axis,
+    * the operator a multimodal training pipeline runs against
+    * re-encoded/re-uploaded clips: each clip round-trips through a
+    * REAL Y4M container (encode → decode), every STRIDE-SAMPLED
+    * frame's Y plane reduces to a 64-bit dHash ([[dhashY]] — the Y
+    * plane IS luma, no RGB conversion; per-clip work is the codec
+    * boundary), and clip pairs meet RELATIONALLY through a
+    * FRAME-ALIGNED band join: candidates agree on (frame_idx, band,
+    * value) — temporal alignment rides the equi-join key, so a clip
+    * only ever compares against clips that look alike at the SAME
+    * sampled offset, never all-pairs — and survivors verify by exact
+    * integer Hamming SUMMED over every aligned sampled frame,
+    * admitted when ham_sum ≤ tau × frames_compared (integer compare,
+    * no float means). Output (a, b, n_frames, ham_sum). At 100 TB
+    * the (frame, band, value) triple is the shuffle key and pair
+    * work tracks collision mass — the q152/q32 layout with time in
+    * the key. Fully oracled from the closed-form plane formulas;
+    * MultimodalSpec pins that every planted perturbed clip pair
+    * survives both the banding and the tau gate. */
+  def q153VideoNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Y4m
+    val feats = s.range(vdupN).select(col("id").as("media_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val (w, h, frames) = vdupClip(id)
+        val clip = Y4m.decode(Y4m.encode(w, h, frames))
+        (0 until clip.nFrames).filter(_ % y4mStride == 0).map { f =>
+          val (py, _, _) = clip.frame(f)
+          (id, f.toLong, dhashY(clip.width, clip.height, py))
+        }
+      })
+      .toDF("media_id", "frame_idx", "dhash")
+      // one long per sampled frame — read by both band-join sides
+      // and the verify joins
+      .localCheckpoint()
+    val bands = feats.select(col("media_id"), col("frame_idx"),
+        posexplode(array((0 until 4).map(j =>
+          shiftright(col("dhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("media_id", "frame_idx", "band", "bval")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") &&
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a"), col("b.media_id").as("b"))
+      .distinct()
+    val fa = feats.select(col("media_id").as("a"), col("frame_idx"),
+      col("dhash").as("ha"))
+    val fb = feats.select(col("media_id").as("b"), col("frame_idx"),
+      col("dhash").as("hb"))
+    cand
+      .join(fa, "a")
+      .join(fb, Seq("b", "frame_idx")) // temporal alignment: frames in BOTH
+      .withColumn("ham", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_frames"), sum(col("ham")).as("ham_sum"))
+      .filter(col("ham_sum") <= lit(vdupTau) * col("n_frames"))
+      .select(col("a"), col("b"), col("n_frames"), col("ham_sum"))
+      .orderBy("a", "b")
+  }
+
+  /** The closed-form replay: Y-plane formula (clamped column-0
+    * perturbation included) → per-(clip, sampled frame) 9×8 grid →
+    * cross-multiplied bits → 16-bit bands (column-major — the packed
+    * 64-bit hash is never materialized, per-band popcounts sum to
+    * the same Hamming) → frame-aligned band equi-join → per-pair
+    * Hamming summed over aligned frames → integer tau admit. LAZY:
+    * interpolates [[y4mStride]], declared later in this object — an
+    * eager val would bake its pre-init 0 into the SQL (the
+    * q128Sql/q132Sql lesson, third edition). */
+  lazy val q153Sql: String =
+    s"""WITH ids AS (SELECT unnest(generate_series(0, ${vdupN - 1})) AS id),
+       src AS (SELECT id, CASE WHEN id >= $vdupBase THEN id - $vdupBase ELSE id END AS s FROM ids),
+       dims AS (SELECT id, s, 8 + s % 3 AS w, 6 + s % 2 AS h,
+                       4 + (s % 3) * 2 AS n FROM src),
+       fs AS (SELECT unnest(generate_series(0, 7)) AS f),
+       xs AS (SELECT unnest(generate_series(0, 9)) AS x),
+       ys AS (SELECT unnest(generate_series(0, 6)) AS y),
+       px AS (SELECT id, w, h, f, x, y,
+                LEAST(255, (x*3 + y*5 + f*17 + s*7) % 256 +
+                  CASE WHEN id >= $vdupBase AND x = 0 THEN 25 ELSE 0 END) AS py
+              FROM dims, fs, xs, ys
+              WHERE f < n AND f % $y4mStride = 0 AND x < w AND y < h),
+       lum AS (SELECT id, f, (x*9) // w AS cx, (y*8) // h AS cy, py AS l FROM px),
+       cells AS (SELECT id, f, cy, cx, SUM(l) AS sm, COUNT(*) AS cnt
+                 FROM lum GROUP BY id, f, cy, cx),
+       bits AS (SELECT c1.id, c1.f, c1.cy, c1.cx,
+                  CASE WHEN c2.sm * c1.cnt > c1.sm * c2.cnt THEN 1 ELSE 0 END AS bit
+                FROM cells c1 JOIN cells c2
+                  ON c1.id = c2.id AND c1.f = c2.f AND c1.cy = c2.cy
+                    AND c2.cx = c1.cx + 1
+                WHERE c1.cx < 8),
+       bands AS (SELECT id, f, (cx*8 + cy) // 16 AS band,
+                   CAST(SUM(bit * (1 << ((cx*8 + cy) % 16))) AS BIGINT) AS bval
+                 FROM bits GROUP BY id, f, (cx*8 + cy) // 16),
+       cand AS (SELECT DISTINCT a.id AS a, b.id AS b
+                FROM bands a JOIN bands b
+                  ON a.f = b.f AND a.band = b.band AND a.bval = b.bval
+                    AND a.id < b.id),
+       pf AS (SELECT cand.a, cand.b, ba.f,
+                SUM(bit_count(xor(ba.bval, bb.bval))) AS ham
+              FROM cand
+              JOIN bands ba ON ba.id = cand.a
+              JOIN bands bb ON bb.id = cand.b AND bb.f = ba.f
+                AND bb.band = ba.band
+              GROUP BY cand.a, cand.b, ba.f),
+       pairs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_frames,
+                   CAST(SUM(ham) AS BIGINT) AS ham_sum
+                 FROM pf GROUP BY a, b)
+       SELECT a, b, n_frames, ham_sum FROM pairs
+       WHERE ham_sum <= $vdupTau * n_frames ORDER BY a, b"""
 
   /** REAL audio decode under the oracle gate: deterministic integer
     * sawtooth waveforms (pure integer arithmetic — no libm, so the
@@ -915,6 +1071,7 @@ object PipelineQueries {
     "q83_stream_stream_join" -> (q83StreamStreamJoin _),
     "q85_png_stats" -> (q85PngStats _),
     "q152_image_neardup" -> (q152ImageNeardup _),
+    "q153_video_neardup" -> (q153VideoNeardup _),
     "q90_mixed_media" -> (q90MixedMedia _),
     "q91_wav_stats" -> (q91WavStats _),
     "q92_video_frames" -> (q92VideoFrames _))
@@ -938,6 +1095,7 @@ object PipelineQueries {
     "q83_stream_stream_join" -> ScaleQueries.q66Sql,
     "q85_png_stats" -> q85Sql,
     "q152_image_neardup" -> q152Sql,
+    "q153_video_neardup" -> q153Sql,
     "q90_mixed_media" -> q90Sql,
     "q91_wav_stats" -> q91Sql,
     "q92_video_frames" -> q92Sql)

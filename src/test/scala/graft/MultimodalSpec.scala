@@ -93,4 +93,29 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.size < n * (n - 1) / 2,
       "every pair passed tau — the fingerprint separates nothing")
   }
+
+  test("q153 video near-dup: frame-aligned banding finds every planted clip pair within budget") {
+    val pairs = SparkEntry.queries("q153_video_neardup")(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val planted = pairs.filter { case (a, b, _, _) =>
+      b == a + PipelineQueries.vdupBase }
+    assert(planted.size ==
+      PipelineQueries.vdupN - PipelineQueries.vdupBase,
+      s"missing planted clip pairs: found ${planted.size}")
+    planted.foreach { case (a, b, nf, ham) =>
+      // the column-0 perturbation flips at most the grid's occupied
+      // column-0 comparisons per frame
+      assert(nf >= 1 && ham <= 8 * nf,
+        s"planted pair ($a,$b) drifted: $ham over $nf frames")
+      // a same-source pair aligns on every sampled frame (same dims,
+      // same frame count)
+      val (_, _, n) = PipelineQueries.y4mDims(a)
+      assert(nf == (n + PipelineQueries.y4mStride - 1) / PipelineQueries.y4mStride,
+        s"planted pair ($a,$b) lost aligned frames: $nf")
+    }
+    assert(pairs.forall { case (a, b, _, _) => a < b })
+    val nClips = PipelineQueries.vdupN.toLong
+    assert(pairs.size < nClips * (nClips - 1) / 2,
+      "every clip pair passed tau — the fingerprint separates nothing")
+  }
 }
