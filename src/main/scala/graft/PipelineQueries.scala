@@ -734,6 +734,149 @@ object PipelineQueries {
        SELECT a, b, n_frames, ham_sum FROM pairs
        WHERE ham_sum <= $vdupTau * n_frames ORDER BY a, b"""
 
+  // ---------- q154: audio near-dup (windowed energy fingerprint) ----------
+
+  /** The audio near-dup corpus: q91's sawtooth waveforms for base
+    * ids; ids ≥ [[adupBase]] are NEAR-DUPLICATES of id − adupBase —
+    * the same track with an EDITED INTRO: samples falling in grid
+    * windows 0/4/8/12 (of 65) get +25. The perturbed windows are
+    * non-adjacent, so every affected energy comparison pits an
+    * edited window against a clean neighbor; all such comparison
+    * bits are < 16, i.e. confined to band 0 under sequential
+    * packing — the q152 "only column 0 can flip" contract on the
+    * sample axis. */
+  val adupN = 40
+  val adupBase = 25
+  val adupTau = 8
+  private[graft] def adupSamples(id: Long): (Int, Array[Short]) = {
+    val src = if (id >= adupBase) id - adupBase else id
+    val (rate, s) = wavPattern(src)
+    if (id >= adupBase) {
+      val n = s.length
+      var t = 0
+      while (t < n) {
+        val w = t * 65 / n
+        if (w < 16 && w % 4 == 0) s(t) = (s(t) + 25).toShort
+        t += 1
+      }
+    }
+    (rate, s)
+  }
+
+  /** 64-bit audio fingerprint: mean absolute amplitude over 65
+    * grid-pooled windows ([[dhashGrid]]'s pooling on one axis), bit
+    * i = window i+1 louder than window i (cross-multiplied — no
+    * division), packed SEQUENTIALLY so a temporally-local edit
+    * dirties temporally-adjacent bits and therefore few bands. */
+  private[graft] def afingerprint(samples: Array[Short]): Long = {
+    val n = samples.length
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    var t = 0
+    while (t < n) {
+      val w = t * 65 / n
+      sums(w) += math.abs(samples(t).toInt)
+      cnts(w) += 1
+      t += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (sums(i + 1) * cnts(i) > sums(i) * cnts(i + 1)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** AUDIO NEAR-DUP — the third modality of the perceptual-dedup
+    * matrix (image q152, video q153): each corpus track round-trips
+    * through a REAL PCM16 WAV container (encode → decode under the
+    * gate), the decoded samples reduce to a 64-bit windowed-energy
+    * fingerprint ([[afingerprint]] — the loudness-profile analog of
+    * dHash, the shape audio fingerprinting actually uses), and
+    * near-duplicates meet RELATIONALLY through the SimHash band
+    * discipline: 4×16-bit bands, (band, value) equi-join — a pair
+    * compares iff it agrees exactly on some band, never all-pairs —
+    * then exact integer Hamming verify (bit_count(xor), codegen'd).
+    * At 100 TB the band value is the shuffle key and pair work
+    * tracks collision mass, the q32/q152 layout verbatim; the
+    * per-track codec decode is the only imperative boundary. Fully
+    * oracled: DuckDB replays waveform → |v| window sums → bits →
+    * bands → join → popcount from the closed-form formulas, so one
+    * wrong byte in WAV encode/decode/fingerprint/banding breaks the
+    * hash match. MultimodalSpec pins that every planted edited-intro
+    * pair survives banding with Hamming ≤ 7 (its flippable bits are
+    * exactly the ≤ 7 clean-vs-edited window comparisons). */
+  def q154AudioNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Wav
+    val feats = s.range(adupN).select(col("id").as("media_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (rate, samples) = adupSamples(id)
+        (id, afingerprint(Wav.decode(Wav.encode(rate, 1, samples)).samples))
+      })
+      .toDF("media_id", "fp")
+      // one long per track — read by both band-join sides and the
+      // verify joins
+      .localCheckpoint()
+    val bands = feats.select(col("media_id"),
+        posexplode(array((0 until 4).map(j =>
+          shiftright(col("fp"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("media_id", "band", "bval")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a"), col("b.media_id").as("b"))
+      .distinct()
+    cand
+      .join(feats.select(col("media_id").as("a"), col("fp").as("ha")), "a")
+      .join(feats.select(col("media_id").as("b"), col("fp").as("hb")), "b")
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= adupTau)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy("a", "b")
+  }
+
+  /** The closed-form replay: sawtooth samples (intro edit included)
+    * → per-window |v| sums → cross-multiplied loudness bits → 16-bit
+    * bands (the 64-bit fingerprint is never materialized in SQL —
+    * bit 63 would wrap a BIGINT; Hamming sums per-band popcounts,
+    * the same number) → band equi-join → tau filter. LAZY per the
+    * house init-order rule for interpolating SQL vals. */
+  lazy val q154Sql: String =
+    s"""WITH ids AS (SELECT unnest(generate_series(0, ${adupN - 1})) AS id),
+       src AS (SELECT id, CASE WHEN id >= $adupBase THEN id - $adupBase ELSE id END AS s FROM ids),
+       dims AS (SELECT id, s, 800 + (s % 5) * 100 AS n, 7 + s % 11 AS k FROM src),
+       ts AS (SELECT unnest(generate_series(0, 1199)) AS t),
+       smp AS (SELECT id, (t*65) // n AS w,
+                 abs(((t * k + s * 131) % 4096) - 2048 +
+                   CASE WHEN id >= $adupBase AND (t*65) // n < 16
+                          AND ((t*65) // n) % 4 = 0
+                        THEN 25 ELSE 0 END) AS a
+               FROM dims, ts WHERE t < n),
+       wins AS (SELECT id, w, SUM(a) AS sm, COUNT(*) AS cnt
+                FROM smp GROUP BY id, w),
+       bits AS (SELECT w1.id, w1.w AS i,
+                  CASE WHEN w2.sm * w1.cnt > w1.sm * w2.cnt THEN 1 ELSE 0 END AS bit
+                FROM wins w1 JOIN wins w2
+                  ON w1.id = w2.id AND w2.w = w1.w + 1
+                WHERE w1.w < 64),
+       bands AS (SELECT id, i // 16 AS band,
+                   CAST(SUM(bit * (1 << (i % 16))) AS BIGINT) AS bval
+                 FROM bits GROUP BY id, i // 16),
+       cand AS (SELECT DISTINCT a.id AS a, b.id AS b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bval = b.bval AND a.id < b.id),
+       ham AS (SELECT cand.a, cand.b,
+                 CAST(SUM(bit_count(xor(ba.bval, bb.bval))) AS BIGINT) AS hamming
+               FROM cand
+               JOIN bands ba ON ba.id = cand.a
+               JOIN bands bb ON bb.id = cand.b AND bb.band = ba.band
+               GROUP BY cand.a, cand.b)
+       SELECT a, b, hamming FROM ham WHERE hamming <= $adupTau ORDER BY a, b"""
+
   /** REAL audio decode under the oracle gate: deterministic integer
     * sawtooth waveforms (pure integer arithmetic — no libm, so the
     * oracle replays samples exactly), encoded as genuine PCM16 WAV
@@ -1072,6 +1215,7 @@ object PipelineQueries {
     "q85_png_stats" -> (q85PngStats _),
     "q152_image_neardup" -> (q152ImageNeardup _),
     "q153_video_neardup" -> (q153VideoNeardup _),
+    "q154_audio_neardup" -> (q154AudioNeardup _),
     "q90_mixed_media" -> (q90MixedMedia _),
     "q91_wav_stats" -> (q91WavStats _),
     "q92_video_frames" -> (q92VideoFrames _))
@@ -1096,6 +1240,7 @@ object PipelineQueries {
     "q85_png_stats" -> q85Sql,
     "q152_image_neardup" -> q152Sql,
     "q153_video_neardup" -> q153Sql,
+    "q154_audio_neardup" -> q154Sql,
     "q90_mixed_media" -> q90Sql,
     "q91_wav_stats" -> q91Sql,
     "q92_video_frames" -> q92Sql)

@@ -118,4 +118,24 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.size < nClips * (nClips - 1) / 2,
       "every clip pair passed tau — the fingerprint separates nothing")
   }
+
+  test("q154 audio near-dup: banding finds every planted edited-intro pair within the band-0 bit budget") {
+    val pairs = SparkEntry.queries("q154_audio_neardup")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    val planted = pairs.filter { case (a, b, _) =>
+      b == a + PipelineQueries.adupBase }
+    assert(planted.size ==
+      PipelineQueries.adupN - PipelineQueries.adupBase,
+      s"missing planted track pairs: found ${planted.size}")
+    planted.foreach { case (a, b, ham) =>
+      // the intro edit touches windows 0/4/8/12 only; their ≤ 7
+      // clean-vs-edited comparisons are the only flippable bits, and
+      // all of them live in band 0 — bands 1..3 must agree exactly
+      assert(ham <= 7, s"planted pair ($a,$b) drifted: hamming $ham")
+    }
+    assert(pairs.forall { case (a, b, _) => a < b })
+    val n = PipelineQueries.adupN.toLong
+    assert(pairs.size < n * (n - 1) / 2,
+      "every track pair passed tau — the fingerprint separates nothing")
+  }
 }
