@@ -515,6 +515,20 @@ object RetrievalQueries {
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  /** Full file-listing snapshot of a partitioned index directory
+    * (name, length, mtime of every file under every partition dir —
+    * `cid=` for the inverted-list families, `part=` for the graph's
+    * nodes) — the witness the delete gates compare around a tombstone
+    * write to prove the hide phase opened NO data file. */
+  private def listFileSnap(lp: String, prefix: String = "cid="): Map[String, Seq[(String, Long, Long)]] =
+    Option(new java.io.File(lp).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith(prefix))
+      .map(d => d.getName ->
+        Option(d.listFiles()).toSeq.flatten.filter(_.isFile)
+          .map(f => (f.getName, f.length(), f.lastModified()))
+          .sortBy(_._1))
+      .toMap
+
   /** DELETION UNDER LIVE INGEST — the lifecycle composition the
     * matrix lacked: a right-to-be-forgotten request lands MID-DRAIN,
     * between q127's append micro-batches, exercising the two-phase
@@ -553,14 +567,6 @@ object RetrievalQueries {
     val delIds = e.filter(col("vec_id") >= 100 && col("vec_id") % 7 === 3)
       .select(col("vec_id"))
     val nReq = Memo.cachedCount(s, dir, "q147_ndel")(delIds.count())
-    def listSnap(lp: String): Map[String, Seq[(String, Long, Long)]] =
-      Option(new java.io.File(lp).listFiles()).toSeq.flatten
-        .filter(d => d.isDirectory && d.getName.startsWith("cid="))
-        .map(d => d.getName ->
-          Option(d.listFiles()).toSeq.flatten.filter(_.isFile)
-            .map(f => (f.getName, f.length(), f.lastModified()))
-            .sortBy(_._1))
-        .toMap
     var nDel = -1L
     var filesTouched = true
     graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
@@ -568,9 +574,9 @@ object RetrievalQueries {
         batch.select(col("vec_id"), col("v")), "vec_id", "v")
       if (bid == 1L) {
         val lp = graft.search.IVF.listsPath(path)
-        val snapBefore = listSnap(lp)
+        val snapBefore = listFileSnap(lp)
         nDel = graft.search.IVF.deleteFromIndex(s, path, delIds, "vec_id")
-        filesTouched = listSnap(lp) != snapBefore
+        filesTouched = listFileSnap(lp) != snapBefore
       }
     })
     require(nDel == nReq,
@@ -633,6 +639,133 @@ object RetrievalQueries {
            FROM c, q) WHERE r <= $ivfProbe),
        sc AS (SELECT d.vec_id, list_dot_product(d.v, pr.qv) AS sc
               FROM d JOIN pr ON d.cid = pr.cid),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
+  /** DELETION UNDER LIVE INGEST, QUANTIZED — q147's composition on
+    * the SQ8 family (q128's drain + the shared two-phase delete): the
+    * delta slice drains in four id-ordered micro-batches, each
+    * quantizing under the STANDING bounds inside foreachBatch (the
+    * per-batch clamped fraction require-pinned under
+    * [[sqClampThreshold]] — a delete must not perturb the requant
+    * trigger), and after batch 1 commits a right-to-be-forgotten
+    * request (base ids ≡ 3 mod 7) tombstones through
+    * [[graft.search.IVF.deleteFromIndex]] against the live lists
+    * while batches 2–3 keep appending AFTER it. Gates, all request-
+    * or parts-sized: the mid-drain delete counts exactly
+    * request∩index and opens ZERO code files (full file-listing
+    * snapshot around it), [[graft.search.IVF.needsCompact]] tracks
+    * the standing sidecar exactly (the valve that schedules the
+    * deferred rewrite), and the drained index's per-cell LIVE
+    * occupancy equals the batch replay's (assign union-minus-deleted
+    * under the standing quantizer — K rows per side; the full
+    * byte-for-byte code equality is StreamingSpec's pin, the
+    * q116/q120 discipline). Declared output: the post-drain ADC +
+    * exact-re-rank serve, hash-matched against q128's replay with
+    * the delete predicate on the lists — stream, quantization, and
+    * deletion COMPOSED under one oracle. */
+  def q156StreamSqDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q156")
+    graft.search.SQ.writeIndex(e.filter(col("vec_id") >= 100),
+      "vec_id", "v", ivfK, path)
+    val stage = embDeltaStage(s, dir)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val delIds = e.filter(col("vec_id") >= 100 && col("vec_id") % 7 === 3)
+      .select(col("vec_id").as("id"))
+    val nReq = Memo.cachedCount(s, dir, "q156_ndel")(delIds.count())
+    var nDel = -1L
+    var filesTouched = true
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      val f = graft.search.SQ.appendToIndex(s, path,
+        batch.select(col("vec_id"), col("v")), "vec_id", "v")
+      require(f <= sqClampThreshold,
+        s"q156: in-distribution batch must not trip requant (clamped $f)")
+      if (bid == 1L) {
+        val lp = graft.search.IVF.listsPath(path)
+        val snapBefore = listFileSnap(lp)
+        nDel = graft.search.IVF.deleteFromIndex(s, path, delIds, "id")
+        filesTouched = listFileSnap(lp) != snapBefore
+      }
+    })
+    require(nDel == nReq,
+      s"q156: the mid-drain delete hid $nDel of a $nReq-id request")
+    require(!filesTouched,
+      "q156: the mid-drain delete must not open a single code file")
+    require(graft.search.IVF.needsCompact(s, path, nReq - 1) &&
+        !graft.search.IVF.needsCompact(s, path, nReq),
+      "q156: needsCompact must track the standing sidecar exactly")
+    // parts-sized occupancy gate: per-cell LIVE code counts equal the
+    // batch replay's assignment of union-minus-deleted under the
+    // standing quantizer (codes are a pure function of (assignment,
+    // bounds); StreamingSpec pins the bytes)
+    val cents = s.read.parquet(s"$path/centroids")
+    val liveOcc = graft.search.IVF.listsRows(s, path)
+      .groupBy(col("cid").cast("long").as("cid")).count()
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toMap
+    val wantOcc = graft.search.IVF.assign(
+        e.filter(!(col("vec_id") >= 100 && col("vec_id") % 7 === 3)),
+        "vec_id", "v", cents)
+      .groupBy(col("cid").cast("long").as("cid")).count()
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toMap
+    require(liveOcc == wantOcc,
+      "q156: drained+deleted per-cell occupancy must equal the batch replay")
+    graft.search.SQ.searchIndex(s, path, e, "vec_id", "v",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+      10, ivfProbe, sqRerank)
+      .orderBy("rank")
+  }
+
+  /** q128's replay with the delete predicate applied to the code
+    * lists — standing base-slice geometry, union assignment, deleted
+    * ids dropped before quantization (a hidden code never ADC-scores).
+    * LAZY per the init-order rule (interpolates sqDim/sqRerank,
+    * declared later). */
+  lazy val q156Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e WHERE vec_id >= 100) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       d AS (SELECT * FROM a WHERE NOT (vec_id >= 100 AND vec_id % 7 = 3)),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       b AS (SELECT d, MIN(v[d]) AS lo, MAX(v[d]) AS hi
+             FROM (SELECT v FROM e WHERE vec_id >= 100),
+               (SELECT UNNEST(generate_series(1, $sqDim)) AS d) GROUP BY d),
+       bl AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM b),
+       cd AS (SELECT d.vec_id, d.cid,
+           list_transform(generate_series(1, $sqDim), dd ->
+             CASE WHEN hi[dd] = lo[dd] THEN 0
+               ELSE CAST(least(255.0, greatest(0.0,
+                 round((v[dd] - lo[dd]) * 255.0 / (hi[dd] - lo[dd]), 0))) AS INT) END) AS code
+         FROM d, bl),
+       ad AS (SELECT cd.vec_id,
+           list_dot_product(list_transform(generate_series(1, $sqDim), dd ->
+             lo[dd] + code[dd] * ((hi[dd] - lo[dd]) / 255.0)), pr.qv) AS adc
+         FROM cd JOIN pr ON cd.cid = pr.cid, bl),
+       cand AS (SELECT vec_id FROM (
+           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc DESC, vec_id) AS r FROM ad)
+         WHERE r <= $sqRerank),
+       sc AS (SELECT e.vec_id, list_dot_product(e.v, q.qv) AS sc
+              FROM e JOIN cand USING (vec_id), q),
        r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
@@ -3010,19 +3143,11 @@ $sqRows)
     val before = s.read.parquet(lp).count()
     val delIds = e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
     val nReq = Memo.cachedCount(s, dir, "q144_ndel")(delIds.count())
-    def listSnap(): Map[String, Seq[(String, Long, Long)]] =
-      Option(new java.io.File(lp).listFiles()).toSeq.flatten
-        .filter(d => d.isDirectory && d.getName.startsWith("cid="))
-        .map(d => d.getName ->
-          Option(d.listFiles()).toSeq.flatten.filter(_.isFile)
-            .map(f => (f.getName, f.length(), f.lastModified()))
-            .sortBy(_._1))
-        .toMap
-    val snapBefore = listSnap()
+    val snapBefore = listFileSnap(lp)
     val nDel = graft.search.IVF.deleteFromIndex(s, path, delIds, "vec_id")
     require(nDel == nReq,
       s"q144: tombstoned $nDel of a $nReq-id request fully inside the index")
-    require(listSnap() == snapBefore,
+    require(listFileSnap(lp) == snapBefore,
       "q144: the tombstone phase must not touch a single list file")
     require(s.read.parquet(lp).count() == before,
       "q144: at-rest mass must stand until compaction")
@@ -3068,6 +3193,116 @@ $sqRows)
            FROM c, q) WHERE r <= $ivfProbe),
        sc AS (SELECT d.vec_id, list_dot_product(d.v, pr.qv) AS sc
               FROM d JOIN pr ON d.cid = pr.cid),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
+  // ---------- q155: SQ8 index deletion (tombstone + compact) ----------
+
+  /** DELETION FROM THE SQ8 INDEX — q144's lifecycle quarter DECLARED
+    * for the quantized family (SearchSpec/SQSpec pinned it; this row
+    * puts it under the oracle): the SQ8 lists share IVF's
+    * cid-partitioned layout by design, so the SAME two-phase
+    * machinery applies verbatim — [[graft.search.IVF.deleteFromIndex]]
+    * tombstones request∩index into the live generation's sidecar (an
+    * O(request) write; gated here by the full file-listing snapshot:
+    * not one code file opened), every SQ8 read
+    * ([[graft.search.SQ.adcCandidates]], `searchIndexMulti`)
+    * anti-joins the sidecar before the ADC heap so a deleted CODE can
+    * never reach the exact re-rank, and [[graft.search.IVF
+    * .compactIndex]] folds the sidecar into its staged rewrite
+    * (physical removal rides the rewrite; the fresh generation starts
+    * clean). What the quantized family adds: geometry STANDS through
+    * deletion — centroids AND bounds were derived from the build
+    * corpus including the deleted rows, and they must not move
+    * (re-deriving bounds from survivors would silently re-scale every
+    * remaining code; the oracle's bounds CTE reads the FULL corpus
+    * for exactly this reason). Gates mirror q144 — count, zero-touch
+    * snapshot, standing mass, hidden serve, exact mass drop, clean
+    * sidecar, hide-now ≡ remove-later — and the declared output is
+    * the post-compaction ADC + exact-re-rank serve, hash-matched
+    * against q114's replay with the delete predicate applied to the
+    * LISTS only. */
+  def q155SqDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q155")
+    graft.search.SQ.writeIndex(e, "vec_id", "v", ivfK, path)
+    val lp = graft.search.IVF.listsPath(path)
+    val before = s.read.parquet(lp).count()
+    val delIds = e.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id").as("id"))
+    val nReq = Memo.cachedCount(s, dir, "q155_ndel")(delIds.count())
+    val snapBefore = listFileSnap(lp)
+    val nDel = graft.search.IVF.deleteFromIndex(s, path, delIds, "id")
+    require(nDel == nReq,
+      s"q155: tombstoned $nDel of a $nReq-id request fully inside the index")
+    require(listFileSnap(lp) == snapBefore,
+      "q155: the tombstone phase must not open a single code file")
+    require(s.read.parquet(lp).count() == before,
+      "q155: at-rest code mass must stand until compaction")
+    require(graft.search.IVF.needsCompact(s, path, nReq - 1) &&
+        !graft.search.IVF.needsCompact(s, path, nReq),
+      "q155: needsCompact must track the standing sidecar exactly")
+    def serve() = graft.search.SQ.searchIndex(s, path, e, "vec_id", "v",
+      e.filter(col("vec_id") === 2).select(col("v").as("qv")), "qv",
+      10, ivfProbe, sqRerank)
+    val hidden = serve().collect().toSeq // pre-compaction: hide-now
+    require(!hidden.map(_.getLong(0)).exists(_ % 7 == 3),
+      "q155: a tombstoned id was served through the ADC path")
+    graft.search.IVF.compactIndex(s, path)
+    val lp2 = graft.search.IVF.listsPath(path)
+    require(lp2 != lp, "q155: compaction must flip to a fresh generation")
+    require(s.read.parquet(lp2).count() == before - nDel,
+      "q155: compaction must physically drop exactly the deleted codes")
+    require(!new java.io.File(new java.io.File(lp2).getParentFile,
+        s"tomb__${new java.io.File(lp2).getName}").isDirectory,
+      "q155: the compacted generation must start with a clean sidecar")
+    val served = serve()
+    require(served.collect().toSeq == hidden,
+      "q155: hide-now and remove-later must serve identical answers")
+    served.orderBy("rank")
+  }
+
+  /** q114's replay with the delete predicate applied to the code
+    * LISTS only — centroids and bounds still read the FULL corpus
+    * (the standing geometry; deletion never re-scales codes), and the
+    * exact re-rank can only ever fetch surviving candidates. LAZY per
+    * the init-order rule (interpolates sqDim/sqRerank). */
+  lazy val q155Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       d AS (SELECT * FROM a WHERE NOT (vec_id % 7 = 3)),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 2),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       b AS (SELECT d, MIN(v[d]) AS lo, MAX(v[d]) AS hi
+             FROM e, (SELECT UNNEST(generate_series(1, $sqDim)) AS d) GROUP BY d),
+       bl AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM b),
+       cd AS (SELECT d.vec_id, d.cid,
+           list_transform(generate_series(1, $sqDim), dd ->
+             CASE WHEN hi[dd] = lo[dd] THEN 0
+               ELSE CAST(least(255.0, greatest(0.0,
+                 round((v[dd] - lo[dd]) * 255.0 / (hi[dd] - lo[dd]), 0))) AS INT) END) AS code
+         FROM d, bl),
+       ad AS (SELECT cd.vec_id,
+           list_dot_product(list_transform(generate_series(1, $sqDim), dd ->
+             lo[dd] + code[dd] * ((hi[dd] - lo[dd]) / 255.0)), pr.qv) AS adc
+         FROM cd JOIN pr ON cd.cid = pr.cid, bl),
+       cand AS (SELECT vec_id FROM (
+           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc DESC, vec_id) AS r FROM ad)
+         WHERE r <= $sqRerank),
+       sc AS (SELECT e.vec_id, list_dot_product(e.v, q.qv) AS sc
+              FROM e JOIN cand USING (vec_id), q),
        r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
@@ -3218,6 +3453,106 @@ $sqRows)
       "q151: the surviving query vector must remain its own top hit")
     import s.implicits._
     refreshed.toDF("vec_id", "rank", "score").orderBy("rank")
+  }
+
+  // ---------- q157: graph-index deletion under live ingest ----------
+
+  /** DELETION UNDER LIVE INGEST ON THE GRAPH INDEX — q147/q156's
+    * composition for the family whose nodes carry adjacency (the last
+    * family without its mid-drain row): q99's drain (the newest 20%
+    * of ids in four id-ordered micro-batches through
+    * [[graft.search.GraphAnn.appendToIndex]], each routing against
+    * the STANDING routing table), with a right-to-be-forgotten
+    * request (base ids ≡ 5 mod 13 — rows ingested before the stream
+    * started) landing through [[graft.search.GraphAnn
+    * .deleteFromIndex]] after batch 1 commits; batches 2–3 append
+    * AFTER it, their ids disjoint from the request (the revive probe
+    * stays a directory read per batch). Gates: the mid-drain delete
+    * counts exactly the request (all present in the base), opens ZERO
+    * node files (full file-listing snapshot over the `part=` dirs),
+    * [[graft.search.GraphAnn.needsCompact]] tracks the standing
+    * sidecar exactly, the drained RAW per-cell content signature
+    * still equals the same-routing full rebuild's (the q99 gate —
+    * the tombstone is a sidecar, so the drain's physical outcome is
+    * untouched by the delete), and the routed serve hides every
+    * deleted id. Then the deferred phase 2 runs
+    * ([[graft.search.GraphAnn.compactTombstones]]): generation flip,
+    * clean sidecar, node mass down by exactly the deleted ids'
+    * replica copies, and the post-compaction serve equals the
+    * tombstone-filtered serve row for row (the spread request keeps
+    * beams intact — the q145 caveat; the invariant form, compacted ≡
+    * rebuild-without-them bit for bit, is GraphAnnSpec's mid-drain
+    * pin). Rows-only: graph construction is not SQL-expressible. */
+  def q157StreamGraphDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.search.GraphAnn
+    val e = emb(s, dir)
+    val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
+    val split = 4L * n / 5L
+    val stage = Memo.cachedValue(s, dir, "q99_stage") {
+      PipelineQueries.stageOrderedFiles(
+        e.filter(col("vec_id") >= split), "vec_id", 4,
+        PipelineQueries.roundtripPath(dir, "q99_stream"))
+    }
+    val path = PipelineQueries.roundtripPath(dir, "q157")
+    cloneTree(graphBase80Path(s, dir), path)
+    val delIds = e.filter(col("vec_id") < split && col("vec_id") % 13 === 5)
+      .select(col("vec_id"))
+    val nReq = Memo.cachedCount(s, dir, "q157_ndel")(delIds.count())
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    var nDel = -1L
+    var filesTouched = true
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      GraphAnn.appendToIndex(s, path,
+        batch.select(col("vec_id"), col("v")), "vec_id", "v")
+      if (bid == 1L) {
+        val np = GraphAnn.tablePath(path, "nodes")
+        val snapBefore = listFileSnap(np, "part=")
+        nDel = GraphAnn.deleteFromIndex(s, path, delIds, "vec_id")
+        filesTouched = listFileSnap(np, "part=") != snapBefore
+      }
+    })
+    require(nDel == nReq,
+      s"q157: the mid-drain delete hid $nDel of a $nReq-id request")
+    require(!filesTouched,
+      "q157: the mid-drain delete must not open a single node file")
+    require(GraphAnn.needsCompact(s, path, nReq - 1) &&
+        !GraphAnn.needsCompact(s, path, nReq),
+      "q157: needsCompact must track the standing sidecar exactly")
+    require(cellSignature(s, path) == cellSignature(s, graphRebuildPath(s, dir)),
+      "q157: the drained raw cells must still equal the same-routing rebuild")
+    def serve() = GraphAnn.searchIndex(s, path, "vec_id",
+        e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+        10, graphEf, probeParts = graphProbeFor(s, dir))
+      .select(col("vec_id"), col("rank"), col("score"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2)
+    val hidden = serve()
+    require(hidden.forall(_._1 % 13 != 5),
+      "q157: a tombstoned id surfaced in the mid-drain-deleted serve")
+    val nodesBefore = s.read.parquet(GraphAnn.tablePath(path, "nodes"))
+    val massBefore = nodesBefore.count()
+    val delCopies = nodesBefore
+      .join(broadcast(delIds.select(col("vec_id").as("id"))), Seq("id"),
+        "left_semi")
+      .count()
+    val genBefore = GraphAnn.currentGeneration(path)
+    GraphAnn.compactTombstones(s, path)
+    require(GraphAnn.currentGeneration(path) != genBefore,
+      "q157: compaction must commit a new generation through the CURRENT flip")
+    require(!new java.io.File(GraphAnn.tablePath(path, "tombstones"))
+        .isDirectory,
+      "q157: the new generation must start with a clean tombstone sidecar")
+    require(s.read.parquet(GraphAnn.tablePath(path, "nodes")).count()
+        == massBefore - delCopies,
+      "q157: node mass must drop by exactly the deleted ids' replica copies")
+    val removed = serve()
+    require(removed == hidden,
+      "q157: hide-now and remove-later must serve identical answers")
+    import s.implicits._
+    removed.toDF("vec_id", "rank", "score").orderBy("rank")
   }
 
   // ---------- q123: late-interaction (MaxSim) retrieval ----------
@@ -3986,6 +4321,8 @@ $sqRows)
     "q127_stream_ivf" -> (q127StreamIvf _),
     "q128_stream_sq" -> (q128StreamSq _),
     "q147_stream_ivf_delete" -> (q147StreamIvfDelete _),
+    "q155_sq_delete" -> (q155SqDelete _),
+    "q156_stream_sq_delete" -> (q156StreamSqDelete _),
     "q129_graph_filtered" -> (q129GraphFiltered _),
     "q133_sq_compact" -> (q133SqCompact _),
     "q134_ivf_multi" -> (q134IvfMulti _),
@@ -3995,7 +4332,8 @@ $sqRows)
     "q144_index_delete" -> (q144IndexDelete _),
     "q145_graph_delete" -> (q145GraphDelete _),
     "q150_hybrid_multi" -> (q150HybridMulti _),
-    "q151_graph_reroute_delete" -> (q151GraphRerouteDelete _))
+    "q151_graph_reroute_delete" -> (q151GraphRerouteDelete _),
+    "q157_stream_graph_delete" -> (q157StreamGraphDelete _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
@@ -4046,5 +4384,7 @@ $sqRows)
     "q127_stream_ivf" -> q84Sql,
     "q128_stream_sq" -> q128Sql,
     "q147_stream_ivf_delete" -> q147Sql,
+    "q155_sq_delete" -> q155Sql,
+    "q156_stream_sq_delete" -> q156Sql,
     "q150_hybrid_multi" -> q150Sql)
 }

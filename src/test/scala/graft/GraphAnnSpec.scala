@@ -300,6 +300,46 @@ class GraphAnnSpec extends SparkSpec {
     assert(GraphAnn.currentGeneration(path) == gen)
   }
 
+  test("q157 mid-drain delete: delete between appends, then compaction equals rebuild-without-them bit for bit") {
+    // the full-strength pin behind q157's parts-sized gates: a delete
+    // interleaved between growing-id appends must compose — the
+    // post-delete append serves through the standing sidecar, and the
+    // deferred compaction equals a from-scratch build of the
+    // corpus-without-them under the same routing
+    val n = emb.count()
+    val split = 4L * n / 5L
+    val half = (split + n) / 2L
+    val path = java.nio.file.Files.createTempDirectory("graphann_sdel").toString
+    GraphAnn.writeIndex(emb.filter(col("vec_id") < split), "vec_id", "v",
+      m = 8, efC = 48, parts = 4, path)
+    GraphAnn.appendToIndex(spark, path,
+      emb.filter(col("vec_id") >= split && col("vec_id") < half), "vec_id", "v")
+    val doomed = emb.filter(col("vec_id") < split && col("vec_id") % 9 === 4)
+      .select(col("vec_id"))
+    assert(GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id")
+      == doomed.count())
+    GraphAnn.appendToIndex(spark, path,
+      emb.filter(col("vec_id") >= half), "vec_id", "v")
+    val served = GraphAnn.searchIndex(spark, path, "vec_id",
+        query(1), "qv", 10, ef = 48)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(served.forall(id => !(id < split && id % 9 == 4)),
+      "a tombstoned id surfaced through the post-delete append")
+    GraphAnn.compactTombstones(spark, path)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graphann_sdel_rb").toString
+    GraphAnn.writeIndexWith(
+      spark.read.parquet(GraphAnn.tablePath(path, "routing")),
+      emb.join(doomed, Seq("vec_id"), "left_anti"), "vec_id", "v",
+      m = 8, efC = 48, rebuilt)
+    def nodes(p: String) = spark.read.parquet(GraphAnn.tablePath(p, "nodes"))
+      .select(col("part").cast("int"), col("id"), col("vec"), col("nbrs"))
+      .as[(Int, Long, Seq[Double], Seq[Long])].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(nodes(path) == nodes(rebuilt),
+      "mid-drain-deleted + compacted rows diverge from the rebuild-without-them")
+  }
+
   test("routine refresh between delete and compaction does not resurrect tombstoned ids") {
     val path = java.nio.file.Files.createTempDirectory("graphann_del_rr").toString
     GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, path)

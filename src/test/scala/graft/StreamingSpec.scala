@@ -373,6 +373,49 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(IVF.listsPath(path)).count() == e.count() - deleted)
   }
 
+  test("q156 mid-drain delete: drained live codes equal the batch replay append-delete-append, byte for byte") {
+    // the full-strength pin behind q156's parts-sized occupancy gate:
+    // a delete landing between SQ8 append micro-batches must leave
+    // the LIVE view byte-identical to the batch replay — the union
+    // quantized under the STANDING geometry, deleted ids dropped —
+    // while the at-rest codes stand until compaction folds the sidecar
+    import graft.search.{IVF, SQ}
+    val path = java.nio.file.Files.createTempDirectory("sq_sdel").toString + "/idx"
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    SQ.writeIndex(e.filter(col("vec_id") >= 100), "vec_id", "v", 8, path)
+    val cents = spark.read.parquet(s"$path/centroids").localCheckpoint()
+    val ba = SQ.boundsArrays(spark.read.parquet(s"$path/bounds"))
+      .localCheckpoint()
+    val stage = PipelineQueries.stageOrderedFiles(
+      e.filter(col("vec_id") < 100), "vec_id", 4,
+      java.nio.file.Files.createTempDirectory("sq_sdel_stage").toString + "/stage")
+    val src = spark.readStream.schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val delIds = e.filter(col("vec_id") >= 100 && col("vec_id") % 7 === 3)
+      .select(col("vec_id").as("id")).localCheckpoint()
+    var deleted = -1L
+    Streaming.runForeachBatch(spark, src, (batch, bid) => {
+      SQ.appendToIndex(spark, path,
+        batch.select(col("vec_id"), col("v")), "vec_id", "v")
+      if (bid == 1L) deleted = IVF.deleteFromIndex(spark, path, delIds, "id")
+    })
+    assert(deleted == delIds.count(),
+      "the mid-drain delete must hide exactly the request")
+    val live = IVF.listsRows(spark, path)
+      .select(col("id"), col("code"), col("cid").cast("long").as("cid"))
+    val want = SQ.quantized(
+        e.filter(!(col("vec_id") >= 100 && col("vec_id") % 7 === 3)),
+        "vec_id", "v", cents, ba)
+      .select(col("id"), col("code"), col("cid").cast("long").as("cid"))
+    assert(live.exceptAll(want).isEmpty && want.exceptAll(live).isEmpty,
+      "drained live codes must equal the batch replay byte for byte")
+    // hide-now: at-rest code mass stands; remove-later: compaction folds
+    assert(spark.read.parquet(IVF.listsPath(path)).count() == e.count())
+    IVF.compactIndex(spark, path)
+    assert(spark.read.parquet(IVF.listsPath(path)).count() == e.count() - deleted)
+  }
+
   test("resumable drain: two runs over one checkpoint ingest each file exactly once into the IVF index") {
     // the production ingest loop: files land, the drain re-runs with
     // the SAME durable checkpoint, and only the delta reaches the
