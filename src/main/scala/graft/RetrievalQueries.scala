@@ -770,6 +770,85 @@ object RetrievalQueries {
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  /** THE MAINTENANCE LOOP CLOSED UNDER LIVE INGEST — q147 proved the
+    * hide lands mid-drain and left the rewrite "for the maintenance
+    * job polling [[graft.search.IVF.needsCompact]]"; q158 IS that
+    * job: every micro-batch polls the valve after its append (the
+    * production pattern — ingest and maintenance share one serial
+    * loop, so the flip can never race an in-flight append), the
+    * mid-drain delete (after batch 1's append) pushes the sidecar
+    * over the threshold, the poll fires INSIDE the drain, and
+    * [[graft.search.IVF.compactIndex]] runs between micro-batches —
+    * generation flip, physical removal, clean sidecar — with batches
+    * 2–3 appending into the FLIPPED generation. Gates: the valve
+    * fires exactly once (silent before the delete, fired by it,
+    * silent after the flip — the fresh sidecarless generation resets
+    * the trigger, so the poll is self-quenching), the drain finishes
+    * inside the generation the mid-drain flip committed, the
+    * superseded generation is FROZEN from the flip onward (its full
+    * file-listing snapshot stands through the remaining batches —
+    * post-flip appends land only in the new generation, while the
+    * frozen one survives as the grace window for pinned readers),
+    * the flipped generation starts and ENDS the drain with no
+    * sidecar, and post-drain at-rest mass is union minus deleted —
+    * nothing hidden, everything physically gone. Declared output:
+    * the post-drain serve, hash-matched against q147's replay
+    * verbatim — hide-then-compact and hide-only MUST answer
+    * identically, so the same SQL certifies ingest, deletion, and
+    * compaction composed. */
+  def q158StreamIvfValve(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q158")
+    graft.search.IVF.writeIndex(e.filter(col("vec_id") >= 100),
+      "vec_id", "v", ivfK, 0, path)
+    val stage = embDeltaStage(s, dir)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val delIds = e.filter(col("vec_id") >= 100 && col("vec_id") % 7 === 3)
+      .select(col("vec_id"))
+    val nReq = Memo.cachedCount(s, dir, "q158_ndel")(delIds.count())
+    val valve = nReq - 1 // fires only once the full request lands
+    var fired = List.empty[Long]
+    var genAtFlip: String = null
+    var frozenPath: String = null
+    var frozenSnap: Map[String, Seq[(String, Long, Long)]] = null
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      graft.search.IVF.appendToIndex(s, path,
+        batch.select(col("vec_id"), col("v")), "vec_id", "v")
+      if (bid == 1L)
+        require(graft.search.IVF.deleteFromIndex(s, path, delIds, "vec_id")
+            == nReq,
+          "q158: the mid-drain delete must hide exactly the request")
+      // the maintenance poll — every batch, after its append
+      if (graft.search.IVF.needsCompact(s, path, valve)) {
+        fired ::= bid
+        frozenPath = graft.search.IVF.listsPath(path)
+        graft.search.IVF.compactIndex(s, path)
+        genAtFlip = graft.search.IVF.listsPath(path)
+        frozenSnap = listFileSnap(frozenPath)
+      }
+    })
+    require(fired == List(1L),
+      s"q158: the valve must fire exactly once, at the delete's batch " +
+        s"(fired at ${fired.reverse.mkString(",")})")
+    val lp = graft.search.IVF.listsPath(path)
+    require(lp == genAtFlip,
+      "q158: the drain must finish inside the mid-drain-flipped generation")
+    require(listFileSnap(frozenPath) == frozenSnap,
+      "q158: post-flip appends must never leak into the superseded generation")
+    require(!new java.io.File(new java.io.File(lp).getParentFile,
+        s"tomb__${new java.io.File(lp).getName}").isDirectory,
+      "q158: the flipped generation must end the drain with a clean sidecar")
+    val nAll = Memo.cachedCount(s, dir, "emb_n")(e.count())
+    require(s.read.parquet(lp).count() == nAll - nReq,
+      "q158: post-compaction at-rest mass must be union minus deleted")
+    graft.search.IVF.searchIndex(s, path, "vec_id", "v",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+      10, ivfProbe)
+      .orderBy("rank")
+  }
+
   /** S5/R2 INDEX LIFECYCLE under the oracle gate — the composition
     * whose halves q84 (append ≡ rebuild) and q58 (refine replay) pin
     * separately: build the at-rest index over the odd-id slice,
@@ -4323,6 +4402,7 @@ $sqRows)
     "q147_stream_ivf_delete" -> (q147StreamIvfDelete _),
     "q155_sq_delete" -> (q155SqDelete _),
     "q156_stream_sq_delete" -> (q156StreamSqDelete _),
+    "q158_stream_ivf_valve" -> (q158StreamIvfValve _),
     "q129_graph_filtered" -> (q129GraphFiltered _),
     "q133_sq_compact" -> (q133SqCompact _),
     "q134_ivf_multi" -> (q134IvfMulti _),
@@ -4384,6 +4464,7 @@ $sqRows)
     "q127_stream_ivf" -> q84Sql,
     "q128_stream_sq" -> q128Sql,
     "q147_stream_ivf_delete" -> q147Sql,
+    "q158_stream_ivf_valve" -> q147Sql,
     "q155_sq_delete" -> q155Sql,
     "q156_stream_sq_delete" -> q156Sql,
     "q150_hybrid_multi" -> q150Sql)

@@ -925,6 +925,89 @@ object Queries {
       .orderBy("rank")
   }
 
+  /** THE LEXICAL MAINTENANCE LOOP CLOSED UNDER LIVE INGEST — q158's
+    * valve discipline on the postings table, FULLY ORACLED like
+    * every BM25 leg: each micro-batch polls [[graft.lexical.BM25
+    * .needsCompact]] against the CURRENT live generation after its
+    * append (ingest and maintenance in one serial loop), q148's
+    * mid-drain delete pushes the sidecar over the threshold, the
+    * poll fires INSIDE the drain, and [[compactPostings]] runs
+    * between micro-batches — metastore-rename generation flip,
+    * physical removal riding the rewrite, clean-sidecar `__genN`
+    * path — with the remaining batches appending into the FLIPPED
+    * generation ([[writePostings]] resolves the live location
+    * through the metastore, so post-flip appends land there by
+    * construction). Gates: the valve fires exactly once (silent
+    * before the delete, fired by it, quenched by the fresh
+    * generation), the drain finishes in the generation the flip
+    * committed, the superseded generation's files are FROZEN from
+    * the flip onward (the in-flight readers' grace window — its
+    * full file snapshot stands through the remaining batches), the
+    * flipped generation ends the drain with no sidecar, and the
+    * compaction's one-file-per-bucket restoration degrades only by
+    * the post-flip appends (≤ one new file per touched bucket per
+    * batch). The oracle is q148's replay verbatim: valve-compacted
+    * mid-drain and hide-only must serve identically — stream,
+    * deletion, and compaction composed under one hash. */
+  def q159StreamBm25Valve(s: SparkSession, dir: String): DataFrame = {
+    val tbl = "bm25_valve_" + PipelineQueries.sanitizeTag(dir)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = PipelineQueries.roundtripPath(dir, "bm25valve")
+    graft.FileTree.delete(new java.io.File(path))
+    graft.FileTree.delete(new java.io.File(BM25.tombPath(path)))
+    val d = t(s, dir, "documents")
+    writePostings(s, d.filter(col("doc_id") >= 100), tbl, path, "overwrite")
+    val stage = q102Stage(s, dir)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val del = d.filter(col("doc_id") >= 100 && col("doc_id") % 9 === 4)
+      .select(col("doc_id").as("doc"))
+    val nReq = Memo.cachedCount(s, dir, "q159_ndel")(del.count())
+    def fileSnap(p: String): Map[String, (Long, Long)] =
+      Option(new java.io.File(p).listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(f => f.getName -> (f.length(), f.lastModified()))
+        .toMap
+    var fired = List.empty[Long]
+    var liveAtFlip: String = null
+    var frozen: String = null
+    var frozenSnap: Map[String, (Long, Long)] = null
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      writePostings(s, batch, tbl, path, "append")
+      if (bid == 1L)
+        require(BM25.deleteFromPostings(s, postingsLivePath(s, tbl),
+            s.table(tbl), del) == nReq,
+          "q159: the mid-drain delete must hide exactly the request")
+      // the maintenance poll — every batch, against the live generation
+      val lp = postingsLivePath(s, tbl)
+      if (BM25.needsCompact(s, lp, nReq - 1)) {
+        fired ::= bid
+        frozen = lp
+        liveAtFlip = compactPostings(s, tbl, lp)
+        frozenSnap = fileSnap(frozen)
+      }
+    })
+    require(fired == List(1L),
+      s"q159: the valve must fire exactly once, at the delete's batch " +
+        s"(fired at ${fired.reverse.mkString(",")})")
+    val lp = postingsLivePath(s, tbl)
+    require(lp == liveAtFlip,
+      "q159: the drain must finish inside the mid-drain-flipped generation")
+    require(fileSnap(frozen) == frozenSnap,
+      "q159: post-flip appends must never leak into the superseded generation")
+    require(!new java.io.File(BM25.tombPath(lp)).isDirectory,
+      "q159: the flipped generation must end the drain with a clean sidecar")
+    // two post-flip batches, each ≤ one new file per touched bucket
+    // on top of the compaction's one-per-bucket restoration
+    require(BM25.bucketFileCounts(lp).values.forall(_ <= 3),
+      "q159: post-flip fragmentation must be bounded by the remaining batches")
+    val post = s.table(tbl)
+    BM25.searchIndexed(s, lp, post, BM25.statsFromPostings(post),
+        bm25Terms, 20)
+      .orderBy("rank")
+  }
+
   /** q20's replay over the corpus minus the mid-drain delete: the
     * streamed index must be indistinguishable from one that never
     * held the deleted base docs — stats included. */
@@ -993,6 +1076,7 @@ object Queries {
     "q146_bm25_delete" -> (q146Bm25Delete _),
     "q102_stream_bm25" -> (q102StreamBm25 _),
     "q148_stream_bm25_delete" -> (q148StreamBm25Delete _),
+    "q159_stream_bm25_valve" -> (q159StreamBm25Valve _),
     "q149_bm25_multi" -> (q149Bm25Multi _)) ++
     CurationQueries.all ++ RetrievalQueries.all ++ PipelineQueries.all ++
     ScaleQueries.all ++ PrepQueries.all
@@ -1020,6 +1104,7 @@ object Queries {
     "q146_bm25_delete" -> q146Sql,
     "q102_stream_bm25" -> q20Sql,
     "q148_stream_bm25_delete" -> q148Sql,
+    "q159_stream_bm25_valve" -> q148Sql,
     "q149_bm25_multi" -> q149Sql) ++
     CurationQueries.oracle ++ RetrievalQueries.oracle ++ PipelineQueries.oracle ++
     ScaleQueries.oracle ++ PrepQueries.oracle

@@ -286,6 +286,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "streamed-in BM25 index diverges from the one-shot build")
   }
 
+  test("q159 valve-fired mid-drain postings compaction: the standing table equals the from-scratch build over the survivors") {
+    // the full-strength pin behind q159's oracle (which hashes only
+    // the 3-term serve): after the valve fires mid-drain and the
+    // remaining batches append into the flipped generation, the WHOLE
+    // standing postings table — every term, not just the queried ones
+    // — must equal the from-scratch build over union-minus-deleted
+    import graft.lexical.BM25
+    SparkEntry.queries("q159_stream_bm25_valve")(spark, sf0001).count()
+    val post = spark.table("bm25_valve_" + PipelineQueries.sanitizeTag(sf0001))
+      .select(col("doc"), col("len"), col("term"), col("tf"))
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val want = BM25.postings(
+        d.filter(!(col("doc_id") >= 100 && col("doc_id") % 9 === 4)),
+        "doc_id", "text")
+      .select(col("doc"), col("len"), col("term"), col("tf"))
+    assert(post.exceptAll(want).isEmpty && want.exceptAll(post).isEmpty,
+      "valve-compacted postings diverge from the from-scratch survivor build")
+  }
+
   test("q127 per-batch IVF appends land new files only, and only under the batch's assigned lists") {
     // the vector-index twin of the BM25 streaming-scope contract:
     // each micro-batch assigns against the standing quantizer and may
@@ -371,6 +390,55 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(IVF.listsPath(path)).count() == e.count())
     IVF.compactIndex(spark, path)
     assert(spark.read.parquet(IVF.listsPath(path)).count() == e.count() - deleted)
+  }
+
+  test("q158 valve-fired mid-drain compaction: at-rest lists equal the batch replay bit for bit, and a second cycle composes") {
+    // the full-strength pin behind q158's parts-sized gates: when the
+    // needsCompact valve fires INSIDE the drain and compaction runs
+    // between micro-batches, the post-drain AT-REST lists (not just
+    // the live view — the sidecar is gone) must equal the batch
+    // replay's assignment of union-minus-deleted, and the flipped
+    // generation must accept a whole second delete+compact cycle
+    import graft.search.IVF
+    val path = java.nio.file.Files.createTempDirectory("ivf_valve").toString + "/idx"
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    IVF.writeIndex(e.filter(col("vec_id") >= 100), "vec_id", "v", 8, 0, path)
+    val cents = spark.read.parquet(IVF.centroidsPath(path)).localCheckpoint()
+    val stage = PipelineQueries.stageOrderedFiles(
+      e.filter(col("vec_id") < 100), "vec_id", 4,
+      java.nio.file.Files.createTempDirectory("ivf_valve_stage").toString + "/stage")
+    val src = spark.readStream.schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val delIds = e.filter(col("vec_id") >= 100 && col("vec_id") % 7 === 3)
+      .select("vec_id").localCheckpoint()
+    val nReq = delIds.count()
+    var fired = List.empty[Long]
+    Streaming.runForeachBatch(spark, src, (batch, bid) => {
+      IVF.appendToIndex(spark, path,
+        batch.select(col("vec_id"), col("v")), "vec_id", "v")
+      if (bid == 1L) IVF.deleteFromIndex(spark, path, delIds, "vec_id")
+      if (IVF.needsCompact(spark, path, nReq - 1)) {
+        fired ::= bid
+        IVF.compactIndex(spark, path)
+      }
+    })
+    assert(fired == List(1L), "the valve must fire exactly once, mid-drain")
+    val atRest = spark.read.parquet(IVF.listsPath(path))
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    val want = IVF.assign(
+        e.filter(!(col("vec_id") >= 100 && col("vec_id") % 7 === 3)),
+        "vec_id", "v", cents)
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    assert(atRest.exceptAll(want).isEmpty && want.exceptAll(atRest).isEmpty,
+      "valve-compacted at-rest lists must equal the batch replay bit for bit")
+    // the flipped generation accepts a full second cycle
+    val del2 = e.filter(col("vec_id") < 100 && col("vec_id") % 5 === 2)
+      .select("vec_id").localCheckpoint()
+    assert(IVF.deleteFromIndex(spark, path, del2, "vec_id") == del2.count())
+    IVF.compactIndex(spark, path)
+    assert(spark.read.parquet(IVF.listsPath(path)).count()
+      == e.count() - nReq - del2.count())
   }
 
   test("q156 mid-drain delete: drained live codes equal the batch replay append-delete-append, byte for byte") {
