@@ -849,6 +849,151 @@ object RetrievalQueries {
       .orderBy("rank")
   }
 
+  /** Stage op-tagged feed slices as ONE FILE EACH under `path`,
+    * mtimes ascending in slice order — the deterministic multi-batch
+    * staging for feeds whose batch boundaries are SEMANTIC (runs of
+    * one operation), where [[PipelineQueries.stageOrderedFiles]]'
+    * range split on a key column cannot promise file-per-slice. */
+  private def stageFeedSlices(slices: Seq[DataFrame], path: String): String = {
+    val dir = new java.io.File(path)
+    graft.FileTree.delete(dir)
+    dir.mkdirs()
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = new java.io.File(dir, s"__slice$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Option(tmp.listFiles()).toSeq.flatten
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"feed stage: slice $i produced no part file"))
+      val target = new java.io.File(dir, f"feed-$i%05d.parquet")
+      require(part.renameTo(target), s"feed stage: rename failed for slice $i")
+      graft.FileTree.delete(tmp)
+    }
+    PipelineQueries.pinAscendingMtimes(
+      Option(dir.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("feed-")).sortBy(_.getName))
+    path
+  }
+
+  /** A CHANGE-DATA-CAPTURE FEED APPLIED TO THE AT-REST INDEX — the
+    * composition the lifecycle rows above feed into: ONE ordered
+    * stream of tagged operations (op ∈ {I, D}) drained as
+    * micro-batches onto the live IVF index — inserts through
+    * [[graft.search.IVF.appendToIndex]], deletes through
+    * [[graft.search.IVF.deleteFromIndex]], the [[graft.search.IVF
+    * .needsCompact]] valve polled after every batch. The feed is
+    * insert half the delta / delete base rows / insert the other
+    * half / delete STREAMED-IN rows — batch 3's targets arrived
+    * through batches 0 and 2, so a delete must not care how its
+    * target was ingested. The valve fires TWICE (each delete batch
+    * trips it), so the drain crosses two generation flips, and the
+    * second flip exercises the grace-window GC UNDER INGEST: the
+    * generation superseded two cycles back is collected while the
+    * stream is still draining, gated here by its directory being
+    * gone at the end. Apply order within a micro-batch is inserts
+    * before deletes (feed order — the declared feed's batches are
+    * single-op, so the contract is only load-bearing for mixed
+    * batches). Remaining gates: each delete batch hides exactly its
+    * request, the valve fires at exactly the delete batches with a
+    * distinct generation per firing, the final generation is
+    * sidecarless with at-rest mass = base + inserts − deletes.
+    * Oracle: q147's replay shape under the feed's COMPOSITE delete
+    * predicate — the index must answer as if surviving rows were
+    * always there and deleted ones never were, regardless of which
+    * side of the feed they entered from. */
+  def q160CdcFeed(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q160")
+    graft.search.IVF.writeIndex(e.filter(col("vec_id") >= 100),
+      "vec_id", "v", ivfK, 0, path)
+    val gen0 = graft.search.IVF.listsPath(path)
+    val stage = Memo.cachedValue(s, dir, "q160_stage") {
+      stageFeedSlices(Seq(
+        e.filter(col("vec_id") < 100 && col("vec_id") % 2 === 0)
+          .select(lit("I").as("op"), col("vec_id"), col("v")),
+        e.filter(col("vec_id") >= 100 && col("vec_id") % 7 === 3)
+          .select(lit("D").as("op"), col("vec_id"), col("v")),
+        e.filter(col("vec_id") < 100 && col("vec_id") % 2 === 1)
+          .select(lit("I").as("op"), col("vec_id"), col("v")),
+        e.filter(col("vec_id") < 100 && col("vec_id") % 5 === 2)
+          .select(lit("D").as("op"), col("vec_id"), col("v"))),
+        PipelineQueries.roundtripPath(dir, "q160_feed"))
+    }
+    val nDel1 = Memo.cachedCount(s, dir, "q160_nd1")(
+      e.filter(col("vec_id") >= 100 && col("vec_id") % 7 === 3).count())
+    val nDel3 = Memo.cachedCount(s, dir, "q160_nd3")(
+      e.filter(col("vec_id") < 100 && col("vec_id") % 5 === 2).count())
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    var applied = Map.empty[Long, Long]
+    var fired = List.empty[Long]
+    var gens = List.empty[String]
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      // CDC apply order: inserts, then deletes (feed order)
+      val ins = batch.filter(col("op") === "I").select(col("vec_id"), col("v"))
+      if (!ins.isEmpty)
+        graft.search.IVF.appendToIndex(s, path, ins, "vec_id", "v")
+      val del = batch.filter(col("op") === "D").select(col("vec_id"))
+      if (!del.isEmpty)
+        applied += bid ->
+          graft.search.IVF.deleteFromIndex(s, path, del, "vec_id")
+      // the maintenance poll — every batch, after its operations
+      if (graft.search.IVF.needsCompact(s, path, 0)) {
+        fired ::= bid
+        graft.search.IVF.compactIndex(s, path)
+        gens ::= graft.search.IVF.listsPath(path)
+      }
+    })
+    require(applied == Map(1L -> nDel1, 3L -> nDel3),
+      s"q160: each delete batch must hide exactly its request (got $applied)")
+    require(fired == List(3L, 1L),
+      "q160: the valve must fire at exactly the delete batches")
+    require(gens.distinct.size == 2,
+      "q160: each firing must commit a distinct generation")
+    val lp = graft.search.IVF.listsPath(path)
+    require(lp == gens.head,
+      "q160: the drain must finish inside the second flip's generation")
+    require(!new java.io.File(gen0).exists(),
+      "q160: the twice-superseded generation must be GC'd under ingest")
+    require(!new java.io.File(new java.io.File(lp).getParentFile,
+        s"tomb__${new java.io.File(lp).getName}").isDirectory,
+      "q160: the final generation must be sidecarless")
+    val nAll = Memo.cachedCount(s, dir, "emb_n")(e.count())
+    require(s.read.parquet(lp).count() == nAll - nDel1 - nDel3,
+      "q160: at-rest mass must be base + inserts minus deletes")
+    graft.search.IVF.searchIndex(s, path, "vec_id", "v",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+      10, ivfProbe)
+      .orderBy("rank")
+  }
+
+  /** q147's replay shape under the feed's composite delete predicate:
+    * deleted rows (base AND streamed-in alike) were never ingested,
+    * every surviving row always was. */
+  val q160Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e WHERE vec_id >= 100) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       d AS (SELECT * FROM a WHERE NOT (vec_id >= 100 AND vec_id % 7 = 3)
+             AND NOT (vec_id < 100 AND vec_id % 5 = 2)),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       sc AS (SELECT d.vec_id, list_dot_product(d.v, pr.qv) AS sc
+              FROM d JOIN pr ON d.cid = pr.cid),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
   /** S5/R2 INDEX LIFECYCLE under the oracle gate — the composition
     * whose halves q84 (append ≡ rebuild) and q58 (refine replay) pin
     * separately: build the at-rest index over the odd-id slice,
@@ -4403,6 +4548,7 @@ $sqRows)
     "q155_sq_delete" -> (q155SqDelete _),
     "q156_stream_sq_delete" -> (q156StreamSqDelete _),
     "q158_stream_ivf_valve" -> (q158StreamIvfValve _),
+    "q160_cdc_feed" -> (q160CdcFeed _),
     "q129_graph_filtered" -> (q129GraphFiltered _),
     "q133_sq_compact" -> (q133SqCompact _),
     "q134_ivf_multi" -> (q134IvfMulti _),
@@ -4465,6 +4611,7 @@ $sqRows)
     "q128_stream_sq" -> q128Sql,
     "q147_stream_ivf_delete" -> q147Sql,
     "q158_stream_ivf_valve" -> q147Sql,
+    "q160_cdc_feed" -> q160Sql,
     "q155_sq_delete" -> q155Sql,
     "q156_stream_sq_delete" -> q156Sql,
     "q150_hybrid_multi" -> q150Sql)

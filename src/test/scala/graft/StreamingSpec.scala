@@ -286,6 +286,30 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "streamed-in BM25 index diverges from the one-shot build")
   }
 
+  test("q160 CDC feed: the drained index equals the batch replay of the whole feed, bit for bit") {
+    // the full-strength pin behind q160's parts-sized gates: after a
+    // mixed insert/delete feed with two valve-fired compactions, the
+    // at-rest lists (sidecarless by the final gate) must equal the
+    // standing-quantizer assignment of base + inserts - deletes —
+    // including the batch-3 deletes whose targets arrived through the
+    // feed itself
+    import graft.search.IVF
+    SparkEntry.queries("q160_cdc_feed")(spark, sf0001).count()
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val path = PipelineQueries.roundtripPath(sf0001, "q160")
+    val cents = spark.read.parquet(IVF.centroidsPath(path))
+    val atRest = spark.read.parquet(IVF.listsPath(path))
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    val survivors = e.filter(
+      !(col("vec_id") >= 100 && col("vec_id") % 7 === 3) &&
+        !(col("vec_id") < 100 && col("vec_id") % 5 === 2))
+    val want = IVF.assign(survivors, "vec_id", "v", cents)
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    assert(atRest.exceptAll(want).isEmpty && want.exceptAll(atRest).isEmpty,
+      "CDC-drained at-rest lists diverge from the whole-feed batch replay")
+  }
+
   test("q159 valve-fired mid-drain postings compaction: the standing table equals the from-scratch build over the survivors") {
     // the full-strength pin behind q159's oracle (which hashes only
     // the 3-term serve): after the valve fires mid-drain and the
