@@ -967,6 +967,116 @@ object RetrievalQueries {
       .orderBy("rank")
   }
 
+  /** UPSERT / REVIVE UNDER LIVE INGEST — the one delete semantics
+    * with spec-only coverage until now, declared and oracled: a CDC
+    * feed whose LAST batch re-ingests ids a mid-drain delete
+    * tombstoned (an upsert of previously-forgotten rows — the user
+    * re-consents, the row returns). The contract under test is
+    * [[graft.search.IVF.appendToIndex]]'s revive discipline:
+    * re-ingesting a tombstoned id runs the DEFERRED COMPACTION FIRST
+    * — clearing the sidecar entry alone would resurrect the old
+    * physical copy NEXT TO the new row (a duplicate the serve scores
+    * twice), and leaving it would anti-join the new row away (a
+    * delete outliving the data it names) — then appends the new rows
+    * into the flipped, sidecarless generation as each id's ONLY
+    * copy. Gates: the delete batch hides exactly its request, the
+    * generation flips at EXACTLY the revive batch (the probe is a
+    * directory read per batch — no compaction fires anywhere else),
+    * the revived ids hold exactly one list row each (request-sized
+    * semi-join), the final generation is sidecarless, and at-rest
+    * mass is all − deleted + revived. Oracle: the index must answer
+    * as if the revived rows were NEVER deleted and the
+    * stay-deleted rows never ingested. */
+  def q161UpsertRevive(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q161")
+    graft.search.IVF.writeIndex(e.filter(col("vec_id") >= 100),
+      "vec_id", "v", ivfK, 0, path)
+    val delPred = col("vec_id") >= 100 && col("vec_id") % 7 === 3
+    val revPred = delPred && col("vec_id") % 3 === 0
+    val stage = Memo.cachedValue(s, dir, "q161_stage") {
+      stageFeedSlices(Seq(
+        e.filter(col("vec_id") < 100 && col("vec_id") % 2 === 0)
+          .select(lit("I").as("op"), col("vec_id"), col("v")),
+        e.filter(delPred).select(lit("D").as("op"), col("vec_id"), col("v")),
+        e.filter(col("vec_id") < 100 && col("vec_id") % 2 === 1)
+          .select(lit("I").as("op"), col("vec_id"), col("v")),
+        e.filter(revPred).select(lit("I").as("op"), col("vec_id"), col("v"))),
+        PipelineQueries.roundtripPath(dir, "q161_feed"))
+    }
+    val nDel = Memo.cachedCount(s, dir, "q161_ndel")(e.filter(delPred).count())
+    val nRev = Memo.cachedCount(s, dir, "q161_nrev")(e.filter(revPred).count())
+    require(nRev > 0 && nRev < nDel,
+      "q161 needs a proper revive subset of the delete request")
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    var applied = Map.empty[Long, Long]
+    var gens = List.empty[(Long, String)]
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      val ins = batch.filter(col("op") === "I").select(col("vec_id"), col("v"))
+      if (!ins.isEmpty)
+        graft.search.IVF.appendToIndex(s, path, ins, "vec_id", "v")
+      val del = batch.filter(col("op") === "D").select(col("vec_id"))
+      if (!del.isEmpty)
+        applied += bid ->
+          graft.search.IVF.deleteFromIndex(s, path, del, "vec_id")
+      gens ::= bid -> graft.search.IVF.listsPath(path)
+    })
+    require(applied == Map(1L -> nDel),
+      s"q161: the delete batch must hide exactly its request (got $applied)")
+    val byBatch = gens.reverse.toMap
+    require(byBatch(0L) == byBatch(2L) && byBatch(2L) != byBatch(3L),
+      "q161: the generation must flip at exactly the revive batch")
+    val lp = graft.search.IVF.listsPath(path)
+    require(!new java.io.File(new java.io.File(lp).getParentFile,
+        s"tomb__${new java.io.File(lp).getName}").isDirectory,
+      "q161: the post-revive generation must be sidecarless")
+    // single-copy semantics: each revived id holds exactly one row
+    val copies = s.read.parquet(lp).select(col("vec_id"))
+      .join(broadcast(e.filter(revPred).select(col("vec_id"))),
+        Seq("vec_id"), "left_semi")
+      .groupBy(col("vec_id")).count()
+      .agg(count(lit(1)).as("ids"), max(col("count")).as("mx"))
+      .head()
+    require(copies.getLong(0) == nRev && copies.getLong(1) == 1L,
+      "q161: every revived id must return as exactly one list row")
+    val nAll = Memo.cachedCount(s, dir, "emb_n")(e.count())
+    require(s.read.parquet(lp).count() == nAll - nDel + nRev,
+      "q161: at-rest mass must be all minus deleted plus revived")
+    graft.search.IVF.searchIndex(s, path, "vec_id", "v",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+      10, ivfProbe)
+      .orderBy("rank")
+  }
+
+  /** q147's replay shape where only the STAY-deleted rows (deleted,
+    * never re-ingested) are dropped: a revived row is
+    * indistinguishable from one that was never deleted. */
+  val q161Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e WHERE vec_id >= 100) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       d AS (SELECT * FROM a WHERE NOT (vec_id >= 100 AND vec_id % 7 = 3
+             AND vec_id % 3 <> 0)),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       sc AS (SELECT d.vec_id, list_dot_product(d.v, pr.qv) AS sc
+              FROM d JOIN pr ON d.cid = pr.cid),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
   /** q147's replay shape under the feed's composite delete predicate:
     * deleted rows (base AND streamed-in alike) were never ingested,
     * every surviving row always was. */
@@ -4549,6 +4659,7 @@ $sqRows)
     "q156_stream_sq_delete" -> (q156StreamSqDelete _),
     "q158_stream_ivf_valve" -> (q158StreamIvfValve _),
     "q160_cdc_feed" -> (q160CdcFeed _),
+    "q161_upsert_revive" -> (q161UpsertRevive _),
     "q129_graph_filtered" -> (q129GraphFiltered _),
     "q133_sq_compact" -> (q133SqCompact _),
     "q134_ivf_multi" -> (q134IvfMulti _),
@@ -4612,6 +4723,7 @@ $sqRows)
     "q147_stream_ivf_delete" -> q147Sql,
     "q158_stream_ivf_valve" -> q147Sql,
     "q160_cdc_feed" -> q160Sql,
+    "q161_upsert_revive" -> q161Sql,
     "q155_sq_delete" -> q155Sql,
     "q156_stream_sq_delete" -> q156Sql,
     "q150_hybrid_multi" -> q150Sql)

@@ -310,6 +310,28 @@ class StreamingSpec extends SparkSpec {
       "CDC-drained at-rest lists diverge from the whole-feed batch replay")
   }
 
+  test("q161 upsert revive: the post-revive index equals the replay where revived rows were never deleted, bit for bit") {
+    // the full-strength pin behind q161's request-sized gates: after
+    // the feed's last batch re-ingests tombstoned ids (compact-first
+    // revive inside appendToIndex), the at-rest lists must equal the
+    // standing-quantizer assignment of all-minus-stay-deleted — one
+    // copy per revived id, no resurrection of the stay-deleted rows
+    import graft.search.IVF
+    SparkEntry.queries("q161_upsert_revive")(spark, sf0001).count()
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val path = PipelineQueries.roundtripPath(sf0001, "q161")
+    val cents = spark.read.parquet(IVF.centroidsPath(path))
+    val atRest = spark.read.parquet(IVF.listsPath(path))
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    val survivors = e.filter(!(col("vec_id") >= 100 &&
+      col("vec_id") % 7 === 3 && col("vec_id") % 3 =!= 0))
+    val want = IVF.assign(survivors, "vec_id", "v", cents)
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    assert(atRest.exceptAll(want).isEmpty && want.exceptAll(atRest).isEmpty,
+      "post-revive lists diverge from the never-deleted replay")
+  }
+
   test("q159 valve-fired mid-drain postings compaction: the standing table equals the from-scratch build over the survivors") {
     // the full-strength pin behind q159's oracle (which hashes only
     // the 3-term serve): after the valve fires mid-drain and the
