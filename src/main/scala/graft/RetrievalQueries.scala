@@ -1077,6 +1077,147 @@ object RetrievalQueries {
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  // ---------- q162: cascade forget across derived artifacts ----------
+
+  /** CASCADE RIGHT-TO-BE-FORGOTTEN ACROSS THE FACTORY — a document
+    * delete is only done when every DERIVED artifact forgets it too:
+    * the postings that index its terms AND the chunk-vector index
+    * built from its chunk embeddings ([[chunkVecs]], the q119
+    * parent-doc artifact). One doc-level request (docs ≡ 4 mod 9 in
+    * the chunked slice) cascades through both legs: the lexical leg
+    * tombstones the doc ids into the postings sidecar
+    * ([[graft.lexical.BM25.deleteFromPostings]]); the vector leg
+    * derives the request's CHUNK keys from the manifest (the parent
+    * id is encoded in the ckey — a request-sized broadcast semi-join
+    * against the chunk table, never a corpus scan) and tombstones
+    * them into the index sidecar ([[graft.search.IVF
+    * .deleteFromIndex]]). Gates: the lexical delete counts exactly
+    * the doc request, the vector delete counts exactly the derived
+    * chunk set (every chunk of every forgotten doc — no orphaned
+    * derived rows), and neither serve surfaces a forgotten doc or
+    * any of its chunks. Declared output: the composed parent-doc
+    * hybrid serve — probed chunk top-k rolled up to parent docs
+    * (best chunk per doc), RRF-fused with the sidecar-aware lexical
+    * serve — hash-matched against the replay where the forgotten
+    * docs' text was never chunked, embedded, indexed, or posted. */
+  def q162CascadeForget(s: SparkSession, dir: String): DataFrame = {
+    require(Queries.bm25Terms == Seq("spark", "hash", "join"),
+      "q162Sql's literal query terms are out of sync with Queries.bm25Terms")
+    val cv = chunkVecs(s, dir)
+    val ivfPath = PipelineQueries.roundtripPath(dir, "q162_ivf")
+    graft.search.IVF.writeIndex(cv, "ckey", "v", ivfK, 0, ivfPath)
+    val tbl = "bm25_cascade_" + PipelineQueries.sanitizeTag(dir)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val postPath = PipelineQueries.roundtripPath(dir, "q162_post")
+    graft.FileTree.delete(new java.io.File(postPath))
+    graft.FileTree.delete(
+      new java.io.File(graft.lexical.BM25.tombPath(postPath)))
+    Queries.writePostings(s, docs(s, dir).filter(col("doc_id") < 200),
+      tbl, postPath, "overwrite")
+    val delDocs = docs(s, dir)
+      .filter(col("doc_id") < 200 && col("doc_id") % 9 === 4)
+      .select(col("doc_id"))
+    val nDocs = Memo.cachedCount(s, dir, "q162_ndocs")(delDocs.count())
+    val nLex = graft.lexical.BM25.deleteFromPostings(s, postPath,
+      s.table(tbl), delDocs.select(col("doc_id").as("doc")))
+    require(nLex == nDocs,
+      s"q162: the lexical cascade hid $nLex of a $nDocs-doc request")
+    // derive the request's chunk keys from the manifest
+    val delKeys = cv.select(col("ckey"))
+      .join(broadcast(delDocs.select(col("doc_id").as("__p"))),
+        expr(s"ckey div $pdChunkMul") === col("__p"), "left_semi")
+    val nChunks = Memo.cachedCount(s, dir, "q162_nchunks")(delKeys.count())
+    require(nDocs > 0 && nChunks >= nDocs,
+      "q162 needs a non-empty chunked request for a real cascade")
+    val nVec = graft.search.IVF.deleteFromIndex(s, ivfPath, delKeys, "ckey")
+    require(nVec == nChunks,
+      s"q162: the vector cascade hid $nVec of $nChunks derived chunks")
+    // the composed serve: probed chunk top-k → parent rollup, RRF'd
+    // with the sidecar-aware lexical serve
+    val qv = new graft.embed.PortableHashEmbedder(64)
+      .embed(Queries.bm25Terms.mkString(" ")).map(_.toDouble).toSeq
+    val qdf = s.range(1).select(typedLit(qv).as("qv"))
+    val chunks = graft.search.IVF.searchIndex(s, ivfPath, "ckey", "v",
+      qdf, "qv", rrfDepth, ivfProbe)
+    require(chunks.filter(expr(s"ckey div $pdChunkMul") % 9 === 4).isEmpty,
+      "q162: a forgotten doc's chunk surfaced in the vector serve")
+    val vecDocs = chunks
+      .select(expr(s"ckey div $pdChunkMul").as("id"), col("score"))
+      .groupBy("id").agg(max(col("score")).as("__s"))
+      .withColumn("rank", row_number()
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          .orderBy(col("__s").desc, col("id").asc)).cast("long"))
+    val post = s.table(tbl)
+    val lex = graft.lexical.BM25.searchIndexed(s, postPath, post,
+      graft.lexical.BM25.statsFromPostings(post), Queries.bm25Terms, rrfDepth)
+    require(lex.filter(col("doc") % 9 === 4).isEmpty,
+      "q162: a forgotten doc surfaced in the lexical serve")
+    Hybrid.rrfFuse(vecDocs, "id", lex, "doc", rrfC, 10)
+      .orderBy("rank")
+  }
+
+  /** The replay where the forgotten docs were never chunked,
+    * embedded, indexed, or posted: chunk + portable-hash embed CTEs
+    * (q119's), standing centroids trained over ALL chunks (geometry
+    * never moves on delete), the parent-filtered probe scan rolled up
+    * to best-chunk-per-doc, and q20's lexical scoring over the
+    * surviving documents — RRF-fused exactly as the engine fuses.
+    * LAZY per the init-order rule (interpolates rrfC/rrfDepth,
+    * declared later in this object). */
+  lazy val q162Sql: String = {
+    val sz = PrepQueries.chunkSize; val st = PrepQueries.chunkStride
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         FROM documents WHERE doc_id < 200),
+       sch AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), $st)) AS stt FROM t),
+       cbase AS (SELECT doc_id * $pdChunkMul + ((stt - 1) // $st) AS doc_id,
+           array_to_string(toks[stt : stt + ${sz - 1}], ' ') AS ctext FROM sch),
+       ${embedCteSql("cbase", "ctext", 64, "")},
+       cv AS (SELECT doc_id AS ckey, list(x ORDER BY j) AS v FROM vf GROUP BY doc_id),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((ckey % 2147483648) * 1103515245 + 12345) % 2147483648, ckey) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM cv) WHERE cid < $ivfK),
+       a AS (SELECT ckey, v, cid FROM (
+           SELECT cv.ckey, cv.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY cv.ckey
+               ORDER BY list_dot_product(cv.v, c.cvec) DESC, c.cid) AS r
+           FROM cv, c) WHERE r = 1),
+       live AS (SELECT * FROM a WHERE (ckey // $pdChunkMul) % 9 <> 4),
+       qbase AS (SELECT 0 AS doc_id, 'spark hash join' AS qtext),
+       ${embedCteSql("qbase", "qtext", 64, "q")},
+       qvec AS (SELECT list(x ORDER BY j) AS qv FROM qvf GROUP BY doc_id),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, qvec q) WHERE r <= $ivfProbe),
+       vs AS (SELECT live.ckey, list_dot_product(live.v, pr.qv) AS sc
+              FROM live JOIN pr ON live.cid = pr.cid),
+       vchunk AS (SELECT ckey, sc FROM (
+           SELECT ckey, sc, ROW_NUMBER() OVER (ORDER BY sc DESC, ckey) AS r FROM vs)
+         WHERE r <= $rrfDepth),
+       vr AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, id) AS BIGINT) AS rank FROM (
+           SELECT ckey // $pdChunkMul AS id, MAX(ROUND(sc, 6)) AS s FROM vchunk GROUP BY 1)),
+       d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+             FROM documents WHERE doc_id < 200 AND doc_id % 9 <> 4),
+       corpus AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d),
+       post AS (SELECT doc_id, len(toks) AS len, UNNEST(toks) AS term FROM d),
+       tf AS (SELECT doc_id, len, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM post
+              WHERE term IN ('spark', 'hash', 'join') GROUP BY doc_id, len, term),
+       stats AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+       idf AS (SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf FROM stats, corpus),
+       lsc AS (SELECT doc_id, SUM(idf * tf * 2.5 / (tf + 1.5 * (1.0 - 0.75 + 0.75 * len / avgdl))) AS score
+              FROM tf JOIN idf USING (term), corpus GROUP BY doc_id),
+       lr AS (SELECT doc_id AS id, rank FROM (
+           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM lsc)
+           WHERE rank <= $rrfDepth),
+       f AS (SELECT COALESCE(v.id, l.id) AS id,
+           COALESCE(1.0 / ($rrfC + v.rank), 0.0) + COALESCE(1.0 / ($rrfC + l.rank), 0.0) AS s
+         FROM vr v FULL OUTER JOIN lr l ON v.id = l.id),
+       r AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, id) AS BIGINT) AS rank,
+                    ROUND(s, 6) AS score FROM f)
+       SELECT id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+  }
+
   /** q147's replay shape under the feed's composite delete predicate:
     * deleted rows (base AND streamed-in alike) were never ingested,
     * every surviving row always was. */
@@ -4660,6 +4801,7 @@ $sqRows)
     "q158_stream_ivf_valve" -> (q158StreamIvfValve _),
     "q160_cdc_feed" -> (q160CdcFeed _),
     "q161_upsert_revive" -> (q161UpsertRevive _),
+    "q162_cascade_forget" -> (q162CascadeForget _),
     "q129_graph_filtered" -> (q129GraphFiltered _),
     "q133_sq_compact" -> (q133SqCompact _),
     "q134_ivf_multi" -> (q134IvfMulti _),
@@ -4724,6 +4866,7 @@ $sqRows)
     "q158_stream_ivf_valve" -> q147Sql,
     "q160_cdc_feed" -> q160Sql,
     "q161_upsert_revive" -> q161Sql,
+    "q162_cascade_forget" -> q162Sql,
     "q155_sq_delete" -> q155Sql,
     "q156_stream_sq_delete" -> q156Sql,
     "q150_hybrid_multi" -> q150Sql)

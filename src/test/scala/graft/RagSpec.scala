@@ -91,6 +91,57 @@ class RagSpec extends SparkSpec {
     assert(got.exists(_._3 == Queries.bm25Terms.length))
   }
 
+  test("q162 cascade forget: deferred compaction physically drops every derived row on BOTH artifacts, serves unchanged") {
+    // the phase-2 pin behind q162's hide-now gates: after the declared
+    // query tombstones the doc request into the postings sidecar and
+    // its derived chunk keys into the index sidecar, compacting each
+    // artifact must drop exactly the cascaded rows — no orphaned
+    // derived data anywhere — and serve the identical fused answer
+    import graft.search.IVF
+    import graft.lexical.BM25
+    val hidden = RetrievalQueries.q162CascadeForget(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSeq
+    val ivfPath = PipelineQueries.roundtripPath(sf0001, "q162_ivf")
+    val postPath = PipelineQueries.roundtripPath(sf0001, "q162_post")
+    val tbl = "bm25_cascade_" + PipelineQueries.sanitizeTag(sf0001)
+    val chunksBefore = spark.read.parquet(IVF.listsPath(ivfPath)).count()
+    val tombChunks = spark.read.parquet(
+      IVF.listsPath(ivfPath) match { case lp =>
+        new java.io.File(new java.io.File(lp).getParentFile,
+          s"tomb__${new java.io.File(lp).getName}").toString }).count()
+    IVF.compactIndex(spark, ivfPath)
+    assert(spark.read.parquet(IVF.listsPath(ivfPath)).count()
+      == chunksBefore - tombChunks,
+      "index compaction must drop exactly the cascaded chunk rows")
+    val postBefore = spark.table(tbl).count()
+    val tombDocs = spark.read.parquet(BM25.tombPath(postPath))
+    val deadPost = spark.table(tbl)
+      .join(tombDocs, Seq("doc"), "left_semi").count()
+    val live = Queries.compactPostings(spark, tbl, postPath)
+    assert(spark.table(tbl).count() == postBefore - deadPost,
+      "postings compaction must drop exactly the forgotten docs' rows")
+    // remove-later ≡ hide-now at the composed serve
+    val post = spark.table(tbl)
+    val qv = new graft.embed.PortableHashEmbedder(64)
+      .embed(Queries.bm25Terms.mkString(" ")).map(_.toDouble).toSeq
+    val chunks = IVF.searchIndex(spark, ivfPath, "ckey", "v",
+      spark.range(1).select(typedLit(qv).as("qv")), "qv",
+      RetrievalQueries.rrfDepth, RetrievalQueries.ivfProbe)
+    val vecDocs = chunks
+      .select(expr("ckey div 4096").as("id"), col("score"))
+      .groupBy("id").agg(max(col("score")).as("__s"))
+      .withColumn("rank", row_number()
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          .orderBy(col("__s").desc, col("id").asc)).cast("long"))
+    val lex = BM25.searchIndexed(spark, live, post,
+      BM25.statsFromPostings(post), Queries.bm25Terms, RetrievalQueries.rrfDepth)
+    val served = Hybrid.rrfFuse(vecDocs, "id", lex, "doc",
+        RetrievalQueries.rrfC, 10)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    assert(served == hidden,
+      "hide-now and remove-later must serve the identical fused answer")
+  }
+
   test("q55 candidates: legs contribute, ids distinct, sims bounded") {
     val c = RetrievalQueries.q55RagCandidates(spark, sf0001)
       .select("id", "in_vec", "in_lex", "sim")
