@@ -854,7 +854,7 @@ object RetrievalQueries {
     * staging for feeds whose batch boundaries are SEMANTIC (runs of
     * one operation), where [[PipelineQueries.stageOrderedFiles]]'
     * range split on a key column cannot promise file-per-slice. */
-  private def stageFeedSlices(slices: Seq[DataFrame], path: String): String = {
+  private[graft] def stageFeedSlices(slices: Seq[DataFrame], path: String): String = {
     val dir = new java.io.File(path)
     graft.FileTree.delete(dir)
     dir.mkdirs()
@@ -1077,6 +1077,141 @@ object RetrievalQueries {
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  /** UPSERT / REVIVE ON THE QUANTIZED FAMILY — q161's feed shape on
+    * the SQ8 index, the declared row for the one revive path that had
+    * none: [[graft.search.SQ.appendToIndex]] shares [[graft.search
+    * .IVF]]'s sidecar outright, so a delta id tombstoned earlier must
+    * force the deferred compaction FIRST (the [[graft.search.IVF
+    * .hasRevives]] probe — a directory read per clean batch, a
+    * request-sized semi-join otherwise); without it the stale sidecar
+    * entry silently anti-joins the NEW code away — a delete outliving
+    * the data it names, on the family whose delete (q155/q156) shares
+    * the IVF sidecar. The feed: insert half the delta / delete base
+    * ids ≡ 3 mod 7 / insert the other half / RE-INGEST the deleted
+    * ids ≡ 0 mod 3 (the revive batch). Gates: every insert batch
+    * quantizes in-distribution (clamp fraction under
+    * [[sqClampThreshold]] — the revive must not perturb the requant
+    * trigger), the delete batch hides exactly its request, the
+    * generation flips at EXACTLY the revive batch, the post-revive
+    * generation is sidecarless, each revived id holds exactly ONE
+    * code row, and at-rest code mass is all − deleted + revived.
+    * Oracle: q156's replay where only the STAY-deleted rows are
+    * dropped — codes are a pure function of (assignment, standing
+    * bounds), so a revived code is indistinguishable from one never
+    * deleted. */
+  def q163SqRevive(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q163")
+    graft.search.SQ.writeIndex(e.filter(col("vec_id") >= 100),
+      "vec_id", "v", ivfK, path)
+    val delPred = col("vec_id") >= 100 && col("vec_id") % 7 === 3
+    val revPred = delPred && col("vec_id") % 3 === 0
+    val stage = Memo.cachedValue(s, dir, "q163_stage") {
+      stageFeedSlices(Seq(
+        e.filter(col("vec_id") < 100 && col("vec_id") % 2 === 0)
+          .select(lit("I").as("op"), col("vec_id"), col("v")),
+        e.filter(delPred).select(lit("D").as("op"), col("vec_id"), col("v")),
+        e.filter(col("vec_id") < 100 && col("vec_id") % 2 === 1)
+          .select(lit("I").as("op"), col("vec_id"), col("v")),
+        e.filter(revPred).select(lit("I").as("op"), col("vec_id"), col("v"))),
+        PipelineQueries.roundtripPath(dir, "q163_feed"))
+    }
+    val nDel = Memo.cachedCount(s, dir, "q161_ndel")(e.filter(delPred).count())
+    val nRev = Memo.cachedCount(s, dir, "q161_nrev")(e.filter(revPred).count())
+    require(nRev > 0 && nRev < nDel,
+      "q163 needs a proper revive subset of the delete request")
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    var applied = Map.empty[Long, Long]
+    var gens = List.empty[(Long, String)]
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      val ins = batch.filter(col("op") === "I").select(col("vec_id"), col("v"))
+      if (!ins.isEmpty) {
+        val f = graft.search.SQ.appendToIndex(s, path, ins, "vec_id", "v")
+        require(f <= sqClampThreshold,
+          s"q163: in-distribution batch must not trip requant (clamped $f)")
+      }
+      val del = batch.filter(col("op") === "D")
+        .select(col("vec_id").as("id"))
+      if (!del.isEmpty)
+        applied += bid -> graft.search.IVF.deleteFromIndex(s, path, del, "id")
+      gens ::= bid -> graft.search.IVF.listsPath(path)
+    })
+    require(applied == Map(1L -> nDel),
+      s"q163: the delete batch must hide exactly its request (got $applied)")
+    val byBatch = gens.reverse.toMap
+    require(byBatch(0L) == byBatch(2L) && byBatch(2L) != byBatch(3L),
+      "q163: the generation must flip at exactly the revive batch")
+    val lp = graft.search.IVF.listsPath(path)
+    require(!new java.io.File(new java.io.File(lp).getParentFile,
+        s"tomb__${new java.io.File(lp).getName}").isDirectory,
+      "q163: the post-revive generation must be sidecarless")
+    // single-copy semantics: each revived id holds exactly one code row
+    val copies = s.read.parquet(lp).select(col("id"))
+      .join(broadcast(e.filter(revPred).select(col("vec_id").as("id"))),
+        Seq("id"), "left_semi")
+      .groupBy(col("id")).count()
+      .agg(count(lit(1)).as("ids"), max(col("count")).as("mx"))
+      .head()
+    require(copies.getLong(0) == nRev && copies.getLong(1) == 1L,
+      "q163: every revived id must return as exactly one code row")
+    val nAll = Memo.cachedCount(s, dir, "emb_n")(e.count())
+    require(s.read.parquet(lp).count() == nAll - nDel + nRev,
+      "q163: at-rest code mass must be all minus deleted plus revived")
+    graft.search.SQ.searchIndex(s, path, e, "vec_id", "v",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+      10, ivfProbe, sqRerank)
+      .orderBy("rank")
+  }
+
+  /** q156's replay where only the STAY-deleted rows (deleted, never
+    * re-ingested) are dropped before quantization — a revived code is
+    * indistinguishable from one that was never deleted, because codes
+    * are a pure function of (assignment, standing bounds). LAZY per
+    * the init-order rule (interpolates sqDim/sqRerank, declared
+    * later). */
+  lazy val q163Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e WHERE vec_id >= 100) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       d AS (SELECT * FROM a WHERE NOT (vec_id >= 100 AND vec_id % 7 = 3
+             AND vec_id % 3 <> 0)),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       b AS (SELECT d, MIN(v[d]) AS lo, MAX(v[d]) AS hi
+             FROM (SELECT v FROM e WHERE vec_id >= 100),
+               (SELECT UNNEST(generate_series(1, $sqDim)) AS d) GROUP BY d),
+       bl AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM b),
+       cd AS (SELECT d.vec_id, d.cid,
+           list_transform(generate_series(1, $sqDim), dd ->
+             CASE WHEN hi[dd] = lo[dd] THEN 0
+               ELSE CAST(least(255.0, greatest(0.0,
+                 round((v[dd] - lo[dd]) * 255.0 / (hi[dd] - lo[dd]), 0))) AS INT) END) AS code
+         FROM d, bl),
+       ad AS (SELECT cd.vec_id,
+           list_dot_product(list_transform(generate_series(1, $sqDim), dd ->
+             lo[dd] + code[dd] * ((hi[dd] - lo[dd]) / 255.0)), pr.qv) AS adc
+         FROM cd JOIN pr ON cd.cid = pr.cid, bl),
+       cand AS (SELECT vec_id FROM (
+           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc DESC, vec_id) AS r FROM ad)
+         WHERE r <= $sqRerank),
+       sc AS (SELECT e.vec_id, list_dot_product(e.v, q.qv) AS sc
+              FROM e JOIN cand USING (vec_id), q),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
   // ---------- q162: cascade forget across derived artifacts ----------
 
   /** CASCADE RIGHT-TO-BE-FORGOTTEN ACROSS THE FACTORY — a document
@@ -1216,6 +1351,254 @@ object RetrievalQueries {
        r AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, id) AS BIGINT) AS rank,
                     ROUND(s, 6) AS score FROM f)
        SELECT id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+  }
+
+  // ---------- q166: cascade forget across FOUR artifact families ----------
+
+  /** q162 GROWN TO THE WHOLE FACTORY — one doc-level
+    * right-to-be-forgotten request cascades through EVERY derived
+    * artifact a serving stack holds over the same content: (1) the
+    * term-bucketed postings, (2) the chunk-vector IVF index, (3) the
+    * SQ8 code lists over the same chunk embeddings, and (4) the graph
+    * index over them. The request's chunk keys derive from the
+    * manifest once (the parent id is encoded in the ckey — a
+    * request-sized broadcast semi-join, never a corpus scan) and land
+    * in each family's own sidecar through its own delete op — the
+    * hide is O(request) × 4, the physical removal rides each family's
+    * next rewrite. Orphan-free gates PER LEG: each delete counts
+    * exactly the doc request (lexical) or exactly the derived chunk
+    * set (all three vector families — every chunk of every forgotten
+    * doc, no orphaned derived rows), each sidecar holds exactly that
+    * set, and NO serve — lexical, IVF, SQ8's ADC path, or the graph's
+    * routed beams (rows-gated; construction not SQL-expressible) —
+    * surfaces a forgotten doc or any of its chunks. Declared output,
+    * fully oracled: the fused parent-doc hybrid (IVF chunk top-k
+    * rolled to parents, RRF'd with the sidecar-aware lexical serve —
+    * q162's composition) UNION the SQ8 chunk serve, each leg
+    * hash-matched against the replay where the forgotten docs' text
+    * was never chunked, embedded, quantized, indexed, or posted. */
+  def q166CascadeAll(s: SparkSession, dir: String): DataFrame = {
+    require(Queries.bm25Terms == Seq("spark", "hash", "join"),
+      "q166Sql's literal query terms are out of sync with Queries.bm25Terms")
+    val cv = chunkVecs(s, dir)
+    val nCh = Memo.cachedCount(s, dir, "q166_ncv")(cv.count())
+    val ivfPath = PipelineQueries.roundtripPath(dir, "q166_ivf")
+    graft.search.IVF.writeIndex(cv, "ckey", "v", ivfK, 0, ivfPath)
+    val sqPath = PipelineQueries.roundtripPath(dir, "q166_sq")
+    graft.search.SQ.writeIndex(cv, "ckey", "v", ivfK, sqPath)
+    val graphPath = PipelineQueries.roundtripPath(dir, "q166_graph")
+    graft.search.GraphAnn.writeIndex(cv, "ckey", "v", graphM, graphEf,
+      math.max(8, math.ceil(nCh.toDouble / graphTargetPart).toInt), graphPath)
+    val tbl = "bm25_cascall_" + PipelineQueries.sanitizeTag(dir)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val postPath = PipelineQueries.roundtripPath(dir, "q166_post")
+    graft.FileTree.delete(new java.io.File(postPath))
+    graft.FileTree.delete(
+      new java.io.File(graft.lexical.BM25.tombPath(postPath)))
+    Queries.writePostings(s, docs(s, dir).filter(col("doc_id") < 200),
+      tbl, postPath, "overwrite")
+    val delDocs = docs(s, dir)
+      .filter(col("doc_id") < 200 && col("doc_id") % 9 === 4)
+      .select(col("doc_id"))
+    val nDocs = Memo.cachedCount(s, dir, "q162_ndocs")(delDocs.count())
+    // leg 1, lexical: the doc-level request
+    val nLex = graft.lexical.BM25.deleteFromPostings(s, postPath,
+      s.table(tbl), delDocs.select(col("doc_id").as("doc")))
+    require(nLex == nDocs,
+      s"q166: the lexical cascade hid $nLex of a $nDocs-doc request")
+    // the derived chunk keys, from the manifest — ONE derivation
+    // shared by all three vector legs
+    val delKeys = cv.select(col("ckey"))
+      .join(broadcast(delDocs.select(col("doc_id").as("__p"))),
+        expr(s"ckey div $pdChunkMul") === col("__p"), "left_semi")
+      .localCheckpoint() // request-sized: three deletes + gates share it
+    val nChDel = Memo.cachedCount(s, dir, "q166_nchunks")(delKeys.count())
+    require(nDocs > 0 && nChDel >= nDocs,
+      "q166 needs a non-empty chunked request for a real cascade")
+    // legs 2–4: the SAME derived set lands in each family's sidecar
+    val nIvf = graft.search.IVF.deleteFromIndex(s, ivfPath, delKeys, "ckey")
+    require(nIvf == nChDel,
+      s"q166: the IVF cascade hid $nIvf of $nChDel derived chunks")
+    val nSq = graft.search.IVF.deleteFromIndex(s, sqPath,
+      delKeys.select(col("ckey").as("id")), "id")
+    require(nSq == nChDel,
+      s"q166: the SQ8 cascade hid $nSq of $nChDel derived chunks")
+    val nGr = graft.search.GraphAnn.deleteFromIndex(s, graphPath,
+      delKeys, "ckey")
+    require(nGr == nChDel,
+      s"q166: the graph cascade hid $nGr of $nChDel derived chunks")
+    // orphan-free: each sidecar holds exactly the derived set
+    require(graft.search.IVF.tombstoneRows(s, ivfPath) == nChDel &&
+        graft.search.IVF.tombstoneRows(s, sqPath) == nChDel &&
+        graft.search.GraphAnn.tombstoneRows(s, graphPath) == nChDel,
+      "q166: a family's sidecar diverged from the derived chunk set")
+    val qv = new graft.embed.PortableHashEmbedder(64)
+      .embed(Queries.bm25Terms.mkString(" ")).map(_.toDouble).toSeq
+    val qdf = s.range(1).select(typedLit(qv).as("qv"))
+    // IVF leg serve → parent rollup (q162's fused composition)
+    val chunks = graft.search.IVF.searchIndex(s, ivfPath, "ckey", "v",
+      qdf, "qv", rrfDepth, ivfProbe)
+    require(chunks.filter(expr(s"ckey div $pdChunkMul") % 9 === 4).isEmpty,
+      "q166: a forgotten doc's chunk surfaced in the IVF serve")
+    val vecDocs = chunks
+      .select(expr(s"ckey div $pdChunkMul").as("id"), col("score"))
+      .groupBy("id").agg(max(col("score")).as("__s"))
+      .withColumn("rank", row_number()
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          .orderBy(col("__s").desc, col("id").asc)).cast("long"))
+    val post = s.table(tbl)
+    val lex = graft.lexical.BM25.searchIndexed(s, postPath, post,
+      graft.lexical.BM25.statsFromPostings(post), Queries.bm25Terms, rrfDepth)
+    require(lex.filter(col("doc") % 9 === 4).isEmpty,
+      "q166: a forgotten doc surfaced in the lexical serve")
+    val fused = Hybrid.rrfFuse(vecDocs, "id", lex, "doc", rrfC, 10)
+    // SQ8 leg serve (chunk-level, oracled)
+    val sqServe = graft.search.SQ.searchIndex(s, sqPath, cv, "ckey", "v",
+      qdf, "qv", 10, ivfProbe, sqRerank)
+    require(sqServe.filter(expr(s"ckey div $pdChunkMul") % 9 === 4).isEmpty,
+      "q166: a forgotten doc's chunk surfaced in the SQ8 ADC serve")
+    // graph leg serve (rows-gated: construction not SQL-expressible)
+    val grServe = graft.search.GraphAnn.searchIndex(s, graphPath, "ckey",
+      qdf, "qv", 10, graphEf)
+    require(grServe.filter(expr(s"ckey div $pdChunkMul") % 9 === 4).isEmpty,
+      "q166: a forgotten doc's chunk surfaced in the graph serve")
+    fused.select(lit("fused").as("leg"), col("id"), col("rank"), col("score"))
+      .unionByName(sqServe.select(lit("sq").as("leg"),
+        col("ckey").as("id"), col("rank"), col("score")))
+      .orderBy("leg", "rank")
+  }
+
+  /** q162's never-existed replay grown to both oracled legs: the
+    * fused parent-doc hybrid AND the SQ8 chunk serve, each over the
+    * corpus where the forgotten docs were never chunked, embedded,
+    * quantized, indexed, or posted. Standing geometry throughout:
+    * centroids and bounds trained over ALL chunks (deletion never
+    * moves geometry). LAZY per the init-order rule. */
+  lazy val q166Sql: String = {
+    val sz = PrepQueries.chunkSize; val st = PrepQueries.chunkStride
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         FROM documents WHERE doc_id < 200),
+       sch AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), $st)) AS stt FROM t),
+       cbase AS (SELECT doc_id * $pdChunkMul + ((stt - 1) // $st) AS doc_id,
+           array_to_string(toks[stt : stt + ${sz - 1}], ' ') AS ctext FROM sch),
+       ${embedCteSql("cbase", "ctext", 64, "")},
+       cv AS (SELECT doc_id AS ckey, list(x ORDER BY j) AS v FROM vf GROUP BY doc_id),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((ckey % 2147483648) * 1103515245 + 12345) % 2147483648, ckey) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM cv) WHERE cid < $ivfK),
+       a AS (SELECT ckey, v, cid FROM (
+           SELECT cv.ckey, cv.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY cv.ckey
+               ORDER BY list_dot_product(cv.v, c.cvec) DESC, c.cid) AS r
+           FROM cv, c) WHERE r = 1),
+       live AS (SELECT * FROM a WHERE (ckey // $pdChunkMul) % 9 <> 4),
+       qbase AS (SELECT 0 AS doc_id, 'spark hash join' AS qtext),
+       ${embedCteSql("qbase", "qtext", 64, "q")},
+       qvec AS (SELECT list(x ORDER BY j) AS qv FROM qvf GROUP BY doc_id),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, qvec q) WHERE r <= $ivfProbe),
+       vs AS (SELECT live.ckey, list_dot_product(live.v, pr.qv) AS sc
+              FROM live JOIN pr ON live.cid = pr.cid),
+       vchunk AS (SELECT ckey, sc FROM (
+           SELECT ckey, sc, ROW_NUMBER() OVER (ORDER BY sc DESC, ckey) AS r FROM vs)
+         WHERE r <= $rrfDepth),
+       vr AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, id) AS BIGINT) AS rank FROM (
+           SELECT ckey // $pdChunkMul AS id, MAX(ROUND(sc, 6)) AS s FROM vchunk GROUP BY 1)),
+       d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+             FROM documents WHERE doc_id < 200 AND doc_id % 9 <> 4),
+       corpus AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d),
+       post AS (SELECT doc_id, len(toks) AS len, UNNEST(toks) AS term FROM d),
+       tf AS (SELECT doc_id, len, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM post
+              WHERE term IN ('spark', 'hash', 'join') GROUP BY doc_id, len, term),
+       stats AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+       idf AS (SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf FROM stats, corpus),
+       lsc AS (SELECT doc_id, SUM(idf * tf * 2.5 / (tf + 1.5 * (1.0 - 0.75 + 0.75 * len / avgdl))) AS score
+              FROM tf JOIN idf USING (term), corpus GROUP BY doc_id),
+       lr AS (SELECT doc_id AS id, rank FROM (
+           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM lsc)
+           WHERE rank <= $rrfDepth),
+       f AS (SELECT COALESCE(v.id, l.id) AS id,
+           COALESCE(1.0 / ($rrfC + v.rank), 0.0) + COALESCE(1.0 / ($rrfC + l.rank), 0.0) AS s
+         FROM vr v FULL OUTER JOIN lr l ON v.id = l.id),
+       r AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, id) AS BIGINT) AS rank,
+                    ROUND(s, 6) AS score FROM f),
+       b AS (SELECT d, MIN(v[d]) AS lo, MAX(v[d]) AS hi
+             FROM cv, (SELECT UNNEST(generate_series(1, 64)) AS d) GROUP BY d),
+       bl AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM b),
+       cd AS (SELECT live.ckey, live.cid,
+           list_transform(generate_series(1, 64), dd ->
+             CASE WHEN hi[dd] = lo[dd] THEN 0
+               ELSE CAST(least(255.0, greatest(0.0,
+                 round((v[dd] - lo[dd]) * 255.0 / (hi[dd] - lo[dd]), 0))) AS INT) END) AS code
+         FROM live, bl),
+       ad AS (SELECT cd.ckey,
+           list_dot_product(list_transform(generate_series(1, 64), dd ->
+             lo[dd] + code[dd] * ((hi[dd] - lo[dd]) / 255.0)), pr.qv) AS adc
+         FROM cd JOIN pr ON cd.cid = pr.cid, bl),
+       scand AS (SELECT ckey FROM (
+           SELECT ckey, ROW_NUMBER() OVER (ORDER BY adc DESC, ckey) AS r FROM ad)
+         WHERE r <= $sqRerank),
+       ssc AS (SELECT cv.ckey, list_dot_product(cv.v, q.qv) AS sc
+              FROM cv JOIN scand USING (ckey), qvec q),
+       sr AS (SELECT ckey AS id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, ckey) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM ssc)
+       SELECT leg, id, rank, score FROM (
+         SELECT 'fused' AS leg, id, rank, score FROM r WHERE rank <= 10
+         UNION ALL
+         SELECT 'sq' AS leg, id, rank, score FROM sr WHERE rank <= 10)
+       ORDER BY leg, rank"""
+  }
+
+  // ---------- q167: multi-query graph serving ----------
+
+  /** MULTI-QUERY SERVING FROM THE AT-REST GRAPH INDEX — the last cell
+    * of the multi-query serving matrix (q134 IVF, q135 SQ8, q149
+    * lexical, q150 hybrid, graph: here): [[graft.search.GraphAnn
+    * .searchIndexMulti]] answers a 16-query batch from ONE routed
+    * scan of the shared persisted index — each query keeps its top-P
+    * routed cells, the nodes scan is filtered to the UNION of every
+    * query's cells (a genuine partition filter on the parquet `part`
+    * column — unprobed cells never leave disk; PlanSpec pins one
+    * nodes scan), each scan task reassembles its cells' adjacency
+    * ONCE and beam-searches only the queries routed to it, and
+    * per-query top-k rides the bounded-heap aggregate so the exchange
+    * carries O(queries × k) rows. Meta gates (request-sized): exactly
+    * k dense-ranked rows per query, scores non-increasing in rank,
+    * and the SELF-HIT floor — every query vector IS an indexed
+    * vector, so ≥ 90% of queries must return their own id (the q95
+    * recall contract read pointwise). Rows-only: graph construction
+    * is not SQL-expressible (SURVEY ✗); GraphAnnSpec pins
+    * multi ≡ per-query single serves bit for bit. */
+  def q167GraphMulti(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qs = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val nq = Memo.cachedCount(s, dir, "q167_nq")(qs.count())
+    require(nq > 0, "q167 needs a non-empty query batch")
+    val res = graft.search.GraphAnn.searchIndexMulti(s,
+        graphIndexPath(s, dir), "vec_id", qs, "qid", "qv",
+        10, graphEf, probeParts = graphProbeFor(s, dir))
+      .localCheckpoint() // nq × k rows by contract
+    val shape = res.groupBy("qid")
+      .agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
+      .agg(count(lit(1)).as("qids"),
+        count(when(col("n") === 10 && col("lo") === 1 && col("hi") === 10,
+          lit(1))).as("ok"))
+      .head()
+    require(shape.getLong(0) == nq && shape.getLong(1) == nq,
+      "q167: every query must serve exactly k dense-ranked rows")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy("rank")
+    require(res.withColumn("__p", lag(col("score"), 1).over(w))
+        .filter(col("__p").isNotNull && col("__p") < col("score")).isEmpty,
+      "q167: scores must be non-increasing in rank within a query")
+    val selfHits = res.filter(col("qid") === col("vec_id")).count()
+    require(selfHits * 10L >= nq * 9L,
+      s"q167: self-hit floor broken ($selfHits of $nq queries found themselves)")
+    res.orderBy("qid", "rank")
   }
 
   /** q147's replay shape under the feed's composite delete predicate:
@@ -4030,6 +4413,110 @@ $sqRows)
     removed.toDF("vec_id", "rank", "score").orderBy("rank")
   }
 
+  // ---------- q165: graph-index upsert/revive ----------
+
+  /** The revive row's equivalence target: a from-scratch rebuild over
+    * union − stay-deleted UNDER THE BASE-80 ROUTING (the standing
+    * quantizer q97/q99/q157 share) — what q165's post-revive index
+    * must equal cell for cell. Memoized per (session, dir-content),
+    * charged to `_build_q165_target`. */
+  private def q165TargetPath(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "graphann_rev_target") {
+      val e = emb(s, dir)
+      val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
+      val split = 4L * n / 5L
+      val p = PipelineQueries.roundtripPath(dir, "graphann_rev_target")
+      graft.search.GraphAnn.writeIndexWith(
+        s.read.parquet(s"${graphBase80Path(s, dir)}/routing"),
+        e.filter(!(col("vec_id") < split && col("vec_id") % 13 === 5 &&
+          col("vec_id") % 3 =!= 0)),
+        "vec_id", "v", graphM, graphEf, p)
+      p
+    }
+
+  /** UPSERT / REVIVE ON THE GRAPH FAMILY — q161's semantics for the
+    * index whose APPEND cannot absorb old ids (insertion order is
+    * part of the graph's content, so [[graft.search.GraphAnn
+    * .appendToIndex]] requires growing ids and REJECTS a tombstoned
+    * re-ingest loudly — the first gate here proves the guard, the
+    * round-14 SQ8 silent-loss shape made impossible on this family).
+    * The CDC apply contract routes the upsert through
+    * [[graft.search.GraphAnn.reviveToIndex]]: one staged rewrite
+    * drops the stay-tombstoned ids, folds the revived rows into
+    * their routed cells, rebuilds exactly the touched cells from
+    * scratch (ids interleave freely there — the from-scratch build
+    * owns ordering), carries untouched cells byte for byte, and
+    * commits with the CURRENT flip into a clean-sidecar generation.
+    * Composition: q157's drain (base-80 clone, four growing-id
+    * micro-batches, the %13 delete landing after batch 1), then the
+    * revive of the ≡0 mod 3 subset AFTER the drain. Gates, parts- or
+    * request-sized: the append guard fires with the reviveToIndex
+    * remedy, the revive flips the generation exactly once and ends
+    * sidecarless, and the post-revive per-cell content signature
+    * (hash(id, nbrs) summed per cell — adjacency included) equals the
+    * from-scratch rebuild over union − stay-deleted under the same
+    * routing, cell for cell. Rows-only: graph construction is not
+    * SQL-expressible (the SURVEY ✗ discipline); GraphAnnSpec carries
+    * the bit-identity pin at spec scale. */
+  def q165GraphRevive(s: SparkSession, dir: String): DataFrame = {
+    import graft.search.GraphAnn
+    val e = emb(s, dir)
+    val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
+    val split = 4L * n / 5L
+    val stage = Memo.cachedValue(s, dir, "q99_stage") {
+      PipelineQueries.stageOrderedFiles(
+        e.filter(col("vec_id") >= split), "vec_id", 4,
+        PipelineQueries.roundtripPath(dir, "q99_stream"))
+    }
+    val path = PipelineQueries.roundtripPath(dir, "q165")
+    cloneTree(graphBase80Path(s, dir), path)
+    val delPred = col("vec_id") < split && col("vec_id") % 13 === 5
+    val revPred = delPred && col("vec_id") % 3 === 0
+    val delIds = e.filter(delPred).select(col("vec_id"))
+    val nReq = Memo.cachedCount(s, dir, "q157_ndel")(delIds.count())
+    val nRev = Memo.cachedCount(s, dir, "q165_nrev")(
+      e.filter(revPred).count())
+    require(nRev > 0 && nRev < nReq,
+      "q165 needs a proper revive subset of the delete request")
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    var nDel = -1L
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      GraphAnn.appendToIndex(s, path,
+        batch.select(col("vec_id"), col("v")), "vec_id", "v")
+      if (bid == 1L)
+        nDel = GraphAnn.deleteFromIndex(s, path, delIds, "vec_id")
+    })
+    require(nDel == nReq,
+      s"q165: the mid-drain delete hid $nDel of a $nReq-id request")
+    // the guard: a tombstoned-id re-ingest through the APPEND path
+    // must fail loudly with the revive remedy, never append hidden
+    val revive = e.filter(revPred).select(col("vec_id"), col("v"))
+    val guard = scala.util.Try(
+      GraphAnn.appendToIndex(s, path, revive, "vec_id", "v"))
+    require(guard.isFailure &&
+        guard.failed.get.getMessage.contains("reviveToIndex"),
+      "q165: the append path must reject tombstoned ids loudly")
+    val genBefore = GraphAnn.currentGeneration(path)
+    GraphAnn.reviveToIndex(s, path, revive, "vec_id", "v")
+    require(GraphAnn.currentGeneration(path) != genBefore,
+      "q165: the revive must commit through the CURRENT flip")
+    require(!new java.io.File(GraphAnn.tablePath(path, "tombstones"))
+        .isDirectory && GraphAnn.tombstoneRows(s, path) == 0L,
+      "q165: the post-revive generation must be sidecarless")
+    require(cellSignature(s, path) == cellSignature(s, q165TargetPath(s, dir)),
+      "q165: the revived cells must equal the rebuild over union minus stay-deleted")
+    val served = GraphAnn.searchIndex(s, path, "vec_id",
+        e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+        10, graphEf, probeParts = graphProbeFor(s, dir))
+      .orderBy("rank")
+    require(served.filter(col("vec_id") < split &&
+        col("vec_id") % 13 === 5 && col("vec_id") % 3 =!= 0).isEmpty,
+      "q165: a stay-deleted id surfaced in the post-revive serve")
+    served
+  }
+
   // ---------- q123: late-interaction (MaxSim) retrieval ----------
 
   /** LATE-INTERACTION retrieval (the ColBERT MaxSim scoring shape,
@@ -4747,7 +5234,8 @@ $sqRows)
     "_build_graph_rebuild80" -> ((s, dir) => { graphRebuildPath(s, dir); () }),
     "_build_graph_base60" -> ((s, dir) => { graphBase60Path(s, dir); () }),
     "_build_q120_target" -> ((s, dir) => { q120TargetState(s, dir); () }),
-    "_build_sq_index" -> ((s, dir) => { sqIndexPath(s, dir); () }))
+    "_build_sq_index" -> ((s, dir) => { sqIndexPath(s, dir); () }),
+    "_build_q165_target" -> ((s, dir) => { q165TargetPath(s, dir); () }))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_ingest_clean" -> (q07IngestClean _),
@@ -4802,6 +5290,7 @@ $sqRows)
     "q160_cdc_feed" -> (q160CdcFeed _),
     "q161_upsert_revive" -> (q161UpsertRevive _),
     "q162_cascade_forget" -> (q162CascadeForget _),
+    "q163_sq_revive" -> (q163SqRevive _),
     "q129_graph_filtered" -> (q129GraphFiltered _),
     "q133_sq_compact" -> (q133SqCompact _),
     "q134_ivf_multi" -> (q134IvfMulti _),
@@ -4812,7 +5301,10 @@ $sqRows)
     "q145_graph_delete" -> (q145GraphDelete _),
     "q150_hybrid_multi" -> (q150HybridMulti _),
     "q151_graph_reroute_delete" -> (q151GraphRerouteDelete _),
-    "q157_stream_graph_delete" -> (q157StreamGraphDelete _))
+    "q157_stream_graph_delete" -> (q157StreamGraphDelete _),
+    "q165_graph_revive" -> (q165GraphRevive _),
+    "q166_cascade_all" -> (q166CascadeAll _),
+    "q167_graph_multi" -> (q167GraphMulti _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
@@ -4867,6 +5359,8 @@ $sqRows)
     "q160_cdc_feed" -> q160Sql,
     "q161_upsert_revive" -> q161Sql,
     "q162_cascade_forget" -> q162Sql,
+    "q163_sq_revive" -> q163Sql,
+    "q166_cascade_all" -> q166Sql,
     "q155_sq_delete" -> q155Sql,
     "q156_stream_sq_delete" -> q156Sql,
     "q150_hybrid_multi" -> q150Sql)

@@ -1008,6 +1008,141 @@ object Queries {
       .orderBy("rank")
   }
 
+  /** CDC FEED + UPSERT/REVIVE ON THE LEXICAL FAMILY — q160's
+    * op-tagged feed and q161's revive batch composed on the postings
+    * table, and unlike both IVF twins FULLY ORACLED (every leg of the
+    * BM25 lifecycle is SQL-replayable). One ordered I/D stream drains
+    * as five micro-batches onto the live bucketed table: inserts
+    * through [[writePostings]] (whose [[graft.lexical.BM25
+    * .hasRevives]] probe runs per batch), deletes through
+    * [[graft.lexical.BM25.deleteFromPostings]], the [[graft.lexical
+    * .BM25.needsCompact]] valve polled after every batch against the
+    * CURRENT live generation. The feed: insert half the delta /
+    * delete base docs (UNDER the valve threshold — the hide stands) /
+    * insert the other half / RE-INGEST a subset of the deleted docs
+    * (the revive batch: the probe fires and [[writePostings]] runs
+    * the deferred [[compactPostings]] FIRST — metastore-rename flip
+    * 1 — then appends the new postings as the docs' only rows) /
+    * delete STREAMED-IN docs (a second, larger request that pushes
+    * the fresh sidecar OVER the valve — flip 2 fires inside the
+    * drain). Gates: each delete batch hides exactly its request, the
+    * generation flips at exactly the revive and valve batches (live
+    * path tracked per batch), the valve fires exactly once, each
+    * revived doc's postings equal a fresh tokenize of exactly its
+    * text (request-sized exceptAll both ways), the final generation
+    * is sidecarless, and distinct at-rest docs = all − deleted +
+    * revived − second-delete. Oracle: q20's replay over
+    * base + inserts − stay-deleted − second-delete — a revived doc is
+    * indistinguishable from one never deleted, idf and avgdl
+    * included. */
+  def q164LexCdcRevive(s: SparkSession, dir: String): DataFrame = {
+    val tbl = "bm25_cdc_" + PipelineQueries.sanitizeTag(dir)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = PipelineQueries.roundtripPath(dir, "bm25cdc")
+    graft.FileTree.delete(new java.io.File(path))
+    graft.FileTree.delete(new java.io.File(BM25.tombPath(path)))
+    val d = t(s, dir, "documents")
+    writePostings(s, d.filter(col("doc_id") >= 100), tbl, path, "overwrite")
+    val del1Pred = col("doc_id") >= 100 && col("doc_id") % 9 === 4 &&
+      col("doc_id") % 2 === 0
+    val revPred = del1Pred && col("doc_id") % 4 === 0
+    val del2Pred = col("doc_id") < 100 && col("doc_id") % 3 === 0
+    val stage = Memo.cachedValue(s, dir, "q164_stage") {
+      RetrievalQueries.stageFeedSlices(Seq(
+        d.filter(col("doc_id") < 100 && col("doc_id") % 2 === 0)
+          .select(lit("I").as("op"), col("doc_id"), col("text")),
+        d.filter(del1Pred).select(lit("D").as("op"), col("doc_id"), col("text")),
+        d.filter(col("doc_id") < 100 && col("doc_id") % 2 === 1)
+          .select(lit("I").as("op"), col("doc_id"), col("text")),
+        d.filter(revPred).select(lit("I").as("op"), col("doc_id"), col("text")),
+        d.filter(del2Pred).select(lit("D").as("op"), col("doc_id"), col("text"))),
+        PipelineQueries.roundtripPath(dir, "q164_feed"))
+    }
+    val nDel1 = Memo.cachedCount(s, dir, "q164_nd1")(d.filter(del1Pred).count())
+    val nRev = Memo.cachedCount(s, dir, "q164_nrev")(d.filter(revPred).count())
+    val nDel2 = Memo.cachedCount(s, dir, "q164_nd2")(d.filter(del2Pred).count())
+    require(nRev > 0 && nRev < nDel1,
+      "q164 needs a proper revive subset of the first delete request")
+    require(nDel2 > nDel1,
+      "q164 needs the second request over the valve the first stays under")
+    val valve = nDel1 // first delete sits AT the threshold: silent
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    var applied = Map.empty[Long, Long]
+    var fired = List.empty[Long]
+    var gens = List.empty[(Long, String)]
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      val ins = batch.filter(col("op") === "I").select(col("doc_id"), col("text"))
+      if (!ins.isEmpty) writePostings(s, ins, tbl, path, "append")
+      val del = batch.filter(col("op") === "D")
+        .select(col("doc_id").as("doc"))
+      if (!del.isEmpty)
+        applied += bid ->
+          BM25.deleteFromPostings(s, postingsLivePath(s, tbl), s.table(tbl), del)
+      // the maintenance poll — every batch, against the live generation
+      val lp = postingsLivePath(s, tbl)
+      if (BM25.needsCompact(s, lp, valve)) {
+        fired ::= bid
+        compactPostings(s, tbl, lp)
+      }
+      gens ::= bid -> postingsLivePath(s, tbl)
+    })
+    require(applied == Map(1L -> nDel1, 4L -> nDel2),
+      s"q164: each delete batch must hide exactly its request (got $applied)")
+    require(fired == List(4L),
+      s"q164: the valve must fire exactly once, at the second delete " +
+        s"(fired at ${fired.reverse.mkString(",")})")
+    val byBatch = gens.reverse.toMap
+    require(byBatch(0L) == byBatch(1L) && byBatch(1L) == byBatch(2L),
+      "q164: no flip may land before the revive batch")
+    require(byBatch(2L) != byBatch(3L),
+      "q164: the revive batch must run the deferred compaction (flip 1)")
+    require(byBatch(3L) != byBatch(4L),
+      "q164: the valve batch must commit a second generation (flip 2)")
+    val lp = postingsLivePath(s, tbl)
+    require(!new java.io.File(BM25.tombPath(lp)).isDirectory,
+      "q164: the final generation must be sidecarless")
+    // each revived doc's postings are exactly a fresh tokenize of its
+    // text — request-sized frames on both sides
+    val revDocs = d.filter(revPred)
+    val gotRev = s.table(tbl)
+      .join(broadcast(revDocs.select(col("doc_id").as("doc"))), Seq("doc"),
+        "left_semi")
+    val wantRev = BM25.postings(revDocs, "doc_id", "text")
+    require(gotRev.exceptAll(wantRev).isEmpty && wantRev.exceptAll(gotRev).isEmpty,
+      "q164: a revived doc must carry ONLY its re-ingested postings")
+    val nAll = Memo.cachedCount(s, dir, "docs_n")(d.count())
+    require(s.table(tbl).select(col("doc")).distinct().count()
+        == nAll - nDel1 + nRev - nDel2,
+      "q164: at-rest doc mass must be all minus deleted plus revived minus CDC-deleted")
+    val post = s.table(tbl)
+    BM25.searchIndexed(s, lp, post, BM25.statsFromPostings(post),
+        bm25Terms, 20)
+      .orderBy("rank")
+  }
+
+  /** q20's replay over base + inserts − stay-deleted − CDC-deleted:
+    * the revived docs are indistinguishable from never-deleted ones —
+    * idf, avgdl, every score. */
+  val q164Sql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+         FROM documents
+         WHERE NOT (doc_id >= 100 AND doc_id % 9 = 4 AND doc_id % 2 = 0
+                    AND doc_id % 4 <> 0)
+           AND NOT (doc_id < 100 AND doc_id % 3 = 0)),
+       corpus AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d),
+       post AS (SELECT doc_id, len(toks) AS len, UNNEST(toks) AS term FROM d),
+       tf AS (SELECT doc_id, len, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM post
+              WHERE term IN ('spark', 'hash', 'join') GROUP BY doc_id, len, term),
+       stats AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+       idf AS (SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf FROM stats, corpus),
+       sc AS (SELECT doc_id, SUM(idf * tf * 2.5 / (tf + 1.5 * (1.0 - 0.75 + 0.75 * len / avgdl))) AS score
+              FROM tf JOIN idf USING (term), corpus GROUP BY doc_id),
+       r AS (SELECT doc_id AS doc, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+                    ROUND(score, 4) AS score FROM sc)
+       SELECT doc, rank, score FROM r WHERE rank <= 20 ORDER BY rank"""
+
   /** q20's replay over the corpus minus the mid-drain delete: the
     * streamed index must be indistinguishable from one that never
     * held the deleted base docs — stats included. */
@@ -1077,6 +1212,7 @@ object Queries {
     "q102_stream_bm25" -> (q102StreamBm25 _),
     "q148_stream_bm25_delete" -> (q148StreamBm25Delete _),
     "q159_stream_bm25_valve" -> (q159StreamBm25Valve _),
+    "q164_lex_cdc_revive" -> (q164LexCdcRevive _),
     "q149_bm25_multi" -> (q149Bm25Multi _)) ++
     CurationQueries.all ++ RetrievalQueries.all ++ PipelineQueries.all ++
     ScaleQueries.all ++ PrepQueries.all
@@ -1105,6 +1241,7 @@ object Queries {
     "q102_stream_bm25" -> q20Sql,
     "q148_stream_bm25_delete" -> q148Sql,
     "q159_stream_bm25_valve" -> q148Sql,
+    "q164_lex_cdc_revive" -> q164Sql,
     "q149_bm25_multi" -> q149Sql) ++
     CurationQueries.oracle ++ RetrievalQueries.oracle ++ PipelineQueries.oracle ++
     ScaleQueries.oracle ++ PrepQueries.oracle

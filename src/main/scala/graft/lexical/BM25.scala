@@ -278,6 +278,50 @@ object BM25 {
         round(col("__e.score"), 4).as("score"))
   }
 
+  /** PINNED postings read — snapshot isolation for long-running
+    * readers, the lexical twin of [[graft.search.IVF
+    * .searchIndexPinned]] / [[graft.search.GraphAnn
+    * .searchIndexPinned]]: the postings table's generation IS its
+    * data path (each [[graft.Queries.compactPostings]] cycle moves
+    * the data to a fresh `__genN` path and the sidecar is
+    * path-keyed), so a reader that resolves the live path ONCE and
+    * serves every query through this path-addressed read gets a
+    * coherent (files, delete-set) pair across any concurrent
+    * compaction flip — the superseded generation keeps BOTH through
+    * the grace window. Without the pin, a reader that resolved the
+    * path pre-compaction but re-reads the metastore table mid-serve
+    * can pair one generation's files with another's sidecar. A pin
+    * whose generation has been GC'd (two or more cycles old) fails
+    * LOUDLY here, never silently serves a newer generation.
+    *
+    * Trade-off, documented not hidden: a path read carries no bucket
+    * metadata, so the pinned serve scans the generation's files
+    * without bucket pruning — the snapshot reader pays scan breadth
+    * for isolation. Steady-state serving stays on the
+    * metastore-resolved bucketed table; re-resolve at least once per
+    * maintenance cycle (the standard snapshot-reader discipline). */
+  def postingsPinned(spark: org.apache.spark.sql.SparkSession,
+                     pinnedPath: String): DataFrame = {
+    require(new java.io.File(pinnedPath).isDirectory,
+      s"BM25: pinned postings generation at $pinnedPath has been GC'd — " +
+        "a pin is valid for one maintenance cycle; re-resolve the live " +
+        "path and retry")
+    spark.read.parquet(pinnedPath)
+  }
+
+  /** [[searchIndexed]] against a PINNED generation path instead of
+    * the metastore-resolved table — the snapshot-isolation serve:
+    * answers come from the pinned generation's files filtered by ITS
+    * OWN sidecar, with corpus scalars re-derived from the filtered
+    * frame, coherent across any concurrent [[graft.Queries
+    * .compactPostings]] flip. */
+  def searchIndexedPinned(spark: org.apache.spark.sql.SparkSession,
+                          pinnedPath: String, queryTerms: Seq[String],
+                          k: Int): DataFrame = {
+    val live = livePostings(spark, pinnedPath, postingsPinned(spark, pinnedPath))
+    searchIndexed(live, statsFromPostings(live), queryTerms, k)
+  }
+
   /** SIDECAR-AWARE [[searchIndexedMulti]] — the default multi-query
     * serve for a postings table that supports deletion (the
     * path-taking [[searchIndexed]] twin): with no sidecar the raw

@@ -567,6 +567,25 @@ object GraphAnn {
     // as for IVF)
     val path = resolveRoot(path0)
     requireRouted(path, "appendToIndex")
+    // REVIVE GUARD — the graph twin of [[IVF.hasRevives]], made LOUD
+    // instead of automatic: a tombstoned delta id usually interleaves
+    // with existing ids and trips the growing-id require below, but a
+    // tombstoned id that happens to exceed its part's max would append
+    // SILENTLY HIDDEN (the sidecar anti-joins the new row away and
+    // compactTombstones would then drop it — a delete outliving the
+    // data it names, the SQ8 round-14 defect on the graph family).
+    // The append path cannot revive in place (insertion order is part
+    // of the graph's content), so the CDC apply contract routes
+    // tombstoned-id upserts through [[reviveToIndex]]. Directory probe
+    // when clean, request-sized semi-join otherwise.
+    if (new java.io.File(s"$path/tombstones").isDirectory) {
+      val tomb = spark.read.parquet(s"$path/tombstones").select(col("id"))
+      require(tomb.join(delta.select(col(idCol).cast("long").as("id")),
+          Seq("id"), "left_semi").isEmpty,
+        "GraphAnn.appendToIndex: delta re-ingests tombstoned ids — " +
+          "append cannot revive (insertion order is graph content); " +
+          "route the upsert through GraphAnn.reviveToIndex")
+    }
     val paramsDf = spark.read.parquet(s"$path/params")
     val (m, efC, replicas) = paramsDf
       .select(col("m").cast("int"), col("efC").cast("int"),
@@ -863,6 +882,112 @@ object GraphAnn {
     val rebuilt = nodes.filter(col("part").isin(touchedSeq: _*))
       .join(broadcast(tomb), Seq("id"), "left_anti")
       .select(col("part"), col("id"), col("vec").cast("array<double>"))
+      .repartition(math.max(1, touched.size), col("part"))
+      .as[(Int, Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (part, rows0) =>
+          val rows = rows0.sortBy(_._2)
+          val vecs = rows.map(_._3.toArray)
+          val graph = buildGraph(vecs, m, efC)
+          rows.indices.iterator.map(i => (part, rows(i)._2, rows(i)._3,
+            graph(i).toArray.map(j => rows(j)._2).sorted.toSeq))
+        }
+      }
+      .toDF("part", "id", "vec", "nbrs")
+    untouched.unionAll(rebuilt)
+      .write.mode("overwrite").partitionBy("part").parquet(s"$out/nodes")
+    spark.read.parquet(s"$root/routing").orderBy("part").coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/routing")
+    spark.read.parquet(s"$root/params").coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/params")
+    spark.read.parquet(s"$out/nodes")
+      .groupBy(col("part")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$out/meta")
+    flipCurrent(path, newGen)
+    staleGenerations(path, keep = Set(newGen, prevGen))
+      .foreach(graft.FileTree.delete)
+  }
+
+  /** REVIVE — re-ingest of tombstoned ids, the graph family's upsert
+    * contract (the [[IVF.appendToIndex]] revive discipline on the
+    * index whose append CANNOT absorb old ids: [[appendToIndex]]
+    * requires monotonically growing ids per part because insertion
+    * order is part of the graph's content, so it rejects tombstoned
+    * ids loudly and routes them here). A revive is
+    * [[compactTombstones]] WITH THE DELTA FOLDED IN — one staged
+    * rewrite instead of compact-then-append, because the rebuild of a
+    * touched cell is a pure function of its post-revive MEMBER SET
+    * (ascending-id from-scratch build), so folding costs nothing
+    * extra and never exposes an intermediate generation:
+    *
+    *   - every delta id must be tombstoned in the live generation
+    *     (the CDC upsert-of-forgotten shape; fresh ids go through
+    *     [[appendToIndex]] — a mixed batch splits at the caller);
+    *   - touched parts = parts holding tombstoned nodes ∪ parts the
+    *     delta routes to (the routed set can differ when the revived
+    *     CONTENT changed — old copies drop from their old cells, new
+    *     copies insert in their new ones);
+    *   - each touched part rebuilds from scratch over
+    *     (standing members ∖ tombstoned) ∪ routed delta — ids may
+    *     interleave freely, the from-scratch build owns ordering;
+    *   - untouched parts carry over row for row without a build;
+    *   - the staged generation commits with the atomic CURRENT flip,
+    *     starts with a CLEAN sidecar (stay-tombstoned ids are
+    *     physically gone, revived ids live), and the superseded one
+    *     keeps the grace window.
+    *
+    * Equivalence contract (GraphAnnSpec pins it): revive ≡
+    * [[writeIndexWith]] over (live ∖ tombstoned ∪ delta) under the
+    * standing routing, BIT FOR BIT — node rows, adjacency, serves.
+    * Cost: the deferred compaction the revive forces anyway (touched
+    * cells only), plus the request-sized routing of the delta. */
+  def reviveToIndex(spark: SparkSession, path: String,
+                    delta: DataFrame, idCol: String, vecCol: String): Unit = {
+    import spark.implicits._
+    Search.requireIntegralId(delta, idCol, "GraphAnn.reviveToIndex")
+    val prevGen = currentGeneration(path)
+    val root = genRoot(path, prevGen)
+    requireRouted(root, "reviveToIndex")
+    require(new java.io.File(s"$root/tombstones").isDirectory,
+      "GraphAnn.reviveToIndex: index has no tombstones — nothing to " +
+        "revive; fresh ids append through GraphAnn.appendToIndex")
+    val tomb = spark.read.parquet(s"$root/tombstones")
+      .select(col("id")).distinct().localCheckpoint()
+    // request-sized by contract: the count gate and the routing below
+    // share one materialization
+    val d0 = delta.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .localCheckpoint()
+    require(d0.select(col("id")).distinct().count() == d0.count(),
+      "GraphAnn.reviveToIndex: delta carries duplicate ids")
+    require(d0.join(tomb, Seq("id"), "left_anti").isEmpty,
+      "GraphAnn.reviveToIndex: every delta id must be tombstoned in " +
+        "the live generation — fresh ids go through appendToIndex")
+    val paramsDf = spark.read.parquet(s"$root/params")
+    val (m, efC, replicas) = paramsDf
+      .select(col("m").cast("int"), col("efC").cast("int"),
+        (if (paramsDf.columns.contains("replicas"))
+          col("replicas").cast("int") else lit(2)).as("replicas"))
+      .as[(Int, Int, Int)].head()
+    val routed = assignParts(d0, "id", "vec",
+      spark.read.parquet(s"$root/routing"), replicas)
+    val nodes = spark.read.parquet(s"$root/nodes")
+      .select(col("part").cast("int").as("part"), col("id"), col("vec"),
+        col("nbrs"))
+    // touched = cells with dead rows ∪ cells gaining revived rows —
+    // both sets are request-scaled (≤ parts rows each, driver-sized)
+    val touched = (nodes.join(broadcast(tomb), Seq("id"), "left_semi")
+        .select(col("part")).distinct().as[Int].collect().toSet ++
+      routed.select(col("part")).distinct().as[Int].collect().toSet).toSeq
+    val touchedSeq = touched.map(Integer.valueOf)
+    val newGen = s"gen__v${nextGenVersion(path)}"
+    val out = s"$path/$newGen"
+    val untouched = nodes.filter(!col("part").isin(touchedSeq: _*))
+      .select(col("part"), col("id"), col("vec"), col("nbrs"))
+    val rebuilt = nodes.filter(col("part").isin(touchedSeq: _*))
+      .join(broadcast(tomb), Seq("id"), "left_anti")
+      .select(col("part"), col("id"), col("vec").cast("array<double>"))
+      .unionByName(routed.select(col("part"), col("id"), col("vec")))
       .repartition(math.max(1, touched.size), col("part"))
       .as[(Int, Long, Seq[Double])]
       .mapPartitions { it =>

@@ -335,14 +335,7 @@ object IVF {
     * list schema. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     delta: DataFrame, idCol: String, vecCol: String): Unit = {
-    val td = tombDirFor(listsPath(path))
-    if (new java.io.File(td).isDirectory) {
-      val tomb = spark.read.parquet(td)
-      val revives = tomb.join(
-        delta.select(col(idCol).cast("long").as(tomb.columns.head)),
-        Seq(tomb.columns.head), "left_semi")
-      if (!revives.isEmpty) compactIndex(spark, path)
-    }
+    if (hasRevives(spark, path, delta, idCol)) compactIndex(spark, path)
     // resolve the generation pair ONCE (and after any revive
     // compaction): the assignment's quantizer and the append's lists
     // must be the same consistency unit
@@ -351,6 +344,29 @@ object IVF {
     assign(delta, idCol, vecCol, cents)
       .repartition(col("cid")) // one appended file per touched list
       .write.mode("append").partitionBy("cid").parquet(s"$path/$ln")
+  }
+
+  /** True when any of `delta`'s ids sit in the LIVE generation's
+    * tombstone sidecar — the REVIVE probe every append writer into
+    * the shared cid-partitioned list layout must run ([[IVF
+    * .appendToIndex]] and [[SQ.appendToIndex]] both do): re-ingesting
+    * a tombstoned id must force deletion's phase 2 first, because
+    * clearing the sidecar entry alone would resurrect the old
+    * physical copy next to the new row and leaving it would anti-join
+    * the new row away — a delete silently outliving the data it
+    * names. A directory probe on the never-deleted common case, a
+    * request-sized semi-join otherwise. */
+  private[search] def hasRevives(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, delta: DataFrame,
+                                 idCol: String): Boolean = {
+    val td = tombDirFor(listsPath(path))
+    if (!new java.io.File(td).isDirectory) false
+    else {
+      val tomb = spark.read.parquet(td)
+      !tomb.join(
+        delta.select(col(idCol).cast("long").as(tomb.columns.head)),
+        Seq(tomb.columns.head), "left_semi").isEmpty
+    }
   }
 
   /** DELETE ids from the index — the right-to-be-forgotten lifecycle

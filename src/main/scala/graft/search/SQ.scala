@@ -132,9 +132,23 @@ object SQ {
     * delta passes: one aggregate for the clamp fraction, one
     * assign + quantize + append write (one new file per touched
     * list, the q84/q87 append discipline). Maintenance-path cost,
-    * never a query's. */
+    * never a query's.
+    *
+    * RE-INGEST REVIVES — the [[IVF.appendToIndex]] discipline on the
+    * shared sidecar: the SQ lists live under the SAME `tomb__`
+    * sidecar IVF's delete writes, so a delta id that was tombstoned
+    * earlier must force the deferred [[IVF.compactIndex]] FIRST
+    * (clearing the entry alone would resurrect the old code next to
+    * the new one; leaving it would anti-join the new code away — a
+    * delete silently outliving the data it names). The probe is a
+    * directory read on the never-deleted common case, a
+    * request-sized semi-join otherwise; compaction moves codes,
+    * never geometry (centroids and bounds stand), so the quantizer
+    * this append reads is unchanged by the flip. */
   def appendToIndex(spark: SparkSession, path: String,
                     delta: DataFrame, idCol: String, vecCol: String): Double = {
+    if (IVF.hasRevives(spark, path, delta, idCol))
+      IVF.compactIndex(spark, path)
     val cents = spark.read.parquet(s"$path/centroids")
     val ba = boundsArrays(spark.read.parquet(s"$path/bounds"))
     val lohi = zip_with(col("lo"), col("hi"), (l, h) => struct(l.as("l"), h.as("h")))

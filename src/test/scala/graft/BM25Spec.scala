@@ -210,6 +210,54 @@ class BM25Spec extends SparkSpec {
       "the immediately superseded generation is the grace window")
   }
 
+  test("pinned postings read: one resolve serves coherently through a concurrent compaction; an expired pin fails loudly") {
+    val tbl = "bm25_pin_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = java.nio.file.Files.createTempDirectory("bm25_pin").toString + "/t"
+    Queries.writePostings(spark, docs, tbl, path, "overwrite")
+    // the pin: resolve the live generation ONCE, then never re-read
+    // the metastore mid-serve
+    val pin = Queries.postingsLivePath(spark, tbl)
+    def served(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc", "rank", "score").as[(Long, Long, Double)]
+        .collect().toSeq.sortBy(_._2)
+    def metastoreServe() = {
+      val post = spark.table(tbl)
+      served(BM25.searchIndexed(spark, Queries.postingsLivePath(spark, tbl),
+        post, BM25.statsFromPostings(post), Seq("spark", "engine"), 10))
+    }
+    // on a quiet table the pinned serve is the sidecar-aware serve
+    assert(served(BM25.searchIndexedPinned(spark, pin, Seq("spark", "engine"), 10))
+      == metastoreServe())
+    // a delete lands in the PINNED generation's sidecar — the pinned
+    // reader hides it immediately (the snapshot is generation-level:
+    // the files plus THAT generation's delete set)
+    assert(BM25.deleteFromPostings(spark, pin, spark.table(tbl),
+      Seq(2L).toDF("doc")) == 1L)
+    val hidden = served(
+      BM25.searchIndexedPinned(spark, pin, Seq("spark", "engine"), 10))
+    assert(!hidden.map(_._1).contains(2L))
+    // a CONCURRENT compaction flips the metastore to a fresh
+    // generation mid-serve: the pin keeps serving the superseded one
+    // coherently (its files AND sidecar are the grace window), and
+    // its answers equal the flipped generation's — hide ≡ remove
+    val live2 = Queries.compactPostings(spark, tbl, pin)
+    assert(live2 != pin)
+    assert(served(BM25.searchIndexedPinned(spark, pin, Seq("spark", "engine"), 10))
+      == hidden, "the pinned serve changed answers across the flip")
+    assert(metastoreServe() == hidden,
+      "the pinned snapshot diverged from the compacted generation")
+    // a second cycle GCs the pinned generation: the pin expires
+    // LOUDLY, never silently serves a newer graph of files
+    assert(BM25.deleteFromPostings(spark, live2, spark.table(tbl),
+      Seq(4L).toDF("doc")) == 1L)
+    Queries.compactPostings(spark, tbl, live2)
+    val ex = intercept[IllegalArgumentException] {
+      BM25.searchIndexedPinned(spark, pin, Seq("spark", "engine"), 10)
+    }
+    assert(ex.getMessage.contains("GC'd"))
+  }
+
   test("postings append writes only the delta's term buckets, at-rest files untouched") {
     // the q87/q102 append discipline as a file-level contract: a delta
     // batch must land NEW files only, and only in buckets some delta

@@ -340,6 +340,75 @@ class GraphAnnSpec extends SparkSpec {
       "mid-drain-deleted + compacted rows diverge from the rebuild-without-them")
   }
 
+  test("revive: tombstoned-id re-ingest rebuilds touched cells, equals rebuild-over-union bit for bit; append rejects it loudly") {
+    val path = java.nio.file.Files.createTempDirectory("graphann_rev").toString
+    GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, path)
+    val maxId = emb.agg(max(col("vec_id"))).as[Long].head()
+    // the request includes the CORPUS MAX id: its re-ingest would pass
+    // the growing-id require, so only the revive guard stands between
+    // it and a silently-hidden append (the SQ8 round-14 defect shape)
+    val doomed = emb
+      .filter(col("vec_id") % 9 === 4 || col("vec_id") === maxId)
+      .select(col("vec_id"))
+    assert(GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id")
+      == doomed.count())
+    val exMax = intercept[Exception] {
+      GraphAnn.appendToIndex(spark, path,
+        emb.filter(col("vec_id") === maxId), "vec_id", "v")
+    }
+    assert(exMax.getMessage.contains("reviveToIndex"),
+      s"append of a tombstoned growing id must route to revive: $exMax")
+    // revive rejects fresh (never-tombstoned) ids — those are appends
+    val exFresh = intercept[Exception] {
+      GraphAnn.reviveToIndex(spark, path,
+        emb.filter(col("vec_id") === 1).select(col("vec_id"), col("v")),
+        "vec_id", "v")
+    }
+    assert(exFresh.getMessage.contains("must be tombstoned"))
+    // the upsert: even members of the 9-class return with CHANGED
+    // vectors (the user re-consents with new content), plus the max id
+    val revive = emb
+      .filter((col("vec_id") % 9 === 4 && col("vec_id") % 2 === 0)
+        || col("vec_id") === maxId)
+      .select(col("vec_id"), transform(col("v"), x => x * lit(2.0)).as("v"))
+    val genBefore = GraphAnn.currentGeneration(path)
+    GraphAnn.reviveToIndex(spark, path, revive, "vec_id", "v")
+    assert(GraphAnn.currentGeneration(path) != genBefore,
+      "a revive must commit through the CURRENT flip")
+    assert(!new java.io.File(GraphAnn.tablePath(path, "tombstones"))
+        .isDirectory && GraphAnn.tombstoneRows(spark, path) == 0L,
+      "the post-revive generation must start with a clean sidecar")
+    // THE contract: revive ≡ from-scratch rebuild over
+    // (live ∖ tombstoned ∪ revived) under the standing routing
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graphann_rev_rb").toString
+    GraphAnn.writeIndexWith(
+      spark.read.parquet(GraphAnn.tablePath(path, "routing")),
+      emb.join(doomed, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("v")).unionByName(revive),
+      "vec_id", "v", m = 8, efC = 48, rebuilt)
+    def nodes(p: String) = spark.read.parquet(GraphAnn.tablePath(p, "nodes"))
+      .select(col("part").cast("int"), col("id"), col("vec"), col("nbrs"))
+      .as[(Int, Long, Seq[Double], Seq[Long])].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(nodes(path) == nodes(rebuilt),
+      "post-revive node/adjacency rows diverge from the rebuild-over-union")
+    // the serve hides the stay-deleted, fills k, and the revived max
+    // id is servable again (query AT its new vector finds it first)
+    val served = GraphAnn.searchIndex(spark, path, "vec_id",
+        query(1), "qv", 10, ef = 48)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(served.size == 10 &&
+      served.forall(id => !(id % 9 == 4 && id % 2 == 1 && id != maxId)),
+      s"a stay-deleted id surfaced post-revive: $served")
+    val qAtRevived = emb.filter(col("vec_id") === maxId)
+      .select(transform(col("v"), x => x * lit(2.0)).as("qv"))
+    val top1 = GraphAnn.searchIndex(spark, path, "vec_id",
+        qAtRevived, "qv", 1, ef = 48)
+      .select("vec_id").as[Long].head()
+    assert(top1 == maxId, s"the revived id must serve at its new vector, got $top1")
+  }
+
   test("routine refresh between delete and compaction does not resurrect tombstoned ids") {
     val path = java.nio.file.Files.createTempDirectory("graphann_del_rr").toString
     GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, path)

@@ -273,6 +273,33 @@ class PlanSpec extends SparkSpec {
       s"q150 degenerated to an unkeyed join:\n$p")
   }
 
+  test("q167: ONE routed nodes scan serves the whole query batch through the heap top-k") {
+    import org.apache.spark.sql.functions._
+    // the declared row localCheckpoints its gate frame, so pin the
+    // serve expression directly (the q42 pattern)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qs = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val p = graft.search.GraphAnn.searchIndexMulti(spark,
+        RetrievalQueries.graphIndexPath(spark, sf0001), "vec_id",
+        qs, "qid", "qv", 10, 48,
+        probeParts = RetrievalQueries.graphProbeFor(spark, sf0001))
+      .queryExecution.executedPlan.toString
+    // however many queries are in the batch, the at-rest nodes table
+    // is scanned exactly ONCE (the query set collects driver-side by
+    // the multi-query contract — no second parquet scan may appear)
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly ONE at-rest scan for the whole batch:\n$p")
+    // the union of every query's routed cells is a genuine partition
+    // filter on the parquet `part` column — unprobed cells stay on disk
+    assert("PartitionFilters: \\[[^\\]]*part".r.findFirstIn(p).nonEmpty,
+      s"expected the routed part partition filter:\n$p")
+    // per-query top-k rides the bounded heap, never a window sort
+    assert(p.contains("graft_topk"), s"expected the heap top-k:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q87: incrementally-appended postings table stays bucket-pruned") {
     val p = plan("q87_bm25_append")
     // append lands delta files in the SAME term buckets, so the

@@ -133,6 +133,51 @@ class SQSpec extends SparkSpec {
     assert(serve() == hidden, "hide-now and remove-later must serve alike")
   }
 
+  test("SQ8 revive: re-ingesting a tombstoned id runs the deferred compaction first") {
+    import graft.search.IVF
+    val path = "/tmp/graft_test/sq_revive"
+    SQ.writeIndex(e, "vec_id", "v", 8, path)
+    val total = e.count()
+    val doomed = e.filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id").as("id")).localCheckpoint()
+    val nDoomed = doomed.count()
+    assert(IVF.deleteFromIndex(spark, path, doomed, "id") == nDoomed)
+    val lp0 = IVF.listsPath(path)
+    // re-ingest id 3 with a DIFFERENT vector through the QUANTIZED
+    // append path: the stale sidecar entry must not hide the new code
+    // (the silent-loss defect this probe exists to prevent), and the
+    // old code must not resurrect next to it
+    val revive = e.filter(col("vec_id") === 3)
+      .select(col("vec_id"), transform(col("v"), x => x * lit(2.0)).as("v"))
+    SQ.appendToIndex(spark, path, revive, "vec_id", "v")
+    assert(IVF.listsPath(path) != lp0,
+      "an SQ revive append must run the deferred compaction (generation flip)")
+    assert(IVF.tombstoneRows(spark, path) == 0L,
+      "the revive compaction must fold and clear the whole sidecar")
+    val lists = spark.read.parquet(IVF.listsPath(path))
+    assert(lists.count() == total - nDoomed + 1)
+    assert(lists.filter(col("id") === 3).count() == 1,
+      "the revived id must have exactly ONE physical code row")
+    // the revived code is the NEW vector quantized under the STANDING
+    // bounds — byte-identical to the direct computation (geometry
+    // never moves on compaction, so the standing bounds still apply)
+    val ba = SQ.boundsArrays(spark.read.parquet(s"$path/bounds"))
+    val want = revive.crossJoin(broadcast(ba))
+      .select(sqPackNative(SQ.quantCodes(col("v"), col("lo"), col("hi"))).as("code"))
+      .as[Array[Byte]].head()
+    val got = lists.filter(col("id") === 3)
+      .select(col("code")).as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(got, want),
+      "the revived code must be the NEW vector's, under standing bounds")
+    // the serve surfaces no stay-deleted id; the revived id is live
+    val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    val served = SQ.searchIndex(spark, path, e, "vec_id", "v", q, "qv",
+        10, 8, RetrievalQueries.sqRerank)
+      .select(col("vec_id")).as[Long].collect().toSeq
+    assert(!served.exists(i => i % 10 == 3 && i != 3),
+      "a stay-deleted id surfaced in the post-revive SQ8 serve")
+  }
+
   test("append quantizes under the STANDING bounds and reports the clamped fraction") {
     val path = "/tmp/graft_test/sq_append"
     val base = e.filter(col("vec_id") >= 100)
