@@ -318,8 +318,14 @@ object CurationQueries {
       .localCheckpoint() // referenced three times below; batch-sized
     val buckets = sigs.select(col("sigbucket")).distinct()
       .collect().map(_.getInt(0))
-    val base = s.read.parquet(bandsPath)
-      .filter(col("sigbucket").isin(buckets.map(Integer.valueOf): _*))
+    // the register read is SIDECAR-AWARE (Dedup.liveRegister — a
+    // passthrough when the register was never deleted from): a
+    // forgotten doc's bands must stop suppressing incoming content
+    // between the delete and the compaction rewrite (q169's ghost-
+    // suppression contract)
+    val base = Dedup.liveRegister(s, bandsPath,
+      s.read.parquet(bandsPath)
+        .filter(col("sigbucket").isin(buckets.map(Integer.valueOf): _*)))
     val cands = sigs.as("a")
       .join(base.as("b"),
         col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig"))
@@ -688,6 +694,107 @@ object CurationQueries {
        ${pairsCteSqlWith("a.doc_id % 10 = 7 AND (c.doc_id % 10 <> 7 OR " +
         "(SELECT x.bat FROM bq x WHERE x.doc_id = c.doc_id) < " +
         "(SELECT y.bat FROM bq y WHERE y.doc_id = a.doc_id))")}
+       SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"""
+
+  // ---------- q169: right-to-be-forgotten on the dedup register ----------
+
+  /** FORGETTING REACHES THE CURATION REGISTER — the derived artifact
+    * the cascade rows (q162/q166) did not cover: the at-rest banded
+    * MinHash register is FINGERPRINTS OF DOCUMENT CONTENT, so a
+    * right-to-be-forgotten request must erase the doc's bands too —
+    * and not just for data hygiene: a register that keeps them
+    * SUPPRESSES every future near-duplicate of the forgotten doc
+    * (ghost suppression — deleted content keeps shaping what the
+    * pipeline admits). Two-phase like every index: phase 1 lands the
+    * request in the register's sidecar ([[graft.dedup.Dedup
+    * .deleteFromRegister]] — O(request), opens no bucket file,
+    * repeat counts zero) and the register read inside
+    * [[q98BatchMatches]] anti-joins it (AQE-governed); phase 2 rides
+    * [[graft.dedup.Dedup.compactRegister]]'s staged one-file-per-
+    * bucket rewrite into a fresh `__genN` path with a clean sidecar.
+    * Gates: the delete counts exactly request ∩ register with the
+    * bucket files snapshot-untouched, [[graft.dedup.Dedup
+    * .needsCompactRegister]] tracks the standing sidecar exactly,
+    * the GHOST-SUPPRESSION WITNESS — the incoming slice's match
+    * table loses EXACTLY the pairs whose standing member was
+    * forgotten (k-sized set algebra, so the hide changes nothing
+    * else) — and after compaction the register physically holds zero
+    * forgotten rows while serving the identical match table.
+    * Declared output: the post-forget match table, hash-matched
+    * against q98's replay with the forgotten docs never in the
+    * standing corpus. */
+  def q169RegisterForget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val mut = PipelineQueries.roundtripPath(dir, "q169_bands")
+    // clean THIS row's whole generation family (a prior run's __genN
+    // siblings and sidecars would leak into the version counter)
+    Option(new java.io.File(mut).getParentFile.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("q169_bands"))
+      .foreach(graft.FileTree.delete)
+    graft.FileTree.copy(new java.io.File(streamBandsPath(s, dir)),
+      new java.io.File(mut))
+    val req = d.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 9 === 0)
+      .select(col("doc_id").as("id"))
+    val nReq = Memo.cachedCount(s, dir, "q169_nreq")(req.count())
+    val incoming = d.filter(col("doc_id") % 10 === 7).localCheckpoint()
+    def matches(p: String) = q98BatchMatches(s, incoming, p, d)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val before = matches(mut)
+    require(before.exists(_._2 % 9 == 0),
+      "q169 needs at least one pair whose standing member is forgotten " +
+        "for the ghost-suppression witness to bite")
+    def bucketSnap(): Map[String, Long] =
+      Option(new java.io.File(mut).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("sigbucket="))
+        .flatMap(dd => Option(dd.listFiles()).toSeq.flatten)
+        .map(f => f.getPath -> f.lastModified()).toMap
+    val snap = bucketSnap()
+    // phase 1: O(request) sidecar, no bucket file opened, idempotent
+    val nDel = Dedup.deleteFromRegister(s, mut, req)
+    require(nDel == nReq,
+      s"q169: the sidecar must record exactly request∩register ($nDel of $nReq)")
+    require(Dedup.deleteFromRegister(s, mut, req) == 0L,
+      "q169: re-deleting tombstoned docs must count zero")
+    require(bucketSnap() == snap,
+      "q169: the tombstone phase must not touch a bucket file")
+    require(Dedup.needsCompactRegister(s, mut, nReq - 1) &&
+        !Dedup.needsCompactRegister(s, mut, nReq),
+      "q169: needsCompactRegister must track the standing sidecar exactly")
+    // the ghost-suppression witness: the hide removes exactly the
+    // forgotten-member pairs and nothing else
+    val after = matches(mut)
+    require(!after.exists(_._2 % 9 == 0),
+      "q169: a forgotten doc still suppresses incoming content")
+    require(after == before.filterNot(_._2 % 9 == 0),
+      "q169: the hide changed pairs beyond the forgotten members")
+    // phase 2: staged rewrite into a fresh generation, clean sidecar,
+    // physically zero forgotten rows, identical serve
+    val rawRows = s.read.parquet(mut).count()
+    val forgottenRows = s.read.parquet(mut)
+      .join(broadcast(req), Seq("id"), "left_semi").count()
+    val live = Dedup.compactRegister(s, mut, q98SigBuckets)
+    require(live != mut, "q169: compaction must return a fresh generation")
+    require(!new java.io.File(Dedup.registerTombPath(live)).isDirectory,
+      "q169: the compacted generation must start with a clean sidecar")
+    require(s.read.parquet(live).count() == rawRows - forgottenRows,
+      "q169: compaction must drop exactly the forgotten docs' band rows")
+    require(s.read.parquet(live).join(broadcast(req), Seq("id"), "left_semi")
+        .isEmpty,
+      "q169: a forgotten doc's bands survived the rewrite")
+    require(matches(live) == after,
+      "q169: hide-now and remove-later must serve identical match tables")
+    after.toDF("id1", "id2", "jaccard").orderBy("id1", "id2")
+  }
+
+  /** q98's replay where the forgotten docs were never in the standing
+    * corpus: the register must be indistinguishable from one that
+    * never fingerprinted them. */
+  val q169Sql: String =
+    s"""WITH ${pairsCteSqlWith(
+      "a.doc_id % 10 = 7 AND c.doc_id % 10 <> 7 AND NOT (c.doc_id % 9 = 0)")}
        SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"""
 
   /** 16-bit SimHash per document (token-hash sign aggregation). */
@@ -1446,6 +1553,7 @@ object CurationQueries {
     "q88_redact" -> (q88Redact _),
     "q98_stream_neardup" -> (q98StreamNeardup _),
     "q130_stream_neardup_cumulative" -> (q130StreamNeardupCumulative _),
+    "q169_register_forget" -> (q169RegisterForget _),
     "q136_stream_curation" -> (q136StreamCuration _),
     "q105_semantic_decon" -> (q105SemanticDecon _),
     "q139_semdedup" -> (q139SemDedup _),
@@ -1468,6 +1576,7 @@ object CurationQueries {
     "q88_redact" -> q88Sql,
     "q98_stream_neardup" -> q98Sql,
     "q130_stream_neardup_cumulative" -> q130Sql,
+    "q169_register_forget" -> q169Sql,
     "q136_stream_curation" -> q136Sql,
     "q105_semantic_decon" -> q105Sql,
     "q139_semdedup" -> q139Sql,

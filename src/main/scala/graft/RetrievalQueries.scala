@@ -4517,6 +4517,97 @@ $sqRows)
     served
   }
 
+  // ---------- q168: CDC feed on the graph family ----------
+
+  /** THE CDC FEED APPLIED TO THE GRAPH INDEX — q160's op-tagged
+    * drain on the family whose upserts cannot ride the append path,
+    * completing the CDC matrix (IVF q160/q161, SQ8 q163, lexical
+    * q164, graph: here): one ordered I/D/U stream drained as four
+    * micro-batches, inserts through [[graft.search.GraphAnn
+    * .appendToIndex]] (growing ids — the continuous-ingest shape),
+    * the delete through [[graft.search.GraphAnn.deleteFromIndex]],
+    * and the final batch a MIXED UPSERT — re-ingests of tombstoned
+    * ids AND brand-new growing ids in one batch — routed by
+    * [[graft.search.GraphAnn.applyUpserts]]: the tombstoned side
+    * revives through the staged rewrite (touched cells rebuilt over
+    * members ∖ tombstoned ∪ revived, CURRENT flip, clean sidecar),
+    * the fresh side appends INTO the flipped generation. Gates: the
+    * delete hides exactly its request, the generation flips at
+    * EXACTLY the upsert batch, the final generation is sidecarless,
+    * the post-drain per-cell content signature equals q165's
+    * rebuild-over-union-minus-stay-deleted target cell for cell
+    * (same final state, feed-shaped arrival — one memoized target
+    * serves both rows), and the serve hides every stay-deleted id.
+    * Rows-only per the graph ✗ discipline; GraphAnnSpec pins the
+    * revive bit-identity and append≡rebuild equivalences this row
+    * composes. */
+  def q168GraphCdcFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.search.GraphAnn
+    val e = emb(s, dir)
+    val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
+    val split = 4L * n / 5L
+    val half = (split + n) / 2L
+    val cut3 = (half + n) / 2L
+    val path = PipelineQueries.roundtripPath(dir, "q168")
+    cloneTree(graphBase80Path(s, dir), path)
+    val delPred = col("vec_id") < split && col("vec_id") % 13 === 5
+    val revPred = delPred && col("vec_id") % 3 === 0
+    val nReq = Memo.cachedCount(s, dir, "q157_ndel")(
+      e.filter(delPred).count())
+    val nRev = Memo.cachedCount(s, dir, "q165_nrev")(
+      e.filter(revPred).count())
+    val nFresh3 = Memo.cachedCount(s, dir, "q168_nf3")(
+      e.filter(col("vec_id") >= cut3).count())
+    require(nRev > 0 && nRev < nReq && nFresh3 > 0,
+      "q168 needs a proper revive subset and a non-empty fresh tail")
+    val stage = Memo.cachedValue(s, dir, "q168_stage") {
+      stageFeedSlices(Seq(
+        e.filter(col("vec_id") >= split && col("vec_id") < half)
+          .select(lit("I").as("op"), col("vec_id"), col("v")),
+        e.filter(delPred).select(lit("D").as("op"), col("vec_id"), col("v")),
+        e.filter(col("vec_id") >= half && col("vec_id") < cut3)
+          .select(lit("I").as("op"), col("vec_id"), col("v")),
+        e.filter(revPred || col("vec_id") >= cut3)
+          .select(lit("U").as("op"), col("vec_id"), col("v"))),
+        PipelineQueries.roundtripPath(dir, "q168_feed"))
+    }
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    var applied = Map.empty[Long, Long]
+    var gens = List.empty[(Long, String)]
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      val ins = batch.filter(col("op") === "I").select(col("vec_id"), col("v"))
+      if (!ins.isEmpty)
+        GraphAnn.appendToIndex(s, path, ins, "vec_id", "v")
+      val del = batch.filter(col("op") === "D").select(col("vec_id"))
+      if (!del.isEmpty)
+        applied += bid -> GraphAnn.deleteFromIndex(s, path, del, "vec_id")
+      val ups = batch.filter(col("op") === "U").select(col("vec_id"), col("v"))
+      if (!ups.isEmpty)
+        GraphAnn.applyUpserts(s, path, ups, "vec_id", "v")
+      gens ::= bid -> GraphAnn.currentGeneration(path)
+    })
+    require(applied == Map(1L -> nReq),
+      s"q168: the delete batch must hide exactly its request (got $applied)")
+    val byBatch = gens.reverse.toMap
+    require(byBatch(0L) == byBatch(2L) && byBatch(2L) != byBatch(3L),
+      "q168: the generation must flip at exactly the upsert batch")
+    require(!new java.io.File(GraphAnn.tablePath(path, "tombstones"))
+        .isDirectory && GraphAnn.tombstoneRows(s, path) == 0L,
+      "q168: the post-drain generation must be sidecarless")
+    require(cellSignature(s, path) == cellSignature(s, q165TargetPath(s, dir)),
+      "q168: the drained cells must equal the rebuild over union minus stay-deleted")
+    val served = GraphAnn.searchIndex(s, path, "vec_id",
+        e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+        10, graphEf, probeParts = graphProbeFor(s, dir))
+      .orderBy("rank")
+    require(served.filter(col("vec_id") < split &&
+        col("vec_id") % 13 === 5 && col("vec_id") % 3 =!= 0).isEmpty,
+      "q168: a stay-deleted id surfaced in the post-drain serve")
+    served
+  }
+
   // ---------- q123: late-interaction (MaxSim) retrieval ----------
 
   /** LATE-INTERACTION retrieval (the ColBERT MaxSim scoring shape,
@@ -5304,7 +5395,8 @@ $sqRows)
     "q157_stream_graph_delete" -> (q157StreamGraphDelete _),
     "q165_graph_revive" -> (q165GraphRevive _),
     "q166_cascade_all" -> (q166CascadeAll _),
-    "q167_graph_multi" -> (q167GraphMulti _))
+    "q167_graph_multi" -> (q167GraphMulti _),
+    "q168_graph_cdc_feed" -> (q168GraphCdcFeed _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,

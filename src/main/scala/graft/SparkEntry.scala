@@ -1043,8 +1043,12 @@ object Queries {
     graft.FileTree.delete(new java.io.File(BM25.tombPath(path)))
     val d = t(s, dir, "documents")
     writePostings(s, d.filter(col("doc_id") >= 100), tbl, path, "overwrite")
-    val del1Pred = col("doc_id") >= 100 && col("doc_id") % 9 === 4 &&
-      col("doc_id") % 2 === 0
+    // del1 is bounded by an ABSOLUTE id window: the request must stay
+    // request-sized as the corpus scales (a corpus-proportional del1
+    // would outgrow del2's fixed feed slice and flip the valve
+    // relation — the 30x probe caught exactly that)
+    val del1Pred = col("doc_id") >= 100 && col("doc_id") < 300 &&
+      col("doc_id") % 9 === 4 && col("doc_id") % 2 === 0
     val revPred = del1Pred && col("doc_id") % 4 === 0
     val del2Pred = col("doc_id") < 100 && col("doc_id") % 3 === 0
     val stage = Memo.cachedValue(s, dir, "q164_stage") {
@@ -1128,8 +1132,8 @@ object Queries {
   val q164Sql: String =
     """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
          FROM documents
-         WHERE NOT (doc_id >= 100 AND doc_id % 9 = 4 AND doc_id % 2 = 0
-                    AND doc_id % 4 <> 0)
+         WHERE NOT (doc_id >= 100 AND doc_id < 300 AND doc_id % 9 = 4
+                    AND doc_id % 2 = 0 AND doc_id % 4 <> 0)
            AND NOT (doc_id < 100 AND doc_id % 3 = 0)),
        corpus AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d),
        post AS (SELECT doc_id, len(toks) AS len, UNNEST(toks) AS term FROM d),

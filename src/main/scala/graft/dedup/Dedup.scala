@@ -131,6 +131,106 @@ object Dedup {
         array_join(transform(col("pv"), x => x.getField("v").cast("string")), "|")
           .as("bandsig"))
 
+  /** The band register's delete sidecar path — the dedup index's
+    * `tomb__` twin, keyed to the register's DATA path: a compaction
+    * that returns a fresh generation path starts with no sidecar by
+    * construction. The register is DERIVED data (fingerprints of
+    * document content), so right-to-be-forgotten reaches it like any
+    * other artifact — and a register that keeps a forgotten doc's
+    * bands both retains derived content AND keeps suppressing future
+    * near-dups of it (ghost suppression: the forgotten doc still
+    * shapes what the pipeline admits). */
+  def registerTombPath(path: String): String = path + "__tomb"
+
+  private def hasRegisterTomb(path: String): Boolean =
+    new java.io.File(registerTombPath(path)).isDirectory
+
+  /** PHASE-1 deletion from a banded-signature register stored at
+    * `path` (rows (id, band, bandsig, sigbucket)): record
+    * request ∩ register ids in the sidecar — an O(request) write
+    * that opens no bucket file — and every register read goes
+    * through [[liveRegister]]'s anti-join from then on. Ids absent
+    * from the live register are never recorded (repeat deletes count
+    * zero). PHASE 2 rides [[compactRegister]]. Returns the number of
+    * DOCS the request hides. */
+  def deleteFromRegister(spark: org.apache.spark.sql.SparkSession,
+                         path: String, ids: DataFrame): Long = {
+    val hit = liveRegister(spark, path,
+        spark.read.parquet(path).select(col("id")))
+      .join(broadcast(ids.select(col(ids.columns.head).cast("long").as("id"))),
+        Seq("id"), "left_semi")
+      .distinct()
+      .localCheckpoint() // request-sized by contract: count + write share it
+    val n = hit.count()
+    if (n > 0L)
+      hit.coalesce(1).write.mode("append").parquet(registerTombPath(path))
+    n
+  }
+
+  /** The LIVE view of a register frame stored at `path`: tombstoned
+    * ids hidden by an anti-join on the sidecar — AQE-governed, never
+    * a forced broadcast (the IVF/BM25 discipline: an over-grown
+    * sidecar degrades to a shuffle join, not a driver OOM). No
+    * sidecar → passthrough, a never-deleted register pays nothing. */
+  def liveRegister(spark: org.apache.spark.sql.SparkSession,
+                   path: String, df: DataFrame): DataFrame =
+    if (!hasRegisterTomb(path)) df
+    else df.join(spark.read.parquet(registerTombPath(path)).select(col("id")),
+      Seq("id"), "left_anti")
+
+  /** Distinct docs in the register's sidecar (0 when none). */
+  def registerTombstoneRows(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Long =
+    if (!hasRegisterTomb(path)) 0L
+    else spark.read.parquet(registerTombPath(path))
+      .select(col("id")).distinct().count()
+
+  /** Compaction trigger on delete accumulation — the register twin
+    * of [[graft.search.IVF.needsCompact]]. */
+  def needsCompactRegister(spark: org.apache.spark.sql.SparkSession,
+                           path: String, maxTombRows: Long): Boolean =
+    registerTombstoneRows(spark, path) > maxTombRows
+
+  /** PHYSICAL removal from the register — deletion's phase 2: stage
+    * a one-file-per-bucket rewrite of the LIVE (sidecar-filtered)
+    * rows under a fresh `__genN` sibling path and return it; the
+    * caller MUST thread the returned path into every subsequent read
+    * and delete (the [[graft.Queries.compactPostings]] contract —
+    * the register has no metastore, so the returned path IS the
+    * pointer). The superseded path keeps its files AND sidecar as
+    * the in-flight readers' grace window; generations two or more
+    * cycles old are GC'd with their sidecars. */
+  def compactRegister(spark: org.apache.spark.sql.SparkSession,
+                      path: String, buckets: Int): String = {
+    val base = path.replaceAll("__gen\\d+$", "")
+    val baseName = new java.io.File(base).getName
+    val parent = new java.io.File(base).getParentFile
+    val siblings = Option(parent.listFiles()).toSeq.flatten.map(_.getName)
+      .filter(_.startsWith(baseName + "__gen"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix(baseName + "__gen").toInt).toOption)
+    val v = (siblings :+ 1).max + 1
+    val stagePath = base + "__gen" + v
+    liveRegister(spark, path, spark.read.parquet(path))
+      .repartition(buckets, col("sigbucket"))
+      .write.mode("overwrite").partitionBy("sigbucket").parquet(stagePath)
+    // GC generations two+ cycles old (with sidecars); keep the new
+    // generation and the immediately superseded `path` + its sidecar
+    val keep = Set(new java.io.File(stagePath).getName,
+      new java.io.File(path).getName,
+      new java.io.File(registerTombPath(stagePath)).getName,
+      new java.io.File(registerTombPath(path)).getName)
+    Option(parent.listFiles()).toSeq.flatten
+      .filter { f =>
+        val n = f.getName
+        f.isDirectory && !keep.contains(n) &&
+          (n == baseName || n.startsWith(baseName + "__gen") ||
+            n == new java.io.File(registerTombPath(base)).getName)
+      }
+      .foreach(graft.FileTree.delete)
+    stagePath
+  }
+
   /** MinHash-LSH candidate pairs: band the signature (`rowsPerBand`
     * consecutive values concatenated), self-join on (band, bandSig).
     * Output: (id1, id2) candidates with id1 < id2, distinct. The join

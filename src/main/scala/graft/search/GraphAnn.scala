@@ -1014,6 +1014,33 @@ object GraphAnn {
       .foreach(graft.FileTree.delete)
   }
 
+  /** CDC UPSERT APPLY — the batch router the feed-drain loop calls
+    * per micro-batch: ids tombstoned in the live generation REVIVE
+    * through [[reviveToIndex]] (the only legal path — [[appendToIndex]]
+    * rejects them loudly), everything else APPENDS (the growing-id
+    * contract applies to that side as always). One sidecar probe per
+    * batch — a directory read on the clean common case, a
+    * batch-sized semi-join otherwise. The revive leg runs FIRST, so
+    * the same batch's fresh appends land in the generation the
+    * revive flipped to (never the superseded one). */
+  def applyUpserts(spark: SparkSession, path: String,
+                   batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val root = resolveRoot(path)
+    val td = s"$root/tombstones"
+    if (!new java.io.File(td).isDirectory) {
+      appendToIndex(spark, path, batch, idCol, vecCol)
+      return
+    }
+    val tomb = spark.read.parquet(td)
+      .select(col("id").as(idCol))
+    val b = batch.select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .localCheckpoint() // batch-sized: the split reads it twice
+    val rev = b.join(tomb, Seq(idCol), "left_semi")
+    val fresh = b.join(tomb, Seq(idCol), "left_anti")
+    if (!rev.isEmpty) reviveToIndex(spark, path, rev, idCol, vecCol)
+    if (!fresh.isEmpty) appendToIndex(spark, path, fresh, idCol, vecCol)
+  }
+
   private def refreshRoutingInto(spark: SparkSession, root: String, parts: Int,
                                  outRoot: String): Unit = {
     import spark.implicits._

@@ -120,6 +120,58 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall under floor")
   }
 
+  test("register delete: sidecar hides now, compaction removes later, generations cycle and GC") {
+    // the band register as a deletable artifact (q169's machinery):
+    // build a small register, tombstone one doc, verify the live
+    // view, compact, verify physical removal + a second cycle's GC
+    val base = java.nio.file.Files.createTempDirectory("dedup_reg").toString
+    val path = base + "/reg"
+    Dedup.bandedSignatures(docs, "doc_id", "text", 3, 16, 4)
+      .withColumn("sigbucket", pmod(hash(col("band"), col("bandsig")), lit(4)))
+      .repartition(4, col("sigbucket"))
+      .write.mode("overwrite").partitionBy("sigbucket").parquet(path)
+    val total = spark.read.parquet(path).count()
+    assert(Dedup.registerTombstoneRows(spark, path) == 0L)
+    assert(!Dedup.needsCompactRegister(spark, path, 0L))
+    // delete doc 1 (which has dups 2/5 still registered)
+    assert(Dedup.deleteFromRegister(spark, path, Seq(1L).toDF("id")) == 1L)
+    assert(Dedup.deleteFromRegister(spark, path, Seq(1L).toDF("id")) == 0L,
+      "repeat delete must count zero")
+    assert(Dedup.registerTombstoneRows(spark, path) == 1L)
+    assert(Dedup.needsCompactRegister(spark, path, 0L) &&
+      !Dedup.needsCompactRegister(spark, path, 1L))
+    val live = Dedup.liveRegister(spark, path, spark.read.parquet(path))
+    assert(live.filter(col("id") === 1L).isEmpty,
+      "a tombstoned doc's bands leaked through the live view")
+    val doc1Rows = total - live.count()
+    assert(doc1Rows > 0)
+    // phase 2: fresh generation, clean sidecar, survivors only
+    val gen2 = Dedup.compactRegister(spark, path, 4)
+    assert(gen2 != path)
+    assert(!new java.io.File(Dedup.registerTombPath(gen2)).isDirectory)
+    val atRest = spark.read.parquet(gen2)
+    assert(atRest.count() == total - doc1Rows)
+    assert(atRest.filter(col("id") === 1L).isEmpty)
+    // the compacted register equals a one-shot build over survivors
+    val want = Dedup.bandedSignatures(docs.filter(col("doc_id") =!= 1L),
+        "doc_id", "text", 3, 16, 4)
+      .withColumn("sigbucket", pmod(hash(col("band"), col("bandsig")), lit(4)))
+      .select(col("id"), col("band"), col("bandsig"), col("sigbucket").cast("int"))
+    val got = atRest
+      .select(col("id"), col("band"), col("bandsig"), col("sigbucket").cast("int"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "compacted register diverges from the one-shot survivor build")
+    // second cycle: the first generation leaves the grace window
+    assert(Dedup.deleteFromRegister(spark, gen2, Seq(3L).toDF("id")) == 1L)
+    val gen3 = Dedup.compactRegister(spark, gen2, 4)
+    assert(gen3 != gen2 && gen3 != path)
+    assert(!new java.io.File(path).exists(),
+      "the two-cycles-old generation must be GC'd")
+    assert(new java.io.File(gen2).exists(),
+      "the immediately superseded generation is the grace window")
+    assert(spark.read.parquet(gen3).filter(col("id").isin(1L, 3L)).isEmpty)
+  }
+
   test("simhash: identical docs same hash, near dups few differing bits") {
     val sh = Dedup.simhash16(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -409,6 +409,54 @@ class GraphAnnSpec extends SparkSpec {
     assert(top1 == maxId, s"the revived id must serve at its new vector, got $top1")
   }
 
+  test("applyUpserts routes a mixed batch: tombstoned ids revive, fresh ids append, one flip, equals rebuild-over-union") {
+    val n = emb.count()
+    val cut = 4L * n / 5L
+    val path = java.nio.file.Files.createTempDirectory("graphann_ups").toString
+    GraphAnn.writeIndex(emb.filter(col("vec_id") < cut), "vec_id", "v",
+      m = 8, efC = 48, parts = 4, path)
+    val doomed = emb.filter(col("vec_id") < cut && col("vec_id") % 9 === 4)
+      .select(col("vec_id"))
+    assert(GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id")
+      == doomed.count())
+    val genBefore = GraphAnn.currentGeneration(path)
+    // ONE mixed batch: the even doomed ids return (revive) alongside
+    // the brand-new growing tail (append) — the CDC upsert shape
+    val mixed = emb.filter(
+        (col("vec_id") < cut && col("vec_id") % 9 === 4 &&
+          col("vec_id") % 2 === 0) || col("vec_id") >= cut)
+      .select(col("vec_id"), col("v"))
+    GraphAnn.applyUpserts(spark, path, mixed, "vec_id", "v")
+    assert(GraphAnn.currentGeneration(path) != genBefore,
+      "the revive leg must flip the generation")
+    assert(GraphAnn.tombstoneRows(spark, path) == 0L,
+      "the flip must fold the whole sidecar")
+    // final state ≡ from-scratch rebuild over union ∖ stay-deleted
+    // under the standing routing — the fresh appends must have landed
+    // in the FLIPPED generation for this to hold
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graphann_ups_rb").toString
+    GraphAnn.writeIndexWith(
+      spark.read.parquet(GraphAnn.tablePath(path, "routing")),
+      emb.filter(!(col("vec_id") < cut && col("vec_id") % 9 === 4 &&
+        col("vec_id") % 2 === 1)),
+      "vec_id", "v", m = 8, efC = 48, rebuilt)
+    def nodes(p: String) = spark.read.parquet(GraphAnn.tablePath(p, "nodes"))
+      .select(col("part").cast("int"), col("id"), col("vec"), col("nbrs"))
+      .as[(Int, Long, Seq[Double], Seq[Long])].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(nodes(path) == nodes(rebuilt),
+      "mixed-upsert drain diverges from the rebuild-over-union")
+    // a clean-sidecar batch takes the pure append fast path (no flip)
+    val gen2 = GraphAnn.currentGeneration(path)
+    GraphAnn.applyUpserts(spark, path,
+      emb.filter(col("vec_id") === n - 1)
+        .select(col("vec_id") + n, col("v")).toDF("vec_id", "v"),
+      "vec_id", "v")
+    assert(GraphAnn.currentGeneration(path) == gen2,
+      "a fresh-only batch must not flip the generation")
+  }
+
   test("routine refresh between delete and compaction does not resurrect tombstoned ids") {
     val path = java.nio.file.Files.createTempDirectory("graphann_del_rr").toString
     GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, path)

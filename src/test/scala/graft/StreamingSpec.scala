@@ -332,6 +332,52 @@ class StreamingSpec extends SparkSpec {
       "post-revive lists diverge from the never-deleted replay")
   }
 
+  test("q163 SQ8 revive: the post-revive code lists equal the never-deleted replay, byte for byte") {
+    // the full-strength pin behind q163's request-sized gates: after
+    // the quantized append path's compact-first revive, the at-rest
+    // codes must equal the standing-geometry quantization of
+    // all-minus-stay-deleted — byte-identical codes, one copy per
+    // revived id (codes are a pure function of assignment + bounds)
+    import graft.search.{IVF, SQ}
+    SparkEntry.queries("q163_sq_revive")(spark, sf0001).count()
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val path = PipelineQueries.roundtripPath(sf0001, "q163")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val ba = SQ.boundsArrays(spark.read.parquet(s"$path/bounds"))
+    val survivors = e.filter(!(col("vec_id") >= 100 &&
+      col("vec_id") % 7 === 3 && col("vec_id") % 3 =!= 0))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), base64(col("code")).as("c"),
+        col("cid").cast("long").as("cid"))
+    val atRest = rows(spark.read.parquet(IVF.listsPath(path)))
+    val want = rows(SQ.quantized(survivors, "vec_id", "v", cents, ba))
+    assert(atRest.exceptAll(want).isEmpty && want.exceptAll(atRest).isEmpty,
+      "post-revive SQ8 codes diverge from the never-deleted replay")
+  }
+
+  test("q164 lexical CDC+revive: the standing postings table equals the from-scratch build over the survivors") {
+    // the full-strength pin behind q164's oracle (which hashes only
+    // the 3-term serve): after two mid-drain flips — the revive
+    // compact and the valve compact — the WHOLE table must equal the
+    // from-scratch build over base + inserts − stay-deleted −
+    // CDC-deleted, every term included
+    import graft.lexical.BM25
+    SparkEntry.queries("q164_lex_cdc_revive")(spark, sf0001).count()
+    val post = spark.table("bm25_cdc_" + PipelineQueries.sanitizeTag(sf0001))
+      .select(col("doc"), col("len"), col("term"), col("tf"))
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val want = BM25.postings(
+        d.filter(!(col("doc_id") >= 100 && col("doc_id") < 300 &&
+            col("doc_id") % 9 === 4 && col("doc_id") % 2 === 0 &&
+            col("doc_id") % 4 =!= 0) &&
+          !(col("doc_id") < 100 && col("doc_id") % 3 === 0)),
+        "doc_id", "text")
+      .select(col("doc"), col("len"), col("term"), col("tf"))
+    assert(post.exceptAll(want).isEmpty && want.exceptAll(post).isEmpty,
+      "CDC+revive postings diverge from the from-scratch survivor build")
+  }
+
   test("q159 valve-fired mid-drain postings compaction: the standing table equals the from-scratch build over the survivors") {
     // the full-strength pin behind q159's oracle (which hashes only
     // the 3-term serve): after the valve fires mid-drain and the
