@@ -797,6 +797,135 @@ object CurationQueries {
       "a.doc_id % 10 = 7 AND c.doc_id % 10 <> 7 AND NOT (c.doc_id % 9 = 0)")}
        SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"""
 
+  // ---------- q170: register forget UNDER LIVE INGEST ----------
+
+  /** q169's FORGET LANDING MID-DRAIN on q130's cumulative stream —
+    * the register twin of q147/q148/q156/q157: the incoming slice
+    * drains as four rank-quartile micro-batches, each matching
+    * against the register-so-far and registering its own bands; the
+    * forget request (standing docs ≡ 0 mod 9) lands through
+    * [[graft.dedup.Dedup.deleteFromRegister]] AFTER batch 1's match
+    * commits, so batches 0–1 still matched the forgotten content and
+    * batches 2–3 must not — the mid-stream ghost-suppression
+    * witness, gated in-query by joining the accumulated match table
+    * to the deterministic batch assignment (forgotten-member pairs
+    * exist for pre-delete batches, none for post-delete ones).
+    * Mid-drain gates ride along: the delete counts exactly
+    * request ∩ register with the bucket files snapshot-untouched
+    * around it (batch registrations keep appending AFTER it), a
+    * repeat counts zero, the valve tracks the standing sidecar, and
+    * the LIVE register ends the drain equal to the one-shot build
+    * over (standing ∖ forgotten) ∪ incoming (q130's
+    * registration ≡ batch gate, minus the forgotten). Phase 2 closes
+    * it: [[graft.dedup.Dedup.compactRegister]] physically drops the
+    * forgotten rows into a clean-sidecar generation. FULLY ORACLED:
+    * q130's cumulative replay where forgotten standing members stop
+    * pairing from batch 2 on. */
+  def q170RegisterForgetMidDrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val mut = PipelineQueries.roundtripPath(dir, "q170_bands")
+    Option(new java.io.File(mut).getParentFile.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("q170_bands"))
+      .foreach(graft.FileTree.delete)
+    graft.FileTree.copy(new java.io.File(streamBandsPath(s, dir)),
+      new java.io.File(mut))
+    val req = d.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 9 === 0)
+      .select(col("doc_id").as("id"))
+    val nReq = Memo.cachedCount(s, dir, "q169_nreq")(req.count())
+    val stage = q130Stage(s, dir)
+    val out = PipelineQueries.roundtripPath(dir, "q170_out")
+    Seq.empty[(Long, Long, Double)].toDF("id1", "id2", "jaccard")
+      .write.mode("overwrite").parquet(out)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    var nDel = -1L; var nRepeat = -1L; var filesTouched = true
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      val b = batch.localCheckpoint()
+      // match against everything registered so far (sidecar-aware)...
+      q98BatchMatches(s, b, mut, d).write.mode("append").parquet(out)
+      // ...register this batch for the ones after it
+      Dedup.bandedSignatures(b, "doc_id", "text", shingleN, nPerm, rowsPerBand)
+        .withColumn("sigbucket", sigbucket(col("band"), col("bandsig")))
+        .repartition(col("sigbucket"))
+        .write.mode("append").partitionBy("sigbucket").parquet(mut)
+      // the right-to-be-forgotten request lands between batches
+      if (bid == 1L) {
+        def snap() = Option(new java.io.File(mut).listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("sigbucket="))
+          .flatMap(dd => Option(dd.listFiles()).toSeq.flatten)
+          .map(f => f.getPath -> f.lastModified()).toMap
+        val before = snap()
+        nDel = Dedup.deleteFromRegister(s, mut, req)
+        nRepeat = Dedup.deleteFromRegister(s, mut, req)
+        filesTouched = snap() != before
+      }
+    })
+    require(nDel == nReq,
+      s"q170: the mid-drain forget hid $nDel of a $nReq-doc request")
+    require(nRepeat == 0L, "q170: a repeated mid-drain forget must count zero")
+    require(!filesTouched,
+      "q170: the mid-drain forget must not touch a bucket file")
+    require(Dedup.needsCompactRegister(s, mut, nReq - 1) &&
+        !Dedup.needsCompactRegister(s, mut, nReq),
+      "q170: needsCompactRegister must track the standing sidecar exactly")
+    // registration ≡ batch, minus the forgotten: the LIVE view ends
+    // the drain equal to the one-shot build over survivors + incoming
+    // (q130's own O(register) in-query gate, with the delete folded)
+    val full = Dedup.bandedSignatures(
+        d.filter(!(col("doc_id") % 10 =!= 7 && col("doc_id") % 9 === 0)),
+        "doc_id", "text", shingleN, nPerm, rowsPerBand)
+      .withColumn("sigbucket", sigbucket(col("band"), col("bandsig")))
+      .select(col("id"), col("band"), col("bandsig"), col("sigbucket").cast("int"))
+    val liveRows = Dedup.liveRegister(s, mut, s.read.parquet(mut))
+      .select(col("id"), col("band"), col("bandsig"), col("sigbucket").cast("int"))
+    require(liveRows.exceptAll(full).isEmpty && full.exceptAll(liveRows).isEmpty,
+      "q170: the live register must equal the one-shot survivor+incoming build")
+    // the mid-stream witness: forgotten standing members pair ONLY
+    // with pre-delete batches (batch assignment is deterministic —
+    // the same rank quartiles the stager wrote)
+    val nInc = Memo.cachedCount(s, dir, "q170_ninc")(
+      d.filter(col("doc_id") % 10 === 7).count())
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    val bat = d.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("id1"),
+        floor((row_number().over(w) - 1).cast("long") * 4 / nInc)
+          .cast("long").as("bat"))
+    val ghost = s.read.parquet(out)
+      .join(broadcast(req.select(col("id").as("id2"))), Seq("id2"), "left_semi")
+      .join(broadcast(bat), Seq("id1"))
+    require(ghost.filter(col("bat") >= 2).isEmpty,
+      "q170: a forgotten doc matched a post-forget batch")
+    require(!ghost.filter(col("bat") <= 1).isEmpty,
+      "q170: the witness needs a pre-forget forgotten-member pair")
+    // phase 2: physical removal into a clean-sidecar generation
+    val live = Dedup.compactRegister(s, mut, q98SigBuckets)
+    require(s.read.parquet(live)
+        .join(broadcast(req), Seq("id"), "left_semi").isEmpty,
+      "q170: a forgotten doc's bands survived the rewrite")
+    require(!new java.io.File(Dedup.registerTombPath(live)).isDirectory,
+      "q170: the compacted generation must start with a clean sidecar")
+    s.read.parquet(out).orderBy("id1", "id2")
+  }
+
+  /** q130's cumulative replay with the mid-drain forget: a forgotten
+    * STANDING member (≡ 0 mod 9, outside the incoming slice) pairs
+    * only with incoming batches 0–1 (matched before the request
+    * landed); incoming-vs-earlier-incoming pairs are untouched (the
+    * request never names incoming docs). */
+  val q170Sql: String =
+    s"""WITH bq AS (SELECT doc_id,
+           CAST((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) * 4 //
+             (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 7) AS BIGINT) AS bat
+         FROM documents WHERE doc_id % 10 = 7),
+       ${pairsCteSqlWith("a.doc_id % 10 = 7 AND (c.doc_id % 10 <> 7 OR " +
+        "(SELECT x.bat FROM bq x WHERE x.doc_id = c.doc_id) < " +
+        "(SELECT y.bat FROM bq y WHERE y.doc_id = a.doc_id)) " +
+        "AND NOT (c.doc_id % 10 <> 7 AND c.doc_id % 9 = 0 AND " +
+        "(SELECT z.bat FROM bq z WHERE z.doc_id = a.doc_id) >= 2)")}
+       SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"""
+
   /** 16-bit SimHash per document (token-hash sign aggregation). */
   def q32Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash16(docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text")
@@ -1554,6 +1683,7 @@ object CurationQueries {
     "q98_stream_neardup" -> (q98StreamNeardup _),
     "q130_stream_neardup_cumulative" -> (q130StreamNeardupCumulative _),
     "q169_register_forget" -> (q169RegisterForget _),
+    "q170_register_forget_stream" -> (q170RegisterForgetMidDrain _),
     "q136_stream_curation" -> (q136StreamCuration _),
     "q105_semantic_decon" -> (q105SemanticDecon _),
     "q139_semdedup" -> (q139SemDedup _),
@@ -1577,6 +1707,7 @@ object CurationQueries {
     "q98_stream_neardup" -> q98Sql,
     "q130_stream_neardup_cumulative" -> q130Sql,
     "q169_register_forget" -> q169Sql,
+    "q170_register_forget_stream" -> q170Sql,
     "q136_stream_curation" -> q136Sql,
     "q105_semantic_decon" -> q105Sql,
     "q139_semdedup" -> q139Sql,

@@ -1147,6 +1147,70 @@ object Queries {
                     ROUND(score, 4) AS score FROM sc)
        SELECT doc, rank, score FROM r WHERE rank <= 20 ORDER BY rank"""
 
+  /** PINNED LEXICAL SERVING ACROSS A CONCURRENT COMPACTION — the
+    * declared row for [[graft.lexical.BM25.searchIndexedPinned]]
+    * (q142 declares the vector leg's pin; this is the lexical
+    * parity): a long-running reader resolves the postings
+    * generation ONCE ([[postingsLivePath]]), a maintenance
+    * compaction flips the metastore to a fresh `__genN` path UNDER
+    * the standing pin, and the reader keeps serving from the
+    * superseded generation — its files and path-keyed sidecar are
+    * the grace window — answering EXACTLY what the flipped
+    * generation answers (compaction moves bytes, never content).
+    * Gates: the flip really happened (live path differs from the
+    * pin), the pinned serve equals the post-flip metastore serve row
+    * for row, and the pinned read scans the pinned files (no silent
+    * re-resolution). Oracle: q20's scoring over the doc_id < 200
+    * slice — one SQL certifies the pinned snapshot, the flip, and
+    * the fresh generation all serve the same truth. */
+  def q171LexPinnedRead(s: SparkSession, dir: String): DataFrame = {
+    val tbl = "bm25_pin_" + PipelineQueries.sanitizeTag(dir)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = PipelineQueries.roundtripPath(dir, "bm25pin")
+    Option(new java.io.File(path).getParentFile.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("bm25pin"))
+      .foreach(graft.FileTree.delete)
+    val d = t(s, dir, "documents")
+    writePostings(s, d.filter(col("doc_id") < 200), tbl, path, "overwrite")
+    // the reader's pin: ONE metastore resolve, then never again
+    val pin = postingsLivePath(s, tbl)
+    // maintenance flips the generation under the standing pin
+    val live = compactPostings(s, tbl, pin)
+    require(live != pin,
+      "q171: the compaction must flip to a fresh generation")
+    require(postingsLivePath(s, tbl) == live,
+      "q171: the metastore must resolve to the flipped generation")
+    val pinned = BM25.searchIndexedPinned(s, pin, bm25Terms, 20)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2)
+    val post = s.table(tbl)
+    val current = BM25.searchIndexed(s, live, post,
+        BM25.statsFromPostings(post), bm25Terms, 20)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2)
+    require(pinned == current,
+      "q171: the pinned snapshot must serve exactly the flipped generation's answers")
+    import s.implicits._
+    pinned.toDF("doc", "rank", "score").orderBy("rank")
+  }
+
+  /** q20's scoring over the doc_id < 200 slice: pin, flip, and fresh
+    * generation must all serve this one truth. */
+  val q171Sql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+         FROM documents WHERE doc_id < 200),
+       corpus AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d),
+       post AS (SELECT doc_id, len(toks) AS len, UNNEST(toks) AS term FROM d),
+       tf AS (SELECT doc_id, len, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM post
+              WHERE term IN ('spark', 'hash', 'join') GROUP BY doc_id, len, term),
+       stats AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+       idf AS (SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf FROM stats, corpus),
+       sc AS (SELECT doc_id, SUM(idf * tf * 2.5 / (tf + 1.5 * (1.0 - 0.75 + 0.75 * len / avgdl))) AS score
+              FROM tf JOIN idf USING (term), corpus GROUP BY doc_id),
+       r AS (SELECT doc_id AS doc, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+                    ROUND(score, 4) AS score FROM sc)
+       SELECT doc, rank, score FROM r WHERE rank <= 20 ORDER BY rank"""
+
   /** q20's replay over the corpus minus the mid-drain delete: the
     * streamed index must be indistinguishable from one that never
     * held the deleted base docs — stats included. */
@@ -1217,6 +1281,7 @@ object Queries {
     "q148_stream_bm25_delete" -> (q148StreamBm25Delete _),
     "q159_stream_bm25_valve" -> (q159StreamBm25Valve _),
     "q164_lex_cdc_revive" -> (q164LexCdcRevive _),
+    "q171_lex_pinned_read" -> (q171LexPinnedRead _),
     "q149_bm25_multi" -> (q149Bm25Multi _)) ++
     CurationQueries.all ++ RetrievalQueries.all ++ PipelineQueries.all ++
     ScaleQueries.all ++ PrepQueries.all
@@ -1246,6 +1311,7 @@ object Queries {
     "q148_stream_bm25_delete" -> q148Sql,
     "q159_stream_bm25_valve" -> q148Sql,
     "q164_lex_cdc_revive" -> q164Sql,
+    "q171_lex_pinned_read" -> q171Sql,
     "q149_bm25_multi" -> q149Sql) ++
     CurationQueries.oracle ++ RetrievalQueries.oracle ++ PipelineQueries.oracle ++
     ScaleQueries.oracle ++ PrepQueries.oracle
