@@ -3875,6 +3875,71 @@ $sqRows)
                     ROUND(s, 6) AS score FROM f)
        SELECT id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  // ---------- q172: fully-pinned hybrid across concurrent flips ----------
+
+  /** THE SERVING TIER'S CONSISTENCY STORY, COMPLETED — q142 pins the
+    * vector leg; this row pins BOTH legs and flips BOTH indexes
+    * underneath them: a long-running hybrid server resolves its two
+    * read contracts ONCE at session start ([[graft.search.IVF
+    * .currentGeneration]] for the lists, [[graft.Queries
+    * .postingsLivePath]] for the postings generation), maintenance
+    * then compacts BOTH artifacts (an IVF CURRENT flip and a
+    * metastore-rename postings flip) under the standing pins, and
+    * the server keeps serving the fused answer from the two
+    * SUPERSEDED generations — each paired with its own sidecar, each
+    * held by its family's grace window — while the gates prove the
+    * flips really happened and that the pinned fusion equals the
+    * flipped generations' fusion ROW FOR ROW (compaction moves
+    * bytes, never content — across two index families at once).
+    * Oracle: q142's replay verbatim — pin, flip, and fresh
+    * generations all serve one truth. */
+  def q172PinnedHybrid(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val ivfPath = PipelineQueries.roundtripPath(dir, "q172_ivf")
+    graft.search.IVF.writeIndex(e, "vec_id", "v", ivfK, 0, ivfPath)
+    val tbl = "bm25_pinh_" + PipelineQueries.sanitizeTag(dir)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val postPath = PipelineQueries.roundtripPath(dir, "q172_post")
+    Option(new java.io.File(postPath).getParentFile.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("q172_post"))
+      .foreach(graft.FileTree.delete)
+    Queries.writePostings(s, docs(s, dir), tbl, postPath, "overwrite")
+    // the server's session start: pin BOTH read contracts once
+    val ivfPin = graft.search.IVF.currentGeneration(ivfPath)
+    val lexPin = Queries.postingsLivePath(s, tbl)
+    // maintenance flips BOTH indexes under the standing pins
+    graft.search.IVF.compactIndex(s, ivfPath)
+    val lexLive = Queries.compactPostings(s, tbl, lexPin)
+    require(graft.search.IVF.currentGeneration(ivfPath) != ivfPin,
+      "q172: the IVF compaction must flip the CURRENT pointer")
+    require(lexLive != lexPin,
+      "q172: the postings compaction must flip the metastore location")
+    val qdf = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the pinned serve: both legs from the superseded generations
+    val fusedPinned = rows(Hybrid.rrfFuse(
+      graft.search.IVF.searchIndexPinned(s, ivfPath, ivfPin, "vec_id", "v",
+        qdf, "qv", rrfDepth, ivfProbe),
+      "vec_id",
+      BM25.searchIndexedPinned(s, lexPin, Queries.bm25Terms, rrfDepth),
+      "doc", rrfC, 10))
+    // the flipped generations fuse the identical answer
+    val post = s.table(tbl)
+    val fusedLive = rows(Hybrid.rrfFuse(
+      graft.search.IVF.searchIndex(s, ivfPath, "vec_id", "v",
+        qdf, "qv", rrfDepth, ivfProbe),
+      "vec_id",
+      BM25.searchIndexed(s, lexLive, post,
+        BM25.statsFromPostings(post), Queries.bm25Terms, rrfDepth),
+      "doc", rrfC, 10))
+    require(fusedPinned == fusedLive,
+      "q172: the pinned fusion must equal the flipped generations' fusion")
+    import s.implicits._
+    fusedPinned.toDF("id", "rank", "score").orderBy("rank")
+  }
+
   // ---------- q150: multi-query hybrid from at-rest indexes ----------
 
   /** MULTI-QUERY HYBRID SERVING — q142's production RAG path for a
@@ -5396,7 +5461,8 @@ $sqRows)
     "q165_graph_revive" -> (q165GraphRevive _),
     "q166_cascade_all" -> (q166CascadeAll _),
     "q167_graph_multi" -> (q167GraphMulti _),
-    "q168_graph_cdc_feed" -> (q168GraphCdcFeed _))
+    "q168_graph_cdc_feed" -> (q168GraphCdcFeed _),
+    "q172_pinned_hybrid" -> (q172PinnedHybrid _))
 
   val oracle: Map[String, String] = Map(
     "q07_ingest_clean" -> q07Sql,
@@ -5453,6 +5519,10 @@ $sqRows)
     "q162_cascade_forget" -> q162Sql,
     "q163_sq_revive" -> q163Sql,
     "q166_cascade_all" -> q166Sql,
+    // q172 serves q142's exact truth through pinned generations on
+    // both legs — compaction is content-invariant, so one SQL
+    // certifies pin, flip, and fresh generation alike
+    "q172_pinned_hybrid" -> q142Sql,
     "q155_sq_delete" -> q155Sql,
     "q156_stream_sq_delete" -> q156Sql,
     "q150_hybrid_multi" -> q150Sql)
