@@ -232,33 +232,36 @@ object CurationQueries {
     * q117's composed pipeline runs the pair chain over its
     * cleaned-and-exact-deduped survivors instead of raw documents. */
   private[graft] def pairsCteSqlWith(pairPred: String,
-      srcSql: String = "SELECT doc_id, text FROM documents"): String = {
+      srcSql: String = "SELECT doc_id, text FROM documents",
+      prefix: String = ""): String = {
     val nBands = nPerm / rowsPerBand
-    s"""t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+    val p = prefix
+    s"""${p}t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
          FROM ($srcSql)),
-       d AS (SELECT doc_id,
+       ${p}d AS (SELECT doc_id,
            CASE WHEN len(toks) >= $shingleN THEN
              list_distinct(list_transform(generate_series(1, len(toks) - ${shingleN - 1}),
                k -> array_to_string(toks[k:k+${shingleN - 1}], ' ')))
-           ELSE [] END AS sh FROM t),
-       nz AS (SELECT doc_id, sh, len(sh) AS nsh FROM d WHERE len(sh) > 0),
-       hs AS (SELECT doc_id, sh, nsh,
+           ELSE [] END AS sh FROM ${p}t),
+       ${p}nz AS (SELECT doc_id, sh, len(sh) AS nsh FROM ${p}d WHERE len(sh) > 0),
+       ${p}hs AS (SELECT doc_id, sh, nsh,
                list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
-             FROM nz),
-       sig AS (SELECT doc_id, list_transform(generate_series(0, ${nPerm - 1}),
+             FROM ${p}nz),
+       ${p}sig AS (SELECT doc_id, list_transform(generate_series(0, ${nPerm - 1}),
                p -> list_aggregate(list_transform(hs,
                  h -> (((p+1) * 2654435761 % 2147483647) * h + (p+1) * 7919) % 2147483647), 'min')) AS sig
-             FROM hs),
-       banded AS (SELECT doc_id, b.b AS band,
+             FROM ${p}hs),
+       ${p}banded AS (SELECT doc_id, b.b AS band,
                array_to_string(sig[b.b*$rowsPerBand+1 : b.b*$rowsPerBand+$rowsPerBand], '|') AS bandsig
-             FROM sig, (SELECT unnest(generate_series(0, ${nBands - 1})) AS b) b),
-       cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
-              FROM banded a JOIN banded c
+             FROM ${p}sig, (SELECT unnest(generate_series(0, ${nBands - 1})) AS b) b),
+       ${p}cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+              FROM ${p}banded a JOIN ${p}banded c
                 ON a.band = c.band AND a.bandsig = c.bandsig AND ($pairPred)),
-       pairs AS (SELECT id1, id2,
+       ${p}pairs AS (SELECT id1, id2,
          ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
                (x.nsh + y.nsh - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
-       FROM cand JOIN nz x ON cand.id1 = x.doc_id JOIN nz y ON cand.id2 = y.doc_id)"""
+       FROM ${p}cand JOIN ${p}nz x ON ${p}cand.id1 = x.doc_id
+         JOIN ${p}nz y ON ${p}cand.id2 = y.doc_id)"""
   }
 
   val q31Sql: String =

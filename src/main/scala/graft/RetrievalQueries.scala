@@ -1212,6 +1212,180 @@ object RetrievalQueries {
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
+  /** CDC FEED + UPSERT/REVIVE + VALVE ON THE QUANTIZED FAMILY — the
+    * last empty cell of the CDC matrix (q160 IVF, q164 lexical, q168
+    * graph), and like the lexical twin FULLY ORACLED: codes are a
+    * pure function of (assignment, standing bounds), so the whole
+    * drain replays in SQL. One ordered I/D stream drains as five
+    * micro-batches onto the live SQ8 lists: inserts through
+    * [[graft.search.SQ.appendToIndex]] (whose [[graft.search.IVF
+    * .hasRevives]] probe runs per batch — a directory read when the
+    * sidecar is clean), deletes through [[graft.search.IVF
+    * .deleteFromIndex]] (the SHARED sidecar — quantized lists ride
+    * IVF's tombstone machinery outright), the [[graft.search.IVF
+    * .needsCompact]] valve polled after every batch. The feed:
+    * insert half the delta / delete an ABSOLUTE-WINDOW base request
+    * (AT the valve threshold — the hide stands, q164's 30×-proofed
+    * sizing rule) / insert the other half / RE-INGEST half the
+    * deleted ids (the revive batch: the probe fires and the deferred
+    * [[graft.search.IVF.compactIndex]] runs FIRST — CURRENT flip 1 —
+    * then the new codes land in the flipped generation as the ids'
+    * only rows) / delete STREAMED-IN ids (a second, larger request
+    * that pushes the fresh sidecar OVER the valve — flip 2 fires
+    * inside the drain, and its grace-window GC collects the
+    * twice-superseded base generation UNDER ingest). Gates: every
+    * insert batch quantizes in-distribution (clamp fraction under
+    * [[sqClampThreshold]] — neither the revive nor the CDC deletes
+    * may perturb the requant trigger), each delete batch hides
+    * exactly its request, the generation flips at exactly the revive
+    * and valve batches, the valve fires exactly once, each revived
+    * id holds exactly ONE code row, the base generation is GC'd, the
+    * final generation is sidecarless, and at-rest code mass is
+    * all − deleted + revived − CDC-deleted. Oracle: q163's replay
+    * under the feed's COMPOSITE predicate — stay-deleted and
+    * CDC-deleted rows never quantized, everything else (revived
+    * included) indistinguishable from always-present. */
+  def q173SqCdcRevive(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q173")
+    graft.search.SQ.writeIndex(e.filter(col("vec_id") >= 100),
+      "vec_id", "v", ivfK, path)
+    val gen0 = graft.search.IVF.listsPath(path)
+    // del1 is an ABSOLUTE id window (q164's scale rule): the request
+    // must stay request-sized as the corpus grows, or it would
+    // outgrow del2's fixed feed slice and flip the valve relation
+    val del1Pred = col("vec_id") >= 100 && col("vec_id") < 300 &&
+      col("vec_id") % 7 === 3
+    val revPred = del1Pred && col("vec_id") % 2 === 0
+    val del2Pred = col("vec_id") < 100 && col("vec_id") % 3 === 0
+    val stage = Memo.cachedValue(s, dir, "q173_stage") {
+      stageFeedSlices(Seq(
+        e.filter(col("vec_id") < 100 && col("vec_id") % 2 === 0)
+          .select(lit("I").as("op"), col("vec_id"), col("v")),
+        e.filter(del1Pred).select(lit("D").as("op"), col("vec_id"), col("v")),
+        e.filter(col("vec_id") < 100 && col("vec_id") % 2 === 1)
+          .select(lit("I").as("op"), col("vec_id"), col("v")),
+        e.filter(revPred).select(lit("I").as("op"), col("vec_id"), col("v")),
+        e.filter(del2Pred).select(lit("D").as("op"), col("vec_id"), col("v"))),
+        PipelineQueries.roundtripPath(dir, "q173_feed"))
+    }
+    val nDel1 = Memo.cachedCount(s, dir, "q173_nd1")(e.filter(del1Pred).count())
+    val nRev = Memo.cachedCount(s, dir, "q173_nrev")(e.filter(revPred).count())
+    val nDel2 = Memo.cachedCount(s, dir, "q173_nd2")(e.filter(del2Pred).count())
+    require(nRev > 0 && nRev < nDel1,
+      "q173 needs a proper revive subset of the first delete request")
+    require(nDel2 > nDel1,
+      "q173 needs the second request over the valve the first stays under")
+    val valve = nDel1 // first delete sits AT the threshold: silent
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    var applied = Map.empty[Long, Long]
+    var fired = List.empty[Long]
+    var gens = List.empty[(Long, String)]
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      val ins = batch.filter(col("op") === "I").select(col("vec_id"), col("v"))
+      if (!ins.isEmpty) {
+        val f = graft.search.SQ.appendToIndex(s, path, ins, "vec_id", "v")
+        require(f <= sqClampThreshold,
+          s"q173: in-distribution batch must not trip requant (clamped $f)")
+      }
+      val del = batch.filter(col("op") === "D")
+        .select(col("vec_id").as("id"))
+      if (!del.isEmpty)
+        applied += bid -> graft.search.IVF.deleteFromIndex(s, path, del, "id")
+      // the maintenance poll — every batch, after its operations
+      if (graft.search.IVF.needsCompact(s, path, valve)) {
+        fired ::= bid
+        graft.search.IVF.compactIndex(s, path)
+      }
+      gens ::= bid -> graft.search.IVF.listsPath(path)
+    })
+    require(applied == Map(1L -> nDel1, 4L -> nDel2),
+      s"q173: each delete batch must hide exactly its request (got $applied)")
+    require(fired == List(4L),
+      s"q173: the valve must fire exactly once, at the second delete " +
+        s"(fired at ${fired.reverse.mkString(",")})")
+    val byBatch = gens.reverse.toMap
+    require(byBatch(0L) == byBatch(1L) && byBatch(1L) == byBatch(2L),
+      "q173: no flip may land before the revive batch")
+    require(byBatch(2L) != byBatch(3L),
+      "q173: the revive batch must run the deferred compaction (flip 1)")
+    require(byBatch(3L) != byBatch(4L),
+      "q173: the valve batch must commit a second generation (flip 2)")
+    require(!new java.io.File(gen0).exists(),
+      "q173: the twice-superseded base generation must be GC'd under ingest")
+    val lp = graft.search.IVF.listsPath(path)
+    require(!new java.io.File(new java.io.File(lp).getParentFile,
+        s"tomb__${new java.io.File(lp).getName}").isDirectory,
+      "q173: the final generation must be sidecarless")
+    // single-copy semantics: each revived id holds exactly one code row
+    val copies = s.read.parquet(lp).select(col("id"))
+      .join(broadcast(e.filter(revPred).select(col("vec_id").as("id"))),
+        Seq("id"), "left_semi")
+      .groupBy(col("id")).count()
+      .agg(count(lit(1)).as("ids"), max(col("count")).as("mx"))
+      .head()
+    require(copies.getLong(0) == nRev && copies.getLong(1) == 1L,
+      "q173: every revived id must return as exactly one code row")
+    val nAll = Memo.cachedCount(s, dir, "emb_n")(e.count())
+    require(s.read.parquet(lp).count() == nAll - nDel1 + nRev - nDel2,
+      "q173: at-rest code mass must be all minus deleted plus revived minus CDC-deleted")
+    graft.search.SQ.searchIndex(s, path, e, "vec_id", "v",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+      10, ivfProbe, sqRerank)
+      .orderBy("rank")
+  }
+
+  /** q163's replay under the composite CDC predicate: stay-deleted
+    * (deleted, never re-ingested) and CDC-deleted rows dropped before
+    * quantization; a revived code is indistinguishable from one never
+    * deleted because codes are a pure function of (assignment,
+    * standing bounds). LAZY per the init-order rule (interpolates
+    * sqDim/sqRerank, declared later). */
+  lazy val q173Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e WHERE vec_id >= 100) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       d AS (SELECT * FROM a
+           WHERE NOT (vec_id >= 100 AND vec_id < 300 AND vec_id % 7 = 3
+                 AND vec_id % 2 <> 0)
+             AND NOT (vec_id < 100 AND vec_id % 3 = 0)),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       b AS (SELECT d, MIN(v[d]) AS lo, MAX(v[d]) AS hi
+             FROM (SELECT v FROM e WHERE vec_id >= 100),
+               (SELECT UNNEST(generate_series(1, $sqDim)) AS d) GROUP BY d),
+       bl AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM b),
+       cd AS (SELECT d.vec_id, d.cid,
+           list_transform(generate_series(1, $sqDim), dd ->
+             CASE WHEN hi[dd] = lo[dd] THEN 0
+               ELSE CAST(least(255.0, greatest(0.0,
+                 round((v[dd] - lo[dd]) * 255.0 / (hi[dd] - lo[dd]), 0))) AS INT) END) AS code
+         FROM d, bl),
+       ad AS (SELECT cd.vec_id,
+           list_dot_product(list_transform(generate_series(1, $sqDim), dd ->
+             lo[dd] + code[dd] * ((hi[dd] - lo[dd]) / 255.0)), pr.qv) AS adc
+         FROM cd JOIN pr ON cd.cid = pr.cid, bl),
+       cand AS (SELECT vec_id FROM (
+           SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc DESC, vec_id) AS r FROM ad)
+         WHERE r <= $sqRerank),
+       sc AS (SELECT e.vec_id, list_dot_product(e.v, q.qv) AS sc
+              FROM e JOIN cand USING (vec_id), q),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
   // ---------- q162: cascade forget across derived artifacts ----------
 
   /** CASCADE RIGHT-TO-BE-FORGOTTEN ACROSS THE FACTORY — a document
@@ -1550,6 +1724,377 @@ object RetrievalQueries {
          UNION ALL
          SELECT 'sq' AS leg, id, rank, score FROM sr WHERE rank <= 10)
        ORDER BY leg, rank"""
+  }
+
+  // ---------- q174: factory-wide forget, registers included ----------
+
+  /** THE FACTORY-WIDE FORGET — q166's cascade grown to the LAST
+    * derived-artifact family it did not reach: the curation REGISTER
+    * (q169's banded-MinHash band table — fingerprints of document
+    * content that, if kept, GHOST-SUPPRESS every future near-dup of
+    * the forgotten text). ONE logical request — "forget this cohort's
+    * documents" (standing docs ≡ 0 mod 9) — lands in FIVE sidecars
+    * through five family-specific delete ops, each hide O(request ∩
+    * artifact): (1) the term-bucketed postings hold the request's
+    * < 200 slice, (2–4) the chunk-IVF / SQ8-code / graph indexes hold
+    * its manifest-derived chunk keys (one broadcast semi-join shared
+    * by all three), and (5) the register holds its band rows over the
+    * full standing corpus — different artifacts hold different
+    * SLICES of the same content, and each delete must count exactly
+    * its own intersection (the orphan-free discipline: nothing
+    * missed, nothing over-deleted). Register-specific gates ride
+    * along from q169: the tombstone phase opens no bucket file, a
+    * repeat counts zero, and the GHOST-SUPPRESSION WITNESS — the
+    * incoming slice's match table loses exactly the forgotten-member
+    * pairs. Serve gates per family: no forgotten doc or derived
+    * chunk surfaces in the lexical, IVF, SQ8, or graph (rows-gated)
+    * serves. Declared output, THREE legs fully oracled in one SQL:
+    * the fused parent-doc hybrid, the SQ8 chunk serve, and the
+    * register match table, each replayed against the corpus where
+    * the forgotten docs were never chunked, embedded, quantized,
+    * indexed, posted, or fingerprinted. */
+  def q174FactoryForget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    require(Queries.bm25Terms == Seq("spark", "hash", "join"),
+      "q174Sql's literal query terms are out of sync with Queries.bm25Terms")
+    val d = docs(s, dir)
+    // THE one request: a cohort's standing documents, corpus-wide
+    val reqPred = col("doc_id") % 9 === 0 && col("doc_id") % 10 =!= 7
+    val req = d.filter(reqPred).select(col("doc_id")).localCheckpoint()
+    val nReq = Memo.cachedCount(s, dir, "q174_nreq")(req.count())
+    // the artifacts: postings + three vector indexes over the < 200
+    // chunked slice, the register over the full standing corpus
+    val cv = chunkVecs(s, dir)
+    val nCh = Memo.cachedCount(s, dir, "q166_ncv")(cv.count())
+    val ivfPath = PipelineQueries.roundtripPath(dir, "q174_ivf")
+    graft.search.IVF.writeIndex(cv, "ckey", "v", ivfK, 0, ivfPath)
+    val sqPath = PipelineQueries.roundtripPath(dir, "q174_sq")
+    graft.search.SQ.writeIndex(cv, "ckey", "v", ivfK, sqPath)
+    val graphPath = PipelineQueries.roundtripPath(dir, "q174_graph")
+    graft.search.GraphAnn.writeIndex(cv, "ckey", "v", graphM, graphEf,
+      math.max(8, math.ceil(nCh.toDouble / graphTargetPart).toInt), graphPath)
+    val tbl = "bm25_ffg_" + PipelineQueries.sanitizeTag(dir)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val postPath = PipelineQueries.roundtripPath(dir, "q174_post")
+    graft.FileTree.delete(new java.io.File(postPath))
+    graft.FileTree.delete(
+      new java.io.File(graft.lexical.BM25.tombPath(postPath)))
+    Queries.writePostings(s, d.filter(col("doc_id") < 200),
+      tbl, postPath, "overwrite")
+    val mut = PipelineQueries.roundtripPath(dir, "q174_bands")
+    Option(new java.io.File(mut).getParentFile.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("q174_bands"))
+      .foreach(graft.FileTree.delete)
+    graft.FileTree.copy(
+      new java.io.File(CurationQueries.streamBandsPath(s, dir)),
+      new java.io.File(mut))
+    // leg 1, lexical: the request ∩ the < 200 postings slice
+    val nLexReq = Memo.cachedCount(s, dir, "q174_nlexreq")(
+      d.filter(reqPred && col("doc_id") < 200).count())
+    require(nLexReq > 0 && nLexReq < nReq,
+      "q174 needs the postings to hold a proper slice of the request")
+    val nLex = graft.lexical.BM25.deleteFromPostings(s, postPath,
+      s.table(tbl), req.select(col("doc_id").as("doc")))
+    require(nLex == nLexReq,
+      s"q174: the lexical hide must count exactly request ∩ postings " +
+        s"($nLex of $nLexReq)")
+    // legs 2–4: the manifest-derived chunk keys, ONE derivation
+    val delKeys = cv.select(col("ckey"))
+      .join(broadcast(d.filter(reqPred).select(col("doc_id").as("__p"))),
+        expr(s"ckey div $pdChunkMul") === col("__p"), "left_semi")
+      .localCheckpoint()
+    val nChDel = Memo.cachedCount(s, dir, "q174_nchdel")(delKeys.count())
+    require(nChDel >= nLexReq,
+      "q174 needs every requested doc in the chunked slice to cascade")
+    val nIvf = graft.search.IVF.deleteFromIndex(s, ivfPath, delKeys, "ckey")
+    require(nIvf == nChDel,
+      s"q174: the IVF cascade hid $nIvf of $nChDel derived chunks")
+    val nSq = graft.search.IVF.deleteFromIndex(s, sqPath,
+      delKeys.select(col("ckey").as("id")), "id")
+    require(nSq == nChDel,
+      s"q174: the SQ8 cascade hid $nSq of $nChDel derived chunks")
+    val nGr = graft.search.GraphAnn.deleteFromIndex(s, graphPath,
+      delKeys, "ckey")
+    require(nGr == nChDel,
+      s"q174: the graph cascade hid $nGr of $nChDel derived chunks")
+    require(graft.search.IVF.tombstoneRows(s, ivfPath) == nChDel &&
+        graft.search.IVF.tombstoneRows(s, sqPath) == nChDel &&
+        graft.search.GraphAnn.tombstoneRows(s, graphPath) == nChDel,
+      "q174: a vector family's sidecar diverged from the derived chunk set")
+    // leg 5, the register: request ∩ standing bands = the full request
+    val incoming = d.filter(col("doc_id") % 10 === 7).localCheckpoint()
+    def matches(p: String) =
+      CurationQueries.q98BatchMatches(s, incoming, p, d)
+        .select(col("id1"), col("id2"), col("jaccard"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+    val before = matches(mut)
+    require(before.exists(_._2 % 9 == 0),
+      "q174 needs at least one pair whose standing member is forgotten " +
+        "for the ghost-suppression witness to bite")
+    def bucketSnap(): Map[String, Long] =
+      Option(new java.io.File(mut).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("sigbucket="))
+        .flatMap(dd => Option(dd.listFiles()).toSeq.flatten)
+        .map(f => f.getPath -> f.lastModified()).toMap
+    val snap = bucketSnap()
+    val nReg = graft.dedup.Dedup.deleteFromRegister(s, mut,
+      req.select(col("doc_id").as("id")))
+    require(nReg == nReq,
+      s"q174: the register hide must count the full standing request " +
+        s"($nReg of $nReq)")
+    require(graft.dedup.Dedup.deleteFromRegister(s, mut,
+        req.select(col("doc_id").as("id"))) == 0L,
+      "q174: re-deleting tombstoned docs must count zero")
+    require(bucketSnap() == snap,
+      "q174: the register tombstone phase must not touch a bucket file")
+    val after = matches(mut)
+    require(!after.exists(_._2 % 9 == 0),
+      "q174: a forgotten doc still suppresses incoming content")
+    require(after == before.filterNot(_._2 % 9 == 0),
+      "q174: the register hide changed pairs beyond the forgotten members")
+    // the serves, one per family, each blind to the request
+    val qv = new graft.embed.PortableHashEmbedder(64)
+      .embed(Queries.bm25Terms.mkString(" ")).map(_.toDouble).toSeq
+    val qdf = s.range(1).select(typedLit(qv).as("qv"))
+    val forgottenChunk = expr(s"ckey div $pdChunkMul") % 9 === 0 &&
+      expr(s"ckey div $pdChunkMul") % 10 =!= 7
+    val chunks = graft.search.IVF.searchIndex(s, ivfPath, "ckey", "v",
+      qdf, "qv", rrfDepth, ivfProbe)
+    require(chunks.filter(forgottenChunk).isEmpty,
+      "q174: a forgotten doc's chunk surfaced in the IVF serve")
+    val vecDocs = chunks
+      .select(expr(s"ckey div $pdChunkMul").as("id"), col("score"))
+      .groupBy("id").agg(max(col("score")).as("__s"))
+      .withColumn("rank", row_number()
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          .orderBy(col("__s").desc, col("id").asc)).cast("long"))
+    val post = s.table(tbl)
+    val lex = graft.lexical.BM25.searchIndexed(s, postPath, post,
+      graft.lexical.BM25.statsFromPostings(post), Queries.bm25Terms, rrfDepth)
+    require(lex.filter(col("doc") % 9 === 0 && col("doc") % 10 =!= 7).isEmpty,
+      "q174: a forgotten doc surfaced in the lexical serve")
+    val fused = Hybrid.rrfFuse(vecDocs, "id", lex, "doc", rrfC, 10)
+    val sqServe = graft.search.SQ.searchIndex(s, sqPath, cv, "ckey", "v",
+      qdf, "qv", 10, ivfProbe, sqRerank)
+    require(sqServe.filter(forgottenChunk).isEmpty,
+      "q174: a forgotten doc's chunk surfaced in the SQ8 ADC serve")
+    val grServe = graft.search.GraphAnn.searchIndex(s, graphPath, "ckey",
+      qdf, "qv", 10, graphEf)
+    require(grServe.filter(forgottenChunk).isEmpty,
+      "q174: a forgotten doc's chunk surfaced in the graph serve")
+    // three oracled legs in one declared frame
+    fused.select(lit("fused").as("leg"), col("id").as("a"),
+        col("rank").as("b"), round(col("score"), 6).as("x"))
+      .unionByName(sqServe.select(lit("sq").as("leg"),
+        col("ckey").as("a"), col("rank").as("b"),
+        round(col("score"), 6).as("x")))
+      .unionByName(after.toDF("id1", "id2", "jaccard")
+        .select(lit("reg").as("leg"), col("id1").as("a"),
+          col("id2").as("b"), round(col("jaccard"), 6).as("x")))
+      .orderBy("leg", "a", "b")
+  }
+
+  /** The never-existed replay across three artifact families at once:
+    * q166Sql's fused-hybrid and SQ8 legs under the cohort predicate
+    * (docs ≡ 0 mod 9, standing), plus q169Sql's register match table
+    * (prefixed CTE chain — same WITH clause, disjoint names). LAZY
+    * per the init-order rule. */
+  lazy val q174Sql: String = {
+    val sz = PrepQueries.chunkSize; val st = PrepQueries.chunkStride
+    val fg = "(doc_id % 9 = 0 AND doc_id % 10 <> 7)"
+    val fgc = s"((ckey // $pdChunkMul) % 9 = 0 AND (ckey // $pdChunkMul) % 10 <> 7)"
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         FROM documents WHERE doc_id < 200),
+       sch AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), $st)) AS stt FROM t),
+       cbase AS (SELECT doc_id * $pdChunkMul + ((stt - 1) // $st) AS doc_id,
+           array_to_string(toks[stt : stt + ${sz - 1}], ' ') AS ctext FROM sch),
+       ${embedCteSql("cbase", "ctext", 64, "")},
+       cv AS (SELECT doc_id AS ckey, list(x ORDER BY j) AS v FROM vf GROUP BY doc_id),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((ckey % 2147483648) * 1103515245 + 12345) % 2147483648, ckey) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM cv) WHERE cid < $ivfK),
+       a AS (SELECT ckey, v, cid FROM (
+           SELECT cv.ckey, cv.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY cv.ckey
+               ORDER BY list_dot_product(cv.v, c.cvec) DESC, c.cid) AS r
+           FROM cv, c) WHERE r = 1),
+       live AS (SELECT * FROM a WHERE NOT $fgc),
+       qbase AS (SELECT 0 AS doc_id, 'spark hash join' AS qtext),
+       ${embedCteSql("qbase", "qtext", 64, "q")},
+       qvec AS (SELECT list(x ORDER BY j) AS qv FROM qvf GROUP BY doc_id),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, qvec q) WHERE r <= $ivfProbe),
+       vs AS (SELECT live.ckey, list_dot_product(live.v, pr.qv) AS sc
+              FROM live JOIN pr ON live.cid = pr.cid),
+       vchunk AS (SELECT ckey, sc FROM (
+           SELECT ckey, sc, ROW_NUMBER() OVER (ORDER BY sc DESC, ckey) AS r FROM vs)
+         WHERE r <= $rrfDepth),
+       vr AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, id) AS BIGINT) AS rank FROM (
+           SELECT ckey // $pdChunkMul AS id, MAX(ROUND(sc, 6)) AS s FROM vchunk GROUP BY 1)),
+       d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+             FROM documents WHERE doc_id < 200 AND NOT $fg),
+       corpus AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d),
+       post AS (SELECT doc_id, len(toks) AS len, UNNEST(toks) AS term FROM d),
+       tf AS (SELECT doc_id, len, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM post
+              WHERE term IN ('spark', 'hash', 'join') GROUP BY doc_id, len, term),
+       stats AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+       idf AS (SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf FROM stats, corpus),
+       lsc AS (SELECT doc_id, SUM(idf * tf * 2.5 / (tf + 1.5 * (1.0 - 0.75 + 0.75 * len / avgdl))) AS score
+              FROM tf JOIN idf USING (term), corpus GROUP BY doc_id),
+       lr AS (SELECT doc_id AS id, rank FROM (
+           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM lsc)
+           WHERE rank <= $rrfDepth),
+       f AS (SELECT COALESCE(v.id, l.id) AS id,
+           COALESCE(1.0 / ($rrfC + v.rank), 0.0) + COALESCE(1.0 / ($rrfC + l.rank), 0.0) AS s
+         FROM vr v FULL OUTER JOIN lr l ON v.id = l.id),
+       r AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, id) AS BIGINT) AS rank,
+                    ROUND(s, 6) AS score FROM f),
+       b AS (SELECT d, MIN(v[d]) AS lo, MAX(v[d]) AS hi
+             FROM cv, (SELECT UNNEST(generate_series(1, 64)) AS d) GROUP BY d),
+       bl AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM b),
+       cd AS (SELECT live.ckey, live.cid,
+           list_transform(generate_series(1, 64), dd ->
+             CASE WHEN hi[dd] = lo[dd] THEN 0
+               ELSE CAST(least(255.0, greatest(0.0,
+                 round((v[dd] - lo[dd]) * 255.0 / (hi[dd] - lo[dd]), 0))) AS INT) END) AS code
+         FROM live, bl),
+       ad AS (SELECT cd.ckey,
+           list_dot_product(list_transform(generate_series(1, 64), dd ->
+             lo[dd] + code[dd] * ((hi[dd] - lo[dd]) / 255.0)), pr.qv) AS adc
+         FROM cd JOIN pr ON cd.cid = pr.cid, bl),
+       scand AS (SELECT ckey FROM (
+           SELECT ckey, ROW_NUMBER() OVER (ORDER BY adc DESC, ckey) AS r FROM ad)
+         WHERE r <= $sqRerank),
+       ssc AS (SELECT cv.ckey, list_dot_product(cv.v, q.qv) AS sc
+              FROM cv JOIN scand USING (ckey), qvec q),
+       sr AS (SELECT ckey AS id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, ckey) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM ssc),
+       ${CurationQueries.pairsCteSqlWith(
+        "a.doc_id % 10 = 7 AND c.doc_id % 10 <> 7 AND NOT (c.doc_id % 9 = 0)",
+        "SELECT doc_id, text FROM documents", "rg_")}
+       SELECT leg, a, b, x FROM (
+         SELECT 'fused' AS leg, id AS a, rank AS b, score AS x FROM r WHERE rank <= 10
+         UNION ALL
+         SELECT 'sq' AS leg, id AS a, rank AS b, score AS x FROM sr WHERE rank <= 10
+         UNION ALL
+         SELECT 'reg' AS leg, id1 AS a, id2 AS b, ROUND(jaccard, 6) AS x FROM rg_pairs)
+       ORDER BY leg, a, b"""
+  }
+
+  // ---------- q175/q176: pinned serving, graph + SQ8 ----------
+
+  /** PINNED GRAPH SERVING ACROSS A CONCURRENT COMPACTION — the graph
+    * cell of the serving-consistency matrix q142 (IVF), q171
+    * (lexical), and q172 (hybrid) fill for the other families: a
+    * long-running reader captures [[graft.search.GraphAnn
+    * .currentGeneration]] ONCE and serves every query through
+    * [[graft.search.GraphAnn.searchIndexPinned]]; a delete lands in
+    * the pinned generation's OWN sidecar (the hide rides the pin —
+    * the generation-keyed `tombstones` table is part of the snapshot
+    * unit); maintenance then runs [[graft.search.GraphAnn
+    * .compactTombstones]], flipping CURRENT to a rebuilt generation
+    * UNDER the standing pin. The pinned reader must (a) hide the
+    * request BEFORE the flip (sidecar-aware pin), (b) serve
+    * IDENTICAL answers before and after the flip (the superseded
+    * generation and its sidecar are the grace window), and (c) agree
+    * with the flipped generation's serve row for row (hide-now ≡
+    * remove-later, across the pin). Rows-only per the graph
+    * discipline (construction is not SQL-expressible); the three
+    * equality gates are the contract, GraphAnnSpec pins expiry
+    * loudness. */
+  def q175GraphPinnedRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.search.GraphAnn
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q175")
+    cloneTree(graphIndexPath(s, dir), path)
+    val delIds = e.filter(col("vec_id") % 9 === 4).select(col("vec_id"))
+    val nReq = Memo.cachedCount(s, dir, "q145_ndel")(delIds.count())
+    require(GraphAnn.deleteFromIndex(s, path, delIds, "vec_id") == nReq,
+      "q175: the request must land fully in the live sidecar")
+    // the reader's pin: ONE pointer resolve, then never again
+    val pin = GraphAnn.currentGeneration(path)
+    val probe = graphProbeFor(s, dir)
+    def pinned() = GraphAnn.searchIndexPinned(s, path, pin, "vec_id",
+        e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+        10, graphEf, probeParts = probe)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2)
+    val before = pinned()
+    require(before.forall(_._1 % 9 != 4),
+      "q175: the pinned serve must hide the standing request " +
+        "(the sidecar is part of the snapshot unit)")
+    GraphAnn.compactTombstones(s, path)
+    require(GraphAnn.currentGeneration(path) != pin,
+      "q175: the compaction must flip to a fresh generation")
+    val after = pinned()
+    require(after == before,
+      "q175: the pin must serve identical answers across the flip")
+    val current = GraphAnn.searchIndex(s, path, "vec_id",
+        e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+        10, graphEf, probeParts = probe)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2)
+    require(after == current,
+      "q175: the pinned snapshot must serve exactly the flipped " +
+        "generation's answers (hide-now ≡ remove-later, across the pin)")
+    after.toDF("vec_id", "rank", "score").orderBy("rank")
+  }
+
+  /** PINNED SQ8 SERVING ACROSS A CONCURRENT COMPACTION — the
+    * quantized cell of the same matrix, and unlike the graph twin
+    * FULLY ORACLED: a reader pins [[graft.search.IVF
+    * .currentGeneration]] once (the SQ8 index versions only its
+    * lists — geometry is standing by contract, so the lists half IS
+    * the snapshot), q155's delete lands in the pinned generation's
+    * sidecar, and [[graft.search.IVF.compactIndex]] flips CURRENT
+    * under the standing pin. Gates mirror q175: the pinned ADC serve
+    * hides the request before the flip, serves identically across
+    * it (superseded lists + their own sidecar = the grace window),
+    * and agrees with the flipped generation's serve row for row.
+    * Oracle: q155's replay — pin, flip, and fresh generation all
+    * serve the one truth where the deleted codes never reach the
+    * re-rank and geometry never moves. */
+  def q176SqPinnedRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q176")
+    graft.search.SQ.writeIndex(e, "vec_id", "v", ivfK, path)
+    val delIds = e.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id").as("id"))
+    val nReq = Memo.cachedCount(s, dir, "q155_ndel")(delIds.count())
+    require(graft.search.IVF.deleteFromIndex(s, path, delIds, "id") == nReq,
+      "q176: the request must land fully in the live sidecar")
+    // the reader's pin: ONE pointer resolve, then never again
+    val pin = graft.search.IVF.currentGeneration(path)
+    def pinned() = graft.search.SQ.searchIndexPinned(s, path, pin,
+        e, "vec_id", "v",
+        e.filter(col("vec_id") === 2).select(col("v").as("qv")), "qv",
+        10, ivfProbe, sqRerank)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2)
+    val before = pinned()
+    require(before.forall(_._1 % 7 != 3),
+      "q176: the pinned ADC serve must hide the standing request")
+    graft.search.IVF.compactIndex(s, path)
+    require(graft.search.IVF.currentGeneration(path) != pin,
+      "q176: the compaction must flip to a fresh generation")
+    val after = pinned()
+    require(after == before,
+      "q176: the pin must serve identical answers across the flip")
+    val current = graft.search.SQ.searchIndex(s, path, e, "vec_id", "v",
+        e.filter(col("vec_id") === 2).select(col("v").as("qv")), "qv",
+        10, ivfProbe, sqRerank)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2)
+    require(after == current,
+      "q176: the pinned snapshot must serve exactly the flipped " +
+        "generation's answers")
+    after.toDF("vec_id", "rank", "score").orderBy("rank")
   }
 
   // ---------- q167: multi-query graph serving ----------
@@ -5447,6 +5992,10 @@ $sqRows)
     "q161_upsert_revive" -> (q161UpsertRevive _),
     "q162_cascade_forget" -> (q162CascadeForget _),
     "q163_sq_revive" -> (q163SqRevive _),
+    "q173_sq_cdc_revive" -> (q173SqCdcRevive _),
+    "q174_factory_forget" -> (q174FactoryForget _),
+    "q175_graph_pinned_read" -> (q175GraphPinnedRead _),
+    "q176_sq_pinned_read" -> (q176SqPinnedRead _),
     "q129_graph_filtered" -> (q129GraphFiltered _),
     "q133_sq_compact" -> (q133SqCompact _),
     "q134_ivf_multi" -> (q134IvfMulti _),
@@ -5518,6 +6067,12 @@ $sqRows)
     "q161_upsert_revive" -> q161Sql,
     "q162_cascade_forget" -> q162Sql,
     "q163_sq_revive" -> q163Sql,
+    "q173_sq_cdc_revive" -> q173Sql,
+    "q174_factory_forget" -> q174Sql,
+    // q176 serves q155's exact truth through the pinned generation —
+    // compaction is content-invariant, so one SQL certifies pin,
+    // flip, and fresh generation alike (q175 is rows-only: graph)
+    "q176_sq_pinned_read" -> q155Sql,
     "q166_cascade_all" -> q166Sql,
     // q172 serves q142's exact truth through pinned generations on
     // both legs — compaction is content-invariant, so one SQL

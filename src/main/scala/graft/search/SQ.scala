@@ -225,7 +225,19 @@ object SQ {
     * by (adc desc, id asc) via the bounded heap. */
   private[graft] def adcCandidates(spark: SparkSession, path: String,
                                    qv: Seq[Double], nprobe: Int,
-                                   rerank: Int): DataFrame = {
+                                   rerank: Int): DataFrame =
+    adcCandidatesAt(spark, path, IVF.listsPath(path), qv, nprobe, rerank)
+
+  /** [[adcCandidates]] against an explicit lists generation — the
+    * live pointer resolve happens in the caller, so a pinned reader
+    * ([[searchIndexPinned]]) can keep scanning the generation it
+    * captured while compaction flips the pointer underneath. The
+    * tombstone hide pairs the GENERATION with its own path-keyed
+    * sidecar (the grace-window contract): a superseded generation's
+    * codes hide under the delete set that generation carried. */
+  private def adcCandidatesAt(spark: SparkSession, path: String, lp: String,
+                              qv: Seq[Double], nprobe: Int,
+                              rerank: Int): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
     val ba = boundsArrays(spark.read.parquet(s"$path/bounds"))
     val probes = spark.range(1).select(typedLit(qv).as("__qv"))
@@ -234,7 +246,6 @@ object SQ {
       .orderBy(col("__cs").desc, col("cid").asc)
       .limit(nprobe)
       .select(col("cid"), col("__qv"))
-    val lp = IVF.listsPath(path) // live generation, one pointer read
     // tombstoned ids are hidden from the candidate scan (IVF's delete
     // sidecar — shared layout, shared hide), so a deleted code can
     // never reach the re-rank between delete and compaction
@@ -315,12 +326,36 @@ object SQ {
   def searchIndex(spark: SparkSession, path: String,
                   source: DataFrame, idCol: String, vecCol: String,
                   query: DataFrame, queryVecCol: String,
-                  k: Int, nprobe: Int, rerank: Int): DataFrame = {
+                  k: Int, nprobe: Int, rerank: Int): DataFrame =
+    searchAt(spark, path, IVF.listsPath(path), source, idCol, vecCol,
+      query, queryVecCol, k, nprobe, rerank)
+
+  /** [[searchIndex]] against a PINNED lists generation instead of the
+    * CURRENT pointer — the quantized family's snapshot-isolation read
+    * ([[IVF.searchIndexPinned]]'s SQ8 twin). The SQ8 index versions
+    * only its LISTS: geometry (centroids + bounds) is standing by
+    * contract — deletion never moves it, appends quantize under it,
+    * and requantization is a rebuild — so the pin is the lists half
+    * of [[IVF.currentGeneration]], paired at scan time with that
+    * generation's own sidecar. A pin whose files have been GC'd fails
+    * loudly at scan time, never silently serves a mixed snapshot. */
+  def searchIndexPinned(spark: SparkSession, path: String,
+                        gen: (String, String),
+                        source: DataFrame, idCol: String, vecCol: String,
+                        query: DataFrame, queryVecCol: String,
+                        k: Int, nprobe: Int, rerank: Int): DataFrame =
+    searchAt(spark, path, s"$path/${gen._1}", source, idCol, vecCol,
+      query, queryVecCol, k, nprobe, rerank)
+
+  private def searchAt(spark: SparkSession, path: String, lp: String,
+                       source: DataFrame, idCol: String, vecCol: String,
+                       query: DataFrame, queryVecCol: String,
+                       k: Int, nprobe: Int, rerank: Int): DataFrame = {
     require(rerank >= k, s"need rerank >= k, got rerank=$rerank k=$k")
     import spark.implicits._
     val qv = query.select(col(queryVecCol).cast("array<double>"))
       .as[Seq[Double]].head()
-    val ids = adcCandidates(spark, path, qv, nprobe, rerank)
+    val ids = adcCandidatesAt(spark, path, lp, qv, nprobe, rerank)
       .select(col("id").cast("long")).as[Long].collect().toSeq
     if (ids.isEmpty)
       return source.select(col(idCol), lit(0L).as("rank"),

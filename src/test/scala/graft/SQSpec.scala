@@ -238,6 +238,44 @@ class SQSpec extends SparkSpec {
       s"expected the candidate-id In predicate on the re-rank fetch:\n$servePlan")
   }
 
+  test("pinned SQ8 reads: snapshot across a compaction flip, delete rides the pin, expiry is loud") {
+    // the q176 contract at spec scale: the SQ8 pin is the lists half
+    // of IVF.currentGeneration (geometry is standing by contract);
+    // the pinned serve pairs the superseded lists with their OWN
+    // sidecar, so hide-now ≡ remove-later holds across the pin, and a
+    // pin two maintenance cycles old fails loudly instead of serving
+    // a GC'd generation
+    import graft.search.IVF
+    val path = java.nio.file.Files.createTempDirectory("graft_sq_pin").toString
+    SQ.writeIndex(e, "vec_id", "v", 8, path)
+    val q = e.filter(col("vec_id") === 2).select(col("v").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "rank", "score").as[(Long, Long, Double)].collect().toSeq
+    IVF.deleteFromIndex(spark, path,
+      e.filter(col("vec_id") % 7 === 3).select(col("vec_id").as("id")), "id")
+    val pin0 = IVF.currentGeneration(path)
+    val r0 = rows(SQ.searchIndexPinned(spark, path, pin0,
+      e, "vec_id", "v", q, "qv", 10, 2, 40))
+    assert(r0.forall(_._1 % 7 != 3),
+      "the pinned serve must hide the pinned generation's sidecar")
+    IVF.compactIndex(spark, path)
+    assert(rows(SQ.searchIndexPinned(spark, path, pin0,
+      e, "vec_id", "v", q, "qv", 10, 2, 40)) == r0,
+      "the pin must serve identically across the flip (grace window)")
+    assert(rows(SQ.searchIndex(spark, path,
+      e, "vec_id", "v", q, "qv", 10, 2, 40)) == r0,
+      "hide-now and remove-later must agree across the pin")
+    // one more cycle GC's the pinned generation: loud failure
+    IVF.deleteFromIndex(spark, path,
+      e.filter(col("vec_id") % 11 === 5).select(col("vec_id").as("id")), "id")
+    IVF.compactIndex(spark, path)
+    val dead = intercept[Exception] {
+      SQ.searchIndexPinned(spark, path, pin0,
+        e, "vec_id", "v", q, "qv", 10, 2, 40).collect()
+    }
+    assert(dead != null, "an expired pin must fail loudly")
+  }
+
   test("q128Sql interpolates the REAL dial constants, not pre-init zeros") {
     // q128Sql is declared above the sqDim/sqRerank vals it references;
     // it is lazy for exactly this reason, and this case pins the fix:

@@ -356,6 +356,33 @@ class StreamingSpec extends SparkSpec {
       "post-revive SQ8 codes diverge from the never-deleted replay")
   }
 
+  test("q173 SQ8 CDC+revive+valve: the final code lists equal the standing-geometry survivor replay, byte for byte") {
+    // the full-strength pin behind q173's oracle (which hashes only
+    // the 10-row serve): after two mid-drain flips — the revive
+    // compact-first and the valve compact — the at-rest codes must
+    // equal the standing-geometry quantization of
+    // all − stay-deleted − CDC-deleted, byte-identical, one copy per
+    // revived id (codes are a pure function of assignment + bounds)
+    import graft.search.{IVF, SQ}
+    SparkEntry.queries("q173_sq_cdc_revive")(spark, sf0001).count()
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val path = PipelineQueries.roundtripPath(sf0001, "q173")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val ba = SQ.boundsArrays(spark.read.parquet(s"$path/bounds"))
+    val survivors = e.filter(
+      !(col("vec_id") >= 100 && col("vec_id") < 300 &&
+        col("vec_id") % 7 === 3 && col("vec_id") % 2 =!= 0) &&
+      !(col("vec_id") < 100 && col("vec_id") % 3 === 0))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), base64(col("code")).as("c"),
+        col("cid").cast("long").as("cid"))
+    val atRest = rows(spark.read.parquet(IVF.listsPath(path)))
+    val want = rows(SQ.quantized(survivors, "vec_id", "v", cents, ba))
+    assert(atRest.exceptAll(want).isEmpty && want.exceptAll(atRest).isEmpty,
+      "CDC+revive SQ8 codes diverge from the survivor replay")
+  }
+
   test("q164 lexical CDC+revive: the standing postings table equals the from-scratch build over the survivors") {
     // the full-strength pin behind q164's oracle (which hashes only
     // the 3-term serve): after two mid-drain flips — the revive
