@@ -477,11 +477,12 @@ object CurationQueries {
       val b = batch.localCheckpoint()
       // vet against everything registered so far...
       q98BatchMatches(s, b, mut, d).write.mode("append").parquet(out)
-      // ...then register this batch for the ones after it
-      Dedup.bandedSignatures(b, "doc_id", "text", shingleN, nPerm, rowsPerBand)
-        .withColumn("sigbucket", sigbucket(col("band"), col("bandsig")))
-        .repartition(col("sigbucket"))
-        .write.mode("append").partitionBy("sigbucket").parquet(mut)
+      // ...then register this batch for the ones after it (the
+      // revive-probed append — a directory read here: never deleted)
+      Dedup.appendToRegister(s, mut,
+        Dedup.bandedSignatures(b, "doc_id", "text", shingleN, nPerm, rowsPerBand)
+          .withColumn("sigbucket", sigbucket(col("band"), col("bandsig"))),
+        q98SigBuckets)
     })
     // registration ≡ batch: the mutated table equals a one-shot build
     // over the whole corpus
@@ -627,8 +628,7 @@ object CurationQueries {
       survB.select(col("k"), kbucket(col("k")).as("kb"))
         .repartition(col("kb"))
         .write.mode("append").partitionBy("kb").parquet(keysP)
-      sigs.repartition(col("sigbucket"))
-        .write.mode("append").partitionBy("sigbucket").parquet(bandsP)
+      Dedup.appendToRegister(s, bandsP, sigs, q98SigBuckets)
       survB.select(col("doc_id"), col("source"), col("ctext"))
         .write.mode("append").parquet(survP)
     })
@@ -848,11 +848,14 @@ object CurationQueries {
       val b = batch.localCheckpoint()
       // match against everything registered so far (sidecar-aware)...
       q98BatchMatches(s, b, mut, d).write.mode("append").parquet(out)
-      // ...register this batch for the ones after it
-      Dedup.bandedSignatures(b, "doc_id", "text", shingleN, nPerm, rowsPerBand)
-        .withColumn("sigbucket", sigbucket(col("band"), col("bandsig")))
-        .repartition(col("sigbucket"))
-        .write.mode("append").partitionBy("sigbucket").parquet(mut)
+      // ...register this batch for the ones after it (revive-probed;
+      // the feed never re-ingests a forgotten id, so the probe is a
+      // batch-sized semi-join that stays silent — q177 declares the
+      // firing path)
+      Dedup.appendToRegister(s, mut,
+        Dedup.bandedSignatures(b, "doc_id", "text", shingleN, nPerm, rowsPerBand)
+          .withColumn("sigbucket", sigbucket(col("band"), col("bandsig"))),
+        q98SigBuckets)
       // the right-to-be-forgotten request lands between batches
       if (bid == 1L) {
         def snap() = Option(new java.io.File(mut).listFiles()).toSeq.flatten
@@ -927,6 +930,112 @@ object CurationQueries {
         "(SELECT y.bat FROM bq y WHERE y.doc_id = a.doc_id)) " +
         "AND NOT (c.doc_id % 10 <> 7 AND c.doc_id % 9 = 0 AND " +
         "(SELECT z.bat FROM bq z WHERE z.doc_id = a.doc_id) >= 2)")}
+       SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"""
+
+  // ---------- q177: revive (re-consent) on the dedup register ----------
+
+  /** REVIVE ON THE CURATION REGISTER — the register's cell of the
+    * revive matrix (q161 IVF / q163 SQ8 / q164 lexical / q165 graph),
+    * and the one whose failure mode is WORSE than a wrong serve: a
+    * forgotten doc that re-consents gets its bands re-registered, but
+    * before this round the registration path was a raw parquet append
+    * — the stale sidecar entry would anti-join the FRESH bands away,
+    * and a revived doc with hidden fingerprints is an ADMITTED GHOST:
+    * the pipeline re-ingests unlimited near-copies of its content
+    * without a single match firing (the inverse of q169's ghost
+    * suppression — not retained influence but silently ABSENT
+    * influence). [[graft.dedup.Dedup.appendToRegister]] closes it
+    * with the family-standard discipline: the probe (directory read
+    * when clean, batch-sized semi-join otherwise) pulls the deferred
+    * [[graft.dedup.Dedup.compactRegister]] forward — stale copies and
+    * stay-forgotten rows drop, the sidecar clears — and the batch
+    * lands in the flipped generation as its ids' only bands. Gates:
+    * the forget hides the full request, the post-forget match table
+    * is blind to ALL of it, the revive append FLIPS (returned path
+    * differs; clean sidecar), stay-forgotten bands are physically
+    * gone, each revived id's live bands equal a fresh fingerprint of
+    * exactly its text (single copy — the compaction dropped the old
+    * ones), and the ADMITTED-GHOST WITNESS: the post-revive match
+    * table equals the pre-forget table minus exactly the
+    * stay-forgotten members' pairs — revived content matches AGAIN,
+    * with the original jaccards (bands are a pure function of text).
+    * FULLY ORACLED: q98's replay where only the stay-forgotten docs
+    * were never in the standing corpus. */
+  def q177RegisterRevive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val mut = PipelineQueries.roundtripPath(dir, "q177_bands")
+    Option(new java.io.File(mut).getParentFile.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("q177_bands"))
+      .foreach(graft.FileTree.delete)
+    graft.FileTree.copy(new java.io.File(streamBandsPath(s, dir)),
+      new java.io.File(mut))
+    val reqPred = col("doc_id") % 10 =!= 7 && col("doc_id") % 9 === 0
+    val revPred = reqPred && col("doc_id") % 2 === 1
+    val stayPred = reqPred && col("doc_id") % 2 === 0
+    val req = d.filter(reqPred).select(col("doc_id").as("id"))
+    val nReq = Memo.cachedCount(s, dir, "q169_nreq")(req.count())
+    val nRev = Memo.cachedCount(s, dir, "q177_nrev")(d.filter(revPred).count())
+    require(nRev > 0 && nRev < nReq,
+      "q177 needs a proper revive subset of the forget request")
+    val incoming = d.filter(col("doc_id") % 10 === 7).localCheckpoint()
+    def matches(p: String) = q98BatchMatches(s, incoming, p, d)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val before = matches(mut)
+    require(before.exists(p => p._2 % 9 == 0 && p._2 % 2 == 1),
+      "q177 needs at least one pair on a to-be-revived member for the " +
+        "admitted-ghost witness to bite")
+    // the forget: full request into the sidecar, match table blind
+    require(Dedup.deleteFromRegister(s, mut, req) == nReq,
+      "q177: the forget must hide the full standing request")
+    require(!matches(mut).exists(_._2 % 9 == 0),
+      "q177: a forgotten doc still matched after the forget")
+    // the re-consent: fresh bands through the PROBED append — the
+    // raw-append admitted-ghost hole this row exists to close
+    val revBands = Dedup.bandedSignatures(d.filter(revPred),
+        "doc_id", "text", shingleN, nPerm, rowsPerBand)
+      .withColumn("sigbucket", sigbucket(col("band"), col("bandsig")))
+      .localCheckpoint() // batch-sized: the append and the gate share it
+    val live = Dedup.appendToRegister(s, mut, revBands, q98SigBuckets)
+    require(live != mut,
+      "q177: the revive append must pull the deferred compaction forward")
+    require(!new java.io.File(Dedup.registerTombPath(live)).isDirectory,
+      "q177: the post-revive generation must start with a clean sidecar")
+    require(s.read.parquet(live)
+        .join(broadcast(d.filter(stayPred).select(col("doc_id").as("id"))),
+          Seq("id"), "left_semi").isEmpty,
+      "q177: a stay-forgotten doc's bands survived the revive compaction")
+    // single-copy, exact-content revive: the live bands of revived ids
+    // are precisely one fresh fingerprint of their text
+    def norm(df: DataFrame) = df.select(col("id"), col("band"),
+      col("bandsig"), col("sigbucket").cast("int"))
+    val gotRev = norm(s.read.parquet(live)
+      .join(broadcast(d.filter(revPred).select(col("doc_id").as("id"))),
+        Seq("id"), "left_semi"))
+    val wantRev = norm(revBands)
+    require(gotRev.exceptAll(wantRev).isEmpty && wantRev.exceptAll(gotRev).isEmpty,
+      "q177: a revived doc must carry ONLY its re-registered bands")
+    // the admitted-ghost witness: revived content matches again, with
+    // the original jaccards; only the stay-forgotten pairs are gone
+    val after = matches(live)
+    require(after == before.filterNot(p => p._2 % 9 == 0 && p._2 % 2 == 0),
+      "q177: the post-revive match table must equal pre-forget minus " +
+        "exactly the stay-forgotten members' pairs")
+    require(after.exists(p => p._2 % 9 == 0 && p._2 % 2 == 1),
+      "q177: a revived member must match incoming content again")
+    after.toDF("id1", "id2", "jaccard").orderBy("id1", "id2")
+  }
+
+  /** q98's replay where only the STAY-forgotten docs (forgotten,
+    * never re-consented) were never in the standing corpus: a revived
+    * doc's fingerprints are a pure function of its text, so it is
+    * indistinguishable from one never forgotten. */
+  val q177Sql: String =
+    s"""WITH ${pairsCteSqlWith(
+      "a.doc_id % 10 = 7 AND c.doc_id % 10 <> 7 AND " +
+        "NOT (c.doc_id % 9 = 0 AND c.doc_id % 2 = 0)")}
        SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"""
 
   /** 16-bit SimHash per document (token-hash sign aggregation). */
@@ -1687,6 +1796,7 @@ object CurationQueries {
     "q130_stream_neardup_cumulative" -> (q130StreamNeardupCumulative _),
     "q169_register_forget" -> (q169RegisterForget _),
     "q170_register_forget_stream" -> (q170RegisterForgetMidDrain _),
+    "q177_register_revive" -> (q177RegisterRevive _),
     "q136_stream_curation" -> (q136StreamCuration _),
     "q105_semantic_decon" -> (q105SemanticDecon _),
     "q139_semdedup" -> (q139SemDedup _),
@@ -1711,6 +1821,7 @@ object CurationQueries {
     "q130_stream_neardup_cumulative" -> q130Sql,
     "q169_register_forget" -> q169Sql,
     "q170_register_forget_stream" -> q170Sql,
+    "q177_register_revive" -> q177Sql,
     "q136_stream_curation" -> q136Sql,
     "q105_semantic_decon" -> q105Sql,
     "q139_semdedup" -> q139Sql,

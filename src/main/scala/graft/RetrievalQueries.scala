@@ -4485,6 +4485,76 @@ $sqRows)
     fusedPinned.toDF("id", "rank", "score").orderBy("rank")
   }
 
+  // ---------- q178: pinned multi-query hybrid server ----------
+
+  /** THE PRODUCTION BATCH SERVER, SNAPSHOT-ISOLATED — q150's
+    * multi-query hybrid serve composed with q172's dual pin: a batch
+    * server pins BOTH read contracts once at session start
+    * ([[graft.search.IVF.currentGeneration]] + [[graft.Queries
+    * .postingsLivePath]]), maintenance compacts BOTH indexes under
+    * the standing pins, and the server answers the whole query batch
+    * from the two superseded generations — ONE pinned
+    * partition-pruned lists scan for every vector query
+    * ([[graft.search.IVF.searchIndexMultiPinned]], new) and ONE
+    * pinned postings scan for every term set ([[graft.lexical.BM25
+    * .searchIndexedMultiPinned]], new), RRF-fused per qid. The gate:
+    * the pinned batch fusion equals the flipped generations' batch
+    * fusion ROW FOR ROW — compaction moves bytes, never content, and
+    * the multi-query path inherits the single-query pin's coherence
+    * (each generation paired with its own sidecar, held by its
+    * family's grace window). Oracle: q150's replay verbatim — pin,
+    * flip, and fresh generations serve one truth for the whole
+    * batch. */
+  def q178PinnedHybridMulti(s: SparkSession, dir: String): DataFrame = {
+    require(bm25MultiQueries.map(_._1) == multiQids,
+      "q178's routing qids are out of sync with multiQids")
+    val e = emb(s, dir)
+    val ivfPath = PipelineQueries.roundtripPath(dir, "q178_ivf")
+    graft.search.IVF.writeIndex(e, "vec_id", "v", ivfK, 0, ivfPath)
+    val tbl = "bm25_pinm_" + PipelineQueries.sanitizeTag(dir)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val postPath = PipelineQueries.roundtripPath(dir, "q178_post")
+    Option(new java.io.File(postPath).getParentFile.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("q178_post"))
+      .foreach(graft.FileTree.delete)
+    Queries.writePostings(s, docs(s, dir), tbl, postPath, "overwrite")
+    // the server's session start: pin BOTH read contracts once
+    val ivfPin = graft.search.IVF.currentGeneration(ivfPath)
+    val lexPin = Queries.postingsLivePath(s, tbl)
+    // maintenance flips BOTH indexes under the standing pins
+    graft.search.IVF.compactIndex(s, ivfPath)
+    val lexLive = Queries.compactPostings(s, tbl, lexPin)
+    require(graft.search.IVF.currentGeneration(ivfPath) != ivfPin,
+      "q178: the IVF compaction must flip the CURRENT pointer")
+    require(lexLive != lexPin,
+      "q178: the postings compaction must flip the metastore location")
+    val qs = e.filter(col("vec_id").isin(multiQids: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the pinned batch serve: both legs from the superseded generations
+    val fusedPinned = rows(Hybrid.rrfFuseMulti(
+      graft.search.IVF.searchIndexMultiPinned(s, ivfPath, ivfPin,
+        "vec_id", "v", qs, "qid", "qv", rrfDepth, ivfProbe),
+      "vec_id",
+      BM25.searchIndexedMultiPinned(s, lexPin, bm25MultiQueries, rrfDepth),
+      "doc", rrfC, 10))
+    // the flipped generations fuse the identical batch answer
+    val post = s.table(tbl)
+    val fusedLive = rows(Hybrid.rrfFuseMulti(
+      graft.search.IVF.searchIndexMulti(s, ivfPath, "vec_id", "v",
+        qs, "qid", "qv", rrfDepth, ivfProbe),
+      "vec_id",
+      BM25.searchIndexedMulti(s, lexLive, post,
+        BM25.statsFromPostings(post), bm25MultiQueries, rrfDepth),
+      "doc", rrfC, 10))
+    require(fusedPinned == fusedLive,
+      "q178: the pinned batch fusion must equal the flipped generations' fusion")
+    import s.implicits._
+    fusedPinned.toDF("qid", "id", "rank", "score").orderBy("qid", "rank")
+  }
+
   // ---------- q150: multi-query hybrid from at-rest indexes ----------
 
   /** MULTI-QUERY HYBRID SERVING — q142's production RAG path for a
@@ -5021,6 +5091,107 @@ $sqRows)
       "q157: hide-now and remove-later must serve identical answers")
     import s.implicits._
     removed.toDF("vec_id", "rank", "score").orderBy("rank")
+  }
+
+  // ---------- q179: valve-fired graph compaction mid-drain ----------
+
+  /** The valve row's equivalence target: a from-scratch rebuild over
+    * the FULL corpus minus the whole delete request, under the
+    * base-80 routing — what q179's post-drain index must equal cell
+    * for cell. Memoized per (session, dir-content), charged to
+    * `_build_q179_target`. */
+  private def q179TargetPath(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "graphann_valve_target") {
+      val e = emb(s, dir)
+      val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
+      val split = 4L * n / 5L
+      val p = PipelineQueries.roundtripPath(dir, "graphann_valve_target")
+      graft.search.GraphAnn.writeIndexWith(
+        s.read.parquet(s"${graphBase80Path(s, dir)}/routing"),
+        e.filter(!(col("vec_id") < split && col("vec_id") % 13 === 5)),
+        "vec_id", "v", graphM, graphEf, p)
+      p
+    }
+
+  /** VALVE-FIRED COMPACTION INSIDE THE DRAIN, GRAPH FAMILY — the
+    * last empty cell of the valve matrix (q158 IVF, q159 lexical,
+    * q173 SQ8): q157's feed where the maintenance poll
+    * ([[graft.search.GraphAnn.needsCompact]] after every batch)
+    * FIRES at the delete's own batch and runs [[graft.search
+    * .GraphAnn.compactTombstones]] mid-drain — touched cells rebuilt
+    * over their remaining members, CURRENT flipped, sidecar cleared
+    * — and the remaining batches append INTO the flipped generation
+    * (their growing ids route against the standing table exactly as
+    * before; the flip moved bytes, not the routing). The composed
+    * claim, gated by the parts-sized per-cell content signature:
+    * drain + mid-drain valve compaction + post-flip appends ≡ ONE
+    * from-scratch rebuild over corpus ∖ request — the three
+    * equivalences GraphAnnSpec pins separately (append ≡ rebuild,
+    * compact ≡ rebuild-without-them, per-cell purity), composed
+    * across a generation flip that lands in the middle of live
+    * ingest. Remaining gates: the delete hides exactly its request,
+    * the valve fires EXACTLY once (at the delete batch; the flipped
+    * generation's clean sidecar keeps it silent after), the final
+    * generation is sidecarless, and the routed serve hides every
+    * deleted id. Rows-only per the graph ✗ discipline. */
+  def q179GraphValve(s: SparkSession, dir: String): DataFrame = {
+    import graft.search.GraphAnn
+    val e = emb(s, dir)
+    val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
+    val split = 4L * n / 5L
+    val stage = Memo.cachedValue(s, dir, "q99_stage") {
+      PipelineQueries.stageOrderedFiles(
+        e.filter(col("vec_id") >= split), "vec_id", 4,
+        PipelineQueries.roundtripPath(dir, "q99_stream"))
+    }
+    val path = PipelineQueries.roundtripPath(dir, "q179")
+    cloneTree(graphBase80Path(s, dir), path)
+    val delIds = e.filter(col("vec_id") < split && col("vec_id") % 13 === 5)
+      .select(col("vec_id"))
+    val nReq = Memo.cachedCount(s, dir, "q157_ndel")(delIds.count())
+    val valve = nReq - 1 // the request itself trips the poll
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    var nDel = -1L
+    var fired = List.empty[Long]
+    var gens = List.empty[(Long, String)]
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      GraphAnn.appendToIndex(s, path,
+        batch.select(col("vec_id"), col("v")), "vec_id", "v")
+      if (bid == 1L)
+        nDel = GraphAnn.deleteFromIndex(s, path, delIds, "vec_id")
+      // the maintenance poll — every batch, after its operations
+      if (GraphAnn.needsCompact(s, path, valve)) {
+        fired ::= bid
+        GraphAnn.compactTombstones(s, path)
+      }
+      gens ::= bid -> GraphAnn.currentGeneration(path)
+    })
+    require(nDel == nReq,
+      s"q179: the mid-drain delete hid $nDel of a $nReq-id request")
+    require(fired == List(1L),
+      s"q179: the valve must fire exactly once, at the delete batch " +
+        s"(fired at ${fired.reverse.mkString(",")})")
+    val byBatch = gens.reverse.toMap
+    require(byBatch(0L) != byBatch(1L),
+      "q179: the valve batch must commit a fresh generation mid-drain")
+    require(byBatch(1L) == byBatch(2L) && byBatch(2L) == byBatch(3L),
+      "q179: the post-flip batches must append into the flipped generation")
+    require(!new java.io.File(GraphAnn.tablePath(path, "tombstones"))
+        .isDirectory && GraphAnn.tombstoneRows(s, path) == 0L,
+      "q179: the post-drain generation must be sidecarless")
+    require(cellSignature(s, path) == cellSignature(s, q179TargetPath(s, dir)),
+      "q179: drain + valve flip + post-flip appends must equal the " +
+        "one-shot rebuild over corpus minus request, cell for cell")
+    val served = GraphAnn.searchIndex(s, path, "vec_id",
+        e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+        10, graphEf, probeParts = graphProbeFor(s, dir))
+      .orderBy("rank")
+    require(served.filter(col("vec_id") < split &&
+        col("vec_id") % 13 === 5).isEmpty,
+      "q179: a deleted id surfaced in the post-drain serve")
+    served
   }
 
   // ---------- q165: graph-index upsert/revive ----------
@@ -5936,7 +6107,8 @@ $sqRows)
     "_build_graph_base60" -> ((s, dir) => { graphBase60Path(s, dir); () }),
     "_build_q120_target" -> ((s, dir) => { q120TargetState(s, dir); () }),
     "_build_sq_index" -> ((s, dir) => { sqIndexPath(s, dir); () }),
-    "_build_q165_target" -> ((s, dir) => { q165TargetPath(s, dir); () }))
+    "_build_q165_target" -> ((s, dir) => { q165TargetPath(s, dir); () }),
+    "_build_q179_target" -> ((s, dir) => { q179TargetPath(s, dir); () }))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_ingest_clean" -> (q07IngestClean _),
@@ -5996,6 +6168,8 @@ $sqRows)
     "q174_factory_forget" -> (q174FactoryForget _),
     "q175_graph_pinned_read" -> (q175GraphPinnedRead _),
     "q176_sq_pinned_read" -> (q176SqPinnedRead _),
+    "q178_pinned_hybrid_multi" -> (q178PinnedHybridMulti _),
+    "q179_graph_valve" -> (q179GraphValve _),
     "q129_graph_filtered" -> (q129GraphFiltered _),
     "q133_sq_compact" -> (q133SqCompact _),
     "q134_ivf_multi" -> (q134IvfMulti _),
@@ -6073,6 +6247,10 @@ $sqRows)
     // compaction is content-invariant, so one SQL certifies pin,
     // flip, and fresh generation alike (q175 is rows-only: graph)
     "q176_sq_pinned_read" -> q155Sql,
+    // q178 serves q150's exact batch truth through the dual pin —
+    // compaction is content-invariant on both legs, so one SQL
+    // certifies the pinned and flipped batch fusions alike
+    "q178_pinned_hybrid_multi" -> q150Sql,
     "q166_cascade_all" -> q166Sql,
     // q172 serves q142's exact truth through pinned generations on
     // both legs — compaction is content-invariant, so one SQL

@@ -167,6 +167,41 @@ object Dedup {
     n
   }
 
+  /** Append one batch's banded signatures (id, band, bandsig,
+    * sigbucket) into the register at `path`, running the REVIVE
+    * discipline first — the [[graft.search.SQ.appendToIndex]] /
+    * [[graft.lexical.BM25]] writePostings contract on the dedup
+    * artifact: a batch id that sits in the register's sidecar is a
+    * re-consented doc whose fresh fingerprints MUST take effect, but
+    * a raw append would land bands [[liveRegister]]'s anti-join then
+    * hides — the forget silently outliving the data it names, and
+    * worse here than on a serve index: a revived doc with hidden
+    * bands is an ADMITTED GHOST — the pipeline re-ingests unlimited
+    * near-copies of its content without a single match firing. So a
+    * revive pulls the deferred [[compactRegister]] forward (stale
+    * copies and stay-forgotten rows drop, the sidecar clears) and
+    * the batch lands in the flipped generation as its ids' only
+    * bands. The probe is a directory read on the never-deleted
+    * common case, a batch-sized semi-join otherwise. Returns the
+    * path the batch landed in — `path` unless the probe fired; the
+    * caller threads it ([[compactRegister]]'s no-metastore
+    * contract). */
+  def appendToRegister(spark: org.apache.spark.sql.SparkSession,
+                       path: String, bands: DataFrame,
+                       buckets: Int): String = {
+    val target =
+      if (!hasRegisterTomb(path)) path
+      else if (bands.select(col("id")).distinct()
+          .join(spark.read.parquet(registerTombPath(path)).select(col("id")),
+            Seq("id"), "left_semi")
+          .isEmpty) path
+      else compactRegister(spark, path, buckets)
+    bands
+      .repartition(col("sigbucket"))
+      .write.mode("append").partitionBy("sigbucket").parquet(target)
+    target
+  }
+
   /** The LIVE view of a register frame stored at `path`: tombstoned
     * ids hidden by an anti-join on the sidecar — AQE-governed, never
     * a forced broadcast (the IVF/BM25 discipline: an over-grown

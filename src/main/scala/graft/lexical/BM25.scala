@@ -338,6 +338,20 @@ object BM25 {
       searchIndexedMulti(live, statsFromPostings(live), queries, k)
     }
 
+  /** [[searchIndexedMulti]] against a PINNED generation path — the
+    * batch server's snapshot serve ([[searchIndexedPinned]]'s
+    * multi-query twin): the pinned generation's files filtered by
+    * ITS OWN sidecar, corpus scalars re-derived from the filtered
+    * frame, one scan for the whole query batch, coherent across any
+    * concurrent [[graft.Queries.compactPostings]] flip. */
+  def searchIndexedMultiPinned(spark: org.apache.spark.sql.SparkSession,
+                               pinnedPath: String,
+                               queries: Seq[(Long, Seq[String])],
+                               k: Int): DataFrame = {
+    val live = livePostings(spark, pinnedPath, postingsPinned(spark, pinnedPath))
+    searchIndexedMulti(live, statsFromPostings(live), queries, k)
+  }
+
   private def scorePostings(post: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val stats = post.groupBy("term")
       .agg(countDistinct(col("doc")).cast("double").as("df"))

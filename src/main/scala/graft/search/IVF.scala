@@ -686,18 +686,32 @@ object IVF {
   def searchIndexMulti(spark: org.apache.spark.sql.SparkSession, path: String,
                        idCol: String, vecCol: String,
                        queries: DataFrame, qidCol: String, qvecCol: String,
-                       k: Int, nprobe: Int): DataFrame = {
+                       k: Int, nprobe: Int): DataFrame =
     // one pointer read for the (lists, centroids) consistency unit
-    val (ln, cn) = generationPair(path)
-    val cents = spark.read.parquet(s"$path/$cn")
+    searchIndexMultiPinned(spark, path, generationPair(path),
+      idCol, vecCol, queries, qidCol, qvecCol, k, nprobe)
+
+  /** [[searchIndexMulti]] against a PINNED generation pair — the
+    * batch server's snapshot read ([[searchIndexPinned]]'s
+    * multi-query twin): a serving tier that pins
+    * [[currentGeneration]] at session start answers every query
+    * batch from the exact (quantizer, lists) pair it captured,
+    * paired with that generation's own sidecar, across any
+    * concurrent [[compactIndex]] flip within the grace window. */
+  def searchIndexMultiPinned(spark: org.apache.spark.sql.SparkSession,
+                             path: String, gen: (String, String),
+                             idCol: String, vecCol: String,
+                             queries: DataFrame, qidCol: String, qvecCol: String,
+                             k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/${gen._2}")
     val probes = multiProbes(cents, queries, qidCol, qvecCol, nprobe)
       // queries × nprobe rows: materialized once, reused by the cid
       // collect below and the candidate join
       .localCheckpoint()
     val cids = probes.select(col("cid").cast("long")).distinct()
       .as(org.apache.spark.sql.Encoders.scalaLong).collect().toSeq.sorted
-    val lists = dropTombstoned(spark, s"$path/$ln",
-      spark.read.parquet(s"$path/$ln")
+    val lists = dropTombstoned(spark, s"$path/${gen._1}",
+      spark.read.parquet(s"$path/${gen._1}")
         .filter(col("cid").isin(cids: _*))) // union of probed cells
     multiTopKProbed(lists, probes, idCol, vecCol, k)
   }

@@ -172,6 +172,54 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(gen3).filter(col("id").isin(1L, 3L)).isEmpty)
   }
 
+  test("register revive: probed append flips on a tombstoned id, fresh bands land as the only copy") {
+    // q177's machinery at spec scale: a raw append after a forget
+    // would land bands the live view then hides (the admitted-ghost
+    // hole); appendToRegister must detect the revive, pull the
+    // deferred compaction forward, and register the fresh bands in
+    // the flipped generation as the doc's only copy
+    val base = java.nio.file.Files.createTempDirectory("dedup_rev").toString
+    val path = base + "/reg"
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bandedSignatures(df, "doc_id", "text", 3, 16, 4)
+        .withColumn("sigbucket", pmod(hash(col("band"), col("bandsig")), lit(4)))
+    bands(docs).repartition(4, col("sigbucket"))
+      .write.mode("overwrite").partitionBy("sigbucket").parquet(path)
+    // a CLEAN append never flips (directory-read probe)
+    val extra = Seq((100L, "fresh content never seen before in this register"))
+      .toDF("doc_id", "text")
+    assert(Dedup.appendToRegister(spark, path, bands(extra), 4) == path,
+      "a clean append must land in place")
+    // forget doc 1, then a NON-revive append still doesn't flip
+    // (batch-sized semi-join probe, no intersection)
+    assert(Dedup.deleteFromRegister(spark, path, Seq(1L).toDF("id")) == 1L)
+    val extra2 = Seq((101L, "more fresh content for the silent-probe case"))
+      .toDF("doc_id", "text")
+    assert(Dedup.appendToRegister(spark, path, bands(extra2), 4) == path,
+      "a post-forget append with no tombstoned id must not flip")
+    // the revive: doc 1 re-consents — the append must flip and its
+    // bands must come back as exactly one fresh copy
+    val live = Dedup.appendToRegister(spark, path,
+      bands(docs.filter(col("doc_id") === 1L)), 4)
+    assert(live != path, "a revive append must pull the compaction forward")
+    assert(!new java.io.File(Dedup.registerTombPath(live)).isDirectory,
+      "the flipped generation must start with a clean sidecar")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("band"), col("bandsig"),
+        col("sigbucket").cast("int"))
+    // live register ≡ one-shot build over docs ∪ extras (doc 1's old
+    // and new bands are identical — pure function of its text — so
+    // single-copy and content-exact are one equality)
+    val want = norm(bands(docs
+      .unionByName(extra).unionByName(extra2)))
+    val got = norm(Dedup.liveRegister(spark, live, spark.read.parquet(live)))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "post-revive register diverges from the never-forgotten build")
+    assert(spark.read.parquet(live).filter(col("id") === 1L).count() ==
+      want.filter(col("id") === 1L).count(),
+      "a revived doc must hold exactly one copy of its bands")
+  }
+
   test("simhash: identical docs same hash, near dups few differing bits") {
     val sh = Dedup.simhash16(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
