@@ -293,4 +293,34 @@ class BM25Spec extends SparkSpec {
     assert(newBuckets.nonEmpty && newBuckets == touched,
       s"appended buckets $newBuckets != delta's term buckets $touched")
   }
+
+  test("compactPostings crash-recovery: an orphaned staged generation is versioned past and GC'd") {
+    // the crash-before-rename contract on the lexical family: a
+    // staged __genN data path whose metastore rename never ran must
+    // be versioned past by the re-run (the sibling listing is the
+    // version source), then collected by its GC
+    val tbl = "bm25_crash"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = java.nio.file.Files.createTempDirectory("graft_bm_crash")
+      .toString + "/post"
+    Queries.writePostings(spark, docs, tbl, path, "overwrite")
+    BM25.deleteFromPostings(spark, path, spark.table(tbl),
+      Seq(2L).toDF("doc"))
+    def rows(p: String) = {
+      val post = spark.table(tbl)
+      BM25.searchIndexed(spark, p, post, BM25.statsFromPostings(post),
+          Seq("spark", "hash", "join"), 10)
+        .select("doc", "rank", "score").as[(Long, Long, Double)].collect().toSeq
+    }
+    val hidden = rows(path)
+    val orphan = new java.io.File(path + "__gen99")
+    graft.FileTree.copy(new java.io.File(path), orphan)
+    val live = Queries.compactPostings(spark, tbl, path)
+    assert(live.endsWith("__gen100"),
+      s"the re-run must version PAST the orphan, got $live")
+    assert(!orphan.exists(),
+      "the orphaned generation must be collected by the re-run")
+    assert(rows(live) == hidden,
+      "recovery must serve the exact pre-crash answers")
+  }
 }

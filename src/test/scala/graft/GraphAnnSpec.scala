@@ -835,4 +835,30 @@ class GraphAnnSpec extends SparkSpec {
         .select(col("replicas")).as[Int].head().toLong,
       "a post-refresh append must land in the LIVE generation")
   }
+
+  test("compactTombstones crash-recovery: an orphaned staged generation is versioned past and GC'd") {
+    // the crash-before-flip contract on the graph family: a staged
+    // gen__vN left behind by a crash must never be staged INTO or
+    // flipped TO by the re-run — the version derives from the
+    // listing, the re-run commits a fresh generation, the orphan is
+    // collected, and the serve equals the pre-crash hide
+    val path = java.nio.file.Files.createTempDirectory("graft_gr_crash").toString
+    GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, path)
+    val q = emb.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    def rows() = GraphAnn.searchIndex(spark, path, "vec_id", q, "qv", 10, 48)
+      .select("vec_id", "rank", "score").as[(Long, Long, Double)].collect().toSeq
+    GraphAnn.deleteFromIndex(spark, path,
+      emb.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id")
+    val hidden = rows()
+    val orphan = new java.io.File(path, "gen__v99")
+    graft.FileTree.copy(new java.io.File(s"$path/nodes"),
+      new java.io.File(orphan, "nodes"))
+    GraphAnn.compactTombstones(spark, path)
+    assert(GraphAnn.currentGeneration(path) == "gen__v100",
+      s"the re-run must version PAST the orphan, got ${GraphAnn.currentGeneration(path)}")
+    assert(!orphan.exists(),
+      "the orphaned generation must be collected by the re-run")
+    assert(rows() == hidden,
+      "recovery must serve the exact pre-crash answers")
+  }
 }

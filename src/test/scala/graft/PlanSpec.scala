@@ -473,6 +473,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q178's pinned multi-query IVF leg keeps the live plan shape and reads the PINNED generation") {
+    import org.apache.spark.sql.functions._
+    import graft.search.IVF
+    val path = java.nio.file.Files.createTempDirectory("graft_pinmulti").toString
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    IVF.writeIndex(e, "vec_id", "v", 8, refineIters = 0, path)
+    val qs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val pin = IVF.currentGeneration(path)
+    def planOf() = IVF.searchIndexMultiPinned(spark, path, pin,
+        "vec_id", "v", qs, "qid", "qv", 10, 2)
+      .queryExecution.executedPlan.toString
+    val p = planOf()
+    // the pinned batch serve keeps the live path's properties: ONE
+    // lists scan for the whole batch, the union-of-probed-cids
+    // partition filter, per-query heap top-k
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly ONE pinned lists scan for the batch:\n$p")
+    assert(p.contains("PartitionFilters: [cid") && p.contains(" IN "),
+      s"expected the static cid IN partition filter:\n$p")
+    assert(p.contains("graft_topk"), s"expected the heap top-k:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    // across a concurrent flip the pin still reads ITS generation —
+    // the scan path names the pinned lists, not the flipped ones
+    IVF.compactIndex(spark, path)
+    val p2 = planOf()
+    assert(p2.contains(pin._1),
+      s"the pinned scan must keep reading the pinned generation ${pin._1}:\n$p2")
+    assert(p2.contains("PartitionFilters: [cid") &&
+      "FileScan parquet".r.findAllIn(p2).size == 1,
+      s"the pinned plan shape must survive the flip:\n$p2")
+  }
+
   test("q135: one pruned ADC scan + one id-pushed point fetch serve the query batch") {
     val p = plan("q135_sq_multi")
     // the declared plan is the re-rank stage: candidate ids pushed

@@ -237,6 +237,34 @@ class SearchSpec extends SparkSpec {
     assert(dead != null, "expired pin must fail loudly, not serve a mixed pair")
   }
 
+  test("compaction crash-recovery: an orphaned staged generation is versioned past, never overwritten, and GC'd") {
+    // the documented crash contract, proven: a crash BEFORE the flip
+    // leaves a fully staged generation orphaned with the old one
+    // still live — the re-run must (a) derive its version from the
+    // LISTING so it can never stage INTO the orphan, (b) flip to a
+    // fresh generation, (c) collect the orphan, and (d) serve the
+    // exact pre-crash answers (compaction moves bytes, not content)
+    import graft.search.IVF
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_crash").toString
+    IVF.writeIndex(emb, "vec_id", "v", 8, refineIters = 0, path)
+    val q = emb.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    def rows() = IVF.searchIndex(spark, path, "vec_id", "v", q, "qv", 10, 2)
+      .select("vec_id", "rank", "score").as[(Long, Long, Double)].collect().toSeq
+    IVF.deleteFromIndex(spark, path,
+      emb.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id")
+    val hidden = rows()
+    // simulate the crash: the staged rewrite completed, the flip never ran
+    val orphan = new java.io.File(path, "lists__v99")
+    graft.FileTree.copy(new java.io.File(IVF.listsPath(path)), orphan)
+    IVF.compactIndex(spark, path)
+    assert(IVF.listsPath(path).endsWith("lists__v100"),
+      s"the re-run must version PAST the orphan, got ${IVF.listsPath(path)}")
+    assert(!orphan.exists(),
+      "the orphaned generation must be collected by the re-run")
+    assert(rows() == hidden,
+      "recovery must serve the exact pre-crash answers")
+  }
+
   test("persisted IVF index: partition-pruned search matches in-memory IVF") {
     import graft.search.IVF
     val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
