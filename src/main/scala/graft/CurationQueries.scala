@@ -478,11 +478,14 @@ object CurationQueries {
       // vet against everything registered so far...
       q98BatchMatches(s, b, mut, d).write.mode("append").parquet(out)
       // ...then register this batch for the ones after it (the
-      // revive-probed append — a directory read here: never deleted)
-      Dedup.appendToRegister(s, mut,
+      // revive-probed append — a directory read here: never deleted;
+      // the require turns that assumption into a loud gate)
+      val landed = Dedup.appendToRegister(s, mut,
         Dedup.bandedSignatures(b, "doc_id", "text", shingleN, nPerm, rowsPerBand)
           .withColumn("sigbucket", sigbucket(col("band"), col("bandsig"))),
         q98SigBuckets)
+      require(landed == mut,
+        s"q130: revive probe fired on a never-deleted register ($landed)")
     })
     // registration ≡ batch: the mutated table equals a one-shot build
     // over the whole corpus
@@ -628,7 +631,8 @@ object CurationQueries {
       survB.select(col("k"), kbucket(col("k")).as("kb"))
         .repartition(col("kb"))
         .write.mode("append").partitionBy("kb").parquet(keysP)
-      Dedup.appendToRegister(s, bandsP, sigs, q98SigBuckets)
+      require(Dedup.appendToRegister(s, bandsP, sigs, q98SigBuckets) == bandsP,
+        "q136: revive probe fired on a never-deleted register")
       survB.select(col("doc_id"), col("source"), col("ctext"))
         .write.mode("append").parquet(survP)
     })
@@ -851,11 +855,17 @@ object CurationQueries {
       // ...register this batch for the ones after it (revive-probed;
       // the feed never re-ingests a forgotten id, so the probe is a
       // batch-sized semi-join that stays silent — q177 declares the
-      // firing path)
-      Dedup.appendToRegister(s, mut,
+      // firing path). The require makes that invariant LOUD: if the
+      // feed ever did re-ingest a forgotten id, the probe would flip
+      // the generation and every later batch would silently
+      // read/write the stale `mut` path — fail here instead.
+      val landed = Dedup.appendToRegister(s, mut,
         Dedup.bandedSignatures(b, "doc_id", "text", shingleN, nPerm, rowsPerBand)
           .withColumn("sigbucket", sigbucket(col("band"), col("bandsig"))),
         q98SigBuckets)
+      require(landed == mut,
+        s"q170: revive probe fired mid-drain — batch $bid landed in $landed, " +
+          s"but the drain reads $mut; thread the returned path (q177's shape)")
       // the right-to-be-forgotten request lands between batches
       if (bid == 1L) {
         def snap() = Option(new java.io.File(mut).listFiles()).toSeq.flatten
@@ -1036,6 +1046,150 @@ object CurationQueries {
     s"""WITH ${pairsCteSqlWith(
       "a.doc_id % 10 = 7 AND c.doc_id % 10 <> 7 AND " +
         "NOT (c.doc_id % 9 = 0 AND c.doc_id % 2 = 0)")}
+       SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"""
+
+  // ---------- q180: register valve fires MID-DRAIN ----------
+
+  /** THE REGISTER'S VALVE-MATRIX CELL — q158/q159/q173/q179 fire the
+    * delete-accumulation valve mid-drain on the four index families;
+    * this closes the matrix on the fifth generation machinery, the
+    * curation register. A q170-shaped cumulative near-dup drain takes
+    * TWO forget requests between batches: the first (the odd half of
+    * the q169 request) leaves the sidecar exactly AT the valve
+    * threshold — the poll stays silent, deferral is free; the second
+    * (the even half) pushes it past — [[graft.dedup.Dedup
+    * .needsCompactRegister]] fires ONCE, [[graft.dedup.Dedup
+    * .compactRegister]] stages a clean-sidecar generation and the
+    * drain THREADS the returned path (the no-metastore contract the
+    * q170 advice note asked to make loud): post-flip batches match
+    * against and register into the FRESH generation, the poll stays
+    * silent after (clean sidecar), and the register never serves a
+    * forgotten band past its request's batch. Gates: both forgets
+    * count exactly, the valve fires exactly once (at the second
+    * forget's batch), every append lands in the CURRENT live path,
+    * post-flip generations differ, forgotten bands are physically
+    * gone with a clean sidecar, and the final live register equals
+    * the one-shot build over (standing ∖ request) ∪ incoming. FULLY
+    * ORACLED: q170's replay with per-half forget batches — odd-half
+    * members pair only with batch 0, even-half only with batches
+    * 0–1. */
+  def q180RegisterValve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val mut = PipelineQueries.roundtripPath(dir, "q180_bands")
+    Option(new java.io.File(mut).getParentFile.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("q180_bands"))
+      .foreach(graft.FileTree.delete)
+    graft.FileTree.copy(new java.io.File(streamBandsPath(s, dir)),
+      new java.io.File(mut))
+    val reqPred = col("doc_id") % 10 =!= 7 && col("doc_id") % 9 === 0
+    val req1 = d.filter(reqPred && col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("id"))
+    val req2 = d.filter(reqPred && col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id"))
+    val nReq1 = Memo.cachedCount(s, dir, "q180_nreq1")(req1.count())
+    val nReq2 = Memo.cachedCount(s, dir, "q180_nreq2")(req2.count())
+    require(nReq1 > 0 && nReq2 > 0,
+      "q180 needs both halves of the forget request non-empty")
+    val valve = nReq1 // first forget lands AT the threshold: deferral
+    val stage = q130Stage(s, dir)
+    val out = PipelineQueries.roundtripPath(dir, "q180_out")
+    Seq.empty[(Long, Long, Double)].toDF("id1", "id2", "jaccard")
+      .write.mode("overwrite").parquet(out)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    var live = mut // the threaded pointer — compactRegister's contract
+    var nDel1 = -1L; var nDel2 = -1L
+    var fired = List.empty[Long]
+    var gens = List.empty[(Long, String)]
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      val b = batch.localCheckpoint()
+      // match against the CURRENT live generation (sidecar-aware)...
+      q98BatchMatches(s, b, live, d).write.mode("append").parquet(out)
+      // ...register into it (probed append; incoming ids are never
+      // forgotten, so the probe must stay silent — landed == live)
+      val landed = Dedup.appendToRegister(s, live,
+        Dedup.bandedSignatures(b, "doc_id", "text", shingleN, nPerm, rowsPerBand)
+          .withColumn("sigbucket", sigbucket(col("band"), col("bandsig"))),
+        q98SigBuckets)
+      require(landed == live,
+        s"q180: batch $bid landed in $landed instead of the live $live")
+      // the forget requests land between batches
+      if (bid == 0L) nDel1 = Dedup.deleteFromRegister(s, live, req1)
+      if (bid == 1L) nDel2 = Dedup.deleteFromRegister(s, live, req2)
+      // the maintenance poll — every batch, after its operations
+      if (Dedup.needsCompactRegister(s, live, valve)) {
+        fired ::= bid
+        live = Dedup.compactRegister(s, live, q98SigBuckets)
+      }
+      gens ::= bid -> live
+    })
+    require(nDel1 == nReq1 && nDel2 == nReq2,
+      s"q180: the forgets hid ($nDel1, $nDel2) of ($nReq1, $nReq2)")
+    require(fired == List(1L),
+      s"q180: the valve must fire exactly once, at the second forget's " +
+        s"batch (fired at ${fired.reverse.mkString(",")})")
+    val byBatch = gens.reverse.toMap
+    require(byBatch(0L) == mut && byBatch(1L) != mut,
+      "q180: the valve batch must flip to a fresh generation mid-drain")
+    require(byBatch(1L) == byBatch(2L) && byBatch(2L) == byBatch(3L),
+      "q180: the post-flip batches must stay on the flipped generation")
+    // physical removal + clean sidecar on the flipped generation
+    val reqAll = req1.unionByName(req2).localCheckpoint()
+    require(s.read.parquet(live)
+        .join(broadcast(reqAll), Seq("id"), "left_semi").isEmpty,
+      "q180: a forgotten doc's bands survived the valve compaction")
+    require(!new java.io.File(Dedup.registerTombPath(live)).isDirectory,
+      "q180: the flipped generation must start with a clean sidecar")
+    // registration ≡ batch, minus the forgotten — on the FLIPPED path
+    val full = Dedup.bandedSignatures(
+        d.filter(!(col("doc_id") % 10 =!= 7 && col("doc_id") % 9 === 0)),
+        "doc_id", "text", shingleN, nPerm, rowsPerBand)
+      .withColumn("sigbucket", sigbucket(col("band"), col("bandsig")))
+      .select(col("id"), col("band"), col("bandsig"), col("sigbucket").cast("int"))
+    val liveRows = s.read.parquet(live)
+      .select(col("id"), col("band"), col("bandsig"), col("sigbucket").cast("int"))
+    require(liveRows.exceptAll(full).isEmpty && full.exceptAll(liveRows).isEmpty,
+      "q180: the flipped register must equal the one-shot survivor build")
+    // ghost witness per half: odd-half pairs only at batch 0 (its
+    // forget landed after batch 0's match), even-half only at 0-1
+    val nInc = Memo.cachedCount(s, dir, "q170_ninc")(
+      d.filter(col("doc_id") % 10 === 7).count())
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    val bat = d.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("id1"),
+        floor((row_number().over(w) - 1).cast("long") * 4 / nInc)
+          .cast("long").as("bat"))
+    val got = s.read.parquet(out)
+    def ghost(half: DataFrame) = got
+      .join(broadcast(half.select(col("id").as("id2"))), Seq("id2"), "left_semi")
+      .join(broadcast(bat), Seq("id1"))
+    require(ghost(req1).filter(col("bat") >= 1).isEmpty,
+      "q180: an odd-half forgotten doc matched past batch 0")
+    require(ghost(req2).filter(col("bat") >= 2).isEmpty,
+      "q180: an even-half forgotten doc matched past the valve batch")
+    require(!ghost(reqAll).filter(col("bat") === 0).isEmpty,
+      "q180: the witness needs a pre-forget forgotten-member pair")
+    got.orderBy("id1", "id2")
+  }
+
+  /** q170's replay with the per-half forget batches: odd-half
+    * standing members (≡0 mod 9, odd) pair only with incoming batch
+    * 0, even-half only with batches 0–1; everything else is q130's
+    * cumulative predicate. */
+  val q180Sql: String =
+    s"""WITH bq AS (SELECT doc_id,
+           CAST((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) * 4 //
+             (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 7) AS BIGINT) AS bat
+         FROM documents WHERE doc_id % 10 = 7),
+       ${pairsCteSqlWith("a.doc_id % 10 = 7 AND (c.doc_id % 10 <> 7 OR " +
+        "(SELECT x.bat FROM bq x WHERE x.doc_id = c.doc_id) < " +
+        "(SELECT y.bat FROM bq y WHERE y.doc_id = a.doc_id)) " +
+        "AND NOT (c.doc_id % 10 <> 7 AND c.doc_id % 9 = 0 AND c.doc_id % 2 = 1 AND " +
+        "(SELECT z.bat FROM bq z WHERE z.doc_id = a.doc_id) >= 1) " +
+        "AND NOT (c.doc_id % 10 <> 7 AND c.doc_id % 9 = 0 AND c.doc_id % 2 = 0 AND " +
+        "(SELECT v.bat FROM bq v WHERE v.doc_id = a.doc_id) >= 2)")}
        SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"""
 
   /** 16-bit SimHash per document (token-hash sign aggregation). */
@@ -1797,6 +1951,7 @@ object CurationQueries {
     "q169_register_forget" -> (q169RegisterForget _),
     "q170_register_forget_stream" -> (q170RegisterForgetMidDrain _),
     "q177_register_revive" -> (q177RegisterRevive _),
+    "q180_register_valve" -> (q180RegisterValve _),
     "q136_stream_curation" -> (q136StreamCuration _),
     "q105_semantic_decon" -> (q105SemanticDecon _),
     "q139_semdedup" -> (q139SemDedup _),
@@ -1822,6 +1977,7 @@ object CurationQueries {
     "q169_register_forget" -> q169Sql,
     "q170_register_forget_stream" -> q170Sql,
     "q177_register_revive" -> q177Sql,
+    "q180_register_valve" -> q180Sql,
     "q136_stream_curation" -> q136Sql,
     "q105_semantic_decon" -> q105Sql,
     "q139_semdedup" -> q139Sql,

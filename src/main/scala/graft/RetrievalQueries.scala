@@ -19,7 +19,7 @@ object RetrievalQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.load(s, dir, "documents")
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(s: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
@@ -2097,6 +2097,90 @@ object RetrievalQueries {
     after.toDF("vec_id", "rank", "score").orderBy("rank")
   }
 
+  // ---------- q181: pinned multi-query graph serving ----------
+
+  /** THE LAST (family × pinned × multi) CELL — q178 pins the batch
+    * server on IVF + lexical; the graph family had the single-query
+    * pin (q175) and the un-pinned batch serve (q167) but no declared
+    * row serving a QUERY BATCH from a pinned graph generation across
+    * a concurrent [[graft.search.GraphAnn.compactTombstones]] flip.
+    * Composition: a delete lands in the live generation's sidecar,
+    * the batch server pins [[graft.search.GraphAnn
+    * .currentGeneration]] ONCE, serves the 16-query batch through
+    * [[graft.search.GraphAnn.searchIndexMultiPinned]] (ONE routed
+    * nodes scan for the whole batch, the q167 shape), maintenance
+    * compacts under the standing pin, and the server re-serves the
+    * identical batch from the pinned snapshot. Gates: the pinned
+    * batch hides the request before the flip (the generation-keyed
+    * sidecar is part of the snapshot unit), serves IDENTICAL rows
+    * across the flip (the grace window — the hard snapshot
+    * invariant, bit for bit), the FLIPPED serve hides the request
+    * too, and pinned-vs-flipped agree within a per-query floor.
+    * Exact row equality with the flipped serve is deliberately NOT
+    * the graph gate (it IS the IVF/SQ8 one, q176/q178): graph
+    * compaction REBUILDS touched cells from their remaining members,
+    * so post-flip beams navigate different edges, and two exact-
+    * scored serves can legitimately differ at the candidate margin —
+    * measured 159/160 ids shared at sf0.01; the floor (≥8/10 per
+    * query, ≥95% overall) pins that margin without faking an
+    * equality the structure does not promise. Rows-only per the
+    * graph ✗ discipline; PlanSpec pins the one-scan shape of the
+    * multi-pinned read. */
+  def q181GraphPinnedMulti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.search.GraphAnn
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q181")
+    cloneTree(graphIndexPath(s, dir), path)
+    val delIds = e.filter(col("vec_id") % 9 === 4).select(col("vec_id"))
+    val nReq = Memo.cachedCount(s, dir, "q145_ndel")(delIds.count())
+    require(GraphAnn.deleteFromIndex(s, path, delIds, "vec_id") == nReq,
+      "q181: the request must land fully in the live sidecar")
+    val qs = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .localCheckpoint() // driver-sized query batch by contract
+    val nq = qs.count()
+    require(nq > 0, "q181 needs a non-empty query batch")
+    // the batch server's pin: ONE pointer resolve for the session
+    val pin = GraphAnn.currentGeneration(path)
+    val probe = graphProbeFor(s, dir)
+    def pinnedBatch() = GraphAnn.searchIndexMultiPinned(s, path, pin,
+        "vec_id", qs, "qid", "qv", 10, graphEf, probeParts = probe)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    val before = pinnedBatch()
+    require(before.size == nq * 10,
+      s"q181: the pinned batch must serve k rows per query, got ${before.size}")
+    require(before.forall(_._2 % 9 != 4),
+      "q181: the pinned batch serve must hide the standing request " +
+        "(the sidecar is part of the snapshot unit)")
+    GraphAnn.compactTombstones(s, path)
+    require(GraphAnn.currentGeneration(path) != pin,
+      "q181: the compaction must flip to a fresh generation")
+    val after = pinnedBatch()
+    require(after == before,
+      "q181: the pin must serve the identical batch across the flip")
+    val current = GraphAnn.searchIndexMulti(s, path, "vec_id",
+        qs, "qid", "qv", 10, graphEf, probeParts = probe)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    require(current.forall(_._2 % 9 != 4),
+      "q181: the flipped batch serve surfaced a deleted id")
+    // agreement floor, not equality: the flip rebuilt touched cells,
+    // so beams navigate different edges (see the doc above)
+    val pinnedIds = after.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val currentIds = current.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val overlaps = pinnedIds.keys.toSeq.sorted
+      .map(q => (pinnedIds(q) intersect currentIds(q)).size)
+    require(overlaps.forall(_ >= 8),
+      s"q181: per-query pinned-vs-flipped floor broken (min ${overlaps.min}/10)")
+    require(overlaps.sum * 100 >= nq * 10 * 95,
+      s"q181: overall pinned-vs-flipped floor broken (${overlaps.sum}/${nq * 10})")
+    after.toDF("qid", "vec_id", "rank", "score").orderBy("qid", "rank")
+  }
+
   // ---------- q167: multi-query graph serving ----------
 
   /** MULTI-QUERY SERVING FROM THE AT-REST GRAPH INDEX — the last cell
@@ -2439,11 +2523,18 @@ object RetrievalQueries {
     * is always a source-table rebuild, which is why the source stays
     * the system of record). File discipline gates fragmentation
     * (appends land new files per touched list) and restoration (the
-    * rebuild is one file per list). The oracle replays the ENTIRE
-    * post-requant state — union corpus with the scaled delta, fresh
-    * bounds, codes, probe, ADC ordering, exact re-rank — so the hash
-    * match certifies requantization reproduces exactly the clean
-    * build over the drifted corpus. */
+    * rebuild is one file per list). Round 16 grows the DELETE leg: a
+    * forget request lands before the requant, and because the rebuild
+    * sources from the corpus table — which knows nothing about the
+    * sidecar — a raw rebuild would resurrect the forgotten ids.
+    * [[graft.search.SQ.rebuildIndex]] anti-joins the standing sidecar
+    * out of the rebuild input; an in-query gate proves the rebuilt
+    * lists hold not one tombstoned id. The oracle replays the ENTIRE
+    * post-requant state — union corpus with the scaled delta MINUS
+    * the forgotten ids, fresh bounds, codes, probe, ADC ordering,
+    * exact re-rank — so the hash match certifies requantization
+    * reproduces exactly the clean build over the drifted,
+    * delete-filtered corpus. */
   def q121SqAppend(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q121")
@@ -2460,12 +2551,31 @@ object RetrievalQueries {
       s"q121: the out-of-range delta must trip requant (clamped $f2)")
     require(graft.search.IVF.listFileCounts(path).values.max >= 2,
       "q121: appends must land as new files per touched list")
+    // THE DELETE LEG (round-16): a right-to-be-forgotten request
+    // lands BEFORE the drift-triggered requant — the exact
+    // composition where a source-table rebuild would silently
+    // resurrect the forgotten ids (the requant sources from the
+    // corpus, which knows nothing about the sidecar). rebuildIndex
+    // captures the standing sidecar and anti-joins it out of the
+    // rebuild input, so the fresh geometry is derived from — and the
+    // fresh codes written over — the corpus WITHOUT them.
     val u = e.filter(col("vec_id") >= 50).select(col("vec_id"), col("v"))
       .unionByName(drift)
-    graft.search.SQ.writeIndex(u, "vec_id", "v", ivfK, path)
+    val doomed = u.filter(col("vec_id") % 17 === 3 && col("vec_id") =!= 2)
+      .select(col("vec_id").as("id")) // SQ lists carry idCol "id"
+    val nDel = graft.search.IVF.deleteFromIndex(s, path, doomed, "id")
+    require(nDel > 0, "q121: the delete request must hit the live index")
+    graft.search.SQ.rebuildIndex(u, "vec_id", "v", ivfK, path)
     require(graft.search.IVF.listFileCounts(path).values.forall(_ == 1),
       "q121: requantization must restore one file per list")
-    graft.search.SQ.searchIndex(s, path, u, "vec_id", "v",
+    // forgotten stays forgotten THROUGH the requant: the rebuilt
+    // lists must not hold a single tombstoned id (physical absence,
+    // not a sidecar hide — the fresh index has no sidecar)
+    require(s.read.parquet(graft.search.IVF.listsPath(path))
+        .join(doomed, Seq("id"), "left_semi").isEmpty,
+      "q121: requantization resurrected tombstoned ids")
+    val live = u.filter(!(col("vec_id") % 17 === 3 && col("vec_id") =!= 2))
+    graft.search.SQ.searchIndex(s, path, live, "vec_id", "v",
       e.filter(col("vec_id") === 2).select(col("v").as("qv")), "qv",
       10, ivfProbe, sqRerank)
       .orderBy("rank")
@@ -2476,22 +2586,24 @@ object RetrievalQueries {
        u AS (SELECT vec_id, v FROM e WHERE vec_id >= 50
              UNION ALL
              SELECT vec_id, list_transform(v, x -> x + 1.0) AS v FROM e WHERE vec_id < 50),
+       u2 AS (SELECT vec_id, v FROM u
+              WHERE NOT (vec_id % 17 = 3 AND vec_id <> 2)),
        c AS (SELECT cid, cvec FROM (
            SELECT CAST(ROW_NUMBER() OVER (ORDER BY
                ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
-             v AS cvec FROM u) WHERE cid < $ivfK),
+             v AS cvec FROM u2) WHERE cid < $ivfK),
        a AS (SELECT vec_id, v, cid FROM (
-           SELECT u.vec_id, u.v, c.cid,
-             ROW_NUMBER() OVER (PARTITION BY u.vec_id
-               ORDER BY list_dot_product(u.v, c.cvec) DESC, c.cid) AS r
-           FROM u, c) WHERE r = 1),
+           SELECT u2.vec_id, u2.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY u2.vec_id
+               ORDER BY list_dot_product(u2.v, c.cvec) DESC, c.cid) AS r
+           FROM u2, c) WHERE r = 1),
        q AS (SELECT v AS qv FROM e WHERE vec_id = 2),
        pr AS (SELECT cid, qv FROM (
            SELECT c.cid, q.qv,
              ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
            FROM c, q) WHERE r <= $ivfProbe),
        b AS (SELECT d, MIN(v[d]) AS lo, MAX(v[d]) AS hi
-             FROM u, (SELECT UNNEST(generate_series(1, $sqDim)) AS d) GROUP BY d),
+             FROM u2, (SELECT UNNEST(generate_series(1, $sqDim)) AS d) GROUP BY d),
        bl AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM b),
        cd AS (SELECT a.vec_id, a.cid,
            list_transform(generate_series(1, $sqDim), d ->
@@ -2506,8 +2618,8 @@ object RetrievalQueries {
        cand AS (SELECT vec_id FROM (
            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc DESC, vec_id) AS r FROM ad)
          WHERE r <= $sqRerank),
-       sc AS (SELECT u.vec_id, list_dot_product(u.v, q.qv) AS sc
-              FROM u JOIN cand USING (vec_id), q),
+       sc AS (SELECT u2.vec_id, list_dot_product(u2.v, q.qv) AS sc
+              FROM u2 JOIN cand USING (vec_id), q),
        r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
                     ROUND(sc, 6) AS score FROM sc)
        SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
@@ -2774,6 +2886,18 @@ object RetrievalQueries {
     graft.search.IVF.writeIndex(v1, "doc_id", "v", ivfK, 0, path)
     val pin = graft.search.IVF.currentGeneration(path)
     val q1 = v1.filter(col("doc_id") === 1).select(col("v").as("qv"))
+    // THE DELETE LEG (round-16): a forget request lands BEFORE the
+    // upgrade — the composition where a corpus-sourced rebuild would
+    // silently resurrect the forgotten ids, because the corpus table
+    // knows nothing about the live generation's sidecar. writeIndexFrom
+    // anti-joins the standing sidecar into the staged lists, so the
+    // flipped v2 generation physically lacks them (gated below), and
+    // the PINNED v1 serve keeps hiding them through its own sidecar —
+    // both serves agree: forgotten stays forgotten across the upgrade.
+    val doomed = d.filter(col("doc_id") % 7 === 3 && col("doc_id") =!= 1)
+      .select(col("doc_id"))
+    require(graft.search.IVF.deleteFromIndex(s, path, doomed, "doc_id") > 0,
+      "q141: the delete request must hit the live index")
     // THE UPGRADE: re-embed from text under v2, staged generation +
     // atomic flip (writeIndexFrom's live-rebuild path)
     val v2 = feats(d.select(col("doc_id"),
@@ -2783,6 +2907,9 @@ object RetrievalQueries {
       graft.search.IVF.assign(v2, "doc_id", "v", c2), path)
     require(graft.search.IVF.currentGeneration(path) != pin,
       "q141: the upgrade must commit a new generation through the CURRENT flip")
+    require(s.read.parquet(graft.search.IVF.listsPath(path))
+        .join(doomed, Seq("doc_id"), "left_semi").isEmpty,
+      "q141: the upgrade resurrected tombstoned ids")
     val q2 = v2.filter(col("doc_id") === 1).select(col("v").as("qv"))
     // pinned v1 serve AFTER the flip (snapshot isolation across the
     // upgrade) UNION the current v2 serve (the upgraded geometry)
@@ -2799,7 +2926,12 @@ object RetrievalQueries {
 
   /** Both legs replayed end to end: features from the portable
     * embed CTE (v2's text is "'v2 ' || text"), then q45's
-    * centroid/assign/probe/top-k chain per leg. */
+    * centroid/assign/probe/top-k chain per leg. Both legs exclude
+    * the forgotten set (doc_id % 7 = 3) at the candidate-scoring
+    * stage — the pinned v1 leg because its sidecar hides them, the
+    * current v2 leg because writeIndexFrom's anti-join made them
+    * physically absent; centroids per leg still derive from the
+    * full corpus, because deletion never changes geometry. */
   lazy val q141Sql: String = {
     def leg(p: String, textExpr: String, phase: String): String =
       s"""${graft.RetrievalQueries.embedCteSql("base", textExpr, 64, p)},
@@ -2819,7 +2951,8 @@ object RetrievalQueries {
              ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
            FROM ${p}c c, ${p}q q) WHERE r <= $ivfProbe),
        ${p}sc AS (SELECT a.doc_id, list_dot_product(a.v, pr.qv) AS sc
-           FROM ${p}a a JOIN ${p}pr pr ON a.cid = pr.cid),
+           FROM ${p}a a JOIN ${p}pr pr ON a.cid = pr.cid
+           WHERE a.doc_id % 7 <> 3 OR a.doc_id = 1),
        ${p}r AS (SELECT '$phase' AS phase, doc_id,
            CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS BIGINT) AS rank,
            ROUND(sc, 6) AS score FROM ${p}sc)"""
@@ -3857,6 +3990,176 @@ $sqRows)
        ORDER BY method, knob"""
   }
 
+  // ---------- q182/q183: recall under DELETION (the quality valve) ----------
+
+  /** THE RECALL-UNDER-DELETION DIAL — q48/q95 read recall on pristine
+    * indexes; no row measured ANN recall as a function of the
+    * TOMBSTONE FRACTION, the number the valve question actually
+    * needs: [[graft.search.IVF.needsCompact]] fires on sidecar SIZE
+    * (cost), but a serving owner also wants to know when deferral
+    * starts costing QUALITY. One cloned index takes two accumulating
+    * forget requests (10%, then 30% of the corpus — nested, the way
+    * sidecars actually grow between compactions), and after each the
+    * multi-query serve is scored against exact kNN over the LIVE
+    * (corpus ∖ deleted) truth, at the serving probe width and at
+    * full probe. The pinned invariant: FULL-probe recall is 1.0 at
+    * EVERY delete fraction — the sidecar hide is exact, deletion
+    * costs IVF no correctness, only whatever the probe dial already
+    * cost (for IVF, hidden rows never crowd a candidate heap the way
+    * they crowd a graph beam — contrast q183, where ef = k degrades
+    * with the fraction). FULLY ORACLED: centroids and assignment
+    * replay over the FULL corpus (deletion never changes geometry),
+    * candidates and exact truth filter to each stage's live set. */
+  def q182IvfRecallDeletion(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q182")
+    cloneTree(persistedListsPath(s, dir, "ivf_idx0", ivfCents0(s, dir)), path)
+    val qs = e.filter(col("vec_id") < recallNq)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    def row(live: DataFrame, delPct: Int, nprobe: Int): DataFrame =
+      Search.multiTopK(live, "vec_id", "v", qs, "qid", "qv", recallK)
+        .select(col("qid"), col("vec_id"))
+        .join(graft.search.IVF.searchIndexMulti(s, path, "vec_id", "v",
+            qs, "qid", "qv", recallK, nprobe).select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_semi")
+        .agg(round(count(lit(1)) / lit((recallNq * recallK).toDouble), 4)
+          .as("recall"))
+        .select(lit("ivf").as("family"),
+          lit(delPct.toLong).as("del_pct"),
+          lit(s"nprobe=$nprobe").as("knob"), col("recall"))
+        .localCheckpoint() // 1 row; the floor gate and the union share it
+    def floor(df: DataFrame): Double = df.head().getDouble(3)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def stage(live: DataFrame, delPct: Int): Unit = {
+      val serving = row(live, delPct, ivfProbe)
+      val full = row(live, delPct, ivfK)
+      require(floor(full) == 1.0,
+        s"q182: full-probe recall must be exact at del=$delPct% " +
+          s"(got ${floor(full)}) — the sidecar hide is exact")
+      rows += serving += full
+    }
+    stage(e, 0)
+    require(graft.search.IVF.deleteFromIndex(s, path,
+        e.filter(col("vec_id") % 10 === 1).select(col("vec_id")), "vec_id") > 0,
+      "q182: the 10% request must hit the index")
+    stage(e.filter(col("vec_id") % 10 =!= 1), 10)
+    require(graft.search.IVF.deleteFromIndex(s, path,
+        e.filter(col("vec_id") % 10 isin (3, 5)).select(col("vec_id")),
+        "vec_id") > 0,
+      "q182: the 30% request must hit the index")
+    stage(e.filter(!(col("vec_id") % 10 isin (1, 3, 5))), 30)
+    rows.reduce(_ unionAll _).orderBy("family", "del_pct", "knob")
+  }
+
+  /** q182's replay: geometry (centroids + assignment) over the FULL
+    * corpus, exact truth and candidate set filtered to each stage's
+    * live slice, at both probe widths. */
+  val q182Sql: String = {
+    val denom = s"${recallNq * recallK}.0"
+    def stage(tag: String, pred: String): String =
+      s"""l$tag AS (SELECT vec_id, v FROM e WHERE $pred),
+       ex$tag AS (SELECT qid, vec_id FROM (
+           SELECT q.qid, l.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(l.v, q.qv) DESC, l.vec_id) AS r
+           FROM l$tag l, q) WHERE r <= $recallK)"""
+    def appx(tag: String, p: Int): String =
+      s"""iv${tag}_$p AS (SELECT qid, vec_id FROM (
+           SELECT pr.qid, a.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY pr.qid
+               ORDER BY list_dot_product(a.v, pr.qv) DESC, a.vec_id) AS r2
+           FROM a JOIN (SELECT qid, cid, qv FROM pq WHERE r <= $p) pr
+             ON a.cid = pr.cid
+           JOIN l$tag l ON a.vec_id = l.vec_id) WHERE r2 <= $recallK)"""
+    def outRow(tag: String, pct: Int, p: Int): String =
+      s"""SELECT 'ivf' AS family, CAST($pct AS BIGINT) AS del_pct,
+           'nprobe=$p' AS knob, ROUND(COUNT(*) / $denom, 4) AS recall
+         FROM ex$tag JOIN iv${tag}_$p USING (qid, vec_id)"""
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $recallNq),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       pq AS (SELECT q.qid, c.cid, q.qv,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM q, c),
+       ${stage("0", "TRUE")},
+       ${stage("10", "vec_id % 10 <> 1")},
+       ${stage("30", "vec_id % 10 NOT IN (1, 3, 5)")},
+       ${appx("0", ivfProbe)}, ${appx("0", ivfK)},
+       ${appx("10", ivfProbe)}, ${appx("10", ivfK)},
+       ${appx("30", ivfProbe)}, ${appx("30", ivfK)}
+       SELECT family, del_pct, knob, recall FROM (
+         ${outRow("0", 0, ivfProbe)}
+         UNION ALL ${outRow("0", 0, ivfK)}
+         UNION ALL ${outRow("10", 10, ivfProbe)}
+         UNION ALL ${outRow("10", 10, ivfK)}
+         UNION ALL ${outRow("30", 30, ivfProbe)}
+         UNION ALL ${outRow("30", 30, ivfK)})
+       ORDER BY family, del_pct, knob"""
+  }
+
+  /** THE GRAPH CELL OF THE SAME DIAL — and the family where deferral
+    * DOES cost quality: a graph beam navigates THROUGH tombstoned
+    * nodes (their edges still route — the q129 over-retrieval
+    * argument) but cannot SERVE them, so hidden members crowd the
+    * beam's candidate budget. At the serving beam (ef = 48 ≫ k) the
+    * crowding is absorbed — the floor gate pins recall ≥ 0.9 at
+    * EVERY delete fraction, q95's pristine floor carried into the
+    * tombstoned regime. At the minimal beam (ef = k) the output rows
+    * record how recall decays with the fraction — the measured
+    * answer to "when must the valve fire for quality, not just for
+    * sidecar size". Rows-only per the graph ✗ discipline; the ≥0.9
+    * floor and the exactness of the 0% full-beam row are the
+    * in-query gates. */
+  def q183GraphRecallDeletion(s: SparkSession, dir: String): DataFrame = {
+    import graft.search.GraphAnn
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q183")
+    cloneTree(graphIndexPath(s, dir), path)
+    val qs = e.filter(col("vec_id") < recallNq)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probe = graphProbeFor(s, dir)
+    def row(live: DataFrame, delPct: Int, ef: Int): DataFrame =
+      Search.multiTopK(live, "vec_id", "v", qs, "qid", "qv", recallK)
+        .select(col("qid"), col("vec_id"))
+        .join(GraphAnn.searchIndexMulti(s, path, "vec_id",
+            qs, "qid", "qv", recallK, ef, probeParts = probe)
+            .select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_semi")
+        .agg(round(count(lit(1)) / lit((recallNq * recallK).toDouble), 4)
+          .as("recall"))
+        .select(lit("graph").as("family"),
+          lit(delPct.toLong).as("del_pct"),
+          lit(s"ef=$ef").as("knob"), col("recall"))
+        .localCheckpoint() // 1 row; floor gate and union share it
+    val rows = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def stage(live: DataFrame, delPct: Int): Unit = {
+      val serving = row(live, delPct, graphEf)
+      require(serving.head().getDouble(3) >= 0.9,
+        s"q183: serving-beam recall floor (0.9) broken at del=$delPct%")
+      rows += serving += row(live, delPct, recallK)
+    }
+    stage(e, 0)
+    require(GraphAnn.deleteFromIndex(s, path,
+        e.filter(col("vec_id") % 10 === 1).select(col("vec_id")), "vec_id") > 0,
+      "q183: the 10% request must hit the index")
+    stage(e.filter(col("vec_id") % 10 =!= 1), 10)
+    require(GraphAnn.deleteFromIndex(s, path,
+        e.filter(col("vec_id") % 10 isin (3, 5)).select(col("vec_id")),
+        "vec_id") > 0,
+      "q183: the 30% request must hit the index")
+    stage(e.filter(!(col("vec_id") % 10 isin (1, 3, 5))), 30)
+    rows.reduce(_ unionAll _).orderBy("family", "del_pct", "knob")
+  }
+
   // ---------- noise QA / FHE-as-contract (V9, M7, R7, M8) ----------
 
   /** V9/M7: corpus-wide noise QA — mean/min/max cosine between each
@@ -4502,8 +4805,12 @@ $sqRows)
     * fusion ROW FOR ROW — compaction moves bytes, never content, and
     * the multi-query path inherits the single-query pin's coherence
     * (each generation paired with its own sidecar, held by its
-    * family's grace window). Oracle: q150's replay verbatim — pin,
-    * flip, and fresh generations serve one truth for the whole
+    * family's grace window). Round 16: a forget request lands on
+    * BOTH legs before the pins, so the equality gate exercises the
+    * (generation, sidecar) PAIRING — the pinned serves hide the
+    * request via their sidecars, the flipped serves physically lack
+    * it. Oracle: q150's replay with the forget predicate per leg —
+    * pin, flip, and fresh generations serve one truth for the whole
     * batch. */
   def q178PinnedHybridMulti(s: SparkSession, dir: String): DataFrame = {
     require(bm25MultiQueries.map(_._1) == multiQids,
@@ -4518,6 +4825,20 @@ $sqRows)
       .filter(_.getName.startsWith("q178_post"))
       .foreach(graft.FileTree.delete)
     Queries.writePostings(s, docs(s, dir), tbl, postPath, "overwrite")
+    // round-16: a small forget request lands on BOTH legs BEFORE the
+    // pins, so the pinned-equals-flipped gate exercises the
+    // (generation, sidecar) PAIRING, not just byte movement — the
+    // pinned generations hide the request through their sidecars
+    // while the flipped generations physically lack it; a serve that
+    // paired either generation with the other's delete set would
+    // break the row-for-row equality below
+    val delVec = e.filter(col("vec_id") % 23 === 7).select(col("vec_id"))
+    require(graft.search.IVF.deleteFromIndex(s, ivfPath, delVec, "vec_id") > 0,
+      "q178: the vector delete request must hit the live index")
+    val delDoc = docs(s, dir).filter(col("doc_id") % 23 === 7)
+      .select(col("doc_id").as("doc"))
+    require(BM25.deleteFromPostings(s, postPath, s.table(tbl), delDoc) > 0,
+      "q178: the lexical delete request must hit the live postings")
     // the server's session start: pin BOTH read contracts once
     val ivfPin = graft.search.IVF.currentGeneration(ivfPath)
     val lexPin = Queries.postingsLivePath(s, tbl)
@@ -4533,12 +4854,17 @@ $sqRows)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("qid", "rank").collect().toSeq
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    // the pinned batch serve: both legs from the superseded generations
+    // the pinned batch serve: both legs from the superseded
+    // generations — the lexical pin through the BUCKET-PRUNED pin
+    // table (the bucket spec captured at pin time, so the snapshot
+    // reader keeps SelectedBucketsCount pruning; PlanSpec pins it)
+    val lexPinTbl = Queries.pinPostingsTable(s, tbl, lexPin)
     val fusedPinned = rows(Hybrid.rrfFuseMulti(
       graft.search.IVF.searchIndexMultiPinned(s, ivfPath, ivfPin,
         "vec_id", "v", qs, "qid", "qv", rrfDepth, ivfProbe),
       "vec_id",
-      BM25.searchIndexedMultiPinned(s, lexPin, bm25MultiQueries, rrfDepth),
+      BM25.searchIndexedMultiPinnedWith(s, lexPin, s.table(lexPinTbl),
+        bm25MultiQueries, rrfDepth),
       "doc", rrfC, 10))
     // the flipped generations fuse the identical batch answer
     val post = s.table(tbl)
@@ -4592,7 +4918,16 @@ $sqRows)
     * the VALUES routing table, RRF fused on (qid, id). LAZY, over
     * THIS object's [[bm25MultiQueries]] (initialization-order
     * safe). */
-  lazy val q150Sql: String = {
+  lazy val q150Sql: String = q150SqlWhere("TRUE", "TRUE")
+
+  /** q150's replay with a forget predicate per leg — q178's oracle:
+    * deleted ids drop out at the candidate-scoring stage on the
+    * vector side (centroids still derive from the full corpus —
+    * deletion never changes geometry) and out of the corpus on the
+    * lexical side (BM25 stats are re-derived from the filtered
+    * postings, exactly what statsFromPostings does over a compacted
+    * or sidecar-filtered table). */
+  private def q150SqlWhere(vecPred: String, docPred: String): String = {
     val qtVals = bm25MultiQueries
       .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
     val union = bm25MultiQueries.flatMap(_._2).distinct
@@ -4615,14 +4950,15 @@ $sqRows)
                ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
            FROM c, q) WHERE r <= $ivfProbe),
        vs AS (SELECT pr.qid, a.vec_id, list_dot_product(a.v, pr.qv) AS sc
-              FROM a JOIN pr ON a.cid = pr.cid),
+              FROM a JOIN pr ON a.cid = pr.cid WHERE $vecPred),
        vr AS (SELECT qid, vec_id AS id, rank FROM (
            SELECT qid, vec_id,
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS rank
            FROM vs) WHERE rank <= $rrfDepth),
        qt AS (SELECT CAST(qid AS BIGINT) AS qid, term
            FROM (VALUES $qtVals) t(qid, term)),
-       d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+             FROM documents WHERE $docPred),
        corpus AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d),
        post AS (SELECT doc_id, len(toks) AS len, UNNEST(toks) AS term FROM d),
        tf AS (SELECT doc_id, len, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM post
@@ -5149,6 +5485,10 @@ $sqRows)
     val delIds = e.filter(col("vec_id") < split && col("vec_id") % 13 === 5)
       .select(col("vec_id"))
     val nReq = Memo.cachedCount(s, dir, "q157_ndel")(delIds.count())
+    // an empty request would make the valve -1 and fire needsCompact
+    // on EVERY batch — surface the precondition, not a confusing
+    // "valve must fire exactly once" failure (q173/q177's discipline)
+    require(nReq > 0, "q179 needs a non-empty delete request")
     val valve = nReq - 1 // the request itself trips the poll
     val schema = s.read.parquet(stage).schema
     val src = s.readStream.schema(schema)
@@ -6118,6 +6458,8 @@ $sqRows)
     "q17_noise_qa" -> (q17NoiseQa _),
     "q45_ann_ivf" -> (q45AnnIvf _),
     "q48_ann_recall" -> (q48AnnRecall _),
+    "q182_ivf_recall_deletion" -> (q182IvfRecallDeletion _),
+    "q183_graph_recall_deletion" -> (q183GraphRecallDeletion _),
     "q18_fhe_sim" -> (q18FheSim _),
     "q19_fhe_overlap" -> (q19FheOverlap _),
     "q40_rank_metrics" -> (q40Materialized _),
@@ -6167,6 +6509,7 @@ $sqRows)
     "q173_sq_cdc_revive" -> (q173SqCdcRevive _),
     "q174_factory_forget" -> (q174FactoryForget _),
     "q175_graph_pinned_read" -> (q175GraphPinnedRead _),
+    "q181_graph_pinned_multi" -> (q181GraphPinnedMulti _),
     "q176_sq_pinned_read" -> (q176SqPinnedRead _),
     "q178_pinned_hybrid_multi" -> (q178PinnedHybridMulti _),
     "q179_graph_valve" -> (q179GraphValve _),
@@ -6196,6 +6539,7 @@ $sqRows)
     "q17_noise_qa" -> q17Sql,
     "q45_ann_ivf" -> q45Sql,
     "q48_ann_recall" -> q48Sql,
+    "q182_ivf_recall_deletion" -> q182Sql,
     "q54_ivf_persist" -> q45Sql,
     "q18_fhe_sim" -> q18Sql,
     "q19_fhe_overlap" -> q19Sql,
@@ -6250,7 +6594,8 @@ $sqRows)
     // q178 serves q150's exact batch truth through the dual pin —
     // compaction is content-invariant on both legs, so one SQL
     // certifies the pinned and flipped batch fusions alike
-    "q178_pinned_hybrid_multi" -> q150Sql,
+    "q178_pinned_hybrid_multi" ->
+      q150SqlWhere("NOT (a.vec_id % 23 = 7)", "NOT (doc_id % 23 = 7)"),
     "q166_cascade_all" -> q166Sql,
     // q172 serves q142's exact truth through pinned generations on
     // both legs — compaction is content-invariant, so one SQL

@@ -128,6 +128,52 @@ object ScaleProbe {
         val a = timeBpe("1x", src)
         val b = timeBpe(s"${k}x", dst)
         println(f"SCALE RATIO bpe64 ${b / a}%.2f (data ${k}x)")
+      // cell-local graph delete probe (not a declared query): the
+      // complement of q157/q179's %13-spans-every-cell rows — a
+      // request confined to ONE cell's members, so SCALE.md can
+      // separate the CONTRACT cost (compaction stages a full new
+      // generation: O(index) bytes copied) from the REQUEST-SHAPE
+      // cost (graph construction reruns only in touched cells:
+      // O(touched) CPU). Prints touched/total cells and splits the
+      // timing into hide / compaction.
+      case "graphcelllocal" =>
+        import graft.search.GraphAnn
+        def run(label: String, dir: String): (Double, Double) = {
+          val idx = RetrievalQueries.graphIndexPath(spark, dir)
+          val path = s"/tmp/graft_cell_probe_$label"
+          graft.FileTree.delete(new java.io.File(path))
+          graft.FileTree.copy(new java.io.File(idx), new java.io.File(path))
+          val nodes = spark.read.parquet(GraphAnn.tablePath(path, "nodes"))
+            .select(col("part").cast("int").as("part"), col("id"))
+            .localCheckpoint()
+          val parts = nodes.select("part").distinct().count()
+          // a handful of the smallest cell's members — replicas
+          // scatter each id across 2-3 cells, so a genuinely
+          // cell-local request must stay small (a 40-id slice of one
+          // part touched 33 cells at 10x via replica spread)
+          val smallest = nodes.groupBy("part").count()
+            .orderBy(col("count").asc, col("part").asc).head().getInt(0)
+          val ids = nodes.filter(col("part") === smallest)
+            .select(col("id").as("vec_id")).orderBy("vec_id")
+            .limit(5).localCheckpoint()
+          // touched = cells holding ANY replica of a requested id
+          val touched = nodes
+            .join(ids.select(col("vec_id").as("id")), Seq("id"), "left_semi")
+            .select("part").distinct().count()
+          val t0 = System.nanoTime()
+          GraphAnn.deleteFromIndex(spark, path, ids, "vec_id")
+          val tHide = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          GraphAnn.compactTombstones(spark, path)
+          val tComp = (System.nanoTime() - t1) / 1e9
+          println(f"SCALE $label graphcelllocal touched=$touched/$parts " +
+            f"hide=${tHide}%.2fs compact=${tComp}%.2fs")
+          (tHide, tComp)
+        }
+        val (h1, c1) = run("1x", src)
+        val (h2, c2) = run(s"${k}x", dst)
+        println(f"SCALE RATIO graphcelllocal hide=${h2 / h1}%.2f " +
+          f"compact=${c2 / c1}%.2f (data ${k}x)")
       case q =>
         val a = time("1x", src, q)
         val b = time(s"${k}x", dst, q)

@@ -33,6 +33,44 @@ object Scratch {
         java.nio.file.Paths.get(s"$out/oracle_sql.json"), json)
       spark.stop(); return
     }
+    // round 16: measure pinned-vs-flipped divergence of the graph
+    // batch serve (q181 gate calibration) — the flip REBUILDS touched
+    // cells, so beams navigate different edges; how many of the 16
+    // queries' top-10 sets differ, and by how much?
+    if (args.contains("graphpinneddiv")) {
+      import org.apache.spark.sql.functions._
+      import graft.search.GraphAnn
+      val e = RetrievalQueries.emb(spark, dir)
+      val path = "/tmp/graft_q181_div"
+      graft.FileTree.delete(new java.io.File(path))
+      graft.FileTree.copy(new java.io.File(RetrievalQueries.graphIndexPath(spark, dir)),
+        new java.io.File(path))
+      val delIds = e.filter(col("vec_id") % 9 === 4).select(col("vec_id"))
+      GraphAnn.deleteFromIndex(spark, path, delIds, "vec_id")
+      val qs = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("v").as("qv")).localCheckpoint()
+      val pin = GraphAnn.currentGeneration(path)
+      val probe = RetrievalQueries.graphProbeFor(spark, dir)
+      def serve(gen: Option[String]) = (gen match {
+        case Some(g) => GraphAnn.searchIndexMultiPinned(spark, path, g,
+          "vec_id", qs, "qid", "qv", 10, RetrievalQueries.graphEf, probeParts = probe)
+        case None => GraphAnn.searchIndexMulti(spark, path, "vec_id",
+          qs, "qid", "qv", 10, RetrievalQueries.graphEf, probeParts = probe)
+      }).collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val pinned = serve(Some(pin))
+      GraphAnn.compactTombstones(spark, path)
+      val pinned2 = serve(Some(pin))
+      val current = serve(None)
+      println(s"pin-stable: ${pinned == pinned2}")
+      val overlaps = pinned.keys.toSeq.sorted.map { q =>
+        val o = (pinned(q) intersect current(q)).size
+        println(s"qid=$q overlap=$o/10")
+        o
+      }
+      println(s"min overlap=${overlaps.min}, total=${overlaps.sum}/160")
+      spark.stop(); return
+    }
     // round 14: q152 banded-growth probe — candidate pairs vs
     // all-pairs as the image corpus grows 10× (the dedup candidate-
     // tracking story on the perceptual-hash axis)

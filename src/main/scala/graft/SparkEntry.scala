@@ -485,6 +485,40 @@ object Queries {
     if (mode == "append") s.catalog.refreshTable(tbl)
   }
 
+  /** BUCKET-PRUNED PIN on a postings generation — closes the
+    * [[graft.lexical.BM25.postingsPinned]] trade-off (a raw path
+    * read carries no bucket metadata, so the pinned serve scanned
+    * the generation's full breadth): the pin CAPTURES the bucket
+    * spec by registering the pinned generation path as an EXTERNAL
+    * table with the same `CLUSTERED BY (term) INTO n BUCKETS` spec
+    * the generation was written under. Metadata-only — the bytes
+    * never move; the bucket id rides the part-file names the
+    * bucketed write stamped, so the re-attached spec prunes exactly
+    * the files the original table did. Readers serve through
+    * [[graft.lexical.BM25.searchIndexedPinnedWith]] /
+    * [[graft.lexical.BM25.searchIndexedMultiPinnedWith]] over
+    * `spark.table(<returned name>)` and keep `SelectedBucketsCount`
+    * pruning for the pin's duration (PlanSpec pins it). The pin
+    * table is named for its generation, so repeated pins of the
+    * same generation are idempotent; [[compactPostings]]' GC drops
+    * pin tables whose generation has left the grace window (their
+    * reads would fail loudly anyway — the files are gone). */
+  private[graft] def pinPostingsTable(s: SparkSession, tbl: String,
+                                      pinnedPath: String): String = {
+    require(new java.io.File(pinnedPath).isDirectory,
+      s"pinPostingsTable: generation at $pinnedPath has been GC'd — " +
+        "a pin is valid for one maintenance cycle; re-resolve and retry")
+    val gen = PipelineQueries.sanitizeTag(new java.io.File(pinnedPath).getName)
+    val pinTbl = s"${tbl}__pin_$gen"
+    s.sql(s"""CREATE TABLE IF NOT EXISTS $pinTbl
+      (doc BIGINT, len DOUBLE, term STRING, tf DOUBLE)
+      USING parquet
+      CLUSTERED BY (term) SORTED BY (term) INTO $bm25Buckets BUCKETS
+      LOCATION '$pinnedPath'""")
+    s.catalog.refreshTable(pinTbl)
+    pinTbl
+  }
+
   /** COMPACTION of the bucketed postings table — the last quarter of
     * the BM25 maintenance lifecycle (build q20 → append q87 → stream
     * q102 → compact here), the lexical twin of
@@ -523,13 +557,23 @@ object Queries {
     s.sql(s"DROP TABLE IF EXISTS $old")
     val base = path.replaceAll("__gen\\d+$", "")
     val baseName = new java.io.File(base).getName
-    val siblings = Option(new java.io.File(base).getParentFile.listFiles())
+    val parent = new java.io.File(base).getParentFile
+    val siblings = Option(parent.listFiles())
       .toSeq.flatten.map(_.getName)
       .filter(_.startsWith(baseName + "__gen"))
       .flatMap(n => scala.util.Try(
         n.stripPrefix(baseName + "__gen").toInt).toOption)
-    val v = (siblings :+ 1).max + 1
+    // writer-fence markers count toward the next version (a crashed
+    // writer's marker burns one number, never wedges the re-run)
+    val fencePrefix = baseName + "__WRITER__v"
+    val claimed = graft.WriterFence.markerVersions(parent, fencePrefix)
+    val v = (siblings ++ claimed :+ 1).max + 1
     val stagePath = base + "__gen" + v
+    // single-writer fence: two compactions racing from the same
+    // listing derive the same v — the loser fails loudly before any
+    // staged bytes or metastore DDL (graft.WriterFence contract)
+    graft.WriterFence.acquire(new java.io.File(parent, fencePrefix + v),
+      s"compactPostings($tbl)")
     // read the FILES, not the table: the bucketed-table scan already
     // claims the bucket distribution, which lets the planner elide
     // the aligning repartition and write one file per (task, bucket)
@@ -553,6 +597,7 @@ object Queries {
     s.sql(s"ALTER TABLE $tbl RENAME TO $old")
     s.sql(s"ALTER TABLE $stage RENAME TO $tbl")
     s.sql(s"DROP TABLE $old") // external: files remain as the grace window
+    graft.WriterFence.sweep(parent, fencePrefix, v)
     // GC generations two+ cycles old (with their sidecars); the
     // immediately superseded `path` keeps its files AND sidecar as
     // the in-flight readers' coherent grace window
@@ -568,6 +613,16 @@ object Queries {
             n == new java.io.File(BM25.tombPath(base)).getName)
       }
       .foreach(graft.FileTree.delete)
+    // drop pin tables whose generation left the grace window — their
+    // files are gone, a read would fail loudly anyway; this is
+    // metastore hygiene (metadata-only, external locations)
+    s.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(tbl + "__pin_"))
+      .foreach { pt =>
+        val loc = scala.util.Try(postingsLivePath(s, pt)).toOption
+        if (!loc.exists(l => new java.io.File(l).isDirectory))
+          s.sql(s"DROP TABLE IF EXISTS $pt")
+      }
     stagePath
   }
 

@@ -189,14 +189,22 @@ object Dedup {
   def appendToRegister(spark: org.apache.spark.sql.SparkSession,
                        path: String, bands: DataFrame,
                        buckets: Int): String = {
+    // with a standing sidecar the batch plan is consumed TWICE (the
+    // probe's isEmpty, then the write) — and streaming callers pass
+    // un-checkpointed bandedSignatures plans, so every post-forget
+    // batch would pay the MinHash signature computation twice.
+    // Materialize once (batch-sized by contract); the never-deleted
+    // common case stays zero-cost — one directory probe, no
+    // checkpoint.
+    val staged = if (hasRegisterTomb(path)) bands.localCheckpoint() else bands
     val target =
       if (!hasRegisterTomb(path)) path
-      else if (bands.select(col("id")).distinct()
+      else if (staged.select(col("id")).distinct()
           .join(spark.read.parquet(registerTombPath(path)).select(col("id")),
             Seq("id"), "left_semi")
           .isEmpty) path
       else compactRegister(spark, path, buckets)
-    bands
+    staged
       .repartition(col("sigbucket"))
       .write.mode("append").partitionBy("sigbucket").parquet(target)
     target
@@ -244,11 +252,19 @@ object Dedup {
       .filter(_.startsWith(baseName + "__gen"))
       .flatMap(n => scala.util.Try(
         n.stripPrefix(baseName + "__gen").toInt).toOption)
-    val v = (siblings :+ 1).max + 1
+    // single-writer fence (the graft.WriterFence contract): markers
+    // count toward the version, the loser of a same-version race
+    // fails loudly before staging, the committer sweeps to v
+    val fencePrefix = baseName + "__WRITER__v"
+    val claimed = graft.WriterFence.markerVersions(parent, fencePrefix)
+    val v = (siblings ++ claimed :+ 1).max + 1
     val stagePath = base + "__gen" + v
+    graft.WriterFence.acquire(new java.io.File(parent, fencePrefix + v),
+      "Dedup.compactRegister")
     liveRegister(spark, path, spark.read.parquet(path))
       .repartition(buckets, col("sigbucket"))
       .write.mode("overwrite").partitionBy("sigbucket").parquet(stagePath)
+    graft.WriterFence.sweep(parent, fencePrefix, v)
     // GC generations two+ cycles old (with sidecars); keep the new
     // generation and the immediately superseded `path` + its sidecar
     val keep = Set(new java.io.File(stagePath).getName,

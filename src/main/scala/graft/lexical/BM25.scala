@@ -352,6 +352,35 @@ object BM25 {
     searchIndexedMulti(live, statsFromPostings(live), queries, k)
   }
 
+  /** [[searchIndexedPinned]] with the postings frame SUPPLIED by the
+    * caller — the BUCKET-PRUNED pin: a raw path read carries no
+    * bucket metadata (the [[postingsPinned]] trade-off), but the pin
+    * can CAPTURE the generation's bucket spec by registering the
+    * pinned path as an external bucketed table
+    * ([[graft.Queries.pinPostingsTable]] — metadata-only, the bytes
+    * never move) and passing its table read here. The sidecar is
+    * still keyed by `pinnedPath` (the snapshot pairing is unchanged);
+    * only the scan gains `SelectedBucketsCount` pruning, so a
+    * snapshot reader pays query-term breadth instead of full postings
+    * breadth for the pin's duration. PlanSpec pins the pruned shape;
+    * answers are identical to [[searchIndexedPinned]]. */
+  def searchIndexedPinnedWith(spark: org.apache.spark.sql.SparkSession,
+                              pinnedPath: String, post: DataFrame,
+                              queryTerms: Seq[String], k: Int): DataFrame = {
+    val live = livePostings(spark, pinnedPath, post)
+    searchIndexed(live, statsFromPostings(live), queryTerms, k)
+  }
+
+  /** [[searchIndexedMultiPinned]] with a caller-supplied (bucketed)
+    * postings frame — the batch server's bucket-pruned pin. */
+  def searchIndexedMultiPinnedWith(spark: org.apache.spark.sql.SparkSession,
+                                   pinnedPath: String, post: DataFrame,
+                                   queries: Seq[(Long, Seq[String])],
+                                   k: Int): DataFrame = {
+    val live = livePostings(spark, pinnedPath, post)
+    searchIndexedMulti(live, statsFromPostings(live), queries, k)
+  }
+
   private def scorePostings(post: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val stats = post.groupBy("term")
       .agg(countDistinct(col("doc")).cast("double").as("df"))

@@ -743,7 +743,27 @@ object GraphAnn {
       .filter(_.isDirectory).map(_.getName)
       .collect { case n if n.startsWith("gen__v") => n.stripPrefix("gen__v") }
       .flatMap(s => scala.util.Try(s.toInt).toOption)
-    (vs :+ 1).max + 1
+    // writer-fence markers count too (a crashed writer's marker burns
+    // one version number, never wedges the re-run)
+    val claimed = graft.WriterFence.markerVersions(
+      new java.io.File(path), FencePrefix)
+    (vs ++ claimed :+ 1).max + 1
+  }
+
+  private val FencePrefix = "WRITER__v"
+
+  /** Derive the next generation name AND acquire the single-writer
+    * fence for it in one step — every in-place staging op
+    * ([[refreshRouting]], [[compactTombstones]], [[reviveToIndex]])
+    * must go through this so a same-version race between two
+    * maintenance writers fails loudly at the loser instead of
+    * overwriting the winner's staged generation (the
+    * [[graft.WriterFence]] contract). Returns (genName, version);
+    * the committer sweeps markers up to `version` after its flip. */
+  private def claimNextGen(path: String, what: String): (String, Int) = {
+    val v = nextGenVersion(path)
+    graft.WriterFence.acquire(new java.io.File(path, s"$FencePrefix$v"), what)
+    (s"gen__v$v", v)
   }
 
   private def flipCurrent(path: String, gen: String): Unit = {
@@ -806,9 +826,10 @@ object GraphAnn {
     * maintenance job's cost, never a query's. */
   def refreshRouting(spark: SparkSession, path: String, parts: Int): Unit = {
     val prevGen = currentGeneration(path)
-    val newGen = s"gen__v${nextGenVersion(path)}"
+    val (newGen, v) = claimNextGen(path, "GraphAnn.refreshRouting")
     refreshRoutingInto(spark, genRoot(path, prevGen), parts, s"$path/$newGen")
     flipCurrent(path, newGen)
+    graft.WriterFence.sweep(new java.io.File(path), FencePrefix, v)
     staleGenerations(path, keep = Set(newGen, prevGen))
       .foreach(graft.FileTree.delete)
   }
@@ -873,7 +894,7 @@ object GraphAnn {
         col("nbrs"))
     val touched = nodes.join(broadcast(tomb), Seq("id"), "left_semi")
       .select(col("part")).distinct().as[Int].collect().toSet
-    val newGen = s"gen__v${nextGenVersion(path)}"
+    val (newGen, fenceV) = claimNextGen(path, "GraphAnn.compactTombstones")
     val out = s"$path/$newGen"
     val touchedSeq = touched.toSeq.map(Integer.valueOf)
     val untouched = nodes
@@ -904,6 +925,7 @@ object GraphAnn {
       .groupBy(col("part")).agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$out/meta")
     flipCurrent(path, newGen)
+    graft.WriterFence.sweep(new java.io.File(path), FencePrefix, fenceV)
     staleGenerations(path, keep = Set(newGen, prevGen))
       .foreach(graft.FileTree.delete)
   }
@@ -980,7 +1002,7 @@ object GraphAnn {
         .select(col("part")).distinct().as[Int].collect().toSet ++
       routed.select(col("part")).distinct().as[Int].collect().toSet).toSeq
     val touchedSeq = touched.map(Integer.valueOf)
-    val newGen = s"gen__v${nextGenVersion(path)}"
+    val (newGen, fenceV) = claimNextGen(path, "GraphAnn.reviveToIndex")
     val out = s"$path/$newGen"
     val untouched = nodes.filter(!col("part").isin(touchedSeq: _*))
       .select(col("part"), col("id"), col("vec"), col("nbrs"))
@@ -1010,6 +1032,7 @@ object GraphAnn {
       .groupBy(col("part")).agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$out/meta")
     flipCurrent(path, newGen)
+    graft.WriterFence.sweep(new java.io.File(path), FencePrefix, fenceV)
     staleGenerations(path, keep = Set(newGen, prevGen))
       .foreach(graft.FileTree.delete)
   }

@@ -187,6 +187,21 @@ object IVF {
     }
   }
 
+  /** The LIVE generation's standing tombstone sidecar, MATERIALIZED
+    * (localCheckpoint — request-sized by the delete contract), or
+    * None when the index has never been deleted from. Materialization
+    * matters: the one caller class that needs this ([[graft.search.SQ
+    * .rebuildIndex]]'s requant, a CREATE that destroys the path
+    * before writing the new geometry) must hold the delete set AFTER
+    * the files it was read from are gone — a lazy plan would fail at
+    * the scan, or worse, silently read nothing. */
+  private[search] def standingTombIds(spark: org.apache.spark.sql.SparkSession,
+                                      path: String): Option[DataFrame] = {
+    val td = tombDirFor(listsPath(path))
+    if (!new java.io.File(td).isDirectory) None
+    else Some(spark.read.parquet(td).localCheckpoint())
+  }
+
   /** Rows in the LIVE generation's tombstone sidecar (0 when none) —
     * a sidecar-only count, no list bytes. */
   def tombstoneRows(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
@@ -233,8 +248,16 @@ object IVF {
         case n if n.startsWith("centroids__v") => n.stripPrefix("centroids__v")
       }
       .flatMap(s => scala.util.Try(s.toInt).toOption)
-    (vs :+ 1).max + 1
+    // writer-fence markers count too: a crashed writer's marker burns
+    // one version number instead of wedging every re-run on the same N
+    val claimed = graft.WriterFence.markerVersions(
+      new java.io.File(path), FencePrefix)
+    (vs ++ claimed :+ 1).max + 1
   }
+
+  private val FencePrefix = "WRITER__v"
+  private def fenceFile(path: String, v: Int): java.io.File =
+    new java.io.File(path, s"$FencePrefix$v")
 
   /** Atomically point CURRENT at a (lists, centroids) generation pair:
     * single-file ATOMIC_MOVE on a filesystem, a small-object PUT on an
@@ -271,19 +294,42 @@ object IVF {
     // the local FS and a 100 TB object store); the write-side
     // exchange pays for every read after (the postings-write
     // discipline, SparkEntry.writePostings)
-    val listWrite = assigned.repartition(col("cid"))
+    def listWrite(df: DataFrame) = df.repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid")
     if (freshIndex) {
       // first build at this path: nothing can be reading it, the base
       // names ARE the generation (no pointer until maintenance)
       cents.write.mode("overwrite").parquet(s"$path/centroids")
-      listWrite.parquet(s"$path/lists")
+      listWrite(assigned).parquet(s"$path/lists")
     } else {
       val (prevLists, prevCents) = generationPair(path)
+      // DELETE AWARENESS — the upgrade-resurrection close: a rebuild
+      // sourced from EXTERNAL content (the corpus table — q141's
+      // embedder upgrade, SQ's requant recipe) knows nothing about
+      // the deletes the live generation is hiding, and committing its
+      // rows verbatim under a clean sidecar would resurrect every
+      // tombstoned id through a routine maintenance op — a
+      // right-to-be-forgotten request undone by an upgrade. The
+      // staged lists therefore anti-join the STANDING sidecar:
+      // physical removal rides the rewrite it was already paying
+      // (deletion's phase 2, exactly compactIndex's discipline), the
+      // new generation legitimately starts with a clean sidecar, and
+      // forgotten stays forgotten across any rebuild. Rebuilds
+      // sourced from the index's OWN content ([[listsRows]] — q96's
+      // refresh) arrive pre-filtered; the anti-join is then a no-op
+      // costing one sidecar-sized probe. AQE-governed like every
+      // sidecar join — never a forced broadcast.
+      val staged = dropTombstoned(assigned.sparkSession,
+        s"$path/$prevLists", assigned)
       val v = nextVersion(path)
+      // writer fence BEFORE any staged bytes: the loser of a
+      // same-version race fails loudly instead of overwriting the
+      // winner's staged generation and racing the CURRENT flip
+      graft.WriterFence.acquire(fenceFile(path, v), "IVF.writeIndexFrom")
       cents.write.mode("overwrite").parquet(s"$path/centroids__v$v")
-      listWrite.parquet(s"$path/lists__v$v")
+      listWrite(staged).parquet(s"$path/lists__v$v")
       flipCurrent(path, s"lists__v$v", s"centroids__v$v")
+      graft.WriterFence.sweep(new java.io.File(path), FencePrefix, v)
       // each kept lists generation keeps ITS tombstone sidecar: a
       // grace-window pin pairs its lists with its delete set, so the
       // sidecar must survive exactly as long as the lists do
@@ -508,7 +554,12 @@ object IVF {
     // next version from the LISTING (nextVersion), not the live name:
     // a liveName-derived counter restarts at v2 right after a rebuild
     // and would stage INTO a surviving grace generation
-    val nextName = s"lists__v${nextVersion(path)}"
+    val v = nextVersion(path)
+    val nextName = s"lists__v$v"
+    // writer fence: two compactions racing (e.g. a scheduled one and
+    // a valve-fired one from another session) derive the same v from
+    // the same listing — the loser fails loudly here
+    graft.WriterFence.acquire(fenceFile(path, v), "IVF.compactIndex")
     // the rewrite is sourced through the tombstone filter: compaction
     // is deletion's PHASE 2 — it reads every byte anyway, so physical
     // removal rides it for free, the new generation starts with a
@@ -524,6 +575,7 @@ object IVF {
     // under the SAME quantizer, so the pointer keeps the centroids
     // name and swaps only the lists generation
     flipCurrent(path, nextName, liveCents)
+    graft.WriterFence.sweep(new java.io.File(path), FencePrefix, v)
     // the superseded generation keeps its sidecar through the grace
     // window — a pinned reader pairs old lists with the old delete set
     staleGenerations(path,

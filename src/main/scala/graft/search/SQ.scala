@@ -117,6 +117,38 @@ object SQ {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
   }
 
+  /** REQUANTIZATION — the drift-triggered rebuild ([[appendToIndex]]'s
+    * clamp fraction fired): fresh bounds, fresh centroids, fresh codes
+    * from the full-precision source of truth, because codes are lossy
+    * and the index can never re-derive itself. This is the SQ twin of
+    * [[IVF.writeIndexFrom]]'s live rebuild, and it carries the SAME
+    * delete-awareness: the rebuild sources from the CORPUS TABLE,
+    * which knows nothing about the deletes the live index is hiding —
+    * a raw [[writeIndex]] over it would resurrect every tombstoned id
+    * through the maintenance op most likely to run fleet-wide (the
+    * upgrade-resurrection class q163/q177 closed on the append paths).
+    * So the standing sidecar is captured FIRST (materialized — the
+    * CREATE below destroys the files it lives in) and anti-joined out
+    * of the rebuild input: physical removal rides the rewrite,
+    * forgotten stays forgotten, and the fresh index legitimately
+    * starts with no sidecar. Geometry changes wholesale, so prior
+    * generations cannot serve under the new bounds — requantization
+    * is CREATE semantics by design and standing pins fail loudly at
+    * scan time (their files are gone), never silently pair old codes
+    * with new bounds. */
+  def rebuildIndex(docs: DataFrame, idCol: String, vecCol: String,
+                   k: Int, path: String): Unit = {
+    val spark = docs.sparkSession
+    val src =
+      if (!new java.io.File(path).isDirectory) docs
+      else IVF.standingTombIds(spark, path).fold(docs) { tomb =>
+        docs.join(
+          tomb.select(col(tomb.columns.head).cast("long").as("__tombid")),
+          col(idCol).cast("long") === col("__tombid"), "left_anti")
+      }
+    writeIndex(src, idCol, vecCol, k, path)
+  }
+
   /** INCREMENTAL maintenance of the SQ8 index: assign a delta batch
     * against the STANDING quantizer and quantize it under the
     * STANDING bounds — the bounds are part of the index's geometry,

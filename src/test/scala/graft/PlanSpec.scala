@@ -507,6 +507,39 @@ class PlanSpec extends SparkSpec {
       s"the pinned plan shape must survive the flip:\n$p2")
   }
 
+  test("pinned postings: the pin table re-attaches the bucket spec — SelectedBucketsCount survives the pin") {
+    import org.apache.spark.sql.functions.col
+    // a pinned-path parquet read carries no bucket metadata (the
+    // documented postingsPinned trade-off); pinPostingsTable captures
+    // the generation's bucket spec as an external table, so the
+    // snapshot serve keeps pruning — the round-15 What's-wrong #3
+    val tbl = "bm25_pin_plan_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val path = java.nio.file.Files.createTempDirectory("pin_plan").toString + "/t"
+    Queries.writePostings(spark, docs, tbl, path, "overwrite")
+    val pin = Queries.postingsLivePath(spark, tbl)
+    val pinTbl = Queries.pinPostingsTable(spark, tbl, pin)
+    val terms = Seq("spark", "data", "model")
+    def served(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val bucketed = graft.lexical.BM25.searchIndexedPinnedWith(
+      spark, pin, spark.table(pinTbl), terms, 10)
+    val p = bucketed.queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount"),
+      s"expected the pinned serve to keep bucket pruning:\n$p")
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+    assert(sel.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"expected a strict bucket subset on the pinned scan:\n$p")
+    // answers identical to the unpruned pinned path read
+    assert(served(bucketed) == served(
+      graft.lexical.BM25.searchIndexedPinned(spark, pin, terms, 10)),
+      "the bucket-pruned pin must serve exactly the path read's answers")
+    // idempotent re-pin of the same generation
+    assert(Queries.pinPostingsTable(spark, tbl, pin) == pinTbl)
+  }
+
   test("q135: one pruned ADC scan + one id-pushed point fetch serve the query batch") {
     val p = plan("q135_sq_multi")
     // the declared plan is the re-rank stage: candidate ids pushed

@@ -178,6 +178,40 @@ class SQSpec extends SparkSpec {
       "a stay-deleted id surfaced in the post-revive SQ8 serve")
   }
 
+  test("delete → requant: rebuildIndex anti-joins the standing sidecar — fresh geometry never re-admits forgotten ids") {
+    import graft.search.IVF
+    val path = "/tmp/graft_test/sq_requant_del"
+    SQ.writeIndex(e, "vec_id", "v", 8, path)
+    val doomed = e.filter(col("vec_id") % 9 === 2)
+      .select(col("vec_id").as("id")).localCheckpoint()
+    val doomedIds = doomed.as[Long].collect().toSet
+    assert(IVF.deleteFromIndex(spark, path, doomed, "id") == doomed.count())
+    // the requant sources from the CORPUS TABLE (codes are lossy, the
+    // index can never re-derive itself) — which knows nothing about
+    // the sidecar; a raw writeIndex here would resurrect every
+    // forgotten id through the maintenance op that runs fleet-wide
+    SQ.rebuildIndex(e, "vec_id", "v", 8, path)
+    val lists = spark.read.parquet(IVF.listsPath(path))
+    assert(lists.join(doomed, Seq("id"), "left_semi").isEmpty,
+      "requantization resurrected tombstoned ids")
+    assert(IVF.tombstoneRows(spark, path) == 0L,
+      "the rebuilt index must start with a clean sidecar")
+    assert(lists.count() == e.count() - doomedIds.size)
+    // the post-requant serve never surfaces a forgotten id (full
+    // probe so absence is structural, not probe luck)
+    val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    val served = SQ.searchIndex(spark, path, e, "vec_id", "v", q, "qv",
+        20, 8, RetrievalQueries.sqRerank)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(served.intersect(doomedIds).isEmpty,
+      "a forgotten id surfaced in the post-requant serve")
+    // and on a NEVER-DELETED index, rebuildIndex ≡ writeIndex (the
+    // anti-join is a directory probe, nothing filtered)
+    val clean = "/tmp/graft_test/sq_requant_clean"
+    SQ.rebuildIndex(e, "vec_id", "v", 8, clean)
+    assert(spark.read.parquet(IVF.listsPath(clean)).count() == e.count())
+  }
+
   test("append quantizes under the STANDING bounds and reports the clamped fraction") {
     val path = "/tmp/graft_test/sq_append"
     val base = e.filter(col("vec_id") >= 100)

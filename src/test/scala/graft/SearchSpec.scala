@@ -237,6 +237,38 @@ class SearchSpec extends SparkSpec {
     assert(dead != null, "expired pin must fail loudly, not serve a mixed pair")
   }
 
+  test("delete → upgrade: writeIndexFrom anti-joins the standing sidecar — forgotten stays forgotten across a corpus-sourced rebuild") {
+    import graft.search.IVF
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_upg_del").toString
+    IVF.writeIndex(emb, "vec_id", "v", 8, refineIters = 0, path)
+    val pin0 = IVF.currentGeneration(path)
+    val doomed = emb.filter(col("vec_id") % 9 === 2)
+      .select("vec_id").localCheckpoint()
+    val doomedIds = doomed.as[Long].collect().toSet
+    assert(IVF.deleteFromIndex(spark, path, doomed, "vec_id") == doomed.count())
+    // the upgrade: a corpus-sourced rebuild under a retrained
+    // quantizer (q141's embedder-upgrade shape) — the input knows
+    // nothing about the live generation's sidecar
+    val cents2 = IVF.centroids(emb, "vec_id", "v", 8).localCheckpoint()
+    IVF.writeIndexFrom(cents2, IVF.assign(emb, "vec_id", "v", cents2), path)
+    // physically absent from the flipped generation, clean sidecar
+    assert(spark.read.parquet(IVF.listsPath(path))
+        .join(doomed, Seq("vec_id"), "left_semi").isEmpty,
+      "the upgrade resurrected tombstoned ids")
+    assert(IVF.tombstoneRows(spark, path) == 0L)
+    val q = emb.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    val served = IVF.searchIndex(spark, path, "vec_id", "v", q, "qv", 20, 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(served.intersect(doomedIds).isEmpty)
+    // the pinned PRE-upgrade generation keeps hiding them through its
+    // own surviving sidecar — both sides of the flip agree
+    val pinServed = IVF.searchIndexPinned(spark, path, pin0,
+        "vec_id", "v", q, "qv", 20, 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(pinServed.intersect(doomedIds).isEmpty,
+      "the pinned pre-upgrade serve surfaced a deleted id")
+  }
+
   test("compaction crash-recovery: an orphaned staged generation is versioned past, never overwritten, and GC'd") {
     // the documented crash contract, proven: a crash BEFORE the flip
     // leaves a fully staged generation orphaned with the old one
