@@ -288,12 +288,14 @@ object CurationQueries {
   private[graft] def streamBandsPath(s: SparkSession, dir: String): String =
     Memo.cachedValue(s, dir, "q98_base_bands") {
       val p = PipelineQueries.roundtripPath(dir, "q98_bands")
-      Dedup.bandedSignatures(docs(s, dir).filter(col("doc_id") % 10 =!= 7),
-          "doc_id", "text", shingleN, nPerm, rowsPerBand)
-        .withColumn("sigbucket", sigbucket(col("band"), col("bandsig")))
-        // one file per bucket directory (the postings-write discipline)
-        .repartition(q98SigBuckets, col("sigbucket"))
-        .write.mode("overwrite").partitionBy("sigbucket").parquet(p)
+      // the CREATE helper clears the path AND its sidecar/generation
+      // siblings — a fresh register must not inherit a dead one's
+      // delete set (the sibling-sidecar leftover class)
+      Dedup.writeRegister(
+        Dedup.bandedSignatures(docs(s, dir).filter(col("doc_id") % 10 =!= 7),
+            "doc_id", "text", shingleN, nPerm, rowsPerBand)
+          .withColumn("sigbucket", sigbucket(col("band"), col("bandsig"))),
+        p, q98SigBuckets)
       p
     }
   private[graft] def streamBaseBands(s: SparkSession, dir: String): DataFrame =

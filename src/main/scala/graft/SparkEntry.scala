@@ -478,6 +478,15 @@ object Queries {
     // calling session's cached file listing stale when the write
     // runs on a streaming-cloned session — the foreachBatch case)
     val target = if (mode == "append") postingsLivePath(s, tbl) else path
+    // CREATE semantics must not inherit a dead index's delete set:
+    // the postings sidecar is a SIBLING of the data path
+    // (BM25.tombPath = path + "__tomb"), so overwriting the data
+    // alone would leave a stale sidecar silently hiding legitimate
+    // docs from the fresh index — the leftover-sidecar class
+    // GraphAnn.writeIndexWith clears on its in-path `tombstones`
+    // table and IVF/SQ clear by deleting the whole index path
+    if (mode != "append")
+      graft.FileTree.delete(new java.io.File(BM25.tombPath(target)))
     post.write.mode(mode)
       .option("path", target)
       .bucketBy(bm25Buckets, "term").sortBy("term")
@@ -682,6 +691,90 @@ object Queries {
     * and the post-compaction serve equals the tombstone-filtered
     * serve row for row — hide-now ≡ remove-later, q145's witness on
     * the lexical index. */
+  /** DELETE-AWARE postings rebuild — the lexical twin of
+    * [[graft.search.SQ.rebuildIndex]] / the delete-aware
+    * [[graft.search.IVF.writeIndexFrom]]: a tokenizer or analyzer
+    * upgrade re-derives every posting from the CORPUS TABLE, which
+    * knows nothing about the deletes the live table is hiding — a
+    * raw [[writePostings]] overwrite (CREATE semantics) would
+    * resurrect every tombstoned doc through routine maintenance. The
+    * standing sidecar is captured FIRST (materialized — the CREATE
+    * clears the sidecar it lives in) and anti-joined out of the
+    * rebuild input: forgotten stays forgotten across the upgrade,
+    * and the fresh table legitimately starts clean. `livePath` is
+    * the table's CURRENT data path ([[postingsLivePath]]). */
+  private[graft] def rebuildPostings(s: SparkSession, docs: DataFrame,
+                                     tbl: String, livePath: String): Unit = {
+    val td = new java.io.File(BM25.tombPath(livePath))
+    val src =
+      if (!td.isDirectory) docs
+      else {
+        val tomb = s.read.parquet(td.getPath)
+          .select(col("doc").as("__tombdoc")).localCheckpoint()
+        docs.join(tomb, col("doc_id").cast("long") === col("__tombdoc"),
+          "left_anti")
+      }
+    writePostings(s, src, tbl, livePath, "overwrite")
+  }
+
+  /** TOKENIZER-UPGRADE × PENDING-DELETES on the lexical index — the
+    * last family cell of the upgrade-resurrection matrix (IVF q141,
+    * SQ8 q121, graph q151's reroute anti-join; lexical: here): a
+    * forget request lands in the live postings' sidecar, then an
+    * analyzer upgrade re-tokenizes the WHOLE corpus (modeled as a
+    * deterministic 'v2 '-prefix re-tokenization — genuinely new
+    * postings: one extra token per doc shifts every length and df)
+    * and rebuilds the table. [[rebuildPostings]] anti-joins the
+    * standing sidecar out of the rebuild input, so the upgraded
+    * table physically lacks the forgotten docs (gated in-query) and
+    * starts with a clean sidecar. FULLY ORACLED: q20's replay under
+    * the v2 tokenization over corpus ∖ deleted. */
+  def q184Bm25Upgrade(s: SparkSession, dir: String): DataFrame = {
+    val tbl = "bm25_upg_" + PipelineQueries.sanitizeTag(dir)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = PipelineQueries.roundtripPath(dir, "bm25upg")
+    Option(new java.io.File(path).getParentFile.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith(new java.io.File(path).getName))
+      .foreach(graft.FileTree.delete)
+    val d = t(s, dir, "documents")
+    writePostings(s, d, tbl, path, "overwrite")
+    val del = d.filter(col("doc_id") % 11 === 4)
+      .select(col("doc_id").as("doc")).localCheckpoint()
+    require(BM25.deleteFromPostings(s, path, s.table(tbl), del) == del.count(),
+      "q184: the forget request must land fully in the sidecar")
+    // THE UPGRADE: re-tokenize from the corpus — the input knows
+    // nothing about the sidecar; the delete-aware rebuild carries
+    // the forget into the fresh table's content
+    rebuildPostings(s,
+      d.select(col("doc_id"), concat(lit("v2 "), col("text")).as("text")),
+      tbl, path)
+    require(!new java.io.File(BM25.tombPath(path)).isDirectory,
+      "q184: the upgraded table must start with a clean sidecar")
+    require(s.table(tbl).join(broadcast(del), Seq("doc"), "left_semi").isEmpty,
+      "q184: the upgrade resurrected tombstoned docs")
+    val post = s.table(tbl)
+    BM25.searchIndexed(post, BM25.statsFromPostings(post), bm25Terms, 20)
+      .orderBy("rank")
+  }
+
+  /** q20's replay under the v2 tokenization over corpus ∖ deleted:
+    * the 'v2 ' prefix adds one token per doc (len + avgdl shift) and
+    * the deleted docs drop out of every statistic. */
+  val q184Sql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(lower(trim('v2 ' || text)), '\s+') AS toks
+         FROM documents WHERE doc_id % 11 <> 4),
+       corpus AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d),
+       post AS (SELECT doc_id, len(toks) AS len, UNNEST(toks) AS term FROM d),
+       tf AS (SELECT doc_id, len, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM post
+              WHERE term IN ('spark', 'hash', 'join') GROUP BY doc_id, len, term),
+       stats AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+       idf AS (SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf FROM stats, corpus),
+       sc AS (SELECT doc_id, SUM(idf * tf * 2.5 / (tf + 1.5 * (1.0 - 0.75 + 0.75 * len / avgdl))) AS score
+              FROM tf JOIN idf USING (term), corpus GROUP BY doc_id),
+       r AS (SELECT doc_id AS doc, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+                    ROUND(score, 4) AS score FROM sc)
+       SELECT doc, rank, score FROM r WHERE rank <= 20 ORDER BY rank"""
+
   def q146Bm25Delete(s: SparkSession, dir: String): DataFrame = {
     val tbl = "bm25_delete_" + PipelineQueries.sanitizeTag(dir)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -1332,6 +1425,7 @@ object Queries {
     "q87_bm25_append" -> (q87Bm25Append _),
     "q122_bm25_compact" -> (q122Bm25Compact _),
     "q146_bm25_delete" -> (q146Bm25Delete _),
+    "q184_bm25_upgrade" -> (q184Bm25Upgrade _),
     "q102_stream_bm25" -> (q102StreamBm25 _),
     "q148_stream_bm25_delete" -> (q148StreamBm25Delete _),
     "q159_stream_bm25_valve" -> (q159StreamBm25Valve _),
@@ -1362,6 +1456,7 @@ object Queries {
     "q87_bm25_append" -> q20Sql,
     "q122_bm25_compact" -> q20Sql,
     "q146_bm25_delete" -> q146Sql,
+    "q184_bm25_upgrade" -> q184Sql,
     "q102_stream_bm25" -> q20Sql,
     "q148_stream_bm25_delete" -> q148Sql,
     "q159_stream_bm25_valve" -> q148Sql,

@@ -145,6 +145,49 @@ object Dedup {
   private def hasRegisterTomb(path: String): Boolean =
     new java.io.File(registerTombPath(path)).isDirectory
 
+  /** CREATE a banded-signature register at `path` — the bucketed
+    * write every register build must go through: one file per
+    * sigbucket (the postings-write discipline), and CREATE semantics
+    * that clear the path AND its sidecar/generation SIBLINGS
+    * (`__tomb`, `__genN`). The sidecar lives NEXT TO the data path,
+    * so overwriting the data alone would leave a dead register's
+    * delete set silently hiding legitimate ids from the fresh one —
+    * the leftover-sidecar class [[graft.search.GraphAnn
+    * .writeIndexWith]] clears on its in-path tombstones table. */
+  def writeRegister(bands: DataFrame, path: String, buckets: Int): Unit = {
+    val base = new java.io.File(path)
+    Option(base.getParentFile.listFiles()).toSeq.flatten
+      .filter(f => f.getName == base.getName ||
+        f.getName.startsWith(base.getName + "__"))
+      .foreach(graft.FileTree.delete)
+    bands.repartition(buckets, col("sigbucket"))
+      .write.mode("overwrite").partitionBy("sigbucket").parquet(path)
+  }
+
+  /** DELETE-AWARE register rebuild — the dedup twin of
+    * [[graft.search.SQ.rebuildIndex]]: a fingerprint-parameter
+    * upgrade (new shingle width, permutation count, banding)
+    * re-derives every signature from the CORPUS, which knows nothing
+    * about the forgets the live register is hiding — a raw
+    * [[writeRegister]] (CREATE) would re-admit every forgotten doc's
+    * bands, resuming the influence a right-to-be-forgotten request
+    * ended. The standing sidecar is captured FIRST (materialized —
+    * the CREATE clears the sidecar it lives in) and anti-joined out
+    * of the rebuild input. `livePath` is the register's current
+    * generation (the threaded [[compactRegister]] pointer). */
+  def rebuildRegister(spark: org.apache.spark.sql.SparkSession,
+                      bands: DataFrame, livePath: String,
+                      buckets: Int): Unit = {
+    val src =
+      if (!hasRegisterTomb(livePath)) bands
+      else {
+        val tomb = spark.read.parquet(registerTombPath(livePath))
+          .select(col("id")).localCheckpoint()
+        bands.join(tomb, Seq("id"), "left_anti")
+      }
+    writeRegister(src, livePath, buckets)
+  }
+
   /** PHASE-1 deletion from a banded-signature register stored at
     * `path` (rows (id, band, bandsig, sigbucket)): record
     * request ∩ register ids in the sidecar — an O(request) write

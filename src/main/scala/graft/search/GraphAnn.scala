@@ -897,9 +897,6 @@ object GraphAnn {
     val (newGen, fenceV) = claimNextGen(path, "GraphAnn.compactTombstones")
     val out = s"$path/$newGen"
     val touchedSeq = touched.toSeq.map(Integer.valueOf)
-    val untouched = nodes
-      .filter(!col("part").isin(touchedSeq: _*))
-      .select(col("part"), col("id"), col("vec"), col("nbrs"))
     val rebuilt = nodes.filter(col("part").isin(touchedSeq: _*))
       .join(broadcast(tomb), Seq("id"), "left_anti")
       .select(col("part"), col("id"), col("vec").cast("array<double>"))
@@ -915,8 +912,13 @@ object GraphAnn {
         }
       }
       .toDF("part", "id", "vec", "nbrs")
-    untouched.unionAll(rebuilt)
-      .write.mode("overwrite").partitionBy("part").parquet(s"$out/nodes")
+    // only the TOUCHED cells go through Spark (partition-pruned scan,
+    // per-cell rebuild); untouched part directories carry over at the
+    // FILE level below — the round-16 graphcelllocal probe's lesson:
+    // a cell-local request must not pay a decode/re-encode pass over
+    // every at-rest cell to stage its generation
+    rebuilt.write.mode("overwrite").partitionBy("part").parquet(s"$out/nodes")
+    carryUntouchedParts(root, out, touched)
     spark.read.parquet(s"$root/routing").orderBy("part").coalesce(1)
       .write.mode("overwrite").parquet(s"$out/routing")
     spark.read.parquet(s"$root/params").coalesce(1)
@@ -1004,8 +1006,6 @@ object GraphAnn {
     val touchedSeq = touched.map(Integer.valueOf)
     val (newGen, fenceV) = claimNextGen(path, "GraphAnn.reviveToIndex")
     val out = s"$path/$newGen"
-    val untouched = nodes.filter(!col("part").isin(touchedSeq: _*))
-      .select(col("part"), col("id"), col("vec"), col("nbrs"))
     val rebuilt = nodes.filter(col("part").isin(touchedSeq: _*))
       .join(broadcast(tomb), Seq("id"), "left_anti")
       .select(col("part"), col("id"), col("vec").cast("array<double>"))
@@ -1022,8 +1022,10 @@ object GraphAnn {
         }
       }
       .toDF("part", "id", "vec", "nbrs")
-    untouched.unionAll(rebuilt)
-      .write.mode("overwrite").partitionBy("part").parquet(s"$out/nodes")
+    // touched cells through Spark, untouched part dirs at the file
+    // level (the compactTombstones discipline — see above)
+    rebuilt.write.mode("overwrite").partitionBy("part").parquet(s"$out/nodes")
+    carryUntouchedParts(root, out, touched.toSet)
     spark.read.parquet(s"$root/routing").orderBy("part").coalesce(1)
       .write.mode("overwrite").parquet(s"$out/routing")
     spark.read.parquet(s"$root/params").coalesce(1)
@@ -1036,6 +1038,26 @@ object GraphAnn {
     staleGenerations(path, keep = Set(newGen, prevGen))
       .foreach(graft.FileTree.delete)
   }
+
+  /** Carry UNTOUCHED part directories from the live generation's
+    * nodes table into a staged generation's — a raw byte copy
+    * (`FileTree.copy`; a server-side object copy on an object
+    * store), never a Spark decode/re-encode job. The staged rewrite
+    * only ever RECONSTRUCTS touched cells; before round 16 it still
+    * paid a full read+decode+encode+write pass over every untouched
+    * cell to move them into the new generation — at 100 TB that pass
+    * IS the compaction cost for cell-local requests. If even the
+    * byte copy ever dominates at fleet scale, the upgrade path is
+    * per-part generations (a manifest of independently versioned
+    * part dirs) so untouched parts carry over by reference. */
+  private def carryUntouchedParts(root: String, out: String,
+                                  touched: Set[Int]): Unit =
+    Option(new java.io.File(s"$root/nodes").listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("part="))
+      .filter(f => scala.util.Try(f.getName.stripPrefix("part=").toInt)
+        .toOption.exists(p => !touched.contains(p)))
+      .foreach(d => graft.FileTree.copy(d,
+        new java.io.File(s"$out/nodes/${d.getName}")))
 
   /** CDC UPSERT APPLY — the batch router the feed-drain loop calls
     * per micro-batch: ids tombstoned in the live generation REVIVE

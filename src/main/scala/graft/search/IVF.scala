@@ -561,16 +561,45 @@ object IVF {
     // the same listing — the loser fails loudly here
     graft.WriterFence.acquire(fenceFile(path, v), "IVF.compactIndex")
     // the rewrite is sourced through the tombstone filter: compaction
-    // is deletion's PHASE 2 — it reads every byte anyway, so physical
-    // removal rides it for free, the new generation starts with a
-    // clean sidecar (its lists simply no longer hold the rows), and a
-    // raw-read rewrite could never resurrect a hidden row. A list
-    // every member of which was deleted vanishes here too: the cid
-    // shuffle produces no rows for it, so no directory is written.
-    dropTombstoned(spark, s"$path/$liveLists",
-        spark.read.parquet(s"$path/$liveLists"))
-      .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/$nextName")
+    // is deletion's PHASE 2, and the new generation starts with a
+    // clean sidecar (its lists simply no longer hold the rows). A
+    // list every member of which was deleted vanishes here too: the
+    // cid shuffle produces no rows for it, so no directory is
+    // written. Round 16 makes the rewrite TOUCHED-LISTS-ONLY: a list
+    // goes through Spark only when it is fragmented (>1 file — the
+    // merge this op exists for) or holds tombstoned rows (the
+    // physical removal); every other list carries over at the FILE
+    // level (raw byte copy — a server-side object copy on an object
+    // store, no decode/re-encode pass). At 100 TB a delete-triggered
+    // compaction over a mostly-clean index pays its request's lists,
+    // not the index.
+    val lp = s"$path/$liveLists"
+    val td = tombDirFor(lp)
+    val touchedByDelete: Set[Long] =
+      if (!new java.io.File(td).isDirectory) Set.empty
+      else {
+        val tomb = spark.read.parquet(td)
+        // K-bounded collect: distinct cids holding tombstoned rows
+        spark.read.parquet(lp)
+          .join(tomb.select(tomb.columns.head),
+            Seq(tomb.columns.head), "left_semi")
+          .select(col("cid").cast("long").as("cid")).distinct()
+          .collect().map(_.getLong(0)).toSet
+      }
+    val counts = fileCountsAt(lp)
+    val rebuild = counts.keySet.filter(c => counts(c) > 1 || touchedByDelete(c))
+    val carry = counts.keySet -- rebuild
+    if (rebuild.nonEmpty) {
+      val rebuildSeq = rebuild.toSeq.map(java.lang.Long.valueOf)
+      dropTombstoned(spark, lp,
+          spark.read.parquet(lp).filter(col("cid").isin(rebuildSeq: _*)))
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/$nextName")
+    } else new java.io.File(s"$path/$nextName").mkdirs()
+    carry.foreach { c =>
+      graft.FileTree.copy(new java.io.File(lp, s"cid=$c"),
+        new java.io.File(s"$path/$nextName/cid=$c"))
+    }
     // compaction moves bytes, never content: the new lists still live
     // under the SAME quantizer, so the pointer keeps the centroids
     // name and swaps only the lists generation
@@ -586,8 +615,12 @@ object IVF {
   /** Files per inverted list of a persisted index — the compaction
     * trigger's input, from a driver-side listing (K directory reads,
     * no data scan). */
-  def listFileCounts(path: String): Map[Long, Int] = {
-    val lists = new java.io.File(listsPath(path))
+  def listFileCounts(path: String): Map[Long, Int] =
+    fileCountsAt(listsPath(path))
+
+  /** [[listFileCounts]] for an explicit lists directory. */
+  private def fileCountsAt(listsDir: String): Map[Long, Int] = {
+    val lists = new java.io.File(listsDir)
     Option(lists.listFiles()).toSeq.flatten
       .filter(d => d.isDirectory && d.getName.startsWith("cid="))
       .map { d =>

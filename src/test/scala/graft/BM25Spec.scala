@@ -92,6 +92,36 @@ class BM25Spec extends SparkSpec {
       "the superseded generation's files must remain on disk")
   }
 
+  test("CREATE clears a leftover sibling sidecar: an overwrite rebuild never inherits a dead index's delete set") {
+    // the postings sidecar lives NEXT TO the data path (tombPath =
+    // path + "__tomb"), so a fresh writePostings(overwrite) at a path
+    // a previous index was deleted from would otherwise silently hide
+    // legitimate docs — the leftover-sidecar class GraphAnn's CREATE
+    // clears on its in-path tombstones table
+    val tbl = "bm25_stale_tomb_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = java.nio.file.Files.createTempDirectory("bm25_stale").toString + "/t"
+    Queries.writePostings(spark, docs, tbl, path, "overwrite")
+    def serve() = {
+      val post = spark.table(tbl)
+      BM25.searchIndexed(spark, path, post, BM25.statsFromPostings(post),
+          Seq("spark", "engine"), 10)
+        .select("doc").as[Long].collect().toSet
+    }
+    val victim = serve().min
+    assert(BM25.deleteFromPostings(spark, path, spark.table(tbl),
+      Seq(victim).toDF("doc")) == 1L)
+    assert(!serve().contains(victim), "premise: the sidecar hides")
+    // the REBUILD: a fresh index at the same (tbl, path) — CREATE
+    // semantics; content authority is the caller's input, so the old
+    // delete set must not survive
+    Queries.writePostings(spark, docs, tbl, path, "overwrite")
+    assert(!new java.io.File(BM25.tombPath(path)).isDirectory,
+      "CREATE must clear the sibling sidecar")
+    assert(serve().contains(victim),
+      "a fresh index inherited a dead index's delete set")
+  }
+
   test("delete sidecar: default serve hides docs, compaction folds + clears, no-op without one") {
     val tbl = "bm25_tomb_spec"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")

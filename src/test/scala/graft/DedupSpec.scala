@@ -120,6 +120,59 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall under floor")
   }
 
+  test("writeRegister CREATE clears a leftover sibling sidecar and stale generations") {
+    // the register's sidecar and __genN generations are SIBLINGS of
+    // the data path — a fresh register written over the data alone
+    // would inherit a dead register's delete set (hidden legit ids)
+    // and stale generations (wrong version derivation)
+    val base = java.nio.file.Files.createTempDirectory("dedup_create").toString
+    val path = base + "/reg"
+    def bands = Dedup.bandedSignatures(docs, "doc_id", "text", 3, 16, 4)
+      .withColumn("sigbucket", pmod(hash(col("band"), col("bandsig")), lit(4)))
+    Dedup.writeRegister(bands, path, 4)
+    assert(Dedup.deleteFromRegister(spark, path, Seq(1L).toDF("id")) == 1L)
+    val gen2 = Dedup.compactRegister(spark, path, 4)
+    assert(Dedup.deleteFromRegister(spark, gen2, Seq(3L).toDF("id")) == 1L)
+    // the fresh CREATE at the BASE path: sidecars and generations of
+    // the dead register must all go
+    Dedup.writeRegister(bands, path, 4)
+    assert(!new java.io.File(Dedup.registerTombPath(path)).isDirectory,
+      "CREATE must clear the sibling sidecar")
+    assert(!new java.io.File(gen2).exists(),
+      "CREATE must clear stale sibling generations")
+    assert(Dedup.liveRegister(spark, path, spark.read.parquet(path))
+        .filter(col("id") === 1L).count() > 0,
+      "a fresh register inherited a dead register's delete set")
+  }
+
+  test("delete → re-fingerprint: rebuildRegister anti-joins the standing sidecar — forgotten influence never resumes") {
+    // the register's upgrade-resurrection cell: a fingerprint-param
+    // upgrade re-derives signatures from the corpus, which knows
+    // nothing about the forgets the live register hides
+    val base = java.nio.file.Files.createTempDirectory("dedup_rebuild").toString
+    val path = base + "/reg"
+    def bandsWith(rpb: Int) =
+      Dedup.bandedSignatures(docs, "doc_id", "text", 3, 16, rpb)
+        .withColumn("sigbucket", pmod(hash(col("band"), col("bandsig")), lit(4)))
+    Dedup.writeRegister(bandsWith(4), path, 4)
+    assert(Dedup.deleteFromRegister(spark, path, Seq(1L).toDF("id")) == 1L)
+    // the upgrade: NEW banding (rowsPerBand 4 → 2) from the corpus —
+    // a raw writeRegister here would re-admit doc 1's bands
+    Dedup.rebuildRegister(spark, bandsWith(2), path, 4)
+    val atRest = spark.read.parquet(path)
+    assert(atRest.filter(col("id") === 1L).isEmpty,
+      "the re-fingerprint resurrected a forgotten doc's bands")
+    assert(!new java.io.File(Dedup.registerTombPath(path)).isDirectory,
+      "the rebuilt register must start with a clean sidecar")
+    // the surviving docs carry the NEW banding (8 bands at rpb=2)
+    assert(atRest.filter(col("id") === 3L).select("band").distinct().count() == 8,
+      "survivors must carry the upgraded fingerprints")
+    // and a never-deleted register rebuild is a plain CREATE
+    Dedup.rebuildRegister(spark, bandsWith(2), path, 4)
+    assert(spark.read.parquet(path).filter(col("id") === 1L).count() > 0,
+      "CREATE semantics on a clean register: content authority is the input")
+  }
+
   test("register delete: sidecar hides now, compaction removes later, generations cycle and GC") {
     // the band register as a deletable artifact (q169's machinery):
     // build a small register, tombstone one doc, verify the live

@@ -564,6 +564,47 @@ class SearchSpec extends SparkSpec {
     assert(spark.read.parquet(IVF.listsPath(path)).count() == emb.count())
   }
 
+  test("IVF compaction carries untouched single-file lists at the file level; only deleted/fragmented lists rewrite") {
+    import graft.search.IVF
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_carry").toString
+    val cents = IVF.centroids(emb, "vec_id", "v", 8).localCheckpoint()
+    IVF.writeIndexFrom(cents, IVF.assign(emb, "vec_id", "v", cents), path)
+    // delete SOME members of one list — that list must rewrite, the
+    // other seven must carry over as raw byte copies
+    val lists = spark.read.parquet(IVF.listsPath(path))
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+    val victimCid = lists.groupBy("cid").count()
+      .orderBy(col("count").desc, col("cid").asc).head().getLong(0)
+    val doomed = lists.filter(col("cid") === victimCid).select("vec_id")
+      .orderBy("vec_id").limit(3).localCheckpoint()
+    assert(IVF.deleteFromIndex(spark, path, doomed, "vec_id") == 3L)
+    def names(dir: String): Map[Long, Set[String]] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.startsWith("cid="))
+        .map(d => d.getName.stripPrefix("cid=").toLong ->
+          Option(d.listFiles()).toSeq.flatten
+            .filter(f => f.getName.endsWith(".parquet")).map(_.getName).toSet)
+        .toMap
+    val q = emb.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    def rows() = IVF.searchIndex(spark, path, "vec_id", "v", q, "qv", 10, 8)
+      .select("vec_id", "rank", "score").as[(Long, Long, Double)].collect().toSeq
+    val before = names(IVF.listsPath(path))
+    val hidden = rows()
+    IVF.compactIndex(spark, path)
+    val after = names(IVF.listsPath(path))
+    // a Spark rewrite mints fresh part-file names; a file-level copy
+    // preserves them — identical names prove the carry path ran
+    (before.keySet - victimCid).foreach { c =>
+      assert(after(c) == before(c),
+        s"untouched list $c was rewritten instead of carried (files " +
+          s"${before(c)} -> ${after(c)})")
+    }
+    assert(after(victimCid) != before(victimCid),
+      "the deleted-from list must go through the rewrite")
+    assert(after.values.forall(_.size == 1), "one file per list after compaction")
+    assert(rows() == hidden, "carry must move bytes, never content")
+  }
+
   test("IVF listSizes/needsRefine expose list balance of a persisted index") {
     import graft.search.IVF
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_skew").toString
