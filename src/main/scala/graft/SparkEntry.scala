@@ -560,10 +560,6 @@ object Queries {
     * readers' grace window. */
   private[graft] def compactPostings(s: SparkSession, tbl: String,
                                      path: String): String = {
-    val stage = tbl + "__stage"
-    val old = tbl + "__old"
-    s.sql(s"DROP TABLE IF EXISTS $stage")
-    s.sql(s"DROP TABLE IF EXISTS $old")
     val base = path.replaceAll("__gen\\d+$", "")
     val baseName = new java.io.File(base).getName
     val parent = new java.io.File(base).getParentFile
@@ -583,6 +579,24 @@ object Queries {
     // staged bytes or metastore DDL (graft.WriterFence contract)
     graft.WriterFence.acquire(new java.io.File(parent, fencePrefix + v),
       s"compactPostings($tbl)")
+    // the intermediate metastore names are VERSIONED with the fence:
+    // un-versioned `tbl__stage`/`tbl__old` were a shared resource a
+    // STAGGERED second writer (fenced at v+1) could DROP out from
+    // under the first writer mid-write — the same-version race the
+    // fence kills, resurfacing one resource over. Per-version names
+    // make the two writers' DDL disjoint; the loser of the RENAME
+    // race then fails loudly at the metastore (its `tbl` rename
+    // target already moved), never silently
+    val stage = s"${tbl}__stage$v"
+    val old = s"${tbl}__old$v"
+    // (a CRASHED writer's stage/old metadata may linger at ITS
+    // version — harmless litter pointing at a dir the generation GC
+    // collects; it is deliberately NOT swept here, because a sweep
+    // cannot distinguish a dead writer's table from a slower LIVE
+    // writer's, and dropping the latter is the stomp this versioning
+    // exists to prevent. A read of a lingering name fails loudly.)
+    s.sql(s"DROP TABLE IF EXISTS $stage")
+    s.sql(s"DROP TABLE IF EXISTS $old")
     // read the FILES, not the table: the bucketed-table scan already
     // claims the bucket distribution, which lets the planner elide
     // the aligning repartition and write one file per (task, bucket)
