@@ -2172,11 +2172,16 @@ object RetrievalQueries {
     // so beams navigate different edges (see the doc above)
     val pinnedIds = after.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
     val currentIds = current.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // guardrail floors with deliberate margin (measured min 9/10,
+    // total 159/160 at sf0.01): they catch a broken pairing — a
+    // generation served with the wrong sidecar diverges wholesale —
+    // without turning the legitimate rebuild margin into flakiness
+    // at other scale factors or build knobs
     val overlaps = pinnedIds.keys.toSeq.sorted
       .map(q => (pinnedIds(q) intersect currentIds(q)).size)
-    require(overlaps.forall(_ >= 8),
+    require(overlaps.forall(_ >= 7),
       s"q181: per-query pinned-vs-flipped floor broken (min ${overlaps.min}/10)")
-    require(overlaps.sum * 100 >= nq * 10 * 95,
+    require(overlaps.sum * 100 >= nq * 10 * 90,
       s"q181: overall pinned-vs-flipped floor broken (${overlaps.sum}/${nq * 10})")
     after.toDF("qid", "vec_id", "rank", "score").orderBy("qid", "rank")
   }

@@ -568,17 +568,14 @@ object Queries {
       .filter(_.startsWith(baseName + "__gen"))
       .flatMap(n => scala.util.Try(
         n.stripPrefix(baseName + "__gen").toInt).toOption)
-    // writer-fence markers count toward the next version (a crashed
-    // writer's marker burns one number, never wedges the re-run)
+    // claim (derive + fence, the shared WriterFence.claim protocol):
+    // two compactions racing from the same listing derive the same v
+    // — the loser fails loudly before any staged bytes or metastore
+    // DDL; a crashed writer's marker burns one number, never wedges
     val fencePrefix = baseName + "__WRITER__v"
-    val claimed = graft.WriterFence.markerVersions(parent, fencePrefix)
-    val v = (siblings ++ claimed :+ 1).max + 1
-    val stagePath = base + "__gen" + v
-    // single-writer fence: two compactions racing from the same
-    // listing derive the same v — the loser fails loudly before any
-    // staged bytes or metastore DDL (graft.WriterFence contract)
-    graft.WriterFence.acquire(new java.io.File(parent, fencePrefix + v),
+    val v = graft.WriterFence.claim(parent, fencePrefix, siblings,
       s"compactPostings($tbl)")
+    val stagePath = base + "__gen" + v
     // the intermediate metastore names are VERSIONED with the fence:
     // un-versioned `tbl__stage`/`tbl__old` were a shared resource a
     // STAGGERED second writer (fenced at v+1) could DROP out from
@@ -617,6 +614,22 @@ object Queries {
       .option("path", stagePath)
       .bucketBy(bm25Buckets, "term").sortBy("term")
       .saveAsTable(stage)
+    // ORDERED commit (the flipCurrent guard's metastore twin): if a
+    // staggered newer writer already swapped the table while this one
+    // was staging, committing would silently replace its generation
+    // with ours — sourced from a now-superseded path, resurrecting
+    // whatever the newer sidecar was hiding. Fail loudly instead; the
+    // staged table/path are orphaned and GC'd. (Read-then-rename
+    // window documented at IVF.flipCurrent; a metastore with
+    // transactional DDL closes it exactly.)
+    if (postingsLivePath(s, tbl) != path) {
+      s.sql(s"DROP TABLE IF EXISTS $stage")
+      throw new IllegalStateException(
+        s"compactPostings($tbl): stale commit — the table moved to " +
+          s"${postingsLivePath(s, tbl)} while this writer compacted " +
+          s"$path; a newer maintenance writer committed during staging. " +
+          "Re-run against the live path.")
+    }
     s.sql(s"ALTER TABLE $tbl RENAME TO $old")
     s.sql(s"ALTER TABLE $stage RENAME TO $tbl")
     s.sql(s"DROP TABLE $old") // external: files remain as the grace window

@@ -18,12 +18,37 @@ package graft
   * Liveness: the marker is per-version, never a global lock, so a
   * crashed writer cannot wedge the machinery — each machinery's
   * next-version derivation counts marker files alongside generation
-  * directories ([[versionsIn]]), so a re-run simply versions PAST a
-  * dead marker; dead markers at or below a committed version are
-  * swept by the committing writer ([[sweep]]), which can never touch
-  * a LIVE writer's marker because a writer that acquired after our
-  * listing necessarily derived a HIGHER version. */
+  * directories ([[markerVersions]]), so a re-run simply versions PAST
+  * a dead marker; markers at or below a committed version are swept
+  * by the committing writer ([[sweep]]).
+  *
+  * The fence orders staging CLAIMS; it cannot by itself order
+  * COMMITS: a writer that stalls mid-staging while a staggered newer
+  * writer claims a higher version, commits, and sweeps could wake up
+  * and flip the pointer BACK to its stale generation. That half is
+  * closed at the commit sites — `IVF.flipCurrent` /
+  * `GraphAnn.flipCurrent` refuse a flip whose version is not
+  * strictly above the standing generation's, and `compactPostings`
+  * re-checks the metastore location before its rename dance — so the
+  * stale writer fails loudly at commit and its orphaned generation
+  * is GC'd. (The register has no pointer: `compactRegister`'s
+  * RETURNED path is the commit, threaded by a single caller — the
+  * documented single-writer-per-register contract.) */
 object WriterFence {
+
+  /** THE claim protocol, shared by every machinery (IVF/SQ lists,
+    * graph gen roots, postings generations, the register): derive
+    * the next version as max(existing generation versions, standing
+    * marker versions) + 1, then acquire the fence for it. One
+    * implementation so a protocol change can never silently leave a
+    * machinery unfenced. Returns the claimed version; the committer
+    * calls [[sweep]](dir, prefix, v) after its ordered commit. */
+  def claim(dir: java.io.File, prefix: String, existing: Seq[Int],
+            what: String): Int = {
+    val v = (existing ++ markerVersions(dir, prefix) :+ 1).max + 1
+    acquire(new java.io.File(dir, prefix + v), what)
+    v
+  }
 
   /** Acquire the fence for version `marker` (a file path). Throws
     * IllegalStateException — loudly, before any bytes are staged —
@@ -53,10 +78,12 @@ object WriterFence {
         f.getName.stripPrefix(prefix).toInt).toOption)
 
   /** Post-commit sweep: drop every marker `<prefix><N>` with
-    * N <= `upTo` (our own released fence plus any dead crashed
-    * writers below us). A live concurrent writer's marker is always
-    * ABOVE `upTo` — it acquired after our generation existed in the
-    * listing — so the sweep can never release someone else's fence. */
+    * N <= `upTo` — our own released fence plus dead crashed writers
+    * below us. A swept marker below a committed generation can never
+    * enable a version collision (derivations see the committed
+    * directory and go higher), and a STALLED live writer below us
+    * loses nothing it wasn't already losing: the ordered-commit
+    * guard at the flip rejects its stale generation loudly. */
   def sweep(dir: java.io.File, prefix: String, upTo: Int): Unit =
     Option(dir.listFiles()).toSeq.flatten
       .filter(f => f.isFile && f.getName.startsWith(prefix) &&

@@ -283,9 +283,13 @@ object Dedup {
     * caller MUST thread the returned path into every subsequent read
     * and delete (the [[graft.Queries.compactPostings]] contract —
     * the register has no metastore, so the returned path IS the
-    * pointer). The superseded path keeps its files AND sidecar as
-    * the in-flight readers' grace window; generations two or more
-    * cycles old are GC'd with their sidecars. */
+    * pointer, and threading it is the COMMIT: the ordered-commit
+    * guard the pointer-carrying machineries enforce at their flip
+    * reduces here to the single-writer-per-register contract — one
+    * thread of control owns the threaded path). The superseded path
+    * keeps its files AND sidecar as the in-flight readers' grace
+    * window; generations two or more cycles old are GC'd with their
+    * sidecars. */
   def compactRegister(spark: org.apache.spark.sql.SparkSession,
                       path: String, buckets: Int): String = {
     val base = path.replaceAll("__gen\\d+$", "")
@@ -295,15 +299,13 @@ object Dedup {
       .filter(_.startsWith(baseName + "__gen"))
       .flatMap(n => scala.util.Try(
         n.stripPrefix(baseName + "__gen").toInt).toOption)
-    // single-writer fence (the graft.WriterFence contract): markers
-    // count toward the version, the loser of a same-version race
-    // fails loudly before staging, the committer sweeps to v
+    // claim (derive + fence, the shared WriterFence.claim protocol):
+    // the loser of a same-version race fails loudly before staging,
+    // the committer sweeps to v
     val fencePrefix = baseName + "__WRITER__v"
-    val claimed = graft.WriterFence.markerVersions(parent, fencePrefix)
-    val v = (siblings ++ claimed :+ 1).max + 1
-    val stagePath = base + "__gen" + v
-    graft.WriterFence.acquire(new java.io.File(parent, fencePrefix + v),
+    val v = graft.WriterFence.claim(parent, fencePrefix, siblings,
       "Dedup.compactRegister")
+    val stagePath = base + "__gen" + v
     liveRegister(spark, path, spark.read.parquet(path))
       .repartition(buckets, col("sigbucket"))
       .write.mode("overwrite").partitionBy("sigbucket").parquet(stagePath)

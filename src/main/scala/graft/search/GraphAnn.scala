@@ -738,18 +738,6 @@ object GraphAnn {
   /** Next free generation number from the LISTING (live, grace, or
     * orphaned — the [[IVF]] rule: a counter derived from the live
     * name would collide with a surviving grace generation). */
-  private def nextGenVersion(path: String): Int = {
-    val vs = Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .filter(_.isDirectory).map(_.getName)
-      .collect { case n if n.startsWith("gen__v") => n.stripPrefix("gen__v") }
-      .flatMap(s => scala.util.Try(s.toInt).toOption)
-    // writer-fence markers count too (a crashed writer's marker burns
-    // one version number, never wedges the re-run)
-    val claimed = graft.WriterFence.markerVersions(
-      new java.io.File(path), FencePrefix)
-    (vs ++ claimed :+ 1).max + 1
-  }
-
   private val FencePrefix = "WRITER__v"
 
   /** Derive the next generation name AND acquire the single-writer
@@ -757,16 +745,42 @@ object GraphAnn {
     * ([[refreshRouting]], [[compactTombstones]], [[reviveToIndex]])
     * must go through this so a same-version race between two
     * maintenance writers fails loudly at the loser instead of
-    * overwriting the winner's staged generation (the
-    * [[graft.WriterFence]] contract). Returns (genName, version);
-    * the committer sweeps markers up to `version` after its flip. */
+    * overwriting the winner's staged generation (the shared
+    * [[graft.WriterFence.claim]] protocol: generation dirs ∪
+    * standing markers, max + 1, create-exclusive acquire). Returns
+    * (genName, version); the committer sweeps markers up to
+    * `version` after its ordered flip. */
   private def claimNextGen(path: String, what: String): (String, Int) = {
-    val v = nextGenVersion(path)
-    graft.WriterFence.acquire(new java.io.File(path, s"$FencePrefix$v"), what)
+    val dirs = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName)
+      .collect { case n if n.startsWith("gen__v") => n.stripPrefix("gen__v") }
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+    val v = graft.WriterFence.claim(new java.io.File(path), FencePrefix,
+      dirs, what)
     (s"gen__v$v", v)
   }
 
-  private def flipCurrent(path: String, gen: String): Unit = {
+  /** ORDERED commit of the CURRENT pointer — the graph twin of
+    * [[graft.search.IVF.flipCurrent]]'s guard: a flip must carry a
+    * version strictly above the standing generation's, so a writer
+    * that stalled mid-staging while a staggered newer writer
+    * committed cannot wake up and regress the pointer (and silently
+    * resurrect what the newer sidecar was hiding). Filesystem
+    * read-then-move window documented there; conditional PUT is the
+    * object-store drop-in. */
+  private[graft] def flipCurrent(path: String, gen: String): Unit = {
+    def versionOf(g: String): Int =
+      if (!g.startsWith("gen__v")) 1
+      else scala.util.Try(g.stripPrefix("gen__v").toInt).getOrElse(1)
+    val standing = versionOf(currentGeneration(path))
+    val ours = versionOf(gen)
+    if (ours <= standing)
+      throw new IllegalStateException(
+        s"GraphAnn.flipCurrent: stale commit — $path already points at " +
+          s"generation v$standing while this writer staged v$ours; a " +
+          "newer maintenance writer committed during staging. This " +
+          "writer's generation is orphaned (the GC collects it); " +
+          "re-run against the live pointer.")
     val tmp = java.nio.file.Paths.get(s"$path/CURRENT.tmp")
     java.nio.file.Files.write(tmp,
       gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))

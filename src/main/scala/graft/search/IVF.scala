@@ -240,29 +240,57 @@ object IVF {
     * collide with a surviving generation (a liveName-based counter
     * restarts at v2 after a rebuild and overwrites the grace
     * generation readers may still hold). */
-  private def nextVersion(path: String): Int = {
-    val vs = Option(new java.io.File(path).listFiles()).toSeq.flatten
+  private def dirVersions(path: String): Seq[Int] =
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
       .filter(_.isDirectory).map(_.getName)
       .collect {
         case n if n.startsWith("lists__v") => n.stripPrefix("lists__v")
         case n if n.startsWith("centroids__v") => n.stripPrefix("centroids__v")
       }
       .flatMap(s => scala.util.Try(s.toInt).toOption)
-    // writer-fence markers count too: a crashed writer's marker burns
-    // one version number instead of wedging every re-run on the same N
-    val claimed = graft.WriterFence.markerVersions(
-      new java.io.File(path), FencePrefix)
-    (vs ++ claimed :+ 1).max + 1
-  }
+
+  /** Derive + fence the next generation version in one step — the
+    * shared [[graft.WriterFence.claim]] protocol (generation dirs ∪
+    * standing markers, max + 1, create-exclusive acquire): the
+    * version derives from the LISTING, never the live name (a
+    * liveName-based counter restarts at v2 after a rebuild and
+    * overwrites the grace generation readers may still hold), and
+    * the loser of a same-version staging race fails loudly here. */
+  private def claimVersion(path: String, what: String): Int =
+    graft.WriterFence.claim(new java.io.File(path), FencePrefix,
+      dirVersions(path), what)
 
   private val FencePrefix = "WRITER__v"
-  private def fenceFile(path: String, v: Int): java.io.File =
-    new java.io.File(path, s"$FencePrefix$v")
 
-  /** Atomically point CURRENT at a (lists, centroids) generation pair:
-    * single-file ATOMIC_MOVE on a filesystem, a small-object PUT on an
-    * object store. */
-  private def flipCurrent(path: String, listsN: String, centsN: String): Unit = {
+  /** Atomically point CURRENT at a (lists, centroids) generation
+    * pair: single-file ATOMIC_MOVE on a filesystem, a small-object
+    * PUT on an object store.
+    *
+    * COMMITS ARE ORDERED — the other half of the writer-fence
+    * contract ([[graft.WriterFence]] orders staging CLAIMS; this
+    * orders the commits): a flip must carry a version STRICTLY ABOVE
+    * the currently-pointed generation's, or fail loudly. Without the
+    * guard, a writer that stalled mid-staging while a staggered
+    * newer writer claimed, committed, and swept could wake up and
+    * flip the pointer BACK to its stale generation — silently
+    * regressing the index and resurrecting whatever the newer
+    * generation's sidecar was hiding (last-flip-wins, the failure
+    * class the fence exists to kill). On a plain filesystem a
+    * read-then-move window remains (microseconds, against the
+    * documented single-writer contract); an object store closes it
+    * exactly with a conditional PUT (`If-Match` on the CURRENT
+    * object) — the guard is written so that swap is drop-in. */
+  private[graft] def flipCurrent(path: String, listsN: String,
+                                 centsN: String): Unit = {
+    val ours = genVersionOf(listsN)
+    val standing = genVersionOf(generationPair(path)._1)
+    if (ours <= standing)
+      throw new IllegalStateException(
+        s"IVF.flipCurrent: stale commit — $path already points at " +
+          s"generation v$standing while this writer staged v$ours; a " +
+          "newer maintenance writer committed during staging. This " +
+          "writer's generation is orphaned (the GC collects it); " +
+          "re-run the maintenance op against the live pointer.")
     val tmp = java.nio.file.Paths.get(s"$path/CURRENT.tmp")
     java.nio.file.Files.write(tmp,
       s"$listsN $centsN".getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -270,6 +298,13 @@ object IVF {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
+
+  /** A generation name's version: the base layout ("lists") is v1,
+    * versioned names carry their own number. */
+  private def genVersionOf(listsN: String): Int =
+    if (!listsN.contains("__v")) 1
+    else scala.util.Try(
+      listsN.substring(listsN.indexOf("__v") + 3).toInt).getOrElse(1)
 
   def writeIndexFrom(cents: DataFrame, assigned: DataFrame, path: String): Unit = {
     // REBUILD — a wholesale replacement of the index (new centroids +
@@ -321,11 +356,10 @@ object IVF {
       // sidecar join — never a forced broadcast.
       val staged = dropTombstoned(assigned.sparkSession,
         s"$path/$prevLists", assigned)
-      val v = nextVersion(path)
-      // writer fence BEFORE any staged bytes: the loser of a
-      // same-version race fails loudly instead of overwriting the
+      // claim (derive + fence) BEFORE any staged bytes: the loser of
+      // a same-version race fails loudly instead of overwriting the
       // winner's staged generation and racing the CURRENT flip
-      graft.WriterFence.acquire(fenceFile(path, v), "IVF.writeIndexFrom")
+      val v = claimVersion(path, "IVF.writeIndexFrom")
       cents.write.mode("overwrite").parquet(s"$path/centroids__v$v")
       listWrite(staged).parquet(s"$path/lists__v$v")
       flipCurrent(path, s"lists__v$v", s"centroids__v$v")
@@ -445,9 +479,18 @@ object IVF {
     // against the tombstone-filtered lists, so ids absent from the
     // index are never recorded and a repeated delete of the same ids
     // counts zero — no double-counting across requests). Column-pruned
-    // id-only scan; the hide itself never reads vector bytes.
+    // id-only scan (cid is the partition column — directory names,
+    // zero extra bytes); the hide itself never reads vector bytes.
+    //
+    // The sidecar records (id, cid), id FIRST: every consumer joins
+    // on `columns.head`, and the cid rides along so COMPACTION can
+    // derive its touched-list set from the request-sized sidecar
+    // alone instead of re-scanning every list's ids — at 100 TB the
+    // difference between an O(request) read and an O(index-ids) pass
+    // per delete-triggered compaction.
     val hit = dropTombstoned(spark, lp,
-        spark.read.parquet(lp).select(col(idCol).cast("long").as(idCol)))
+        spark.read.parquet(lp).select(col(idCol).cast("long").as(idCol),
+          col("cid").cast("long").as("cid")))
       .join(broadcast(ids.select(col(idCol).cast("long").as(idCol))),
         Seq(idCol), "left_semi")
       .localCheckpoint() // request-sized by contract: count + write share it
@@ -551,15 +594,12 @@ object IVF {
     * flip; only generations two or more cycles old are GC'd. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val (liveLists, liveCents) = generationPair(path)
-    // next version from the LISTING (nextVersion), not the live name:
-    // a liveName-derived counter restarts at v2 right after a rebuild
-    // and would stage INTO a surviving grace generation
-    val v = nextVersion(path)
+    // claim (derive + fence): two compactions racing (e.g. a
+    // scheduled one and a valve-fired one from another session)
+    // derive the same v from the same listing — the loser fails
+    // loudly here
+    val v = claimVersion(path, "IVF.compactIndex")
     val nextName = s"lists__v$v"
-    // writer fence: two compactions racing (e.g. a scheduled one and
-    // a valve-fired one from another session) derive the same v from
-    // the same listing — the loser fails loudly here
-    graft.WriterFence.acquire(fenceFile(path, v), "IVF.compactIndex")
     // the rewrite is sourced through the tombstone filter: compaction
     // is deletion's PHASE 2, and the new generation starts with a
     // clean sidecar (its lists simply no longer hold the rows). A
@@ -579,12 +619,26 @@ object IVF {
       if (!new java.io.File(td).isDirectory) Set.empty
       else {
         val tomb = spark.read.parquet(td)
-        // K-bounded collect: distinct cids holding tombstoned rows
-        spark.read.parquet(lp)
-          .join(tomb.select(tomb.columns.head),
-            Seq(tomb.columns.head), "left_semi")
-          .select(col("cid").cast("long").as("cid")).distinct()
-          .collect().map(_.getLong(0)).toSet
+        // null-guard: a sidecar mixing id-only files (older writers)
+        // with (id, cid) files reads null cids for the old rows —
+        // trusting it would CARRY a list that still holds hidden
+        // rows into a clean-sidecar generation (resurrection). Any
+        // null → the fallback scan; the check is request-sized.
+        if (tomb.columns.contains("cid") &&
+            tomb.filter(col("cid").isNull).isEmpty)
+          // the sidecar carries each hidden id's cid (deleteFromIndex
+          // records it), so the touched set is a REQUEST-SIZED read —
+          // no list ids are scanned to plan the compaction
+          tomb.select(col("cid").cast("long").as("cid")).distinct()
+            .collect().map(_.getLong(0)).toSet
+        else
+          // legacy id-only sidecar (pre-round-16): K-bounded fallback
+          // via a column-pruned semi-join over the list ids
+          spark.read.parquet(lp)
+            .join(tomb.select(tomb.columns.head),
+              Seq(tomb.columns.head), "left_semi")
+            .select(col("cid").cast("long").as("cid")).distinct()
+            .collect().map(_.getLong(0)).toSet
       }
     val counts = fileCountsAt(lp)
     val rebuild = counts.keySet.filter(c => counts(c) > 1 || touchedByDelete(c))

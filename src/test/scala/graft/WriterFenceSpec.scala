@@ -141,6 +141,47 @@ class WriterFenceSpec extends SparkSpec {
     assert(markers(new java.io.File(base), "reg__WRITER__v").isEmpty)
   }
 
+  test("ordered commits: a stalled writer's stale flip is rejected — the pointer never regresses") {
+    import graft.search.{IVF, GraphAnn}
+    // the staggered race the fence alone cannot order: writer A
+    // claims and stages v2, stalls; writer B claims v3, commits, and
+    // sweeps. A wakes up and flips — without the commit guard the
+    // pointer would regress to A's stale generation and resurrect
+    // whatever B's sidecar was hiding (last-flip-wins)
+    val path = java.nio.file.Files.createTempDirectory("fence_commit").toString
+    IVF.writeIndex(emb, "vec_id", "v", 8, refineIters = 0, path)
+    // A's completed staging of v2 (simulated: a full copy)
+    graft.FileTree.copy(new java.io.File(s"$path/lists"),
+      new java.io.File(s"$path/lists__v2"))
+    graft.FileTree.copy(new java.io.File(s"$path/centroids"),
+      new java.io.File(s"$path/centroids__v2"))
+    // B: derives past A's dirs, commits v3
+    IVF.compactIndex(spark, path)
+    assert(IVF.listsPath(path).endsWith("lists__v3"))
+    // A wakes up and tries to commit its stale v2
+    val e = intercept[IllegalStateException] {
+      IVF.flipCurrent(path, "lists__v2", "centroids__v2")
+    }
+    assert(e.getMessage.contains("stale commit"))
+    assert(IVF.listsPath(path).endsWith("lists__v3"),
+      "the pointer must never regress to a stale generation")
+    // equal-version re-flip is rejected too (idempotent-commit abuse)
+    intercept[IllegalStateException] {
+      IVF.flipCurrent(path, "lists__v3", "centroids__v3")
+    }
+    // the graph twin: after a commit at gen__v2, a flip carrying the
+    // base generation (v1) must be rejected
+    val gp = java.nio.file.Files.createTempDirectory("fence_commit_g").toString
+    GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, gp)
+    GraphAnn.deleteFromIndex(spark, gp,
+      emb.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id")
+    GraphAnn.compactTombstones(spark, gp)
+    val gen = GraphAnn.currentGeneration(gp)
+    val eg = intercept[IllegalStateException] { GraphAnn.flipCurrent(gp, "") }
+    assert(eg.getMessage.contains("stale commit"))
+    assert(GraphAnn.currentGeneration(gp) == gen)
+  }
+
   test("a crashed writer's dead marker (no staged dir) burns one version, never wedges repeated runs") {
     import graft.search.IVF
     val path = java.nio.file.Files.createTempDirectory("fence_dead").toString
