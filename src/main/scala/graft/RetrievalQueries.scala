@@ -471,6 +471,70 @@ object RetrievalQueries {
       .orderBy("rank")
   }
 
+  /** EXACTLY-ONCE STREAMING INGEST — q127's drain under the
+    * AT-LEAST-ONCE delivery the foreachBatch contract actually
+    * guarantees ([[graft.streaming.Streaming.runForeachBatchResumable]]
+    * names it: a batch whose function ran but whose checkpoint commit
+    * did not land is RE-DELIVERED with the same batchId on restart).
+    * Every batch here is delivered TWICE through
+    * [[graft.search.IVF.appendToIndexIdempotent]] — the raw
+    * [[graft.search.IVF.appendToIndex]] would double every vector —
+    * and two batches additionally replay the harder crash windows:
+    * batch 1 starts over its own MID-APPEND DEBRIS (a stage dir left
+    * by a "crashed" first attempt — the recovery scrub path), and
+    * batch 2's re-delivery arrives with the ledger marker DELETED
+    * (crash after the file promote, before the commit marker — the
+    * deterministic-name REPLACE path). Gates: all four batches end
+    * committed in the ledger, no stage debris survives, and q127's
+    * row-for-row gate (drained lists ≡ ONE batch assignment of the
+    * union under the standing quantizer — `exceptAll` both ways, so
+    * a single duplicated vector fails loudly). Oracle: q84's full SQL
+    * replay — the drained-under-failures index answers exactly like
+    * the clean batch build. */
+  def q185IvfExactlyOnce(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q185")
+    graft.search.IVF.writeIndex(e.filter(col("vec_id") >= 100),
+      "vec_id", "v", ivfK, 0, path)
+    val stage = embDeltaStage(s, dir)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      val b = batch.select(col("vec_id"), col("v")).localCheckpoint()
+      if (bid == 1L) // a "crashed" earlier attempt left its stage dir
+        graft.streaming.ExactlyOnce.stageDir(new java.io.File(path), bid).mkdirs()
+      graft.search.IVF.appendToIndexIdempotent(s, path, b, "vec_id", "v", bid)
+      if (bid == 2L) { // crash AFTER the promote, BEFORE the marker
+        val m = new java.io.File(graft.search.IVF.appendLedger(path), s"b$bid")
+        require(m.delete(), s"q185: batch $bid must have committed a marker")
+      }
+      // the at-least-once re-delivery, every batch
+      graft.search.IVF.appendToIndexIdempotent(s, path, b, "vec_id", "v", bid)
+    })
+    (0L until 4L).foreach { bid =>
+      require(graft.streaming.ExactlyOnce.isApplied(
+          graft.search.IVF.appendLedger(path), bid),
+        s"q185: batch $bid must end committed in the ledger")
+      require(!graft.streaming.ExactlyOnce.stageDir(
+          new java.io.File(path), bid).exists(),
+        s"q185: batch $bid must leave no stage debris")
+    }
+    val cents = s.read.parquet(graft.search.IVF.centroidsPath(path))
+    val streamed = s.read.parquet(graft.search.IVF.listsPath(path))
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    val expected = graft.search.IVF.assign(e, "vec_id", "v", cents)
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    require(streamed.exceptAll(expected).isEmpty &&
+        expected.exceptAll(streamed).isEmpty,
+      "q185: the exactly-once drain must equal the batch assignment " +
+        "row for row — a doubled vector is a silent-duplication failure")
+    graft.search.IVF.searchIndex(s, path, "vec_id", "v",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+      10, ivfProbe)
+      .orderBy("rank")
+  }
+
   /** q114's replay with centroids AND bounds drawn from the base
     * slice only (the index's standing geometry) and assignment +
     * codes over the full union — the streamed-in SQ8 state. LAZY:
@@ -2928,6 +2992,135 @@ object RetrievalQueries {
       .select(col("phase"), col("doc_id"), col("rank"), col("score"))
       .orderBy("phase", "rank")
   }
+
+  /** q187's staged feed: doc_id < 100 as four EXPLICIT quarter files
+    * ([0,25), [25,50), [50,75), [75,100)) with pinned ascending
+    * mtimes — value-predicate splits (not repartitionByRange's
+    * sampled boundaries), because the oracle needs the upgrade
+    * boundary as a pure SQL predicate: batches 0–1 ≡ doc_id < 50. */
+  private def q187Stage(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "q187_stage") {
+      val p = PipelineQueries.roundtripPath(dir, "q187_feed")
+      graft.FileTree.delete(new java.io.File(p))
+      val d = graft.sources.Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      def partFiles(): Set[java.io.File] =
+        Option(new java.io.File(p).listFiles()).toSeq.flatten
+          .filter(_.getName.startsWith("part-")).toSet
+      val written = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+      (0 until 4).foreach { b =>
+        val before = partFiles()
+        d.filter(col("doc_id") >= b * 25 && col("doc_id") < (b + 1) * 25)
+          .coalesce(1).write.mode("append").parquet(p)
+        val fresh = (partFiles() -- before).toSeq.sortBy(_.getName)
+        require(fresh.size == 1, s"q187 stage batch $b wrote ${fresh.size} files")
+        written ++= fresh
+      }
+      PipelineQueries.pinAscendingMtimes(written.toSeq)
+      p
+    }
+
+  /** EMBEDDER UPGRADE UNDER LIVE INGEST — the composition q141 leaves
+    * open (its upgrade runs on a quiet index; production model swaps
+    * happen while the ingest stream keeps flowing): the base corpus
+    * (doc_id ≥ 100) serves from a v1-featurized IVF index while the
+    * < 100 slice drains in four ordered micro-batches. Batches 0–1
+    * embed with v1 and append; after batch 1 the UPGRADE fires —
+    * re-embed everything ingested so far (base + batches 0–1 ≡
+    * doc_id ≥ 100 OR < 50) from TEXT under the v2 featurizer, fresh
+    * centroids, [[graft.search.IVF.writeIndexFrom]]'s staged
+    * generation + atomic flip; batches 2–3 then embed with v2 and
+    * append INTO THE FLIPPED GENERATION (the append resolves the
+    * live quantizer per batch, so post-upgrade ingest assigns under
+    * the new geometry automatically). The composed claim, gated
+    * row-for-row and carried by the oracle: drain + mid-drain
+    * upgrade + post-upgrade drain ≡ ONE clean v2 build whose
+    * quantizer was sampled from the upgrade-time corpus — as if the
+    * model had always been v2 and the stream had never stopped
+    * (which it didn't). */
+  def q187UpgradeUnderIngest(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.Tables.load(s, dir, "documents")
+    def feats(df: org.apache.spark.sql.DataFrame) =
+      graft.embed.Embed.embedDocs(df, "doc_id", "text",
+          new graft.embed.PortableHashEmbedder(64))
+        .select(col("doc_id"), col("vec").cast("array<double>").as("v"))
+    def v2text(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), concat(lit("v2 "), col("text")).as("text"))
+    val path = PipelineQueries.roundtripPath(dir, "q187")
+    graft.search.IVF.writeIndex(feats(d.filter(col("doc_id") >= 100)),
+      "doc_id", "v", ivfK, 0, path)
+    val genBefore = graft.search.IVF.currentGeneration(path)
+    val stage = q187Stage(s, dir)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      val b = batch.localCheckpoint()
+      // pre-upgrade batches embed with v1, post-upgrade with v2 — the
+      // recipe swaps the featurizer at the same moment it flips the
+      // index, never mixing feature spaces within a generation
+      graft.search.IVF.appendToIndex(s, path,
+        feats(if (bid <= 1L) b else v2text(b)), "doc_id", "v")
+      if (bid == 1L) {
+        // THE UPGRADE, mid-drain: everything ingested so far,
+        // re-featurized from text under v2; fresh geometry; staged
+        // generation; atomic CURRENT flip. The stream never pauses —
+        // batch 2 is already staged behind this callback.
+        val upCorpus = feats(v2text(
+          d.filter(col("doc_id") >= 100 || col("doc_id") < 50)))
+          .localCheckpoint()
+        val c2 = graft.search.IVF.centroids(upCorpus, "doc_id", "v", ivfK)
+        graft.search.IVF.writeIndexFrom(c2,
+          graft.search.IVF.assign(upCorpus, "doc_id", "v", c2), path)
+      }
+    })
+    require(graft.search.IVF.currentGeneration(path) != genBefore,
+      "q187: the mid-drain upgrade must commit a new generation")
+    // the composed gate: final lists ≡ one v2 assignment of the FULL
+    // corpus under the upgrade-time quantizer, row for row
+    val cents = s.read.parquet(graft.search.IVF.centroidsPath(path))
+    val allV2 = feats(v2text(d)).localCheckpoint()
+    val streamed = s.read.parquet(graft.search.IVF.listsPath(path))
+      .select(col("doc_id"), col("v"), col("cid").cast("long").as("cid"))
+    val expected = graft.search.IVF.assign(allV2, "doc_id", "v", cents)
+      .select(col("doc_id"), col("v"), col("cid").cast("long").as("cid"))
+    require(streamed.exceptAll(expected).isEmpty &&
+        expected.exceptAll(streamed).isEmpty,
+      "q187: upgrade-under-ingest must equal the clean v2 build row for row")
+    graft.search.IVF.searchIndex(s, path, "doc_id", "v",
+      allV2.filter(col("doc_id") === 1).select(col("v").as("qv")), "qv",
+      10, ivfProbe)
+      .orderBy("rank")
+  }
+
+  /** q187's replay: v2 features over the whole corpus, centroids
+    * LCG-rank-sampled from the UPGRADE-TIME corpus only (doc_id ≥ 100
+    * OR < 50 — base plus the two pre-upgrade batches), assignment
+    * over everything, probe + top-k for the v2 query — q84's shape
+    * with the quantizer cut at the upgrade boundary. */
+  lazy val q187Sql: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       ${graft.RetrievalQueries.embedCteSql("base", "'v2 ' || text", 64, "w")},
+       wxs AS (SELECT doc_id, list(x ORDER BY j) AS v FROM wvf GROUP BY doc_id),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648, doc_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM wxs WHERE doc_id >= 100 OR doc_id < 50) WHERE cid < $ivfK),
+       a AS (SELECT doc_id, v, cid FROM (
+           SELECT x.doc_id, x.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY x.doc_id
+               ORDER BY list_dot_product(x.v, c.cvec) DESC, c.cid) AS r
+           FROM wxs x, c) WHERE r = 1),
+       q AS (SELECT v AS qv FROM wxs WHERE doc_id = 1),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       sc AS (SELECT a.doc_id, list_dot_product(a.v, pr.qv) AS sc
+              FROM a JOIN pr ON a.cid = pr.cid),
+       r AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT doc_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
 
   /** Both legs replayed end to end: features from the portable
     * embed CTE (v2's text is "'v2 ' || text"), then q45's
@@ -6503,6 +6696,8 @@ $sqRows)
     "q126_contrastive_triplets" -> (q126ContrastiveTriplets _),
     "q127_stream_ivf" -> (q127StreamIvf _),
     "q128_stream_sq" -> (q128StreamSq _),
+    "q185_ivf_exactly_once" -> (q185IvfExactlyOnce _),
+    "q187_upgrade_under_ingest" -> (q187UpgradeUnderIngest _),
     "q147_stream_ivf_delete" -> (q147StreamIvfDelete _),
     "q155_sq_delete" -> (q155SqDelete _),
     "q156_stream_sq_delete" -> (q156StreamSqDelete _),
@@ -6584,6 +6779,8 @@ $sqRows)
     // assignment), so the append replay oracles the streamed index
     "q127_stream_ivf" -> q84Sql,
     "q128_stream_sq" -> q128Sql,
+    "q185_ivf_exactly_once" -> q84Sql,
+    "q187_upgrade_under_ingest" -> q187Sql,
     "q147_stream_ivf_delete" -> q147Sql,
     "q158_stream_ivf_valve" -> q147Sql,
     "q160_cdc_feed" -> q160Sql,

@@ -174,6 +174,44 @@ object ScaleProbe {
         val (h2, c2) = run(s"${k}x", dst)
         println(f"SCALE RATIO graphcelllocal hide=${h2 / h1}%.2f " +
           f"compact=${c2 / c1}%.2f (data ${k}x)")
+      // exactly-once append overhead probe (not a declared query):
+      // the idempotent path stages the batch to scratch and renames
+      // each file into the live lists instead of writing them there
+      // directly — same bytes written once either way, so the
+      // overhead is the renames + one ledger stat and must stay flat
+      // as the INDEX grows (only the batch matters). Prints raw vs
+      // idempotent append time and the committed-duplicate skip cost.
+      case "exactlyonce" =>
+        import graft.search.IVF
+        def run(label: String, dir: String): (Double, Double) = {
+          val e = RetrievalQueries.emb(spark, dir).localCheckpoint()
+          val base = e.filter(col("vec_id") % 10 =!= 0)
+          val delta = e.filter(col("vec_id") % 10 === 0).localCheckpoint()
+          val cents = IVF.centroids(base, "vec_id", "v", 32).localCheckpoint()
+          val p = s"/tmp/graft_eo_probe_$label"
+          def freshIndex(): Unit = {
+            graft.FileTree.delete(new java.io.File(p))
+            IVF.writeIndexFrom(cents, IVF.assign(base, "vec_id", "v", cents), p)
+          }
+          freshIndex()
+          val t0 = System.nanoTime()
+          IVF.appendToIndex(spark, p, delta, "vec_id", "v")
+          val tRaw = (System.nanoTime() - t0) / 1e9
+          freshIndex()
+          val t1 = System.nanoTime()
+          IVF.appendToIndexIdempotent(spark, p, delta, "vec_id", "v", 1L)
+          val tIdem = (System.nanoTime() - t1) / 1e9
+          val t2 = System.nanoTime()
+          IVF.appendToIndexIdempotent(spark, p, delta, "vec_id", "v", 1L)
+          val tSkip = (System.nanoTime() - t2) / 1e9
+          println(f"SCALE $label exactlyonce raw=${tRaw}%.2fs " +
+            f"idem=${tIdem}%.2fs skip=${tSkip}%.4fs overhead=${tIdem / tRaw}%.2f")
+          (tRaw, tIdem)
+        }
+        val (r1, i1) = run("1x", src)
+        val (r2, i2) = run(s"${k}x", dst)
+        println(f"SCALE RATIO exactlyonce raw=${r2 / r1}%.2f " +
+          f"idem=${i2 / i1}%.2f (data ${k}x)")
       case q =>
         val a = time("1x", src, q)
         val b = time(s"${k}x", dst, q)

@@ -485,13 +485,72 @@ object Queries {
     // docs from the fresh index — the leftover-sidecar class
     // GraphAnn.writeIndexWith clears on its in-path `tombstones`
     // table and IVF/SQ clear by deleting the whole index path
-    if (mode != "append")
+    if (mode != "append") {
       graft.FileTree.delete(new java.io.File(BM25.tombPath(target)))
+      // ...and the exactly-once LEDGER sibling, the same class: a
+      // fresh index inheriting a dead stream's applied set would
+      // silently SKIP legitimate batches whose ids a previous
+      // incarnation committed (the mirror image of the stale-sidecar
+      // resurrection — here the ghost hides NEW data)
+      graft.FileTree.delete(postingsLedger(target))
+    }
     post.write.mode(mode)
       .option("path", target)
       .bucketBy(bm25Buckets, "term").sortBy("term")
       .saveAsTable(tbl)
     if (mode == "append") s.catalog.refreshTable(tbl)
+  }
+
+  /** The postings family's committed-batch ledger — a sibling of the
+    * generation paths (`<base>__applied`), the
+    * [[graft.dedup.Dedup]] register's convention: the live data path
+    * flips across [[compactPostings]], stream history must not. */
+  private[graft] def postingsLedger(path: String): java.io.File =
+    new java.io.File(path.replaceAll("__gen\\d+$", "") + "__applied")
+
+  /** [[writePostings]](append) with EXACTLY-ONCE semantics under
+    * streaming re-delivery — the
+    * [[graft.search.IVF.appendToIndexIdempotent]] contract on the
+    * lexical family, with the bucketed twist: staged files carry
+    * Spark's `_NNNNN` bucket suffix in their names, and
+    * [[graft.streaming.ExactlyOnce.promote]] PRESERVES it as the
+    * trailing `_<digits>` of the deterministic promoted name, so the
+    * bucketed scan still reads each promoted file's bucket id off the
+    * file name and `SelectedBucketsCount` pruning survives the
+    * idempotent path byte for byte (BM25Spec pins it). The stage is a
+    * per-batch EXTERNAL table (versioned name, like compactPostings'
+    * per-version stage names) whose metadata is dropped after the
+    * promote — the files have already moved. */
+  private[graft] def writePostingsIdempotent(s: SparkSession, docs: DataFrame,
+                                             tbl: String, batchId: Long): Unit = {
+    import graft.streaming.ExactlyOnce
+    val live0 = postingsLivePath(s, tbl)
+    val ledger = postingsLedger(live0)
+    if (ExactlyOnce.isApplied(ledger, batchId)) return
+    val debris = ExactlyOnce.stageDir(new java.io.File(live0), batchId)
+    if (debris.isDirectory) {
+      ExactlyOnce.scrub(new java.io.File(live0), batchId)
+      graft.FileTree.delete(debris)
+    }
+    if (BM25.hasRevives(s, live0, docs.select(col("doc_id"))))
+      compactPostings(s, tbl, live0)
+    val live = postingsLivePath(s, tbl) // re-resolve: the revive flips
+    val par = s.sparkContext.defaultParallelism
+    val dp = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val stage = ExactlyOnce.stageDir(new java.io.File(live), batchId)
+    val stageTbl = s"${tbl}__bstage$batchId"
+    s.sql(s"DROP TABLE IF EXISTS $stageTbl")
+    BM25.postings(dp, "doc_id", "text")
+      .repartition(bm25Buckets, col("term"))
+      .write.mode("overwrite")
+      .option("path", stage.getPath)
+      .bucketBy(bm25Buckets, "term").sortBy("term")
+      .saveAsTable(stageTbl)
+    ExactlyOnce.promote(stage, new java.io.File(live), batchId)
+    ExactlyOnce.commit(ledger, batchId)
+    s.sql(s"DROP TABLE IF EXISTS $stageTbl") // external: drops metadata only
+    graft.FileTree.delete(stage)
+    s.catalog.refreshTable(tbl)
   }
 
   /** BUCKET-PRUNED PIN on a postings generation — closes the
@@ -560,6 +619,11 @@ object Queries {
     * readers' grace window. */
   private[graft] def compactPostings(s: SparkSession, tbl: String,
                                      path: String): String = {
+    // the IVF.compactIndex in-flight-append guard: an uncommitted
+    // idempotent-append stage under this path is a half-landed ingest
+    // batch whose re-delivery would double whatever a rewrite folds
+    graft.streaming.ExactlyOnce.sweepStages(new java.io.File(path),
+      postingsLedger(path), failOnInflight = true, s"compactPostings($tbl)")
     val base = path.replaceAll("__gen\\d+$", "")
     val baseName = new java.io.File(base).getName
     val parent = new java.io.File(base).getParentFile
@@ -1034,6 +1098,61 @@ object Queries {
       .orderBy("rank")
   }
 
+  /** EXACTLY-ONCE LEXICAL INGEST — q185's at-least-once drain on the
+    * term-bucketed postings table: every micro-batch is delivered
+    * TWICE through [[writePostingsIdempotent]] (the raw append would
+    * double every tf — BM25 scores would silently inflate, the
+    * quietest corruption in the engine because nothing crashes),
+    * batch 1 starts over a "crashed" attempt's stage-dir debris
+    * (recovery-scrub path) and batch 2's re-delivery arrives with its
+    * ledger marker deleted (crash-after-promote path; the promoted
+    * names keep the `_NNNNN` bucket suffix, so the replayed files
+    * still prune — ExactlyOnceSpec pins the plan). Gates: all four
+    * batches committed, no debris, and the drained table equals the
+    * one-shot full build row for row. Oracle: q20's whole-corpus SQL
+    * — exactly-once under failures is indistinguishable from never
+    * having failed. */
+  def q186LexExactlyOnce(s: SparkSession, dir: String): DataFrame = {
+    val tbl = "bm25_eo_" + PipelineQueries.sanitizeTag(dir)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = PipelineQueries.roundtripPath(dir, "bm25eo")
+    val d = t(s, dir, "documents")
+    writePostings(s, d.filter(col("doc_id") >= 100), tbl, path, "overwrite")
+    val stage = q102Stage(s, dir)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      val b = batch.localCheckpoint()
+      if (bid == 1L) // a "crashed" earlier attempt left its stage dir
+        graft.streaming.ExactlyOnce.stageDir(
+          new java.io.File(postingsLivePath(s, tbl)), bid).mkdirs()
+      writePostingsIdempotent(s, b, tbl, bid)
+      if (bid == 2L) { // crash AFTER the promote, BEFORE the marker
+        val m = new java.io.File(
+          postingsLedger(postingsLivePath(s, tbl)), s"b$bid")
+        require(m.delete(), s"q186: batch $bid must have committed a marker")
+      }
+      writePostingsIdempotent(s, b, tbl, bid) // the re-delivery
+    })
+    val live = postingsLivePath(s, tbl)
+    (0L until 4L).foreach { bid =>
+      require(graft.streaming.ExactlyOnce.isApplied(
+          postingsLedger(live), bid),
+        s"q186: batch $bid must end committed in the ledger")
+      require(!graft.streaming.ExactlyOnce.stageDir(
+          new java.io.File(live), bid).exists(),
+        s"q186: batch $bid must leave no stage debris")
+    }
+    val post = s.table(tbl)
+    val rebuilt = bm25Postings(s, dir)
+    require(post.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(post).isEmpty,
+      "q186: the exactly-once drain must equal the full build row for " +
+        "row — a doubled tf is a silent score inflation")
+    BM25.searchIndexed(post, BM25.statsFromPostings(post), bm25Terms, 20)
+      .orderBy("rank")
+  }
+
   /** DELETION UNDER LIVE LEXICAL INGEST — q147's composition on the
     * BM25 index, and unlike the vector twin FULLY ORACLED (every leg
     * of this family is SQL-replayable): q102's drain (base postings
@@ -1454,6 +1573,7 @@ object Queries {
     "q146_bm25_delete" -> (q146Bm25Delete _),
     "q184_bm25_upgrade" -> (q184Bm25Upgrade _),
     "q102_stream_bm25" -> (q102StreamBm25 _),
+    "q186_lex_exactly_once" -> (q186LexExactlyOnce _),
     "q148_stream_bm25_delete" -> (q148StreamBm25Delete _),
     "q159_stream_bm25_valve" -> (q159StreamBm25Valve _),
     "q164_lex_cdc_revive" -> (q164LexCdcRevive _),
@@ -1485,6 +1605,7 @@ object Queries {
     "q146_bm25_delete" -> q146Sql,
     "q184_bm25_upgrade" -> q184Sql,
     "q102_stream_bm25" -> q20Sql,
+    "q186_lex_exactly_once" -> q20Sql,
     "q148_stream_bm25_delete" -> q148Sql,
     "q159_stream_bm25_valve" -> q148Sql,
     "q164_lex_cdc_revive" -> q164Sql,

@@ -253,6 +253,57 @@ object Dedup {
     target
   }
 
+  /** The register family's committed-batch ledger — a SIBLING of the
+    * generation paths (`<base>__applied`, next to `__tomb` and
+    * `__genN`), because the register path itself is a scanned parquet
+    * dir and flips across [[compactRegister]]: whether a batch was
+    * applied is a property of the register, not of one generation.
+    * [[writeRegister]]'s CREATE clears it with the other siblings —
+    * a fresh register legitimately has no stream history. */
+  private def registerLedger(path: String): java.io.File =
+    new java.io.File(path.replaceAll("__gen\\d+$", "") + "__applied")
+
+  /** [[appendToRegister]] with EXACTLY-ONCE semantics under streaming
+    * re-delivery — [[graft.search.IVF.appendToIndexIdempotent]]'s
+    * contract on the dedup artifact ([[graft.streaming.ExactlyOnce]]
+    * holds the protocol): committed batchId → no-op returning `path`;
+    * crash-recovery scrubs the batch's own deterministic `b<id>-p*`
+    * debris before the revive probe can compact it into a fresh
+    * generation; stage → promote → marker-last otherwise. Returns the
+    * path the batch landed in, exactly like the raw append — the
+    * caller threads it. A re-delivery that raced a revive flip
+    * converges too: the half-promoted generation was never threaded
+    * (the crash happened before the return), so the re-run simply
+    * compacts again and the orphan is GC'd by a later cycle. */
+  def appendToRegisterIdempotent(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, bands: DataFrame,
+                                 buckets: Int, batchId: Long): String = {
+    import graft.streaming.ExactlyOnce
+    val ledger = registerLedger(path)
+    if (ExactlyOnce.isApplied(ledger, batchId)) return path
+    val debris = ExactlyOnce.stageDir(new java.io.File(path), batchId)
+    if (debris.isDirectory) {
+      ExactlyOnce.scrub(new java.io.File(path), batchId)
+      graft.FileTree.delete(debris)
+    }
+    val staged = if (hasRegisterTomb(path)) bands.localCheckpoint() else bands
+    val target =
+      if (!hasRegisterTomb(path)) path
+      else if (staged.select(col("id")).distinct()
+          .join(spark.read.parquet(registerTombPath(path)).select(col("id")),
+            Seq("id"), "left_semi")
+          .isEmpty) path
+      else compactRegister(spark, path, buckets)
+    val stage = ExactlyOnce.stageDir(new java.io.File(target), batchId)
+    staged
+      .repartition(col("sigbucket"))
+      .write.mode("overwrite").partitionBy("sigbucket").parquet(stage.getPath)
+    ExactlyOnce.promote(stage, new java.io.File(target), batchId)
+    ExactlyOnce.commit(ledger, batchId)
+    graft.FileTree.delete(stage)
+    target
+  }
+
   /** The LIVE view of a register frame stored at `path`: tombstoned
     * ids hidden by an anti-join on the sidecar — AQE-governed, never
     * a forced broadcast (the IVF/BM25 discipline: an over-grown
@@ -292,6 +343,11 @@ object Dedup {
     * sidecars. */
   def compactRegister(spark: org.apache.spark.sql.SparkSession,
                       path: String, buckets: Int): String = {
+    // the IVF.compactIndex in-flight-append guard: an uncommitted
+    // idempotent-append stage under this path is a half-landed ingest
+    // batch whose re-delivery would double whatever a rewrite folds
+    graft.streaming.ExactlyOnce.sweepStages(new java.io.File(path),
+      registerLedger(path), failOnInflight = true, "Dedup.compactRegister")
     val base = path.replaceAll("__gen\\d+$", "")
     val baseName = new java.io.File(base).getName
     val parent = new java.io.File(base).getParentFile

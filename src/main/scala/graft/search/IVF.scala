@@ -354,6 +354,11 @@ object IVF {
       // refresh) arrive pre-filtered; the anti-join is then a no-op
       // costing one sidecar-sized probe. AQE-governed like every
       // sidecar join — never a forced broadcast.
+      // the compactIndex in-flight-append guard, for the same reason:
+      // a rebuild folding a half-promoted ingest batch would hand its
+      // re-delivery a double-write
+      graft.streaming.ExactlyOnce.sweepStages(new java.io.File(path),
+        appendLedger(path), failOnInflight = true, "IVF.writeIndexFrom")
       val staged = dropTombstoned(assigned.sparkSession,
         s"$path/$prevLists", assigned)
       // claim (derive + fence) BEFORE any staged bytes: the loser of
@@ -424,6 +429,61 @@ object IVF {
     assign(delta, idCol, vecCol, cents)
       .repartition(col("cid")) // one appended file per touched list
       .write.mode("append").partitionBy("cid").parquet(s"$path/$ln")
+  }
+
+  /** The index's committed-batch ledger (one marker file per applied
+    * streaming batch — [[graft.streaming.ExactlyOnce]]). Lives at the
+    * index root beside `CURRENT`, so it survives generation flips:
+    * whether a batch was applied is a property of the INDEX, not of
+    * any one generation. */
+  private[graft] def appendLedger(path: String): java.io.File =
+    new java.io.File(path, "applied__appends")
+
+  /** [[appendToIndex]] with EXACTLY-ONCE semantics under streaming
+    * re-delivery — the sink-side contract
+    * [[graft.streaming.Streaming.runForeachBatchResumable]] names:
+    * foreachBatch re-runs a batch whose checkpoint commit did not
+    * land, and a raw append would then write its vectors twice. The
+    * [[graft.streaming.ExactlyOnce]] protocol: committed batchId →
+    * no-op before any plan runs; otherwise stage the assigned batch
+    * to a scratch dir, PROMOTE each staged file into the live lists
+    * under a deterministic (batchId, partition) name with
+    * REPLACE_EXISTING renames, and write the ledger marker LAST — a
+    * crash at any point makes the re-delivery converge on the same
+    * file set instead of doubling rows. The revive probe runs exactly
+    * as in [[appendToIndex]] (a re-delivered batch re-probes; if its
+    * first attempt already compacted, the cleared sidecar makes the
+    * probe a directory stat). Same per-batch cost as the raw append
+    * plus one rename per touched list. */
+  def appendToIndexIdempotent(spark: org.apache.spark.sql.SparkSession,
+                              path: String, delta: DataFrame,
+                              idCol: String, vecCol: String,
+                              batchId: Long): Unit = {
+    import graft.streaming.ExactlyOnce
+    val ledger = appendLedger(path)
+    if (ExactlyOnce.isApplied(ledger, batchId)) return
+    val stage = ExactlyOnce.stageDir(new java.io.File(path), batchId)
+    if (stage.isDirectory) {
+      // our own earlier delivery crashed before its marker (the stage
+      // dir is deleted only after commit). Scrub the partial
+      // promotion FIRST: the live generation is still the crash-time
+      // one (maintenance refuses while this stage exists), so the
+      // batch's own `b<id>-p*` files are exactly the debris — then
+      // the revive compaction below cannot fold rows the re-promote
+      // would double, and a conf change between runs cannot strand
+      // old deterministic keys.
+      ExactlyOnce.scrub(new java.io.File(listsPath(path)), batchId)
+      graft.FileTree.delete(stage)
+    }
+    if (hasRevives(spark, path, delta, idCol)) compactIndex(spark, path)
+    val (ln, cn) = generationPair(path)
+    val cents = spark.read.parquet(s"$path/$cn")
+    assign(delta, idCol, vecCol, cents)
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(stage.getPath)
+    ExactlyOnce.promote(stage, new java.io.File(s"$path/$ln"), batchId)
+    ExactlyOnce.commit(ledger, batchId)
+    graft.FileTree.delete(stage)
   }
 
   /** True when any of `delta`'s ids sit in the LIVE generation's
@@ -593,6 +653,14 @@ object IVF {
     * window for readers that resolved the pointer just before the
     * flip; only generations two or more cycles old are GC'd. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    // an UNCOMMITTED idempotent-append stage means an ingest batch is
+    // in flight (or crashed mid-append): rewriting now would fold its
+    // partial rows into the fresh generation, and the batch's
+    // re-delivery would then double them — the one window file-level
+    // replacement can't close alone. Refuse loudly; committed stage
+    // debris is swept here instead.
+    graft.streaming.ExactlyOnce.sweepStages(new java.io.File(path),
+      appendLedger(path), failOnInflight = true, "IVF.compactIndex")
     val (liveLists, liveCents) = generationPair(path)
     // claim (derive + fence): two compactions racing (e.g. a
     // scheduled one and a valve-fired one from another session)

@@ -201,6 +201,50 @@ object SQ {
     oobFrac
   }
 
+  /** [[appendToIndex]] with EXACTLY-ONCE semantics under streaming
+    * re-delivery — [[graft.search.IVF.appendToIndexIdempotent]]'s
+    * contract on the quantized family (same ledger at the index root,
+    * same stage → deterministic promote → marker-last protocol, same
+    * crash-recovery scrub; [[graft.streaming.ExactlyOnce]] holds the
+    * full argument). Returns the clamp fraction like the raw append;
+    * a skipped duplicate returns 0.0 — its first delivery already
+    * fed the requant trigger, and re-counting a re-delivered batch's
+    * clamps would double-charge the drift signal. */
+  def appendToIndexIdempotent(spark: SparkSession, path: String,
+                              delta: DataFrame, idCol: String,
+                              vecCol: String, batchId: Long): Double = {
+    import graft.streaming.ExactlyOnce
+    val ledger = IVF.appendLedger(path)
+    if (ExactlyOnce.isApplied(ledger, batchId)) return 0.0
+    val stage = ExactlyOnce.stageDir(new java.io.File(path), batchId)
+    if (stage.isDirectory) {
+      ExactlyOnce.scrub(new java.io.File(IVF.listsPath(path)), batchId)
+      graft.FileTree.delete(stage)
+    }
+    if (IVF.hasRevives(spark, path, delta, idCol))
+      IVF.compactIndex(spark, path)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val ba = boundsArrays(spark.read.parquet(s"$path/bounds"))
+    val lohi = zip_with(col("lo"), col("hi"), (l, h) => struct(l.as("l"), h.as("h")))
+    val oobRow = delta.crossJoin(broadcast(ba))
+      .select(
+        size(filter(zip_with(col(vecCol), lohi,
+          (x, lh) => x < lh.getField("l") || x > lh.getField("h")), b => b))
+          .cast("long").as("oob"),
+        size(col(vecCol)).cast("long").as("n"))
+      .agg(sum(col("oob")).cast("double").as("o"), sum(col("n")).cast("double").as("t"))
+      .head()
+    val oobFrac = if (oobRow.getDouble(1) == 0.0) 0.0
+      else oobRow.getDouble(0) / oobRow.getDouble(1)
+    quantized(delta, idCol, vecCol, cents, ba)
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(stage.getPath)
+    ExactlyOnce.promote(stage, new java.io.File(IVF.listsPath(path)), batchId)
+    ExactlyOnce.commit(ledger, batchId)
+    graft.FileTree.delete(stage)
+    oobFrac
+  }
+
   /** Multi-query SQ8 search WITHOUT the coarse IVF structure (full
     * quantized scan) — the form q48's recall surface probes, because
     * it isolates the QUANTIZATION dial from the probe dial: one scan

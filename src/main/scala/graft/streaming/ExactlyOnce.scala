@@ -1,0 +1,189 @@
+package graft.streaming
+
+/** EXACTLY-ONCE batch appends for the file-backed index machineries.
+  *
+  * Structured Streaming's `foreachBatch` contract is AT-LEAST-ONCE
+  * under mid-batch failure: a batch whose function ran but whose
+  * checkpoint commit did not land is RE-DELIVERED with the same
+  * batchId on restart ([[Streaming.runForeachBatchResumable]]
+  * documents it). Every index append in this engine lands parquet
+  * part files into a live layout (`cid=`/`sigbucket=` partition dirs,
+  * term-bucketed postings), so a re-delivered batch would silently
+  * DOUBLE its rows — doubled tf in postings, duplicate vectors in
+  * lists, doubled fingerprints in the register — the quiet sibling of
+  * the crash-before-commit class the generation machineries already
+  * spec. This object is the sink-side half that turns the streaming
+  * contract into exactly-once, with nothing but the primitives the
+  * rest of the engine already relies on (deterministic shuffles,
+  * per-file atomic rename, create-exclusive markers):
+  *
+  *  1. A LEDGER of committed batch ids (one empty marker file per
+  *     batch, `b<id>`, next to the index) — a delivery whose marker
+  *     exists is a duplicate and becomes a no-op before any plan
+  *     runs.
+  *  2. The batch's rows are STAGED to a scratch dir with Spark's
+  *     normal writer (`part-NNNNN-<uuid>…` names under the same
+  *     partition-dir structure as the live layout).
+  *  3. [[promote]] renames each staged file into the live layout
+  *     under a DETERMINISTIC name derived from (batchId, writing
+  *     shuffle partition, bucket suffix): `b<id>-p<NNNNN>[_<bucket>]
+  *     .parquet`. Hash repartitioning is deterministic for the same
+  *     input and conf, so a re-run of the same batch produces the
+  *     same (partition-dir, NNNNN, bucket) key set — every rename is
+  *     REPLACE_EXISTING, so a retry CONVERGES on the same file set
+  *     instead of appending a second copy. Per-file moves are atomic
+  *     on a filesystem; on an object store each becomes an
+  *     idempotent PUT to the same key.
+  *  4. The marker is written LAST. Crash anywhere before it and the
+  *     re-delivery re-stages and re-promotes over its own debris;
+  *     crash after it and the re-delivery is skipped by (1).
+  *
+  * The one window file-level replacement cannot close alone: a crash
+  * mid-append followed by a MAINTENANCE REWRITE (compaction folds the
+  * partial batch into a fresh generation under new file names) and
+  * only then the re-delivery, which would re-append rows the rewrite
+  * already absorbed. The machineries close it on their side:
+  * maintenance refuses to run while an UNCOMMITTED stage dir exists
+  * ([[sweepStages]] with `failOnInflight = true`) — an in-flight
+  * append is the ingest loop's to finish (just re-run the drain), in
+  * the same spirit as [[graft.WriterFence]]'s loud loser. Committed
+  * stage debris (crash between marker and cleanup) is garbage and is
+  * swept, not fatal.
+  *
+  * Scale notes: the ledger is one empty file per committed batch —
+  * listing it is O(batches), never a data read, and a deployment that
+  * retires checkpoints can sweep markers below the checkpoint's
+  * low-watermark. Staging writes each batch's bytes exactly once
+  * (the same bytes a raw append would write) plus one rename per
+  * file; nothing index-sized moves. */
+object ExactlyOnce {
+
+  /** Marker-file handle for `batchId` under `ledger`. */
+  private def marker(ledger: java.io.File, batchId: Long): java.io.File =
+    new java.io.File(ledger, s"b$batchId")
+
+  /** True when `batchId` has already been committed under `ledger` —
+    * the re-delivery probe, one file stat. */
+  def isApplied(ledger: java.io.File, batchId: Long): Boolean =
+    marker(ledger, batchId).isFile
+
+  /** Record `batchId` as committed. Idempotent (a marker that
+    * already exists — two racing re-deliveries of the same batch —
+    * is the same commit, not a conflict). */
+  def commit(ledger: java.io.File, batchId: Long): Unit = {
+    ledger.mkdirs()
+    try java.nio.file.Files.createFile(marker(ledger, batchId).toPath)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  /** The writing shuffle partition (`NNNNN` of `part-NNNNN-…`) and
+    * the optional bucket suffix (`_MMMMM` before the extensions —
+    * Spark derives a bucketed file's bucket id from exactly this
+    * suffix, so promotion must carry it) of a staged part file.
+    * None for non-data files (`_SUCCESS`, checksums, hidden). */
+  private[graft] def partKey(name: String): Option[(Int, Option[String])] = {
+    if (!name.startsWith("part-")) None
+    else {
+      val task = name.stripPrefix("part-").takeWhile(_.isDigit)
+      if (task.isEmpty) None
+      else {
+        // uuid segments are hyphen-separated hex and extensions carry
+        // no '_', so the LAST underscore (if any) introduces the
+        // bucket suffix: part-00000-<uuid>_00003.c000.snappy.parquet
+        val base = name.takeWhile(_ != '.')
+        val i = base.lastIndexOf('_')
+        val bucket =
+          if (i >= 0 && i + 1 < base.length && base.drop(i + 1).forall(_.isDigit))
+            Some(base.drop(i + 1))
+          else None
+        Some((task.toInt, bucket))
+      }
+    }
+  }
+
+  /** The deterministic live-layout name for a staged part file of
+    * `batchId`: same (batch, writing partition, bucket) → same name
+    * on every re-run, which is what makes the rename-REPLACE retry
+    * converge. The bucket suffix stays the trailing `_<digits>` so
+    * Spark's bucketed scan still reads the bucket id off the name. */
+  private[graft] def promotedName(batchId: Long, task: Int,
+                                      bucket: Option[String]): String =
+    f"b$batchId%d-p$task%05d" + bucket.fold("")("_" + _) + ".parquet"
+
+  /** Rename every staged part file under `stage` into the mirrored
+    * partition directory under `live`, REPLACE_EXISTING, under
+    * [[promotedName]]. Partition subdirectories (`cid=7/`,
+    * `sigbucket=3/`) are mirrored; `_SUCCESS`/hidden files are not
+    * promoted. Idempotent: a re-run after a crash at ANY point
+    * re-promotes over its own earlier moves. */
+  def promote(stage: java.io.File, live: java.io.File, batchId: Long): Unit = {
+    def walk(src: java.io.File, dst: java.io.File): Unit =
+      Option(src.listFiles()).toSeq.flatten.foreach { f =>
+        if (f.isDirectory) {
+          if (!f.getName.startsWith(".") && !f.getName.startsWith("_"))
+            walk(f, new java.io.File(dst, f.getName))
+        } else partKey(f.getName).foreach { case (task, bucket) =>
+          dst.mkdirs()
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(dst, promotedName(batchId, task, bucket)).toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+    walk(stage, live)
+  }
+
+  /** Remove every file `batchId` promoted into `live` (the
+    * deterministic `b<id>-p*` prefix makes a batch's own debris
+    * identifiable) — the recovery scrub a RE-DELIVERY runs when it
+    * finds its own stage dir still present (crash anywhere before the
+    * marker). Two reasons this beats relying on rename-REPLACE alone:
+    * the revive probe may need to run [[graft.search.IVF.compactIndex]]
+    * first, which must not fold the partial promotion a re-promote
+    * would then double; and a conf change between crash and re-run
+    * (shuffle partition count) can shift the deterministic key set,
+    * leaving old keys no re-promote would overwrite. O(touched
+    * partition dirs) file stats; only correct BEFORE the batch's
+    * marker exists and only for the caller's own batchId — both
+    * guaranteed by the single-stream-per-ledger contract. */
+  def scrub(live: java.io.File, batchId: Long): Unit = {
+    val prefix = s"b$batchId-p"
+    def walk(d: java.io.File): Unit =
+      Option(d.listFiles()).toSeq.flatten.foreach { f =>
+        if (f.isDirectory) { if (!f.getName.startsWith(".")) walk(f) }
+        else if (f.getName.startsWith(prefix))
+          java.nio.file.Files.deleteIfExists(f.toPath)
+      }
+    walk(live)
+  }
+
+  /** Stage-dir handle for `batchId` under the machinery root `dir` —
+    * dot-prefixed so no Spark reader over the machinery's data dirs
+    * ever lists it. */
+  def stageDir(dir: java.io.File, batchId: Long): java.io.File =
+    new java.io.File(dir, s".stage_append_b$batchId")
+
+  /** Sweep stage debris under `dir`. A stage whose batch is COMMITTED
+    * in `ledger` is garbage from a crash between marker and cleanup —
+    * deleted. An UNCOMMITTED stage is an IN-FLIGHT append: with
+    * `failOnInflight` (the maintenance writers) this throws loudly
+    * instead of letting a rewrite fold a partial batch that a later
+    * re-delivery would then double; without it (the appender itself,
+    * about to re-stage its own batch) it is left for the overwrite. */
+  def sweepStages(dir: java.io.File, ledger: java.io.File,
+                  failOnInflight: Boolean, what: String): Unit =
+    Option(dir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(".stage_append_b"))
+      .foreach { f =>
+        val bid = scala.util.Try(
+          f.getName.stripPrefix(".stage_append_b").toLong).toOption
+        if (bid.exists(isApplied(ledger, _))) graft.FileTree.delete(f)
+        else if (failOnInflight)
+          throw new IllegalStateException(
+            s"$what: in-flight idempotent append ${f.getName} is staged " +
+              "but not committed — a rewrite now would fold a partial " +
+              "batch that its re-delivery would then double. Finish the " +
+              "ingest drain (re-running it is safe and converges) or " +
+              "delete the stage dir if the stream is retired.")
+      }
+}

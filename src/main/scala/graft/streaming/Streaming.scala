@@ -175,9 +175,13 @@ object Streaming {
     * foreachBatch's standard contract still applies across CRASHES:
     * a batch whose `fn` ran but whose checkpoint commit did not land
     * is re-run on restart, so a sink needs per-batchId idempotence
-    * for exactly-once under mid-batch failure — and the engine's
-    * index-equality gates turn any violation into a loud failure
-    * rather than silent duplication. */
+    * for exactly-once under mid-batch failure. The engine's append
+    * sinks provide it — [[ExactlyOnce]] and the per-machinery
+    * `appendToIndexIdempotent` / `appendToRegisterIdempotent` /
+    * `writePostingsIdempotent` variants (q185/q186 declare the
+    * contract under injected re-deliveries); a drain wired to the
+    * RAW appends still fails loudly at the index-equality gates
+    * rather than duplicating silently. */
   def runForeachBatchResumable(spark: SparkSession, src: DataFrame,
                                checkpointDir: String,
                                fn: (DataFrame, Long) => Unit): Unit =

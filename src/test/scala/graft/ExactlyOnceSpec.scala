@@ -1,0 +1,286 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.lexical.BM25
+import graft.search.{GraphAnn, IVF, SQ}
+import graft.streaming.ExactlyOnce
+import org.apache.spark.sql.functions._
+
+/** The exactly-once streaming-append contract
+  * ([[graft.streaming.ExactlyOnce]]): a foreachBatch sink re-runs a
+  * batch whose checkpoint commit did not land, and every crash window
+  * of the idempotent appends must CONVERGE on the single-delivery
+  * state instead of doubling rows. */
+class ExactlyOnceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  test("partKey/promotedName: task + bucket suffix parsed, non-data files skipped, bucket suffix survives") {
+    assert(ExactlyOnce.partKey(
+      "part-00003-0aa6256b-9ea6-4c07-8d5f-ab.c000.snappy.parquet")
+      == Some((3, None)))
+    assert(ExactlyOnce.partKey(
+      "part-00012-0aa6256b-9ea6-4c07-8d5f-ab_00007.c000.snappy.parquet")
+      == Some((12, Some("00007"))))
+    assert(ExactlyOnce.partKey("_SUCCESS").isEmpty)
+    assert(ExactlyOnce.partKey(".part-00003.crc").isEmpty)
+    assert(ExactlyOnce.promotedName(5L, 3, None) == "b5-p00003.parquet")
+    assert(ExactlyOnce.promotedName(5L, 12, Some("00007"))
+      == "b5-p00012_00007.parquet")
+  }
+
+  test("IVF idempotent append: duplicate delivery is a no-op; every crash window converges on the single-delivery lists") {
+    val base = emb.filter(col("vec_id") >= 50)
+    val delta = emb.filter(col("vec_id") < 50 && col("vec_id") >= 25)
+    val cents = IVF.centroids(base, "vec_id", "v", 8).localCheckpoint()
+    val path = java.nio.file.Files.createTempDirectory("eo_ivf").toString
+    IVF.writeIndexFrom(cents, IVF.assign(base, "vec_id", "v", cents), path)
+    def lists() = spark.read.parquet(IVF.listsPath(path))
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+      .as[(Long, Long)].collect().toSeq.sorted
+
+    IVF.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 1L)
+    val once = lists()
+    assert(once.map(_._1).toSet == (base.select("vec_id").as[Long].collect()
+      ++ delta.select("vec_id").as[Long].collect()).toSet)
+
+    // re-delivery with the marker present: no plan runs, nothing changes
+    IVF.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 1L)
+    assert(lists() == once, "a committed batch re-delivered must be a no-op")
+
+    // crash AFTER promote BEFORE marker: delete the marker, re-run —
+    // deterministic names + REPLACE_EXISTING converge, rows never double
+    val marker = new java.io.File(IVF.appendLedger(path), "b1")
+    assert(marker.isFile)
+    assert(marker.delete())
+    IVF.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 1L)
+    assert(lists() == once, "crash-after-promote re-delivery must converge")
+
+    // crash MID-append (stage dir left, marker absent): the recovery
+    // scrubs the batch's own promoted files and re-appends cleanly
+    assert(new java.io.File(IVF.appendLedger(path), "b1").delete())
+    ExactlyOnce.stageDir(new java.io.File(path), 1L).mkdirs()
+    IVF.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 1L)
+    assert(lists() == once, "mid-append re-delivery must scrub and converge")
+    assert(!ExactlyOnce.stageDir(new java.io.File(path), 1L).exists(),
+      "a committed append must clean its stage")
+  }
+
+  test("IVF idempotent append: a committed batch re-delivered ACROSS a compaction flip is skipped — the ledger survives generations") {
+    // the window file-level replacement alone cannot close: after a
+    // compaction, the batch's rows live in a fresh generation under
+    // NEW file names, so a re-promote would duplicate them. The
+    // ledger (index-root, generation-independent) is what makes the
+    // re-delivery a no-op regardless of how many flips happened.
+    val base = emb.filter(col("vec_id") >= 50)
+    val delta = emb.filter(col("vec_id") < 10)
+    val cents = IVF.centroids(base, "vec_id", "v", 4).localCheckpoint()
+    val path = java.nio.file.Files.createTempDirectory("eo_ivf_flip").toString
+    IVF.writeIndexFrom(cents, IVF.assign(base, "vec_id", "v", cents), path)
+    IVF.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 1L)
+    val before = spark.read.parquet(IVF.listsPath(path))
+      .select(col("vec_id")).as[Long].collect().toSeq.sorted
+    IVF.compactIndex(spark, path) // folds the batch, new file names
+    IVF.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 1L)
+    val after = spark.read.parquet(IVF.listsPath(path))
+      .select(col("vec_id")).as[Long].collect().toSeq.sorted
+    assert(after == before,
+      "a committed batch re-delivered across a flip must not re-append")
+  }
+
+  test("IVF maintenance refuses an in-flight idempotent append and sweeps committed stage debris") {
+    val cents = IVF.centroids(emb, "vec_id", "v", 4).localCheckpoint()
+    val path = java.nio.file.Files.createTempDirectory("eo_ivf_guard").toString
+    IVF.writeIndexFrom(cents, IVF.assign(emb, "vec_id", "v", cents), path)
+    // uncommitted stage = in-flight append: compaction must fail loudly
+    ExactlyOnce.stageDir(new java.io.File(path), 7L).mkdirs()
+    val e = intercept[IllegalStateException] { IVF.compactIndex(spark, path) }
+    assert(e.getMessage.contains("in-flight idempotent append"))
+    // commit the batch: the same stage dir is now debris — swept, not fatal
+    ExactlyOnce.commit(IVF.appendLedger(path), 7L)
+    IVF.compactIndex(spark, path)
+    assert(!ExactlyOnce.stageDir(new java.io.File(path), 7L).exists(),
+      "maintenance must sweep committed stage debris")
+  }
+
+  test("SQ idempotent append: duplicate returns 0.0 and leaves the code lists untouched") {
+    val path = java.nio.file.Files.createTempDirectory("eo_sq").toString
+    SQ.writeIndex(emb.filter(col("vec_id") >= 50), "vec_id", "v", 4, path)
+    val delta = emb.filter(col("vec_id") < 20)
+    SQ.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 3L)
+    def lists() = spark.read.parquet(IVF.listsPath(path))
+      .select(col("id")).as[Long].collect().toSeq.sorted
+    val once = lists()
+    assert(SQ.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 3L) == 0.0)
+    assert(lists() == once)
+    // crash-window replay: marker gone, stage left → converge
+    assert(new java.io.File(IVF.appendLedger(path), "b3").delete())
+    ExactlyOnce.stageDir(new java.io.File(path), 3L).mkdirs()
+    SQ.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 3L)
+    assert(lists() == once)
+  }
+
+  test("register idempotent append: duplicate skip, crash replay converges, revive flip converges") {
+    val reg = java.nio.file.Files.createTempDirectory("eo_reg").toString + "/reg"
+    def bandsOf(d: org.apache.spark.sql.DataFrame) =
+      Dedup.bandedSignatures(d, "doc_id", "text", 3, 16, 4)
+        .withColumn("sigbucket", pmod(hash(col("band"), col("bandsig")), lit(4)))
+    Dedup.writeRegister(bandsOf(docs.filter(col("doc_id") >= 3)), reg, 4)
+    val batch = bandsOf(docs.filter(col("doc_id") < 3)).localCheckpoint()
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("id").cast("long"), col("band").cast("long"))
+      .as[(Long, Long)].collect().toSeq.sorted
+
+    val landed = Dedup.appendToRegisterIdempotent(spark, reg, batch, 4, 1L)
+    assert(landed == reg, "no sidecar: the batch lands in place")
+    val once = rows(reg)
+    assert(Dedup.appendToRegisterIdempotent(spark, reg, batch, 4, 1L) == reg)
+    assert(rows(reg) == once, "duplicate delivery must be a no-op")
+
+    // crash-after-promote replay
+    val ledger = new java.io.File(reg.replaceAll("__gen\\d+$", "") + "__applied")
+    assert(new java.io.File(ledger, "b1").delete())
+    assert(Dedup.appendToRegisterIdempotent(spark, reg, batch, 4, 1L) == reg)
+    assert(rows(reg) == once, "crash replay must converge, never double bands")
+
+    // REVIVE path: forget doc 1, then batch 2 re-ingests it — the
+    // probe fires, the append compacts forward and lands in the
+    // flipped generation; its own re-delivery then skips
+    assert(Dedup.deleteFromRegister(spark, reg, Seq(1L).toDF("id")) == 1L)
+    val rebatch = bandsOf(docs.filter(col("doc_id") === 1)).localCheckpoint()
+    val flipped = Dedup.appendToRegisterIdempotent(spark, reg, rebatch, 4, 2L)
+    assert(flipped != reg, "a revive must flip the generation")
+    val after = rows(flipped)
+    assert(Dedup.appendToRegisterIdempotent(spark, flipped, rebatch, 4, 2L) == flipped)
+    assert(rows(flipped) == after)
+    // exactly one copy of the revived doc's bands
+    assert(after.count(_._1 == 1L) == 16 / 4,
+      "the revived doc must carry exactly one copy of its bands")
+  }
+
+  test("postings idempotent append: no-op duplicate, crash replay converges, bucket pruning survives the promote") {
+    val tbl = "eo_postings_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = java.nio.file.Files.createTempDirectory("eo_post").toString + "/t"
+    Queries.writePostings(spark, docs.filter(col("doc_id") >= 3), tbl, path, "overwrite")
+    val batch = docs.filter(col("doc_id") < 3).localCheckpoint()
+    def all() = spark.table(tbl)
+      .as[(Long, Double, String, Double)].collect().toSeq.sorted
+    Queries.writePostingsIdempotent(spark, batch, tbl, 1L)
+    val once = all()
+    assert(once.map(_._1).toSet == docs.select("doc_id").as[Long].collect().toSet)
+    Queries.writePostingsIdempotent(spark, batch, tbl, 1L)
+    assert(all() == once, "duplicate delivery must be a no-op")
+    // crash-after-promote replay
+    val ledger = Queries.postingsLedger(Queries.postingsLivePath(spark, tbl))
+    assert(new java.io.File(ledger, "b1").delete())
+    Queries.writePostingsIdempotent(spark, batch, tbl, 1L)
+    assert(all() == once, "crash replay must converge — postings tf must never double")
+    // the promoted names keep the bucket suffix: the bucketed scan
+    // still reads bucket ids off the file names and prunes
+    val live = Queries.postingsLivePath(spark, tbl)
+    assert(Option(new java.io.File(live).listFiles()).toSeq.flatten
+      .exists(f => f.getName.startsWith("b1-p") && f.getName.matches(".*_\\d+\\.parquet")),
+      "promoted postings files must carry the bucket suffix")
+    // the real serving read (term-keyed scoring over the bucketed
+    // table — a bare filter would have autoBucketedScan disable the
+    // bucketed read as not beneficial)
+    val serve = BM25.searchIndexed(spark, live, spark.table(tbl),
+      BM25.statsFromPostings(spark.table(tbl)), Seq("spark", "engine"), 10)
+    assert(serve.queryExecution.executedPlan.toString.contains("SelectedBucketsCount"),
+      "bucket pruning must survive the idempotent append")
+    // and the served scores equal a one-shot build over the union
+    val got = serve
+      .select("doc", "score").as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    val post = BM25.postings(docs, "doc_id", "text")
+    val want = BM25.searchIndexed(post, BM25.statsFromPostings(post),
+        Seq("spark", "engine"), 10)
+      .select("doc", "score").as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("CREATE clears a leftover exactly-once ledger: a fresh index never inherits a dead stream's applied set") {
+    // the ledger twin of the stale-sidecar class: stale committed-
+    // batch markers would make a REBUILT index silently SKIP
+    // legitimate batches whose ids a previous incarnation committed —
+    // the ghost hides NEW data instead of resurrecting old
+    val tbl = "eo_create_ledger_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = java.nio.file.Files.createTempDirectory("eo_led").toString + "/t"
+    Queries.writePostings(spark, docs.filter(col("doc_id") >= 3), tbl, path, "overwrite")
+    val batch = docs.filter(col("doc_id") < 3).localCheckpoint()
+    Queries.writePostingsIdempotent(spark, batch, tbl, 1L)
+    assert(new java.io.File(Queries.postingsLedger(path), "b1").isFile)
+    // the rebuild: same (tbl, path); the dead stream's ledger must go
+    Queries.writePostings(spark, docs.filter(col("doc_id") >= 3), tbl, path, "overwrite")
+    assert(!Queries.postingsLedger(path).exists(),
+      "postings CREATE must clear the sibling ledger")
+    Queries.writePostingsIdempotent(spark, batch, tbl, 1L)
+    assert(spark.table(tbl).select("doc").as[Long].distinct().collect().toSet
+      == docs.select("doc_id").as[Long].collect().toSet,
+      "a fresh index inherited a dead stream's applied set and skipped a batch")
+
+    // graph CREATE, same contract
+    val gpath = java.nio.file.Files.createTempDirectory("eo_led_g").toString
+    GraphAnn.writeIndex(emb.filter(col("vec_id") < 80), "vec_id", "v",
+      m = 4, efC = 8, parts = 2, path = gpath)
+    val gdelta = emb.filter(col("vec_id") >= 80 && col("vec_id") < 85)
+    GraphAnn.appendToIndexIdempotent(spark, gpath, gdelta, "vec_id", "v", 1L)
+    assert(new java.io.File(s"$gpath/applied__appends/b1").isFile)
+    GraphAnn.writeIndex(emb.filter(col("vec_id") < 80), "vec_id", "v",
+      m = 4, efC = 8, parts = 2, path = gpath)
+    assert(!new java.io.File(s"$gpath/applied__appends").exists(),
+      "graph CREATE must clear the append ledger")
+    GraphAnn.appendToIndexIdempotent(spark, gpath, gdelta, "vec_id", "v", 1L)
+    // 85 docs × 2-cell boundary replication = 170 node rows
+    assert(spark.read.parquet(GraphAnn.tablePath(gpath, "nodes")).count() == 170L,
+      "a fresh graph inherited a dead stream's applied set and skipped a batch")
+  }
+
+  test("graph idempotent append: ledger skips duplicates; intent-marked recovery repairs meta and never trips the growing-id gate") {
+    val path = java.nio.file.Files.createTempDirectory("eo_graph").toString
+    GraphAnn.writeIndex(emb.filter(col("vec_id") < 80), "vec_id", "v",
+      m = 4, efC = 8, parts = 2, path = path)
+    val delta = emb.filter(col("vec_id") >= 80 && col("vec_id") < 90)
+    def served() = GraphAnn.searchIndex(spark, path, "vec_id",
+        emb.filter(col("vec_id") === 85).select(col("v").as("qv")), "qv",
+        5, ef = 16)
+      .select("vec_id", "rank").as[(Long, Long)].collect().toSeq
+
+    GraphAnn.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 1L)
+    val once = served()
+    def nodesCount() = spark.read.parquet(
+      GraphAnn.tablePath(path, "nodes")).count()
+    val n1 = nodesCount()
+    // duplicate delivery: the raw append would fail the growing-id
+    // require; the ledger makes it a clean no-op
+    GraphAnn.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 1L)
+    assert(nodesCount() == n1 && served() == once)
+
+    // crash AFTER the nodes write BEFORE the ledger commit: intent
+    // marker present, batch fully in nodes. The recovery must find
+    // all ids present, repair meta from nodes, and commit.
+    val ledger = new java.io.File(path, "applied__appends")
+    assert(new java.io.File(ledger, "b1").delete())
+    java.nio.file.Files.createFile(new java.io.File(ledger, "i1").toPath)
+    GraphAnn.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 1L)
+    assert(nodesCount() == n1 && served() == once,
+      "graph recovery must converge without duplicating nodes")
+    assert(new java.io.File(ledger, "b1").isFile &&
+      !new java.io.File(ledger, "i1").isFile,
+      "recovery must commit the marker and clear the intent")
+    // meta matches nodes per part after the repair
+    val meta = spark.read.parquet(GraphAnn.tablePath(path, "meta"))
+      .select(col("part").cast("int"), col("n").cast("long"))
+      .as[(Int, Long)].collect().toMap
+    val byPart = spark.read.parquet(GraphAnn.tablePath(path, "nodes"))
+      .groupBy(col("part").cast("int").as("p")).agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    assert(meta == byPart, "repaired meta must equal per-part node counts")
+  }
+}
