@@ -502,6 +502,100 @@ object CurationQueries {
     s.read.parquet(out).orderBy("id1", "id2")
   }
 
+  /** EXACTLY-ONCE REGISTRATION — q130's cumulative drain under the
+    * at-least-once delivery foreachBatch actually guarantees (the
+    * q185/q186 discipline on the dedup register): every batch's WHOLE
+    * function runs TWICE — both the vetting output and the
+    * registration — because a real re-delivery re-runs everything,
+    * not just the part under test. Both legs are idempotent: the
+    * match output writes one OVERWRITE-mode directory per batch
+    * (`bat=<id>` — the standard idempotent foreachBatch output sink:
+    * a re-delivery replaces its own batch's rows, never appends) AND
+    * reads deterministically (the vet excludes the batch's own ids —
+    * a re-delivery reads a register that already holds its first
+    * delivery's bands, and without the exclusion the batch would
+    * match itself and the overwrite would replace the correct output
+    * with the polluted one: idempotent writes alone are not enough
+    * when the function reads state it also mutates), and
+    * registration rides [[graft.dedup.Dedup.appendToRegisterIdempotent]]
+    * (batch 1 starts over a "crashed" attempt's stage debris, batch
+    * 2's re-delivery arrives with its ledger marker deleted — the
+    * recovery-scrub and post-promote crash windows). Without the
+    * ledger the doubled registration would double every band —
+    * q130's registration ≡ one-shot-build gate (exceptAll both ways)
+    * makes a single duplicated row loud. Oracle: q130's cumulative
+    * replay verbatim — exactly-once under failures is
+    * indistinguishable from never having failed. */
+  def q188RegisterExactlyOnce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val mut = PipelineQueries.roundtripPath(dir, "q188_bands")
+    // clear the register AND its siblings (__applied ledger, __tomb,
+    // __genN) from a prior run — the maintenance copy starts fresh
+    Option(new java.io.File(mut).getParentFile.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("q188_bands"))
+      .foreach(graft.FileTree.delete)
+    graft.FileTree.copy(new java.io.File(streamBandsPath(s, dir)),
+      new java.io.File(mut))
+    val stage = q130Stage(s, dir)
+    val out = PipelineQueries.roundtripPath(dir, "q188_out")
+    graft.FileTree.delete(new java.io.File(out))
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      val b = batch.localCheckpoint()
+      def deliver(): Unit = {
+        // idempotence needs DETERMINISTIC READS, not just idempotent
+        // writes: a re-delivery vets against a register that already
+        // holds the batch's own first-delivery bands, so the batch
+        // would match ITSELF and the overwrite would replace the
+        // correct output with the polluted one. Excluding the
+        // batch's own ids makes the vet a pure function of
+        // (batch, state-before-batch) on every delivery.
+        q98BatchMatches(s, b, mut, d)
+          .join(b.select(col("doc_id").as("id2")), Seq("id2"), "left_anti")
+          .write.mode("overwrite").parquet(s"$out/bat=$bid")
+        val landed = Dedup.appendToRegisterIdempotent(s, mut,
+          Dedup.bandedSignatures(b, "doc_id", "text", shingleN, nPerm, rowsPerBand)
+            .withColumn("sigbucket", sigbucket(col("band"), col("bandsig"))),
+          q98SigBuckets, bid)
+        require(landed == mut,
+          s"q188: batch $bid landed in $landed instead of $mut")
+      }
+      if (bid == 1L) // a "crashed" earlier attempt left its stage dir
+        graft.streaming.ExactlyOnce.stageDir(new java.io.File(mut), bid).mkdirs()
+      deliver()
+      if (bid == 2L) { // crash AFTER the promote, BEFORE the marker
+        val m = new java.io.File(mut + "__applied", s"b$bid")
+        require(m.delete(), s"q188: batch $bid must have committed a marker")
+      }
+      deliver() // the at-least-once re-delivery, every batch
+    })
+    (0L until 4L).foreach { bid =>
+      require(graft.streaming.ExactlyOnce.isApplied(
+          new java.io.File(mut + "__applied"), bid),
+        s"q188: batch $bid must end committed in the ledger")
+      require(!graft.streaming.ExactlyOnce.stageDir(
+          new java.io.File(mut), bid).exists(),
+        s"q188: batch $bid must leave no stage debris")
+    }
+    // q130's gate: registration ≡ one-shot build over the whole
+    // corpus, row for row — a single band doubled by any of the
+    // eight deliveries fails here
+    val full = Dedup.bandedSignatures(d, "doc_id", "text",
+        shingleN, nPerm, rowsPerBand)
+      .withColumn("sigbucket", sigbucket(col("band"), col("bandsig")))
+      .select(col("id"), col("band"), col("bandsig"), col("sigbucket").cast("int"))
+    val mutRows = s.read.parquet(mut)
+      .select(col("id"), col("band"), col("bandsig"), col("sigbucket").cast("int"))
+    require(mutRows.exceptAll(full).isEmpty && full.exceptAll(mutRows).isEmpty,
+      "q188: the exactly-once drain must equal the one-shot build — " +
+        "a doubled band is a silent duplication")
+    s.read.parquet(out).select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy("id1", "id2")
+  }
+
   // ---------- q136: the STREAMING curation front half ----------
 
   /** The whole corpus staged as 4 doc_id-ordered batch files with
@@ -1950,6 +2044,7 @@ object CurationQueries {
     "q88_redact" -> (q88Redact _),
     "q98_stream_neardup" -> (q98StreamNeardup _),
     "q130_stream_neardup_cumulative" -> (q130StreamNeardupCumulative _),
+    "q188_register_exactly_once" -> (q188RegisterExactlyOnce _),
     "q169_register_forget" -> (q169RegisterForget _),
     "q170_register_forget_stream" -> (q170RegisterForgetMidDrain _),
     "q177_register_revive" -> (q177RegisterRevive _),
@@ -1976,6 +2071,7 @@ object CurationQueries {
     "q88_redact" -> q88Sql,
     "q98_stream_neardup" -> q98Sql,
     "q130_stream_neardup_cumulative" -> q130Sql,
+    "q188_register_exactly_once" -> q130Sql,
     "q169_register_forget" -> q169Sql,
     "q170_register_forget_stream" -> q170Sql,
     "q177_register_revive" -> q177Sql,

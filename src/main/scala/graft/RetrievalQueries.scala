@@ -2993,6 +2993,64 @@ object RetrievalQueries {
       .orderBy("phase", "rank")
   }
 
+  /** EXACTLY-ONCE QUANTIZED INGEST — q185's at-least-once drain on
+    * the SQ8 index (completing the exactly-once matrix on the oracled
+    * families: IVF q185, lexical q186, register q188, SQ8 here; the
+    * graph family is spec-pinned — ExactlyOnceSpec's ledger-skip,
+    * torn-replica gate, and meta repair — because its build is not
+    * SQL-expressible). Every batch is delivered twice through
+    * [[graft.search.SQ.appendToIndexIdempotent]]; batch 1 starts over
+    * crash debris, batch 2's re-delivery arrives with its marker
+    * deleted. The SQ twist rides along: the duplicate delivery
+    * returns clamp fraction 0.0 (its first delivery already fed the
+    * requant trigger — re-counting would double-charge the drift
+    * signal), require-pinned per batch. Gates: q128's row-for-row
+    * code-list equality against ONE quantization of the union under
+    * the standing geometry; oracle: q128's SQL replay verbatim. */
+  def q189SqExactlyOnce(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q189")
+    graft.search.SQ.writeIndex(e.filter(col("vec_id") >= 100),
+      "vec_id", "v", ivfK, path)
+    val stage = embDeltaStage(s, dir)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      val b = batch.select(col("vec_id"), col("v")).localCheckpoint()
+      if (bid == 1L) // a "crashed" earlier attempt left its stage dir
+        graft.streaming.ExactlyOnce.stageDir(new java.io.File(path), bid).mkdirs()
+      val f1 = graft.search.SQ.appendToIndexIdempotent(
+        s, path, b, "vec_id", "v", bid)
+      require(f1 <= sqClampThreshold,
+        s"q189: in-distribution batch must not trip requant (clamped $f1)")
+      if (bid == 2L) { // crash AFTER the promote, BEFORE the marker
+        val m = new java.io.File(graft.search.IVF.appendLedger(path), s"b$bid")
+        require(m.delete(), s"q189: batch $bid must have committed a marker")
+      }
+      val f2 = graft.search.SQ.appendToIndexIdempotent(
+        s, path, b, "vec_id", "v", bid)
+      // the marker-hit duplicate must not re-charge the drift signal;
+      // batch 2's replay re-runs fully and reports its real fraction
+      if (bid != 2L) require(f2 == 0.0,
+        s"q189: a committed duplicate must report clamp 0.0, got $f2")
+    })
+    val cents = s.read.parquet(s"$path/centroids")
+    val ba = graft.search.SQ.boundsArrays(s.read.parquet(s"$path/bounds"))
+    val streamed = s.read.parquet(s"$path/lists")
+      .select(col("id"), col("code"), col("cid").cast("long").as("cid"))
+    val expected = graft.search.SQ.quantized(e, "vec_id", "v", cents, ba)
+      .select(col("id"), col("code"), col("cid").cast("long").as("cid"))
+    require(streamed.exceptAll(expected).isEmpty &&
+        expected.exceptAll(streamed).isEmpty,
+      "q189: the exactly-once drain must equal the batch quantization " +
+        "byte for byte — a doubled code is a silent duplication")
+    graft.search.SQ.searchIndex(s, path, e, "vec_id", "v",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+      10, ivfProbe, sqRerank)
+      .orderBy("rank")
+  }
+
   /** q187's staged feed: doc_id < 100 as four EXPLICIT quarter files
     * ([0,25), [25,50), [50,75), [75,100)) with pinned ascending
     * mtimes — value-predicate splits (not repartitionByRange's
@@ -3600,6 +3658,70 @@ object RetrievalQueries {
       "q99: the drained index's per-cell content signature must equal the same-routing full rebuild's")
     // routed serving, like q86/q97 — the streamed-in index is served
     // exactly as the production index would be
+    graft.search.GraphAnn.searchIndex(s, path, "vec_id",
+      e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10, graphEf,
+      probeParts = graphProbeFor(s, dir))
+      .orderBy("rank")
+  }
+
+  /** EXACTLY-ONCE GRAPH INGEST — q99's drain under at-least-once
+    * delivery, completing the declared exactly-once matrix on all
+    * five machineries (IVF q185, lexical q186, register q188, SQ8
+    * q189 — all oracled; the graph family here, rows-only per the ✗
+    * discipline because its build is not SQL-expressible). The graph
+    * twist: appends are CELL REWRITES, not file appends, so there is
+    * nothing for file-level replacement to converge on —
+    * [[graft.search.GraphAnn.appendToIndexIdempotent]] ledger-skips
+    * committed duplicates (the raw append would fail the growing-id
+    * require LOUDLY — never silently — but the drain would need an
+    * operator) and an INTENT-marked recovery path re-derives what a
+    * crashed attempt already inserted per (part, id). Every batch is
+    * delivered twice; batch 2 additionally replays the
+    * crash-after-nodes-before-commit window (marker deleted, intent
+    * restored — the recovery finds all ids present, repairs meta from
+    * the nodes table, and re-commits). Gate: q99's per-cell content
+    * signature against the same-routing full rebuild — one duplicated
+    * or dropped node row changes a cell's signature. */
+  def q190GraphExactlyOnce(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
+    val split = 4L * n / 5L
+    val stage = Memo.cachedValue(s, dir, "q99_stage") {
+      PipelineQueries.stageOrderedFiles(
+        e.filter(col("vec_id") >= split), "vec_id", 4,
+        PipelineQueries.roundtripPath(dir, "q99_stream"))
+    }
+    val path = PipelineQueries.roundtripPath(dir, "q190")
+    cloneTree(graphBase80Path(s, dir), path)
+    graft.FileTree.delete(new java.io.File(path, "applied__appends"))
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      val b = batch.select(col("vec_id"), col("v")).localCheckpoint()
+      graft.search.GraphAnn.appendToIndexIdempotent(s, path, b,
+        "vec_id", "v", bid)
+      if (bid == 2L) {
+        // crash AFTER the cell rewrites, BEFORE the ledger commit:
+        // restore the intent the crashed attempt would have left
+        val ledger = new java.io.File(path, "applied__appends")
+        require(new java.io.File(ledger, s"b$bid").delete(),
+          s"q190: batch $bid must have committed a marker")
+        java.nio.file.Files.createFile(
+          new java.io.File(ledger, s"i$bid").toPath)
+      }
+      graft.search.GraphAnn.appendToIndexIdempotent(s, path, b,
+        "vec_id", "v", bid) // the at-least-once re-delivery
+    })
+    (0L until 4L).foreach { bid =>
+      require(graft.streaming.ExactlyOnce.isApplied(
+          new java.io.File(path, "applied__appends"), bid),
+        s"q190: batch $bid must end committed in the ledger")
+    }
+    require(cellSignature(s, path) == cellSignature(s, graphRebuildPath(s, dir)),
+      "q190: the exactly-once drain's per-cell content signature must " +
+        "equal the same-routing full rebuild's — a duplicated node row " +
+        "is a silent-duplication failure")
     graft.search.GraphAnn.searchIndex(s, path, "vec_id",
       e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10, graphEf,
       probeParts = graphProbeFor(s, dir))
@@ -6687,6 +6809,7 @@ $sqRows)
     "q95_graph_recall" -> (q95GraphRecall _),
     "q97_graph_append" -> (q97GraphAppend _),
     "q99_stream_index" -> (q99StreamIndex _),
+    "q190_graph_exactly_once" -> (q190GraphExactlyOnce _),
     "q116_graph_reroute" -> (q116GraphReroute _),
     "q120_stream_reroute" -> (q120StreamReroute _),
     "q89_embedding_pc" -> (q89EmbeddingPc _),
@@ -6698,6 +6821,7 @@ $sqRows)
     "q128_stream_sq" -> (q128StreamSq _),
     "q185_ivf_exactly_once" -> (q185IvfExactlyOnce _),
     "q187_upgrade_under_ingest" -> (q187UpgradeUnderIngest _),
+    "q189_sq_exactly_once" -> (q189SqExactlyOnce _),
     "q147_stream_ivf_delete" -> (q147StreamIvfDelete _),
     "q155_sq_delete" -> (q155SqDelete _),
     "q156_stream_sq_delete" -> (q156StreamSqDelete _),
@@ -6781,6 +6905,7 @@ $sqRows)
     "q128_stream_sq" -> q128Sql,
     "q185_ivf_exactly_once" -> q84Sql,
     "q187_upgrade_under_ingest" -> q187Sql,
+    "q189_sq_exactly_once" -> q128Sql,
     "q147_stream_ivf_delete" -> q147Sql,
     "q158_stream_ivf_valve" -> q147Sql,
     "q160_cdc_feed" -> q160Sql,

@@ -462,16 +462,7 @@ object Queries {
     if (mode == "append" &&
         BM25.hasRevives(s, postingsLivePath(s, tbl), docs.select(col("doc_id"))))
       compactPostings(s, tbl, postingsLivePath(s, tbl))
-    // a small local corpus file arrives as ONE scan partition,
-    // serializing the tokenize+explode of the index build; spread it
-    // across cores when the scan is under-parallel. No-op at real
-    // scale, where maxPartitionBytes already splits the scan.
-    val par = s.sparkContext.defaultParallelism
-    val dp = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    val post = BM25.postings(dp, "doc_id", "text")
-      // one file per bucket: the write-side shuffle pays for the
-      // read-side pruning every query after
-      .repartition(bm25Buckets, col("term"))
+    val post = bucketedPostingsFrame(s, docs)
     // appends pass the table's CURRENT metastore location as the
     // path (a caller-fixed path would fight the metastore after a
     // compaction cycle; omitting the option entirely leaves the
@@ -499,6 +490,22 @@ object Queries {
       .bucketBy(bm25Buckets, "term").sortBy("term")
       .saveAsTable(tbl)
     if (mode == "append") s.catalog.refreshTable(tbl)
+  }
+
+  /** Tokenized postings of `docs`, scan-widened and pre-shuffled to
+    * one file per term bucket — the frame BOTH postings writers stage
+    * (one implementation so the bucket spec and the tokenize path can
+    * never diverge between the raw and idempotent appends). A small
+    * local corpus file arrives as ONE scan partition, serializing the
+    * tokenize+explode; spread it across cores when under-parallel —
+    * a no-op at real scale, where maxPartitionBytes splits the scan.
+    * The write-side bucket shuffle pays for the read-side pruning of
+    * every query after. */
+  private def bucketedPostingsFrame(s: SparkSession, docs: DataFrame): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val dp = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    BM25.postings(dp, "doc_id", "text")
+      .repartition(bm25Buckets, col("term"))
   }
 
   /** The postings family's committed-batch ledger — a sibling of the
@@ -535,20 +542,22 @@ object Queries {
     if (BM25.hasRevives(s, live0, docs.select(col("doc_id"))))
       compactPostings(s, tbl, live0)
     val live = postingsLivePath(s, tbl) // re-resolve: the revive flips
-    val par = s.sparkContext.defaultParallelism
-    val dp = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     val stage = ExactlyOnce.stageDir(new java.io.File(live), batchId)
     val stageTbl = s"${tbl}__bstage$batchId"
     s.sql(s"DROP TABLE IF EXISTS $stageTbl")
-    BM25.postings(dp, "doc_id", "text")
-      .repartition(bm25Buckets, col("term"))
+    bucketedPostingsFrame(s, docs)
       .write.mode("overwrite")
       .option("path", stage.getPath)
       .bucketBy(bm25Buckets, "term").sortBy("term")
       .saveAsTable(stageTbl)
     ExactlyOnce.promote(stage, new java.io.File(live), batchId)
+    // drop the stage table's metadata (external — files already
+    // promoted) BEFORE the marker: a crash after the commit would
+    // leave metadata nothing ever cleans, because the re-delivery
+    // returns at the isApplied probe (a crash before the commit
+    // re-runs the whole body, whose leading DROP sweeps it)
+    s.sql(s"DROP TABLE IF EXISTS $stageTbl")
     ExactlyOnce.commit(ledger, batchId)
-    s.sql(s"DROP TABLE IF EXISTS $stageTbl") // external: drops metadata only
     graft.FileTree.delete(stage)
     s.catalog.refreshTable(tbl)
   }

@@ -240,18 +240,28 @@ object Dedup {
     // common case stays zero-cost — one directory probe, no
     // checkpoint.
     val staged = if (hasRegisterTomb(path)) bands.localCheckpoint() else bands
-    val target =
-      if (!hasRegisterTomb(path)) path
-      else if (staged.select(col("id")).distinct()
-          .join(spark.read.parquet(registerTombPath(path)).select(col("id")),
-            Seq("id"), "left_semi")
-          .isEmpty) path
-      else compactRegister(spark, path, buckets)
+    val target = resolveAppendTarget(spark, path, staged, buckets)
     staged
       .repartition(col("sigbucket"))
       .write.mode("append").partitionBy("sigbucket").parquet(target)
     target
   }
+
+  /** The revive-probe target resolution BOTH register append paths
+    * share (raw and idempotent — one implementation so the revive
+    * semantics can never diverge between them): no sidecar → append
+    * in place; sidecar but no forgotten id in the batch → append in
+    * place; a forgotten id re-ingesting → pull [[compactRegister]]
+    * forward and land in the flipped generation. */
+  private def resolveAppendTarget(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, staged: DataFrame,
+                                  buckets: Int): String =
+    if (!hasRegisterTomb(path)) path
+    else if (staged.select(col("id")).distinct()
+        .join(spark.read.parquet(registerTombPath(path)).select(col("id")),
+          Seq("id"), "left_semi")
+        .isEmpty) path
+    else compactRegister(spark, path, buckets)
 
   /** The register family's committed-batch ledger — a SIBLING of the
     * generation paths (`<base>__applied`, next to `__tomb` and
@@ -280,26 +290,30 @@ object Dedup {
                                  buckets: Int, batchId: Long): String = {
     import graft.streaming.ExactlyOnce
     val ledger = registerLedger(path)
-    if (ExactlyOnce.isApplied(ledger, batchId)) return path
+    if (ExactlyOnce.isApplied(ledger, batchId))
+      // return the path the batch LANDED in (recorded with the
+      // marker), NOT the caller's threaded path: the register has no
+      // pointer, so a crash after a revive flip restarts the drain
+      // with the stale pre-flip path — echoing it would abandon the
+      // flipped generation holding the committed batch (and a later
+      // compaction's GC would destroy it). If the recorded path was
+      // itself superseded by a post-commit same-callback compaction,
+      // it is still within its GC grace cycle and the drain's next
+      // valve poll re-compacts it forward — convergent, never lost.
+      return ExactlyOnce.appliedPayload(ledger, batchId).getOrElse(path)
     val debris = ExactlyOnce.stageDir(new java.io.File(path), batchId)
     if (debris.isDirectory) {
       ExactlyOnce.scrub(new java.io.File(path), batchId)
       graft.FileTree.delete(debris)
     }
     val staged = if (hasRegisterTomb(path)) bands.localCheckpoint() else bands
-    val target =
-      if (!hasRegisterTomb(path)) path
-      else if (staged.select(col("id")).distinct()
-          .join(spark.read.parquet(registerTombPath(path)).select(col("id")),
-            Seq("id"), "left_semi")
-          .isEmpty) path
-      else compactRegister(spark, path, buckets)
+    val target = resolveAppendTarget(spark, path, staged, buckets)
     val stage = ExactlyOnce.stageDir(new java.io.File(target), batchId)
     staged
       .repartition(col("sigbucket"))
       .write.mode("overwrite").partitionBy("sigbucket").parquet(stage.getPath)
     ExactlyOnce.promote(stage, new java.io.File(target), batchId)
-    ExactlyOnce.commit(ledger, batchId)
+    ExactlyOnce.commit(ledger, batchId, payload = target)
     graft.FileTree.delete(stage)
     target
   }

@@ -713,21 +713,48 @@ object GraphAnn {
       else {
         // touched-parts-pruned recovery scan: assign the batch under
         // the standing routing (exactly what the append will do) and
-        // drop ids already present in those cells
+        // drop ids already FULLY inserted. Presence is judged per
+        // (part, id), not per id: replicas scatter each id across
+        // several cells and the dynamic overwrite commits per cell
+        // directory, so a torn job commit can land an id in SOME of
+        // its assigned cells — dropping it on bare id-presence would
+        // leave it under-replicated forever (recall silently decays
+        // on the missing cells' probes). All-or-none converges;
+        // genuinely torn ids fail LOUDLY (the documented residual of
+        // in-place cell overwrites — repair by rebuilding the
+        // touched cells through the staged reviveToIndex shape).
         requireRouted(root, "appendToIndexIdempotent")
         val paramsDf = spark.read.parquet(s"$root/params")
         val replicas =
           if (paramsDf.columns.contains("replicas"))
             paramsDf.select(col("replicas").cast("int")).as[Int].head()
           else 2
-        val touched = assignParts(delta, idCol, vecCol,
+        val assigned = assignParts(delta, idCol, vecCol,
             spark.read.parquet(s"$root/routing"), replicas)
-          .select(col("part")).distinct().as[Int].collect().sorted
+          .select(col("part").cast("int").as("part"), col("id"))
+          .localCheckpoint()
+        val touched = assigned.select(col("part")).distinct()
+          .as[Int].collect().sorted
         val present = spark.read.parquet(s"$root/nodes")
           .filter(col("part").isin(touched.map(Integer.valueOf): _*))
-          .select(col("id"))
-        val rem = delta.join(present,
-          delta(idCol).cast("long") === present("id"), "left_anti")
+          .select(col("part").cast("int").as("part"), col("id"),
+            lit(1).as("__p"))
+        val perId = assigned
+          .join(present, Seq("part", "id"), "left_outer")
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_assigned"), count(col("__p")).as("n_present"))
+          .localCheckpoint() // consumed by the torn gate + the anti-join
+        require(perId.filter(col("n_present") > 0 &&
+            col("n_present") < col("n_assigned")).isEmpty,
+          s"GraphAnn.appendToIndexIdempotent: batch $batchId crashed " +
+            "mid-cell-commit — some ids are present in only part of " +
+            "their replica cells. In-place cell overwrites cannot " +
+            "self-heal this; rebuild the touched cells (the staged " +
+            "reviveToIndex shape) before re-delivering the batch.")
+        val doneIds = perId
+          .filter(col("n_present") === col("n_assigned")).select(col("id"))
+        val rem = delta.join(doneIds,
+          delta(idCol).cast("long") === doneIds("id"), "left_anti")
         // the crashed attempt may have written nodes but not meta:
         // recompute the touched cells' counts from the nodes table
         // (parts-sized output, partition-pruned scan)

@@ -139,14 +139,42 @@ object SQ {
   def rebuildIndex(docs: DataFrame, idCol: String, vecCol: String,
                    k: Int, path: String): Unit = {
     val spark = docs.sparkSession
+    val live = new java.io.File(path).isDirectory
+    // the IVF.compactIndex in-flight-append guard: a requant that
+    // folds a half-promoted ingest batch (the rebuild re-embeds the
+    // corpus, which already holds the batch's docs) would hand its
+    // re-delivery a double-write
+    if (live)
+      graft.streaming.ExactlyOnce.sweepStages(new java.io.File(path),
+        IVF.appendLedger(path), failOnInflight = true, "SQ.rebuildIndex")
     val src =
-      if (!new java.io.File(path).isDirectory) docs
+      if (!live) docs
       else IVF.standingTombIds(spark, path).fold(docs) { tomb =>
         docs.join(
           tomb.select(col(tomb.columns.head).cast("long").as("__tombid")),
           col(idCol).cast("long") === col("__tombid"), "left_anti")
       }
+    // PRESERVE the exactly-once ledger across the CREATE: the requant
+    // is MAINTENANCE on a live index, not a new index — wiping the
+    // committed-batch markers with the lists would turn the next
+    // crash's re-delivery of an already-committed batch into a
+    // second append on top of a rebuild that already holds its docs
+    // (the silent duplication the ledger exists to stop). Markers are
+    // empty names (the register's payload variant is not used on the
+    // pointer-carrying families), so save/restore is a name list.
+    val saved: Seq[String] =
+      if (!live) Seq.empty
+      else Option(IVF.appendLedger(path).listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.startsWith("b")).map(_.getName)
     writeIndex(src, idCol, vecCol, k, path)
+    if (saved.nonEmpty) {
+      val ledger = IVF.appendLedger(path)
+      ledger.mkdirs()
+      saved.foreach { n =>
+        try java.nio.file.Files.createFile(new java.io.File(ledger, n).toPath)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+    }
   }
 
   /** INCREMENTAL maintenance of the SQ8 index: assign a delta batch
@@ -183,6 +211,19 @@ object SQ {
       IVF.compactIndex(spark, path)
     val cents = spark.read.parquet(s"$path/centroids")
     val ba = boundsArrays(spark.read.parquet(s"$path/bounds"))
+    val oobFrac = clampFraction(delta, vecCol, ba)
+    quantized(delta, idCol, vecCol, cents, ba)
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid")
+      .parquet(IVF.listsPath(path)) // the LIVE lists generation
+    oobFrac
+  }
+
+  /** The clamped-element fraction of `delta` against the standing
+    * bounds — the requant trigger's input, shared by both append
+    * paths so the drift signal can never diverge between them. */
+  private def clampFraction(delta: DataFrame, vecCol: String,
+                            ba: DataFrame): Double = {
     val lohi = zip_with(col("lo"), col("hi"), (l, h) => struct(l.as("l"), h.as("h")))
     val oobRow = delta.crossJoin(broadcast(ba))
       .select(
@@ -192,13 +233,8 @@ object SQ {
         size(col(vecCol)).cast("long").as("n"))
       .agg(sum(col("oob")).cast("double").as("o"), sum(col("n")).cast("double").as("t"))
       .head()
-    val oobFrac = if (oobRow.getDouble(1) == 0.0) 0.0
-      else oobRow.getDouble(0) / oobRow.getDouble(1)
-    quantized(delta, idCol, vecCol, cents, ba)
-      .repartition(col("cid"))
-      .write.mode("append").partitionBy("cid")
-      .parquet(IVF.listsPath(path)) // the LIVE lists generation
-    oobFrac
+    if (oobRow.getDouble(1) == 0.0) 0.0
+    else oobRow.getDouble(0) / oobRow.getDouble(1)
   }
 
   /** [[appendToIndex]] with EXACTLY-ONCE semantics under streaming
@@ -225,17 +261,7 @@ object SQ {
       IVF.compactIndex(spark, path)
     val cents = spark.read.parquet(s"$path/centroids")
     val ba = boundsArrays(spark.read.parquet(s"$path/bounds"))
-    val lohi = zip_with(col("lo"), col("hi"), (l, h) => struct(l.as("l"), h.as("h")))
-    val oobRow = delta.crossJoin(broadcast(ba))
-      .select(
-        size(filter(zip_with(col(vecCol), lohi,
-          (x, lh) => x < lh.getField("l") || x > lh.getField("h")), b => b))
-          .cast("long").as("oob"),
-        size(col(vecCol)).cast("long").as("n"))
-      .agg(sum(col("oob")).cast("double").as("o"), sum(col("n")).cast("double").as("t"))
-      .head()
-    val oobFrac = if (oobRow.getDouble(1) == 0.0) 0.0
-      else oobRow.getDouble(0) / oobRow.getDouble(1)
+    val oobFrac = clampFraction(delta, vecCol, ba)
     quantized(delta, idCol, vecCol, cents, ba)
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(stage.getPath)

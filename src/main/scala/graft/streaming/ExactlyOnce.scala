@@ -50,6 +50,21 @@ package graft.streaming
   * stage debris (crash between marker and cleanup) is garbage and is
   * swept, not fatal.
   *
+  * CONTRACT — ONE INGEST STREAM PER INDEX (the ingest twin of the
+  * single-maintenance-writer contract [[graft.WriterFence]] states
+  * for rewrites): batchIds come from ONE streaming checkpoint, so
+  * the ledger's `b<id>` namespace and the promoted `b<id>-p*` names
+  * are unambiguous. Two checkpoints feeding the same index would
+  * collide on both (stream A's committed b5 silently skips stream
+  * B's batch 5; same-named promotions REPLACE each other's files) —
+  * but namespacing names would NOT make dual-stream ingest safe,
+  * because the protocol's other half already assumes one ingest
+  * writer: a revive probe fires [[graft.search.IVF.compactIndex]]
+  * mid-drain, and that compaction REFUSES while any other stream's
+  * stage is uncommitted. A deployment that needs N feeds unions them
+  * upstream into one query (the standard Kafka-source shape) or
+  * partitions the corpus into N indexes.
+  *
   * Scale notes: the ledger is one empty file per committed batch —
   * listing it is O(batches), never a data read, and a deployment that
   * retires checkpoints can sweep markers below the checkpoint's
@@ -69,11 +84,37 @@ object ExactlyOnce {
 
   /** Record `batchId` as committed. Idempotent (a marker that
     * already exists — two racing re-deliveries of the same batch —
-    * is the same commit, not a conflict). */
-  def commit(ledger: java.io.File, batchId: Long): Unit = {
+    * is the same commit, not a conflict). `payload` (optional) is
+    * recorded IN the marker — the pointer-less machineries (the
+    * dedup register, whose live path is threaded by the caller, not
+    * read from a metastore) record the path the batch LANDED in, so
+    * a marker-hit re-delivery after a revive flip can return the
+    * flipped generation instead of echoing the caller's stale
+    * pre-crash path (which a later compaction's GC would destroy
+    * with the committed batch inside). */
+  def commit(ledger: java.io.File, batchId: Long,
+             payload: String = ""): Unit = {
     ledger.mkdirs()
-    try java.nio.file.Files.createFile(marker(ledger, batchId).toPath)
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    val m = marker(ledger, batchId)
+    // payload and marker must be INSEPARABLE (a visible marker with a
+    // lost payload would re-introduce the stale-path echo): stage the
+    // content in a hidden temp and rename — atomic on a filesystem,
+    // and two racing commits of the same batch write the same bytes
+    val tmp = new java.io.File(ledger, s".b$batchId.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, m.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The payload recorded with a committed marker (None when the
+    * batch is not committed, or committed with no payload). */
+  def appliedPayload(ledger: java.io.File, batchId: Long): Option[String] = {
+    val m = marker(ledger, batchId)
+    if (!m.isFile) None
+    else Some(new String(java.nio.file.Files.readAllBytes(m.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)).filter(_.nonEmpty)
   }
 
   /** The writing shuffle partition (`NNNNN` of `part-NNNNN-…`) and

@@ -161,6 +161,75 @@ class ExactlyOnceSpec extends SparkSpec {
     // exactly one copy of the revived doc's bands
     assert(after.count(_._1 == 1L) == 16 / 4,
       "the revived doc must carry exactly one copy of its bands")
+
+    // the crash-restart echo: a re-delivery arrives with the STALE
+    // pre-flip path threaded (the drain restarted from its last
+    // checkpoint, which predates the revive flip). Echoing it would
+    // abandon the flipped generation holding the committed batch —
+    // the marker records where the batch LANDED and returns that.
+    assert(Dedup.appendToRegisterIdempotent(spark, reg, rebatch, 4, 2L)
+      == flipped,
+      "a committed batch re-delivered with the stale pre-flip path " +
+        "must return the generation it actually landed in")
+    assert(rows(flipped) == after)
+  }
+
+  test("SQ requant rebuild preserves the exactly-once ledger and refuses an in-flight stage") {
+    val path = java.nio.file.Files.createTempDirectory("eo_sq_requant").toString
+    SQ.writeIndex(emb.filter(col("vec_id") >= 50), "vec_id", "v", 4, path)
+    val delta = emb.filter(col("vec_id") < 20)
+    SQ.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 5L)
+    def listIds() = spark.read.parquet(IVF.listsPath(path))
+      .select(col("id")).as[Long].collect().toSeq.sorted
+    // an uncommitted stage blocks the rebuild loudly
+    ExactlyOnce.stageDir(new java.io.File(path), 6L).mkdirs()
+    val e = intercept[IllegalStateException] {
+      SQ.rebuildIndex(emb, "vec_id", "v", 4, path)
+    }
+    assert(e.getMessage.contains("in-flight idempotent append"))
+    graft.FileTree.delete(ExactlyOnce.stageDir(new java.io.File(path), 6L))
+    // the requant (a CREATE underneath) must keep the committed-batch
+    // markers: wiping them would turn the next crash's re-delivery of
+    // batch 5 into a second append on top of a rebuild that already
+    // holds its docs
+    SQ.rebuildIndex(emb, "vec_id", "v", 4, path)
+    assert(ExactlyOnce.isApplied(IVF.appendLedger(path), 5L),
+      "the requant must preserve the exactly-once ledger")
+    val once = listIds()
+    SQ.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 5L)
+    assert(listIds() == once,
+      "a committed batch re-delivered after a requant must not re-append")
+  }
+
+  test("graph recovery: an id present in only part of its replica cells fails loudly instead of going under-replicated") {
+    val path = java.nio.file.Files.createTempDirectory("eo_graph_torn").toString
+    GraphAnn.writeIndex(emb.filter(col("vec_id") < 80), "vec_id", "v",
+      m = 4, efC = 8, parts = 2, path = path)
+    val delta = emb.filter(col("vec_id") >= 80 && col("vec_id") < 85)
+    GraphAnn.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 1L)
+    // simulate the torn dynamic-overwrite commit: strip one appended
+    // id from ONE of its replica cells (replicas=2 scatter each id
+    // across two parts), leave the other cell holding it
+    val nodesPath = GraphAnn.tablePath(path, "nodes")
+    val victimPart = spark.read.parquet(nodesPath)
+      .filter(col("id") === 80L)
+      .select(col("part").cast("int")).as[Int].collect().min
+    val kept = spark.read.parquet(nodesPath)
+      .filter(col("part") === victimPart && col("id") =!= 80L)
+      .select(col("part"), col("id"), col("vec"), col("nbrs"))
+      .localCheckpoint()
+    kept.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part").parquet(nodesPath)
+    // re-deliver as a crashed attempt (intent present, marker absent)
+    val ledger = new java.io.File(path, "applied__appends")
+    assert(new java.io.File(ledger, "b1").delete())
+    java.nio.file.Files.createFile(new java.io.File(ledger, "i1").toPath)
+    val e = intercept[IllegalArgumentException] {
+      GraphAnn.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 1L)
+    }
+    assert(e.getMessage.contains("mid-cell-commit"),
+      s"expected the torn-replica gate, got: ${e.getMessage}")
   }
 
   test("postings idempotent append: no-op duplicate, crash replay converges, bucket pruning survives the promote") {
