@@ -458,7 +458,8 @@ object Queries {
     * land in whatever generation is current. */
   private[graft] def writePostings(s: SparkSession, docs: DataFrame,
                                    tbl: String, path: String,
-                                   mode: String): Unit = {
+                                   mode: String,
+                                   preserveLedger: Boolean = false): Unit = {
     if (mode == "append" &&
         BM25.hasRevives(s, postingsLivePath(s, tbl), docs.select(col("doc_id"))))
       compactPostings(s, tbl, postingsLivePath(s, tbl))
@@ -482,8 +483,11 @@ object Queries {
       // fresh index inheriting a dead stream's applied set would
       // silently SKIP legitimate batches whose ids a previous
       // incarnation committed (the mirror image of the stale-sidecar
-      // resurrection — here the ghost hides NEW data)
-      graft.FileTree.delete(postingsLedger(target))
+      // resurrection — here the ghost hides NEW data). MAINTENANCE
+      // rebuilds ([[rebuildPostings]]) pass preserveLedger: wiping
+      // the markers would turn a re-delivered committed batch into
+      // doubled postings on a rebuild that already re-tokenized it.
+      if (!preserveLedger) graft.FileTree.delete(postingsLedger(target))
     }
     post.write.mode(mode)
       .option("path", target)
@@ -805,6 +809,12 @@ object Queries {
     * the table's CURRENT data path ([[postingsLivePath]]). */
   private[graft] def rebuildPostings(s: SparkSession, docs: DataFrame,
                                      tbl: String, livePath: String): Unit = {
+    // maintenance, not CREATE: refuse to fold a half-promoted ingest
+    // batch, and PRESERVE the exactly-once ledger across the rebuild
+    // (the SQ.rebuildIndex / Dedup.rebuildRegister discipline on the
+    // lexical family)
+    graft.streaming.ExactlyOnce.sweepStages(new java.io.File(livePath),
+      postingsLedger(livePath), failOnInflight = true, s"rebuildPostings($tbl)")
     val td = new java.io.File(BM25.tombPath(livePath))
     val src =
       if (!td.isDirectory) docs
@@ -814,7 +824,7 @@ object Queries {
         docs.join(tomb, col("doc_id").cast("long") === col("__tombdoc"),
           "left_anti")
       }
-    writePostings(s, src, tbl, livePath, "overwrite")
+    writePostings(s, src, tbl, livePath, "overwrite", preserveLedger = true)
   }
 
   /** TOKENIZER-UPGRADE × PENDING-DELETES on the lexical index — the

@@ -155,10 +155,25 @@ object Dedup {
     * the leftover-sidecar class [[graft.search.GraphAnn
     * .writeIndexWith]] clears on its in-path tombstones table. */
   def writeRegister(bands: DataFrame, path: String, buckets: Int): Unit = {
+    // CREATE clears the exactly-once ledger too (a fresh register
+    // inheriting a dead stream's applied set would silently skip
+    // batches); the fingerprint-upgrade rebuild goes through
+    // [[writeRegisterData]] directly — maintenance preserves it
+    graft.FileTree.delete(registerLedger(path))
+    writeRegisterData(bands, path, buckets)
+  }
+
+  /** The data write [[writeRegister]] (CREATE) and [[rebuildRegister]]
+    * (maintenance) share: replace the register, its sidecar, and its
+    * stale generations at `path` — everything EXCEPT the `__applied`
+    * ledger. */
+  private def writeRegisterData(bands: DataFrame, path: String,
+                                buckets: Int): Unit = {
     val base = new java.io.File(path)
     Option(base.getParentFile.listFiles()).toSeq.flatten
-      .filter(f => f.getName == base.getName ||
-        f.getName.startsWith(base.getName + "__"))
+      .filter(f => (f.getName == base.getName ||
+          f.getName.startsWith(base.getName + "__")) &&
+        !f.getName.endsWith("__applied"))
       .foreach(graft.FileTree.delete)
     bands.repartition(buckets, col("sigbucket"))
       .write.mode("overwrite").partitionBy("sigbucket").parquet(path)
@@ -178,6 +193,14 @@ object Dedup {
   def rebuildRegister(spark: org.apache.spark.sql.SparkSession,
                       bands: DataFrame, livePath: String,
                       buckets: Int): Unit = {
+    // maintenance, not CREATE: refuse to fold a half-promoted ingest
+    // batch (its re-delivery would double), and PRESERVE the
+    // exactly-once ledger — the [[graft.search.SQ.rebuildIndex]]
+    // discipline on the register (a rebuild that wiped the markers
+    // would turn the next crash's re-delivery of a committed batch
+    // into doubled bands on a rebuild that already re-derived them)
+    graft.streaming.ExactlyOnce.sweepStages(new java.io.File(livePath),
+      registerLedger(livePath), failOnInflight = true, "Dedup.rebuildRegister")
     val src =
       if (!hasRegisterTomb(livePath)) bands
       else {
@@ -185,7 +208,7 @@ object Dedup {
           .select(col("id")).localCheckpoint()
         bands.join(tomb, Seq("id"), "left_anti")
       }
-    writeRegister(src, livePath, buckets)
+    writeRegisterData(src, livePath, buckets)
   }
 
   /** PHASE-1 deletion from a banded-signature register stored at
@@ -290,17 +313,35 @@ object Dedup {
                                  buckets: Int, batchId: Long): String = {
     import graft.streaming.ExactlyOnce
     val ledger = registerLedger(path)
-    if (ExactlyOnce.isApplied(ledger, batchId))
+    if (ExactlyOnce.isApplied(ledger, batchId)) {
       // return the path the batch LANDED in (recorded with the
       // marker), NOT the caller's threaded path: the register has no
       // pointer, so a crash after a revive flip restarts the drain
       // with the stale pre-flip path — echoing it would abandon the
       // flipped generation holding the committed batch (and a later
-      // compaction's GC would destroy it). If the recorded path was
-      // itself superseded by a post-commit same-callback compaction,
-      // it is still within its GC grace cycle and the drain's next
-      // valve poll re-compacts it forward — convergent, never lost.
-      return ExactlyOnce.appliedPayload(ledger, batchId).getOrElse(path)
+      // compaction's GC would destroy it). A recorded path superseded
+      // by ONE post-commit compaction is still within its GC grace
+      // cycle (the drain's next valve poll re-compacts it forward);
+      // one superseded by TWO OR MORE cycles may already be GC'd —
+      // the content lives on in its descendants, so fall back to the
+      // newest generation that actually exists (what a restarted
+      // operator would re-derive as the pointer).
+      val recorded = ExactlyOnce.appliedPayload(ledger, batchId)
+        .filter(p => new java.io.File(p).isDirectory)
+      return recorded.getOrElse {
+        if (new java.io.File(path).isDirectory) path
+        else {
+          val base = path.replaceAll("__gen\\d+$", "")
+          val baseName = new java.io.File(base).getName
+          val gens = Option(new java.io.File(base).getParentFile.listFiles())
+            .toSeq.flatten
+            .filter(f => f.isDirectory && f.getName.startsWith(baseName + "__gen"))
+            .flatMap(f => scala.util.Try(
+              f.getName.stripPrefix(baseName + "__gen").toInt).toOption)
+          if (gens.isEmpty) base else base + "__gen" + gens.max
+        }
+      }
+    }
     val debris = ExactlyOnce.stageDir(new java.io.File(path), batchId)
     if (debris.isDirectory) {
       ExactlyOnce.scrub(new java.io.File(path), batchId)

@@ -702,8 +702,14 @@ object GraphAnn {
     // (reviveToIndex/compactTombstones swap gen__vN subdirs under the
     // same index path)
     val ledger = new java.io.File(path0, "applied__appends")
-    if (ExactlyOnce.isApplied(ledger, batchId)) return
     val intent = new java.io.File(ledger, s"i$batchId")
+    if (ExactlyOnce.isApplied(ledger, batchId)) {
+      // a crash BETWEEN the commit and the intent delete leaves the
+      // intent behind; clear it here so committed batches' intents
+      // never accumulate as ledger debris
+      java.nio.file.Files.deleteIfExists(intent.toPath)
+      return
+    }
     val crashed = intent.isFile
     ledger.mkdirs()
     if (!crashed)

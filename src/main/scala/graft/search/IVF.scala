@@ -124,9 +124,12 @@ object IVF {
       refine(docs, idCol, vecCol, cents0, refineIters) else cents0
     // CREATE semantics: a brand-new index replaces whatever lived at
     // the path (leftover generations from a prior index would
-    // otherwise leak into this one's lifecycle); REBUILDING a live
-    // index in place is writeIndexFrom's staged path
+    // otherwise leak into this one's lifecycle), INCLUDING the
+    // sibling exactly-once ledger — a fresh index inheriting a dead
+    // stream's applied set would silently skip legitimate batches;
+    // REBUILDING a live index in place is writeIndexFrom's staged path
     graft.FileTree.delete(new java.io.File(path))
+    graft.FileTree.delete(appendLedger(path))
     writeIndexFrom(cents, assign(docs, idCol, vecCol, cents), path)
   }
 
@@ -333,7 +336,10 @@ object IVF {
       .write.mode("overwrite").partitionBy("cid")
     if (freshIndex) {
       // first build at this path: nothing can be reading it, the base
-      // names ARE the generation (no pointer until maintenance)
+      // names ARE the generation (no pointer until maintenance). A
+      // leftover sibling ledger from a dead index at this path would
+      // silently skip a fresh stream's batches — CREATE clears it.
+      graft.FileTree.delete(appendLedger(path))
       cents.write.mode("overwrite").parquet(s"$path/centroids")
       listWrite(assigned).parquet(s"$path/lists")
     } else {
@@ -432,12 +438,18 @@ object IVF {
   }
 
   /** The index's committed-batch ledger (one marker file per applied
-    * streaming batch — [[graft.streaming.ExactlyOnce]]). Lives at the
-    * index root beside `CURRENT`, so it survives generation flips:
-    * whether a batch was applied is a property of the INDEX, not of
-    * any one generation. */
+    * streaming batch — [[graft.streaming.ExactlyOnce]]). A SIBLING of
+    * the index path (`<path>__applied`, the postings/register
+    * convention), not a child: it must survive generation flips AND
+    * the whole-path wipe of [[graft.search.SQ.rebuildIndex]]'s
+    * requant (a maintenance rebuild that lost the ledger would turn
+    * the next crash's re-delivery of a committed batch into a second
+    * append on top of a rebuild that already holds its docs — and a
+    * save/restore around the wipe would still carry a crash window
+    * between the delete and the restore). CREATE paths clear it
+    * explicitly; maintenance never touches it. */
   private[graft] def appendLedger(path: String): java.io.File =
-    new java.io.File(path, "applied__appends")
+    new java.io.File(path.stripSuffix("/") + "__applied")
 
   /** [[appendToIndex]] with EXACTLY-ONCE semantics under streaming
     * re-delivery — the sink-side contract

@@ -107,6 +107,21 @@ object SQ {
     * the path. */
   def writeIndex(docs: DataFrame, idCol: String, vecCol: String,
                  k: Int, path: String): Unit = {
+    // CREATE also clears the sibling exactly-once ledger: a fresh
+    // index inheriting a dead stream's applied set would silently
+    // skip legitimate batches. The requant ([[rebuildIndex]]) goes
+    // through [[writeTables]] directly — maintenance must PRESERVE
+    // the ledger, and never-deleting beats any save/restore (which
+    // would carry a crash window between the wipe and the restore).
+    graft.FileTree.delete(IVF.appendLedger(path))
+    writeTables(docs, idCol, vecCol, k, path)
+  }
+
+  /** The data write [[writeIndex]] (CREATE) and [[rebuildIndex]]
+    * (maintenance) share: replace the index tables at `path`,
+    * touching nothing else. */
+  private def writeTables(docs: DataFrame, idCol: String, vecCol: String,
+                          k: Int, path: String): Unit = {
     graft.FileTree.delete(new java.io.File(path))
     val cents = IVF.centroids(docs, idCol, vecCol, k)
     val b = bounds(docs, vecCol)
@@ -154,27 +169,15 @@ object SQ {
           tomb.select(col(tomb.columns.head).cast("long").as("__tombid")),
           col(idCol).cast("long") === col("__tombid"), "left_anti")
       }
-    // PRESERVE the exactly-once ledger across the CREATE: the requant
-    // is MAINTENANCE on a live index, not a new index — wiping the
-    // committed-batch markers with the lists would turn the next
-    // crash's re-delivery of an already-committed batch into a
-    // second append on top of a rebuild that already holds its docs
-    // (the silent duplication the ledger exists to stop). Markers are
-    // empty names (the register's payload variant is not used on the
-    // pointer-carrying families), so save/restore is a name list.
-    val saved: Seq[String] =
-      if (!live) Seq.empty
-      else Option(IVF.appendLedger(path).listFiles()).toSeq.flatten
-        .filter(f => f.isFile && f.getName.startsWith("b")).map(_.getName)
-    writeIndex(src, idCol, vecCol, k, path)
-    if (saved.nonEmpty) {
-      val ledger = IVF.appendLedger(path)
-      ledger.mkdirs()
-      saved.foreach { n =>
-        try java.nio.file.Files.createFile(new java.io.File(ledger, n).toPath)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      }
-    }
+    // MAINTENANCE on a live index, not a new index: the sibling
+    // exactly-once ledger is PRESERVED by never touching it — wiping
+    // the committed-batch markers with the lists would turn the next
+    // crash's re-delivery of an already-committed batch into a second
+    // append on top of a rebuild that already holds its docs (the
+    // silent duplication the ledger exists to stop), and a
+    // save/restore around the wipe would still carry a crash window
+    // between the delete and the restore.
+    writeTables(src, idCol, vecCol, k, path)
   }
 
   /** INCREMENTAL maintenance of the SQ8 index: assign a delta batch

@@ -98,9 +98,14 @@ object ExactlyOnce {
     val m = marker(ledger, batchId)
     // payload and marker must be INSEPARABLE (a visible marker with a
     // lost payload would re-introduce the stale-path echo): stage the
-    // content in a hidden temp and rename — atomic on a filesystem,
-    // and two racing commits of the same batch write the same bytes
-    val tmp = new java.io.File(ledger, s".b$batchId.tmp")
+    // content in a hidden temp and rename — atomic on a filesystem.
+    // The temp name is PER-ATTEMPT (two racing commits of the same
+    // batch must not share it — the loser's move would find its temp
+    // stolen and throw on a batch that is in fact committed; with
+    // per-attempt temps, last-rename-wins and both attempts wrote
+    // equivalent content)
+    val tmp = new java.io.File(ledger,
+      s".b$batchId.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     java.nio.file.Files.write(tmp.toPath,
       payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp.toPath, m.toPath,

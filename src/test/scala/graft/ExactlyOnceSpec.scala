@@ -199,6 +199,62 @@ class ExactlyOnceSpec extends SparkSpec {
     SQ.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 5L)
     assert(listIds() == once,
       "a committed batch re-delivered after a requant must not re-append")
+    // ...while a fresh CREATE at the same path clears the ledger: a
+    // NEW index must not inherit a dead stream's applied set
+    SQ.writeIndex(emb.filter(col("vec_id") >= 50), "vec_id", "v", 4, path)
+    assert(!IVF.appendLedger(path).exists(),
+      "SQ CREATE must clear the sibling ledger")
+  }
+
+  test("register and postings maintenance rebuilds preserve the ledger; CREATE clears it; a GC'd payload falls back to a live path") {
+    // register: rebuildRegister is maintenance — the committed-batch
+    // markers survive (a wipe would double a re-delivered batch on a
+    // rebuild that already re-derived its bands)
+    val reg = java.nio.file.Files.createTempDirectory("eo_reg_rb").toString + "/reg"
+    def bandsOf(d: org.apache.spark.sql.DataFrame, rpb: Int) =
+      Dedup.bandedSignatures(d, "doc_id", "text", 3, 16, rpb)
+        .withColumn("sigbucket", pmod(hash(col("band"), col("bandsig")), lit(4)))
+    Dedup.writeRegister(bandsOf(docs.filter(col("doc_id") >= 3), 4), reg, 4)
+    val batch = bandsOf(docs.filter(col("doc_id") < 3), 4).localCheckpoint()
+    assert(Dedup.appendToRegisterIdempotent(spark, reg, batch, 4, 1L) == reg)
+    val ledger = new java.io.File(reg + "__applied")
+    assert(new java.io.File(ledger, "b1").isFile)
+    // the fingerprint-parameter upgrade (rowsPerBand 4 → 2)
+    Dedup.rebuildRegister(spark, bandsOf(docs, 2), reg, 4)
+    assert(new java.io.File(ledger, "b1").isFile,
+      "rebuildRegister must preserve the exactly-once ledger")
+    val afterRebuild = spark.read.parquet(reg).count()
+    assert(Dedup.appendToRegisterIdempotent(spark, reg, batch, 4, 1L) == reg)
+    assert(spark.read.parquet(reg).count() == afterRebuild,
+      "a committed batch re-delivered after a register rebuild must not re-append")
+    // a marker whose recorded landed path has been GC'd falls back to
+    // a path that exists, never a dangling directory
+    ExactlyOnce.commit(ledger, 9L, payload = reg + "__gen999_gone")
+    val got = Dedup.appendToRegisterIdempotent(spark, reg, batch, 4, 9L)
+    assert(new java.io.File(got).isDirectory,
+      s"marker-hit must return an existing path, got $got")
+    // CREATE clears the ledger
+    Dedup.writeRegister(bandsOf(docs, 4), reg, 4)
+    assert(!ledger.exists(), "writeRegister CREATE must clear the ledger")
+
+    // postings: rebuildPostings is maintenance — markers survive
+    val tbl = "eo_post_rb_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = java.nio.file.Files.createTempDirectory("eo_post_rb").toString + "/t"
+    Queries.writePostings(spark, docs.filter(col("doc_id") >= 3), tbl, path, "overwrite")
+    val pbatch = docs.filter(col("doc_id") < 3).localCheckpoint()
+    Queries.writePostingsIdempotent(spark, pbatch, tbl, 1L)
+    val pledger = Queries.postingsLedger(path)
+    assert(new java.io.File(pledger, "b1").isFile)
+    Queries.rebuildPostings(spark,
+      docs.select(col("doc_id"), concat(lit("v2 "), col("text")).as("text")),
+      tbl, path)
+    assert(new java.io.File(pledger, "b1").isFile,
+      "rebuildPostings must preserve the exactly-once ledger")
+    val afterPost = spark.table(tbl).count()
+    Queries.writePostingsIdempotent(spark, pbatch, tbl, 1L)
+    assert(spark.table(tbl).count() == afterPost,
+      "a committed batch re-delivered after a postings rebuild must not re-append")
   }
 
   test("graph recovery: an id present in only part of its replica cells fails loudly instead of going under-replicated") {
