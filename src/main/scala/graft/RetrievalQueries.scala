@@ -3056,7 +3056,7 @@ object RetrievalQueries {
     * mtimes — value-predicate splits (not repartitionByRange's
     * sampled boundaries), because the oracle needs the upgrade
     * boundary as a pure SQL predicate: batches 0–1 ≡ doc_id < 50. */
-  private def q187Stage(s: SparkSession, dir: String): String =
+  private[graft] def q187Stage(s: SparkSession, dir: String): String =
     Memo.cachedValue(s, dir, "q187_stage") {
       val p = PipelineQueries.roundtripPath(dir, "q187_feed")
       graft.FileTree.delete(new java.io.File(p))

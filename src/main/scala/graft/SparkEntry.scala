@@ -885,6 +885,73 @@ object Queries {
                     ROUND(score, 4) AS score FROM sc)
        SELECT doc, rank, score FROM r WHERE rank <= 20 ORDER BY rank"""
 
+  /** TOKENIZER UPGRADE UNDER LIVE INGEST — q187's composition on the
+    * lexical family (q184 upgrades a QUIET index; production analyzer
+    * swaps happen while the ingest stream keeps flowing): the base
+    * corpus (doc_id ≥ 100) serves from v1-tokenized postings while
+    * the < 100 slice drains in four ordered micro-batches. Batches
+    * 0–1 tokenize with v1 and append; after batch 1 the UPGRADE
+    * fires — [[rebuildPostings]] re-tokenizes everything ingested so
+    * far (≥ 100 OR < 50) under the v2 analyzer (the deterministic
+    * 'v2 '-prefix model: one extra token per doc shifts every length
+    * and df) and rebuilds the live table, PRESERVING the exactly-once
+    * ledger (the maintenance contract); batches 2–3 tokenize with v2
+    * and append into the rebuilt table through the metastore-resolved
+    * live path. Gate + oracle: the drained table equals a one-shot v2
+    * build over the WHOLE corpus row for row, and the serve replays
+    * q20 under v2 tokenization — the analyzer swap is
+    * indistinguishable from having always run v2, without stopping
+    * the stream. */
+  def q191LexUpgradeUnderIngest(s: SparkSession, dir: String): DataFrame = {
+    val tbl = "bm25_upgi_" + PipelineQueries.sanitizeTag(dir)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = PipelineQueries.roundtripPath(dir, "bm25upgi")
+    Option(new java.io.File(path).getParentFile.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("bm25upgi"))
+      .foreach(graft.FileTree.delete)
+    val d = t(s, dir, "documents")
+    def v2(df: DataFrame) = df.select(col("doc_id"),
+      concat(lit("v2 "), col("text")).as("text"))
+    writePostings(s, d.filter(col("doc_id") >= 100), tbl, path, "overwrite")
+    val stage = RetrievalQueries.q187Stage(s, dir)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      val b = batch.localCheckpoint()
+      writePostings(s, if (bid <= 1L) b else v2(b), tbl, path, "append")
+      if (bid == 1L)
+        rebuildPostings(s,
+          v2(d.filter(col("doc_id") >= 100 || col("doc_id") < 50)),
+          tbl, postingsLivePath(s, tbl))
+    })
+    val post = s.table(tbl)
+    val full = BM25.postings(v2(d), "doc_id", "text")
+    require(post.exceptAll(full).isEmpty && full.exceptAll(post).isEmpty,
+      "q191: upgrade-under-ingest must equal the one-shot v2 build " +
+        "row for row — a v1 posting surviving the swap is a silent " +
+        "mixed-analyzer index")
+    BM25.searchIndexed(post, BM25.statsFromPostings(post), bm25Terms, 20)
+      .orderBy("rank")
+  }
+
+  /** q20's replay under the v2 tokenization over the whole corpus —
+    * the analyzer swap mid-drain left no v1 posting behind. */
+  val q191Sql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(lower(trim('v2 ' || text)), '\s+') AS toks
+         FROM documents),
+       corpus AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d),
+       post AS (SELECT doc_id, len(toks) AS len, UNNEST(toks) AS term FROM d),
+       tf AS (SELECT doc_id, len, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM post
+              WHERE term IN ('spark', 'hash', 'join') GROUP BY doc_id, len, term),
+       stats AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+       idf AS (SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf FROM stats, corpus),
+       sc AS (SELECT doc_id, SUM(idf * tf * 2.5 / (tf + 1.5 * (1.0 - 0.75 + 0.75 * len / avgdl))) AS score
+              FROM tf JOIN idf USING (term), corpus GROUP BY doc_id),
+       r AS (SELECT doc_id AS doc, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+                    ROUND(score, 4) AS score FROM sc)
+       SELECT doc, rank, score FROM r WHERE rank <= 20 ORDER BY rank"""
+
   def q146Bm25Delete(s: SparkSession, dir: String): DataFrame = {
     val tbl = "bm25_delete_" + PipelineQueries.sanitizeTag(dir)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -1593,6 +1660,7 @@ object Queries {
     "q184_bm25_upgrade" -> (q184Bm25Upgrade _),
     "q102_stream_bm25" -> (q102StreamBm25 _),
     "q186_lex_exactly_once" -> (q186LexExactlyOnce _),
+    "q191_lex_upgrade_under_ingest" -> (q191LexUpgradeUnderIngest _),
     "q148_stream_bm25_delete" -> (q148StreamBm25Delete _),
     "q159_stream_bm25_valve" -> (q159StreamBm25Valve _),
     "q164_lex_cdc_revive" -> (q164LexCdcRevive _),
@@ -1625,6 +1693,7 @@ object Queries {
     "q184_bm25_upgrade" -> q184Sql,
     "q102_stream_bm25" -> q20Sql,
     "q186_lex_exactly_once" -> q20Sql,
+    "q191_lex_upgrade_under_ingest" -> q191Sql,
     "q148_stream_bm25_delete" -> q148Sql,
     "q159_stream_bm25_valve" -> q148Sql,
     "q164_lex_cdc_revive" -> q164Sql,

@@ -965,7 +965,31 @@ object GraphAnn {
     * dedup is one hash shuffle), the routing train (sample + 3 Lloyd
     * iterations), and the build's single part shuffle — a scheduled
     * maintenance job's cost, never a query's. */
+  /** The graph twin of [[graft.streaming.ExactlyOnce.sweepStages]]'
+    * in-flight guard: a STANDING INTENT marker (`i<batchId>` in the
+    * append ledger, written before an idempotent append's cell
+    * rewrites and cleared with its commit) means a crashed append's
+    * re-delivery has recovery work to do against the CURRENT index
+    * state. A maintenance rewrite now — a compaction folding the
+    * partial rows, worse a routing refresh changing the (part, id)
+    * assignment the recovery will re-derive — would pull that state
+    * out from under it (the torn gate would still catch it LOUDLY,
+    * but refusal here is the contract: finish or re-run the drain
+    * first, exactly the sweepStages discipline on the file-promoted
+    * families). */
+  private def requireNoInflightAppends(path: String, op: String): Unit = {
+    val ledger = new java.io.File(path, "applied__appends")
+    val intents = Option(ledger.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.startsWith("i"))
+    require(intents.isEmpty,
+      s"GraphAnn.$op: in-flight idempotent append (${intents.map(_.getName).mkString(",")}) " +
+        "is mid-recovery — a rewrite now would change the state its " +
+        "re-delivery recovers against. Re-run the ingest drain first " +
+        "(re-running is safe and converges).")
+  }
+
   def refreshRouting(spark: SparkSession, path: String, parts: Int): Unit = {
+    requireNoInflightAppends(path, "refreshRouting")
     val prevGen = currentGeneration(path)
     val (newGen, v) = claimNextGen(path, "GraphAnn.refreshRouting")
     refreshRoutingInto(spark, genRoot(path, prevGen), parts, s"$path/$newGen")
@@ -1022,6 +1046,7 @@ object GraphAnn {
     * no-op. */
   def compactTombstones(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
+    requireNoInflightAppends(path, "compactTombstones")
     val prevGen = currentGeneration(path)
     val root = genRoot(path, prevGen)
     if (!new java.io.File(s"$root/tombstones").isDirectory) return
@@ -1110,6 +1135,7 @@ object GraphAnn {
                     delta: DataFrame, idCol: String, vecCol: String): Unit = {
     import spark.implicits._
     Search.requireIntegralId(delta, idCol, "GraphAnn.reviveToIndex")
+    requireNoInflightAppends(path, "reviveToIndex")
     val prevGen = currentGeneration(path)
     val root = genRoot(path, prevGen)
     requireRouted(root, "reviveToIndex")

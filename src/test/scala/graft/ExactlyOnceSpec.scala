@@ -286,6 +286,16 @@ class ExactlyOnceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("mid-cell-commit"),
       s"expected the torn-replica gate, got: ${e.getMessage}")
+    // ...and while that intent stands, graph MAINTENANCE refuses: a
+    // compaction (worse, a routing refresh changing the (part, id)
+    // assignment) would pull the state out from under the recovery
+    GraphAnn.deleteFromIndex(spark, path,
+      emb.filter(col("vec_id") === 3).select(col("vec_id")), "vec_id")
+    val g = intercept[IllegalArgumentException] {
+      GraphAnn.compactTombstones(spark, path)
+    }
+    assert(g.getMessage.contains("in-flight idempotent append"),
+      s"expected the intent guard, got: ${g.getMessage}")
   }
 
   test("postings idempotent append: no-op duplicate, crash replay converges, bucket pruning survives the promote") {
