@@ -2604,6 +2604,149 @@ object RetrievalQueries {
     * exact re-rank — so the hash match certifies requantization
     * reproduces exactly the clean build over the drifted,
     * delete-filtered corpus. */
+  /** q192's staged feed: doc-quartile files like q187's, with
+    * quartile 2 ([50,75)) DRIFTED (+1.0 per element) so the drain's
+    * third batch trips the requant trigger mid-stream. Explicit
+    * value predicates — the oracle needs the drift membership and
+    * the requant boundary as pure SQL. */
+  private def q192Stage(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "q192_stage") {
+      val p = PipelineQueries.roundtripPath(dir, "q192_feed")
+      graft.FileTree.delete(new java.io.File(p))
+      val e = emb(s, dir).filter(col("vec_id") < 100)
+      def partFiles(): Set[java.io.File] =
+        Option(new java.io.File(p).listFiles()).toSeq.flatten
+          .filter(_.getName.startsWith("part-")).toSet
+      val written = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+      (0 until 4).foreach { b =>
+        val before = partFiles()
+        val q = e.filter(col("vec_id") >= b * 25 && col("vec_id") < (b + 1) * 25)
+        val out = if (b == 2)
+          q.select(col("vec_id"), transform(col("v"), x => x + lit(1.0)).as("v"))
+        else q.select(col("vec_id"), col("v"))
+        out.coalesce(1).write.mode("append").parquet(p)
+        val fresh = (partFiles() -- before).toSeq.sortBy(_.getName)
+        require(fresh.size == 1, s"q192 stage batch $b wrote ${fresh.size} files")
+        written ++= fresh
+      }
+      PipelineQueries.pinAscendingMtimes(written.toSeq)
+      p
+    }
+
+  /** REQUANTIZATION UNDER LIVE INGEST — the last cell of the
+    * (upgrade × ingest) matrix (IVF q187, lexical q191, graph q120's
+    * mid-drain routing retrain; the quantized family's "upgrade" is
+    * the drift-triggered requant, and q121 runs it on a QUIET index):
+    * the base corpus serves from an SQ8 index while four micro-
+    * batches drain through [[graft.search.SQ.appendToIndexIdempotent]].
+    * Batches 0–1 are in-distribution (clamp fraction under the
+    * threshold, require-pinned); batch 2 is DRIFTED (+1.0 per
+    * element — out-of-range mass trips the trigger, require-pinned)
+    * and the caller answers with [[graft.search.SQ.rebuildIndex]]
+    * MID-DRAIN: fresh bounds and centroids from the full-precision
+    * corpus-so-far, CREATE semantics, ledger PRESERVED (the
+    * maintenance contract). The drain then RE-DELIVERS batch 1 —
+    * committed BEFORE the requant — and the preserved ledger makes
+    * it a no-op (clamp 0.0, lists untouched): the end-to-end declared
+    * witness that a model-maintenance rebuild cannot turn a stream
+    * re-delivery into silent duplication. Batch 3 quantizes under the
+    * POST-REQUANT geometry and appends. Gates: the final code lists
+    * equal ONE quantization of the whole (drifted) union under the
+    * standing geometry, byte for byte. Oracle: q121's shape — exact
+    * re-ranked serving replayed with the centroid sample cut at the
+    * requant boundary (base + batches 0–2, batch 2 drifted). */
+  def q192SqRequantUnderIngest(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q192")
+    graft.search.SQ.writeIndex(e.filter(col("vec_id") >= 100),
+      "vec_id", "v", ivfK, path)
+    // the full corpus as the drain leaves it: [50,75) drifted
+    def u = e.select(col("vec_id"),
+      when(col("vec_id") >= 50 && col("vec_id") < 75,
+        transform(col("v"), x => x + lit(1.0))).otherwise(col("v")).as("v"))
+    val stage = q192Stage(s, dir)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    var b1Frame: DataFrame = null
+    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+      val b = batch.select(col("vec_id"), col("v")).localCheckpoint()
+      if (bid == 1L) b1Frame = b
+      val f = graft.search.SQ.appendToIndexIdempotent(
+        s, path, b, "vec_id", "v", bid)
+      if (bid <= 1L || bid == 3L) require(f <= sqClampThreshold,
+        s"q192: in-distribution batch $bid must not trip requant (clamped $f)")
+      if (bid == 2L) {
+        require(f > sqClampThreshold,
+          s"q192: the drifted batch must trip requant (clamped $f)")
+        // the REQUANT, mid-drain: fresh geometry from the corpus so
+        // far (base + batches 0-2, batch 2 drifted), ledger preserved
+        graft.search.SQ.rebuildIndex(
+          u.filter(col("vec_id") >= 100 || col("vec_id") < 75),
+          "vec_id", "v", ivfK, path)
+        require(graft.search.IVF.listFileCounts(path).values.forall(_ == 1),
+          "q192: requantization must restore one file per list")
+        // the ledger-preservation witness: batch 1 (committed before
+        // the requant) re-delivers AFTER it — the preserved marker
+        // makes it a no-op instead of a double-append over a rebuild
+        // that already re-quantized its vectors
+        val n0 = s.read.parquet(graft.search.IVF.listsPath(path)).count()
+        val fDup = graft.search.SQ.appendToIndexIdempotent(
+          s, path, b1Frame, "vec_id", "v", 1L)
+        require(fDup == 0.0 &&
+            s.read.parquet(graft.search.IVF.listsPath(path)).count() == n0,
+          "q192: a committed batch re-delivered across the requant " +
+            "must be a no-op — the requant wiped the ledger")
+      }
+    })
+    // the composed gate: final lists ≡ one quantization of the whole
+    // drifted union under the post-requant geometry
+    val cents = s.read.parquet(s"$path/centroids")
+    val ba = graft.search.SQ.boundsArrays(s.read.parquet(s"$path/bounds"))
+    val uDf = u.localCheckpoint()
+    val streamed = s.read.parquet(graft.search.IVF.listsPath(path))
+      .select(col("id"), col("code"), col("cid").cast("long").as("cid"))
+    val expected = graft.search.SQ.quantized(uDf, "vec_id", "v", cents, ba)
+      .select(col("id"), col("code"), col("cid").cast("long").as("cid"))
+    require(streamed.exceptAll(expected).isEmpty &&
+        expected.exceptAll(streamed).isEmpty,
+      "q192: requant-under-ingest must equal the clean quantization " +
+        "of the union byte for byte")
+    graft.search.SQ.searchIndex(s, path, uDf, "vec_id", "v",
+      uDf.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+      10, ivfProbe, sqRerank)
+      .orderBy("rank")
+  }
+
+  /** q192's replay: the drifted union, centroids LCG-rank-sampled
+    * from the REQUANT-TIME corpus only (vec_id ≥ 100 OR < 75, with
+    * [50,75) drifted), assignment over everything, probe + exact
+    * top-k (the served scores are exact via the re-rank, so the
+    * oracle needs no quantization model — q121's argument). */
+  lazy val q192Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       u AS (SELECT vec_id, CASE WHEN vec_id >= 50 AND vec_id < 75
+               THEN list_transform(v, x -> x + 1.0) ELSE v END AS v FROM e),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM u WHERE vec_id >= 100 OR vec_id < 75) WHERE cid < $ivfK),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT u.vec_id, u.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY u.vec_id
+               ORDER BY list_dot_product(u.v, c.cvec) DESC, c.cid) AS r
+           FROM u, c) WHERE r = 1),
+       q AS (SELECT v AS qv FROM u WHERE vec_id = 1),
+       pr AS (SELECT cid, qv FROM (
+           SELECT c.cid, q.qv,
+             ROW_NUMBER() OVER (ORDER BY list_dot_product(q.qv, c.cvec) DESC, c.cid) AS r
+           FROM c, q) WHERE r <= $ivfProbe),
+       sc AS (SELECT a.vec_id, list_dot_product(a.v, pr.qv) AS sc
+              FROM a JOIN pr ON a.cid = pr.cid),
+       r AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, vec_id) AS BIGINT) AS rank,
+                    ROUND(sc, 6) AS score FROM sc)
+       SELECT vec_id, rank, score FROM r WHERE rank <= 10 ORDER BY rank"""
+
   def q121SqAppend(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q121")
@@ -6822,6 +6965,7 @@ $sqRows)
     "q185_ivf_exactly_once" -> (q185IvfExactlyOnce _),
     "q187_upgrade_under_ingest" -> (q187UpgradeUnderIngest _),
     "q189_sq_exactly_once" -> (q189SqExactlyOnce _),
+    "q192_sq_requant_under_ingest" -> (q192SqRequantUnderIngest _),
     "q147_stream_ivf_delete" -> (q147StreamIvfDelete _),
     "q155_sq_delete" -> (q155SqDelete _),
     "q156_stream_sq_delete" -> (q156StreamSqDelete _),
@@ -6906,6 +7050,7 @@ $sqRows)
     "q185_ivf_exactly_once" -> q84Sql,
     "q187_upgrade_under_ingest" -> q187Sql,
     "q189_sq_exactly_once" -> q128Sql,
+    "q192_sq_requant_under_ingest" -> q192Sql,
     "q147_stream_ivf_delete" -> q147Sql,
     "q158_stream_ivf_valve" -> q147Sql,
     "q160_cdc_feed" -> q160Sql,
