@@ -1293,12 +1293,13 @@ object GraphAnn {
     * them. No graph is ever rebuilt.
     *
     * `probeParts` < parts engages ROUTING: each query scores the
-    * routing table (parts rows, driver-sized) and keeps its top-P
-    * cells (ties: lowest part); the nodes scan is filtered to the
-    * UNION of every query's cells — a genuine partition filter on the
-    * parquet `part` column, so unprobed cells are never read off
-    * disk — and inside a task each cell beam-searches only the
-    * queries routed to it. */
+    * routing table DISTRIBUTIVELY ([[routeQueriesDf]] — the table is
+    * parts = ⌈N/cell⌉ rows, corpus-proportional, so it is scanned,
+    * never collected) and keeps its top-P cells (ties: lowest part);
+    * the nodes scan is filtered to the UNION of every query's
+    * cells — a genuine partition filter on the parquet `part`
+    * column, so unprobed cells are never read off disk — and inside
+    * a task each cell beam-searches only the queries routed to it. */
   /** Layout guard: a graph index written before content routing
     * (id-hash parts, no `routing` dir) cannot be routed or appended
     * under the standing-quantizer contract — fail with the remedy
@@ -1309,6 +1310,38 @@ object GraphAnn {
       s"GraphAnn.$op: index at $path has no routing table — its layout " +
         "predates content routing; rebuild it with GraphAnn.writeIndex")
 
+  /** Per-query top-P routing cells, computed DISTRIBUTIVELY — the
+    * [[IVF.multiProbes]] shape with the broadcast FLIPPED: the
+    * routing table is parts = ⌈N/cell⌉ rows, CORPUS-PROPORTIONAL at
+    * fleet scale (10⁷–10⁸ full vectors at the 100 TB north star), so
+    * it is the scanned side — never collected, never broadcast; the
+    * QUERY set is the driver-sized side by the multi-query contract
+    * and broadcasts into the scan. Per-query top-P runs through the
+    * bounded-heap aggregate — tie order (score desc, part asc), the
+    * exact order the pre-round-17 driver-side scan used, and the dot
+    * product accumulates left-to-right in both, so the probed cell
+    * sets are BIT-IDENTICAL to the old path (GraphAnnSpec pins it) —
+    * and the exchange carries O(queries × P) rows: the serve's
+    * driver footprint is query-sized regardless of corpus size.
+    * Output rows (qid, part). */
+  private[graft] def routeQueriesDf(spark: SparkSession, root: String,
+                                    qvs: Array[(Long, Array[Double])],
+                                    probe: Int): DataFrame = {
+    import spark.implicits._
+    val qdf = qvs.toSeq.map { case (q, v) => (q, v.toSeq) }.toDF("qid", "__qv")
+    spark.read.parquet(s"$root/routing")
+      .select(col("part").cast("long").as("part"),
+        col("rvec").cast("array<double>").as("rvec"))
+      .crossJoin(broadcast(qdf))
+      .select(col("qid"), col("part"),
+        graft.functions.VectorF.dot(col("rvec"), col("__qv")).as("__s"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graftnative.TopKAggregate
+        .topK(col("part"), col("__s"), probe).as("__tk"))
+      .select(col("qid"), explode(col("__tk")).as("__e"))
+      .select(col("qid"), col("__e.id").cast("int").as("part"))
+  }
+
   private def partBeams(spark: SparkSession, root: String,
                         qvs: Array[(Long, Array[Double])],
                         ef: Int, probeParts: Int): DataFrame = {
@@ -1317,41 +1350,46 @@ object GraphAnn {
     // nodes below all come from the same consistency unit
     requireRouted(path, "searchIndex")
     val bqs = spark.sparkContext.broadcast(qvs)
-    val expected = spark.read.parquet(s"$path/meta")
-      .select(col("part").cast("int"), col("n").cast("long"))
-      .as[(Int, Long)].collect().toMap
-    val bExpected = spark.sparkContext.broadcast(expected)
-    val routingDf = spark.read.parquet(s"$path/routing")
-    val routingRows = routingDf
-      .select(col("part").cast("int"), col("rvec").cast("array<double>"),
-        // pre-replication routing tables lack the column — default to
-        // 2 (the conservative side: the dedup aggregate is always
-        // correct, merely unnecessary for a replicas=1 index)
-        (if (routingDf.columns.contains("replicas"))
+    // params is the ONE-ROW knob table (parts, m, efC, replicas) —
+    // the occupancy read that used to ride a full routing-table
+    // collect. The routing table itself is parts-sized
+    // (corpus-proportional at fleet scale) and never reaches the
+    // driver: per-query cells come from [[routeQueriesDf]].
+    val paramsDf = spark.read.parquet(s"$path/params")
+    val (parts, replicas) = paramsDf
+      .select(col("parts").cast("int"),
+        // pre-replication params lack the column — default to 2 (the
+        // conservative side: the dedup aggregate is always correct,
+        // merely unnecessary for a replicas=1 index)
+        (if (paramsDf.columns.contains("replicas"))
           col("replicas").cast("int") else lit(2)).as("replicas"))
-      .as[(Int, Seq[Double], Int)].collect()
-    val replicas = routingRows.headOption.map(_._3).getOrElse(1)
-    val routing = routingRows.map { case (p, v, _) => (p, v.toArray) }.sortBy(_._1)
-    // AutoProbe resolves against the index's own occupancy here, where
-    // the routing table is already in hand
-    val probe = if (probeParts == AutoProbe) autoProbe(routing.length, replicas)
+      .as[(Int, Int)].head()
+    // AutoProbe resolves against the index's own occupancy here, read
+    // from the one-row params table
+    val probe = if (probeParts == AutoProbe) autoProbe(parts, replicas)
       else probeParts
-    val pruned = probe < routing.length
+    val pruned = probe < parts
     val allowed: Map[Long, Set[Int]] =
       if (!pruned) Map.empty
-      else qvs.iterator.map { case (qid, qv) =>
-        qid -> routing.map { case (p, rv) => (p, dot(rv, qv)) }
-          .sortBy { case (p, s) => (-s, p) }
-          .take(probe).map(_._1).toSet
-      }.toMap
+      else routeQueriesDf(spark, path, qvs, probe)
+        .as[(Long, Int)].collect()
+        .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
     val bAllowed = spark.sparkContext.broadcast(allowed)
+    val union = allowed.valuesIterator.flatten.toSet.toSeq.sorted
+    // meta is parts-sized too: the completeness-gate read prunes to
+    // the probed union (query-sized collect). Only an EXPLICIT full
+    // scan collects the whole table — that request is O(index) by
+    // definition and parts rows are the cheapest term in it.
+    val metaDf = spark.read.parquet(s"$path/meta")
+      .select(col("part").cast("int"), col("n").cast("long"))
+    val expected = (if (!pruned) metaDf
+        else metaDf.filter(col("part").isin(union.map(Integer.valueOf): _*)))
+      .as[(Int, Long)].collect().toMap
+    val bExpected = spark.sparkContext.broadcast(expected)
     val base = spark.read.parquet(s"$path/nodes")
       .select(col("part").cast("int"), col("id"), col("vec"), col("nbrs"))
     val scan = if (!pruned) base
-      else {
-        val union = allowed.valuesIterator.flatten.toSet.toSeq.sorted
-        base.filter(col("part").isin(union.map(Integer.valueOf): _*))
-      }
+      else base.filter(col("part").isin(union.map(Integer.valueOf): _*))
     scan
       .as[(Int, Long, Seq[Double], Seq[Long])]
       .mapPartitions { it =>

@@ -861,4 +861,36 @@ class GraphAnnSpec extends SparkSpec {
     assert(rows() == hidden,
       "recovery must serve the exact pre-crash answers")
   }
+
+  test("distributed routing: routeQueriesDf's cells equal the driver-side reference bit for bit") {
+    // round 17 moved per-query cell selection off the driver (the
+    // routing table is corpus-proportional at fleet scale); the
+    // bounded-heap formulation must pick the EXACT same cells the
+    // old driver-side scan did — same dot accumulation order, same
+    // (score desc, part asc) tie order — or serving answers drift
+    val path = java.nio.file.Files.createTempDirectory("graphann_route").toString
+    GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 8, path)
+    val qvs = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .collect().map { case (q, v) => (q, v.toArray) }
+    val routing = spark.read.parquet(s"$path/routing")
+      .select(col("part").cast("int"), col("rvec").cast("array<double>"))
+      .as[(Int, Seq[Double])].collect()
+      .map { case (p, v) => (p, v.toArray) }.sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    for (probe <- Seq(2, 3, 5)) {
+      val want = qvs.map { case (qid, qv) =>
+        qid -> routing.map { case (p, rv) => (p, dot(rv, qv)) }
+          .sortBy { case (p, s) => (-s, p) }.take(probe).map(_._1).toSet
+      }.toMap
+      val got = GraphAnn.routeQueriesDf(spark, path, qvs, probe)
+        .as[(Long, Int)].collect().toSeq
+        .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+      assert(got == want, s"probe=$probe: distributed routing diverged " +
+        "from the driver-side reference")
+    }
+  }
 }

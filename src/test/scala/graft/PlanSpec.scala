@@ -300,6 +300,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("graph routing is distributed: the routing table is scanned (never broadcast), top-P rides the heap") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the round-17 scale contract: the routing table is
+    // parts = ceil(N/cell) rows — corpus-proportional at fleet
+    // scale — so per-query cell selection must stream it through the
+    // bounded-heap aggregate with the QUERY SET as the broadcast
+    // side, never collect or broadcast the table itself
+    val path = RetrievalQueries.graphIndexPath(spark, sf0001)
+    val root = graft.search.GraphAnn.tablePath(path, "routing")
+      .stripSuffix("/routing")
+    val qvs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().map { case (q, v) => (q, v.toArray) }
+    val df = graft.search.GraphAnn.routeQueriesDf(spark, root, qvs, 2)
+    val sp = df.queryExecution.sparkPlan
+    val joins = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(joins.size == 1, s"expected the one routing × queries join:\n$sp")
+    val j = joins.head
+    val build = j.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+      case _ => j.left
+    }
+    assert(build.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.isEmpty,
+      s"the corpus-proportional routing table must never be the broadcast side:\n$sp")
+    val streamed = if (build eq j.right) j.left else j.right
+    assert(streamed.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.size == 1,
+      s"the routing table must be the streamed scan side:\n$sp")
+    // per-query top-P rides the bounded heap — the exchange and the
+    // driver collect carry O(queries × P) rows, never parts rows
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_topk"), s"expected the heap top-P:\n$p")
+    assert(df.count() <= qvs.length.toLong * 2)
+  }
+
   test("q87: incrementally-appended postings table stays bucket-pruned") {
     val p = plan("q87_bm25_append")
     // append lands delta files in the SAME term buckets, so the
