@@ -349,6 +349,21 @@ object Dedup {
     }
     val staged = if (hasRegisterTomb(path)) bands.localCheckpoint() else bands
     val target = resolveAppendTarget(spark, path, staged, buckets)
+    // a prior attempt may have resolved a DIFFERENT target: the
+    // revive probe compacts to a flipped generation BEFORE staging,
+    // so a flip-then-crash attempt leaves its stage dir (and any
+    // promoted b<id>-p* files) under the flipped path, which the
+    // threaded-path probe above never visits. Probe the RESOLVED
+    // target too, so that debris is scrubbed on re-delivery (the
+    // no-stage-debris discipline the other families gate on) rather
+    // than deferred to generation GC.
+    if (target != path) {
+      val tDebris = ExactlyOnce.stageDir(new java.io.File(target), batchId)
+      if (tDebris.isDirectory) {
+        ExactlyOnce.scrub(new java.io.File(target), batchId)
+        graft.FileTree.delete(tDebris)
+      }
+    }
     val stage = ExactlyOnce.stageDir(new java.io.File(target), batchId)
     staged
       .repartition(col("sigbucket"))

@@ -66,9 +66,12 @@ package graft.streaming
   * partitions the corpus into N indexes.
   *
   * Scale notes: the ledger is one empty file per committed batch —
-  * listing it is O(batches), never a data read, and a deployment that
-  * retires checkpoints can sweep markers below the checkpoint's
-  * low-watermark. Staging writes each batch's bytes exactly once
+  * listing it is O(batches), never a data read, and [[sweepLedger]]
+  * retires markers below the checkpoint's low-watermark
+  * ([[Streaming.checkpointWatermark]] derives it from the commit
+  * log; the resumable drain's `sweepLedgers` parameter wires the two
+  * together), keeping it O(live window) on a years-lived stream.
+  * Staging writes each batch's bytes exactly once
   * (the same bytes a raw append would write) plus one rename per
   * file; nothing index-sized moves. */
 object ExactlyOnce {
@@ -122,12 +125,17 @@ object ExactlyOnce {
       java.nio.charset.StandardCharsets.UTF_8)).filter(_.nonEmpty)
   }
 
-  /** The writing shuffle partition (`NNNNN` of `part-NNNNN-…`) and
-    * the optional bucket suffix (`_MMMMM` before the extensions —
-    * Spark derives a bucketed file's bucket id from exactly this
-    * suffix, so promotion must carry it) of a staged part file.
+  /** The writing shuffle partition (`NNNNN` of `part-NNNNN-…`), the
+    * optional bucket suffix (`_MMMMM` before the extensions — Spark
+    * derives a bucketed file's bucket id from exactly this suffix,
+    * so promotion must carry it) and the writer's FILE COUNTER
+    * (`cKKK` — the first extension segment; a task that ROLLS files,
+    * e.g. under spark.sql.files.maxRecordsPerFile, emits c000/c001/…
+    * for the same (partition-dir, task, bucket), so the counter must
+    * be part of the deterministic key or promotion's REPLACE rename
+    * would silently keep only the last roll) of a staged part file.
     * None for non-data files (`_SUCCESS`, checksums, hidden). */
-  private[graft] def partKey(name: String): Option[(Int, Option[String])] = {
+  private[graft] def partKey(name: String): Option[(Int, Option[String], Option[String])] = {
     if (!name.startsWith("part-")) None
     else {
       val task = name.stripPrefix("part-").takeWhile(_.isDigit)
@@ -142,19 +150,38 @@ object ExactlyOnce {
           if (i >= 0 && i + 1 < base.length && base.drop(i + 1).forall(_.isDigit))
             Some(base.drop(i + 1))
           else None
-        Some((task.toInt, bucket))
+        // the counter's position depends on the writer: UNBUCKETED
+        // files carry it in the base (part-00000-<uuid>-c003.snappy
+        // .parquet), BUCKETED files as the first extension segment
+        // (part-00000-<uuid>_00003.c001.snappy.parquet) — parse both
+        val baseTail = base.drop(base.lastIndexOf('-') + 1)
+        val counter = (
+          if (base.lastIndexOf('-') >= 0 && baseTail.length > 1 &&
+              baseTail.head == 'c' && baseTail.tail.forall(_.isDigit))
+            Some(baseTail)
+          else None
+        ).orElse(name.drop(base.length).split('.')
+          .find(s => s.length > 1 && s.head == 'c' && s.tail.forall(_.isDigit)))
+        Some((task.toInt, bucket, counter))
       }
     }
   }
 
   /** The deterministic live-layout name for a staged part file of
-    * `batchId`: same (batch, writing partition, bucket) → same name
-    * on every re-run, which is what makes the rename-REPLACE retry
-    * converge. The bucket suffix stays the trailing `_<digits>` so
-    * Spark's bucketed scan still reads the bucket id off the name. */
+    * `batchId`: same (batch, writing partition, counter, bucket) →
+    * same name on every re-run, which is what makes the
+    * rename-REPLACE retry converge (hash repartitioning is
+    * deterministic for the same input and conf, so a re-run rolls
+    * files at the same row boundaries and reproduces the same
+    * counter set). The bucket suffix stays the trailing `_<digits>`
+    * so Spark's bucketed scan still reads the bucket id off the
+    * name; the counter segment carries no underscore, so it never
+    * shadows the bucket parse. */
   private[graft] def promotedName(batchId: Long, task: Int,
-                                      bucket: Option[String]): String =
-    f"b$batchId%d-p$task%05d" + bucket.fold("")("_" + _) + ".parquet"
+                                  bucket: Option[String],
+                                  counter: Option[String]): String =
+    f"b$batchId%d-p$task%05d" + counter.fold("")("-" + _) +
+      bucket.fold("")("_" + _) + ".parquet"
 
   /** Rename every staged part file under `stage` into the mirrored
     * partition directory under `live`, REPLACE_EXISTING, under
@@ -163,19 +190,35 @@ object ExactlyOnce {
     * promoted. Idempotent: a re-run after a crash at ANY point
     * re-promotes over its own earlier moves. */
   def promote(stage: java.io.File, live: java.io.File, batchId: Long): Unit = {
-    def walk(src: java.io.File, dst: java.io.File): Unit =
+    def walk(src: java.io.File, dst: java.io.File): Unit = {
+      // belt-and-braces against silent row loss: two staged files in
+      // ONE promotion mapping to the same deterministic target (a
+      // writer naming scheme this parser doesn't fully key) must fail
+      // loudly — the REPLACE rename is for RE-RUN convergence, never
+      // for discarding a sibling staged in the same attempt
+      val claimed = scala.collection.mutable.Map.empty[String, String]
       Option(src.listFiles()).toSeq.flatten.foreach { f =>
         if (f.isDirectory) {
           if (!f.getName.startsWith(".") && !f.getName.startsWith("_"))
             walk(f, new java.io.File(dst, f.getName))
-        } else partKey(f.getName).foreach { case (task, bucket) =>
+        } else partKey(f.getName).foreach { case (task, bucket, counter) =>
+          val target = promotedName(batchId, task, bucket, counter)
+          claimed.put(target, f.getName).foreach { prior =>
+            throw new IllegalStateException(
+              s"ExactlyOnce.promote: staged files '$prior' and " +
+                s"'${f.getName}' both map to promoted name '$target' — " +
+                "promoting would silently discard one; the writer's " +
+                "file naming is not fully keyed by (task, counter, " +
+                "bucket)")
+          }
           dst.mkdirs()
           java.nio.file.Files.move(f.toPath,
-            new java.io.File(dst, promotedName(batchId, task, bucket)).toPath,
+            new java.io.File(dst, target).toPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
       }
+    }
     walk(stage, live)
   }
 
@@ -217,7 +260,7 @@ object ExactlyOnce {
     * re-delivery would then double; without it (the appender itself,
     * about to re-stage its own batch) it is left for the overwrite. */
   def sweepStages(dir: java.io.File, ledger: java.io.File,
-                  failOnInflight: Boolean, what: String): Unit =
+                  failOnInflight: Boolean, what: String): Unit = {
     Option(dir.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith(".stage_append_b"))
       .foreach { f =>
@@ -232,4 +275,50 @@ object ExactlyOnce {
               "ingest drain (re-running it is safe and converges) or " +
               "delete the stage dir if the stream is retired.")
       }
+    // hidden `.b<id>.<attempt>.tmp` marker temps are crash debris of
+    // [[commit]] (died between the payload write and the atomic
+    // rename) — only the RENAMED marker is ever authoritative, and
+    // the single-writer contract means no live commit can be racing a
+    // maintenance sweep, so they are safe to delete at any age;
+    // without this a long-lived stream's repeated crash windows would
+    // accumulate hidden files in the ledger forever
+    Option(ledger.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.startsWith(".b") &&
+        f.getName.endsWith(".tmp"))
+      .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+  }
+
+  /** Retire committed-batch markers BELOW a streaming checkpoint's
+    * low-watermark — the retirement path the ledger contract
+    * promised ("a deployment that retires checkpoints can sweep
+    * markers below the checkpoint's low-watermark", now in code). A
+    * batch id strictly below `belowBatchId` can never be
+    * RE-DELIVERED once the checkpoint's commit log has passed it
+    * (Structured Streaming re-runs only a batch whose foreachBatch
+    * ran but whose checkpoint commit did not land — every batch
+    * below a committed one is committed), so its marker is dead
+    * weight: sweeping it keeps the ledger O(live window), not
+    * O(stream lifetime), without opening any re-application window.
+    * Derive `belowBatchId` from the checkpoint, not from folklore —
+    * [[Streaming.checkpointWatermark]] reads the commit log;
+    * [[Streaming.runForeachBatchResumable]]'s `sweepLedgers`
+    * parameter wires the two together after each drain. Stale
+    * `.b<id>.*.tmp` commit temps below the watermark sweep too.
+    * Intent markers (`i<id>`, the graph family's recovery signal)
+    * are NOT swept — an intent is in-flight state, never retired
+    * history. Returns the number of markers removed. */
+  def sweepLedger(ledger: java.io.File, belowBatchId: Long): Int = {
+    def idOf(name: String): Option[Long] =
+      if (name.startsWith("b") && name.length > 1 &&
+          name.tail.forall(_.isDigit))
+        scala.util.Try(name.tail.toLong).toOption
+      else if (name.startsWith(".b") && name.endsWith(".tmp"))
+        scala.util.Try(
+          name.stripPrefix(".b").takeWhile(_.isDigit).toLong).toOption
+      else None
+    val dead = Option(ledger.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && idOf(f.getName).exists(_ < belowBatchId))
+    dead.foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+    dead.size
+  }
 }

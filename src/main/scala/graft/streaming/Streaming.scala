@@ -185,7 +185,45 @@ object Streaming {
   def runForeachBatchResumable(spark: SparkSession, src: DataFrame,
                                checkpointDir: String,
                                fn: (DataFrame, Long) => Unit): Unit =
+    runForeachBatchResumable(spark, src, checkpointDir, fn, Nil)
+
+  /** [[runForeachBatchResumable]] that also RETIRES the exactly-once
+    * ledgers it feeds: after the drain completes, every ledger in
+    * `sweepLedgers` drops its markers below the checkpoint's
+    * committed low-watermark ([[checkpointWatermark]] — batch ids
+    * the commit log has passed can never be re-delivered, so their
+    * markers are dead weight; [[ExactlyOnce.sweepLedger]] states the
+    * contract). This is what keeps a years-lived ingest stream's
+    * ledger at O(live window) instead of one marker file per batch
+    * forever. Pass the same ledger dirs the batch fn's idempotent
+    * appends write (`<index>/applied__appends`, the register's
+    * `<base>__applied`, …). */
+  def runForeachBatchResumable(spark: SparkSession, src: DataFrame,
+                               checkpointDir: String,
+                               fn: (DataFrame, Long) => Unit,
+                               sweepLedgers: Seq[java.io.File]): Unit = {
     runDrain(src, Some(checkpointDir), fn)
+    if (sweepLedgers.nonEmpty)
+      checkpointWatermark(checkpointDir).foreach { wm =>
+        sweepLedgers.foreach(graft.streaming.ExactlyOnce.sweepLedger(_, wm))
+      }
+  }
+
+  /** The checkpoint's committed LOW-WATERMARK: every batch id
+    * strictly below the returned value has its commit recorded in
+    * `checkpointDir/commits` and can never be re-delivered by a
+    * restart of this checkpoint — the retirement bound
+    * [[ExactlyOnce.sweepLedger]] takes. Returns maxCommitted + 1
+    * (markers for committed batches are retirable INCLUSIVE of the
+    * last: a batch whose commit landed never re-runs), or None for a
+    * checkpoint that has never committed a batch. One directory
+    * listing of batch-id-named commit files; never a data read. */
+  def checkpointWatermark(checkpointDir: String): Option[Long] = {
+    val ids = Option(new java.io.File(checkpointDir, "commits").listFiles())
+      .toSeq.flatten.filter(_.isFile)
+      .flatMap(f => scala.util.Try(f.getName.toLong).toOption)
+    if (ids.isEmpty) None else Some(ids.max + 1)
+  }
 
   /** The one drain harness both entry points share: AvailableNow
     * foreachBatch, optionally under a durable checkpoint. */

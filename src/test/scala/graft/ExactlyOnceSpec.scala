@@ -20,18 +20,153 @@ class ExactlyOnceSpec extends SparkSpec {
   private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     .select(col("doc_id"), col("text"))
 
-  test("partKey/promotedName: task + bucket suffix parsed, non-data files skipped, bucket suffix survives") {
+  test("partKey/promotedName: task + bucket + file counter parsed, non-data files skipped, bucket suffix survives") {
     assert(ExactlyOnce.partKey(
       "part-00003-0aa6256b-9ea6-4c07-8d5f-ab.c000.snappy.parquet")
-      == Some((3, None)))
+      == Some((3, None, Some("c000"))))
     assert(ExactlyOnce.partKey(
       "part-00012-0aa6256b-9ea6-4c07-8d5f-ab_00007.c000.snappy.parquet")
-      == Some((12, Some("00007"))))
+      == Some((12, Some("00007"), Some("c000"))))
+    // a task that ROLLS files (maxRecordsPerFile) emits c001/c002/…
+    // for the same (task, bucket) — the counter must key the
+    // promoted name or the REPLACE rename would keep only one roll.
+    // Unbucketed writers put the counter IN THE BASE (-c002),
+    // bucketed writers in the extensions (.c002) — both parse
+    assert(ExactlyOnce.partKey(
+      "part-00003-0aa6256b-9ea6-4c07-8d5f-ab-c002.snappy.parquet")
+      == Some((3, None, Some("c002"))))
+    assert(ExactlyOnce.partKey(
+      "part-00012-0aa6256b-9ea6-4c07-8d5f-ab_00007.c002.snappy.parquet")
+      == Some((12, Some("00007"), Some("c002"))))
     assert(ExactlyOnce.partKey("_SUCCESS").isEmpty)
     assert(ExactlyOnce.partKey(".part-00003.crc").isEmpty)
-    assert(ExactlyOnce.promotedName(5L, 3, None) == "b5-p00003.parquet")
-    assert(ExactlyOnce.promotedName(5L, 12, Some("00007"))
-      == "b5-p00012_00007.parquet")
+    assert(ExactlyOnce.promotedName(5L, 3, None, Some("c000"))
+      == "b5-p00003-c000.parquet")
+    assert(ExactlyOnce.promotedName(5L, 3, None, Some("c002"))
+      == "b5-p00003-c002.parquet")
+    assert(ExactlyOnce.promotedName(5L, 12, Some("00007"), Some("c000"))
+      == "b5-p00012-c000_00007.parquet")
+    // counterless legacy names still promote (no silent skip)
+    assert(ExactlyOnce.promotedName(5L, 3, None, None) == "b5-p00003.parquet")
+  }
+
+  test("a rolled task (maxRecordsPerFile) promotes EVERY roll; a counter-blind collision fails loudly") {
+    // stage a batch whose one shuffle partition rolls into several
+    // files — before round 17 all rolls mapped to one promoted name
+    // and REPLACE silently kept only the last: row loss inside the
+    // protocol built to prevent it
+    val live = java.nio.file.Files.createTempDirectory("eo_roll").toFile
+    val stage = ExactlyOnce.stageDir(live, 7L)
+    spark.range(0, 1000).toDF("id").coalesce(1)
+      .write.option("maxRecordsPerFile", 100)
+      .mode("overwrite").parquet(stage.getPath)
+    val staged = Option(stage.listFiles()).toSeq.flatten
+      .count(f => f.getName.startsWith("part-"))
+    assert(staged > 1, s"fixture must roll several files, got $staged")
+    ExactlyOnce.promote(stage, live, 7L)
+    val promoted = Option(live.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("b7-p"))
+    assert(promoted.size == staged,
+      s"every roll must promote: staged $staged, promoted ${promoted.size}")
+    assert(spark.read.parquet(live.getPath).count() == 1000L,
+      "no rows may be lost across the rolled promotion")
+    // two staged files that the parser cannot tell apart must fail
+    // loudly instead of silently replacing each other
+    val live2 = java.nio.file.Files.createTempDirectory("eo_collide").toFile
+    val stage2 = ExactlyOnce.stageDir(live2, 8L)
+    stage2.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(stage2, "part-00001-aaaa.c000.parquet").toPath,
+      Array[Byte](1))
+    java.nio.file.Files.write(
+      new java.io.File(stage2, "part-00001-bbbb.c000.parquet").toPath,
+      Array[Byte](2))
+    val ex = intercept[IllegalStateException] {
+      ExactlyOnce.promote(stage2, live2, 8L)
+    }
+    assert(ex.getMessage.contains("both map to promoted name"))
+  }
+
+  test("sweepLedger: markers below the watermark retire (tmp debris too); intents and live markers survive") {
+    val ledger = java.nio.file.Files.createTempDirectory("eo_ledger").toFile
+    Seq(0L, 1L, 2L).foreach(ExactlyOnce.commit(ledger, _))
+    // an intent marker (the graph family's in-flight recovery signal)
+    // and a stale commit temp ride along
+    java.nio.file.Files.createFile(new java.io.File(ledger, "i1").toPath)
+    java.nio.file.Files.write(
+      new java.io.File(ledger, ".b0.deadbeef.tmp").toPath, Array[Byte](0))
+    assert(ExactlyOnce.sweepLedger(ledger, 2L) == 3) // b0, b1, .b0 tmp
+    val left = Option(ledger.listFiles()).toSeq.flatten.map(_.getName).toSet
+    assert(left == Set("b2", "i1"),
+      s"only the live marker and the intent may survive, got $left")
+    assert(!ExactlyOnce.isApplied(ledger, 0L) && ExactlyOnce.isApplied(ledger, 2L))
+  }
+
+  test("drain-wired ledger sweep: markers retire at the checkpoint watermark; a swept batch is impossible to re-deliver") {
+    // the retirement path the ledger contract promised: after each
+    // resumable drain, markers below the checkpoint's committed
+    // low-watermark sweep — and re-delivery of a swept batch is
+    // impossible BY CONSTRUCTION (the commit log is already past
+    // it), so the sweep opens no silent re-application window. A
+    // years-lived stream's ledger stays O(live window), not one
+    // marker file per batch forever.
+    import graft.streaming.Streaming
+    val root = java.nio.file.Files.createTempDirectory("eo_sweep").toString
+    val live = s"$root/live"; val ckpt = s"$root/ckpt"; val idx = s"$root/idx"
+    new java.io.File(live).mkdirs()
+    IVF.writeIndex(emb.filter(col("vec_id") >= 100), "vec_id", "v", 8, 0, idx)
+    val staged = PipelineQueries.stageOrderedFiles(
+      emb.filter(col("vec_id") < 100), "vec_id", 4, s"$root/staged")
+    val files = Option(new java.io.File(staged).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(files.length == 4)
+    val ledger = IVF.appendLedger(idx)
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drain(): Unit = {
+      val src = spark.readStream
+        .schema(spark.read.parquet(staged).schema)
+        .option("maxFilesPerTrigger", 1).parquet(live)
+      Streaming.runForeachBatchResumable(spark, src, ckpt, (b, id) => {
+        delivered += id
+        IVF.appendToIndexIdempotent(spark, idx, b.localCheckpoint(),
+          "vec_id", "v", id)
+      }, sweepLedgers = Seq(ledger))
+    }
+    def markers(): Set[String] = Option(ledger.listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith("b")).toSet
+    files.take(2).foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(live, f.getName)) }
+    drain()
+    assert(delivered.toSeq == Seq(0L, 1L))
+    val wm1 = Streaming.checkpointWatermark(ckpt)
+    assert(wm1.contains(2L), s"watermark after two committed batches, got $wm1")
+    assert(markers().isEmpty,
+      s"every marker is below the watermark and must retire, got ${markers()}")
+    // impossible by construction: the same checkpoint re-drained with
+    // no new files re-delivers NOTHING — the swept batches' commits
+    // are in the log, so their absence from the ledger cannot matter
+    drain()
+    assert(delivered.toSeq == Seq(0L, 1L),
+      "a swept batch must never be re-delivered by its own checkpoint")
+    // new files continue PAST the watermark — batch ids never reuse a
+    // swept id, so the ledger's no-marker state is always consistent
+    files.drop(2).foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(live, f.getName)) }
+    drain()
+    assert(delivered.toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(markers().isEmpty)
+    // end-to-end: the swept-ledger stream still lands every row
+    // exactly once
+    val cents = spark.read.parquet(IVF.centroidsPath(idx))
+    val streamed = spark.read.parquet(IVF.listsPath(idx))
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    val expected = IVF.assign(emb, "vec_id", "v", cents)
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    assert(streamed.exceptAll(expected).isEmpty &&
+      expected.exceptAll(streamed).isEmpty,
+      "the swept-ledger drains must equal one batch assignment")
   }
 
   test("IVF idempotent append: duplicate delivery is a no-op; every crash window converges on the single-delivery lists") {
