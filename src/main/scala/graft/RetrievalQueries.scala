@@ -3364,6 +3364,137 @@ object RetrievalQueries {
        ORDER BY phase, rank"""
   }
 
+  /** q193's drain boundary: the graph append contract requires
+    * monotonically GROWING ids (insertion order is graph content), so
+    * unlike q187 the delta must sit ABOVE the base — the top 100 doc
+    * ids drain while everything below them serves as the base. */
+  private def q193Cut(s: SparkSession, dir: String): Long =
+    Memo.cachedCount(s, dir, "q193_cut") {
+      graft.sources.Tables.load(s, dir, "documents")
+        .agg(max(col("doc_id"))).head().getLong(0) - 99L
+    }
+
+  /** q193's staged feed: the top-100 doc ids as four EXPLICIT quarter
+    * files with pinned ascending mtimes (the q187Stage shape, cut at
+    * [[q193Cut]] so batch ids grow past the base). */
+  private[graft] def q193Stage(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "q193_stage") {
+      val cut = q193Cut(s, dir)
+      val p = PipelineQueries.roundtripPath(dir, "q193_feed")
+      graft.FileTree.delete(new java.io.File(p))
+      val d = graft.sources.Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      def partFiles(): Set[java.io.File] =
+        Option(new java.io.File(p).listFiles()).toSeq.flatten
+          .filter(_.getName.startsWith("part-")).toSet
+      val written = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+      (0 until 4).foreach { b =>
+        val before = partFiles()
+        d.filter(col("doc_id") >= cut + b * 25 && col("doc_id") < cut + (b + 1) * 25)
+          .coalesce(1).write.mode("append").parquet(p)
+        val fresh = (partFiles() -- before).toSeq.sortBy(_.getName)
+        require(fresh.size == 1, s"q193 stage batch $b wrote ${fresh.size} files")
+        written ++= fresh
+      }
+      PipelineQueries.pinAscendingMtimes(written.toSeq)
+      p
+    }
+
+  /** EMBEDDER UPGRADE UNDER LIVE INGEST, GRAPH FAMILY — the last cell
+    * of the (upgrade × ingest) matrix (IVF q187, lexical q191, SQ8
+    * q192; the graph row q120 is a routing refresh, not a featurizer
+    * swap). The base corpus serves from a v1-featurized graph index
+    * while the top-100 doc slice drains in four ordered micro-batches
+    * through the EXACTLY-ONCE append (every batch delivered twice —
+    * the at-least-once contract — over a DURABLE checkpoint whose
+    * post-drain watermark sweeps the ledger: the q185 discipline plus
+    * the round-17 retirement path, both gated). Batches 0–1 embed
+    * with v1 and append; after batch 1 [[graft.search.GraphAnn
+    * .upgradeIndex]] fires MID-DRAIN — everything ingested so far
+    * re-embedded from TEXT under v2, fresh routing trained on the new
+    * space, staged generation, ordered CURRENT flip — and batches
+    * 2–3 embed with v2 and append INTO THE FLIPPED GENERATION (the
+    * append resolves the live pointer per batch, so post-upgrade
+    * ingest routes under the new geometry automatically). The
+    * composed gate: final nodes ≡ ONE clean v2 [[graft.search
+    * .GraphAnn.writeIndexWith]] over the full corpus UNDER THE
+    * UPGRADED ROUTING, bit for bit — as if the model had always been
+    * v2 and the stream had never stopped (it didn't). Rows-only per
+    * the graph ✗ discipline (construction is not SQL-expressible);
+    * the bit-identity require IS the gate, GraphAnnSpec pins the
+    * upgrade API's forgotten-stays-forgotten leg. */
+  def q193GraphUpgradeUnderIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.search.GraphAnn
+    val d = graft.sources.Tables.load(s, dir, "documents")
+    val cut = q193Cut(s, dir)
+    def feats(df: DataFrame) =
+      graft.embed.Embed.embedDocs(df, "doc_id", "text",
+          new graft.embed.PortableHashEmbedder(64))
+        .select(col("doc_id"), col("vec").cast("array<double>").as("v"))
+    def v2text(df: DataFrame) =
+      df.select(col("doc_id"), concat(lit("v2 "), col("text")).as("text"))
+    val path = PipelineQueries.roundtripPath(dir, "q193")
+    val ckpt = PipelineQueries.roundtripPath(dir, "q193_ckpt")
+    graft.FileTree.delete(new java.io.File(path))
+    graft.FileTree.delete(new java.io.File(ckpt))
+    val base = d.filter(col("doc_id") < cut)
+    val parts = math.max(8,
+      math.ceil(base.count().toDouble / graphTargetPart).toInt)
+    GraphAnn.writeIndex(feats(base), "doc_id", "v", graphM, graphEf,
+      parts, path)
+    val genBefore = GraphAnn.currentGeneration(path)
+    val ledger = new java.io.File(path, "applied__appends")
+    val stage = q193Stage(s, dir)
+    val schema = s.read.parquet(stage).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    graft.streaming.Streaming.runForeachBatchResumable(s, src, ckpt,
+      (batch, bid) => {
+        val b = batch.localCheckpoint()
+        def deliver(): Unit = GraphAnn.appendToIndexIdempotent(s, path,
+          feats(if (bid <= 1L) b else v2text(b)), "doc_id", "v", bid)
+        deliver()
+        deliver() // the at-least-once re-delivery, every batch
+        if (bid == 1L) {
+          // THE UPGRADE, mid-drain: everything ingested so far,
+          // re-featurized from text under v2; fresh routing on the
+          // new space; staged generation; ordered flip. Batch 2 is
+          // already staged behind this callback — the stream never
+          // pauses.
+          GraphAnn.upgradeIndex(s, path,
+            feats(v2text(d.filter(col("doc_id") < cut + 50))),
+            "doc_id", "v", parts)
+        }
+      }, sweepLedgers = Seq(ledger))
+    require(GraphAnn.currentGeneration(path) != genBefore,
+      "q193: the mid-drain upgrade must commit a new generation")
+    // the round-17 retirement gate: the drain's watermark swept every
+    // committed marker — the ledger is O(live window), yet nothing
+    // was re-applied (the bit-identity gate below would catch it)
+    val markers = Option(ledger.listFiles()).toSeq.flatten.map(_.getName)
+    require(!markers.exists(_.startsWith("b")),
+      s"q193: the post-drain sweep must retire every committed marker, got $markers")
+    require(!markers.exists(_.startsWith("i")),
+      s"q193: no intent may survive a clean drain, got $markers")
+    // the composed gate: final nodes ≡ one clean v2 build of the FULL
+    // corpus under the UPGRADED routing, bit for bit — upgrade,
+    // post-upgrade ingest and double deliveries all collapse to the
+    // one index a never-interrupted v2 stream would have built
+    val rebuilt = PipelineQueries.roundtripPath(dir, "q193_rebuild")
+    GraphAnn.writeIndexWith(
+      s.read.parquet(GraphAnn.tablePath(path, "routing")),
+      feats(v2text(d)), "doc_id", "v", graphM, graphEf, rebuilt)
+    def nodes(p: String) = s.read.parquet(GraphAnn.tablePath(p, "nodes"))
+      .select(col("part"), col("id"), col("vec"), col("nbrs"))
+    require(nodes(path).exceptAll(nodes(rebuilt)).isEmpty &&
+        nodes(rebuilt).exceptAll(nodes(path)).isEmpty,
+      "q193: upgrade-under-ingest must equal the clean v2 build bit for bit")
+    GraphAnn.searchIndex(s, path, "doc_id",
+      feats(v2text(d.filter(col("doc_id") === 1)))
+        .select(col("v").as("qv")), "qv", 10, graphEf)
+      .orderBy("rank")
+  }
+
   /** R2 (third scale path): product-quantization ADC search — a
     * 16-entry codebook over 8 subspaces of 8 dims, every data vector
     * scored through its reconstruction. Same query point as q45 so
@@ -3611,11 +3742,26 @@ object RetrievalQueries {
         .select(lit("graph").as("method"),
           lit(s"m=$graphM parts=$parts ef=$ef probe=${math.min(probe, parts)}")
             .as("knob"), col("recall"))
+    // the FIXED-COUNT serving default (autoProbe, round 17: P constant
+    // in parts, the SPANN shape) rides the dial with its floor PINNED
+    // in-query — the default regime must never silently sink below
+    // the spec floor as the corpus (and with it parts) grows
+    val defProbe = graphProbeFor(s, dir)
+    val defRecall = row(graphEf, defProbe)
+      .select(col("recall")).head().getDouble(0)
+    require(defRecall >= 0.9,
+      s"q95: the fixed-count serving default (probe=$defProbe of " +
+        s"$parts) reads recall $defRecall — below the 0.9 floor; " +
+        "the autoProbe constant no longer holds at this scale")
     // two dials on the shared at-rest index: the ef beam width at full
-    // probe, and the routed probe count (the nprobe trade) at ef=48
-    (Seq(recallK, 24, graphEf).map(ef => row(ef, parts)) ++
-      Seq(1, math.max(2, parts / 4), math.max(4, parts / 2)).map(p =>
-        row(graphEf, p)))
+    // probe, and the routed probe count (the nprobe trade) at ef=48 —
+    // including the fixed-P default regime (distinct: at spec scale
+    // the default IS the full probe, so the row already exists)
+    (Seq(recallK, 24, graphEf).map(ef => (ef, parts)) ++
+      Seq(1, math.max(2, parts / 4), math.max(4, parts / 2), defProbe)
+        .map(p => (graphEf, math.min(p, parts))))
+      .distinct
+      .map { case (ef, p) => row(ef, p) }
       .reduce(_ union _)
       .orderBy("method", "knob")
   }
@@ -6953,6 +7099,7 @@ $sqRows)
     "q97_graph_append" -> (q97GraphAppend _),
     "q99_stream_index" -> (q99StreamIndex _),
     "q190_graph_exactly_once" -> (q190GraphExactlyOnce _),
+    "q193_graph_upgrade_under_ingest" -> (q193GraphUpgradeUnderIngest _),
     "q116_graph_reroute" -> (q116GraphReroute _),
     "q120_stream_reroute" -> (q120StreamReroute _),
     "q89_embedding_pc" -> (q89EmbeddingPc _),

@@ -124,6 +124,45 @@ object Scratch {
       }
       spark.stop(); return
     }
+    // round 17: the FIXED-COUNT probing regime — recall at CONSTANT
+    // probe counts (P independent of parts, the SPANN serving shape)
+    // below the coverage-0.75 floor the round-11 sweep stopped at.
+    // Run against /tmp/graft_scale_10x (parts=40) and _30x (parts=120)
+    // to decide whether autoProbe's default can drop its linear term.
+    if (args.contains("graphfixed")) {
+      import org.apache.spark.sql.functions._
+      val e = graft.sources.Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .localCheckpoint()
+      val n = e.count()
+      val parts = math.max(8, math.ceil(n.toDouble / 500).toInt)
+      val nq = 50; val k = 10
+      val qs = e.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("qid"), col("v").as("qv")).localCheckpoint()
+      val exact = graft.search.Search.multiTopK(e, "vec_id", "v", qs, "qid", "qv", k)
+        .select(col("qid"), col("vec_id")).localCheckpoint()
+      val exactN = exact.count().toDouble
+      val path = s"/tmp/graft_fixed/graph_r3_p$parts"
+      if (!new java.io.File(s"$path/nodes").isDirectory) {
+        val t0 = System.nanoTime()
+        graft.search.GraphAnn.writeIndex(e, "vec_id", "v", 8, 48, parts, path)
+        println(f"GRAPHFIXED build parts=$parts ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      for (probe <- Seq(2, 3, 4, 6, 8, 12, 16, 24).filter(_ <= parts)
+             ++ Seq(parts);
+           ef <- Seq(48, 96)) {
+        val t1 = System.nanoTime()
+        val hits = exact.join(
+          graft.search.GraphAnn.searchIndexMulti(spark, path, "vec_id",
+            qs, "qid", "qv", k, ef, probeParts = probe)
+            .select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_semi").count()
+        println(f"GRAPHFIXED sf=$dir%s parts=$parts probe=$probe " +
+          f"cov=${probe * 3.0 / parts}%.2f ef=$ef " +
+          f"recall=${hits / exactN}%.4f sec=${(System.nanoTime() - t1) / 1e9}%.1f")
+      }
+      spark.stop(); return
+    }
     // round 10: routed-graph recall sweep — (replication, probe, ef)
     // dials at the CURRENT sf, 50 queries, vs the exact top-10
     if (args.contains("graphsweep")) {

@@ -337,26 +337,38 @@ object GraphAnn {
     * ≥0.95 recall target at half-probe serving. */
   private[graft] val DefaultReplicas = 3
 
-  /** Scale-aware serving default: the probe count that holds the
-    * measured recall floor as a function of the index's OWN
-    * replication factor (read from the routing table at serving
-    * time — the at-rest record of cell occupancy), rather than a
-    * fixed parts/2. coverage ≈ probe/parts × R is the expected
-    * number of a neighbor's cells among the probed ones; the sweep
-    * measured coverage 1.5 as the knee (R=3 → parts/2 → 0.978,
-    * R=2 → 3·parts/4 → 0.986 at sf0.1; fractions below it fall
-    * under 0.95). CONFIRMED AT TWO FURTHER SCALE POINTS (round 11,
-    * 50 queries, recall@10 vs exact): parts 8 → 40 (10× corpus) and
-    * 8 → 120 (30×), coverage ∈ {0.75, 1.0, 1.5, 2.0, full} — at
-    * BOTH, recall at coverage 1.5 is bit-identical to the full
-    * unpruned scan (R=3: 0.944/0.978 at ef=48/96 at 10×,
-    * 0.984/0.992 at 30×), i.e. routing loss at the knee is ZERO and
-    * the residual recall dial is the beam width ef, not coverage.
-    * The knee constant is scale-stable across 8/40/120 cells; see
-    * SCALE.md's coverage-sweep rows. */
+  /** Scale-aware serving default — FIXED-COUNT probing (round 17).
+    * The pre-17 default probed coverage 1.5, i.e. ceil(1.5·parts/R)
+    * cells: a constant FRACTION of the index, which at fleet scale
+    * reads half the index per serve. The round-17 fixed-count sweep
+    * (Scratch `graphfixed`, 50 queries, recall@10 vs exact, R=3,
+    * ef ∈ {48, 96}) retired the fraction: at 10× (parts=40) recall
+    * is BIT-IDENTICAL to the full unpruned scan from P=3 upward
+    * (0.944/0.978 — the same values the round-11 coverage sweep
+    * measured at coverage 0.75–full), and at 30× (parts=120)
+    * likewise from P=3 (0.984/0.992), with even P=2 (coverage 0.05)
+    * reading 0.972/0.980. Routing loss at a CONSTANT probe count is
+    * zero across the measured decade; the residual recall dial is
+    * the beam width ef, not coverage — exactly the SPANN serving
+    * shape (probe a fixed count of closest cells).
+    *
+    * Default therefore: P = 8 (2.7× the measured-flat P=3, full
+    * scan below 8 cells) for replicas ≥ 3 indexes — the shipped
+    * [[DefaultReplicas]]. Two guards keep it inside the measured
+    * envelope: (1) beyond parts = 8R/0.05 ≈ 480 cells the probe
+    * grows at the LOWEST measured recall-holding coverage (0.05 per
+    * 3 replicas) instead of staying constant into unmeasured
+    * territory — still 30× below the old parts/2 constant, and
+    * flippable to pure-fixed once the next decade is measured;
+    * (2) R < 3 indexes keep the old coverage-1.5 knee (fixed-count
+    * was measured at R=3; R=2's round-11 floor is coverage 0.75). */
   private[graft] def autoProbe(parts: Int, replicas: Int): Int =
-    math.min(parts,
-      math.max(2, math.ceil(1.5 * parts / math.max(1, replicas)).toInt))
+    if (replicas < 3)
+      math.min(parts,
+        math.max(2, math.ceil(1.5 * parts / math.max(1, replicas)).toInt))
+    else
+      math.min(parts,
+        math.max(8, math.ceil(0.05 * parts * 3.0 / replicas).toInt))
 
   /** Sentinel for `probeParts`: resolve the probe count from the
     * index's routing table via [[autoProbe]]. */
@@ -1006,6 +1018,57 @@ object GraphAnn {
   def refreshRouting(spark: SparkSession, path: String, parts: Int,
                      outPath: String): Unit =
     refreshRoutingInto(spark, resolveRoot(path), parts, outPath)
+
+  /** EMBEDDER-UPGRADE REBUILD IN PLACE — the graph twin of the IVF
+    * upgrade recipe (q141/q187: [[IVF.writeIndexFrom]] staged at the
+    * SAME path): the caller re-featurized its corpus from text under
+    * a new model and hands the new-space vectors here; the index
+    * rebuilds completely — fresh routing trained on the new space
+    * ([[routingFor]]; old routing vectors live in the OLD feature
+    * space and would route the new one arbitrarily), per-cell graphs
+    * from scratch, build knobs (m/efC/replicas) carried from the
+    * live index so the upgraded index is the same graph family —
+    * staged under a fence-claimed `gen__vN` and committed with the
+    * ordered CURRENT flip. Serving pins keep the superseded
+    * generation for the grace cycle; the ingest drain keeps flowing
+    * (its next append resolves the flipped pointer and routes under
+    * the new geometry automatically — q193 composes exactly this).
+    *
+    * FORGOTTEN STAYS FORGOTTEN: ids tombstoned in the live
+    * generation are anti-joined out of the upgrade corpus — the
+    * upgrade sources from CALLER text, so without this a routine
+    * model swap would silently resurrect deleted content (the IVF
+    * round-16 writeIndexFrom lesson, applied here). Refuses while an
+    * idempotent append is mid-recovery (the standing-intent guard
+    * every graph rewrite honors). */
+  def upgradeIndex(spark: SparkSession, path: String, docs: DataFrame,
+                   idCol: String, vecCol: String, parts: Int): Unit = {
+    import spark.implicits._
+    Search.requireIntegralId(docs, idCol, "GraphAnn.upgradeIndex")
+    requireNoInflightAppends(path, "upgradeIndex")
+    val prevGen = currentGeneration(path)
+    val root = genRoot(path, prevGen)
+    requireRouted(root, "upgradeIndex")
+    val paramsDf = spark.read.parquet(s"$root/params")
+    val (m, efC, replicas) = paramsDf
+      .select(col("m").cast("int"), col("efC").cast("int"),
+        (if (paramsDf.columns.contains("replicas"))
+          col("replicas").cast("int") else lit(2)).as("replicas"))
+      .as[(Int, Int, Int)].head()
+    val td = s"$root/tombstones"
+    val src =
+      if (!new java.io.File(td).isDirectory) docs
+      else docs.join(
+        broadcast(spark.read.parquet(td).select(col("id").as("__tid"))),
+        docs(idCol).cast("long") === col("__tid"), "left_anti")
+    val (newGen, fenceV) = claimNextGen(path, "GraphAnn.upgradeIndex")
+    writeIndexWith(routingFor(src, idCol, vecCol, parts), src, idCol,
+      vecCol, m, efC, s"$path/$newGen", replicas)
+    flipCurrent(path, newGen)
+    graft.WriterFence.sweep(new java.io.File(path), FencePrefix, fenceV)
+    staleGenerations(path, keep = Set(newGen, prevGen))
+      .foreach(graft.FileTree.delete)
+  }
 
   /** TOMBSTONE DELETE — the right-to-be-forgotten op on the index
     * family whose at-rest structure cannot drop rows in place: a

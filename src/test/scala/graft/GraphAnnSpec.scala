@@ -862,6 +862,48 @@ class GraphAnnSpec extends SparkSpec {
       "recovery must serve the exact pre-crash answers")
   }
 
+  test("upgradeIndex: new-space rebuild flips a generation, equals the clean build, never resurrects tombstoned ids") {
+    val path = java.nio.file.Files.createTempDirectory("graphann_upg").toString
+    GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, path)
+    val doomed = emb.filter(col("vec_id") % 9 === 2).select(col("vec_id"))
+    GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id")
+    val gen0 = GraphAnn.currentGeneration(path)
+    // the "new model": a deterministic different feature space
+    val v2 = emb.select(col("vec_id"), reverse(col("v")).as("v"))
+    GraphAnn.upgradeIndex(spark, path, v2, "vec_id", "v", parts = 4)
+    assert(GraphAnn.currentGeneration(path) != gen0,
+      "the upgrade must commit through a fresh generation")
+    // forgotten stays forgotten: the upgrade sourced from caller
+    // vectors that still contain the doomed ids — the standing
+    // sidecar must have anti-joined them out of the new generation
+    val ids = spark.read.parquet(GraphAnn.tablePath(path, "nodes"))
+      .select(col("id")).distinct().as[Long].collect().toSet
+    val doomedIds = doomed.as[Long].collect().toSet
+    assert(doomedIds.nonEmpty && doomedIds.forall(!ids.contains(_)),
+      "a routine model upgrade must never resurrect deleted content")
+    assert(ids == emb.select(col("vec_id")).as[Long].collect().toSet -- doomedIds)
+    // upgrade ≡ clean build of the survivors in the new space under
+    // the upgraded routing, bit for bit (the q141 equivalence on the
+    // graph family)
+    val clean = java.nio.file.Files.createTempDirectory("graphann_upg_c").toString
+    GraphAnn.writeIndexWith(
+      spark.read.parquet(GraphAnn.tablePath(path, "routing")),
+      v2.join(doomed, Seq("vec_id"), "left_anti"), "vec_id", "v",
+      8, 48, clean)
+    def nodes(p: String) = spark.read.parquet(GraphAnn.tablePath(p, "nodes"))
+      .select(col("part"), col("id"), col("vec"), col("nbrs"))
+    assert(nodes(path).exceptAll(nodes(clean)).isEmpty &&
+      nodes(clean).exceptAll(nodes(path)).isEmpty)
+    // the standing-intent guard holds on the upgrade path too
+    val intent = new java.io.File(s"$path/applied__appends/i7")
+    intent.getParentFile.mkdirs()
+    java.nio.file.Files.createFile(intent.toPath)
+    val ex = intercept[IllegalArgumentException] {
+      GraphAnn.upgradeIndex(spark, path, v2, "vec_id", "v", parts = 4)
+    }
+    assert(ex.getMessage.contains("mid-recovery"))
+  }
+
   test("distributed routing: routeQueriesDf's cells equal the driver-side reference bit for bit") {
     // round 17 moved per-query cell selection off the driver (the
     // routing table is corpus-proportional at fleet scale); the
