@@ -121,8 +121,14 @@ object Bench {
     val reruns: Map[String, Double] = queries0.collect {
       case (name, (sec, None))
         if prior.get(name).exists(p => sec > math.max(2 * p, p + 2.0)) =>
-        name -> timed(name,
+        val second = timed(name,
           () => { SparkEntry.queries(name)(spark, sfDir).count(); () })._2._1
+        // WARM-SKEW GUARD: a query that rides a session memo re-runs
+        // against the warm artifact — a re-run far BELOW its prior is
+        // measuring the memo, not the query; clamp to the prior so
+        // the correction can remove contention but never fabricate a
+        // speedup the first pass didn't earn
+        name -> math.max(second, prior(name) / 2)
     }.toMap
     val queries = queries0.map { case (k, (v, e)) =>
       (k, (reruns.get(k).fold(v)(math.min(v, _)), e))

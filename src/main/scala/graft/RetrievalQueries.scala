@@ -3484,7 +3484,7 @@ object RetrievalQueries {
     GraphAnn.writeIndexWith(
       s.read.parquet(GraphAnn.tablePath(path, "routing")),
       feats(v2text(d)), "doc_id", "v", graphM, graphEf, rebuilt)
-    def nodes(p: String) = s.read.parquet(GraphAnn.tablePath(p, "nodes"))
+    def nodes(p: String) = GraphAnn.nodesDf(s, p)
       .select(col("part"), col("id"), col("vec"), col("nbrs"))
     require(nodes(path).exceptAll(nodes(rebuilt)).isEmpty &&
         nodes(rebuilt).exceptAll(nodes(path)).isEmpty,
@@ -3857,7 +3857,7 @@ object RetrievalQueries {
     * O(index) exceptAll equality that lives in GraphAnnSpec
     * (q116/q120 discipline, hardened per the round-13 advisory). */
   private def cellSignature(s: SparkSession, p: String): Seq[(Long, Long)] =
-    s.read.parquet(graft.search.GraphAnn.tablePath(p, "nodes"))
+    graft.search.GraphAnn.nodesDf(s, p)
       .select(col("part").cast("long").as("part"),
         hash(col("id"), col("nbrs")).cast("long").as("h"))
       .groupBy("part").agg(sum(col("h")).as("sig"))
@@ -4092,9 +4092,8 @@ object RetrievalQueries {
     // the index's total node mass before the refresh (parts-sized
     // meta read) — the refresh retrains routing and re-partitions,
     // it must never gain or lose a node copy
-    val massBefore = s.read
-      .parquet(graft.search.GraphAnn.tablePath(path, "meta"))
-      .agg(sum(col("n")).cast("long")).head().getLong(0)
+    val massBefore =
+      graft.search.GraphAnn.cellCounts(s, path).map(_._2).sum
     val genBefore = graft.search.GraphAnn.currentGeneration(path)
     // IN-PLACE refresh: stage a fresh generation, commit with the
     // atomic CURRENT flip — serving below resolves the pointer
@@ -4117,9 +4116,8 @@ object RetrievalQueries {
       .parquet(graft.search.GraphAnn.tablePath(path, "routing")).count()
     require(routingRows >= 1 && routingRows <= parts.toLong,
       s"q116: refreshed routing must have 1..$parts cells, got $routingRows")
-    val massAfter = s.read
-      .parquet(graft.search.GraphAnn.tablePath(path, "meta"))
-      .agg(sum(col("n")).cast("long")).head().getLong(0)
+    val massAfter =
+      graft.search.GraphAnn.cellCounts(s, path).map(_._2).sum
     require(massAfter == massBefore,
       s"q116: refresh changed total node mass $massBefore -> $massAfter")
     graft.search.GraphAnn.searchIndex(s, path, "vec_id",
@@ -4230,11 +4228,12 @@ object RetrievalQueries {
     // composition at the artifact level.
     def sidecar(p: String, t: String) =
       s.read.parquet(graft.search.GraphAnn.tablePath(p, t))
-    Seq("routing", "meta").foreach { t =>
-      require(sidecar(path, t).exceptAll(sidecar(pathB, t)).isEmpty &&
-          sidecar(pathB, t).exceptAll(sidecar(path, t)).isEmpty,
-        s"q120: streamed lifecycle's $t table must equal the batch replay's")
-    }
+    require(sidecar(path, "routing").exceptAll(sidecar(pathB, "routing")).isEmpty &&
+        sidecar(pathB, "routing").exceptAll(sidecar(path, "routing")).isEmpty,
+      "q120: streamed lifecycle's routing table must equal the batch replay's")
+    require(graft.search.GraphAnn.cellCounts(s, path) ==
+        graft.search.GraphAnn.cellCounts(s, pathB),
+      "q120: streamed lifecycle's cell occupancy must equal the batch replay's")
     graft.search.GraphAnn.searchIndex(s, path, "vec_id",
       e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv", 10, graphEf,
       probeParts = graphProbeFor(s, dir))
@@ -4424,6 +4423,101 @@ object RetrievalQueries {
                     rerank: Int): DataFrame =
     recallRow(graft.search.SQ.sqMultiTopK(emb(s, dir), "vec_id", "v",
       qs, "qid", "qv", recallK, rerank), "sq", s"rerank=$rerank")
+
+  /** SCALE-AWARE INDEX GEOMETRY (round 17 — the fleet-shape dial the
+    * fixture-pinned knobs cannot measure): every other IVF row pins
+    * K = $ivfK cells, the spec-scale constant; here K = ⌈√N⌉ DERIVES
+    * from the corpus — the standard IVF sizing rule (√N cells of √N
+    * vectors balance the quantizer scoring term against the probed
+    * list scan, both O(√N) per query), the geometry a 100 TB
+    * deployment actually runs. The dial reads recall at
+    * nprobe ∈ {1, 2, ⌈√K⌉, K}: the FULL-probe row is pinned EXACTLY
+    * 1.0 in-query (probing every cell of an exact-vector index is the
+    * exact scan — the q182 discipline), so the partial rows are
+    * measured routing loss at derived-K geometry, not noise. Fully
+    * oracled: the SQL derives the same K with CEIL(SQRT(COUNT(*)))
+    * and replays the same LCG centroid sample, assignment, probe and
+    * top-k. ScaleProbe re-reads the dial at 10×/30× (K 45 → 142 →
+    * 245), where the derived geometry's probe cost per query stays
+    * O(√N) — the SCALE.md row. */
+  def q194IvfDerivedK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    val cents = Memo.cached(s, dir, "q194_cents")(
+      graft.search.IVF.centroids(e, "vec_id", "v", k))
+    val assigned = Memo.cached(s, dir, "q194_assigned")(
+      graft.search.IVF.assign(e, "vec_id", "v", cents))
+    val qs = e.filter(col("vec_id") < recallNq)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = Search.multiTopK(e, "vec_id", "v", qs, "qid", "qv", recallK)
+      .select(col("qid"), col("vec_id")).localCheckpoint()
+    def row(nprobe: Int, knob: String): DataFrame =
+      exact.join(graft.search.IVF.ivfMultiTopKAssigned(assigned, cents,
+            "vec_id", "v", qs, "qid", "qv", recallK, nprobe)
+          .select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_semi")
+        .agg(round(count(lit(1)) / lit((recallNq * recallK).toDouble), 4)
+          .as("recall"))
+        .select(lit("ivf").as("method"), lit(knob).as("knob"), col("recall"))
+    val full = row(k, "k=sqrt_n nprobe=full").localCheckpoint()
+    require(full.select(col("recall")).head().getDouble(0) == 1.0,
+      "q194: the full-probe row over an exact-vector index IS the " +
+        "exact scan and must read recall 1.0")
+    Seq(row(1, "k=sqrt_n nprobe=1"), row(2, "k=sqrt_n nprobe=2"),
+      row(math.ceil(math.sqrt(k.toDouble)).toInt, "k=sqrt_n nprobe=sqrt_k"),
+      full)
+      .reduce(_ union _)
+      .orderBy("knob")
+  }
+
+  /** q194's replay: K and ⌈√K⌉ derive from COUNT(*) in SQL, the
+    * centroid sample is the shared LCG rank ordering, and each knob
+    * leg filters the per-query centroid ranking at its own nprobe. */
+  val q194Sql: String = {
+    def leg(tag: String, rlimit: String, label: String): String =
+      s"""cand$tag AS (SELECT pr.qid, x.vec_id,
+             list_dot_product(x.v, pr.qv) AS sc
+           FROM pr JOIN a x ON x.cid = pr.cid
+           WHERE pr.r <= ($rlimit)),
+       top$tag AS (SELECT qid, vec_id FROM (
+           SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS r
+           FROM cand$tag) WHERE r <= $recallK),
+       r$tag AS (SELECT 'ivf' AS method, '$label' AS knob,
+           ROUND(COUNT(*) / ${recallNq * recallK}.0, 4) AS recall
+           FROM ex JOIN top$tag USING (qid, vec_id))"""
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       kk AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS k FROM e),
+       c AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e) WHERE cid < (SELECT k FROM kk)),
+       a AS (SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cvec) DESC, c.cid) AS r
+           FROM e, c) WHERE r = 1),
+       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $recallNq),
+       ex AS (SELECT qid, vec_id FROM (
+           SELECT q.qid, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(e.v, q.qv) DESC, e.vec_id) AS r
+           FROM e, q) WHERE r <= $recallK),
+       pr AS (SELECT qid, qv, cid, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY sc DESC, cid) AS r
+           FROM (SELECT q.qid, q.qv, c.cid,
+               list_dot_product(q.qv, c.cvec) AS sc FROM q, c)),
+       ${leg("n1", "1", "k=sqrt_n nprobe=1")},
+       ${leg("n2", "2", "k=sqrt_n nprobe=2")},
+       ${leg("ns", "SELECT CAST(CEIL(SQRT(k)) AS BIGINT) FROM kk", "k=sqrt_n nprobe=sqrt_k")},
+       ${leg("nf", "SELECT k FROM kk", "k=sqrt_n nprobe=full")}
+       SELECT method, knob, recall FROM rn1
+       UNION ALL SELECT method, knob, recall FROM rn2
+       UNION ALL SELECT method, knob, recall FROM rns
+       UNION ALL SELECT method, knob, recall FROM rnf
+       ORDER BY knob"""
+  }
 
   val q48Sql: String = {
     val bucket = bucketSql(annBits)
@@ -5819,7 +5913,7 @@ $sqRows)
     cloneTree(graphIndexPath(s, dir), path)
     val delIds = e.filter(col("vec_id") % 9 === 4).select(col("vec_id"))
     val nReq = Memo.cachedCount(s, dir, "q145_ndel")(delIds.count())
-    val nodesBefore = s.read.parquet(GraphAnn.tablePath(path, "nodes"))
+    val nodesBefore = GraphAnn.nodesDf(s, path)
     val massBefore = nodesBefore.count()
     // every replica copy of a deleted id must go (column-pruned count)
     val delCopies = nodesBefore
@@ -5846,7 +5940,7 @@ $sqRows)
     require(!new java.io.File(GraphAnn.tablePath(path, "tombstones"))
         .isDirectory,
       "q145: the new generation must start with a clean tombstone sidecar")
-    require(s.read.parquet(GraphAnn.tablePath(path, "nodes")).count()
+    require(GraphAnn.nodesDf(s, path).count()
         == massBefore - delCopies,
       "q145: node mass must drop by exactly the deleted ids' replica copies")
     // equality holds for this query's SPREAD delete set (ef ≫
@@ -5894,7 +5988,7 @@ $sqRows)
     cloneTree(graphIndexPath(s, dir), path)
     val delIds = e.filter(col("vec_id") % 11 === 6).select(col("vec_id"))
     val nReq = Memo.cachedCount(s, dir, "q151_ndel")(delIds.count())
-    val nodesBefore = s.read.parquet(GraphAnn.tablePath(path, "nodes"))
+    val nodesBefore = GraphAnn.nodesDf(s, path)
     val massBefore = nodesBefore.count()
     val delCopies = nodesBefore
       .join(broadcast(delIds.select(col("vec_id").as("id"))), Seq("id"),
@@ -5926,7 +6020,7 @@ $sqRows)
     require(!new java.io.File(GraphAnn.tablePath(path, "tombstones"))
         .isDirectory,
       "q151: the refreshed generation must start with a clean sidecar")
-    require(s.read.parquet(GraphAnn.tablePath(path, "nodes")).count()
+    require(GraphAnn.nodesDf(s, path).count()
         == massBefore - delCopies,
       "q151: the refresh must drop exactly the deleted ids' replica copies")
     val refreshed = serve()
@@ -5990,10 +6084,19 @@ $sqRows)
       GraphAnn.appendToIndex(s, path,
         batch.select(col("vec_id"), col("v")), "vec_id", "v")
       if (bid == 1L) {
-        val np = GraphAnn.tablePath(path, "nodes")
-        val snapBefore = listFileSnap(np, "part=")
+        // deep snapshot of the CELL POOL (cells/p<P>/v<V>_n<N>/files):
+        // the hide must not open a single node file
+        def cellSnap(): Seq[(String, Long, Long)] = {
+          def walk(f: java.io.File, base: String): Seq[(String, Long, Long)] =
+            Option(f.listFiles()).toSeq.flatten.flatMap { c =>
+              if (c.isDirectory) walk(c, base + c.getName + "/")
+              else Seq((base + c.getName, c.length(), c.lastModified()))
+            }
+          walk(new java.io.File(s"$path/cells"), "").sortBy(_._1)
+        }
+        val snapBefore = cellSnap()
         nDel = GraphAnn.deleteFromIndex(s, path, delIds, "vec_id")
-        filesTouched = listFileSnap(np, "part=") != snapBefore
+        filesTouched = cellSnap() != snapBefore
       }
     })
     require(nDel == nReq,
@@ -6015,7 +6118,7 @@ $sqRows)
     val hidden = serve()
     require(hidden.forall(_._1 % 13 != 5),
       "q157: a tombstoned id surfaced in the mid-drain-deleted serve")
-    val nodesBefore = s.read.parquet(GraphAnn.tablePath(path, "nodes"))
+    val nodesBefore = GraphAnn.nodesDf(s, path)
     val massBefore = nodesBefore.count()
     val delCopies = nodesBefore
       .join(broadcast(delIds.select(col("vec_id").as("id"))), Seq("id"),
@@ -6028,7 +6131,7 @@ $sqRows)
     require(!new java.io.File(GraphAnn.tablePath(path, "tombstones"))
         .isDirectory,
       "q157: the new generation must start with a clean tombstone sidecar")
-    require(s.read.parquet(GraphAnn.tablePath(path, "nodes")).count()
+    require(GraphAnn.nodesDf(s, path).count()
         == massBefore - delCopies,
       "q157: node mass must drop by exactly the deleted ids' replica copies")
     val removed = serve()
@@ -7067,6 +7170,7 @@ $sqRows)
     "q17_noise_qa" -> (q17NoiseQa _),
     "q45_ann_ivf" -> (q45AnnIvf _),
     "q48_ann_recall" -> (q48AnnRecall _),
+    "q194_ivf_derived_k" -> (q194IvfDerivedK _),
     "q182_ivf_recall_deletion" -> (q182IvfRecallDeletion _),
     "q183_graph_recall_deletion" -> (q183GraphRecallDeletion _),
     "q18_fhe_sim" -> (q18FheSim _),
@@ -7154,6 +7258,7 @@ $sqRows)
     "q17_noise_qa" -> q17Sql,
     "q45_ann_ivf" -> q45Sql,
     "q48_ann_recall" -> q48Sql,
+    "q194_ivf_derived_k" -> q194Sql,
     "q182_ivf_recall_deletion" -> q182Sql,
     "q54_ivf_persist" -> q45Sql,
     "q18_fhe_sim" -> q18Sql,

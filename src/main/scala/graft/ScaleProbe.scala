@@ -143,7 +143,7 @@ object ScaleProbe {
           val path = s"/tmp/graft_cell_probe_$label"
           graft.FileTree.delete(new java.io.File(path))
           graft.FileTree.copy(new java.io.File(idx), new java.io.File(path))
-          val nodes = spark.read.parquet(GraphAnn.tablePath(path, "nodes"))
+          val nodes = GraphAnn.nodesDf(spark, path)
             .select(col("part").cast("int").as("part"), col("id"))
             .localCheckpoint()
           val parts = nodes.select("part").distinct().count()

@@ -124,6 +124,34 @@ object Scratch {
       }
       spark.stop(); return
     }
+    // round 17 debug: interleaved lifecycle copy-count probe
+    if (args.contains("graphdbg")) {
+      import org.apache.spark.sql.functions._
+      import graft.search.GraphAnn
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val path = "/tmp/graft_dbg/idx"
+      graft.FileTree.delete(new java.io.File("/tmp/graft_dbg"))
+      GraphAnn.writeIndex(e, "vec_id", "v", 8, 48, 8, path)
+      GraphAnn.refreshRouting(spark, path, 8)
+      GraphAnn.refreshRouting(spark, path, 8)
+      val gen2 = GraphAnn.currentGeneration(path)
+      val nMax = e.count()
+      val extra = e.limit(1)
+        .select((col("vec_id") + lit(10L * nMax)).as("vec_id"), col("v"))
+      GraphAnn.appendToIndex(spark, path, extra, "vec_id", "v")
+      val live = GraphAnn.nodesDfPinned(spark, path, gen2)
+        .filter(col("id") >= 10L * nMax)
+      println("COPIES=" + live.count())
+      live.select("part", "id").show(10)
+      println("cells p dirs:")
+      new java.io.File(s"$path/cells").listFiles().sortBy(_.getName).foreach { p =>
+        println("  " + p.getName + " -> " + p.listFiles().map(_.getName).sorted.mkString(","))
+      }
+      println("CELLS=" + new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$path/$gen2/CELLS"))))
+      spark.stop(); return
+    }
     // round 17: the FIXED-COUNT probing regime — recall at CONSTANT
     // probe counts (P independent of parts, the SPANN serving shape)
     // below the coverage-0.75 floor the round-11 sweep stopped at.
@@ -143,7 +171,7 @@ object Scratch {
         .select(col("qid"), col("vec_id")).localCheckpoint()
       val exactN = exact.count().toDouble
       val path = s"/tmp/graft_fixed/graph_r3_p$parts"
-      if (!new java.io.File(s"$path/nodes").isDirectory) {
+      if (!new java.io.File(s"$path/CELLS").isFile) {
         val t0 = System.nanoTime()
         graft.search.GraphAnn.writeIndex(e, "vec_id", "v", 8, 48, parts, path)
         println(f"GRAPHFIXED build parts=$parts ${(System.nanoTime() - t0) / 1e9}%.1fs")

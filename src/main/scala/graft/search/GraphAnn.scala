@@ -318,6 +318,269 @@ object GraphAnn {
   // scan of the index rows + beam search + the O(parts × ef) merge.
   // ------------------------------------------------------------------
 
+  // ------------------------------------------------------------------
+  // VERSIONED CELL POOL (round 17 — the per-part-generation layout the
+  // SCALE.md upgrade path named): node data lives OUTSIDE the
+  // generation roots, one immutable directory per (part, version) —
+  //
+  //   path/cells/p<P>/v<V>_n<N>/   (part, id, vec, nbrs) parquet,
+  //                               N = row count, baked into the name
+  //                               so the completeness gate needs no
+  //                               meta table read
+  //   path/<genroot>/CELLS        one line: the generation's cell
+  //                               VISIBILITY VERSION V_c
+  //   path/<genroot>/routing, params, tombstones   as before
+  //
+  // A generation resolves part P to the HIGHEST version ≤ its V_c —
+  // so a maintenance rewrite that claims version V and rebuilds only
+  // the TOUCHED cells carries every untouched part BY REFERENCE (its
+  // standing version still resolves), an append COMMITS atomically by
+  // replacing the live generation's one-line CELLS file (crash before
+  // it leaves only invisible orphan versions — the torn-job-commit
+  // window of the old in-place dynamic overwrite is gone
+  // structurally), and a PINNED superseded generation keeps resolving
+  // its own frozen V_c against the shared pool. Version uniqueness is
+  // the same fence-claimed space the generation names use, so a
+  // resolution can never tie. Cost shape: an append's driver-side
+  // file work is O(touched cells); only full builds and GC walk all
+  // parts, and both are O(index) operations by definition.
+  // ------------------------------------------------------------------
+
+  private def cellsRoot(idxPath: String) = new java.io.File(idxPath, "cells")
+
+  private val CellDir = "v(\\d+)_n(\\d+)".r
+
+  /** (version, rows, dir) for every at-rest version of `part`. One
+    * directory listing — O(versions of that part), never a data
+    * read. */
+  private def listCellVersions(idxPath: String, part: Int): Seq[(Int, Long, java.io.File)] =
+    Option(new java.io.File(cellsRoot(idxPath), s"p$part").listFiles())
+      .toSeq.flatten.flatMap { f =>
+        f.getName match {
+          case CellDir(v, n) if f.isDirectory => Some((v.toInt, n.toLong, f))
+          case _ => None
+        }
+      }
+
+  /** The cell `part` resolves to at visibility version `vc` — the
+    * highest at-rest version ≤ vc, None when the part has never had
+    * a cell (or only invisible orphans). */
+  private def resolveCell(idxPath: String, part: Int,
+                          vc: Int): Option[(Int, Long, java.io.File)] =
+    listCellVersions(idxPath, part).filter(_._1 <= vc)
+      .sortBy(-_._1).headOption
+
+  /** Every part id with at least one at-rest cell version. O(parts)
+    * listing — maintenance/full-scan callers only. NOTE: the pool can
+    * hold parts beyond a given generation's routing (a refresh can
+    * shrink the part count), so generation-scoped readers bound their
+    * part range by [[partsOf]], never by this listing. */
+  private def listParts(idxPath: String): Seq[Int] =
+    Option(cellsRoot(idxPath).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("p"))
+      .flatMap(f => scala.util.Try(f.getName.stripPrefix("p").toInt).toOption)
+      .sorted
+
+  /** The generation's valid part ids — its ROUTING TABLE's `part`
+    * column (NOT 0 until the count: Lloyd refinement drops cells
+    * whose members all migrate, so part ids can be non-contiguous).
+    * A parts-sized collect — full-scan and maintenance callers only;
+    * the serving path passes its probed parts explicitly. */
+  private def partIdsOf(spark: SparkSession, genRoot: String): Seq[Int] = {
+    import spark.implicits._
+    spark.read.parquet(s"$genRoot/routing")
+      .select(col("part").cast("int")).as[Int].collect().toSeq.sorted
+  }
+
+  /** The generation's cell visibility version (its `CELLS` file). */
+  private[graft] def cellsVersion(genRoot: String): Int = {
+    val f = new java.io.File(genRoot, "CELLS")
+    require(f.isFile,
+      s"GraphAnn: no CELLS visibility file under $genRoot — not a " +
+        "versioned-cell-pool graph index (rebuild with GraphAnn.writeIndex)")
+    new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+  }
+
+  /** Atomically replace the generation's CELLS file — an APPEND's
+    * commit point (tmp + ATOMIC_MOVE on a filesystem; a conditional
+    * small-object PUT on an object store). */
+  private def setCellsVersion(genRoot: String, v: Int): Unit = {
+    new java.io.File(genRoot).mkdirs()
+    val tmp = java.nio.file.Paths.get(s"$genRoot/CELLS.tmp")
+    java.nio.file.Files.write(tmp,
+      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$genRoot/CELLS"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Stage `nodes` (part, id, vec, nbrs) into the pool as version
+    * `version` cells — one Spark write partitioned by part, then one
+    * driver rename per TOUCHED part (`emptied` parts whose member set
+    * vanished get an explicit v<V>_n0 marker, so resolution never
+    * falls back to their pre-rewrite members — absence must mean
+    * "untouched", not "emptied"). Nothing is visible until the caller
+    * commits (CELLS bump or generation flip). Returns (part, n). */
+  private def writeCells(nodes: DataFrame, idxPath: String, version: Int,
+                         emptied: Set[Int] = Set.empty): Seq[(Int, Long)] = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    // NOT dot-prefixed: the staging dir is itself read back by the
+    // counts job (Spark's hidden-path filtering makes a dot-dir read
+    // warn today and is not a contract), and nothing ever lists the
+    // index root for parquet, so visibility costs nothing; stale
+    // stages from crashed writers sweep with the orphan cells
+    val stage = new java.io.File(idxPath, s"stage__cells_v$version")
+    graft.FileTree.delete(stage)
+    nodes.withColumn("__pdir", col("part"))
+      .write.mode("overwrite").partitionBy("__pdir").parquet(stage.getPath)
+    val counts = spark.read.parquet(stage.getPath)
+      .groupBy(col("__pdir").cast("int").as("part"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toSeq
+    counts.foreach { case (p, n) =>
+      val parent = new java.io.File(cellsRoot(idxPath), s"p$p")
+      parent.mkdirs()
+      // a same-version debris dir cannot exist (versions are
+      // fence-claimed once); clear defensively all the same
+      Option(parent.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith(s"v${version}_"))
+        .foreach(graft.FileTree.delete)
+      java.nio.file.Files.move(
+        new java.io.File(stage, s"__pdir=$p").toPath,
+        new java.io.File(parent, s"v${version}_n$n").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val present = counts.map(_._1).toSet
+    (emptied -- present).foreach { p =>
+      val parent = new java.io.File(cellsRoot(idxPath), s"p$p")
+      parent.mkdirs()
+      Option(parent.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith(s"v${version}_"))
+        .foreach(graft.FileTree.delete)
+      new java.io.File(parent, s"v${version}_n0").mkdirs()
+    }
+    graft.FileTree.delete(stage)
+    counts
+  }
+
+  private lazy val nodesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("part",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("vec",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+    org.apache.spark.sql.types.StructField("nbrs",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))))
+
+  /** The node rows a generation (genRoot, with the index's pool at
+    * `idxPath`) resolves for `parts` (None = every part — O(parts)
+    * listing, full-scan/maintenance callers only): one multi-path
+    * parquet read of exactly the resolved cell directories — path
+    * selection IS the partition pruning, no row filter needed.
+    * Returns the frame plus the resolved (part → n) completeness
+    * map. */
+  private def nodesAt(spark: SparkSession, idxPath: String, genRoot: String,
+                      parts: Option[Seq[Int]]): (DataFrame, Map[Int, Long]) = {
+    val vc = cellsVersion(genRoot)
+    val ps = parts.getOrElse(partIdsOf(spark, genRoot))
+    val resolved = ps.flatMap(p => resolveCell(idxPath, p, vc)
+      .map { case (_, n, dir) => (p, n, dir) })
+    val dirs = resolved.collect { case (_, n, dir) if n > 0 => dir.getPath }
+    val df =
+      if (dirs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          nodesSchema)
+      else spark.read.parquet(dirs: _*)
+        .select(col("part").cast("int").as("part"), col("id"), col("vec"),
+          col("nbrs"))
+    (df, resolved.collect { case (p, n, _) if n > 0 => p -> n }.toMap)
+  }
+
+  /** The LIVE generation's node rows of a versioned-pool graph index
+    * — the public read for gates, rebuild-equivalence checks and
+    * external consumers (the old `tablePath(path, "nodes")` parquet
+    * read; the nodes table is no longer one directory). Schema
+    * (part, id, vec, nbrs). */
+  def nodesDf(spark: SparkSession, path: String): DataFrame = {
+    val root = resolveRoot(path)
+    nodesAt(spark, indexPathOf(path, root), root, None)._1
+  }
+
+  /** [[nodesDf]] against a PINNED generation. */
+  def nodesDfPinned(spark: SparkSession, path: String, gen: String): DataFrame =
+    nodesAt(spark, path, pinnedRoot(path, gen), None)._1
+
+  /** (part, n) occupancy of the live generation, from the cell-pool
+    * listing — parts-sized, no data read (what the old `meta` table
+    * recorded; maintenance polls and gates read it). */
+  def cellCounts(spark: SparkSession, path: String): Seq[(Int, Long)] = {
+    val root = resolveRoot(path)
+    val idx = indexPathOf(path, root)
+    val vc = cellsVersion(root)
+    partIdsOf(spark, root).flatMap(p => resolveCell(idx, p, vc)
+      .collect { case (_, n, _) if n > 0 => p -> n })
+  }
+
+  /** The pool lives at the INDEX path even when the live generation
+    * is a `gen__vN` subdirectory — peel the generation suffix. */
+  private def indexPathOf(path: String, root: String): String =
+    if (root == path) path
+    else new java.io.File(root).getParentFile.getPath
+
+  /** Delete every cell version not resolved by any of `keepRoots`'
+    * visibility versions — the pool half of generation GC (the
+    * directory half is [[staleGenerations]]). Orphans from crashed
+    * appends (versions above every kept V_c) sweep too: the claim
+    * protocol guarantees the caller's own fresh version is the
+    * maximum, and a re-delivered batch re-stages under a NEW claim,
+    * never reuses an orphan. O(parts) listing — maintenance-time
+    * only. */
+  private def gcCells(spark: SparkSession, idxPath: String,
+                      keepRoots: Seq[String]): Unit = {
+    // keep is PER GENERATION: each kept root keeps the resolutions of
+    // ITS OWN routing's part range at ITS visibility version (a
+    // refresh can shrink the part count — the live generation must
+    // not keep alive parts only the superseded routing knew)
+    val keeps = keepRoots.map(r =>
+      (cellsVersion(r), partIdsOf(spark, r).toSet))
+    listParts(idxPath).foreach { p =>
+      val versions = listCellVersions(idxPath, p)
+      val keep = keeps.flatMap { case (vc, valid) =>
+        if (!valid.contains(p)) None
+        else versions.filter(_._1 <= vc).sortBy(-_._1).headOption.map(_._1)
+      }.toSet
+      versions.filterNot(v => keep.contains(v._1))
+        .foreach(v => graft.FileTree.delete(v._3))
+      if (keep.isEmpty)
+        graft.FileTree.delete(new java.io.File(cellsRoot(idxPath), s"p$p"))
+    }
+  }
+
+  /** Delete every pool version ABOVE the live visibility version —
+    * uncommitted orphans from a crashed append (nothing above the
+    * live V_c can be committed: committed appends bump it, committed
+    * maintenance flips to a generation whose V_c is its claim).
+    * Every maintenance rewrite runs this after claiming its version
+    * and before staging, so a later flip can never make a crashed
+    * partial batch resolvable. O(parts) listing — maintenance-time
+    * only; an append sweeps just its own touched parts. */
+  private def sweepOrphanCells(idxPath: String, vcLive: Int): Unit = {
+    listParts(idxPath).foreach { p =>
+      listCellVersions(idxPath, p).filter(_._1 > vcLive)
+        .foreach(x => graft.FileTree.delete(x._3))
+    }
+    // crashed writers' staging dirs are transient by construction —
+    // any standing one belongs to a claim that died before its move
+    Option(new java.io.File(idxPath).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("stage__cells_v"))
+      .foreach(graft.FileTree.delete)
+  }
+
   /** Lloyd iterations applied to the routing sample: routing quality
     * IS recall under pruning, so the graph index always trains its
     * quantizer — a one-off batch cost charged to the build, like
@@ -489,20 +752,18 @@ object GraphAnn {
                      idCol: String, vecCol: String,
                      m: Int, efC: Int, path: String,
                      replicas: Int = DefaultReplicas): Unit = {
-    Search.requireIntegralId(docs, idCol, "GraphAnn.writeIndex")
-    val spark = docs.sparkSession
-    import spark.implicits._
     // CREATE semantics for a direct build at this path: a leftover
-    // CURRENT pointer (plus its generation dirs) from a prior
-    // refreshed index would otherwise shadow the base tables this
-    // build is about to write — readers would resolve the stale
-    // generation instead of the new index
+    // CURRENT pointer (plus its generation dirs and cell pool) from a
+    // prior index would otherwise shadow or pollute the tables this
+    // build is about to write — readers would resolve stale state
+    // instead of the new index
     if (new java.io.File(s"$path/CURRENT").isFile) {
       java.nio.file.Files.delete(java.nio.file.Paths.get(s"$path/CURRENT"))
       Option(new java.io.File(path).listFiles()).toSeq.flatten
         .filter(f => f.isDirectory && f.getName.startsWith("gen__v"))
         .foreach(graft.FileTree.delete)
     }
+    graft.FileTree.delete(cellsRoot(path))
     // a leftover phase-1 tombstones sidecar from a prior index at
     // this path would silently hide legitimate ids from the fresh
     // index — CREATE semantics clear it unconditionally
@@ -512,14 +773,28 @@ object GraphAnn {
     // SKIP legitimate re-used batch ids (the ledger twin of the
     // stale-sidecar class — the ghost hides NEW data)
     graft.FileTree.delete(new java.io.File(s"$path/applied__appends"))
-    // the routing table is parts-sized — driver-small by contract
+    writeIndexInto(routing, docs, idCol, vecCol, m, efC,
+      idxPath = path, genRoot = path, version = 1, replicas = replicas)
+  }
+
+  /** The build kernel [[writeIndexWith]] and the staged in-place
+    * rebuilds share: cells land in `idxPath`'s pool at `version`
+    * (invisible until committed), the generation tables (routing,
+    * params, CELLS) land under `genRoot`. */
+  private def writeIndexInto(routing: DataFrame, docs: DataFrame,
+                             idCol: String, vecCol: String,
+                             m: Int, efC: Int, idxPath: String,
+                             genRoot: String, version: Int,
+                             replicas: Int): Unit = {
+    Search.requireIntegralId(docs, idCol, "GraphAnn.writeIndex")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the routing table is parts-sized — its count is a Spark job,
+    // never a collect
     val parts = routing.count().toInt
-    require(parts >= 1, s"routing table is empty under $path")
+    require(parts >= 1, s"routing table is empty under $idxPath")
     val routed = routing.select(col("part").cast("int").as("part"),
       col("rvec").cast("array<double>").as("rvec"),
-      // the replication factor rides the routing table so serving
-      // reads it from the collect it already does (no extra driver
-      // job per query against path/params)
       lit(replicas).as("replicas"))
     val nodes = assignParts(docs, idCol, vecCol, routed, replicas)
       // co-locate each part in one task (a task may hold several
@@ -540,14 +815,19 @@ object GraphAnn {
         }
       }
       .toDF("part", "id", "vec", "nbrs")
-    nodes.write.mode("overwrite").partitionBy("part").parquet(s"$path/nodes")
+    // a FULL build owns every part of its routing: parts the
+    // assignment left empty get explicit n0 markers, so this
+    // generation's resolution can never fall back to an older era's
+    // cell for them (part ids from the routing table — refinement
+    // can drop cells, leaving non-contiguous ids)
+    val partIds = routed.select(col("part")).distinct()
+      .as[Int](org.apache.spark.sql.Encoders.scalaInt).collect().toSet
+    writeCells(nodes, idxPath, version, emptied = partIds)
     routed.orderBy("part")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/routing")
-    spark.read.parquet(s"$path/nodes")
-      .groupBy(col("part")).agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$genRoot/routing")
     Seq((parts, m, efC, replicas)).toDF("parts", "m", "efC", "replicas")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+      .coalesce(1).write.mode("overwrite").parquet(s"$genRoot/params")
+    setCellsVersion(genRoot, version)
   }
 
   /** INCREMENTAL graph-index maintenance — the [[IVF.appendToIndex]]
@@ -556,9 +836,13 @@ object GraphAnn {
     * `src/pipeline/pipeline.py:131-134`): route each delta vector
     * through the index's OWN standing routing table, reconstruct
     * only the TOUCHED parts' adjacency, insert the delta nodes with
-    * the same beam-search-and-link rule the builder used, and rewrite
-    * just those part directories (dynamic partition overwrite —
-    * untouched parts stay at rest, byte for byte).
+    * the same beam-search-and-link rule the builder used, and stage
+    * just those cells as NEW POOL VERSIONS — untouched parts stay at
+    * rest byte for byte, and the batch COMMITS by atomically bumping
+    * the live generation's CELLS visibility version (round 17: the
+    * in-place dynamic overwrite and its torn-job-commit window are
+    * gone structurally — a crash at any point before the bump leaves
+    * only invisible orphan versions, and a re-run converges).
     *
     * CONTRACT: every delta id must exceed every id already in the
     * index (enforced per part). New content arriving with fresh,
@@ -617,9 +901,10 @@ object GraphAnn {
     // the touched-part list is ≤ parts rows — driver-sized by design
     val touched = d.select(col("part")).distinct().as[Int].collect().sorted
     if (touched.isEmpty) return
-    val existing = spark.read.parquet(s"$path/nodes")
-      .filter(col("part").isin(touched.map(Integer.valueOf): _*)) // partition-pruned scan
-      .select(col("part").cast("int"), col("id"), col("vec"), col("nbrs"),
+    val idx = indexPathOf(path0, path)
+    val vc = cellsVersion(path)
+    val existing = nodesAt(spark, idx, path, Some(touched.toSeq))._1
+      .select(col("part"), col("id"), col("vec"), col("nbrs"),
         lit(false).as("isNew"))
     val union = existing.unionByName(
       d.select(col("part"), col("id"), col("vec"),
@@ -651,35 +936,41 @@ object GraphAnn {
         }
       }
       .toDF("part", "id", "vec", "nbrs")
-      // materialize BEFORE the write: the plan reads the very part
-      // files the dynamic overwrite replaces, and Spark (rightly)
-      // refuses to overwrite a path it is reading from — the
-      // checkpoint computes the rewritten parts first, then the write
-      // sees a lineage-free plan
-      .localCheckpoint()
-    rewritten.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("part").parquet(s"$path/nodes")
-    // meta update touches only the rewritten parts (recounting the
-    // whole nodes table would be a full corpus scan per delta batch);
-    // the checkpointed `rewritten` rows are the touched parts' new
-    // truth, untouched parts keep their standing counts
-    val meta = spark.read.parquet(s"$path/meta")
-      .filter(!col("part").isin(touched.map(Integer.valueOf): _*))
-      .select(col("part").cast("int"), col("n").cast("long"))
-      .unionByName(rewritten.groupBy(col("part").cast("int").as("part"))
-        .agg(count(lit(1)).as("n")))
-      .localCheckpoint() // reads path/meta, then overwrites it
-    meta.write.mode("overwrite").parquet(s"$path/meta")
+    // claim the commit version through the shared fence (the same
+    // version space the generation names use — uniqueness is what
+    // makes pool resolution unambiguous). A crashed attempt's marker
+    // burns its number; its orphan cells stay invisible.
+    val (_, v) = claimNextGen(idx, "GraphAnn.appendToIndex")
+    // a crashed EARLIER attempt of this logical batch staged cells
+    // for these same parts at versions in (vc, v) — they must never
+    // become resolvable when CELLS passes them; sweep before writing
+    touched.foreach { p =>
+      listCellVersions(idx, p).filter(x => x._1 > vc && x._1 < v)
+        .foreach(x => graft.FileTree.delete(x._3))
+    }
+    writeCells(rewritten, idx, v)
+    setCellsVersion(path, v) // COMMIT — atomic, all touched cells at once
+    graft.WriterFence.sweep(new java.io.File(idx), FencePrefix, v)
+    // per-part grace GC: keep the committed version and the
+    // immediately superseded resolution (the one-cycle window for
+    // in-flight readers); drop anything older so an append-only
+    // stream never accumulates unbounded superseded cells
+    touched.foreach { p =>
+      val versions = listCellVersions(idx, p)
+      val keep = Set(v) ++
+        versions.filter(_._1 <= vc).sortBy(-_._1).headOption.map(_._1)
+      versions.filterNot(x => keep.contains(x._1))
+        .foreach(x => graft.FileTree.delete(x._3))
+    }
   }
 
   /** [[appendToIndex]] with EXACTLY-ONCE semantics under streaming
     * re-delivery — the [[graft.search.IVF.appendToIndexIdempotent]]
-    * contract on the graph family, shaped by how graph appends
-    * differ: a graph append is a DYNAMIC OVERWRITE of touched cells
-    * (insertion rewires existing neighbors), not a file append, so
-    * there is nothing for [[graft.streaming.ExactlyOnce.promote]]'s
-    * file-level replacement to converge on. Instead:
+    * contract on the graph family. Round 17's staged cell commit
+    * (new pool versions, one atomic CELLS bump) collapsed the
+    * recovery to two cases, both CONVERGENT — the per-(part, id)
+    * torn-commit gate of the in-place-overwrite era is gone
+    * structurally:
     *
     *  - COMMITTED batch (the checkpoint-didn't-land re-delivery, the
     *    common case): the ledger marker skips it before any plan
@@ -689,20 +980,24 @@ object GraphAnn {
     *    of needing an operator.
     *  - CRASH MID-APPEND: an INTENT marker (written before the
     *    append, cleared with the commit) tells the re-delivery to
-    *    RECOVER rather than blindly re-append: ids the crashed
-    *    attempt already inserted are dropped by a touched-parts-
-    *    pruned anti-join (cells commit wholesale at job commit, so a
-    *    present id is a fully-linked id), the remainder appends
-    *    normally, and the touched parts' meta counts are recomputed
-    *    from the nodes table (the crashed attempt may have died
-    *    between the nodes write and the meta write). The clean first
-    *    delivery pays two marker file ops and nothing else.
+    *    probe before re-appending. Because the append commits ALL
+    *    touched cells in one CELLS move, the crashed attempt either
+    *    landed the whole batch (crash in the bump→marker window —
+    *    every delta id is present; just commit the marker) or none
+    *    of it (crash anywhere earlier — only invisible orphan
+    *    versions exist, which the re-run's pre-write sweep deletes;
+    *    re-append everything). A distinct-id presence count
+    *    distinguishes the two; a partial count is impossible by
+    *    construction and gates loudly as corruption evidence. The
+    *    clean first delivery pays two marker file ops and nothing
+    *    else.
     *
-    * Residual, documented not hidden: the dynamic cell overwrite
-    * itself carries the torn-job-commit window every in-place
-    * overwrite does; a deployment for which that window matters
-    * routes appends through a staged generation
-    * ([[reviveToIndex]]'s shape) at O(touched cells) extra write. */
+    * This also makes maintenance-vs-crashed-append composition
+    * convergent: a compaction/refresh that runs between the crash
+    * and the re-delivery folds the committed rows (presence probe
+    * then finds them — marker-only) or sweeps the orphans (probe
+    * finds nothing — clean re-append). The old refuse-while-intent
+    * guard is gone with the window it guarded. */
   def appendToIndexIdempotent(spark: SparkSession, path0: String,
                               delta: DataFrame, idCol: String,
                               vecCol: String, batchId: Long): Unit = {
@@ -726,85 +1021,49 @@ object GraphAnn {
     ledger.mkdirs()
     if (!crashed)
       java.nio.file.Files.createFile(intent.toPath)
-    val remaining =
-      if (!crashed) delta
+    val mustAppend =
+      if (!crashed) true
       else {
-        // touched-parts-pruned recovery scan: assign the batch under
-        // the standing routing (exactly what the append will do) and
-        // drop ids already FULLY inserted. Presence is judged per
-        // (part, id), not per id: replicas scatter each id across
-        // several cells and the dynamic overwrite commits per cell
-        // directory, so a torn job commit can land an id in SOME of
-        // its assigned cells — dropping it on bare id-presence would
-        // leave it under-replicated forever (recall silently decays
-        // on the missing cells' probes). All-or-none converges;
-        // genuinely torn ids fail LOUDLY (the documented residual of
-        // in-place cell overwrites — repair by rebuilding the
-        // touched cells through the staged reviveToIndex shape).
         requireRouted(root, "appendToIndexIdempotent")
         val paramsDf = spark.read.parquet(s"$root/params")
         val replicas =
           if (paramsDf.columns.contains("replicas"))
             paramsDf.select(col("replicas").cast("int")).as[Int].head()
           else 2
-        val assigned = assignParts(delta, idCol, vecCol,
+        val dIds = delta.select(col(idCol).cast("long").as("id"))
+          .distinct().localCheckpoint()
+        val nDelta = dIds.count()
+        val touched = assignParts(delta, idCol, vecCol,
             spark.read.parquet(s"$root/routing"), replicas)
-          .select(col("part").cast("int").as("part"), col("id"))
-          .localCheckpoint()
-        val touched = assigned.select(col("part")).distinct()
-          .as[Int].collect().sorted
-        val present = spark.read.parquet(s"$root/nodes")
-          .filter(col("part").isin(touched.map(Integer.valueOf): _*))
-          .select(col("part").cast("int").as("part"), col("id"),
-            lit(1).as("__p"))
-        val perId = assigned
-          .join(present, Seq("part", "id"), "left_outer")
-          .groupBy(col("id"))
-          .agg(count(lit(1)).as("n_assigned"), count(col("__p")).as("n_present"))
-          .localCheckpoint() // consumed by the torn gate + the anti-join
-        require(perId.filter(col("n_present") > 0 &&
-            col("n_present") < col("n_assigned")).isEmpty,
-          s"GraphAnn.appendToIndexIdempotent: batch $batchId crashed " +
-            "mid-cell-commit — some ids are present in only part of " +
-            "their replica cells. In-place cell overwrites cannot " +
-            "self-heal this; rebuild the touched cells (the staged " +
-            "reviveToIndex shape) before re-delivering the batch.")
-        val doneIds = perId
-          .filter(col("n_present") === col("n_assigned")).select(col("id"))
-        val rem = delta.join(doneIds,
-          delta(idCol).cast("long") === doneIds("id"), "left_anti")
-        // the crashed attempt may have written nodes but not meta:
-        // recompute the touched cells' counts from the nodes table
-        // (parts-sized output, partition-pruned scan)
-        if (touched.nonEmpty) {
-          val meta = spark.read.parquet(s"$root/meta")
-            .filter(!col("part").isin(touched.map(Integer.valueOf): _*))
-            .select(col("part").cast("int"), col("n").cast("long"))
-            .unionByName(spark.read.parquet(s"$root/nodes")
-              .filter(col("part").isin(touched.map(Integer.valueOf): _*))
-              .groupBy(col("part").cast("int").as("part"))
-              .agg(count(lit(1)).as("n")))
-            .localCheckpoint()
-          meta.write.mode("overwrite").parquet(s"$root/meta")
-        }
-        rem.localCheckpoint() // consumed by isEmpty + the append below
+          .select(col("part")).distinct().as[Int].collect().sorted
+        val present = nodesAt(spark, indexPathOf(path0, root), root,
+            Some(touched.toSeq))._1
+          .select(col("id")).join(dIds, Seq("id"), "left_semi")
+          .distinct().count()
+        require(present == 0L || present == nDelta,
+          s"GraphAnn.appendToIndexIdempotent: batch $batchId shows " +
+            s"$present of $nDelta ids present — a partial batch is " +
+            "impossible under the atomic CELLS commit; the pool has " +
+            "been modified outside the append protocol")
+        present == 0L
       }
-    if (!remaining.isEmpty)
-      appendToIndex(spark, root, remaining, idCol, vecCol)
+    // re-resolve through the INDEX path (the pool lives there, and a
+    // maintenance flip between the probe and here is excluded by the
+    // single-writer contract)
+    if (mustAppend && !delta.isEmpty)
+      appendToIndex(spark, path0, delta, idCol, vecCol)
     ExactlyOnce.commit(ledger, batchId)
     java.nio.file.Files.deleteIfExists(intent.toPath)
   }
 
   /** Occupancy skew of a persisted graph index: max / mean of the
-    * per-cell node counts — read from `path/meta` (parts rows,
-    * driver-side, no data scan; appendToIndex maintains the counts
-    * per delta batch). The routing-drift signal a maintenance job
+    * per-cell node counts — read from the cell-pool LISTING (parts
+    * dir stats, no data scan; the counts are baked into the cell
+    * directory names). The routing-drift signal a maintenance job
     * polls, the graph twin of [[IVF.needsRefine]]'s list balance. */
   def cellSkew(spark: SparkSession, path: String): Double = {
-    import spark.implicits._
-    val ns = spark.read.parquet(s"${resolveRoot(path)}/meta")
-      .select(col("n").cast("double")).as[Double].collect()
-    require(ns.nonEmpty, s"graph index at $path has an empty meta table")
+    val ns = cellCounts(spark, path).map(_._2.toDouble)
+    require(ns.nonEmpty, s"graph index at $path has no occupied cells")
     ns.max / (ns.sum / ns.length)
   }
 
@@ -894,8 +1153,14 @@ object GraphAnn {
       .filter(_.isDirectory).map(_.getName)
       .collect { case n if n.startsWith("gen__v") => n.stripPrefix("gen__v") }
       .flatMap(s => scala.util.Try(s.toInt).toOption)
+    // appends consume versions WITHOUT creating generation dirs —
+    // their commits live in the CELLS files, so the claim must read
+    // the standing generations' visibility versions too or a later
+    // claim could collide with a committed append's cells
+    val cells = (dirs.map(g => s"$path/gen__v$g") :+ path)
+      .flatMap(r => scala.util.Try(cellsVersion(r)).toOption)
     val v = graft.WriterFence.claim(new java.io.File(path), FencePrefix,
-      dirs, what)
+      dirs ++ cells, what)
     (s"gen__v$v", v)
   }
 
@@ -929,20 +1194,21 @@ object GraphAnn {
   }
 
   // tombstones rides along so a GC'd base layout cannot leak a stale
-  // sidecar into a later index at the same path
-  private val IndexTables = Seq("nodes", "routing", "meta", "params", "tombstones")
+  // sidecar into a later index at the same path; CELLS so a dead
+  // base's visibility version cannot linger
+  private val IndexTables = Seq("routing", "params", "tombstones", "CELLS")
 
   /** Generation directories under `path` minus `keep` — the GC
-    * predicate. The base layout participates as generation "": its
-    * four table directories are deleted once it leaves the grace
-    * window. */
+    * predicate (the POOL half is [[gcCells]]). The base layout
+    * participates as generation "": its table directories and CELLS
+    * file are deleted once it leaves the grace window. */
   private def staleGenerations(path: String, keep: Set[String]): Seq[java.io.File] = {
     val gens = Option(new java.io.File(path).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("gen__v") &&
         !keep.contains(f.getName))
     val base = if (keep.contains("")) Seq.empty
       else IndexTables.map(t => new java.io.File(s"$path/$t"))
-        .filter(_.isDirectory)
+        .filter(f => f.isDirectory || f.isFile)
     gens ++ base
   }
 
@@ -977,38 +1243,21 @@ object GraphAnn {
     * dedup is one hash shuffle), the routing train (sample + 3 Lloyd
     * iterations), and the build's single part shuffle — a scheduled
     * maintenance job's cost, never a query's. */
-  /** The graph twin of [[graft.streaming.ExactlyOnce.sweepStages]]'
-    * in-flight guard: a STANDING INTENT marker (`i<batchId>` in the
-    * append ledger, written before an idempotent append's cell
-    * rewrites and cleared with its commit) means a crashed append's
-    * re-delivery has recovery work to do against the CURRENT index
-    * state. A maintenance rewrite now — a compaction folding the
-    * partial rows, worse a routing refresh changing the (part, id)
-    * assignment the recovery will re-derive — would pull that state
-    * out from under it (the torn gate would still catch it LOUDLY,
-    * but refusal here is the contract: finish or re-run the drain
-    * first, exactly the sweepStages discipline on the file-promoted
-    * families). */
-  private def requireNoInflightAppends(path: String, op: String): Unit = {
-    val ledger = new java.io.File(path, "applied__appends")
-    val intents = Option(ledger.listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.getName.startsWith("i"))
-    require(intents.isEmpty,
-      s"GraphAnn.$op: in-flight idempotent append (${intents.map(_.getName).mkString(",")}) " +
-        "is mid-recovery — a rewrite now would change the state its " +
-        "re-delivery recovers against. Re-run the ingest drain first " +
-        "(re-running is safe and converges).")
-  }
-
   def refreshRouting(spark: SparkSession, path: String, parts: Int): Unit = {
-    requireNoInflightAppends(path, "refreshRouting")
     val prevGen = currentGeneration(path)
+    val root = genRoot(path, prevGen)
+    val vc = cellsVersion(root)
+    val (src, m, efC, replicas) = refreshSource(spark, path, root)
     val (newGen, v) = claimNextGen(path, "GraphAnn.refreshRouting")
-    refreshRoutingInto(spark, genRoot(path, prevGen), parts, s"$path/$newGen")
+    sweepOrphanCells(path, vc)
+    writeIndexInto(routingFor(src, "id", "vec", parts), src, "id", "vec",
+      m, efC, idxPath = path, genRoot = s"$path/$newGen", version = v,
+      replicas = replicas)
     flipCurrent(path, newGen)
     graft.WriterFence.sweep(new java.io.File(path), FencePrefix, v)
     staleGenerations(path, keep = Set(newGen, prevGen))
       .foreach(graft.FileTree.delete)
+    gcCells(spark, path, Seq(s"$path/$newGen", root))
   }
 
   /** [[refreshRouting]] into an EXPLICIT new deployment path (no
@@ -1016,8 +1265,13 @@ object GraphAnn {
     * The source index's live generation is resolved through its own
     * pointer. */
   def refreshRouting(spark: SparkSession, path: String, parts: Int,
-                     outPath: String): Unit =
-    refreshRoutingInto(spark, resolveRoot(path), parts, outPath)
+                     outPath: String): Unit = {
+    val root = resolveRoot(path)
+    val (src, m, efC, replicas) =
+      refreshSource(spark, indexPathOf(path, root), root)
+    writeIndexWith(routingFor(src, "id", "vec", parts), src, "id", "vec",
+      m, efC, outPath, replicas)
+  }
 
   /** EMBEDDER-UPGRADE REBUILD IN PLACE — the graph twin of the IVF
     * upgrade recipe (q141/q187: [[IVF.writeIndexFrom]] staged at the
@@ -1045,10 +1299,10 @@ object GraphAnn {
                    idCol: String, vecCol: String, parts: Int): Unit = {
     import spark.implicits._
     Search.requireIntegralId(docs, idCol, "GraphAnn.upgradeIndex")
-    requireNoInflightAppends(path, "upgradeIndex")
     val prevGen = currentGeneration(path)
     val root = genRoot(path, prevGen)
     requireRouted(root, "upgradeIndex")
+    val vc = cellsVersion(root)
     val paramsDf = spark.read.parquet(s"$root/params")
     val (m, efC, replicas) = paramsDf
       .select(col("m").cast("int"), col("efC").cast("int"),
@@ -1062,12 +1316,15 @@ object GraphAnn {
         broadcast(spark.read.parquet(td).select(col("id").as("__tid"))),
         docs(idCol).cast("long") === col("__tid"), "left_anti")
     val (newGen, fenceV) = claimNextGen(path, "GraphAnn.upgradeIndex")
-    writeIndexWith(routingFor(src, idCol, vecCol, parts), src, idCol,
-      vecCol, m, efC, s"$path/$newGen", replicas)
+    sweepOrphanCells(path, vc)
+    writeIndexInto(routingFor(src, idCol, vecCol, parts), src, idCol,
+      vecCol, m, efC, idxPath = path, genRoot = s"$path/$newGen",
+      version = fenceV, replicas = replicas)
     flipCurrent(path, newGen)
     graft.WriterFence.sweep(new java.io.File(path), FencePrefix, fenceV)
     staleGenerations(path, keep = Set(newGen, prevGen))
       .foreach(graft.FileTree.delete)
+    gcCells(spark, path, Seq(s"$path/$newGen", root))
   }
 
   /** TOMBSTONE DELETE — the right-to-be-forgotten op on the index
@@ -1090,7 +1347,8 @@ object GraphAnn {
     requireRouted(root, "deleteFromIndex")
     val tomb = ids.select(col(idCol).cast("long").as("id")).distinct()
     tomb.coalesce(1).write.mode("append").parquet(s"$root/tombstones")
-    spark.read.parquet(s"$root/nodes").select(col("id")).distinct()
+    nodesAt(spark, indexPathOf(path, root), root, None)._1
+      .select(col("id")).distinct()
       .join(broadcast(tomb), Seq("id"), "left_semi").count()
   }
 
@@ -1109,7 +1367,6 @@ object GraphAnn {
     * no-op. */
   def compactTombstones(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
-    requireNoInflightAppends(path, "compactTombstones")
     val prevGen = currentGeneration(path)
     val root = genRoot(path, prevGen)
     if (!new java.io.File(s"$root/tombstones").isDirectory) return
@@ -1118,15 +1375,14 @@ object GraphAnn {
     val paramsDf = spark.read.parquet(s"$root/params")
     val (m, efC) = paramsDf.select(col("m").cast("int"), col("efC").cast("int"))
       .as[(Int, Int)].head()
-    val nodes = spark.read.parquet(s"$root/nodes")
-      .select(col("part").cast("int").as("part"), col("id"), col("vec"),
-        col("nbrs"))
+    val vc = cellsVersion(root)
+    val nodes = nodesAt(spark, path, root, None)._1
     val touched = nodes.join(broadcast(tomb), Seq("id"), "left_semi")
       .select(col("part")).distinct().as[Int].collect().toSet
     val (newGen, fenceV) = claimNextGen(path, "GraphAnn.compactTombstones")
+    sweepOrphanCells(path, vc)
     val out = s"$path/$newGen"
-    val touchedSeq = touched.toSeq.map(Integer.valueOf)
-    val rebuilt = nodes.filter(col("part").isin(touchedSeq: _*))
+    val rebuilt = nodesAt(spark, path, root, Some(touched.toSeq.sorted))._1
       .join(broadcast(tomb), Seq("id"), "left_anti")
       .select(col("part"), col("id"), col("vec").cast("array<double>"))
       .repartition(math.max(1, touched.size), col("part"))
@@ -1141,24 +1397,24 @@ object GraphAnn {
         }
       }
       .toDF("part", "id", "vec", "nbrs")
-    // only the TOUCHED cells go through Spark (partition-pruned scan,
-    // per-cell rebuild); untouched part directories carry over at the
-    // FILE level below — the round-16 graphcelllocal probe's lesson:
-    // a cell-local request must not pay a decode/re-encode pass over
-    // every at-rest cell to stage its generation
-    rebuilt.write.mode("overwrite").partitionBy("part").parquet(s"$out/nodes")
-    carryUntouchedParts(root, out, touched)
+    // only the TOUCHED cells go through Spark (path-selected scan,
+    // per-cell rebuild) and only they are written — every untouched
+    // part carries BY REFERENCE: the new generation's visibility
+    // version resolves their standing pool cells untouched, no copy
+    // of any kind (round 17; the round-16 file-level carry copied
+    // bytes). Parts whose member set vanished get explicit empty
+    // markers so resolution cannot fall back to their dead members.
+    writeCells(rebuilt, path, fenceV, emptied = touched)
     spark.read.parquet(s"$root/routing").orderBy("part").coalesce(1)
       .write.mode("overwrite").parquet(s"$out/routing")
     spark.read.parquet(s"$root/params").coalesce(1)
       .write.mode("overwrite").parquet(s"$out/params")
-    spark.read.parquet(s"$out/nodes")
-      .groupBy(col("part")).agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$out/meta")
+    setCellsVersion(out, fenceV)
     flipCurrent(path, newGen)
     graft.WriterFence.sweep(new java.io.File(path), FencePrefix, fenceV)
     staleGenerations(path, keep = Set(newGen, prevGen))
       .foreach(graft.FileTree.delete)
+    gcCells(spark, path, Seq(out, root))
   }
 
   /** REVIVE — re-ingest of tombstoned ids, the graph family's upsert
@@ -1198,7 +1454,6 @@ object GraphAnn {
                     delta: DataFrame, idCol: String, vecCol: String): Unit = {
     import spark.implicits._
     Search.requireIntegralId(delta, idCol, "GraphAnn.reviveToIndex")
-    requireNoInflightAppends(path, "reviveToIndex")
     val prevGen = currentGeneration(path)
     val root = genRoot(path, prevGen)
     requireRouted(root, "reviveToIndex")
@@ -1225,18 +1480,17 @@ object GraphAnn {
       .as[(Int, Int, Int)].head()
     val routed = assignParts(d0, "id", "vec",
       spark.read.parquet(s"$root/routing"), replicas)
-    val nodes = spark.read.parquet(s"$root/nodes")
-      .select(col("part").cast("int").as("part"), col("id"), col("vec"),
-        col("nbrs"))
+    val vc = cellsVersion(root)
+    val nodes = nodesAt(spark, path, root, None)._1
     // touched = cells with dead rows ∪ cells gaining revived rows —
     // both sets are request-scaled (≤ parts rows each, driver-sized)
     val touched = (nodes.join(broadcast(tomb), Seq("id"), "left_semi")
         .select(col("part")).distinct().as[Int].collect().toSet ++
       routed.select(col("part")).distinct().as[Int].collect().toSet).toSeq
-    val touchedSeq = touched.map(Integer.valueOf)
     val (newGen, fenceV) = claimNextGen(path, "GraphAnn.reviveToIndex")
+    sweepOrphanCells(path, vc)
     val out = s"$path/$newGen"
-    val rebuilt = nodes.filter(col("part").isin(touchedSeq: _*))
+    val rebuilt = nodesAt(spark, path, root, Some(touched.sorted))._1
       .join(broadcast(tomb), Seq("id"), "left_anti")
       .select(col("part"), col("id"), col("vec").cast("array<double>"))
       .unionByName(routed.select(col("part"), col("id"), col("vec")))
@@ -1252,42 +1506,20 @@ object GraphAnn {
         }
       }
       .toDF("part", "id", "vec", "nbrs")
-    // touched cells through Spark, untouched part dirs at the file
-    // level (the compactTombstones discipline — see above)
-    rebuilt.write.mode("overwrite").partitionBy("part").parquet(s"$out/nodes")
-    carryUntouchedParts(root, out, touched.toSet)
+    // touched cells through Spark; untouched parts carry BY REFERENCE
+    // (the compactTombstones discipline — see above)
+    writeCells(rebuilt, path, fenceV, emptied = touched.toSet)
     spark.read.parquet(s"$root/routing").orderBy("part").coalesce(1)
       .write.mode("overwrite").parquet(s"$out/routing")
     spark.read.parquet(s"$root/params").coalesce(1)
       .write.mode("overwrite").parquet(s"$out/params")
-    spark.read.parquet(s"$out/nodes")
-      .groupBy(col("part")).agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$out/meta")
+    setCellsVersion(out, fenceV)
     flipCurrent(path, newGen)
     graft.WriterFence.sweep(new java.io.File(path), FencePrefix, fenceV)
     staleGenerations(path, keep = Set(newGen, prevGen))
       .foreach(graft.FileTree.delete)
+    gcCells(spark, path, Seq(out, root))
   }
-
-  /** Carry UNTOUCHED part directories from the live generation's
-    * nodes table into a staged generation's — a raw byte copy
-    * (`FileTree.copy`; a server-side object copy on an object
-    * store), never a Spark decode/re-encode job. The staged rewrite
-    * only ever RECONSTRUCTS touched cells; before round 16 it still
-    * paid a full read+decode+encode+write pass over every untouched
-    * cell to move them into the new generation — at 100 TB that pass
-    * IS the compaction cost for cell-local requests. If even the
-    * byte copy ever dominates at fleet scale, the upgrade path is
-    * per-part generations (a manifest of independently versioned
-    * part dirs) so untouched parts carry over by reference. */
-  private def carryUntouchedParts(root: String, out: String,
-                                  touched: Set[Int]): Unit =
-    Option(new java.io.File(s"$root/nodes").listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("part="))
-      .filter(f => scala.util.Try(f.getName.stripPrefix("part=").toInt)
-        .toOption.exists(p => !touched.contains(p)))
-      .foreach(d => graft.FileTree.copy(d,
-        new java.io.File(s"$out/nodes/${d.getName}")))
 
   /** CDC UPSERT APPLY — the batch router the feed-drain loop calls
     * per micro-batch: ids tombstoned in the live generation REVIVE
@@ -1316,8 +1548,16 @@ object GraphAnn {
     if (!fresh.isEmpty) appendToIndex(spark, path, fresh, idCol, vecCol)
   }
 
-  private def refreshRoutingInto(spark: SparkSession, root: String, parts: Int,
-                                 outRoot: String): Unit = {
+  /** The retrain source every refresh shape shares: the generation's
+    * live vectors (replica copies collapse on id — identical (id,
+    * vec), so dropDuplicates is content-deterministic) minus the
+    * tombstoned set (the rebuild sources from phase-1 nodes that
+    * still physically hold them, and the new generation starts with
+    * no sidecar — without the anti-join a routine refresh would
+    * silently RESURRECT deleted content), plus the live build knobs
+    * to carry. */
+  private def refreshSource(spark: SparkSession, idxPath: String,
+                            root: String): (DataFrame, Int, Int, Int) = {
     import spark.implicits._
     requireRouted(root, "refreshRouting")
     val paramsDf = spark.read.parquet(s"$root/params")
@@ -1326,24 +1566,14 @@ object GraphAnn {
         (if (paramsDf.columns.contains("replicas"))
           col("replicas").cast("int") else lit(2)).as("replicas"))
       .as[(Int, Int, Int)].head()
-    // replica copies of a vector are identical (same id, same vec), so
-    // any representative is THE vector — dropDuplicates is content-
-    // deterministic here
-    val src0 = spark.read.parquet(s"$root/nodes")
+    val src0 = nodesAt(spark, idxPath, root, None)._1
       .select(col("id"), col("vec")).dropDuplicates("id")
-    // tombstoned ids must not ride into the refreshed generation:
-    // the rebuild sources from phase-1 nodes that still physically
-    // hold them, and the new root starts with no sidecar — without
-    // this anti-join a routine refresh would silently RESURRECT
-    // deleted content (physical removal rides the refresh for free,
-    // exactly as it rides compactTombstones' rewrite)
     val src =
       if (!new java.io.File(s"$root/tombstones").isDirectory) src0
       else src0.join(
         broadcast(spark.read.parquet(s"$root/tombstones").select(col("id"))),
         Seq("id"), "left_anti")
-    writeIndexWith(routingFor(src, "id", "vec", parts),
-      src, "id", "vec", m, efC, outRoot, replicas)
+    (src, m, efC, replicas)
   }
 
   /** The shared index-scan kernel: one pass over the at-rest node
@@ -1405,12 +1635,12 @@ object GraphAnn {
       .select(col("qid"), col("__e.id").cast("int").as("part"))
   }
 
-  private def partBeams(spark: SparkSession, root: String,
+  private def partBeams(spark: SparkSession, idxPath: String, root: String,
                         qvs: Array[(Long, Array[Double])],
                         ef: Int, probeParts: Int): DataFrame = {
     import spark.implicits._
-    val path = root // one RESOLVED generation root: meta, routing and
-    // nodes below all come from the same consistency unit
+    val path = root // one RESOLVED generation root: routing, CELLS and
+    // the resolved cells below all come from the same consistency unit
     requireRouted(path, "searchIndex")
     val bqs = spark.sparkContext.broadcast(qvs)
     // params is the ONE-ROW knob table (parts, m, efC, replicas) —
@@ -1439,20 +1669,16 @@ object GraphAnn {
         .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
     val bAllowed = spark.sparkContext.broadcast(allowed)
     val union = allowed.valuesIterator.flatten.toSet.toSeq.sorted
-    // meta is parts-sized too: the completeness-gate read prunes to
-    // the probed union (query-sized collect). Only an EXPLICIT full
-    // scan collects the whole table — that request is O(index) by
-    // definition and parts rows are the cheapest term in it.
-    val metaDf = spark.read.parquet(s"$path/meta")
-      .select(col("part").cast("int"), col("n").cast("long"))
-    val expected = (if (!pruned) metaDf
-        else metaDf.filter(col("part").isin(union.map(Integer.valueOf): _*)))
-      .as[(Int, Long)].collect().toMap
+    // cell resolution doubles as the completeness map: the probed
+    // parts' pool listings give both the directories to scan (path
+    // selection IS the partition pruning — unprobed cells never
+    // leave disk) and the expected row counts (baked into the cell
+    // dir names — no meta table exists). Driver work is O(probed
+    // parts) dir listings; only an EXPLICIT full scan walks all
+    // parts — that request is O(index) by definition.
+    val (scan, expected) = nodesAt(spark, idxPath, path,
+      if (pruned) Some(union) else None)
     val bExpected = spark.sparkContext.broadcast(expected)
-    val base = spark.read.parquet(s"$path/nodes")
-      .select(col("part").cast("int"), col("id"), col("vec"), col("nbrs"))
-    val scan = if (!pruned) base
-      else base.filter(col("part").isin(union.map(Integer.valueOf): _*))
     scan
       .as[(Int, Long, Seq[Double], Seq[Long])]
       .mapPartitions { it =>
@@ -1558,7 +1784,7 @@ object GraphAnn {
     val qv = query.select(col(queryVecCol).cast("array<double>"))
       .as[Seq[Double]].head().toArray
     rankTopK(
-      partBeams(spark, root, Array((0L, qv)), ef, probeParts)
+      partBeams(spark, path, root, Array((0L, qv)), ef, probeParts)
         .select(col("id").as(idCol), col("score")),
       idCol, k)
   }
@@ -1568,7 +1794,7 @@ object GraphAnn {
     * GC'd — the grace-window contract). */
   private def pinnedRoot(path: String, gen: String): String = {
     val root = genRoot(path, gen)
-    require(new java.io.File(s"$root/nodes").isDirectory,
+    require(new java.io.File(s"$root/CELLS").isFile,
       s"GraphAnn: pinned generation '${if (gen.isEmpty) "<base>" else gen}' " +
         s"at $path has been GC'd — a pin is valid for one maintenance " +
         "cycle; re-resolve currentGeneration and retry")
@@ -1600,7 +1826,7 @@ object GraphAnn {
       .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
       .as[(Long, Seq[Double])].collect()
       .map { case (qid, v) => (qid, v.toArray) }
-    partBeams(spark, root, qvs, ef, probeParts)
+    partBeams(spark, path, root, qvs, ef, probeParts)
       .groupBy("qid")
       .agg(org.apache.spark.sql.graftnative.TopKAggregate
         .topK(col("id"), col("score"), k).as("__tk"))

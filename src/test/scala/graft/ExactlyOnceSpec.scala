@@ -392,45 +392,71 @@ class ExactlyOnceSpec extends SparkSpec {
       "a committed batch re-delivered after a postings rebuild must not re-append")
   }
 
-  test("graph recovery: an id present in only part of its replica cells fails loudly instead of going under-replicated") {
-    val path = java.nio.file.Files.createTempDirectory("eo_graph_torn").toString
-    GraphAnn.writeIndex(emb.filter(col("vec_id") < 80), "vec_id", "v",
-      m = 4, efC = 8, parts = 2, path = path)
+  test("graph crash-before-commit: re-delivery sweeps orphan cells and converges — torn state is impossible") {
+    // round 17 closed the in-place-overwrite torn-commit window
+    // structurally: an append stages IMMUTABLE pool versions and
+    // commits them all at once with the CELLS bump, so a crash leaves
+    // either the whole batch (marker-less, handled below in the
+    // committed-window test) or nothing visible — only orphan cell
+    // versions above the live visibility version, which the re-run
+    // sweeps. This case pins the CONVERGENCE (the old per-(part,id)
+    // loud gate is gone with the window it guarded), gated
+    // bit-for-bit against a clean single delivery.
+    val path = java.nio.file.Files.createTempDirectory("eo_graph_crash").toString
+    val ref = java.nio.file.Files.createTempDirectory("eo_graph_crash_ref").toString
+    val base = emb.filter(col("vec_id") < 80)
+    GraphAnn.writeIndex(base, "vec_id", "v", m = 4, efC = 8, parts = 2, path = path)
+    GraphAnn.writeIndexWith(spark.read.parquet(s"$path/routing"),
+      base, "vec_id", "v", m = 4, efC = 8, ref)
     val delta = emb.filter(col("vec_id") >= 80 && col("vec_id") < 85)
-    GraphAnn.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 1L)
-    // simulate the torn dynamic-overwrite commit: strip one appended
-    // id from ONE of its replica cells (replicas=2 scatter each id
-    // across two parts), leave the other cell holding it
-    val nodesPath = GraphAnn.tablePath(path, "nodes")
-    val victimPart = spark.read.parquet(nodesPath)
-      .filter(col("id") === 80L)
-      .select(col("part").cast("int")).as[Int].collect().min
-    val kept = spark.read.parquet(nodesPath)
-      .filter(col("part") === victimPart && col("id") =!= 80L)
-      .select(col("part"), col("id"), col("vec"), col("nbrs"))
-      .localCheckpoint()
-    kept.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("part").parquet(nodesPath)
-    // re-deliver as a crashed attempt (intent present, marker absent)
+    GraphAnn.appendToIndexIdempotent(spark, ref, delta, "vec_id", "v", 1L)
+    // the "crashed attempt": intent standing, marker absent, and
+    // staged-but-uncommitted orphan cells in the pool under a burned
+    // fence version
     val ledger = new java.io.File(path, "applied__appends")
-    assert(new java.io.File(ledger, "b1").delete())
+    ledger.mkdirs()
     java.nio.file.Files.createFile(new java.io.File(ledger, "i1").toPath)
-    val e = intercept[IllegalArgumentException] {
-      GraphAnn.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 1L)
-    }
-    assert(e.getMessage.contains("mid-cell-commit"),
-      s"expected the torn-replica gate, got: ${e.getMessage}")
-    // ...and while that intent stands, graph MAINTENANCE refuses: a
-    // compaction (worse, a routing refresh changing the (part, id)
-    // assignment) would pull the state out from under the recovery
+    val p0 = new java.io.File(s"$path/cells/p0")
+    val src = Option(p0.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("v")).head
+    val orphan = new java.io.File(p0, "v40_n" + src.getName.split("_n")(1))
+    graft.FileTree.copy(src, orphan)
+    java.nio.file.Files.createFile(new java.io.File(path, "WRITER__v40").toPath)
+    // the re-delivery: the presence probe finds NOTHING committed
+    // (the crash was before the CELLS bump), so it re-appends in
+    // full; the pre-write sweep must delete the orphans rather than
+    // let the commit make them resolvable
+    GraphAnn.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 1L)
+    assert(!orphan.exists(),
+      "the crashed attempt's orphan cells must be swept, not resolved")
+    assert(new java.io.File(ledger, "b1").isFile &&
+      !new java.io.File(ledger, "i1").isFile,
+      "the re-delivery must commit the marker and clear the intent")
+    def nodes(p: String) = GraphAnn.nodesDf(spark, p)
+      .select(col("part"), col("id"), col("vec"), col("nbrs"))
+    assert(nodes(path).exceptAll(nodes(ref)).isEmpty &&
+      nodes(ref).exceptAll(nodes(path)).isEmpty,
+      "crash-recovery must converge bit-for-bit on the single-delivery state")
+    // maintenance composes convergently too: a compaction running
+    // while ANOTHER batch's intent stands must not wedge — the
+    // staged-generation machinery makes the later re-delivery
+    // converge against whatever state maintenance left (the old
+    // refuse-while-intent guard died with the torn window)
+    java.nio.file.Files.createFile(new java.io.File(ledger, "i2").toPath)
     GraphAnn.deleteFromIndex(spark, path,
       emb.filter(col("vec_id") === 3).select(col("vec_id")), "vec_id")
-    val g = intercept[IllegalArgumentException] {
-      GraphAnn.compactTombstones(spark, path)
-    }
-    assert(g.getMessage.contains("in-flight idempotent append"),
-      s"expected the intent guard, got: ${g.getMessage}")
+    GraphAnn.compactTombstones(spark, path)
+    // the "crashed batch 2" re-delivers AFTER the compaction flip and
+    // must still converge (its content was never committed, so it
+    // simply appends into the flipped generation)
+    val delta2 = emb.filter(col("vec_id") >= 85 && col("vec_id") < 90)
+    GraphAnn.appendToIndexIdempotent(spark, path, delta2, "vec_id", "v", 2L)
+    assert(new java.io.File(ledger, "b2").isFile &&
+      !new java.io.File(ledger, "i2").isFile)
+    val ids = GraphAnn.nodesDf(spark, path).select(col("id"))
+      .distinct().as[Long].collect().toSet
+    assert(ids == ((0L until 90L).toSet - 3L),
+      "post-maintenance re-delivery must land exactly the batch, minus the tombstoned id")
   }
 
   test("postings idempotent append: no-op duplicate, crash replay converges, bucket pruning survives the promote") {
@@ -508,11 +534,11 @@ class ExactlyOnceSpec extends SparkSpec {
       "graph CREATE must clear the append ledger")
     GraphAnn.appendToIndexIdempotent(spark, gpath, gdelta, "vec_id", "v", 1L)
     // 85 docs × 2-cell boundary replication = 170 node rows
-    assert(spark.read.parquet(GraphAnn.tablePath(gpath, "nodes")).count() == 170L,
+    assert(GraphAnn.nodesDf(spark, gpath).count() == 170L,
       "a fresh graph inherited a dead stream's applied set and skipped a batch")
   }
 
-  test("graph idempotent append: ledger skips duplicates; intent-marked recovery repairs meta and never trips the growing-id gate") {
+  test("graph idempotent append: ledger skips duplicates; committed-window recovery just commits the marker") {
     val path = java.nio.file.Files.createTempDirectory("eo_graph").toString
     GraphAnn.writeIndex(emb.filter(col("vec_id") < 80), "vec_id", "v",
       m = 4, efC = 8, parts = 2, path = path)
@@ -524,17 +550,16 @@ class ExactlyOnceSpec extends SparkSpec {
 
     GraphAnn.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 1L)
     val once = served()
-    def nodesCount() = spark.read.parquet(
-      GraphAnn.tablePath(path, "nodes")).count()
+    def nodesCount() = GraphAnn.nodesDf(spark, path).count()
     val n1 = nodesCount()
     // duplicate delivery: the raw append would fail the growing-id
     // require; the ledger makes it a clean no-op
     GraphAnn.appendToIndexIdempotent(spark, path, delta, "vec_id", "v", 1L)
     assert(nodesCount() == n1 && served() == once)
 
-    // crash AFTER the nodes write BEFORE the ledger commit: intent
-    // marker present, batch fully in nodes. The recovery must find
-    // all ids present, repair meta from nodes, and commit.
+    // crash AFTER the CELLS commit BEFORE the ledger marker: intent
+    // present, batch fully visible. The recovery's presence probe
+    // finds every id and just commits the marker.
     val ledger = new java.io.File(path, "applied__appends")
     assert(new java.io.File(ledger, "b1").delete())
     java.nio.file.Files.createFile(new java.io.File(ledger, "i1").toPath)
@@ -544,13 +569,11 @@ class ExactlyOnceSpec extends SparkSpec {
     assert(new java.io.File(ledger, "b1").isFile &&
       !new java.io.File(ledger, "i1").isFile,
       "recovery must commit the marker and clear the intent")
-    // meta matches nodes per part after the repair
-    val meta = spark.read.parquet(GraphAnn.tablePath(path, "meta"))
-      .select(col("part").cast("int"), col("n").cast("long"))
-      .as[(Int, Long)].collect().toMap
-    val byPart = spark.read.parquet(GraphAnn.tablePath(path, "nodes"))
+    // the cell-dir-name occupancy record matches a recount
+    val meta = GraphAnn.cellCounts(spark, path).toMap
+    val byPart = GraphAnn.nodesDf(spark, path)
       .groupBy(col("part").cast("int").as("p")).agg(count(lit(1)).as("n"))
       .as[(Int, Long)].collect().toMap
-    assert(meta == byPart, "repaired meta must equal per-part node counts")
+    assert(meta == byPart, "cell-name counts must equal per-part node counts")
   }
 }

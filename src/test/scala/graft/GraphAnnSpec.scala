@@ -237,7 +237,7 @@ class GraphAnnSpec extends SparkSpec {
     val pathB = java.nio.file.Files.createTempDirectory("graphann_rebuild").toString
     GraphAnn.writeIndexWith(spark.read.parquet(s"$pathA/routing"),
       emb, "vec_id", "v", m = 8, efC = 48, pathB)
-    def nodes(p: String) = spark.read.parquet(s"$p/nodes")
+    def nodes(p: String) = GraphAnn.nodesDf(spark, p)
       .select(col("part").cast("int"), col("id"), col("vec"), col("nbrs"))
       .as[(Int, Long, Seq[Double], Seq[Long])].collect().toSeq.sortBy(_._2)
     assert(nodes(pathA) == nodes(pathB),
@@ -288,7 +288,7 @@ class GraphAnnSpec extends SparkSpec {
       spark.read.parquet(GraphAnn.tablePath(path, "routing")),
       emb.join(doomed, Seq("vec_id"), "left_anti"), "vec_id", "v",
       m = 8, efC = 48, rebuilt)
-    def nodes(p: String) = spark.read.parquet(GraphAnn.tablePath(p, "nodes"))
+    def nodes(p: String) = GraphAnn.nodesDf(spark, p)
       .select(col("part").cast("int"), col("id"), col("vec"), col("nbrs"))
       .as[(Int, Long, Seq[Double], Seq[Long])].collect().toSeq
       .sortBy(r => (r._1, r._2))
@@ -332,7 +332,7 @@ class GraphAnnSpec extends SparkSpec {
       spark.read.parquet(GraphAnn.tablePath(path, "routing")),
       emb.join(doomed, Seq("vec_id"), "left_anti"), "vec_id", "v",
       m = 8, efC = 48, rebuilt)
-    def nodes(p: String) = spark.read.parquet(GraphAnn.tablePath(p, "nodes"))
+    def nodes(p: String) = GraphAnn.nodesDf(spark, p)
       .select(col("part").cast("int"), col("id"), col("vec"), col("nbrs"))
       .as[(Int, Long, Seq[Double], Seq[Long])].collect().toSeq
       .sortBy(r => (r._1, r._2))
@@ -387,7 +387,7 @@ class GraphAnnSpec extends SparkSpec {
       emb.join(doomed, Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("v")).unionByName(revive),
       "vec_id", "v", m = 8, efC = 48, rebuilt)
-    def nodes(p: String) = spark.read.parquet(GraphAnn.tablePath(p, "nodes"))
+    def nodes(p: String) = GraphAnn.nodesDf(spark, p)
       .select(col("part").cast("int"), col("id"), col("vec"), col("nbrs"))
       .as[(Int, Long, Seq[Double], Seq[Long])].collect().toSeq
       .sortBy(r => (r._1, r._2))
@@ -441,7 +441,7 @@ class GraphAnnSpec extends SparkSpec {
       emb.filter(!(col("vec_id") < cut && col("vec_id") % 9 === 4 &&
         col("vec_id") % 2 === 1)),
       "vec_id", "v", m = 8, efC = 48, rebuilt)
-    def nodes(p: String) = spark.read.parquet(GraphAnn.tablePath(p, "nodes"))
+    def nodes(p: String) = GraphAnn.nodesDf(spark, p)
       .select(col("part").cast("int"), col("id"), col("vec"), col("nbrs"))
       .as[(Int, Long, Seq[Double], Seq[Long])].collect().toSeq
       .sortBy(r => (r._1, r._2))
@@ -470,7 +470,7 @@ class GraphAnnSpec extends SparkSpec {
     assert(served.forall(_ % 9 != 4),
       "a tombstoned id came back after refreshRouting")
     // and the refresh removed them PHYSICALLY (rides the rebuild)
-    val ids = spark.read.parquet(GraphAnn.tablePath(path, "nodes"))
+    val ids = GraphAnn.nodesDf(spark, path)
       .select(col("id")).as[Long].collect().toSet
     assert(ids.forall(_ % 9 != 4), "tombstoned nodes survived the refresh")
     // the q151 bit-identity pin: refresh-after-tombstone equals the
@@ -482,8 +482,7 @@ class GraphAnnSpec extends SparkSpec {
     GraphAnn.writeIndex(emb.join(doomed, Seq("vec_id"), "left_anti"),
       "vec_id", "v", m = 8, efC = 48, parts = 4, cleanPath)
     GraphAnn.refreshRouting(spark, cleanPath, parts = 4)
-    def nodesOf(p: String) = spark.read
-      .parquet(GraphAnn.tablePath(p, "nodes"))
+    def nodesOf(p: String) = GraphAnn.nodesDf(spark, p)
       .select(col("part").cast("long"), col("id"), col("vec"), col("nbrs"))
     assert(nodesOf(path).exceptAll(nodesOf(cleanPath)).isEmpty &&
         nodesOf(cleanPath).exceptAll(nodesOf(path)).isEmpty,
@@ -521,13 +520,22 @@ class GraphAnnSpec extends SparkSpec {
     val deltaParts = cells
       .map { case (p, rv) => (p, rv.zip(qv).map(t => t._1 * t._2).sum) }
       .sortBy { case (p, s) => (-s, p) }.take(GraphAnn.DefaultReplicas).map(_._1)
-      .map(p => s"part=$p").toSet
+      .map(p => s"p$p").toSet
+    // the cell pool is versioned: an untouched part's RESOLVED cell
+    // files must be byte-identical (same dirs, same files, same
+    // mtimes — carried by reference, not rewritten), while a touched
+    // part gains a NEW version
     def fileSig(): Map[String, Set[String]] =
-      new java.io.File(s"$path/nodes").listFiles().toSeq
-        .filter(_.getName.startsWith("part="))
-        .map(d => d.getName ->
-          d.listFiles().map(f => s"${f.getName}:${f.lastModified}").toSet)
-        .toMap
+      new java.io.File(s"$path/cells").listFiles().toSeq
+        .filter(_.getName.startsWith("p"))
+        .map { d =>
+          def walk(f: java.io.File): Seq[java.io.File] =
+            Option(f.listFiles()).toSeq.flatten
+              .flatMap(c => if (c.isDirectory) walk(c) else Seq(c))
+          d.getName -> walk(d)
+            .map(f => s"${f.getParentFile.getName}/${f.getName}:${f.lastModified}")
+            .toSet
+        }.toMap
     val before = fileSig()
     GraphAnn.appendToIndex(spark, path, one, "vec_id", "v")
     val after = fileSig()
@@ -535,15 +543,13 @@ class GraphAnnSpec extends SparkSpec {
       assert(after(p) == before(p), s"untouched $p was rewritten") }
     deltaParts.foreach(p => assert(after(p) != before(p),
       s"the delta's own $p was not rewritten"))
-    // the touched-parts-only meta update must still equal a recount
-    val metaCounts = spark.read.parquet(s"$path/meta")
-      .select(col("part").cast("int"), col("n").cast("long"))
-      .as[(Int, Long)].collect().toMap
-    val trueCounts = spark.read.parquet(s"$path/nodes")
+    // the cell-dir-name occupancy record must still equal a recount
+    val metaCounts = GraphAnn.cellCounts(spark, path).toMap
+    val trueCounts = GraphAnn.nodesDf(spark, path)
       .groupBy(col("part").cast("int")).count()
       .as[(Int, Long)].collect().toMap
     assert(metaCounts == trueCounts,
-      s"meta diverged from a recount: $metaCounts vs $trueCounts")
+      s"cell-name counts diverged from a recount: $metaCounts vs $trueCounts")
     // interleaved ids (id 0 already exists below every index id) are
     // rejected rather than silently breaking append ≡ rebuild
     intercept[org.apache.spark.SparkException](
@@ -564,7 +570,7 @@ class GraphAnnSpec extends SparkSpec {
         .as[(Long, Long, Double)].collect().toSeq.sortBy(_._2)
     assert(rows(RetrievalQueries.q99StreamIndex(spark, sf0001)) ==
       rows(RetrievalQueries.q97GraphAppend(spark, sf0001)))
-    def nodes(p: String) = spark.read.parquet(s"$p/nodes")
+    def nodes(p: String) = GraphAnn.nodesDf(spark, p)
       .select(col("part").cast("int"), col("id"), col("vec"), col("nbrs"))
       .as[(Int, Long, Seq[Double], Seq[Long])].collect().toSeq.sortBy(_._2)
     val q97Nodes = nodes(PipelineQueries.roundtripPath(sf0001, "q97"))
@@ -661,7 +667,7 @@ class GraphAnnSpec extends SparkSpec {
       emb.filter(col("vec_id") < split).select(col("vec_id"), col("v"))
         .unionByName(delta),
       "vec_id", "v", m = 8, efC = 48, parts = 8, target)
-    def nodes(p: String) = spark.read.parquet(s"$p/nodes")
+    def nodes(p: String) = GraphAnn.nodesDf(spark, p)
       .select(col("part"), col("id"), col("vec"), col("nbrs"))
     assert(nodes(out).exceptAll(nodes(target)).isEmpty &&
       nodes(target).exceptAll(nodes(out)).isEmpty,
@@ -700,7 +706,7 @@ class GraphAnnSpec extends SparkSpec {
     // the tail of the stream lands on the REFRESHED index, resolved
     // through the pointer — never the superseded base tables
     GraphAnn.appendToIndex(spark, path, drifted(mid, n), "vec_id", "v")
-    val nodes = spark.read.parquet(GraphAnn.tablePath(path, "nodes"))
+    val nodes = GraphAnn.nodesDf(spark, path)
     val r = spark.read.parquet(GraphAnn.tablePath(path, "routing"))
       .select(col("replicas")).as[Int].head()
     val perId = nodes.groupBy(col("id"))
@@ -710,7 +716,7 @@ class GraphAnnSpec extends SparkSpec {
       s"every id must live in exactly R=$r distinct cells")
     // the superseded base generation kept its pre-append shape: the
     // tail ids must NOT have leaked into the grace tables
-    assert(spark.read.parquet(s"$path/nodes")
+    assert(GraphAnn.nodesDfPinned(spark, path, "")
         .filter(col("id") >= mid).count() == 0,
       "a post-flip append leaked into the superseded generation")
     def serve() = GraphAnn.searchIndex(spark, path, "vec_id",
@@ -725,7 +731,7 @@ class GraphAnnSpec extends SparkSpec {
   test("boundary replication: every vector lives in exactly R distinct cells, one primary") {
     val path = java.nio.file.Files.createTempDirectory("graphann_repl").toString
     GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 8, path)
-    val nodes = spark.read.parquet(s"$path/nodes")
+    val nodes = GraphAnn.nodesDf(spark, path)
       .select(col("id").cast("long"), col("part").cast("int"))
       .as[(Long, Int)].collect().toSeq
     val n = emb.count()
@@ -796,10 +802,12 @@ class GraphAnnSpec extends SparkSpec {
     val gen1 = GraphAnn.currentGeneration(path)
     assert(gen1.startsWith("gen__v"), s"CURRENT must name a generation, got '$gen1'")
     GraphAnn.writeIndex(union, "vec_id", "v", m = 8, efC = 48, parts = 8, target)
-    def nodes(p: String) = spark.read.parquet(p)
-      .select(col("part"), col("id"), col("vec"), col("nbrs"))
-    assert(nodes(s"$path/$gen1/nodes").exceptAll(nodes(s"$target/nodes")).isEmpty &&
-      nodes(s"$target/nodes").exceptAll(nodes(s"$path/$gen1/nodes")).isEmpty,
+    def nodes(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("part"), col("id"), col("vec"), col("nbrs"))
+    val genNodes = nodes(GraphAnn.nodesDfPinned(spark, path, gen1))
+    val tgtNodes = nodes(GraphAnn.nodesDf(spark, target))
+    assert(genNodes.exceptAll(tgtNodes).isEmpty &&
+      tgtNodes.exceptAll(genNodes).isEmpty,
       "in-place refresh must equal the from-scratch rebuild bit for bit")
     // SNAPSHOT ISOLATION: the pre-flip pin keeps serving the OLD
     // generation's answers coherently (grace window — the base tables
@@ -818,9 +826,9 @@ class GraphAnnSpec extends SparkSpec {
     GraphAnn.refreshRouting(spark, path, 8)
     val gen2 = GraphAnn.currentGeneration(path)
     assert(gen2 != gen1, "second refresh must advance the generation")
-    assert(!new java.io.File(s"$path/nodes").isDirectory,
+    assert(!new java.io.File(s"$path/CELLS").isFile,
       "the base generation must be GC'd after leaving the grace window")
-    assert(new java.io.File(s"$path/$gen1/nodes").isDirectory,
+    assert(new java.io.File(s"$path/$gen1/CELLS").isFile,
       "the immediately superseded generation must survive as grace")
     val ex = intercept[IllegalArgumentException](serve(pin0))
     assert(ex.getMessage.contains("GC'd"), s"expiry must be loud: ${ex.getMessage}")
@@ -829,7 +837,7 @@ class GraphAnnSpec extends SparkSpec {
     val extra = emb.limit(1)
       .select((col("vec_id") + lit(10L * nMax)).as("vec_id"), col("v"))
     GraphAnn.appendToIndex(spark, path, extra, "vec_id", "v")
-    val live = spark.read.parquet(s"$path/$gen2/nodes")
+    val live = GraphAnn.nodesDfPinned(spark, path, gen2)
       .filter(col("id") >= 10L * nMax).count()
     assert(live == spark.read.parquet(s"$path/$gen2/routing")
         .select(col("replicas")).as[Int].head().toLong,
@@ -851,8 +859,12 @@ class GraphAnnSpec extends SparkSpec {
       emb.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id")
     val hidden = rows()
     val orphan = new java.io.File(path, "gen__v99")
-    graft.FileTree.copy(new java.io.File(s"$path/nodes"),
-      new java.io.File(orphan, "nodes"))
+    graft.FileTree.copy(new java.io.File(s"$path/routing"),
+      new java.io.File(orphan, "routing"))
+    graft.FileTree.copy(new java.io.File(s"$path/params"),
+      new java.io.File(orphan, "params"))
+    java.nio.file.Files.write(new java.io.File(orphan, "CELLS").toPath,
+      "99".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     GraphAnn.compactTombstones(spark, path)
     assert(GraphAnn.currentGeneration(path) == "gen__v100",
       s"the re-run must version PAST the orphan, got ${GraphAnn.currentGeneration(path)}")
@@ -876,7 +888,7 @@ class GraphAnnSpec extends SparkSpec {
     // forgotten stays forgotten: the upgrade sourced from caller
     // vectors that still contain the doomed ids — the standing
     // sidecar must have anti-joined them out of the new generation
-    val ids = spark.read.parquet(GraphAnn.tablePath(path, "nodes"))
+    val ids = GraphAnn.nodesDf(spark, path)
       .select(col("id")).distinct().as[Long].collect().toSet
     val doomedIds = doomed.as[Long].collect().toSet
     assert(doomedIds.nonEmpty && doomedIds.forall(!ids.contains(_)),
@@ -890,18 +902,25 @@ class GraphAnnSpec extends SparkSpec {
       spark.read.parquet(GraphAnn.tablePath(path, "routing")),
       v2.join(doomed, Seq("vec_id"), "left_anti"), "vec_id", "v",
       8, 48, clean)
-    def nodes(p: String) = spark.read.parquet(GraphAnn.tablePath(p, "nodes"))
+    def nodes(p: String) = GraphAnn.nodesDf(spark, p)
       .select(col("part"), col("id"), col("vec"), col("nbrs"))
     assert(nodes(path).exceptAll(nodes(clean)).isEmpty &&
       nodes(clean).exceptAll(nodes(path)).isEmpty)
-    // the standing-intent guard holds on the upgrade path too
+    // an upgrade while a crashed append's intent stands SUCCEEDS
+    // (round 17: maintenance composes convergently with crashed
+    // appends — the orphan sweep + the re-delivery's presence probe
+    // replace the old refuse-while-intent guard; ExactlyOnceSpec
+    // drives the full composition)
     val intent = new java.io.File(s"$path/applied__appends/i7")
     intent.getParentFile.mkdirs()
     java.nio.file.Files.createFile(intent.toPath)
-    val ex = intercept[IllegalArgumentException] {
-      GraphAnn.upgradeIndex(spark, path, v2, "vec_id", "v", parts = 4)
-    }
-    assert(ex.getMessage.contains("mid-recovery"))
+    GraphAnn.upgradeIndex(spark, path, v2, "vec_id", "v", parts = 4)
+    // the first upgrade REMOVED the doomed ids physically and started
+    // a clean sidecar, so this caller-supplied corpus (which includes
+    // them) legitimately re-ingests them — forgotten-stays-forgotten
+    // binds while the request STANDS, not after its physical removal
+    assert(GraphAnn.nodesDf(spark, path).select(col("id")).distinct().count()
+      == emb.count())
   }
 
   test("distributed routing: routeQueriesDf's cells equal the driver-side reference bit for bit") {

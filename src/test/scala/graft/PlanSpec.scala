@@ -279,22 +279,29 @@ class PlanSpec extends SparkSpec {
     // serve expression directly (the q42 pattern)
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val qs = e.filter(col("vec_id") < 16)
+    val qs = e.filter(col("vec_id") < 2)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val p = graft.search.GraphAnn.searchIndexMulti(spark,
-        RetrievalQueries.graphIndexPath(spark, sf0001), "vec_id",
-        qs, "qid", "qv", 10, 48,
-        probeParts = RetrievalQueries.graphProbeFor(spark, sf0001))
-      .queryExecution.executedPlan.toString
+    val path = RetrievalQueries.graphIndexPath(spark, sf0001)
+    val df = graft.search.GraphAnn.searchIndexMulti(spark, path, "vec_id",
+        qs, "qid", "qv", 10, 48, probeParts = 2)
+    val p = df.queryExecution.executedPlan.toString
     // however many queries are in the batch, the at-rest nodes table
     // is scanned exactly ONCE (the query set collects driver-side by
     // the multi-query contract — no second parquet scan may appear)
     assert("FileScan parquet".r.findAllIn(p).size == 1,
       s"expected exactly ONE at-rest scan for the whole batch:\n$p")
-    // the union of every query's routed cells is a genuine partition
-    // filter on the parquet `part` column — unprobed cells stay on disk
-    assert("PartitionFilters: \\[[^\\]]*part".r.findFirstIn(p).nonEmpty,
-      s"expected the routed part partition filter:\n$p")
+    // the union of every query's routed cells prunes by PATH
+    // SELECTION (round 17's versioned cell pool: the scan is handed
+    // exactly the probed cells' directories — unprobed cells never
+    // even reach the file index, stronger than a partition filter)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1)
+    val scanned = scans.head.relation.location.rootPaths.size
+    val parts = RetrievalQueries.graphPartsFor(spark, sf0001)
+    assert(scanned < parts && scanned <= 2 * 2,
+      s"expected a probed-cells-only path set, got $scanned of $parts cells")
     // per-query top-k rides the bounded heap, never a window sort
     assert(p.contains("graft_topk"), s"expected the heap top-k:\n$p")
     assert(!p.contains("CartesianProduct"))
