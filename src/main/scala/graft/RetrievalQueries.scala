@@ -3139,8 +3139,8 @@ object RetrievalQueries {
   /** EXACTLY-ONCE QUANTIZED INGEST — q185's at-least-once drain on
     * the SQ8 index (completing the exactly-once matrix on the oracled
     * families: IVF q185, lexical q186, register q188, SQ8 here; the
-    * graph family is spec-pinned — ExactlyOnceSpec's ledger-skip,
-    * torn-replica gate, and meta repair — because its build is not
+    * graph family is spec-pinned — ExactlyOnceSpec's ledger-skip and
+    * crash-convergence cases — because its build is not
     * SQL-expressible). Every batch is delivered twice through
     * [[graft.search.SQ.appendToIndexIdempotent]]; batch 1 starts over
     * crash debris, batch 2's re-delivery arrives with its marker
@@ -3958,19 +3958,23 @@ object RetrievalQueries {
     * five machineries (IVF q185, lexical q186, register q188, SQ8
     * q189 — all oracled; the graph family here, rows-only per the ✗
     * discipline because its build is not SQL-expressible). The graph
-    * twist: appends are CELL REWRITES, not file appends, so there is
-    * nothing for file-level replacement to converge on —
+    * twist: appends rewrite whole cells — since round 17 as staged
+    * immutable POOL VERSIONS committed by one atomic CELLS bump, so
+    * every crash window is all-or-nothing by construction —
     * [[graft.search.GraphAnn.appendToIndexIdempotent]] ledger-skips
     * committed duplicates (the raw append would fail the growing-id
     * require LOUDLY — never silently — but the drain would need an
-    * operator) and an INTENT-marked recovery path re-derives what a
-    * crashed attempt already inserted per (part, id). Every batch is
-    * delivered twice; batch 2 additionally replays the
-    * crash-after-nodes-before-commit window (marker deleted, intent
-    * restored — the recovery finds all ids present, repairs meta from
-    * the nodes table, and re-commits). Gate: q99's per-cell content
-    * signature against the same-routing full rebuild — one duplicated
-    * or dropped node row changes a cell's signature. */
+    * operator) and an INTENT-marked recovery probes id presence:
+    * everything there → commit the marker; nothing there → re-append
+    * over swept orphans. (The pre-17 layout's torn-cell residual and
+    * its loud per-(part, id) gate are gone with the in-place
+    * overwrite that caused them.) Every batch is delivered twice;
+    * batch 2 additionally replays the crash-after-commit-before-
+    * marker window (marker deleted, intent restored — the probe
+    * finds all ids present and just re-commits). Gate: q99's
+    * per-cell content signature against the same-routing full
+    * rebuild — one duplicated or dropped node row changes a cell's
+    * signature. */
   def q190GraphExactlyOnce(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val n = Memo.cachedCount(s, dir, "emb_n")(e.count())

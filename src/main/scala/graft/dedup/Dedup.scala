@@ -342,28 +342,31 @@ object Dedup {
         }
       }
     }
-    val debris = ExactlyOnce.stageDir(new java.io.File(path), batchId)
-    if (debris.isDirectory) {
-      ExactlyOnce.scrub(new java.io.File(path), batchId)
-      graft.FileTree.delete(debris)
+    // crash-debris probe across the WHOLE register family: a prior
+    // attempt may have resolved a DIFFERENT target — the revive probe
+    // compacts to a flipped generation BEFORE staging, so a
+    // flip-then-crash attempt leaves its stage dir (and any promoted
+    // b<id>-p* files) inside a generation the re-delivery never
+    // threads (its own resolution claims a FRESH generation, so the
+    // debris sits in an orphan). Probe the base path and every
+    // sibling generation — one parent-dir listing, request-sized —
+    // so the debris is scrubbed on re-delivery (the no-stage-debris
+    // discipline the other families gate on) rather than deferred to
+    // generation GC.
+    val base = path.replaceAll("__gen\\d+$", "")
+    val baseName = new java.io.File(base).getName
+    val family = new java.io.File(base) +:
+      Option(new java.io.File(base).getParentFile.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith(baseName + "__gen"))
+    family.foreach { dir =>
+      val debris = ExactlyOnce.stageDir(dir, batchId)
+      if (debris.isDirectory) {
+        ExactlyOnce.scrub(dir, batchId)
+        graft.FileTree.delete(debris)
+      }
     }
     val staged = if (hasRegisterTomb(path)) bands.localCheckpoint() else bands
     val target = resolveAppendTarget(spark, path, staged, buckets)
-    // a prior attempt may have resolved a DIFFERENT target: the
-    // revive probe compacts to a flipped generation BEFORE staging,
-    // so a flip-then-crash attempt leaves its stage dir (and any
-    // promoted b<id>-p* files) under the flipped path, which the
-    // threaded-path probe above never visits. Probe the RESOLVED
-    // target too, so that debris is scrubbed on re-delivery (the
-    // no-stage-debris discipline the other families gate on) rather
-    // than deferred to generation GC.
-    if (target != path) {
-      val tDebris = ExactlyOnce.stageDir(new java.io.File(target), batchId)
-      if (tDebris.isDirectory) {
-        ExactlyOnce.scrub(new java.io.File(target), batchId)
-        graft.FileTree.delete(tDebris)
-      }
-    }
     val stage = ExactlyOnce.stageDir(new java.io.File(target), batchId)
     staged
       .repartition(col("sigbucket"))

@@ -307,6 +307,26 @@ class ExactlyOnceSpec extends SparkSpec {
       "a committed batch re-delivered with the stale pre-flip path " +
         "must return the generation it actually landed in")
     assert(rows(flipped) == after)
+
+    // FLIP-THEN-CRASH debris: a prior attempt compacted to its own
+    // fresh generation, staged and half-promoted THERE, and died
+    // before the marker — the re-delivery resolves a different fresh
+    // generation, so neither the threaded path nor the new target
+    // ever points at the debris. The family-wide probe must scrub it
+    // on re-delivery instead of leaving it for generation GC.
+    val orphanGen = new java.io.File(flipped.replaceAll("__gen\\d+$", "")
+      + "__gen90")
+    val oStage = graft.streaming.ExactlyOnce.stageDir(orphanGen, 3L)
+    new java.io.File(oStage, "sigbucket=0").mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(orphanGen, "b3-p00000-c000.parquet").toPath,
+      Array[Byte](1)) // the crashed attempt's half-promoted file
+    val batch3 = bandsOf(docs.filter(col("doc_id") === 2)).localCheckpoint()
+    Dedup.appendToRegisterIdempotent(spark, flipped, batch3, 4, 3L)
+    assert(!oStage.exists(),
+      "the crashed attempt's stage dir must be scrubbed on re-delivery")
+    assert(!new java.io.File(orphanGen, "b3-p00000-c000.parquet").exists(),
+      "the crashed attempt's half-promoted files must be scrubbed on re-delivery")
   }
 
   test("SQ requant rebuild preserves the exactly-once ledger and refuses an in-flight stage") {
