@@ -152,6 +152,34 @@ object Scratch {
         java.nio.file.Paths.get(s"$path/$gen2/CELLS"))))
       spark.stop(); return
     }
+    // round 17: serving wall at the FIXED-COUNT default as the corpus
+    // grows — the whole point of the constant probe: per-serve work
+    // (routing top-P job + P cell beams + merge) should be flat in N.
+    // Reuses the graphfixed indexes (/tmp/graft_fixed/graph_r3_p*).
+    if (args.contains("graphserve")) {
+      import org.apache.spark.sql.functions._
+      val e = graft.sources.Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .localCheckpoint()
+      val n = e.count()
+      val parts = math.max(8, math.ceil(n.toDouble / 500).toInt)
+      val path = s"/tmp/graft_fixed/graph_r3_p$parts"
+      if (!new java.io.File(s"$path/CELLS").isFile)
+        graft.search.GraphAnn.writeIndex(e, "vec_id", "v", 8, 48, parts, path)
+      val qs = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("v").as("qv")).localCheckpoint()
+      // one warm serve (parquet footers), then three timed serves
+      def serve(): Long = graft.search.GraphAnn.searchIndexMulti(spark, path,
+        "vec_id", qs, "qid", "qv", 10, 48).count()
+      serve()
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); serve(); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"GRAPHSERVE sf=$dir%s n=$n parts=$parts " +
+        f"probe=${graft.search.GraphAnn.autoProbe(parts, 3)} " +
+        f"min=${times.min}%.2f med=${times.sorted.apply(1)}%.2f")
+      spark.stop(); return
+    }
     // round 17: the FIXED-COUNT probing regime — recall at CONSTANT
     // probe counts (P independent of parts, the SPANN serving shape)
     // below the coverage-0.75 floor the round-11 sweep stopped at.

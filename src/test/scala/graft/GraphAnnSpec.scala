@@ -923,6 +923,44 @@ class GraphAnnSpec extends SparkSpec {
       == emb.count())
   }
 
+  test("a part-count-shrinking refresh never resurrects old-era cells; expired eras GC from the pool") {
+    // the pool resolves by version, so a generation whose routing has
+    // FEWER parts than a previous era must bound its reads by ITS OWN
+    // routing's part ids (Lloyd refinement can also drop cells,
+    // leaving non-contiguous ids) — without the bound, p3..p7's
+    // old-era cells would "resolve" into the shrunk generation's full
+    // scans as ghosts (the round-17 rework's nastiest found-by-test
+    // defect, pinned here)
+    val path = java.nio.file.Files.createTempDirectory("graphann_shrink").toString
+    GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 8, path)
+    GraphAnn.refreshRouting(spark, path, parts = 3)
+    val cells = spark.read.parquet(GraphAnn.tablePath(path, "routing"))
+      .select(col("part").cast("int")).as[Int].collect().toSet
+    assert(cells.nonEmpty && cells.subsetOf(Set(0, 1, 2)))
+    val live = GraphAnn.nodesDf(spark, path)
+      .select(col("part").cast("int"), col("id"))
+      .as[(Int, Long)].collect().toSeq
+    assert(live.map(_._1).toSet.subsetOf(cells),
+      s"an old-era cell id resolved into the shrunk generation: ${live.map(_._1).toSet}")
+    assert(live.map(_._2).toSet ==
+      emb.select(col("vec_id")).as[Long].collect().toSet,
+      "the shrunk generation must hold exactly the corpus ids")
+    val copies = math.min(GraphAnn.DefaultReplicas, cells.size)
+    assert(live.size == copies * emb.count(),
+      s"every id must carry min(R, cells)=$copies copies")
+    // the base era's high parts survive exactly one grace cycle
+    assert(new java.io.File(s"$path/cells/p7").isDirectory,
+      "the superseded era keeps its cells for the grace window")
+    GraphAnn.refreshRouting(spark, path, parts = 3)
+    assert(!new java.io.File(s"$path/cells/p7").exists(),
+      "cells no kept generation resolves must leave the pool")
+    // and the shrunk index still serves a full deterministic top-k
+    val got = GraphAnn.searchIndex(spark, path, "vec_id", query(1), "qv",
+        10, ef = 48)
+      .select("vec_id", "rank").as[(Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(got.map(_._2) == (1L to 10L) && got.head._1 == 1L)
+  }
+
   test("distributed routing: routeQueriesDf's cells equal the driver-side reference bit for bit") {
     // round 17 moved per-query cell selection off the driver (the
     // routing table is corpus-proportional at fleet scale); the
