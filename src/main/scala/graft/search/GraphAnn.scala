@@ -764,6 +764,11 @@ object GraphAnn {
         .foreach(graft.FileTree.delete)
     }
     graft.FileTree.delete(cellsRoot(path))
+    // a pre-pool index at this path left partitioned nodes/meta
+    // tables the v2 layout never reads — dead bytes a long-lived
+    // memoized path would otherwise carry forever
+    graft.FileTree.delete(new java.io.File(s"$path/nodes"))
+    graft.FileTree.delete(new java.io.File(s"$path/meta"))
     // a leftover phase-1 tombstones sidecar from a prior index at
     // this path would silently hide legitimate ids from the fresh
     // index — CREATE semantics clear it unconditionally
