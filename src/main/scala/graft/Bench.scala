@@ -121,14 +121,19 @@ object Bench {
     val reruns: Map[String, Double] = queries0.collect {
       case (name, (sec, None))
         if prior.get(name).exists(p => sec > math.max(2 * p, p + 2.0)) =>
-        val second = timed(name,
-          () => { SparkEntry.queries(name)(spark, sfDir).count(); () })._2._1
+        val (secondSec, secondErr) = timed(name,
+          () => { SparkEntry.queries(name)(spark, sfDir).count(); () })._2
         // WARM-SKEW GUARD: a query that rides a session memo re-runs
         // against the warm artifact — a re-run far BELOW its prior is
-        // measuring the memo, not the query; clamp to the prior so
-        // the correction can remove contention but never fabricate a
-        // speedup the first pass didn't earn
-        name -> math.max(second, prior(name) / 2)
+        // measuring the memo, not the query; clamp to the PRIOR ITSELF
+        // so the correction can only remove contention, never record a
+        // time neither measurement produced (round-17's prior/2 clamp
+        // could fabricate up to a 2x speedup from a warm re-run). A
+        // re-run that ERRORED measured a failure, not the query —
+        // discard it and keep the first pass's clean time.
+        val second =
+          if (secondErr.isDefined) sec else math.max(secondSec, prior(name))
+        name -> second
     }.toMap
     val queries = queries0.map { case (k, (v, e)) =>
       (k, (reruns.get(k).fold(v)(math.min(v, _)), e))

@@ -539,11 +539,13 @@ object CurationQueries {
       new java.io.File(mut))
     val stage = q130Stage(s, dir)
     val out = PipelineQueries.roundtripPath(dir, "q188_out")
+    val ckpt = PipelineQueries.roundtripPath(dir, "q188_ckpt")
     graft.FileTree.delete(new java.io.File(out))
+    graft.FileTree.delete(new java.io.File(ckpt))
     val schema = s.read.parquet(stage).schema
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
-    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+    graft.streaming.Streaming.runForeachBatchResumable(s, src, ckpt, (batch, bid) => {
       val b = batch.localCheckpoint()
       def deliver(): Unit = {
         // idempotence needs DETERMINISTIC READS, not just idempotent
@@ -571,11 +573,18 @@ object CurationQueries {
         require(m.delete(), s"q188: batch $bid must have committed a marker")
       }
       deliver() // the at-least-once re-delivery, every batch
-    })
-    (0L until 4L).foreach { bid =>
       require(graft.streaming.ExactlyOnce.isApplied(
           new java.io.File(mut + "__applied"), bid),
         s"q188: batch $bid must end committed in the ledger")
+    }, sweepLedgers = Seq(new java.io.File(mut + "__applied")))
+    // ledger RETIREMENT (round 18, the q193 discipline): the durable
+    // checkpoint's watermark sweep retired every committed marker;
+    // the one-shot-build gate below proves it re-applied nothing
+    val q188Markers = Option(new java.io.File(mut + "__applied").listFiles())
+      .toSeq.flatten.map(_.getName)
+    require(q188Markers.isEmpty,
+      s"q188: the post-drain sweep must retire every marker, got $q188Markers")
+    (0L until 4L).foreach { bid =>
       require(!graft.streaming.ExactlyOnce.stageDir(
           new java.io.File(mut), bid).exists(),
         s"q188: batch $bid must leave no stage debris")

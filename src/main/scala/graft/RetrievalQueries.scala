@@ -490,17 +490,27 @@ object RetrievalQueries {
     * union under the standing quantizer — `exceptAll` both ways, so
     * a single duplicated vector fails loudly). Oracle: q84's full SQL
     * replay — the drained-under-failures index answers exactly like
-    * the clean batch build. */
+    * the clean batch build.
+    *
+    * Round 18: the drain runs on a DURABLE checkpoint and RETIRES its
+    * ledger through the watermark sweep ([[graft.streaming.Streaming
+    * .runForeachBatchResumable]]'s `sweepLedgers` — the q193
+    * discipline applied to every durable-checkpoint row): post-drain
+    * the ledger holds no committed markers and no intents, keeping a
+    * years-lived ingest's ledger O(live window), while the
+    * row-for-row gate proves retirement re-applied nothing. */
   def q185IvfExactlyOnce(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q185")
+    val ckpt = PipelineQueries.roundtripPath(dir, "q185_ckpt")
+    graft.FileTree.delete(new java.io.File(ckpt))
     graft.search.IVF.writeIndex(e.filter(col("vec_id") >= 100),
       "vec_id", "v", ivfK, 0, path)
     val stage = embDeltaStage(s, dir)
     val schema = s.read.parquet(stage).schema
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
-    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+    graft.streaming.Streaming.runForeachBatchResumable(s, src, ckpt, (batch, bid) => {
       val b = batch.select(col("vec_id"), col("v")).localCheckpoint()
       if (bid == 1L) // a "crashed" earlier attempt left its stage dir
         graft.streaming.ExactlyOnce.stageDir(new java.io.File(path), bid).mkdirs()
@@ -509,13 +519,23 @@ object RetrievalQueries {
         val m = new java.io.File(graft.search.IVF.appendLedger(path), s"b$bid")
         require(m.delete(), s"q185: batch $bid must have committed a marker")
       }
-      // the at-least-once re-delivery, every batch
+      // the at-least-once re-delivery, every batch (bid 2's marker
+      // was just deleted — the replayed promote must converge; every
+      // other bid short-circuits on its committed marker)
       graft.search.IVF.appendToIndexIdempotent(s, path, b, "vec_id", "v", bid)
-    })
-    (0L until 4L).foreach { bid =>
       require(graft.streaming.ExactlyOnce.isApplied(
           graft.search.IVF.appendLedger(path), bid),
         s"q185: batch $bid must end committed in the ledger")
+    }, sweepLedgers = Seq(graft.search.IVF.appendLedger(path)))
+    // ledger RETIREMENT (round 18): the drain's checkpoint watermark
+    // swept every committed marker and no intent survives — the
+    // ledger is O(live window); the row-for-row gate below proves the
+    // sweep re-applied nothing
+    val q185Markers = Option(graft.search.IVF.appendLedger(path).listFiles())
+      .toSeq.flatten.map(_.getName)
+    require(q185Markers.isEmpty,
+      s"q185: the post-drain sweep must retire every marker, got $q185Markers")
+    (0L until 4L).foreach { bid =>
       require(!graft.streaming.ExactlyOnce.stageDir(
           new java.io.File(path), bid).exists(),
         s"q185: batch $bid must leave no stage debris")
@@ -639,7 +659,7 @@ object RetrievalQueries {
       if (bid == 1L) {
         val lp = graft.search.IVF.listsPath(path)
         val snapBefore = listFileSnap(lp)
-        nDel = graft.search.IVF.deleteFromIndex(s, path, delIds, "vec_id")
+        nDel = graft.search.IVF.deleteFromIndex(s, path, delIds, "vec_id", countPresent = true)
         filesTouched = listFileSnap(lp) != snapBefore
       }
     })
@@ -751,7 +771,7 @@ object RetrievalQueries {
       if (bid == 1L) {
         val lp = graft.search.IVF.listsPath(path)
         val snapBefore = listFileSnap(lp)
-        nDel = graft.search.IVF.deleteFromIndex(s, path, delIds, "id")
+        nDel = graft.search.IVF.deleteFromIndex(s, path, delIds, "id", countPresent = true)
         filesTouched = listFileSnap(lp) != snapBefore
       }
     })
@@ -881,7 +901,7 @@ object RetrievalQueries {
       graft.search.IVF.appendToIndex(s, path,
         batch.select(col("vec_id"), col("v")), "vec_id", "v")
       if (bid == 1L)
-        require(graft.search.IVF.deleteFromIndex(s, path, delIds, "vec_id")
+        require(graft.search.IVF.deleteFromIndex(s, path, delIds, "vec_id", countPresent = true)
             == nReq,
           "q158: the mid-drain delete must hide exactly the request")
       // the maintenance poll — every batch, after its append
@@ -1000,7 +1020,7 @@ object RetrievalQueries {
       val del = batch.filter(col("op") === "D").select(col("vec_id"))
       if (!del.isEmpty)
         applied += bid ->
-          graft.search.IVF.deleteFromIndex(s, path, del, "vec_id")
+          graft.search.IVF.deleteFromIndex(s, path, del, "vec_id", countPresent = true)
       // the maintenance poll — every batch, after its operations
       if (graft.search.IVF.needsCompact(s, path, 0)) {
         fired ::= bid
@@ -1084,7 +1104,7 @@ object RetrievalQueries {
       val del = batch.filter(col("op") === "D").select(col("vec_id"))
       if (!del.isEmpty)
         applied += bid ->
-          graft.search.IVF.deleteFromIndex(s, path, del, "vec_id")
+          graft.search.IVF.deleteFromIndex(s, path, del, "vec_id", countPresent = true)
       gens ::= bid -> graft.search.IVF.listsPath(path)
     })
     require(applied == Map(1L -> nDel),
@@ -1199,7 +1219,7 @@ object RetrievalQueries {
       val del = batch.filter(col("op") === "D")
         .select(col("vec_id").as("id"))
       if (!del.isEmpty)
-        applied += bid -> graft.search.IVF.deleteFromIndex(s, path, del, "id")
+        applied += bid -> graft.search.IVF.deleteFromIndex(s, path, del, "id", countPresent = true)
       gens ::= bid -> graft.search.IVF.listsPath(path)
     })
     require(applied == Map(1L -> nDel),
@@ -1357,7 +1377,7 @@ object RetrievalQueries {
       val del = batch.filter(col("op") === "D")
         .select(col("vec_id").as("id"))
       if (!del.isEmpty)
-        applied += bid -> graft.search.IVF.deleteFromIndex(s, path, del, "id")
+        applied += bid -> graft.search.IVF.deleteFromIndex(s, path, del, "id", countPresent = true)
       // the maintenance poll — every batch, after its operations
       if (graft.search.IVF.needsCompact(s, path, valve)) {
         fired ::= bid
@@ -1502,7 +1522,7 @@ object RetrievalQueries {
     val nChunks = Memo.cachedCount(s, dir, "q162_nchunks")(delKeys.count())
     require(nDocs > 0 && nChunks >= nDocs,
       "q162 needs a non-empty chunked request for a real cascade")
-    val nVec = graft.search.IVF.deleteFromIndex(s, ivfPath, delKeys, "ckey")
+    val nVec = graft.search.IVF.deleteFromIndex(s, ivfPath, delKeys, "ckey", countPresent = true)
     require(nVec == nChunks,
       s"q162: the vector cascade hid $nVec of $nChunks derived chunks")
     // the composed serve: probed chunk top-k → parent rollup, RRF'd
@@ -1654,15 +1674,15 @@ object RetrievalQueries {
     require(nDocs > 0 && nChDel >= nDocs,
       "q166 needs a non-empty chunked request for a real cascade")
     // legs 2–4: the SAME derived set lands in each family's sidecar
-    val nIvf = graft.search.IVF.deleteFromIndex(s, ivfPath, delKeys, "ckey")
+    val nIvf = graft.search.IVF.deleteFromIndex(s, ivfPath, delKeys, "ckey", countPresent = true)
     require(nIvf == nChDel,
       s"q166: the IVF cascade hid $nIvf of $nChDel derived chunks")
     val nSq = graft.search.IVF.deleteFromIndex(s, sqPath,
-      delKeys.select(col("ckey").as("id")), "id")
+      delKeys.select(col("ckey").as("id")), "id", countPresent = true)
     require(nSq == nChDel,
       s"q166: the SQ8 cascade hid $nSq of $nChDel derived chunks")
     val nGr = graft.search.GraphAnn.deleteFromIndex(s, graphPath,
-      delKeys, "ckey")
+      delKeys, "ckey", countPresent = true)
     require(nGr == nChDel,
       s"q166: the graph cascade hid $nGr of $nChDel derived chunks")
     // orphan-free: each sidecar holds exactly the derived set
@@ -1870,15 +1890,15 @@ object RetrievalQueries {
     val nChDel = Memo.cachedCount(s, dir, "q174_nchdel")(delKeys.count())
     require(nChDel >= nLexReq,
       "q174 needs every requested doc in the chunked slice to cascade")
-    val nIvf = graft.search.IVF.deleteFromIndex(s, ivfPath, delKeys, "ckey")
+    val nIvf = graft.search.IVF.deleteFromIndex(s, ivfPath, delKeys, "ckey", countPresent = true)
     require(nIvf == nChDel,
       s"q174: the IVF cascade hid $nIvf of $nChDel derived chunks")
     val nSq = graft.search.IVF.deleteFromIndex(s, sqPath,
-      delKeys.select(col("ckey").as("id")), "id")
+      delKeys.select(col("ckey").as("id")), "id", countPresent = true)
     require(nSq == nChDel,
       s"q174: the SQ8 cascade hid $nSq of $nChDel derived chunks")
     val nGr = graft.search.GraphAnn.deleteFromIndex(s, graphPath,
-      delKeys, "ckey")
+      delKeys, "ckey", countPresent = true)
     require(nGr == nChDel,
       s"q174: the graph cascade hid $nGr of $nChDel derived chunks")
     require(graft.search.IVF.tombstoneRows(s, ivfPath) == nChDel &&
@@ -2078,7 +2098,7 @@ object RetrievalQueries {
     cloneTree(graphIndexPath(s, dir), path)
     val delIds = e.filter(col("vec_id") % 9 === 4).select(col("vec_id"))
     val nReq = Memo.cachedCount(s, dir, "q145_ndel")(delIds.count())
-    require(GraphAnn.deleteFromIndex(s, path, delIds, "vec_id") == nReq,
+    require(GraphAnn.deleteFromIndex(s, path, delIds, "vec_id", countPresent = true) == nReq,
       "q175: the request must land fully in the live sidecar")
     // the reader's pin: ONE pointer resolve, then never again
     val pin = GraphAnn.currentGeneration(path)
@@ -2109,6 +2129,95 @@ object RetrievalQueries {
     after.toDF("vec_id", "rank", "score").orderBy("rank")
   }
 
+  /** CELL-POOL GC UNDER A STANDING PIN — the declared-row treatment
+    * for the versioned pool's GRACE CONTRACT (round 18; the other pin
+    * contracts got theirs in q142/q171/q172/q175/q176): a pinned
+    * generation keeps resolving its own frozen cell VERSIONS against
+    * the shared pool across (1) an APPEND to the live generation —
+    * whose per-part grace GC must keep every surviving generation's
+    * own resolution, not just the live V_c's predecessor (the
+    * round-18 keep-set fix; before it, the first post-flip append
+    * silently deleted whole pinned cells) — and (2) a full
+    * MAINTENANCE FLIP ([[graft.search.GraphAnn.refreshRouting]]),
+    * whose [[gcCells]] sweep keeps each kept root's resolution at its
+    * own visibility version. After a SECOND maintenance cycle the pin
+    * leaves the grace window, its cells GC from the pool, and the
+    * stale read fails LOUDLY — never silently serving a newer graph.
+    * Gates: pinned serve bit-identical and pinned node mass constant
+    * across append + flip; generation advances at each cycle; expiry
+    * raises with the GC'd remedy message. Rows-only per the graph ✗
+    * discipline; the declared output is the live serve after the
+    * full lifecycle. */
+  def q196GraphPoolGcUnderPin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.search.GraphAnn
+    val e = emb(s, dir)
+    val path = PipelineQueries.roundtripPath(dir, "q196")
+    cloneTree(graphIndexPath(s, dir), path)
+    val parts = graphPartsFor(s, dir)
+    val probe = graphProbeFor(s, dir)
+    val nMax = Memo.cachedCount(s, dir, "emb_n")(e.count())
+    // the reader's pin: ONE pointer resolve before any maintenance
+    val pin = GraphAnn.currentGeneration(path)
+    val massBefore = GraphAnn.nodesDfPinned(s, path, pin).count()
+    def pinned() = GraphAnn.searchIndexPinned(s, path, pin, "vec_id",
+        e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+        10, graphEf, probeParts = probe)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2)
+    // (1) APPEND to the pinned live generation: the pin IS the live
+    // unit here, so the append (CELLS bump + grace GC) is part of its
+    // history — the baseline snapshot is taken AFTER it
+    GraphAnn.appendToIndex(s, path,
+      e.limit(8).select((col("vec_id") + lit(10L * nMax)).as("vec_id"),
+        col("v")),
+      "vec_id", "v")
+    val replicas = s.read.parquet(GraphAnn.tablePath(path, "routing"))
+      .select(col("replicas").cast("long")).as[Long].head()
+    val massPinned = massBefore + 8L * replicas
+    require(GraphAnn.nodesDfPinned(s, path, pin).count() == massPinned,
+      "q196: the pinned live generation must hold base + appended mass")
+    val before = pinned()
+    // (2) MAINTENANCE FLIP under the pin: a fresh generation commits,
+    // gcCells sweeps — keeping the superseded pin's own resolutions
+    // (the grace window)
+    GraphAnn.refreshRouting(s, path, parts)
+    val gen1 = GraphAnn.currentGeneration(path)
+    require(gen1 != pin, "q196: the refresh must flip to a fresh generation")
+    require(pinned() == before,
+      "q196: the pinned serve must be bit-identical across the flip " +
+        "(the grace window is the contract)")
+    // (3) POST-FLIP APPEND to the new live generation: its grace GC
+    // must keep the cells the SUPERSEDED pin resolves at its frozen
+    // V_c — the round-18 keep-set contract, gated in the declared row
+    GraphAnn.appendToIndex(s, path,
+      e.limit(8).select((col("vec_id") + lit(20L * nMax)).as("vec_id"),
+        col("v")),
+      "vec_id", "v")
+    require(pinned() == before,
+      "q196: the pinned serve must be bit-identical across a post-flip " +
+        "append's grace GC (superseded resolutions are part of the keep set)")
+    require(GraphAnn.nodesDfPinned(s, path, pin).count() == massPinned,
+      "q196: the superseded pin's node mass must stand through the " +
+        "post-flip append")
+    // live mass gate: base + both appends, every copy in R cells
+    require(GraphAnn.nodesDf(s, path).count() == massPinned + 8L * replicas,
+      "q196: the live generation must hold base + both appended batches")
+    // (3) SECOND cycle: the pin leaves the grace window — its cells
+    // GC from the pool and the stale read fails LOUDLY
+    GraphAnn.refreshRouting(s, path, parts)
+    require(GraphAnn.currentGeneration(path) != gen1,
+      "q196: the second refresh must advance the generation again")
+    val expiry = scala.util.Try(pinned())
+    require(expiry.isFailure &&
+        expiry.failed.get.getMessage.contains("GC'd"),
+      s"q196: an expired pin must fail loudly with the GC'd remedy, got $expiry")
+    GraphAnn.searchIndex(s, path, "vec_id",
+        e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
+        10, graphEf, probeParts = probe)
+      .orderBy("rank")
+  }
+
   /** PINNED SQ8 SERVING ACROSS A CONCURRENT COMPACTION — the
     * quantized cell of the same matrix, and unlike the graph twin
     * FULLY ORACLED: a reader pins [[graft.search.IVF
@@ -2131,7 +2240,7 @@ object RetrievalQueries {
     val delIds = e.filter(col("vec_id") % 7 === 3)
       .select(col("vec_id").as("id"))
     val nReq = Memo.cachedCount(s, dir, "q155_ndel")(delIds.count())
-    require(graft.search.IVF.deleteFromIndex(s, path, delIds, "id") == nReq,
+    require(graft.search.IVF.deleteFromIndex(s, path, delIds, "id", countPresent = true) == nReq,
       "q176: the request must land fully in the live sidecar")
     // the reader's pin: ONE pointer resolve, then never again
     val pin = graft.search.IVF.currentGeneration(path)
@@ -2198,7 +2307,7 @@ object RetrievalQueries {
     cloneTree(graphIndexPath(s, dir), path)
     val delIds = e.filter(col("vec_id") % 9 === 4).select(col("vec_id"))
     val nReq = Memo.cachedCount(s, dir, "q145_ndel")(delIds.count())
-    require(GraphAnn.deleteFromIndex(s, path, delIds, "vec_id") == nReq,
+    require(GraphAnn.deleteFromIndex(s, path, delIds, "vec_id", countPresent = true) == nReq,
       "q181: the request must land fully in the live sidecar")
     val qs = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -2775,7 +2884,7 @@ object RetrievalQueries {
       .unionByName(drift)
     val doomed = u.filter(col("vec_id") % 17 === 3 && col("vec_id") =!= 2)
       .select(col("vec_id").as("id")) // SQ lists carry idCol "id"
-    val nDel = graft.search.IVF.deleteFromIndex(s, path, doomed, "id")
+    val nDel = graft.search.IVF.deleteFromIndex(s, path, doomed, "id", countPresent = true)
     require(nDel > 0, "q121: the delete request must hit the live index")
     graft.search.SQ.rebuildIndex(u, "vec_id", "v", ivfK, path)
     require(graft.search.IVF.listFileCounts(path).values.forall(_ == 1),
@@ -3108,7 +3217,7 @@ object RetrievalQueries {
     // both serves agree: forgotten stays forgotten across the upgrade.
     val doomed = d.filter(col("doc_id") % 7 === 3 && col("doc_id") =!= 1)
       .select(col("doc_id"))
-    require(graft.search.IVF.deleteFromIndex(s, path, doomed, "doc_id") > 0,
+    require(graft.search.IVF.deleteFromIndex(s, path, doomed, "doc_id", countPresent = true) > 0,
       "q141: the delete request must hit the live index")
     // THE UPGRADE: re-embed from text under v2, staged generation +
     // atomic flip (writeIndexFrom's live-rebuild path)
@@ -3153,13 +3262,15 @@ object RetrievalQueries {
   def q189SqExactlyOnce(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q189")
+    val ckpt = PipelineQueries.roundtripPath(dir, "q189_ckpt")
+    graft.FileTree.delete(new java.io.File(ckpt))
     graft.search.SQ.writeIndex(e.filter(col("vec_id") >= 100),
       "vec_id", "v", ivfK, path)
     val stage = embDeltaStage(s, dir)
     val schema = s.read.parquet(stage).schema
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
-    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+    graft.streaming.Streaming.runForeachBatchResumable(s, src, ckpt, (batch, bid) => {
       val b = batch.select(col("vec_id"), col("v")).localCheckpoint()
       if (bid == 1L) // a "crashed" earlier attempt left its stage dir
         graft.streaming.ExactlyOnce.stageDir(new java.io.File(path), bid).mkdirs()
@@ -3177,7 +3288,17 @@ object RetrievalQueries {
       // batch 2's replay re-runs fully and reports its real fraction
       if (bid != 2L) require(f2 == 0.0,
         s"q189: a committed duplicate must report clamp 0.0, got $f2")
-    })
+      require(graft.streaming.ExactlyOnce.isApplied(
+          graft.search.IVF.appendLedger(path), bid),
+        s"q189: batch $bid must end committed in the ledger")
+    }, sweepLedgers = Seq(graft.search.IVF.appendLedger(path)))
+    // ledger RETIREMENT (round 18, the q193 discipline): the durable
+    // checkpoint's watermark sweep retired every committed marker;
+    // the byte-for-byte gate below proves it re-applied nothing
+    val q189Markers = Option(graft.search.IVF.appendLedger(path).listFiles())
+      .toSeq.flatten.map(_.getName)
+    require(q189Markers.isEmpty,
+      s"q189: the post-drain sweep must retire every marker, got $q189Markers")
     val cents = s.read.parquet(s"$path/centroids")
     val ba = graft.search.SQ.boundsArrays(s.read.parquet(s"$path/bounds"))
     val streamed = s.read.parquet(s"$path/lists")
@@ -3985,12 +4106,14 @@ object RetrievalQueries {
         PipelineQueries.roundtripPath(dir, "q99_stream"))
     }
     val path = PipelineQueries.roundtripPath(dir, "q190")
+    val ckpt = PipelineQueries.roundtripPath(dir, "q190_ckpt")
     cloneTree(graphBase80Path(s, dir), path)
     graft.FileTree.delete(new java.io.File(path, "applied__appends"))
+    graft.FileTree.delete(new java.io.File(ckpt))
     val schema = s.read.parquet(stage).schema
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
-    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+    graft.streaming.Streaming.runForeachBatchResumable(s, src, ckpt, (batch, bid) => {
       val b = batch.select(col("vec_id"), col("v")).localCheckpoint()
       graft.search.GraphAnn.appendToIndexIdempotent(s, path, b,
         "vec_id", "v", bid)
@@ -4005,12 +4128,18 @@ object RetrievalQueries {
       }
       graft.search.GraphAnn.appendToIndexIdempotent(s, path, b,
         "vec_id", "v", bid) // the at-least-once re-delivery
-    })
-    (0L until 4L).foreach { bid =>
       require(graft.streaming.ExactlyOnce.isApplied(
           new java.io.File(path, "applied__appends"), bid),
         s"q190: batch $bid must end committed in the ledger")
-    }
+    }, sweepLedgers = Seq(new java.io.File(path, "applied__appends")))
+    // ledger RETIREMENT (round 18, the q193 discipline): the durable
+    // checkpoint's watermark sweep retired every committed marker and
+    // no intent survives; the cell-signature gate below proves the
+    // sweep re-applied nothing
+    val q190Markers = Option(new java.io.File(path, "applied__appends")
+      .listFiles()).toSeq.flatten.map(_.getName)
+    require(q190Markers.isEmpty,
+      s"q190: the post-drain sweep must retire every marker, got $q190Markers")
     require(cellSignature(s, path) == cellSignature(s, graphRebuildPath(s, dir)),
       "q190: the exactly-once drain's per-cell content signature must " +
         "equal the same-routing full rebuild's — a duplicated node row " +
@@ -4523,6 +4652,114 @@ object RetrievalQueries {
        ORDER BY knob"""
   }
 
+  /** SCALE-AWARE PQ GEOMETRY (round 18 — q194's derived-geometry
+    * discipline on the product-quantization path): every other PQ row
+    * pins the fixture codebook (m=$pqM, K=$pqK); here BOTH knobs
+    * DERIVE from (d, N) — m = d/8 (8-dim subvectors, the standard PQ
+    * sizing: code bytes scale with dimension, never with corpus) and
+    * K = min(256, ⌈√N⌉) (codebook entries grow with the corpus until
+    * the one-byte-code ceiling; past it recall rides m). The dial
+    * reads ADC recall at the derived (m, K), at half the subspaces
+    * (same K, half the code bytes), and at double K (the next
+    * resolution rung); the EXACT-PIN leg quantizes the corpus onto
+    * ITSELF (m=1, K=N — every vector reconstructs to itself, so ADC
+    * IS the exact scan) and is required exactly 1.0 in-query, the
+    * q194/q182 discipline, so the partial rows read as measured
+    * quantization loss at derived geometry, not noise. Fully oracled:
+    * the SQL derives the same K from COUNT(*) and replays the shared
+    * LCG codebook sample, per-subspace argmin, reconstruction and
+    * top-k. ScaleProbe re-reads the dial at 10×/30×, where per-vector
+    * code bytes stay m and the codebook broadcast stays K·d. */
+  def q195PqDerived(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
+    val k = math.min(256, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val m = embDim / 8
+    def cb(kk: Int) = Memo.cached(s, dir, s"q195_cb$kk")(
+      graft.search.IVF.centroids(e, "vec_id", "v", kk))
+    val qs = e.filter(col("vec_id") < recallNq)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = Search.multiTopK(e, "vec_id", "v", qs, "qid", "qv", recallK)
+      .select(col("qid"), col("vec_id")).localCheckpoint()
+    def row(mm: Int, kk: Int, knob: String): DataFrame =
+      exact.join(graft.search.PQ.adcMultiTopK(e, "vec_id", "v", cb(kk),
+            qs, "qid", "qv", recallK, mm, embDim)
+          .select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_semi")
+        .agg(round(count(lit(1)) / lit((recallNq * recallK).toDouble), 4)
+          .as("recall"))
+        .select(lit("pq").as("method"), lit(knob).as("knob"), col("recall"))
+    val exactPin = row(1, n.toInt, "m=1 k=n exact-pin").localCheckpoint()
+    require(exactPin.select(col("recall")).head().getDouble(0) == 1.0,
+      "q195: quantizing the corpus onto itself (m=1, K=N) IS the exact " +
+        "scan and must read recall 1.0")
+    Seq(row(m, k, "m=d/8 k=sqrt_n"),
+      row(m / 2, k, "m=d/16 k=sqrt_n"),
+      row(m, math.min(256, 2 * k), "m=d/8 k=2sqrt_n"),
+      exactPin)
+      .reduce(_ union _)
+      .orderBy("knob")
+  }
+
+  /** q195's replay: K derives from COUNT(*) (LEAST(256, ⌈√N⌉)) and
+    * each leg is the q48 per-subspace argmin/reconstruct template cut
+    * from the shared LCG ordering at its own (m, K) — the exact-pin
+    * leg's codebook is the whole ordering (K=N). */
+  val q195Sql: String = {
+    // per-(tag, m, K-limit) PQ leg off the shared `ordc` LCG ordering
+    def leg(tag: String, m: Int, klimit: String): String = {
+      val sub = embDim / m
+      s"""cb$tag AS (SELECT cid, cvec FROM ordc WHERE cid < ($klimit)),
+       sp$tag AS (SELECT UNNEST(generate_series(0, ${m - 1})) AS m),
+       d$tag AS (SELECT e.vec_id, sp.m, c.cid,
+               c.cvec[sp.m * $sub + 1 : sp.m * $sub + $sub] AS cm,
+               list_dot_product(c.cvec[sp.m * $sub + 1 : sp.m * $sub + $sub],
+                                c.cvec[sp.m * $sub + 1 : sp.m * $sub + $sub])
+                 - 2 * list_dot_product(e.v[sp.m * $sub + 1 : sp.m * $sub + $sub],
+                                        c.cvec[sp.m * $sub + 1 : sp.m * $sub + $sub]) AS dist
+             FROM e, sp$tag sp, cb$tag c),
+       b$tag AS (SELECT vec_id, m, cm FROM (
+               SELECT vec_id, m, cm,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS r
+               FROM d$tag) WHERE r = 1),
+       x$tag AS (SELECT vec_id, flatten(list(cm ORDER BY m)) AS xhat FROM b$tag GROUP BY vec_id),
+       pqk$tag AS (SELECT qid, vec_id FROM (
+           SELECT q.qid, x.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(q.qv, x.xhat) DESC, x.vec_id) AS r
+           FROM x$tag x, q) WHERE r <= $recallK),
+       r$tag AS (SELECT 'pq' AS method, LBL$tag AS knob,
+           ROUND(COUNT(*) / ${recallNq * recallK}.0, 4) AS recall
+           FROM ex JOIN pqk$tag USING (qid, vec_id))"""
+    }
+    val m = embDim / 8
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       kk AS (SELECT LEAST(256, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k,
+              COUNT(*) AS n FROM e),
+       ordc AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM e),
+       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $recallNq),
+       ex AS (SELECT qid, vec_id FROM (
+           SELECT q.qid, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(e.v, q.qv) DESC, e.vec_id) AS r
+           FROM e, q) WHERE r <= $recallK),
+       ${leg("g1", m, "SELECT k FROM kk")},
+       ${leg("g2", m / 2, "SELECT k FROM kk")},
+       ${leg("g3", m, "SELECT LEAST(256, 2 * k) FROM kk")},
+       ${leg("gx", 1, "SELECT n FROM kk")}
+       SELECT method, knob, recall FROM rg1
+       UNION ALL SELECT method, knob, recall FROM rg2
+       UNION ALL SELECT method, knob, recall FROM rg3
+       UNION ALL SELECT method, knob, recall FROM rgx
+       ORDER BY knob"""
+      .replace("LBLg1", "'m=d/8 k=sqrt_n'")
+      .replace("LBLg2", "'m=d/16 k=sqrt_n'")
+      .replace("LBLg3", "'m=d/8 k=2sqrt_n'")
+      .replace("LBLgx", "'m=1 k=n exact-pin'")
+  }
+
   val q48Sql: String = {
     val bucket = bucketSql(annBits)
     // per-(m, K) PQ replay (the q59Sql quantize/reconstruct CTEs cut
@@ -4747,12 +4984,12 @@ $sqRows)
     }
     stage(e, 0)
     require(graft.search.IVF.deleteFromIndex(s, path,
-        e.filter(col("vec_id") % 10 === 1).select(col("vec_id")), "vec_id") > 0,
+        e.filter(col("vec_id") % 10 === 1).select(col("vec_id")), "vec_id", countPresent = true) > 0,
       "q182: the 10% request must hit the index")
     stage(e.filter(col("vec_id") % 10 =!= 1), 10)
     require(graft.search.IVF.deleteFromIndex(s, path,
         e.filter(col("vec_id") % 10 isin (3, 5)).select(col("vec_id")),
-        "vec_id") > 0,
+        "vec_id", countPresent = true) > 0,
       "q182: the 30% request must hit the index")
     stage(e.filter(!(col("vec_id") % 10 isin (1, 3, 5))), 30)
     rows.reduce(_ unionAll _).orderBy("family", "del_pct", "knob")
@@ -4856,12 +5093,12 @@ $sqRows)
     }
     stage(e, 0)
     require(GraphAnn.deleteFromIndex(s, path,
-        e.filter(col("vec_id") % 10 === 1).select(col("vec_id")), "vec_id") > 0,
+        e.filter(col("vec_id") % 10 === 1).select(col("vec_id")), "vec_id", countPresent = true) > 0,
       "q183: the 10% request must hit the index")
     stage(e.filter(col("vec_id") % 10 =!= 1), 10)
     require(GraphAnn.deleteFromIndex(s, path,
         e.filter(col("vec_id") % 10 isin (3, 5)).select(col("vec_id")),
-        "vec_id") > 0,
+        "vec_id", countPresent = true) > 0,
       "q183: the 30% request must hit the index")
     stage(e.filter(!(col("vec_id") % 10 isin (1, 3, 5))), 30)
     rows.reduce(_ unionAll _).orderBy("family", "del_pct", "knob")
@@ -5540,7 +5777,7 @@ $sqRows)
     // paired either generation with the other's delete set would
     // break the row-for-row equality below
     val delVec = e.filter(col("vec_id") % 23 === 7).select(col("vec_id"))
-    require(graft.search.IVF.deleteFromIndex(s, ivfPath, delVec, "vec_id") > 0,
+    require(graft.search.IVF.deleteFromIndex(s, ivfPath, delVec, "vec_id", countPresent = true) > 0,
       "q178: the vector delete request must hit the live index")
     val delDoc = docs(s, dir).filter(col("doc_id") % 23 === 7)
       .select(col("doc_id").as("doc"))
@@ -5725,7 +5962,7 @@ $sqRows)
     val delIds = e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
     val nReq = Memo.cachedCount(s, dir, "q144_ndel")(delIds.count())
     val snapBefore = listFileSnap(lp)
-    val nDel = graft.search.IVF.deleteFromIndex(s, path, delIds, "vec_id")
+    val nDel = graft.search.IVF.deleteFromIndex(s, path, delIds, "vec_id", countPresent = true)
     require(nDel == nReq,
       s"q144: tombstoned $nDel of a $nReq-id request fully inside the index")
     require(listFileSnap(lp) == snapBefore,
@@ -5814,7 +6051,7 @@ $sqRows)
       .select(col("vec_id").as("id"))
     val nReq = Memo.cachedCount(s, dir, "q155_ndel")(delIds.count())
     val snapBefore = listFileSnap(lp)
-    val nDel = graft.search.IVF.deleteFromIndex(s, path, delIds, "id")
+    val nDel = graft.search.IVF.deleteFromIndex(s, path, delIds, "id", countPresent = true)
     require(nDel == nReq,
       s"q155: tombstoned $nDel of a $nReq-id request fully inside the index")
     require(listFileSnap(lp) == snapBefore,
@@ -5924,7 +6161,7 @@ $sqRows)
       .join(broadcast(delIds.select(col("vec_id").as("id"))), Seq("id"),
         "left_semi")
       .count()
-    val present = GraphAnn.deleteFromIndex(s, path, delIds, "vec_id")
+    val present = GraphAnn.deleteFromIndex(s, path, delIds, "vec_id", countPresent = true)
     require(present == nReq,
       s"q145: $present of the $nReq requested ids were in the index")
     def serve() = GraphAnn.searchIndex(s, path, "vec_id",
@@ -5998,7 +6235,7 @@ $sqRows)
       .join(broadcast(delIds.select(col("vec_id").as("id"))), Seq("id"),
         "left_semi")
       .count()
-    val present = GraphAnn.deleteFromIndex(s, path, delIds, "vec_id")
+    val present = GraphAnn.deleteFromIndex(s, path, delIds, "vec_id", countPresent = true)
     require(present == nReq,
       s"q151: $present of the $nReq requested ids were in the index")
     // the growth valve tracks the standing sidecar (the q147/q148
@@ -6099,7 +6336,7 @@ $sqRows)
           walk(new java.io.File(s"$path/cells"), "").sortBy(_._1)
         }
         val snapBefore = cellSnap()
-        nDel = GraphAnn.deleteFromIndex(s, path, delIds, "vec_id")
+        nDel = GraphAnn.deleteFromIndex(s, path, delIds, "vec_id", countPresent = true)
         filesTouched = cellSnap() != snapBefore
       }
     })
@@ -6216,7 +6453,7 @@ $sqRows)
       GraphAnn.appendToIndex(s, path,
         batch.select(col("vec_id"), col("v")), "vec_id", "v")
       if (bid == 1L)
-        nDel = GraphAnn.deleteFromIndex(s, path, delIds, "vec_id")
+        nDel = GraphAnn.deleteFromIndex(s, path, delIds, "vec_id", countPresent = true)
       // the maintenance poll — every batch, after its operations
       if (GraphAnn.needsCompact(s, path, valve)) {
         fired ::= bid
@@ -6323,7 +6560,7 @@ $sqRows)
       GraphAnn.appendToIndex(s, path,
         batch.select(col("vec_id"), col("v")), "vec_id", "v")
       if (bid == 1L)
-        nDel = GraphAnn.deleteFromIndex(s, path, delIds, "vec_id")
+        nDel = GraphAnn.deleteFromIndex(s, path, delIds, "vec_id", countPresent = true)
     })
     require(nDel == nReq,
       s"q165: the mid-drain delete hid $nDel of a $nReq-id request")
@@ -6419,7 +6656,7 @@ $sqRows)
         GraphAnn.appendToIndex(s, path, ins, "vec_id", "v")
       val del = batch.filter(col("op") === "D").select(col("vec_id"))
       if (!del.isEmpty)
-        applied += bid -> GraphAnn.deleteFromIndex(s, path, del, "vec_id")
+        applied += bid -> GraphAnn.deleteFromIndex(s, path, del, "vec_id", countPresent = true)
       val ups = batch.filter(col("op") === "U").select(col("vec_id"), col("v"))
       if (!ups.isEmpty)
         GraphAnn.applyUpserts(s, path, ups, "vec_id", "v")
@@ -7175,6 +7412,7 @@ $sqRows)
     "q45_ann_ivf" -> (q45AnnIvf _),
     "q48_ann_recall" -> (q48AnnRecall _),
     "q194_ivf_derived_k" -> (q194IvfDerivedK _),
+    "q195_pq_derived" -> (q195PqDerived _),
     "q182_ivf_recall_deletion" -> (q182IvfRecallDeletion _),
     "q183_graph_recall_deletion" -> (q183GraphRecallDeletion _),
     "q18_fhe_sim" -> (q18FheSim _),
@@ -7232,6 +7470,7 @@ $sqRows)
     "q173_sq_cdc_revive" -> (q173SqCdcRevive _),
     "q174_factory_forget" -> (q174FactoryForget _),
     "q175_graph_pinned_read" -> (q175GraphPinnedRead _),
+    "q196_graph_pool_gc_pin" -> (q196GraphPoolGcUnderPin _),
     "q181_graph_pinned_multi" -> (q181GraphPinnedMulti _),
     "q176_sq_pinned_read" -> (q176SqPinnedRead _),
     "q178_pinned_hybrid_multi" -> (q178PinnedHybridMulti _),
@@ -7263,6 +7502,7 @@ $sqRows)
     "q45_ann_ivf" -> q45Sql,
     "q48_ann_recall" -> q48Sql,
     "q194_ivf_derived_k" -> q194Sql,
+    "q195_pq_derived" -> q195Sql,
     "q182_ivf_recall_deletion" -> q182Sql,
     "q54_ivf_persist" -> q45Sql,
     "q18_fhe_sim" -> q18Sql,

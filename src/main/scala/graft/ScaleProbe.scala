@@ -109,7 +109,8 @@ object ScaleProbe {
       "q113_mixture_sample", "q115_leakfree_split",
       "q116_graph_reroute", "q117_curation_pipeline",
       "q132_curated_pack", "q133_sq_compact", "q134_ivf_multi",
-      "q135_sq_multi", "q136_stream_curation")
+      "q135_sq_multi", "q136_stream_curation", "q194_ivf_derived_k",
+      "q195_pq_derived")
     val probeQs = if (args.length > 1) args.drop(1).toSeq else defaults
     probeQs.foreach {
       // vocab-axis probe for the BPE trainer (not a declared query):

@@ -180,6 +180,101 @@ object Scratch {
         f"min=${times.min}%.2f med=${times.sorted.apply(1)}%.2f")
       spark.stop(); return
     }
+    // round 18: serving wall + recall at the NEW decades under the
+    // shipped defaults — two-level routing (supercell sidecars) +
+    // fixed P=8 autoProbe. Rebuilds the graphbig corpus's index with
+    // the current builder (so routing2c/routing2 exist), then times
+    // three 50-query serves at AutoProbe and prints recall vs exact.
+    // Usage: runMain graft.Scratch <dir> graphserve2 <K>
+    if (args.contains("graphserve2")) {
+      import org.apache.spark.sql.functions._
+      val k = args(args.indexOf("graphserve2") + 1).toInt
+      val corpus = s"/tmp/graft_fixed/emb_${k}x.parquet"
+      val e = spark.read.parquet(corpus).localCheckpoint()
+      val n = e.count()
+      val parts = math.max(8, math.ceil(n.toDouble / 500).toInt)
+      val path = s"/tmp/graft_fixed/graph_big2_r3_p$parts"
+      if (!new java.io.File(s"$path/routing2c").isDirectory) {
+        graft.FileTree.delete(new java.io.File(path))
+        val t0 = System.nanoTime()
+        graft.search.GraphAnn.writeIndex(e, "vec_id", "v", 8, 48, parts, path)
+        println(f"GRAPHSERVE2 build n=$n parts=$parts ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      val qs = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("v").as("qv")).localCheckpoint()
+      val exact = graft.search.Search.multiTopK(e, "vec_id", "v", qs, "qid", "qv", 10)
+        .select(col("qid"), col("vec_id")).localCheckpoint()
+      val exactN = exact.count().toDouble
+      def serve() = graft.search.GraphAnn.searchIndexMulti(spark, path,
+        "vec_id", qs, "qid", "qv", 10, 48)
+      serve().count() // warm footers
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); serve().count(); (System.nanoTime() - t0) / 1e9
+      }
+      val hits = exact.join(serve().select(col("qid"), col("vec_id")),
+        Seq("qid", "vec_id"), "left_semi").count()
+      println(f"GRAPHSERVE2 n=$n parts=$parts " +
+        f"probe=${graft.search.GraphAnn.autoProbe(parts, 3)} twoLevel=true " +
+        f"recall=${hits / exactN}%.4f " +
+        f"min=${times.min}%.2f med=${times.sorted.apply(1)}%.2f")
+      spark.stop(); return
+    }
+    // round 18: the ≥480-cell decades for autoProbe — the round-17
+    // fixed-count sweep stopped at parts=120; the default's growth
+    // guard stays linear-in-N beyond 480 cells until these decades
+    // are measured. Synthesizes an embeddings-only K× corpus with
+    // DETERMINISTIC per-copy perturbation (sigma 0.08, renormalized —
+    // exact copies would make routing degenerate once cells approach
+    // the 2,000 distinct base points; perturbed copies give 2,000
+    // fuzzy clusters, the clustered shape real corpora show), builds
+    // the R=3 index at parts = ceil(N/500), and sweeps recall@10 at
+    // CONSTANT probe counts vs the exact scan over 50 base queries.
+    // K=120 → parts=480; K=375 → parts=1500.
+    if (args.contains("graphbig")) {
+      import org.apache.spark.sql.functions._
+      val k = args(args.indexOf("graphbig") + 1).toInt
+      val src = "/root/testdata/sf0.1"
+      val e0 = spark.read.parquet(s"$src/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val n0 = e0.count()
+      val corpus = s"/tmp/graft_fixed/emb_${k}x.parquet"
+      if (!new java.io.File(corpus).exists())
+        e0.crossJoin(spark.range(0, k).toDF("copy"))
+          .select((col("vec_id") + col("copy") * n0).as("vec_id"),
+            when(col("copy") === 0, col("v")).otherwise(
+              graft.functions.VectorF.l2normalize(graft.functions.VectorF
+                .addNoise(col("v"), col("vec_id") + col("copy") * n0, 0.08)))
+              .as("v"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(corpus)
+      val e = spark.read.parquet(corpus).localCheckpoint()
+      val n = e.count()
+      val parts = math.max(8, math.ceil(n.toDouble / 500).toInt)
+      val nq = 50; val kk = 10
+      val qs = e.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("qid"), col("v").as("qv")).localCheckpoint()
+      val exact = graft.search.Search.multiTopK(e, "vec_id", "v", qs, "qid", "qv", kk)
+        .select(col("qid"), col("vec_id")).localCheckpoint()
+      val exactN = exact.count().toDouble
+      val path = s"/tmp/graft_fixed/graph_big_r3_p$parts"
+      if (!new java.io.File(s"$path/CELLS").isFile) {
+        val t0 = System.nanoTime()
+        graft.search.GraphAnn.writeIndex(e, "vec_id", "v", 8, 48, parts, path)
+        println(f"GRAPHBIG build n=$n parts=$parts ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      for (probe <- Seq(3, 8, 16); ef <- Seq(48, 96)) {
+        val t1 = System.nanoTime()
+        val hits = exact.join(
+          graft.search.GraphAnn.searchIndexMulti(spark, path, "vec_id",
+            qs, "qid", "qv", kk, ef, probeParts = probe)
+            .select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_semi").count()
+        println(f"GRAPHBIG n=$n parts=$parts probe=$probe " +
+          f"cov=${probe * 3.0 / parts}%.4f ef=$ef " +
+          f"recall=${hits / exactN}%.4f sec=${(System.nanoTime() - t1) / 1e9}%.1f")
+      }
+      spark.stop(); return
+    }
     // round 17: the FIXED-COUNT probing regime — recall at CONSTANT
     // probe counts (P independent of parts, the SPANN serving shape)
     // below the coverage-0.75 floor the round-11 sweep stopped at.

@@ -1194,21 +1194,25 @@ object Queries {
     * ledger marker deleted (crash-after-promote path; the promoted
     * names keep the `_NNNNN` bucket suffix, so the replayed files
     * still prune — ExactlyOnceSpec pins the plan). Gates: all four
-    * batches committed, no debris, and the drained table equals the
-    * one-shot full build row for row. Oracle: q20's whole-corpus SQL
-    * — exactly-once under failures is indistinguishable from never
-    * having failed. */
+    * batches committed (checked per batch, post-re-delivery), no
+    * debris, the post-drain ledger RETIRED by the durable
+    * checkpoint's watermark sweep (the q193 discipline — round 18),
+    * and the drained table equals the one-shot full build row for
+    * row. Oracle: q20's whole-corpus SQL — exactly-once under
+    * failures is indistinguishable from never having failed. */
   def q186LexExactlyOnce(s: SparkSession, dir: String): DataFrame = {
     val tbl = "bm25_eo_" + PipelineQueries.sanitizeTag(dir)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     val path = PipelineQueries.roundtripPath(dir, "bm25eo")
+    val ckpt = PipelineQueries.roundtripPath(dir, "bm25eo_ckpt")
+    graft.FileTree.delete(new java.io.File(ckpt))
     val d = t(s, dir, "documents")
     writePostings(s, d.filter(col("doc_id") >= 100), tbl, path, "overwrite")
     val stage = q102Stage(s, dir)
     val schema = s.read.parquet(stage).schema
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
-    graft.streaming.Streaming.runForeachBatch(s, src, (batch, bid) => {
+    graft.streaming.Streaming.runForeachBatchResumable(s, src, ckpt, (batch, bid) => {
       val b = batch.localCheckpoint()
       if (bid == 1L) // a "crashed" earlier attempt left its stage dir
         graft.streaming.ExactlyOnce.stageDir(
@@ -1220,12 +1224,19 @@ object Queries {
         require(m.delete(), s"q186: batch $bid must have committed a marker")
       }
       writePostingsIdempotent(s, b, tbl, bid) // the re-delivery
-    })
-    val live = postingsLivePath(s, tbl)
-    (0L until 4L).foreach { bid =>
       require(graft.streaming.ExactlyOnce.isApplied(
-          postingsLedger(live), bid),
+          postingsLedger(postingsLivePath(s, tbl)), bid),
         s"q186: batch $bid must end committed in the ledger")
+    }, sweepLedgers = Seq(postingsLedger(postingsLivePath(s, tbl))))
+    val live = postingsLivePath(s, tbl)
+    // ledger RETIREMENT (round 18): the watermark sweep retired every
+    // committed marker; the row-for-row gate below proves it
+    // re-applied nothing
+    val q186Markers = Option(postingsLedger(live).listFiles())
+      .toSeq.flatten.map(_.getName)
+    require(q186Markers.isEmpty,
+      s"q186: the post-drain sweep must retire every marker, got $q186Markers")
+    (0L until 4L).foreach { bid =>
       require(!graft.streaming.ExactlyOnce.stageDir(
           new java.io.File(live), bid).exists(),
         s"q186: batch $bid must leave no stage debris")

@@ -488,8 +488,14 @@ object GraphAnn {
                       parts: Option[Seq[Int]]): (DataFrame, Map[Int, Long]) = {
     val vc = cellsVersion(genRoot)
     val ps = parts.getOrElse(partIdsOf(spark, genRoot))
-    val resolved = ps.flatMap(p => resolveCell(idxPath, p, vc)
-      .map { case (_, n, dir) => (p, n, dir) })
+    val resolved = ps.map(p => resolveCell(idxPath, p, vc)
+      .map { case (_, n, dir) => (p, n, dir) }
+      .getOrElse(throw new IllegalStateException(
+        s"GraphAnn: part $p of generation $genRoot resolves to NO pool " +
+          s"cell at visibility version $vc — every routing part must " +
+          "resolve (emptied parts carry an n0 marker); the pool lost a " +
+          "cell a live or pinned generation still names (GC raced a " +
+          "reader, or the pool was modified outside the index protocol)")))
     val dirs = resolved.collect { case (_, n, dir) if n > 0 => dir.getPath }
     val df =
       if (dirs.isEmpty)
@@ -617,21 +623,28 @@ object GraphAnn {
     *
     * Default therefore: P = 8 (2.7× the measured-flat P=3, full
     * scan below 8 cells) for replicas ≥ 3 indexes — the shipped
-    * [[DefaultReplicas]]. Two guards keep it inside the measured
-    * envelope: (1) beyond parts = 8R/0.05 ≈ 480 cells the probe
-    * grows at the LOWEST measured recall-holding coverage (0.05 per
-    * 3 replicas) instead of staying constant into unmeasured
-    * territory — still 30× below the old parts/2 constant, and
-    * flippable to pure-fixed once the next decade is measured;
-    * (2) R < 3 indexes keep the old coverage-1.5 knee (fixed-count
-    * was measured at R=3; R=2's round-11 floor is coverage 0.75). */
+    * [[DefaultReplicas]] — PURE FIXED COUNT (round 18). The round-17
+    * default still grew the probe linearly beyond 480 cells (a 5%
+    * coverage fraction — honest then, because fixed-count was
+    * measured only to 120 cells, but a linear-in-N serving term all
+    * the same). The round-18 `graphbig` sweeps closed the next two
+    * decades: perturbed-copy clustered corpora at 240k vectors /
+    * parts = 480 and 750k vectors / parts = 1500 (Scratch `graphbig`,
+    * 50 queries, recall@10 vs the exact scan, R=3) measure recall
+    * 1.0000 at CONSTANT P ∈ {3, 8, 16} × ef ∈ {48, 96} at BOTH
+    * rungs — routing loss at a fixed probe count stays zero through
+    * two more orders of magnitude of cell count, so the linear guard
+    * is deleted: per-serve cell I/O is O(1) in corpus size at the
+    * default. The remaining guard is the full-scan floor below 8
+    * cells. R < 3 indexes keep the old coverage-1.5 knee
+    * (fixed-count was measured at R=3; R=2's round-11 floor is
+    * coverage 0.75). */
   private[graft] def autoProbe(parts: Int, replicas: Int): Int =
     if (replicas < 3)
       math.min(parts,
         math.max(2, math.ceil(1.5 * parts / math.max(1, replicas)).toInt))
     else
-      math.min(parts,
-        math.max(8, math.ceil(0.05 * parts * 3.0 / replicas).toInt))
+      math.min(parts, 8)
 
   /** Sentinel for `probeParts`: resolve the probe count from the
     * index's routing table via [[autoProbe]]. */
@@ -830,9 +843,96 @@ object GraphAnn {
     writeCells(nodes, idxPath, version, emptied = partIds)
     routed.orderBy("part")
       .coalesce(1).write.mode("overwrite").parquet(s"$genRoot/routing")
+    writeRouting2(routed, genRoot, parts)
     Seq((parts, m, efC, replicas)).toDF("parts", "m", "efC", "replicas")
       .coalesce(1).write.mode("overwrite").parquet(s"$genRoot/params")
     setCellsVersion(genRoot, version)
+  }
+
+  // ------------------------------------------------------------------
+  // TWO-LEVEL ROUTING (round 18): at fleet scale the routing table is
+  // itself corpus-proportional (parts = ⌈N/cell⌉ — ~10⁸ rows / ~10 GB
+  // at 10⁹ vectors × R=3), so even the round-17 DISTRIBUTED routing
+  // scan reads O(parts) rows per serve. SPANN's answer is an in-memory
+  // index over the centroids; the relational analog is the same
+  // LCG+refine quantizer ONE LEVEL UP: ⌈√parts⌉ SUPERCELLS over the
+  // routing vectors, each routing cell REPLICATED into its 2 nearest
+  // supercells (the boundary-replication recall argument, applied to
+  // cells instead of vectors). A serve then scans the ⌈√parts⌉-row
+  // supercell table, keeps each query's top-S supercells, and scans
+  // ONLY their member rows — a genuine `spart` partition filter, so
+  // per-serve routing bytes are O(S·√parts) instead of O(parts).
+  // Engaged at parts ≥ TwoLevelMinParts so every spec-scale index
+  // (≤ 120 cells) keeps the flat scan and its bit-pinned gates; the
+  // selection is bit-identical to the flat scan whenever every true
+  // top-P cell has a probed supercell (GraphAnnSpec pins exact
+  // equality on a 160-cell clustered corpus; the graphbig sweep
+  // measures it at 480/1500 cells).
+  // ------------------------------------------------------------------
+
+  /** Flat-scan ceiling: routing tables at or above this part count
+    * get the supercell sidecars. Spec-scale indexes stay flat. */
+  private[graft] val TwoLevelMinParts = 128
+
+  /** Supercells per query at serve time — fixed-count, the autoProbe
+    * P=8 philosophy one level up (each supercell holds ~2√parts
+    * member rows, so 8 supercells offer ≥ 16√parts candidate cells —
+    * orders of magnitude above the P=8 cell probe they feed). */
+  private[graft] val SuperProbe = 8
+
+  /** Build + write the supercell sidecars for a generation:
+    * `routing2c` — (spart, srvec), ⌈√parts⌉ rows, the serve's
+    * first-stage scan; `routing2` — (spart, part, rvec) membership,
+    * 2 × parts rows PARTITIONED BY spart (the second stage's
+    * partition filter). Both deterministic functions of the routing
+    * table ([[routingFor]]'s LCG+refine + [[assignParts]]' top-2
+    * assignment), so refresh ≡ rebuild equivalence is preserved.
+    * No-op below [[TwoLevelMinParts]]. */
+  private def writeRouting2(routed: DataFrame, genRoot: String,
+                            parts: Int): Unit = {
+    // a REBUILD over a root that previously carried supercells must
+    // never leave the old sidecars behind (the serve engages on their
+    // presence — a stale routing2c would route against dead parts)
+    graft.FileTree.delete(new java.io.File(s"$genRoot/routing2c"))
+    graft.FileTree.delete(new java.io.File(s"$genRoot/routing2"))
+    if (parts < TwoLevelMinParts) return
+    val sCount = math.ceil(math.sqrt(parts.toDouble)).toInt
+    val supers = routingFor(
+        routed.select(col("part").cast("long").as("id"),
+          col("rvec").cast("array<double>").as("v")), "id", "v", sCount)
+      .select(col("part").cast("int").as("spart"),
+        col("rvec").cast("array<double>").as("srvec"))
+    val members = assignParts(
+        routed.select(col("part").cast("long").as("id"),
+          col("rvec").cast("array<double>").as("v")), "id", "v",
+        supers.select(col("spart").as("part"), col("srvec").as("rvec")),
+        replicas = 2)
+      .select(col("part").cast("int").as("spart"),
+        col("id").cast("int").as("part"),
+        col("vec").cast("array<double>").as("rvec"))
+    supers.orderBy("spart").coalesce(1)
+      .write.mode("overwrite").parquet(s"$genRoot/routing2c")
+    members.repartition(col("spart"))
+      .write.mode("overwrite").partitionBy("spart")
+      .parquet(s"$genRoot/routing2")
+  }
+
+  /** Carry a superseded generation's supercell sidecars into a staged
+    * generation that keeps its routing verbatim (compaction / revive —
+    * routing unchanged ⇒ the sidecars, pure functions of it, carry
+    * too). No-op for flat (below-threshold or legacy) indexes. */
+  private def carryRouting2(spark: SparkSession, root: String,
+                            out: String): Unit = {
+    if (!new java.io.File(s"$root/routing2c").isDirectory) return
+    spark.read.parquet(s"$root/routing2c").orderBy("spart").coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/routing2c")
+    spark.read.parquet(s"$root/routing2")
+      .select(col("spart").cast("int").as("spart"),
+        col("part").cast("int").as("part"),
+        col("rvec").cast("array<double>").as("rvec"))
+      .repartition(col("spart"))
+      .write.mode("overwrite").partitionBy("spart")
+      .parquet(s"$out/routing2")
   }
 
   /** INCREMENTAL graph-index maintenance — the [[IVF.appendToIndex]]
@@ -956,17 +1056,47 @@ object GraphAnn {
     writeCells(rewritten, idx, v)
     setCellsVersion(path, v) // COMMIT — atomic, all touched cells at once
     graft.WriterFence.sweep(new java.io.File(idx), FencePrefix, v)
-    // per-part grace GC: keep the committed version and the
-    // immediately superseded resolution (the one-cycle window for
-    // in-flight readers); drop anything older so an append-only
-    // stream never accumulates unbounded superseded cells
+    // per-part grace GC: keep the committed version, the immediately
+    // superseded LIVE resolution (the one-cycle window for in-flight
+    // readers of this generation), AND — the gcCells predicate, which
+    // the round-17 shortcut missed — every OTHER surviving
+    // generation's own resolution at ITS frozen V_c over ITS routing
+    // part range. After a maintenance flip the grace/base generation
+    // resolves versions OLDER than the live V_c's predecessor, and a
+    // pinned reader holds them for the whole grace cycle (which spans
+    // arbitrarily many appends); keeping only the live predecessor
+    // deleted those cells on the first post-flip append, silently
+    // truncating searchIndexPinned/nodesDfPinned. Drop everything
+    // else so an append-only stream never accumulates unbounded
+    // superseded cells.
+    val liveCanon = new java.io.File(path).getCanonicalPath
+    val graceKeeps = survivingGenRoots(idx)
+      .filterNot(r => new java.io.File(r).getCanonicalPath == liveCanon)
+      .map(r => (cellsVersion(r), partIdsOf(spark, r).toSet))
     touched.foreach { p =>
       val versions = listCellVersions(idx, p)
       val keep = Set(v) ++
-        versions.filter(_._1 <= vc).sortBy(-_._1).headOption.map(_._1)
+        versions.filter(_._1 <= vc).sortBy(-_._1).headOption.map(_._1) ++
+        graceKeeps.flatMap { case (gvc, valid) =>
+          if (!valid.contains(p)) None
+          else versions.filter(_._1 <= gvc).sortBy(-_._1).headOption.map(_._1)
+        }
       versions.filterNot(x => keep.contains(x._1))
         .foreach(x => graft.FileTree.delete(x._3))
     }
+  }
+
+  /** Every standing generation root under the index path that carries
+    * a CELLS visibility file — the live generation, the grace
+    * generation maintenance GC left standing, and (conservatively) a
+    * crashed writer's orphaned staged generation, whose extra keeps
+    * the next maintenance [[gcCells]] sweeps. Directory listing +
+    * one small file probe per root. */
+  private def survivingGenRoots(idxPath: String): Seq[String] = {
+    val gens = Option(new java.io.File(idxPath).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("gen__v"))
+      .map(_.getPath)
+    (gens :+ idxPath).filter(r => new java.io.File(r, "CELLS").isFile)
   }
 
   /** [[appendToIndex]] with EXACTLY-ONCE semantics under streaming
@@ -1201,7 +1331,8 @@ object GraphAnn {
   // tombstones rides along so a GC'd base layout cannot leak a stale
   // sidecar into a later index at the same path; CELLS so a dead
   // base's visibility version cannot linger
-  private val IndexTables = Seq("routing", "params", "tombstones", "CELLS")
+  private val IndexTables =
+    Seq("routing", "routing2", "routing2c", "params", "tombstones", "CELLS")
 
   /** Generation directories under `path` minus `keep` — the GC
     * predicate (the POOL half is [[gcCells]]). The base layout
@@ -1297,9 +1428,12 @@ object GraphAnn {
     * generation are anti-joined out of the upgrade corpus — the
     * upgrade sources from CALLER text, so without this a routine
     * model swap would silently resurrect deleted content (the IVF
-    * round-16 writeIndexFrom lesson, applied here). Refuses while an
-    * idempotent append is mid-recovery (the standing-intent guard
-    * every graph rewrite honors). */
+    * round-16 writeIndexFrom lesson, applied here). Composes
+    * CONVERGENTLY with a crashed idempotent append — no intent guard
+    * since round 17: the upgrade's orphan sweep deletes the crashed
+    * attempt's invisible cells, and the re-delivery's presence probe
+    * then finds either the whole committed batch (marker-only) or
+    * none of it (clean re-append). */
   def upgradeIndex(spark: SparkSession, path: String, docs: DataFrame,
                    idCol: String, vecCol: String, parts: Int): Unit = {
     import spark.implicits._
@@ -1344,15 +1478,24 @@ object GraphAnn {
     * NAVIGATION (their edges route traffic — content is hidden
     * immediately, structure is repaired later); (2)
     * [[compactTombstones]] physically removes them. Deleting by id
-    * removes EVERY replica copy. Returns the count of distinct
-    * requested ids present in the index. */
-  def deleteFromIndex(spark: SparkSession, path: String,
-                      ids: DataFrame, idCol: String): Long = {
+    * removes EVERY replica copy.
+    *
+    * The DEFAULT is pure O(request): one sidecar append, no index
+    * read, return -1 (round 18 — the present count was the last
+    * O(index) pass in a delete path's default). `countPresent = true`
+    * additionally returns the count of distinct requested ids present
+    * in the index — an OPT-IN column-pruned O(index-ids) scan for
+    * callers whose contract gates on it (the declared
+    * right-to-be-forgotten rows do; a bulk forget pipeline should
+    * not). */
+  def deleteFromIndex(spark: SparkSession, path: String, ids: DataFrame,
+                      idCol: String, countPresent: Boolean = false): Long = {
     val root = resolveRoot(path)
     requireRouted(root, "deleteFromIndex")
     val tomb = ids.select(col(idCol).cast("long").as("id")).distinct()
     tomb.coalesce(1).write.mode("append").parquet(s"$root/tombstones")
-    nodesAt(spark, indexPathOf(path, root), root, None)._1
+    if (!countPresent) -1L
+    else nodesAt(spark, indexPathOf(path, root), root, None)._1
       .select(col("id")).distinct()
       .join(broadcast(tomb), Seq("id"), "left_semi").count()
   }
@@ -1412,6 +1555,7 @@ object GraphAnn {
     writeCells(rebuilt, path, fenceV, emptied = touched)
     spark.read.parquet(s"$root/routing").orderBy("part").coalesce(1)
       .write.mode("overwrite").parquet(s"$out/routing")
+    carryRouting2(spark, root, out)
     spark.read.parquet(s"$root/params").coalesce(1)
       .write.mode("overwrite").parquet(s"$out/params")
     setCellsVersion(out, fenceV)
@@ -1516,6 +1660,7 @@ object GraphAnn {
     writeCells(rebuilt, path, fenceV, emptied = touched.toSet)
     spark.read.parquet(s"$root/routing").orderBy("part").coalesce(1)
       .write.mode("overwrite").parquet(s"$out/routing")
+    carryRouting2(spark, root, out)
     spark.read.parquet(s"$root/params").coalesce(1)
       .write.mode("overwrite").parquet(s"$out/params")
     setCellsVersion(out, fenceV)
@@ -1627,12 +1772,70 @@ object GraphAnn {
                                     probe: Int): DataFrame = {
     import spark.implicits._
     val qdf = qvs.toSeq.map { case (q, v) => (q, v.toSeq) }.toDF("qid", "__qv")
+    if (new java.io.File(s"$root/routing2c").isDirectory)
+      return routeQueriesTwoLevel(spark, root, qvs, qdf, probe)
     spark.read.parquet(s"$root/routing")
       .select(col("part").cast("long").as("part"),
         col("rvec").cast("array<double>").as("rvec"))
       .crossJoin(broadcast(qdf))
       .select(col("qid"), col("part"),
         graft.functions.VectorF.dot(col("rvec"), col("__qv")).as("__s"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graftnative.TopKAggregate
+        .topK(col("part"), col("__s"), probe).as("__tk"))
+      .select(col("qid"), explode(col("__tk")).as("__e"))
+      .select(col("qid"), col("__e.id").cast("int").as("part"))
+  }
+
+  /** [[routeQueriesDf]] through the supercell sidecars (round 18):
+    * stage 1 scans the ⌈√parts⌉-row `routing2c` table and keeps each
+    * query's top-[[SuperProbe]] supercells (same bounded-heap
+    * aggregate, same (score desc, id asc) tie order as the flat
+    * scan); the O(queries × S) (qid, spart) pairs come to the driver
+    * — within the serve's established query-sized footprint — and
+    * their spart UNION prunes stage 2's member scan to a genuine
+    * `spart=` partition filter (PlanSpec pins it): only
+    * O(queries × S × √parts) member rows leave disk instead of the
+    * whole parts-row table. Each member may carry 2 replica rows
+    * with identical scores, so the per-(qid, part) max collapses
+    * them before the same top-P heap the flat scan runs; selection is
+    * therefore BIT-IDENTICAL to the flat scan whenever every true
+    * top-P cell has one of its 2 supercells among the query's top-S
+    * (GraphAnnSpec pins exact equality at 160 cells; the graphbig
+    * sweep measures recall parity at 480/1500). */
+  private def routeQueriesTwoLevel(spark: SparkSession, root: String,
+                                   qvs: Array[(Long, Array[Double])],
+                                   qdf: DataFrame, probe: Int): DataFrame = {
+    import spark.implicits._
+    val topS = spark.read.parquet(s"$root/routing2c")
+      .select(col("spart").cast("long").as("spart"),
+        col("srvec").cast("array<double>").as("srvec"))
+      .crossJoin(broadcast(qdf))
+      .select(col("qid"), col("spart"),
+        graft.functions.VectorF.dot(col("srvec"), col("__qv")).as("__s"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graftnative.TopKAggregate
+        .topK(col("spart"), col("__s"), SuperProbe).as("__tk"))
+      .select(col("qid"), explode(col("__tk")).as("__e"))
+      .select(col("qid"), col("__e.id").cast("int").as("spart"))
+      .as[(Long, Int)].collect() // O(queries × S) — query-sized
+    val byQ = qvs.toMap
+    val pairs = topS.toSeq
+      .map { case (q, sp) => (q, sp, byQ(q).toSeq) }
+      .toDF("qid", "spart", "__qv")
+    val sparts = topS.map(_._2).distinct.toSeq.sorted
+    spark.read.parquet(s"$root/routing2")
+      .filter(col("spart").isin(sparts: _*)) // partition-pruned members
+      .select(col("spart").cast("int").as("spart"),
+        col("part").cast("long").as("part"),
+        col("rvec").cast("array<double>").as("rvec"))
+      .join(broadcast(pairs), Seq("spart"))
+      .select(col("qid"), col("part"),
+        graft.functions.VectorF.dot(col("rvec"), col("__qv")).as("__s"))
+      // replica copies of a (qid, part) score identically — collapse
+      // before the heap so top-P can never hold a duplicate part
+      .groupBy(col("qid"), col("part"))
+      .agg(max(col("__s")).as("__s"))
       .groupBy("qid")
       .agg(org.apache.spark.sql.graftnative.TopKAggregate
         .topK(col("part"), col("__s"), probe).as("__tk"))

@@ -539,14 +539,32 @@ object IVF {
     * expose. (An earlier revision rewrote touched lists in place
     * under dynamic partition overwrite; request-scoped, but the one
     * mutation that broke snapshot isolation for concurrent readers.)
-    * The quantizer stands — deletion never changes geometry. Returns
-    * the count of index rows the request hides (a column-pruned
-    * id-only scan; the hide itself never reads list bytes). Works on
+    * The quantizer stands — deletion never changes geometry. Works on
     * any index sharing the cid-partitioned list layout (SQ8's lists
-    * qualify, with idCol = "id"). */
+    * qualify, with idCol = "id").
+    *
+    * The DEFAULT is pure O(request): the distinct request ids land
+    * id-only in the sidecar (no index read — round 18 retired the
+    * per-delete column-pruned id scan from the default path), return
+    * -1. Serving is unaffected (the anti-join keys on the first
+    * column either way); the next [[compactIndex]] derives its
+    * touched-list set through its id-only-sidecar fallback — ONE
+    * amortized column-pruned scan across all accumulated deletes
+    * instead of one per delete. `countPresent = true` opts into the
+    * per-delete scan and today's richer sidecar: rows are
+    * request ∩ LIVE index (absent ids never recorded; a repeat of the
+    * same request counts zero) as (id, cid) pairs, which keeps even
+    * the compaction planning request-sized — the mode for callers
+    * whose contract gates on the hidden count. */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                      ids: DataFrame, idCol: String): Long = {
+                      ids: DataFrame, idCol: String,
+                      countPresent: Boolean = false): Long = {
     val lp = listsPath(path)
+    if (!countPresent) {
+      ids.select(col(idCol).cast("long").as(idCol)).distinct()
+        .coalesce(1).write.mode("append").parquet(tombDirFor(lp))
+      return -1L
+    }
     // the sidecar rows are request ∩ LIVE index (the semi-join runs
     // against the tombstone-filtered lists, so ids absent from the
     // index are never recorded and a repeated delete of the same ids

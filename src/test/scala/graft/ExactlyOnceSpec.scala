@@ -464,7 +464,7 @@ class ExactlyOnceSpec extends SparkSpec {
     // refuse-while-intent guard died with the torn window)
     java.nio.file.Files.createFile(new java.io.File(ledger, "i2").toPath)
     GraphAnn.deleteFromIndex(spark, path,
-      emb.filter(col("vec_id") === 3).select(col("vec_id")), "vec_id")
+      emb.filter(col("vec_id") === 3).select(col("vec_id")), "vec_id", countPresent = true)
     GraphAnn.compactTombstones(spark, path)
     // the "crashed batch 2" re-delivers AFTER the compaction flip and
     // must still converge (its content was never committed, so it

@@ -259,8 +259,8 @@ class GraphAnnSpec extends SparkSpec {
     // standing set after deletes (repeat requests must not inflate it)
     assert(GraphAnn.tombstoneRows(spark, path) == 0L)
     assert(!GraphAnn.needsCompact(spark, path, 0L))
-    assert(GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id") == nDoomed)
-    GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id") // repeat request
+    assert(GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id", countPresent = true) == nDoomed)
+    GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id", countPresent = true) // repeat request
     assert(GraphAnn.tombstoneRows(spark, path) == nDoomed)
     assert(GraphAnn.needsCompact(spark, path, nDoomed - 1))
     assert(!GraphAnn.needsCompact(spark, path, nDoomed))
@@ -300,6 +300,36 @@ class GraphAnnSpec extends SparkSpec {
     assert(GraphAnn.currentGeneration(path) == gen)
   }
 
+  test("delete default is O(request): -1 return, no cell read, hide identical to the counted path") {
+    // round 18: the DEFAULT delete opens no pool cell — one sidecar
+    // append, -1 sentinel; the present count is the countPresent=true
+    // opt-in pinned by the test above. On the graph family the
+    // sidecar content is IDENTICAL either way (the raw distinct
+    // request), so hide, compaction and revive semantics are
+    // unchanged by the flag.
+    val path = java.nio.file.Files.createTempDirectory("graphann_deldef").toString
+    GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, path)
+    val doomed = emb.filter(col("vec_id") % 9 === 4).select(col("vec_id"))
+    val nDoomed = doomed.count()
+    val cellSnap = GraphAnn.cellCounts(spark, path).sortBy(_._1)
+    assert(GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id") == -1L,
+      "the default (no-count) delete must return the -1 sentinel")
+    assert(GraphAnn.tombstoneRows(spark, path) == nDoomed,
+      "the default delete must land the distinct request in the sidecar")
+    assert(GraphAnn.cellCounts(spark, path).sortBy(_._1) == cellSnap,
+      "the default hide must not touch pool cells")
+    val got = GraphAnn.searchIndex(spark, path, "vec_id",
+        query(1), "qv", 10, ef = 48)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.size == 10 && got.forall(_ % 9 != 4),
+      s"tombstoned ids surfaced under the default delete: $got")
+    // the opt-in count over the SAME standing sidecar still reports
+    // request∩index (counting is read-only — no second sidecar write
+    // semantics change)
+    assert(GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id",
+      countPresent = true) == nDoomed)
+  }
+
   test("q157 mid-drain delete: delete between appends, then compaction equals rebuild-without-them bit for bit") {
     // the full-strength pin behind q157's parts-sized gates: a delete
     // interleaved between growing-id appends must compose — the
@@ -316,7 +346,7 @@ class GraphAnnSpec extends SparkSpec {
       emb.filter(col("vec_id") >= split && col("vec_id") < half), "vec_id", "v")
     val doomed = emb.filter(col("vec_id") < split && col("vec_id") % 9 === 4)
       .select(col("vec_id"))
-    assert(GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id")
+    assert(GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id", countPresent = true)
       == doomed.count())
     GraphAnn.appendToIndex(spark, path,
       emb.filter(col("vec_id") >= half), "vec_id", "v")
@@ -350,7 +380,7 @@ class GraphAnnSpec extends SparkSpec {
     val doomed = emb
       .filter(col("vec_id") % 9 === 4 || col("vec_id") === maxId)
       .select(col("vec_id"))
-    assert(GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id")
+    assert(GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id", countPresent = true)
       == doomed.count())
     val exMax = intercept[Exception] {
       GraphAnn.appendToIndex(spark, path,
@@ -417,7 +447,7 @@ class GraphAnnSpec extends SparkSpec {
       m = 8, efC = 48, parts = 4, path)
     val doomed = emb.filter(col("vec_id") < cut && col("vec_id") % 9 === 4)
       .select(col("vec_id"))
-    assert(GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id")
+    assert(GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id", countPresent = true)
       == doomed.count())
     val genBefore = GraphAnn.currentGeneration(path)
     // ONE mixed batch: the even doomed ids return (revive) alongside
@@ -461,7 +491,7 @@ class GraphAnnSpec extends SparkSpec {
     val path = java.nio.file.Files.createTempDirectory("graphann_del_rr").toString
     GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, path)
     val doomed = emb.filter(col("vec_id") % 9 === 4).select(col("vec_id"))
-    GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id")
+    GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id", countPresent = true)
     // phase 1 only — then a scheduled routing refresh runs first
     GraphAnn.refreshRouting(spark, path, parts = 4)
     val served = GraphAnn.searchIndex(spark, path, "vec_id",
@@ -493,7 +523,7 @@ class GraphAnnSpec extends SparkSpec {
     val path = java.nio.file.Files.createTempDirectory("graphann_del_stale").toString
     GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, path)
     GraphAnn.deleteFromIndex(spark, path,
-      emb.filter(col("vec_id") === 1).select(col("vec_id")), "vec_id")
+      emb.filter(col("vec_id") === 1).select(col("vec_id")), "vec_id", countPresent = true)
     // CREATE semantics must clear the sidecar: id 1 is legitimate in
     // the new index and must be servable again
     GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, path)
@@ -700,12 +730,33 @@ class GraphAnnSpec extends SparkSpec {
       emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
         .crossJoin(broadcast(rv0)).select(col("vec_id"), col("rvec").as("v"))
     GraphAnn.appendToIndex(spark, path, drifted(split, mid), "vec_id", "v")
+    // pin the BASE generation before the flip — a pinned reader must
+    // keep resolving its full frozen snapshot across BOTH the refresh
+    // flip and any number of post-flip appends (the grace contract
+    // spans the whole maintenance cycle, not just the flip itself)
+    val basePinnedBefore = GraphAnn.nodesDfPinned(spark, path, "").count()
+    def servePinnedBase() = GraphAnn.searchIndexPinned(spark, path, "",
+        "vec_id", query(1), "qv", 10, ef = 48)
+      .select("vec_id", "rank", "score")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    val basePinnedServe = servePinnedBase()
     GraphAnn.refreshRouting(spark, path, 8)
     val gen = GraphAnn.currentGeneration(path)
     assert(gen.startsWith("gen__v"), "in-place refresh must flip CURRENT")
     // the tail of the stream lands on the REFRESHED index, resolved
     // through the pointer — never the superseded base tables
     GraphAnn.appendToIndex(spark, path, drifted(mid, n), "vec_id", "v")
+    // REGRESSION (round-18, the advice's grace-GC hole): the post-flip
+    // append's per-part GC must keep the cells the pinned BASE
+    // generation resolves at its own frozen V_c — the round-17 code
+    // kept only the live V_c's predecessor, so the first append after
+    // a flip silently deleted whole pinned cells. These gates are
+    // NON-VACUOUS: nodesAt now throws when a routing part fails to
+    // resolve, so a vanished cell can no longer read as 0 rows.
+    assert(GraphAnn.nodesDfPinned(spark, path, "").count() == basePinnedBefore,
+      "a post-flip append must not GC cells the pinned base generation resolves")
+    assert(servePinnedBase() == basePinnedServe,
+      "a pinned base reader must serve identical answers across flip + append")
     val nodes = GraphAnn.nodesDf(spark, path)
     val r = spark.read.parquet(GraphAnn.tablePath(path, "routing"))
       .select(col("replicas")).as[Int].head()
@@ -856,7 +907,7 @@ class GraphAnnSpec extends SparkSpec {
     def rows() = GraphAnn.searchIndex(spark, path, "vec_id", q, "qv", 10, 48)
       .select("vec_id", "rank", "score").as[(Long, Long, Double)].collect().toSeq
     GraphAnn.deleteFromIndex(spark, path,
-      emb.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id")
+      emb.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id", countPresent = true)
     val hidden = rows()
     val orphan = new java.io.File(path, "gen__v99")
     graft.FileTree.copy(new java.io.File(s"$path/routing"),
@@ -878,7 +929,7 @@ class GraphAnnSpec extends SparkSpec {
     val path = java.nio.file.Files.createTempDirectory("graphann_upg").toString
     GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, path)
     val doomed = emb.filter(col("vec_id") % 9 === 2).select(col("vec_id"))
-    GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id")
+    GraphAnn.deleteFromIndex(spark, path, doomed, "vec_id", countPresent = true)
     val gen0 = GraphAnn.currentGeneration(path)
     // the "new model": a deterministic different feature space
     val v2 = emb.select(col("vec_id"), reverse(col("v")).as("v"))
@@ -991,5 +1042,70 @@ class GraphAnnSpec extends SparkSpec {
       assert(got == want, s"probe=$probe: distributed routing diverged " +
         "from the driver-side reference")
     }
+  }
+
+  test("two-level routing: supercell-pruned selection equals the flat scan; serve answers unchanged") {
+    // round 18: at parts >= TwoLevelMinParts the generation carries
+    // routing2c (⌈√parts⌉ supercells) + routing2 (2x-replicated
+    // membership partitioned by spart), and routeQueriesDf scans
+    // O(S·√parts) member rows instead of the whole parts-row table.
+    // On a clustered corpus the pruned selection must be BIT-IDENTICAL
+    // to the flat driver-side reference — routing loss would show up
+    // here before it ever reached a recall floor.
+    import graft.search.ClusteredFixture
+    val nClusters = 40; val perCluster = 40 // 1600 rows, parts=160
+    val docs = ClusteredFixture.rows(nClusters = nClusters, perCluster = perCluster)
+      .toDF("vec_id", "v").localCheckpoint()
+    val parts = 160
+    assert(parts >= GraphAnn.TwoLevelMinParts)
+    val path = java.nio.file.Files.createTempDirectory("graphann_2lvl").toString
+    GraphAnn.writeIndex(docs, "vec_id", "v", m = 8, efC = 48, parts, path)
+    assert(new java.io.File(s"$path/routing2c").isDirectory &&
+      new java.io.File(s"$path/routing2").isDirectory,
+      "a >=128-part build must write the supercell sidecars")
+    // membership: every routing part lives in exactly 2 supercells
+    val mem = spark.read.parquet(s"$path/routing2")
+      .select(col("part").cast("int"), col("spart").cast("int"))
+      .as[(Int, Int)].collect().toSeq
+    val routingParts = spark.read.parquet(s"$path/routing")
+      .select(col("part").cast("int")).as[Int].collect().toSet
+    assert(mem.groupBy(_._1).forall { case (_, xs) => xs.map(_._2).toSet.size == 2 },
+      "every part must be replicated into exactly 2 distinct supercells")
+    assert(mem.map(_._1).toSet == routingParts,
+      "membership must cover exactly the routing's part set")
+    val qvs = docs.filter(col("vec_id") % 100 === 0).limit(16)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .collect().map { case (q, v) => (q, v.toArray) }
+    val routing = spark.read.parquet(s"$path/routing")
+      .select(col("part").cast("int"), col("rvec").cast("array<double>"))
+      .as[(Int, Seq[Double])].collect()
+      .map { case (p, v) => (p, v.toArray) }.sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    for (probe <- Seq(3, 8)) {
+      val want = qvs.map { case (qid, qv) =>
+        qid -> routing.map { case (p, rv) => (p, dot(rv, qv)) }
+          .sortBy { case (p, s) => (-s, p) }.take(probe).map(_._1).toSet
+      }.toMap
+      val got = GraphAnn.routeQueriesDf(spark, path, qvs, probe)
+        .as[(Long, Int)].collect().toSeq
+        .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+      assert(got == want, s"probe=$probe: two-level routing diverged " +
+        "from the flat driver-side reference")
+      // top-P can never hold a replica duplicate
+      val sizes = GraphAnn.routeQueriesDf(spark, path, qvs, probe)
+        .as[(Long, Int)].collect().toSeq.groupBy(_._1).map(_._2.size)
+      assert(sizes.forall(_ == probe), "duplicate parts leaked into top-P")
+    }
+    // the end-to-end serve through the pruned routing stays exact on
+    // the re-score contract and finds the query point itself
+    val q0 = docs.filter(col("vec_id") === qvs.head._1)
+      .select(col("v").as("qv"))
+    val served = GraphAnn.searchIndex(spark, path, "vec_id", q0, "qv",
+        10, ef = 48)
+      .select("vec_id", "rank").as[(Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(served.map(_._2) == (1L to 10L) && served.head._1 == qvs.head._1)
   }
 }

@@ -349,6 +349,47 @@ class PlanSpec extends SparkSpec {
     assert(df.count() <= qvs.length.toLong * 2)
   }
 
+  test("two-level routing: the member scan is spart-partition-pruned, supercell table is the streamed side") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // round 18: at parts >= TwoLevelMinParts routeQueriesDf scans the
+    // ⌈√parts⌉-row supercell table, then ONLY the probed supercells'
+    // member partitions — a genuine spart= path filter, so per-serve
+    // routing bytes are O(S·√parts), sublinear in parts
+    import graft.search.{ClusteredFixture, GraphAnn}
+    val docs = ClusteredFixture.rows(nClusters = 64, perCluster = 40)
+      .toDF("vec_id", "v").localCheckpoint()
+    // parts=512 → 23 supercells: 2 queries × S=8 can select at most
+    // 16 of them, so the pruning is visible in the partition listing
+    val path = java.nio.file.Files.createTempDirectory("plan_2lvl").toString
+    GraphAnn.writeIndex(docs, "vec_id", "v", 8, 48, parts = 512, path)
+    val qvs = docs.filter(col("vec_id") % 1280 === 0).limit(2)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .collect().map { case (q, v) => (q, v.toArray) }
+    val df = graft.search.GraphAnn.routeQueriesDf(spark, path, qvs, 8)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // stage 1 (supercells) already ran at plan-build time (its top-S
+    // pairs came to the driver); this plan is stage 2 — exactly one
+    // member scan whose partition set is the probed supercells only
+    assert(scans.size == 1, s"expected the one member scan, got ${scans.size}")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"expected an spart partition filter on the member scan:\n$scan")
+    val selected = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).size
+    val superCells = spark.read.parquet(s"$path/routing2c").count().toInt
+    assert(selected < superCells,
+      s"expected an spart-pruned member scan, got $selected of $superCells supercell dirs")
+    assert(selected <= 2 * GraphAnn.SuperProbe,
+      s"member scan must read at most queries x S supercell dirs, got $selected")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_topk"), s"expected the heap top-P:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(df.count() == qvs.length.toLong * 8)
+  }
+
   test("q87: incrementally-appended postings table stays bucket-pruned") {
     val p = plan("q87_bm25_append")
     // append lands delta files in the SAME term buckets, so the

@@ -115,7 +115,7 @@ class SQSpec extends SparkSpec {
       .select(col("vec_id").as("id")).localCheckpoint()
     val nDoomed = doomed.count()
     // shared layout, shared delete: IVF.deleteFromIndex on idCol "id"
-    assert(IVF.deleteFromIndex(spark, path, doomed, "id") == nDoomed)
+    assert(IVF.deleteFromIndex(spark, path, doomed, "id", countPresent = true) == nDoomed)
     assert(spark.read.parquet(IVF.listsPath(path)).count() == total,
       "tombstoning must not touch SQ list bytes")
     val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
@@ -141,7 +141,7 @@ class SQSpec extends SparkSpec {
     val doomed = e.filter(col("vec_id") % 10 === 3)
       .select(col("vec_id").as("id")).localCheckpoint()
     val nDoomed = doomed.count()
-    assert(IVF.deleteFromIndex(spark, path, doomed, "id") == nDoomed)
+    assert(IVF.deleteFromIndex(spark, path, doomed, "id", countPresent = true) == nDoomed)
     val lp0 = IVF.listsPath(path)
     // re-ingest id 3 with a DIFFERENT vector through the QUANTIZED
     // append path: the stale sidecar entry must not hide the new code
@@ -185,7 +185,7 @@ class SQSpec extends SparkSpec {
     val doomed = e.filter(col("vec_id") % 9 === 2)
       .select(col("vec_id").as("id")).localCheckpoint()
     val doomedIds = doomed.as[Long].collect().toSet
-    assert(IVF.deleteFromIndex(spark, path, doomed, "id") == doomed.count())
+    assert(IVF.deleteFromIndex(spark, path, doomed, "id", countPresent = true) == doomed.count())
     // the requant sources from the CORPUS TABLE (codes are lossy, the
     // index can never re-derive itself) — which knows nothing about
     // the sidecar; a raw writeIndex here would resurrect every
@@ -286,7 +286,7 @@ class SQSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("vec_id", "rank", "score").as[(Long, Long, Double)].collect().toSeq
     IVF.deleteFromIndex(spark, path,
-      e.filter(col("vec_id") % 7 === 3).select(col("vec_id").as("id")), "id")
+      e.filter(col("vec_id") % 7 === 3).select(col("vec_id").as("id")), "id", countPresent = true)
     val pin0 = IVF.currentGeneration(path)
     val r0 = rows(SQ.searchIndexPinned(spark, path, pin0,
       e, "vec_id", "v", q, "qv", 10, 2, 40))
@@ -301,7 +301,7 @@ class SQSpec extends SparkSpec {
       "hide-now and remove-later must agree across the pin")
     // one more cycle GC's the pinned generation: loud failure
     IVF.deleteFromIndex(spark, path,
-      e.filter(col("vec_id") % 11 === 5).select(col("vec_id").as("id")), "id")
+      e.filter(col("vec_id") % 11 === 5).select(col("vec_id").as("id")), "id", countPresent = true)
     IVF.compactIndex(spark, path)
     val dead = intercept[Exception] {
       SQ.searchIndexPinned(spark, path, pin0,

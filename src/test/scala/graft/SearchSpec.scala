@@ -245,7 +245,7 @@ class SearchSpec extends SparkSpec {
     val doomed = emb.filter(col("vec_id") % 9 === 2)
       .select("vec_id").localCheckpoint()
     val doomedIds = doomed.as[Long].collect().toSet
-    assert(IVF.deleteFromIndex(spark, path, doomed, "vec_id") == doomed.count())
+    assert(IVF.deleteFromIndex(spark, path, doomed, "vec_id", countPresent = true) == doomed.count())
     // the upgrade: a corpus-sourced rebuild under a retrained
     // quantizer (q141's embedder-upgrade shape) — the input knows
     // nothing about the live generation's sidecar
@@ -283,7 +283,7 @@ class SearchSpec extends SparkSpec {
     def rows() = IVF.searchIndex(spark, path, "vec_id", "v", q, "qv", 10, 2)
       .select("vec_id", "rank", "score").as[(Long, Long, Double)].collect().toSeq
     IVF.deleteFromIndex(spark, path,
-      emb.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id")
+      emb.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id", countPresent = true)
     val hidden = rows()
     // simulate the crash: the staged rewrite completed, the flip never ran
     val orphan = new java.io.File(path, "lists__v99")
@@ -351,17 +351,17 @@ class SearchSpec extends SparkSpec {
       .distinct().localCheckpoint()
     val nDoomed = doomed.count()
     val absent = spark.range(10000000L, 10000002L).toDF("vec_id")
-    assert(IVF.deleteFromIndex(spark, path, absent, "vec_id") == 0L,
+    assert(IVF.deleteFromIndex(spark, path, absent, "vec_id", countPresent = true) == 0L,
       "deleting absent ids must be a no-op")
     assert(!new java.io.File(s"$path/tomb__lists").isDirectory,
       "an all-absent request must not create a sidecar")
-    assert(IVF.deleteFromIndex(spark, path, doomed, "vec_id") == nDoomed)
+    assert(IVF.deleteFromIndex(spark, path, doomed, "vec_id", countPresent = true) == nDoomed)
     // PHASE 1 is a pure hide: at-rest bytes stand, sidecar holds
     // request∩index, a repeat of the same request counts zero
     assert(spark.read.parquet(IVF.listsPath(path)).count() == total,
       "tombstoning must not touch list bytes")
     assert(spark.read.parquet(s"$path/tomb__lists").count() == nDoomed)
-    assert(IVF.deleteFromIndex(spark, path, doomed, "vec_id") == 0L,
+    assert(IVF.deleteFromIndex(spark, path, doomed, "vec_id", countPresent = true) == 0L,
       "re-deleting tombstoned ids must count zero (no double-counting)")
     assert(IVF.listsRows(spark, path).count() == total - nDoomed)
     // hide-now: search equals an index built without the doomed ids
@@ -396,6 +396,55 @@ class SearchSpec extends SparkSpec {
       "a grace-window pin must keep serving the delete-filtered snapshot")
   }
 
+  test("IVF delete default is O(request): id-only sidecar, -1 return, hide + compaction still correct") {
+    // round 18: the DEFAULT delete path opens no list file and scans
+    // no index ids — it appends the distinct request ids to the
+    // sidecar and returns -1; the count (and the request∩index
+    // (id, cid) sidecar enrichment) is the countPresent = true opt-in
+    // pinned by the test above. The hide and the eventual compaction
+    // must behave identically under the cheap default.
+    import graft.search.IVF
+    val cents = IVF.centroids(emb, "vec_id", "v", 8).localCheckpoint()
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_deldef").toString
+    IVF.writeIndexFrom(cents, IVF.assign(emb, "vec_id", "v", cents), path)
+    val total = emb.count()
+    val doomed = emb.filter(col("vec_id") % 11 === 5).select("vec_id")
+      .localCheckpoint()
+    val nDoomed = doomed.count()
+    val listSnap = Option(new java.io.File(IVF.listsPath(path)).listFiles())
+      .toSeq.flatten.map(f => (f.getName, f.lastModified)).sortBy(_._1)
+    assert(IVF.deleteFromIndex(spark, path, doomed, "vec_id") == -1L,
+      "the default (no-count) delete must return the -1 sentinel")
+    // the sidecar holds exactly the distinct request, id-only
+    val tomb = spark.read.parquet(s"$path/tomb__lists")
+    assert(tomb.columns.toSeq == Seq("vec_id"),
+      s"default sidecar rows must be id-only, got ${tomb.columns.toSeq}")
+    assert(tomb.count() == nDoomed)
+    // no list file was opened or touched by the hide
+    assert(Option(new java.io.File(IVF.listsPath(path)).listFiles())
+        .toSeq.flatten.map(f => (f.getName, f.lastModified)).sortBy(_._1)
+      == listSnap, "the default hide must not touch list bytes")
+    // serving hides immediately, exactly like the counted path
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_ivf_deldef_rb").toString
+    IVF.writeIndexFrom(cents,
+      IVF.assign(emb.join(doomed, Seq("vec_id"), "left_anti"), "vec_id", "v", cents),
+      rebuilt)
+    val q = emb.filter(col("vec_id") === 1).select(col("v").as("qv"))
+    def search(p: String) =
+      IVF.searchIndex(spark, p, "vec_id", "v", q, "qv", 10, 2)
+        .select("vec_id", "rank", "score")
+        .as[(Long, Long, Double)].collect().toSeq
+    val want = search(rebuilt)
+    assert(search(path) == want)
+    // compaction's id-only-sidecar fallback derives the touched lists
+    // and physically removes the rows — one amortized column-pruned
+    // scan for all accumulated default deletes
+    IVF.compactIndex(spark, path)
+    assert(spark.read.parquet(IVF.listsPath(path)).count() == total - nDoomed,
+      "compaction must fold id-only tombstones into the rewrite")
+    assert(search(path) == want, "post-compaction serve must not move")
+  }
+
   test("IVF delete valves: needsCompact trigger, shuffle-degraded hide join, re-ingest compacts first") {
     import graft.search.IVF
     val cents = IVF.centroids(emb, "vec_id", "v", 8).localCheckpoint()
@@ -408,7 +457,7 @@ class SearchSpec extends SparkSpec {
     val doomed = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
       .localCheckpoint()
     val nDoomed = doomed.count()
-    assert(IVF.deleteFromIndex(spark, path, doomed, "vec_id") == nDoomed)
+    assert(IVF.deleteFromIndex(spark, path, doomed, "vec_id", countPresent = true) == nDoomed)
     // the trigger reads exactly the accumulated sidecar
     assert(IVF.tombstoneRows(spark, path) == nDoomed)
     assert(IVF.needsCompact(spark, path, nDoomed - 1))
@@ -577,7 +626,7 @@ class SearchSpec extends SparkSpec {
       .orderBy(col("count").desc, col("cid").asc).head().getLong(0)
     val doomed = lists.filter(col("cid") === victimCid).select("vec_id")
       .orderBy("vec_id").limit(3).localCheckpoint()
-    assert(IVF.deleteFromIndex(spark, path, doomed, "vec_id") == 3L)
+    assert(IVF.deleteFromIndex(spark, path, doomed, "vec_id", countPresent = true) == 3L)
     def names(dir: String): Map[Long, Set[String]] =
       Option(new java.io.File(dir).listFiles()).toSeq.flatten
         .filter(d => d.isDirectory && d.getName.startsWith("cid="))

@@ -493,7 +493,7 @@ class StreamingSpec extends SparkSpec {
     Streaming.runForeachBatch(spark, src, (batch, bid) => {
       IVF.appendToIndex(spark, path,
         batch.select(col("vec_id"), col("v")), "vec_id", "v")
-      if (bid == 1L) deleted = IVF.deleteFromIndex(spark, path, delIds, "vec_id")
+      if (bid == 1L) deleted = IVF.deleteFromIndex(spark, path, delIds, "vec_id", countPresent = true)
     })
     assert(deleted == delIds.count(),
       "the mid-drain delete must hide exactly the request")
@@ -536,7 +536,7 @@ class StreamingSpec extends SparkSpec {
     Streaming.runForeachBatch(spark, src, (batch, bid) => {
       IVF.appendToIndex(spark, path,
         batch.select(col("vec_id"), col("v")), "vec_id", "v")
-      if (bid == 1L) IVF.deleteFromIndex(spark, path, delIds, "vec_id")
+      if (bid == 1L) IVF.deleteFromIndex(spark, path, delIds, "vec_id", countPresent = true)
       if (IVF.needsCompact(spark, path, nReq - 1)) {
         fired ::= bid
         IVF.compactIndex(spark, path)
@@ -554,7 +554,7 @@ class StreamingSpec extends SparkSpec {
     // the flipped generation accepts a full second cycle
     val del2 = e.filter(col("vec_id") < 100 && col("vec_id") % 5 === 2)
       .select("vec_id").localCheckpoint()
-    assert(IVF.deleteFromIndex(spark, path, del2, "vec_id") == del2.count())
+    assert(IVF.deleteFromIndex(spark, path, del2, "vec_id", countPresent = true) == del2.count())
     IVF.compactIndex(spark, path)
     assert(spark.read.parquet(IVF.listsPath(path)).count()
       == e.count() - nReq - del2.count())
@@ -585,7 +585,7 @@ class StreamingSpec extends SparkSpec {
     Streaming.runForeachBatch(spark, src, (batch, bid) => {
       SQ.appendToIndex(spark, path,
         batch.select(col("vec_id"), col("v")), "vec_id", "v")
-      if (bid == 1L) deleted = IVF.deleteFromIndex(spark, path, delIds, "id")
+      if (bid == 1L) deleted = IVF.deleteFromIndex(spark, path, delIds, "id", countPresent = true)
     })
     assert(deleted == delIds.count(),
       "the mid-drain delete must hide exactly the request")

@@ -98,7 +98,7 @@ class WriterFenceSpec extends SparkSpec {
     val path = java.nio.file.Files.createTempDirectory("fence_graph").toString
     GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, path)
     GraphAnn.deleteFromIndex(spark, path,
-      emb.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id")
+      emb.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id", countPresent = true)
     java.nio.file.Files.createFile(
       new java.io.File(path, "WRITER__v2").toPath)
     GraphAnn.compactTombstones(spark, path)
@@ -174,7 +174,7 @@ class WriterFenceSpec extends SparkSpec {
     val gp = java.nio.file.Files.createTempDirectory("fence_commit_g").toString
     GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, gp)
     GraphAnn.deleteFromIndex(spark, gp,
-      emb.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id")
+      emb.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id", countPresent = true)
     GraphAnn.compactTombstones(spark, gp)
     val gen = GraphAnn.currentGeneration(gp)
     val eg = intercept[IllegalStateException] { GraphAnn.flipCurrent(gp, "") }
