@@ -4661,15 +4661,24 @@ object RetrievalQueries {
     * the one-byte-code ceiling; past it recall rides m). The dial
     * reads ADC recall at the derived (m, K), at half the subspaces
     * (same K, half the code bytes), and at double K (the next
-    * resolution rung); the EXACT-PIN leg quantizes the corpus onto
-    * ITSELF (m=1, K=N — every vector reconstructs to itself, so ADC
-    * IS the exact scan) and is required exactly 1.0 in-query, the
+    * resolution rung); the EXACT-PIN leg quantizes a FIXED 600-row
+    * ANCHOR SLICE onto itself (m=1, K=N_slice — every slice vector
+    * reconstructs to itself, so ADC over the slice IS the exact scan
+    * of the slice) and is required exactly 1.0 in-query, the
     * q194/q182 discipline, so the partial rows read as measured
-    * quantization loss at derived geometry, not noise. Fully oracled:
-    * the SQL derives the same K from COUNT(*) and replays the shared
-    * LCG codebook sample, per-subspace argmin, reconstruction and
-    * top-k. ScaleProbe re-reads the dial at 10×/30×, where per-vector
-    * code bytes stay m and the codebook broadcast stays K·d. */
+    * quantization loss at derived geometry, not noise. The anchor is
+    * slice-sized BY DESIGN: self-quantization is O(N²) per leg (every
+    * vector argmins over N codewords), so pinning it on the full
+    * corpus would grow quadratically with scale while certifying
+    * nothing new — the pin certifies the ADC MACHINERY, the derived
+    * legs measure the geometry, and only the latter ride the corpus
+    * (at sf0.01 the slice IS the whole corpus, so the oracle also
+    * certifies the full-corpus equivalence once). Fully oracled: the
+    * SQL derives the same K from COUNT(*) and replays the shared LCG
+    * codebook sample, per-subspace argmin, reconstruction and top-k.
+    * ScaleProbe re-reads the dial at 10×/30×, where per-vector code
+    * bytes stay m, the codebook broadcast stays K·d, and the anchor
+    * leg stays constant. */
   def q195PqDerived(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
@@ -4681,18 +4690,31 @@ object RetrievalQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val exact = Search.multiTopK(e, "vec_id", "v", qs, "qid", "qv", recallK)
       .select(col("qid"), col("vec_id")).localCheckpoint()
-    def row(mm: Int, kk: Int, knob: String): DataFrame =
-      exact.join(graft.search.PQ.adcMultiTopK(e, "vec_id", "v", cb(kk),
+    def rowOver(corpus: DataFrame, cbDf: DataFrame, mm: Int, knob: String,
+                want: DataFrame): DataFrame =
+      want.join(graft.search.PQ.adcMultiTopK(corpus, "vec_id", "v", cbDf,
             qs, "qid", "qv", recallK, mm, embDim)
           .select(col("qid"), col("vec_id")),
           Seq("qid", "vec_id"), "left_semi")
         .agg(round(count(lit(1)) / lit((recallNq * recallK).toDouble), 4)
           .as("recall"))
         .select(lit("pq").as("method"), lit(knob).as("knob"), col("recall"))
-    val exactPin = row(1, n.toInt, "m=1 k=n exact-pin").localCheckpoint()
+    def row(mm: Int, kk: Int, knob: String): DataFrame =
+      rowOver(e, cb(kk), mm, knob, exact)
+    // the anchor: a fixed slice quantized onto itself — constant cost
+    // at every corpus size, exact-by-construction
+    val eAnchor = e.filter(col("vec_id") < 600).localCheckpoint()
+    val nAnchor = eAnchor.count().toInt
+    val exactAnchor = Search.multiTopK(eAnchor, "vec_id", "v", qs,
+        "qid", "qv", recallK)
+      .select(col("qid"), col("vec_id")).localCheckpoint()
+    val exactPin = rowOver(eAnchor,
+        graft.search.IVF.centroids(eAnchor, "vec_id", "v", nAnchor),
+        1, "m=1 k=n exact-pin", exactAnchor)
+      .localCheckpoint()
     require(exactPin.select(col("recall")).head().getDouble(0) == 1.0,
-      "q195: quantizing the corpus onto itself (m=1, K=N) IS the exact " +
-        "scan and must read recall 1.0")
+      "q195: quantizing the anchor slice onto itself (m=1, K=N) IS its " +
+        "exact scan and must read recall 1.0")
     Seq(row(m, k, "m=d/8 k=sqrt_n"),
       row(m / 2, k, "m=d/16 k=sqrt_n"),
       row(m, math.min(256, 2 * k), "m=d/8 k=2sqrt_n"),
@@ -4704,12 +4726,16 @@ object RetrievalQueries {
   /** q195's replay: K derives from COUNT(*) (LEAST(256, ⌈√N⌉)) and
     * each leg is the q48 per-subspace argmin/reconstruct template cut
     * from the shared LCG ordering at its own (m, K) — the exact-pin
-    * leg's codebook is the whole ordering (K=N). */
+    * leg quantizes the 600-row anchor slice onto itself (its corpus,
+    * codebook AND exact baseline are the slice). */
   val q195Sql: String = {
-    // per-(tag, m, K-limit) PQ leg off the shared `ordc` LCG ordering
-    def leg(tag: String, m: Int, klimit: String): String = {
+    // per-(tag, m, K-limit) PQ leg over a (corpus, LCG-ordering,
+    // exact-baseline) CTE triple — the full corpus for the derived
+    // legs, the anchor slice for the exact pin
+    def leg(tag: String, m: Int, klimit: String, corpus: String,
+            ord: String, exCte: String): String = {
       val sub = embDim / m
-      s"""cb$tag AS (SELECT cid, cvec FROM ordc WHERE cid < ($klimit)),
+      s"""cb$tag AS (SELECT cid, cvec FROM $ord WHERE cid < ($klimit)),
        sp$tag AS (SELECT UNNEST(generate_series(0, ${m - 1})) AS m),
        d$tag AS (SELECT e.vec_id, sp.m, c.cid,
                c.cvec[sp.m * $sub + 1 : sp.m * $sub + $sub] AS cm,
@@ -4717,7 +4743,7 @@ object RetrievalQueries {
                                 c.cvec[sp.m * $sub + 1 : sp.m * $sub + $sub])
                  - 2 * list_dot_product(e.v[sp.m * $sub + 1 : sp.m * $sub + $sub],
                                         c.cvec[sp.m * $sub + 1 : sp.m * $sub + $sub]) AS dist
-             FROM e, sp$tag sp, cb$tag c),
+             FROM $corpus e, sp$tag sp, cb$tag c),
        b$tag AS (SELECT vec_id, m, cm FROM (
                SELECT vec_id, m, cm,
                  ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS r
@@ -4730,7 +4756,7 @@ object RetrievalQueries {
            FROM x$tag x, q) WHERE r <= $recallK),
        r$tag AS (SELECT 'pq' AS method, LBL$tag AS knob,
            ROUND(COUNT(*) / ${recallNq * recallK}.0, 4) AS recall
-           FROM ex JOIN pqk$tag USING (qid, vec_id))"""
+           FROM $exCte JOIN pqk$tag USING (qid, vec_id))"""
     }
     val m = embDim / 8
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -4745,10 +4771,20 @@ object RetrievalQueries {
              ROW_NUMBER() OVER (PARTITION BY q.qid
                ORDER BY list_dot_product(e.v, q.qv) DESC, e.vec_id) AS r
            FROM e, q) WHERE r <= $recallK),
-       ${leg("g1", m, "SELECT k FROM kk")},
-       ${leg("g2", m / 2, "SELECT k FROM kk")},
-       ${leg("g3", m, "SELECT LEAST(256, 2 * k) FROM kk")},
-       ${leg("gx", 1, "SELECT n FROM kk")}
+       ea AS (SELECT vec_id, v FROM e WHERE vec_id < 600),
+       nna AS (SELECT COUNT(*) AS n FROM ea),
+       ordca AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS cid,
+             v AS cvec FROM ea),
+       exa AS (SELECT qid, vec_id FROM (
+           SELECT q.qid, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(e.v, q.qv) DESC, e.vec_id) AS r
+           FROM ea e, q) WHERE r <= $recallK),
+       ${leg("g1", m, "SELECT k FROM kk", "e", "ordc", "ex")},
+       ${leg("g2", m / 2, "SELECT k FROM kk", "e", "ordc", "ex")},
+       ${leg("g3", m, "SELECT LEAST(256, 2 * k) FROM kk", "e", "ordc", "ex")},
+       ${leg("gx", 1, "SELECT n FROM nna", "ea", "ordca", "exa")}
        SELECT method, knob, recall FROM rg1
        UNION ALL SELECT method, knob, recall FROM rg2
        UNION ALL SELECT method, knob, recall FROM rg3

@@ -877,18 +877,34 @@ object IVF {
   /** Each query's `nprobe` best cids: (qid, __qv, cid) — the
     * queries × nprobe probe table every multi-query IVF-family path
     * shares (in-memory, persisted, SQ8). Driver-bounded by contract
-    * (the query set is the small side). */
-  private[search] def multiProbes(cents: DataFrame, queries: DataFrame,
-                                  qidCol: String, qvecCol: String,
-                                  nprobe: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("__cs").desc, col("cid").asc)
-    queries
-      .select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("__cs", dot(col("__qv"), col("cvec")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= nprobe)
+    * (the query set is the small side).
+    *
+    * The broadcast direction is the round-18 flip of the graph serve's
+    * round-17 lesson, applied here before it bites: the CENTROID table
+    * grows with the corpus at derived-K geometry (K = ⌈√N⌉ is ~10⁵
+    * rows / ~50 MB at 10¹⁰ vectors — past any sane broadcast), so it
+    * is the SCANNED side; the QUERY set broadcasts. Per-query top-P
+    * rides the same bounded-heap aggregate as [[GraphAnn
+    * .routeQueriesDf]] with the identical (score desc, cid asc) tie
+    * order the old per-query rank window used — probe sets are
+    * BIT-IDENTICAL to the pre-flip path (every oracled IVF/SQ row
+    * re-certifies it), and the exchange carries O(queries × nprobe)
+    * rows. __qv re-attaches by a broadcast join against the
+    * query-sized side. */
+  private[graft] def multiProbes(cents: DataFrame, queries: DataFrame,
+                                 qidCol: String, qvecCol: String,
+                                 nprobe: Int): DataFrame = {
+    val qs = queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))
+    cents
+      .crossJoin(broadcast(qs))
+      .select(col("qid"), col("cid"),
+        dot(col("__qv"), col("cvec")).as("__cs"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graftnative.TopKAggregate
+        .topK(col("cid").cast("long"), col("__cs"), nprobe).as("__tk"))
+      .select(col("qid"), explode(col("__tk")).as("__e"))
+      .select(col("qid"), col("__e.id").as("cid"))
+      .join(broadcast(qs), "qid")
       .select(col("qid"), col("__qv"), col("cid"))
   }
 

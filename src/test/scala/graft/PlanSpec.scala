@@ -349,6 +349,51 @@ class PlanSpec extends SparkSpec {
     assert(df.count() <= qvs.length.toLong * 2)
   }
 
+  test("IVF probe table: the centroid table is scanned (never broadcast), top-P rides the heap") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the round-18 flip of the graph serve's round-17 lesson, applied
+    // to the IVF family before it bites: at derived-K geometry the
+    // centroid table is corpus-proportional (K = ⌈√N⌉), so per-query
+    // probe selection must stream it through the bounded-heap
+    // aggregate with the QUERY SET as the broadcast side
+    val path = java.nio.file.Files.createTempDirectory("plan_ivfprobe").toString
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.search.IVF.writeIndex(e, "vec_id", "v", 8, 0, path)
+    val qs = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cents = spark.read.parquet(graft.search.IVF.centroidsPath(path))
+    val df = graft.search.IVF.multiProbes(cents, qs, "qid", "qv", 2)
+    val sp = df.queryExecution.sparkPlan
+    val joins = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(joins.size == 1, s"expected the one centroids × queries join:\n$sp")
+    val j = joins.head
+    val build = j.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+      case _ => j.left
+    }
+    // the broadcast side may scan the QUERY parquet (query-sized by
+    // contract); it must never be the centroid table
+    val buildScans = build.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(buildScans.flatMap(_.relation.location.rootPaths.map(_.toString))
+        .forall(!_.contains("centroids")),
+      s"the corpus-proportional centroid table must never be the broadcast side:\n$sp")
+    val streamed = if (build eq j.right) j.left else j.right
+    assert(streamed.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.flatMap(_.relation.location.rootPaths.map(_.toString))
+      .exists(_.contains("centroids")),
+      s"the centroid table must be the streamed scan side:\n$sp")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_topk"), s"expected the heap top-P:\n$p")
+    assert(df.count() == 4L * 2)
+  }
+
   test("two-level routing: the member scan is spart-partition-pruned, supercell table is the streamed side") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
