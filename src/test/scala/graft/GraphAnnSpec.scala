@@ -1108,4 +1108,55 @@ class GraphAnnSpec extends SparkSpec {
       .select("vec_id", "rank").as[(Long, Long)].collect().toSeq.sortBy(_._2)
     assert(served.map(_._2) == (1L to 10L) && served.head._1 == qvs.head._1)
   }
+
+  test("two-level routing survives the lifecycle: compaction carries the sidecars, refresh regenerates them") {
+    // the supercell sidecars are pure functions of the routing table:
+    // a compaction (routing unchanged) must CARRY them into the new
+    // generation, a refresh (routing retrained) must REGENERATE them
+    // — and routed selection must stay bit-identical to the flat
+    // reference through both flips
+    import graft.search.ClusteredFixture
+    val docs = ClusteredFixture.rows(nClusters = 40, perCluster = 40)
+      .toDF("vec_id", "v").localCheckpoint()
+    val path = java.nio.file.Files.createTempDirectory("graphann_2lvl_lc").toString
+    GraphAnn.writeIndex(docs, "vec_id", "v", m = 8, efC = 48, 160, path)
+    val qvs = docs.filter(col("vec_id") % 200 === 0).limit(8)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .collect().map { case (q, v) => (q, v.toArray) }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def flatWant(probe: Int): Map[Long, Set[Int]] = {
+      val routing = spark.read.parquet(GraphAnn.tablePath(path, "routing"))
+        .select(col("part").cast("int"), col("rvec").cast("array<double>"))
+        .as[(Int, Seq[Double])].collect()
+        .map { case (p, v) => (p, v.toArray) }.sortBy(_._1)
+      qvs.map { case (qid, qv) =>
+        qid -> routing.map { case (p, rv) => (p, dot(rv, qv)) }
+          .sortBy { case (p, s) => (-s, p) }.take(probe).map(_._1).toSet
+      }.toMap
+    }
+    def gotVsFlat(label: String): Unit = {
+      val root = GraphAnn.tablePath(path, "routing").stripSuffix("/routing")
+      assert(new java.io.File(s"$root/routing2c").isDirectory &&
+        new java.io.File(s"$root/routing2").isDirectory,
+        s"$label: the live generation must carry the supercell sidecars")
+      val got = GraphAnn.routeQueriesDf(spark, root, qvs, 8)
+        .as[(Long, Int)].collect().toSeq
+        .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+      assert(got == flatWant(8),
+        s"$label: two-level selection diverged from the flat reference")
+    }
+    gotVsFlat("fresh build")
+    // COMPACTION: routing verbatim → sidecars carried
+    GraphAnn.deleteFromIndex(spark, path,
+      docs.filter(col("vec_id") % 13 === 3).select(col("vec_id")), "vec_id")
+    GraphAnn.compactTombstones(spark, path)
+    assert(GraphAnn.currentGeneration(path).startsWith("gen__v"))
+    gotVsFlat("post-compaction")
+    // REFRESH: routing retrained → sidecars regenerated for it
+    GraphAnn.refreshRouting(spark, path, 160)
+    gotVsFlat("post-refresh")
+  }
 }
