@@ -546,6 +546,18 @@ object GraphAnn {
     * maximum, and a re-delivered batch re-stages under a NEW claim,
     * never reuses an orphan. O(parts) listing — maintenance-time
     * only. */
+  /** The ONE per-part keep predicate both GC paths share (round 18 —
+    * the round-17 divergence was exactly this rule existing twice):
+    * for each surviving (visibility version, valid part range), keep
+    * that generation's own resolution of `p` — the newest at-rest
+    * version ≤ its V_c — iff `p` is in its routing. */
+  private def keepFor(p: Int, versions: Seq[(Int, Long, java.io.File)],
+                      keeps: Seq[(Int, Set[Int])]): Set[Int] =
+    keeps.flatMap { case (vc, valid) =>
+      if (!valid.contains(p)) None
+      else versions.filter(_._1 <= vc).sortBy(-_._1).headOption.map(_._1)
+    }.toSet
+
   private def gcCells(spark: SparkSession, idxPath: String,
                       keepRoots: Seq[String]): Unit = {
     // keep is PER GENERATION: each kept root keeps the resolutions of
@@ -556,10 +568,7 @@ object GraphAnn {
       (cellsVersion(r), partIdsOf(spark, r).toSet))
     listParts(idxPath).foreach { p =>
       val versions = listCellVersions(idxPath, p)
-      val keep = keeps.flatMap { case (vc, valid) =>
-        if (!valid.contains(p)) None
-        else versions.filter(_._1 <= vc).sortBy(-_._1).headOption.map(_._1)
-      }.toSet
+      val keep = keepFor(p, versions, keeps)
       versions.filterNot(v => keep.contains(v._1))
         .foreach(v => graft.FileTree.delete(v._3))
       if (keep.isEmpty)
@@ -1070,33 +1079,43 @@ object GraphAnn {
     // else so an append-only stream never accumulates unbounded
     // superseded cells.
     val liveCanon = new java.io.File(path).getCanonicalPath
-    val graceKeeps = survivingGenRoots(idx)
-      .filterNot(r => new java.io.File(r).getCanonicalPath == liveCanon)
-      .map(r => (cellsVersion(r), partIdsOf(spark, r).toSet))
+    val graceKeeps = survivingGenRoots(spark, idx)
+      .filterNot(r => new java.io.File(r._1).getCanonicalPath == liveCanon)
+      .map(_._2)
     touched.foreach { p =>
       val versions = listCellVersions(idx, p)
       val keep = Set(v) ++
         versions.filter(_._1 <= vc).sortBy(-_._1).headOption.map(_._1) ++
-        graceKeeps.flatMap { case (gvc, valid) =>
-          if (!valid.contains(p)) None
-          else versions.filter(_._1 <= gvc).sortBy(-_._1).headOption.map(_._1)
-        }
+        keepFor(p, versions, graceKeeps)
       versions.filterNot(x => keep.contains(x._1))
         .foreach(x => graft.FileTree.delete(x._3))
     }
   }
 
-  /** Every standing generation root under the index path that carries
-    * a CELLS visibility file — the live generation, the grace
-    * generation maintenance GC left standing, and (conservatively) a
+  /** Every standing generation root under the index path that can
+    * still RESOLVE cells — a CELLS visibility file AND a readable
+    * routing table (paired with each root's (V_c, part range) keep
+    * input). A root with CELLS but no readable routing is
+    * HALF-DELETED DEBRIS from a crashed generation GC (FileTree
+    * deletion order is arbitrary): no reader can serve it
+    * (requireRouted fails first), so it contributes nothing to the
+    * keep set and is skipped rather than throwing — a crashed sweep
+    * must never wedge the append path (round 18; the next maintenance
+    * pass collects the debris). Also conservatively includes a
     * crashed writer's orphaned staged generation, whose extra keeps
-    * the next maintenance [[gcCells]] sweeps. Directory listing +
-    * one small file probe per root. */
-  private def survivingGenRoots(idxPath: String): Seq[String] = {
+    * the next [[gcCells]] sweeps. */
+  private def survivingGenRoots(spark: SparkSession,
+                                idxPath: String): Seq[(String, (Int, Set[Int]))] = {
     val gens = Option(new java.io.File(idxPath).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("gen__v"))
       .map(_.getPath)
-    (gens :+ idxPath).filter(r => new java.io.File(r, "CELLS").isFile)
+    (gens :+ idxPath)
+      .filter(r => new java.io.File(r, "CELLS").isFile &&
+        new java.io.File(r, "routing").isDirectory)
+      .flatMap { r =>
+        scala.util.Try(
+          (r, (cellsVersion(r), partIdsOf(spark, r).toSet))).toOption
+      }
   }
 
   /** [[appendToIndex]] with EXACTLY-ONCE semantics under streaming
@@ -1772,8 +1791,21 @@ object GraphAnn {
                                     probe: Int): DataFrame = {
     import spark.implicits._
     val qdf = qvs.toSeq.map { case (q, v) => (q, v.toSeq) }.toDF("qid", "__qv")
-    if (new java.io.File(s"$root/routing2c").isDirectory)
-      return routeQueriesTwoLevel(spark, root, qvs, qdf, probe)
+    // two-level engages only in the FIXED-COUNT regime it was built
+    // and measured for (probe ≤ SuperProbe — the autoProbe default):
+    // a LARGE probe request (an R<3 index's coverage knee, an
+    // explicit sweep) can exceed the top-S supercells' member pool,
+    // and the pruned scan would silently return fewer cells than
+    // asked — the flat scan serves those exactly. A runtime
+    // completeness check inside the two-level path falls back to the
+    // flat scan if any query's pool still comes up short (e.g. a
+    // degenerate supercell assignment), so under-filled routing can
+    // never reach a serve silently.
+    if (probe <= SuperProbe &&
+        new java.io.File(s"$root/routing2c").isDirectory) {
+      val two = routeQueriesTwoLevel(spark, root, qvs, qdf, probe)
+      if (two.isDefined) return two.get
+    }
     spark.read.parquet(s"$root/routing")
       .select(col("part").cast("long").as("part"),
         col("rvec").cast("array<double>").as("rvec"))
@@ -1805,7 +1837,35 @@ object GraphAnn {
     * sweep measures recall parity at 480/1500). */
   private def routeQueriesTwoLevel(spark: SparkSession, root: String,
                                    qvs: Array[(Long, Array[Double])],
-                                   qdf: DataFrame, probe: Int): DataFrame = {
+                                   qdf: DataFrame,
+                                   probe: Int): Option[DataFrame] = {
+    import spark.implicits._
+    twoLevelMemberScan(spark, root, qvs, qdf, probe)
+      .as[(Long, Int)].collect() match {
+        // COMPLETENESS NET: the pruned pool must fill every query's
+        // top-P exactly (parts >= TwoLevelMinParts > SuperProbe >=
+        // probe here, so a full pool always yields `probe` rows). A
+        // degenerate supercell assignment (empty supercells, extreme
+        // overlap) falls back to the flat scan — exact selection,
+        // never a silent under-probe. The collect is O(queries x P),
+        // the serve's established driver footprint (partBeams
+        // collects this same result next).
+        case rows if rows.groupBy(_._1).size == qvs.length &&
+            rows.groupBy(_._1).forall(_._2.size == probe) =>
+          Some(rows.toSeq.toDF("qid", "part"))
+        case _ => None
+      }
+  }
+
+  /** The DISTRIBUTED two-stage plan behind [[routeQueriesTwoLevel]]
+    * (stage 1's supercell top-S runs eagerly inside — its
+    * O(queries × S) pairs prune stage 2's member scan); exposed so
+    * PlanSpec can pin the spart partition filter on the member scan
+    * before the completeness collect consumes it. */
+  private[graft] def twoLevelMemberScan(spark: SparkSession, root: String,
+                                        qvs: Array[(Long, Array[Double])],
+                                        qdf: DataFrame,
+                                        probe: Int): DataFrame = {
     import spark.implicits._
     val topS = spark.read.parquet(s"$root/routing2c")
       .select(col("spart").cast("long").as("spart"),

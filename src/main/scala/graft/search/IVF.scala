@@ -205,12 +205,19 @@ object IVF {
     else Some(spark.read.parquet(td).localCheckpoint())
   }
 
-  /** Rows in the LIVE generation's tombstone sidecar (0 when none) —
-    * a sidecar-only count, no list bytes. */
+  /** Distinct ids in the LIVE generation's tombstone sidecar (0 when
+    * none) — a sidecar-only count, no list bytes. Distinct, not raw
+    * rows (round 18, the [[GraphAnn.tombstoneRows]] rule): the
+    * default O(request) delete appends each request verbatim, so a
+    * repeated forget list would inflate a raw count and fire
+    * [[needsCompact]] on duplicates rather than on hidden ids. */
   def tombstoneRows(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
     val td = tombDirFor(listsPath(path))
     if (!new java.io.File(td).isDirectory) 0L
-    else spark.read.parquet(td).count()
+    else {
+      val t = spark.read.parquet(td)
+      t.select(col(t.columns.head)).distinct().count()
+    }
   }
 
   /** Compaction trigger on DELETE ACCUMULATION — the twin of
@@ -550,8 +557,17 @@ object IVF {
     * column either way); the next [[compactIndex]] derives its
     * touched-list set through its id-only-sidecar fallback — ONE
     * amortized column-pruned scan across all accumulated deletes
-    * instead of one per delete. `countPresent = true` opts into the
-    * per-delete scan and today's richer sidecar: rows are
+    * instead of one per delete. Two default-mode consequences, both
+    * CONVERGENT (the graph family has always had them — its sidecar
+    * records the raw request): an id deleted while ABSENT from the
+    * index sits in the sidecar, so its later first ingest reads as a
+    * revive and triggers the deferred compaction before the append
+    * (a spurious-but-correct maintenance pass; the compaction clears
+    * the entry and the append lands clean), and repeated requests
+    * append duplicate sidecar rows (harmless to serving's anti-join;
+    * [[tombstoneRows]]/[[needsCompact]] count distinct ids, so the
+    * valve never fires on duplicates). `countPresent = true` opts
+    * into the per-delete scan and today's richer sidecar: rows are
     * request ∩ LIVE index (absent ids never recorded; a repeat of the
     * same request counts zero) as (id, cid) pairs, which keeps even
     * the compaction planning request-sized — the mode for callers
@@ -889,23 +905,27 @@ object IVF {
     * order the old per-query rank window used — probe sets are
     * BIT-IDENTICAL to the pre-flip path (every oracled IVF/SQ row
     * re-certifies it), and the exchange carries O(queries × nprobe)
-    * rows. __qv re-attaches by a broadcast join against the
-    * query-sized side. */
+    * rows. __qv rides THROUGH the aggregate (`first` over a group
+    * whose rows all carry the same vector), so the queries frame is
+    * evaluated exactly once — a re-join would evaluate it twice, and
+    * a non-deterministic query source (limit/sample over multiple
+    * partitions) could materialize different sets per evaluation and
+    * silently drop probes. */
   private[graft] def multiProbes(cents: DataFrame, queries: DataFrame,
                                  qidCol: String, qvecCol: String,
                                  nprobe: Int): DataFrame = {
     val qs = queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))
     cents
       .crossJoin(broadcast(qs))
-      .select(col("qid"), col("cid"),
+      .select(col("qid"), col("__qv"), col("cid"),
         dot(col("__qv"), col("cvec")).as("__cs"))
       .groupBy("qid")
-      .agg(org.apache.spark.sql.graftnative.TopKAggregate
-        .topK(col("cid").cast("long"), col("__cs"), nprobe).as("__tk"))
-      .select(col("qid"), explode(col("__tk")).as("__e"))
-      .select(col("qid"), col("__e.id").as("cid"))
-      .join(broadcast(qs), "qid")
-      .select(col("qid"), col("__qv"), col("cid"))
+      .agg(
+        org.apache.spark.sql.graftnative.TopKAggregate
+          .topK(col("cid").cast("long"), col("__cs"), nprobe).as("__tk"),
+        first(col("__qv")).as("__qv"))
+      .select(col("qid"), col("__qv"), explode(col("__tk")).as("__e"))
+      .select(col("qid"), col("__qv"), col("__e.id").as("cid"))
   }
 
   /** The candidate join + per-query bounded-heap top-k over a probe

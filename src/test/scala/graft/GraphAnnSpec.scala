@@ -1084,7 +1084,12 @@ class GraphAnnSpec extends SparkSpec {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
     }
-    for (probe <- Seq(3, 8)) {
+    // probes 3/8 ride the two-level path; 16 and 60 EXCEED SuperProbe
+    // so routeQueriesDf must fall back to the flat scan — a large
+    // probe request (an R<3 coverage knee, an explicit sweep) can
+    // exceed the top-S supercells' member pool, and serving fewer
+    // cells than asked silently would starve the recall contract
+    for (probe <- Seq(3, 8, 16, 60)) {
       val want = qvs.map { case (qid, qv) =>
         qid -> routing.map { case (p, rv) => (p, dot(rv, qv)) }
           .sortBy { case (p, s) => (-s, p) }.take(probe).map(_._1).toSet
@@ -1092,9 +1097,9 @@ class GraphAnnSpec extends SparkSpec {
       val got = GraphAnn.routeQueriesDf(spark, path, qvs, probe)
         .as[(Long, Int)].collect().toSeq
         .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
-      assert(got == want, s"probe=$probe: two-level routing diverged " +
+      assert(got == want, s"probe=$probe: routing diverged " +
         "from the flat driver-side reference")
-      // top-P can never hold a replica duplicate
+      // top-P can never hold a replica duplicate and never underfill
       val sizes = GraphAnn.routeQueriesDf(spark, path, qvs, probe)
         .as[(Long, Int)].collect().toSeq.groupBy(_._1).map(_._2.size)
       assert(sizes.forall(_ == probe), "duplicate parts leaked into top-P")
@@ -1107,6 +1112,36 @@ class GraphAnnSpec extends SparkSpec {
         10, ef = 48)
       .select("vec_id", "rank").as[(Long, Long)].collect().toSeq.sortBy(_._2)
     assert(served.map(_._2) == (1L to 10L) && served.head._1 == qvs.head._1)
+  }
+
+  test("half-deleted generation debris (CELLS without routing) never wedges the append path") {
+    // a crashed generation GC can delete an expired root's routing
+    // dir before its CELLS file (deletion order is arbitrary);
+    // survivingGenRoots must SKIP such debris — no reader can serve
+    // it (requireRouted fails first), so it contributes nothing to
+    // the append's grace keep set — instead of throwing on the
+    // missing routing parquet forever after
+    val path = java.nio.file.Files.createTempDirectory("graphann_debris").toString
+    GraphAnn.writeIndex(emb, "vec_id", "v", m = 8, efC = 48, parts = 4, path)
+    // fabricate the debris: a generation dir holding ONLY a CELLS file
+    val debris = new java.io.File(path, "gen__v40")
+    debris.mkdirs()
+    java.nio.file.Files.write(new java.io.File(debris, "CELLS").toPath,
+      "1".getBytes)
+    val nMax = emb.count()
+    val extra = emb.limit(3)
+      .select((col("vec_id") + lit(10L * nMax)).as("vec_id"), col("v"))
+    GraphAnn.appendToIndex(spark, path, extra, "vec_id", "v")
+    val r = spark.read.parquet(GraphAnn.tablePath(path, "routing"))
+      .select(col("replicas").cast("long")).as[Long].head()
+    assert(GraphAnn.nodesDf(spark, path)
+        .filter(col("id") >= 10L * nMax).count() == 3L * r,
+      "the append must land despite the debris root")
+    // serving still works and finds the query point
+    val got = GraphAnn.searchIndex(spark, path, "vec_id", query(1), "qv",
+        10, ef = 48)
+      .select("vec_id", "rank").as[(Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(got.map(_._2) == (1L to 10L) && got.head._1 == 1L)
   }
 
   test("two-level routing survives the lifecycle: compaction carries the sidecars, refresh regenerates them") {

@@ -411,7 +411,13 @@ class PlanSpec extends SparkSpec {
     val qvs = docs.filter(col("vec_id") % 1280 === 0).limit(2)
       .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
       .collect().map { case (q, v) => (q, v.toArray) }
-    val df = graft.search.GraphAnn.routeQueriesDf(spark, path, qvs, 8)
+    // the public entry validates completeness and hands back a
+    // query-sized local frame; the plan pin inspects the DISTRIBUTED
+    // stage-2 member scan behind it
+    val pub = graft.search.GraphAnn.routeQueriesDf(spark, path, qvs, 8)
+    assert(pub.count() == qvs.length.toLong * 8)
+    val qdf = qvs.toSeq.map { case (q, v) => (q, v.toSeq) }.toDF("qid", "__qv")
+    val df = graft.search.GraphAnn.twoLevelMemberScan(spark, path, qvs, qdf, 8)
     val scans = df.queryExecution.sparkPlan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }

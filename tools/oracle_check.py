@@ -107,6 +107,10 @@ if __name__ == "__main__":
     jout = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: oracle_check.py <sfDir> <outDir> [--json <outFile>]")
         jout = args[i + 1]
         args = args[:i] + args[i + 2:]
+    if len(args) != 2:
+        sys.exit("usage: oracle_check.py <sfDir> <outDir> [--json <outFile>]")
     main(args[0], args[1], jout)
