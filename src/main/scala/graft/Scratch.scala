@@ -219,6 +219,50 @@ object Scratch {
         f"min=${times.min}%.2f med=${times.sorted.apply(1)}%.2f")
       spark.stop(); return
     }
+    // round 18: the R=2 fixed-count question — autoProbe keeps the
+    // coverage-1.5 knee for replicas < 3 because fixed-count was only
+    // measured at R=3. Sweep constant probes on R=2 indexes at the
+    // same rungs (pass a dir: /tmp/graft_scale_{10,30}x, or the
+    // graphbig corpus via 'big120') to decide whether the R=2 branch
+    // can drop its linear term too, or must keep the knee (round-11
+    // R=2 coverage sweep bottomed at 0.916 — the floor margin is the
+    // question, not the flatness).
+    if (args.contains("graphfixedr2")) {
+      import org.apache.spark.sql.functions._
+      val big = args.contains("big120")
+      val e = (if (big) spark.read.parquet("/tmp/graft_fixed/emb_120x.parquet")
+        else graft.sources.Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+        .localCheckpoint()
+      val n = e.count()
+      val parts = math.max(8, math.ceil(n.toDouble / 500).toInt)
+      val nq = 50; val kk = 10
+      val qs = e.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("qid"), col("v").as("qv")).localCheckpoint()
+      val exact = graft.search.Search.multiTopK(e, "vec_id", "v", qs, "qid", "qv", kk)
+        .select(col("qid"), col("vec_id")).localCheckpoint()
+      val exactN = exact.count().toDouble
+      val path = s"/tmp/graft_fixed/graph_r2_p$parts"
+      if (!new java.io.File(s"$path/CELLS").isFile) {
+        val routing = graft.search.GraphAnn.routingFor(e, "vec_id", "v", parts)
+        val t0 = System.nanoTime()
+        graft.search.GraphAnn.writeIndexWith(routing, e, "vec_id", "v",
+          8, 48, path, replicas = 2)
+        println(f"GRAPHFIXEDR2 build n=$n parts=$parts ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      for (probe <- Seq(2, 3, 8, 16).filter(_ <= parts); ef <- Seq(48, 96)) {
+        val t1 = System.nanoTime()
+        val hits = exact.join(
+          graft.search.GraphAnn.searchIndexMulti(spark, path, "vec_id",
+            qs, "qid", "qv", kk, ef, probeParts = probe)
+            .select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_semi").count()
+        println(f"GRAPHFIXEDR2 n=$n parts=$parts R=2 probe=$probe " +
+          f"cov=${probe * 2.0 / parts}%.4f ef=$ef " +
+          f"recall=${hits / exactN}%.4f sec=${(System.nanoTime() - t1) / 1e9}%.1f")
+      }
+      spark.stop(); return
+    }
     // round 18: the ≥480-cell decades for autoProbe — the round-17
     // fixed-count sweep stopped at parts=120; the default's growth
     // guard stays linear-in-N beyond 480 cells until these decades

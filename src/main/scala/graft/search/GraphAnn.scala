@@ -645,15 +645,21 @@ object GraphAnn {
     * two more orders of magnitude of cell count, so the linear guard
     * is deleted: per-serve cell I/O is O(1) in corpus size at the
     * default. The remaining guard is the full-scan floor below 8
-    * cells. R < 3 indexes keep the old coverage-1.5 knee
-    * (fixed-count was measured at R=3; R=2's round-11 floor is
-    * coverage 0.75). */
+    * cells.
+    *
+    * R = 2 indexes flipped the same round (`graphfixedr2`, the same
+    * grid on R=2 indexes at parts ∈ {40, 120, 480}): recall at
+    * constant P is FLAT and equal to the full unpruned scan at every
+    * rung (0.916/0.960 at 40 cells — the exact round-11 full-scan
+    * values, the beam is the ceiling there, not the probe —
+    * 0.972/0.982 at 120, and 1.0 from P=8 at 480), so the
+    * coverage-1.5 knee bought nothing over fixed P=8 anywhere in the
+    * measured envelope. Only R = 1 (no boundary replication — the
+    * one shape with no SPANN recall argument, never measured at
+    * fixed count) keeps the conservative full scan. */
   private[graft] def autoProbe(parts: Int, replicas: Int): Int =
-    if (replicas < 3)
-      math.min(parts,
-        math.max(2, math.ceil(1.5 * parts / math.max(1, replicas)).toInt))
-    else
-      math.min(parts, 8)
+    if (replicas < 2) parts
+    else math.min(parts, 8)
 
   /** Sentinel for `probeParts`: resolve the probe count from the
     * index's routing table via [[autoProbe]]. */
