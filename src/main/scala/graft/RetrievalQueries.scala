@@ -3760,10 +3760,11 @@ object RetrievalQueries {
 
   /** The routed serving dial: cells probed per query (of
     * [[graphPartsFor]] total) — [[graft.search.GraphAnn.autoProbe]]'s
-    * occupancy-aware default (coverage 1.5: parts/2 at the 3×
-    * replication the index is built with), which the round-10 sf0.1
-    * sweep measured at recall 0.978 — headroom over the 0.9 spec
-    * floor, vs exactly 0.90 for the round-9 fixed parts/2 at R=2. */
+    * default, since round 17 a FIXED count (P=8; full scan below 8
+    * cells — the rounds-17/18 sweeps measured zero routing loss at
+    * constant P through 1,500 cells). At the spec-scale part counts
+    * here it coincides with the old coverage knee's value, so every
+    * recall floor pinned under the knee still gates the default. */
   private[graft] def graphProbeFor(s: SparkSession, dir: String): Int =
     graft.search.GraphAnn.autoProbe(graphPartsFor(s, dir),
       graft.search.GraphAnn.DefaultReplicas)

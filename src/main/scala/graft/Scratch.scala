@@ -219,14 +219,13 @@ object Scratch {
         f"min=${times.min}%.2f med=${times.sorted.apply(1)}%.2f")
       spark.stop(); return
     }
-    // round 18: the R=2 fixed-count question — autoProbe keeps the
+    // round 18: the R=2 fixed-count question — autoProbe kept the
     // coverage-1.5 knee for replicas < 3 because fixed-count was only
-    // measured at R=3. Sweep constant probes on R=2 indexes at the
+    // measured at R=3. Sweeps constant probes on R=2 indexes at the
     // same rungs (pass a dir: /tmp/graft_scale_{10,30}x, or the
-    // graphbig corpus via 'big120') to decide whether the R=2 branch
-    // can drop its linear term too, or must keep the knee (round-11
-    // R=2 coverage sweep bottomed at 0.916 — the floor margin is the
-    // question, not the flatness).
+    // graphbig corpus via 'big120'). ANSWERED: flat and equal to the
+    // full scan at 40/120/480 cells — the R=2 branch dropped its
+    // linear term (see autoProbe's scaladoc for the numbers).
     if (args.contains("graphfixedr2")) {
       import org.apache.spark.sql.functions._
       val big = args.contains("big120")

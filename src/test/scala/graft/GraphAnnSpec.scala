@@ -179,9 +179,10 @@ class GraphAnnSpec extends SparkSpec {
     // probing every cell — routing prunes 7/8 of the index at ZERO
     // recall cost, because a query's neighbors live in its own
     // cluster's cell(s). At 10x the clusters the constant probe
-    // becomes 2 of 160 — the fraction SHRINKS with scale, unlike
-    // autoProbe's isotropic-knee default — which is what SCALE.md's
-    // serving-regime paragraph claims. (Closest-only neighbor
+    // becomes 2 of 160 — the fraction SHRINKS with scale, the
+    // property autoProbe's fixed-count default (rounds 17-18) now
+    // ships — which is what SCALE.md's serving-regime paragraph
+    // claims. (Closest-only neighbor
     // selection used to lose 0.15 here to beam stranding on the
     // near-clique cells, at EVERY probe; the HNSW diversity
     // heuristic — selectDiverse — restored 1.0.)
