@@ -2218,6 +2218,226 @@ object RetrievalQueries {
       .orderBy("rank")
   }
 
+  /** The q197 fixture corpus: the first 40 embeddings as cluster
+    * centers, each with 39 deterministic perturbed copies (hash-noise
+    * σ=0.08 — the CLUSTERED shape of the round-18 `graphbig` sweeps
+    * and of GraphAnnSpec's 160-cell equality pin, where top-P cells
+    * nest inside top-S supercells and the pruned selection is exact).
+    * Copy 0 keeps the original ids/vectors, so the recall queries are
+    * real corpus points. Constant-size by design: the row certifies
+    * the two-level MACHINERY every round (engagement, selection
+    * equality, recall); the decades are SCALE.md's measured rungs. */
+  private def twoLevelCorpus(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "2lvl_corpus") {
+      val e = emb(s, dir)
+      val n = Memo.cachedCount(s, dir, "emb_n")(e.count())
+      val copies = s.range(0, 40).toDF("__c")
+      e.filter(col("vec_id") < 40).crossJoin(copies).select(
+        (col("__c") * lit(10L * n) + col("vec_id")).as("vec_id"),
+        when(col("__c") === 0, col("v"))
+          .otherwise(graft.functions.VectorF.addNoise(col("v"),
+            col("__c") * lit(10L * n) + col("vec_id"), 0.08)).as("v"))
+    }
+
+  private[graft] val twoLevelParts = 160
+
+  /** The ONE declared index that engages the two-level machinery at
+    * every SF (parts = 160 ≥ the 128 threshold; the organic graph
+    * index sits below it at spec scale by design) — built ONCE per
+    * (session, dir) and charged to `_build_graph_2lvl`. */
+  private def twoLevelIndexPath(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "graphann_2lvl") {
+      val p = PipelineQueries.roundtripPath(dir, "graphann_2lvl")
+      graft.search.GraphAnn.writeIndex(twoLevelCorpus(s, dir), "vec_id", "v",
+        graphM, graphEf, twoLevelParts, p)
+      p
+    }
+
+  /** TWO-LEVEL BUILD + SERVE AS A DECLARED ROW (round 19): every
+    * production path the [[graft.search.Assign.TwoLevelMinParts]]
+    * threshold gates — the supercell-pruned routing scan on the serve
+    * side (round 18) and the two-level build assignment (round 19) —
+    * runs inside the per-round driver artifact here, over a
+    * parts = 160 index on the perturbed-copy corpus. Gates, all
+    * in-query:
+    *
+    *  1. ENGAGEMENT — the generation carries the `routing2c`/
+    *     `routing2` sidecars (parts ≥ threshold by construction);
+    *  2. SERVE SELECTION EQUALITY — the supercell-pruned
+    *     [[graft.search.GraphAnn.routeQueriesDf]] top-P equals the
+    *     flat parts-row reference scan, query for query (the
+    *     GraphAnnSpec pin, re-asserted against the live artifact
+    *     every round);
+    *  3. BUILD ASSIGNMENT EQUALITY — the index's at-rest (id, part)
+    *     node placement equals [[graft.search.Assign.flatTopR]]'s
+    *     O(N × parts) reference fold, bit for bit (the round-19
+    *     two-level assignment is selection-exact here, not merely
+    *     recall-adequate);
+    *  4. RECALL FLOOR — routed recall@10 ≥ 0.9 vs the exact scan at
+    *     the fixed-count defaults.
+    *
+    * Rows-only per the graph family's ✗ discipline (graph build is
+    * not SQL-expressible); the declared output is the gate ledger. */
+  def q197GraphTwoLevel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.search.{Assign, GraphAnn}
+    val corpus = twoLevelCorpus(s, dir)
+    val path = twoLevelIndexPath(s, dir)
+    val root = GraphAnn.tablePath(path, "routing").stripSuffix("/routing")
+    require(new java.io.File(s"$root/routing2c").isDirectory &&
+      new java.io.File(s"$root/routing2").isDirectory,
+      "q197: a parts >= 128 build must carry the supercell sidecars")
+    val routing = s.read.parquet(s"$root/routing")
+    val parts = routing.count().toInt
+    require(parts >= Assign.TwoLevelMinParts,
+      s"q197: the fixture routing must stay above the two-level " +
+        s"threshold, got $parts cells")
+    // (2) serve selection: two-level vs the flat reference scan
+    val qvs = corpus.filter(col("vec_id") < recallNq)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .collect().map { case (q, v) => (q, v.toArray) }
+    val probe = Assign.SuperProbe // <= SuperProbe, so the pruned path engages
+    val qdf = qvs.toSeq.map { case (q, v) => (q, v.toSeq) }
+      .toDF("qid", "__qv")
+    val flatSel = routing
+      .select(col("part").cast("long").as("part"),
+        col("rvec").cast("array<double>").as("rvec"))
+      .crossJoin(broadcast(qdf))
+      .select(col("qid"), col("part"),
+        graft.functions.VectorF.dot(col("rvec"), col("__qv")).as("__s"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graftnative.TopKAggregate
+        .topK(col("part"), col("__s"), probe).as("__tk"))
+      .select(col("qid"), explode(col("__tk")).as("__e"))
+      .select(col("qid"), col("__e.id").cast("int").as("part"))
+      .as[(Long, Int)].collect().groupBy(_._1)
+      .map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val twoSel = GraphAnn.routeQueriesDf(s, root, qvs, probe)
+      .as[(Long, Int)].collect().groupBy(_._1)
+      .map { case (q, ps) => q -> ps.map(_._2).toSet }
+    require(twoSel == flatSel,
+      "q197: the supercell-pruned selection must equal the flat " +
+        "reference scan query for query")
+    // (3) build assignment: at-rest placement vs the flat fold
+    val replicas = routing.select(col("replicas").cast("int"))
+      .as[Int].head()
+    val atRest = GraphAnn.nodesDf(s, path)
+      .select(col("id"), col("part").cast("int").as("part"))
+    val reference = Assign.flatTopR(corpus, "vec_id", "v",
+      routing.select(col("part").cast("int").as("part"),
+        col("rvec").cast("array<double>").as("rvec")), replicas)
+      .select(col("id"), col("part"))
+    val assignDiff = atRest.exceptAll(reference)
+      .unionByName(reference.exceptAll(atRest)).count()
+    require(assignDiff == 0L,
+      s"q197: two-level build assignment diverged from the flat fold " +
+        s"($assignDiff placement rows differ)")
+    // (4) recall floor at the fixed-count serving defaults
+    val exact = Search.multiTopK(corpus, "vec_id", "v",
+        qdf.select(col("qid"), col("__qv").as("qv")), "qid", "qv", recallK)
+      .select(col("qid"), col("vec_id")).localCheckpoint()
+    val got = GraphAnn.searchIndexMulti(s, path, "vec_id",
+        qdf.select(col("qid"), col("__qv").as("qv")), "qid", "qv",
+        recallK, graphEf)
+      .select(col("qid"), col("vec_id"))
+    val hits = exact.join(got, Seq("qid", "vec_id"), "left_semi").count()
+    val recall = hits.toDouble / (recallNq * recallK)
+    require(recall >= 0.9,
+      s"q197: routed recall $recall fell below the 0.9 floor")
+    Seq(
+      ("assign_flat_vs_two_level_diff_rows", assignDiff.toDouble),
+      ("recall_at_10", recall),
+      ("routing_matched_queries", twoSel.size.toDouble),
+      ("parts", parts.toDouble))
+      .toDF("leg", "value").orderBy("leg")
+  }
+
+  /** TWO-LEVEL ASSIGNMENT UNDER THE ORACLE GATE (round 19) — the one
+    * piece of the two-level machinery that IS SQL-expressible, hash-
+    * matched against DuckDB: 160 LCG-sampled cells over the
+    * embeddings (≥ the [[graft.search.Assign.TwoLevelMinParts]]
+    * threshold, so [[graft.search.Assign.topR]] takes the two-level
+    * branch — supercell derivation, top-[[graft.search.Assign
+    * .SuperProbe]] supercells per vector, member-pruned candidate
+    * scoring, top-2 replication), replayed end to end: the oracle
+    * derives the ⌈√160⌉ = 13 supercell seeds from the same LCG
+    * ordering, unrolls the 3 quantized-mean Lloyd iterations (the
+    * q58 template over the CELL table), takes each cell's 2 member
+    * supercells and each vector's top-8 supercells by
+    * (dot desc, id asc), and ranks the DISTINCT member-pruned
+    * candidates — the exact selection [[graft.search.Assign
+    * .twoLevelTopR]]'s local-top-r merge computes. A hash mismatch
+    * here means the build-side two-level selection drifted from its
+    * spec — the q84-class defense for the round-19 assignment flip. */
+  def q198TwoLevelAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cells = Memo.cached(s, dir, "q198_cells")(
+      graft.search.IVF.centroids(e, "vec_id", "v", twoLevelParts)
+        .select(col("cid").cast("int").as("part"),
+          col("cvec").cast("array<double>").as("rvec")))
+    graft.search.Assign.topR(e.select(col("vec_id"), col("v")),
+        "vec_id", "v", cells, r = 2, parts = twoLevelParts)
+      .select(col("id").as("vec_id"), col("part").cast("long").as("part"))
+      .orderBy("vec_id", "part")
+  }
+
+  /** q198's replay — the supercell pipeline in ANSI SQL: LCG cells →
+    * LCG supercell seeds → 3 unrolled quantized-mean Lloyd passes
+    * (the q58 template over the cell table) → 2-replicated membership
+    * → per-vector top-8 supercells → DISTINCT member-pruned
+    * candidates → top-2 by (dot desc, part asc). */
+  val q198Sql: String = {
+    val sCount = math.ceil(math.sqrt(twoLevelParts.toDouble)).toInt
+    def lloyd(i: Int, prev: String): String =
+      s"""a$i AS (SELECT part, rvec, cid FROM (
+         SELECT cl.part, cl.rvec, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY cl.part
+             ORDER BY list_dot_product(cl.rvec, c.cvec) DESC, c.cid) AS r
+         FROM cl, $prev c) WHERE r = 1),
+       px$i AS (SELECT cid, i.i AS pos, rvec[i.i + 1] AS x
+              FROM a$i, (SELECT UNNEST(generate_series(0, ${embDim - 1})) AS i) i),
+       m$i AS (SELECT cid, pos,
+               CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) /
+                 (COUNT(*) * 1000000.0) AS m
+             FROM px$i GROUP BY cid, pos),
+       g$i AS (SELECT cid, list(m ORDER BY pos) AS lm FROM m$i GROUP BY cid),
+       s$i AS (SELECT cid,
+               list_transform(lm, x -> x / (sqrt(list_dot_product(lm, lm)) + 1e-9)) AS cvec
+             FROM g$i)"""
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cl AS (SELECT part, rvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648, vec_id) - 1 AS BIGINT) AS part,
+             v AS rvec FROM e) WHERE part < $twoLevelParts),
+       s0 AS (SELECT cid, cvec FROM (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY
+               ((part % 2147483648) * 1103515245 + 12345) % 2147483648, part) - 1 AS BIGINT) AS cid,
+             rvec AS cvec FROM cl) WHERE cid < $sCount),
+       ${lloyd(1, "s0")},
+       ${lloyd(2, "s1")},
+       ${lloyd(3, "s2")},
+       mem AS (SELECT part, spart FROM (
+           SELECT cl.part, s.cid AS spart,
+             ROW_NUMBER() OVER (PARTITION BY cl.part
+               ORDER BY list_dot_product(cl.rvec, s.cvec) DESC, s.cid) AS r
+           FROM cl, s3 s) WHERE r <= 2),
+       vt AS (SELECT vec_id, spart FROM (
+           SELECT e.vec_id, s.cid AS spart,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, s.cvec) DESC, s.cid) AS r
+           FROM e, s3 s) WHERE r <= ${graft.search.Assign.SuperProbe}),
+       cand AS (SELECT DISTINCT vt.vec_id, mem.part
+                FROM vt JOIN mem USING (spart)),
+       sc AS (SELECT c.vec_id, c.part, list_dot_product(e.v, cl.rvec) AS sc
+              FROM cand c JOIN e ON c.vec_id = e.vec_id
+                          JOIN cl ON c.part = cl.part),
+       top AS (SELECT vec_id, part FROM (
+           SELECT vec_id, part,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, part) AS r
+           FROM sc) WHERE r <= 2)
+       SELECT vec_id, part FROM top ORDER BY vec_id, part"""
+  }
+
   /** PINNED SQ8 SERVING ACROSS A CONCURRENT COMPACTION — the
     * quantized cell of the same matrix, and unlike the graph twin
     * FULLY ORACLED: a reader pins [[graft.search.IVF
@@ -7431,6 +7651,7 @@ $sqRows)
     "_build_rag_candidates" -> ((s, dir) => { q55RagCandidates(s, dir).count(); () }),
     "_build_spectral" -> ((s, dir) => { spectralArtifacts(s, dir).count(); () }),
     "_build_graph_ann" -> ((s, dir) => { graphIndexPath(s, dir); () }),
+    "_build_graph_2lvl" -> ((s, dir) => { twoLevelIndexPath(s, dir); () }),
     "_build_ivf_labeled" -> ((s, dir) => { ivfLabeledPath(s, dir); () }),
     "_build_graph_base80" -> ((s, dir) => { graphBase80Path(s, dir); () }),
     "_build_graph_rebuild80" -> ((s, dir) => { graphRebuildPath(s, dir); () }),
@@ -7508,6 +7729,8 @@ $sqRows)
     "q174_factory_forget" -> (q174FactoryForget _),
     "q175_graph_pinned_read" -> (q175GraphPinnedRead _),
     "q196_graph_pool_gc_pin" -> (q196GraphPoolGcUnderPin _),
+    "q197_graph_two_level" -> (q197GraphTwoLevel _),
+    "q198_two_level_assign" -> (q198TwoLevelAssign _),
     "q181_graph_pinned_multi" -> (q181GraphPinnedMulti _),
     "q176_sq_pinned_read" -> (q176SqPinnedRead _),
     "q178_pinned_hybrid_multi" -> (q178PinnedHybridMulti _),
@@ -7530,6 +7753,7 @@ $sqRows)
     "q172_pinned_hybrid" -> (q172PinnedHybrid _))
 
   val oracle: Map[String, String] = Map(
+    "q198_two_level_assign" -> q198Sql,
     "q07_ingest_clean" -> q07Sql,
     "q51_csv_ingest" -> q51Sql,
     "q08_sample" -> q08Sql,

@@ -273,6 +273,163 @@ object Scratch {
     // the R=3 index at parts = ceil(N/500), and sweeps recall@10 at
     // CONSTANT probe counts vs the exact scan over 50 base queries.
     // K=120 → parts=480; K=375 → parts=1500.
+    // round 19: BUILD-ASSIGNMENT regime measurement — the retired
+    // quadratic term, old (flat fold) vs new (two-level through the
+    // persisted sidecars), over the round-18 big corpora/indexes at
+    // 480 and 1500 cells. Prints per-rung walls; the flat/flat and
+    // two/two cross-rung ratios are the complexity signature
+    // (N×parts ≈ 9.8× vs N×√parts ≈ 5.5× for 3.1× data), plus the
+    // selection symmetric-diff between the two paths at each rung.
+    // Usage: runMain graft.Scratch <ignored> assignscale [480|1500|both]
+    if (args.contains("assignscale")) {
+      import org.apache.spark.sql.functions._
+      import graft.search.Assign
+      val which = args.lift(args.indexOf("assignscale") + 1).getOrElse("both")
+      val rungs = Seq(
+        (480, "/tmp/graft_fixed/emb_120x.parquet",
+          "/tmp/graft_fixed/graph_big2_r3_p480"),
+        (1500, "/tmp/graft_fixed/emb_375x.parquet",
+          "/tmp/graft_fixed/graph_big2_r3_p1500"))
+        .filter(r => which == "both" || which == r._1.toString)
+      for ((parts, embPath, idxPath) <- rungs) {
+        val e = spark.read.parquet(embPath).localCheckpoint()
+        val n = e.count()
+        val root = graft.search.GraphAnn.tablePath(idxPath, "routing")
+          .stripSuffix("/routing")
+        val cells = spark.read.parquet(s"$root/routing")
+          .select(col("part").cast("int").as("part"),
+            col("rvec").cast("array<double>").as("rvec")).localCheckpoint()
+        val tabs = Some((
+          spark.read.parquet(s"$root/routing2c")
+            .select(col("spart").cast("int").as("spart"),
+              col("srvec").cast("array<double>").as("srvec")).localCheckpoint(),
+          spark.read.parquet(s"$root/routing2")
+            .select(col("spart").cast("int").as("spart"),
+              col("part").cast("int").as("part"),
+              col("rvec").cast("array<double>").as("rvec")).localCheckpoint()))
+        def time(f: => Long): (Long, Double) = {
+          val t0 = System.nanoTime(); val c = f
+          (c, (System.nanoTime() - t0) / 1e9)
+        }
+        val (cFlat, sFlat) = time(
+          Assign.flatTopR(e, "vec_id", "v", cells, 3).count())
+        val (cTwo, sTwo) = time(
+          Assign.topR(e, "vec_id", "v", cells, 3, cells.count().toInt, tabs)
+            .count())
+        val diff = Assign.flatTopR(e, "vec_id", "v", cells, 3)
+          .select(col("id"), col("part"))
+          .exceptAll(Assign.topR(e, "vec_id", "v", cells, 3,
+              cells.count().toInt, tabs).select(col("id"), col("part")))
+          .count()
+        println(f"ASSIGNSCALE parts=$parts n=$n flat=$sFlat%.1fs " +
+          f"two=$sTwo%.1fs rows flat=$cFlat two=$cTwo diff=$diff " +
+          f"speedup=${sFlat / sTwo}%.2fx")
+      }
+      spark.stop(); return
+    }
+    // round 19: the SUPERCELL regime one more decade out (~5k cells,
+    // the verdict's #4) — parts = 5000 over the persisted 750k
+    // corpus: train routing (now itself two-level per Lloyd pass),
+    // build the index, and measure two-level vs flat SELECTION
+    // equality at P=8 over 50 queries plus routed recall@10 and the
+    // serving wall. SPARK_GRAFT_5K_REUSE=1 skips the build.
+    // Usage: runMain graft.Scratch <ignored> graphfive
+    if (args.contains("graphfive")) {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      import graft.search.{Assign, GraphAnn}
+      val e = spark.read.parquet("/tmp/graft_fixed/emb_375x.parquet")
+        .localCheckpoint()
+      val n = e.count()
+      val parts = 5000
+      val path = s"/tmp/graft_fixed/graph_r19_p$parts"
+      if (!sys.env.contains("SPARK_GRAFT_5K_REUSE") ||
+          !new java.io.File(s"$path/CELLS").isFile) {
+        val t0 = System.nanoTime()
+        GraphAnn.writeIndex(e, "vec_id", "v", 8, 48, parts, path)
+        println(f"GRAPHFIVE build n=$n parts=$parts " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      val root = GraphAnn.tablePath(path, "routing").stripSuffix("/routing")
+      val routing = spark.read.parquet(s"$root/routing")
+        .select(col("part").cast("int"), col("rvec").cast("array<double>"))
+        .as[(Int, Seq[Double])].collect()
+        .map { case (p, v) => (p, v.toArray) }.sortBy(_._1)
+      println(s"GRAPHFIVE live cells=${routing.length}")
+      val nq = 50; val k = 10
+      val qvs = e.filter(col("vec_id") < nq)
+        .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+        .collect().map { case (q, v) => (q, v.toArray) }
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+      }
+      val probe = Assign.SuperProbe
+      val want = qvs.map { case (qid, qv) =>
+        qid -> routing.map { case (p, rv) => (p, dot(rv, qv)) }
+          .sortBy { case (p, s) => (-s, p) }.take(probe).map(_._1).toSet
+      }.toMap
+      val got = GraphAnn.routeQueriesDf(spark, root, qvs, probe)
+        .as[(Long, Int)].collect().toSeq
+        .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+      val matched = qvs.count { case (q, _) => got.get(q).contains(want(q)) }
+      println(s"GRAPHFIVE selection matched=$matched/$nq at S=8 P=$probe")
+      val qs = qvs.toSeq.map { case (q, v) => (q, v.toSeq) }
+        .toDF("qid", "qv")
+      val exact = graft.search.Search.multiTopK(e, "vec_id", "v",
+          qs, "qid", "qv", k)
+        .select(col("qid"), col("vec_id")).localCheckpoint()
+      val exactN = exact.count().toDouble
+      for (ef <- Seq(48, 96)) {
+        val t1 = System.nanoTime()
+        val hits = exact.join(
+          GraphAnn.searchIndexMulti(spark, path, "vec_id", qs, "qid", "qv",
+            k, ef).select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_semi").count()
+        println(f"GRAPHFIVE parts=${routing.length} P=$probe ef=$ef " +
+          f"recall=${hits / exactN}%.4f sec=${(System.nanoTime() - t1) / 1e9}%.1f")
+      }
+      spark.stop(); return
+    }
+    // round 19: CELL-OCCUPANCY sweep (the verdict's #5) — is 500
+    // vectors/cell the right target? Build the 240k corpus at
+    // occupancy {250, 500, 1000} (parts {960, 480, 240}) and measure
+    // build wall, routed recall@10 at the shipped defaults, and the
+    // 50-query serving wall.
+    // Usage: runMain graft.Scratch <ignored> occsweep
+    if (args.contains("occsweep")) {
+      import org.apache.spark.sql.functions._
+      import graft.search.GraphAnn
+      val e = spark.read.parquet("/tmp/graft_fixed/emb_120x.parquet")
+        .localCheckpoint()
+      val n = e.count()
+      val nq = 50; val k = 10
+      val qs = e.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("qid"), col("v").as("qv")).localCheckpoint()
+      val exact = graft.search.Search.multiTopK(e, "vec_id", "v",
+          qs, "qid", "qv", k)
+        .select(col("qid"), col("vec_id")).localCheckpoint()
+      val exactN = exact.count().toDouble
+      for (occ <- Seq(250, 500, 1000)) {
+        val parts = math.ceil(n.toDouble / occ).toInt
+        val path = s"/tmp/graft_fixed/graph_occ$occ"
+        val t0 = System.nanoTime()
+        GraphAnn.writeIndex(e, "vec_id", "v", 8, 48, parts, path)
+        val build = (System.nanoTime() - t0) / 1e9
+        for (ef <- Seq(48, 96)) {
+          val t1 = System.nanoTime()
+          val hits = exact.join(
+            GraphAnn.searchIndexMulti(spark, path, "vec_id", qs, "qid",
+              "qv", k, ef).select(col("qid"), col("vec_id")),
+            Seq("qid", "vec_id"), "left_semi").count()
+          println(f"OCCSWEEP occ=$occ parts=$parts build=$build%.1fs " +
+            f"ef=$ef recall=${hits / exactN}%.4f " +
+            f"serve=${(System.nanoTime() - t1) / 1e9}%.1fs")
+        }
+        graft.FileTree.delete(new java.io.File(path))
+      }
+      spark.stop(); return
+    }
     if (args.contains("graphbig")) {
       import org.apache.spark.sql.functions._
       val k = args(args.indexOf("graphbig") + 1).toInt

@@ -427,7 +427,48 @@ object Queries {
     * aggregate inside scoring reuses the bucketing with no exchange.
     * Build-once cost is charged to the `_build_bm25_index` bench
     * entry, not to whichever query first touches the index. */
-  private[graft] val bm25Buckets = 8
+
+  /** Target postings rows per bucket — ~128 MB of (doc, len, term,
+    * tf) rows at rest, the file size a bucket-pruned scan wants to
+    * lift per selected bucket (small enough to read fast, large
+    * enough that the file count stays sane at fleet scale: 10¹²
+    * postings rows → ~244k buckets ≈ one 128 MB file per bucket per
+    * writer wave). */
+  private[graft] val bm25BucketTargetRows = 4L * 1024 * 1024
+
+  /** DERIVED postings bucket count (round 19, the q194/q195
+    * discipline applied to the last fixture-pinned index-geometry
+    * constant): buckets = max(8, ⌈token mass / target rows⌉), where
+    * the token mass is the postings row count the corpus will
+    * produce (one pass over the documents with the indexer's own
+    * tokenizer — a build-time cost charged to the build entry, the
+    * corpusStats shape). The old `bm25Buckets = 8` made every
+    * per-term read scan ⅛ of a corpus-sized postings table; derived,
+    * the per-bucket bytes are CONSTANT in corpus size and a query's
+    * term set reads O(terms) buckets of bounded size. The floor
+    * keeps spec-scale tables at the historical 8 buckets (every
+    * pinned plan and oracle unchanged below ~34M tokens); the
+    * q199 dial row gates score invariance across the derived /
+    * half / double geometries, and the SQL oracle replays this
+    * exact derivation. */
+  private[graft] def bm25BucketsFor(s: SparkSession, docs: DataFrame): Int = {
+    val tokens = docs
+      .select(sum(size(split(lower(trim(col("text"))), "\\s+"))).cast("long"))
+      .head().getLong(0)
+    math.max(8, math.ceil(tokens.toDouble / bm25BucketTargetRows).toInt)
+  }
+
+  /** A standing postings table's bucket count from the metastore —
+    * the ONE authority after creation: appends, the idempotent
+    * stream stage, compaction rewrites and generation pins must all
+    * reuse the count the table was CREATED under (geometry is fixed
+    * at deployment, like the coarse quantizers; a re-derivation
+    * mid-life would split the table across two layouts). Pre-derived
+    * tables without a spec read as the historical 8. */
+  private[graft] def bucketCountOf(s: SparkSession, tbl: String): Int =
+    s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .bucketSpec.map(_.numBuckets).getOrElse(8)
 
   /** The table's LIVE data path from the metastore — the one
     * authority on which generation serves after any number of
@@ -459,11 +500,19 @@ object Queries {
   private[graft] def writePostings(s: SparkSession, docs: DataFrame,
                                    tbl: String, path: String,
                                    mode: String,
-                                   preserveLedger: Boolean = false): Unit = {
+                                   preserveLedger: Boolean = false,
+                                   bucketsOverride: Option[Int] = None): Unit = {
     if (mode == "append" &&
         BM25.hasRevives(s, postingsLivePath(s, tbl), docs.select(col("doc_id"))))
       compactPostings(s, tbl, postingsLivePath(s, tbl))
-    val post = bucketedPostingsFrame(s, docs)
+    // geometry: derived from the corpus at CREATE, read back from the
+    // metastore for appends (an append under a freshly-derived count
+    // would split the table across two layouts); the explicit
+    // override is the q199 dial's escape hatch
+    val buckets = bucketsOverride.getOrElse(
+      if (mode == "append") bucketCountOf(s, tbl)
+      else bm25BucketsFor(s, docs))
+    val post = bucketedPostingsFrame(s, docs, buckets)
     // appends pass the table's CURRENT metastore location as the
     // path (a caller-fixed path would fight the metastore after a
     // compaction cycle; omitting the option entirely leaves the
@@ -491,7 +540,7 @@ object Queries {
     }
     post.write.mode(mode)
       .option("path", target)
-      .bucketBy(bm25Buckets, "term").sortBy("term")
+      .bucketBy(buckets, "term").sortBy("term")
       .saveAsTable(tbl)
     if (mode == "append") s.catalog.refreshTable(tbl)
   }
@@ -505,11 +554,12 @@ object Queries {
     * a no-op at real scale, where maxPartitionBytes splits the scan.
     * The write-side bucket shuffle pays for the read-side pruning of
     * every query after. */
-  private def bucketedPostingsFrame(s: SparkSession, docs: DataFrame): DataFrame = {
+  private def bucketedPostingsFrame(s: SparkSession, docs: DataFrame,
+                                    buckets: Int): DataFrame = {
     val par = s.sparkContext.defaultParallelism
     val dp = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     BM25.postings(dp, "doc_id", "text")
-      .repartition(bm25Buckets, col("term"))
+      .repartition(buckets, col("term"))
   }
 
   /** The postings family's committed-batch ledger — a sibling of the
@@ -549,10 +599,13 @@ object Queries {
     val stage = ExactlyOnce.stageDir(new java.io.File(live), batchId)
     val stageTbl = s"${tbl}__bstage$batchId"
     s.sql(s"DROP TABLE IF EXISTS $stageTbl")
-    bucketedPostingsFrame(s, docs)
+    // the stage MUST carry the live table's creation-time bucket
+    // count — promoted files join the standing layout
+    val buckets = bucketCountOf(s, tbl)
+    bucketedPostingsFrame(s, docs, buckets)
       .write.mode("overwrite")
       .option("path", stage.getPath)
-      .bucketBy(bm25Buckets, "term").sortBy("term")
+      .bucketBy(buckets, "term").sortBy("term")
       .saveAsTable(stageTbl)
     ExactlyOnce.promote(stage, new java.io.File(live), batchId)
     // drop the stage table's metadata (external — files already
@@ -591,10 +644,13 @@ object Queries {
         "a pin is valid for one maintenance cycle; re-resolve and retry")
     val gen = PipelineQueries.sanitizeTag(new java.io.File(pinnedPath).getName)
     val pinTbl = s"${tbl}__pin_$gen"
+    // the pinned generation was written under the LIVE table's
+    // creation-time bucket count (appends and compactions both carry
+    // it), so the re-attached spec reads from the metastore too
     s.sql(s"""CREATE TABLE IF NOT EXISTS $pinTbl
       (doc BIGINT, len DOUBLE, term STRING, tf DOUBLE)
       USING parquet
-      CLUSTERED BY (term) SORTED BY (term) INTO $bm25Buckets BUCKETS
+      CLUSTERED BY (term) SORTED BY (term) INTO ${bucketCountOf(s, tbl)} BUCKETS
       LOCATION '$pinnedPath'""")
     s.catalog.refreshTable(pinTbl)
     pinTbl
@@ -685,11 +741,15 @@ object Queries {
     // with a clean sidecar by construction. The superseded path
     // keeps its files AND its sidecar as the in-flight readers'
     // coherent grace window.
+    // the rewrite carries the table's creation-time bucket count
+    // (geometry is fixed at deployment; compaction moves bytes, not
+    // layout — the generation-pin DDL depends on this invariance)
+    val buckets = bucketCountOf(s, tbl)
     BM25.livePostings(s, path, s.read.parquet(path))
-      .repartition(bm25Buckets, col("term"))
+      .repartition(buckets, col("term"))
       .write.mode("overwrite")
       .option("path", stagePath)
-      .bucketBy(bm25Buckets, "term").sortBy("term")
+      .bucketBy(buckets, "term").sortBy("term")
       .saveAsTable(stage)
     // ORDERED commit (the flipCurrent guard's metastore twin): if a
     // staggered newer writer already swapped the table while this one
@@ -1074,6 +1134,82 @@ object Queries {
        r AS (SELECT doc_id AS doc, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
                     ROUND(score, 4) AS score FROM sc)
        SELECT doc, rank, score FROM r WHERE rank <= 20 ORDER BY rank"""
+
+  /** DERIVED POSTINGS GEOMETRY AS A DIAL ROW (round 19 — the q194/
+    * q195 discipline applied to the lexical family's last
+    * fixture-pinned constant): the bucket count now derives from the
+    * corpus's token mass ([[bm25BucketsFor]] — buckets =
+    * max(8, ⌈tokens / target⌉), replayed by the oracle from the SAME
+    * formula over SUM(len(tokens))), and this row builds the postings
+    * index at the DERIVED count plus the half / double geometries and
+    * serves q20's query from each. Gates: the three legs' top-20
+    * answers are IDENTICAL (bucketing is physical layout — geometry
+    * must never move a score) and every leg's term-filtered scan is
+    * bucket-pruned (`SelectedBucketsCount` in the executed plan — the
+    * PlanSpec pin re-asserted per geometry, in-query). FULLY ORACLED:
+    * the SQL derives the same buckets column per leg and replays the
+    * bucket-count-free scoring once. */
+  def q199Bm25DerivedBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    val derived = bm25BucketsFor(s, d)
+    def leg(knob: String, buckets: Int): DataFrame = {
+      val tbl = s"q199_${knob}_" + PipelineQueries.sanitizeTag(dir)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      writePostings(s, d, tbl,
+        PipelineQueries.roundtripPath(dir, s"q199_$knob"), "overwrite",
+        bucketsOverride = Some(buckets))
+      require(bucketCountOf(s, tbl) == buckets,
+        s"q199: the $knob leg's table must carry $buckets buckets")
+      val post = s.table(tbl)
+      val serve = BM25.searchIndexed(post, BM25.statsFromPostings(post),
+        bm25Terms, 20)
+      // the SERVE plan is the pruning witness (a bare term filter gets
+      // its bucketed scan elided by DisableUnnecessaryBucketedScan;
+      // the scoring query's term-keyed aggregate keeps it — the exact
+      // shape PlanSpec pins on q20, re-asserted here per geometry)
+      val plan = serve.queryExecution.executedPlan.toString
+      require(plan.contains("SelectedBucketsCount"),
+        s"q199: the $knob leg's term scan must be bucket-pruned:\n$plan")
+      serve.select(lit(knob).as("knob"), lit(buckets.toLong).as("buckets"),
+        col("doc"), col("rank"), col("score"))
+    }
+    val legs = Seq(
+      leg("derived", derived),
+      leg("half", math.max(1, derived / 2)),
+      leg("double", derived * 2))
+    // layout must never move a score: the three legs answer
+    // identically, gated loudly here and hash-matched by the oracle
+    val answers = legs.map(_.select(col("doc"), col("rank"), col("score"))
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._2))
+    require(answers.distinct.size == 1,
+      "q199: bucket geometry moved a BM25 answer across legs")
+    legs.reduce(_ unionByName _).orderBy("knob", "rank")
+  }
+
+  /** q199's replay: the bucket derivation from token mass (the exact
+    * [[bm25BucketsFor]] arithmetic) joined onto q20's
+    * bucket-count-free scoring — one score set, three labeled
+    * geometries. */
+  val q199Sql: String =
+    s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       tok AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS tokens FROM d),
+       b AS (SELECT GREATEST(8, CAST(CEIL(tokens / $bm25BucketTargetRows.0) AS BIGINT)) AS derived FROM tok),
+       corpus AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM d),
+       post AS (SELECT doc_id, len(toks) AS len, UNNEST(toks) AS term FROM d),
+       tf AS (SELECT doc_id, len, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM post
+              WHERE term IN ('spark', 'hash', 'join') GROUP BY doc_id, len, term),
+       stats AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+       idf AS (SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf FROM stats, corpus),
+       sc AS (SELECT doc_id, SUM(idf * tf * 2.5 / (tf + 1.5 * (1.0 - 0.75 + 0.75 * len / avgdl))) AS score
+              FROM tf JOIN idf USING (term), corpus GROUP BY doc_id),
+       r AS (SELECT doc_id AS doc, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+                    ROUND(score, 4) AS score FROM sc),
+       legs AS (SELECT 'derived' AS knob, derived AS buckets FROM b
+                UNION ALL SELECT 'half' AS knob, GREATEST(1, derived // 2) AS buckets FROM b
+                UNION ALL SELECT 'double' AS knob, derived * 2 AS buckets FROM b)
+       SELECT knob, buckets, doc, rank, score FROM legs, r
+       WHERE rank <= 20 ORDER BY knob, rank"""
 
   /** MULTI-QUERY BM25 SERVING from the shared at-rest postings —
     * [[graft.lexical.BM25.searchIndexedMulti]]: ONE bucket-pruned
@@ -1663,6 +1799,7 @@ object Queries {
     "q14_noise_perturb" -> (q14NoisePerturb _),
     "q15_dp_search" -> (q15DpSearch _),
     "q20_bm25" -> (q20Bm25 _),
+    "q199_bm25_derived_buckets" -> (q199Bm25DerivedBuckets _),
     "q21_top_terms" -> (q21TopTerms _),
     "q70_pivot" -> (q70Pivot _),
     "q87_bm25_append" -> (q87Bm25Append _),
@@ -1696,6 +1833,7 @@ object Queries {
     "q14_noise_perturb" -> q14Sql,
     "q15_dp_search" -> q15Sql,
     "q20_bm25" -> q20Sql,
+    "q199_bm25_derived_buckets" -> q199Sql,
     "q21_top_terms" -> q21Sql,
     "q70_pivot" -> q70Sql,
     "q87_bm25_append" -> q20Sql,

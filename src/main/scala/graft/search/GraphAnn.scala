@@ -602,8 +602,9 @@ object GraphAnn {
     * FAISS's coarse-quantizer training. Measured on the test corpus
     * (probe=parts/2, 2× replication): unrefined 0.44, 3 iterations
     * 0.98, 6 iterations 0.92 — over-iterating rebalances cells away
-    * from the local structure routing exploits, so 3 is the pin. */
-  private val RoutingRefineIters = 3
+    * from the local structure routing exploits, so 3 is the pin.
+    * Shared with the supercell derivation ([[Assign]] owns it). */
+  private val RoutingRefineIters = Assign.RoutingRefineIters
 
   /** Default boundary-replication factor. The round-10 sweep at the
     * LARGEST measured scale point (sf0.1, 8 cells, 50 queries, ef=48)
@@ -656,7 +657,16 @@ object GraphAnn {
     * coverage-1.5 knee bought nothing over fixed P=8 anywhere in the
     * measured envelope. Only R = 1 (no boundary replication — the
     * one shape with no SPANN recall argument, never measured at
-    * fixed count) keeps the conservative full scan. */
+    * fixed count) keeps the conservative full scan.
+    *
+    * The sweeps are perturbed-copy synthetic corpora (the clustered
+    * shape); a real corpus with harder boundary structure could need
+    * more. The explicit `probeParts` argument on every serve entry
+    * point is the documented ESCAPE HATCH (any fixed count, or the
+    * full scan via probeParts = parts), and a deployment relying on
+    * constant-P at a new decade should run a periodic RECALL CANARY —
+    * a sampled exact-scan comparison, exactly the in-query floor q95
+    * pins per round — before trusting the default there. */
   private[graft] def autoProbe(parts: Int, replicas: Int): Int =
     if (replicas < 2) parts
     else math.min(parts, 8)
@@ -673,62 +683,53 @@ object GraphAnn {
     * checks can pin "rebuild UNDER THE SAME ROUTING" (the IVF q84
     * contract applied to the graph path). */
   def routingFor(docs: DataFrame, idCol: String, vecCol: String,
-                 parts: Int): DataFrame = {
-    val src = docs.select(col(idCol),
-      col(vecCol).cast("array<double>").as(vecCol))
-    val sampled = IVF.centroids(src, idCol, vecCol, parts)
-    IVF.refine(src, idCol, vecCol, sampled, RoutingRefineIters)
-      .select(col("cid").cast("int").as("part"),
-        col("cvec").cast("array<double>").as("rvec"))
-  }
+                 parts: Int): DataFrame =
+    Assign.routingTableFor(docs, idCol, vecCol, parts)
 
   /** Assign every vector to its `replicas` best inner-product routing
-    * cells — [[IVF.assign]]'s broadcast fold generalized to carry the
-    * two best (one scan, no row inflation before the final ≤2-way
-    * explode, no exchange), emitting (id, vec, part). Boundary
-    * REPLICATION is SPANN's answer to routed recall: a vector near a
-    * cell boundary lives in both cells, so a query probing P cells
-    * finds a near neighbor if ANY of the neighbor's cells is among
-    * them — recall per byte scanned beats widening P over
-    * single-assigned cells (measured on the test corpus: probe=2 of 8
-    * at 2× replication ≥ 0.9 recall where single assignment needs
-    * probe=5). Ties resolve to the lowest part (cells scored in
-    * ascending-part order under strict comparisons), so assignment is
-    * deterministic. */
+    * cells via the shared [[Assign.topR]] kernel, emitting
+    * (id, vec, part). Boundary REPLICATION is SPANN's answer to
+    * routed recall: a vector near a cell boundary lives in both
+    * cells, so a query probing P cells finds a near neighbor if ANY
+    * of the neighbor's cells is among them — recall per byte scanned
+    * beats widening P over single-assigned cells (measured on the
+    * test corpus: probe=2 of 8 at 2× replication ≥ 0.9 recall where
+    * single assignment needs probe=5). Ties resolve to the lowest
+    * part, so assignment is deterministic.
+    *
+    * At `parts` ≥ [[Assign.TwoLevelMinParts]] the kernel routes
+    * two-level through the supercell tables — O(N × √parts) flops
+    * with no parts-sized broadcast (round 19; the build-side twin of
+    * the round-18 serving sidecars). `tables` passes an index's
+    * PERSISTED sidecars in (the append/revive paths); a build derives
+    * them once and persists them for exactly that reuse. */
   private def assignParts(docs: DataFrame, idCol: String, vecCol: String,
-                          routing: DataFrame, replicas: Int): DataFrame = {
+                          routing: DataFrame, replicas: Int,
+                          parts: Int = -1,
+                          tables: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     require(replicas >= 1 && replicas <= 4,
       s"replicas must be in 1..4, got $replicas")
-    if (replicas == 1)
-      IVF.assign(
-        docs.select(col(idCol).cast("long").as("id"),
-          col(vecCol).cast("array<double>").as("vec")),
-        "id", "vec",
-        routing.select(col("part").cast("long").as("cid"),
-          col("rvec").as("cvec")))
-        .select(col("id"), col("vec"), col("cid").cast("int").as("part"))
-    else {
-      // rank every cell by (score desc, part asc) — encoded as an
-      // ascending sort on (-score, part) — and keep the R best: the
-      // R=2 two-slot fold generalized to any replication factor, still
-      // one scan, no row inflation before the final ≤R-way explode,
-      // no exchange. Ties resolve to the lowest part, so assignment
-      // stays deterministic (the fold's strict-> behavior).
-      val packed = routing.agg(
-        array_sort(collect_list(struct(col("part"), col("rvec")))).as("__cells"))
-      val ranked = array_sort(transform(col("__cells"),
-        c => struct(
-          (-graft.functions.VectorF.dot(col("vec"), c.getField("rvec"))).as("ns"),
-          c.getField("part").as("p"))))
-      docs
-        .select(col(idCol).cast("long").as("id"),
-          col(vecCol).cast("array<double>").as("vec"))
-        .crossJoin(broadcast(packed))
-        .select(col("id"), col("vec"),
-          explode(slice(ranked, 1, replicas)).as("__c"))
-        .select(col("id"), col("vec"), col("__c.p").cast("int").as("part"))
-    }
+    Assign.topR(docs, idCol, vecCol,
+      routing.select(col("part").cast("int").as("part"),
+        col("rvec").cast("array<double>").as("rvec")),
+      replicas, parts, tables)
   }
+
+  /** An index generation's persisted supercell sidecars as the
+    * (supers, members) pair [[Assign.topR]] takes — None for flat
+    * (below-threshold or legacy) generations, which either stay on
+    * the flat fold or re-derive deterministically. */
+  private def superTablesAt(spark: SparkSession,
+                            root: String): Option[(DataFrame, DataFrame)] =
+    if (!new java.io.File(s"$root/routing2c").isDirectory) None
+    else Some((
+      spark.read.parquet(s"$root/routing2c")
+        .select(col("spart").cast("int").as("spart"),
+          col("srvec").cast("array<double>").as("srvec")),
+      spark.read.parquet(s"$root/routing2")
+        .select(col("spart").cast("int").as("spart"),
+          col("part").cast("int").as("part"),
+          col("rvec").cast("array<double>").as("rvec"))))
 
   /** Build one NSW graph per CONTENT cell of `docs` and persist the
     * result at `path` as a self-contained parquet index. Routing
@@ -829,7 +830,20 @@ object GraphAnn {
     val routed = routing.select(col("part").cast("int").as("part"),
       col("rvec").cast("array<double>").as("rvec"),
       lit(replicas).as("replicas"))
-    val nodes = assignParts(docs, idCol, vecCol, routed, replicas)
+    // derive the supercell tables ONCE (parts >= threshold) and share
+    // them between the two-level assignment and the persisted
+    // sidecars — one derivation, two consumers, zero drift; the
+    // localCheckpoint keeps the super-quantizer k-means from running
+    // twice (the tables are cells-sized, never corpus-sized)
+    val superTabs =
+      if (parts < Assign.TwoLevelMinParts) None
+      else {
+        val (s0, m0) = Assign.superTables(
+          routed.select(col("part"), col("rvec")), parts)
+        Some((s0.localCheckpoint(), m0.localCheckpoint()))
+      }
+    val nodes = assignParts(docs, idCol, vecCol, routed, replicas,
+        parts, superTabs)
       // co-locate each part in one task (a task may hold several
       // parts — grouped in-iterator below — but never half a part)
       .repartition(parts, col("part"))
@@ -858,7 +872,7 @@ object GraphAnn {
     writeCells(nodes, idxPath, version, emptied = partIds)
     routed.orderBy("part")
       .coalesce(1).write.mode("overwrite").parquet(s"$genRoot/routing")
-    writeRouting2(routed, genRoot, parts)
+    writeRouting2(genRoot, parts, superTabs)
     Seq((parts, m, efC, replicas)).toDF("parts", "m", "efC", "replicas")
       .coalesce(1).write.mode("overwrite").parquet(s"$genRoot/params")
     setCellsVersion(genRoot, version)
@@ -886,45 +900,38 @@ object GraphAnn {
   // ------------------------------------------------------------------
 
   /** Flat-scan ceiling: routing tables at or above this part count
-    * get the supercell sidecars. Spec-scale indexes stay flat. */
-  private[graft] val TwoLevelMinParts = 128
+    * get the supercell sidecars — and, since round 19, two-level
+    * BUILD assignment. Spec-scale indexes stay flat. One constant,
+    * owned by [[Assign]]. */
+  private[graft] val TwoLevelMinParts = Assign.TwoLevelMinParts
 
   /** Supercells per query at serve time — fixed-count, the autoProbe
     * P=8 philosophy one level up (each supercell holds ~2√parts
     * member rows, so 8 supercells offer ≥ 16√parts candidate cells —
-    * orders of magnitude above the P=8 cell probe they feed). */
-  private[graft] val SuperProbe = 8
+    * orders of magnitude above the P=8 cell probe they feed). Shared
+    * with the build side ([[Assign]] owns it). */
+  private[graft] val SuperProbe = Assign.SuperProbe
 
-  /** Build + write the supercell sidecars for a generation:
+  /** Write the supercell sidecars for a generation:
     * `routing2c` — (spart, srvec), ⌈√parts⌉ rows, the serve's
     * first-stage scan; `routing2` — (spart, part, rvec) membership,
     * 2 × parts rows PARTITIONED BY spart (the second stage's
     * partition filter). Both deterministic functions of the routing
-    * table ([[routingFor]]'s LCG+refine + [[assignParts]]' top-2
-    * assignment), so refresh ≡ rebuild equivalence is preserved.
-    * No-op below [[TwoLevelMinParts]]. */
-  private def writeRouting2(routed: DataFrame, genRoot: String,
-                            parts: Int): Unit = {
+    * table ([[Assign.superTables]] — the SAME tables the build's
+    * two-level assignment just routed through), so refresh ≡ rebuild
+    * equivalence is preserved. No-op below [[TwoLevelMinParts]]. */
+  private def writeRouting2(genRoot: String, parts: Int,
+                            tables: Option[(DataFrame, DataFrame)]): Unit = {
     // a REBUILD over a root that previously carried supercells must
     // never leave the old sidecars behind (the serve engages on their
     // presence — a stale routing2c would route against dead parts)
     graft.FileTree.delete(new java.io.File(s"$genRoot/routing2c"))
     graft.FileTree.delete(new java.io.File(s"$genRoot/routing2"))
     if (parts < TwoLevelMinParts) return
-    val sCount = math.ceil(math.sqrt(parts.toDouble)).toInt
-    val supers = routingFor(
-        routed.select(col("part").cast("long").as("id"),
-          col("rvec").cast("array<double>").as("v")), "id", "v", sCount)
-      .select(col("part").cast("int").as("spart"),
-        col("rvec").cast("array<double>").as("srvec"))
-    val members = assignParts(
-        routed.select(col("part").cast("long").as("id"),
-          col("rvec").cast("array<double>").as("v")), "id", "v",
-        supers.select(col("spart").as("part"), col("srvec").as("rvec")),
-        replicas = 2)
-      .select(col("part").cast("int").as("spart"),
-        col("id").cast("int").as("part"),
-        col("vec").cast("array<double>").as("rvec"))
+    val (supers, members) = tables.getOrElse(
+      throw new IllegalStateException(
+        s"writeRouting2: a $parts-part build reached the sidecar " +
+          "write without the supercell tables its assignment used"))
     supers.orderBy("spart").coalesce(1)
       .write.mode("overwrite").parquet(s"$genRoot/routing2c")
     members.repartition(col("spart"))
@@ -1008,16 +1015,23 @@ object GraphAnn {
           "route the upsert through GraphAnn.reviveToIndex")
     }
     val paramsDf = spark.read.parquet(s"$path/params")
-    val (m, efC, replicas) = paramsDf
-      .select(col("m").cast("int"), col("efC").cast("int"),
+    val (parts, m, efC, replicas) = paramsDf
+      .select(col("parts").cast("int"),
+        col("m").cast("int"), col("efC").cast("int"),
         // pre-replication params lack the column — those indexes were
         // built at the then-default 2× assignment (same back-compat
         // rule as partBeams' routing read)
         (if (paramsDf.columns.contains("replicas"))
           col("replicas").cast("int") else lit(2)).as("replicas"))
-      .as[(Int, Int, Int)].head()
+      .as[(Int, Int, Int, Int)].head()
+    // delta vectors route through the index's OWN standing routing —
+    // at two-level scale through its PERSISTED sidecars (re-deriving
+    // them would cost a k-means over the cell table per batch for
+    // the same bits; a legacy >=128-part index without sidecars
+    // re-derives them deterministically inside the kernel)
     val d = assignParts(delta, idCol, vecCol,
-      spark.read.parquet(s"$path/routing"), replicas)
+      spark.read.parquet(s"$path/routing"), replicas,
+      parts, superTablesAt(spark, path))
     // the touched-part list is ≤ parts rows — driver-sized by design
     val touched = d.select(col("part")).distinct().as[Int].collect().sorted
     if (touched.isEmpty) return
@@ -1119,8 +1133,19 @@ object GraphAnn {
       .filter(r => new java.io.File(r, "CELLS").isFile &&
         new java.io.File(r, "routing").isDirectory)
       .flatMap { r =>
-        scala.util.Try(
-          (r, (cellsVersion(r), partIdsOf(spark, r).toSet))).toOption
+        // recovery is NARROW (round 19): only the debris signatures —
+        // an unreadable/empty routing dir (AnalysisException: the
+        // parquet files went before the dir) or a torn CELLS write
+        // (unparseable version) — are skipped. Any OTHER failure
+        // (a transient IO error on a HEALTHY pinned generation's
+        // routing) must abort the caller instead of silently
+        // dropping that generation from the grace keep set — the GC
+        // would then destroy a live pin's cells mid-window.
+        try Some((r, (cellsVersion(r), partIdsOf(spark, r).toSet)))
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => None
+          case _: NumberFormatException => None
+        }
       }
   }
 
@@ -1186,15 +1211,17 @@ object GraphAnn {
       else {
         requireRouted(root, "appendToIndexIdempotent")
         val paramsDf = spark.read.parquet(s"$root/params")
-        val replicas =
-          if (paramsDf.columns.contains("replicas"))
-            paramsDf.select(col("replicas").cast("int")).as[Int].head()
-          else 2
+        val (nParts, replicas) = paramsDf
+          .select(col("parts").cast("int"),
+            (if (paramsDf.columns.contains("replicas"))
+              col("replicas").cast("int") else lit(2)).as("replicas"))
+          .as[(Int, Int)].head()
         val dIds = delta.select(col(idCol).cast("long").as("id"))
           .distinct().localCheckpoint()
         val nDelta = dIds.count()
         val touched = assignParts(delta, idCol, vecCol,
-            spark.read.parquet(s"$root/routing"), replicas)
+            spark.read.parquet(s"$root/routing"), replicas,
+            nParts, superTablesAt(spark, root))
           .select(col("part")).distinct().as[Int].collect().sorted
         val present = nodesAt(spark, indexPathOf(path0, root), root,
             Some(touched.toSeq))._1
@@ -1647,13 +1674,15 @@ object GraphAnn {
       "GraphAnn.reviveToIndex: every delta id must be tombstoned in " +
         "the live generation — fresh ids go through appendToIndex")
     val paramsDf = spark.read.parquet(s"$root/params")
-    val (m, efC, replicas) = paramsDf
-      .select(col("m").cast("int"), col("efC").cast("int"),
+    val (nParts, m, efC, replicas) = paramsDf
+      .select(col("parts").cast("int"),
+        col("m").cast("int"), col("efC").cast("int"),
         (if (paramsDf.columns.contains("replicas"))
           col("replicas").cast("int") else lit(2)).as("replicas"))
-      .as[(Int, Int, Int)].head()
+      .as[(Int, Int, Int, Int)].head()
     val routed = assignParts(d0, "id", "vec",
-      spark.read.parquet(s"$root/routing"), replicas)
+      spark.read.parquet(s"$root/routing"), replicas,
+      nParts, superTablesAt(spark, root))
     val vc = cellsVersion(root)
     val nodes = nodesAt(spark, path, root, None)._1
     // touched = cells with dead rows ∪ cells gaining revived rows —
@@ -1799,8 +1828,10 @@ object GraphAnn {
     val qdf = qvs.toSeq.map { case (q, v) => (q, v.toSeq) }.toDF("qid", "__qv")
     // two-level engages only in the FIXED-COUNT regime it was built
     // and measured for (probe ≤ SuperProbe — the autoProbe default):
-    // a LARGE probe request (an R<3 index's coverage knee, an
-    // explicit sweep) can exceed the top-S supercells' member pool,
+    // a LARGE probe request (an explicit probeParts override or
+    // sweep, an R=1 index's conservative full scan — the knee-era
+    // linear defaults are retired) can exceed the top-S supercells'
+    // member pool,
     // and the pruned scan would silently return fewer cells than
     // asked — the flat scan serves those exactly. A runtime
     // completeness check inside the two-level path falls back to the
@@ -1846,21 +1877,31 @@ object GraphAnn {
                                    qdf: DataFrame,
                                    probe: Int): Option[DataFrame] = {
     import spark.implicits._
-    twoLevelMemberScan(spark, root, qvs, qdf, probe)
-      .as[(Long, Int)].collect() match {
-        // COMPLETENESS NET: the pruned pool must fill every query's
-        // top-P exactly (parts >= TwoLevelMinParts > SuperProbe >=
-        // probe here, so a full pool always yields `probe` rows). A
-        // degenerate supercell assignment (empty supercells, extreme
-        // overlap) falls back to the flat scan — exact selection,
-        // never a silent under-probe. The collect is O(queries x P),
-        // the serve's established driver footprint (partBeams
-        // collects this same result next).
-        case rows if rows.groupBy(_._1).size == qvs.length &&
-            rows.groupBy(_._1).forall(_._2.size == probe) =>
-          Some(rows.toSeq.toDF("qid", "part"))
-        case _ => None
-      }
+    val rows = twoLevelMemberScan(spark, root, qvs, qdf, probe)
+      .as[(Long, Int)].collect()
+    // COMPLETENESS NET: the pruned pool must fill every query's
+    // top-P exactly (parts >= TwoLevelMinParts > SuperProbe >=
+    // probe here, so a full pool always yields `probe` rows). A
+    // degenerate supercell assignment (empty supercells, extreme
+    // overlap) falls back to the flat scan — exact selection,
+    // never a silent under-probe. The collect is O(queries x P),
+    // the serve's established driver footprint (partBeams
+    // collects this same result next).
+    val byQ = rows.groupBy(_._1)
+    if (byQ.size == qvs.length && byQ.forall(_._2.length == probe))
+      Some(rows.toSeq.toDF("qid", "part"))
+    else {
+      // the fallback serve is CORRECT but pays both scans — make a
+      // degenerate supercell assignment observable in production
+      // logs rather than only as doubled routing cost
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"GraphAnn.routeQueriesTwoLevel: supercell-pruned pool " +
+          s"under-filled for ${qvs.length - byQ.count(_._2.length == probe)} " +
+          s"of ${qvs.length} queries at $root — falling back to the flat " +
+          "routing scan (degenerate supercell assignment; consider a " +
+          "routing refresh)")
+      None
+    }
   }
 
   /** The DISTRIBUTED two-stage plan behind [[routeQueriesTwoLevel]]

@@ -73,6 +73,39 @@ object IVF {
       .select(docs.columns.map(col).toSeq :+ best.getField("cid").as("cid"): _*)
   }
 
+  /** [[assign]] with the two-level regime switch (round 19): at
+    * `k` ≥ [[Assign.TwoLevelMinParts]] centroids the flat fold is an
+    * O(N × K) flop term behind a K-sized broadcast — quadratic in
+    * corpus wherever K is sized from N — so vectors route through
+    * [[Assign.superTables]]' supercell structure instead
+    * (O(N × √K) flops, √K-sized broadcast) and the (id, cid) pairs
+    * join back onto `docs` by id. Below the threshold this IS
+    * [[assign]], bit for bit. Every INDEX build/append path routes
+    * here; [[assign]] remains the explicit flat kernel (and the
+    * in-query classification/verification sites that score a
+    * constant-bounded centroid set keep calling it directly).
+    *
+    * The two-level branch requires `idCol` to be unique per row (the
+    * join-back would multiply duplicate ids) — index paths already
+    * enforce integral unique ids. Determinism and the
+    * lowest-cid tie rule match [[assign]] exactly; selection equality
+    * below/at the measured envelope is pinned by AssignSpec. */
+  def assignAuto(docs: DataFrame, idCol: String, vecCol: String,
+                 cents: DataFrame, k: Int): DataFrame =
+    if (k < Assign.TwoLevelMinParts) assign(docs, idCol, vecCol, cents)
+    else {
+      require(!docs.columns.contains("cid"),
+        "assignAuto: docs already has a 'cid' column")
+      val pairs = Assign.topR(
+          docs.select(col(idCol), col(vecCol)), idCol, vecCol,
+          cents.select(col("cid").cast("int").as("part"),
+            col("cvec").cast("array<double>").as("rvec")),
+          r = 1, parts = k)
+        .select(col("id").as("__aid"), col("part").cast("long").as("cid"))
+      docs.join(pairs, docs(idCol).cast("long") === col("__aid"))
+        .select(docs.columns.map(docs(_)).toSeq :+ col("cid"): _*)
+    }
+
   /** Spherical k-means refinement of the coarse quantizer: Lloyd
     * iterations — assign to best inner-product centroid, recompute
     * each list's mean RELATIONALLY (posexplode → per-(cid, dim) mean →
@@ -92,9 +125,19 @@ object IVF {
     * geometry. */
   def refine(docs: DataFrame, idCol: String, vecCol: String,
              cents: DataFrame, iterations: Int): DataFrame = {
-    var c = cents
+    // materialize the seed once: iteration 1 and the per-iteration
+    // regime count below both read it, and the caller's plan (often
+    // the full-corpus LCG sample) must not re-run per consumer
+    var c = if (iterations > 0) cents.localCheckpoint() else cents
     for (_ <- 0 until iterations) {
-      val next = assign(docs, idCol, vecCol, c)
+      // per-iteration regime switch (round 19): Lloyd's assign step
+      // over a corpus-sized K is the same quadratic term as the
+      // build assignment — each iteration routes two-level above the
+      // threshold. K is re-counted per iteration (refinement can
+      // DROP cells — empty lists produce no mean); the count reads
+      // the checkpointed iterate, never the corpus.
+      val k = c.count().toInt
+      val next = assignAuto(docs, idCol, vecCol, c, k)
         .select(col("cid"), posexplode(col(vecCol)))
         .toDF("cid", "pos", "x")
         .groupBy("cid", "pos")
@@ -120,8 +163,13 @@ object IVF {
   def writeIndex(docs: DataFrame, idCol: String, vecCol: String,
                  k: Int, refineIters: Int, path: String): Unit = {
     val cents0 = centroids(docs, idCol, vecCol, k)
-    val cents = if (refineIters > 0)
-      refine(docs, idCol, vecCol, cents0, refineIters) else cents0
+    // K-row table, materialized once: the assignment below (and, at
+    // two-level scale, the supercell derivation inside it) reads the
+    // quantizer several times — the full-corpus LCG sample plan must
+    // not re-run per consumer
+    val cents = (if (refineIters > 0)
+      refine(docs, idCol, vecCol, cents0, refineIters) else cents0)
+      .localCheckpoint()
     // CREATE semantics: a brand-new index replaces whatever lived at
     // the path (leftover generations from a prior index would
     // otherwise leak into this one's lifecycle), INCLUDING the
@@ -130,7 +178,7 @@ object IVF {
     // REBUILDING a live index in place is writeIndexFrom's staged path
     graft.FileTree.delete(new java.io.File(path))
     graft.FileTree.delete(appendLedger(path))
-    writeIndexFrom(cents, assign(docs, idCol, vecCol, cents), path)
+    writeIndexFrom(cents, assignAuto(docs, idCol, vecCol, cents, k), path)
   }
 
   /** Persist CALLER-SUPPLIED index artifacts (e.g. the session-memoized
@@ -439,7 +487,10 @@ object IVF {
     // must be the same consistency unit
     val (ln, cn) = generationPair(path)
     val cents = spark.read.parquet(s"$path/$cn")
-    assign(delta, idCol, vecCol, cents)
+    // the regime count is a K-row parquet read; above the threshold
+    // the delta routes two-level (round 19) — same deterministic
+    // selection, so append == rebuild stays bit-identical
+    assignAuto(delta, idCol, vecCol, cents, cents.count().toInt)
       .repartition(col("cid")) // one appended file per touched list
       .write.mode("append").partitionBy("cid").parquet(s"$path/$ln")
   }
@@ -497,7 +548,7 @@ object IVF {
     if (hasRevives(spark, path, delta, idCol)) compactIndex(spark, path)
     val (ln, cn) = generationPair(path)
     val cents = spark.read.parquet(s"$path/$cn")
-    assign(delta, idCol, vecCol, cents)
+    assignAuto(delta, idCol, vecCol, cents, cents.count().toInt)
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(stage.getPath)
     ExactlyOnce.promote(stage, new java.io.File(s"$path/$ln"), batchId)
@@ -571,7 +622,16 @@ object IVF {
     * request ∩ LIVE index (absent ids never recorded; a repeat of the
     * same request counts zero) as (id, cid) pairs, which keeps even
     * the compaction planning request-sized — the mode for callers
-    * whose contract gates on the hidden count. */
+    * whose contract gates on the hidden count.
+    *
+    * MIGRATION NOTE (the round-18 default flip): before round 18 the
+    * default return WAS the hidden-row count; the default is now the
+    * -1 SENTINEL meaning "not counted" — it is never a count. Any
+    * external caller gating on the old return must pass
+    * `countPresent = true` explicitly (the declared
+    * right-to-be-forgotten rows do; bulk forgets should not — the
+    * count is a full per-request index scan the default exists to
+    * avoid). Treat a negative return as "unknown", never as zero. */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       ids: DataFrame, idCol: String,
                       countPresent: Boolean = false): Long = {

@@ -93,7 +93,12 @@ object SQ {
     * drift between the write paths. */
   private[graft] def quantized(docs: DataFrame, idCol: String, vecCol: String,
                                cents: DataFrame, ba: DataFrame): DataFrame =
-    IVF.assign(docs, idCol, vecCol, cents)
+    // the regime count is a K-row read (every caller hands a
+    // materialized/at-rest centroid table); above the two-level
+    // threshold assignment routes through the supercell structure
+    // (round 19) — the shared kernel keeps build, append and the
+    // streamed-ingest equality gate on one selection
+    IVF.assignAuto(docs, idCol, vecCol, cents, cents.count().toInt)
       .crossJoin(broadcast(ba))
       .select(col(idCol).as("id"),
         sqPackNative(quantCodes(col(vecCol), col("lo"), col("hi"))).as("code"),
@@ -127,7 +132,14 @@ object SQ {
     val b = bounds(docs, vecCol)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     b.write.mode("overwrite").parquet(s"$path/bounds")
-    quantized(docs, idCol, vecCol, cents, boundsArrays(b))
+    // quantize against the JUST-WRITTEN table, not the lazy sample
+    // plan: parquet doubles are bit-exact, the full-corpus LCG window
+    // does not re-run per consumer (quantized reads the quantizer
+    // more than once), and the build uses literally the bytes it
+    // persisted — the same artifact every later append assigns under
+    quantized(docs, idCol, vecCol,
+        docs.sparkSession.read.parquet(s"$path/centroids"),
+        boundsArrays(b))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
   }

@@ -313,7 +313,7 @@ class BM25Spec extends SparkSpec {
     // pmod(murmur3(term), buckets), the bucket id rides the file name
     // as the _NNNNN suffix before .c000)
     val touched = BM25.postings(delta, "doc_id", "text")
-      .select(pmod(hash(col("term")), lit(Queries.bm25Buckets)).cast("int"))
+      .select(pmod(hash(col("term")), lit(Queries.bucketCountOf(spark, tbl))).cast("int"))
       .distinct().as[Int].collect().toSet
     val newBuckets = (after.keySet -- before.keySet).map { name =>
       "_(\\d{5})\\.".r.findFirstMatchIn(name)

@@ -1087,9 +1087,10 @@ class GraphAnnSpec extends SparkSpec {
     }
     // probes 3/8 ride the two-level path; 16 and 60 EXCEED SuperProbe
     // so routeQueriesDf must fall back to the flat scan — a large
-    // probe request (an R<3 coverage knee, an explicit sweep) can
-    // exceed the top-S supercells' member pool, and serving fewer
-    // cells than asked silently would starve the recall contract
+    // probe request (an explicit probeParts override or sweep, an
+    // R=1 full scan) can exceed the top-S supercells' member pool,
+    // and serving fewer cells than asked silently would starve the
+    // recall contract
     for (probe <- Seq(3, 8, 16, 60)) {
       val want = qvs.map { case (qid, qv) =>
         qid -> routing.map { case (p, rv) => (p, dot(rv, qv)) }

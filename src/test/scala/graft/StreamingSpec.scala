@@ -730,7 +730,7 @@ class StreamingSpec extends SparkSpec {
       val before = files()
       Queries.writePostings(spark, b, tbl, path, "append")
       val touched = graft.lexical.BM25.postings(b, "doc_id", "text")
-        .select(pmod(hash(col("term")), lit(Queries.bm25Buckets)).cast("int"))
+        .select(pmod(hash(col("term")), lit(Queries.bucketCountOf(spark, tbl))).cast("int"))
         .distinct().as[Int].collect().toSet
       snapshots += ((before, files(), touched))
       ()
