@@ -2363,10 +2363,12 @@ object RetrievalQueries {
     * derives the ⌈√160⌉ = 13 supercell seeds from the same LCG
     * ordering, unrolls the 3 quantized-mean Lloyd iterations (the
     * q58 template over the CELL table), takes each cell's 2 member
-    * supercells and each vector's top-8 supercells by
-    * (dot desc, id asc), and ranks the DISTINCT member-pruned
-    * candidates — the exact selection [[graft.search.Assign
-    * .twoLevelTopR]]'s local-top-r merge computes. A hash mismatch
+    * supercells and each vector's top-8 MEMBER-BEARING supercells by
+    * (dot desc, id asc) — stage 1 probes only supercells with
+    * members, the kernel's zero-candidate guard — and ranks the
+    * DISTINCT member-pruned candidates — the exact selection
+    * [[graft.search.Assign.twoLevelTopR]]'s local-top-r merge
+    * computes. A hash mismatch
     * here means the build-side two-level selection drifted from its
     * spec — the q84-class defense for the round-19 assignment flip. */
   def q198TwoLevelAssign(s: SparkSession, dir: String): DataFrame = {
@@ -2421,11 +2423,13 @@ object RetrievalQueries {
              ROW_NUMBER() OVER (PARTITION BY cl.part
                ORDER BY list_dot_product(cl.rvec, s.cvec) DESC, s.cid) AS r
            FROM cl, s3 s) WHERE r <= 2),
+       live AS (SELECT DISTINCT spart FROM mem),
        vt AS (SELECT vec_id, spart FROM (
            SELECT e.vec_id, s.cid AS spart,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
                ORDER BY list_dot_product(e.v, s.cvec) DESC, s.cid) AS r
-           FROM e, s3 s) WHERE r <= ${graft.search.Assign.SuperProbe}),
+           FROM e, s3 s JOIN live ON s.cid = live.spart)
+           WHERE r <= ${graft.search.Assign.SuperProbe}),
        cand AS (SELECT DISTINCT vt.vec_id, mem.part
                 FROM vt JOIN mem USING (spart)),
        sc AS (SELECT c.vec_id, c.part, list_dot_product(e.v, cl.rvec) AS sc

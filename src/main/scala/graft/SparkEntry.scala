@@ -452,8 +452,12 @@ object Queries {
     * half / double geometries, and the SQL oracle replays this
     * exact derivation. */
   private[graft] def bm25BucketsFor(s: SparkSession, docs: DataFrame): Int = {
+    // coalesce: an EMPTY corpus (a full right-to-be-forgotten sweep's
+    // rebuild) sums to null — it must derive the floor and write the
+    // empty table, not throw
     val tokens = docs
-      .select(sum(size(split(lower(trim(col("text"))), "\\s+"))).cast("long"))
+      .select(coalesce(sum(size(split(lower(trim(col("text"))), "\\s+")))
+        .cast("long"), lit(0L)))
       .head().getLong(0)
     math.max(8, math.ceil(tokens.toDouble / bm25BucketTargetRows).toInt)
   }
@@ -884,7 +888,13 @@ object Queries {
         docs.join(tomb, col("doc_id").cast("long") === col("__tombdoc"),
           "left_anti")
       }
-    writePostings(s, src, tbl, livePath, "overwrite", preserveLedger = true)
+    // maintenance CARRIES the creation-time bucket count (the
+    // compaction/pin invariance): a rebuild that re-derived from the
+    // new corpus mass could land a different count while a pinned
+    // pre-rebuild generation still declares the old one — the pin's
+    // DDL would then prune against the wrong physical hash
+    writePostings(s, src, tbl, livePath, "overwrite", preserveLedger = true,
+      bucketsOverride = Some(bucketCountOf(s, tbl)))
   }
 
   /** TOKENIZER-UPGRADE × PENDING-DELETES on the lexical index — the
@@ -1179,7 +1189,11 @@ object Queries {
       leg("half", math.max(1, derived / 2)),
       leg("double", derived * 2))
     // layout must never move a score: the three legs answer
-    // identically, gated loudly here and hash-matched by the oracle
+    // identically, gated loudly here and hash-matched by the oracle.
+    // (Tolerance note: per-doc sums are over <= |terms| = 3 doubles;
+    // cross-leg partial-order variation is bounded by ulps and the
+    // compared scores are 4-dp ROUNDED — the exact tolerance the
+    // whole q20-family cross-engine oracle has ridden since round 2.)
     val answers = legs.map(_.select(col("doc"), col("rank"), col("score"))
       .as[(Long, Long, Double)].collect().toSeq.sortBy(_._2))
     require(answers.distinct.size == 1,

@@ -191,14 +191,28 @@ object Assign {
     * A vector whose probed supercells hold fewer than r member cells
     * (degenerate routing: refine dropped cells into < r reachable
     * members) assigns to all of them — fewer replicas, never a wrong
-    * cell; the serving side's completeness net is the analogous
-    * guard per query. */
+    * cell, and never ZERO cells: stage 1 probes only supercells with
+    * members (see below), so every vector reaches at least one
+    * candidate while the member table is non-empty. The serving
+    * side's completeness net is the analogous guard per query. */
   private[graft] def twoLevelTopR(docs: DataFrame, idCol: String,
                                   vecCol: String, supers: DataFrame,
                                   members: DataFrame, r: Int): DataFrame = {
     val src = docs.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-    val spacked = supers.agg(
+    // probe only supercells that HAVE members: membership is the
+    // cells' own top-2 choice, so a supercell can be memberless
+    // (tight clustering concentrates memberships) — a vector whose
+    // every probed supercell were memberless would silently vanish
+    // from the index at the joins below. Restricting stage 1 to the
+    // live supercells makes every probe productive, and the live
+    // top-S candidate pool is a SUPERSET of the unfiltered one
+    // (any live supercell in the overall top-S also ranks in the
+    // live top-S), so selection only improves. The semi-join's
+    // distinct is √parts-sized.
+    val liveSupers = supers.join(members.select(col("spart")).distinct(),
+      Seq("spart"), "left_semi")
+    val spacked = liveSupers.agg(
       array_sort(collect_list(struct(col("spart"), col("srvec")))).as("__sc"))
     val sRanked = array_sort(transform(col("__sc"),
       c => struct(

@@ -1145,6 +1145,11 @@ object GraphAnn {
         catch {
           case _: org.apache.spark.sql.AnalysisException => None
           case _: NumberFormatException => None
+          // a generation GC'd BETWEEN the listing filter and this
+          // read: cellsVersion's own require fires on the vanished
+          // CELLS file — the same debris class, racing instead of
+          // torn
+          case _: IllegalArgumentException => None
         }
       }
   }

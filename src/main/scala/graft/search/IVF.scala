@@ -96,6 +96,11 @@ object IVF {
     else {
       require(!docs.columns.contains("cid"),
         "assignAuto: docs already has a 'cid' column")
+      // the two-level join-back keys on the id CAST TO LONG — a
+      // non-integral id column would null out and silently build an
+      // EMPTY index (the flat fold is id-type-agnostic; this branch
+      // is not). Loud schema gate instead.
+      Search.requireIntegralId(docs, idCol, "IVF.assignAuto")
       val pairs = Assign.topR(
           docs.select(col(idCol), col(vecCol)), idCol, vecCol,
           cents.select(col("cid").cast("int").as("part"),

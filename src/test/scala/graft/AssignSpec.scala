@@ -90,6 +90,38 @@ class AssignSpec extends SparkSpec {
     assert(flat == auto, "assignAuto diverged from the flat assign at 160 cells")
   }
 
+  test("a memberless supercell never drops a vector from two-level assignment") {
+    // membership is the cells' own top-2 choice, so a supercell can
+    // end up memberless; stage 1 must probe only member-bearing
+    // supercells or a vector whose top-S supercells are all
+    // memberless silently vanishes from the index (the build side
+    // has no per-query completeness net). Hand-built fixture:
+    // supercell 0 is the nearest to every vector but holds NO
+    // members — every vector must still assign.
+    val d = 4
+    def unit(axis: Int): Seq[Double] =
+      Seq.tabulate(d)(i => if (i == axis) 1.0 else 0.0)
+    // supercell 0 points along axis 0 (closest to all vectors below);
+    // supercells 1..2 hold the actual members
+    val supers = Seq(
+      (0, unit(0)), (1, unit(1)), (2, unit(2)))
+      .toDF("spart", "srvec")
+    val members = Seq(
+      (1, 10, unit(1)), (1, 11, unit(3)),
+      (2, 11, unit(3)), (2, 12, unit(2)))
+      .toDF("spart", "part", "rvec")
+    val docs = (0L until 8L).map(i => (i, unit(0)))
+      .toDF("vec_id", "v")
+    val got = graft.search.Assign
+      .twoLevelTopR(docs, "vec_id", "v", supers, members, 2)
+      .select(col("id"), col("part")).as[(Long, Int)].collect()
+    assert(got.map(_._1).distinct.length == 8,
+      "every vector must survive two-level assignment even when its " +
+        "nearest supercell is memberless")
+    assert(got.groupBy(_._1).forall(_._2.length == 2),
+      "each vector gets its full replica count from the live supercells")
+  }
+
   test("graph append == rebuild bit-identity holds at two-level scale (parts >= 128)") {
     // the q84-class gate on the NEW assignment path: append routes the
     // delta through the index's persisted sidecars, the rebuild

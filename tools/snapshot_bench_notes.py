@@ -47,7 +47,11 @@ def main() -> int:
     pat = re.compile(
         re.escape(header) + r".*?(?=\n## |\Z)", re.S)
     if pat.search(text):
-        text = pat.sub(section.lstrip("\n").rstrip("\n") + "\n", text)
+        # callable replacement: the section text may contain
+        # backslashes (error strings, paths) that re.sub would
+        # otherwise interpret as escapes
+        repl = section.lstrip("\n").rstrip("\n") + "\n"
+        text = pat.sub(lambda _m: repl, text)
     else:
         text = text.rstrip("\n") + "\n" + section
     with open(notes_path, "w") as f:
