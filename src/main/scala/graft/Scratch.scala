@@ -273,6 +273,24 @@ object Scratch {
     // the R=3 index at parts = ceil(N/500), and sweeps recall@10 at
     // CONSTANT probe counts vs the exact scan over 50 base queries.
     // K=120 → parts=480; K=375 → parts=1500.
+    // round 19: dump the two-level assignment's physical plan at a
+    // >=128-cell geometry — eyeball the exchanges (broadcast only on
+    // the packed supercell row and the skinny pairs, shuffles on
+    // spart/id, no corpus-sized broadcast, codegen spans wide)
+    if (args.contains("assignplan")) {
+      import org.apache.spark.sql.functions._
+      import graft.search.Assign
+      val e = graft.sources.Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .localCheckpoint()
+      val cells = Assign.routingTableFor(e, "vec_id", "v", 160)
+        .localCheckpoint()
+      val plan = Assign.topR(e, "vec_id", "v", cells, 3,
+        cells.count().toInt)
+      plan.explain("formatted")
+      println("ASSIGNPLAN rows=" + plan.count())
+      spark.stop(); return
+    }
     // round 19: BUILD-ASSIGNMENT regime measurement — the retired
     // quadratic term, old (flat fold) vs new (two-level through the
     // persisted sidecars), over the round-18 big corpora/indexes at
