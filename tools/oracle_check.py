@@ -35,9 +35,11 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> None:
     n_pass = n_fail = 0
     report = {}
 
-    def record(name, rows=False, schema=False, values=False, err=None):
+    def record(name, rows=False, schema=False, values=False, err=None,
+               spark_rows=None, oracle_rows=None):
         report[name] = {"rows_match": bool(rows), "schema_match": bool(schema),
-                        "hash_match": bool(values), "err": err}
+                        "hash_match": bool(values), "err": err,
+                        "spark_rows": spark_rows, "oracle_rows": oracle_rows}
 
     for name, sql in sorted(oracle.items()):
         try:
@@ -74,7 +76,8 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> None:
             pd.testing.assert_frame_equal(g, w, check_dtype=False,
                                           check_exact=True)
             print(f"PASS {name} ({len(g)} rows)")
-            record(name, rows=True, schema=True, values=True)
+            record(name, rows=True, schema=True, values=True,
+                   spark_rows=len(g), oracle_rows=len(w))
             n_pass += 1
         except AssertionError:
             # diagnostics: max numeric diff
@@ -94,6 +97,23 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> None:
             n_fail += 1
     print(f"\n{n_pass} pass / {n_fail} fail of {n_pass + n_fail}")
     if json_out:
+        # mirror the driver artifact's FULL shape: declared rows-only
+        # queries (present in the verify output but absent from the
+        # oracle map) are recorded as no_oracle with their row count,
+        # so the committed twin covers every declared row even when
+        # the driver's own artifact arrives empty or truncated
+        import os
+        for name in sorted(os.listdir(out_dir)):
+            p = os.path.join(out_dir, name)
+            if not os.path.isdir(p) or name in oracle or name in report:
+                continue
+            try:
+                n_rows = int(len(pd.read_parquet(p)))
+            except Exception:
+                n_rows = None
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": n_rows,
+                            "oracle_rows": None, "err": "no_oracle"}
         with open(json_out, "w") as f:
             json.dump({"n_pass": n_pass, "n_fail": n_fail,
                        "n_total": n_pass + n_fail, "sf_dir": sf_dir,
