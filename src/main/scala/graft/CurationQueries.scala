@@ -201,6 +201,32 @@ object CurationQueries {
     * corpus scale. */
   val shingleN = 3; val nPerm = 16; val rowsPerBand = 4
 
+  /** Session-shared ONE-SHOT BAND BUILDS the registration ≡ batch
+    * gates compare against (round-19 optimization): the expected side
+    * of q130's and q188's gate is the identical deterministic
+    * full-corpus MinHash build, and q170's and q180's the identical
+    * survivor-slice build — four corpus-sized shingle+permute passes
+    * where two memoized frames serve all four gates. Pure functions
+    * of the corpus, so each gate still compares against exactly the
+    * one-shot build its contract names. */
+  private def gateBandsFull(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "gate_bands_full")(
+      Dedup.bandedSignatures(docs(s, dir), "doc_id", "text",
+          shingleN, nPerm, rowsPerBand)
+        .withColumn("sigbucket", sigbucket(col("band"), col("bandsig")))
+        .select(col("id"), col("band"), col("bandsig"),
+          col("sigbucket").cast("int")))
+
+  private def gateBandsKept(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "gate_bands_kept")(
+      Dedup.bandedSignatures(
+          docs(s, dir)
+            .filter(!(col("doc_id") % 10 =!= 7 && col("doc_id") % 9 === 0)),
+          "doc_id", "text", shingleN, nPerm, rowsPerBand)
+        .withColumn("sigbucket", sigbucket(col("band"), col("bandsig")))
+        .select(col("id"), col("band"), col("bandsig"),
+          col("sigbucket").cast("int")))
+
   /** Verified near-dup pairs over the full corpus, materialized once
     * per (session, dir-content) and shared by pair-level reporting
     * (q31) and cluster-level closure (q68) — the MinHash pipeline is
@@ -491,13 +517,10 @@ object CurationQueries {
     })
     // registration ≡ batch: the mutated table equals a one-shot build
     // over the whole corpus
-    val full = Dedup.bandedSignatures(d, "doc_id", "text",
-        shingleN, nPerm, rowsPerBand)
-      .withColumn("sigbucket", sigbucket(col("band"), col("bandsig")))
-      .select(col("id"), col("band"), col("bandsig"), col("sigbucket").cast("int"))
+    val full = gateBandsFull(s, dir)
     val mutRows = s.read.parquet(mut)
       .select(col("id"), col("band"), col("bandsig"), col("sigbucket").cast("int"))
-    require(mutRows.exceptAll(full).isEmpty && full.exceptAll(mutRows).isEmpty,
+    require(Gates.sameRows(mutRows, full),
       "q130: the registered band table must equal a one-shot build row for row")
     s.read.parquet(out).orderBy("id1", "id2")
   }
@@ -592,13 +615,10 @@ object CurationQueries {
     // q130's gate: registration ≡ one-shot build over the whole
     // corpus, row for row — a single band doubled by any of the
     // eight deliveries fails here
-    val full = Dedup.bandedSignatures(d, "doc_id", "text",
-        shingleN, nPerm, rowsPerBand)
-      .withColumn("sigbucket", sigbucket(col("band"), col("bandsig")))
-      .select(col("id"), col("band"), col("bandsig"), col("sigbucket").cast("int"))
+    val full = gateBandsFull(s, dir)
     val mutRows = s.read.parquet(mut)
       .select(col("id"), col("band"), col("bandsig"), col("sigbucket").cast("int"))
-    require(mutRows.exceptAll(full).isEmpty && full.exceptAll(mutRows).isEmpty,
+    require(Gates.sameRows(mutRows, full),
       "q188: the exactly-once drain must equal the one-shot build — " +
         "a doubled band is a silent duplication")
     s.read.parquet(out).select(col("id1"), col("id2"), col("jaccard"))
@@ -747,8 +767,7 @@ object CurationQueries {
     // registration wiring the final-table oracle cannot observe
     val keyRows = s.read.schema(keysSchema).parquet(keysP).select(col("k"))
     val survKeys = surv.select(Dedup.normKey(col("ctext")).as("k"))
-    require(keyRows.exceptAll(survKeys).isEmpty &&
-        survKeys.exceptAll(keyRows).isEmpty,
+    require(Gates.sameRows(keyRows, survKeys),
       "q136: the key register must equal the survivors' norm keys row for row")
     // post-drain close: components over the accumulated pairs, then
     // component-keyed decontamination — q117 stages 3–4
@@ -994,14 +1013,10 @@ object CurationQueries {
     // registration ≡ batch, minus the forgotten: the LIVE view ends
     // the drain equal to the one-shot build over survivors + incoming
     // (q130's own O(register) in-query gate, with the delete folded)
-    val full = Dedup.bandedSignatures(
-        d.filter(!(col("doc_id") % 10 =!= 7 && col("doc_id") % 9 === 0)),
-        "doc_id", "text", shingleN, nPerm, rowsPerBand)
-      .withColumn("sigbucket", sigbucket(col("band"), col("bandsig")))
-      .select(col("id"), col("band"), col("bandsig"), col("sigbucket").cast("int"))
+    val full = gateBandsKept(s, dir)
     val liveRows = Dedup.liveRegister(s, mut, s.read.parquet(mut))
       .select(col("id"), col("band"), col("bandsig"), col("sigbucket").cast("int"))
-    require(liveRows.exceptAll(full).isEmpty && full.exceptAll(liveRows).isEmpty,
+    require(Gates.sameRows(liveRows, full),
       "q170: the live register must equal the one-shot survivor+incoming build")
     // the mid-stream witness: forgotten standing members pair ONLY
     // with pre-delete batches (batch assignment is deterministic —
@@ -1130,7 +1145,7 @@ object CurationQueries {
       .join(broadcast(d.filter(revPred).select(col("doc_id").as("id"))),
         Seq("id"), "left_semi"))
     val wantRev = norm(revBands)
-    require(gotRev.exceptAll(wantRev).isEmpty && wantRev.exceptAll(gotRev).isEmpty,
+    require(Gates.sameRows(gotRev, wantRev),
       "q177: a revived doc must carry ONLY its re-registered bands")
     // the admitted-ghost witness: revived content matches again, with
     // the original jaccards; only the stay-forgotten pairs are gone
@@ -1248,14 +1263,10 @@ object CurationQueries {
     require(!new java.io.File(Dedup.registerTombPath(live)).isDirectory,
       "q180: the flipped generation must start with a clean sidecar")
     // registration ≡ batch, minus the forgotten — on the FLIPPED path
-    val full = Dedup.bandedSignatures(
-        d.filter(!(col("doc_id") % 10 =!= 7 && col("doc_id") % 9 === 0)),
-        "doc_id", "text", shingleN, nPerm, rowsPerBand)
-      .withColumn("sigbucket", sigbucket(col("band"), col("bandsig")))
-      .select(col("id"), col("band"), col("bandsig"), col("sigbucket").cast("int"))
+    val full = gateBandsKept(s, dir)
     val liveRows = s.read.parquet(live)
       .select(col("id"), col("band"), col("bandsig"), col("sigbucket").cast("int"))
-    require(liveRows.exceptAll(full).isEmpty && full.exceptAll(liveRows).isEmpty,
+    require(Gates.sameRows(liveRows, full),
       "q180: the flipped register must equal the one-shot survivor build")
     // ghost witness per half: odd-half pairs only at batch 0 (its
     // forget landed after batch 0's match), even-half only at 0-1

@@ -210,6 +210,85 @@ object RetrievalQueries {
   private def ivfAssignedR(s: SparkSession, dir: String): DataFrame =
     persistedLists(s, dir, "ivf_idx1", ivfCentsR(s, dir))
 
+  /** PRISTINE SOURCE INDEXES for the mutating lifecycle rows
+    * (round-19 optimization). A delete/append/compact/CDC row needs
+    * its OWN mutable index, but the pristine state it starts from is
+    * a pure deterministic function of (corpus, params) — writeIndex
+    * is documented bit-reproducible for all three families (routing
+    * is deterministic, assignment a pure fold, codes a pure
+    * quantization), which is the property every append ≡ rebuild
+    * gate already leans on. Eight rows each re-ran the same
+    * IVF k-means + partitioned write (and eight more the same SQ
+    * build) only to mutate their private copy; a session-shared
+    * pristine build cloned per consumer with a recursive file copy
+    * starts each row from the IDENTICAL bytes for the price of a
+    * local copy instead of a full build (guide §1.2: don't compute
+    * things twice). The sources are built from the parquet inputs
+    * once per session × corpus, charged to their own `_build_*`
+    * bench entries like every shared artifact; consumers clone with
+    * [[cloneIndexTo]] (CREATE semantics: dest and its sibling
+    * exactly-once ledger are wiped first, exactly like writeIndex). */
+  private def pristineSrc(s: SparkSession, dir: String, tag: String)
+                         (build: String => Unit): String =
+    Memo.cachedValue(s, dir, s"src_$tag") {
+      val p = PipelineQueries.roundtripPath(dir, s"src_$tag")
+      build(p)
+      p
+    }
+
+  /** Clone a pristine source index into a row's private mutable
+    * path — byte-identical to running the source's writeIndex at
+    * `dest` (strictly stronger: even shuffle-order row permutations
+    * within list files are carried over, not re-rolled). */
+  private def cloneIndexTo(src: String, dest: String): Unit = {
+    graft.FileTree.delete(graft.search.IVF.appendLedger(dest))
+    cloneTree(src, dest)
+  }
+
+  /** IVF over the standing slice (vec_id ≥ 100) — the base state of
+    * q84/q109/q127/q147/q158/q160/q161/q185. */
+  private def ivfBase100Src(s: SparkSession, dir: String): String =
+    pristineSrc(s, dir, "ivf_b100") { p =>
+      graft.search.IVF.writeIndex(emb(s, dir).filter(col("vec_id") >= 100),
+        "vec_id", "v", ivfK, 0, p)
+    }
+
+  /** SQ8 over the standing slice (vec_id ≥ 100) — the base state of
+    * q121/q128/q133/q156/q163/q173/q189/q192. */
+  private def sqBase100Src(s: SparkSession, dir: String): String =
+    pristineSrc(s, dir, "sq_b100") { p =>
+      graft.search.SQ.writeIndex(emb(s, dir).filter(col("vec_id") >= 100),
+        "vec_id", "v", ivfK, p)
+    }
+
+  /** The chunk-corpus IVF/SQ8/graph trio the cascade rows
+    * (q162/q166/q174) each mutate a private copy of. */
+  private def cascadeIvfSrc(s: SparkSession, dir: String): String =
+    pristineSrc(s, dir, "ivf_cv") { p =>
+      graft.search.IVF.writeIndex(chunkVecs(s, dir), "ckey", "v", ivfK, 0, p)
+    }
+  private def cascadeSqSrc(s: SparkSession, dir: String): String =
+    pristineSrc(s, dir, "sq_cv") { p =>
+      graft.search.SQ.writeIndex(chunkVecs(s, dir), "ckey", "v", ivfK, p)
+    }
+  private def cascadeGraphSrc(s: SparkSession, dir: String): String =
+    pristineSrc(s, dir, "graph_cv") { p =>
+      val cv = chunkVecs(s, dir)
+      val nCh = Memo.cachedCount(s, dir, "q166_ncv")(cv.count())
+      graft.search.GraphAnn.writeIndex(cv, "ckey", "v", graphM, graphEf,
+        math.max(8, math.ceil(nCh.toDouble / graphTargetPart).toInt), p)
+    }
+
+  /** IVF over the FULL embedding corpus — the base state q172/q178
+    * mutate; identical construction to the `ivf_idx0` shared lists
+    * (seed centroids, zero refine iterations), but kept as its own
+    * source so the read-only shared artifact is never cloned from a
+    * path a bug could mutate. */
+  private def ivfFullSrc(s: SparkSession, dir: String): String =
+    pristineSrc(s, dir, "ivf_e") { p =>
+      graft.search.IVF.writeIndex(emb(s, dir), "vec_id", "v", ivfK, 0, p)
+    }
+
   def q45AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     graft.search.IVF.ivfTopKAssigned(ivfAssigned0(s, dir), ivfCents0(s, dir),
@@ -332,9 +411,8 @@ object RetrievalQueries {
   def q84IvfAppend(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q84")
-    val base = e.filter(col("vec_id") >= 100)
     val delta = e.filter(col("vec_id") < 100)
-    graft.search.IVF.writeIndex(base, "vec_id", "v", ivfK, 0, path)
+    cloneIndexTo(ivfBase100Src(s, dir), path)
     graft.search.IVF.appendToIndex(s, path, delta, "vec_id", "v")
     graft.search.IVF.searchIndex(s, path, "vec_id", "v",
       e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
@@ -397,8 +475,7 @@ object RetrievalQueries {
   def q127StreamIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q127")
-    val base = e.filter(col("vec_id") >= 100)
-    graft.search.IVF.writeIndex(base, "vec_id", "v", ivfK, 0, path)
+    cloneIndexTo(ivfBase100Src(s, dir), path)
     val stage = embDeltaStage(s, dir)
     val schema = s.read.parquet(stage).schema
     val src = s.readStream.schema(schema)
@@ -413,8 +490,7 @@ object RetrievalQueries {
       .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
     val expected = graft.search.IVF.assign(e, "vec_id", "v", cents)
       .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
-    require(streamed.exceptAll(expected).isEmpty &&
-        expected.exceptAll(streamed).isEmpty,
+    require(Gates.sameRows(streamed, expected),
       "q127: the streamed-in lists must equal the batch assignment row for row")
     graft.search.IVF.searchIndex(s, path, "vec_id", "v",
       e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
@@ -443,8 +519,7 @@ object RetrievalQueries {
   def q128StreamSq(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q128")
-    graft.search.SQ.writeIndex(e.filter(col("vec_id") >= 100),
-      "vec_id", "v", ivfK, path)
+    cloneIndexTo(sqBase100Src(s, dir), path)
     val stage = embDeltaStage(s, dir)
     val schema = s.read.parquet(stage).schema
     val src = s.readStream.schema(schema)
@@ -462,8 +537,7 @@ object RetrievalQueries {
       .select(col("id"), col("code"), col("cid").cast("long").as("cid"))
     val expected = graft.search.SQ.quantized(e, "vec_id", "v", cents, ba)
       .select(col("id"), col("code"), col("cid").cast("long").as("cid"))
-    require(streamed.exceptAll(expected).isEmpty &&
-        expected.exceptAll(streamed).isEmpty,
+    require(Gates.sameRows(streamed, expected),
       "q128: the streamed-in code lists must equal the batch quantization byte for byte")
     graft.search.SQ.searchIndex(s, path, e, "vec_id", "v",
       e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
@@ -504,8 +578,7 @@ object RetrievalQueries {
     val path = PipelineQueries.roundtripPath(dir, "q185")
     val ckpt = PipelineQueries.roundtripPath(dir, "q185_ckpt")
     graft.FileTree.delete(new java.io.File(ckpt))
-    graft.search.IVF.writeIndex(e.filter(col("vec_id") >= 100),
-      "vec_id", "v", ivfK, 0, path)
+    cloneIndexTo(ivfBase100Src(s, dir), path)
     val stage = embDeltaStage(s, dir)
     val schema = s.read.parquet(stage).schema
     val src = s.readStream.schema(schema)
@@ -545,8 +618,7 @@ object RetrievalQueries {
       .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
     val expected = graft.search.IVF.assign(e, "vec_id", "v", cents)
       .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
-    require(streamed.exceptAll(expected).isEmpty &&
-        expected.exceptAll(streamed).isEmpty,
+    require(Gates.sameRows(streamed, expected),
       "q185: the exactly-once drain must equal the batch assignment " +
         "row for row — a doubled vector is a silent-duplication failure")
     graft.search.IVF.searchIndex(s, path, "vec_id", "v",
@@ -642,8 +714,7 @@ object RetrievalQueries {
   def q147StreamIvfDelete(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q147")
-    val base = e.filter(col("vec_id") >= 100)
-    graft.search.IVF.writeIndex(base, "vec_id", "v", ivfK, 0, path)
+    cloneIndexTo(ivfBase100Src(s, dir), path)
     val stage = embDeltaStage(s, dir)
     val schema = s.read.parquet(stage).schema
     val src = s.readStream.schema(schema)
@@ -752,8 +823,7 @@ object RetrievalQueries {
   def q156StreamSqDelete(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q156")
-    graft.search.SQ.writeIndex(e.filter(col("vec_id") >= 100),
-      "vec_id", "v", ivfK, path)
+    cloneIndexTo(sqBase100Src(s, dir), path)
     val stage = embDeltaStage(s, dir)
     val schema = s.read.parquet(stage).schema
     val src = s.readStream.schema(schema)
@@ -883,8 +953,7 @@ object RetrievalQueries {
   def q158StreamIvfValve(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q158")
-    graft.search.IVF.writeIndex(e.filter(col("vec_id") >= 100),
-      "vec_id", "v", ivfK, 0, path)
+    cloneIndexTo(ivfBase100Src(s, dir), path)
     val stage = embDeltaStage(s, dir)
     val schema = s.read.parquet(stage).schema
     val src = s.readStream.schema(schema)
@@ -987,8 +1056,7 @@ object RetrievalQueries {
   def q160CdcFeed(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q160")
-    graft.search.IVF.writeIndex(e.filter(col("vec_id") >= 100),
-      "vec_id", "v", ivfK, 0, path)
+    cloneIndexTo(ivfBase100Src(s, dir), path)
     val gen0 = graft.search.IVF.listsPath(path)
     val stage = Memo.cachedValue(s, dir, "q160_stage") {
       stageFeedSlices(Seq(
@@ -1074,8 +1142,7 @@ object RetrievalQueries {
   def q161UpsertRevive(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q161")
-    graft.search.IVF.writeIndex(e.filter(col("vec_id") >= 100),
-      "vec_id", "v", ivfK, 0, path)
+    cloneIndexTo(ivfBase100Src(s, dir), path)
     val delPred = col("vec_id") >= 100 && col("vec_id") % 7 === 3
     val revPred = delPred && col("vec_id") % 3 === 0
     val stage = Memo.cachedValue(s, dir, "q161_stage") {
@@ -1186,8 +1253,7 @@ object RetrievalQueries {
   def q163SqRevive(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q163")
-    graft.search.SQ.writeIndex(e.filter(col("vec_id") >= 100),
-      "vec_id", "v", ivfK, path)
+    cloneIndexTo(sqBase100Src(s, dir), path)
     val delPred = col("vec_id") >= 100 && col("vec_id") % 7 === 3
     val revPred = delPred && col("vec_id") % 3 === 0
     val stage = Memo.cachedValue(s, dir, "q163_stage") {
@@ -1332,8 +1398,7 @@ object RetrievalQueries {
   def q173SqCdcRevive(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q173")
-    graft.search.SQ.writeIndex(e.filter(col("vec_id") >= 100),
-      "vec_id", "v", ivfK, path)
+    cloneIndexTo(sqBase100Src(s, dir), path)
     val gen0 = graft.search.IVF.listsPath(path)
     // del1 is an ABSOLUTE id window (q164's scale rule): the request
     // must stay request-sized as the corpus grows, or it would
@@ -1498,15 +1563,14 @@ object RetrievalQueries {
       "q162Sql's literal query terms are out of sync with Queries.bm25Terms")
     val cv = chunkVecs(s, dir)
     val ivfPath = PipelineQueries.roundtripPath(dir, "q162_ivf")
-    graft.search.IVF.writeIndex(cv, "ckey", "v", ivfK, 0, ivfPath)
+    cloneIndexTo(cascadeIvfSrc(s, dir), ivfPath)
     val tbl = "bm25_cascade_" + PipelineQueries.sanitizeTag(dir)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     val postPath = PipelineQueries.roundtripPath(dir, "q162_post")
     graft.FileTree.delete(new java.io.File(postPath))
     graft.FileTree.delete(
       new java.io.File(graft.lexical.BM25.tombPath(postPath)))
-    Queries.writePostings(s, docs(s, dir).filter(col("doc_id") < 200),
-      tbl, postPath, "overwrite")
+    Queries.clonePostingsTo(s, Queries.postingsSrcLt200(s, dir), tbl, postPath)
     val delDocs = docs(s, dir)
       .filter(col("doc_id") < 200 && col("doc_id") % 9 === 4)
       .select(col("doc_id"))
@@ -1641,20 +1705,18 @@ object RetrievalQueries {
     val cv = chunkVecs(s, dir)
     val nCh = Memo.cachedCount(s, dir, "q166_ncv")(cv.count())
     val ivfPath = PipelineQueries.roundtripPath(dir, "q166_ivf")
-    graft.search.IVF.writeIndex(cv, "ckey", "v", ivfK, 0, ivfPath)
+    cloneIndexTo(cascadeIvfSrc(s, dir), ivfPath)
     val sqPath = PipelineQueries.roundtripPath(dir, "q166_sq")
-    graft.search.SQ.writeIndex(cv, "ckey", "v", ivfK, sqPath)
+    cloneIndexTo(cascadeSqSrc(s, dir), sqPath)
     val graphPath = PipelineQueries.roundtripPath(dir, "q166_graph")
-    graft.search.GraphAnn.writeIndex(cv, "ckey", "v", graphM, graphEf,
-      math.max(8, math.ceil(nCh.toDouble / graphTargetPart).toInt), graphPath)
+    cloneIndexTo(cascadeGraphSrc(s, dir), graphPath)
     val tbl = "bm25_cascall_" + PipelineQueries.sanitizeTag(dir)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     val postPath = PipelineQueries.roundtripPath(dir, "q166_post")
     graft.FileTree.delete(new java.io.File(postPath))
     graft.FileTree.delete(
       new java.io.File(graft.lexical.BM25.tombPath(postPath)))
-    Queries.writePostings(s, docs(s, dir).filter(col("doc_id") < 200),
-      tbl, postPath, "overwrite")
+    Queries.clonePostingsTo(s, Queries.postingsSrcLt200(s, dir), tbl, postPath)
     val delDocs = docs(s, dir)
       .filter(col("doc_id") < 200 && col("doc_id") % 9 === 4)
       .select(col("doc_id"))
@@ -1851,20 +1913,18 @@ object RetrievalQueries {
     val cv = chunkVecs(s, dir)
     val nCh = Memo.cachedCount(s, dir, "q166_ncv")(cv.count())
     val ivfPath = PipelineQueries.roundtripPath(dir, "q174_ivf")
-    graft.search.IVF.writeIndex(cv, "ckey", "v", ivfK, 0, ivfPath)
+    cloneIndexTo(cascadeIvfSrc(s, dir), ivfPath)
     val sqPath = PipelineQueries.roundtripPath(dir, "q174_sq")
-    graft.search.SQ.writeIndex(cv, "ckey", "v", ivfK, sqPath)
+    cloneIndexTo(cascadeSqSrc(s, dir), sqPath)
     val graphPath = PipelineQueries.roundtripPath(dir, "q174_graph")
-    graft.search.GraphAnn.writeIndex(cv, "ckey", "v", graphM, graphEf,
-      math.max(8, math.ceil(nCh.toDouble / graphTargetPart).toInt), graphPath)
+    cloneIndexTo(cascadeGraphSrc(s, dir), graphPath)
     val tbl = "bm25_ffg_" + PipelineQueries.sanitizeTag(dir)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     val postPath = PipelineQueries.roundtripPath(dir, "q174_post")
     graft.FileTree.delete(new java.io.File(postPath))
     graft.FileTree.delete(
       new java.io.File(graft.lexical.BM25.tombPath(postPath)))
-    Queries.writePostings(s, d.filter(col("doc_id") < 200),
-      tbl, postPath, "overwrite")
+    Queries.clonePostingsTo(s, Queries.postingsSrcLt200(s, dir), tbl, postPath)
     val mut = PipelineQueries.roundtripPath(dir, "q174_bands")
     Option(new java.io.File(mut).getParentFile.listFiles()).toSeq.flatten
       .filter(_.getName.startsWith("q174_bands"))
@@ -2344,8 +2404,7 @@ object RetrievalQueries {
       routing.select(col("part").cast("int").as("part"),
         col("rvec").cast("array<double>").as("rvec")), replicas)
       .select(col("id"), col("part"))
-    val assignDiff = atRest.exceptAll(reference)
-      .unionByName(reference.exceptAll(atRest)).count()
+    val assignDiff = Gates.symDiffCount(atRest, reference)
     val placementRows = corpus.count() * replicas
     require(assignDiff.toDouble <= 0.005 * placementRows,
       s"q197: two-level build assignment diverged from the flat fold " +
@@ -2479,7 +2538,7 @@ object RetrievalQueries {
     import s.implicits._
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q176")
-    graft.search.SQ.writeIndex(e, "vec_id", "v", ivfK, path)
+    cloneIndexTo(sqIndexPath(s, dir), path)
     val delIds = e.filter(col("vec_id") % 7 === 3)
       .select(col("vec_id").as("id"))
     val nReq = Memo.cachedCount(s, dir, "q155_ndel")(delIds.count())
@@ -2786,8 +2845,7 @@ object RetrievalQueries {
   def q109IvfCompact(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q109")
-    graft.search.IVF.writeIndex(e.filter(col("vec_id") >= 100),
-      "vec_id", "v", ivfK, 0, path)
+    cloneIndexTo(ivfBase100Src(s, dir), path)
     (0 until 2).foreach { b =>
       graft.search.IVF.appendToIndex(s, path,
         e.filter(col("vec_id") < 100 && col("vec_id") % 4 === b),
@@ -2875,9 +2933,7 @@ object RetrievalQueries {
     * exactly what the replay says it must. */
   def q114AnnSq(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val path = PipelineQueries.roundtripPath(dir, "q114")
-    graft.search.SQ.writeIndex(e, "vec_id", "v", ivfK, path)
-    graft.search.SQ.searchIndex(s, path, e, "vec_id", "v",
+    graft.search.SQ.searchIndex(s, sqIndexPath(s, dir), e, "vec_id", "v",
       e.filter(col("vec_id") === 1).select(col("v").as("qv")), "qv",
       10, ivfProbe, sqRerank)
       .orderBy("rank")
@@ -3010,8 +3066,7 @@ object RetrievalQueries {
   def q192SqRequantUnderIngest(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q192")
-    graft.search.SQ.writeIndex(e.filter(col("vec_id") >= 100),
-      "vec_id", "v", ivfK, path)
+    cloneIndexTo(sqBase100Src(s, dir), path)
     // the full corpus as the drain leaves it: [50,75) drifted
     def u = e.select(col("vec_id"),
       when(col("vec_id") >= 50 && col("vec_id") < 75,
@@ -3060,8 +3115,7 @@ object RetrievalQueries {
       .select(col("id"), col("code"), col("cid").cast("long").as("cid"))
     val expected = graft.search.SQ.quantized(uDf, "vec_id", "v", cents, ba)
       .select(col("id"), col("code"), col("cid").cast("long").as("cid"))
-    require(streamed.exceptAll(expected).isEmpty &&
-        expected.exceptAll(streamed).isEmpty,
+    require(Gates.sameRows(streamed, expected),
       "q192: requant-under-ingest must equal the clean quantization " +
         "of the union byte for byte")
     graft.search.SQ.searchIndex(s, path, uDf, "vec_id", "v",
@@ -3102,8 +3156,7 @@ object RetrievalQueries {
   def q121SqAppend(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q121")
-    graft.search.SQ.writeIndex(e.filter(col("vec_id") >= 100),
-      "vec_id", "v", ivfK, path)
+    cloneIndexTo(sqBase100Src(s, dir), path)
     val f1 = graft.search.SQ.appendToIndex(s, path,
       e.filter(col("vec_id") >= 50 && col("vec_id") < 100), "vec_id", "v")
     require(f1 <= sqClampThreshold,
@@ -3209,8 +3262,7 @@ object RetrievalQueries {
   def q133SqCompact(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q133")
-    graft.search.SQ.writeIndex(e.filter(col("vec_id") >= 100),
-      "vec_id", "v", ivfK, path)
+    cloneIndexTo(sqBase100Src(s, dir), path)
     def appendBatch(b: Int): Unit = {
       val f = graft.search.SQ.appendToIndex(s, path,
         e.filter(col("vec_id") < 100 && col("vec_id") % 4 === b), "vec_id", "v")
@@ -3507,8 +3559,7 @@ object RetrievalQueries {
     val path = PipelineQueries.roundtripPath(dir, "q189")
     val ckpt = PipelineQueries.roundtripPath(dir, "q189_ckpt")
     graft.FileTree.delete(new java.io.File(ckpt))
-    graft.search.SQ.writeIndex(e.filter(col("vec_id") >= 100),
-      "vec_id", "v", ivfK, path)
+    cloneIndexTo(sqBase100Src(s, dir), path)
     val stage = embDeltaStage(s, dir)
     val schema = s.read.parquet(stage).schema
     val src = s.readStream.schema(schema)
@@ -3548,8 +3599,7 @@ object RetrievalQueries {
       .select(col("id"), col("code"), col("cid").cast("long").as("cid"))
     val expected = graft.search.SQ.quantized(e, "vec_id", "v", cents, ba)
       .select(col("id"), col("code"), col("cid").cast("long").as("cid"))
-    require(streamed.exceptAll(expected).isEmpty &&
-        expected.exceptAll(streamed).isEmpty,
+    require(Gates.sameRows(streamed, expected),
       "q189: the exactly-once drain must equal the batch quantization " +
         "byte for byte — a doubled code is a silent duplication")
     graft.search.SQ.searchIndex(s, path, e, "vec_id", "v",
@@ -3649,8 +3699,7 @@ object RetrievalQueries {
       .select(col("doc_id"), col("v"), col("cid").cast("long").as("cid"))
     val expected = graft.search.IVF.assign(allV2, "doc_id", "v", cents)
       .select(col("doc_id"), col("v"), col("cid").cast("long").as("cid"))
-    require(streamed.exceptAll(expected).isEmpty &&
-        expected.exceptAll(streamed).isEmpty,
+    require(Gates.sameRows(streamed, expected),
       "q187: upgrade-under-ingest must equal the clean v2 build row for row")
     graft.search.IVF.searchIndex(s, path, "doc_id", "v",
       allV2.filter(col("doc_id") === 1).select(col("v").as("qv")), "qv",
@@ -3850,8 +3899,7 @@ object RetrievalQueries {
       feats(v2text(d)), "doc_id", "v", graphM, graphEf, rebuilt)
     def nodes(p: String) = GraphAnn.nodesDf(s, p)
       .select(col("part"), col("id"), col("vec"), col("nbrs"))
-    require(nodes(path).exceptAll(nodes(rebuilt)).isEmpty &&
-        nodes(rebuilt).exceptAll(nodes(path)).isEmpty,
+    require(Gates.sameRows(nodes(path), nodes(rebuilt)),
       "q193: upgrade-under-ingest must equal the clean v2 build bit for bit")
     GraphAnn.searchIndex(s, path, "doc_id",
       feats(v2text(d.filter(col("doc_id") === 1)))
@@ -4605,8 +4653,7 @@ object RetrievalQueries {
     // composition at the artifact level.
     def sidecar(p: String, t: String) =
       s.read.parquet(graft.search.GraphAnn.tablePath(p, t))
-    require(sidecar(path, "routing").exceptAll(sidecar(pathB, "routing")).isEmpty &&
-        sidecar(pathB, "routing").exceptAll(sidecar(path, "routing")).isEmpty,
+    require(Gates.sameRows(sidecar(path, "routing"), sidecar(pathB, "routing")),
       "q120: streamed lifecycle's routing table must equal the batch replay's")
     require(graft.search.GraphAnn.cellCounts(s, path) ==
         graft.search.GraphAnn.cellCounts(s, pathB),
@@ -5968,14 +6015,14 @@ $sqRows)
   def q172PinnedHybrid(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val ivfPath = PipelineQueries.roundtripPath(dir, "q172_ivf")
-    graft.search.IVF.writeIndex(e, "vec_id", "v", ivfK, 0, ivfPath)
+    cloneIndexTo(ivfFullSrc(s, dir), ivfPath)
     val tbl = "bm25_pinh_" + PipelineQueries.sanitizeTag(dir)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     val postPath = PipelineQueries.roundtripPath(dir, "q172_post")
     Option(new java.io.File(postPath).getParentFile.listFiles()).toSeq.flatten
       .filter(_.getName.startsWith("q172_post"))
       .foreach(graft.FileTree.delete)
-    Queries.writePostings(s, docs(s, dir), tbl, postPath, "overwrite")
+    Queries.clonePostingsTo(s, Queries.postingsSrcFull(s, dir), tbl, postPath)
     // the server's session start: pin BOTH read contracts once
     val ivfPin = graft.search.IVF.currentGeneration(ivfPath)
     val lexPin = Queries.postingsLivePath(s, tbl)
@@ -6041,14 +6088,14 @@ $sqRows)
       "q178's routing qids are out of sync with multiQids")
     val e = emb(s, dir)
     val ivfPath = PipelineQueries.roundtripPath(dir, "q178_ivf")
-    graft.search.IVF.writeIndex(e, "vec_id", "v", ivfK, 0, ivfPath)
+    cloneIndexTo(ivfFullSrc(s, dir), ivfPath)
     val tbl = "bm25_pinm_" + PipelineQueries.sanitizeTag(dir)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     val postPath = PipelineQueries.roundtripPath(dir, "q178_post")
     Option(new java.io.File(postPath).getParentFile.listFiles()).toSeq.flatten
       .filter(_.getName.startsWith("q178_post"))
       .foreach(graft.FileTree.delete)
-    Queries.writePostings(s, docs(s, dir), tbl, postPath, "overwrite")
+    Queries.clonePostingsTo(s, Queries.postingsSrcFull(s, dir), tbl, postPath)
     // round-16: a small forget request lands on BOTH legs BEFORE the
     // pins, so the pinned-equals-flipped gate exercises the
     // (generation, sidecar) PAIRING, not just byte movement — the
@@ -6324,7 +6371,7 @@ $sqRows)
   def q155SqDelete(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q155")
-    graft.search.SQ.writeIndex(e, "vec_id", "v", ivfK, path)
+    cloneIndexTo(sqIndexPath(s, dir), path)
     val lp = graft.search.IVF.listsPath(path)
     val before = s.read.parquet(lp).count()
     val delIds = e.filter(col("vec_id") % 7 === 3)
@@ -7681,6 +7728,11 @@ $sqRows)
     "_build_graph_base60" -> ((s, dir) => { graphBase60Path(s, dir); () }),
     "_build_q120_target" -> ((s, dir) => { q120TargetState(s, dir); () }),
     "_build_sq_index" -> ((s, dir) => { sqIndexPath(s, dir); () }),
+    "_build_ivf_base" -> ((s, dir) => { ivfBase100Src(s, dir); () }),
+    "_build_sq_base" -> ((s, dir) => { sqBase100Src(s, dir); () }),
+    "_build_ivf_full" -> ((s, dir) => { ivfFullSrc(s, dir); () }),
+    "_build_cascade_src" -> ((s, dir) => {
+      cascadeIvfSrc(s, dir); cascadeSqSrc(s, dir); cascadeGraphSrc(s, dir); () }),
     "_build_q165_target" -> ((s, dir) => { q165TargetPath(s, dir); () }),
     "_build_q179_target" -> ((s, dir) => { q179TargetPath(s, dir); () }))
 

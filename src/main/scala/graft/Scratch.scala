@@ -8,8 +8,9 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -572,6 +573,71 @@ object Scratch {
             f"ef=$ef recall=$rec%.4f sec=$sec%.1f build=$buildSec%.1f")
         }
       }
+      spark.stop(); return
+    }
+    // round 19: dump the formatted physical plan of named declared
+    // queries to <out>/<name>.txt (the plans/r19 evidence files).
+    // Constructing a lifecycle row's frame still runs its in-query
+    // actions (builds, drains, gates) — only the returned frame's
+    // plan is dumped.
+    if (args.contains("dumpplans")) {
+      val rest = args.drop(args.indexOf("dumpplans") + 1)
+      val out = rest.head
+      new java.io.File(out).mkdirs()
+      rest.tail.foreach { q =>
+        val df = SparkEntry.queries(q)(spark, dir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/$q.txt"), txt)
+        println(s"planned $q")
+      }
+      spark.stop(); return
+    }
+    // round 19: config-A/B harness — time a named subset of bench
+    // entries (build names and query names both accepted, run
+    // name-sorted with builds first, after the Bench warm-up +
+    // calibration) so a session-config candidate can be measured on
+    // the rows it targets without a full 10-minute bench run. Configs
+    // come in via -Dspark.* system properties (SparkConf picks them
+    // up), e.g.:
+    //   SPARK_GRAFT_CPUS=32 java -Dspark.hadoop.fs.file.impl=... \
+    //     -cp ... graft.Scratch /root/testdata/sf0.1 benchsubset q109_ivf_compact ...
+    if (args.contains("benchsubset")) {
+      val names = args.drop(args.indexOf("benchsubset") + 1)
+      spark.range(1000).selectExpr("sum(id)").collect()
+      Seq("nation", "lineitem", "events", "documents", "embeddings")
+        .foreach(t => spark.read.parquet(s"$dir/$t.parquet").count())
+      val t0c = System.nanoTime()
+      spark.range(50000000L).selectExpr("sum(id % 97)").collect()
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .selectExpr("sum(l_quantity)", "count(distinct l_partkey)").collect()
+      println(f"CALIB ${(System.nanoTime() - t0c) / 1e9}%.3f")
+      val ioT0 = System.nanoTime()
+      val ioDir = java.nio.file.Files.createTempDirectory("graft_iocalib").toString
+      spark.range(2000000L).selectExpr("id", "md5(cast(id as string)) as h")
+        .write.mode("overwrite").parquet(ioDir)
+      spark.read.parquet(ioDir).selectExpr("count(distinct h)").collect()
+      println(f"IOCALIB ${(System.nanoTime() - ioT0) / 1e9}%.3f")
+      FileTree.delete(new java.io.File(ioDir))
+      val (builds, queries) = names.distinct.sorted.partition(SparkEntry.builds.contains)
+      var total = 0.0
+      for (n <- builds) {
+        val t0 = System.nanoTime()
+        SparkEntry.builds(n)(spark, dir)
+        val sec = (System.nanoTime() - t0) / 1e9
+        total += sec
+        println(f"BUILD $n $sec%.3f")
+      }
+      for (n <- queries) {
+        require(SparkEntry.queries.contains(n), s"unknown bench entry: $n")
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        total += sec
+        println(f"QUERY $n $sec%.3f")
+      }
+      println(f"SUBTOTAL $total%.3f over ${names.distinct.length} entries")
       spark.stop(); return
     }
     // one-off: how many micro-batches does the q61 drain split into
