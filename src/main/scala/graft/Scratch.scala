@@ -575,6 +575,47 @@ object Scratch {
       }
       spark.stop(); return
     }
+    // round 19: dump the gate-idiom plan evidence — the q185-shaped
+    // equality gate (at-rest lists vs a fresh assignment) planned the
+    // old way (two ExceptAlls) and the new way (Gates' one signed
+    // union + aggregate) — to <out>/gate_multiset_{before,after}.txt.
+    if (args.contains("gateplans")) {
+      import org.apache.spark.sql.functions._
+      val out = args(args.indexOf("gateplans") + 1)
+      new java.io.File(out).mkdirs()
+      val e = RetrievalQueries.emb(spark, dir)
+      val path = "/tmp/graft_gateplan_idx"
+      graft.search.IVF.writeIndex(e.filter(col("vec_id") >= 100),
+        "vec_id", "v", 8, 0, path)
+      val cents = spark.read.parquet(graft.search.IVF.centroidsPath(path))
+      val streamed = spark.read.parquet(graft.search.IVF.listsPath(path))
+        .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+      val expected = graft.search.IVF.assign(e.filter(col("vec_id") >= 100),
+          "vec_id", "v", cents)
+        .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+      def fmt(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$out/gate_multiset_before.txt"),
+        "== OLD GATE: a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty ==\n" +
+          "== job 1: a.exceptAll(b) — evaluates BOTH inputs ==\n" +
+          fmt(streamed.exceptAll(expected)) +
+          "\n== job 2: b.exceptAll(a) — evaluates BOTH inputs AGAIN ==\n" +
+          fmt(expected.exceptAll(streamed)))
+      val cols = streamed.columns.toSeq
+      val tagged = streamed.withColumn("__gate_w", lit(1L))
+        .unionByName(expected.toDF(cols: _*).withColumn("__gate_w", lit(-1L)))
+        .groupBy(cols.map(col): _*)
+        .agg(sum(col("__gate_w")).as("__gate_d"))
+        .where(col("__gate_d") =!= 0L)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$out/gate_multiset_after.txt"),
+        "== NEW GATE: Gates.sameRows — ONE signed union + aggregate, " +
+          "each input evaluated once ==\n" + fmt(tagged))
+      println("gate plans dumped")
+      spark.stop(); return
+    }
     // round 19: dump the formatted physical plan of named declared
     // queries to <out>/<name>.txt (the plans/r19 evidence files).
     // Constructing a lifecycle row's frame still runs its in-query
