@@ -217,11 +217,19 @@ object CurationQueries {
         .select(col("id"), col("band"), col("bandsig"),
           col("sigbucket").cast("int")))
 
+  /** THE forget cohort (standing docs ≡ 0 mod 9) — the ONE predicate
+    * q169/q170/q174/q177/q180's requests and [[gateBandsKept]]'s
+    * survivor filter must stay exact negations of; a hand-copied
+    * variant drifting in one site would make the shared gate fail
+    * for a confusing reason. */
+  private[graft] def forgetCohortPred =
+    col("doc_id") % 10 =!= 7 && col("doc_id") % 9 === 0
+
   private def gateBandsKept(s: SparkSession, dir: String): DataFrame =
     Memo.cached(s, dir, "gate_bands_kept")(
       Dedup.bandedSignatures(
           docs(s, dir)
-            .filter(!(col("doc_id") % 10 =!= 7 && col("doc_id") % 9 === 0)),
+            .filter(!forgetCohortPred),
           "doc_id", "text", shingleN, nPerm, rowsPerBand)
         .withColumn("sigbucket", sigbucket(col("band"), col("bandsig")))
         .select(col("id"), col("band"), col("bandsig"),
@@ -865,7 +873,7 @@ object CurationQueries {
       .foreach(graft.FileTree.delete)
     graft.FileTree.copy(new java.io.File(streamBandsPath(s, dir)),
       new java.io.File(mut))
-    val req = d.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 9 === 0)
+    val req = d.filter(forgetCohortPred)
       .select(col("doc_id").as("id"))
     val nReq = Memo.cachedCount(s, dir, "q169_nreq")(req.count())
     val incoming = d.filter(col("doc_id") % 10 === 7).localCheckpoint()
@@ -961,7 +969,7 @@ object CurationQueries {
       .foreach(graft.FileTree.delete)
     graft.FileTree.copy(new java.io.File(streamBandsPath(s, dir)),
       new java.io.File(mut))
-    val req = d.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 9 === 0)
+    val req = d.filter(forgetCohortPred)
       .select(col("doc_id").as("id"))
     val nReq = Memo.cachedCount(s, dir, "q169_nreq")(req.count())
     val stage = q130Stage(s, dir)
@@ -1100,7 +1108,7 @@ object CurationQueries {
       .foreach(graft.FileTree.delete)
     graft.FileTree.copy(new java.io.File(streamBandsPath(s, dir)),
       new java.io.File(mut))
-    val reqPred = col("doc_id") % 10 =!= 7 && col("doc_id") % 9 === 0
+    val reqPred = forgetCohortPred
     val revPred = reqPred && col("doc_id") % 2 === 1
     val stayPred = reqPred && col("doc_id") % 2 === 0
     val req = d.filter(reqPred).select(col("doc_id").as("id"))
@@ -1202,7 +1210,7 @@ object CurationQueries {
       .foreach(graft.FileTree.delete)
     graft.FileTree.copy(new java.io.File(streamBandsPath(s, dir)),
       new java.io.File(mut))
-    val reqPred = col("doc_id") % 10 =!= 7 && col("doc_id") % 9 === 0
+    val reqPred = forgetCohortPred
     val req1 = d.filter(reqPred && col("doc_id") % 2 === 1)
       .select(col("doc_id").as("id"))
     val req2 = d.filter(reqPred && col("doc_id") % 2 === 0)
@@ -2046,7 +2054,9 @@ object CurationQueries {
     "_build_lsh_buckets" -> ((s, dir) => { lshBuckets(s, dir).count(); () }),
     "_build_stream_bands" -> ((s, dir) =>
       { streamBandsPath(s, dir); q98Stage(s, dir); q130Stage(s, dir); () }),
-    "_build_q136_vetted" -> ((s, dir) => { q136Vetted(s, dir).count(); () }))
+    "_build_q136_vetted" -> ((s, dir) => { q136Vetted(s, dir).count(); () }),
+    "_build_gate_bands" -> ((s, dir) =>
+      { gateBandsFull(s, dir).count(); gateBandsKept(s, dir).count(); () }))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_text_stats" -> (q22TextStats _),

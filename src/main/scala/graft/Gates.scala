@@ -40,18 +40,21 @@ object Gates {
       .agg(coalesce(sum(abs(col("__gate_d"))), lit(0L)))
       .head().getLong(0)
 
-  /** Per-distinct-row signed multiplicity delta (+ on `a`'s side):
-    * `b`'s columns are renamed to `a`'s positionally, mirroring
-    * exceptAll's positional resolution. */
-  private def signedCounts(a: DataFrame, b: DataFrame): DataFrame = {
-    val cols = a.columns.toSeq
-    require(b.columns.length == cols.length,
-      s"Gates: column arity mismatch (${cols.length} vs ${b.columns.length})")
-    require(!cols.contains("__gate_w") && !cols.contains("__gate_d"),
-      "Gates: input must not carry the reserved __gate_* columns")
-    a.withColumn("__gate_w", lit(1L))
-      .unionByName(b.toDF(cols: _*).withColumn("__gate_w", lit(-1L)))
-      .groupBy(cols.map(col): _*)
+  /** Per-distinct-row signed multiplicity delta (+ on `a`'s side).
+    * BOTH sides are renamed to synthetic positional names before the
+    * union, exactly mirroring exceptAll's purely-positional,
+    * name-agnostic resolution — an input column named `a.b` or
+    * carrying backticks can never collide with a grouping reference,
+    * and the reserved `__gate_*` names can never clash with input
+    * names. `private[graft]` so the plan-evidence dump
+    * (Scratch `gateplans`) plans the REAL gate instead of a copy. */
+  private[graft] def signedCounts(a: DataFrame, b: DataFrame): DataFrame = {
+    require(b.columns.length == a.columns.length,
+      s"Gates: column arity mismatch (${a.columns.length} vs ${b.columns.length})")
+    val safe = a.columns.indices.map(i => s"__gate_c$i")
+    a.toDF(safe: _*).withColumn("__gate_w", lit(1L))
+      .unionByName(b.toDF(safe: _*).withColumn("__gate_w", lit(-1L)))
+      .groupBy(safe.map(col): _*)
       .agg(sum(col("__gate_w")).as("__gate_d"))
   }
 }

@@ -279,6 +279,16 @@ object RetrievalQueries {
         math.max(8, math.ceil(nCh.toDouble / graphTargetPart).toInt), p)
     }
 
+  /** SQ8 over the FULL embedding corpus as a mutable-clone SOURCE:
+    * a byte copy of the shared `_build_sq_index` serving artifact,
+    * kept at its own path so the delete rows (q155/q176) never name
+    * the read-only serving artifact as a clone endpoint — a src/dest
+    * mix-up in a mutating row must be able to corrupt only a
+    * sacrificial copy, never the artifact q114/q134/q135 serve from
+    * (the same isolation rule as [[ivfFullSrc]] below). */
+  private def sqFullSrc(s: SparkSession, dir: String): String =
+    pristineSrc(s, dir, "sq_e") { p => cloneTree(sqIndexPath(s, dir), p) }
+
   /** IVF over the FULL embedding corpus — the base state q172/q178
     * mutate; identical construction to the `ivf_idx0` shared lists
     * (seed centroids, zero refine iterations), but kept as its own
@@ -1567,9 +1577,6 @@ object RetrievalQueries {
     val tbl = "bm25_cascade_" + PipelineQueries.sanitizeTag(dir)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     val postPath = PipelineQueries.roundtripPath(dir, "q162_post")
-    graft.FileTree.delete(new java.io.File(postPath))
-    graft.FileTree.delete(
-      new java.io.File(graft.lexical.BM25.tombPath(postPath)))
     Queries.clonePostingsTo(s, Queries.postingsSrcLt200(s, dir), tbl, postPath)
     val delDocs = docs(s, dir)
       .filter(col("doc_id") < 200 && col("doc_id") % 9 === 4)
@@ -1703,7 +1710,6 @@ object RetrievalQueries {
     require(Queries.bm25Terms == Seq("spark", "hash", "join"),
       "q166Sql's literal query terms are out of sync with Queries.bm25Terms")
     val cv = chunkVecs(s, dir)
-    val nCh = Memo.cachedCount(s, dir, "q166_ncv")(cv.count())
     val ivfPath = PipelineQueries.roundtripPath(dir, "q166_ivf")
     cloneIndexTo(cascadeIvfSrc(s, dir), ivfPath)
     val sqPath = PipelineQueries.roundtripPath(dir, "q166_sq")
@@ -1713,9 +1719,6 @@ object RetrievalQueries {
     val tbl = "bm25_cascall_" + PipelineQueries.sanitizeTag(dir)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     val postPath = PipelineQueries.roundtripPath(dir, "q166_post")
-    graft.FileTree.delete(new java.io.File(postPath))
-    graft.FileTree.delete(
-      new java.io.File(graft.lexical.BM25.tombPath(postPath)))
     Queries.clonePostingsTo(s, Queries.postingsSrcLt200(s, dir), tbl, postPath)
     val delDocs = docs(s, dir)
       .filter(col("doc_id") < 200 && col("doc_id") % 9 === 4)
@@ -1905,13 +1908,12 @@ object RetrievalQueries {
       "q174Sql's literal query terms are out of sync with Queries.bm25Terms")
     val d = docs(s, dir)
     // THE one request: a cohort's standing documents, corpus-wide
-    val reqPred = col("doc_id") % 9 === 0 && col("doc_id") % 10 =!= 7
+    val reqPred = CurationQueries.forgetCohortPred
     val req = d.filter(reqPred).select(col("doc_id")).localCheckpoint()
     val nReq = Memo.cachedCount(s, dir, "q174_nreq")(req.count())
     // the artifacts: postings + three vector indexes over the < 200
     // chunked slice, the register over the full standing corpus
     val cv = chunkVecs(s, dir)
-    val nCh = Memo.cachedCount(s, dir, "q166_ncv")(cv.count())
     val ivfPath = PipelineQueries.roundtripPath(dir, "q174_ivf")
     cloneIndexTo(cascadeIvfSrc(s, dir), ivfPath)
     val sqPath = PipelineQueries.roundtripPath(dir, "q174_sq")
@@ -1921,9 +1923,6 @@ object RetrievalQueries {
     val tbl = "bm25_ffg_" + PipelineQueries.sanitizeTag(dir)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     val postPath = PipelineQueries.roundtripPath(dir, "q174_post")
-    graft.FileTree.delete(new java.io.File(postPath))
-    graft.FileTree.delete(
-      new java.io.File(graft.lexical.BM25.tombPath(postPath)))
     Queries.clonePostingsTo(s, Queries.postingsSrcLt200(s, dir), tbl, postPath)
     val mut = PipelineQueries.roundtripPath(dir, "q174_bands")
     Option(new java.io.File(mut).getParentFile.listFiles()).toSeq.flatten
@@ -2538,7 +2537,7 @@ object RetrievalQueries {
     import s.implicits._
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q176")
-    cloneIndexTo(sqIndexPath(s, dir), path)
+    cloneIndexTo(sqFullSrc(s, dir), path)
     val delIds = e.filter(col("vec_id") % 7 === 3)
       .select(col("vec_id").as("id"))
     val nReq = Memo.cachedCount(s, dir, "q155_ndel")(delIds.count())
@@ -6371,7 +6370,7 @@ $sqRows)
   def q155SqDelete(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val path = PipelineQueries.roundtripPath(dir, "q155")
-    cloneIndexTo(sqIndexPath(s, dir), path)
+    cloneIndexTo(sqFullSrc(s, dir), path)
     val lp = graft.search.IVF.listsPath(path)
     val before = s.read.parquet(lp).count()
     val delIds = e.filter(col("vec_id") % 7 === 3)
@@ -7729,7 +7728,8 @@ $sqRows)
     "_build_q120_target" -> ((s, dir) => { q120TargetState(s, dir); () }),
     "_build_sq_index" -> ((s, dir) => { sqIndexPath(s, dir); () }),
     "_build_ivf_base" -> ((s, dir) => { ivfBase100Src(s, dir); () }),
-    "_build_sq_base" -> ((s, dir) => { sqBase100Src(s, dir); () }),
+    "_build_sq_base" -> ((s, dir) =>
+      { sqBase100Src(s, dir); sqFullSrc(s, dir); () }),
     "_build_ivf_full" -> ((s, dir) => { ivfFullSrc(s, dir); () }),
     "_build_cascade_src" -> ((s, dir) => {
       cascadeIvfSrc(s, dir); cascadeSqSrc(s, dir); cascadeGraphSrc(s, dir); () }),

@@ -603,11 +603,7 @@ object Scratch {
           fmt(streamed.exceptAll(expected)) +
           "\n== job 2: b.exceptAll(a) — evaluates BOTH inputs AGAIN ==\n" +
           fmt(expected.exceptAll(streamed)))
-      val cols = streamed.columns.toSeq
-      val tagged = streamed.withColumn("__gate_w", lit(1L))
-        .unionByName(expected.toDF(cols: _*).withColumn("__gate_w", lit(-1L)))
-        .groupBy(cols.map(col): _*)
-        .agg(sum(col("__gate_w")).as("__gate_d"))
+      val tagged = Gates.signedCounts(streamed, expected)
         .where(col("__gate_d") =!= 0L)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$out/gate_multiset_after.txt"),
